@@ -1,0 +1,12 @@
+"""Query catalog: every entry pairs a Spark DataFrame plan with a DuckDB
+oracle SQL string computing the same result (same column names, same
+rounding), per the driver contract in /root/repo/__spark_entry__.py.
+"""
+
+from .core import QUERIES as CORE_QUERIES
+from .llm_ops import QUERIES as LLM_QUERIES
+from .registry import Query
+
+QUERIES: dict[str, Query] = {**CORE_QUERIES, **LLM_QUERIES}
+
+__all__ = ["Query", "QUERIES"]

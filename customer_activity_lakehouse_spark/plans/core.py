@@ -1,0 +1,903 @@
+"""Core analytical catalog: the star-schema query surface the reference
+delegates to external SQL engines (ReadMe.md:85-94) — fact⋈dim joins,
+date-pruned rollups, windows, set ops — exercised over the driver's TPC-H-ish
+tables (lineitem/orders = fact role, customer/part/supplier = dims).
+
+Every query is written scale-first:
+- dims are explicitly broadcast (no shuffle for the fact side);
+- filters sit directly on scans so Catalyst pushes them into parquet;
+- aggregates are expressed as single groupBy.agg (map-side partial agg);
+- ordered outputs always carry a unique key tiebreaker so results are
+  deterministic under any partitioning (required for oracle hash parity).
+
+Numeric-determinism policy (this is what makes value hashes reproducible
+across Spark, DuckDB, and any partitioning):
+- MONEY (2dp-valued doubles: prices, balances) is cast to DECIMAL(18,2)
+  BEFORE summation. Decimal sums are exact and order-independent, so the
+  result is bit-identical no matter how partitions combine. The exact sum is
+  cast back to double at the end. Plain double sums are only used where every
+  addend is integral (integer-valued doubles sum exactly in fp).
+- means are computed as exact_decimal_sum / count in double (one division,
+  identical everywhere) — never engine avg() over raw doubles.
+- window prefix-sums stay double but pin total order with a unique key, so
+  both engines accumulate in the same sequence.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .registry import Query, table
+
+# ---------------------------------------------------------------------------
+# Decimal-exact aggregate helpers (see module docstring). SQL twins inline.
+# ---------------------------------------------------------------------------
+
+MONEY = "decimal(18,2)"
+
+
+def _dec(col: Column | str, typ: str = MONEY) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast(typ)
+
+
+def money_sum(col: Column | str, scale: int = 2) -> Column:
+    """Exact decimal sum of a 2dp-valued double, emitted as rounded double."""
+    return F.round(F.sum(_dec(col)).cast("double"), scale)
+
+
+def money_mean(col: Column | str, scale: int = 4) -> Column:
+    """Exact-sum / count mean (nulls excluded like avg())."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.round(F.sum(_dec(c)).cast("double") / F.count(c), scale)
+
+
+def revenue() -> Column:
+    """l_extendedprice * (1 - l_discount) in exact decimal."""
+    one = F.lit(1).cast(MONEY)
+    return _dec("l_extendedprice") * (one - _dec("l_discount"))
+
+
+def revenue_sum(scale: int = 2) -> Column:
+    return F.round(F.sum(revenue()).cast("double"), scale)
+
+
+# DuckDB fragments mirroring the helpers above.
+SQL_REV = "(l_extendedprice::DECIMAL(18,2) * (1 - l_discount::DECIMAL(18,2)))"
+SQL_REV_SUM = f"round(sum({SQL_REV})::DOUBLE, 2)"
+
+
+def sql_money_sum(col: str, scale: int = 2) -> str:
+    return f"round(sum({col}::DECIMAL(18,2))::DOUBLE, {scale})"
+
+
+def sql_money_mean(col: str, scale: int = 4) -> str:
+    return f"round(sum({col}::DECIMAL(18,2))::DOUBLE / count({col}), {scale})"
+
+
+# ---------------------------------------------------------------------------
+# Pricing / rollup queries
+# ---------------------------------------------------------------------------
+
+
+def q_pricing_summary(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q1 shape: single-pass grouped aggregate over the fact table.
+    Filter is on the scan → parquet min/max pushdown prunes row groups."""
+    li = table(spark, sf, "lineitem").filter(F.col("l_shipdate") <= "1998-09-01")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),  # integral doubles: exact
+        money_sum("l_extendedprice").alias("sum_base_price"),
+        F.round(F.sum(revenue()).cast("double"), 2).alias("sum_disc_price"),
+        F.round(F.sum("l_quantity") / F.count("l_quantity"), 4).alias("avg_qty"),
+        money_mean("l_discount").alias("avg_disc"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+ORACLE_PRICING_SUMMARY = f"""
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       {sql_money_sum("l_extendedprice")} AS sum_base_price,
+       {SQL_REV_SUM} AS sum_disc_price,
+       round(sum(l_quantity) / count(l_quantity), 4) AS avg_qty,
+       {sql_money_mean("l_discount")} AS avg_disc,
+       count(*) AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_revenue_by_brand_month(spark: SparkSession, sf: str) -> DataFrame:
+    """Flagship star rollup (the query shape the reference's curated zone is
+    built to serve): fact ⋈ broadcast(dim) ⋈ orders → revenue by brand/month.
+    part is the small dim → broadcast; lineitem⋈orders co-shuffle on orderkey."""
+    li = table(spark, sf, "lineitem")
+    part = table(spark, sf, "part")
+    orders = table(spark, sf, "orders")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            F.col("p_brand"),
+            F.date_format("o_orderdate", "yyyy-MM").alias("order_month"),
+        )
+        .agg(
+            revenue_sum().alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+ORACLE_REVENUE_BY_BRAND_MONTH = f"""
+SELECT p_brand, strftime(o_orderdate, '%Y-%m') AS order_month,
+       {SQL_REV_SUM} AS revenue,
+       count(*) AS n_lines
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN orders ON l_orderkey = o_orderkey
+GROUP BY p_brand, order_month
+"""
+
+
+def q_building_top_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q3 shape: selective dim filter → broadcast join → deterministic
+    top-10 (exact-decimal revenue desc, orderkey)."""
+    cust = table(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = table(spark, sf, "orders").filter(F.col("o_orderdate") < "1998-01-01")
+    li = table(spark, sf, "lineitem").filter(F.col("l_shipdate") > "1998-01-01")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("o_orderkey", F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"))
+        .agg(revenue_sum().alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+ORACLE_BUILDING_TOP_ORDERS = f"""
+SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+       {SQL_REV_SUM} AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+  AND l_shipdate > TIMESTAMP '1998-01-01'
+GROUP BY o_orderkey, order_date
+ORDER BY revenue DESC, o_orderkey
+LIMIT 10
+"""
+
+
+def q_late_ship_priority(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS → left-semi join (no fact duplication, the
+    cheapest join type for existence checks)."""
+    orders = table(spark, sf, "orders")
+    li = table(spark, sf, "lineitem")
+    late = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > orders.o_orderdate + F.expr("INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("order_count"))
+
+
+ORACLE_LATE_SHIP_PRIORITY = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+GROUP BY o_orderpriority
+"""
+
+
+def q_region_nation_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q5 shape: 5-way star join. region/nation/customer broadcast up
+    the chain; only lineitem⋈orders shuffles."""
+    region = table(spark, sf, "region").filter(F.col("r_name").isin("ASIA", "EUROPE"))
+    nation = table(spark, sf, "nation")
+    cust = table(spark, sf, "customer")
+    orders = table(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1998-01-01")
+    )
+    li = table(spark, sf, "lineitem")
+    dim = (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("c_custkey", "n_name", "r_name")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(dim), orders.o_custkey == dim.c_custkey)
+        .groupBy("r_name", "n_name")
+        .agg(revenue_sum().alias("revenue"))
+    )
+
+
+ORACLE_REGION_NATION_REVENUE = f"""
+SELECT r_name, n_name, {SQL_REV_SUM} AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name IN ('ASIA', 'EUROPE')
+  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY r_name, n_name
+"""
+
+
+def q_forecast_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q6 shape: pure filter+agg, everything pushes to the scan."""
+    li = table(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01")
+        & (F.col("l_shipdate") < "1998-01-01")
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    promo = _dec("l_extendedprice") * _dec("l_discount")
+    return li.agg(F.round(F.sum(promo).cast("double"), 2).alias("promo_revenue"))
+
+
+ORACLE_FORECAST_REVENUE = """
+SELECT round(sum(l_extendedprice::DECIMAL(18,2) * l_discount::DECIMAL(18,2))::DOUBLE, 2)
+         AS promo_revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+"""
+
+
+def q_segment_acctbal(spark: SparkSession, sf: str) -> DataFrame:
+    cust = table(spark, sf, "customer")
+    return cust.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        money_mean("c_acctbal", 2).alias("avg_acctbal"),
+        F.round(F.min("c_acctbal"), 2).alias("min_acctbal"),
+        F.round(F.max("c_acctbal"), 2).alias("max_acctbal"),
+    )
+
+
+ORACLE_SEGMENT_ACCTBAL = f"""
+SELECT c_mktsegment, count(*) AS n_customers,
+       {sql_money_mean("c_acctbal", 2)} AS avg_acctbal,
+       round(min(c_acctbal), 2) AS min_acctbal,
+       round(max(c_acctbal), 2) AS max_acctbal
+FROM customer GROUP BY c_mktsegment
+"""
+
+
+def q_parts_by_type(spark: SparkSession, sf: str) -> DataFrame:
+    part = table(spark, sf, "part")
+    return part.groupBy("p_type").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        money_mean("p_retailprice", 2).alias("avg_retail"),
+        F.countDistinct("p_size").alias("n_sizes"),
+    )
+
+
+ORACLE_PARTS_BY_TYPE = f"""
+SELECT p_type, count(*) AS n_parts,
+       {sql_money_mean("p_retailprice", 2)} AS avg_retail,
+       count(DISTINCT p_size) AS n_sizes
+FROM part GROUP BY p_type
+"""
+
+
+def q_order_status_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    """ROLLUP grouping-sets over orders (NULL group rendered 'ALL' so the
+    string survives the hash identically in both engines)."""
+    orders = table(spark, sf, "orders")
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            money_sum("o_totalprice").alias("total_price"),
+        )
+        .select(
+            F.coalesce(F.col("o_orderstatus"), F.lit("ALL")).alias("status"),
+            F.coalesce(F.col("o_orderpriority"), F.lit("ALL")).alias("priority"),
+            "n_orders",
+            "total_price",
+        )
+    )
+
+
+ORACLE_ORDER_STATUS_ROLLUP = f"""
+SELECT coalesce(o_orderstatus, 'ALL') AS status,
+       coalesce(o_orderpriority, 'ALL') AS priority,
+       count(*) AS n_orders,
+       {sql_money_sum("o_totalprice")} AS total_price
+FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+"""
+
+
+def q_returned_top_customers(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q10 shape: returned-items revenue per customer, deterministic
+    top-20."""
+    li = table(spark, sf, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = table(spark, sf, "orders")
+    cust = table(spark, sf, "customer")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(revenue_sum().alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+ORACLE_RETURNED_TOP_CUSTOMERS = f"""
+SELECT c_custkey, c_name, {SQL_REV_SUM} AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE l_returnflag = 'R'
+GROUP BY c_custkey, c_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+def q_supplier_nation_balance(spark: SparkSession, sf: str) -> DataFrame:
+    sup = table(spark, sf, "supplier")
+    nation = table(spark, sf, "nation")
+    return (
+        sup.join(F.broadcast(nation), sup.s_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            money_sum("s_acctbal").alias("total_acctbal"),
+        )
+    )
+
+
+ORACLE_SUPPLIER_NATION_BALANCE = f"""
+SELECT n_name, count(*) AS n_suppliers,
+       {sql_money_sum("s_acctbal")} AS total_acctbal
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+def q_discount_band_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """CASE-expression banding + rollup (reference F-family derivations feed
+    exactly this kind of bucketed reporting)."""
+    li = table(spark, sf, "lineitem")
+    band = (
+        F.when(F.col("l_discount") < 0.03, "low")
+        .when(F.col("l_discount") < 0.07, "mid")
+        .otherwise("high")
+    )
+    return (
+        li.withColumn("discount_band", band)
+        .groupBy("discount_band")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            revenue_sum().alias("revenue"),
+        )
+    )
+
+
+ORACLE_DISCOUNT_BAND_REVENUE = f"""
+SELECT CASE WHEN l_discount < 0.03 THEN 'low'
+            WHEN l_discount < 0.07 THEN 'mid'
+            ELSE 'high' END AS discount_band,
+       count(*) AS n_lines,
+       {SQL_REV_SUM} AS revenue
+FROM lineitem GROUP BY discount_band
+"""
+
+
+def q_order_count_distribution(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q13 shape: LEFT join (fact keys may be absent — mirrors the
+    reference's dangling fact→dim keys, SURVEY §1.5) + two-level aggregate."""
+    cust = table(spark, sf, "customer")
+    orders = table(spark, sf, "orders")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+ORACLE_ORDER_COUNT_DISTRIBUTION = """
+SELECT c_count, count(*) AS custdist FROM (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey)
+GROUP BY c_count
+"""
+
+
+def q_promo_revenue_pct(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q14 shape: conditional aggregate ratio, broadcast dim join.
+    Both sums exact decimal → one double division → identical everywhere."""
+    li = table(spark, sf, "lineitem")
+    part = table(spark, sf, "part")
+    zero = F.lit(0).cast("decimal(18,4)")
+    promo = F.when(F.col("p_type") == "PROMO", revenue().cast("decimal(18,4)")).otherwise(zero)
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            F.round(
+                F.lit(100.0) * F.sum(promo).cast("double") / F.sum(revenue()).cast("double"),
+                4,
+            ).alias("promo_pct")
+        )
+    )
+
+
+ORACLE_PROMO_REVENUE_PCT = f"""
+SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                              THEN {SQL_REV}::DECIMAL(18,4)
+                              ELSE 0::DECIMAL(18,4) END)::DOUBLE
+             / sum({SQL_REV})::DOUBLE, 4) AS promo_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+"""
+
+
+def q_top_suppliers(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q15 shape: agg → window rank over exact-decimal revenue,
+    suppkey tiebreak → identical ordering across engines."""
+    li = table(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1997-07-01")
+    )
+    rev = li.groupBy("l_suppkey").agg(revenue_sum().alias("total_revenue"))
+    w = Window.orderBy(F.col("total_revenue").desc(), F.col("l_suppkey"))
+    return (
+        rev.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select(F.col("l_suppkey").alias("s_suppkey"), "total_revenue", "rk")
+    )
+
+
+ORACLE_TOP_SUPPLIERS = f"""
+SELECT l_suppkey AS s_suppkey, total_revenue, rk FROM (
+  SELECT l_suppkey, total_revenue,
+         row_number() OVER (ORDER BY total_revenue DESC, l_suppkey) AS rk
+  FROM (SELECT l_suppkey, {SQL_REV_SUM} AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-07-01'
+        GROUP BY l_suppkey))
+WHERE rk <= 3
+"""
+
+
+def q_small_qty_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q17 shape: per-key aggregate joined back to the fact (the
+    agg-then-join pattern; at scale the agg side is tiny → broadcast).
+    Quantities are integral doubles → their avg is exact in both engines."""
+    li = table(spark, sf, "lineitem")
+    thresholds = li.groupBy("l_partkey").agg(
+        (0.5 * (F.sum("l_quantity") / F.count("l_quantity"))).alias("qty_threshold")
+    )
+    return (
+        li.join(F.broadcast(thresholds), "l_partkey")
+        .filter(F.col("l_quantity") < F.col("qty_threshold"))
+        .agg(
+            F.round(F.sum(_dec("l_extendedprice")).cast("double") / 7.0, 2).alias("avg_yearly")
+        )
+    )
+
+
+ORACLE_SMALL_QTY_REVENUE = """
+SELECT round(sum(l_extendedprice::DECIMAL(18,2))::DOUBLE / 7.0, 2) AS avg_yearly
+FROM lineitem
+JOIN (SELECT l_partkey AS t_partkey,
+             0.5 * (sum(l_quantity) / count(l_quantity)) AS qty_threshold
+      FROM lineitem GROUP BY l_partkey) t ON l_partkey = t_partkey
+WHERE l_quantity < qty_threshold
+"""
+
+
+def q_large_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q18 shape: HAVING over fact agg, join back to dims."""
+    li = table(spark, sf, "lineitem")
+    orders = table(spark, sf, "orders")
+    cust = table(spark, sf, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+        .filter(F.col("sum_qty") > 150)
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+            F.round(F.col("o_totalprice"), 2).alias("total_price"),
+            "sum_qty",
+        )
+    )
+
+
+ORACLE_LARGE_ORDERS = """
+SELECT c_name, c_custkey, o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+       round(o_totalprice, 2) AS total_price, sum_qty
+FROM (SELECT l_orderkey, round(sum(l_quantity), 2) AS sum_qty
+      FROM lineitem GROUP BY l_orderkey HAVING round(sum(l_quantity), 2) > 150) big
+JOIN orders ON big.l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+"""
+
+
+def q_customer_top2_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """Window row_number per key — deterministic (price desc, orderkey)."""
+    orders = table(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 2)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.round(F.col("o_totalprice"), 2).alias("total_price"),
+            "rn",
+        )
+    )
+
+
+ORACLE_CUSTOMER_TOP2_ORDERS = """
+SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS total_price, rn
+FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders)
+WHERE rn <= 2
+"""
+
+
+def q_running_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """Running-sum window in exact decimal, accumulation order pinned by
+    (orderdate, orderkey) — deterministic prefix sums in both engines."""
+    orders = table(spark, sf, "orders").filter(F.col("o_custkey") % 10 == 0)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+        F.round(F.sum(_dec("o_totalprice")).over(w).cast("double"), 2).alias("running_total"),
+    )
+
+
+ORACLE_RUNNING_REVENUE = """
+SELECT o_custkey, o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+       round(sum(o_totalprice::DECIMAL(18,2))
+               OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::DOUBLE, 2)
+         AS running_total
+FROM orders WHERE o_custkey % 10 = 0
+"""
+
+
+def q_customers_without_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """Anti join (TPC-H Q22 shape): customers that never ordered."""
+    cust = table(spark, sf, "customer")
+    orders = table(spark, sf, "orders")
+    idle = cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+    return idle.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_idle"),
+        money_sum("c_acctbal").alias("total_acctbal"),
+    )
+
+
+ORACLE_CUSTOMERS_WITHOUT_ORDERS = f"""
+SELECT c_mktsegment, count(*) AS n_idle,
+       {sql_money_sum("c_acctbal")} AS total_acctbal
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY c_mktsegment
+"""
+
+
+def q_nation_set_ops(spark: SparkSession, sf: str) -> DataFrame:
+    """Set operators: nations with customers INTERSECT nations with suppliers,
+    plus customer-only nations via EXCEPT — tagged and unioned."""
+    cust_nations = table(spark, sf, "customer").select(F.col("c_nationkey").alias("nk"))
+    supp_nations = table(spark, sf, "supplier").select(F.col("s_nationkey").alias("nk"))
+    both = cust_nations.intersect(supp_nations).withColumn("presence", F.lit("both"))
+    cust_only = (
+        cust_nations.distinct()
+        .exceptAll(supp_nations.distinct())
+        .withColumn("presence", F.lit("customer_only"))
+    )
+    nation = table(spark, sf, "nation")
+    out = both.unionByName(cust_only)
+    return out.join(F.broadcast(nation), out.nk == nation.n_nationkey).select(
+        "n_name", "presence"
+    )
+
+
+ORACLE_NATION_SET_OPS = """
+WITH both_side AS (
+  SELECT c_nationkey AS nk FROM customer
+  INTERSECT
+  SELECT s_nationkey FROM supplier),
+cust_only AS (
+  SELECT DISTINCT c_nationkey AS nk FROM customer
+  EXCEPT ALL
+  SELECT DISTINCT s_nationkey FROM supplier),
+tagged AS (
+  SELECT nk, 'both' AS presence FROM both_side
+  UNION ALL
+  SELECT nk, 'customer_only' AS presence FROM cust_only)
+SELECT n_name, presence FROM tagged JOIN nation ON nk = n_nationkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# Reference-parity scalar/shape queries (F/P/D operators over driver tables)
+# ---------------------------------------------------------------------------
+
+
+def q_capitalize_names(spark: SparkSession, sf: str) -> DataFrame:
+    """F8 str.capitalize semantics (first upper, rest LOWER — NOT initcap;
+    reference data_processing.py:387-391) applied and re-aggregated."""
+    from ..functions.scalars import capitalize_first
+
+    part = table(spark, sf, "part")
+    return (
+        part.select(capitalize_first(F.col("p_name")).alias("name_cap"))
+        .groupBy("name_cap")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+ORACLE_CAPITALIZE_NAMES = """
+SELECT upper(substr(p_name, 1, 1)) || lower(substr(p_name, 2)) AS name_cap,
+       count(*) AS n
+FROM part GROUP BY name_cap
+"""
+
+
+def q_derive_date_string(spark: SparkSession, sf: str) -> DataFrame:
+    """F1/F2 parity: timestamp → 'yyyy-MM-dd' STRING (the partition-key
+    derivation, data_processing.py:175-180), then a per-date rollup."""
+    from ..functions.scalars import derive_date_str
+
+    orders = table(spark, sf, "orders")
+    return (
+        orders.select(derive_date_str(F.col("o_orderdate")).alias("order_date"))
+        .groupBy("order_date")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+ORACLE_DERIVE_DATE_STRING = """
+SELECT strftime(o_orderdate, '%Y-%m-%d') AS order_date, count(*) AS n_orders
+FROM orders GROUP BY order_date
+"""
+
+
+def q_null_fill_segment(spark: SparkSession, sf: str) -> DataFrame:
+    """F7 parity: null-fill with 'Unknown' (data_processing.py:338-340).
+    Nulls are synthesized via NULLIF since driver data has none."""
+    cust = table(spark, sf, "customer")
+    seg = F.when(F.col("c_mktsegment") == "BUILDING", F.lit(None).cast("string")).otherwise(
+        F.col("c_mktsegment")
+    )
+    return (
+        cust.select(F.coalesce(seg, F.lit("Unknown")).alias("segment_filled"))
+        .groupBy("segment_filled")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+ORACLE_NULL_FILL_SEGMENT = """
+SELECT coalesce(nullif(c_mktsegment, 'BUILDING'), 'Unknown') AS segment_filled,
+       count(*) AS n
+FROM customer GROUP BY segment_filled
+"""
+
+
+def q_dedup_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    """D1a — exact dedup via DISTINCT (set semantics, order-free)."""
+    li = table(spark, sf, "lineitem")
+    return li.select("l_returnflag", "l_linestatus", "l_suppkey").distinct()
+
+
+ORACLE_DEDUP_DISTINCT = """
+SELECT DISTINCT l_returnflag, l_linestatus, l_suppkey FROM lineitem
+"""
+
+
+def q_dedup_keep_first(spark: SparkSession, sf: str) -> DataFrame:
+    """D1b — deterministic keep-first dedup (the reference's commented-out
+    drop_duplicates keep='first', data_processing.py:342-345, made
+    order-stable via row_number)."""
+    orders = table(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_custkey",
+            F.col("o_orderkey").alias("first_orderkey"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("first_order_date"),
+        )
+    )
+
+
+ORACLE_DEDUP_KEEP_FIRST = """
+SELECT o_custkey, o_orderkey AS first_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS first_order_date
+FROM (SELECT o_custkey, o_orderkey, o_orderdate,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate, o_orderkey) AS rn
+      FROM orders)
+WHERE rn = 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Events (stream-table batch surface; the streaming twin lives in streaming/)
+# ---------------------------------------------------------------------------
+
+
+def q_events_hourly(spark: SparkSession, sf: str) -> DataFrame:
+    """Tumbling-window rollup on the events stream table. Hour truncation
+    also erases the ns(DuckDB)-vs-us(Spark) timestamp precision gap."""
+    ev = table(spark, sf, "events")
+    return (
+        ev.groupBy(
+            F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:mm:ss").alias(
+                "hour"
+            ),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            money_sum("value").alias("total_value"),
+        )
+    )
+
+
+ORACLE_EVENTS_HOURLY = f"""
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+       event_type, count(*) AS n_events,
+       {sql_money_sum("value")} AS total_value
+FROM events GROUP BY hour, event_type
+"""
+
+
+def q_events_json_extract(spark: SparkSession, sf: str) -> DataFrame:
+    """JSON path extraction from the props column (semi-structured surface)."""
+    ev = table(spark, sf, "events")
+    return (
+        ev.select(F.get_json_object("props", "$.k").cast("long").alias("k_value"))
+        .groupBy((F.col("k_value") % 10).alias("k_mod10"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+ORACLE_EVENTS_JSON_EXTRACT = """
+SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod10,
+       count(*) AS n
+FROM events GROUP BY k_mod10
+"""
+
+
+def q_event_sessionization(spark: SparkSession, sf: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity) via lag + prefix-sum —
+    the classic stateful op expressed as two windows. Epoch seconds are
+    floored so sub-second precision differences can't flip a session split."""
+    ev = table(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    epoch = F.unix_timestamp("ts")
+    gap = epoch - F.lag(epoch).over(w)
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap > 1800), F.lit(1)).otherwise(F.lit(0)),
+    )
+    sess = flagged.withColumn(
+        "session_id",
+        F.sum("new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return sess.groupBy("user_id").agg(
+        F.max("session_id").alias("n_sessions"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+ORACLE_EVENT_SESSIONIZATION = """
+SELECT user_id, max(session_id) AS n_sessions, count(*) AS n_events
+FROM (
+  SELECT user_id,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS session_id
+  FROM (
+    SELECT user_id, ts, event_id,
+           CASE WHEN floor(extract(epoch FROM ts))
+                     - lag(floor(extract(epoch FROM ts)))
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                THEN 1 ELSE 0 END AS new_session
+    FROM events))
+GROUP BY user_id
+"""
+
+
+QUERIES: dict[str, Query] = {
+    "pricing_summary": Query(q_pricing_summary, ORACLE_PRICING_SUMMARY, ("tpch", "agg"), True),
+    "revenue_by_brand_month": Query(
+        q_revenue_by_brand_month, ORACLE_REVENUE_BY_BRAND_MONTH, ("star", "flagship"), True
+    ),
+    "building_top_orders": Query(
+        q_building_top_orders, ORACLE_BUILDING_TOP_ORDERS, ("tpch", "topn"), True
+    ),
+    "late_ship_priority": Query(
+        q_late_ship_priority, ORACLE_LATE_SHIP_PRIORITY, ("tpch", "semijoin"), True
+    ),
+    "region_nation_revenue": Query(
+        q_region_nation_revenue, ORACLE_REGION_NATION_REVENUE, ("tpch", "multijoin"), True
+    ),
+    "forecast_revenue": Query(
+        q_forecast_revenue, ORACLE_FORECAST_REVENUE, ("tpch", "filter"), True
+    ),
+    "segment_acctbal": Query(q_segment_acctbal, ORACLE_SEGMENT_ACCTBAL, ("agg",)),
+    "parts_by_type": Query(q_parts_by_type, ORACLE_PARTS_BY_TYPE, ("agg", "distinct")),
+    "order_status_rollup": Query(
+        q_order_status_rollup, ORACLE_ORDER_STATUS_ROLLUP, ("rollup",)
+    ),
+    "returned_top_customers": Query(
+        q_returned_top_customers, ORACLE_RETURNED_TOP_CUSTOMERS, ("tpch", "topn")
+    ),
+    "supplier_nation_balance": Query(
+        q_supplier_nation_balance, ORACLE_SUPPLIER_NATION_BALANCE, ("join",)
+    ),
+    "discount_band_revenue": Query(
+        q_discount_band_revenue, ORACLE_DISCOUNT_BAND_REVENUE, ("case",)
+    ),
+    "order_count_distribution": Query(
+        q_order_count_distribution, ORACLE_ORDER_COUNT_DISTRIBUTION, ("tpch", "leftjoin"), True
+    ),
+    "promo_revenue_pct": Query(q_promo_revenue_pct, ORACLE_PROMO_REVENUE_PCT, ("tpch",)),
+    "top_suppliers": Query(q_top_suppliers, ORACLE_TOP_SUPPLIERS, ("window",)),
+    "small_qty_revenue": Query(
+        q_small_qty_revenue, ORACLE_SMALL_QTY_REVENUE, ("tpch", "aggjoin"), True
+    ),
+    "large_orders": Query(q_large_orders, ORACLE_LARGE_ORDERS, ("tpch", "having")),
+    "customer_top2_orders": Query(
+        q_customer_top2_orders, ORACLE_CUSTOMER_TOP2_ORDERS, ("window",), True
+    ),
+    "running_revenue": Query(q_running_revenue, ORACLE_RUNNING_REVENUE, ("window",)),
+    "customers_without_orders": Query(
+        q_customers_without_orders, ORACLE_CUSTOMERS_WITHOUT_ORDERS, ("antijoin",)
+    ),
+    "nation_set_ops": Query(q_nation_set_ops, ORACLE_NATION_SET_OPS, ("setops",)),
+    "capitalize_names": Query(q_capitalize_names, ORACLE_CAPITALIZE_NAMES, ("scalar", "parity")),
+    "derive_date_string": Query(
+        q_derive_date_string, ORACLE_DERIVE_DATE_STRING, ("scalar", "parity")
+    ),
+    "null_fill_segment": Query(q_null_fill_segment, ORACLE_NULL_FILL_SEGMENT, ("scalar", "parity")),
+    "dedup_distinct": Query(q_dedup_distinct, ORACLE_DEDUP_DISTINCT, ("dedup",)),
+    "dedup_keep_first": Query(q_dedup_keep_first, ORACLE_DEDUP_KEEP_FIRST, ("dedup", "window")),
+    "events_hourly": Query(q_events_hourly, ORACLE_EVENTS_HOURLY, ("events", "window-agg"), True),
+    "events_json_extract": Query(
+        q_events_json_extract, ORACLE_EVENTS_JSON_EXTRACT, ("events", "json")
+    ),
+    "event_sessionization": Query(
+        q_event_sessionization, ORACLE_EVENT_SESSIONIZATION, ("events", "session"), True
+    ),
+}

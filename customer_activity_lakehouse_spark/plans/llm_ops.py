@@ -1,0 +1,642 @@
+"""LLM-training-data-pipeline catalog: text analysis, deduplication
+(exact / MinHash-LSH / SimHash / n-gram Jaccard), and embedding similarity
+search over the driver's documents/embeddings tables.
+
+Portability rules that make these oracle-checkable against DuckDB:
+- every hash is md5-over-utf8 (identical hex in Spark, DuckDB, Python);
+- MinHash = lexicographic MIN over salted md5 hex strings (min over a set of
+  uniformly-distributed strings is a valid minwise sketch, and string min is
+  engine-independent — no integer hash seeds to reconcile);
+- SimHash bits come from hex-digit parity of token md5s (one bit per hex
+  char), avoiding 64-bit integer ops that differ across engines;
+- Jaccard = |A∩B| / |A∪B| on distinct-element arrays → exact small-integer
+  division, bit-identical everywhere;
+- cosine math is double-precision sequential folds in both engines, rounded
+  to 4dp before any ordering/limit.
+
+Scale design (100 TB):
+- the pairwise-verify queries exist for oracle correctness at sf0.01; the
+  scale path is always LSH-first (banding → same-bucket candidates → verify),
+  which is also provided and oracled;
+- shingling/minhashing is a single projection pass (no shuffle); the only
+  shuffle is the band-key self-join, whose fan-out is controlled by band
+  width; skewed mega-buckets are capped (see dedup docstrings).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import BPE_SPLIT_PATTERN, LANG_MARKERS, STOPWORDS_EN
+from .registry import Query, table
+
+# ---------------------------------------------------------------------------
+# Shared expression builders (Spark side) and SQL fragments (DuckDB side)
+# ---------------------------------------------------------------------------
+
+N_MINHASH = 8
+N_BANDS = 4  # band width = 2 hashes
+SHINGLE = 8  # char-8-gram shingles (word-level is useless here: tiny vocab)
+
+
+def _tokens(c):
+    t = F.trim(c)
+    return F.when(F.length(t) == 0, F.array().cast("array<string>")).otherwise(
+        F.split(t, r"\s+")
+    )
+
+
+_SQL_TOKENS = "CASE WHEN trim(text) = '' THEN [] ELSE string_split_regex(trim(text), '\\s+') END"
+
+
+def _md5s(col):
+    """md5 hex of a string column — cast to binary = utf-8 bytes."""
+    return F.md5(col.cast("binary"))
+
+
+def _shingles(c):
+    """Distinct char-8-gram shingles; empty array for short docs."""
+    t = F.trim(c)
+    idx = F.sequence(F.lit(1), F.length(t) - (SHINGLE - 1))
+    arr = F.transform(idx, lambda i: t.substr(i, F.lit(SHINGLE)))
+    return F.when(F.length(t) >= SHINGLE, F.array_distinct(arr)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+_SQL_SHINGLES = (
+    "CASE WHEN length(trim(text)) >= 8 THEN "
+    "list_distinct(list_transform(range(1, length(trim(text)) - 6), "
+    "i -> substr(trim(text), i::INT, 8))) ELSE [] END"
+)
+
+
+def _minhash(sh, salt: str):
+    return F.array_min(F.transform(sh, lambda s: _md5s(F.concat(F.lit(salt + ":"), s))))
+
+
+def _sql_minhash(salt: str) -> str:
+    return f"list_min(list_transform(sh, s -> md5('{salt}:' || s)))"
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+def q_doc_token_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Whitespace + BPE-ish token counting, rolled up per language tag.
+    Pure projection+agg — scan-speed at any scale."""
+    docs = table(spark, sf, "documents")
+    toks = _tokens(F.col("text"))
+    bpe = F.size(F.regexp_extract_all(F.col("text"), F.lit(BPE_SPLIT_PATTERN), F.lit(0)))
+    return (
+        docs.select(
+            "lang",
+            F.size(toks).cast("long").alias("n_tok"),
+            bpe.cast("long").alias("n_bpe"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("total_tokens"),
+            F.round(F.avg("n_tok"), 4).alias("avg_tokens"),
+            F.sum("n_bpe").alias("total_bpe_tokens"),
+        )
+    )
+
+
+ORACLE_DOC_TOKEN_STATS = f"""
+SELECT lang, count(*) AS n_docs,
+       sum(n_tok) AS total_tokens,
+       round(avg(n_tok), 4) AS avg_tokens,
+       sum(n_bpe) AS total_bpe_tokens
+FROM (SELECT lang,
+             len({_SQL_TOKENS}) AS n_tok,
+             len(regexp_extract_all(text, '{BPE_SPLIT_PATTERN}')) AS n_bpe
+      FROM documents)
+GROUP BY lang
+"""
+
+
+def q_doc_quality(spark: SparkSession, sf: str) -> DataFrame:
+    """Quality heuristics (length / punctuation / stopword ratios) per source."""
+    docs = table(spark, sf, "documents")
+    c = F.col("text")
+    toks = _tokens(c)
+    n_tok = F.size(toks).cast("double")
+    n_chars = F.length(c).cast("double")
+    n_punct = (F.length(c) - F.length(F.regexp_replace(c, r"[^\w\s]", ""))).cast("double")
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS_EN])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, F.lower(t)))).cast(
+        "double"
+    )
+    per_doc = docs.select(
+        "source",
+        n_chars.alias("n_chars"),
+        F.when(n_chars > 0, n_punct / n_chars).otherwise(0.0).alias("punct_ratio"),
+        F.when(n_tok > 0, n_stop / n_tok).otherwise(0.0).alias("stop_ratio"),
+    )
+    # Ratio means via exact decimal sums (order-independent — see plans.core
+    # numeric-determinism policy); n_chars is integral so plain avg is exact.
+    dec8 = "decimal(18,8)"
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+        F.round(F.sum(F.col("punct_ratio").cast(dec8)).cast("double") / F.count(F.lit(1)), 4).alias(
+            "avg_punct_ratio"
+        ),
+        F.round(F.sum(F.col("stop_ratio").cast(dec8)).cast("double") / F.count(F.lit(1)), 4).alias(
+            "avg_stopword_ratio"
+        ),
+    )
+
+
+_SQL_STOPLIST = ", ".join(f"'{s}'" for s in STOPWORDS_EN)
+ORACLE_DOC_QUALITY = f"""
+SELECT source, count(*) AS n_docs,
+       round(avg(n_chars), 2) AS avg_chars,
+       round(sum(punct_ratio::DECIMAL(18,8))::DOUBLE / count(*), 4) AS avg_punct_ratio,
+       round(sum(stop_ratio::DECIMAL(18,8))::DOUBLE / count(*), 4) AS avg_stopword_ratio
+FROM (
+  SELECT source,
+         length(text)::DOUBLE AS n_chars,
+         CASE WHEN length(text) > 0
+              THEN (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))::DOUBLE
+                   / length(text) ELSE 0.0 END AS punct_ratio,
+         CASE WHEN len({_SQL_TOKENS}) > 0
+              THEN len(list_filter({_SQL_TOKENS}, t -> lower(t) IN ({_SQL_STOPLIST})))::DOUBLE
+                   / len({_SQL_TOKENS}) ELSE 0.0 END AS stop_ratio
+  FROM documents)
+GROUP BY source
+"""
+
+
+def q_doc_langid(spark: SparkSession, sf: str) -> DataFrame:
+    """Marker-word language heuristic vs the labeled lang column —
+    outputs the (heuristic, labeled) confusion counts."""
+    docs = table(spark, sf, "documents")
+    toks = _tokens(F.col("text"))
+    scores = {}
+    for lang, markers in sorted(LANG_MARKERS.items()):
+        arr = F.array(*[F.lit(m) for m in markers])
+        scores[lang] = F.size(F.filter(toks, lambda t: F.array_contains(arr, F.lower(t))))
+    langs = sorted(LANG_MARKERS)
+    best_expr = F.lit("und")
+    # earliest language code wins ties → evaluate in reverse with >=
+    best_score = F.lit(-1)
+    for lang in reversed(langs):
+        cond = scores[lang] >= best_score
+        best_expr = F.when(cond, F.lit(lang)).otherwise(best_expr)
+        best_score = F.when(cond, scores[lang]).otherwise(best_score)
+    total = sum(scores.values(), F.lit(0))
+    pred = F.when(total > 0, best_expr).otherwise(F.lit("und"))
+    return (
+        docs.select(pred.alias("lang_pred"), F.col("lang").alias("lang_label"))
+        .groupBy("lang_pred", "lang_label")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def _sql_lang_score(lang: str) -> str:
+    markers = ", ".join(f"'{m}'" for m in LANG_MARKERS[lang])
+    return f"len(list_filter({_SQL_TOKENS}, t -> lower(t) IN ({markers})))"
+
+
+_langs = sorted(LANG_MARKERS)
+_score_cols = ", ".join(f"{_sql_lang_score(lg)} AS s_{lg}" for lg in _langs)
+_sum_scores = " + ".join(f"s_{lg}" for lg in _langs)
+_greatest = f"greatest({', '.join('s_' + lg for lg in _langs)})"
+_case_pred = "CASE WHEN " + f"{_sum_scores} = 0 THEN 'und' " + " ".join(
+    f"WHEN s_{lg} = {_greatest} THEN '{lg}'" for lg in _langs
+) + " END"
+ORACLE_DOC_LANGID = f"""
+SELECT lang_pred, lang_label, count(*) AS n FROM (
+  SELECT {_case_pred} AS lang_pred, lang AS lang_label
+  FROM (SELECT text, lang, {_score_cols} FROM documents))
+GROUP BY lang_pred, lang_label
+"""
+
+
+def q_doc_fingerprint_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Content fingerprinting: md5 over normalized text; exact-dup census."""
+    docs = table(spark, sf, "documents")
+    norm = F.trim(
+        F.regexp_replace(F.regexp_replace(F.lower(F.col("text")), r"[^a-z0-9\s]", " "), r"\s+", " ")
+    )
+    fp = _md5s(norm)
+    return docs.select(fp.alias("fp")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("fp").alias("n_distinct"),
+        (F.count(F.lit(1)) - F.countDistinct("fp")).alias("n_exact_dups"),
+    )
+
+
+ORACLE_DOC_FINGERPRINT_STATS = """
+SELECT count(*) AS n_docs, count(DISTINCT fp) AS n_distinct,
+       count(*) - count(DISTINCT fp) AS n_exact_dups
+FROM (SELECT md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g'),
+                                     '\\s+', ' ', 'g'))) AS fp
+      FROM documents)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Deduplication family
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_token_set(spark: SparkSession, sf: str) -> DataFrame:
+    """Bag-of-words dedup: md5 over the SORTED DISTINCT token set — catches
+    reordered near-dup documents (token-set Jaccard 1.0). Output: clusters
+    with >1 member (cluster key + size + representative = min doc_id)."""
+    docs = table(spark, sf, "documents")
+    key = _md5s(F.array_join(F.array_sort(F.array_distinct(_tokens(F.col("text")))), " "))
+    return (
+        docs.select(key.alias("set_fp"), "doc_id")
+        .groupBy("set_fp")
+        .agg(F.count(F.lit(1)).alias("cluster_size"), F.min("doc_id").alias("keep_doc_id"))
+        .filter(F.col("cluster_size") > 1)
+    )
+
+
+ORACLE_DEDUP_TOKEN_SET = f"""
+SELECT set_fp, count(*) AS cluster_size, min(doc_id) AS keep_doc_id
+FROM (SELECT md5(array_to_string(list_sort(list_distinct({_SQL_TOKENS})), ' ')) AS set_fp,
+             doc_id
+      FROM documents)
+GROUP BY set_fp HAVING count(*) > 1
+"""
+
+
+def _signature_df(spark: SparkSession, sf: str) -> DataFrame:
+    """doc_id + minhash signature + band keys (the one-pass projection)."""
+    docs = table(spark, sf, "documents")
+    sh = _shingles(F.col("text"))
+    out = docs.select("doc_id", sh.alias("sh"))
+    for i in range(N_MINHASH):
+        out = out.withColumn(f"mh{i}", _minhash(F.col("sh"), f"mh{i}"))
+    for b in range(N_BANDS):
+        out = out.withColumn(
+            f"band{b}", _md5s(F.concat(F.col(f"mh{2 * b}"), F.col(f"mh{2 * b + 1}")))
+        )
+    return out
+
+
+_SQL_SIG = (
+    "SELECT doc_id, "
+    + ", ".join(f"{_sql_minhash(f'mh{i}')} AS mh{i}" for i in range(N_MINHASH))
+    + f" FROM (SELECT doc_id, {_SQL_SHINGLES} AS sh FROM documents)"
+)
+_SQL_BANDS = (
+    "SELECT doc_id, "
+    + ", ".join(f"md5(mh{2 * b} || mh{2 * b + 1}) AS band{b}" for b in range(N_BANDS))
+    + f" FROM ({_SQL_SIG})"
+)
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    """MinHash-LSH candidate pairs: char-8-gram shingles → 8 salted minhashes
+    → 4 bands of 2 → same-band self-join → distinct (a < b) pairs.
+
+    Scale notes: signature build is shuffle-free; the self-join shuffles on
+    the band key only. At 100 TB, cap mega-buckets (count per band value,
+    drop buckets above a bound) before the join — with 2-hash bands the
+    collision rate is J², so only true near-dup clusters grow buckets.
+    """
+    sig = _signature_df(spark, sf)
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(*[F.struct(F.lit(b).alias("band_idx"), F.col(f"band{b}").alias("band_val")) for b in range(N_BANDS)])
+        ).alias("bk"),
+    ).select("doc_id", F.col("bk.band_idx").alias("band_idx"), F.col("bk.band_val").alias("band_val"))
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+ORACLE_DEDUP_MINHASH_LSH = f"""
+WITH bands AS ({_SQL_BANDS}),
+long_bands AS (
+  {" UNION ALL ".join(f"SELECT doc_id, {b} AS band_idx, band{b} AS band_val FROM bands" for b in range(N_BANDS))}
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM long_bands a JOIN long_bands b
+  ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+"""
+
+
+def q_dedup_minhash_verified(spark: SparkSession, sf: str) -> DataFrame:
+    """The full scale-path dedup: LSH candidates verified with exact
+    char-shingle Jaccard ≥ 0.5. Verification touches only candidate pairs —
+    never the full cross product."""
+    cands = q_dedup_minhash_lsh(spark, sf)
+    docs = table(spark, sf, "documents").select(
+        "doc_id", _shingles(F.col("text")).alias("sh")
+    )
+    j = F.size(F.array_intersect(F.col("sa"), F.col("sb"))).cast("double") / F.size(
+        F.array_union(F.col("sa"), F.col("sb"))
+    )
+    return (
+        cands.join(docs.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sa")), "doc_a")
+        .join(docs.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sb")), "doc_b")
+        .withColumn("jaccard", F.round(j, 4))
+        .filter(F.col("jaccard") >= 0.5)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+ORACLE_DEDUP_MINHASH_VERIFIED = f"""
+WITH bands AS ({_SQL_BANDS}),
+long_bands AS (
+  {" UNION ALL ".join(f"SELECT doc_id, {b} AS band_idx, band{b} AS band_val FROM bands" for b in range(N_BANDS))}
+),
+cands AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM long_bands a JOIN long_bands b
+    ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc_id < b.doc_id),
+sh_tbl AS (SELECT doc_id, {_SQL_SHINGLES} AS sh FROM documents)
+SELECT doc_a, doc_b, jaccard FROM (
+  SELECT doc_a, doc_b,
+         round(len(list_intersect(x.sh, y.sh))::DOUBLE
+               / len(list_distinct(list_concat(x.sh, y.sh))), 4) AS jaccard
+  FROM cands JOIN sh_tbl x ON doc_a = x.doc_id JOIN sh_tbl y ON doc_b = y.doc_id)
+WHERE jaccard >= 0.5
+"""
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact token-SET Jaccard ≥ 0.9 over all pairs — the brute-force oracle
+    twin of the LSH path (correctness anchor; quadratic, NOT the scale path:
+    at 100 TB always run q_dedup_minhash_verified instead)."""
+    docs = table(spark, sf, "documents").select(
+        "doc_id", F.array_distinct(_tokens(F.col("text"))).alias("tk")
+    )
+    a = docs.select(F.col("doc_id").alias("doc_a"), F.col("tk").alias("ta"))
+    b = docs.select(F.col("doc_id").alias("doc_b"), F.col("tk").alias("tb"))
+    j = F.size(F.array_intersect(F.col("ta"), F.col("tb"))).cast("double") / F.size(
+        F.array_union(F.col("ta"), F.col("tb"))
+    )
+    return (
+        a.join(b, F.col("doc_a") < F.col("doc_b"))
+        .withColumn("jaccard", F.round(j, 4))
+        .filter(F.col("jaccard") >= 0.9)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+ORACLE_DEDUP_NGRAM_JACCARD = f"""
+WITH tk_tbl AS (SELECT doc_id, list_distinct({_SQL_TOKENS}) AS tk FROM documents)
+SELECT doc_a, doc_b, jaccard FROM (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         round(len(list_intersect(a.tk, b.tk))::DOUBLE
+               / len(list_distinct(list_concat(a.tk, b.tk))), 4) AS jaccard
+  FROM tk_tbl a JOIN tk_tbl b ON a.doc_id < b.doc_id)
+WHERE jaccard >= 0.9
+"""
+
+
+def q_dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
+    """SimHash-16: per token, 16 bits from md5 hex-digit parity; the doc
+    fingerprint is sign(sum(±1)) per bit position. Hamming-0 clusters =
+    near-dup groups. Output: fingerprint histogram (size>1 clusters)."""
+    docs = table(spark, sf, "documents")
+    toks = F.array_distinct(_tokens(F.col("text")))
+    hashes = F.transform(toks, lambda t: _md5s(t))
+    bits = []
+    for j in range(1, 17):
+        contrib = F.transform(
+            hashes,
+            lambda h: F.when(
+                F.substring(h, j, 1).isin("1", "3", "5", "7", "9", "b", "d", "f"),
+                F.lit(1),
+            ).otherwise(F.lit(-1)),
+        )
+        tot = F.aggregate(contrib, F.lit(0), lambda acc, x: acc + x)
+        bits.append(F.when(tot > 0, F.lit("1")).otherwise(F.lit("0")))
+    fp = F.concat(*bits)
+    return (
+        docs.select(fp.alias("simhash"), "doc_id")
+        .groupBy("simhash")
+        .agg(F.count(F.lit(1)).alias("cluster_size"), F.min("doc_id").alias("keep_doc_id"))
+        .filter(F.col("cluster_size") > 1)
+    )
+
+
+def _sql_simhash_bit(j: int) -> str:
+    return (
+        f"CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN substr(h, {j}, 1) IN "
+        "('1','3','5','7','9','b','d','f') THEN 1 ELSE -1 END)) > 0 THEN '1' ELSE '0' END"
+    )
+
+
+ORACLE_DEDUP_SIMHASH = f"""
+SELECT simhash, count(*) AS cluster_size, min(doc_id) AS keep_doc_id
+FROM (
+  SELECT doc_id, {" || ".join(_sql_simhash_bit(j) for j in range(1, 17))} AS simhash
+  FROM (SELECT doc_id, list_transform(list_distinct({_SQL_TOKENS}), t -> md5(t)) AS hs
+        FROM documents))
+GROUP BY simhash HAVING count(*) > 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Embedding similarity search
+# ---------------------------------------------------------------------------
+
+_DIM = 64
+
+
+def _dot_expr(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm_expr(a):
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+# DuckDB twins: sequential left-to-right double folds, same op order as Spark.
+_SQL_DOT = (
+    "list_sum(list_transform(range(1, {d}+1), i -> a.embedding[i]::DOUBLE * q.embedding[i]::DOUBLE))"
+).format(d=_DIM)
+_SQL_NORM_A = f"sqrt(list_sum(list_transform(range(1, {_DIM}+1), i -> a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE)))"
+_SQL_NORM_Q = f"sqrt(list_sum(list_transform(range(1, {_DIM}+1), i -> q.embedding[i]::DOUBLE * q.embedding[i]::DOUBLE)))"
+
+
+def q_ann_topk_bruteforce(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact cosine top-10 neighbors of vec_id=0 — the ANN correctness
+    baseline. Query vector broadcast; one scan over embeddings; top-k via
+    (rounded score desc, id) so ordering is engine-independent."""
+    emb = table(spark, sf, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q_emb"))
+    cos = _dot_expr(F.col("embedding"), F.col("q_emb")) / (
+        _norm_expr(F.col("embedding")) * _norm_expr(F.col("q_emb"))
+    )
+    return (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", F.round(cos, 4).alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+        .limit(10)
+    )
+
+
+ORACLE_ANN_TOPK_BRUTEFORCE = f"""
+SELECT a.vec_id AS vec_id,
+       round({_SQL_DOT} / ({_SQL_NORM_A} * {_SQL_NORM_Q}), 4) AS cos_sim
+FROM embeddings a, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+WHERE a.vec_id != 0
+ORDER BY cos_sim DESC, vec_id
+LIMIT 10
+"""
+
+
+def _bucket_expr(col):
+    """Sparse ±1 hyperplane LSH: bit j = sign(emb[8j+1] - emb[8j+5]).
+    Subtraction of identical float32 values is bit-exact in every engine."""
+    bits = [
+        F.when(
+            F.element_at(col, 8 * j + 1).cast("double")
+            - F.element_at(col, 8 * j + 5).cast("double")
+            > 0,
+            F.lit("1"),
+        ).otherwise(F.lit("0"))
+        for j in range(8)
+    ]
+    return F.concat(*bits)
+
+
+_SQL_BUCKET = " || ".join(
+    f"CASE WHEN embedding[{8 * j + 1}]::DOUBLE - embedding[{8 * j + 5}]::DOUBLE > 0 "
+    "THEN '1' ELSE '0' END"
+    for j in range(8)
+)
+
+
+def q_ann_lsh_buckets(spark: SparkSession, sf: str) -> DataFrame:
+    """Hyperplane-LSH bucket census — the partition layout of the ANN index.
+    At scale, vectors are written bucketed by this key so a query probes one
+    (or a few) buckets instead of the full table."""
+    emb = table(spark, sf, "embeddings")
+    return (
+        emb.select(_bucket_expr(F.col("embedding")).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_vectors"))
+    )
+
+
+ORACLE_ANN_LSH_BUCKETS = f"""
+SELECT {_SQL_BUCKET} AS bucket, count(*) AS n_vectors
+FROM embeddings GROUP BY bucket
+"""
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """The ANN scale path: probe only the query's LSH bucket, exact cosine
+    within it, top-5. (Recall < 1 vs brute force by design — that is the
+    documented ANN tradeoff; the correctness anchor is the bucket semantics.)"""
+    emb = table(spark, sf, "embeddings").withColumn(
+        "bucket", _bucket_expr(F.col("embedding"))
+    )
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("q_emb"), F.col("bucket").alias("q_bucket")
+    )
+    cos = _dot_expr(F.col("embedding"), F.col("q_emb")) / (
+        _norm_expr(F.col("embedding")) * _norm_expr(F.col("q_emb"))
+    )
+    return (
+        emb.crossJoin(F.broadcast(q))
+        .filter((F.col("bucket") == F.col("q_bucket")) & (F.col("vec_id") != 0))
+        .select("vec_id", F.round(cos, 4).alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+        .limit(5)
+    )
+
+
+ORACLE_ANN_LSH_TOPK = f"""
+WITH emb_b AS (SELECT vec_id, embedding, {_SQL_BUCKET} AS bucket FROM embeddings)
+SELECT a.vec_id AS vec_id,
+       round({_SQL_DOT} / ({_SQL_NORM_A} * {_SQL_NORM_Q}), 4) AS cos_sim
+FROM emb_b a, (SELECT embedding, bucket FROM emb_b WHERE vec_id = 0) q
+WHERE a.bucket = q.bucket AND a.vec_id != 0
+ORDER BY cos_sim DESC, vec_id
+LIMIT 5
+"""
+
+
+def q_embedding_norm_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-label vector norm statistics (embedding-table profiling)."""
+    emb = table(spark, sf, "embeddings")
+    return (
+        emb.select("label", F.round(_norm_expr(F.col("embedding")), 4).alias("nrm"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.round(
+                F.sum(F.col("nrm").cast("decimal(18,4)")).cast("double") / F.count(F.lit(1)), 4
+            ).alias("avg_norm"),
+            F.round(F.min("nrm"), 4).alias("min_norm"),
+            F.round(F.max("nrm"), 4).alias("max_norm"),
+        )
+    )
+
+
+ORACLE_EMBEDDING_NORM_STATS = f"""
+SELECT label, count(*) AS n_vectors,
+       round(sum(nrm::DECIMAL(18,4))::DOUBLE / count(*), 4) AS avg_norm,
+       round(min(nrm), 4) AS min_norm,
+       round(max(nrm), 4) AS max_norm
+FROM (SELECT label,
+             round(sqrt(list_sum(list_transform(range(1, {_DIM}+1),
+                        i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE))), 4) AS nrm
+      FROM embeddings)
+GROUP BY label
+"""
+
+
+QUERIES: dict[str, Query] = {
+    "doc_token_stats": Query(q_doc_token_stats, ORACLE_DOC_TOKEN_STATS, ("text",), True),
+    "doc_quality": Query(q_doc_quality, ORACLE_DOC_QUALITY, ("text",)),
+    "doc_langid": Query(q_doc_langid, ORACLE_DOC_LANGID, ("text",)),
+    "doc_fingerprint_stats": Query(
+        q_doc_fingerprint_stats, ORACLE_DOC_FINGERPRINT_STATS, ("text", "dedup")
+    ),
+    "dedup_token_set": Query(q_dedup_token_set, ORACLE_DEDUP_TOKEN_SET, ("dedup",), True),
+    "dedup_minhash_lsh": Query(q_dedup_minhash_lsh, ORACLE_DEDUP_MINHASH_LSH, ("dedup", "lsh"), True),
+    "dedup_minhash_verified": Query(
+        q_dedup_minhash_verified, ORACLE_DEDUP_MINHASH_VERIFIED, ("dedup", "lsh")
+    ),
+    "dedup_ngram_jaccard": Query(
+        q_dedup_ngram_jaccard, ORACLE_DEDUP_NGRAM_JACCARD, ("dedup", "quadratic")
+    ),
+    "dedup_simhash": Query(q_dedup_simhash, ORACLE_DEDUP_SIMHASH, ("dedup",)),
+    "ann_topk_bruteforce": Query(
+        q_ann_topk_bruteforce, ORACLE_ANN_TOPK_BRUTEFORCE, ("similarity",), True
+    ),
+    "ann_lsh_buckets": Query(q_ann_lsh_buckets, ORACLE_ANN_LSH_BUCKETS, ("similarity", "lsh")),
+    "ann_lsh_topk": Query(q_ann_lsh_topk, ORACLE_ANN_LSH_TOPK, ("similarity", "lsh")),
+    "embedding_norm_stats": Query(
+        q_embedding_norm_stats, ORACLE_EMBEDDING_NORM_STATS, ("similarity",)
+    ),
+}

@@ -1,0 +1,78 @@
+"""SparkSession factory.
+
+Replaces the reference's s3fs client factory (data_processing.py:12-28) and
+implicit Dask threaded scheduler with a single configured SparkSession. S3A
+credentials are injected from an optional config (mirroring the MinIO config
+dict at flows.py:294-307) so the same code runs against local paths in tests
+and object storage in production.
+
+Scale notes (100 TB):
+- AQE on: runtime shuffle-partition coalescing, skew-join splitting, and
+  plan re-optimization replace any hand-tuned partition counts.
+- ``spark.sql.shuffle.partitions`` is only the pre-AQE upper bound; on a real
+  cluster set it ~2-3x total cores and let AQE coalesce.
+- Partition-column type inference is disabled so hive partition values written
+  as 'YYYY-MM-DD' strings read back as strings (reference writes string dates,
+  data_processing.py:175-180), keeping schemas stable across zones.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+from pyspark.sql import SparkSession
+
+
+@dataclass(frozen=True)
+class S3Config:
+    """S3-compatible endpoint config (maps the MinIO dict, flows.py:294-307)."""
+
+    endpoint: str
+    access_key: str
+    secret_key: str
+    path_style_access: bool = True
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+
+
+def get_spark(
+    app_name: str = "customer-activity-lakehouse",
+    master: str | None = None,
+    s3: S3Config | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or get) the session. Idempotent per-JVM; safe for tests."""
+    cpus = default_parallelism()
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master or f"local[{cpus}]")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    if s3 is not None:
+        builder = (
+            builder.config("spark.hadoop.fs.s3a.endpoint", s3.endpoint)
+            .config("spark.hadoop.fs.s3a.access.key", s3.access_key)
+            .config("spark.hadoop.fs.s3a.secret.key", s3.secret_key)
+            .config(
+                "spark.hadoop.fs.s3a.path.style.access",
+                str(s3.path_style_access).lower(),
+            )
+        )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

@@ -1,0 +1,89 @@
+"""Parquet scans/sinks (reference operators S4-S6) + driver-table loader.
+
+Reference:
+- S4 partitioned scan: read_parquet_from_minio, data_processing.py:226-244.
+  Spark's parquet reader discovers hive partitions automatically and prunes
+  them when the query filters on the partition column.
+- S5 raw sink: write_dask_dataframe_to_minio, data_processing.py:201-223 —
+  overwrite, partitioned by transaction_date.
+- S6 curated sink: write_parquet_to_minio, data_processing.py:399-435 —
+  repartition to a target output-file count (default 1), optional partition
+  columns (validated), overwrite.
+
+Scale notes (100 TB):
+- ``repartition(1)`` is correct only for small dims; for the fact table pass
+  ``target_partitions=None`` and let AQE coalesce post-shuffle output, or set
+  ``maxRecordsPerFile`` to bound file sizes. The knob exists to reproduce the
+  reference's single-file curated outputs (data_processing.py:405, 413), not
+  as the scale path.
+- Overwrite mode is *static* whole-prefix overwrite, same semantics as the
+  reference's ``overwrite=True`` (data_processing.py:217, 427). For
+  incremental daily loads at scale, set
+  ``spark.sql.sources.partitionOverwriteMode=dynamic`` and overwrite only the
+  partitions present in the batch.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..schemas import DRIVER_TABLES, require_columns
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """S4 — (partitioned) parquet scan with automatic partition discovery."""
+    return spark.read.parquet(path)
+
+
+def write_raw_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str] | None = None,
+) -> None:
+    """S5 — raw-zone sink: hive-partitioned, full overwrite
+    (data_processing.py:201-223; partition_on data_processing.py:218)."""
+    cols = ["transaction_date"] if partition_cols is None else partition_cols
+    require_columns(df, cols, "write_raw_partitioned")
+    writer = df.write.mode("overwrite")
+    if cols:
+        writer = writer.partitionBy(*cols)
+    writer.parquet(path)
+
+
+def write_curated_parquet(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str] | None = None,
+    target_partitions: int | None = 1,
+) -> None:
+    """S6 — curated sink with output-file-count control
+    (data_processing.py:399-435; repartition data_processing.py:187-196, 413).
+
+    ``target_partitions=None`` skips the repartition entirely (the 100 TB
+    path: AQE-coalesced shuffle output + maxRecordsPerFile).
+    """
+    cols = partition_cols or []
+    require_columns(df, cols, "write_curated_parquet")
+    out = df
+    if target_partitions is not None:
+        # repartition (shuffle) rather than coalesce: coalesce(1) would pull
+        # the whole upstream transform onto one task, serializing the job.
+        out = df.repartition(max(1, int(target_partitions)))
+    writer = out.write.mode("overwrite")
+    if cols:
+        writer = writer.partitionBy(*cols)
+    writer.parquet(path)
+
+
+def load_driver_tables(
+    spark: SparkSession, sf_dir: str, tables: list[str] | None = None
+) -> dict[str, DataFrame]:
+    """Load the driver-provided test tables (TESTDATA.md) as DataFrames."""
+    names = tables or DRIVER_TABLES
+    return {t: spark.read.parquet(f"{sf_dir}/{t}.parquet") for t in names}
+
+
+def register_driver_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every driver table as a temp view for spark.sql queries."""
+    for name, df in load_driver_tables(spark, sf_dir).items():
+        df.createOrReplaceTempView(name)
