@@ -820,7 +820,7 @@ def q_event_sessionization(spark: SparkSession, sf: str) -> DataFrame:
 
 
 ORACLE_EVENT_SESSIONIZATION = """
-SELECT user_id, max(session_id) AS n_sessions, count(*) AS n_events
+SELECT user_id, max(session_id)::BIGINT AS n_sessions, count(*) AS n_events
 FROM (
   SELECT user_id,
          sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id

@@ -109,9 +109,9 @@ def q_doc_token_stats(spark: SparkSession, sf: str) -> DataFrame:
 
 ORACLE_DOC_TOKEN_STATS = f"""
 SELECT lang, count(*) AS n_docs,
-       sum(n_tok) AS total_tokens,
+       sum(n_tok)::BIGINT AS total_tokens,
        round(avg(n_tok), 4) AS avg_tokens,
-       sum(n_bpe) AS total_bpe_tokens
+       sum(n_bpe)::BIGINT AS total_bpe_tokens
 FROM (SELECT lang,
              len({_SQL_TOKENS}) AS n_tok,
              len(regexp_extract_all(text, '{BPE_SPLIT_PATTERN}')) AS n_bpe

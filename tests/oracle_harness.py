@@ -48,6 +48,15 @@ def compare(spark_df: pd.DataFrame, oracle_df: pd.DataFrame) -> list[str]:
     s, o = _normalize(spark_df), _normalize(oracle_df)
     for c in s.columns:
         sv, ov = s[c], o[c]
+        # Integer-vs-float dtype drift (e.g. DuckDB sum(BIGINT) → HUGEINT →
+        # pandas float64) stringifies differently ("3549" vs "3549.0") and
+        # flips the driver's value hash even when the numbers agree — flag it.
+        if pd.api.types.is_integer_dtype(sv) != pd.api.types.is_integer_dtype(ov):
+            problems.append(
+                f"col {c}: dtype drift spark={sv.dtype} oracle={ov.dtype} "
+                "(cast the oracle aggregate, e.g. ::BIGINT)"
+            )
+            continue
         if pd.api.types.is_float_dtype(sv) or pd.api.types.is_float_dtype(ov):
             sv_f = pd.to_numeric(sv, errors="coerce")
             ov_f = pd.to_numeric(ov, errors="coerce")
