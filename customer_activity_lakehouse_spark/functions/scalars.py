@@ -17,11 +17,14 @@ def parse_ts(col: Column | str, fmt: str = TS_FORMAT) -> Column:
     """F1 — string→timestamp, null on parse failure.
 
     Matches ``dd.to_datetime(s, errors='coerce')`` (data_processing.py:168,
-    282-284, 326-329): Spark's ``to_timestamp`` already yields NULL for
-    unparseable input under the default (non-ANSI) policy.
+    282-284, 326-329).
     """
     c = F.col(col) if isinstance(col, str) else col
-    return F.to_timestamp(c, fmt)
+    # try_to_timestamp, not to_timestamp: Spark 4 enables ANSI mode by
+    # default, under which to_timestamp THROWS on malformed input. The
+    # reference's errors='coerce' semantics are null-on-failure regardless
+    # of session ANSI setting.
+    return F.try_to_timestamp(c, F.lit(fmt))
 
 
 def derive_date_str(ts: Column | str) -> Column:

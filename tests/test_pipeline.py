@@ -1,0 +1,210 @@
+"""End-to-end pipeline parity tests (reference flows O1-O8).
+
+Each test encodes a reference edge case from SURVEY.md §5:
+- unparseable timestamps → rows DROPPED before the raw write (data_processing.py:167-172)
+- transaction_date partition dirs are 'yyyy-MM-dd' strings (175-180)
+- null customer_segment → 'Unknown' (338-340)
+- product_category str.capitalize, NOT initcap (387-391)
+- dedup keep-first by customer_id (342-345, deterministic variant)
+- curated outputs are single files (405, 413)
+- fact keys absent from dims survive LEFT joins (SURVEY.md §1.5)
+"""
+
+from __future__ import annotations
+
+import csv
+from pathlib import Path
+
+import pytest
+
+from customer_activity_lakehouse_spark.pipeline import (
+    LakehouseConfig,
+    customer_segment_revenue,
+    load_star,
+    revenue_by_category_date,
+    run_pipeline,
+)
+
+TXN_HEADER = [
+    "transaction_id",
+    "customer_id",
+    "product_id",
+    "transaction_timestamp",
+    "quantity",
+    "price",
+    "store_location",
+    "payment_method",
+]
+TXN_ROWS = [
+    ["t1", "1000", "PROD100", "2025-03-01 10:00:00", "2", "10.50", "online", "cash"],
+    ["t2", "1000", "PROD101", "2025-03-01 11:30:00", "1", "99.99", "store_A", "paypal"],
+    ["t3", "2000", "PROD100", "2025-03-02 09:15:00", "3", "5.00", "mobile_app", "credit_card"],
+    # unparseable timestamp -> must be dropped by the raw transform
+    ["t4", "3000", "PROD102", "not-a-timestamp", "1", "1.00", "online", "cash"],
+    # customer 4000 is absent from the customer dim -> left-join NULL segment
+    ["t5", "4000", "PROD999", "2025-03-02 23:59:59", "4", "25.00", "store_B", "bank_transfer"],
+]
+
+CUST_HEADER = [
+    "customer_id",
+    "customer_name",
+    "customer_email",
+    "customer_city",
+    "customer_country",
+    "registration_date",
+    "customer_segment",
+]
+CUST_ROWS = [
+    ["1000", "Alice", "a@x.com", "Paris", "FR", "2025-01-05", "A"],
+    # duplicate key: keep-first by (registration_date, name) -> Bob2 (earlier date)
+    ["2000", "Bob", "b@x.com", "Lyon", "FR", "2025-02-01", "B"],
+    ["2000", "Bob2", "b2@x.com", "Nice", "FR", "2025-01-20", "C"],
+    # empty segment -> 'Unknown'
+    ["3000", "Carol", "c@x.com", "Berlin", "DE", "2025-01-10", ""],
+]
+
+PROD_HEADER = [
+    "product_id",
+    "product_name",
+    "product_category",
+    "product_brand",
+    "product_weight_kg",
+]
+PROD_ROWS = [
+    # 'hOme Goods' -> str.capitalize -> 'Home goods' (NOT 'Home Goods')
+    ["PROD100", "Lamp", "hOme Goods", "Acme", "1.25"],
+    ["PROD101", "Book", "books", "Pub", "0.40"],
+    ["PROD102", "Cable", "ELECTRONICS", "Volt", "0.10"],
+]
+
+
+def _write_csv(path: Path, header: list[str], rows: list[list[str]]) -> str:
+    path.parent.mkdir(parents=True, exist_ok=True)
+    with open(path, "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(header)
+        w.writerows(rows)
+    return str(path)
+
+
+@pytest.fixture(scope="module")
+def star(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("lakehouse")
+    txn = _write_csv(root / "in" / "txn.csv", TXN_HEADER, TXN_ROWS)
+    cust = _write_csv(root / "in" / "cust.csv", CUST_HEADER, CUST_ROWS)
+    prod = _write_csv(root / "in" / "prod.csv", PROD_HEADER, PROD_ROWS)
+    cfg = LakehouseConfig(raw_dir=str(root / "raw"), curated_dir=str(root / "curated"))
+    run_pipeline(spark, cfg, txn, prod, cust, dedup_customers="first")
+    return cfg, load_star(spark, cfg), root
+
+
+def test_bad_timestamp_rows_dropped(star):
+    _, tables, _ = star
+    fact = tables["fact_customer_transactions"]
+    ids = {r.transaction_id for r in fact.select("transaction_id").collect()}
+    assert ids == {"t1", "t2", "t3", "t5"}  # t4 dropped
+
+
+def test_partition_dirs_are_date_strings(star):
+    cfg, tables, _ = star
+    dirs = {
+        p.name
+        for p in Path(cfg.fact_customer_transactions).iterdir()
+        if p.name.startswith("transaction_date=")
+    }
+    assert dirs == {"transaction_date=2025-03-01", "transaction_date=2025-03-02"}
+    # and the partition column reads back as STRING (type inference disabled)
+    assert dict(tables["fact_customer_transactions"].dtypes)["transaction_date"] == "string"
+
+
+def test_fact_schema_and_casts(star):
+    _, tables, _ = star
+    d = dict(tables["fact_customer_transactions"].dtypes)
+    assert d["customer_id"] == "bigint"
+    assert d["quantity"] == "bigint"
+    assert d["price"] == "double"
+    assert len(d) == 9
+
+
+def test_segment_null_filled_unknown(star):
+    _, tables, _ = star
+    segs = {
+        r.customer_id: r.customer_segment
+        for r in tables["dim_customer"].collect()
+    }
+    assert segs[3000] == "Unknown"
+
+
+def test_dedup_keep_first_deterministic(star):
+    _, tables, _ = star
+    rows = {r.customer_id: r for r in tables["dim_customer"].collect()}
+    assert len(rows) == 3
+    assert rows[2000].customer_name == "Bob2"  # earlier registration_date wins
+
+
+def test_capitalize_not_initcap(star):
+    _, tables, _ = star
+    cats = {
+        r.product_id: r.product_category for r in tables["dim_product"].collect()
+    }
+    assert cats == {
+        "PROD100": "Home goods",
+        "PROD101": "Books",
+        "PROD102": "Electronics",
+    }
+
+
+def test_curated_single_file_outputs(star):
+    cfg, _, _ = star
+    for path in (cfg.dim_customer, cfg.dim_product):
+        files = list(Path(path).glob("*.parquet"))
+        assert len(files) == 1, f"{path}: {files}"
+
+
+def test_star_rollup_left_join_keeps_unmatched(star):
+    _, tables, _ = star
+    out = revenue_by_category_date(
+        tables["fact_customer_transactions"], tables["dim_product"]
+    ).collect()
+    by_key = {(r.product_category, r.transaction_date): r.revenue for r in out}
+    # t5 references PROD999 (absent from dim) -> NULL category row survives
+    assert by_key[(None, "2025-03-02")] == 100.0
+    assert by_key[("Home goods", "2025-03-01")] == 21.0
+    assert by_key[("Home goods", "2025-03-02")] == 15.0
+
+
+def test_segment_rollup(star):
+    _, tables, _ = star
+    out = customer_segment_revenue(
+        tables["fact_customer_transactions"], tables["dim_customer"]
+    ).collect()
+    by_seg = {r.customer_segment: (r.revenue, r.n_customers) for r in out}
+    assert by_seg["A"] == (120.99, 1)  # t1 + t2
+    assert by_seg["C"] == (15.0, 1)  # t3 joins Bob2 (kept-first row)
+    assert by_seg[None] == (100.0, 1)  # t5, customer 4000 not in dim
+
+
+def test_generators_deterministic_and_in_domain(spark):
+    from customer_activity_lakehouse_spark.generate import (
+        gen_customers,
+        gen_products,
+        gen_transactions,
+    )
+
+    t1 = gen_transactions(spark, 500, seed=7, anchor_ts="2025-06-01 00:00:00")
+    t2 = gen_transactions(spark, 500, seed=7, anchor_ts="2025-06-01 00:00:00")
+    rows1, rows2 = t1.collect(), t2.collect()
+    assert rows1 == rows2  # seeded => reproducible
+    assert len({r.transaction_id for r in rows1}) == 500
+    for r in rows1[:50]:
+        assert 1000 <= r.customer_id <= 50000
+        assert r.product_id.startswith("PROD") and 100 <= int(r.product_id[4:]) <= 999
+        assert 1 <= r.quantity <= 10
+        assert 5.0 <= r.price <= 500.0
+
+    c = gen_customers(spark, 200, seed=7).collect()
+    assert len({r.customer_id for r in c}) == 200  # unique (sampled w/o replacement)
+    assert all(r.customer_segment in "ABCD" for r in c)
+
+    p = gen_products(spark, 900, seed=7).collect()
+    assert len({r.product_id for r in p}) == 900
