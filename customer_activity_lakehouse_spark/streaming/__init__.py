@@ -1,0 +1,17 @@
+from .streams import (
+    hourly_event_counts,
+    read_events_stream,
+    sessionize_stream,
+    sliding_event_rates,
+    stream_dedup_events,
+    write_stream_parquet,
+)
+
+__all__ = [
+    "hourly_event_counts",
+    "read_events_stream",
+    "sessionize_stream",
+    "sliding_event_rates",
+    "stream_dedup_events",
+    "write_stream_parquet",
+]

@@ -1,0 +1,244 @@
+"""Structured Streaming layer over the events stream.
+
+The reference names "Apache Kafka and Flink or Spark Structured Streaming for
+near real-time streaming ingestion into the raw layer" as future work
+(ReadMe.md:99) — no streaming code exists there. This module IS that layer,
+built Spark-native: file-source streams (drop-in for a Kafka source — swap
+``readStream.format``), event-time watermarks for late data, windowed
+aggregates, exact streaming dedup, and a custom stateful sessionization
+operator via ``applyInPandasWithState``.
+
+Scale notes (100 TB / continuous):
+- Every aggregate is keyed by (window, low-cardinality key) so state stays
+  bounded; watermarks let Spark drop state for closed windows.
+- Sessionization state is per-user and O(1) per user (last-seen timestamp +
+  counters), not a buffer of events — the state store stays small no matter
+  the event rate.
+- File sink + checkpoint gives exactly-once; foreachBatch variant shows the
+  idempotent-merge escape hatch for non-transactional sinks.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+# Event schema mirrors the driver's events table (TESTDATA.md) with ts as a
+# proper timestamp. File streams REQUIRE an explicit schema — there is no
+# inference on a stream.
+EVENTS_STREAM_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_events_stream(
+    spark: SparkSession,
+    path: str,
+    fmt: str = "parquet",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Streaming scan of an events directory (raw-zone landing path).
+
+    ``max_files_per_trigger`` bounds micro-batch size — the backpressure knob
+    when replaying a large backlog.
+    """
+    reader = spark.readStream.format(fmt).schema(EVENTS_STREAM_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader.load(path)
+
+
+def hourly_event_counts(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Tumbling 1-hour windows per event_type, tolerating ``watermark`` of
+    event-time lateness. Append-mode-safe: rows emit once the watermark
+    passes the window end, then their state is dropped."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def sliding_event_rates(
+    events: DataFrame,
+    window: str = "1 hour",
+    slide: str = "15 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Sliding-window event rates — each event lands in window/slide
+    overlapping windows (4 here); state per (window × type) only."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
+def stream_dedup_events(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Exact streaming dedup on event_id within the watermark horizon.
+
+    ``dropDuplicatesWithinWatermark`` keeps one state entry per id and
+    expires it once the watermark passes — bounded state, unlike plain
+    ``dropDuplicates`` on a stream which grows forever.
+    """
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
+# ---------------------------------------------------------------------------
+# Custom stateful operator: gap-based sessionization
+# ---------------------------------------------------------------------------
+
+SESSION_GAP_SECONDS = 1800  # same 30-min inactivity gap as the batch
+# catalog's event_sessionization query (plans/core.py) — stream and batch
+# agree on the session definition.
+
+_SESSION_OUTPUT = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_sessions", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("last_ts", T.TimestampType()),
+    ]
+)
+
+# State = (last event epoch-seconds, sessions so far, events so far): O(1)
+# per user regardless of stream length.
+_SESSION_STATE = T.StructType(
+    [
+        T.StructField("last_epoch", T.LongType()),
+        T.StructField("n_sessions", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+    ]
+)
+
+
+def _sessionize(
+    key: tuple,
+    pdf_iter: Iterable[pd.DataFrame],
+    state: GroupState,
+) -> Iterable[pd.DataFrame]:
+    """Per-user session counter. Events within a micro-batch are sorted by
+    (ts, event_id) — matching the batch query's window ordering — and folded
+    into running state. Emits one updated row per user per batch."""
+    (user_id,) = key
+    if state.exists:
+        last_epoch, n_sessions, n_events = state.get
+    else:
+        last_epoch, n_sessions, n_events = None, 0, 0
+
+    last_ts = None
+    for pdf in pdf_iter:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        # floor to whole seconds like the batch query (unix_timestamp)
+        epochs = (pdf["ts"].astype("int64") // 1_000_000_000).tolist()
+        for e in epochs:
+            if last_epoch is None or e - last_epoch > SESSION_GAP_SECONDS:
+                n_sessions += 1
+            last_epoch = e
+            n_events += 1
+        if len(pdf):
+            last_ts = pdf["ts"].iloc[-1]
+
+    state.update((last_epoch, n_sessions, n_events))
+    yield pd.DataFrame(
+        {
+            "user_id": [user_id],
+            "n_sessions": [n_sessions],
+            "n_events": [n_events],
+            "last_ts": [last_ts],
+        }
+    )
+
+
+def sessionize_stream(events: DataFrame) -> DataFrame:
+    """Custom stateful operator: per-user gap-based session counts via
+    ``applyInPandasWithState`` (Arrow-batched; state is a 3-long tuple).
+
+    Caveat: sessions are ordered *within* arrival order across batches —
+    out-of-order arrival across micro-batch boundaries can split a session
+    that batch processing would merge. That is inherent to single-pass
+    sessionization; use the batch catalog query for exact retrospective
+    sessions.
+    """
+    return events.groupBy("user_id").applyInPandasWithState(
+        _sessionize,
+        outputStructType=_SESSION_OUTPUT,
+        stateStructType=_SESSION_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sinks
+# ---------------------------------------------------------------------------
+
+
+def write_stream_parquet(
+    df: DataFrame,
+    path: str,
+    checkpoint: str,
+    available_now: bool = True,
+    output_mode: str = "append",
+):
+    """Parquet file sink with checkpointing (exactly-once via the sink's
+    transactional log). ``available_now=True`` drains the current backlog
+    and stops — the batch-replay/test mode; False = continuous."""
+    writer = (
+        df.writeStream.format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode(output_mode)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def write_stream_foreach_batch(
+    df: DataFrame,
+    batch_fn,
+    checkpoint: str,
+    available_now: bool = True,
+    output_mode: str = "update",
+):
+    """foreachBatch escape hatch — for sinks without streaming support
+    (JDBC upsert, MERGE INTO). ``batch_fn(batch_df, batch_id)`` must be
+    idempotent on batch_id for exactly-once."""
+    writer = (
+        df.writeStream.foreachBatch(batch_fn)
+        .option("checkpointLocation", checkpoint)
+        .outputMode(output_mode)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
