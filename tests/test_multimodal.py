@@ -1,0 +1,87 @@
+"""Multimodal plumbing tests — schemas, batch shapes, determinism, and the
+1-to-N frame-sampling yield. The codec layer is a deterministic stub
+(multimodal/media.py), so exact values are reproducible across runs."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from customer_activity_lakehouse_spark.multimodal import (
+    audio_features,
+    decode_image_stats,
+    gen_media,
+    image_resize,
+    video_sample_frames,
+)
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    df = gen_media(spark, 120, seed=11).cache()
+    df.count()
+    return df
+
+
+def test_corpus_shape_and_metadata_typing(media):
+    d = dict(media.dtypes)
+    assert d["payload"] == "binary"
+    assert d["metadata"].startswith("struct<width:int,height:int,channels:int")
+    kinds = {r.kind for r in media.select("kind").distinct().collect()}
+    assert kinds == {"image", "audio", "video"}
+    # metadata filters work Catalyst-side without touching payloads
+    n_wide = media.filter(F.col("metadata.width") >= 96).count()
+    assert 0 < n_wide < 120
+
+
+def test_image_stats_schema_and_determinism(media):
+    out1 = decode_image_stats(media, partitions=4).orderBy("media_id").collect()
+    out2 = decode_image_stats(media).orderBy("media_id").collect()
+    assert [r.asDict() for r in out1] == [r.asDict() for r in out2]
+    n_images = media.filter("kind = 'image'").count()
+    assert len(out1) == n_images
+    r = out1[0]
+    assert len(r.mean_rgb) == 3
+    assert all(0.0 <= v <= 255.0 for v in r.mean_rgb)
+    assert len(r.phash) == 16  # 64 bits as hex
+    # stub decode is uniform noise; distinct payloads -> distinct hashes mostly
+    assert len({x.phash for x in out1}) > n_images * 0.8
+
+
+def test_image_resize_rebuilds_payload_and_metadata(media):
+    out = image_resize(media, 16, 16).collect()
+    n_images = media.filter("kind = 'image'").count()
+    assert len(out) == n_images
+    for r in out[:10]:
+        assert len(bytes(r.payload)) == 16 * 16 * 3
+        assert (r.metadata["width"], r.metadata["height"]) == (16, 16)
+        assert r.metadata["codec"] == "raw"
+
+
+def test_audio_features_match_metadata_duration(media):
+    out = audio_features(media).collect()
+    metas = {
+        r.media_id: r.metadata
+        for r in media.filter("kind = 'audio'").select("media_id", "metadata").collect()
+    }
+    assert len(out) == len(metas)
+    for r in out:
+        m = metas[r.media_id]
+        assert r.n_samples == max(1, int(m["sample_rate"] * m["duration_s"]))
+        assert 0.0 < r.rms <= 1.0
+        assert r.peak <= 1.0
+
+
+def test_video_frame_sampling_one_to_many(media):
+    frames = video_sample_frames(media, every_s=1.0)
+    counts = {r.media_id: r.n for r in frames.groupBy("media_id").agg(F.count("*").alias("n")).collect()}
+    metas = {
+        r.media_id: r.metadata
+        for r in media.filter("kind = 'video'").select("media_id", "metadata").collect()
+    }
+    assert set(counts) == set(metas)
+    for mid, meta in metas.items():
+        assert counts[mid] == max(1, int(meta["duration_s"] / 1.0))
+    one = frames.filter("frame_idx = 0").first()
+    m = metas[one.media_id]
+    assert len(bytes(one.frame_payload)) == m["width"] * m["height"] * 3
