@@ -7,8 +7,10 @@ and prints exactly ONE JSON line:
 
     {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
-Timing = full plan execution to a count-style action (foreach noop) so
-results are materialized but not shipped to the driver.
+Timing = full plan execution into the JVM-side ``noop`` datasource sink:
+every result row is materialized on executors but never crosses into
+Python or the driver (a ``foreach`` action would serialize each row to a
+Python worker and time that overhead instead of the engine).
 """
 
 from __future__ import annotations
@@ -53,7 +55,7 @@ def main() -> None:
         for i in range(RUNS + 1):  # first run is warm-up (JIT, file listing)
             t0 = time.perf_counter()
             df = q.fn(spark, sf_dir)
-            df.foreach(lambda _: None)
+            df.write.format("noop").mode("overwrite").save()
             dt = time.perf_counter() - t0
             if i > 0:
                 samples.append(dt)

@@ -31,6 +31,21 @@ from pyspark.sql import functions as F
 from ..functions.text import BPE_SPLIT_PATTERN, LANG_MARKERS, STOPWORDS_EN
 from .registry import Query, table
 
+
+def _spread(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Decouple task count from input file count before CPU-heavy per-row
+    work (shingle hashing, vector math, regex passes).
+
+    The documents/embeddings fixtures arrive as ONE small parquet file — a
+    single input split — so without this every downstream map runs on one
+    core (measured 6x slowdown on the minhash signature at sf0.1). The
+    shuffle moves only the source rows (KBs..MBs), then the expensive
+    expressions run at full parallelism. At 100 TB the input is thousands of
+    splits and this becomes a cheap no-op-ish rebalance; keep it only ahead
+    of compute-bound stages, never plain scans/aggs.
+    """
+    return df.repartition(spark.sparkContext.defaultParallelism)
+
 # ---------------------------------------------------------------------------
 # Shared expression builders (Spark side) and SQL fragments (DuckDB side)
 # ---------------------------------------------------------------------------
@@ -72,12 +87,16 @@ _SQL_SHINGLES = (
 )
 
 
-def _minhash(sh, salt: str):
-    return F.array_min(F.transform(sh, lambda s: _md5s(F.concat(F.lit(salt + ":"), s))))
+# MinHash components are 8-hex-char (32-bit) slices of TWO salted md5s per
+# shingle — 2 digest computations instead of N_MINHASH, and the min over a
+# uniform 32-bit slice is still a valid minwise sketch per slice (slices of
+# one md5 are independent uniform bits). Salt i<4 -> 'a', i>=4 -> 'b'.
+MINHASH_SALTS = ("a", "b")
 
 
-def _sql_minhash(salt: str) -> str:
-    return f"list_min(list_transform(sh, s -> md5('{salt}:' || s)))"
+def _mh_source(i: int) -> tuple[str, int]:
+    """(hash column, 1-based hex offset) for minhash component i."""
+    return ("ha" if i < 4 else "hb"), (i % 4) * 8 + 1
 
 
 # ---------------------------------------------------------------------------
@@ -88,7 +107,7 @@ def _sql_minhash(salt: str) -> str:
 def q_doc_token_stats(spark: SparkSession, sf: str) -> DataFrame:
     """Whitespace + BPE-ish token counting, rolled up per language tag.
     Pure projection+agg — scan-speed at any scale."""
-    docs = table(spark, sf, "documents")
+    docs = _spread(spark, table(spark, sf, "documents"))
     toks = _tokens(F.col("text"))
     bpe = F.size(F.regexp_extract_all(F.col("text"), F.lit(BPE_SPLIT_PATTERN), F.lit(0)))
     return (
@@ -122,7 +141,7 @@ GROUP BY lang
 
 def q_doc_quality(spark: SparkSession, sf: str) -> DataFrame:
     """Quality heuristics (length / punctuation / stopword ratios) per source."""
-    docs = table(spark, sf, "documents")
+    docs = _spread(spark, table(spark, sf, "documents"))
     c = F.col("text")
     toks = _tokens(c)
     n_tok = F.size(toks).cast("double")
@@ -176,7 +195,7 @@ GROUP BY source
 def q_doc_langid(spark: SparkSession, sf: str) -> DataFrame:
     """Marker-word language heuristic vs the labeled lang column —
     outputs the (heuristic, labeled) confusion counts."""
-    docs = table(spark, sf, "documents")
+    docs = _spread(spark, table(spark, sf, "documents"))
     toks = _tokens(F.col("text"))
     scores = {}
     for lang, markers in sorted(LANG_MARKERS.items()):
@@ -221,7 +240,7 @@ GROUP BY lang_pred, lang_label
 
 def q_doc_fingerprint_stats(spark: SparkSession, sf: str) -> DataFrame:
     """Content fingerprinting: md5 over normalized text; exact-dup census."""
-    docs = table(spark, sf, "documents")
+    docs = _spread(spark, table(spark, sf, "documents"))
     norm = F.trim(
         F.regexp_replace(F.regexp_replace(F.lower(F.col("text")), r"[^a-z0-9\s]", " "), r"\s+", " ")
     )
@@ -251,7 +270,7 @@ def q_dedup_token_set(spark: SparkSession, sf: str) -> DataFrame:
     """Bag-of-words dedup: md5 over the SORTED DISTINCT token set — catches
     reordered near-dup documents (token-set Jaccard 1.0). Output: clusters
     with >1 member (cluster key + size + representative = min doc_id)."""
-    docs = table(spark, sf, "documents")
+    docs = _spread(spark, table(spark, sf, "documents"))
     key = _md5s(F.array_join(F.array_sort(F.array_distinct(_tokens(F.col("text")))), " "))
     return (
         docs.select(key.alias("set_fp"), "doc_id")
@@ -271,23 +290,49 @@ GROUP BY set_fp HAVING count(*) > 1
 
 
 def _signature_df(spark: SparkSession, sf: str) -> DataFrame:
-    """doc_id + minhash signature + band keys (the one-pass projection)."""
-    docs = table(spark, sf, "documents")
-    sh = _shingles(F.col("text"))
-    out = docs.select("doc_id", sh.alias("sh"))
+    """doc_id + minhash signature + band keys.
+
+    Shape: explode shingles once (no recomputation of the shingle expression
+    per hash — projection collapse would inline it N_MINHASH times in a
+    withColumn chain), hash each shingle twice, then ONE partial-aggregating
+    groupBy takes all 8 component minima map-side. The only shuffle carries
+    (doc_id, 8×8 hex chars) — a few dozen bytes per doc regardless of doc
+    size. Docs too short to shingle keep a null signature (explode_outer)
+    and thus produce no band matches downstream.
+    """
+    docs = _spread(spark, table(spark, sf, "documents"))
+    ex = docs.select("doc_id", F.explode_outer(_shingles(F.col("text"))).alias("s"))
+    hashed = ex.select(
+        "doc_id",
+        *[
+            _md5s(F.concat(F.lit(f"{salt}:"), F.col("s"))).alias(f"h{salt}")
+            for salt in MINHASH_SALTS
+        ],
+    )
+    aggs = []
     for i in range(N_MINHASH):
-        out = out.withColumn(f"mh{i}", _minhash(F.col("sh"), f"mh{i}"))
+        src, off = _mh_source(i)
+        aggs.append(F.min(F.substring(F.col(src), off, 8)).alias(f"mh{i}"))
+    sig = hashed.groupBy("doc_id").agg(*aggs)
     for b in range(N_BANDS):
-        out = out.withColumn(
+        sig = sig.withColumn(
             f"band{b}", _md5s(F.concat(F.col(f"mh{2 * b}"), F.col(f"mh{2 * b + 1}")))
         )
-    return out
+    return sig
 
 
 _SQL_SIG = (
     "SELECT doc_id, "
-    + ", ".join(f"{_sql_minhash(f'mh{i}')} AS mh{i}" for i in range(N_MINHASH))
-    + f" FROM (SELECT doc_id, {_SQL_SHINGLES} AS sh FROM documents)"
+    + ", ".join(
+        "min(substr({src}, {off}, 8)) AS mh{i}".format(
+            src=_mh_source(i)[0], off=_mh_source(i)[1], i=i
+        )
+        for i in range(N_MINHASH)
+    )
+    + " FROM (SELECT doc_id, "
+    + ", ".join(f"md5('{salt}:' || s) AS h{salt}" for salt in MINHASH_SALTS)
+    + f" FROM (SELECT doc_id, unnest(sh) AS s FROM (SELECT doc_id, {_SQL_SHINGLES} AS sh FROM documents)))"
+    " GROUP BY doc_id"
 )
 _SQL_BANDS = (
     "SELECT doc_id, "
@@ -342,7 +387,7 @@ def q_dedup_minhash_verified(spark: SparkSession, sf: str) -> DataFrame:
     char-shingle Jaccard ≥ 0.5. Verification touches only candidate pairs —
     never the full cross product."""
     cands = q_dedup_minhash_lsh(spark, sf)
-    docs = table(spark, sf, "documents").select(
+    docs = _spread(spark, table(spark, sf, "documents")).select(
         "doc_id", _shingles(F.col("text")).alias("sh")
     )
     j = F.size(F.array_intersect(F.col("sa"), F.col("sb"))).cast("double") / F.size(
@@ -380,7 +425,7 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     """Exact token-SET Jaccard ≥ 0.9 over all pairs — the brute-force oracle
     twin of the LSH path (correctness anchor; quadratic, NOT the scale path:
     at 100 TB always run q_dedup_minhash_verified instead)."""
-    docs = table(spark, sf, "documents").select(
+    docs = _spread(spark, table(spark, sf, "documents")).select(
         "doc_id", F.array_distinct(_tokens(F.col("text"))).alias("tk")
     )
     a = docs.select(F.col("doc_id").alias("doc_a"), F.col("tk").alias("ta"))
@@ -411,7 +456,7 @@ def q_dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
     """SimHash-16: per token, 16 bits from md5 hex-digit parity; the doc
     fingerprint is sign(sum(±1)) per bit position. Hamming-0 clusters =
     near-dup groups. Output: fingerprint histogram (size>1 clusters)."""
-    docs = table(spark, sf, "documents")
+    docs = _spread(spark, table(spark, sf, "documents"))
     toks = F.array_distinct(_tokens(F.col("text")))
     hashes = F.transform(toks, lambda t: _md5s(t))
     bits = []
@@ -488,7 +533,7 @@ def q_ann_topk_bruteforce(spark: SparkSession, sf: str) -> DataFrame:
     """Exact cosine top-10 neighbors of vec_id=0 — the ANN correctness
     baseline. Query vector broadcast; one scan over embeddings; top-k via
     (rounded score desc, id) so ordering is engine-independent."""
-    emb = table(spark, sf, "embeddings")
+    emb = _spread(spark, table(spark, sf, "embeddings"))
     q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q_emb"))
     cos = _dot_expr(F.col("embedding"), F.col("q_emb")) / (
         _norm_expr(F.col("embedding")) * _norm_expr(F.col("q_emb"))
@@ -538,7 +583,7 @@ def q_ann_lsh_buckets(spark: SparkSession, sf: str) -> DataFrame:
     """Hyperplane-LSH bucket census — the partition layout of the ANN index.
     At scale, vectors are written bucketed by this key so a query probes one
     (or a few) buckets instead of the full table."""
-    emb = table(spark, sf, "embeddings")
+    emb = _spread(spark, table(spark, sf, "embeddings"))
     return (
         emb.select(_bucket_expr(F.col("embedding")).alias("bucket"))
         .groupBy("bucket")
@@ -556,7 +601,7 @@ def q_ann_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
     """The ANN scale path: probe only the query's LSH bucket, exact cosine
     within it, top-5. (Recall < 1 vs brute force by design — that is the
     documented ANN tradeoff; the correctness anchor is the bucket semantics.)"""
-    emb = table(spark, sf, "embeddings").withColumn(
+    emb = _spread(spark, table(spark, sf, "embeddings")).withColumn(
         "bucket", _bucket_expr(F.col("embedding"))
     )
     q = emb.filter(F.col("vec_id") == 0).select(
@@ -587,7 +632,7 @@ LIMIT 5
 
 def q_embedding_norm_stats(spark: SparkSession, sf: str) -> DataFrame:
     """Per-label vector norm statistics (embedding-table profiling)."""
-    emb = table(spark, sf, "embeddings")
+    emb = _spread(spark, table(spark, sf, "embeddings"))
     return (
         emb.select("label", F.round(_norm_expr(F.col("embedding")), 4).alias("nrm"))
         .groupBy("label")
