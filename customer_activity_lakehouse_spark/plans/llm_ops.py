@@ -25,6 +25,8 @@ Scale design (100 TB):
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -630,6 +632,236 @@ LIMIT 5
 """
 
 
+def q_dedup_embedding_cosine(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, exact: all (a < b) pairs with
+    cosine ≥ 0.40 — the correctness anchor for semantic dedup. Quadratic by
+    construction; at 100 TB always run the bucket-blocked twin
+    (q_dedup_embedding_cosine_lsh) and treat this as its oracle on samples."""
+    emb = _spread(spark, table(spark, sf, "embeddings")).select("vec_id", "embedding")
+    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    cos = _dot_expr(F.col("ea"), F.col("eb")) / (
+        _norm_expr(F.col("ea")) * _norm_expr(F.col("eb"))
+    )
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cos_sim", F.round(cos, 4))
+        .filter(F.col("cos_sim") >= 0.40)
+        .select("vec_a", "vec_b", "cos_sim")
+    )
+
+
+_SQL_PAIR_COS = (
+    "list_sum(list_transform(range(1, {d}+1), i -> x.embedding[i]::DOUBLE * y.embedding[i]::DOUBLE))"
+    " / (sqrt(list_sum(list_transform(range(1, {d}+1), i -> x.embedding[i]::DOUBLE * x.embedding[i]::DOUBLE)))"
+    " * sqrt(list_sum(list_transform(range(1, {d}+1), i -> y.embedding[i]::DOUBLE * y.embedding[i]::DOUBLE))))"
+).format(d=_DIM)
+
+ORACLE_DEDUP_EMBEDDING_COSINE = f"""
+SELECT vec_a, vec_b, cos_sim FROM (
+  SELECT x.vec_id AS vec_a, y.vec_id AS vec_b, round({_SQL_PAIR_COS}, 4) AS cos_sim
+  FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id)
+WHERE cos_sim >= 0.40
+"""
+
+
+N_EMB_BANDS = 4
+EMB_BAND_BITS = 4
+
+
+def _emb_plane_bit(col, j: int):
+    """Hyperplane j (0..15): sign(emb[4j+1] - emb[4j+3]) — a sparse ±1
+    projection; float32 subtraction is bit-exact across engines."""
+    return F.when(
+        F.element_at(col, 4 * j + 1).cast("double")
+        - F.element_at(col, 4 * j + 3).cast("double")
+        > 0,
+        F.lit("1"),
+    ).otherwise(F.lit("0"))
+
+
+def _emb_band_expr(col, b: int):
+    return F.concat(*[_emb_plane_bit(col, b * EMB_BAND_BITS + j) for j in range(EMB_BAND_BITS)])
+
+
+def _sql_emb_band(b: int) -> str:
+    return " || ".join(
+        f"CASE WHEN embedding[{4 * (b * EMB_BAND_BITS + j) + 1}]::DOUBLE"
+        f" - embedding[{4 * (b * EMB_BAND_BITS + j) + 3}]::DOUBLE > 0"
+        " THEN '1' ELSE '0' END"
+        for j in range(EMB_BAND_BITS)
+    )
+
+
+def q_dedup_embedding_cosine_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding near-dup, scale path: banded hyperplane LSH — 16 sign bits
+    in 4 bands of 4; vectors colliding in ANY band become candidate pairs
+    (OR-amplification, the same banding trick as MinHash-LSH), then exact
+    cosine ≥ 0.40 verifies candidates only.
+
+    Scale notes: the self-join shuffles on (band_idx, band_val) so pair
+    fan-out is per-bucket-bounded instead of N²; recall at threshold t is
+    1-(1-p^r)^b with p = 1-θ(t)/π (≈0.5 here, vs ≈0.03 for one monolithic
+    8-bit bucket — banding exists precisely to fix that recall cliff). At
+    100 TB raise bits-per-band to shrink buckets and add bands for recall."""
+    emb = _spread(spark, table(spark, sf, "embeddings")).select("vec_id", "embedding")
+    bands = emb.select(
+        "vec_id",
+        "embedding",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        _emb_band_expr(F.col("embedding"), b).alias("band_val"),
+                    )
+                    for b in range(N_EMB_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("vec_id", "embedding", "bk.band_idx", "bk.band_val")
+    a = bands.select(
+        "band_idx", "band_val", F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea")
+    )
+    b = bands.select(
+        "band_idx", "band_val", F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb")
+    )
+    cos = _dot_expr(F.col("ea"), F.col("eb")) / (
+        _norm_expr(F.col("ea")) * _norm_expr(F.col("eb"))
+    )
+    return (
+        a.join(b, ["band_idx", "band_val"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", F.round(cos, 4).alias("cos_sim"))
+        .filter(F.col("cos_sim") >= 0.40)
+        .distinct()
+    )
+
+
+_SQL_EMB_BANDS = " UNION ALL ".join(
+    f"SELECT vec_id, embedding, {b} AS band_idx, {_sql_emb_band(b)} AS band_val FROM embeddings"
+    for b in range(N_EMB_BANDS)
+)
+
+ORACLE_DEDUP_EMBEDDING_COSINE_LSH = f"""
+WITH bands AS ({_SQL_EMB_BANDS})
+SELECT DISTINCT vec_a, vec_b, cos_sim FROM (
+  SELECT x.vec_id AS vec_a, y.vec_id AS vec_b, round({_SQL_PAIR_COS}, 4) AS cos_sim
+  FROM bands x JOIN bands y
+    ON x.band_idx = y.band_idx AND x.band_val = y.band_val AND x.vec_id < y.vec_id)
+WHERE cos_sim >= 0.40
+"""
+
+
+def q_ann_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF-style ANN: coarse centroids = element-wise mean vector per label
+    (the "inverted file" cell key), probe = the single centroid nearest to
+    the query by cosine, then exact cosine top-5 within that cell only.
+
+    Scale design: the centroid table is tiny (n_cells rows) and broadcast;
+    cell assignment is a projection; at 100 TB the embedding table is
+    written partitioned by cell so a probe reads one partition. Centroid
+    means use order-independent decimal sums (shuffle order must not change
+    the probe decision)."""
+    emb = _spread(spark, table(spark, sf, "embeddings"))
+    comp = (
+        emb.select("label", F.posexplode("embedding").alias("pos", "v"))
+        .groupBy("label", "pos")
+        .agg(
+            (
+                F.sum(F.col("v").cast("decimal(25,8)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("c")
+        )
+    )
+    cent = comp.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "c"))), lambda s: s["c"]
+        ).alias("centroid")
+    )
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q_emb"))
+    cent_cos = _dot_expr(F.col("centroid"), F.col("q_emb")) / (
+        _norm_expr(F.col("centroid")) * _norm_expr(F.col("q_emb"))
+    )
+    best = (
+        cent.crossJoin(F.broadcast(q))
+        .select("label", F.round(cent_cos, 4).alias("ccos"))
+        .orderBy(F.col("ccos").desc(), F.col("label"))
+        .limit(1)
+        .select("label")
+    )
+    cos = _dot_expr(F.col("embedding"), F.col("q_emb")) / (
+        _norm_expr(F.col("embedding")) * _norm_expr(F.col("q_emb"))
+    )
+    return (
+        emb.join(F.broadcast(best), "label")
+        .filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", F.round(cos, 4).alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+        .limit(5)
+    )
+
+
+_SQL_CENT_COS = (
+    "list_sum(list_transform(range(1, {d}+1), i -> c.centroid[i] * q.embedding[i]::DOUBLE))"
+    " / (sqrt(list_sum(list_transform(range(1, {d}+1), i -> c.centroid[i] * c.centroid[i])))"
+    " * sqrt(list_sum(list_transform(range(1, {d}+1), i -> q.embedding[i]::DOUBLE * q.embedding[i]::DOUBLE))))"
+).format(d=_DIM)
+
+ORACLE_ANN_IVF_TOPK = f"""
+WITH comp AS (
+  SELECT label, i AS pos, sum(embedding[i]::DECIMAL(25,8))::DOUBLE / count(*) AS c
+  FROM embeddings, range(1, {_DIM}+1) t(i)
+  GROUP BY label, i
+),
+cent AS (SELECT label, list(c ORDER BY pos) AS centroid FROM comp GROUP BY label),
+qv AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+best AS (
+  SELECT c.label FROM cent c, qv q
+  ORDER BY round({_SQL_CENT_COS}, 4) DESC, c.label
+  LIMIT 1
+)
+SELECT a.vec_id AS vec_id,
+       round({_SQL_DOT} / ({_SQL_NORM_A} * {_SQL_NORM_Q}), 4) AS cos_sim
+FROM embeddings a JOIN best ON a.label = best.label, qv q
+WHERE a.vec_id != 0
+ORDER BY cos_sim DESC, vec_id
+LIMIT 5
+"""
+
+
+def q_ann_topk_pandas(spark: SparkSession, sf: str) -> DataFrame:
+    """Brute-force cosine top-10 via an Arrow-vectorized pandas UDF — the
+    Python-side hot path done right: one NumPy matmul per Arrow batch
+    instead of a per-row fold (and instead of a per-row Python UDF, which
+    would be ~100x slower). Same semantics (and oracle) as
+    q_ann_topk_bruteforce; exists to keep the JVM fold honest in bench.
+
+    The query vector is a driver-side constant by design — it is the user's
+    input in any ANN API — so capturing it in the UDF closure broadcasts
+    64 floats, not data."""
+    emb = _spread(spark, table(spark, sf, "embeddings"))
+    qvec = np.asarray(
+        emb.filter(F.col("vec_id") == 0).select("embedding").head()[0], dtype=np.float64
+    )
+    q_norm = float(np.sqrt(np.dot(qvec, qvec)))
+
+    @F.pandas_udf("double")
+    def cos_udf(vecs: pd.Series) -> pd.Series:
+        m = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        dots = m @ qvec
+        norms = np.sqrt(np.einsum("ij,ij->i", m, m))
+        return pd.Series(dots / (norms * q_norm))
+
+    return (
+        emb.filter(F.col("vec_id") != 0)
+        .select("vec_id", F.round(cos_udf(F.col("embedding")), 4).alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+        .limit(10)
+    )
+
+
 def q_embedding_norm_stats(spark: SparkSession, sf: str) -> DataFrame:
     """Per-label vector norm statistics (embedding-table profiling)."""
     emb = _spread(spark, table(spark, sf, "embeddings"))
@@ -681,6 +913,19 @@ QUERIES: dict[str, Query] = {
     ),
     "ann_lsh_buckets": Query(q_ann_lsh_buckets, ORACLE_ANN_LSH_BUCKETS, ("similarity", "lsh")),
     "ann_lsh_topk": Query(q_ann_lsh_topk, ORACLE_ANN_LSH_TOPK, ("similarity", "lsh")),
+    "ann_ivf_topk": Query(q_ann_ivf_topk, ORACLE_ANN_IVF_TOPK, ("similarity", "ivf"), True),
+    "ann_topk_pandas": Query(
+        q_ann_topk_pandas, ORACLE_ANN_TOPK_BRUTEFORCE, ("similarity", "pandas-udf"), True
+    ),
+    "dedup_embedding_cosine": Query(
+        q_dedup_embedding_cosine, ORACLE_DEDUP_EMBEDDING_COSINE, ("dedup", "quadratic")
+    ),
+    "dedup_embedding_cosine_lsh": Query(
+        q_dedup_embedding_cosine_lsh,
+        ORACLE_DEDUP_EMBEDDING_COSINE_LSH,
+        ("dedup", "lsh"),
+        True,
+    ),
     "embedding_norm_stats": Query(
         q_embedding_norm_stats, ORACLE_EMBEDDING_NORM_STATS, ("similarity",)
     ),

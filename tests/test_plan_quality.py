@@ -1,0 +1,107 @@
+"""Physical-plan quality gates — the 100 TB design contract, enforced.
+
+Correctness tests prove the small-SF answers match DuckDB; these prove the
+*plans* are the ones that survive a 1000-executor scale-up:
+
+- small dimensions are broadcast (no shuffle of the big fact side),
+- predicates reach the parquet scan (PushedFilters),
+- aggregations run inside WholeStageCodegen (JVM, not interpreted),
+- no row-at-a-time Python UDF (BatchEvalPython) appears in ANY catalog
+  query — Python is allowed only via Arrow (ArrowEvalPython / mapInPandas).
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+from customer_activity_lakehouse_spark.plans import QUERIES
+
+
+def explain_str(df, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+BROADCAST_EXPECTED = [
+    "revenue_by_brand_month",  # part dim broadcast under fact join
+    "building_top_orders",  # filtered customer dim broadcast
+    "region_nation_revenue",  # region/nation/supplier dims broadcast
+    "ann_topk_bruteforce",  # 1-row query vector broadcast
+    "ann_ivf_topk",  # centroid table + probe cell broadcast
+]
+
+
+@pytest.mark.parametrize("name", BROADCAST_EXPECTED)
+def test_broadcast_join_used(spark, sf_correctness, name):
+    plan = explain_str(QUERIES[name].fn(spark, sf_correctness))
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, (
+        f"{name}: expected a broadcast join in the physical plan:\n{plan}"
+    )
+
+
+PUSHDOWN_EXPECTED = [
+    "building_top_orders",  # date + segment predicates
+    "large_orders",
+    "small_qty_revenue",
+]
+
+
+@pytest.mark.parametrize("name", PUSHDOWN_EXPECTED)
+def test_filters_pushed_to_scan(spark, sf_correctness, name):
+    plan = explain_str(QUERIES[name].fn(spark, sf_correctness))
+    pushed = [
+        ln for ln in plan.splitlines() if "PushedFilters:" in ln and "PushedFilters: []" not in ln
+    ]
+    assert pushed, f"{name}: no non-empty PushedFilters in scan:\n{plan}"
+
+
+CODEGEN_EXPECTED = ["pricing_summary", "revenue_by_brand_month", "order_status_rollup"]
+
+
+@pytest.mark.parametrize("name", CODEGEN_EXPECTED)
+def test_wholestage_codegen(spark, sf_correctness, name):
+    # AQE hides codegen stages until the plan is finalized — execute first,
+    # then check the final adaptive plan for `*(N)` codegen-span markers.
+    df = QUERIES[name].fn(spark, sf_correctness)
+    df.collect()
+    plan = explain_str(df, "simple")
+    assert "isFinalPlan=true" in plan
+    assert "*(" in plan or "WholeStageCodegen" in plan, (
+        f"{name}: plan fell out of codegen:\n{plan}"
+    )
+
+
+def test_no_row_python_udf_anywhere(spark, sf_correctness):
+    """Row-at-a-time Python UDFs serialize row-by-row through the Python
+    worker — the one pattern that cannot be saved at scale. Arrow-vectorized
+    exchange (ArrowEvalPython) is the only Python allowed."""
+    offenders = []
+    for name, q in QUERIES.items():
+        plan = explain_str(q.fn(spark, sf_correctness), "simple")
+        if "BatchEvalPython" in plan:
+            offenders.append(name)
+    assert not offenders, f"row-Python UDF in: {offenders}"
+
+
+def test_partition_pruning(spark, tmp_path):
+    """A date-partitioned write read back with a partition predicate must
+    prune at planning time (the reference's raison d'être for hive
+    partitioning, data_processing.py:218)."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(100).select(
+        F.col("id"),
+        F.concat(F.lit("2024-01-0"), (F.col("id") % 3 + 1).cast("string")).alias("dt"),
+    )
+    out = str(tmp_path / "part")
+    df.write.mode("overwrite").partitionBy("dt").parquet(out)
+    back = spark.read.parquet(out).filter(F.col("dt") == "2024-01-02")
+    plan = explain_str(back)
+    assert "PartitionFilters" in plan and "dt" in plan
+    # only one of three partitions survives the scan
+    assert back.count() == 33
