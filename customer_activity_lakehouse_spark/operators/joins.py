@@ -1,0 +1,74 @@
+"""Join strategies for the two failure modes big clusters actually hit:
+skewed keys (one straggler task holds the job) and repeated fact⋈fact
+shuffles (the same TBs re-hashed every query).
+
+The reference has no joins of its own (SURVEY.md §2.4) — its star schema
+exists to be joined by the query layer — so these are the engine-side
+primitives that keep those implied joins healthy at 100 TB:
+
+- ``salted_join``: explicit skew salting for when AQE's runtime skew-split
+  (spark.sql.adaptive.skewJoin, on in session.py) can't help — e.g. a
+  single hot key inside one partition, or a build side that must shuffle.
+- ``write_bucketed`` / bucketed reads: pre-shuffle a table once into N
+  sorted buckets so every later equi-join on that key is exchange-free
+  (SortMergeJoin with zero Exchange on the bucketed sides).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+SALT_COL = "__salt"
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: str,
+    how: str = "inner",
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Equi-join with the big side's hot keys spread over ``salt_buckets``
+    sub-keys. The big side gets a uniform random salt (one narrow
+    projection, no extra shuffle beyond the join's own); the small side is
+    replicated ``salt_buckets``× via an explode (rows × buckets — only
+    acceptable because the salted side of a skew join is by definition the
+    small one). Join key becomes (on, salt), so a key holding k rows
+    shuffles into ``salt_buckets`` tasks of ~k/buckets instead of one.
+
+    Correctness: every big row holds exactly one salt value and the small
+    side holds ALL salt values per key, so matches are preserved exactly;
+    inner/left semantics unchanged. Right/full would drop the replication
+    invariant (small-side rows must not multiply in the output) — rejected.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    n = max(2, int(salt_buckets))
+    big_s = big.withColumn(SALT_COL, (F.rand(seed=7) * n).cast("int"))
+    small_s = small.withColumn(
+        SALT_COL, F.explode(F.sequence(F.lit(0), F.lit(n - 1)))
+    )
+    return big_s.join(small_s, [on, SALT_COL], how).drop(SALT_COL)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    key: str,
+    n_buckets: int,
+    sort: bool = True,
+) -> None:
+    """Persist ``df`` hash-bucketed (and bucket-sorted) by ``key`` — the
+    pay-once co-location layout: both sides of a future join bucketed to
+    the same (key, n_buckets) join with NO Exchange, and bucket-sorted
+    files skip the per-task sort of SortMergeJoin too. This is the batch
+    answer to 'the same join shuffles 100 TB every night'."""
+    writer = df.write.format("parquet").mode("overwrite").bucketBy(n_buckets, key)
+    if sort:
+        writer = writer.sortBy(key)
+    writer.saveAsTable(table)
+
+
+def read_table(spark: SparkSession, table: str) -> DataFrame:
+    return spark.table(table)

@@ -703,11 +703,17 @@ def q_dedup_embedding_cosine_lsh(spark: SparkSession, sf: str) -> DataFrame:
     fan-out is per-bucket-bounded instead of N²; recall at threshold t is
     1-(1-p^r)^b with p = 1-θ(t)/π (≈0.5 here, vs ≈0.03 for one monolithic
     8-bit bucket — banding exists precisely to fix that recall cliff). At
-    100 TB raise bits-per-band to shrink buckets and add bands for recall."""
+    100 TB raise bits-per-band to shrink buckets and add bands for recall.
+
+    Plan shape (the part that matters at scale): the band self-join carries
+    ONLY (vec_id, band key) — never the 64-float vectors — and candidate
+    pairs are made DISTINCT before any math, so each unique pair is verified
+    once no matter how many bands it collided in. Vectors come back via two
+    id-joins with the per-vector norm precomputed a single time (the same
+    double the inline expression would produce, so oracle-hash safe)."""
     emb = _spread(spark, table(spark, sf, "embeddings")).select("vec_id", "embedding")
     bands = emb.select(
         "vec_id",
-        "embedding",
         F.explode(
             F.array(
                 *[
@@ -719,22 +725,38 @@ def q_dedup_embedding_cosine_lsh(spark: SparkSession, sf: str) -> DataFrame:
                 ]
             )
         ).alias("bk"),
-    ).select("vec_id", "embedding", "bk.band_idx", "bk.band_val")
-    a = bands.select(
-        "band_idx", "band_val", F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea")
-    )
-    b = bands.select(
-        "band_idx", "band_val", F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb")
-    )
-    cos = _dot_expr(F.col("ea"), F.col("eb")) / (
-        _norm_expr(F.col("ea")) * _norm_expr(F.col("eb"))
-    )
-    return (
+    ).select("vec_id", "bk.band_idx", "bk.band_val")
+    a = bands.select("band_idx", "band_val", F.col("vec_id").alias("vec_a"))
+    b = bands.select("band_idx", "band_val", F.col("vec_id").alias("vec_b"))
+    cands = (
         a.join(b, ["band_idx", "band_val"])
         .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+        .distinct()
+    )
+    embn = emb.select(
+        "vec_id", "embedding", _norm_expr(F.col("embedding")).alias("nrm")
+    )
+    cos = _dot_expr(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
+    return (
+        cands.join(
+            embn.select(
+                F.col("vec_id").alias("vec_a"),
+                F.col("embedding").alias("ea"),
+                F.col("nrm").alias("na"),
+            ),
+            "vec_a",
+        )
+        .join(
+            embn.select(
+                F.col("vec_id").alias("vec_b"),
+                F.col("embedding").alias("eb"),
+                F.col("nrm").alias("nb"),
+            ),
+            "vec_b",
+        )
         .select("vec_a", "vec_b", F.round(cos, 4).alias("cos_sim"))
         .filter(F.col("cos_sim") >= 0.40)
-        .distinct()
     )
 
 

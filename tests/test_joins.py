@@ -1,0 +1,79 @@
+"""Skew-salted joins must match plain-join results exactly; bucketed joins
+must produce exchange-free plans (the co-location contract)."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+from pyspark.sql import functions as F
+
+from customer_activity_lakehouse_spark.operators.joins import (
+    salted_join,
+    write_bucketed,
+)
+
+
+def _skewed_fact(spark):
+    # 5000 rows, 80% on key 1 — the canonical hot key
+    return spark.range(5000).select(
+        F.when(F.col("id") % 5 < 4, F.lit(1)).otherwise(F.col("id") % 97).alias("k"),
+        (F.col("id") * 2).alias("v"),
+    )
+
+
+def _dim(spark):
+    return spark.range(97).select(F.col("id").alias("k"), F.concat(F.lit("d"), F.col("id")).alias("name"))
+
+
+@pytest.mark.parametrize("how", ["inner", "left"])
+def test_salted_join_matches_plain_join(spark, how):
+    fact, dim = _skewed_fact(spark), _dim(spark)
+    plain = fact.join(dim, "k", how).select("k", "v", "name")
+    salted = salted_join(fact, dim, "k", how).select("k", "v", "name")
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_salted_join_rejects_right_join(spark):
+    with pytest.raises(ValueError):
+        salted_join(_skewed_fact(spark), _dim(spark), "k", "right")
+
+
+def test_salted_join_spreads_hot_key(spark):
+    """The hot key's rows must land in >1 salt bucket — otherwise the salt
+    did nothing and the straggler remains."""
+    fact = _skewed_fact(spark)
+    from customer_activity_lakehouse_spark.operators.joins import SALT_COL
+
+    salted = fact.withColumn(SALT_COL, (F.rand(seed=7) * 16).cast("int"))
+    n = salted.filter(F.col("k") == 1).select(SALT_COL).distinct().count()
+    assert n > 8, f"hot key only reached {n} of 16 salt buckets"
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    """Two tables bucketed on the same key/count join without any shuffle:
+    the physical plan contains a SortMergeJoin and ZERO Exchange operators
+    on the bucketed sides."""
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS bktest LOCATION '{tmp_path}'")
+    try:
+        left = spark.range(10_000).select(F.col("id").alias("k"), (F.col("id") % 7).alias("a"))
+        right = spark.range(5_000).select(F.col("id").alias("k"), (F.col("id") % 3).alias("b"))
+        write_bucketed(left, "bktest.l", "k", 8)
+        write_bucketed(right, "bktest.r", "k", 8)
+
+        joined = spark.table("bktest.l").join(spark.table("bktest.r"), "k")
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            buf = io.StringIO()
+            with contextlib.redirect_stdout(buf):
+                joined.explain()
+            plan = buf.getvalue()
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        assert "SortMergeJoin" in plan, plan
+        assert "Exchange" not in plan, f"bucketed join still shuffles:\n{plan}"
+        assert joined.count() == 5_000
+    finally:
+        spark.sql("DROP DATABASE IF EXISTS bktest CASCADE")

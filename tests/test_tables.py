@@ -1,0 +1,102 @@
+"""Lakehouse table management: dynamic partition overwrite must touch only
+the partitions in the batch; compaction must shrink file counts without
+changing data; stats must agree with the file layout."""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+from pyspark.sql import functions as F
+
+from customer_activity_lakehouse_spark.sources.tables import (
+    TableSpec,
+    compact,
+    detect_table_format,
+    partition_stats,
+    read_table,
+    write_full,
+    write_incremental,
+)
+
+
+def _mk(spark, dates, start=0, n=30):
+    return spark.range(start, start + n).select(
+        F.col("id"),
+        F.element_at(F.array(*[F.lit(d) for d in dates]), (F.col("id") % len(dates) + 1).cast("int")).alias("dt"),
+    )
+
+
+def _files(path):
+    return sorted(str(p) for p in Path(path).rglob("*.parquet"))
+
+
+def test_incremental_overwrite_touches_only_batch_partitions(spark, tmp_path):
+    spec = TableSpec(str(tmp_path / "t"), ("dt",))
+    write_full(_mk(spark, ["2024-01-01", "2024-01-02", "2024-01-03"]), spec)
+    before = {f for f in _files(spec.path) if "dt=2024-01-01" in f}
+    assert before, "seed write produced no 01-01 files"
+
+    # batch contains only 02 and 03 → 01 files must be byte-identical
+    batch = _mk(spark, ["2024-01-02", "2024-01-03"], start=100)
+    write_incremental(batch, spec)
+
+    after = {f for f in _files(spec.path) if "dt=2024-01-01" in f}
+    assert after == before, "untouched partition was rewritten"
+
+    out = read_table(spark, spec)
+    assert out.filter(F.col("dt") == "2024-01-01").count() == 10  # original
+    got = {r["id"] for r in out.filter(F.col("dt") != "2024-01-01").collect()}
+    assert got == {r["id"] for r in batch.collect()}  # replaced, not appended
+
+    # static default restored after the call
+    assert spark.conf.get("spark.sql.sources.partitionOverwriteMode").lower() == "static"
+
+
+def test_incremental_requires_partitioning(spark, tmp_path):
+    import pytest
+
+    with pytest.raises(ValueError):
+        write_incremental(spark.range(1), TableSpec(str(tmp_path / "x")))
+
+
+def test_compact_shrinks_files_preserves_rows(spark, tmp_path):
+    spec = TableSpec(str(tmp_path / "c"), ("dt",))
+    # fragment: 6 incremental writes of the same partitions
+    for i in range(6):
+        df = _mk(spark, ["2024-02-01", "2024-02-02"], start=i * 100).repartition(4)
+        if i == 0:
+            write_full(df, spec)
+        else:
+            mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+            df.sparkSession.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+            df.write.mode("append").partitionBy("dt").parquet(spec.path)
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", mode)
+    rows_before = {tuple(r) for r in read_table(spark, spec).collect()}
+    n_files_before = len(_files(spec.path))
+    assert n_files_before > 2
+
+    compact(spark, spec, files_per_partition=1)
+
+    assert {tuple(r) for r in read_table(spark, spec).collect()} == rows_before
+    per_part = {}
+    for f in _files(spec.path):
+        part = [seg for seg in f.split("/") if seg.startswith("dt=")][0]
+        per_part[part] = per_part.get(part, 0) + 1
+    assert set(per_part) == {"dt=2024-02-01", "dt=2024-02-02"}
+    assert all(n == 1 for n in per_part.values()), per_part
+
+
+def test_partition_stats_matches_layout(spark, tmp_path):
+    spec = TableSpec(str(tmp_path / "s"), ("dt",))
+    write_full(_mk(spark, ["2024-03-01", "2024-03-02", "2024-03-03"]), spec)
+    stats = {r["dt"]: (r["n_rows"], r["n_files"]) for r in partition_stats(spark, spec).collect()}
+    assert set(stats) == {"2024-03-01", "2024-03-02", "2024-03-03"}
+    assert sum(n for n, _ in stats.values()) == 30
+    for part, (_, nf) in stats.items():
+        on_disk = len([f for f in _files(spec.path) if f"dt={part}" in f])
+        assert nf == on_disk
+
+
+def test_detect_table_format_falls_back_to_parquet():
+    # this environment ships no delta/iceberg runtime
+    assert detect_table_format() == "parquet"
