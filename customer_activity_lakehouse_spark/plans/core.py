@@ -445,16 +445,23 @@ FROM lineitem JOIN part ON l_partkey = p_partkey
 
 
 def q_top_suppliers(spark: SparkSession, sf: str) -> DataFrame:
-    """TPC-H Q15 shape: agg → window rank over exact-decimal revenue,
-    suppkey tiebreak → identical ordering across engines."""
+    """TPC-H Q15 shape: agg → top-3 by exact-decimal revenue, suppkey
+    tiebreak → identical ordering across engines.
+
+    Plan shape: ``orderBy().limit(3)`` plans as TakeOrderedAndProject —
+    per-partition top-3 heaps merged on the driver — instead of ranking via
+    an UNPARTITIONED window, which would funnel every post-agg row through
+    one task (the single-threaded stage in an otherwise parallel plan at
+    scale). The rank is attached afterwards by a window over the 3
+    surviving rows only."""
     li = table(spark, sf, "lineitem").filter(
         (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1997-07-01")
     )
     rev = li.groupBy("l_suppkey").agg(revenue_sum().alias("total_revenue"))
-    w = Window.orderBy(F.col("total_revenue").desc(), F.col("l_suppkey"))
+    order = [F.col("total_revenue").desc(), F.col("l_suppkey")]
+    top = rev.orderBy(*order).limit(3)
     return (
-        rev.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= 3)
+        top.withColumn("rk", F.row_number().over(Window.orderBy(*order)))
         .select(F.col("l_suppkey").alias("s_suppkey"), "total_revenue", "rk")
     )
 

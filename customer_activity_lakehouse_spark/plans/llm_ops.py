@@ -27,11 +27,72 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import BPE_SPLIT_PATTERN, LANG_MARKERS, STOPWORDS_EN
 from .registry import Query, table
+
+# Default per-bucket row cap for the LSH band self-joins. A band bucket of n
+# rows produces O(n²) candidate pairs; a pathological cluster (millions of
+# boilerplate near-identical docs sharing one band value) would make one
+# bucket quadratic at 100 TB. Buckets above the cap are DROPPED before the
+# join — high enough that all driver fixtures (≤5k docs) are untouched.
+LSH_BUCKET_CAP = 1_000
+
+# Default input-size bound for the brute-force O(n²) correctness anchors.
+# They exist to oracle the LSH twins on small samples; above this they
+# refuse instead of silently launching an n² join.
+QUADRATIC_MAX_ROWS = 20_000
+
+
+def _cap_buckets(bands: DataFrame, cap: int | None) -> DataFrame:
+    """Drop LSH band buckets holding more than ``cap`` rows before the
+    self-join — the mega-bucket guard that keeps banded dedup from going
+    quadratic on a single skewed band value.
+
+    Shape: one partially-aggregating groupBy counts rows per
+    (band_idx, band_val); the hot list is tiny BY CONSTRUCTION (only
+    pathological buckets exceed the cap), so it broadcast-anti-joins
+    against the bands with no extra shuffle of the band table. Use
+    :func:`lsh_hot_buckets` on the same bands frame to see what a given
+    cap would drop (the audit the scale runbook logs before dedup)."""
+    if cap is None:
+        return bands
+    hot = (
+        bands.groupBy("band_idx", "band_val")
+        .agg(F.count(F.lit(1)).alias("__bn"))
+        .filter(F.col("__bn") > cap)
+        .select("band_idx", "band_val")
+    )
+    return bands.join(F.broadcast(hot), ["band_idx", "band_val"], "left_anti")
+
+
+def lsh_hot_buckets(bands: DataFrame, cap: int) -> DataFrame:
+    """Audit twin of :func:`_cap_buckets`: the buckets a given ``cap`` would
+    drop, with their sizes — emit/log this before a capped dedup run so
+    dropped clusters are observable, never silent."""
+    return (
+        bands.groupBy("band_idx", "band_val")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .filter(F.col("n_rows") > cap)
+    )
+
+
+def _guard_quadratic(df: DataFrame, name: str, twin: str, max_rows: int | None) -> None:
+    """Refuse to run an O(n²) correctness anchor on an input too large for
+    it. The count is one cheap columnless scan — nothing next to the n²
+    join it prevents."""
+    if max_rows is None:
+        return
+    n = df.count()
+    if n > max_rows:
+        raise ValueError(
+            f"{name} is a quadratic correctness anchor (O(n²) pairs) and its "
+            f"input holds {n} rows > max_rows={max_rows}. Run {twin} — the "
+            f"LSH scale path with identical semantics on candidates — or pass "
+            f"max_rows=None/higher to override on a sample."
+        )
 
 
 def _spread(spark: SparkSession, df: DataFrame) -> DataFrame:
@@ -291,8 +352,8 @@ GROUP BY set_fp HAVING count(*) > 1
 """
 
 
-def _signature_df(spark: SparkSession, sf: str) -> DataFrame:
-    """doc_id + minhash signature + band keys.
+def signature_from_docs(docs: DataFrame) -> DataFrame:
+    """doc_id + minhash signature + band keys, from any (doc_id, text) frame.
 
     Shape: explode shingles once (no recomputation of the shingle expression
     per hash — projection collapse would inline it N_MINHASH times in a
@@ -302,7 +363,6 @@ def _signature_df(spark: SparkSession, sf: str) -> DataFrame:
     size. Docs too short to shingle keep a null signature (explode_outer)
     and thus produce no band matches downstream.
     """
-    docs = _spread(spark, table(spark, sf, "documents"))
     ex = docs.select("doc_id", F.explode_outer(_shingles(F.col("text"))).alias("s"))
     hashed = ex.select(
         "doc_id",
@@ -321,6 +381,10 @@ def _signature_df(spark: SparkSession, sf: str) -> DataFrame:
             f"band{b}", _md5s(F.concat(F.col(f"mh{2 * b}"), F.col(f"mh{2 * b + 1}")))
         )
     return sig
+
+
+def _signature_df(spark: SparkSession, sf: str) -> DataFrame:
+    return signature_from_docs(_spread(spark, table(spark, sf, "documents")))
 
 
 _SQL_SIG = (
@@ -343,22 +407,25 @@ _SQL_BANDS = (
 )
 
 
-def q_dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
-    """MinHash-LSH candidate pairs: char-8-gram shingles → 8 salted minhashes
-    → 4 bands of 2 → same-band self-join → distinct (a < b) pairs.
-
-    Scale notes: signature build is shuffle-free; the self-join shuffles on
-    the band key only. At 100 TB, cap mega-buckets (count per band value,
-    drop buckets above a bound) before the join — with 2-hash bands the
-    collision rate is J², so only true near-dup clusters grow buckets.
-    """
-    sig = _signature_df(spark, sf)
-    bands = sig.select(
+def minhash_band_keys(docs: DataFrame) -> DataFrame:
+    """(doc_id, band_idx, band_val) long form of the minhash signature —
+    the LSH blocking key table both the self-join and the hot-bucket audit
+    operate on."""
+    sig = signature_from_docs(docs)
+    return sig.select(
         "doc_id",
         F.explode(
             F.array(*[F.struct(F.lit(b).alias("band_idx"), F.col(f"band{b}").alias("band_val")) for b in range(N_BANDS)])
         ).alias("bk"),
     ).select("doc_id", F.col("bk.band_idx").alias("band_idx"), F.col("bk.band_val").alias("band_val"))
+
+
+def minhash_lsh_pairs(docs: DataFrame, bucket_cap: int | None = LSH_BUCKET_CAP) -> DataFrame:
+    """MinHash-LSH candidate pairs over any (doc_id, text) frame: char-8-gram
+    shingles → 8 salted minhashes → 4 bands of 2 → same-band self-join →
+    distinct (a < b) pairs. Buckets larger than ``bucket_cap`` are dropped
+    before the join (see :func:`_cap_buckets`)."""
+    bands = _cap_buckets(minhash_band_keys(docs), bucket_cap)
     a = bands.alias("a")
     b = bands.alias("b")
     return (
@@ -371,6 +438,18 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    """MinHash-LSH candidate pairs (see :func:`minhash_lsh_pairs`).
+
+    Scale notes: signature build is shuffle-free; the self-join shuffles on
+    the band key only, and mega-buckets above LSH_BUCKET_CAP are dropped
+    before the join — with 2-hash bands the collision rate is J², so only
+    true near-dup clusters grow buckets, and a cluster too big to pair-wise
+    is exactly the one you dedup by bucket id instead of by pair.
+    """
+    return minhash_lsh_pairs(_spread(spark, table(spark, sf, "documents")))
 
 
 ORACLE_DEDUP_MINHASH_LSH = f"""
@@ -423,11 +502,18 @@ WHERE jaccard >= 0.5
 """
 
 
-def q_dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
+def q_dedup_ngram_jaccard(
+    spark: SparkSession, sf: str, max_rows: int | None = QUADRATIC_MAX_ROWS
+) -> DataFrame:
     """Exact token-SET Jaccard ≥ 0.9 over all pairs — the brute-force oracle
     twin of the LSH path (correctness anchor; quadratic, NOT the scale path:
-    at 100 TB always run q_dedup_minhash_verified instead)."""
-    docs = _spread(spark, table(spark, sf, "documents")).select(
+    at 100 TB always run q_dedup_minhash_verified instead — a row-count
+    guard refuses inputs above ``max_rows``)."""
+    base = table(spark, sf, "documents")
+    _guard_quadratic(
+        base.select("doc_id"), "q_dedup_ngram_jaccard", "q_dedup_minhash_verified", max_rows
+    )
+    docs = _spread(spark, base).select(
         "doc_id", F.array_distinct(_tokens(F.col("text"))).alias("tk")
     )
     a = docs.select(F.col("doc_id").alias("doc_a"), F.col("tk").alias("ta"))
@@ -632,12 +718,22 @@ LIMIT 5
 """
 
 
-def q_dedup_embedding_cosine(spark: SparkSession, sf: str) -> DataFrame:
+def q_dedup_embedding_cosine(
+    spark: SparkSession, sf: str, max_rows: int | None = QUADRATIC_MAX_ROWS
+) -> DataFrame:
     """Embedding-cosine near-dup pairs, exact: all (a < b) pairs with
     cosine ≥ 0.40 — the correctness anchor for semantic dedup. Quadratic by
     construction; at 100 TB always run the bucket-blocked twin
-    (q_dedup_embedding_cosine_lsh) and treat this as its oracle on samples."""
-    emb = _spread(spark, table(spark, sf, "embeddings")).select("vec_id", "embedding")
+    (q_dedup_embedding_cosine_lsh) and treat this as its oracle on samples —
+    a row-count guard refuses inputs above ``max_rows``."""
+    base = table(spark, sf, "embeddings")
+    _guard_quadratic(
+        base.select("vec_id"),
+        "q_dedup_embedding_cosine",
+        "q_dedup_embedding_cosine_lsh",
+        max_rows,
+    )
+    emb = _spread(spark, base).select("vec_id", "embedding")
     a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
     b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
     cos = _dot_expr(F.col("ea"), F.col("eb")) / (
@@ -708,11 +804,20 @@ def q_dedup_embedding_cosine_lsh(spark: SparkSession, sf: str) -> DataFrame:
     Plan shape (the part that matters at scale): the band self-join carries
     ONLY (vec_id, band key) — never the 64-float vectors — and candidate
     pairs are made DISTINCT before any math, so each unique pair is verified
-    once no matter how many bands it collided in. Vectors come back via two
-    id-joins with the per-vector norm precomputed a single time (the same
-    double the inline expression would produce, so oracle-hash safe)."""
-    emb = _spread(spark, table(spark, sf, "embeddings")).select("vec_id", "embedding")
-    bands = emb.select(
+    once no matter how many bands it collided in; band buckets above
+    ``bucket_cap`` rows are dropped before the join (see
+    :func:`_cap_buckets`). Vectors come back via two id-joins with the
+    per-vector norm precomputed a single time (the same double the inline
+    expression would produce, so oracle-hash safe)."""
+    return embedding_lsh_pairs(
+        _spread(spark, table(spark, sf, "embeddings")).select("vec_id", "embedding")
+    )
+
+
+def embedding_band_keys(emb: DataFrame) -> DataFrame:
+    """(vec_id, band_idx, band_val) hyperplane-LSH blocking keys for any
+    (vec_id, embedding) frame."""
+    return emb.select(
         "vec_id",
         F.explode(
             F.array(
@@ -726,6 +831,15 @@ def q_dedup_embedding_cosine_lsh(spark: SparkSession, sf: str) -> DataFrame:
             )
         ).alias("bk"),
     ).select("vec_id", "bk.band_idx", "bk.band_val")
+
+
+def embedding_lsh_pairs(
+    emb: DataFrame, bucket_cap: int | None = LSH_BUCKET_CAP
+) -> DataFrame:
+    """Banded hyperplane-LSH near-dup pairs over any (vec_id, embedding)
+    frame — candidates from same-band collisions (buckets above
+    ``bucket_cap`` dropped first), verified with exact cosine ≥ 0.40."""
+    bands = _cap_buckets(embedding_band_keys(emb), bucket_cap)
     a = bands.select("band_idx", "band_val", F.col("vec_id").alias("vec_a"))
     b = bands.select("band_idx", "band_val", F.col("vec_id").alias("vec_b"))
     cands = (
@@ -784,22 +898,23 @@ def q_ann_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
     cell assignment is a projection; at 100 TB the embedding table is
     written partitioned by cell so a probe reads one partition. Centroid
     means use order-independent decimal sums (shuffle order must not change
-    the probe decision)."""
+    the probe decision), computed as 64 per-component sum aggregates in ONE
+    partially-aggregating groupBy — no posexplode row inflation (the
+    previous shape shuffled 64× the rows and needed a second groupBy +
+    collect_list to reassemble the vector)."""
     emb = _spread(spark, table(spark, sf, "embeddings"))
-    comp = (
-        emb.select("label", F.posexplode("embedding").alias("pos", "v"))
-        .groupBy("label", "pos")
-        .agg(
-            (
-                F.sum(F.col("v").cast("decimal(25,8)")).cast("double")
-                / F.count(F.lit(1))
-            ).alias("c")
-        )
+    sums = emb.groupBy("label").agg(
+        F.count(F.lit(1)).alias("__n"),
+        *[
+            F.sum(F.element_at("embedding", i + 1).cast("decimal(25,8)")).alias(f"__s{i}")
+            for i in range(_DIM)
+        ],
     )
-    cent = comp.groupBy("label").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("pos", "c"))), lambda s: s["c"]
-        ).alias("centroid")
+    cent = sums.select(
+        "label",
+        F.array(
+            *[(F.col(f"__s{i}").cast("double") / F.col("__n")) for i in range(_DIM)]
+        ).alias("centroid"),
     )
     q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q_emb"))
     cent_cos = _dot_expr(F.col("centroid"), F.col("q_emb")) / (
@@ -862,18 +977,27 @@ def q_ann_topk_pandas(spark: SparkSession, sf: str) -> DataFrame:
 
     The query vector is a driver-side constant by design — it is the user's
     input in any ANN API — so capturing it in the UDF closure broadcasts
-    64 floats, not data."""
+    64 floats, not data.
+
+    Numeric parity: the reductions use ``np.cumsum(..., axis=1)`` and take
+    the last column — a per-row LEFT-TO-RIGHT sequential scan, the exact
+    float-op order of the JVM ``aggregate`` fold and the DuckDB twin. A
+    BLAS matmul/einsum would be faster but reassociates the additions,
+    making the rounded-to-4dp oracle hash kernel/platform-dependent."""
     emb = _spread(spark, table(spark, sf, "embeddings"))
     qvec = np.asarray(
         emb.filter(F.col("vec_id") == 0).select("embedding").head()[0], dtype=np.float64
     )
-    q_norm = float(np.sqrt(np.dot(qvec, qvec)))
+    q_acc = 0.0
+    for x in qvec:  # sequential fold, matching _norm_expr exactly
+        q_acc += x * x
+    q_norm = float(np.sqrt(q_acc))
 
     @F.pandas_udf("double")
     def cos_udf(vecs: pd.Series) -> pd.Series:
         m = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
-        dots = m @ qvec
-        norms = np.sqrt(np.einsum("ij,ij->i", m, m))
+        dots = np.cumsum(m * qvec, axis=1)[:, -1]
+        norms = np.sqrt(np.cumsum(m * m, axis=1)[:, -1])
         return pd.Series(dots / (norms * q_norm))
 
     return (
@@ -882,6 +1006,55 @@ def q_ann_topk_pandas(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
         .limit(10)
     )
+
+
+def ann_topk_batch(emb: DataFrame, queries: DataFrame, k: int = 5) -> DataFrame:
+    """Batch similarity search: exact cosine top-``k`` for EVERY query vector
+    in ``queries`` (columns q_id, q_emb) — the real ANN API surface; the
+    single-vector catalog queries are the q_id-count-1 special case.
+
+    Scale shape: the query set is the small side by definition (a user's
+    probe batch), so it broadcasts — one scan of the embedding table scores
+    all queries at once, and the per-query top-k window partitions by q_id
+    (parallel across queries, never a global single-task sort)."""
+    cos = _dot_expr(F.col("embedding"), F.col("q_emb")) / (
+        _norm_expr(F.col("embedding")) * _norm_expr(F.col("q_emb"))
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(queries))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id", F.round(cos, 4).alias("cos_sim"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("q_id", "vec_id", "cos_sim", "rk")
+    )
+
+
+def q_ann_topk_multi(spark: SparkSession, sf: str) -> DataFrame:
+    """Multi-query ANN over a 3-vector probe batch (vec_id 0,1,2) — the
+    broadcast-query-set generalization of q_ann_topk_bruteforce."""
+    emb = _spread(spark, table(spark, sf, "embeddings"))
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    return ann_topk_batch(emb, queries, k=5)
+
+
+ORACLE_ANN_TOPK_MULTI = f"""
+WITH qs AS (SELECT vec_id AS q_id, embedding FROM embeddings WHERE vec_id < 3),
+scored AS (
+  SELECT q.q_id AS q_id, a.vec_id AS vec_id,
+         round({_SQL_DOT} / ({_SQL_NORM_A} * {_SQL_NORM_Q}), 4) AS cos_sim
+  FROM embeddings a, qs q WHERE a.vec_id != q.q_id)
+SELECT q_id, vec_id, cos_sim, rk FROM (
+  SELECT q_id, vec_id, cos_sim,
+         row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) AS rk
+  FROM scored)
+WHERE rk <= 5
+"""
 
 
 def q_embedding_norm_stats(spark: SparkSession, sf: str) -> DataFrame:
@@ -938,6 +1111,9 @@ QUERIES: dict[str, Query] = {
     "ann_ivf_topk": Query(q_ann_ivf_topk, ORACLE_ANN_IVF_TOPK, ("similarity", "ivf"), True),
     "ann_topk_pandas": Query(
         q_ann_topk_pandas, ORACLE_ANN_TOPK_BRUTEFORCE, ("similarity", "pandas-udf"), True
+    ),
+    "ann_topk_multi": Query(
+        q_ann_topk_multi, ORACLE_ANN_TOPK_MULTI, ("similarity", "batch")
     ),
     "dedup_embedding_cosine": Query(
         q_dedup_embedding_cosine, ORACLE_DEDUP_EMBEDDING_COSINE, ("dedup", "quadratic")

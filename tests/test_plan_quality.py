@@ -88,6 +88,18 @@ def test_no_row_python_udf_anywhere(spark, sf_correctness):
     assert not offenders, f"row-Python UDF in: {offenders}"
 
 
+def test_top_suppliers_no_global_window(spark, sf_correctness):
+    """Regression gate for the q15-shape top-k: the global ordering must be
+    a TakeOrderedAndProject (per-partition heaps, driver merge), never an
+    unpartitioned Window over the full agg output — that funnels every
+    post-agg row through ONE task at scale. The rank window is allowed only
+    AFTER the limit (it sees 3 rows)."""
+    plan = explain_str(QUERIES["top_suppliers"].fn(spark, sf_correctness))
+    assert "TakeOrderedAndProject" in plan, (
+        f"top_suppliers: global top-k not limit-bounded:\n{plan}"
+    )
+
+
 def test_partition_pruning(spark, tmp_path):
     """A date-partitioned write read back with a partition predicate must
     prune at planning time (the reference's raison d'être for hive

@@ -1,0 +1,116 @@
+"""Scale-guard tests: the protections that keep the dedup family from
+going quadratic on pathological inputs at 100 TB.
+
+- LSH mega-bucket cap: a skewed band value (millions of boilerplate
+  near-identical docs) must not turn the band self-join into an n² blowup
+  inside one bucket. `_cap_buckets` drops buckets above the cap; these
+  tests build a synthetic hot cluster and assert the candidate set is
+  bounded (and the audit query sees exactly what was dropped).
+- Quadratic-anchor gates: the brute-force all-pairs correctness anchors
+  must refuse inputs above their row bound, pointing at the LSH twin.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from customer_activity_lakehouse_spark.plans.llm_ops import (
+    LSH_BUCKET_CAP,
+    embedding_band_keys,
+    embedding_lsh_pairs,
+    lsh_hot_buckets,
+    minhash_band_keys,
+    minhash_lsh_pairs,
+    q_dedup_embedding_cosine,
+    q_dedup_ngram_jaccard,
+)
+
+HOT_TEXT = (
+    "the same boilerplate paragraph repeated across a crawled template site "
+    "with enough characters to shingle comfortably"
+)
+
+
+@pytest.fixture(scope="module")
+def hot_docs(spark):
+    """300 byte-identical docs (one near-dup mega-cluster) + 3 distinct."""
+    hot = spark.range(300).select(
+        F.col("id").alias("doc_id"), F.lit(HOT_TEXT).alias("text")
+    )
+    distinct = spark.createDataFrame(
+        [
+            (1000, "completely unrelated text about gardening and soil acidity"),
+            (1001, "a second singleton document discussing maritime navigation"),
+            (1002, "third lone record on the history of typefaces and kerning"),
+        ],
+        "doc_id long, text string",
+    )
+    return hot.unionByName(distinct)
+
+
+def test_minhash_bucket_cap_bounds_candidates(hot_docs):
+    # Uncapped: the 300-doc cluster alone yields C(300,2) = 44850 pairs.
+    assert minhash_lsh_pairs(hot_docs, bucket_cap=None).count() >= 44850
+    # Capped: every bucket the cluster occupies exceeds 100 rows and is
+    # dropped, so the quadratic cluster contributes nothing; the singleton
+    # docs share no 8-gram shingles so produce no pairs either.
+    assert minhash_lsh_pairs(hot_docs, bucket_cap=100).count() == 0
+
+
+def test_minhash_hot_bucket_audit(hot_docs):
+    audit = lsh_hot_buckets(minhash_band_keys(hot_docs), cap=100).collect()
+    # identical docs → identical signature → one hot bucket per band
+    assert len(audit) == 4
+    assert all(r.n_rows == 300 for r in audit)
+
+
+def test_default_cap_leaves_fixtures_untouched(spark, sf_correctness):
+    """LSH_BUCKET_CAP must be invisible at oracle scale — the sf0.01
+    fixtures (500 docs) cannot even theoretically fill a bucket past it."""
+    docs = spark.read.parquet(f"{sf_correctness}/documents.parquet")
+    assert docs.count() < LSH_BUCKET_CAP
+    assert lsh_hot_buckets(minhash_band_keys(docs), LSH_BUCKET_CAP).count() == 0
+
+
+@pytest.fixture(scope="module")
+def hot_embeddings(spark):
+    """200 identical vectors (cosine 1.0 cluster) + 2 distinct."""
+    vec = [float(i % 7) - 3.0 for i in range(64)]
+    other = [float((i * 13) % 11) - 5.0 for i in range(64)]
+    third = [float((i * 29) % 17) - 8.0 for i in range(64)]
+    hot = spark.range(200).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[F.lit(v) for v in vec]).cast("array<float>").alias("embedding"),
+    )
+    distinct = spark.createDataFrame(
+        [(1000, other), (1001, third)], "vec_id long, embedding array<float>"
+    )
+    return hot.unionByName(distinct)
+
+
+def test_embedding_bucket_cap_bounds_candidates(hot_embeddings):
+    assert embedding_lsh_pairs(hot_embeddings, bucket_cap=None).count() >= 19900
+    assert embedding_lsh_pairs(hot_embeddings, bucket_cap=50).count() == 0
+
+
+def test_embedding_hot_bucket_audit(hot_embeddings):
+    audit = lsh_hot_buckets(embedding_band_keys(hot_embeddings), cap=50).collect()
+    assert len(audit) == 4
+    assert all(r.n_rows == 200 for r in audit)
+
+
+def test_ngram_jaccard_guard_trips(spark, sf_correctness):
+    with pytest.raises(ValueError, match="q_dedup_minhash_verified"):
+        q_dedup_ngram_jaccard(spark, sf_correctness, max_rows=10)
+
+
+def test_embedding_cosine_guard_trips(spark, sf_correctness):
+    with pytest.raises(ValueError, match="q_dedup_embedding_cosine_lsh"):
+        q_dedup_embedding_cosine(spark, sf_correctness, max_rows=10)
+
+
+def test_guards_pass_at_oracle_scale(spark, sf_correctness):
+    """Defaults must not trip on the driver's correctness fixtures."""
+    assert q_dedup_ngram_jaccard(spark, sf_correctness).count() >= 0
+    assert q_dedup_embedding_cosine(spark, sf_correctness).count() >= 0
