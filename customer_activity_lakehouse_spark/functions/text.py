@@ -2,7 +2,8 @@
 
 All pure built-in column expressions (JVM-side, codegen-friendly) so they run
 at scan speed over 100 TB of text — no Python in the hot path. Each helper has
-a DuckDB-SQL twin in plans/queries.py for oracle verification.
+a DuckDB-SQL twin next to its query in plans/llm_ops.py (and plans/core.py for
+the TPC-H-shaped set) for oracle verification.
 """
 
 from __future__ import annotations

@@ -1,9 +1,10 @@
 """Vector expressions over array<float> embedding columns.
 
 Built on higher-order functions (zip_with / aggregate) so the arithmetic runs
-JVM-side per row — no Python, no UDF serialization. At 100 TB scale these
-vectorize inside codegen; the alternative (pandas_udf + numpy) is kept in
-operators/similarity.py for the batched top-k path where BLAS wins.
+JVM-side per row — no Python, no UDF serialization. The Arrow-batched
+pandas_udf variants (order-exact NumPy cumsum reductions) live in
+plans/llm_ops.py (q_ann_topk_pandas, _cos_pairs_udf) for the paths where
+vectorized batches beat interpreted HOF lambdas.
 
 All math in double precision regardless of the stored float32 — matches what
 DuckDB's list functions do, keeping oracle hashes stable.

@@ -18,8 +18,12 @@ Semantics preserved exactly:
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+logger = logging.getLogger(__name__)
 
 from ..functions.scalars import capitalize_first, derive_date_str, parse_ts
 from ..schemas import (
@@ -31,9 +35,12 @@ from ..schemas import (
 
 
 def _tolerant_select(df: DataFrame, wanted: list[str]) -> DataFrame:
-    """P2/P3 — select expected ∩ present columns, warning on gaps
-    (data_processing.py:311-317, 366-373)."""
+    """P2/P3 — select expected ∩ present columns, warning on gaps, one
+    warning per absent column like the reference (data_processing.py:311-317,
+    366-373 print 'Warning: Column X not found...')."""
     present = [c for c in wanted if c in df.columns]
+    for missing in (c for c in wanted if c not in df.columns):
+        logger.warning("Column %r not found in input; skipping it", missing)
     return df.select(*present)
 
 

@@ -22,6 +22,19 @@ from pyspark.sql import functions as F
 SALT_COL = "__salt"
 
 
+def salt_column(df: DataFrame, n: int):
+    """Deterministic per-row salt in [0, n): ``pmod(xxhash64(*columns), n)``.
+
+    Deterministic matters at scale: ``F.rand`` re-draws on task RETRY, so a
+    replayed task can re-salt its rows differently mid-join and silently
+    drop/duplicate matches. Hashing the row's own columns costs the same
+    one projection and is replay-safe. Rows byte-identical across ALL
+    columns share a salt — residual skew is bounded by the exact-duplicate
+    count, which exact dedup (operators/curate.py D1) removes upstream.
+    """
+    return F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(int(n))).cast("int")
+
+
 def salted_join(
     big: DataFrame,
     small: DataFrame,
@@ -30,12 +43,13 @@ def salted_join(
     salt_buckets: int = 16,
 ) -> DataFrame:
     """Equi-join with the big side's hot keys spread over ``salt_buckets``
-    sub-keys. The big side gets a uniform random salt (one narrow
-    projection, no extra shuffle beyond the join's own); the small side is
-    replicated ``salt_buckets``× via an explode (rows × buckets — only
-    acceptable because the salted side of a skew join is by definition the
-    small one). Join key becomes (on, salt), so a key holding k rows
-    shuffles into ``salt_buckets`` tasks of ~k/buckets instead of one.
+    sub-keys. The big side gets a deterministic per-row salt (one narrow
+    projection, no extra shuffle beyond the join's own — see
+    :func:`salt_column`); the small side is replicated ``salt_buckets``×
+    via an explode (rows × buckets — only acceptable because the salted
+    side of a skew join is by definition the small one). Join key becomes
+    (on, salt), so a key holding k rows shuffles into ``salt_buckets``
+    tasks of ~k/buckets instead of one.
 
     Correctness: every big row holds exactly one salt value and the small
     side holds ALL salt values per key, so matches are preserved exactly;
@@ -44,8 +58,14 @@ def salted_join(
     """
     if how not in ("inner", "left"):
         raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    for side, df in (("big", big), ("small", small)):
+        if SALT_COL in df.columns:
+            raise ValueError(
+                f"salted_join reserves column {SALT_COL!r}, present on the {side} side — "
+                "rename it before salting"
+            )
     n = max(2, int(salt_buckets))
-    big_s = big.withColumn(SALT_COL, (F.rand(seed=7) * n).cast("int"))
+    big_s = big.withColumn(SALT_COL, salt_column(big, n))
     small_s = small.withColumn(
         SALT_COL, F.explode(F.sequence(F.lit(0), F.lit(n - 1)))
     )

@@ -87,6 +87,34 @@ class LakehouseConfig:
 
 
 # ---------------------------------------------------------------------------
+# S8: zone bootstrap
+# ---------------------------------------------------------------------------
+
+
+def bootstrap_zones(spark: SparkSession, cfg: LakehouseConfig) -> dict[str, bool]:
+    """S8 — idempotent create of the two zone roots, mirroring the
+    reference's bucket bootstrap (buckets.py:14-45: make each bucket iff it
+    doesn't exist, never fail if it does).
+
+    Goes through the Hadoop FileSystem API so the SAME call works for
+    local paths, hdfs://, and s3a:// (where a plain mkdir wouldn't create
+    the bucket). Returns {zone: created?} — False means it already
+    existed, matching the reference's 'already exists' branch.
+    """
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    created: dict[str, bool] = {}
+    for zone in (cfg.raw_dir, cfg.curated_dir):
+        path = jvm.org.apache.hadoop.fs.Path(zone)
+        fs = path.getFileSystem(conf)
+        existed = fs.exists(path)
+        if not existed:
+            fs.mkdirs(path)
+        created[zone] = not existed
+    return created
+
+
+# ---------------------------------------------------------------------------
 # O1-O4: ingestion (CSV → raw zone)
 # ---------------------------------------------------------------------------
 

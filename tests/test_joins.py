@@ -10,6 +10,8 @@ import pytest
 from pyspark.sql import functions as F
 
 from customer_activity_lakehouse_spark.operators.joins import (
+    SALT_COL,
+    salt_column,
     salted_join,
     write_bucketed,
 )
@@ -42,13 +44,28 @@ def test_salted_join_rejects_right_join(spark):
 
 def test_salted_join_spreads_hot_key(spark):
     """The hot key's rows must land in >1 salt bucket — otherwise the salt
-    did nothing and the straggler remains."""
+    did nothing and the straggler remains. Uses salt_column — the SAME
+    expression salted_join applies — so changing the salting logic is
+    caught here."""
     fact = _skewed_fact(spark)
-    from customer_activity_lakehouse_spark.operators.joins import SALT_COL
-
-    salted = fact.withColumn(SALT_COL, (F.rand(seed=7) * 16).cast("int"))
+    salted = fact.withColumn(SALT_COL, salt_column(fact, 16))
     n = salted.filter(F.col("k") == 1).select(SALT_COL).distinct().count()
     assert n > 8, f"hot key only reached {n} of 16 salt buckets"
+
+
+def test_salt_is_deterministic_across_runs(spark):
+    """Replay safety: two independent evaluations must assign every row the
+    identical salt (F.rand would re-draw per run/retry)."""
+    fact = _skewed_fact(spark)
+    a = sorted(map(tuple, fact.withColumn(SALT_COL, salt_column(fact, 16)).collect()))
+    b = sorted(map(tuple, fact.withColumn(SALT_COL, salt_column(fact, 16)).collect()))
+    assert a == b
+
+
+def test_salted_join_rejects_reserved_column(spark):
+    fact = _skewed_fact(spark).withColumn(SALT_COL, F.lit(0))
+    with pytest.raises(ValueError, match="reserves column"):
+        salted_join(fact, _dim(spark), "k")
 
 
 def test_bucketed_join_has_no_exchange(spark, tmp_path):

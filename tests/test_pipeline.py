@@ -208,3 +208,45 @@ def test_generators_deterministic_and_in_domain(spark):
 
     p = gen_products(spark, 900, seed=7).collect()
     assert len({r.product_id for r in p}) == 900
+
+
+def test_tolerant_select_warns_on_missing_columns(spark, caplog):
+    """Reference parity: a warning per absent expected column
+    (data_processing.py:311-317, 366-373), never a failure."""
+    import logging
+
+    from customer_activity_lakehouse_spark.operators.curate import curate_dim_product
+
+    df = spark.createDataFrame([(1, "gadgets")], "product_id long, product_category string")
+    with caplog.at_level(logging.WARNING, "customer_activity_lakehouse_spark.operators.curate"):
+        out = curate_dim_product(df)
+    missing_warned = {m for m in caplog.messages if "not found" in m}
+    assert missing_warned, "expected a warning per missing expected column"
+    assert out.columns == ["product_id", "product_category"]
+
+
+def test_bootstrap_zones_idempotent(spark, tmp_path):
+    """S8 parity (reference buckets.py:14-45): create-if-absent, report
+    'already exists' (False) on the second call, never fail."""
+    from customer_activity_lakehouse_spark.pipeline import bootstrap_zones
+
+    cfg = LakehouseConfig(raw_dir=str(tmp_path / "rawz"), curated_dir=str(tmp_path / "curz"))
+    first = bootstrap_zones(spark, cfg)
+    assert all(first.values())
+    assert Path(cfg.raw_dir).is_dir() and Path(cfg.curated_dir).is_dir()
+    second = bootstrap_zones(spark, cfg)
+    assert not any(second.values())
+
+
+def test_cli_entrypoint_end_to_end(spark, tmp_path):
+    """O8 — `python -m customer_activity_lakehouse_spark` must stand up the
+    lakehouse on a fresh prefix without any manual mkdir."""
+    from customer_activity_lakehouse_spark.__main__ import main
+
+    root = str(tmp_path / "cli_lake")
+    rc = main(
+        ["--root", root, "--transactions", "500", "--customers", "60", "--products", "20"]
+    )
+    assert rc == 0
+    fact = spark.read.parquet(f"{root}/curated/fact_customer_transactions")
+    assert fact.count() > 0

@@ -100,3 +100,59 @@ def test_partition_stats_matches_layout(spark, tmp_path):
 def test_detect_table_format_falls_back_to_parquet():
     # this environment ships no delta/iceberg runtime
     assert detect_table_format() == "parquet"
+
+
+def test_merge_upsert_updates_and_inserts(spark, tmp_path):
+    """MERGE contract: matched keys take the update's values, unmatched
+    keys insert, untouched partitions keep their files byte-identical."""
+    from customer_activity_lakehouse_spark.sources.tables import merge_upsert
+
+    spec = TableSpec(str(tmp_path / "m"), ("dt",))
+    seed = spark.createDataFrame(
+        [(1, "2024-01-01", "a"), (2, "2024-01-01", "b"), (3, "2024-01-02", "c")],
+        "id long, dt string, v string",
+    )
+    write_full(seed, spec)
+    other = {f for f in _files(spec.path) if "dt=2024-01-02" in f}
+
+    batch = spark.createDataFrame(
+        [(1, "2024-01-01", "a2"), (9, "2024-01-01", "new")], "id long, dt string, v string"
+    )
+    merge_upsert(spark, spec, batch, keys=["id"])
+
+    got = {(r.id, r.dt, r.v) for r in read_table(spark, spec).collect()}
+    assert got == {
+        (1, "2024-01-01", "a2"),  # matched → updated
+        (2, "2024-01-01", "b"),  # untouched key in touched partition survives
+        (3, "2024-01-02", "c"),  # untouched partition survives
+        (9, "2024-01-01", "new"),  # unmatched → inserted
+    }
+    assert {f for f in _files(spec.path) if "dt=2024-01-02" in f} == other, (
+        "merge rewrote a partition outside the batch"
+    )
+
+
+def test_merge_upsert_idempotent_and_bootstraps(spark, tmp_path):
+    """Re-applying the same batch is a no-op (retry safety); merging into a
+    missing table creates it."""
+    from customer_activity_lakehouse_spark.sources.tables import merge_upsert
+
+    spec = TableSpec(str(tmp_path / "m2"), ("dt",))
+    batch = spark.createDataFrame(
+        [(1, "2024-01-01", "x"), (2, "2024-01-02", "y")], "id long, dt string, v string"
+    )
+    merge_upsert(spark, spec, batch, keys=["id"])  # bootstrap path
+    once = sorted(map(tuple, read_table(spark, spec).collect()))
+    merge_upsert(spark, spec, batch, keys=["id"])  # retry
+    assert sorted(map(tuple, read_table(spark, spec).collect())) == once
+
+
+def test_merge_upsert_order_col_resolves_in_batch_dups(spark, tmp_path):
+    from customer_activity_lakehouse_spark.sources.tables import merge_upsert
+
+    spec = TableSpec(str(tmp_path / "m3"))
+    batch = spark.createDataFrame(
+        [(1, 10, "old"), (1, 20, "new")], "id long, ver long, v string"
+    )
+    merge_upsert(spark, spec, batch, keys=["id"], order_col="ver")
+    assert [(r.id, r.ver, r.v) for r in read_table(spark, spec).collect()] == [(1, 20, "new")]
