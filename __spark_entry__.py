@@ -25,9 +25,13 @@ from customer_activity_lakehouse_spark.plans import QUERIES  # noqa: E402
 
 
 def _pin_session(spark: SparkSession) -> None:
-    """Timezone-pin the (driver-owned) session so date/timestamp formatting
-    is deterministic and matches the DuckDB oracle's naive timestamps."""
+    """Pin the (driver-owned) session: UTC so date/timestamp formatting is
+    deterministic and matches the DuckDB oracle's naive timestamps, and
+    nanosAsLong so the TIMESTAMP(NANOS) events fixture is readable. This is
+    the one sanctioned mutation point for sessions the engine did not build;
+    sessions from ``get_spark`` carry both already."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
 
 def entry(spark: SparkSession) -> DataFrame:

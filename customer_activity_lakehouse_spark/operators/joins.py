@@ -18,21 +18,48 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 SALT_COL = "__salt"
 
 
-def salt_column(df: DataFrame, n: int):
-    """Deterministic per-row salt in [0, n): ``pmod(xxhash64(*columns), n)``.
+def _hashable(dt: T.DataType) -> bool:
+    """Whether xxhash64 accepts the type. MapType is rejected outright
+    (unordered — no canonical byte form), including nested inside arrays
+    or structs; everything else Spark hashes fine."""
+    if isinstance(dt, T.MapType):
+        return False
+    if isinstance(dt, T.ArrayType):
+        return _hashable(dt.elementType)
+    if isinstance(dt, T.StructType):
+        return all(_hashable(f.dataType) for f in dt.fields)
+    return True
+
+
+def salt_column(df: DataFrame, n: int, cols: list[str] | None = None):
+    """Deterministic per-row salt in [0, n): ``pmod(xxhash64(*cols), n)``.
 
     Deterministic matters at scale: ``F.rand`` re-draws on task RETRY, so a
     replayed task can re-salt its rows differently mid-join and silently
     drop/duplicate matches. Hashing the row's own columns costs the same
-    one projection and is replay-safe. Rows byte-identical across ALL
-    columns share a salt — residual skew is bounded by the exact-duplicate
-    count, which exact dedup (operators/curate.py D1) removes upstream.
+    one projection and is replay-safe.
+
+    ``cols`` defaults to every hashable column (MapType — which xxhash64
+    rejects — is skipped, nested or not). Spread quality is bounded by the
+    DISTINCT VALUE COMBINATIONS of the salt source: rows identical across
+    all hashed columns share a salt, so a hot key whose rows carry few
+    distinct attribute combos collapses into few sub-buckets and the skew
+    mitigation degrades. When the hot key's payload is low-cardinality,
+    pass ``cols`` naming a high-cardinality column (an id, a timestamp) —
+    or dedup exact duplicates upstream (operators/curate.py D1).
     """
-    return F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(int(n))).cast("int")
+    use = [c for c in (cols or df.columns) if cols or _hashable(df.schema[c].dataType)]
+    if not use:
+        raise ValueError(
+            "salt_column found no hashable columns (all MapType?); pass cols= "
+            "naming hashable salt-source columns"
+        )
+    return F.pmod(F.xxhash64(*[F.col(c) for c in use]), F.lit(int(n))).cast("int")
 
 
 def salted_join(
@@ -41,6 +68,7 @@ def salted_join(
     on: str,
     how: str = "inner",
     salt_buckets: int = 16,
+    salt_cols: list[str] | None = None,
 ) -> DataFrame:
     """Equi-join with the big side's hot keys spread over ``salt_buckets``
     sub-keys. The big side gets a deterministic per-row salt (one narrow
@@ -65,7 +93,7 @@ def salted_join(
                 "rename it before salting"
             )
     n = max(2, int(salt_buckets))
-    big_s = big.withColumn(SALT_COL, salt_column(big, n))
+    big_s = big.withColumn(SALT_COL, salt_column(big, n, cols=salt_cols))
     small_s = small.withColumn(
         SALT_COL, F.explode(F.sequence(F.lit(0), F.lit(n - 1)))
     )

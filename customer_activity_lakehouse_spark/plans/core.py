@@ -28,6 +28,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..operators.joins import salted_join
 from .registry import Query, table
 
 # ---------------------------------------------------------------------------
@@ -754,6 +755,33 @@ WHERE rn = 1
 """
 
 
+def q_skew_salted_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """Brand revenue rollup routed THROUGH operators/joins.salted_join —
+    the oracle row proving the skew-salting primitive is semantics-
+    preserving under the hard signal (row count + schema + value hash vs a
+    PLAIN join in DuckDB). The salt spreads each part key over 8 sub-keys
+    on the lineitem side and explodes the part side 8×; if salting
+    duplicated or dropped a single match, the decimal-exact revenue hash
+    would catch it."""
+    li = table(spark, sf, "lineitem").select(
+        F.col("l_partkey").alias("partkey"), "l_extendedprice", "l_discount"
+    )
+    part = table(spark, sf, "part").select(
+        F.col("p_partkey").alias("partkey"), "p_brand"
+    )
+    joined = salted_join(li, part, on="partkey", how="inner", salt_buckets=8)
+    return joined.groupBy("p_brand").agg(
+        revenue_sum().alias("revenue"), F.count(F.lit(1)).alias("n_items")
+    )
+
+
+ORACLE_SKEW_SALTED_REVENUE = f"""
+SELECT p_brand, {SQL_REV_SUM} AS revenue, count(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+"""
+
+
 # ---------------------------------------------------------------------------
 # Events (stream-table batch surface; the streaming twin lives in streaming/)
 # ---------------------------------------------------------------------------
@@ -898,6 +926,9 @@ QUERIES: dict[str, Query] = {
         q_derive_date_string, ORACLE_DERIVE_DATE_STRING, ("scalar", "parity")
     ),
     "null_fill_segment": Query(q_null_fill_segment, ORACLE_NULL_FILL_SEGMENT, ("scalar", "parity")),
+    "skew_salted_revenue": Query(
+        q_skew_salted_revenue, ORACLE_SKEW_SALTED_REVENUE, ("join", "skew")
+    ),
     "dedup_distinct": Query(q_dedup_distinct, ORACLE_DEDUP_DISTINCT, ("dedup",)),
     "dedup_keep_first": Query(q_dedup_keep_first, ORACLE_DEDUP_KEEP_FIRST, ("dedup", "window")),
     "events_hourly": Query(q_events_hourly, ORACLE_EVENTS_HOURLY, ("events", "window-agg"), True),

@@ -30,7 +30,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.text import BPE_SPLIT_PATTERN, LANG_MARKERS, STOPWORDS_EN
+from ..functions.text import BPE_SPLIT_PATTERN, LANG_MARKERS, STOPWORDS_EN, language_id
 from .registry import Query, table
 
 # Default per-bucket row cap for the LSH band self-joins. A band bucket of n
@@ -57,9 +57,12 @@ def _cap_buckets(bands: DataFrame, cap: int | None) -> DataFrame:
     stay an identical subtree, ReuseExchange computes the (expensive)
     signature pipeline once. (The alternative — aggregate a hot-key list
     and anti-join it — re-derives the signature subtree for the count and
-    doubled the dedup runtime when measured.) Use :func:`lsh_hot_buckets`
-    on the same bands frame to see what a given cap would drop (the audit
-    the scale runbook logs before dedup)."""
+    doubled the dedup runtime when measured.) Capped buckets are NOT lost:
+    :func:`lsh_hot_buckets` on the same bands frame shows what a given cap
+    drops (the audit a capped run logs first — registered as the
+    ``lsh_bucket_audit`` catalog entry), and :func:`megabucket_clusters`
+    dedups those clusters wholesale by bucket id (registered as
+    ``dedup_minhash_megabuckets`` / ``dedup_embedding_megabuckets``)."""
     if cap is None:
         return bands
     w = Window.partitionBy("band_idx", "band_val")
@@ -78,6 +81,44 @@ def lsh_hot_buckets(bands: DataFrame, cap: int) -> DataFrame:
         bands.groupBy("band_idx", "band_val")
         .agg(F.count(F.lit(1)).alias("n_rows"))
         .filter(F.col("n_rows") > cap)
+    )
+
+
+# Demonstration cap for the catalog's megabucket/audit entries: low enough
+# that the fixtures exercise the over-cap path (largest sf0.01 minhash
+# bucket holds 13 rows), so the oracle actually checks non-empty output.
+# Production dedup keeps LSH_BUCKET_CAP.
+MEGABUCKET_AUDIT_CAP = 5
+
+
+def megabucket_clusters(bands: DataFrame, cap: int, id_col: str = "doc_id") -> DataFrame:
+    """Dedup-by-bucket-id — the OTHER HALF of the capped-LSH contract.
+
+    :func:`_cap_buckets` drops over-cap buckets before the pair join so a
+    pathological cluster can't go quadratic; this function dedups exactly
+    those clusters wholesale: every member of an over-cap bucket is
+    assigned keeper = min id over its (possibly several) hot buckets. A
+    cluster too big to pairwise IS a near-dup cluster by construction —
+    with 2-hash bands the collision rate is Jaccard², so only genuinely
+    similar documents pile into one bucket — and bucket-granularity
+    assignment is the right dedup for it. Run this alongside the capped
+    pair path (same ``cap``) and the largest clusters — the ones dedup
+    most needs to catch — contribute assignments instead of silently
+    vanishing.
+
+    Shape at 100 TB: the hot-bucket list is small by definition (it is the
+    audit output), so it broadcasts; the only shuffle is the groupBy that
+    builds it plus a per-id min — no pair blow-up anywhere.
+    """
+    hot = (
+        bands.groupBy("band_idx", "band_val")
+        .agg(F.count(F.lit(1)).alias("cluster_size"), F.min(id_col).alias("keep_id"))
+        .filter(F.col("cluster_size") > cap)
+    )
+    return (
+        bands.join(F.broadcast(hot), ["band_idx", "band_val"])
+        .groupBy(id_col)
+        .agg(F.min("keep_id").alias(f"keep_{id_col}"))
     )
 
 
@@ -259,25 +300,16 @@ GROUP BY source
 
 def q_doc_langid(spark: SparkSession, sf: str) -> DataFrame:
     """Marker-word language heuristic vs the labeled lang column —
-    outputs the (heuristic, labeled) confusion counts."""
+    outputs the (heuristic, labeled) confusion counts. The argmax fold
+    (earliest-language tie-break, no-hits → 'und') lives ONLY in
+    functions/text.py:language_id — one tie-break implementation, one
+    place a future edit can change it."""
     docs = _spread(spark, table(spark, sf, "documents"))
-    toks = _tokens(F.col("text"))
-    scores = {}
-    for lang, markers in sorted(LANG_MARKERS.items()):
-        arr = F.array(*[F.lit(m) for m in markers])
-        scores[lang] = F.size(F.filter(toks, lambda t: F.array_contains(arr, F.lower(t))))
-    langs = sorted(LANG_MARKERS)
-    best_expr = F.lit("und")
-    # earliest language code wins ties → evaluate in reverse with >=
-    best_score = F.lit(-1)
-    for lang in reversed(langs):
-        cond = scores[lang] >= best_score
-        best_expr = F.when(cond, F.lit(lang)).otherwise(best_expr)
-        best_score = F.when(cond, scores[lang]).otherwise(best_score)
-    total = sum(scores.values(), F.lit(0))
-    pred = F.when(total > 0, best_expr).otherwise(F.lit("und"))
     return (
-        docs.select(pred.alias("lang_pred"), F.col("lang").alias("lang_label"))
+        docs.select(
+            language_id(F.col("text")).alias("lang_pred"),
+            F.col("lang").alias("lang_label"),
+        )
         .groupBy("lang_pred", "lang_label")
         .agg(F.count(F.lit(1)).alias("n"))
     )
@@ -449,7 +481,8 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
     the band key only, and mega-buckets above LSH_BUCKET_CAP are dropped
     before the join — with 2-hash bands the collision rate is J², so only
     true near-dup clusters grow buckets, and a cluster too big to pair-wise
-    is exactly the one you dedup by bucket id instead of by pair.
+    is exactly the one you dedup by bucket id instead of by pair — run
+    ``dedup_minhash_megabuckets`` (same cap) alongside this for those.
     """
     return minhash_lsh_pairs(_spread(spark, table(spark, sf, "documents")))
 
@@ -462,6 +495,48 @@ long_bands AS (
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
 FROM long_bands a JOIN long_bands b
   ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+"""
+
+
+def q_dedup_minhash_megabuckets(spark: SparkSession, sf: str) -> DataFrame:
+    """Bucket-id dedup assignments for over-cap minhash buckets (see
+    :func:`megabucket_clusters`) at the demonstration cap — the registered
+    complement of the capped pair path, so capped clusters are deduped,
+    not dropped."""
+    bands = minhash_band_keys(_spread(spark, table(spark, sf, "documents")))
+    return megabucket_clusters(bands, MEGABUCKET_AUDIT_CAP, id_col="doc_id")
+
+
+_SQL_LONG_BANDS = " UNION ALL ".join(
+    f"SELECT doc_id, {b} AS band_idx, band{b} AS band_val FROM bands" for b in range(N_BANDS)
+)
+
+ORACLE_DEDUP_MINHASH_MEGABUCKETS = f"""
+WITH bands AS ({_SQL_BANDS}),
+lb AS ({_SQL_LONG_BANDS}),
+hot AS (
+  SELECT band_idx, band_val, min(doc_id) AS keep_id
+  FROM lb GROUP BY band_idx, band_val HAVING count(*) > {MEGABUCKET_AUDIT_CAP})
+SELECT lb.doc_id AS doc_id, min(hot.keep_id) AS keep_doc_id
+FROM lb JOIN hot USING (band_idx, band_val)
+GROUP BY lb.doc_id
+"""
+
+
+def q_lsh_bucket_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """Hot-bucket audit (see :func:`lsh_hot_buckets`) at the demonstration
+    cap — the observability row a capped dedup run logs first: which band
+    buckets exceed the cap and by how much (i.e., what _cap_buckets would
+    silently drop from the pair path)."""
+    bands = minhash_band_keys(_spread(spark, table(spark, sf, "documents")))
+    return lsh_hot_buckets(bands, MEGABUCKET_AUDIT_CAP)
+
+
+ORACLE_LSH_BUCKET_AUDIT = f"""
+WITH bands AS ({_SQL_BANDS}),
+lb AS ({_SQL_LONG_BANDS})
+SELECT band_idx, band_val, count(*) AS n_rows
+FROM lb GROUP BY band_idx, band_val HAVING count(*) > {MEGABUCKET_AUDIT_CAP}
 """
 
 
@@ -619,10 +694,10 @@ _SQL_NORM_A = f"sqrt(list_sum(list_transform(range(1, {_DIM}+1), i -> a.embeddin
 _SQL_NORM_Q = f"sqrt(list_sum(list_transform(range(1, {_DIM}+1), i -> q.embedding[i]::DOUBLE * q.embedding[i]::DOUBLE)))"
 
 
-def q_ann_topk_bruteforce(spark: SparkSession, sf: str) -> DataFrame:
-    """Exact cosine top-10 neighbors of vec_id=0 — the ANN correctness
-    baseline. Query vector broadcast; one scan over embeddings; top-k via
-    (rounded score desc, id) so ordering is engine-independent."""
+def _bruteforce_topk(spark: SparkSession, sf: str, k: int) -> DataFrame:
+    """Exact cosine top-``k`` neighbors of vec_id=0. Query vector broadcast;
+    one scan over embeddings; top-k via (rounded score desc, id) so ordering
+    is engine-independent."""
     emb = _spread(spark, table(spark, sf, "embeddings"))
     q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q_emb"))
     cos = _dot_expr(F.col("embedding"), F.col("q_emb")) / (
@@ -633,8 +708,14 @@ def q_ann_topk_bruteforce(spark: SparkSession, sf: str) -> DataFrame:
         .crossJoin(F.broadcast(q))
         .select("vec_id", F.round(cos, 4).alias("cos_sim"))
         .orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
-        .limit(10)
+        .limit(k)
     )
+
+
+def q_ann_topk_bruteforce(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact cosine top-10 neighbors of vec_id=0 — the ANN correctness
+    baseline (see :func:`_bruteforce_topk`)."""
+    return _bruteforce_topk(spark, sf, 10)
 
 
 ORACLE_ANN_TOPK_BRUTEFORCE = f"""
@@ -895,10 +976,33 @@ def embedding_lsh_pairs(
     )
 
 
+EMB_MEGABUCKET_AUDIT_CAP = 30  # sf0.01 embedding buckets reach 41 rows
+
+
+def q_dedup_embedding_megabuckets(spark: SparkSession, sf: str) -> DataFrame:
+    """Bucket-id dedup assignments for over-cap embedding-LSH buckets —
+    :func:`megabucket_clusters` over the hyperplane band keys, the same
+    capped-cluster complement as the minhash twin."""
+    bands = embedding_band_keys(
+        _spread(spark, table(spark, sf, "embeddings")).select("vec_id", "embedding")
+    )
+    return megabucket_clusters(bands, EMB_MEGABUCKET_AUDIT_CAP, id_col="vec_id")
+
+
 _SQL_EMB_BANDS = " UNION ALL ".join(
     f"SELECT vec_id, embedding, {b} AS band_idx, {_sql_emb_band(b)} AS band_val FROM embeddings"
     for b in range(N_EMB_BANDS)
 )
+
+ORACLE_DEDUP_EMBEDDING_MEGABUCKETS = f"""
+WITH bands AS ({_SQL_EMB_BANDS}),
+hot AS (
+  SELECT band_idx, band_val, min(vec_id) AS keep_id
+  FROM bands GROUP BY band_idx, band_val HAVING count(*) > {EMB_MEGABUCKET_AUDIT_CAP})
+SELECT bands.vec_id AS vec_id, min(hot.keep_id) AS keep_vec_id
+FROM bands JOIN hot USING (band_idx, band_val)
+GROUP BY bands.vec_id
+"""
 
 ORACLE_DEDUP_EMBEDDING_COSINE_LSH = f"""
 WITH bands AS ({_SQL_EMB_BANDS})
@@ -925,8 +1029,17 @@ def q_ann_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
     collect_list to reassemble the vector). The 65 aggregates are built as
     a single SQL expression string: constructing them as individual Column
     objects costs ~1 s of py4j round-trips per call — pure driver overhead
-    that would dominate this query at any scale."""
+    that would dominate this query at any scale.
+
+    Null/ragged vectors: the centroid build filters to full-length non-null
+    embeddings first, so ``n`` counts exactly the rows each component sum
+    saw. Without the filter a short/null vector is counted in ``n`` but
+    skipped by ``sum``, silently shifting the mean — and hence which cell a
+    query probes (invisible on dense fixtures, real on dirty data)."""
     emb = _spread(spark, table(spark, sf, "embeddings"))
+    cent_src = emb.filter(
+        F.col("embedding").isNotNull() & (F.size("embedding") == _DIM)
+    )
     sums_sql = (
         "struct(count(1) as n, "
         + ", ".join(
@@ -940,7 +1053,7 @@ def q_ann_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
         + ", ".join(f"cast(acc.s{i} as double) / acc.n" for i in range(_DIM))
         + ") as centroid"
     )
-    cent = emb.groupBy("label").agg(F.expr(sums_sql)).selectExpr("label", cent_sql)
+    cent = cent_src.groupBy("label").agg(F.expr(sums_sql)).selectExpr("label", cent_sql)
     q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q_emb"))
     cent_cos = _dot_expr(F.col("centroid"), F.col("q_emb")) / (
         _norm_expr(F.col("centroid")) * _norm_expr(F.col("q_emb"))
@@ -975,6 +1088,7 @@ ORACLE_ANN_IVF_TOPK = f"""
 WITH comp AS (
   SELECT label, i AS pos, sum(embedding[i]::DECIMAL(25,8))::DOUBLE / count(*) AS c
   FROM embeddings, range(1, {_DIM}+1) t(i)
+  WHERE embedding IS NOT NULL AND len(embedding) = {_DIM}
   GROUP BY label, i
 ),
 cent AS (SELECT label, list(c ORDER BY pos) AS centroid FROM comp GROUP BY label),
@@ -990,6 +1104,81 @@ FROM embeddings a JOIN best ON a.label = best.label, qv q
 WHERE a.vec_id != 0
 ORDER BY cos_sim DESC, vec_id
 LIMIT 5
+"""
+
+
+RECALL_K = 5
+
+
+def q_ann_recall_at_k(spark: SparkSession, sf: str) -> DataFrame:
+    """Measured recall@k of the two approximate ANN paths against exact
+    brute force — the number that turns the documented probe-cost/recall
+    tradeoff of q_ann_lsh_topk and q_ann_ivf_topk into a tracked metric.
+    Both sides are deterministic ((rounded score desc, id) ordering), so
+    the DuckDB oracle computes the identical value.
+
+    Output: one row per method — (method, k, n_hits, recall_at_k), where
+    n_hits = |approx top-k ∩ exact top-k|. At 100 TB this runs on a fixture
+    sample as an index-quality gate, not on the full table (the brute-force
+    side is a full scan per query vector)."""
+    bf = _bruteforce_topk(spark, sf, RECALL_K).select("vec_id")
+
+    def recall(approx: DataFrame, method: str) -> DataFrame:
+        return (
+            approx.select("vec_id")
+            .join(bf, "vec_id", "left_semi")
+            .agg(F.count(F.lit(1)).alias("n_hits"))
+            .select(
+                F.lit(method).alias("method"),
+                F.lit(RECALL_K).alias("k"),
+                "n_hits",
+                F.round(F.col("n_hits") / F.lit(RECALL_K), 4).alias("recall_at_k"),
+            )
+        )
+
+    return recall(q_ann_lsh_topk(spark, sf), "lsh").unionByName(
+        recall(q_ann_ivf_topk(spark, sf), "ivf")
+    )
+
+
+ORACLE_ANN_RECALL_AT_K = f"""
+WITH bf AS (
+  SELECT a.vec_id AS vec_id
+  FROM embeddings a, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+  WHERE a.vec_id != 0
+  ORDER BY round({_SQL_DOT} / ({_SQL_NORM_A} * {_SQL_NORM_Q}), 4) DESC, a.vec_id
+  LIMIT {RECALL_K}),
+emb_b AS (SELECT vec_id, embedding, {_SQL_BUCKET} AS bucket FROM embeddings),
+lsh AS (
+  SELECT a.vec_id AS vec_id
+  FROM emb_b a, (SELECT embedding, bucket FROM emb_b WHERE vec_id = 0) q
+  WHERE a.bucket = q.bucket AND a.vec_id != 0
+  ORDER BY round({_SQL_DOT} / ({_SQL_NORM_A} * {_SQL_NORM_Q}), 4) DESC, a.vec_id
+  LIMIT {RECALL_K}),
+comp AS (
+  SELECT label, i AS pos, sum(embedding[i]::DECIMAL(25,8))::DOUBLE / count(*) AS c
+  FROM embeddings, range(1, {_DIM}+1) t(i)
+  WHERE embedding IS NOT NULL AND len(embedding) = {_DIM}
+  GROUP BY label, i),
+cent AS (SELECT label, list(c ORDER BY pos) AS centroid FROM comp GROUP BY label),
+qv AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+best AS (
+  SELECT c.label FROM cent c, qv q
+  ORDER BY round({_SQL_CENT_COS}, 4) DESC, c.label
+  LIMIT 1),
+ivf AS (
+  SELECT a.vec_id AS vec_id
+  FROM embeddings a JOIN best ON a.label = best.label, qv q
+  WHERE a.vec_id != 0
+  ORDER BY round({_SQL_DOT} / ({_SQL_NORM_A} * {_SQL_NORM_Q}), 4) DESC, a.vec_id
+  LIMIT {RECALL_K})
+SELECT 'lsh' AS method, {RECALL_K} AS k, count(*) AS n_hits,
+       round(count(*)::DOUBLE / {RECALL_K}, 4) AS recall_at_k
+FROM lsh WHERE vec_id IN (SELECT vec_id FROM bf)
+UNION ALL
+SELECT 'ivf' AS method, {RECALL_K} AS k, count(*) AS n_hits,
+       round(count(*)::DOUBLE / {RECALL_K}, 4) AS recall_at_k
+FROM ivf WHERE vec_id IN (SELECT vec_id FROM bf)
 """
 
 
@@ -1124,6 +1313,12 @@ QUERIES: dict[str, Query] = {
     "dedup_minhash_verified": Query(
         q_dedup_minhash_verified, ORACLE_DEDUP_MINHASH_VERIFIED, ("dedup", "lsh")
     ),
+    "dedup_minhash_megabuckets": Query(
+        q_dedup_minhash_megabuckets, ORACLE_DEDUP_MINHASH_MEGABUCKETS, ("dedup", "lsh", "audit")
+    ),
+    "lsh_bucket_audit": Query(
+        q_lsh_bucket_audit, ORACLE_LSH_BUCKET_AUDIT, ("dedup", "lsh", "audit")
+    ),
     "dedup_ngram_jaccard": Query(
         q_dedup_ngram_jaccard, ORACLE_DEDUP_NGRAM_JACCARD, ("dedup", "quadratic")
     ),
@@ -1148,6 +1343,14 @@ QUERIES: dict[str, Query] = {
         ORACLE_DEDUP_EMBEDDING_COSINE_LSH,
         ("dedup", "lsh"),
         True,
+    ),
+    "dedup_embedding_megabuckets": Query(
+        q_dedup_embedding_megabuckets,
+        ORACLE_DEDUP_EMBEDDING_MEGABUCKETS,
+        ("dedup", "lsh", "audit"),
+    ),
+    "ann_recall_at_k": Query(
+        q_ann_recall_at_k, ORACLE_ANN_RECALL_AT_K, ("similarity", "recall")
     ),
     "embedding_norm_stats": Query(
         q_embedding_norm_stats, ORACLE_EMBEDDING_NORM_STATS, ("similarity",)

@@ -35,12 +35,18 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def events_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events.parquet stores TIMESTAMP(NANOS), which Spark's vectorized
-    parquet reader rejects. Read the nanos as long (legacy conf, runtime
-    settable) and rebuild a microsecond timestamp via integer division —
-    `DIV 1000`, not `/1000`, because epoch-nanos (~1.7e18) exceed the 2^53
-    double mantissa and a fp division would corrupt low bits."""
+    parquet reader rejects. Read the nanos as long and rebuild a microsecond
+    timestamp via integer division — `DIV 1000`, not `/1000`, because
+    epoch-nanos (~1.7e18) exceed the 2^53 double mantissa and a fp division
+    would corrupt low bits.
+
+    Requires ``spark.sql.legacy.parquet.nanosAsLong=true`` on the session —
+    set by ``get_spark`` (session.py) and by the driver-contract pinning in
+    ``__spark_entry__._pin_session``. NOT set here: a runtime ``conf.set``
+    inside a reader mutates the shared session under every other thread
+    planning a query (the cross-thread-leak class write_incremental avoids
+    with its per-writer option)."""
     from pyspark.sql import functions as F
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = spark.read.parquet(f"{sf_dir}/events.parquet")
     return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))

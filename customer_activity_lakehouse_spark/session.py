@@ -56,6 +56,11 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
+        # TIMESTAMP(NANOS) parquet columns (the events fixture) read as long;
+        # set at construction, NOT at read time — a runtime conf.set inside a
+        # table reader mutates the shared session under every other thread
+        # planning a query (see plans/registry.py events_table).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.parquet.filterPushdown", "true")

@@ -85,10 +85,22 @@ def read_table(spark: SparkSession, spec: TableSpec) -> DataFrame:
     return spark.read.format(spec.fmt).load(spec.path)
 
 
-def _path_exists(spark: SparkSession, path: str) -> bool:
+def _hadoop_fs(spark: SparkSession, path: str):
     jpath = spark._jvm.org.apache.hadoop.fs.Path(path)
     fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, jpath
+
+
+def _path_exists(spark: SparkSession, path: str) -> bool:
+    fs, jpath = _hadoop_fs(spark, path)
     return bool(fs.exists(jpath))
+
+
+# Columns merge_upsert injects to rank update-vs-existing rows. Reserved:
+# an updates frame already carrying one would be silently clobbered by
+# withColumn and corrupt the merged output (same guard class as SALT_COL
+# in operators/joins.salted_join).
+MERGE_RESERVED_COLS = ("__pri", "__rn")
 
 
 def merge_upsert(
@@ -107,12 +119,18 @@ def merge_upsert(
     on the batch's distinct partition values — never the other ~365),
     union with the updates, keep one row per key (updates beat existing;
     ties within a batch resolve by ``order_col`` descending when given),
-    then dynamic-overwrite exactly those partitions. The merged frame is
-    localCheckpoint-ed first to cut its lineage from the very files the
-    overwrite replaces — the stand-in for a table format's write-new-files
-    -then-swap atomicity. Re-running the same batch is a no-op by
-    construction (idempotent), which is the property the nightly-load
-    retry story needs.
+    then stage-and-swap: the merged frame is first written to a staging
+    path NEXT TO the table (``<path>.__staging__``), then the target is
+    rewritten FROM THE STAGED FILES — dynamic partition overwrite for
+    partitioned tables, an atomic directory rename for unpartitioned ones.
+    Staging is what makes read-write-same-path safe at scale: the frame
+    that overwrites the target never holds lineage into the files being
+    replaced, the staged copy lives on reliable table storage (an executor
+    lost mid-overwrite re-reads staging and retries — unlike
+    ``localCheckpoint``, whose blocks die with the executor), and a crash
+    before the swap leaves the target untouched with the staging dir as
+    the only debris. Re-running the same batch is a no-op by construction
+    (idempotent), which is the property the nightly-load retry story needs.
 
     Documented gap vs a real table format: a key that MOVES partitions is
     only removed from its old partition if the old partition is present in
@@ -123,8 +141,21 @@ def merge_upsert(
     key_cols = list(keys)
     if not key_cols:
         raise ValueError("merge_upsert requires at least one key column")
-    if _path_exists(spark, spec.path):
+    clash = [c for c in MERGE_RESERVED_COLS if c in updates.columns]
+    if clash:
+        raise ValueError(
+            f"merge_upsert reserves column(s) {clash} for update-priority "
+            "ranking; rename them in the updates frame before merging"
+        )
+    exists = _path_exists(spark, spec.path)
+    if exists:
         existing = read_table(spark, spec)
+        clash = [c for c in MERGE_RESERVED_COLS if c in existing.columns]
+        if clash:
+            raise ValueError(
+                f"merge_upsert reserves column(s) {clash}, present in the "
+                f"existing table at {spec.path}"
+            )
         if spec.partition_cols:
             parts = updates.select(*spec.partition_cols).distinct()
             relevant = existing.join(
@@ -146,11 +177,29 @@ def merge_upsert(
         .filter(F.col("__rn") == 1)
         .drop("__rn", "__pri")
     )
-    resolved = resolved.localCheckpoint(eager=True)
-    if spec.partition_cols:
-        write_incremental(resolved, spec)
-    else:
-        write_full(resolved, spec)
+    if not exists:
+        # Bootstrap: no read-write overlap to break, write directly.
+        write_full(resolved, spec) if not spec.partition_cols else write_incremental(
+            resolved, spec
+        )
+        return
+    # Stage unpartitioned (partition values stay ordinary data columns, so
+    # re-reading them is type-stable regardless of the session's partition-
+    # column inference settings), then swap.
+    staging = spec.path.rstrip("/") + ".__staging__"
+    fs, jstaging = _hadoop_fs(spark, staging)
+    resolved.write.format(spec.fmt).mode("overwrite").save(staging)
+    try:
+        staged = spark.read.format(spec.fmt).load(staging)
+        if spec.partition_cols:
+            write_incremental(staged, spec)
+        else:
+            _, jtarget = _hadoop_fs(spark, spec.path)
+            fs.delete(jtarget, True)
+            fs.rename(jstaging, jtarget)
+            return  # staging dir IS the table now — nothing to clean up
+    finally:
+        fs.delete(jstaging, True)
 
 
 def partition_stats(spark: SparkSession, spec: TableSpec) -> DataFrame:

@@ -68,6 +68,35 @@ def test_salted_join_rejects_reserved_column(spark):
         salted_join(fact, _dim(spark), "k")
 
 
+def test_salt_column_skips_map_columns(spark):
+    """xxhash64 rejects MapType; the default salt source must skip map
+    columns (nested or not) instead of raising at plan time."""
+    fact = _skewed_fact(spark).withColumn("m", F.create_map(F.lit("a"), F.col("v")))
+    salted = fact.withColumn(SALT_COL, salt_column(fact, 16))
+    assert salted.select(SALT_COL).distinct().count() > 8
+
+    dim = _dim(spark)
+    out = salted_join(fact, dim, "k").select("k", "v", "name")
+    plain = fact.join(dim, "k").select("k", "v", "name")
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, plain.collect()))
+
+
+def test_salt_column_explicit_cols(spark):
+    """Callers with low-cardinality payloads pick the salt source: salting
+    on the high-cardinality v column spreads the hot key even when every
+    other column is constant."""
+    fact = _skewed_fact(spark)
+    salted = fact.withColumn(SALT_COL, salt_column(fact, 16, cols=["v"]))
+    n = salted.filter(F.col("k") == 1).select(SALT_COL).distinct().count()
+    assert n > 8
+
+
+def test_salt_column_all_maps_raises(spark):
+    df = spark.range(5).select(F.create_map(F.lit("a"), F.col("id")).alias("m"))
+    with pytest.raises(ValueError, match="no hashable columns"):
+        salt_column(df, 16)
+
+
 def test_bucketed_join_has_no_exchange(spark, tmp_path):
     """Two tables bucketed on the same key/count join without any shuffle:
     the physical plan contains a SortMergeJoin and ZERO Exchange operators

@@ -20,6 +20,7 @@ from customer_activity_lakehouse_spark.plans.llm_ops import (
     embedding_band_keys,
     embedding_lsh_pairs,
     lsh_hot_buckets,
+    megabucket_clusters,
     minhash_band_keys,
     minhash_lsh_pairs,
     q_dedup_embedding_cosine,
@@ -63,6 +64,30 @@ def test_minhash_hot_bucket_audit(hot_docs):
     # identical docs → identical signature → one hot bucket per band
     assert len(audit) == 4
     assert all(r.n_rows == 300 for r in audit)
+
+
+def test_megabucket_clusters_dedup_capped_cluster(hot_docs):
+    """The capped pair path drops the 300-doc cluster; the bucket-id path
+    must catch it instead: every member assigned keeper = min doc_id, and
+    the singleton docs (never in a hot bucket) get no assignment."""
+    bands = minhash_band_keys(hot_docs)
+    assigns = {r.doc_id: r.keep_doc_id for r in megabucket_clusters(bands, 100).collect()}
+    assert len(assigns) == 300  # the cluster, nothing else
+    assert set(assigns.values()) == {0}  # min doc_id of the hot cluster
+    assert 1000 not in assigns and 1001 not in assigns
+
+
+def test_capped_pairs_plus_megabuckets_cover_everything(hot_docs):
+    """The two halves of the capped-LSH contract compose: pair path (capped)
+    + bucket-id path (over-cap) — together the mega-cluster is fully
+    deduplicated even though the pair join never saw it."""
+    pairs = minhash_lsh_pairs(hot_docs, bucket_cap=100)
+    buckets = megabucket_clusters(minhash_band_keys(hot_docs), 100)
+    dropped_docs = {r.doc_id for r in buckets.collect()}
+    paired_docs = {r.doc_a for r in pairs.collect()} | {r.doc_b for r in pairs.collect()}
+    # every hot-cluster member is covered by exactly the bucket path
+    assert dropped_docs == set(range(300))
+    assert not (paired_docs & dropped_docs)
 
 
 def test_default_cap_leaves_fixtures_untouched(spark, sf_correctness):

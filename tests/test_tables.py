@@ -147,6 +147,36 @@ def test_merge_upsert_idempotent_and_bootstraps(spark, tmp_path):
     assert sorted(map(tuple, read_table(spark, spec).collect())) == once
 
 
+def test_merge_upsert_rejects_reserved_columns(spark, tmp_path):
+    """__pri/__rn in the updates frame would be clobbered by the priority
+    ranking — refuse instead of corrupting user data."""
+    import pytest
+
+    from customer_activity_lakehouse_spark.sources.tables import merge_upsert
+
+    spec = TableSpec(str(tmp_path / "mr"), ("dt",))
+    bad = spark.createDataFrame(
+        [(1, "2024-01-01", 0)], "id long, dt string, __pri long"
+    )
+    with pytest.raises(ValueError, match="reserves column"):
+        merge_upsert(spark, spec, bad, keys=["id"])
+
+
+def test_merge_upsert_cleans_staging(spark, tmp_path):
+    """Stage-and-swap must leave no __staging__ debris next to the table."""
+    from customer_activity_lakehouse_spark.sources.tables import merge_upsert
+
+    spec = TableSpec(str(tmp_path / "ms"), ("dt",))
+    batch = spark.createDataFrame(
+        [(1, "2024-01-01", "x")], "id long, dt string, v string"
+    )
+    merge_upsert(spark, spec, batch, keys=["id"])  # bootstrap (no staging)
+    merge_upsert(spark, spec, batch, keys=["id"])  # merge path (staged)
+    leftovers = [p for p in (tmp_path).rglob("*__staging__*")]
+    assert not leftovers, f"staging debris: {leftovers}"
+    assert read_table(spark, spec).count() == 1
+
+
 def test_merge_upsert_order_col_resolves_in_batch_dups(spark, tmp_path):
     from customer_activity_lakehouse_spark.sources.tables import merge_upsert
 
