@@ -2,23 +2,41 @@
 
 Runs the headline queries (Query.bench=True in the catalog) at
 $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
-local[$SPARK_GRAFT_CPUS], one warm-up + 3 timed runs per query (median),
-and prints exactly ONE JSON line:
+local[$SPARK_GRAFT_CPUS] and prints exactly ONE JSON line:
 
     {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
-Timing = full plan execution into the JVM-side ``noop`` datasource sink:
-every result row is materialized on executors but never crosses into
-Python or the driver (a ``foreach`` action would serialize each row to a
-Python worker and time that overhead instead of the engine).
+Methodology (revised round 3 after a bench-noise incident):
+- One warm-up PASS over every query (JIT, file listing, Python workers),
+  then RUNS=5 timed passes; per-query time = median across passes.
+- Queries are INTERLEAVED: each pass runs the whole set in a different
+  (seeded, deterministic) shuffled order. Round 2 recorded 2.4-2.5x
+  spikes on two queries that vanished on re-run — back-to-back runs of
+  the same query let one noisy window (GC, page cache eviction, a
+  background process) poison all of that query's samples at once.
+  Interleaving decorrelates the noise; median-of-5 passes absorbs it.
+- Timing = full plan execution into the JVM-side ``noop`` datasource
+  sink: every result row is materialized on executors but never crosses
+  into Python or the driver (a ``foreach`` action would serialize each
+  row to a Python worker and time that overhead instead of the engine).
+- ``etl_pipeline`` additionally times the reference-shaped six-step ETL
+  (CSV ingest -> partitioned raw parquet -> curated star schema) over
+  int(10M * sf) generated transactions — the workload BASELINE.md
+  describes. Its writes are real parquet writes to a temp dir (an ETL
+  benchmark that doesn't write isn't one). It is reported inside
+  "queries" but EXCLUDED from "value" so the headline total stays
+  comparable with BENCH_r01/r02 (see "value_excludes").
 """
 
 from __future__ import annotations
 
 import json
 import os
+import random
+import shutil
 import statistics
 import sys
+import tempfile
 import time
 from pathlib import Path
 
@@ -29,7 +47,8 @@ if str(REPO) not in sys.path:
 from customer_activity_lakehouse_spark.plans import QUERIES  # noqa: E402
 from customer_activity_lakehouse_spark.session import get_spark  # noqa: E402
 
-RUNS = 3
+RUNS = 5
+ETL_BASE_ROWS = 10_000_000  # reference generates 10M facts per run at "sf=1"
 
 
 def _sf_label(sf_dir: str) -> float | str:
@@ -42,26 +61,63 @@ def _sf_label(sf_dir: str) -> float | str:
     return name
 
 
+def _make_etl_task(spark, sf: float | str, work_dir: str):
+    """Build the timed ETL callable: fixture CSVs are generated ONCE
+    (untimed setup — the reference times its flows, not Faker), each timed
+    run executes the full six-step pipeline with overwrite semantics into
+    the same zone dirs (the reference's nightly rebuild)."""
+    from customer_activity_lakehouse_spark.pipeline import (
+        LakehouseConfig,
+        generate_fixture_csvs,
+        run_pipeline,
+    )
+
+    n_txn = int(ETL_BASE_ROWS * sf) if isinstance(sf, float) else 100_000
+    txn_csv, prod_csv, cust_csv = generate_fixture_csvs(
+        spark, f"{work_dir}/fixtures", n_transactions=max(n_txn, 10_000)
+    )
+    cfg = LakehouseConfig(f"{work_dir}/raw", f"{work_dir}/curated")
+
+    def run() -> None:
+        run_pipeline(spark, cfg, txn_csv, prod_csv, cust_csv)
+
+    return run
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = _sf_label(sf_dir)
     spark = get_spark("lakehouse-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    names = [n for n, q in QUERIES.items() if q.bench]
-    timings: dict[str, float] = {}
-    for name in names:
-        q = QUERIES[name]
-        samples: list[float] = []
-        for i in range(RUNS + 1):  # first run is warm-up (JIT, file listing)
-            t0 = time.perf_counter()
-            df = q.fn(spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
-            dt = time.perf_counter() - t0
-            if i > 0:
-                samples.append(dt)
-        timings[name] = round(statistics.median(samples), 4)
+    headline = [n for n, q in QUERIES.items() if q.bench]
+    work_dir = tempfile.mkdtemp(prefix="bench_etl_")
+    try:
+        tasks: dict[str, object] = {}
+        for name in headline:
+            q = QUERIES[name]
 
-    total = round(sum(timings.values()), 4)
+            def run(q=q) -> None:
+                q.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+            tasks[name] = run
+        tasks["etl_pipeline"] = _make_etl_task(spark, sf, work_dir)
+
+        samples: dict[str, list[float]] = {n: [] for n in tasks}
+        for i in range(RUNS + 1):  # pass 0 is warm-up
+            order = list(tasks)
+            random.Random(0xC0FFEE + i).shuffle(order)
+            for name in order:
+                t0 = time.perf_counter()
+                tasks[name]()
+                dt = time.perf_counter() - t0
+                if i > 0:
+                    samples[name].append(dt)
+        timings = {n: round(statistics.median(samples[n]), 4) for n in tasks}
+    finally:
+        shutil.rmtree(work_dir, ignore_errors=True)
+
+    total = round(sum(timings[n] for n in headline), 4)
     print(
         json.dumps(
             {
@@ -69,7 +125,17 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
-                "sf": _sf_label(sf_dir),
+                "sf": sf,
+                "value_excludes": ["etl_pipeline"],
+                "runs": RUNS,
+                "note": (
+                    "interleaved shuffled passes, median of 5; r02's "
+                    "building_top_orders/late_ship_priority 2.4-2.5x spikes did "
+                    "not reproduce on idle re-runs (transient machine "
+                    "contention, not a plan change - no code touched those "
+                    "queries in r02); harness now interleaves to prevent "
+                    "one noisy window from setting any query's record"
+                ),
             }
         )
     )

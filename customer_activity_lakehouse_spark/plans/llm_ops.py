@@ -358,6 +358,43 @@ FROM (SELECT md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]',
 """
 
 
+CHUNK_SIZE = 200
+CHUNK_STRIDE = 150  # 50-char overlap between consecutive chunks
+
+
+def q_doc_chunks(spark: SparkSession, sf: str) -> DataFrame:
+    """Document chunking — fixed-size overlapping character windows
+    (size 200, stride 150), the unit a training pipeline tokenizes and a
+    RAG pipeline embeds. Pure generator expression: sequence of start
+    offsets → substr per offset → posexplode; no shuffle, scan-speed at
+    any scale. Output one row per chunk with its 0-based index, length,
+    and content fingerprint (the md5 makes chunk-level exact dedup a
+    groupBy away). Empty docs yield one empty chunk (length 0) rather
+    than disappearing — a pipeline wants to SEE empty inputs."""
+    docs = _spread(spark, table(spark, sf, "documents"))
+    t = F.col("text")
+    starts = F.sequence(F.lit(1), F.greatest(F.length(t), F.lit(1)), F.lit(CHUNK_STRIDE))
+    chunks = F.transform(starts, lambda s: t.substr(s, F.lit(CHUNK_SIZE)))
+    return docs.select(
+        "doc_id", F.posexplode(chunks).alias("chunk_idx", "chunk")
+    ).select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.length("chunk").cast("long").alias("chunk_chars"),
+        _md5s(F.col("chunk")).alias("chunk_fp"),
+    )
+
+
+ORACLE_DOC_CHUNKS = f"""
+SELECT doc_id, (s - 1) // {CHUNK_STRIDE} AS chunk_idx,
+       length(substr(text, s::INT, {CHUNK_SIZE})) AS chunk_chars,
+       md5(substr(text, s::INT, {CHUNK_SIZE})) AS chunk_fp
+FROM (SELECT doc_id, text,
+             unnest(range(1, greatest(length(text), 1) + 1, {CHUNK_STRIDE})) AS s
+      FROM documents)
+"""
+
+
 # ---------------------------------------------------------------------------
 # Deduplication family
 # ---------------------------------------------------------------------------
@@ -576,6 +613,102 @@ SELECT doc_a, doc_b, jaccard FROM (
                / len(list_distinct(list_concat(x.sh, y.sh))), 4) AS jaccard
   FROM cands JOIN sh_tbl x ON doc_a = x.doc_id JOIN sh_tbl y ON doc_b = y.doc_id)
 WHERE jaccard >= 0.5
+"""
+
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iters: int = 20,
+) -> DataFrame:
+    """Near-dup PAIRS → near-dup CLUSTERS: connected components by iterative
+    min-label propagation. Dedup needs clusters, not pairs — keeping one doc
+    per PAIR over-deletes when A~B and B~C (A,C both survive or both die
+    depending on pair order); the component (A,B,C) with one keeper is the
+    correct unit. Output: (doc_id, cluster_id = min doc_id in component) for
+    every doc appearing in a pair.
+
+    Shape per iteration: one join (labels onto symmetrized edges) + one
+    min-aggregate — both shuffle on the node id, so successive iterations
+    reuse the same hash partitioning. Iteration count is the cluster
+    DIAMETER (near-dup clusters are dense — usually 2-3 hops), not the
+    cluster size. Each iteration materializes its label frame to break the
+    otherwise exponentially nesting plan: through the reliable checkpoint
+    dir when the session has one (``spark.sparkContext.setCheckpointDir`` —
+    the cluster setting; survives executor loss), else ``localCheckpoint``
+    (fine on local[n]; executor-loss-fragile on a real cluster, same
+    caveat the merge_upsert staging path exists to avoid). The driver-side
+    loop is bounded by ``max_iters`` and exits on a converged count — an
+    iterative algorithm's per-step action, not a collect of data rows.
+    """
+    edges = pairs.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    edges = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    reliable = pairs.sparkSession.sparkContext.getCheckpointDir() is not None
+    labels = (
+        edges.select(F.col("src").alias("node")).distinct().withColumn("label", F.col("node"))
+    )
+    for _ in range(max_iters):
+        neigh = edges.join(labels, edges.src == labels.node).select(
+            F.col("dst").alias("node"), F.col("label")
+        )
+        new_labels = (
+            labels.union(neigh).groupBy("node").agg(F.min("label").alias("label"))
+        )
+        new_labels = (
+            new_labels.checkpoint(eager=True)
+            if reliable
+            else new_labels.localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
+def q_dedup_cluster_assignments(spark: SparkSession, sf: str) -> DataFrame:
+    """Full near-dup dedup to its actionable end state: MinHash-LSH
+    candidates → exact-Jaccard verify → connected components → one
+    (doc_id, cluster_id) assignment per involved doc. ``cluster_id`` is the
+    keeper (min doc id); everything else in the cluster is droppable."""
+    pairs = q_dedup_minhash_verified(spark, sf).select("doc_a", "doc_b")
+    return connected_components(pairs)
+
+
+ORACLE_DEDUP_CLUSTER_ASSIGNMENTS = f"""
+WITH RECURSIVE bands AS ({_SQL_BANDS}),
+long_bands AS (
+  {" UNION ALL ".join(f"SELECT doc_id, {b} AS band_idx, band{b} AS band_val FROM bands" for b in range(N_BANDS))}
+),
+cands AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM long_bands a JOIN long_bands b
+    ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc_id < b.doc_id),
+sh_tbl AS (SELECT doc_id, {_SQL_SHINGLES} AS sh FROM documents),
+pairs AS (
+  SELECT doc_a, doc_b FROM (
+    SELECT doc_a, doc_b,
+           round(len(list_intersect(x.sh, y.sh))::DOUBLE
+                 / len(list_distinct(list_concat(x.sh, y.sh))), 4) AS jaccard
+    FROM cands JOIN sh_tbl x ON doc_a = x.doc_id JOIN sh_tbl y ON doc_b = y.doc_id)
+  WHERE jaccard >= 0.5),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b AS src, doc_a AS dst FROM pairs),
+cc AS (
+  SELECT src AS node, src AS label FROM edges
+  UNION
+  SELECT e.dst, cc.label FROM cc JOIN edges e ON cc.node = e.src)
+SELECT node AS doc_id, min(label) AS cluster_id FROM cc GROUP BY node
 """
 
 
@@ -1014,6 +1147,48 @@ WHERE cos_sim >= 0.40
 """
 
 
+def q_dedup_lsh_recall(spark: SparkSession, sf: str) -> DataFrame:
+    """Measured recall of the banded-LSH embedding dedup against the exact
+    quadratic anchor at the same threshold (0.40) — the dedup twin of
+    ann_recall_at_k. Because the LSH path verifies candidates with the
+    SAME exact cosine, its pairs are a subset of the exact pairs; recall =
+    the fraction of true near-dup pairs whose vectors collided in at least
+    one band. At 100 TB this runs on a sample as the banding-parameter
+    quality gate (the exact side is quadratic — guarded)."""
+    exact = q_dedup_embedding_cosine(spark, sf).select("vec_a", "vec_b")
+    lsh = q_dedup_embedding_cosine_lsh(spark, sf).select("vec_a", "vec_b")
+    n_exact = exact.agg(F.count(F.lit(1)).alias("n_exact"))
+    hits = lsh.join(exact, ["vec_a", "vec_b"], "left_semi").agg(
+        F.count(F.lit(1)).alias("n_hits")
+    )
+    return hits.crossJoin(F.broadcast(n_exact)).select(
+        "n_exact",
+        "n_hits",
+        F.round(F.col("n_hits") / F.col("n_exact"), 4).alias("recall"),
+    )
+
+
+ORACLE_DEDUP_LSH_RECALL = f"""
+WITH exact AS (
+  SELECT vec_a, vec_b FROM (
+    SELECT x.vec_id AS vec_a, y.vec_id AS vec_b, round({_SQL_PAIR_COS}, 4) AS cos_sim
+    FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id)
+  WHERE cos_sim >= 0.40),
+bands AS ({_SQL_EMB_BANDS}),
+lsh AS (
+  SELECT DISTINCT vec_a, vec_b FROM (
+    SELECT x.vec_id AS vec_a, y.vec_id AS vec_b, round({_SQL_PAIR_COS}, 4) AS cos_sim
+    FROM bands x JOIN bands y
+      ON x.band_idx = y.band_idx AND x.band_val = y.band_val AND x.vec_id < y.vec_id)
+  WHERE cos_sim >= 0.40)
+SELECT (SELECT count(*) FROM exact) AS n_exact,
+       count(*) AS n_hits,
+       round(count(*)::DOUBLE / (SELECT count(*) FROM exact), 4) AS recall
+FROM lsh WHERE EXISTS (
+  SELECT 1 FROM exact e WHERE e.vec_a = lsh.vec_a AND e.vec_b = lsh.vec_b)
+"""
+
+
 def q_ann_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
     """IVF-style ANN: coarse centroids = element-wise mean vector per label
     (the "inverted file" cell key), probe = the single centroid nearest to
@@ -1308,10 +1483,16 @@ QUERIES: dict[str, Query] = {
     "doc_fingerprint_stats": Query(
         q_doc_fingerprint_stats, ORACLE_DOC_FINGERPRINT_STATS, ("text", "dedup")
     ),
+    "doc_chunks": Query(q_doc_chunks, ORACLE_DOC_CHUNKS, ("text", "chunking")),
     "dedup_token_set": Query(q_dedup_token_set, ORACLE_DEDUP_TOKEN_SET, ("dedup",), True),
     "dedup_minhash_lsh": Query(q_dedup_minhash_lsh, ORACLE_DEDUP_MINHASH_LSH, ("dedup", "lsh"), True),
     "dedup_minhash_verified": Query(
         q_dedup_minhash_verified, ORACLE_DEDUP_MINHASH_VERIFIED, ("dedup", "lsh")
+    ),
+    "dedup_cluster_assignments": Query(
+        q_dedup_cluster_assignments,
+        ORACLE_DEDUP_CLUSTER_ASSIGNMENTS,
+        ("dedup", "lsh", "graph"),
     ),
     "dedup_minhash_megabuckets": Query(
         q_dedup_minhash_megabuckets, ORACLE_DEDUP_MINHASH_MEGABUCKETS, ("dedup", "lsh", "audit")
@@ -1351,6 +1532,9 @@ QUERIES: dict[str, Query] = {
     ),
     "ann_recall_at_k": Query(
         q_ann_recall_at_k, ORACLE_ANN_RECALL_AT_K, ("similarity", "recall")
+    ),
+    "dedup_lsh_recall": Query(
+        q_dedup_lsh_recall, ORACLE_DEDUP_LSH_RECALL, ("dedup", "lsh", "recall")
     ),
     "embedding_norm_stats": Query(
         q_embedding_norm_stats, ORACLE_EMBEDDING_NORM_STATS, ("similarity",)

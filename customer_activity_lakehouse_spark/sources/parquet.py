@@ -26,6 +26,7 @@ Scale notes (100 TB):
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..schemas import DRIVER_TABLES, require_columns
 
@@ -35,16 +36,41 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def _cluster_by_partitions(
+    df: DataFrame, cols: list[str], files_per_partition: int = 1
+) -> DataFrame:
+    """Shuffle rows so each hive partition is written by (at most)
+    ``files_per_partition`` tasks — THE prerequisite for partitioned sinks.
+
+    Without it every input task holds rows for every partition value and
+    opens one writer per value: T input tasks × P partition dirs = T×P
+    tiny files (measured: a 32-task, 366-date write produced ~11,700
+    files and took 54 s at 100k rows; clustered, it's ~366 files and
+    seconds — and the downstream scan stops paying per-file open cost).
+    The salt term splits hot partitions across ``files_per_partition``
+    tasks (deterministic row-hash, replay-safe — same pattern as
+    tables.compact); at n=1 it is constant and the expression reduces to
+    repartition-by-key."""
+    n = max(1, int(files_per_partition))
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(n)).cast("int")
+    return df.repartition(*[F.col(c) for c in cols], salt)
+
+
 def write_raw_partitioned(
     df: DataFrame,
     path: str,
     partition_cols: list[str] | None = None,
+    files_per_partition: int = 1,
 ) -> None:
     """S5 — raw-zone sink: hive-partitioned, full overwrite
-    (data_processing.py:201-223; partition_on data_processing.py:218)."""
+    (data_processing.py:201-223; partition_on data_processing.py:218).
+    Rows are clustered by the partition key first (see
+    :func:`_cluster_by_partitions`); raise ``files_per_partition`` when a
+    single date holds more rows than one task should write."""
     cols = ["transaction_date"] if partition_cols is None else partition_cols
     require_columns(df, cols, "write_raw_partitioned")
-    writer = df.write.mode("overwrite")
+    out = _cluster_by_partitions(df, cols, files_per_partition) if cols else df
+    writer = out.write.mode("overwrite")
     if cols:
         writer = writer.partitionBy(*cols)
     writer.parquet(path)
@@ -61,14 +87,24 @@ def write_curated_parquet(
 
     ``target_partitions=None`` skips the repartition entirely (the 100 TB
     path: AQE-coalesced shuffle output + maxRecordsPerFile).
+
+    For PARTITIONED curated writes ``target_partitions`` means files PER
+    PARTITION DIR (the reference's Dask ``repartition(1)`` + partition_on
+    yields one file per date dir, data_processing.py:413+428): rows are
+    clustered on the partition key so each dir is written by that many
+    tasks, never by every task (see :func:`_cluster_by_partitions`).
     """
     cols = partition_cols or []
     require_columns(df, cols, "write_curated_parquet")
     out = df
     if target_partitions is not None:
-        # repartition (shuffle) rather than coalesce: coalesce(1) would pull
-        # the whole upstream transform onto one task, serializing the job.
-        out = df.repartition(max(1, int(target_partitions)))
+        if cols:
+            out = _cluster_by_partitions(df, cols, target_partitions)
+        else:
+            # repartition (shuffle) rather than coalesce: coalesce(1) would
+            # pull the whole upstream transform onto one task, serializing
+            # the job.
+            out = df.repartition(max(1, int(target_partitions)))
     writer = out.write.mode("overwrite")
     if cols:
         writer = writer.partitionBy(*cols)
