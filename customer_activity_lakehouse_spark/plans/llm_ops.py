@@ -147,8 +147,16 @@ def _spread(spark: SparkSession, df: DataFrame) -> DataFrame:
     core (measured 6x slowdown on the minhash signature at sf0.1). The
     shuffle moves only the source rows (KBs..MBs), then the expensive
     expressions run at full parallelism. At 100 TB the input is thousands of
-    splits and this becomes a cheap no-op-ish rebalance; keep it only ahead
-    of compute-bound stages, never plain scans/aggs.
+    splits and this becomes a cheap no-op-ish rebalance.
+
+    Use it ONLY ahead of genuinely compute-bound per-row stages — measured
+    at sf0.1 (round 3): minhash shingle-hashing 1.6 s with vs 5.8 s
+    without; simhash 1.5 s vs 2.9 s; but for light expressions the extra
+    shuffle is pure stage overhead that LOSES time (ann_topk_pandas 0.75 s
+    with vs 0.38 s without, token stats 0.72 s vs 0.48 s) — those queries
+    now read the table directly, and operators whose heavy work happens
+    after their own exchange (the bucket-local LSH verify) need no spread
+    at all.
     """
     return df.repartition(spark.sparkContext.defaultParallelism)
 
@@ -213,7 +221,7 @@ def _mh_source(i: int) -> tuple[str, int]:
 def q_doc_token_stats(spark: SparkSession, sf: str) -> DataFrame:
     """Whitespace + BPE-ish token counting, rolled up per language tag.
     Pure projection+agg — scan-speed at any scale."""
-    docs = _spread(spark, table(spark, sf, "documents"))
+    docs = table(spark, sf, "documents")
     toks = _tokens(F.col("text"))
     bpe = F.size(F.regexp_extract_all(F.col("text"), F.lit(BPE_SPLIT_PATTERN), F.lit(0)))
     return (
@@ -247,7 +255,7 @@ GROUP BY lang
 
 def q_doc_quality(spark: SparkSession, sf: str) -> DataFrame:
     """Quality heuristics (length / punctuation / stopword ratios) per source."""
-    docs = _spread(spark, table(spark, sf, "documents"))
+    docs = table(spark, sf, "documents")
     c = F.col("text")
     toks = _tokens(c)
     n_tok = F.size(toks).cast("double")
@@ -304,7 +312,7 @@ def q_doc_langid(spark: SparkSession, sf: str) -> DataFrame:
     (earliest-language tie-break, no-hits → 'und') lives ONLY in
     functions/text.py:language_id — one tie-break implementation, one
     place a future edit can change it."""
-    docs = _spread(spark, table(spark, sf, "documents"))
+    docs = table(spark, sf, "documents")
     return (
         docs.select(
             language_id(F.col("text")).alias("lang_pred"),
@@ -337,7 +345,7 @@ GROUP BY lang_pred, lang_label
 
 def q_doc_fingerprint_stats(spark: SparkSession, sf: str) -> DataFrame:
     """Content fingerprinting: md5 over normalized text; exact-dup census."""
-    docs = _spread(spark, table(spark, sf, "documents"))
+    docs = table(spark, sf, "documents")
     norm = F.trim(
         F.regexp_replace(F.regexp_replace(F.lower(F.col("text")), r"[^a-z0-9\s]", " "), r"\s+", " ")
     )
@@ -371,7 +379,7 @@ def q_doc_chunks(spark: SparkSession, sf: str) -> DataFrame:
     and content fingerprint (the md5 makes chunk-level exact dedup a
     groupBy away). Empty docs yield one empty chunk (length 0) rather
     than disappearing — a pipeline wants to SEE empty inputs."""
-    docs = _spread(spark, table(spark, sf, "documents"))
+    docs = table(spark, sf, "documents")
     t = F.col("text")
     starts = F.sequence(F.lit(1), F.greatest(F.length(t), F.lit(1)), F.lit(CHUNK_STRIDE))
     chunks = F.transform(starts, lambda s: t.substr(s, F.lit(CHUNK_SIZE)))
@@ -404,7 +412,7 @@ def q_dedup_token_set(spark: SparkSession, sf: str) -> DataFrame:
     """Bag-of-words dedup: md5 over the SORTED DISTINCT token set — catches
     reordered near-dup documents (token-set Jaccard 1.0). Output: clusters
     with >1 member (cluster key + size + representative = min doc_id)."""
-    docs = _spread(spark, table(spark, sf, "documents"))
+    docs = table(spark, sf, "documents")
     key = _md5s(F.array_join(F.array_sort(F.array_distinct(_tokens(F.col("text")))), " "))
     return (
         docs.select(key.alias("set_fp"), "doc_id")
@@ -831,7 +839,7 @@ def _bruteforce_topk(spark: SparkSession, sf: str, k: int) -> DataFrame:
     """Exact cosine top-``k`` neighbors of vec_id=0. Query vector broadcast;
     one scan over embeddings; top-k via (rounded score desc, id) so ordering
     is engine-independent."""
-    emb = _spread(spark, table(spark, sf, "embeddings"))
+    emb = table(spark, sf, "embeddings")
     q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q_emb"))
     cos = _dot_expr(F.col("embedding"), F.col("q_emb")) / (
         _norm_expr(F.col("embedding")) * _norm_expr(F.col("q_emb"))
@@ -887,7 +895,7 @@ def q_ann_lsh_buckets(spark: SparkSession, sf: str) -> DataFrame:
     """Hyperplane-LSH bucket census — the partition layout of the ANN index.
     At scale, vectors are written bucketed by this key so a query probes one
     (or a few) buckets instead of the full table."""
-    emb = _spread(spark, table(spark, sf, "embeddings"))
+    emb = table(spark, sf, "embeddings")
     return (
         emb.select(_bucket_expr(F.col("embedding")).alias("bucket"))
         .groupBy("bucket")
@@ -905,7 +913,7 @@ def q_ann_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
     """The ANN scale path: probe only the query's LSH bucket, exact cosine
     within it, top-5. (Recall < 1 vs brute force by design — that is the
     documented ANN tradeoff; the correctness anchor is the bucket semantics.)"""
-    emb = _spread(spark, table(spark, sf, "embeddings")).withColumn(
+    emb = table(spark, sf, "embeddings").withColumn(
         "bucket", _bucket_expr(F.col("embedding"))
     )
     q = emb.filter(F.col("vec_id") == 0).select(
@@ -1017,16 +1025,19 @@ def q_dedup_embedding_cosine_lsh(spark: SparkSession, sf: str) -> DataFrame:
     8-bit bucket — banding exists precisely to fix that recall cliff). At
     100 TB raise bits-per-band to shrink buckets and add bands for recall.
 
-    Plan shape (the part that matters at scale): the band self-join carries
-    ONLY (vec_id, band key) — never the 64-float vectors — and candidate
-    pairs are made DISTINCT before any math, so each unique pair is verified
-    once no matter how many bands it collided in; band buckets above
-    ``bucket_cap`` rows are dropped before the join (see
-    :func:`_cap_buckets`). Vectors come back via two id-joins with the
-    per-vector norm precomputed a single time (the same double the inline
-    expression would produce, so oracle-hash safe)."""
+    Plan shape (the part that matters at scale): verification is
+    bucket-local — vectors ship once per band membership, pairs are
+    enumerated inside numpy per bucket, and only scalar (vec_a, vec_b,
+    cos) rows leave Python; band buckets above ``bucket_cap`` rows are
+    dropped before grouping (see :func:`_cap_buckets` and
+    :func:`embedding_lsh_pairs` for the data-movement argument).
+
+    No ``_spread`` here: the band bits are 16 comparisons per row (cheap),
+    and everything expensive runs AFTER the band-key exchange already
+    redistributes the work — the extra shuffle only added a stage
+    (measured 0.24 s of pure overhead at sf0.1)."""
     return embedding_lsh_pairs(
-        _spread(spark, table(spark, sf, "embeddings")).select("vec_id", "embedding")
+        table(spark, sf, "embeddings").select("vec_id", "embedding")
     )
 
 
@@ -1049,25 +1060,56 @@ def embedding_band_keys(emb: DataFrame) -> DataFrame:
     ).select("vec_id", "bk.band_idx", "bk.band_val")
 
 
-def _cos_pairs_udf():
-    """Arrow-batched pairwise cosine with per-row LEFT-TO-RIGHT reductions
-    (np.cumsum last column) — the exact float-op order of the JVM
-    ``aggregate`` fold and the DuckDB oracle, so results are bit-identical
-    to the inline expression while running ~100 elements per numpy op
-    instead of one interpreted lambda eval per element. (Built lazily:
-    pandas_udf parses its return type against the active session, so it
-    cannot be created at import time.)"""
+_VERIFY_PAIR_CHUNK = 100_000  # pairs per numpy batch inside the verify UDF
 
-    @F.pandas_udf("double")
-    def cos_pairs(ea: pd.Series, eb: pd.Series) -> pd.Series:
-        ma = np.stack([np.asarray(v, dtype=np.float64) for v in ea])
-        mb = np.stack([np.asarray(v, dtype=np.float64) for v in eb])
-        dots = np.cumsum(ma * mb, axis=1)[:, -1]
-        na = np.sqrt(np.cumsum(ma * ma, axis=1)[:, -1])
-        nb = np.sqrt(np.cumsum(mb * mb, axis=1)[:, -1])
-        return pd.Series(dots / (na * nb))
 
-    return cos_pairs
+def _bucket_verify_fn():
+    """Bucket-local pairwise cosine for :func:`embedding_lsh_pairs` —
+    applied per (band_idx, band_val) group. Generates the C(n,2) pairs of
+    each bucket INSIDE numpy (np.triu_indices) and computes cosines with
+    per-row LEFT-TO-RIGHT reductions (np.cumsum last column) — the exact
+    float-op order of the JVM ``aggregate`` fold and the DuckDB oracle.
+    Emits RAW doubles; rounding/threshold stay in the Spark plan so the
+    half-up F.round semantics (np.round is half-even) are identical to
+    every other catalog query. Pair chunks bound peak memory to
+    ~_VERIFY_PAIR_CHUNK×dim floats regardless of bucket size."""
+
+    def verify(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame({"vec_a": [], "vec_b": [], "cos_raw": []}).astype(
+                {"vec_a": "int64", "vec_b": "int64", "cos_raw": "float64"}
+            )
+        ids = pdf["vec_id"].to_numpy()
+        m = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+        # Per-VECTOR norms once (cumsum last col = sequential left-to-right
+        # fold, the JVM/DuckDB op order — np.sum would pairwise-reassociate),
+        # then indexed per pair: O(n·d) instead of O(pairs·d) twice.
+        norms = np.sqrt(np.cumsum(m * m, axis=1)[:, -1])
+        iu, ju = np.triu_indices(n, k=1)
+        outs = []
+        for s in range(0, len(iu), _VERIFY_PAIR_CHUNK):
+            ii, jj = iu[s : s + _VERIFY_PAIR_CHUNK], ju[s : s + _VERIFY_PAIR_CHUNK]
+            ma, mb = m[ii], m[jj]
+            # sequential per-column accumulate — identical fold order to the
+            # zip_with/aggregate expression, without cumsum's (pairs×d) temp
+            dots = np.zeros(len(ii), dtype=np.float64)
+            for k in range(m.shape[1]):
+                dots += ma[:, k] * mb[:, k]
+            na, nb = norms[ii], norms[jj]
+            a_ids, b_ids = ids[ii], ids[jj]
+            outs.append(
+                pd.DataFrame(
+                    {
+                        "vec_a": np.minimum(a_ids, b_ids),
+                        "vec_b": np.maximum(a_ids, b_ids),
+                        "cos_raw": dots / (na * nb),
+                    }
+                )
+            )
+        return pd.concat(outs, ignore_index=True)
+
+    return verify
 
 
 def embedding_lsh_pairs(
@@ -1077,35 +1119,33 @@ def embedding_lsh_pairs(
     frame — candidates from same-band collisions (buckets above
     ``bucket_cap`` dropped first), verified with exact cosine ≥ 0.40.
 
-    The verify step runs the cosine through :func:`_cos_pairs_udf` (Arrow,
-    NumPy-vectorized, order-exact) — measured ~25% faster end-to-end than
-    the zip_with/aggregate HOF chain at sf0.1, because Catalyst interprets
-    HOF lambdas per element while NumPy does whole Arrow batches; the gap
-    widens with candidate count at scale."""
+    Verification is BUCKET-LOCAL (``applyInPandas`` over the band key, see
+    :func:`_bucket_verify_fn`): vectors are shipped once per bucket
+    membership (rows × bands), never once per candidate pair. The previous
+    shape — distinct candidate ids, two id-joins to re-attach vectors, a
+    scalar pandas UDF per pair — moved 2×dim floats per CANDIDATE through
+    Arrow: at sf0.1 that is 454k pairs from only 2000 vectors (~500 MB)
+    and it grows with the pair count, which is exactly the quantity LSH
+    cannot bound tightly. Bucket-local verify moves ~2 MB instead
+    (measured 2.4 s → ~1.3 s) and at 100 TB keeps Arrow traffic
+    proportional to the TABLE, not the candidate set. A pair colliding in
+    several bands is verified once per band (cheap scalar math) and
+    deduplicated AFTER round+filter — identical output, since the cosine
+    is deterministic per pair.
+
+    Memory: bucket_cap bounds rows per group (cap² pair indices, chunked
+    into _VERIFY_PAIR_CHUNK-pair numpy batches); the group shuffle rides
+    the same (band_idx, band_val) partitioning the cap window already
+    established."""
     bands = _cap_buckets(embedding_band_keys(emb), bucket_cap)
-    a = bands.select("band_idx", "band_val", F.col("vec_id").alias("vec_a"))
-    b = bands.select("band_idx", "band_val", F.col("vec_id").alias("vec_b"))
-    cands = (
-        a.join(b, ["band_idx", "band_val"])
-        .filter(F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b")
-        .distinct()
+    with_vec = bands.join(emb.select("vec_id", "embedding"), "vec_id")
+    raw = with_vec.groupBy("band_idx", "band_val").applyInPandas(
+        _bucket_verify_fn(), "vec_a long, vec_b long, cos_raw double"
     )
     return (
-        cands.join(
-            emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea")),
-            "vec_a",
-        )
-        .join(
-            emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb")),
-            "vec_b",
-        )
-        .select(
-            "vec_a",
-            "vec_b",
-            F.round(_cos_pairs_udf()(F.col("ea"), F.col("eb")), 4).alias("cos_sim"),
-        )
+        raw.select("vec_a", "vec_b", F.round(F.col("cos_raw"), 4).alias("cos_sim"))
         .filter(F.col("cos_sim") >= 0.40)
+        .distinct()
     )
 
 
@@ -1115,9 +1155,10 @@ EMB_MEGABUCKET_AUDIT_CAP = 30  # sf0.01 embedding buckets reach 41 rows
 def q_dedup_embedding_megabuckets(spark: SparkSession, sf: str) -> DataFrame:
     """Bucket-id dedup assignments for over-cap embedding-LSH buckets —
     :func:`megabucket_clusters` over the hyperplane band keys, the same
-    capped-cluster complement as the minhash twin."""
+    capped-cluster complement as the minhash twin. (No ``_spread``: band
+    bits are cheap and the groupBy redistributes.)"""
     bands = embedding_band_keys(
-        _spread(spark, table(spark, sf, "embeddings")).select("vec_id", "embedding")
+        table(spark, sf, "embeddings").select("vec_id", "embedding")
     )
     return megabucket_clusters(bands, EMB_MEGABUCKET_AUDIT_CAP, id_col="vec_id")
 
@@ -1211,7 +1252,7 @@ def q_ann_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
     saw. Without the filter a short/null vector is counted in ``n`` but
     skipped by ``sum``, silently shifting the mean — and hence which cell a
     query probes (invisible on dense fixtures, real on dirty data)."""
-    emb = _spread(spark, table(spark, sf, "embeddings"))
+    emb = table(spark, sf, "embeddings")
     cent_src = emb.filter(
         F.col("embedding").isNotNull() & (F.size("embedding") == _DIM)
     )
@@ -1373,7 +1414,7 @@ def q_ann_topk_pandas(spark: SparkSession, sf: str) -> DataFrame:
     float-op order of the JVM ``aggregate`` fold and the DuckDB twin. A
     BLAS matmul/einsum would be faster but reassociates the additions,
     making the rounded-to-4dp oracle hash kernel/platform-dependent."""
-    emb = _spread(spark, table(spark, sf, "embeddings"))
+    emb = table(spark, sf, "embeddings")
     qvec = np.asarray(
         emb.filter(F.col("vec_id") == 0).select("embedding").head()[0], dtype=np.float64
     )
@@ -1425,7 +1466,7 @@ def ann_topk_batch(emb: DataFrame, queries: DataFrame, k: int = 5) -> DataFrame:
 def q_ann_topk_multi(spark: SparkSession, sf: str) -> DataFrame:
     """Multi-query ANN over a 3-vector probe batch (vec_id 0,1,2) — the
     broadcast-query-set generalization of q_ann_topk_bruteforce."""
-    emb = _spread(spark, table(spark, sf, "embeddings"))
+    emb = table(spark, sf, "embeddings")
     queries = emb.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
     )
@@ -1448,7 +1489,7 @@ WHERE rk <= 5
 
 def q_embedding_norm_stats(spark: SparkSession, sf: str) -> DataFrame:
     """Per-label vector norm statistics (embedding-table profiling)."""
-    emb = _spread(spark, table(spark, sf, "embeddings"))
+    emb = table(spark, sf, "embeddings")
     return (
         emb.select("label", F.round(_norm_expr(F.col("embedding")), 4).alias("nrm"))
         .groupBy("label")
