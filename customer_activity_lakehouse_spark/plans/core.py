@@ -755,6 +755,79 @@ WHERE rn = 1
 """
 
 
+def q_order_value_quantiles(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact percentiles (p50/p90/p99) of order value per priority —
+    the distribution surface missing from plain sum/avg rollups. Spark's
+    ``percentile`` is the exact sort-based aggregate (linear interpolation,
+    same definition as DuckDB ``quantile_cont``); at 100 TB switch to
+    ``approx_percentile(c, p, accuracy)`` — same call shape, sketch-merge
+    instead of per-group sort, documented tradeoff."""
+    orders = table(spark, sf, "orders")
+    pct = lambda p: F.round(  # noqa: E731
+        F.expr(f"percentile(o_totalprice, {p})"), 2
+    )
+    return orders.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        pct(0.5).alias("p50"),
+        pct(0.9).alias("p90"),
+        pct(0.99).alias("p99"),
+    )
+
+
+ORACLE_ORDER_VALUE_QUANTILES = """
+SELECT o_orderpriority, count(*) AS n_orders,
+       round(quantile_cont(o_totalprice, 0.5), 2) AS p50,
+       round(quantile_cont(o_totalprice, 0.9), 2) AS p90,
+       round(quantile_cont(o_totalprice, 0.99), 2) AS p99
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+PIVOT_YEARS = list(range(1995, 2002))  # fixture o_orderdate spans 1995-2001
+
+
+def q_priority_year_pivot(spark: SparkSession, sf: str) -> DataFrame:
+    """PIVOT: order revenue by priority × year, years as columns — the
+    wide-report shape BI layers ask of the star schema. Explicit pivot
+    values keep the plan a single pass (no distinct-values pre-query) and
+    make the output schema static — the only sane form at scale."""
+    orders = table(spark, sf, "orders").withColumn(
+        "order_year", F.year("o_orderdate")
+    )
+    return (
+        orders.groupBy("o_orderpriority")
+        .pivot("order_year", PIVOT_YEARS)
+        .agg(F.round(F.sum(F.col("o_totalprice").cast(MONEY)).cast("double"), 2))
+        .withColumnsRenamed({str(y): f"y{y}" for y in PIVOT_YEARS})
+    )
+
+
+# pivot() needs the year column pre-derived; wrap via a select in the fn —
+# done inline in the oracle with CASE sums (the engine-portable pivot form).
+ORACLE_PRIORITY_YEAR_PIVOT = "SELECT o_orderpriority, " + ", ".join(
+    f"round(sum(CASE WHEN year(o_orderdate) = {y} "
+    f"THEN o_totalprice::DECIMAL(18,2) END)::DOUBLE, 2) AS y{y}"
+    for y in PIVOT_YEARS
+) + " FROM orders GROUP BY o_orderpriority"
+
+
+def q_lineitem_cube(spark: SparkSession, sf: str) -> DataFrame:
+    """CUBE over (returnflag, linestatus): all four grouping-set levels in
+    one pass (partial-aggregated like any groupBy — the cube expansion
+    happens map-side). Complements the ROLLUP entry; NULL marks the
+    rolled-up dimensions exactly as DuckDB's CUBE does."""
+    li = table(spark, sf, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        revenue_sum().alias("revenue"), F.count(F.lit(1)).alias("n_lines")
+    )
+
+
+ORACLE_LINEITEM_CUBE = f"""
+SELECT l_returnflag, l_linestatus, {SQL_REV_SUM} AS revenue, count(*) AS n_lines
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
 def q_skew_salted_revenue(spark: SparkSession, sf: str) -> DataFrame:
     """Brand revenue rollup routed THROUGH operators/joins.salted_join —
     the oracle row proving the skew-salting primitive is semantics-
@@ -926,6 +999,13 @@ QUERIES: dict[str, Query] = {
         q_derive_date_string, ORACLE_DERIVE_DATE_STRING, ("scalar", "parity")
     ),
     "null_fill_segment": Query(q_null_fill_segment, ORACLE_NULL_FILL_SEGMENT, ("scalar", "parity")),
+    "order_value_quantiles": Query(
+        q_order_value_quantiles, ORACLE_ORDER_VALUE_QUANTILES, ("agg", "quantile")
+    ),
+    "priority_year_pivot": Query(
+        q_priority_year_pivot, ORACLE_PRIORITY_YEAR_PIVOT, ("pivot",)
+    ),
+    "lineitem_cube": Query(q_lineitem_cube, ORACLE_LINEITEM_CUBE, ("cube",)),
     "skew_salted_revenue": Query(
         q_skew_salted_revenue, ORACLE_SKEW_SALTED_REVENUE, ("join", "skew")
     ),

@@ -366,6 +366,65 @@ FROM (SELECT md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]',
 """
 
 
+TFIDF_TOP_K = 3
+
+
+def q_doc_tfidf_terms(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document — the classic keyword extractor a
+    corpus-analysis pipeline runs before labeling/routing. tf = in-doc term
+    count, idf = ln(N/df) over distinct-doc frequency; score rounded to 4dp
+    and ranked (score desc, term) so the top-k is deterministic.
+
+    Plan: one explode → two partial-agg groupBys (term counts per doc;
+    document frequency per term) → broadcast of the 1-row corpus size →
+    per-doc top-k window. The df table is vocabulary-sized (small side) —
+    it joins back onto per-doc term counts hash-partitioned by term, and
+    the final window partitions by doc_id, never globally."""
+    docs = table(spark, sf, "documents")
+    terms = docs.select(
+        "doc_id", F.explode(_tokens(F.lower(F.col("text")))).alias("term")
+    )
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_t = terms.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(df_t, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 4
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TFIDF_TOP_K)
+        .select("doc_id", "term", "tfidf", "rk")
+    )
+
+
+ORACLE_DOC_TFIDF_TERMS = f"""
+WITH terms AS (
+  SELECT doc_id, unnest({_SQL_TOKENS.replace("trim(text)", "trim(lower(text))")}) AS term
+  FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY doc_id, term),
+df_t AS (SELECT term, count(DISTINCT doc_id) AS df FROM terms GROUP BY term),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT doc_id, tf.term AS term,
+         round(tf * ln(n_docs::DOUBLE / df), 4) AS tfidf
+  FROM tf JOIN df_t ON tf.term = df_t.term, n)
+SELECT doc_id, term, tfidf, rk FROM (
+  SELECT doc_id, term, tfidf,
+         row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rk
+  FROM scored)
+WHERE rk <= {TFIDF_TOP_K}
+"""
+
+
 CHUNK_SIZE = 200
 CHUNK_STRIDE = 150  # 50-char overlap between consecutive chunks
 
@@ -1525,6 +1584,7 @@ QUERIES: dict[str, Query] = {
         q_doc_fingerprint_stats, ORACLE_DOC_FINGERPRINT_STATS, ("text", "dedup")
     ),
     "doc_chunks": Query(q_doc_chunks, ORACLE_DOC_CHUNKS, ("text", "chunking")),
+    "doc_tfidf_terms": Query(q_doc_tfidf_terms, ORACLE_DOC_TFIDF_TERMS, ("text", "tfidf")),
     "dedup_token_set": Query(q_dedup_token_set, ORACLE_DEDUP_TOKEN_SET, ("dedup",), True),
     "dedup_minhash_lsh": Query(q_dedup_minhash_lsh, ORACLE_DEDUP_MINHASH_LSH, ("dedup", "lsh"), True),
     "dedup_minhash_verified": Query(

@@ -4,6 +4,8 @@ from .streams import (
     sessionize_stream,
     sliding_event_rates,
     stream_dedup_events,
+    write_stream_foreach_batch,
+    write_stream_merge_upsert,
     write_stream_parquet,
 )
 
@@ -13,5 +15,7 @@ __all__ = [
     "sessionize_stream",
     "sliding_event_rates",
     "stream_dedup_events",
+    "write_stream_foreach_batch",
+    "write_stream_merge_upsert",
     "write_stream_parquet",
 ]

@@ -242,3 +242,36 @@ def write_stream_foreach_batch(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def write_stream_merge_upsert(
+    df: DataFrame,
+    spec,
+    keys: list[str],
+    checkpoint: str,
+    order_col: str | None = None,
+    available_now: bool = True,
+):
+    """Streaming MERGE sink: every micro-batch upserts into a lakehouse
+    table via ``sources.tables.merge_upsert`` — the streaming face of the
+    nightly-load contract (update-mode aggregates re-emit a key per batch;
+    the table must hold only the LATEST row per key, which append-mode file
+    sinks cannot express).
+
+    Exactly-once composition: the checkpoint guarantees each micro-batch is
+    delivered at-least-once with a stable batch_id, and ``merge_upsert`` is
+    idempotent per batch (updates-win keyed dedup + stage-and-swap), so a
+    replayed batch converges to the same table state. At 100 TB the merge
+    touches only the partitions present in the batch — continuous small
+    upserts, plus a periodic ``compact`` for the file counts.
+    """
+    from ..sources.tables import merge_upsert
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        merge_upsert(batch_df.sparkSession, spec, batch_df, keys, order_col=order_col)
+
+    return write_stream_foreach_batch(
+        df, merge_batch, checkpoint, available_now=available_now, output_mode="update"
+    )

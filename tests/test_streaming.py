@@ -18,6 +18,7 @@ from customer_activity_lakehouse_spark.streaming import (
 )
 from customer_activity_lakehouse_spark.streaming.streams import (
     write_stream_foreach_batch,
+    write_stream_merge_upsert,
 )
 
 
@@ -141,6 +142,45 @@ def test_stream_dedup_drops_replayed_file(spark, events_dir, tmp_path):
     )
     got = spark.read.parquet(str(tmp_path / "out"))
     assert got.count() == src.count()
+
+
+def test_stream_merge_upsert_keeps_latest_per_user(spark, sf_smoke, events_dir, tmp_path):
+    """Streaming MERGE sink: update-mode sessionization re-emits each user
+    per micro-batch; the merged table must hold exactly ONE row per user —
+    the latest — after the stream drains, and a second incremental run
+    (same checkpoint, new landing file) must update in place, not append."""
+    from customer_activity_lakehouse_spark.sources.tables import TableSpec, read_table
+
+    landing = str(tmp_path / "landing")
+    batch = events_table(spark, sf_smoke).orderBy("ts", "event_id")
+    half = batch.count() // 2
+    batch.limit(half).coalesce(1).write.mode("overwrite").parquet(landing)
+
+    spec = TableSpec(str(tmp_path / "sessions_tbl"))
+    ckpt = str(tmp_path / "ckpt_merge")
+
+    def run_once():
+        stream = read_events_stream(spark, landing, max_files_per_trigger=1)
+        q = write_stream_merge_upsert(
+            sessionize_stream(stream), spec, keys=["user_id"], checkpoint=ckpt
+        )
+        q.awaitTermination(120)
+        assert not q.isActive
+
+    run_once()
+    t1 = read_table(spark, spec)
+    n_users_1 = batch.limit(half).select("user_id").distinct().count()
+    assert t1.count() == n_users_1  # one row per user despite update re-emits
+    assert t1.agg(F.sum("n_events")).collect()[0][0] == half
+
+    # land the remaining events, resume from the same checkpoint
+    batch.coalesce(1).write.mode("append").parquet(landing)
+    run_once()
+    t2 = read_table(spark, spec)
+    assert t2.count() == batch.select("user_id").distinct().count()
+    # second file replays all events: totals grow past the first half
+    assert t2.agg(F.sum("n_events")).collect()[0][0] > half
+    assert t2.groupBy("user_id").count().filter(F.col("count") > 1).count() == 0
 
 
 def test_sessionize_stream_matches_batch_query(spark, sf_smoke, events_dir):
