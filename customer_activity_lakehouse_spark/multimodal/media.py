@@ -5,11 +5,15 @@ typed metadata structs; decode/feature/resize/frame-sample run as
 Arrow-batched Python over ``mapInPandas`` — the Spark-side plumbing (schemas,
 batch iteration, partition sizing, multi-row yield) is the real, tested part.
 
-The codec layer is STUBBED: this container ships no PIL/cv2/ffmpeg, so
-``_decode_*`` try the real library and fall back to a DETERMINISTIC FAKE
-decoder (seeded from the payload bytes) with the same array shapes a real
-decoder would produce. Swapping in real codecs changes only those two
-functions — every schema, UDF signature, and plan stays identical.
+Codec layer status (round 3): REAL for uncompressed formats — 24-bit BMP
+images are parsed/emitted with ``struct`` and PCM WAV audio with the
+stdlib ``wave`` module, no third-party library needed — and the decoders
+dispatch on the payload's magic bytes (``BM`` / ``RIFF..WAVE``).
+COMPRESSED formats (JPEG/H.264/...) still fall back to a DETERMINISTIC
+FAKE decoder (seeded from the payload bytes, same array shapes a real
+decoder would produce) because this container ships no PIL/cv2/ffmpeg.
+Swapping in real compressed codecs changes only the two ``_decode_*``
+fallbacks — every schema, UDF signature, and plan stays identical.
 
 Scale notes:
 - payloads never pass through a Python row loop — Arrow moves them
@@ -23,6 +27,9 @@ Scale notes:
 from __future__ import annotations
 
 import hashlib
+import io
+import struct
+import wave as _wave
 from collections.abc import Iterator
 
 import numpy as np
@@ -91,9 +98,74 @@ def gen_media(spark: SparkSession, n_rows: int = 300, seed: int = 42) -> DataFra
 
 
 # ---------------------------------------------------------------------------
-# Stubbed codec layer — swap these two for PIL / soundfile / pyav in a real
-# deployment. The fakes are pure functions of (payload, shape): deterministic.
+# Codec layer. Real stdlib codecs for uncompressed formats (24-bit BMP,
+# PCM WAV) dispatched by magic bytes; deterministic fakes for compressed
+# formats (no PIL/cv2/ffmpeg in this container — swap the fallbacks there).
 # ---------------------------------------------------------------------------
+
+
+def encode_bmp(arr: np.ndarray) -> bytes:
+    """HxWx3 uint8 RGB → 24-bit uncompressed BMP (BI_RGB). Rows are stored
+    bottom-up in BGR order with 4-byte padding, per the format spec."""
+    h, w, c = arr.shape
+    if c != 3 or arr.dtype != np.uint8:
+        raise ValueError("encode_bmp expects HxWx3 uint8")
+    row_size = (w * 3 + 3) & ~3
+    img_size = row_size * h
+    header = struct.pack("<2sIHHI", b"BM", 54 + img_size, 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, img_size, 2835, 2835, 0, 0)
+    rows = []
+    for y in range(h - 1, -1, -1):  # bottom-up
+        row = arr[y, :, ::-1].tobytes()  # RGB → BGR
+        rows.append(row + b"\x00" * (row_size - w * 3))
+    return header + info + b"".join(rows)
+
+
+def _decode_bmp(payload: bytes) -> np.ndarray:
+    """24-bit uncompressed BMP → uint8 HxWx3 RGB."""
+    offset = struct.unpack_from("<I", payload, 10)[0]
+    _, w, h, _, bpp, comp = struct.unpack_from("<IiiHHI", payload, 14)
+    if bpp != 24 or comp != 0:
+        raise ValueError(f"only 24-bit BI_RGB BMP supported (bpp={bpp}, comp={comp})")
+    bottom_up = h > 0
+    h = abs(h)
+    row_size = (w * 3 + 3) & ~3
+    out = np.empty((h, w, 3), dtype=np.uint8)
+    for i in range(h):
+        row = np.frombuffer(payload, dtype=np.uint8, count=w * 3, offset=offset + i * row_size)
+        y = h - 1 - i if bottom_up else i
+        out[y] = row.reshape(w, 3)[:, ::-1]  # BGR → RGB
+    return out
+
+
+def encode_wav(wave_f32: np.ndarray, sample_rate: int) -> bytes:
+    """float32 mono waveform in [-1, 1] → 16-bit PCM WAV (stdlib wave)."""
+    ints = np.clip(np.round(wave_f32.astype(np.float64) * 32767.0), -32768, 32767).astype(
+        np.int16
+    )
+    buf = io.BytesIO()
+    with _wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes(ints.tobytes())
+    return buf.getvalue()
+
+
+def _decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """PCM WAV → (float32 mono waveform in [-1, 1], sample_rate). Multi-
+    channel input is downmixed by per-frame mean."""
+    with _wave.open(io.BytesIO(payload)) as w:
+        sr = w.getframerate()
+        ch = w.getnchannels()
+        width = w.getsampwidth()
+        raw = w.readframes(w.getnframes())
+    if width != 2:
+        raise ValueError(f"only 16-bit PCM supported (sampwidth={width})")
+    data = np.frombuffer(raw, dtype=np.int16).astype(np.float32)
+    if ch > 1:
+        data = data.reshape(-1, ch).mean(axis=1)
+    return (data / 32768.0).astype(np.float32), sr
 
 
 def _rng_from_bytes(payload: bytes) -> np.random.Generator:
@@ -102,27 +174,22 @@ def _rng_from_bytes(payload: bytes) -> np.random.Generator:
 
 
 def _decode_image_bytes(payload: bytes, width: int, height: int, channels: int) -> np.ndarray:
-    """STUB decode → uint8 HxWxC array. Real impl: PIL.Image.open(BytesIO)."""
-    try:  # pragma: no cover - library absent in this container
-        import PIL.Image  # noqa: F401
-
-        raise NotImplementedError(
-            "real image decode not wired; remove the fake below when enabling PIL"
-        )
-    except ImportError:
-        pass
+    """Image payload → uint8 HxWxC. REAL decode for BMP (magic ``BM``);
+    compressed formats fall back to the deterministic fake (no PIL/cv2 in
+    this container — replace the fallback to enable them)."""
+    if payload[:2] == b"BM":
+        return _decode_bmp(payload)
     rng = _rng_from_bytes(payload)
     return rng.integers(0, 256, size=(height, width, channels), dtype=np.uint8)
 
 
 def _decode_audio_bytes(payload: bytes, sample_rate: int, duration_s: float) -> np.ndarray:
-    """STUB decode → float32 mono waveform in [-1, 1]. Real impl: soundfile."""
-    try:  # pragma: no cover
-        import soundfile  # noqa: F401
-
-        raise NotImplementedError("real audio decode not wired")
-    except ImportError:
-        pass
+    """Audio payload → float32 mono waveform in [-1, 1]. REAL decode for
+    PCM WAV (magic ``RIFF..WAVE``, stdlib); compressed codecs fall back to
+    the deterministic fake (no soundfile/ffmpeg in this container)."""
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        data, _ = _decode_wav(payload)
+        return data
     rng = _rng_from_bytes(payload)
     n = max(1, int(sample_rate * duration_s))
     return (rng.random(n, dtype=np.float32) * 2.0 - 1.0).astype(np.float32)
