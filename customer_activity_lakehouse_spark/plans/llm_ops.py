@@ -366,6 +366,89 @@ FROM (SELECT md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]',
 """
 
 
+# PII patterns — deliberately simple and identical under Java regex (Spark)
+# and RE2 (DuckDB): no backrefs, no lookaround.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE_RE = r"\d{3}-\d{3}-\d{4}"
+
+
+def q_doc_pii_scrub(spark: SparkSession, sf: str) -> DataFrame:
+    """PII detection + redaction — the scrub pass every training-data
+    pipeline runs before tokenization. Counts then replaces emails and
+    phone numbers with typed placeholders; output carries the per-doc hit
+    counts and a fingerprint of the scrubbed text (so the oracle checks
+    the REPLACEMENT result, not just the counts).
+
+    The driver fixtures are synthetic and PII-free (verified), so the
+    query first SEEDS one deterministic email + phone per document —
+    a self-seeding demo, clearly labeled; on real data drop the seeding
+    projection and the scrub expressions are unchanged. Pure regex
+    projections: scan-speed, no shuffle, codegen-friendly."""
+    docs = table(spark, sf, "documents")
+    seeded = F.concat(
+        F.col("text"),
+        F.lit(" reach me at user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail.example.com tel 555-123-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(seeded, PII_EMAIL_RE, "<EMAIL>"), PII_PHONE_RE, "<PHONE>"
+    )
+    return docs.select(
+        "doc_id",
+        F.regexp_count(seeded, F.lit(PII_EMAIL_RE)).cast("long").alias("n_emails"),
+        F.regexp_count(seeded, F.lit(PII_PHONE_RE)).cast("long").alias("n_phones"),
+        F.regexp_count(scrubbed, F.lit(PII_EMAIL_RE)).cast("long").alias("n_residual"),
+        _md5s(scrubbed).alias("scrubbed_fp"),
+    )
+
+
+ORACLE_DOC_PII_SCRUB = f"""
+SELECT doc_id,
+       len(regexp_extract_all(seeded, '{PII_EMAIL_RE}')) AS n_emails,
+       len(regexp_extract_all(seeded, '{PII_PHONE_RE}')) AS n_phones,
+       len(regexp_extract_all(scrubbed, '{PII_EMAIL_RE}')) AS n_residual,
+       md5(scrubbed) AS scrubbed_fp
+FROM (
+  SELECT doc_id, seeded,
+         regexp_replace(regexp_replace(seeded, '{PII_EMAIL_RE}', '<EMAIL>', 'g'),
+                        '{PII_PHONE_RE}', '<PHONE>', 'g') AS scrubbed
+  FROM (SELECT doc_id,
+               text || ' reach me at user' || doc_id::VARCHAR ||
+               '@mail.example.com tel 555-123-' || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+                 AS seeded
+        FROM documents))
+"""
+
+
+SAMPLE_HEX_BOUND = "4"  # first md5 hex digit < '4' → 4/16 = 25% expected
+
+
+def q_doc_sample_hash(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic hash sampling — the reproducible alternative to
+    ``df.sample()`` (which re-draws per run/retry and cannot be oracle-
+    checked). Keep rows whose md5(doc_id) first hex digit < '{bound}':
+    every engine, every run, every cluster picks the SAME ~25% sample —
+    the property experiment pipelines need for holdouts and A/B slices.
+    Output: per-language counts inside the sample."""
+    docs = table(spark, sf, "documents")
+    keep = F.substring(_md5s(F.col("doc_id").cast("string")), 1, 1) < SAMPLE_HEX_BOUND
+    return (
+        docs.filter(keep)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_sampled"))
+    )
+
+
+ORACLE_DOC_SAMPLE_HASH = f"""
+SELECT lang, count(*) AS n_sampled
+FROM documents
+WHERE substr(md5(doc_id::VARCHAR), 1, 1) < '{SAMPLE_HEX_BOUND}'
+GROUP BY lang
+"""
+
+
 TFIDF_TOP_K = 3
 
 
@@ -1585,6 +1668,8 @@ QUERIES: dict[str, Query] = {
     ),
     "doc_chunks": Query(q_doc_chunks, ORACLE_DOC_CHUNKS, ("text", "chunking")),
     "doc_tfidf_terms": Query(q_doc_tfidf_terms, ORACLE_DOC_TFIDF_TERMS, ("text", "tfidf")),
+    "doc_pii_scrub": Query(q_doc_pii_scrub, ORACLE_DOC_PII_SCRUB, ("text", "pii")),
+    "doc_sample_hash": Query(q_doc_sample_hash, ORACLE_DOC_SAMPLE_HASH, ("text", "sampling")),
     "dedup_token_set": Query(q_dedup_token_set, ORACLE_DEDUP_TOKEN_SET, ("dedup",), True),
     "dedup_minhash_lsh": Query(q_dedup_minhash_lsh, ORACLE_DEDUP_MINHASH_LSH, ("dedup", "lsh"), True),
     "dedup_minhash_verified": Query(
