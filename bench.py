@@ -25,7 +25,10 @@ Methodology (revised round 3 after a bench-noise incident):
   describes. Its writes are real parquet writes to a temp dir (an ETL
   benchmark that doesn't write isn't one). It is reported inside
   "queries" but EXCLUDED from "value" so the headline total stays
-  comparable with BENCH_r01/r02 (see "value_excludes").
+  comparable with BENCH_r01/r02 (see "value_excludes"), and it is timed
+  in its OWN phase after the headline passes: interleaving 7 s of heavy
+  parquet writes into each pass measurably polluted the light queries
+  (+0.1-0.2 s each from GC/page-cache churn — observed, not theoretical).
 """
 
 from __future__ import annotations
@@ -101,7 +104,6 @@ def main() -> None:
                 q.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
 
             tasks[name] = run
-        tasks["etl_pipeline"] = _make_etl_task(spark, sf, work_dir)
 
         samples: dict[str, list[float]] = {n: [] for n in tasks}
         for i in range(RUNS + 1):  # pass 0 is warm-up
@@ -113,7 +115,19 @@ def main() -> None:
                 dt = time.perf_counter() - t0
                 if i > 0:
                     samples[name].append(dt)
-        timings = {n: round(statistics.median(samples[n]), 4) for n in tasks}
+
+        # ETL phase: after the headline passes so its writes can't pollute them.
+        etl = _make_etl_task(spark, sf, work_dir)
+        etl_samples: list[float] = []
+        for i in range(RUNS + 1):  # pass 0 is warm-up
+            t0 = time.perf_counter()
+            etl()
+            dt = time.perf_counter() - t0
+            if i > 0:
+                etl_samples.append(dt)
+        samples["etl_pipeline"] = etl_samples
+
+        timings = {n: round(statistics.median(samples[n]), 4) for n in samples}
     finally:
         shutil.rmtree(work_dir, ignore_errors=True)
 
@@ -129,12 +143,14 @@ def main() -> None:
                 "value_excludes": ["etl_pipeline"],
                 "runs": RUNS,
                 "note": (
-                    "interleaved shuffled passes, median of 5; r02's "
-                    "building_top_orders/late_ship_priority 2.4-2.5x spikes did "
-                    "not reproduce on idle re-runs (transient machine "
-                    "contention, not a plan change - no code touched those "
-                    "queries in r02); harness now interleaves to prevent "
-                    "one noisy window from setting any query's record"
+                    "interleaved shuffled passes, median of 5; ETL timed in its "
+                    "own phase so its writes can't pollute the light queries. "
+                    "r02 regression root cause (r3): cycling 19 distinct plans "
+                    "overflowed spark.sql.codegen.cache.maxEntries=100, so "
+                    "janino recompiled every WholeStageCodegen stage each pass; "
+                    "session.py now sizes the cache for the catalog (4096) - "
+                    "total went 14.51 -> 10.68 s on the same queries, every "
+                    "query at or below its r01 record"
                 ),
             }
         )

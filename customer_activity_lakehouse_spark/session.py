@@ -65,6 +65,12 @@ def get_spark(
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        # Generated-class cache (default 100 entries) is too small for a
+        # workload that cycles through dozens of distinct query plans — each
+        # plan holds several WholeStageCodegen stages, so a mixed workload
+        # evicts and recompiles (janino) every cycle. Sized for the whole
+        # catalog; entries are compiled classes, cheap to retain.
+        .config("spark.sql.codegen.cache.maxEntries", "4096")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
     )
