@@ -449,6 +449,108 @@ GROUP BY lang
 """
 
 
+PACK_TOKEN_BUDGET = 128  # tokens per packed training sequence (demo-sized)
+
+
+def q_doc_pack_sequences(spark: SparkSession, sf: str) -> DataFrame:
+    """Greedy sequence packing — batch docs into fixed token-budget bins,
+    the step every LLM training pipeline runs between dedup and
+    tokenization (packing short docs into one context window instead of
+    padding each). Within each shard (= ``lang`` here), docs are taken in
+    doc_id order and appended to the current pack until the next doc would
+    overflow ``PACK_TOKEN_BUDGET``; an oversized doc gets a pack of its
+    own. Deterministic: same input → same packs on any cluster layout.
+
+    Packing is inherently sequential WITHIN a shard but embarrassingly
+    parallel ACROSS shards, so the Spark shape is one ``applyInPandas``
+    over the shard key: each task streams one shard through a linear
+    numpy/python pass (O(n) per shard, no pairwise work). At 100 TB you
+    pack per bounded shard (input file / date partition), never globally —
+    the shard key is the ONLY shuffle in the plan. Output: per-pack
+    rollup (shard, pack_id, n_docs, pack_tokens)."""
+    docs = table(spark, sf, "documents")
+    toks = docs.select(
+        "lang", "doc_id", F.size(_tokens(F.col("text"))).alias("n_tok")
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        pack_ids = []
+        pack_id, cum = 0, 0
+        for n in pdf["n_tok"]:
+            if cum > 0 and cum + n > PACK_TOKEN_BUDGET:
+                pack_id += 1
+                cum = 0
+            cum += int(n)
+            pack_ids.append(pack_id)
+        pdf["pack_id"] = pack_ids
+        return pdf
+
+    packed = toks.groupBy("lang").applyInPandas(
+        pack, schema="lang string, doc_id bigint, n_tok int, pack_id int"
+    )
+    return packed.groupBy("lang", "pack_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("pack_tokens"),
+    )
+
+
+ORACLE_DOC_PACK_SEQUENCES = f"""
+WITH RECURSIVE toks AS (
+  SELECT lang, doc_id, len({_SQL_TOKENS}) AS n_tok,
+         row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+  FROM documents
+),
+packs AS (
+  SELECT lang, doc_id, n_tok, rn, 0 AS pack_id, n_tok AS cum
+  FROM toks WHERE rn = 1
+  UNION ALL
+  SELECT t.lang, t.doc_id, t.n_tok, t.rn,
+         CASE WHEN p.cum > 0 AND p.cum + t.n_tok > {PACK_TOKEN_BUDGET}
+              THEN p.pack_id + 1 ELSE p.pack_id END,
+         CASE WHEN p.cum > 0 AND p.cum + t.n_tok > {PACK_TOKEN_BUDGET}
+              THEN t.n_tok ELSE p.cum + t.n_tok END
+  FROM toks t JOIN packs p ON t.lang = p.lang AND t.rn = p.rn + 1
+)
+SELECT lang, pack_id, count(*)::BIGINT AS n_docs, sum(n_tok)::BIGINT AS pack_tokens
+FROM packs GROUP BY lang, pack_id
+"""
+
+
+BALANCED_SAMPLE_CAP = 50  # max docs kept per group
+
+
+def q_doc_balanced_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Balanced per-group downsampling — cap each group (language) at
+    ``BALANCED_SAMPLE_CAP`` docs, chosen by deterministic hash order (NOT
+    head-of-table order, which biases toward whatever sorted first, and
+    NOT ``df.sample``, which re-draws per retry). This is the mixture-
+    rebalancing step training pipelines use to stop one dominant source
+    from drowning the rest. Plan: one hash-partitioned window per group —
+    no global sort, no driver loop; the per-group top-k never materializes
+    more than the group's rows on one partition at a time."""
+    docs = table(spark, sf, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        _md5s(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        docs.select("lang", "doc_id", F.row_number().over(w).alias("pick_rank"))
+        .filter(F.col("pick_rank") <= BALANCED_SAMPLE_CAP)
+        .select("lang", "doc_id", "pick_rank")
+    )
+
+
+ORACLE_DOC_BALANCED_SAMPLE = f"""
+SELECT lang, doc_id, pick_rank
+FROM (SELECT lang, doc_id,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY md5(doc_id::VARCHAR), doc_id)::INT
+               AS pick_rank
+      FROM documents)
+WHERE pick_rank <= {BALANCED_SAMPLE_CAP}
+"""
+
+
 TFIDF_TOP_K = 3
 
 
@@ -1670,6 +1772,12 @@ QUERIES: dict[str, Query] = {
     "doc_tfidf_terms": Query(q_doc_tfidf_terms, ORACLE_DOC_TFIDF_TERMS, ("text", "tfidf")),
     "doc_pii_scrub": Query(q_doc_pii_scrub, ORACLE_DOC_PII_SCRUB, ("text", "pii")),
     "doc_sample_hash": Query(q_doc_sample_hash, ORACLE_DOC_SAMPLE_HASH, ("text", "sampling")),
+    "doc_pack_sequences": Query(
+        q_doc_pack_sequences, ORACLE_DOC_PACK_SEQUENCES, ("text", "packing")
+    ),
+    "doc_balanced_sample": Query(
+        q_doc_balanced_sample, ORACLE_DOC_BALANCED_SAMPLE, ("text", "sampling")
+    ),
     "dedup_token_set": Query(q_dedup_token_set, ORACLE_DEDUP_TOKEN_SET, ("dedup",), True),
     "dedup_minhash_lsh": Query(q_dedup_minhash_lsh, ORACLE_DEDUP_MINHASH_LSH, ("dedup", "lsh"), True),
     "dedup_minhash_verified": Query(
