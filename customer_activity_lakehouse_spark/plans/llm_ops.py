@@ -648,6 +648,216 @@ FROM (SELECT doc_id, text,
 
 
 # ---------------------------------------------------------------------------
+# Training-data curation: decontamination, repetition filters, mixing
+# ---------------------------------------------------------------------------
+
+DECON_NGRAM = 5  # token n-gram width; production pipelines use 13 — the
+# fixture vocabulary is ~30 words, so 13-grams are almost all unique and
+# nothing would overlap; 5 keeps the fixture signal non-trivial (~3%).
+DECON_HEX_BOUND = "2"  # md5(doc_id) first hex < '2' → 2/16 = benchmark set
+
+
+def _ngrams(tk, n: int):
+    """Token n-grams joined with spaces; empty for docs shorter than n.
+    The when-guard matters: sequence(1, size-n+1) with size < n would emit
+    a DESCENDING sequence (Spark's sequence walks backward when stop <
+    start), not an empty one."""
+    size = F.size(tk)
+    arr = F.transform(
+        F.sequence(F.lit(1), size - (n - 1)),
+        lambda i: F.array_join(F.slice(tk, i, n), " "),
+    )
+    return F.when(size >= n, arr).otherwise(F.array().cast("array<string>"))
+
+
+def _sql_ngrams(n: int) -> str:
+    return (
+        f"CASE WHEN len(tk) >= {n} THEN "
+        f"list_transform(range(1, len(tk)-{n}+2), i -> array_to_string(tk[i:i+{n - 1}], ' ')) "
+        "ELSE [] END"
+    )
+
+
+def q_doc_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
+    """Benchmark decontamination — the step a training pipeline runs so eval
+    results stay meaningful: any corpus doc sharing a token n-gram with the
+    held-out benchmark set is flagged for removal (the standard 13-gram
+    overlap rule from public LLM data recipes, n shrunk to fit the fixture
+    vocabulary). The benchmark set here is the deterministic md5 slice of
+    docs (same engine-portable trick as ``doc_sample_hash``).
+
+    Scale shape: benchmark sets are tiny (an eval suite, not a corpus), so
+    the distinct benchmark-gram set BROADCASTS; corpus grams are generated
+    map-side and checked with a broadcast left-semi join — the 100 TB corpus
+    is never shuffled. Only the contaminated doc-id set (small) and the
+    final per-lang rollup shuffle. Output: per-lang corpus size /
+    contaminated / clean counts."""
+    docs = table(spark, sf, "documents")
+    tk = _tokens(F.col("text"))
+    is_bench = F.substring(_md5s(F.col("doc_id").cast("string")), 1, 1) < DECON_HEX_BOUND
+    base = docs.select(
+        "doc_id", "lang", is_bench.alias("is_bench"), _ngrams(tk, DECON_NGRAM).alias("grams")
+    )
+    bench_grams = (
+        base.filter(F.col("is_bench")).select(F.explode("grams").alias("gram")).distinct()
+    )
+    corpus = base.filter(~F.col("is_bench"))
+    contaminated = (
+        corpus.select("doc_id", F.explode("grams").alias("gram"))
+        .join(F.broadcast(bench_grams), "gram", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        corpus.join(F.broadcast(contaminated), "doc_id", "left")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count("hit").alias("n_contaminated"),
+            (F.count(F.lit(1)) - F.count("hit")).alias("n_clean"),
+        )
+    )
+
+
+ORACLE_DOC_DECONTAMINATE = f"""
+WITH base AS (
+  SELECT doc_id, lang,
+         substr(md5(doc_id::VARCHAR), 1, 1) < '{DECON_HEX_BOUND}' AS is_bench,
+         {_SQL_TOKENS} AS tk
+  FROM documents),
+grams AS (
+  SELECT doc_id, is_bench, unnest({_sql_ngrams(DECON_NGRAM)}) AS gram FROM base),
+contaminated AS (
+  SELECT DISTINCT doc_id FROM grams
+  WHERE NOT is_bench AND gram IN (SELECT gram FROM grams WHERE is_bench))
+SELECT lang, count(*) AS n_docs,
+       count(c.doc_id) AS n_contaminated,
+       count(*) - count(c.doc_id) AS n_clean
+FROM base LEFT JOIN contaminated c USING (doc_id)
+WHERE NOT is_bench
+GROUP BY lang
+"""
+
+
+REP_DUP_TOKEN_MAX = 0.6  # Gopher-style thresholds, calibrated to the
+REP_TOP_BIGRAM_MAX = 0.10  # fixture's p80 so both rules actually fire
+
+
+def q_doc_repetition(spark: SparkSession, sf: str) -> DataFrame:
+    """Gopher-style repetition filtering — flag documents whose content is
+    mostly repeated: duplicate-token fraction (1 - distinct/total) and the
+    fraction of tokens covered by the single most frequent bigram. These
+    are the 'repetitious text' rules public quality-filter recipes apply
+    before training.
+
+    Plan: bigram counts via explode → two partial-aggregated groupBys keyed
+    by (doc_id, gram) then doc_id — high-cardinality keys, map-side combine
+    does most of the work, no skew at any corpus size. Per-doc stats join
+    back on doc_id. Ratio means use exact decimal sums (order-independent).
+    Output: per-source doc counts, flagged counts, mean ratios."""
+    docs = table(spark, sf, "documents")
+    tk = _tokens(F.col("text"))
+    base = docs.select("doc_id", "source", tk.alias("tk"))
+    per = base.select(
+        "doc_id",
+        "source",
+        F.size("tk").cast("double").alias("n_tok"),
+        F.size(F.array_distinct("tk")).cast("double").alias("n_dist"),
+    )
+    bmax = (
+        base.select("doc_id", F.explode(_ngrams(F.col("tk"), 2)).alias("gram"))
+        .groupBy("doc_id", "gram")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("max_bigram"))
+    )
+    n_tok = F.col("n_tok")
+    dup = F.when(n_tok > 0, (n_tok - F.col("n_dist")) / n_tok).otherwise(0.0)
+    top2 = F.when(
+        n_tok > 0, F.lit(2.0) * F.coalesce(F.col("max_bigram"), F.lit(0)).cast("double") / n_tok
+    ).otherwise(0.0)
+    flagged = (dup > REP_DUP_TOKEN_MAX) | (top2 > REP_TOP_BIGRAM_MAX)
+    dec8 = "decimal(18,8)"
+    return (
+        per.join(bmax, "doc_id", "left")
+        .select("source", dup.alias("dup_frac"), top2.alias("top2_frac"), flagged.alias("fl"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("fl"), 1).otherwise(0)).cast("long").alias("n_flagged"),
+            F.round(
+                F.sum(F.col("dup_frac").cast(dec8)).cast("double") / F.count(F.lit(1)), 4
+            ).alias("avg_dup_token_frac"),
+            F.round(
+                F.sum(F.col("top2_frac").cast(dec8)).cast("double") / F.count(F.lit(1)), 4
+            ).alias("avg_top_bigram_frac"),
+        )
+    )
+
+
+ORACLE_DOC_REPETITION = f"""
+WITH base AS (SELECT doc_id, source, {_SQL_TOKENS} AS tk FROM documents),
+per AS (SELECT doc_id, source, len(tk)::DOUBLE AS n_tok,
+               len(list_distinct(tk))::DOUBLE AS n_dist FROM base),
+grams AS (SELECT doc_id, unnest({_sql_ngrams(2)}) AS gram FROM base),
+bmax AS (SELECT doc_id, max(c) AS max_bigram
+         FROM (SELECT doc_id, gram, count(*) AS c FROM grams GROUP BY 1, 2)
+         GROUP BY 1),
+scored AS (
+  SELECT source,
+         CASE WHEN n_tok > 0 THEN (n_tok - n_dist) / n_tok ELSE 0.0 END AS dup_frac,
+         CASE WHEN n_tok > 0
+              THEN 2.0 * coalesce(max_bigram, 0)::DOUBLE / n_tok ELSE 0.0 END AS top2_frac
+  FROM per LEFT JOIN bmax USING (doc_id))
+SELECT source, count(*) AS n_docs,
+       sum(CASE WHEN dup_frac > {REP_DUP_TOKEN_MAX}
+                  OR top2_frac > {REP_TOP_BIGRAM_MAX} THEN 1 ELSE 0 END)::BIGINT AS n_flagged,
+       round(sum(dup_frac::DECIMAL(18,8))::DOUBLE / count(*), 4) AS avg_dup_token_frac,
+       round(sum(top2_frac::DECIMAL(18,8))::DOUBLE / count(*), 4) AS avg_top_bigram_frac
+FROM scored
+GROUP BY source
+"""
+
+
+def q_doc_mixture_weights(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus mixing weights — per-source token share and the up/down-weight
+    that would equalize the mixture (target = uniform across sources), the
+    number a training-data pipeline feeds its sampler. The unpartitioned
+    window runs AFTER aggregation, over #sources rows (dozens), not the
+    corpus — the single-partition exchange it implies is a few hundred
+    bytes at any data scale."""
+    docs = table(spark, sf, "documents")
+    per = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(_tokens(F.col("text")))).cast("long").alias("src_tokens"),
+    )
+    w = Window.partitionBy()
+    share = F.col("src_tokens").cast("double") / F.sum("src_tokens").over(w)
+    target = F.lit(1.0) / F.count(F.lit(1)).over(w)
+    return per.select(
+        "source",
+        "n_docs",
+        "src_tokens",
+        F.round(share, 6).alias("token_share"),
+        F.round(target / share, 4).alias("mix_weight"),
+    )
+
+
+ORACLE_DOC_MIXTURE_WEIGHTS = f"""
+WITH per AS (
+  SELECT source, count(*) AS n_docs,
+         sum(len({_SQL_TOKENS}))::BIGINT AS src_tokens
+  FROM documents GROUP BY source)
+SELECT source, n_docs, src_tokens,
+       round(src_tokens::DOUBLE / sum(src_tokens) OVER (), 6) AS token_share,
+       round((1.0 / count(*) OVER ())
+             / (src_tokens::DOUBLE / sum(src_tokens) OVER ()), 4) AS mix_weight
+FROM per
+"""
+
+
+# ---------------------------------------------------------------------------
 # Deduplication family
 # ---------------------------------------------------------------------------
 
@@ -1774,6 +1984,13 @@ QUERIES: dict[str, Query] = {
     "doc_sample_hash": Query(q_doc_sample_hash, ORACLE_DOC_SAMPLE_HASH, ("text", "sampling")),
     "doc_pack_sequences": Query(
         q_doc_pack_sequences, ORACLE_DOC_PACK_SEQUENCES, ("text", "packing")
+    ),
+    "doc_decontaminate": Query(
+        q_doc_decontaminate, ORACLE_DOC_DECONTAMINATE, ("text", "decontamination")
+    ),
+    "doc_repetition": Query(q_doc_repetition, ORACLE_DOC_REPETITION, ("text", "quality")),
+    "doc_mixture_weights": Query(
+        q_doc_mixture_weights, ORACLE_DOC_MIXTURE_WEIGHTS, ("text", "mixing")
     ),
     "doc_balanced_sample": Query(
         q_doc_balanced_sample, ORACLE_DOC_BALANCED_SAMPLE, ("text", "sampling")
