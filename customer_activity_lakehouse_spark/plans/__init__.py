@@ -6,7 +6,8 @@ rounding), per the driver contract in /root/repo/__spark_entry__.py.
 from .core import QUERIES as CORE_QUERIES
 from .llm_ops import QUERIES as LLM_QUERIES
 from .registry import Query
+from .timeseries import QUERIES as TS_QUERIES
 
-QUERIES: dict[str, Query] = {**CORE_QUERIES, **LLM_QUERIES}
+QUERIES: dict[str, Query] = {**CORE_QUERIES, **LLM_QUERIES, **TS_QUERIES}
 
 __all__ = ["Query", "QUERIES"]

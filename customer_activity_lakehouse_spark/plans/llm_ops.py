@@ -857,6 +857,60 @@ FROM per
 """
 
 
+VOCAB_TOP_K = 50
+
+
+def q_doc_vocab_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Tokenizer vocabulary induction stats: the top-K corpus tokens by
+    frequency with their cumulative coverage of all token occurrences —
+    the number that decides how big a vocab must be to cover X% of a
+    corpus (the sizing step before BPE training).
+
+    Scale: token counting is explode + partial-agg groupBy on a
+    high-cardinality key (map-side combine absorbs Zipf's head). Top-K is
+    TakeOrdered (no global sort), the corpus-wide token total is a scalar
+    broadcast into the K-row frame, and the running coverage sum runs over
+    K rows only — the unpartitioned window never sees the vocabulary, let
+    alone the corpus. Ties break on token text for determinism."""
+    docs = table(spark, sf, "documents")
+    counts = (
+        docs.select(F.explode(_tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+    )
+    total = counts.agg(F.sum("n_occurrences").alias("total_tok"))
+    top = counts.orderBy(F.col("n_occurrences").desc(), "token").limit(VOCAB_TOP_K)
+    w = (
+        Window.orderBy(F.col("n_occurrences").desc(), "token")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        top.crossJoin(F.broadcast(total))
+        .select(
+            "token",
+            "n_occurrences",
+            F.round(
+                F.sum("n_occurrences").over(w).cast("double") / F.col("total_tok"), 6
+            ).alias("cum_coverage"),
+        )
+    )
+
+
+ORACLE_DOC_VOCAB_STATS = f"""
+WITH tok AS (SELECT unnest({_SQL_TOKENS}) AS token FROM documents),
+counts AS (SELECT token, count(*) AS n_occurrences FROM tok GROUP BY token),
+total AS (SELECT sum(n_occurrences) AS total_tok FROM counts),
+top AS (SELECT token, n_occurrences FROM counts
+        ORDER BY n_occurrences DESC, token LIMIT {VOCAB_TOP_K})
+SELECT token, n_occurrences,
+       round(sum(n_occurrences) OVER (
+               ORDER BY n_occurrences DESC, token
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::DOUBLE
+             / total_tok, 6) AS cum_coverage
+FROM top CROSS JOIN total
+"""
+
+
 # ---------------------------------------------------------------------------
 # Deduplication family
 # ---------------------------------------------------------------------------
@@ -1992,6 +2046,7 @@ QUERIES: dict[str, Query] = {
     "doc_mixture_weights": Query(
         q_doc_mixture_weights, ORACLE_DOC_MIXTURE_WEIGHTS, ("text", "mixing")
     ),
+    "doc_vocab_stats": Query(q_doc_vocab_stats, ORACLE_DOC_VOCAB_STATS, ("text", "vocab")),
     "doc_balanced_sample": Query(
         q_doc_balanced_sample, ORACLE_DOC_BALANCED_SAMPLE, ("text", "sampling")
     ),

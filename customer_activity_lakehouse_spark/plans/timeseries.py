@@ -1,0 +1,317 @@
+"""Time-series operators over the events stream table: as-of join, banded
+range join, gap-fill with LOCF, and a hypertable-style multi-resolution
+rollup.
+
+The reference delegates interactive querying to external engines
+(ReadMe.md:85-94) and has no time-series surface at all; these are
+north-star extensions in the family the brief names explicitly (as-of
+join, range join, hypertable rollup), built from Spark primitives that
+survive 100 TB:
+
+- the as-of join is the union-and-window form — ONE hash shuffle on the
+  equi key, no per-row probing, no driver participation;
+- the range join is banded: fixed-width time buckets turn an inequality
+  join into an equi join with a post-filter, so Catalyst never falls back
+  to BroadcastNestedLoop/cartesian;
+- gap-fill generates its spine from the data's own bounds (calendar-sized,
+  corpus-independent) and fills with an ignore-nulls window partitioned by
+  series key;
+- the multi-resolution rollup is one pass via ROLLUP grouping sets —
+  partial aggregation does the heavy lifting map-side.
+
+Timestamps: events.parquet stores TIMESTAMP(NANOS); both engines read it
+at microsecond precision (registry.events_table truncates nanos DIV 1000,
+DuckDB's TIMESTAMP cast truncates the same way), so every comparison below
+is exact on both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .core import money_sum, sql_money_sum
+from .registry import Query, table
+
+# Incident definition for the range join: rare high-value error events.
+# value > 200 keeps incidents sparse at every fixture sf (2 at sf0.001,
+# 40 at sf0.01, 357 at sf0.1) while the 10-minute follow window still
+# catches ordinary events around them.
+INCIDENT_VALUE_MIN = 200.0
+RANGE_WINDOW_US = 600_000_000  # 10 minutes, in microseconds
+
+# Gap-fill series: hourly observations of high-value errors — sparse by
+# construction (~0.3/hour at sf0.01), so the fixtures actually exercise
+# the carry-forward path instead of a dense no-op.
+GAPFILL_VALUE_MIN = 100.0
+
+
+def q_events_asof_join(spark: SparkSession, sf: str) -> DataFrame:
+    """As-of join: each purchase event picks up the most recent prior (or
+    simultaneous) click by the same user — the classic "state at event
+    time" lookup (last quote before a trade, last config before a request).
+
+    Spark has no ASOF JOIN operator; the scale-correct form is
+    union-and-window: tag both streams, union them, and run
+    ``last(value, ignorenulls=True)`` over a window partitioned by the
+    equi key and ordered by (ts, kind) with clicks sorted before purchases
+    at equal timestamps (matching the oracle's ``>=`` bound). That is ONE
+    hash exchange on user_id + one sort — the same cost as any per-key
+    window — with no range-probe join, no broadcast of either side, and
+    per-user state that never leaves the executor. Clicks are first
+    deduped to one row per (user_id, ts) so ties cannot make the pick
+    nondeterministic.
+
+    The DuckDB oracle is a literal ``ASOF LEFT JOIN`` — the engines reach
+    the same rows by different physical strategies, which is the point.
+    """
+    ev = table(spark, sf, "events")
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("click_value"))
+        .select(
+            "user_id",
+            F.unix_micros("ts").alias("t_us"),
+            F.lit(0).alias("kind"),
+            F.lit(None).cast("long").alias("event_id"),
+            F.lit(None).cast("double").alias("purchase_value"),
+            "click_value",
+        )
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.unix_micros("ts").alias("t_us"),
+        F.lit(1).alias("kind"),
+        "event_id",
+        F.col("value").alias("purchase_value"),
+        F.lit(None).cast("double").alias("click_value"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("t_us", "kind")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = clicks.unionByName(purchases).select(
+        "*",
+        F.last("click_value", ignorenulls=True).over(w).alias("last_click_value"),
+        F.last(F.when(F.col("kind") == 0, F.col("t_us")), ignorenulls=True)
+        .over(w)
+        .alias("last_click_us"),
+    )
+    return (
+        merged.filter(F.col("kind") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            "purchase_value",
+            "last_click_value",
+            ((F.col("t_us") - F.col("last_click_us")) / F.lit(1_000_000))
+            .cast("long")
+            .alias("wait_sec"),
+        )
+    )
+
+
+ORACLE_EVENTS_ASOF_JOIN = """
+WITH clicks AS (
+  SELECT user_id, ts, max(value) AS click_value
+  FROM events WHERE event_type = 'click' GROUP BY user_id, ts),
+purchases AS (
+  SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase')
+SELECT p.event_id, p.user_id, p.value AS purchase_value,
+       c.click_value AS last_click_value,
+       (epoch_us(p.ts) - epoch_us(c.ts)) // 1000000 AS wait_sec
+FROM purchases p ASOF LEFT JOIN clicks c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
+"""
+
+
+def q_events_range_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Banded range join: for each incident (rare high-value error event),
+    count and sum ALL events in the 10 minutes that follow — a pure
+    interval join with NO equi key, the shape Catalyst would otherwise
+    execute as a broadcast-nested-loop filter scan.
+
+    The band trick makes it an equi join: bucket every event's timestamp
+    into fixed windows the same width as the range (bucket = t DIV 10min);
+    an interval ``(t, t+10min]`` can only overlap buckets b and b+1, so
+    each incident is exploded to exactly those two bucket keys and joined
+    on bucket equality, with the exact range predicate as a post-filter.
+    Cost at scale: the big side shuffles once on a uniformly distributed
+    bucket key (time-ordered data means no skew beyond real hot windows),
+    the incident side is rare-by-definition, and no pair outside adjacent
+    buckets is ever materialized. Incidents with a quiet window are kept
+    via a final broadcast left join (incident count is small; the rollup
+    output is one row per incident)."""
+    ev_full = table(spark, sf, "events")
+    ev = ev_full.select(F.unix_micros("ts").alias("t_us"), "value", "event_id")
+    inc = ev_full.filter(
+        (F.col("event_type") == "error") & (F.col("value") > INCIDENT_VALUE_MIN)
+    ).select(
+        F.col("event_id").alias("incident_id"),
+        F.unix_micros("ts").alias("i_us"),
+        F.col("value").alias("incident_value"),
+    )
+    b = F.lit(RANGE_WINDOW_US)
+    inc_banded = inc.withColumn(
+        "bucket",
+        F.explode(F.array((F.col("i_us") / b).cast("long"), (F.col("i_us") / b).cast("long") + 1)),
+    )
+    ev_banded = ev.withColumn("bucket", (F.col("t_us") / b).cast("long"))
+    hits = (
+        ev_banded.join(inc_banded, "bucket")
+        .filter((F.col("t_us") > F.col("i_us")) & (F.col("t_us") <= F.col("i_us") + b))
+        .groupBy("incident_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_follow"),
+            money_sum("value").alias("follow_value"),
+        )
+    )
+    return inc.drop("i_us").join(F.broadcast(hits), "incident_id", "left").select(
+        "incident_id",
+        "incident_value",
+        F.coalesce("n_follow", F.lit(0)).alias("n_follow"),
+        F.coalesce("follow_value", F.lit(0.0)).alias("follow_value"),
+    )
+
+
+ORACLE_EVENTS_RANGE_JOIN = f"""
+WITH inc AS (
+  SELECT event_id AS incident_id, ts AS i_ts, value AS incident_value
+  FROM events WHERE event_type = 'error' AND value > {INCIDENT_VALUE_MIN})
+SELECT i.incident_id, i.incident_value,
+       count(e.event_id) AS n_follow,
+       coalesce({sql_money_sum("e.value")}, 0.0) AS follow_value
+FROM inc i LEFT JOIN events e
+  ON e.ts > i.i_ts AND e.ts <= i.i_ts + INTERVAL 10 MINUTE
+GROUP BY i.incident_id, i.incident_value
+"""
+
+
+def q_events_gapfill_locf(spark: SparkSession, sf: str) -> DataFrame:
+    """Gap-filled hourly series with last-observation-carried-forward — the
+    TimescaleDB ``time_bucket_gapfill + locf`` shape. Observations are
+    hourly stats of high-value events per event_type (sparse on purpose);
+    the spine is every (event_type, hour) cell between the table's own
+    first and last hour; missing cells get n_obs=0 and the last observed
+    hourly value carried forward (null before the first observation).
+
+    Scale: the spine is calendar-sized — hours-in-range × #series — and is
+    built by exploding a ``sequence`` from a single min/max aggregate row
+    cross-joined with the distinct series keys; it does not grow with the
+    corpus, so both inputs to the final join are post-aggregation frames.
+    The LOCF window partitions by series key and the raw table is touched
+    exactly twice (bounds scan + observation scan), each a partial agg."""
+    ev = table(spark, sf, "events")
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    spine_hours = bounds.select(
+        F.explode(F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))).alias("hour")
+    )
+    series = ev.select("event_type").distinct()
+    grid = series.crossJoin(F.broadcast(spine_hours))
+    # Carry the exact 2dp decimal SUM, not an average: sums of 2dp money
+    # survive the decimal->double cast exactly, while avg = sum/n lands on
+    # half-point doubles (e.g. 132.825) that Spark and DuckDB round apart.
+    obs = (
+        ev.filter(F.col("value") > GAPFILL_VALUE_MIN)
+        .groupBy("event_type", F.date_trunc("hour", "ts").alias("hour"))
+        .agg(
+            F.count(F.lit(1)).alias("n_obs"),
+            money_sum("value").alias("hour_value"),
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(obs, ["event_type", "hour"], "left")
+        .select(
+            "event_type",
+            F.date_format("hour", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            F.coalesce("n_obs", F.lit(0)).cast("long").alias("n_obs"),
+            F.last("hour_value", ignorenulls=True).over(w).alias("value_filled"),
+        )
+    )
+
+
+ORACLE_EVENTS_GAPFILL_LOCF = f"""
+WITH bounds AS (
+  SELECT date_trunc('hour', min(ts)) AS h0, date_trunc('hour', max(ts)) AS h1
+  FROM events),
+spine AS (
+  SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour FROM bounds),
+series AS (SELECT DISTINCT event_type FROM events),
+grid AS (SELECT event_type, hour FROM series CROSS JOIN spine),
+obs AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS n_obs,
+         {sql_money_sum("value")} AS hour_value
+  FROM events WHERE value > {GAPFILL_VALUE_MIN}
+  GROUP BY event_type, date_trunc('hour', ts))
+SELECT g.event_type, strftime(g.hour, '%Y-%m-%d %H:%M:%S') AS hour,
+       coalesce(o.n_obs, 0)::BIGINT AS n_obs,
+       last_value(o.hour_value IGNORE NULLS) OVER (
+         PARTITION BY g.event_type ORDER BY g.hour
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_filled
+FROM grid g LEFT JOIN obs o USING (event_type, hour)
+"""
+
+
+def q_events_multires_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    """Hypertable-style multi-resolution continuous aggregate: hourly and
+    daily rollups (plus grand total) of the events stream in ONE pass via
+    ROLLUP grouping sets — the batch twin of maintaining hour/day
+    materialized rollup tables. Partial aggregation combines map-side, so
+    the shuffle carries one partial row per (day, hour) cell per task, not
+    events; resolution is labeled from the grouping-set nullness, which is
+    unambiguous because real day/hour values are never null."""
+    ev = table(spark, sf, "events")
+    day = F.date_format("ts", "yyyy-MM-dd")
+    hour = F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss")
+    rolled = (
+        ev.select(day.alias("day"), hour.alias("hour"), "value")
+        .rollup("day", "hour")
+        .agg(F.count(F.lit(1)).alias("n_events"), money_sum("value").alias("total_value"))
+    )
+    level = (
+        F.when(F.col("hour").isNotNull(), F.lit("hour"))
+        .when(F.col("day").isNotNull(), F.lit("day"))
+        .otherwise(F.lit("total"))
+    )
+    return rolled.select(
+        level.alias("resolution"), "day", "hour", "n_events", "total_value"
+    )
+
+
+ORACLE_EVENTS_MULTIRES_ROLLUP = f"""
+SELECT CASE WHEN hour IS NOT NULL THEN 'hour'
+            WHEN day IS NOT NULL THEN 'day'
+            ELSE 'total' END AS resolution,
+       day, hour, count(*) AS n_events, {sql_money_sum("value")} AS total_value
+FROM (SELECT strftime(ts, '%Y-%m-%d') AS day,
+             strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+             value
+      FROM events)
+GROUP BY ROLLUP (day, hour)
+"""
+
+
+QUERIES: dict[str, Query] = {
+    "events_asof_join": Query(
+        q_events_asof_join, ORACLE_EVENTS_ASOF_JOIN, ("events", "asof-join")
+    ),
+    "events_range_join": Query(
+        q_events_range_join, ORACLE_EVENTS_RANGE_JOIN, ("events", "range-join")
+    ),
+    "events_gapfill_locf": Query(
+        q_events_gapfill_locf, ORACLE_EVENTS_GAPFILL_LOCF, ("events", "gapfill")
+    ),
+    "events_multires_rollup": Query(
+        q_events_multires_rollup, ORACLE_EVENTS_MULTIRES_ROLLUP, ("events", "rollup")
+    ),
+}
