@@ -100,6 +100,42 @@ def test_top_suppliers_no_global_window(spark, sf_correctness):
     )
 
 
+def test_range_join_is_banded_equi_join(spark, sf_correctness):
+    """The interval join must execute as an EQUI join on the time-bucket
+    band key with the range predicate as a post-filter. Without the band
+    key Catalyst's only plan for a pure inequality join is
+    BroadcastNestedLoopJoin / CartesianProduct over the raw events — the
+    shape that scans |events| x |incidents| pairs at 100 TB."""
+    plan = explain_str(QUERIES["events_range_join"].fn(spark, sf_correctness))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan, (
+        f"events_range_join fell back to a nested-loop join:\n{plan}"
+    )
+
+
+def test_asof_join_single_window_shuffle(spark, sf_correctness):
+    """The as-of join's contract is union-and-window: ONE exchange keyed by
+    user_id feeding the window (plus the clicks pre-dedup agg, which hashes
+    on a superset key). A per-row range probe or a global (unpartitioned)
+    window would not survive scale."""
+    plan = explain_str(QUERIES["events_asof_join"].fn(spark, sf_correctness))
+    assert "Window" in plan
+    assert "SortMergeJoin" not in plan and "NestedLoop" not in plan
+    # no unpartitioned window: every Window operator's spec must name user_id
+    win_lines = [ln for ln in plan.splitlines() if ln.strip().startswith("Arguments:") and "windowspecdefinition" in ln]
+    for ln in win_lines:
+        assert "user_id" in ln, f"unpartitioned window in asof join:\n{ln}"
+
+
+def test_vocab_topk_is_take_ordered(spark, sf_correctness):
+    """Top-K vocab selection must be TakeOrderedAndProject (per-partition
+    heaps), not a full sort of the vocabulary."""
+    plan = explain_str(QUERIES["doc_vocab_stats"].fn(spark, sf_correctness))
+    assert "TakeOrderedAndProject" in plan, (
+        f"doc_vocab_stats sorts the whole vocab:\n{plan}"
+    )
+
+
 def test_partition_pruning(spark, tmp_path):
     """A date-partitioned write read back with a partition predicate must
     prune at planning time (the reference's raison d'être for hive
