@@ -1,5 +1,6 @@
 from .streams import (
     hourly_event_counts,
+    purchases_with_recent_clicks,
     read_events_stream,
     sessionize_stream,
     sliding_event_rates,
@@ -11,6 +12,7 @@ from .streams import (
 
 __all__ = [
     "hourly_event_counts",
+    "purchases_with_recent_clicks",
     "read_events_stream",
     "sessionize_stream",
     "sliding_event_rates",

@@ -113,6 +113,55 @@ def stream_dedup_events(events: DataFrame, watermark: str = "1 hour") -> DataFra
     )
 
 
+def purchases_with_recent_clicks(
+    purchases: DataFrame,
+    clicks: DataFrame,
+    max_gap: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream interval join: each purchase is joined to every click
+    by the same user within ``max_gap`` BEFORE it — the attribution join
+    (which ad click preceded this purchase), run continuously on two live
+    streams. Batch twin: the ``events_range_join`` / ``events_asof_join``
+    catalog entries.
+
+    Both sides carry watermarks and the join condition bounds click_ts to
+    a closed event-time interval around purchase_ts — together these let
+    Spark EVICT join state once the watermark passes (a stream-stream join
+    without a time bound buffers both streams forever). Left-outer
+    semantics: a purchase with no preceding click emits with nulls once
+    the watermark guarantees no matching click can still arrive; Spark
+    requires the time bound + watermark for exactly this reason.
+
+    State at scale: per-key buffered rows span only ``max_gap + watermark``
+    of event time per side — arrival-rate x horizon, independent of stream
+    lifetime."""
+    c = clicks.select(
+        F.col("user_id").alias("click_user_id"),
+        F.col("ts").alias("click_ts"),
+        F.col("value").alias("click_value"),
+    ).withWatermark("click_ts", watermark)
+    p = purchases.select(
+        "event_id",
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    ).withWatermark("purchase_ts", watermark)
+    cond = (
+        (p["user_id"] == c["click_user_id"])
+        & (c["click_ts"] <= p["purchase_ts"])
+        & (c["click_ts"] >= p["purchase_ts"] - F.expr(f"INTERVAL {max_gap}"))
+    )
+    return p.join(c, cond, "leftOuter").select(
+        "event_id",
+        "user_id",
+        "purchase_ts",
+        "purchase_value",
+        "click_ts",
+        "click_value",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Custom stateful operator: gap-based sessionization
 # ---------------------------------------------------------------------------

@@ -183,6 +183,56 @@ def test_stream_merge_upsert_keeps_latest_per_user(spark, sf_smoke, events_dir, 
     assert t2.groupBy("user_id").count().filter(F.col("count") > 1).count() == 0
 
 
+def test_stream_stream_interval_join_matches_batch(spark, sf_smoke, events_dir):
+    """Stream-stream interval join vs the same join computed in batch.
+    Inner matches must all emit; outer (no-click) purchases emit only once
+    the watermark clears them, so purchases inside the final horizon are
+    allowed to be absent — and nothing may emit that batch didn't produce."""
+    import datetime
+
+    from customer_activity_lakehouse_spark.streaming import purchases_with_recent_clicks
+
+    landing, root = events_dir
+    gap, gap_td = "12 hours", datetime.timedelta(hours=12)
+    # two independent stream scans of the same landing dir (not a self-join)
+    joined = purchases_with_recent_clicks(
+        read_events_stream(spark, landing).filter(F.col("event_type") == "purchase"),
+        read_events_stream(spark, landing).filter(F.col("event_type") == "click"),
+        max_gap=gap,
+    )
+    _run(joined, f"{root}/ssjoin", f"{root}/ckpt_ssjoin")
+    got = spark.read.parquet(f"{root}/ssjoin")
+
+    ev = events_table(spark, sf_smoke)
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.col("ts").alias("purchase_ts"), F.col("value").alias("purchase_value")
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cu"), F.col("ts").alias("click_ts"), F.col("value").alias("click_value")
+    )
+    want = p.join(
+        c,
+        (p["user_id"] == c["cu"])
+        & (c["click_ts"] <= p["purchase_ts"])
+        & (c["click_ts"] >= p["purchase_ts"] - F.expr(f"INTERVAL {gap}")),
+        "leftOuter",
+    ).select("event_id", "purchase_ts", "click_ts")
+
+    got_keys = {(r.event_id, r.click_ts) for r in got.collect()}
+    want_rows = want.collect()
+    want_keys = {(r.event_id, r.click_ts) for r in want_rows}
+    assert got_keys <= want_keys  # nothing invented
+    # some purchases genuinely matched a click and some didn't
+    assert any(k[1] is not None for k in want_keys)
+    assert any(k[1] is None for k in want_keys)
+    # every inner match emits; outer rows only outside the watermark horizon
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+    horizon = max_ts - datetime.timedelta(hours=2) - gap_td
+    for r in want_rows:
+        if r.click_ts is not None or r.purchase_ts <= horizon:
+            assert (r.event_id, r.click_ts) in got_keys, r
+
+
 def test_sessionize_stream_matches_batch_query(spark, sf_smoke, events_dir):
     """The custom stateful operator must agree with the batch catalog's
     event_sessionization (same 30-min gap) when the whole stream arrives in
