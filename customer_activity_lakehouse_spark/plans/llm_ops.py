@@ -25,9 +25,11 @@ Scale design (100 TB):
 
 from __future__ import annotations
 
+import itertools
+
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, Observation, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import BPE_SPLIT_PATTERN, LANG_MARKERS, STOPWORDS_EN, language_id
@@ -46,7 +48,15 @@ LSH_BUCKET_CAP = 1_000
 QUADRATIC_MAX_ROWS = 20_000
 
 
-def _cap_buckets(bands: DataFrame, cap: int | None) -> DataFrame:
+# Each _cap_buckets call gets a distinct observed-metric name: Spark
+# requires metric names to be unique per query unless the plans are
+# identical (the self-join case, which IS identical and allowed).
+_CAP_OBS_NAMES = (f"lsh_bucket_cap_{i}" for i in itertools.count())
+
+
+def _cap_buckets(
+    bands: DataFrame, cap: int | None, observation: Observation | None = None
+) -> DataFrame:
     """Drop LSH band buckets holding more than ``cap`` rows before the
     self-join — the mega-bucket guard that keeps banded dedup from going
     quadratic on a single skewed band value.
@@ -62,15 +72,32 @@ def _cap_buckets(bands: DataFrame, cap: int | None) -> DataFrame:
     drops (the audit a capped run logs first — registered as the
     ``lsh_bucket_audit`` catalog entry), and :func:`megabucket_clusters`
     dedups those clusters wholesale by bucket id (registered as
-    ``dedup_minhash_megabuckets`` / ``dedup_embedding_megabuckets``)."""
+    ``dedup_minhash_megabuckets`` / ``dedup_embedding_megabuckets``).
+
+    The capped path is never SILENT: an observed metric (``observe``) is
+    computed on the pre-filter rows — ``n_dropped_rows`` / an (exact —
+    each over-cap bucket's rows contribute 1/bucket_size, summing to 1 per
+    bucket) ``n_dropped_buckets`` — at zero extra jobs; it appears in the
+    Spark UI SQL tab and in every registered QueryExecutionListener. Pass
+    an ``Observation`` to read the numbers directly in Python — but ONLY
+    for plans that consume the capped frame once (the embedding
+    bucket-verify shape); the minhash SELF-join re-emits the node and a
+    single-use Observation handle cannot accept two updates, so the
+    self-join path must rely on the named metric."""
     if cap is None:
         return bands
     w = Window.partitionBy("band_idx", "band_val")
-    return (
-        bands.withColumn("__bn", F.count(F.lit(1)).over(w))
-        .filter(F.col("__bn") <= cap)
-        .drop("__bn")
+    counted = bands.withColumn("__bn", F.count(F.lit(1)).over(w))
+    over = F.col("__bn") > cap
+    metrics = (
+        F.coalesce(F.sum(F.when(over, 1)), F.lit(0)).alias("n_dropped_rows"),
+        F.coalesce(
+            F.round(F.sum(F.when(over, 1.0 / F.col("__bn"))), 0).cast("long"),
+            F.lit(0),
+        ).alias("n_dropped_buckets"),
     )
+    counted = counted.observe(observation or next(_CAP_OBS_NAMES), *metrics)
+    return counted.filter(~over).drop("__bn")
 
 
 def lsh_hot_buckets(bands: DataFrame, cap: int) -> DataFrame:
@@ -1621,11 +1648,16 @@ def _bucket_verify_fn():
 
 
 def embedding_lsh_pairs(
-    emb: DataFrame, bucket_cap: int | None = LSH_BUCKET_CAP
+    emb: DataFrame,
+    bucket_cap: int | None = LSH_BUCKET_CAP,
+    observation: Observation | None = None,
 ) -> DataFrame:
     """Banded hyperplane-LSH near-dup pairs over any (vec_id, embedding)
     frame — candidates from same-band collisions (buckets above
     ``bucket_cap`` dropped first), verified with exact cosine ≥ 0.40.
+    Pass ``observation`` to read the cap's dropped-rows/buckets metrics
+    after the action (this plan consumes the capped frame once, so a
+    Python Observation handle is safe here — see :func:`_cap_buckets`).
 
     Verification is BUCKET-LOCAL (``applyInPandas`` over the band key, see
     :func:`_bucket_verify_fn`): vectors are shipped once per bucket
@@ -1645,7 +1677,7 @@ def embedding_lsh_pairs(
     into _VERIFY_PAIR_CHUNK-pair numpy batches); the group shuffle rides
     the same (band_idx, band_val) partitioning the cap window already
     established."""
-    bands = _cap_buckets(embedding_band_keys(emb), bucket_cap)
+    bands = _cap_buckets(embedding_band_keys(emb), bucket_cap, observation)
     with_vec = bands.join(emb.select("vec_id", "embedding"), "vec_id")
     raw = with_vec.groupBy("band_idx", "band_val").applyInPandas(
         _bucket_verify_fn(), "vec_a long, vec_b long, cos_raw double"

@@ -125,6 +125,35 @@ def test_embedding_hot_bucket_audit(hot_embeddings):
     assert all(r.n_rows == 200 for r in audit)
 
 
+def test_embedding_cap_observation_reports_drops(hot_embeddings):
+    """The capped path must be observable, not silent: an Observation on
+    the single-consumption embedding plan reports exactly what the audit
+    query says was dropped — 200 rows x 4 bands, 4 buckets — with no
+    extra job."""
+    from pyspark.sql import Observation
+
+    obs = Observation("cap_audit")
+    embedding_lsh_pairs(hot_embeddings, bucket_cap=50, observation=obs).count()
+    got = obs.get
+    assert got["n_dropped_rows"] == 200 * 4
+    assert got["n_dropped_buckets"] == 4
+
+
+def test_minhash_capped_plan_carries_named_metric(hot_docs):
+    """The self-join path cannot take an Observation handle (its node is
+    duplicated); it must still carry the auto-named observed metric so the
+    Spark UI / QueryExecutionListeners see drops."""
+    import contextlib
+    import io
+
+    df = minhash_lsh_pairs(hot_docs, bucket_cap=100)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("extended")
+    assert "lsh_bucket_cap_" in buf.getvalue()
+    assert df.count() == 0  # still analyzable + executable with the metric
+
+
 def test_ngram_jaccard_guard_trips(spark, sf_correctness):
     with pytest.raises(ValueError, match="q_dedup_minhash_verified"):
         q_dedup_ngram_jaccard(spark, sf_correctness, max_rows=10)
