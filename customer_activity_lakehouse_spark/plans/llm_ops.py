@@ -54,6 +54,32 @@ QUADRATIC_MAX_ROWS = 20_000
 _CAP_OBS_NAMES = (f"lsh_bucket_cap_{i}" for i in itertools.count())
 
 
+class CapObservation(Observation):
+    """An :class:`~pyspark.sql.Observation` that stays readable when the
+    observed plan collapses to an empty relation.
+
+    When every bucket is over-cap the capped frame is empty, AQE's
+    ``PropagateEmptyRelation`` replaces the downstream stages with an empty
+    relation, and the CollectMetrics row never reaches the listener —
+    ``Observation.get`` then raises ``java.lang.AssertionError`` in
+    ``PythonSQLUtils.toPyRow``. That is precisely the all-dropped scenario
+    the metric exists to report, so ``get`` here falls back to ONE small
+    aggregate job over the same lazy pre-observe subtree (attached by
+    :func:`_cap_buckets`), returning identical numbers. The fast path — the
+    plan executed and the metrics row arrived — stays zero-extra-jobs."""
+
+    _cap_fallback_df: DataFrame | None = None
+
+    @property
+    def get(self) -> dict:
+        try:
+            return Observation.get.fget(self)  # type: ignore[attr-defined]
+        except Exception:
+            if self._cap_fallback_df is None:
+                raise
+            return self._cap_fallback_df.first().asDict()
+
+
 def _cap_buckets(
     bands: DataFrame, cap: int | None, observation: Observation | None = None
 ) -> DataFrame:
@@ -79,11 +105,15 @@ def _cap_buckets(
     each over-cap bucket's rows contribute 1/bucket_size, summing to 1 per
     bucket) ``n_dropped_buckets`` — at zero extra jobs; it appears in the
     Spark UI SQL tab and in every registered QueryExecutionListener. Pass
-    an ``Observation`` to read the numbers directly in Python — but ONLY
-    for plans that consume the capped frame once (the embedding
+    a :class:`CapObservation` to read the numbers directly in Python — but
+    ONLY for plans that consume the capped frame once (the embedding
     bucket-verify shape); the minhash SELF-join re-emits the node and a
     single-use Observation handle cannot accept two updates, so the
-    self-join path must rely on the named metric."""
+    self-join path must rely on the named metric. (Use ``CapObservation``
+    rather than a plain ``Observation``: when the capped result is empty,
+    AQE empty-relation propagation starves the metrics row and a plain
+    handle's ``get`` raises — exactly the all-dropped case the metric
+    exists for.)"""
     if cap is None:
         return bands
     w = Window.partitionBy("band_idx", "band_val")
@@ -96,8 +126,13 @@ def _cap_buckets(
             F.lit(0),
         ).alias("n_dropped_buckets"),
     )
-    counted = counted.observe(observation or next(_CAP_OBS_NAMES), *metrics)
-    return counted.filter(~over).drop("__bn")
+    observed = counted.observe(observation or next(_CAP_OBS_NAMES), *metrics)
+    if observation is not None:
+        # Fallback for CapObservation.get: the same metrics as one agg over
+        # the pre-observe subtree (lazy — costs nothing unless the handle's
+        # fast path is starved by AQE empty-relation propagation).
+        observation._cap_fallback_df = counted.agg(*metrics)
+    return observed.filter(~over).drop("__bn")
 
 
 def lsh_hot_buckets(bands: DataFrame, cap: int) -> DataFrame:

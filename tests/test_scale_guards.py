@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 
 from customer_activity_lakehouse_spark.plans.llm_ops import (
     LSH_BUCKET_CAP,
+    CapObservation,
     embedding_band_keys,
     embedding_lsh_pairs,
     lsh_hot_buckets,
@@ -126,17 +127,28 @@ def test_embedding_hot_bucket_audit(hot_embeddings):
 
 
 def test_embedding_cap_observation_reports_drops(hot_embeddings):
-    """The capped path must be observable, not silent: an Observation on
+    """The capped path must be observable, not silent: a CapObservation on
     the single-consumption embedding plan reports exactly what the audit
-    query says was dropped — 200 rows x 4 bands, 4 buckets — with no
-    extra job."""
-    from pyspark.sql import Observation
-
-    obs = Observation("cap_audit")
-    embedding_lsh_pairs(hot_embeddings, bucket_cap=50, observation=obs).count()
+    query says was dropped — 200 rows x 4 bands, 4 buckets — even though
+    the all-dropped result is empty and AQE empty-relation propagation
+    starves the CollectMetrics row (the case a plain Observation.get
+    crashes on)."""
+    obs = CapObservation("cap_audit")
+    assert embedding_lsh_pairs(hot_embeddings, bucket_cap=50, observation=obs).count() == 0
     got = obs.get
     assert got["n_dropped_rows"] == 200 * 4
     assert got["n_dropped_buckets"] == 4
+
+
+def test_embedding_cap_observation_fast_path_when_nonempty(hot_embeddings):
+    """When nothing is dropped the handle's zero-extra-job fast path still
+    serves the read (fallback untouched would also return the same zeros,
+    but the listener row must arrive for a non-empty plan)."""
+    obs = CapObservation("cap_audit_fast")
+    assert embedding_lsh_pairs(hot_embeddings, bucket_cap=1000, observation=obs).count() > 0
+    got = obs.get
+    assert got["n_dropped_rows"] == 0
+    assert got["n_dropped_buckets"] == 0
 
 
 def test_minhash_capped_plan_carries_named_metric(hot_docs):
