@@ -185,21 +185,43 @@ def merge_upsert(
         return
     # Stage unpartitioned (partition values stay ordinary data columns, so
     # re-reading them is type-stable regardless of the session's partition-
-    # column inference settings), then swap.
+    # column inference settings), then swap. Hadoop FS rename FAILS BY
+    # RETURNING FALSE, not by raising — every rename result is checked, the
+    # target is moved ASIDE (never deleted) before the swap so a failed
+    # rename can restore it, and the staging dir — the only complete copy
+    # of the merged data until the swap lands — is deleted ONLY after the
+    # target verifiably holds the merge. On any failure the staging path
+    # survives for manual recovery.
     staging = spec.path.rstrip("/") + ".__staging__"
     fs, jstaging = _hadoop_fs(spark, staging)
     resolved.write.format(spec.fmt).mode("overwrite").save(staging)
-    try:
-        staged = spark.read.format(spec.fmt).load(staging)
-        if spec.partition_cols:
-            write_incremental(staged, spec)
-        else:
-            _, jtarget = _hadoop_fs(spark, spec.path)
-            fs.delete(jtarget, True)
-            fs.rename(jstaging, jtarget)
-            return  # staging dir IS the table now — nothing to clean up
-    finally:
+    staged = spark.read.format(spec.fmt).load(staging)
+    if spec.partition_cols:
+        # Dynamic partition overwrite from the staged files; if it dies
+        # mid-overwrite the staged merge is intentionally left in place.
+        write_incremental(staged, spec)
         fs.delete(jstaging, True)
+        return
+    _, jtarget = _hadoop_fs(spark, spec.path)
+    retired = spec.path.rstrip("/") + ".__old__"
+    _, jretired = _hadoop_fs(spark, retired)
+    fs.delete(jretired, True)  # clear debris from a previous crashed swap
+    if not fs.rename(jtarget, jretired):
+        raise IOError(
+            f"merge_upsert: could not move {spec.path} aside to {retired}; "
+            f"target untouched, staged merge preserved at {staging}"
+        )
+    if not fs.rename(jstaging, jtarget):
+        if not fs.rename(jretired, jtarget):
+            raise IOError(
+                f"merge_upsert: swap failed AND restore failed — table data "
+                f"at {retired}, staged merge at {staging}"
+            )
+        raise IOError(
+            f"merge_upsert: swap failed; target restored from {retired}, "
+            f"staged merge preserved at {staging}"
+        )
+    fs.delete(jretired, True)
 
 
 def partition_stats(spark: SparkSession, spec: TableSpec) -> DataFrame:

@@ -177,6 +177,29 @@ def test_merge_upsert_cleans_staging(spark, tmp_path):
     assert read_table(spark, spec).count() == 1
 
 
+def test_merge_upsert_swap_survives_old_debris(spark, tmp_path):
+    """The unpartitioned swap retires the target to <path>.__old__ before
+    renaming staging in; debris from a previously crashed swap at that path
+    must not break the next merge, and no __old__/__staging__ dirs remain
+    after success."""
+    from customer_activity_lakehouse_spark.sources.tables import merge_upsert
+
+    spec = TableSpec(str(tmp_path / "mo"))
+    batch = spark.createDataFrame([(1, "a")], "id long, v string")
+    merge_upsert(spark, spec, batch, keys=["id"])  # bootstrap
+    debris = tmp_path / "mo.__old__"
+    debris.mkdir()
+    (debris / "junk.txt").write_text("crashed swap leftovers")
+    batch2 = spark.createDataFrame([(1, "b"), (2, "c")], "id long, v string")
+    merge_upsert(spark, spec, batch2, keys=["id"])  # swap path
+    got = {(r.id, r.v) for r in read_table(spark, spec).collect()}
+    assert got == {(1, "b"), (2, "c")}
+    leftovers = [p for p in tmp_path.rglob("*__old__*")] + [
+        p for p in tmp_path.rglob("*__staging__*")
+    ]
+    assert not leftovers, f"swap debris: {leftovers}"
+
+
 def test_merge_upsert_order_col_resolves_in_batch_dups(spark, tmp_path):
     from customer_activity_lakehouse_spark.sources.tables import merge_upsert
 
