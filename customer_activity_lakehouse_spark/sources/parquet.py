@@ -28,6 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..operators.joins import salt_column
 from ..schemas import DRIVER_TABLES, require_columns
 
 
@@ -50,9 +51,11 @@ def _cluster_by_partitions(
     The salt term splits hot partitions across ``files_per_partition``
     tasks (deterministic row-hash, replay-safe — same pattern as
     tables.compact); at n=1 it is constant and the expression reduces to
-    repartition-by-key."""
+    repartition-by-key. Salt source is ``salt_column`` (operators/joins),
+    which skips xxhash64-unhashable columns (MapType, nested or not) so a
+    frame carrying a map column still writes."""
     n = max(1, int(files_per_partition))
-    salt = F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(n)).cast("int")
+    salt = salt_column(df, n)
     return df.repartition(*[F.col(c) for c in cols], salt)
 
 

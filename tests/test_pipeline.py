@@ -250,3 +250,20 @@ def test_cli_entrypoint_end_to_end(spark, tmp_path):
     assert rc == 0
     fact = spark.read.parquet(f"{root}/curated/fact_customer_transactions")
     assert fact.count() > 0
+
+
+def test_partitioned_sink_accepts_map_columns(spark, tmp_path):
+    """The partition-clustering salt must skip xxhash64-unhashable columns
+    (MapType) instead of failing the whole write — salt source is
+    operators/joins.salt_column, same guard as salted_join."""
+    from customer_activity_lakehouse_spark.sources.parquet import write_raw_partitioned
+
+    df = spark.createDataFrame(
+        [("2024-01-01", "a", {"k": 1}), ("2024-01-02", "b", {"k": 2})],
+        "transaction_date string, v string, props map<string,int>",
+    )
+    out = str(tmp_path / "map_sink")
+    write_raw_partitioned(df, out, files_per_partition=2)
+    back = spark.read.parquet(out)
+    assert back.count() == 2
+    assert set(back.columns) == {"transaction_date", "v", "props"}
