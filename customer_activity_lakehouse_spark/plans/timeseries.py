@@ -142,8 +142,11 @@ def q_events_range_join(spark: SparkSession, sf: str) -> DataFrame:
     bucket key (time-ordered data means no skew beyond real hot windows),
     the incident side is rare-by-definition, and no pair outside adjacent
     buckets is ever materialized. Incidents with a quiet window are kept
-    via a final broadcast left join (incident count is small; the rollup
-    output is one row per incident)."""
+    via a final left join; the per-incident rollup is usually small, but
+    incident count is DATA-DEPENDENT, so the hint is left to AQE — which
+    broadcasts it when its measured size allows — rather than forced with
+    ``F.broadcast`` (ADVICE r3: an asserted-small broadcast is an OOM on
+    skewed real data)."""
     ev_full = table(spark, sf, "events")
     ev = ev_full.select(F.unix_micros("ts").alias("t_us"), "value", "event_id")
     inc = ev_full.filter(
@@ -168,7 +171,7 @@ def q_events_range_join(spark: SparkSession, sf: str) -> DataFrame:
             money_sum("value").alias("follow_value"),
         )
     )
-    return inc.drop("i_us").join(F.broadcast(hits), "incident_id", "left").select(
+    return inc.drop("i_us").join(hits, "incident_id", "left").select(
         "incident_id",
         "incident_value",
         F.coalesce("n_follow", F.lit(0)).alias("n_follow"),

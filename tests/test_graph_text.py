@@ -39,6 +39,20 @@ def test_cc_merges_overlapping_pairs_not_overdeletes(spark):
     assert got.count() == 3
 
 
+def test_cc_raises_on_iteration_exhaustion(spark):
+    """A component whose diameter exceeds max_iters must fail LOUDLY
+    (ADVICE r3): partially-propagated labels are split clusters that
+    silently diverge from the exact recursive-CTE oracle."""
+    import pytest
+
+    pairs = _pairs(spark, [(i, i + 1) for i in range(9)])
+    with pytest.raises(ValueError, match="did not converge"):
+        connected_components(pairs, max_iters=2)
+    # and the same chain converges with an adequate budget
+    got = {r.doc_id: r.cluster_id for r in connected_components(pairs, max_iters=12).collect()}
+    assert got == {i: 0 for i in range(10)}
+
+
 def test_chunking_covers_text_with_overlap(spark, sf_correctness):
     chunks = q_doc_chunks(spark, sf_correctness)
     docs = spark.read.parquet(f"{sf_correctness}/documents.parquet")
@@ -61,3 +75,28 @@ def test_chunking_covers_text_with_overlap(spark, sf_correctness):
         .filter((F.col("n") - 1) * CHUNK_STRIDE + CHUNK_SIZE < F.col("len"))
     )
     assert cover.count() == 0
+
+
+def test_pack_sequences_bounded_shard_deterministic(spark):
+    """VERDICT r3 #4: the packing shard is a parameter — packing by
+    (lang, bounded hash bucket) must be deterministic across input
+    partitionings and never let a multi-doc pack exceed the budget."""
+    from customer_activity_lakehouse_spark.plans.llm_ops import pack_sequences
+
+    toks = (
+        spark.range(100)
+        .select(
+            F.when(F.col("id") % 2 == 0, "en").otherwise("fr").alias("lang"),
+            F.col("id").alias("doc_id"),
+            (F.col("id") % 37 + 1).cast("int").alias("n_tok"),
+        )
+        .withColumn("bucket", F.pmod(F.xxhash64("doc_id"), F.lit(4)).cast("int"))
+    )
+    a = pack_sequences(toks, shard_cols=["lang", "bucket"], token_budget=64)
+    b = pack_sequences(toks.repartition(13), shard_cols=["lang", "bucket"], token_budget=64)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+    roll = a.groupBy("lang", "bucket", "pack_id").agg(
+        F.sum("n_tok").alias("tot"), F.count(F.lit(1)).alias("n")
+    )
+    assert roll.filter((F.col("tot") > 64) & (F.col("n") > 1)).count() == 0
+    assert roll.count() > 8  # shards actually split the work
