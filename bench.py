@@ -53,6 +53,17 @@ from customer_activity_lakehouse_spark.session import get_spark  # noqa: E402
 RUNS = 5
 ETL_BASE_ROWS = 10_000_000  # reference generates 10M facts per run at "sf=1"
 
+# Queries first benched in round 4 (time-series family + r3 curation ops).
+# They are timed and reported in "queries" but EXCLUDED from "value" so the
+# headline total stays comparable with BENCH_r01..r03 (same set since r01).
+NEW_SINCE_R03 = [
+    "events_asof_join",
+    "events_range_join",
+    "doc_tfidf_terms",
+    "doc_pack_sequences",
+    "doc_decontaminate",
+]
+
 
 def _sf_label(sf_dir: str) -> float | str:
     name = Path(sf_dir).name
@@ -131,7 +142,8 @@ def main() -> None:
     finally:
         shutil.rmtree(work_dir, ignore_errors=True)
 
-    total = round(sum(timings[n] for n in headline), 4)
+    excluded = set(NEW_SINCE_R03) | {"etl_pipeline"}
+    total = round(sum(timings[n] for n in headline if n not in excluded), 4)
     print(
         json.dumps(
             {
@@ -140,17 +152,15 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
-                "value_excludes": ["etl_pipeline"],
+                "value_excludes": ["etl_pipeline"] + NEW_SINCE_R03,
                 "runs": RUNS,
                 "note": (
                     "interleaved shuffled passes, median of 5; ETL timed in its "
                     "own phase so its writes can't pollute the light queries. "
-                    "r02 regression root cause (r3): cycling 19 distinct plans "
-                    "overflowed spark.sql.codegen.cache.maxEntries=100, so "
-                    "janino recompiled every WholeStageCodegen stage each pass; "
-                    "session.py now sizes the cache for the catalog (4096) - "
-                    "total went 14.51 -> 10.68 s on the same queries, every "
-                    "query at or below its r01 record"
+                    "value sums the same 18-query set as BENCH_r01..r03; the "
+                    "five queries first benched in r4 (time-series family + "
+                    "tfidf/packing/decontamination) are reported in queries but "
+                    "excluded from value for cross-round comparability"
                 ),
             }
         )

@@ -2140,14 +2140,16 @@ QUERIES: dict[str, Query] = {
         q_doc_fingerprint_stats, ORACLE_DOC_FINGERPRINT_STATS, ("text", "dedup")
     ),
     "doc_chunks": Query(q_doc_chunks, ORACLE_DOC_CHUNKS, ("text", "chunking")),
-    "doc_tfidf_terms": Query(q_doc_tfidf_terms, ORACLE_DOC_TFIDF_TERMS, ("text", "tfidf")),
+    "doc_tfidf_terms": Query(
+        q_doc_tfidf_terms, ORACLE_DOC_TFIDF_TERMS, ("text", "tfidf"), bench=True
+    ),
     "doc_pii_scrub": Query(q_doc_pii_scrub, ORACLE_DOC_PII_SCRUB, ("text", "pii")),
     "doc_sample_hash": Query(q_doc_sample_hash, ORACLE_DOC_SAMPLE_HASH, ("text", "sampling")),
     "doc_pack_sequences": Query(
-        q_doc_pack_sequences, ORACLE_DOC_PACK_SEQUENCES, ("text", "packing")
+        q_doc_pack_sequences, ORACLE_DOC_PACK_SEQUENCES, ("text", "packing"), bench=True
     ),
     "doc_decontaminate": Query(
-        q_doc_decontaminate, ORACLE_DOC_DECONTAMINATE, ("text", "decontamination")
+        q_doc_decontaminate, ORACLE_DOC_DECONTAMINATE, ("text", "decontamination"), bench=True
     ),
     "doc_repetition": Query(q_doc_repetition, ORACLE_DOC_REPETITION, ("text", "quality")),
     "doc_mixture_weights": Query(

@@ -306,10 +306,10 @@ GROUP BY ROLLUP (day, hour)
 
 QUERIES: dict[str, Query] = {
     "events_asof_join": Query(
-        q_events_asof_join, ORACLE_EVENTS_ASOF_JOIN, ("events", "asof-join")
+        q_events_asof_join, ORACLE_EVENTS_ASOF_JOIN, ("events", "asof-join"), bench=True
     ),
     "events_range_join": Query(
-        q_events_range_join, ORACLE_EVENTS_RANGE_JOIN, ("events", "range-join")
+        q_events_range_join, ORACLE_EVENTS_RANGE_JOIN, ("events", "range-join"), bench=True
     ),
     "events_gapfill_locf": Query(
         q_events_gapfill_locf, ORACLE_EVENTS_GAPFILL_LOCF, ("events", "gapfill")
