@@ -5,15 +5,16 @@ typed metadata structs; decode/feature/resize/frame-sample run as
 Arrow-batched Python over ``mapInPandas`` — the Spark-side plumbing (schemas,
 batch iteration, partition sizing, multi-row yield) is the real, tested part.
 
-Codec layer status (round 3): REAL for uncompressed formats — 24-bit BMP
-images are parsed/emitted with ``struct`` and PCM WAV audio with the
-stdlib ``wave`` module, no third-party library needed — and the decoders
-dispatch on the payload's magic bytes (``BM`` / ``RIFF..WAVE``).
-COMPRESSED formats (JPEG/H.264/...) still fall back to a DETERMINISTIC
-FAKE decoder (seeded from the payload bytes, same array shapes a real
-decoder would produce) because this container ships no PIL/cv2/ffmpeg.
-Swapping in real compressed codecs changes only the two ``_decode_*``
-fallbacks — every schema, UDF signature, and plan stays identical.
+Codec layer status (round 4): REAL for stdlib-expressible formats —
+24-bit BMP images (``struct``), 8-bit truecolor PNG (``zlib`` inflate +
+all five scanline filters), and PCM WAV audio (``wave``) — dispatched on
+the payload's magic bytes (``BM`` / ``\\x89PNG`` / ``RIFF..WAVE``).
+Formats needing an actual external codec (JPEG/H.264/...) still fall
+back to a DETERMINISTIC FAKE decoder (seeded from the payload bytes,
+same array shapes a real decoder would produce) because this container
+ships no PIL/cv2/ffmpeg. Swapping in real compressed codecs changes only
+the two ``_decode_*`` fallbacks — every schema, UDF signature, and plan
+stays identical.
 
 Scale notes:
 - payloads never pass through a Python row loop — Arrow moves them
@@ -152,6 +153,142 @@ def encode_wav(wave_f32: np.ndarray, sample_rate: int) -> bytes:
     return buf.getvalue()
 
 
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_BPP = 3  # bytes per pixel (8-bit RGB, color type 2)
+
+
+def _png_chunk(typ: bytes, data: bytes) -> bytes:
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + typ
+        + data
+        + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+    )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    """PNG Paeth predictor (spec §9.4): pick the neighbor (left a, up b,
+    up-left c) closest to the linear estimate a + b - c."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def encode_png(arr: np.ndarray, filter_type: int = 0) -> bytes:
+    """HxWx3 uint8 RGB → 8-bit truecolor PNG (stdlib zlib, no PIL).
+
+    ``filter_type`` applies one of the five PNG scanline filters (0 None,
+    1 Sub, 2 Up, 3 Average, 4 Paeth) to every row — mainly so the decoder's
+    filter reconstruction is testable against real encoded bytes."""
+    import zlib
+
+    h, w, c = arr.shape
+    if c != 3 or arr.dtype != np.uint8:
+        raise ValueError("encode_png expects HxWx3 uint8")
+    if filter_type not in (0, 1, 2, 3, 4):
+        raise ValueError(f"unknown PNG filter {filter_type}")
+    raw = bytearray()
+    prev = np.zeros(w * _PNG_BPP, dtype=np.uint8)
+    for y in range(h):
+        row = arr[y].reshape(-1)
+        a = np.concatenate([np.zeros(_PNG_BPP, dtype=np.uint8), row[:-_PNG_BPP]])
+        b = prev
+        cc = np.concatenate([np.zeros(_PNG_BPP, dtype=np.uint8), prev[:-_PNG_BPP]])
+        if filter_type == 0:
+            filt = row
+        elif filter_type == 1:
+            filt = row - a
+        elif filter_type == 2:
+            filt = row - b
+        elif filter_type == 3:
+            filt = row - ((a.astype(np.uint16) + b.astype(np.uint16)) // 2).astype(np.uint8)
+        else:
+            pred = np.array(
+                [_paeth(int(a[i]), int(b[i]), int(cc[i])) for i in range(len(row))],
+                dtype=np.uint8,
+            )
+            filt = row - pred
+        raw.append(filter_type)
+        raw.extend(filt.astype(np.uint8).tobytes())
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)  # 8-bit RGB, no interlace
+    return (
+        PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _decode_png(payload: bytes) -> np.ndarray:
+    """8-bit truecolor PNG → uint8 HxWx3 RGB. Stdlib zlib inflate + full
+    reconstruction of the five scanline filters (None/Sub/Up/Average/
+    Paeth, spec §9); multiple IDAT chunks are concatenated per spec.
+    Palette/alpha/16-bit/interlaced variants raise — this codec covers the
+    truecolor subset the pipeline emits."""
+    import zlib
+
+    if payload[:8] != PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos = 8
+    w = h = None
+    idat = bytearray()
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        typ = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # length + type + data + crc
+        if typ == b"IHDR":
+            w, h, depth, color, comp, filt, interlace = struct.unpack(">IIBBBBB", data)
+            if (depth, color, comp, filt, interlace) != (8, 2, 0, 0, 0):
+                raise ValueError(
+                    f"only 8-bit truecolor non-interlaced PNG supported "
+                    f"(depth={depth}, color={color}, interlace={interlace})"
+                )
+        elif typ == b"IDAT":
+            idat.extend(data)
+        elif typ == b"IEND":
+            break
+    if w is None:
+        raise ValueError("PNG missing IHDR")
+    raw = zlib.decompress(bytes(idat))
+    stride = w * _PNG_BPP
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG scanline data length mismatch")
+    out = np.zeros((h, stride), dtype=np.uint8)
+    for y in range(h):
+        ft = raw[y * (stride + 1)]
+        line = bytearray(raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)])
+        prev = out[y - 1] if y > 0 else np.zeros(stride, dtype=np.uint8)
+        if ft == 0:
+            rec = np.frombuffer(bytes(line), dtype=np.uint8).copy()
+        elif ft == 2:
+            rec = (np.frombuffer(bytes(line), dtype=np.uint8) + prev).astype(np.uint8)
+        else:
+            # Sub/Average/Paeth depend on already-reconstructed bytes of
+            # the same row — sequential by definition.
+            rec = np.zeros(stride, dtype=np.uint8)
+            for x in range(stride):
+                left = int(rec[x - _PNG_BPP]) if x >= _PNG_BPP else 0
+                up = int(prev[x])
+                ul = int(prev[x - _PNG_BPP]) if x >= _PNG_BPP else 0
+                if ft == 1:
+                    pred = left
+                elif ft == 3:
+                    pred = (left + up) // 2
+                elif ft == 4:
+                    pred = _paeth(left, up, ul)
+                else:
+                    raise ValueError(f"unknown PNG filter byte {ft}")
+                rec[x] = (line[x] + pred) & 0xFF
+        out[y] = rec
+    return out.reshape(h, w, _PNG_BPP)
+
+
 def _decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     """PCM WAV → (float32 mono waveform in [-1, 1], sample_rate). Multi-
     channel input is downmixed by per-frame mean."""
@@ -174,11 +311,14 @@ def _rng_from_bytes(payload: bytes) -> np.random.Generator:
 
 
 def _decode_image_bytes(payload: bytes, width: int, height: int, channels: int) -> np.ndarray:
-    """Image payload → uint8 HxWxC. REAL decode for BMP (magic ``BM``);
-    compressed formats fall back to the deterministic fake (no PIL/cv2 in
-    this container — replace the fallback to enable them)."""
+    """Image payload → uint8 HxWxC. REAL decode for BMP (magic ``BM``) and
+    PNG (magic ``\\x89PNG``, stdlib zlib); remaining compressed formats
+    (JPEG) fall back to the deterministic fake (no PIL/cv2 in this
+    container — replace the fallback to enable them)."""
     if payload[:2] == b"BM":
         return _decode_bmp(payload)
+    if payload[:8] == PNG_SIG:
+        return _decode_png(payload)
     rng = _rng_from_bytes(payload)
     return rng.integers(0, 256, size=(height, width, channels), dtype=np.uint8)
 
