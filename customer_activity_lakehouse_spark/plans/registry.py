@@ -34,19 +34,32 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def events_table(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet stores TIMESTAMP(NANOS), which Spark's vectorized
-    parquet reader rejects. Read the nanos as long and rebuild a microsecond
-    timestamp via integer division — `DIV 1000`, not `/1000`, because
-    epoch-nanos (~1.7e18) exceed the 2^53 double mantissa and a fp division
-    would corrupt low bits.
+    """events.parquet's `ts` physical type has varied across driver-generated
+    fixture generations: TIMESTAMP(NANOS) (rounds 1-3) and TIMESTAMP(MICROS)
+    with no tz (round 4+). Normalize every generation to session-local
+    TimestampType so downstream plans (`unix_micros`, windows, watermarks)
+    see one dtype:
 
-    Requires ``spark.sql.legacy.parquet.nanosAsLong=true`` on the session —
-    set by ``get_spark`` (session.py) and by the driver-contract pinning in
-    ``__spark_entry__._pin_session``. NOT set here: a runtime ``conf.set``
-    inside a reader mutates the shared session under every other thread
-    planning a query (the cross-thread-leak class write_incremental avoids
-    with its per-writer option)."""
+    - LongType (nanos read under ``spark.sql.legacy.parquet.nanosAsLong=true``,
+      set by ``get_spark`` and ``__spark_entry__._pin_session``): rebuild a
+      microsecond timestamp via `DIV 1000` — integer division, not `/1000`,
+      because epoch-nanos (~1.7e18) exceed the 2^53 double mantissa and a fp
+      division would corrupt low bits.
+    - TimestampNTZType (micros, isAdjustedToUTC=false): cast to TimestampType;
+      the session timezone is pinned to UTC, so the wall-clock fields are
+      preserved exactly and match DuckDB's naive-timestamp view of the file.
+    - TimestampType: already what we want.
+
+    Dtype dispatch happens at plan time from the file schema — no runtime
+    ``conf.set`` here (a reader mutating the shared session would race every
+    other thread planning a query)."""
     from pyspark.sql import functions as F
+    from pyspark.sql import types as T
 
     raw = spark.read.parquet(f"{sf_dir}/events.parquet")
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    ts_type = raw.schema["ts"].dataType
+    if isinstance(ts_type, T.LongType):
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    if isinstance(ts_type, T.TimestampNTZType):
+        return raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return raw

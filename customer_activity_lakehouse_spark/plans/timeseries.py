@@ -19,10 +19,10 @@ survive 100 TB:
 - the multi-resolution rollup is one pass via ROLLUP grouping sets —
   partial aggregation does the heavy lifting map-side.
 
-Timestamps: events.parquet stores TIMESTAMP(NANOS); both engines read it
-at microsecond precision (registry.events_table truncates nanos DIV 1000,
-DuckDB's TIMESTAMP cast truncates the same way), so every comparison below
-is exact on both sides.
+Timestamps: registry.events_table normalizes `ts` to microsecond
+TimestampType whatever the fixture generation's physical type (nanos rounds
+1-3, micros round 4+); DuckDB reads the same file at the same precision, so
+every comparison below is exact on both sides.
 """
 
 from __future__ import annotations
