@@ -4,81 +4,23 @@ rounding), per the driver contract in /root/repo/__spark_entry__.py.
 
 The catalog is ORDERED (dict insertion order is the driver's iteration
 order, and past rounds show its correctness pass covers only the first ~50
-entries): entries the driver has never checked, or checked longest ago,
-come first; then one representative per operator family; then the rest.
-That way a truncated driver pass still produces a green row for every
-family every round.
+entries).  The order is derived from coverage data, not a hand list: entries
+the driver has never checked, or checked longest ago, come first, with one
+representative per operator family pulled forward inside each staleness
+tier — see coverage.py.  The policy gate (no entry >2 rounds unchecked)
+lives in tests/test_registry.py.
 """
 
 from .core import QUERIES as CORE_QUERIES
+from .coverage import catalog_order, load_coverage
 from .llm_ops import QUERIES as LLM_QUERIES
 from .registry import Query
 from .timeseries import QUERIES as TS_QUERIES
 
 _MERGED: dict[str, Query] = {**CORE_QUERIES, **LLM_QUERIES, **TS_QUERIES}
 
-# First: the entries with no driver-green row yet (added after the round-2
-# correctness pass; the round-3 pass stopped at 50 entries) plus the
-# embedding/ANN family last checked in round 2.
-_DRIVER_PRIORITY = [
-    # -- never driver-checked (time-series family + r3 gauges) --
-    "events_asof_join",
-    "events_range_join",
-    "events_gapfill_locf",
-    "events_multires_rollup",
-    "ann_recall_at_k",
-    "dedup_cluster_assignments",
-    "dedup_lsh_recall",
-    "dedup_minhash_megabuckets",
-    "dedup_embedding_megabuckets",
-    "lsh_bucket_audit",
-    # -- last green in round 2 (embedding/ANN + quadratic anchors) --
-    "ann_topk_bruteforce",
-    "ann_lsh_buckets",
-    "ann_lsh_topk",
-    "ann_ivf_topk",
-    "ann_topk_pandas",
-    "ann_topk_multi",
-    "dedup_embedding_cosine",
-    "dedup_embedding_cosine_lsh",
-    "embedding_norm_stats",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    # -- one representative per already-green family (round 3) --
-    "pricing_summary",
-    "revenue_by_brand_month",
-    "region_nation_revenue",
-    "building_top_orders",
-    "late_ship_priority",
-    "running_revenue",
-    "nation_set_ops",
-    "capitalize_names",
-    "derive_date_string",
-    "null_fill_segment",
-    "order_value_quantiles",
-    "priority_year_pivot",
-    "lineitem_cube",
-    "skew_salted_revenue",
-    "dedup_distinct",
-    "dedup_token_set",
-    "events_hourly",
-    "events_json_extract",
-    "event_sessionization",
-    "doc_token_stats",
-    "doc_quality",
-    "doc_langid",
-    "doc_chunks",
-    "doc_tfidf_terms",
-    "doc_pii_scrub",
-    "doc_pack_sequences",
-    "doc_decontaminate",
-    "dedup_minhash_lsh",
-    "doc_sample_hash",
-]
+COVERAGE: dict[str, int] = load_coverage()
 
-QUERIES: dict[str, Query] = {
-    **{name: _MERGED[name] for name in _DRIVER_PRIORITY},
-    **{name: q for name, q in _MERGED.items() if name not in set(_DRIVER_PRIORITY)},
-}
+QUERIES: dict[str, Query] = {name: _MERGED[name] for name in catalog_order(_MERGED, COVERAGE)}
 
-__all__ = ["Query", "QUERIES"]
+__all__ = ["COVERAGE", "Query", "QUERIES"]
