@@ -1,7 +1,9 @@
 from .scalars import capitalize_first, derive_date_str, parse_ts
 from .text import (
     doc_fingerprint,
+    language_argmax,
     language_id,
+    language_scores,
     normalize_text,
     quality_metrics,
     token_count,
@@ -18,7 +20,9 @@ __all__ = [
     "normalize_text",
     "doc_fingerprint",
     "quality_metrics",
+    "language_argmax",
     "language_id",
+    "language_scores",
     "dot",
     "l2_norm",
     "cosine_similarity",

@@ -103,23 +103,45 @@ def quality_metrics(col: Column | str) -> dict[str, Column]:
     }
 
 
-def language_id(col: Column | str) -> Column:
-    """Marker-word language heuristic: argmax of per-language marker hits.
+def language_scores(toks: Column) -> dict[str, Column]:
+    """Per-language marker-hit counts over a TOKEN ARRAY column.
 
-    Ties break by language code order (deterministic); no hits → 'und'.
-    """
-    toks = tokens(col)
-    scores = []
+    Callers should materialize the token array (and, for wide score reuse,
+    each score) as real columns before folding them with
+    :func:`language_argmax` — feeding raw expressions here makes every
+    downstream reference re-evaluate the tokenization (see
+    plans/llm_ops.q_doc_langid)."""
+    scores: dict[str, Column] = {}
     for lang, markers in sorted(LANG_MARKERS.items()):
         marker_arr = F.array(*[F.lit(m) for m in markers])
-        score = F.size(F.filter(toks, lambda t: F.array_contains(marker_arr, F.lower(t))))
-        scores.append((lang, score))
+        scores[lang] = F.size(F.filter(toks, lambda t: F.array_contains(marker_arr, F.lower(t))))
+    return scores
+
+
+def language_argmax(scores: dict[str, Column]) -> Column:
+    """Argmax fold over per-language score columns.
+
+    Ties break by language code order (deterministic); no hits → 'und'.
+    THE one tie-break implementation — every language-ID surface goes
+    through here. The fold nests each score expression O(2^langs) times,
+    so pass materialized score ATTRIBUTES, not computed expressions.
+    """
     best = F.lit("und")
     best_score = F.lit(0)
     # Fold right-to-left so earlier languages win ties (strict > comparison).
-    for lang, score in reversed(scores):
+    for lang, score in sorted(scores.items(), reverse=True):
         best = F.when(score >= best_score, F.lit(lang)).otherwise(best)
         best_score = F.when(score >= best_score, score).otherwise(best_score)
     # Reverse fold makes later langs lose ties to earlier ones only if we use
     # >= going backwards; a no-marker doc must still be 'und':
     return F.when(best_score > 0, best).otherwise(F.lit("und"))
+
+
+def language_id(col: Column | str) -> Column:
+    """Marker-word language heuristic: argmax of per-language marker hits.
+
+    Single-expression convenience form; for per-doc scans over big corpora
+    prefer materializing :func:`language_scores` columns and folding with
+    :func:`language_argmax` (this inline form re-tokenizes per score and
+    nests the fold exponentially)."""
+    return language_argmax(language_scores(tokens(col)))

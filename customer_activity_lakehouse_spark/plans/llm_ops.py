@@ -42,7 +42,13 @@ except ImportError:  # pragma: no cover — py4j ships with pyspark
 
 _LOG = logging.getLogger(__name__)
 
-from ..functions.text import BPE_SPLIT_PATTERN, LANG_MARKERS, STOPWORDS_EN, language_id
+from ..functions.text import (
+    BPE_SPLIT_PATTERN,
+    LANG_MARKERS,
+    STOPWORDS_EN,
+    language_argmax,
+    language_scores,
+)
 from .registry import Query, table
 
 # Default per-bucket row cap for the LSH band self-joins. A band bucket of n
@@ -288,14 +294,26 @@ def _md5s(col):
     return F.md5(col.cast("binary"))
 
 
-def _shingles(c):
-    """Distinct char-8-gram shingles; empty array for short docs."""
-    t = F.trim(c)
+def _shingles(t):
+    """Distinct char-8-gram shingles; empty array for short docs.
+
+    ``t`` MUST be a materialized, already-TRIMMED text column reference
+    (see :func:`_trimmed_docs`): the lambda evaluates ``t.substr(i, 8)``
+    once per position, so an inlined ``trim(text)`` expression would
+    re-trim the whole document O(len) times — O(len^2) per doc (the same
+    expression-inlining trap documented on :func:`_ngram_hashes`)."""
     idx = F.sequence(F.lit(1), F.length(t) - (SHINGLE - 1))
     arr = F.transform(idx, lambda i: t.substr(i, F.lit(SHINGLE)))
     return F.when(F.length(t) >= SHINGLE, F.array_distinct(arr)).otherwise(
         F.array().cast("array<string>")
     )
+
+
+def _trimmed_docs(docs: DataFrame) -> DataFrame:
+    """(doc_id, t=trim(text)) — the materialization boundary _shingles
+    needs. Kept as its own projection: CollapseProject leaves it alone
+    because the alias is multiply-referenced by a non-cheap expression."""
+    return docs.select("doc_id", F.trim(F.col("text")).alias("t"))
 
 
 _SQL_SHINGLES = (
@@ -414,14 +432,25 @@ def q_doc_langid(spark: SparkSession, sf: str) -> DataFrame:
     """Marker-word language heuristic vs the labeled lang column —
     outputs the (heuristic, labeled) confusion counts. The argmax fold
     (earliest-language tie-break, no-hits → 'und') lives ONLY in
-    functions/text.py:language_id — one tie-break implementation, one
-    place a future edit can change it."""
+    functions/text.py:language_argmax — one tie-break implementation, one
+    place a future edit can change it.
+
+    Plan shape: tokens, then each language's marker-hit score, are
+    materialized as real columns in successive projections BEFORE the
+    argmax fold — the fold nests each score reference exponentially, and
+    an inline ``language_id(text)`` expression re-tokenized the document
+    inside every nested reference (measured 3.1s -> ~0.3s at sf0.1)."""
     docs = table(spark, sf, "documents")
+    toksdf = docs.select(
+        F.col("lang").alias("lang_label"), _tokens(F.col("text")).alias("tk")
+    )
+    scores = language_scores(F.col("tk"))
+    scored = toksdf.select(
+        "lang_label", *[c.alias(f"s_{lang}") for lang, c in scores.items()]
+    )
+    pred = language_argmax({lang: F.col(f"s_{lang}") for lang in scores})
     return (
-        docs.select(
-            language_id(F.col("text")).alias("lang_pred"),
-            F.col("lang").alias("lang_label"),
-        )
+        scored.select(pred.alias("lang_pred"), "lang_label")
         .groupBy("lang_pred", "lang_label")
         .agg(F.count(F.lit(1)).alias("n"))
     )
@@ -694,9 +723,12 @@ def q_doc_tfidf_terms(spark: SparkSession, sf: str) -> DataFrame:
     it joins back onto per-doc term counts hash-partitioned by term, and
     the final window partitions by doc_id, never globally."""
     docs = table(spark, sf, "documents")
+    # explode_outer: plain explode's inferred size()>0 filter re-runs the
+    # split twice more per row (see q_doc_decontaminate); empty docs yield
+    # a null term dropped by the filter above the generate
     terms = docs.select(
-        "doc_id", F.explode(_tokens(F.lower(F.col("text")))).alias("term")
-    )
+        "doc_id", F.explode_outer(_tokens(F.lower(F.col("text")))).alias("term")
+    ).filter(F.col("term").isNotNull())
     tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     df_t = terms.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
     n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
@@ -942,7 +974,12 @@ def q_doc_repetition(spark: SparkSession, sf: str) -> DataFrame:
         F.size(F.array_distinct("tk")).cast("double").alias("n_dist"),
     )
     bmax = (
-        base.select("doc_id", F.explode(_ngrams(F.col("tk"), 2)).alias("gram"))
+        # explode_outer + null filter, NOT plain explode: see
+        # q_doc_decontaminate — InferFiltersFromGenerate would push an
+        # inferred filter below `base` with the whole bigram transform
+        # substituted in (split re-inlined per position, O(tokens^2)/doc)
+        base.select("doc_id", F.explode_outer(_ngrams(F.col("tk"), 2)).alias("gram"))
+        .filter(F.col("gram").isNotNull())
         .groupBy("doc_id", "gram")
         .agg(F.count(F.lit(1)).alias("c"))
         .groupBy("doc_id")
@@ -1126,7 +1163,7 @@ def signature_from_docs(docs: DataFrame) -> DataFrame:
     size. Docs too short to shingle keep a null signature (explode_outer)
     and thus produce no band matches downstream.
     """
-    ex = docs.select("doc_id", F.explode_outer(_shingles(F.col("text"))).alias("s"))
+    ex = _trimmed_docs(docs).select("doc_id", F.explode_outer(_shingles(F.col("t"))).alias("s"))
     hashed = ex.select(
         "doc_id",
         *[
@@ -1274,16 +1311,35 @@ def q_dedup_minhash_verified(spark: SparkSession, sf: str) -> DataFrame:
     char-shingle Jaccard ≥ 0.5. Verification touches only candidate pairs —
     never the full cross product."""
     cands = q_dedup_minhash_lsh(spark, sf)
-    docs = _spread(spark, table(spark, sf, "documents")).select(
-        "doc_id", _shingles(F.col("text")).alias("sh")
+    # Shingle sets ship to the verify join as xxhash64 longs (distinct
+    # BEFORE hashing, so set sizes are exact), ~3x narrower in the two
+    # pair-join shuffles and much cheaper to intersect than 8-char strings;
+    # |union| is derived as |A|+|B|-|A∩B| from per-row sizes so each pair
+    # does ONE set operation (the intersect is materialized in its own
+    # projection to keep it single-evaluation). Jaccard values unchanged
+    # (collision odds negligible — see _ngram_hashes).
+    docs = _trimmed_docs(_spread(spark, table(spark, sf, "documents"))).select(
+        "doc_id", F.transform(_shingles(F.col("t")), lambda s: F.xxhash64(s)).alias("sh")
     )
-    j = F.size(F.array_intersect(F.col("sa"), F.col("sb"))).cast("double") / F.size(
-        F.array_union(F.col("sa"), F.col("sb"))
-    )
+    sized = docs.select("doc_id", "sh", F.size("sh").alias("n_sh"))
+    inter = F.size(F.array_intersect(F.col("sa"), F.col("sb"))).cast("double")
     return (
-        cands.join(docs.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sa")), "doc_a")
-        .join(docs.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sb")), "doc_b")
-        .withColumn("jaccard", F.round(j, 4))
+        cands.join(
+            sized.select(
+                F.col("doc_id").alias("doc_a"), F.col("sh").alias("sa"), F.col("n_sh").alias("na")
+            ),
+            "doc_a",
+        )
+        .join(
+            sized.select(
+                F.col("doc_id").alias("doc_b"), F.col("sh").alias("sb"), F.col("n_sh").alias("nb")
+            ),
+            "doc_b",
+        )
+        .withColumn("inter", inter)
+        .withColumn(
+            "jaccard", F.round(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 4)
+        )
         .filter(F.col("jaccard") >= 0.5)
         .select("doc_a", "doc_b", "jaccard")
     )
@@ -1339,6 +1395,12 @@ def connected_components(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).distinct()
     reliable = pairs.sparkSession.sparkContext.getCheckpointDir() is not None
+    # Materialize the edge set ONCE before iterating: every iteration's join
+    # re-evaluates `edges`, and its lineage is the whole upstream pair
+    # pipeline (for minhash dedup: shingle → signature → band join → exact
+    # verify) — without this the most expensive stage of the algorithm
+    # reruns per iteration (measured 45s -> ~7s at sf0.1).
+    edges = edges.checkpoint(eager=True) if reliable else edges.localCheckpoint(eager=True)
     labels = (
         edges.select(F.col("src").alias("node")).distinct().withColumn("label", F.col("node"))
     )
@@ -1425,17 +1487,30 @@ def q_dedup_ngram_jaccard(
     _guard_quadratic(
         base.select("doc_id"), "q_dedup_ngram_jaccard", "q_dedup_minhash_verified", max_rows
     )
+    # Token sets travel as xxhash64 longs: the O(n^2) pair loop does its
+    # set-intersect/union over 8-byte longs instead of strings (same
+    # Jaccard counts; collision odds negligible — see _ngram_hashes).
     docs = _spread(spark, base).select(
-        "doc_id", F.array_distinct(_tokens(F.col("text"))).alias("tk")
+        "doc_id",
+        F.transform(F.array_distinct(_tokens(F.col("text"))), lambda t: F.xxhash64(t)).alias(
+            "tk"
+        ),
     )
-    a = docs.select(F.col("doc_id").alias("doc_a"), F.col("tk").alias("ta"))
-    b = docs.select(F.col("doc_id").alias("doc_b"), F.col("tk").alias("tb"))
-    j = F.size(F.array_intersect(F.col("ta"), F.col("tb"))).cast("double") / F.size(
-        F.array_union(F.col("ta"), F.col("tb"))
+    sized = docs.select("doc_id", "tk", F.size("tk").alias("n_tk"))
+    a = sized.select(
+        F.col("doc_id").alias("doc_a"), F.col("tk").alias("ta"), F.col("n_tk").alias("na")
     )
+    b = sized.select(
+        F.col("doc_id").alias("doc_b"), F.col("tk").alias("tb"), F.col("n_tk").alias("nb")
+    )
+    # ONE set op per pair: |union| = |A|+|B|-|A∩B| from per-row sizes.
+    inter = F.size(F.array_intersect(F.col("ta"), F.col("tb"))).cast("double")
     return (
         a.join(b, F.col("doc_a") < F.col("doc_b"))
-        .withColumn("jaccard", F.round(j, 4))
+        .withColumn("inter", inter)
+        .withColumn(
+            "jaccard", F.round(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 4)
+        )
         .filter(F.col("jaccard") >= 0.9)
         .select("doc_a", "doc_b", "jaccard")
     )
@@ -1518,6 +1593,19 @@ def _norm_expr(a):
             F.lit(0.0),
             lambda acc, v: acc + v,
         )
+    )
+
+
+# Variants over ALREADY-double arrays (pre-cast once per row, not per pair —
+# same fold order, so results are bit-identical to _dot_expr/_norm_expr on
+# cast inputs).
+def _dot_expr_pre(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
+
+
+def _norm_expr_pre(a):
+    return F.sqrt(
+        F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v)
     )
 
 
@@ -1651,12 +1739,17 @@ def q_dedup_embedding_cosine(
         "q_dedup_embedding_cosine_lsh",
         max_rows,
     )
-    emb = _spread(spark, base).select("vec_id", "embedding")
-    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
-    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
-    cos = _dot_expr(F.col("ea"), F.col("eb")) / (
-        _norm_expr(F.col("ea")) * _norm_expr(F.col("eb"))
+    # Per-ROW work (float64 cast of the vector, its norm) is materialized
+    # once per vector before the pair join — the previous per-PAIR cosine
+    # recomputed both casts and both norms n times each inside the O(n^2)
+    # join. The pair loop now does one zip_with dot over pre-cast arrays.
+    emb = _spread(spark, base).select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("e")
     )
+    emb = emb.select("vec_id", "e", _norm_expr_pre(F.col("e")).alias("nrm"))
+    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("e").alias("ea"), F.col("nrm").alias("na"))
+    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("e").alias("eb"), F.col("nrm").alias("nb"))
+    cos = _dot_expr_pre(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
     return (
         a.join(b, F.col("vec_a") < F.col("vec_b"))
         .withColumn("cos_sim", F.round(cos, 4))
@@ -1897,11 +1990,14 @@ def q_dedup_lsh_recall(spark: SparkSession, sf: str) -> DataFrame:
     quality gate (the exact side is quadratic — guarded)."""
     exact = q_dedup_embedding_cosine(spark, sf).select("vec_a", "vec_b")
     lsh = q_dedup_embedding_cosine_lsh(spark, sf).select("vec_a", "vec_b")
-    n_exact = exact.agg(F.count(F.lit(1)).alias("n_exact"))
-    hits = lsh.join(exact, ["vec_a", "vec_b"], "left_semi").agg(
-        F.count(F.lit(1)).alias("n_hits")
-    )
-    return hits.crossJoin(F.broadcast(n_exact)).select(
+    # ONE pass over each side: a left join marks exact pairs the LSH found,
+    # and a single aggregate produces both counts — the previous
+    # two-aggregate shape evaluated the quadratic exact subtree twice
+    # (once for n_exact, once as the semi-join build side).
+    marked = exact.join(lsh.withColumn("hit", F.lit(1)), ["vec_a", "vec_b"], "left")
+    return marked.agg(
+        F.count(F.lit(1)).alias("n_exact"), F.count("hit").alias("n_hits")
+    ).select(
         "n_exact",
         "n_hits",
         F.round(F.col("n_hits") / F.col("n_exact"), 4).alias("recall"),
