@@ -62,4 +62,11 @@ def events_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
     if isinstance(ts_type, T.TimestampNTZType):
         return raw.withColumn("ts", F.col("ts").cast("timestamp"))
-    return raw
+    if isinstance(ts_type, T.TimestampType):
+        return raw
+    # Fail at the normalization boundary, not in some downstream
+    # unix_micros/window plan with a confusing error (ADVICE r4).
+    raise TypeError(
+        f"events.ts has unsupported physical type {ts_type}; expected "
+        "LongType (nanos-as-long), TimestampNTZType (micros), or TimestampType"
+    )
