@@ -1,0 +1,48 @@
+"""sf0.1 oracle spot-checks for the heaviest catalog queries (slow-marked).
+
+The driver's correctness pass runs at sf0.01; scale-dependent divergence —
+cap thresholds starting to fire, float accumulation order, LSH bucket
+population shifts — would be invisible there. This runs a handful of the
+heaviest queries against DuckDB at sf0.1 once per round (VERDICT r4 next
+#8). Excluded from the default run via ``-m "not slow"`` in pytest.ini;
+run with ``pytest -m slow``.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from customer_activity_lakehouse_spark.plans import QUERIES
+
+from .oracle_harness import compare, duckdb_conn, exact_float_diffs
+
+SF_SCALE = "/root/testdata/sf0.1"
+
+HEAVY = [
+    "doc_decontaminate",
+    "dedup_minhash_lsh",
+    "dedup_embedding_cosine_lsh",
+    "events_asof_join",
+    "dedup_cluster_assignments",
+]
+
+
+@pytest.fixture(scope="module")
+def scale_con():
+    con = duckdb_conn(SF_SCALE)
+    yield con
+    con.close()
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("name", HEAVY)
+def test_heavy_query_matches_oracle_at_sf01(spark, scale_con, name):
+    q = QUERIES[name]
+    assert q.oracle is not None, f"{name} lost its oracle"
+    spark_df = q.fn(spark, SF_SCALE).toPandas()
+    oracle_df = scale_con.execute(q.oracle).fetchdf()
+    assert len(spark_df) > 0, f"{name} returned no rows at sf0.1 — fixture or cap problem"
+    problems = compare(spark_df, oracle_df)
+    assert not problems, f"{name} diverges at sf0.1: {problems}"
+    # The driver hashes values: floats must be bit-identical, not just close.
+    assert exact_float_diffs(spark_df, oracle_df) == 0, f"{name}: non-exact floats at sf0.1"
