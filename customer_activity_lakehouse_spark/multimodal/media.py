@@ -5,16 +5,16 @@ typed metadata structs; decode/feature/resize/frame-sample run as
 Arrow-batched Python over ``mapInPandas`` — the Spark-side plumbing (schemas,
 batch iteration, partition sizing, multi-row yield) is the real, tested part.
 
-Codec layer status (round 4): REAL for stdlib-expressible formats —
-24-bit BMP images (``struct``), 8-bit truecolor PNG (``zlib`` inflate +
-all five scanline filters), and PCM WAV audio (``wave``) — dispatched on
-the payload's magic bytes (``BM`` / ``\\x89PNG`` / ``RIFF..WAVE``).
-Formats needing an actual external codec (JPEG/H.264/...) still fall
-back to a DETERMINISTIC FAKE decoder (seeded from the payload bytes,
-same array shapes a real decoder would produce) because this container
-ships no PIL/cv2/ffmpeg. Swapping in real compressed codecs changes only
-the two ``_decode_*`` fallbacks — every schema, UDF signature, and plan
-stays identical.
+Codec layer status (round 5): REAL for every image format in the corpus —
+24-bit BMP (``struct``), 8-bit truecolor PNG (``zlib`` inflate + all five
+scanline filters), baseline sequential JPEG (stdlib+numpy huffman/DCT,
+``jpeg.py``) — and PCM WAV audio (``wave``), dispatched on the payload's
+magic bytes (``BM`` / ``\\x89PNG`` / ``\\xff\\xd8`` / ``RIFF..WAVE``).
+Only video (H.264/...) and compressed audio still fall back to a
+DETERMINISTIC FAKE decoder (seeded from the payload bytes, same array
+shapes a real decoder would produce) because this container ships no
+ffmpeg. Swapping in real codecs there changes only the ``_decode_*``
+fallbacks — every schema, UDF signature, and plan stays identical.
 
 Scale notes:
 - payloads never pass through a Python row loop — Arrow moves them
@@ -37,6 +37,8 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from .jpeg import JPEG_SIG, decode_jpeg
 from pyspark.sql import types as T
 
 # ---------------------------------------------------------------------------
@@ -311,14 +313,19 @@ def _rng_from_bytes(payload: bytes) -> np.random.Generator:
 
 
 def _decode_image_bytes(payload: bytes, width: int, height: int, channels: int) -> np.ndarray:
-    """Image payload → uint8 HxWxC. REAL decode for BMP (magic ``BM``) and
-    PNG (magic ``\\x89PNG``, stdlib zlib); remaining compressed formats
-    (JPEG) fall back to the deterministic fake (no PIL/cv2 in this
-    container — replace the fallback to enable them)."""
+    """Image payload → uint8 HxWxC. REAL decode for BMP (magic ``BM``),
+    PNG (magic ``\\x89PNG``, stdlib zlib), and baseline JPEG (magic
+    ``\\xff\\xd8``, stdlib+numpy huffman/IDCT — see ``jpeg.py``); anything
+    without a recognized magic falls back to the deterministic fake."""
     if payload[:2] == b"BM":
         return _decode_bmp(payload)
     if payload[:8] == PNG_SIG:
         return _decode_png(payload)
+    if payload[:2] == JPEG_SIG:
+        out = decode_jpeg(payload)
+        if out.ndim == 2:  # grayscale → replicate to the channel axis
+            out = np.stack([out] * 3, axis=-1)
+        return out
     rng = _rng_from_bytes(payload)
     return rng.integers(0, 256, size=(height, width, channels), dtype=np.uint8)
 

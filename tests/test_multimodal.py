@@ -176,6 +176,93 @@ def test_png_roundtrip_all_filters():
         assert (back == img).all(), f"filter {ft} roundtrip mismatch"
 
 
+def test_jpeg_roundtrip_error_bounded():
+    """encode_jpeg/decode_jpeg roundtrip within quantization error on a
+    smooth gradient (VERDICT r4 next #6: JPEG off the fake-codec list via
+    stdlib huffman + numpy IDCT). Restart-interval streams must decode to
+    the identical pixels as the plain stream."""
+    import numpy as np
+
+    from customer_activity_lakehouse_spark.multimodal.jpeg import decode_jpeg, encode_jpeg
+
+    h, w = 40, 56
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = np.stack(
+        [xx * 255 / (w - 1), yy * 255 / (h - 1), (xx + yy) * 255 / (w + h - 2)], axis=-1
+    ).astype(np.uint8)
+    enc = encode_jpeg(img, quality=95)
+    assert enc[:2] == b"\xff\xd8" and enc[-2:] == b"\xff\xd9"
+    dec = decode_jpeg(enc)
+    assert dec.shape == img.shape
+    assert int(np.abs(dec.astype(int) - img.astype(int)).max()) <= 4
+
+    plain = decode_jpeg(encode_jpeg(img, quality=90))
+    for ri in (1, 3):
+        with_rst = decode_jpeg(encode_jpeg(img, quality=90, restart_interval=ri))
+        assert (with_rst == plain).all(), f"restart_interval={ri} diverged"
+
+    gray = (yy * 255 / (h - 1)).astype(np.uint8)
+    gdec = decode_jpeg(encode_jpeg(gray, quality=90))
+    assert gdec.shape == gray.shape
+    assert int(np.abs(gdec.astype(int) - gray.astype(int)).max()) <= 2
+
+
+def test_jpeg_odd_dims_and_rejections():
+    import numpy as np
+    import pytest
+
+    from customer_activity_lakehouse_spark.multimodal.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(7)
+    noisy = rng.integers(0, 256, size=(33, 41, 3), dtype=np.uint8)  # non-multiple-of-8
+    dec = decode_jpeg(encode_jpeg(noisy, quality=95))
+    assert dec.shape == noisy.shape  # edge padding cropped back off
+
+    with pytest.raises(ValueError, match="not a JPEG"):
+        decode_jpeg(b"BM123456")
+    # progressive SOF2 must be rejected loudly, not mis-decoded
+    enc = bytearray(encode_jpeg(noisy[:8, :8]))
+    sof = enc.find(b"\xff\xc0")
+    enc[sof + 1] = 0xC2
+    with pytest.raises(ValueError, match="baseline sequential only"):
+        decode_jpeg(bytes(enc))
+
+
+def test_real_jpeg_decode_through_operators(spark):
+    """A JPEG payload flows through decode_image_stats with REAL pixels
+    (magic-byte dispatch): channel means must match the decoded array, and
+    lossy error vs the source image stays within quantization bounds."""
+    import numpy as np
+    import pytest
+
+    from customer_activity_lakehouse_spark.multimodal.jpeg import decode_jpeg, encode_jpeg
+    from customer_activity_lakehouse_spark.multimodal.media import MEDIA_SCHEMA
+
+    h, w = 24, 17  # odd width
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = np.stack(
+        [xx * 255 / (w - 1), yy * 255 / (h - 1), np.full((h, w), 64)], axis=-1
+    ).astype(np.uint8)
+    payload = encode_jpeg(img, quality=95)
+    rows = [
+        (
+            9,
+            "image",
+            bytearray(payload),
+            {"width": w, "height": h, "channels": 3, "sample_rate": None,
+             "duration_s": None, "codec": "jpeg"},
+        ),
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    stats = decode_image_stats(df).collect()
+    assert len(stats) == 1
+    decoded = decode_jpeg(payload)
+    want = [float(decoded[..., c].mean()) for c in range(3)]
+    assert stats[0].mean_rgb == pytest.approx(want, abs=1e-9)
+    src_means = [float(img[..., c].mean()) for c in range(3)]
+    assert stats[0].mean_rgb == pytest.approx(src_means, abs=2.0)  # lossy but close
+
+
 def test_real_png_decode_through_operators(spark):
     """A PNG payload flows through decode_image_stats / image_resize with
     REAL pixels (magic-byte dispatch, not the deterministic fake)."""
