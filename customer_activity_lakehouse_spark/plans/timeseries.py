@@ -304,6 +304,87 @@ GROUP BY ROLLUP (day, hour)
 """
 
 
+# Rolling-baseline anomaly detection: trailing-bucket lookback and the
+# |z| alert threshold. 12 trailing minute-buckets ≈ the "last quarter hour"
+# baseline a rate-alerting pipeline keeps per series.
+ANOMALY_LOOKBACK = 12
+ANOMALY_Z = 2.5
+
+
+def q_events_anomaly_zscore(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming-rate anomaly detection, batch form: per-minute event
+    counts per event_type, a rolling mean/std over the trailing
+    ``ANOMALY_LOOKBACK`` OBSERVED buckets (ROWS frame — gaps don't widen
+    the baseline), and an alert row for every bucket whose count deviates
+    ≥ ``ANOMALY_Z`` sample standard deviations from its own history. The
+    hypertable "rate spike" monitor, expressed as one partial-agg groupBy
+    plus one per-series window — shuffles carry one row per (type, minute)
+    bucket, never events.
+
+    Exactness: the window aggregates are INTEGER sums (count and count²),
+    so mean/variance inputs are exact on both engines; z is then a fixed
+    sequence of IEEE double ops — (n - s/L) / sqrt((L·q - s²)/(L·(L-1))) —
+    which is bit-identical in Spark and DuckDB for identical integer
+    inputs (no engine-ordering-dependent float accumulation anywhere).
+    Only full-history buckets score (window count == lookback) and
+    zero-variance windows are excluded before the division."""
+    ev = table(spark, sf, "events")
+    minute = F.date_format(F.date_trunc("minute", "ts"), "yyyy-MM-dd HH:mm:ss")
+    buckets = (
+        ev.select(F.col("event_type"), minute.alias("bucket"))
+        .groupBy("event_type", "bucket")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(-ANOMALY_LOOKBACK, -1)
+    )
+    scored = buckets.select(
+        "event_type",
+        "bucket",
+        "n_events",
+        F.sum("n_events").over(w).alias("s"),
+        F.sum(F.col("n_events") * F.col("n_events")).over(w).alias("q"),
+        F.count("n_events").over(w).alias("m"),
+    )
+    lb = ANOMALY_LOOKBACK
+    v = F.lit(lb) * F.col("q") - F.col("s") * F.col("s")  # = L(L-1)·var, exact long
+    z = (F.col("n_events").cast("double") - F.col("s").cast("double") / float(lb)) / F.sqrt(
+        v.cast("double") / float(lb * (lb - 1))
+    )
+    return (
+        scored.filter((F.col("m") == lb) & (v > 0))
+        .select("event_type", "bucket", "n_events", F.round(z, 4).alias("zscore"))
+        .filter(F.abs(F.col("zscore")) >= ANOMALY_Z)
+    )
+
+
+ORACLE_EVENTS_ANOMALY_ZSCORE = f"""
+WITH buckets AS (
+  SELECT event_type,
+         strftime(date_trunc('minute', ts), '%Y-%m-%d %H:%M:%S') AS bucket,
+         count(*) AS n_events
+  FROM events GROUP BY 1, 2),
+scored AS (
+  SELECT event_type, bucket, n_events,
+         sum(n_events) OVER w AS s,
+         sum(n_events * n_events) OVER w AS q,
+         count(n_events) OVER w AS m
+  FROM buckets
+  WINDOW w AS (PARTITION BY event_type ORDER BY bucket
+               ROWS BETWEEN {ANOMALY_LOOKBACK} PRECEDING AND 1 PRECEDING))
+SELECT event_type, bucket, n_events, zscore FROM (
+  SELECT event_type, bucket, n_events,
+         round((n_events::DOUBLE - s::DOUBLE / {ANOMALY_LOOKBACK}.0)
+               / sqrt(({ANOMALY_LOOKBACK} * q - s * s)::DOUBLE
+                      / {ANOMALY_LOOKBACK * (ANOMALY_LOOKBACK - 1)}.0), 4) AS zscore
+  FROM scored
+  WHERE m = {ANOMALY_LOOKBACK} AND {ANOMALY_LOOKBACK} * q - s * s > 0)
+WHERE abs(zscore) >= {ANOMALY_Z}
+"""
+
+
 QUERIES: dict[str, Query] = {
     "events_asof_join": Query(
         q_events_asof_join, ORACLE_EVENTS_ASOF_JOIN, ("events", "asof-join"), bench=True
@@ -316,5 +397,10 @@ QUERIES: dict[str, Query] = {
     ),
     "events_multires_rollup": Query(
         q_events_multires_rollup, ORACLE_EVENTS_MULTIRES_ROLLUP, ("events", "rollup")
+    ),
+    "events_anomaly_zscore": Query(
+        q_events_anomaly_zscore,
+        ORACLE_EVENTS_ANOMALY_ZSCORE,
+        ("events", "window", "anomaly"),
     ),
 }
