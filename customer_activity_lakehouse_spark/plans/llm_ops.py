@@ -1033,6 +1033,130 @@ GROUP BY source
 """
 
 
+FUNNEL_MIN_TOKENS = 24  # length gate: drops the bottom ~15-20% of fixture docs
+
+
+def q_doc_curation_funnel(spark: SparkSession, sf: str) -> DataFrame:
+    """The end-to-end curation funnel — per source, how many corpus docs
+    survive each stage a training pipeline applies in order:
+
+      n_docs          corpus docs (benchmark slice excluded up front,
+                      same md5 slice as ``doc_decontaminate``)
+      n_len_ok        ≥ FUNNEL_MIN_TOKENS whitespace tokens (length gate)
+      n_rep_ok        + not repetition-flagged (Gopher dup-token /
+                      top-bigram rules, thresholds of ``doc_repetition``)
+      n_clean         + shares no 5-gram with the benchmark slice
+                      (``doc_decontaminate`` rule) — the docs that would
+                      actually reach tokenization
+
+    One scan computes per-doc token stats; the bigram max and the
+    contaminated-id set reuse the repetition/decontamination plan shapes
+    (explode_outer + null filter; hashed grams; broadcast bench side,
+    AQE-sized contaminated join) — the corpus is never shuffled except by
+    the two doc_id-keyed flag joins. Stage flags are nested (a doc counts
+    in stage k only if it passed 1..k-1), so the columns are monotone
+    non-increasing — the attrition report a pipeline dashboard shows."""
+    docs = table(spark, sf, "documents")
+    is_bench = F.substring(_md5s(F.col("doc_id").cast("string")), 1, 1) < DECON_HEX_BOUND
+    toksdf = docs.select(
+        "doc_id", "source", is_bench.alias("is_bench"), _tokens(F.col("text")).alias("tk")
+    )
+    corpus = toksdf.filter(~F.col("is_bench"))
+    per = corpus.select(
+        "doc_id",
+        "source",
+        "tk",
+        F.size("tk").cast("double").alias("n_tok"),
+        F.size(F.array_distinct("tk")).cast("double").alias("n_dist"),
+    )
+    bmax = (
+        per.select("doc_id", F.explode_outer(_ngrams(F.col("tk"), 2)).alias("gram"))
+        .filter(F.col("gram").isNotNull())
+        .groupBy("doc_id", "gram")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("max_bigram"))
+    )
+    grams = toksdf.select(
+        "doc_id", "is_bench", _ngram_hashes(F.col("tk"), DECON_NGRAM).alias("grams")
+    )
+    bench_grams = (
+        grams.filter(F.col("is_bench"))
+        .select(F.explode_outer("grams").alias("gram"))
+        .filter(F.col("gram").isNotNull())
+        .distinct()
+    )
+    contaminated = (
+        grams.filter(~F.col("is_bench"))
+        .select("doc_id", F.explode_outer("grams").alias("gram"))
+        .join(F.broadcast(bench_grams), "gram", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    n_tok = F.col("n_tok")
+    dup = F.when(n_tok > 0, (n_tok - F.col("n_dist")) / n_tok).otherwise(0.0)
+    top2 = F.when(
+        n_tok > 0, F.lit(2.0) * F.coalesce(F.col("max_bigram"), F.lit(0)).cast("double") / n_tok
+    ).otherwise(0.0)
+    len_ok = n_tok >= FUNNEL_MIN_TOKENS
+    rep_ok = ~((dup > REP_DUP_TOKEN_MAX) | (top2 > REP_TOP_BIGRAM_MAX))
+    clean = F.col("hit").isNull()
+    flags = (
+        per.join(bmax, "doc_id", "left")
+        .join(contaminated, "doc_id", "left")
+        .select(
+            "source",
+            len_ok.alias("len_ok"),
+            (len_ok & rep_ok).alias("lr_ok"),
+            (len_ok & rep_ok & clean).alias("lrc_ok"),
+        )
+    )
+    return flags.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("len_ok").cast("long")).alias("n_len_ok"),
+        F.sum(F.col("lr_ok").cast("long")).alias("n_rep_ok"),
+        F.sum(F.col("lrc_ok").cast("long")).alias("n_clean"),
+    )
+
+
+ORACLE_DOC_CURATION_FUNNEL = f"""
+WITH base AS (
+  SELECT doc_id, source,
+         substr(md5(doc_id::VARCHAR), 1, 1) < '{DECON_HEX_BOUND}' AS is_bench,
+         {_SQL_TOKENS} AS tk
+  FROM documents),
+corpus AS (SELECT doc_id, source, tk, len(tk)::DOUBLE AS n_tok,
+                  len(list_distinct(tk))::DOUBLE AS n_dist
+           FROM base WHERE NOT is_bench),
+bigrams AS (SELECT doc_id, unnest({_sql_ngrams(2)}) AS gram
+            FROM base WHERE NOT is_bench),
+bmax AS (SELECT doc_id, max(c) AS max_bigram
+         FROM (SELECT doc_id, gram, count(*) AS c FROM bigrams GROUP BY 1, 2)
+         GROUP BY 1),
+grams5 AS (SELECT doc_id, is_bench, unnest({_sql_ngrams(DECON_NGRAM)}) AS gram FROM base),
+contaminated AS (
+  SELECT DISTINCT doc_id FROM grams5
+  WHERE NOT is_bench AND gram IN (SELECT gram FROM grams5 WHERE is_bench)),
+flags AS (
+  SELECT source,
+         n_tok >= {FUNNEL_MIN_TOKENS} AS len_ok,
+         NOT (CASE WHEN n_tok > 0 THEN (n_tok - n_dist) / n_tok ELSE 0.0 END
+                > {REP_DUP_TOKEN_MAX}
+              OR CASE WHEN n_tok > 0
+                      THEN 2.0 * coalesce(max_bigram, 0)::DOUBLE / n_tok
+                      ELSE 0.0 END > {REP_TOP_BIGRAM_MAX}) AS rep_ok,
+         c.doc_id IS NULL AS clean
+  FROM corpus LEFT JOIN bmax USING (doc_id) LEFT JOIN contaminated c USING (doc_id))
+SELECT source, count(*) AS n_docs,
+       sum(CASE WHEN len_ok THEN 1 ELSE 0 END)::BIGINT AS n_len_ok,
+       sum(CASE WHEN len_ok AND rep_ok THEN 1 ELSE 0 END)::BIGINT AS n_rep_ok,
+       sum(CASE WHEN len_ok AND rep_ok AND clean THEN 1 ELSE 0 END)::BIGINT AS n_clean
+FROM flags
+GROUP BY source
+"""
+
+
 def q_doc_mixture_weights(spark: SparkSession, sf: str) -> DataFrame:
     """Corpus mixing weights — per-source token share and the up/down-weight
     that would equalize the mixture (target = uniform across sources), the
@@ -2332,6 +2456,11 @@ QUERIES: dict[str, Query] = {
         q_doc_decontaminate, ORACLE_DOC_DECONTAMINATE, ("text", "decontamination"), bench=True
     ),
     "doc_repetition": Query(q_doc_repetition, ORACLE_DOC_REPETITION, ("text", "quality")),
+    "doc_curation_funnel": Query(
+        q_doc_curation_funnel,
+        ORACLE_DOC_CURATION_FUNNEL,
+        ("text", "quality", "decontamination", "funnel"),
+    ),
     "doc_mixture_weights": Query(
         q_doc_mixture_weights, ORACLE_DOC_MIXTURE_WEIGHTS, ("text", "mixing")
     ),
