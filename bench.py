@@ -53,15 +53,30 @@ from customer_activity_lakehouse_spark.session import get_spark  # noqa: E402
 RUNS = 5
 ETL_BASE_ROWS = 10_000_000  # reference generates 10M facts per run at "sf=1"
 
-# Queries first benched in round 4 (time-series family + r3 curation ops).
-# They are timed and reported in "queries" but EXCLUDED from "value" so the
-# headline total stays comparable with BENCH_r01..r03 (same set since r01).
-NEW_SINCE_R03 = [
-    "events_asof_join",
-    "events_range_join",
-    "doc_tfidf_terms",
-    "doc_pack_sequences",
-    "doc_decontaminate",
+# The FROZEN legacy headline set: exactly the 18 queries "value" has summed
+# since BENCH_r01. Only these contribute to "value"; every other benched
+# query (r4/r5 additions and anything future) lands in "queries" and
+# "value_full" automatically — so adding a bench=True entry can never
+# silently break cross-round comparability of "value".
+LEGACY_VALUE_SET = [
+    "ann_topk_bruteforce",
+    "ann_ivf_topk",
+    "ann_topk_pandas",
+    "dedup_embedding_cosine_lsh",
+    "pricing_summary",
+    "revenue_by_brand_month",
+    "region_nation_revenue",
+    "building_top_orders",
+    "late_ship_priority",
+    "dedup_token_set",
+    "events_hourly",
+    "event_sessionization",
+    "doc_token_stats",
+    "dedup_minhash_lsh",
+    "forecast_revenue",
+    "order_count_distribution",
+    "small_qty_revenue",
+    "customer_top2_orders",
 ]
 
 
@@ -142,8 +157,10 @@ def main() -> None:
     finally:
         shutil.rmtree(work_dir, ignore_errors=True)
 
-    excluded = set(NEW_SINCE_R03) | {"etl_pipeline"}
-    total = round(sum(timings[n] for n in headline if n not in excluded), 4)
+    legacy = set(LEGACY_VALUE_SET)
+    missing = legacy - set(timings)
+    assert not missing, f"legacy headline queries missing from catalog: {missing}"
+    total = round(sum(timings[n] for n in LEGACY_VALUE_SET), 4)
     total_full = round(sum(timings[n] for n in headline), 4)
     print(
         json.dumps(
@@ -154,21 +171,22 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
-                "value_excludes": ["etl_pipeline"] + NEW_SINCE_R03,
+                "value_excludes": ["etl_pipeline"]
+                + sorted(n for n in headline if n not in legacy),
                 "value_full_excludes": ["etl_pipeline"],
                 "runs": RUNS,
                 "note": (
                     "interleaved shuffled passes, median of 5; ETL timed in its "
                     "own phase so its writes can't pollute the light queries. "
-                    "value sums the legacy 18-query set benched since r01 "
-                    "(cross-round comparable); value_full sums ALL benched "
-                    "queries (the r4 additions included) so the legacy set can "
-                    "be retired later without losing continuity; etl_pipeline "
-                    "is reported separately in queries. r5 check of the r4 "
-                    "events micro-regressions: the NTZ->timestamp cast in "
-                    "events_table costs ~0.1s per query at sf0.1 (real, not "
-                    "noise; required for timestamp-typed downstream ops and "
-                    "UTC oracle parity) — accepted"
+                    "value sums the FROZEN legacy 18-query set benched since "
+                    "r01 (cross-round comparable); value_full sums ALL benched "
+                    "queries (r4 + r5 additions included) so the legacy set "
+                    "can be retired later without losing continuity; "
+                    "etl_pipeline is reported separately in queries. r5 check "
+                    "of the r4 events micro-regressions: the NTZ->timestamp "
+                    "cast in events_table costs ~0.1s per query at sf0.1 "
+                    "(real, not noise; required for timestamp-typed downstream "
+                    "ops and UTC oracle parity) — accepted"
                 ),
             }
         )

@@ -2460,6 +2460,7 @@ QUERIES: dict[str, Query] = {
         q_doc_curation_funnel,
         ORACLE_DOC_CURATION_FUNNEL,
         ("text", "quality", "decontamination", "funnel"),
+        bench=True,
     ),
     "doc_mixture_weights": Query(
         q_doc_mixture_weights, ORACLE_DOC_MIXTURE_WEIGHTS, ("text", "mixing")

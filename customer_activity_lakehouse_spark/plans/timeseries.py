@@ -402,5 +402,6 @@ QUERIES: dict[str, Query] = {
         q_events_anomaly_zscore,
         ORACLE_EVENTS_ANOMALY_ZSCORE,
         ("events", "window", "anomaly"),
+        bench=True,
     ),
 }
