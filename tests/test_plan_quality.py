@@ -127,6 +127,30 @@ def test_asof_join_single_window_shuffle(spark, sf_correctness):
         assert "user_id" in ln, f"unpartitioned window in asof join:\n{ln}"
 
 
+def test_anomaly_zscore_bucket_then_series_exchanges_only(spark, sf_correctness):
+    """The rolling z-score must shuffle BUCKETS, never events: exactly two
+    hash exchanges (the (type, minute) partial-agg groupBy, then the
+    per-series window re-key), a window partitioned by event_type (a
+    global window would single-task at scale), and no join of any kind."""
+    import re
+
+    plan = explain_str(QUERIES["events_anomaly_zscore"].fn(spark, sf_correctness))
+    n_exchanges = len(re.findall(r"^\(\d+\) Exchange$", plan, re.M))
+    assert n_exchanges == 2, plan
+    assert "windowspecdefinition(event_type" in plan, "window not keyed by event_type"
+    assert "Join" not in plan and "CartesianProduct" not in plan
+
+
+def test_curation_funnel_no_nested_loop_and_broadcast_flags(spark, sf_correctness):
+    """The funnel joins its per-doc flag frames back on doc_id and checks
+    grams against the (bounded, eval-suite-sized) benchmark set — all as
+    hash or broadcast HASH joins; any BroadcastNestedLoop/Cartesian here
+    means a flag join degenerated to pair enumeration."""
+    plan = explain_str(QUERIES["doc_curation_funnel"].fn(spark, sf_correctness))
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    assert "BroadcastExchange" in plan  # bench-gram set rides a broadcast
+
+
 def test_vocab_topk_is_take_ordered(spark, sf_correctness):
     """Top-K vocab selection must be TakeOrderedAndProject (per-partition
     heaps), not a full sort of the vocabulary."""
