@@ -8,9 +8,11 @@ batch iteration, partition sizing, multi-row yield) is the real, tested part.
 Codec layer status (round 5): REAL for every image format in the corpus —
 24-bit BMP (``struct``), 8-bit truecolor PNG (``zlib`` inflate + all five
 scanline filters), baseline sequential JPEG (stdlib+numpy huffman/DCT,
-``jpeg.py``) — and PCM WAV audio (``wave``), dispatched on the payload's
-magic bytes (``BM`` / ``\\x89PNG`` / ``\\xff\\xd8`` / ``RIFF..WAVE``).
-Only video (H.264/...) and compressed audio still fall back to a
+``jpeg.py``) — for PCM WAV audio (``wave``), and for MJPEG-AVI video
+(RIFF container walk + per-frame JPEG, ``avi.py``), dispatched on the
+payload's magic bytes (``BM`` / ``\\x89PNG`` / ``\\xff\\xd8`` /
+``RIFF..WAVE`` / ``RIFF..AVI``). Only inter-frame video codecs
+(H.264/...) and compressed audio (MP3/AAC) still fall back to a
 DETERMINISTIC FAKE decoder (seeded from the payload bytes, same array
 shapes a real decoder would produce) because this container ships no
 ffmpeg. Swapping in real codecs there changes only the ``_decode_*``
@@ -38,6 +40,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .avi import decode_avi_mjpeg, is_avi
 from .jpeg import JPEG_SIG, decode_jpeg
 from pyspark.sql import types as T
 
@@ -478,20 +481,35 @@ FRAME_SCHEMA = T.StructType(
 def video_sample_frames(media: DataFrame, every_s: float = 1.0) -> DataFrame:
     """Sample one frame every ``every_s`` seconds from each video — the
     1-to-N case: each input row yields ceil(duration/every_s) output rows
-    from inside the same task (no join/explode shuffle). Frame bytes are
-    stub-decoded deterministically per (payload, frame_idx)."""
+    from inside the same task (no join/explode shuffle). MJPEG-AVI payloads
+    (RIFF magic) are REALLY decoded — container walk + per-frame baseline
+    JPEG, see avi.py — with duration taken from the container's own
+    fps/frame-count; other codecs (H.264/...) remain stub-decoded
+    deterministically per (payload, frame_idx)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = {"media_id": [], "frame_idx": [], "frame_ts_s": [], "frame_payload": []}
             for row in pdf.itertuples(index=False):
                 m = row.metadata
+                payload = bytes(row.payload)
+                if is_avi(payload):
+                    frames, fps = decode_avi_mjpeg(payload)
+                    dur = len(frames) / fps
+                    n_samples = max(1, int(dur / every_s))
+                    for i in range(n_samples):
+                        src = min(int(round(i * every_s * fps)), len(frames) - 1)
+                        out["media_id"].append(row.media_id)
+                        out["frame_idx"].append(i)
+                        out["frame_ts_s"].append(round(i * every_s, 3))
+                        out["frame_payload"].append(frames[src].tobytes())
+                    continue
                 dur = float(m["duration_s"])
                 w, h = int(m["width"]), int(m["height"])
                 n_frames = max(1, int(dur / every_s))
                 for i in range(n_frames):
                     frame = _decode_image_bytes(
-                        bytes(row.payload) + i.to_bytes(4, "big"), w, h, 3
+                        payload + i.to_bytes(4, "big"), w, h, 3
                     )
                     out["media_id"].append(row.media_id)
                     out["frame_idx"].append(i)

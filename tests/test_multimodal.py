@@ -263,6 +263,50 @@ def test_real_jpeg_decode_through_operators(spark):
     assert stats[0].mean_rgb == pytest.approx(src_means, abs=2.0)  # lossy but close
 
 
+def test_real_mjpeg_avi_video_through_frame_sampler(spark):
+    """An MJPEG-AVI payload flows through video_sample_frames with REAL
+    container + JPEG decode: duration comes from the container's own
+    fps/frame count (not metadata), and each sampled frame matches the
+    frame the decoder returns for that timestamp."""
+    import numpy as np
+
+    from customer_activity_lakehouse_spark.multimodal.avi import (
+        decode_avi_mjpeg,
+        encode_avi_mjpeg,
+    )
+    from customer_activity_lakehouse_spark.multimodal.media import MEDIA_SCHEMA
+
+    h, w = 32, 48
+    yy, xx = np.mgrid[0:h, 0:w]
+    frames = [
+        np.stack(
+            [xx * 255 / (w - 1), np.full((h, w), 40 * t), yy * 255 / (h - 1)], axis=-1
+        ).astype(np.uint8)
+        for t in range(6)
+    ]
+    payload = encode_avi_mjpeg(frames, fps=2, quality=95)  # 6 frames @ 2fps = 3.0s
+    rows = [
+        (
+            42,
+            "video",
+            bytearray(payload),
+            {"width": w, "height": h, "channels": None, "sample_rate": None,
+             "duration_s": 99.0,  # deliberately wrong: container must win
+             "codec": "mjpeg-avi"},
+        ),
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    sampled = video_sample_frames(df, every_s=1.0).orderBy("frame_idx").collect()
+    assert len(sampled) == 3  # 3.0s / 1.0s — from the container, not metadata's 99
+    decoded, fps = decode_avi_mjpeg(payload)
+    assert fps == 2.0
+    for r in sampled:
+        src = min(int(round(r.frame_idx * 1.0 * fps)), len(decoded) - 1)
+        got = np.frombuffer(bytes(r.frame_payload), dtype=np.uint8).reshape(h, w, 3)
+        assert (got == decoded[src]).all(), f"frame {r.frame_idx} != container frame {src}"
+        assert int(np.abs(got.astype(int) - frames[src].astype(int)).max()) <= 4
+
+
 def test_real_png_decode_through_operators(spark):
     """A PNG payload flows through decode_image_stats / image_resize with
     REAL pixels (magic-byte dispatch, not the deterministic fake)."""
