@@ -1,4 +1,5 @@
 from .streams import (
+    anomaly_stream,
     hourly_event_counts,
     purchases_with_recent_clicks,
     read_events_stream,
@@ -11,6 +12,7 @@ from .streams import (
 )
 
 __all__ = [
+    "anomaly_stream",
     "hourly_event_counts",
     "purchases_with_recent_clicks",
     "read_events_stream",

@@ -248,6 +248,112 @@ def sessionize_stream(events: DataFrame) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Streaming anomaly detection (stateful rolling baseline)
+# ---------------------------------------------------------------------------
+
+_ANOMALY_OUTPUT = T.StructType(
+    [
+        T.StructField("event_type", T.StringType()),
+        T.StructField("bucket", T.StringType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("zscore", T.DoubleType()),
+    ]
+)
+# history of closed-bucket counts (oldest first), plus the open bucket
+_ANOMALY_STATE = T.StructType(
+    [
+        T.StructField("hist", T.ArrayType(T.LongType())),
+        T.StructField("cur_minute", T.LongType()),
+        T.StructField("cur_count", T.LongType()),
+    ]
+)
+
+
+def _score_bucket(hist: list[int], n: int) -> float | None:
+    """z of count ``n`` against the trailing history — same integer-exact
+    formula as the batch ``events_anomaly_zscore`` (see plans/timeseries.py):
+    all inputs integers, one fixed sequence of double ops, HALF_UP 4dp."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from ..plans.timeseries import ANOMALY_LOOKBACK as LB
+
+    if len(hist) < LB:
+        return None
+    s = sum(hist)
+    q = sum(x * x for x in hist)
+    v = LB * q - s * s
+    if v <= 0:
+        return None
+    z = (float(n) - float(s) / float(LB)) / ((float(v) / float(LB * (LB - 1))) ** 0.5)
+    return float(Decimal(z).quantize(Decimal("0.0001"), ROUND_HALF_UP))
+
+
+def _anomaly_fold(
+    key: tuple,
+    pdf_iter: Iterable[pd.DataFrame],
+    state: GroupState,
+) -> Iterable[pd.DataFrame]:
+    """Per-event-type rolling baseline: minute buckets close when a later
+    minute arrives; a closing bucket is scored against the trailing
+    ANOMALY_LOOKBACK closed buckets and emitted when |z| ≥ ANOMALY_Z."""
+    from ..plans.timeseries import ANOMALY_LOOKBACK, ANOMALY_Z
+
+    (event_type,) = key
+    hist, cur_minute, cur_count = (state.get if state.exists else ([], None, 0))
+    hist = list(hist)
+    out = {"event_type": [], "bucket": [], "n_events": [], "zscore": []}
+
+    for pdf in pdf_iter:
+        minutes = (pdf["ts"].astype("int64") // 60_000_000_000).sort_values().tolist()
+        for m in minutes:
+            if cur_minute is None:
+                cur_minute, cur_count = m, 0
+            elif m > cur_minute:
+                # close the open bucket: score it, then roll it into history
+                z = _score_bucket(hist, cur_count)
+                if z is not None and abs(z) >= ANOMALY_Z:
+                    ts = pd.Timestamp(cur_minute * 60, unit="s", tz="UTC")
+                    out["event_type"].append(event_type)
+                    out["bucket"].append(ts.strftime("%Y-%m-%d %H:%M:%S"))
+                    out["n_events"].append(cur_count)
+                    out["zscore"].append(z)
+                hist = (hist + [cur_count])[-ANOMALY_LOOKBACK:]
+                cur_minute, cur_count = m, 0
+            elif m < cur_minute:
+                # late event for an already-closed bucket: dropped, exactly
+                # like a watermark would — exact retrospective scoring is the
+                # batch catalog query's job
+                continue
+            cur_count += 1
+
+    state.update((hist, cur_minute, cur_count))
+    yield pd.DataFrame(out)
+
+
+def anomaly_stream(events: DataFrame) -> DataFrame:
+    """Custom stateful operator: streaming twin of the batch
+    ``events_anomaly_zscore`` catalog query via ``applyInPandasWithState``
+    — per event_type, minute-bucket counts scored against a rolling
+    baseline of the trailing closed buckets, emitting only alert rows.
+
+    State is O(lookback) longs per event_type (a dozen counters), not a
+    buffer of events, so the state store stays tiny at any event rate.
+    Caveats (inherent to single-pass scoring): a series' final bucket is
+    never scored (nothing closes it), and events arriving after their
+    minute closed are dropped like late data beyond a watermark — the
+    batch query is the exact retrospective oracle.
+    """
+    return events.groupBy("event_type").applyInPandasWithState(
+        _anomaly_fold,
+        outputStructType=_ANOMALY_OUTPUT,
+        stateStructType=_ANOMALY_STATE,
+        outputMode="update",  # matches the foreachBatch sink; each alert
+        # still materializes exactly once — at the close of its bucket
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+# ---------------------------------------------------------------------------
 # Sinks
 # ---------------------------------------------------------------------------
 

@@ -233,6 +233,63 @@ def test_stream_stream_interval_join_matches_batch(spark, sf_smoke, events_dir):
             assert (r.event_id, r.click_ts) in got_keys, r
 
 
+def test_anomaly_stream_matches_batch_query_on_spike(spark, tmp_path):
+    """The stateful rolling-baseline operator must agree with the batch
+    events_anomaly_zscore on an in-order stream containing a rate spike:
+    same alerted bucket, same count, same 4dp z — only the series' final
+    (never-closed) bucket is out of streaming's reach, and here it is not
+    an alert in batch either."""
+    import datetime as dt
+
+    from customer_activity_lakehouse_spark.plans.timeseries import q_events_anomaly_zscore
+    from customer_activity_lakehouse_spark.streaming import anomaly_stream
+
+    base = dt.datetime(2026, 1, 1, 0, 0, 0)
+    rows = []
+    eid = 0
+    for minute in range(22):
+        # varying baseline (4/5/6 per minute — constant history has zero
+        # variance and is excluded by the v>0 guard), spike at minute 20
+        n = 30 if minute == 20 else 4 + (minute % 3)
+        for k in range(n):
+            eid += 1
+            rows.append(
+                (
+                    eid,
+                    base + dt.timedelta(minutes=minute, seconds=k % 60),
+                    100 + k,
+                    "click",
+                    1.0,
+                    "{}",
+                )
+            )
+    events = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    sf_dir = str(tmp_path / "synthetic")
+    events.orderBy("ts", "event_id").coalesce(1).write.mode("overwrite").parquet(
+        f"{sf_dir}/events.parquet"
+    )
+
+    stream = read_events_stream(spark, f"{sf_dir}/events.parquet")
+    got = []
+
+    def sink(batch_df, batch_id):
+        got.extend(
+            (r.event_type, r.bucket, r.n_events, r.zscore) for r in batch_df.collect()
+        )
+
+    q = write_stream_foreach_batch(anomaly_stream(stream), sink, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+
+    want = [
+        (r.event_type, r.bucket, r.n_events, r.zscore)
+        for r in q_events_anomaly_zscore(spark, sf_dir).orderBy("bucket").collect()
+    ]
+    assert len(want) == 1 and want[0][1] == "2026-01-01 00:20:00"  # the spike bucket
+    assert sorted(got) == sorted(want)
+
+
 def test_sessionize_stream_matches_batch_query(spark, sf_smoke, events_dir):
     """The custom stateful operator must agree with the batch catalog's
     event_sessionization (same 30-min gap) when the whole stream arrives in
