@@ -8,11 +8,12 @@ batch iteration, partition sizing, multi-row yield) is the real, tested part.
 Codec layer status (round 5): REAL for every image format in the corpus —
 24-bit BMP (``struct``), 8-bit truecolor PNG (``zlib`` inflate + all five
 scanline filters), baseline sequential JPEG (stdlib+numpy huffman/DCT,
-``jpeg.py``) — for PCM WAV audio (``wave``), and for MJPEG-AVI video
-(RIFF container walk + per-frame JPEG, ``avi.py``), dispatched on the
-payload's magic bytes (``BM`` / ``\\x89PNG`` / ``\\xff\\xd8`` /
-``RIFF..WAVE`` / ``RIFF..AVI``). Only inter-frame video codecs
-(H.264/...) and compressed audio (MP3/AAC) still fall back to a
+``jpeg.py``) — for WAV audio (16-bit PCM via ``wave``; 8-bit G.711 µ-law
+decoded manually, format tag 7), and for MJPEG-AVI video (RIFF container
+walk + per-frame JPEG, ``avi.py``), dispatched on the payload's magic
+bytes (``BM`` / ``\\x89PNG`` / ``\\xff\\xd8`` / ``RIFF..WAVE`` /
+``RIFF..AVI``). Only inter-frame video codecs
+(H.264/...) and perceptual audio (MP3/AAC) still fall back to a
 DETERMINISTIC FAKE decoder (seeded from the payload bytes, same array
 shapes a real decoder would produce) because this container ships no
 ffmpeg. Swapping in real codecs there changes only the ``_decode_*``
@@ -156,6 +157,81 @@ def encode_wav(wave_f32: np.ndarray, sample_rate: int) -> bytes:
         w.setframerate(sample_rate)
         w.writeframes(ints.tobytes())
     return buf.getvalue()
+
+
+def _linear_to_mulaw(samples: np.ndarray) -> np.ndarray:
+    """int16 PCM → G.711 µ-law bytes (the public ITU-T G.711 segment
+    encoding: bias 132, 3-bit exponent from the MSB position, 4-bit
+    mantissa, one's-complement output)."""
+    x = samples.astype(np.int32)
+    sign = np.where(x < 0, 0x80, 0)
+    mag = np.minimum(np.abs(x), 32635) + 132
+    exponent = (np.floor(np.log2(mag)) - 7).astype(np.int32)
+    mantissa = (mag >> (exponent + 3)) & 0x0F
+    return (~(sign | (exponent << 4) | mantissa) & 0xFF).astype(np.uint8)
+
+
+def _mulaw_to_linear(u: np.ndarray) -> np.ndarray:
+    """G.711 µ-law bytes → int16 PCM (exact inverse of the segment code)."""
+    u = (~u.astype(np.int32)) & 0xFF
+    sign = u & 0x80
+    exponent = (u >> 4) & 0x07
+    mantissa = u & 0x0F
+    mag = (((mantissa << 3) + 132) << exponent) - 132
+    return np.where(sign, -mag, mag).astype(np.int16)
+
+
+def encode_wav_mulaw(wave_f32: np.ndarray, sample_rate: int) -> bytes:
+    """float32 mono waveform in [-1, 1] → 8-bit G.711 µ-law WAV (format
+    tag 7). stdlib ``wave`` writes PCM only, so the RIFF is assembled by
+    hand — fmt(tag=7, 8-bit) + the fact chunk non-PCM formats require +
+    data."""
+    ints = np.clip(np.round(wave_f32.astype(np.float64) * 32767.0), -32768, 32767).astype(
+        np.int16
+    )
+    data = _linear_to_mulaw(ints).tobytes()
+    fmt = struct.pack("<HHIIHH", 7, 1, sample_rate, sample_rate, 1, 8)
+    fact = struct.pack("<I", len(ints))
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"fact" + struct.pack("<I", len(fact)) + fact
+        + b"data" + struct.pack("<I", len(data)) + data + (b"\x00" if len(data) % 2 else b"")
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _decode_wav_mulaw(payload: bytes) -> tuple[np.ndarray, int]:
+    """µ-law WAV → (float32 mono waveform in [-1, 1], sample_rate)."""
+    pos, end = 12, len(payload)
+    sample_rate, channels, data = None, 1, None
+    while pos + 8 <= end:
+        fourcc = payload[pos : pos + 4]
+        size = struct.unpack_from("<I", payload, pos + 4)[0]
+        if fourcc == b"fmt ":
+            tag, channels, sample_rate = struct.unpack_from("<HHI", payload, pos + 8)
+            if tag != 7:
+                raise ValueError(f"not a mu-law WAV (format tag {tag})")
+        elif fourcc == b"data":
+            data = np.frombuffer(payload, dtype=np.uint8, count=size, offset=pos + 8)
+        pos += 8 + size + (size % 2)
+    if sample_rate is None or data is None:
+        raise ValueError("malformed WAV: missing fmt or data chunk")
+    pcm = _mulaw_to_linear(data).astype(np.float32)
+    if channels > 1:
+        pcm = pcm.reshape(-1, channels).mean(axis=1)
+    return (pcm / 32768.0).astype(np.float32), int(sample_rate)
+
+
+def _wav_format_tag(payload: bytes) -> int | None:
+    """Audio format tag from a RIFF/WAVE payload's fmt chunk (None if absent)."""
+    pos, end = 12, len(payload)
+    while pos + 8 <= end:
+        if payload[pos : pos + 4] == b"fmt ":
+            return struct.unpack_from("<H", payload, pos + 8)[0]
+        size = struct.unpack_from("<I", payload, pos + 4)[0]
+        pos += 8 + size + (size % 2)
+    return None
 
 
 PNG_SIG = b"\x89PNG\r\n\x1a\n"
@@ -335,9 +411,14 @@ def _decode_image_bytes(payload: bytes, width: int, height: int, channels: int) 
 
 def _decode_audio_bytes(payload: bytes, sample_rate: int, duration_s: float) -> np.ndarray:
     """Audio payload → float32 mono waveform in [-1, 1]. REAL decode for
-    PCM WAV (magic ``RIFF..WAVE``, stdlib); compressed codecs fall back to
-    the deterministic fake (no soundfile/ffmpeg in this container)."""
+    RIFF/WAVE containers — 16-bit PCM (stdlib ``wave``) and 8-bit G.711
+    µ-law (format tag 7, decoded manually since ``wave`` is PCM-only);
+    perceptual codecs (MP3/AAC) fall back to the deterministic fake (no
+    soundfile/ffmpeg in this container)."""
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        if _wav_format_tag(payload) == 7:
+            data, _ = _decode_wav_mulaw(payload)
+            return data
         data, _ = _decode_wav(payload)
         return data
     rng = _rng_from_bytes(payload)

@@ -176,6 +176,38 @@ def test_png_roundtrip_all_filters():
         assert (back == img).all(), f"filter {ft} roundtrip mismatch"
 
 
+def test_mulaw_wav_roundtrip_and_dispatch():
+    """G.711 µ-law WAV (format tag 7) decodes for real: every int16 value
+    roundtrips within the segment-quantization bound, a tone survives the
+    container roundtrip, and the RIFF dispatch routes tag-7 payloads to the
+    µ-law path (stdlib wave would reject them)."""
+    import numpy as np
+
+    from customer_activity_lakehouse_spark.multimodal.media import (
+        _decode_audio_bytes,
+        _decode_wav_mulaw,
+        _linear_to_mulaw,
+        _mulaw_to_linear,
+        encode_wav_mulaw,
+    )
+
+    x = np.arange(-32768, 32768, dtype=np.int16)
+    rt = _mulaw_to_linear(_linear_to_mulaw(x))
+    clipped = np.clip(x.astype(int), -32635, 32635)
+    err = np.abs(rt.astype(int) - clipped)
+    bound = (np.abs(clipped) + 132) / 16 + 1  # step/2 grows with segment
+    assert (err <= bound).all()
+
+    sr = 16000
+    t = np.arange(1600) / sr
+    tone = (0.5 * np.sin(2 * np.pi * 440 * t)).astype(np.float32)
+    payload = encode_wav_mulaw(tone, sr)
+    dec, got_sr = _decode_wav_mulaw(payload)
+    assert got_sr == sr and len(dec) == len(tone)
+    assert float(np.abs(dec - tone).max()) < 0.02  # µ-law SNR at 0.5 amplitude
+    assert (_decode_audio_bytes(payload, sr, 0.1) == dec).all()
+
+
 def test_jpeg_roundtrip_error_bounded():
     """encode_jpeg/decode_jpeg roundtrip within quantization error on a
     smooth gradient (VERDICT r4 next #6: JPEG off the fake-codec list via
