@@ -807,6 +807,43 @@ FROM (SELECT doc_id, text,
 """
 
 
+def q_doc_dup_chunks(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-document duplicated substrings — the exact-substring dedup
+    signal from public training-data recipes (boilerplate, licenses,
+    syndicated passages): the chunk fingerprints of :func:`q_doc_chunks`
+    grouped by content, keeping windows that recur in MORE THAN ONE
+    distinct document. The all-important distinction from whole-doc
+    fingerprinting: two docs sharing one boilerplate paragraph match here
+    while their doc-level fingerprints differ.
+
+    Plan: the chunk generator is a pure projection (no shuffle); ONE
+    partial-aggregating groupBy on the 32-hex fingerprint does everything —
+    at 100 TB the shuffle carries (fp, doc_id-ish aggregates) rows, never
+    chunk text. Zero-length chunks (empty docs) are excluded: every empty
+    doc shares the same md5('') and would dominate as a fake cluster."""
+    chunks = q_doc_chunks(spark, sf)
+    return (
+        chunks.filter(F.col("chunk_chars") > 0)
+        .groupBy("chunk_fp")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.min("doc_id").alias("first_doc_id"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+ORACLE_DOC_DUP_CHUNKS = f"""
+SELECT chunk_fp, count(DISTINCT doc_id) AS n_docs,
+       count(*) AS n_occurrences,
+       min(doc_id) AS first_doc_id
+FROM ({ORACLE_DOC_CHUNKS.strip()})
+WHERE chunk_chars > 0
+GROUP BY chunk_fp HAVING count(DISTINCT doc_id) > 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # Training-data curation: decontamination, repetition filters, mixing
 # ---------------------------------------------------------------------------
@@ -2444,6 +2481,9 @@ QUERIES: dict[str, Query] = {
         q_doc_fingerprint_stats, ORACLE_DOC_FINGERPRINT_STATS, ("text", "dedup")
     ),
     "doc_chunks": Query(q_doc_chunks, ORACLE_DOC_CHUNKS, ("text", "chunking")),
+    "doc_dup_chunks": Query(
+        q_doc_dup_chunks, ORACLE_DOC_DUP_CHUNKS, ("text", "chunking", "dedup")
+    ),
     "doc_tfidf_terms": Query(
         q_doc_tfidf_terms, ORACLE_DOC_TFIDF_TERMS, ("text", "tfidf"), bench=True
     ),
