@@ -946,8 +946,141 @@ GROUP BY user_id
 """
 
 
+RFM_REF_DATE = "2001-09-01"  # just past the orders fixture's last date
+
+
+def q_customer_rfm_segments(spark: SparkSession, sf: str) -> DataFrame:
+    """RFM segmentation — the classic star-schema marketing rollup: per
+    customer, Recency (days from last order to the reference date),
+    Frequency (order count), Monetary (decimal-exact total spend); each
+    metric classified into value-quartiles (1 = lowest value, 4 = highest)
+    and rolled up per (r_q, f_q, m_q) cell.
+
+    Deliberately NOT ``ntile``: a global ntile needs one totally-ordered
+    partition (single-task at scale) and breaks ties by row order. Instead
+    the three quartile thresholds come from one exact interpolated
+    ``percentile`` aggregate (a 1-row frame, broadcast), and classification
+    is a projection — scan-shaped at any table size. Threshold comparisons
+    are engine-stable: an interpolated cut either equals an order statistic
+    exactly (g=0 or equal neighbors — no float arithmetic) or lies strictly
+    between two distinct data values where no metric can sit."""
+    orders = table(spark, sf, "orders")
+    per = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count(F.lit(1)).alias("frequency"),
+            money_sum("o_totalprice").alias("monetary"),
+        )
+        .select(
+            "o_custkey",
+            F.datediff(F.lit(RFM_REF_DATE).cast("date"), F.col("last_order").cast("date")).alias(
+                "r_days"
+            ),
+            "frequency",
+            "monetary",
+        )
+    )
+    cuts = per.agg(
+        F.percentile("r_days", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75))).alias("rc"),
+        F.percentile("frequency", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75))).alias("fc"),
+        F.percentile("monetary", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75))).alias("mc"),
+    )
+
+    def quartile(metric, cut_arr):
+        q = F.lit(1)
+        for i in 1, 2, 3:
+            q = q + F.when(metric > F.element_at(cut_arr, i), 1).otherwise(0)
+        return q
+
+    scored = per.crossJoin(F.broadcast(cuts)).select(
+        quartile(F.col("r_days"), F.col("rc")).alias("r_q"),
+        quartile(F.col("frequency"), F.col("fc")).alias("f_q"),
+        quartile(F.col("monetary"), F.col("mc")).alias("m_q"),
+        "monetary",
+    )
+    return scored.groupBy("r_q", "f_q", "m_q").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        money_sum("monetary").alias("total_monetary"),
+    )
+
+
+ORACLE_CUSTOMER_RFM_SEGMENTS = f"""
+WITH per AS (
+  SELECT o_custkey,
+         date_diff('day', max(o_orderdate)::DATE, DATE '{RFM_REF_DATE}') AS r_days,
+         count(*) AS frequency,
+         {sql_money_sum("o_totalprice")} AS monetary
+  FROM orders GROUP BY o_custkey),
+cuts AS (
+  SELECT quantile_cont(r_days, [0.25, 0.5, 0.75]) AS rc,
+         quantile_cont(frequency, [0.25, 0.5, 0.75]) AS fc,
+         quantile_cont(monetary, [0.25, 0.5, 0.75]) AS mc
+  FROM per)
+SELECT r_q, f_q, m_q, count(*) AS n_customers,
+       {sql_money_sum("monetary")} AS total_monetary
+FROM (
+  SELECT 1 + (CASE WHEN r_days > rc[1] THEN 1 ELSE 0 END)
+           + (CASE WHEN r_days > rc[2] THEN 1 ELSE 0 END)
+           + (CASE WHEN r_days > rc[3] THEN 1 ELSE 0 END) AS r_q,
+         1 + (CASE WHEN frequency > fc[1] THEN 1 ELSE 0 END)
+           + (CASE WHEN frequency > fc[2] THEN 1 ELSE 0 END)
+           + (CASE WHEN frequency > fc[3] THEN 1 ELSE 0 END) AS f_q,
+         1 + (CASE WHEN monetary > mc[1] THEN 1 ELSE 0 END)
+           + (CASE WHEN monetary > mc[2] THEN 1 ELSE 0 END)
+           + (CASE WHEN monetary > mc[3] THEN 1 ELSE 0 END) AS m_q,
+         monetary
+  FROM per, cuts)
+GROUP BY r_q, f_q, m_q
+"""
+
+
+def q_events_retention_cohorts(spark: SparkSession, sf: str) -> DataFrame:
+    """Weekly cohort retention over the events stream — the other classic
+    product-analytics rollup: users are cohorted by the week of their first
+    event; each (cohort_week, week_offset) cell counts the cohort's users
+    active that many weeks later. Shape: one distinct over (user, week)
+    (the only event-volume shuffle — partial-aggregated map-side), a
+    per-user min for the cohort, a user-keyed join, and a cell rollup;
+    weeks are Monday-truncated identically in Spark and DuckDB."""
+    ev = table(spark, sf, "events")
+    user_weeks = ev.select("user_id", F.date_trunc("week", F.col("ts")).alias("week")).distinct()
+    cohorts = user_weeks.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    return (
+        user_weeks.join(cohorts, "user_id")
+        .select(
+            F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+            (F.datediff(F.col("week"), F.col("cohort_week")) / 7).cast("long").alias(
+                "week_offset"
+            ),
+            "user_id",
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").alias("n_active_users"))
+    )
+
+
+ORACLE_EVENTS_RETENTION_COHORTS = """
+WITH uw AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts) AS week FROM events),
+cohorts AS (
+  SELECT user_id, min(week) AS cohort_week FROM uw GROUP BY user_id)
+SELECT strftime(cohort_week, '%Y-%m-%d') AS cohort_week,
+       date_diff('day', cohort_week, week) // 7 AS week_offset,
+       count(DISTINCT user_id) AS n_active_users
+FROM uw JOIN cohorts USING (user_id)
+GROUP BY 1, 2
+"""
+
+
 QUERIES: dict[str, Query] = {
     "pricing_summary": Query(q_pricing_summary, ORACLE_PRICING_SUMMARY, ("tpch", "agg"), True),
+    "customer_rfm_segments": Query(
+        q_customer_rfm_segments, ORACLE_CUSTOMER_RFM_SEGMENTS, ("star", "agg", "quantile")
+    ),
+    "events_retention_cohorts": Query(
+        q_events_retention_cohorts, ORACLE_EVENTS_RETENTION_COHORTS, ("events", "agg")
+    ),
     "revenue_by_brand_month": Query(
         q_revenue_by_brand_month, ORACLE_REVENUE_BY_BRAND_MONTH, ("star", "flagship"), True
     ),
