@@ -1073,6 +1073,84 @@ GROUP BY 1, 2
 """
 
 
+def q_events_funnel_conversion(spark: SparkSession, sf: str) -> DataFrame:
+    """Sequential funnel conversion (view → click → purchase): a user
+    advances a step only with an event of the next type STRICTLY AFTER
+    their earliest arrival at the previous step — the order-dependent
+    query shape plain per-type counts can't express. Per-step earliest
+    times chain through user-keyed joins: filter + partial-agg min per
+    step, each join hash-keyed on user_id (no windows, no event-volume
+    fan-out), then three 1-row counts broadcast into one summary row with
+    step conversion rates and the mean view→purchase latency (integer
+    microsecond sums — exact; one double division at the end)."""
+    ev = table(spark, sf, "events")
+    s1 = ev.filter(F.col("event_type") == "view").groupBy("user_id").agg(
+        F.min("ts").alias("t1")
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"), F.min("t1").alias("t1"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"), F.min("t1").alias("t1"))
+    )
+    n1 = s1.agg(F.count(F.lit(1)).alias("n_viewed"))
+    n2 = s2.agg(F.count(F.lit(1)).alias("n_clicked"))
+    n3 = s3.agg(
+        F.count(F.lit(1)).alias("n_purchased"),
+        F.sum(F.unix_micros("t3") - F.unix_micros("t1")).alias("lat_us"),
+    )
+    return (
+        n1.crossJoin(F.broadcast(n2))
+        .crossJoin(F.broadcast(n3))
+        .select(
+            "n_viewed",
+            "n_clicked",
+            "n_purchased",
+            F.round(F.col("n_clicked").cast("double") / F.col("n_viewed"), 4).alias(
+                "view_to_click"
+            ),
+            F.round(F.col("n_purchased").cast("double") / F.col("n_clicked"), 4).alias(
+                "click_to_purchase"
+            ),
+            F.round(
+                F.col("lat_us").cast("double") / F.col("n_purchased") / 1_000_000.0, 2
+            ).alias("avg_view_to_purchase_s"),
+        )
+    )
+
+
+ORACLE_EVENTS_FUNNEL_CONVERSION = """
+WITH s1 AS (
+  SELECT user_id, min(ts) AS t1 FROM events WHERE event_type = 'view' GROUP BY user_id),
+s2 AS (
+  SELECT e.user_id, min(e.ts) AS t2, min(s1.t1) AS t1
+  FROM events e JOIN s1 USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY e.user_id),
+s3 AS (
+  SELECT e.user_id, min(e.ts) AS t3, min(s2.t1) AS t1
+  FROM events e JOIN s2 USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY e.user_id)
+SELECT (SELECT count(*) FROM s1) AS n_viewed,
+       (SELECT count(*) FROM s2) AS n_clicked,
+       (SELECT count(*) FROM s3) AS n_purchased,
+       round((SELECT count(*) FROM s2)::DOUBLE / (SELECT count(*) FROM s1), 4)
+         AS view_to_click,
+       round((SELECT count(*) FROM s3)::DOUBLE / (SELECT count(*) FROM s2), 4)
+         AS click_to_purchase,
+       round((SELECT sum(epoch_us(t3) - epoch_us(t1)) FROM s3)::DOUBLE
+             / (SELECT count(*) FROM s3) / 1000000.0, 2)
+         AS avg_view_to_purchase_s
+"""
+
+
 QUERIES: dict[str, Query] = {
     "pricing_summary": Query(q_pricing_summary, ORACLE_PRICING_SUMMARY, ("tpch", "agg"), True),
     "customer_rfm_segments": Query(
@@ -1080,6 +1158,9 @@ QUERIES: dict[str, Query] = {
     ),
     "events_retention_cohorts": Query(
         q_events_retention_cohorts, ORACLE_EVENTS_RETENTION_COHORTS, ("events", "agg")
+    ),
+    "events_funnel_conversion": Query(
+        q_events_funnel_conversion, ORACLE_EVENTS_FUNNEL_CONVERSION, ("events", "join")
     ),
     "revenue_by_brand_month": Query(
         q_revenue_by_brand_month, ORACLE_REVENUE_BY_BRAND_MONTH, ("star", "flagship"), True

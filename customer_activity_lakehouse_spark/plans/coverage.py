@@ -78,10 +78,33 @@ def load_coverage() -> dict[str, int]:
     return {k: int(v) for k, v in snapshot.items()}
 
 
+# The coarse operator families every driver-correctness window must keep a
+# representative of (tests/test_registry.py enforces it on the first 50
+# entries).  Part of the ordering POLICY, not test decoration: when a tier
+# is wider than the window, carriers of a required-but-unrepresented family
+# outrank entries that merely introduce a niche tag.
+REQUIRED_FAMILIES: frozenset[str] = frozenset(
+    {
+        "tpch", "agg", "window", "join", "scalar", "events", "text",
+        "dedup", "lsh", "similarity", "audit", "recall", "sampling",
+        "asof-join", "range-join", "gapfill", "rollup", "graph",
+        "skew", "pivot", "cube", "quantile", "setops",
+    }
+)
+
+
 def catalog_order(merged: dict[str, Query], coverage: dict[str, int]) -> list[str]:
     """Never-checked first, then stalest last-green round; within each tier,
-    family representatives (entries adding an unseen tag) lead, remainder
-    alphabetical.  Fully deterministic for a given (merged, coverage)."""
+    family representatives (entries adding an unseen tag) lead, with
+    carriers of a REQUIRED family not yet represented earlier in the order
+    ranked before niche-tag representatives, and ties broken by the rarity
+    of the tags introduced (a tag's only carrier must not be crowded past
+    the driver window).  Fully deterministic for a given (merged, coverage)."""
+    tag_freq: dict[str, int] = {}
+    for q in merged.values():
+        for t in set(q.tags):
+            tag_freq[t] = tag_freq.get(t, 0) + 1
+
     tiers: dict[int, list[str]] = {}
     for name in merged:
         tiers.setdefault(coverage.get(name, 0), []).append(name)
@@ -90,11 +113,20 @@ def catalog_order(merged: dict[str, Query], coverage: dict[str, int]) -> list[st
     order: list[str] = []
     for round_no in sorted(tiers):
         tier = sorted(tiers[round_no])
-        representatives = []
+        representatives: list[str] = []
+        sort_key: dict[str, tuple] = {}
         for name in tier:
-            if set(merged[name].tags) - seen_tags:
+            new = set(merged[name].tags) - seen_tags
+            if new:
                 representatives.append(name)
+                covers_required = bool(new & REQUIRED_FAMILIES)
+                sort_key[name] = (
+                    0 if covers_required else 1,
+                    min(tag_freq[t] for t in new),
+                    name,
+                )
                 seen_tags.update(merged[name].tags)
+        representatives.sort(key=lambda n: sort_key[n])
         chosen = set(representatives)
         order.extend(representatives + [n for n in tier if n not in chosen])
     return order

@@ -12,7 +12,7 @@ representative inside the window.
 from __future__ import annotations
 
 from customer_activity_lakehouse_spark.plans import COVERAGE, QUERIES, _MERGED
-from customer_activity_lakehouse_spark.plans.coverage import catalog_order
+from customer_activity_lakehouse_spark.plans.coverage import REQUIRED_FAMILIES, catalog_order
 
 DRIVER_WINDOW = 50
 
@@ -61,15 +61,15 @@ def test_ordering_is_deterministic():
 
 
 def test_every_oracled_family_has_an_entry_in_window():
-    """At least one entry of each coarse operator FAMILY lands in the first
-    50 (fine-grained plan-vocab tags like 'having'/'case' are deliberately
-    not required — recently-green entries rotate behind)."""
-    families = {
-        "tpch", "agg", "window", "join", "scalar", "events", "text",
-        "dedup", "lsh", "similarity", "audit", "recall", "sampling",
-        "asof-join", "range-join", "gapfill", "rollup", "graph",
-        "skew", "pivot", "cube", "quantile", "setops",
-    }
+    """At least one entry of each REQUIRED operator family lands in the
+    first 50 (fine-grained plan-vocab tags like 'having'/'case' are
+    deliberately not required — recently-green entries rotate behind).
+    The family list is the ordering policy's own constant, so the gate and
+    the ordering can't drift apart."""
+    families = set(REQUIRED_FAMILIES)
+    # every required family must actually exist in the catalog
+    all_tags = {t for q in QUERIES.values() for t in q.tags}
+    assert families <= all_tags, f"required families with no carrier: {families - all_tags}"
     order = list(QUERIES)[:DRIVER_WINDOW]
     window_tags = {t for n in order for t in QUERIES[n].tags}
     assert families <= window_tags, f"families missing from window: {families - window_tags}"
