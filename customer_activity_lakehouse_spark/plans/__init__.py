@@ -12,7 +12,7 @@ lives in tests/test_registry.py.
 """
 
 from .core import QUERIES as CORE_QUERIES
-from .coverage import catalog_order, load_coverage
+from .coverage import catalog_order, effective_coverage, load_coverage, load_fingerprints
 from .llm_ops import QUERIES as LLM_QUERIES
 from .registry import Query
 from .timeseries import QUERIES as TS_QUERIES
@@ -21,6 +21,13 @@ _MERGED: dict[str, Query] = {**CORE_QUERIES, **LLM_QUERIES, **TS_QUERIES}
 
 COVERAGE: dict[str, int] = load_coverage()
 
-QUERIES: dict[str, Query] = {name: _MERGED[name] for name in catalog_order(_MERGED, COVERAGE)}
+# Change-aware demotion: an entry rewritten since its recorded at-green-time
+# fingerprint is treated as never checked, so it leads the catalog (r5
+# verdict #1 — doc_decontaminate missed the window after its rewrite).
+EFFECTIVE_COVERAGE: dict[str, int] = effective_coverage(_MERGED, COVERAGE, load_fingerprints())
 
-__all__ = ["COVERAGE", "Query", "QUERIES"]
+QUERIES: dict[str, Query] = {
+    name: _MERGED[name] for name in catalog_order(_MERGED, EFFECTIVE_COVERAGE)
+}
+
+__all__ = ["COVERAGE", "EFFECTIVE_COVERAGE", "Query", "QUERIES"]

@@ -1,4 +1,4 @@
-"""Staleness-driven catalog ordering for the driver's correctness window.
+"""Staleness- and change-driven catalog ordering for the driver's window.
 
 The per-round driver checks only the first ~50 entries of ``queries()``
 (dict insertion order), so WHICH entries lead the catalog decides which get
@@ -11,28 +11,55 @@ instead:
    recomputing from the ``CORRECTNESS_r*.json`` files at the repo root — so
    the rotation advances AUTOMATICALLY when a new round's results land,
    with no human edit — and falls back to the committed ``coverage.json``
-   snapshot when the package is used away from the repo checkout.
-2. ``catalog_order()`` sorts never-checked entries first, then ascending
-   last-green round (stalest first).  Within a tier, entries introducing an
-   operator-family tag not yet represented earlier in the order are pulled
-   forward, so a truncated driver pass still covers every family.
+   snapshot when the package is used away from the repo checkout.  Which
+   source produced the order is logged for reproducibility (two checkouts
+   of one commit can otherwise order the catalog differently — ADVICE r5).
+2. ``effective_coverage()`` demotes any entry whose implementing source has
+   CHANGED since its fingerprint was recorded to "never checked": a green
+   driver row vouches for the code that ran then, not for a rewrite (round
+   5 evidence: ``doc_decontaminate`` was rewritten but kept its old
+   priority and missed the driver window — VERDICT r5 "What's wrong" #2).
+   Fingerprints cover the query fn's own source, every module-level
+   function it transitively references within this package, simple
+   module-level constants it names, and the oracle SQL.
+3. ``catalog_order()`` sorts never-checked (or changed-since-green) entries
+   first, then ascending last-green round (stalest first).  Within a tier,
+   entries introducing an operator-family tag not yet represented earlier
+   in the order are pulled forward, so a truncated driver pass still
+   covers every family.
 
-The policy gate lives in tests/test_registry.py: no entry may go more than
-two rounds without a driver check.
+The policy gates live in tests/test_registry.py: no entry may go more than
+two rounds without a driver check, and a rewritten entry must lead the
+catalog.
+
+Snapshot ritual: run ``python -m customer_activity_lakehouse_spark.plans.coverage``
+IMMEDIATELY after a round's CORRECTNESS file lands and BEFORE editing any
+query code — the fingerprints recorded must describe the code the driver
+actually checked.
 """
 
 from __future__ import annotations
 
+import hashlib
+import inspect
 import json
+import logging
 import re
+import types
 from pathlib import Path
 
 from .registry import Query
+
+logger = logging.getLogger(__name__)
 
 _PKG_DIR = Path(__file__).resolve().parent
 _SNAPSHOT = _PKG_DIR / "coverage.json"
 _REPO_ROOT = _PKG_DIR.parents[1]
 _CORRECTNESS_RE = re.compile(r"CORRECTNESS_r(\d+)\.json$")
+# Derived from the Query class (NOT __name__: under ``python -m`` this
+# module executes as "__main__", which would empty the prefix and change
+# every fingerprint the snapshot records).
+_PKG_PREFIX = Query.__module__.rsplit(".", 2)[0]  # customer_activity_lakehouse_spark
 
 
 def _row_green(row: dict) -> bool:
@@ -67,15 +94,133 @@ def compute_coverage(repo_root: Path) -> dict[str, int]:
     return coverage
 
 
-def load_coverage() -> dict[str, int]:
-    coverage = compute_coverage(_REPO_ROOT)
-    if coverage:
-        return coverage
+def _read_snapshot() -> tuple[dict[str, int], dict[str, str]]:
+    """(rounds, fingerprints) from coverage.json.  Understands both the v2
+    ``{"version": 2, "entries": {name: {"round": N, "fp": "..."}}}`` layout
+    and the legacy flat ``{name: round}`` one (no fingerprints)."""
     try:
         snapshot = json.loads(_SNAPSHOT.read_text())
     except (OSError, json.JSONDecodeError):
-        return {}
-    return {k: int(v) for k, v in snapshot.items()}
+        return {}, {}
+    if not isinstance(snapshot, dict):
+        return {}, {}
+    if snapshot.get("version") == 2:
+        entries = snapshot.get("entries", {})
+        rounds = {k: int(v["round"]) for k, v in entries.items() if "round" in v}
+        fps = {k: v["fp"] for k, v in entries.items() if v.get("fp")}
+        return rounds, fps
+    return {k: int(v) for k, v in snapshot.items()}, {}
+
+
+def load_coverage() -> dict[str, int]:
+    coverage = compute_coverage(_REPO_ROOT)
+    if coverage:
+        logger.info(
+            "catalog order source: computed from CORRECTNESS_r*.json "
+            "(entries=%d, max round=%d)", len(coverage), max(coverage.values()),
+        )
+        return coverage
+    rounds, _ = _read_snapshot()
+    logger.info(
+        "catalog order source: committed coverage.json snapshot (entries=%d)",
+        len(rounds),
+    )
+    return rounds
+
+
+def load_fingerprints() -> dict[str, str]:
+    """Recorded at-green-time source fingerprints (snapshot only — the
+    driver's CORRECTNESS files cannot know source hashes)."""
+    _, fps = _read_snapshot()
+    return fps
+
+
+def _code_names(code: types.CodeType) -> set[str]:
+    """All global names referenced by a code object, including inside
+    nested lambdas/comprehensions (their code objects ride in co_consts)."""
+    names = set(code.co_names)
+    for const in code.co_consts:
+        if isinstance(const, types.CodeType):
+            names |= _code_names(const)
+    return names
+
+
+_CONST_TYPES = (str, bytes, int, float, bool, tuple, frozenset)
+
+
+def _stable_repr(obj) -> str:
+    """repr with process-independent ordering: frozenset iteration order
+    depends on PYTHONHASHSEED, so sort elements before rendering (a plain
+    repr() here made every fingerprint differ between processes)."""
+    if isinstance(obj, (set, frozenset)):
+        return "frozenset({%s})" % ", ".join(sorted(_stable_repr(x) for x in obj))
+    if isinstance(obj, tuple):
+        return "(%s)" % ", ".join(_stable_repr(x) for x in obj)
+    return repr(obj)
+
+
+def source_fingerprint(q: Query) -> str:
+    """Deterministic hash of everything that defines a query's semantics:
+    the fn's source, the sources of package-local module-level functions it
+    transitively references, simple module-level constants it names, and
+    the oracle SQL.  Helper edits and threshold tweaks therefore trip the
+    fingerprint; unrelated edits elsewhere in the module do not."""
+    sources: dict[str, str] = {}
+    consts: dict[str, str] = {}
+    root_mod = getattr(q.fn, "__module__", "") or ""
+    # Hash package-local helpers plus anything in the root fn's own module
+    # (so out-of-package callers, e.g. test fixtures, still fingerprint),
+    # never third-party library source.
+    allowed = tuple(p for p in (_PKG_PREFIX, root_mod) if p)
+    stack = [q.fn]
+    while stack:
+        fn = stack.pop()
+        mod = getattr(fn, "__module__", "") or ""
+        key = f"{mod}.{getattr(fn, '__qualname__', repr(fn))}"
+        if key in sources or not mod.startswith(allowed):
+            continue
+        try:
+            sources[key] = inspect.getsource(fn)
+        except (OSError, TypeError):
+            sources[key] = repr(fn)
+        code = getattr(fn, "__code__", None)
+        module = inspect.getmodule(fn)
+        if code is None or module is None:
+            continue
+        for name in _code_names(code):
+            obj = getattr(module, name, None)
+            if isinstance(obj, types.FunctionType):
+                stack.append(obj)
+            elif isinstance(obj, _CONST_TYPES):
+                consts[f"{module.__name__}.{name}"] = _stable_repr(obj)
+    payload = "\n".join(
+        [sources[k] for k in sorted(sources)]
+        + [f"{k}={v}" for k, v in sorted(consts.items())]
+        + [q.oracle or ""]
+    )
+    return hashlib.sha256(payload.encode()).hexdigest()[:16]
+
+
+def effective_coverage(
+    merged: dict[str, Query],
+    coverage: dict[str, int],
+    recorded_fps: dict[str, str] | None = None,
+) -> dict[str, int]:
+    """Coverage rounds with change-awareness applied: an entry whose current
+    source fingerprint differs from the one recorded at green-time is reset
+    to round 0 (never checked).  Entries without a recorded fingerprint are
+    left alone — we cannot tell, and the staleness policy bounds the gap to
+    one round anyway."""
+    if not recorded_fps:
+        return {k: v for k, v in coverage.items()}
+    out: dict[str, int] = {}
+    for name, round_no in coverage.items():
+        recorded = recorded_fps.get(name)
+        if recorded and name in merged and source_fingerprint(merged[name]) != recorded:
+            logger.info("query %r rewritten since its last green row — reset to tier 0", name)
+            continue  # absent from the dict == tier 0 in catalog_order
+        out[name] = round_no
+    return out
 
 
 # The coarse operator families every driver-correctness window must keep a
@@ -99,7 +244,10 @@ def catalog_order(merged: dict[str, Query], coverage: dict[str, int]) -> list[st
     carriers of a REQUIRED family not yet represented earlier in the order
     ranked before niche-tag representatives, and ties broken by the rarity
     of the tags introduced (a tag's only carrier must not be crowded past
-    the driver window).  Fully deterministic for a given (merged, coverage)."""
+    the driver window).  Fully deterministic for a given (merged, coverage).
+
+    ``coverage`` should already be change-aware — pass it through
+    :func:`effective_coverage` first when fingerprints are available."""
     tag_freq: dict[str, int] = {}
     for q in merged.values():
         for t in set(q.tags):
@@ -132,17 +280,29 @@ def catalog_order(merged: dict[str, Query], coverage: dict[str, int]) -> list[st
     return order
 
 
-def write_snapshot() -> dict[str, int]:
-    """Refresh the committed coverage.json from the repo's correctness files
-    (run via ``python -m customer_activity_lakehouse_spark.plans.coverage``)."""
+def write_snapshot() -> dict[str, dict]:
+    """Refresh the committed coverage.json from the repo's correctness files,
+    recording the CURRENT source fingerprint of every catalog entry (run via
+    ``python -m customer_activity_lakehouse_spark.plans.coverage`` — and run
+    it right after results land, before editing query code, so the recorded
+    fingerprints describe the code the driver checked)."""
+    from . import _MERGED  # late import: plans/__init__ imports this module
+
     coverage = compute_coverage(_REPO_ROOT)
     if not coverage:
         raise SystemExit(f"no CORRECTNESS_r*.json found under {_REPO_ROOT}")
-    ordered = dict(sorted(coverage.items(), key=lambda kv: (kv[1], kv[0])))
-    _SNAPSHOT.write_text(json.dumps(ordered, indent=1) + "\n")
-    return ordered
+    entries: dict[str, dict] = {}
+    for name, round_no in sorted(coverage.items(), key=lambda kv: (kv[1], kv[0])):
+        entry: dict = {"round": round_no}
+        if name in _MERGED:
+            entry["fp"] = source_fingerprint(_MERGED[name])
+        entries[name] = entry
+    _SNAPSHOT.write_text(json.dumps({"version": 2, "entries": entries}, indent=1) + "\n")
+    return entries
 
 
 if __name__ == "__main__":
     snap = write_snapshot()
-    print(f"wrote {_SNAPSHOT} ({len(snap)} entries, max round {max(snap.values())})")
+    max_round = max(e["round"] for e in snap.values())
+    n_fp = sum(1 for e in snap.values() if "fp" in e)
+    print(f"wrote {_SNAPSHOT} ({len(snap)} entries, max round {max_round}, {n_fp} fingerprinted)")

@@ -10,10 +10,13 @@ from __future__ import annotations
 
 import json
 
+from customer_activity_lakehouse_spark.plans import coverage as coverage_mod
 from customer_activity_lakehouse_spark.plans.coverage import (
     _row_green,
     catalog_order,
     compute_coverage,
+    effective_coverage,
+    source_fingerprint,
 )
 from customer_activity_lakehouse_spark.plans.registry import Query
 
@@ -85,3 +88,109 @@ def test_catalog_order_is_total_and_deterministic():
     b = catalog_order(dict(reversed(list(merged.items()))), cov)
     assert sorted(a) == sorted(merged)
     assert a == b  # insertion order of `merged` must not matter
+
+
+# ---- change-aware rotation (r6) -------------------------------------------
+
+def _fn_a(spark, sf_dir):
+    return 1
+
+
+def _fn_a_helper_user(spark, sf_dir):
+    return _helper()
+
+
+def _helper():
+    return _THRESHOLD
+
+
+_THRESHOLD = 42
+
+
+def _fn_b(spark, sf_dir):
+    return 2
+
+
+def test_source_fingerprint_deterministic_and_distinct():
+    qa = Query(fn=_fn_a, oracle="SELECT 1", tags=("x",))
+    qb = Query(fn=_fn_b, oracle="SELECT 1", tags=("x",))
+    assert source_fingerprint(qa) == source_fingerprint(qa)
+    assert source_fingerprint(qa) != source_fingerprint(qb)
+    # oracle SQL is part of the semantics
+    assert source_fingerprint(qa) != source_fingerprint(
+        Query(fn=_fn_a, oracle="SELECT 2", tags=("x",))
+    )
+    # tags/bench are NOT part of the semantics (pure metadata)
+    assert source_fingerprint(qa) == source_fingerprint(
+        Query(fn=_fn_a, oracle="SELECT 1", tags=("y",), bench=True)
+    )
+
+
+def test_source_fingerprint_covers_transitive_helpers_and_constants():
+    """_fn_a_helper_user -> _helper -> _THRESHOLD must all be hashed, so a
+    helper or threshold edit trips the fingerprint even though the query
+    fn's own source is unchanged (the r5 doc_decontaminate failure mode)."""
+    q = Query(fn=_fn_a_helper_user, oracle=None)
+    fp = source_fingerprint(q)
+    orig = coverage_mod.__dict__  # not used; keep namespace access explicit
+    import tests.test_coverage as me
+    old = me._THRESHOLD
+    try:
+        me._THRESHOLD = 43
+        assert source_fingerprint(q) != fp, "constant edit must change fingerprint"
+    finally:
+        me._THRESHOLD = old
+    assert source_fingerprint(q) == fp
+
+
+def test_rewritten_entry_leads_the_catalog():
+    """The r6 policy: an entry whose recorded at-green-time fingerprint no
+    longer matches its current source is tier 0 and must precede everything,
+    even entries green in the same (latest) round."""
+    merged = {
+        "rewritten": Query(fn=_fn_a, oracle="SELECT 1", tags=("x",)),
+        "unchanged": Query(fn=_fn_b, oracle="SELECT 1", tags=("x",)),
+    }
+    cov = {"rewritten": 5, "unchanged": 5}
+    fps = {
+        "rewritten": "0000000000000000",  # stale recording != current source
+        "unchanged": source_fingerprint(merged["unchanged"]),
+    }
+    eff = effective_coverage(merged, cov, fps)
+    assert "rewritten" not in eff and eff["unchanged"] == 5
+    order = catalog_order(merged, eff)
+    assert order[0] == "rewritten"
+
+
+def test_effective_coverage_without_fingerprints_is_identity():
+    merged = {"a": Query(fn=_fn_a, oracle=None)}
+    cov = {"a": 3, "gone_query": 2}
+    assert effective_coverage(merged, cov, None) == cov
+    assert effective_coverage(merged, cov, {}) == cov
+    # entries with no recorded fp (or deleted from the catalog) keep their round
+    assert effective_coverage(merged, cov, {"other": "abc"}) == cov
+
+
+def test_snapshot_v2_roundtrip(tmp_path, monkeypatch):
+    import json as _json
+
+    snap = tmp_path / "coverage.json"
+    snap.write_text(_json.dumps({
+        "version": 2,
+        "entries": {"a": {"round": 4, "fp": "deadbeefdeadbeef"}, "b": {"round": 5}},
+    }))
+    monkeypatch.setattr(coverage_mod, "_SNAPSHOT", snap)
+    rounds, fps = coverage_mod._read_snapshot()
+    assert rounds == {"a": 4, "b": 5}
+    assert fps == {"a": "deadbeefdeadbeef"}
+
+
+def test_snapshot_v1_backcompat(tmp_path, monkeypatch):
+    import json as _json
+
+    snap = tmp_path / "coverage.json"
+    snap.write_text(_json.dumps({"a": 3, "b": 4}))
+    monkeypatch.setattr(coverage_mod, "_SNAPSHOT", snap)
+    rounds, fps = coverage_mod._read_snapshot()
+    assert rounds == {"a": 3, "b": 4}
+    assert fps == {}

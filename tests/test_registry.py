@@ -11,7 +11,12 @@ representative inside the window.
 
 from __future__ import annotations
 
-from customer_activity_lakehouse_spark.plans import COVERAGE, QUERIES, _MERGED
+from customer_activity_lakehouse_spark.plans import (
+    COVERAGE,
+    EFFECTIVE_COVERAGE,
+    QUERIES,
+    _MERGED,
+)
 from customer_activity_lakehouse_spark.plans.coverage import REQUIRED_FAMILIES, catalog_order
 
 DRIVER_WINDOW = 50
@@ -37,7 +42,7 @@ def test_no_entry_goes_two_rounds_unchecked():
     gets a fresh row this round."""
     current_round = max(COVERAGE.values()) + 1
     order = list(QUERIES)
-    stale = [n for n in order if COVERAGE.get(n, 0) <= current_round - 2]
+    stale = [n for n in order if EFFECTIVE_COVERAGE.get(n, 0) <= current_round - 2]
     assert len(stale) <= DRIVER_WINDOW, (
         f"{len(stale)} stale entries cannot all fit the {DRIVER_WINDOW}-entry "
         "driver window — catalog has outgrown the rotation; shrink families "
@@ -48,16 +53,23 @@ def test_no_entry_goes_two_rounds_unchecked():
 
 
 def test_stalest_entries_lead():
-    """Never-checked entries come before everything checked, and tiers are
-    non-decreasing in last-green round."""
+    """Never-checked (or rewritten-since-green) entries come before
+    everything checked, and tiers are non-decreasing in last-green round."""
     order = list(QUERIES)
-    rounds = [COVERAGE.get(n, 0) for n in order]
+    rounds = [EFFECTIVE_COVERAGE.get(n, 0) for n in order]
     assert rounds == sorted(rounds), "catalog order not non-decreasing in staleness tier"
 
 
 def test_ordering_is_deterministic():
-    assert list(QUERIES) == catalog_order(_MERGED, COVERAGE)
-    assert catalog_order(_MERGED, COVERAGE) == catalog_order(_MERGED, COVERAGE)
+    assert list(QUERIES) == catalog_order(_MERGED, EFFECTIVE_COVERAGE)
+    assert catalog_order(_MERGED, EFFECTIVE_COVERAGE) == catalog_order(_MERGED, EFFECTIVE_COVERAGE)
+
+
+def test_effective_coverage_only_demotes():
+    """Change-awareness may reset an entry to tier 0, never promote it."""
+    for name, round_no in EFFECTIVE_COVERAGE.items():
+        assert round_no == COVERAGE[name]
+    assert set(EFFECTIVE_COVERAGE) <= set(COVERAGE)
 
 
 def test_every_oracled_family_has_an_entry_in_window():
