@@ -303,8 +303,15 @@ def _anomaly_fold(
     hist = list(hist)
     out = {"event_type": [], "bucket": [], "n_events": [], "zscore": []}
 
-    for pdf in pdf_iter:
-        minutes = (pdf["ts"].astype("int64") // 60_000_000_000).sort_values().tolist()
+    # Drain ALL Arrow chunks before folding: applyInPandasWithState does not
+    # guarantee time-ordering ACROSS the chunks of one group in a micro-batch,
+    # so a per-chunk sort could close a bucket early and silently drop
+    # perfectly in-order events as "late" (ADVICE r5). One global sort per
+    # (group, micro-batch) — memory stays O(events of this key in the batch),
+    # which the chunk list already held anyway.
+    chunks = [pdf["ts"].astype("int64") // 60_000_000_000 for pdf in pdf_iter]
+    if chunks:
+        minutes = pd.concat(chunks).sort_values().tolist()
         for m in minutes:
             if cur_minute is None:
                 cur_minute, cur_count = m, 0
