@@ -104,9 +104,21 @@ def decode_avi_mjpeg(payload: bytes) -> tuple[list[np.ndarray], float]:
             size = struct.unpack_from("<I", data, pos + 4)[0]
             body_start = pos + 8
             body_end = body_start + size
+            # Never trust a declared chunk size past the enclosing buffer: a
+            # malformed payload would otherwise silently truncate the slice
+            # or fail deep inside decode_jpeg/struct (ADVICE r5).
+            if body_end > end:
+                raise ValueError(
+                    f"malformed AVI: chunk {fourcc!r} at {pos} declares {size} "
+                    f"bytes, {end - body_start} remain in its parent"
+                )
             if fourcc == b"LIST":
+                if size < 4:
+                    raise ValueError(f"malformed AVI: LIST at {pos} too short for a type")
                 walk(data, body_start + 4, body_end)  # skip the list type
             elif fourcc == b"avih":
+                if size < 4:
+                    raise ValueError("malformed AVI: avih chunk too short")
                 micro_per_frame = struct.unpack_from("<I", data, body_start)[0]
                 if micro_per_frame:
                     fps = 1_000_000 / micro_per_frame
@@ -114,7 +126,7 @@ def decode_avi_mjpeg(payload: bytes) -> tuple[list[np.ndarray], float]:
                 frames.append(decode_jpeg(data[body_start:body_end]))
             pos = body_end + (size % 2)  # word alignment
 
-    walk(payload, 12, len(payload))
+    walk(payload, 12, min(struct.unpack_from("<I", payload, 4)[0] + 8, len(payload)))
     if not frames:
         raise ValueError("AVI contains no video frame chunks")
     return frames, fps or 1.0

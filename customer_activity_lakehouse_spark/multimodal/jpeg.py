@@ -297,8 +297,12 @@ class _BitReader:
         self.nbits = 0
 
     def _fill(self) -> None:
+        if self.pos >= len(self.data):
+            raise ValueError("truncated JPEG: entropy data ends mid-stream")
         b = self.data[self.pos]
         if b == 0xFF:
+            if self.pos + 1 >= len(self.data):
+                raise ValueError("truncated JPEG: dangling 0xFF at end of entropy data")
             nxt = self.data[self.pos + 1]
             if nxt == 0x00:
                 self.pos += 2
@@ -324,10 +328,19 @@ class _BitReader:
         return v
 
     def align_past_rst(self) -> None:
-        """Discard partial byte and consume the RSTn marker."""
+        """Discard partial byte and consume the RSTn marker (tolerating
+        spec-legal 0xFF fill bytes before it, T.81 B.1.1.2)."""
         self.acc = 0
         self.nbits = 0
-        assert self.data[self.pos] == 0xFF and 0xD0 <= self.data[self.pos + 1] <= 0xD7
+        while self.pos + 1 < len(self.data) and self.data[self.pos : self.pos + 2] == b"\xff\xff":
+            self.pos += 1
+        if self.pos + 1 >= len(self.data):
+            raise ValueError("truncated JPEG: expected RST marker, hit end of data")
+        if not (self.data[self.pos] == 0xFF and 0xD0 <= self.data[self.pos + 1] <= 0xD7):
+            raise ValueError(
+                f"malformed JPEG: expected RST marker at {self.pos}, found "
+                f"0x{self.data[self.pos]:02X}{self.data[self.pos + 1]:02X}"
+            )
         self.pos += 2
 
 
@@ -376,13 +389,25 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     while pos < len(payload):
         if payload[pos] != 0xFF:
             raise ValueError(f"expected marker at {pos}")
+        # spec-legal 0xFF fill bytes may pad before any marker (T.81 B.1.1.2)
+        while pos + 1 < len(payload) and payload[pos + 1] == 0xFF:
+            pos += 1
+        if pos + 1 >= len(payload):
+            raise ValueError("truncated JPEG: dangling 0xFF at end of stream")
         marker = payload[pos + 1]
         pos += 2
         if marker == 0xD9:  # EOI
             break
         if marker in (0x01, *range(0xD0, 0xD8)):  # standalone
             continue
+        if pos + 2 > len(payload):
+            raise ValueError("truncated JPEG: marker segment length missing")
         seg_len = struct.unpack_from(">H", payload, pos)[0]
+        if seg_len < 2 or pos + seg_len > len(payload):
+            raise ValueError(
+                f"malformed JPEG: segment 0xFF{marker:02X} declares {seg_len} bytes, "
+                f"{len(payload) - pos} remain"
+            )
         body = payload[pos + 2 : pos + seg_len]
         if marker == 0xDB:  # DQT (possibly multiple tables per segment)
             off = 0
@@ -390,6 +415,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 pq, tq = body[off] >> 4, body[off] & 0xF
                 if pq != 0:
                     raise ValueError("16-bit quant tables unsupported (baseline)")
+                if off + 65 > len(body):
+                    raise ValueError("malformed JPEG: DQT segment shorter than declared")
                 tbl = np.zeros(64, dtype=np.int64)
                 tbl[ZIGZAG] = np.frombuffer(body, np.uint8, 64, off + 1)
                 quants[tq] = tbl.reshape(8, 8)
@@ -400,13 +427,19 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 tc, th = body[off] >> 4, body[off] & 0xF
                 counts = list(body[off + 1 : off + 17])
                 n = sum(counts)
+                if len(counts) < 16 or off + 17 + n > len(body):
+                    raise ValueError("malformed JPEG: DHT segment shorter than declared")
                 syms = list(body[off + 17 : off + 17 + n])
                 huffs[(tc, th)] = _HuffTable(counts, syms)
                 off += 17 + n
         elif marker == 0xC0:  # SOF0 baseline
+            if len(body) < 6:
+                raise ValueError("malformed JPEG: SOF0 segment too short")
             precision, h, w, ncomp = struct.unpack_from(">BHHB", body, 0)
             if precision != 8:
                 raise ValueError("only 8-bit precision supported")
+            if len(body) < 6 + 3 * ncomp:
+                raise ValueError("malformed JPEG: SOF0 component list truncated")
             comps = []
             for i in range(ncomp):
                 cid, hv, tq = body[6 + 3 * i : 9 + 3 * i]
@@ -417,10 +450,14 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 f"unsupported SOF marker 0xFF{marker:02X} — baseline sequential only"
             )
         elif marker == 0xDD:  # DRI
+            if len(body) < 2:
+                raise ValueError("malformed JPEG: DRI segment too short")
             restart_interval = struct.unpack_from(">H", body, 0)[0]
         elif marker == 0xDA:  # SOS — entropy data follows
             if sof is None:
                 raise ValueError("SOS before SOF0")
+            if len(body) < 1 or len(body) < 1 + 2 * body[0]:
+                raise ValueError("malformed JPEG: SOS component list truncated")
             ns = body[0]
             scan_tables = {}
             for i in range(ns):
@@ -492,9 +529,14 @@ def _decode_scan(data, pos, sof, scan_tables, quants, huffs, restart_interval):
                 preds = [0] * len(comps)
         except _RestartMarker:
             # restart marker arrived (tolerate encoders that emit it even
-            # when our counter disagrees): realign and reset predictors
+            # when our counter disagrees): realign and reset predictors.
+            # align_past_rst makes 2+ bytes of progress or raises ValueError,
+            # so this loop cannot walk past EOF (ADVICE r5).
             reader.align_past_rst()
             preds = [0] * len(comps)
+        except EOFError as exc:
+            # a non-RST marker inside entropy data before all MCUs decoded
+            raise ValueError(f"malformed JPEG: {exc} at MCU {mcu}/{n_mcus}") from exc
 
     # upsample each component to full resolution and crop
     full = []

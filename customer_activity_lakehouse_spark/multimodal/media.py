@@ -208,7 +208,16 @@ def _decode_wav_mulaw(payload: bytes) -> tuple[np.ndarray, int]:
     while pos + 8 <= end:
         fourcc = payload[pos : pos + 4]
         size = struct.unpack_from("<I", payload, pos + 4)[0]
+        if pos + 8 + size > end:
+            # declared chunk size overruns the buffer — fail here with a
+            # container-level error, not deep inside frombuffer (ADVICE r5)
+            raise ValueError(
+                f"malformed WAV: chunk {fourcc!r} declares {size} bytes, "
+                f"{end - pos - 8} remain"
+            )
         if fourcc == b"fmt ":
+            if size < 8:
+                raise ValueError("malformed WAV: fmt chunk too short")
             tag, channels, sample_rate = struct.unpack_from("<HHI", payload, pos + 8)
             if tag != 7:
                 raise ValueError(f"not a mu-law WAV (format tag {tag})")
@@ -227,9 +236,13 @@ def _wav_format_tag(payload: bytes) -> int | None:
     """Audio format tag from a RIFF/WAVE payload's fmt chunk (None if absent)."""
     pos, end = 12, len(payload)
     while pos + 8 <= end:
-        if payload[pos : pos + 4] == b"fmt ":
-            return struct.unpack_from("<H", payload, pos + 8)[0]
         size = struct.unpack_from("<I", payload, pos + 4)[0]
+        if payload[pos : pos + 4] == b"fmt ":
+            if size < 2 or pos + 10 > end:
+                return None
+            return struct.unpack_from("<H", payload, pos + 8)[0]
+        if pos + 8 + size > end:
+            return None  # overrunning chunk: not a well-formed WAV, no tag
         pos += 8 + size + (size % 2)
     return None
 
@@ -321,6 +334,11 @@ def _decode_png(payload: bytes) -> np.ndarray:
     while pos + 8 <= len(payload):
         (length,) = struct.unpack_from(">I", payload, pos)
         typ = payload[pos + 4 : pos + 8]
+        if pos + 12 + length > len(payload):
+            raise ValueError(
+                f"malformed PNG: chunk {typ!r} declares {length} bytes, "
+                f"{len(payload) - pos - 12} remain"
+            )
         data = payload[pos + 8 : pos + 8 + length]
         pos += 12 + length  # length + type + data + crc
         if typ == b"IHDR":

@@ -372,3 +372,70 @@ def test_real_png_decode_through_operators(spark):
     yi = (np.arange(5) * 12 // 5).astype(int)
     xi = (np.arange(5) * 7 // 5).astype(int)
     assert (arr == img[yi][:, xi]).all()
+
+
+def test_malformed_payloads_raise_clean_errors():
+    """Truncated or corrupt containers must raise container-level
+    ValueErrors, never raw IndexError/struct.error from deep inside a
+    decoder (ADVICE r5: jpeg.py bit reader, avi.py/media.py RIFF walkers)."""
+    import numpy as np
+    import pytest
+
+    from customer_activity_lakehouse_spark.multimodal.avi import (
+        decode_avi_mjpeg,
+        encode_avi_mjpeg,
+    )
+    from customer_activity_lakehouse_spark.multimodal.jpeg import decode_jpeg, encode_jpeg
+    from customer_activity_lakehouse_spark.multimodal.media import (
+        _decode_png,
+        _decode_wav_mulaw,
+        _wav_format_tag,
+        encode_png,
+        encode_wav_mulaw,
+    )
+
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, size=(24, 24, 3), dtype=np.uint8)
+    jpeg = encode_jpeg(img, quality=90)
+
+    # JPEG truncated inside entropy data -> clean "truncated JPEG"
+    with pytest.raises(ValueError, match="truncated JPEG"):
+        decode_jpeg(jpeg[: len(jpeg) - len(jpeg) // 4])
+    # JPEG truncated inside the segment headers
+    sof = jpeg.find(b"\xff\xc0")
+    with pytest.raises(ValueError, match="malformed JPEG|truncated JPEG"):
+        decode_jpeg(jpeg[: sof + 6])
+    # segment declaring more bytes than remain
+    broken = bytearray(jpeg)
+    broken[sof + 2 : sof + 4] = (0xFF, 0xFF)  # SOF0 length -> 65535
+    with pytest.raises(ValueError, match="malformed JPEG"):
+        decode_jpeg(bytes(broken))
+
+    # spec-legal 0xFF fill bytes before a marker still decode (T.81 B.1.1.2)
+    padded = jpeg[:2] + b"\xff" * 3 + jpeg[2:]
+    assert (decode_jpeg(padded) == decode_jpeg(jpeg)).all()
+
+    # AVI chunk size overrunning its parent -> malformed AVI, not deep failure
+    avi = bytearray(encode_avi_mjpeg([img, img], fps=5))
+    movi = bytes(avi).find(b"00dc")
+    avi[movi + 4 : movi + 8] = (0xFF, 0xFF, 0xFF, 0x0F)
+    with pytest.raises(ValueError, match="malformed AVI"):
+        decode_avi_mjpeg(bytes(avi))
+
+    # mu-law WAV data chunk overrunning the buffer -> malformed WAV
+    wave_f32 = np.sin(np.linspace(0, 20, 800)).astype(np.float32)
+    wav = bytearray(encode_wav_mulaw(wave_f32, 8000))
+    data_at = bytes(wav).find(b"data")
+    wav[data_at + 4 : data_at + 8] = (0xFF, 0xFF, 0xFF, 0x0F)
+    with pytest.raises(ValueError, match="malformed WAV"):
+        _decode_wav_mulaw(bytes(wav))
+    # the sniffing helper must stay exception-free on the same junk
+    assert _wav_format_tag(bytes(wav)) in (None, 7)
+    assert _wav_format_tag(b"RIFF\x00\x00\x00\x00WAVE") is None
+
+    # PNG chunk overrunning the buffer -> malformed PNG
+    png = bytearray(encode_png(img))
+    idat = bytes(png).find(b"IDAT")
+    png[idat - 4 : idat] = (0x0F, 0xFF, 0xFF, 0xFF)
+    with pytest.raises(ValueError, match="malformed PNG"):
+        _decode_png(bytes(png))
