@@ -1151,10 +1151,141 @@ SELECT (SELECT count(*) FROM s1) AS n_viewed,
 """
 
 
+def q_events_sliding_rates(spark: SparkSession, sf: str) -> DataFrame:
+    """Sliding-window rollup (15-minute windows every 5 minutes) — the batch
+    twin of the streaming layer's ``sliding_event_rates``. ``F.window`` with
+    a slide emits each event into windowDuration/slideDuration = 3
+    epoch-aligned windows (a generator, not a shuffle); the only exchange
+    is the final partial-agg groupBy on (window, type) buckets — events
+    never shuffle raw. Value sums are decimal-exact (money_sum)."""
+    ev = table(spark, sf, "events")
+    return (
+        ev.groupBy(F.window("ts", "15 minutes", "5 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            money_sum("value").alias("total_value"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+# Spark's sliding windows are epoch-aligned multiples of the slide; the
+# oracle rebuilds them as time_bucket(5 min) - k*5min for k in 0..2 (every
+# event belongs to exactly those three 15-minute windows).
+ORACLE_EVENTS_SLIDING_RATES = f"""
+SELECT strftime(time_bucket(INTERVAL 5 MINUTE, ts) - k * INTERVAL 5 MINUTE,
+                '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type, count(*) AS n_events,
+       {sql_money_sum("value")} AS total_value
+FROM events, (SELECT unnest(range(3)) AS k)
+GROUP BY window_start, event_type
+"""
+
+
+PARETO_BAND_WIDTH = 50_000  # revenue band for the two-level distributed scan
+
+
+def q_revenue_pareto_customers(spark: SparkSession, sf: str) -> DataFrame:
+    """Pareto concentration: how few customers produce half of all order
+    revenue. The global cumulative sum is computed WITHOUT a single-
+    partition window via a two-level banded scan: (1) per-customer decimal
+    revenue (the only big shuffle), (2) customers bucket into fixed revenue
+    bands whose per-band totals form a TINY table (≤ max_rev/band_width
+    rows) where a plain window computes each band's preceding-bands sum,
+    (3) that offset broadcasts back and a window PARTITIONED BY band (a
+    bounded partition) finishes the exact global prefix sum. Bands
+    partition the revenue ordering (every rev in band b+1 > every rev in
+    band b), so banded cum == global cum exactly; all sums are decimal.
+    The halfway comparison is ``2*(cum - rev) < total`` — decimal-exact,
+    no division. Output: one row (n_pareto_customers, n_customers,
+    customer_share)."""
+    per = (
+        table(spark, sf, "orders")
+        .groupBy("o_custkey")
+        .agg(F.sum(_dec("o_totalprice")).alias("rev"))
+        .withColumn("band", F.floor(F.col("rev") / PARETO_BAND_WIDTH).cast("long"))
+    )
+    # One tiny band table carries BOTH the per-band prefix offsets and the
+    # grand totals (full-frame window), so `per` has exactly two consumers —
+    # this branch and the final join — whose identical o_custkey Exchange
+    # AQE deduplicates at runtime (ReusedExchange; verified in the plan).
+    w_band = (
+        Window.orderBy(F.col("band").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.orderBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    band_tbl = (
+        per.groupBy("band")
+        .agg(F.sum("rev").alias("band_rev"), F.count(F.lit(1)).alias("band_n"))
+        .select(
+            "band",
+            (F.sum("band_rev").over(w_band) - F.col("band_rev")).alias("cum_before_band"),
+            F.sum("band_rev").over(w_all).alias("total_rev"),
+            F.sum("band_n").over(w_all).alias("n_customers"),
+        )
+    )
+    w_in_band = (
+        Window.partitionBy("band")
+        .orderBy(F.col("rev").desc(), "o_custkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        per.join(F.broadcast(band_tbl), "band")
+        .select(
+            "rev",
+            "total_rev",
+            "n_customers",
+            (F.col("cum_before_band") + F.sum("rev").over(w_in_band)).alias("cum_rev"),
+        )
+        .filter((F.col("cum_rev") - F.col("rev")) * 2 < F.col("total_rev"))
+        .groupBy("n_customers")
+        .agg(F.count(F.lit(1)).alias("n_pareto_customers"))
+        .select(
+            "n_pareto_customers",
+            "n_customers",
+            F.round(
+                F.col("n_pareto_customers").cast("double") / F.col("n_customers"), 4
+            ).alias("customer_share"),
+        )
+    )
+
+
+ORACLE_REVENUE_PARETO_CUSTOMERS = """
+WITH per AS (
+  SELECT o_custkey, sum(o_totalprice::DECIMAL(18,2)) AS rev
+  FROM orders GROUP BY o_custkey),
+tot AS (SELECT sum(rev) AS total_rev, count(*) AS n_customers FROM per),
+cum AS (
+  SELECT rev, sum(rev) OVER (ORDER BY rev DESC, o_custkey
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum_rev
+  FROM per)
+SELECT count(*) AS n_pareto_customers,
+       (SELECT n_customers FROM tot) AS n_customers,
+       round(count(*)::DOUBLE / (SELECT n_customers FROM tot), 4) AS customer_share
+FROM cum WHERE (cum_rev - rev) * 2 < (SELECT total_rev FROM tot)
+"""
+
+
 QUERIES: dict[str, Query] = {
     "pricing_summary": Query(q_pricing_summary, ORACLE_PRICING_SUMMARY, ("tpch", "agg"), True),
     "customer_rfm_segments": Query(
         q_customer_rfm_segments, ORACLE_CUSTOMER_RFM_SEGMENTS, ("star", "agg", "quantile")
+    ),
+    "events_sliding_rates": Query(
+        q_events_sliding_rates, ORACLE_EVENTS_SLIDING_RATES, ("events", "window-agg", "sliding")
+    ),
+    "revenue_pareto_customers": Query(
+        q_revenue_pareto_customers,
+        ORACLE_REVENUE_PARETO_CUSTOMERS,
+        ("tpch", "window", "cume", "agg"),
     ),
     "events_retention_cohorts": Query(
         q_events_retention_cohorts, ORACLE_EVENTS_RETENTION_COHORTS, ("events", "agg")

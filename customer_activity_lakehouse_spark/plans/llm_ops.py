@@ -1637,6 +1637,44 @@ SELECT node AS doc_id, min(label) AS cluster_id FROM cc GROUP BY node
 """
 
 
+ORACLE_DEDUP_SURVIVOR_STATS = f"""
+SELECT source, count(*) AS n_docs,
+       sum(CASE WHEN d.doc_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_dropped,
+       sum(CASE WHEN d.doc_id IS NULL THEN n_chars ELSE 0 END)::BIGINT AS kept_chars
+FROM documents
+LEFT JOIN (SELECT doc_id FROM ({ORACLE_DEDUP_CLUSTER_ASSIGNMENTS})
+           WHERE doc_id != cluster_id) d USING (doc_id)
+GROUP BY source
+"""
+
+
+def q_dedup_survivor_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """The dedup END PRODUCT: apply the cluster assignments — drop every
+    non-canonical member (doc_id != cluster_id), keep the canonical doc per
+    cluster plus all unclustered docs — and report the surviving corpus per
+    source (kept/dropped counts, surviving chars). Scale shape: the
+    assignment frame holds only docs in near-dup clusters (a sliver of the
+    corpus), so the drop list rides a BROADCAST left join; the corpus
+    itself never shuffles — one scan + one partial-agg groupBy on sources."""
+    drops = (
+        q_dedup_cluster_assignments(spark, sf)
+        .filter(F.col("doc_id") != F.col("cluster_id"))
+        .select("doc_id", F.lit(1).alias("dropped"))
+    )
+    docs = table(spark, sf, "documents")
+    return (
+        docs.join(F.broadcast(drops), "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.coalesce(F.col("dropped"), F.lit(0))).cast("long").alias("n_dropped"),
+            F.sum(F.when(F.col("dropped").isNull(), F.col("n_chars")).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("kept_chars"),
+        )
+    )
+
+
 def q_dedup_ngram_jaccard(
     spark: SparkSession, sf: str, max_rows: int | None = QUADRATIC_MAX_ROWS
 ) -> DataFrame:
@@ -2473,6 +2511,113 @@ GROUP BY label
 """
 
 
+def q_doc_length_histogram(spark: SparkSession, sf: str) -> DataFrame:
+    """Log2-bucketed token-length histogram — the corpus-profiling pass every
+    training-data pipeline runs before choosing packing budgets and length
+    filters. Bucket = number of binary digits of n_tok (floor(log2)+1 for
+    n ≥ 1; empty docs share bucket 1 with 1-token docs), computed
+    INTEGER-exactly via the binary string length — no float log2, whose
+    libm rounding at power-of-two boundaries can differ between engines.
+    Scale shape: one scan, one partial-agg groupBy on ≤ ~40 bucket keys."""
+    docs = table(spark, sf, "documents")
+    n_tok = F.size(_tokens(F.col("text")))
+    return (
+        docs.select(
+            n_tok.alias("n_tok"),
+            F.length(F.bin(n_tok.cast("long"))).alias("len_bucket"),
+        )
+        .groupBy("len_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("total_tokens"),
+            F.min("n_tok").alias("min_tok"),
+            F.max("n_tok").alias("max_tok"),
+        )
+    )
+
+
+ORACLE_DOC_LENGTH_HISTOGRAM = f"""
+SELECT length(format('{{:b}}', n_tok)) AS len_bucket,
+       count(*) AS n_docs,
+       sum(n_tok)::BIGINT AS total_tokens,
+       min(n_tok) AS min_tok,
+       max(n_tok) AS max_tok
+FROM (SELECT len({_SQL_TOKENS}) AS n_tok FROM documents)
+GROUP BY len_bucket
+"""
+
+
+# md5 first hex digit: < 'a' → train (10/16), < 'd' → val (3/16), else test.
+SPLIT_TRAIN_BOUND = "a"
+SPLIT_VAL_BOUND = "d"
+
+
+def q_doc_split_assign(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic train/val/test split with a per-source balance report.
+    Assignment hashes ONLY the doc id (md5 first hex digit), so every
+    engine, run, and cluster assigns each doc to the same split — the
+    reproducibility property ``randomSplit`` cannot give (it re-draws under
+    retries/repartitioning). Grouping the report by source exposes mixture
+    skew across splits before training sees it. Scale: one scan, one
+    partial-agg groupBy on (#sources × 3) keys."""
+    docs = table(spark, sf, "documents")
+    d = F.substring(_md5s(F.col("doc_id").cast("string")), 1, 1)
+    split = (
+        F.when(d < SPLIT_TRAIN_BOUND, "train")
+        .when(d < SPLIT_VAL_BOUND, "val")
+        .otherwise("test")
+    )
+    return docs.groupBy(F.col("source"), split.alias("split")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    )
+
+
+ORACLE_DOC_SPLIT_ASSIGN = f"""
+SELECT source,
+       CASE WHEN substr(md5(doc_id::VARCHAR), 1, 1) < '{SPLIT_TRAIN_BOUND}' THEN 'train'
+            WHEN substr(md5(doc_id::VARCHAR), 1, 1) < '{SPLIT_VAL_BOUND}' THEN 'val'
+            ELSE 'test' END AS split,
+       count(*) AS n_docs,
+       sum(n_chars)::BIGINT AS total_chars
+FROM documents
+GROUP BY source, split
+"""
+
+
+RANGE_COS_MIN = 0.30  # cosine radius for range search
+
+
+def q_ann_range_search(spark: SparkSession, sf: str) -> DataFrame:
+    """Similarity RANGE search: every vector within cosine ≥ 0.30 of the
+    query (vec_id=0) — the "all neighbors in a radius" complement of top-k
+    (dedup candidate pull, recommendation fan-out). Threshold compares the
+    4dp-ROUNDED score so the boundary membership is engine-exact. Same
+    scale shape as the brute-force baseline: query broadcast, one scan, no
+    shuffle of the vector table; the LSH/IVF bucketed variants are the
+    100 TB path exactly as for top-k."""
+    emb = table(spark, sf, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q_emb"))
+    cos = _dot_expr(F.col("embedding"), F.col("q_emb")) / (
+        _norm_expr(F.col("embedding")) * _norm_expr(F.col("q_emb"))
+    )
+    return (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", F.round(cos, 4).alias("cos_sim"))
+        .filter(F.col("cos_sim") >= RANGE_COS_MIN)
+    )
+
+
+ORACLE_ANN_RANGE_SEARCH = f"""
+SELECT a.vec_id AS vec_id,
+       round({_SQL_DOT} / ({_SQL_NORM_A} * {_SQL_NORM_Q}), 4) AS cos_sim
+FROM embeddings a, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+WHERE a.vec_id != 0
+  AND round({_SQL_DOT} / ({_SQL_NORM_A} * {_SQL_NORM_Q}), 4) >= {RANGE_COS_MIN}
+"""
+
+
 QUERIES: dict[str, Query] = {
     "doc_token_stats": Query(q_doc_token_stats, ORACLE_DOC_TOKEN_STATS, ("text",), True),
     "doc_quality": Query(q_doc_quality, ORACLE_DOC_QUALITY, ("text",)),
@@ -2563,5 +2708,17 @@ QUERIES: dict[str, Query] = {
     ),
     "embedding_norm_stats": Query(
         q_embedding_norm_stats, ORACLE_EMBEDDING_NORM_STATS, ("similarity",)
+    ),
+    "dedup_survivor_stats": Query(
+        q_dedup_survivor_stats, ORACLE_DEDUP_SURVIVOR_STATS, ("dedup", "lsh", "graph")
+    ),
+    "doc_length_histogram": Query(
+        q_doc_length_histogram, ORACLE_DOC_LENGTH_HISTOGRAM, ("text", "histogram")
+    ),
+    "doc_split_assign": Query(
+        q_doc_split_assign, ORACLE_DOC_SPLIT_ASSIGN, ("text", "sampling", "split")
+    ),
+    "ann_range_search": Query(
+        q_ann_range_search, ORACLE_ANN_RANGE_SEARCH, ("similarity", "range-search")
     ),
 }

@@ -151,6 +151,33 @@ def test_curation_funnel_no_nested_loop_and_broadcast_flags(spark, sf_correctnes
     assert "BroadcastExchange" in plan  # bench-gram set rides a broadcast
 
 
+def test_pareto_prefix_sum_never_single_partitions_customers(spark, sf_correctness):
+    """The Pareto query's exact global cumulative sum must run as the
+    two-level banded scan: the only SinglePartition exchange is the TINY
+    per-band table (downstream of the band groupBy), and the per-customer
+    window is PARTITIONED BY band — a global ORDER BY window over customers
+    would single-task at scale."""
+    plan = explain_str(QUERIES["revenue_pareto_customers"].fn(spark, sf_correctness))
+    # exactly one SinglePartition exchange, and it must sit in the banded
+    # rollup branch (above a band-keyed aggregate), not over raw customers
+    assert plan.count("SinglePartition") == 1, plan
+    # the big-side window is keyed by band (bounded partitions)
+    assert "windowspecdefinition(band" in plan, "customer window lost its band key"
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+def test_sliding_rates_two_exchanges_no_raw_event_shuffle(spark, sf_correctness):
+    """Sliding windows are a generator (3 windows per event) + partial-agg
+    groupBy: exactly two hash exchanges (partial->final agg), no join, no
+    shuffle of raw events."""
+    import re
+
+    plan = explain_str(QUERIES["events_sliding_rates"].fn(spark, sf_correctness))
+    n_exchanges = len(re.findall(r"^\(\d+\) Exchange$", plan, re.M))
+    assert n_exchanges <= 2, plan
+    assert "Join" not in plan
+
+
 def test_vocab_topk_is_take_ordered(spark, sf_correctness):
     """Top-K vocab selection must be TakeOrderedAndProject (per-partition
     heaps), not a full sort of the vocabulary."""
