@@ -3,6 +3,7 @@ from .streams import (
     hourly_event_counts,
     purchases_with_recent_clicks,
     read_events_stream,
+    read_rate_events_stream,
     sessionize_stream,
     sliding_event_rates,
     stream_dedup_events,
@@ -16,6 +17,7 @@ __all__ = [
     "hourly_event_counts",
     "purchases_with_recent_clicks",
     "read_events_stream",
+    "read_rate_events_stream",
     "sessionize_stream",
     "sliding_event_rates",
     "stream_dedup_events",

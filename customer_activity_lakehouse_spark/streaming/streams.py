@@ -60,6 +60,47 @@ def read_events_stream(
     return reader.load(path)
 
 
+RATE_EVENT_TYPES = ("view", "click", "purchase")
+
+
+def read_rate_events_stream(
+    spark: SparkSession,
+    rows_per_batch: int = 1000,
+    start_epoch_s: int = 1_700_000_000,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Message-bus stand-in source (the reference names Kafka as future work,
+    ReadMe.md:99; no broker ships in this environment): the built-in
+    ``rate-micro-batch`` format generates a monotonically increasing
+    ``value`` column with a FIXED number of rows per micro-batch, which we
+    map into the events schema fully deterministically — row index ``v``
+    produces the identical event on every machine, run, and partitioning
+    (unlike the wall-clock ``rate`` source), so windowed results over the
+    stream are batch-checkable. Event time advances one second per row from
+    ``start_epoch_s``; type/user/value/props are all functions of ``v``.
+
+    At scale the same transformation applies verbatim to a real
+    ``spark.readStream.format("kafka")`` reader (value parsing replaces the
+    synthetic mapping); everything downstream — watermarks, windows, the
+    stateful operators — is source-agnostic."""
+    reader = spark.readStream.format("rate-micro-batch").option(
+        "rowsPerBatch", str(rows_per_batch)
+    )
+    if num_partitions is not None:
+        reader = reader.option("numPartitions", str(num_partitions))
+    v = F.col("value")
+    return reader.load().select(
+        v.alias("event_id"),
+        F.timestamp_seconds(F.lit(start_epoch_s) + v).alias("ts"),
+        (v % 50).alias("user_id"),
+        F.element_at(
+            F.array(*[F.lit(t) for t in RATE_EVENT_TYPES]), (v % 3 + 1).cast("int")
+        ).alias("event_type"),
+        ((v % 100).cast("double") / 10.0).alias("value"),
+        F.to_json(F.struct((v % 7).alias("k"))).alias("props"),
+    )
+
+
 def hourly_event_counts(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     """Tumbling 1-hour windows per event_type, tolerating ``watermark`` of
     event-time lateness. Append-mode-safe: rows emit once the watermark

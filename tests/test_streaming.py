@@ -428,3 +428,86 @@ def test_anomaly_stream_matches_batch_long_series_with_gap(spark, tmp_path):
     # both spikes alert in batch; the gap minutes produce no buckets
     assert {w[1] for w in want} == {"2026-03-01 00:20:00", "2026-03-01 00:40:00"}
     assert sorted(got) == sorted(want)
+
+
+def test_rate_events_stream_deterministic_and_windowed(spark, tmp_path):
+    """The rate-micro-batch Kafka stand-in (VERDICT r5 next #8): (a) the
+    synthetic mapping is a pure function of the row index — identical events
+    on any run/partitioning; (b) a watermarked tumbling window over the
+    stream agrees exactly with a batch groupBy over the same row range.
+    Row count seen varies with wall clock (the source keeps producing), so
+    assertions are derived from N = rows actually processed, not a fixed
+    batch count."""
+    import json
+
+    from customer_activity_lakehouse_spark.streaming import read_rate_events_stream
+
+    stream = read_rate_events_stream(spark, rows_per_batch=500, num_partitions=2)
+    assert [f.name for f in stream.schema.fields] == [
+        "event_id", "ts", "user_id", "event_type", "value", "props",
+    ]
+
+    raw_rows = []
+    counts = {}
+
+    def raw_sink(batch_df, batch_id):
+        raw_rows.extend(batch_df.collect())
+
+    def window_sink(batch_df, batch_id):
+        for r in batch_df.collect():  # update mode: last value per key wins
+            counts[(r.window_start, r.event_type)] = r.n_events
+
+    q1 = (
+        stream.writeStream.outputMode("append")
+        .foreachBatch(raw_sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt_raw"))
+        .start()
+    )
+    from customer_activity_lakehouse_spark.streaming import hourly_event_counts
+
+    windowed = hourly_event_counts(
+        read_rate_events_stream(spark, rows_per_batch=500, num_partitions=2),
+        watermark="10 minutes",
+    ).drop("window_end", "total_value")
+    q2 = (
+        windowed.writeStream.outputMode("update")
+        .foreachBatch(window_sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt_win"))
+        .start()
+    )
+    import time as _time
+
+    deadline = _time.time() + 60
+    while _time.time() < deadline and (len(raw_rows) < 1500 or not counts):
+        _time.sleep(1)
+    q1.stop(); q2.stop()
+    q1.awaitTermination(30); q2.awaitTermination(30)
+
+    # (a) every collected row is the pure function of its event_id
+    assert len(raw_rows) >= 1500
+    types = ("view", "click", "purchase")
+    for r in raw_rows[:2000]:
+        v = r.event_id
+        assert r.user_id == v % 50
+        assert r.event_type == types[v % 3]
+        assert r.value == (v % 100) / 10.0
+        assert json.loads(r.props) == {"k": v % 7}
+        assert int(r.ts.timestamp()) == 1_700_000_000 + v
+    # contiguous prefix 0..N-1 (no gaps/dups across micro-batches)
+    ids = sorted(r.event_id for r in raw_rows)
+    assert ids == list(range(len(ids)))
+
+    # (b) streaming windowed counts == batch groupBy over rows 0..N-1 for
+    # every window the stream reported (final update per key wins)
+    assert counts
+    n2 = sum(counts.values())  # q2 processed exactly rows 0..n2-1
+    import collections
+
+    want = collections.Counter()
+    for v in range(n2):
+        hour_start = (1_700_000_000 + v) // 3600 * 3600
+        import datetime as dt
+
+        ws = dt.datetime.fromtimestamp(hour_start, dt.timezone.utc).replace(tzinfo=None)
+        want[(ws, types[v % 3])] += 1
+    assert counts == dict(want)
