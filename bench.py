@@ -180,13 +180,16 @@ def main() -> None:
                     "own phase so its writes can't pollute the light queries. "
                     "value sums the FROZEN legacy 18-query set benched since "
                     "r01 (cross-round comparable); value_full sums ALL benched "
-                    "queries (r4 + r5 additions included) so the legacy set "
-                    "can be retired later without losing continuity; "
-                    "etl_pipeline is reported separately in queries. r5 check "
-                    "of the r4 events micro-regressions: the NTZ->timestamp "
-                    "cast in events_table costs ~0.1s per query at sf0.1 "
-                    "(real, not noise; required for timestamp-typed downstream "
-                    "ops and UTC oracle parity) — accepted"
+                    "queries and is the SUCCESSOR headline — cross-round "
+                    "anchor: BENCH_r05 value_full = 13.21 s (sf0.1, local[32]); "
+                    "the legacy set can retire from r7 without losing "
+                    "continuity. etl_pipeline is reported separately in "
+                    "queries. Events NTZ-cast cost (~0.1 s/query at sf0.1, "
+                    "required for UTC oracle parity): re-measured r6 — see "
+                    "events_asof_join/events_range_join in queries vs r5 "
+                    "(0.376/0.359 s); stable, accepted; if the family creeps "
+                    "again, materialize the casted events projection once "
+                    "per bench pass"
                 ),
             }
         )

@@ -24,6 +24,12 @@ HEAVY = [
     "dedup_embedding_cosine_lsh",
     "events_asof_join",
     "dedup_cluster_assignments",
+    # r5 heavies (VERDICT r5 next #3): sf-dependent behavior — threshold
+    # firing (curation gates, z-score alerts) and window/chunk populations —
+    # is invisible at sf0.01
+    "doc_curation_funnel",
+    "events_anomaly_zscore",
+    "doc_dup_chunks",
 ]
 
 
