@@ -185,11 +185,13 @@ def main() -> None:
                     "the legacy set can retire from r7 without losing "
                     "continuity. etl_pipeline is reported separately in "
                     "queries. Events NTZ-cast cost (~0.1 s/query at sf0.1, "
-                    "required for UTC oracle parity): re-measured r6 — see "
-                    "events_asof_join/events_range_join in queries vs r5 "
-                    "(0.376/0.359 s); stable, accepted; if the family creeps "
-                    "again, materialize the casted events projection once "
-                    "per bench pass"
+                    "required for UTC oracle parity): re-measured r6 on "
+                    "unchanged events code — the family moved with the "
+                    "whole-set environmental shift (every query incl. "
+                    "untouched TPC-H moved +5-20% between sessions), i.e. "
+                    "no relative creep; accepted, not chased. If it ever "
+                    "creeps RELATIVE to the set, materialize the casted "
+                    "events projection once per bench pass"
                 ),
             }
         )

@@ -828,6 +828,74 @@ FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
 """
 
 
+def q_lineitem_grouping_sets(spark: SparkSession, sf: str) -> DataFrame:
+    """Explicit GROUPING SETS — the general grouping shape beyond
+    rollup/cube: ((returnflag, linestatus), (returnflag), ()) computed in
+    ONE pass (Catalyst's Expand + the usual partial/final aggregate; no
+    union of three scans), with ``grouping_id`` labeling which set each
+    output row belongs to (both engines use the same bitmask convention:
+    leftmost grouping column = most significant bit)."""
+    li = table(spark, sf, "lineitem")
+    return li.groupingSets(
+        [["l_returnflag", "l_linestatus"], ["l_returnflag"], []],
+        "l_returnflag",
+        "l_linestatus",
+    ).agg(
+        F.grouping_id().alias("gid"),
+        revenue_sum().alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+ORACLE_LINEITEM_GROUPING_SETS = f"""
+SELECT l_returnflag, l_linestatus,
+       GROUPING(l_returnflag, l_linestatus) AS gid,
+       {SQL_REV_SUM} AS revenue, count(*) AS n_lines
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+"""
+
+
+FUZZY_MAX_DIST = 2  # Levenshtein threshold for a candidate match
+
+
+def q_customer_fuzzy_match(spark: SparkSession, sf: str) -> DataFrame:
+    """Entity-resolution primitive: BLOCKED fuzzy self-join. Candidate
+    pairs are generated only within a block (equi-join on nationkey here;
+    at scale block on (nation, name-prefix/phonetic key) so block size
+    stays bounded and the block key remains the only shuffle — never
+    all-pairs), then scored with Levenshtein edit distance (JVM builtin,
+    whole-stage codegen) and kept at ≤ 2 edits. Output per nation:
+    match count and mean distance (integer sum / count, one division)."""
+    cust = table(spark, sf, "customer").select("c_custkey", "c_name", "c_nationkey")
+    a, b = cust.alias("a"), cust.alias("b")
+    dist = F.levenshtein(F.col("a.c_name"), F.col("b.c_name"))
+    return (
+        a.join(
+            b,
+            (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
+            & (F.col("a.c_custkey") < F.col("b.c_custkey")),
+        )
+        .select(F.col("a.c_nationkey").alias("nationkey"), dist.alias("dist"))
+        .filter(F.col("dist") <= FUZZY_MAX_DIST)
+        .groupBy("nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_matches"),
+            F.round(F.sum("dist").cast("double") / F.count(F.lit(1)), 4).alias("avg_dist"),
+        )
+    )
+
+
+ORACLE_CUSTOMER_FUZZY_MATCH = f"""
+SELECT a.c_nationkey AS nationkey, count(*) AS n_matches,
+       round(sum(levenshtein(a.c_name, b.c_name))::DOUBLE / count(*), 4) AS avg_dist
+FROM customer a JOIN customer b
+  ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+WHERE levenshtein(a.c_name, b.c_name) <= {FUZZY_MAX_DIST}
+GROUP BY nationkey
+"""
+
+
 def q_skew_salted_revenue(spark: SparkSession, sf: str) -> DataFrame:
     """Brand revenue rollup routed THROUGH operators/joins.salted_join —
     the oracle row proving the skew-salting primitive is semantics-
@@ -1351,6 +1419,12 @@ QUERIES: dict[str, Query] = {
         q_priority_year_pivot, ORACLE_PRIORITY_YEAR_PIVOT, ("pivot",)
     ),
     "lineitem_cube": Query(q_lineitem_cube, ORACLE_LINEITEM_CUBE, ("cube",)),
+    "lineitem_grouping_sets": Query(
+        q_lineitem_grouping_sets, ORACLE_LINEITEM_GROUPING_SETS, ("cube", "grouping-sets")
+    ),
+    "customer_fuzzy_match": Query(
+        q_customer_fuzzy_match, ORACLE_CUSTOMER_FUZZY_MATCH, ("dedup", "fuzzy", "join")
+    ),
     "skew_salted_revenue": Query(
         q_skew_salted_revenue, ORACLE_SKEW_SALTED_REVENUE, ("join", "skew")
     ),
