@@ -154,6 +154,11 @@ def curate_transactions(spark: SparkSession, cfg: LakehouseConfig) -> None:
         cfg.fact_customer_transactions,
         partition_cols=["transaction_date"],
         target_partitions=cfg.target_partitions,
+        # the raw zone is date-partitioned (one file per date, written by
+        # ingest_transactions) and curate_fact is a narrow transform, so
+        # every input split already holds exactly one date — re-clustering
+        # would shuffle the whole fact table for nothing
+        input_clustered=True,
     )
 
 

@@ -84,6 +84,7 @@ def write_curated_parquet(
     path: str,
     partition_cols: list[str] | None = None,
     target_partitions: int | None = 1,
+    input_clustered: bool = False,
 ) -> None:
     """S6 — curated sink with output-file-count control
     (data_processing.py:399-435; repartition data_processing.py:187-196, 413).
@@ -96,11 +97,24 @@ def write_curated_parquet(
     yields one file per date dir, data_processing.py:413+428): rows are
     clustered on the partition key so each dir is written by that many
     tasks, never by every task (see :func:`_cluster_by_partitions`).
+
+    ``input_clustered=True`` declares that the input is ALREADY laid out
+    by the partition key — e.g. a narrow transform over a scan of a
+    hive-partitioned dir, where every input split holds rows of exactly
+    one partition value — and skips the re-cluster exchange entirely.
+    For raw→curated over a date-partitioned raw zone, that exchange is a
+    full shuffle of the fact table carrying zero information; at 100 TB
+    it IS the cost of the job. File counts are preserved as long as one
+    raw file per partition stays under maxPartitionBytes (a split file
+    writes 2 files for that dir; raise ``files_per_partition`` on the raw
+    sink instead if a single date outgrows one task).
     """
     cols = partition_cols or []
     require_columns(df, cols, "write_curated_parquet")
     out = df
-    if target_partitions is not None:
+    if input_clustered and cols:
+        pass  # trust the scan layout: no exchange of any kind
+    elif target_partitions is not None:
         if cols:
             out = _cluster_by_partitions(df, cols, target_partitions)
         else:

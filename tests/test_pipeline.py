@@ -161,6 +161,19 @@ def test_curated_single_file_outputs(star):
         assert len(files) == 1, f"{path}: {files}"
 
 
+def test_curated_fact_one_file_per_date_without_recluster(star):
+    """curate_transactions skips the re-cluster exchange (input_clustered:
+    the raw zone is already date-partitioned, so re-shuffling the fact
+    table buys nothing — at 100 TB that exchange IS the job cost). The
+    reference's one-file-per-date contract must survive the optimization."""
+    cfg, _, _ = star
+    date_dirs = [d for d in Path(cfg.fact_customer_transactions).iterdir() if d.is_dir()]
+    assert date_dirs, "no date partitions written"
+    for d in date_dirs:
+        files = list(d.glob("*.parquet"))
+        assert len(files) == 1, f"{d}: expected 1 file, got {len(files)}"
+
+
 def test_star_rollup_left_join_keeps_unmatched(star):
     _, tables, _ = star
     out = revenue_by_category_date(
