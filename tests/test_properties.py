@@ -1,0 +1,138 @@
+"""Property-based tests (hypothesis) for the algorithmic kernels whose
+correctness the catalog queries lean on: connected components vs a
+union-find reference, sequence packing invariants, the coverage
+fingerprint's stable repr, and the streaming z-score formula vs an
+independent computation. Spark-driven properties cap example counts —
+each example is a real job."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+# ---------------------------------------------------------------------------
+# connected_components vs union-find
+# ---------------------------------------------------------------------------
+
+
+def _union_find_clusters(edges: list[tuple[int, int]]) -> dict[int, int]:
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 30)).filter(lambda e: e[0] != e[1]),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_connected_components_matches_union_find(spark, edges):
+    from customer_activity_lakehouse_spark.plans.llm_ops import connected_components
+
+    pairs = spark.createDataFrame(
+        [(min(a, b), max(a, b)) for a, b in edges], "doc_a long, doc_b long"
+    ).distinct()
+    got = {r.doc_id: r.cluster_id for r in connected_components(pairs).collect()}
+    assert got == _union_find_clusters(edges)
+
+
+# ---------------------------------------------------------------------------
+# pack_sequences invariants
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(toks=st.lists(st.integers(1, 200), min_size=1, max_size=40))
+def test_pack_sequences_invariants(spark, toks):
+    from customer_activity_lakehouse_spark.plans.llm_ops import (
+        PACK_TOKEN_BUDGET,
+        pack_sequences,
+    )
+
+    rows = [("en", i, n) for i, n in enumerate(toks)]
+    df = spark.createDataFrame(rows, "lang string, doc_id long, n_tok long")
+    out = sorted(
+        ((r.doc_id, r.n_tok, r.pack_id) for r in pack_sequences(df).collect())
+    )
+    # every doc present exactly once, in id order; pack ids dense & monotone
+    assert [d for d, _, _ in out] == list(range(len(toks)))
+    pack_ids = [p for _, _, p in out]
+    assert pack_ids[0] == 0
+    assert all(b - a in (0, 1) for a, b in zip(pack_ids, pack_ids[1:]))
+    # a pack never exceeds the budget unless it is a single oversized doc
+    from collections import defaultdict
+
+    packs = defaultdict(list)
+    for d, n, p in out:
+        packs[p].append(n)
+    for members in packs.values():
+        assert sum(members) <= PACK_TOKEN_BUDGET or len(members) == 1
+    # greedy: a doc opens a new pack only because it would not have fit
+    for (d0, n0, p0), (d1, n1, p1) in zip(out, out[1:]):
+        if p1 == p0 + 1:
+            assert sum(packs[p0]) + n1 > PACK_TOKEN_BUDGET
+
+
+# ---------------------------------------------------------------------------
+# coverage fingerprint stable repr
+# ---------------------------------------------------------------------------
+
+
+@given(
+    vals=st.lists(
+        st.one_of(st.integers(), st.text(max_size=8), st.floats(allow_nan=False)),
+        max_size=10,
+    )
+)
+def test_stable_repr_order_independent_for_sets(vals):
+    from customer_activity_lakehouse_spark.plans.coverage import _stable_repr
+
+    fs = frozenset(vals)
+    assert _stable_repr(fs) == _stable_repr(frozenset(reversed(vals)))
+    assert _stable_repr(set(vals)) == _stable_repr(fs)
+    # tuples preserve order — distinct orders must stay distinct when the
+    # elements genuinely differ in sequence
+    t = tuple(vals)
+    assert _stable_repr(t) == _stable_repr(tuple(vals))
+
+
+# ---------------------------------------------------------------------------
+# streaming z-score formula vs an independent computation
+# ---------------------------------------------------------------------------
+
+
+@given(
+    hist=st.lists(st.integers(0, 10_000), min_size=12, max_size=12),
+    n=st.integers(0, 50_000),
+)
+def test_score_bucket_matches_reference_formula(hist, n):
+    import statistics
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from customer_activity_lakehouse_spark.streaming.streams import _score_bucket
+
+    got = _score_bucket(hist, n)
+    if len(set(hist)) == 1:
+        assert got is None  # zero variance is excluded by the v > 0 guard
+        return
+    mean = statistics.fmean(hist)
+    sd = statistics.stdev(hist)  # sample stdev, like the catalog query
+    want = float(Decimal((n - mean) / sd).quantize(Decimal("0.0001"), ROUND_HALF_UP))
+    assert got is not None
+    # same math, different op order — agreement to far beyond the 4dp quantum
+    assert abs(got - want) <= 1e-3
