@@ -896,6 +896,45 @@ GROUP BY nationkey
 """
 
 
+def q_events_distinct_users_sketch(spark: SparkSession, sf: str) -> DataFrame:
+    """Sketch family: HLL++ approximate distinct users per event type next
+    to the exact count. At 100 TB the exact distinct is a full shuffle of
+    every (type, user) pair; the sketch is a partial-aggregable fixed-size
+    state (relativeSD 0.02 ≈ 1.5 KB/group) that never re-shuffles raw rows —
+    THE way to count uniques at scale. No DuckDB oracle on purpose: HLL
+    estimates are engine-specific, so the driver records the honest
+    rows-only check; the error bound (|approx-exact| ≤ 5%) and determinism
+    are pinned by tests/test_sketches.py instead."""
+    ev = table(spark, sf, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users_exact"),
+        F.approx_count_distinct("user_id", rsd=0.02).alias("n_users_approx"),
+    )
+
+
+def q_order_value_sketch_quantiles(spark: SparkSession, sf: str) -> DataFrame:
+    """Sketch family: approx_percentile (Greenwald-Khanna) p50/p90/p99 of
+    order value beside the exact percentiles. Exact percentiles need a full
+    sort (or percentile_disc's per-group buffering of every value); the GK
+    sketch keeps bounded state per partition and merges — the 100 TB path
+    for latency/size distributions. Engine-specific estimates → rows-only
+    driver check; accuracy (each approx within the 1%-rank neighborhood of
+    exact) is pinned by tests/test_sketches.py."""
+    orders = table(spark, sf, "orders")
+    exact = F.expr(
+        "percentile_disc(array(0.5, 0.9, 0.99)) WITHIN GROUP (ORDER BY o_totalprice)"
+    )
+    approx = F.percentile_approx("o_totalprice", F.array(*[F.lit(x) for x in (0.5, 0.9, 0.99)]), 10_000)
+    return orders.agg(exact.alias("exact_q"), approx.alias("approx_q")).select(
+        F.round(F.element_at("exact_q", 1), 2).alias("p50_exact"),
+        F.round(F.element_at("approx_q", 1), 2).alias("p50_approx"),
+        F.round(F.element_at("exact_q", 2), 2).alias("p90_exact"),
+        F.round(F.element_at("approx_q", 2), 2).alias("p90_approx"),
+        F.round(F.element_at("exact_q", 3), 2).alias("p99_exact"),
+        F.round(F.element_at("approx_q", 3), 2).alias("p99_approx"),
+    )
+
+
 def q_skew_salted_revenue(spark: SparkSession, sf: str) -> DataFrame:
     """Brand revenue rollup routed THROUGH operators/joins.salted_join —
     the oracle row proving the skew-salting primitive is semantics-
@@ -1424,6 +1463,15 @@ QUERIES: dict[str, Query] = {
     ),
     "customer_fuzzy_match": Query(
         q_customer_fuzzy_match, ORACLE_CUSTOMER_FUZZY_MATCH, ("dedup", "fuzzy", "join")
+    ),
+    # Sketch entries carry NO oracle by design (engine-specific estimates);
+    # the driver records rows-only checks and tests/test_sketches.py pins
+    # error bounds + determinism.
+    "events_distinct_users_sketch": Query(
+        q_events_distinct_users_sketch, None, ("events", "sketch", "agg")
+    ),
+    "order_value_sketch_quantiles": Query(
+        q_order_value_sketch_quantiles, None, ("sketch", "quantile", "agg")
     ),
     "skew_salted_revenue": Query(
         q_skew_salted_revenue, ORACLE_SKEW_SALTED_REVENUE, ("join", "skew")

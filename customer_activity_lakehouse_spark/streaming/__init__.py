@@ -1,5 +1,6 @@
 from .streams import (
     anomaly_stream,
+    enrich_stream_with_dim,
     hourly_event_counts,
     purchases_with_recent_clicks,
     read_events_stream,
@@ -14,6 +15,7 @@ from .streams import (
 
 __all__ = [
     "anomaly_stream",
+    "enrich_stream_with_dim",
     "hourly_event_counts",
     "purchases_with_recent_clicks",
     "read_events_stream",

@@ -142,6 +142,19 @@ def sliding_event_rates(
     )
 
 
+def enrich_stream_with_dim(
+    events: DataFrame, dim: DataFrame, key: str = "user_id"
+) -> DataFrame:
+    """Stream-static join: enrich each micro-batch with a broadcast dim
+    snapshot (the fact⋈dim shape of the reference's star schema, applied to
+    the stream). Stateless — no watermark needed, no state store; Spark
+    re-resolves the static side per micro-batch, so a dim refreshed in
+    place is picked up on the next trigger. Left join keeps events whose
+    key is absent from the dim (the reference's fact tables reference
+    customers outside the dim — SURVEY §1.5)."""
+    return events.join(F.broadcast(dim), key, "left")
+
+
 def stream_dedup_events(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     """Exact streaming dedup on event_id within the watermark horizon.
 

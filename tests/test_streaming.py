@@ -511,3 +511,35 @@ def test_rate_events_stream_deterministic_and_windowed(spark, tmp_path):
         ws = dt.datetime.fromtimestamp(hour_start, dt.timezone.utc).replace(tzinfo=None)
         want[(ws, types[v % 3])] += 1
     assert counts == dict(want)
+
+
+def test_stream_static_enrichment_matches_batch_join(spark, sf_smoke, events_dir, tmp_path):
+    """Stream-static broadcast enrichment must produce exactly the batch
+    left join's rows: every event keeps its dim attributes, events with
+    keys absent from the dim survive with nulls."""
+    from customer_activity_lakehouse_spark.streaming import enrich_stream_with_dim
+
+    landing, root = events_dir
+    batch = events_table(spark, sf_smoke)
+    # synthetic user dim covering only half the users -> exercises the
+    # unmatched-key path
+    dim = (
+        batch.select("user_id").distinct()
+        .filter(F.col("user_id") % 2 == 0)
+        .withColumn("segment", F.concat(F.lit("S"), (F.col("user_id") % 4).cast("string")))
+    )
+    dim_path = str(tmp_path / "user_dim")
+    dim.write.mode("overwrite").parquet(dim_path)
+    dim_static = spark.read.parquet(dim_path)
+
+    stream = read_events_stream(spark, landing)
+    out = enrich_stream_with_dim(stream, dim_static)
+    _run(out, f"{root}/enriched", f"{root}/ckpt_enrich")
+
+    got = spark.read.parquet(f"{root}/enriched")
+    want = batch.join(F.broadcast(dim_static), "user_id", "left")
+    assert got.count() == batch.count()  # left join: no event lost
+    g = {(r.event_id, r.segment) for r in got.select("event_id", "segment").collect()}
+    w = {(r.event_id, r.segment) for r in want.select("event_id", "segment").collect()}
+    assert g == w
+    assert any(s is None for _, s in g) and any(s is not None for _, s in g)
