@@ -14,6 +14,12 @@ Scale notes (100 TB):
 - Partition-column type inference is disabled so hive partition values written
   as 'YYYY-MM-DD' strings read back as strings (reference writes string dates,
   data_processing.py:175-180), keeping schemas stable across zones.
+- Runtime row-level filtering is left at its Spark 4 defaults, which are the
+  right ones at scale and verified on this build (r6):
+  ``spark.sql.optimizer.runtime.bloomFilter.enabled=true`` (selective joins
+  inject a bloom filter into the big side's scan) and
+  ``spark.sql.optimizer.dynamicPartitionPruning.enabled=true`` (fact
+  partition dirs pruned from a dim-side filter at runtime).
 """
 
 from __future__ import annotations

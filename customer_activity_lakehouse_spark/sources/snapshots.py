@@ -1,0 +1,196 @@
+"""Snapshot log: time travel + optimistic concurrency over immutable parquet.
+
+The one table-format capability ``tables.py`` could not emulate with plain
+hive layouts is SNAPSHOTS — readers pinned to a version while writers
+commit, and time travel to any retained version. This module implements the
+core of the Delta/Iceberg commit protocol directly over parquet, with no
+runtime jars (environment-blocked — README "Table formats"):
+
+- Data files are IMMUTABLE: every commit writes a fresh ``data/v{n}-…``
+  directory; nothing is ever modified in place.
+- A commit is the ATOMIC RENAME of a manifest into ``_snapshots/v{n}.json``.
+  Hadoop FS rename does not overwrite an existing destination, which gives
+  OPTIMISTIC CONCURRENCY exactly as in Delta: two writers racing to the
+  same version — one wins, the loser re-reads the log and retries at n+1
+  (append commits) or aborts (overwrite commits, whose file list depends on
+  what they read).
+- Readers never list data dirs: they read the manifest's explicit file
+  list, so half-written data from a crashed commit is invisible (debris
+  removed by ``vacuum``).
+
+Scale notes: a manifest holds one line per file — at 100 TB keep file
+counts bounded with compaction (tables.compact) before this becomes the
+metadata bottleneck (the point where real Delta/Iceberg's multi-level
+manifests earn their complexity). All data I/O is ordinary distributed
+parquet; only the tiny manifest JSON touches the driver.
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .tables import _hadoop_fs
+
+_SNAP_DIR = "_snapshots"
+_MAX_COMMIT_RETRIES = 20
+
+
+def _list_versions(spark: SparkSession, table_dir: str) -> list[int]:
+    fs, jdir = _hadoop_fs(spark, f"{table_dir}/{_SNAP_DIR}")
+    if not fs.exists(jdir):
+        return []
+    out = []
+    for status in fs.listStatus(jdir):
+        name = status.getPath().getName()
+        if name.startswith("v") and name.endswith(".json"):
+            try:
+                out.append(int(name[1:-5]))
+            except ValueError:
+                continue
+    return sorted(out)
+
+
+def _read_manifest(spark: SparkSession, table_dir: str, version: int) -> dict:
+    fs, jpath = _hadoop_fs(spark, f"{table_dir}/{_SNAP_DIR}/v{version:05d}.json")
+    stream = fs.open(jpath)
+    try:
+        data = bytes(stream.readAllBytes())
+    finally:
+        stream.close()
+    return json.loads(data.decode())
+
+
+def _write_data(df: DataFrame, table_dir: str, tag: str) -> str:
+    path = f"{table_dir}/data/{tag}"
+    df.write.mode("error").parquet(path)
+    return path
+
+
+def _data_files(spark: SparkSession, data_path: str) -> list[str]:
+    fs, jdir = _hadoop_fs(spark, data_path)
+    return sorted(
+        str(s.getPath().toString())
+        for s in fs.listStatus(jdir)
+        if s.getPath().getName().endswith(".parquet")
+    )
+
+
+def _try_commit(spark: SparkSession, table_dir: str, version: int, manifest: dict) -> bool:
+    """Write the manifest to a temp name, then atomically rename it to
+    v{n}.json. Rename refuses an existing destination → losing a race
+    returns False instead of clobbering the winner's commit."""
+    fs, jdir = _hadoop_fs(spark, f"{table_dir}/{_SNAP_DIR}")
+    fs.mkdirs(jdir)
+    tmp = f"{table_dir}/{_SNAP_DIR}/.tmp-v{version:05d}-{id(manifest)}"
+    _, jtmp = _hadoop_fs(spark, tmp)
+    out = fs.create(jtmp, True)
+    try:
+        out.write(bytearray(json.dumps(manifest, indent=1).encode()))
+    finally:
+        out.close()
+    _, jfinal = _hadoop_fs(spark, f"{table_dir}/{_SNAP_DIR}/v{version:05d}.json")
+    if fs.rename(jtmp, jfinal):
+        return True
+    fs.delete(jtmp, False)
+    return False
+
+
+def commit_append(spark: SparkSession, table_dir: str, df: DataFrame) -> int:
+    """Append ``df`` as a new snapshot: new files = previous snapshot's
+    files + this batch's. Retries on version races (append order does not
+    depend on what the writer read, so retrying is always safe)."""
+    versions = _list_versions(spark, table_dir)
+    attempt = (versions[-1] if versions else 0) + 1
+    data_path = _write_data(df, table_dir, f"v{attempt:05d}-{abs(hash(table_dir)) % 10**6}")
+    new_files = _data_files(spark, data_path)
+    for _ in range(_MAX_COMMIT_RETRIES):
+        versions = _list_versions(spark, table_dir)
+        version = (versions[-1] if versions else 0) + 1
+        prev_files = (
+            _read_manifest(spark, table_dir, versions[-1])["files"] if versions else []
+        )
+        manifest = {"version": version, "op": "append", "files": prev_files + new_files}
+        if _try_commit(spark, table_dir, version, manifest):
+            return version
+    raise RuntimeError(
+        f"commit_append: lost {_MAX_COMMIT_RETRIES} version races at {table_dir}"
+    )
+
+
+def commit_overwrite(spark: SparkSession, table_dir: str, df: DataFrame) -> int:
+    """Replace the table contents as a new snapshot (old versions remain
+    readable until vacuumed). On a version race this ABORTS instead of
+    retrying — an overwrite validated against version n must not blindly
+    clobber a concurrent n+1 (same rule as Delta's WriteSerializable)."""
+    versions = _list_versions(spark, table_dir)
+    version = (versions[-1] if versions else 0) + 1
+    data_path = _write_data(df, table_dir, f"v{version:05d}-{abs(hash(table_dir)) % 10**6}")
+    manifest = {
+        "version": version,
+        "op": "overwrite",
+        "files": _data_files(spark, data_path),
+    }
+    if not _try_commit(spark, table_dir, version, manifest):
+        raise RuntimeError(
+            f"commit_overwrite: version {version} was committed concurrently at "
+            f"{table_dir}; re-read the table and retry the overwrite"
+        )
+    return version
+
+
+def read_snapshot(
+    spark: SparkSession, table_dir: str, version: int | None = None
+) -> DataFrame:
+    """Read the table at ``version`` (default: latest). Reads exactly the
+    manifest's file list — uncommitted/orphaned data is invisible."""
+    versions = _list_versions(spark, table_dir)
+    if not versions:
+        raise FileNotFoundError(f"no snapshots at {table_dir}")
+    v = versions[-1] if version is None else version
+    if v not in versions:
+        raise FileNotFoundError(f"snapshot v{v} not found at {table_dir} (have {versions})")
+    manifest = _read_manifest(spark, table_dir, v)
+    if not manifest["files"]:
+        return spark.createDataFrame([], schema="__empty string").limit(0)
+    return spark.read.parquet(*manifest["files"])
+
+
+def vacuum(spark: SparkSession, table_dir: str, keep_last: int = 1) -> int:
+    """Delete data files referenced ONLY by expired snapshots (and the
+    expired manifests, and any orphaned data dirs from crashed commits).
+    Returns the number of files deleted. Time travel remains available for
+    the ``keep_last`` newest versions."""
+    versions = _list_versions(spark, table_dir)
+    if not versions:
+        return 0
+    keep = set(versions[-max(1, keep_last):])
+    live: set[str] = set()
+    for v in keep:
+        live.update(_read_manifest(spark, table_dir, v)["files"])
+    fs, jdata = _hadoop_fs(spark, f"{table_dir}/data")
+    deleted = 0
+    if fs.exists(jdata):
+        for d in fs.listStatus(jdata):
+            statuses = list(fs.listStatus(d.getPath()))
+            parquet = [
+                (f, str(f.getPath().toString()))
+                for f in statuses
+                if str(f.getPath().getName()).endswith(".parquet")
+            ]
+            if not any(p in live for _, p in parquet):
+                # whole batch dir is dead (incl. orphans from crashed
+                # commits, whose _SUCCESS markers are junk too)
+                fs.delete(d.getPath(), True)
+                deleted += len(parquet)
+                continue
+            for f, p in parquet:
+                if p not in live:
+                    fs.delete(f.getPath(), False)
+                    deleted += 1
+    for v in versions:
+        if v not in keep:
+            _, jm = _hadoop_fs(spark, f"{table_dir}/{_SNAP_DIR}/v{v:05d}.json")
+            fs.delete(jm, False)
+    return deleted

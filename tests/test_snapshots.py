@@ -1,0 +1,89 @@
+"""Snapshot-log tests: time travel, overwrite isolation, optimistic
+concurrency, crash-debris invisibility, and vacuum."""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+import pytest
+
+from customer_activity_lakehouse_spark.sources.snapshots import (
+    commit_append,
+    commit_overwrite,
+    read_snapshot,
+    vacuum,
+)
+
+
+def _df(spark, lo, hi):
+    return spark.range(lo, hi).selectExpr("id", "id * 2 AS v")
+
+
+def test_append_time_travel_and_latest(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    v1 = commit_append(spark, t, _df(spark, 0, 10))
+    v2 = commit_append(spark, t, _df(spark, 10, 25))
+    assert (v1, v2) == (1, 2)
+    assert read_snapshot(spark, t).count() == 25  # latest
+    assert read_snapshot(spark, t, version=1).count() == 10  # time travel
+    assert sorted(r.id for r in read_snapshot(spark, t, 1).collect()) == list(range(10))
+
+
+def test_overwrite_keeps_history_until_vacuum(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    commit_append(spark, t, _df(spark, 0, 10))
+    v2 = commit_overwrite(spark, t, _df(spark, 100, 103))
+    assert v2 == 2
+    assert read_snapshot(spark, t).count() == 3
+    assert read_snapshot(spark, t, 1).count() == 10  # history intact
+    deleted = vacuum(spark, t, keep_last=1)
+    assert deleted > 0
+    assert read_snapshot(spark, t).count() == 3  # latest untouched
+    with pytest.raises(FileNotFoundError):
+        read_snapshot(spark, t, 1)  # expired
+
+
+def test_append_retries_around_concurrent_commit(spark, tmp_path):
+    """Simulate losing the version race: a competing manifest for the next
+    version lands before our commit — append must retry at n+1."""
+    t = str(tmp_path / "tbl")
+    commit_append(spark, t, _df(spark, 0, 5))
+    # competitor claims v2 directly
+    snap = Path(t) / "_snapshots"
+    (snap / "v00002.json").write_text(json.dumps({"version": 2, "op": "append", "files": []}))
+    v = commit_append(spark, t, _df(spark, 5, 8))
+    assert v == 3
+    assert read_snapshot(spark, t).count() == 3 + 0  # v3 = v2's files ([]) + batch
+    # v1 is still complete
+    assert read_snapshot(spark, t, 1).count() == 5
+
+
+def test_overwrite_aborts_on_concurrent_commit(spark, tmp_path, monkeypatch):
+    """The race window: a competitor commits v2 AFTER the overwrite reads
+    the log (simulated with a stale _list_versions) but before its rename —
+    rename refuses the existing destination and the overwrite aborts."""
+    import customer_activity_lakehouse_spark.sources.snapshots as S
+
+    t = str(tmp_path / "tbl")
+    commit_append(spark, t, _df(spark, 0, 5))
+    snap = Path(t) / "_snapshots"
+    (snap / "v00002.json").write_text(json.dumps({"version": 2, "op": "append", "files": []}))
+    monkeypatch.setattr(S, "_list_versions", lambda sp, td: [1])  # stale read
+    with pytest.raises(RuntimeError, match="committed concurrently"):
+        S.commit_overwrite(spark, t, _df(spark, 0, 1))
+    monkeypatch.undo()
+    assert read_snapshot(spark, t, 1).count() == 5  # v1 untouched by the abort
+
+
+def test_uncommitted_data_is_invisible_and_vacuumed(spark, tmp_path):
+    """A crashed commit leaves a data dir with no manifest: readers never
+    see it (they read manifest file lists), vacuum removes it."""
+    t = str(tmp_path / "tbl")
+    commit_append(spark, t, _df(spark, 0, 5))
+    # orphan debris: data written, manifest never committed
+    _df(spark, 90, 99).write.parquet(f"{t}/data/v99999-orphan")
+    assert read_snapshot(spark, t).count() == 5
+    vacuum(spark, t, keep_last=1)
+    assert not Path(f"{t}/data/v99999-orphan").exists()
+    assert read_snapshot(spark, t).count() == 5
