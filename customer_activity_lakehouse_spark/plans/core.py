@@ -896,6 +896,74 @@ GROUP BY nationkey
 """
 
 
+def q_events_dedup_windowed(spark: SparkSession, sf: str) -> DataFrame:
+    """Time-windowed event dedup — the batch twin of the streaming
+    ``stream_dedup_events``: at most one (user, type) event survives per
+    10-minute tumbling window (the retry/at-least-once collapse every
+    event-log pipeline runs). Keep-first is deterministic via (ts,
+    event_id) row_number; the window key is derived by integer minute
+    arithmetic so both engines bucket identically. Output: per-type
+    surviving-event counts (drop share visible vs events_hourly totals).
+    Scale: one shuffle on the (window, user, type) dedup key — the same
+    key the streaming state store uses."""
+    ev = table(spark, sf, "events")
+    # integer DIV, not fp division: epoch-micros are ~1.7e15 and a double
+    # quotient can land a hair under an exact boundary (same trap as the
+    # nanos rebuild documented in plans/registry.events_table)
+    bucket = F.expr("unix_micros(ts) DIV 600000000")
+    w = Window.partitionBy(bucket, "user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_survivors"))
+    )
+
+
+ORACLE_EVENTS_DEDUP_WINDOWED = """
+SELECT event_type, count(*) AS n_survivors
+FROM (SELECT event_type,
+             row_number() OVER (
+               PARTITION BY (epoch_us(ts) // 600000000), user_id, event_type
+               ORDER BY ts, event_id) AS rn
+      FROM events)
+WHERE rn = 1 GROUP BY event_type
+"""
+
+
+def q_customer_spend_ntile(spark: SparkSession, sf: str) -> DataFrame:
+    """Decile segmentation WITHIN each nation — ntile partitioned by a real
+    key, so every window partition is bounded (contrast the RFM query's
+    broadcast-cuts design note for why a GLOBAL ntile is the wrong shape
+    at scale; per-nation deciles need no such trick). Deterministic order
+    (balance desc, custkey) makes the tile assignment engine-exact.
+    Output: per (nation, decile) customer counts and decimal-exact balance
+    sums."""
+    cust = table(spark, sf, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").desc(), "c_custkey"
+    )
+    return (
+        cust.withColumn("decile", F.ntile(10).over(w))
+        .groupBy("c_nationkey", "decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            money_sum("c_acctbal").alias("balance_sum"),
+        )
+    )
+
+
+ORACLE_CUSTOMER_SPEND_NTILE = f"""
+SELECT c_nationkey, decile, count(*) AS n_customers,
+       {sql_money_sum("c_acctbal")} AS balance_sum
+FROM (SELECT c_nationkey, c_acctbal,
+             ntile(10) OVER (PARTITION BY c_nationkey
+                             ORDER BY c_acctbal DESC, c_custkey) AS decile
+      FROM customer)
+GROUP BY c_nationkey, decile
+"""
+
+
 def q_events_distinct_users_sketch(spark: SparkSession, sf: str) -> DataFrame:
     """Sketch family: HLL++ approximate distinct users per event type next
     to the exact count. At 100 TB the exact distinct is a full shuffle of
@@ -1463,6 +1531,12 @@ QUERIES: dict[str, Query] = {
     ),
     "customer_fuzzy_match": Query(
         q_customer_fuzzy_match, ORACLE_CUSTOMER_FUZZY_MATCH, ("dedup", "fuzzy", "join")
+    ),
+    "events_dedup_windowed": Query(
+        q_events_dedup_windowed, ORACLE_EVENTS_DEDUP_WINDOWED, ("events", "dedup", "window")
+    ),
+    "customer_spend_ntile": Query(
+        q_customer_spend_ntile, ORACLE_CUSTOMER_SPEND_NTILE, ("window", "ntile", "agg")
     ),
     # Sketch entries carry NO oracle by design (engine-specific estimates);
     # the driver records rows-only checks and tests/test_sketches.py pins
