@@ -440,10 +440,15 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 raise ValueError("only 8-bit precision supported")
             if len(body) < 6 + 3 * ncomp:
                 raise ValueError("malformed JPEG: SOF0 component list truncated")
+            if h == 0 or w == 0 or ncomp == 0:
+                raise ValueError(f"malformed JPEG: SOF0 declares {w}x{h}, {ncomp} components")
             comps = []
             for i in range(ncomp):
                 cid, hv, tq = body[6 + 3 * i : 9 + 3 * i]
-                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq})
+                hs, vs = hv >> 4, hv & 0xF
+                if not (1 <= hs <= 4 and 1 <= vs <= 4):
+                    raise ValueError(f"malformed JPEG: sampling factors {hs}x{vs}")
+                comps.append({"id": cid, "h": hs, "v": vs, "tq": tq})
             sof = {"h": h, "w": w, "comps": comps}
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
             raise ValueError(
@@ -474,6 +479,18 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
 def _decode_scan(data, pos, sof, scan_tables, quants, huffs, restart_interval):
     comps = sof["comps"]
     h, w = sof["h"], sof["w"]
+    # every table referenced by the scan must exist — direct dict lookups
+    # inside the MCU loop would otherwise surface corrupt ids as KeyError
+    for c in comps:
+        if c["id"] not in scan_tables:
+            raise ValueError(f"malformed JPEG: SOS names no tables for component {c['id']}")
+        dc_t, ac_t = scan_tables[c["id"]]
+        missing = [k for k in ((0, dc_t), (1, ac_t)) if k not in huffs]
+        if missing or c["tq"] not in quants:
+            raise ValueError(
+                f"malformed JPEG: scan references undefined tables "
+                f"(huffman {missing}, quant {c['tq'] if c['tq'] not in quants else ''})"
+            )
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
     mcus_x = -(-w // (8 * hmax))
@@ -502,6 +519,11 @@ def _decode_scan(data, pos, sof, scan_tables, quants, huffs, restart_interval):
                         size = dc_table.decode(reader)
                         diff = _extend(reader.read_bits(size), size) if size else 0
                         preds[ci] += diff
+                        if abs(preds[ci]) > (1 << 31):
+                            # corrupt DC diffs accumulate without bound; a
+                            # raw int64 overflow in the numpy store is not a
+                            # decode error message anyone can act on
+                            raise ValueError("malformed JPEG: DC predictor overflow")
                         zz[0] = preds[ci]
                         k = 1
                         while k < 64:

@@ -129,14 +129,26 @@ def encode_bmp(arr: np.ndarray) -> bytes:
 
 
 def _decode_bmp(payload: bytes) -> np.ndarray:
-    """24-bit uncompressed BMP → uint8 HxWx3 RGB."""
+    """24-bit uncompressed BMP → uint8 HxWx3 RGB. Header fields are
+    attacker-controlled: dimensions and the pixel offset are validated
+    against the actual payload BEFORE any allocation (a mutated width
+    would otherwise be a memory bomb, and truncation a raw struct.error)."""
+    if payload[:2] != b"BM" or len(payload) < 54:
+        raise ValueError("not a BMP payload (or truncated header)")
     offset = struct.unpack_from("<I", payload, 10)[0]
     _, w, h, _, bpp, comp = struct.unpack_from("<IiiHHI", payload, 14)
     if bpp != 24 or comp != 0:
         raise ValueError(f"only 24-bit BI_RGB BMP supported (bpp={bpp}, comp={comp})")
     bottom_up = h > 0
     h = abs(h)
+    if w <= 0 or h == 0:
+        raise ValueError(f"malformed BMP: bad dimensions {w}x{h}")
     row_size = (w * 3 + 3) & ~3
+    if offset < 54 or offset + row_size * h > len(payload):
+        raise ValueError(
+            f"malformed BMP: pixel data ({row_size * h} bytes at {offset}) "
+            f"exceeds payload ({len(payload)} bytes)"
+        )
     out = np.empty((h, w, 3), dtype=np.uint8)
     for i in range(h):
         row = np.frombuffer(payload, dtype=np.uint8, count=w * 3, offset=offset + i * row_size)
@@ -342,7 +354,9 @@ def _decode_png(payload: bytes) -> np.ndarray:
         data = payload[pos + 8 : pos + 8 + length]
         pos += 12 + length  # length + type + data + crc
         if typ == b"IHDR":
-            w, h, depth, color, comp, filt, interlace = struct.unpack(">IIBBBBB", data)
+            if length < 13:
+                raise ValueError("malformed PNG: IHDR shorter than 13 bytes")
+            w, h, depth, color, comp, filt, interlace = struct.unpack_from(">IIBBBBB", data, 0)
             if (depth, color, comp, filt, interlace) != (8, 2, 0, 0, 0):
                 raise ValueError(
                     f"only 8-bit truecolor non-interlaced PNG supported "
@@ -354,7 +368,10 @@ def _decode_png(payload: bytes) -> np.ndarray:
             break
     if w is None:
         raise ValueError("PNG missing IHDR")
-    raw = zlib.decompress(bytes(idat))
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as exc:
+        raise ValueError(f"malformed PNG: IDAT inflate failed ({exc})") from exc
     stride = w * _PNG_BPP
     if len(raw) != h * (stride + 1):
         raise ValueError("PNG scanline data length mismatch")

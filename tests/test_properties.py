@@ -136,3 +136,72 @@ def test_score_bucket_matches_reference_formula(hist, n):
     assert got is not None
     # same math, different op order — agreement to far beyond the 4dp quantum
     assert abs(got - want) <= 1e-3
+
+
+# ---------------------------------------------------------------------------
+# codec fuzz: corrupted payloads may fail, but only with clean ValueErrors
+# ---------------------------------------------------------------------------
+
+
+def _valid_media():
+    import numpy as np
+
+    from customer_activity_lakehouse_spark.multimodal.avi import encode_avi_mjpeg
+    from customer_activity_lakehouse_spark.multimodal.jpeg import encode_jpeg
+    from customer_activity_lakehouse_spark.multimodal.media import (
+        encode_bmp,
+        encode_png,
+        encode_wav_mulaw,
+    )
+
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, size=(16, 16, 3), dtype=np.uint8)
+    wave = np.sin(np.linspace(0, 10, 400)).astype(np.float32)
+    return {
+        "jpeg": encode_jpeg(img, quality=85),
+        "png": encode_png(img),
+        "bmp": encode_bmp(img),
+        "wav": encode_wav_mulaw(wave, 8000),
+        "avi": encode_avi_mjpeg([img, img], fps=5),
+    }
+
+
+_MEDIA = _valid_media()
+
+
+@settings(max_examples=120, deadline=None)
+@given(
+    kind=st.sampled_from(sorted(_MEDIA)),
+    edits=st.lists(
+        st.tuples(st.integers(0, 10**6), st.integers(0, 255)), min_size=1, max_size=8
+    ),
+    cut=st.integers(0, 10**6),
+)
+def test_mutated_payloads_fail_clean_or_decode(kind, edits, cut):
+    """Arbitrary byte mutations + truncation of real payloads must either
+    still decode or raise ValueError — never IndexError/struct.error/
+    KeyError/zlib.error from decoder internals (ADVICE r5 hardening,
+    generalized)."""
+    from customer_activity_lakehouse_spark.multimodal.avi import decode_avi_mjpeg
+    from customer_activity_lakehouse_spark.multimodal.jpeg import decode_jpeg
+    from customer_activity_lakehouse_spark.multimodal.media import (
+        _decode_bmp,
+        _decode_png,
+        _decode_wav_mulaw,
+    )
+
+    decoders = {
+        "jpeg": decode_jpeg,
+        "png": _decode_png,
+        "bmp": _decode_bmp,
+        "wav": _decode_wav_mulaw,
+        "avi": decode_avi_mjpeg,
+    }
+    payload = bytearray(_MEDIA[kind])
+    for pos, val in edits:
+        payload[pos % len(payload)] = val
+    payload = bytes(payload[: max(12, cut % (len(payload) + 1))])
+    try:
+        decoders[kind](payload)
+    except ValueError:
+        pass  # the contract: malformed input -> clean container-level error
