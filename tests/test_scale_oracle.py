@@ -30,6 +30,10 @@ HEAVY = [
     "doc_curation_funnel",
     "events_anomaly_zscore",
     "doc_dup_chunks",
+    # r6: band populations (two-level Pareto scan) and sliding-window row
+    # counts scale with sf
+    "revenue_pareto_customers",
+    "events_sliding_rates",
 ]
 
 
