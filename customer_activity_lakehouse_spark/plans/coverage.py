@@ -237,6 +237,65 @@ REQUIRED_FAMILIES: frozenset[str] = frozenset(
     }
 )
 
+# Size of the driver's correctness window (observed across rounds: the
+# driver checks the first ~50 catalog entries).  Policy constant, imported
+# by the gates in tests/test_registry.py so the two cannot drift.
+DRIVER_WINDOW = 50
+
+
+def _ensure_window_families(
+    order: list[str],
+    merged: dict[str, Query],
+    coverage: dict[str, int],
+    window: int | None = None,
+) -> list[str]:
+    """Window guarantee for REQUIRED families, subordinate to staleness:
+    when a family has no carrier inside the first ``window`` entries,
+    promote its first carrier from beyond the window — but only by
+    displacing a FRESH window entry (max-coverage tier, so never an entry
+    the staleness policy owes a check) all of whose required tags stay
+    covered by another window entry.  When the stale tiers alone fill the
+    window no victim exists and the family is left just outside — it is
+    not rotting in that case: its carriers were green last round and the
+    staleness policy pulls them back next round (tests/test_registry.py
+    applies the same exemption).  Deterministic; each pass either covers
+    one more family or marks it unfixable."""
+    if window is None:
+        window = DRIVER_WINDOW
+    if len(order) <= window:
+        return order
+    required = REQUIRED_FAMILIES & {t for q in merged.values() for t in q.tags}
+    max_tier = max((coverage.get(n, 0) for n in order), default=0)
+    order = list(order)
+    unfixable: set[str] = set()
+    while True:
+        win = order[:window]
+        carriers: dict[str, set[str]] = {}
+        for n in win:
+            for t in set(merged[n].tags) & required:
+                carriers.setdefault(t, set()).add(n)
+        missing = sorted(required - set(carriers) - unfixable)
+        if not missing:
+            return order
+        fam = missing[0]
+        promoted = next(n for n in order[window:] if fam in merged[n].tags)
+        victim = next(
+            (
+                n
+                for n in reversed(win)
+                if coverage.get(n, 0) == max_tier
+                and all(len(carriers[t]) > 1 for t in set(merged[n].tags) & required)
+            ),
+            None,
+        )
+        if victim is None:
+            unfixable.add(fam)
+            continue
+        order.remove(promoted)
+        order.remove(victim)
+        order.insert(window - 1, promoted)
+        order.insert(window, victim)
+
 
 def catalog_order(merged: dict[str, Query], coverage: dict[str, int]) -> list[str]:
     """Never-checked first, then stalest last-green round; within each tier,
@@ -277,7 +336,7 @@ def catalog_order(merged: dict[str, Query], coverage: dict[str, int]) -> list[st
         representatives.sort(key=lambda n: sort_key[n])
         chosen = set(representatives)
         order.extend(representatives + [n for n in tier if n not in chosen])
-    return order
+    return _ensure_window_families(order, merged, coverage)
 
 
 def write_snapshot() -> dict[str, dict]:

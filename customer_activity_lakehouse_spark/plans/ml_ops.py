@@ -1,0 +1,587 @@
+"""Distributed-ML / sequence-analytics catalog extensions: k-means over
+embeddings, prefix-filtered set-similarity join (the non-LSH dedup family),
+Markov transition matrices, scalable global enumeration, multi-dim trade
+flows, and first-touch attribution.
+
+Beyond-reference extensions (the reference — Dask+Prefect ETL,
+data_processing.py — has no ML/sequence layer); they follow the same
+oracle-portability rules as plans/llm_ops.py:
+
+- cross-engine randomness/bucketing is md5-over-utf8 (identical hex in
+  Spark and DuckDB);
+- float pipelines are built from INTEGER-exact intermediates wherever a
+  reduction's order is engine-dependent: k-means quantizes vectors to
+  integers once (floor(x*1000)), so centroid updates are exact integer
+  sums divided once — bit-identical across engines regardless of
+  partial-aggregation order (same trick as the anomaly z-score's integer
+  window sums, plans/timeseries.py);
+- per-row folds (distances) are double-precision sequential folds in both
+  engines (F.aggregate left-fold == DuckDB list_sum(list_transform)),
+  rounded to 4dp at the output boundary.
+
+Scale design (100 TB):
+- k-means never shuffles vectors: per iteration one broadcast of K
+  centroids, a map-side argmin, and a partial-agg groupBy to K rows
+  (the canonical distributed Lloyd's step);
+- the set-similarity join shuffles only prefix postings (rarest tokens
+  per doc under a global (df, token) order), never whole documents —
+  prefix filtering (PPJoin-style) bounds candidates without LSH's
+  probabilistic recall loss;
+- global enumeration uses value-derived range buckets + a broadcast
+  cumulative-offset table, NEVER a single-partition global window —
+  row_number() over an unpartitioned ORDER BY funnels every row through
+  one task and is the canonical scale trap this operator replaces.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .core import SQL_REV, revenue
+from .registry import Query, table
+
+# ---------------------------------------------------------------------------
+# K-means over embeddings
+# ---------------------------------------------------------------------------
+
+KM_DIM = 64  # embedding dim in the driver fixtures (TESTDATA.md)
+KM_SCALE = 1000  # integer quantization grid: q = floor(x * 1000)
+KM_K = 8  # seeds = one per md5-hex bucket of vec_id, mod 8
+KM_ITERS = 3  # unrolled Lloyd iterations (fixed → deterministic plan)
+
+_HEX = "0123456789abcdef"
+
+
+def _km_quantized(spark: SparkSession, sf: str) -> DataFrame:
+    """(vec_id, q array<long>): embeddings quantized to an integer grid.
+
+    floor(float→double widening * 1000) is exact and engine-independent;
+    all downstream sums over q are integer-exact, so centroid means are
+    bit-identical across engines no matter the aggregation order."""
+    emb = table(spark, sf, "embeddings")
+    q = F.transform("embedding", lambda x: F.floor(x.cast("double") * KM_SCALE))
+    return emb.select("vec_id", q.alias("q"))
+
+
+def _km_seed_centroids(embq: DataFrame) -> DataFrame:
+    """Deterministic hash-bucket seeding: cluster k seeds from the minimum
+    vec_id of md5-bucket k. One partial-agg pass to ≤K rows + a broadcast
+    join back for the seed vectors — no global sort, no driver collect."""
+    hex1 = F.substring(F.md5(F.col("vec_id").cast("string").cast("binary")), 1, 1)
+    # conv(hex, 16, 10) == DuckDB's strpos('0123456789abcdef', hex) - 1 for
+    # one hex digit — the cross-engine digit-value idiom
+    bucket = F.conv(hex1, 16, 10).cast("int") % KM_K
+    seeds = (
+        embq.select(bucket.cast("int").alias("cluster"), "vec_id")
+        .groupBy("cluster")
+        .agg(F.min("vec_id").alias("vec_id"))
+    )
+    return embq.join(F.broadcast(seeds), "vec_id").select(
+        "cluster", F.transform("q", lambda x: x.cast("double")).alias("c")
+    )
+
+
+def _km_assign(embq: DataFrame, centroids: DataFrame) -> DataFrame:
+    """Map-side argmin: centroids collapse to ONE broadcast row holding a
+    sorted array<struct<cluster,c>>; each vector folds over it computing
+    squared distances and takes array_min of (dist, cluster) structs —
+    ties break toward the smaller cluster id in both engines. Vectors
+    never shuffle."""
+    carr = centroids.agg(
+        F.array_sort(F.collect_list(F.struct("cluster", "c"))).alias("cents")
+    )
+    dist_structs = F.transform(
+        F.col("cents"),
+        lambda s: F.struct(
+            F.aggregate(
+                F.zip_with(
+                    F.col("q"), s["c"], lambda a, b: (a.cast("double") - b) * (a.cast("double") - b)
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ).alias("dist"),
+            s["cluster"].alias("cluster"),
+        ),
+    )
+    best = F.array_min(dist_structs)
+    return embq.crossJoin(F.broadcast(carr)).select(
+        "vec_id", "q", best["cluster"].alias("cluster"), best["dist"].alias("dist")
+    )
+
+
+def _km_update(assigned: DataFrame) -> DataFrame:
+    """Centroid update as KM_DIM integer-sum aggregates + one count —
+    partial-aggregable (map-side combine) down to K rows; the single
+    sum/count division is the only float op, deterministic IEEE."""
+    sums = [F.sum(F.element_at("q", i + 1)).alias(f"s{i}") for i in range(KM_DIM)]
+    g = assigned.groupBy("cluster").agg(F.count(F.lit(1)).alias("n"), *sums)
+    c = F.array(*[(F.col(f"s{i}").cast("double") / F.col("n")) for i in range(KM_DIM)])
+    return g.select("cluster", c.alias("c"))
+
+
+def q_embedding_kmeans(spark: SparkSession, sf: str) -> DataFrame:
+    """K-means (Lloyd's) over the embedding table: KM_ITERS unrolled
+    iterations, md5-bucket seeding, integer-quantized vectors for
+    cross-engine bit-exactness. Output: final (vec_id, cluster, dist)
+    assignments with the squared distance rounded to 4dp.
+
+    Scale shape per iteration: broadcast K centroids → map-side argmin →
+    partial-agg groupBy to K rows. The vectors are scanned KM_ITERS times
+    but NEVER shuffled; total shuffle volume is O(K · dim · partitions)
+    per iteration — the canonical distributed k-means."""
+    embq = _km_quantized(spark, sf)
+    centroids = _km_seed_centroids(embq)
+    assigned = None
+    for _ in range(KM_ITERS):
+        assigned = _km_assign(embq, centroids)
+        centroids = _km_update(assigned)
+    return assigned.select("vec_id", "cluster", F.round("dist", 4).alias("dist"))
+
+
+def _km_sql_oracle() -> str:
+    """Unrolled Lloyd iterations as a DuckDB CTE chain mirroring the Spark
+    plan op-for-op (same quantization, same seeding, same tie-breaks)."""
+    dist = (
+        "list_sum(list_transform(range(1, {d} + 1),"
+        " i -> (e.q[i]::DOUBLE - c.c[i]) * (e.q[i]::DOUBLE - c.c[i])))"
+    ).format(d=KM_DIM)
+    upd_list = ", ".join(
+        f"sum(q[{i + 1}])::DOUBLE / count(*)" for i in range(KM_DIM)
+    )
+    assign = (
+        "SELECT vec_id, q, cluster, dist FROM ("
+        " SELECT e.vec_id, e.q, c.cluster, {dist} AS dist,"
+        "        row_number() OVER (PARTITION BY e.vec_id ORDER BY {dist}, c.cluster) AS rn"
+        " FROM emb e CROSS JOIN {cents} c) WHERE rn = 1"
+    )
+    update = "SELECT cluster, [{u}] AS c FROM {assigned} GROUP BY cluster".format(
+        u=upd_list, assigned="{assigned}"
+    )
+    parts = [
+        "WITH emb AS (SELECT vec_id,"
+        f" list_transform(embedding, x -> floor(x::DOUBLE * {KM_SCALE})::BIGINT) AS q"
+        " FROM embeddings)",
+        "seeds AS (SELECT ((strpos('" + _HEX + "', substr(md5(vec_id::VARCHAR), 1, 1)) - 1)"
+        f" % {KM_K})::INT AS cluster, min(vec_id) AS vec_id"
+        " FROM emb GROUP BY 1)",
+        "c0 AS (SELECT s.cluster, list_transform(e.q, x -> x::DOUBLE) AS c"
+        " FROM seeds s JOIN emb e USING (vec_id))",
+    ]
+    prev_c = "c0"
+    for it in range(1, KM_ITERS + 1):
+        parts.append(f"a{it} AS ({assign.format(dist=dist, cents=prev_c)})")
+        if it < KM_ITERS:
+            parts.append(f"c{it} AS ({update.format(assigned=f'a{it}')})")
+            prev_c = f"c{it}"
+    final = (
+        f"SELECT vec_id, cluster, round(dist, 4) AS dist FROM a{KM_ITERS}"
+    )
+    return ",\n".join([parts[0]] + parts[1:]) + "\n" + final
+
+
+ORACLE_EMBEDDING_KMEANS = _km_sql_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Prefix-filtered set-similarity join (PPJoin-style)
+# ---------------------------------------------------------------------------
+
+SETSIM_THRESHOLD = 0.9  # Jaccard floor; prefix len = n - ceil(t*n) + 1
+# ceil(0.9·n) in pure integer arithmetic so both engines slice identically
+_SETSIM_CEIL = "((9 * n_tok + 9) DIV 10)"
+_SETSIM_CEIL_SQL = "((9 * n_tok + 9) // 10)"
+
+
+def q_dedup_setsim_prefix(spark: SparkSession, sf: str) -> DataFrame:
+    """Set-similarity self-join via PREFIX FILTERING (PPJoin family) — the
+    deterministic, recall-exact alternative to MinHash-LSH for token-set
+    Jaccard ≥ t: order each doc's distinct tokens by global (document-
+    frequency, token) rarity, keep only the first n - ceil(t·n) + 1 tokens
+    (two sets with Jaccard ≥ t MUST share a token inside these prefixes),
+    join on prefix tokens, verify exactly. Unlike LSH there are no missed
+    pairs and no probabilistic tuning.
+
+    Output is the per-document NEIGHBOR SUMMARY (n_similar, max_jaccard),
+    not the raw pair list: on a corpus with large near-dup families the
+    pair set is quadratic in family size, and the summary is what a
+    curation pipeline acts on anyway (drop everything with a more-canonical
+    neighbor). Scale shape: the self-join fans out on PREFIX POSTINGS
+    ONLY — the df-ascending order puts each doc's RAREST tokens in its
+    prefix, so posting lists stay short and candidate volume stays near
+    the true-pair count; documents shuffle once, keyed by doc_id, for the
+    verify join. ceil(t·n) is integer arithmetic ((9n + 9) DIV 10 for
+    t = 0.9) so both engines slice identical prefixes."""
+    docs = table(spark, sf, "documents")
+    toks = F.array_sort(F.array_distinct(_ml_tokens(F.lower(F.col("text")))))
+    d = docs.select("doc_id", toks.alias("toks")).filter(F.size("toks") > 0)
+    tok = d.select("doc_id", F.explode("toks").alias("token"))
+    dfc = tok.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    ordered = (
+        tok.join(dfc, "token")
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list(F.struct("df", "token"))).alias("ord"))
+        .select(
+            "doc_id",
+            F.transform("ord", lambda s: s["token"]).alias("ord"),
+            F.size("ord").alias("n_tok"),
+        )
+    )
+    pfx_expr = f"slice(ord, 1, n_tok - {_SETSIM_CEIL} + 1)"
+    pfx = ordered.select("doc_id", F.explode(F.expr(pfx_expr)).alias("token"))
+    a = pfx.select(F.col("doc_id").alias("doc_a"), "token")
+    b = pfx.select(F.col("doc_id").alias("doc_b"), "token")
+    cand = (
+        a.join(b, "token")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    da = d.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("ta"))
+    db = d.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("tb"))
+    inter = F.size(F.array_intersect("ta", "tb"))
+    jacc = inter.cast("double") / (F.size("ta") + F.size("tb") - inter)
+    pairs = (
+        cand.join(da, "doc_a")
+        .join(db, "doc_b")
+        .withColumn("jaccard", F.round(jacc, 4))
+        .filter(F.col("jaccard") >= SETSIM_THRESHOLD)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+    sym = pairs.select(
+        F.col("doc_a").alias("doc_id"), "jaccard"
+    ).unionByName(pairs.select(F.col("doc_b").alias("doc_id"), "jaccard"))
+    return sym.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_similar"),
+        F.max("jaccard").alias("max_jaccard"),
+    )
+
+
+_SQL_ML_TOKENS = (
+    "CASE WHEN trim(lower(text)) = '' THEN []"
+    " ELSE string_split_regex(trim(lower(text)), '\\s+') END"
+)
+
+ORACLE_DEDUP_SETSIM_PREFIX = f"""
+WITH d AS (
+  SELECT doc_id, list_sort(list_distinct({_SQL_ML_TOKENS})) AS toks
+  FROM documents
+  WHERE len(list_distinct({_SQL_ML_TOKENS})) > 0
+),
+tok AS (SELECT doc_id, unnest(toks) AS token FROM d),
+dfc AS (SELECT token, count(*) AS df FROM tok GROUP BY token),
+ordered AS (
+  SELECT t.doc_id, list(t.token ORDER BY f.df, t.token) AS ord, count(*) AS n_tok
+  FROM tok t JOIN dfc f USING (token) GROUP BY t.doc_id
+),
+pfx AS (
+  SELECT doc_id, unnest(ord[1 : n_tok - {_SETSIM_CEIL_SQL} + 1]) AS token
+  FROM ordered
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM pfx a JOIN pfx b ON a.token = b.token AND a.doc_id < b.doc_id
+),
+pairs AS (
+  SELECT doc_a, doc_b, jaccard FROM (
+    SELECT c.doc_a, c.doc_b,
+           round(len(list_intersect(da.toks, db.toks))::DOUBLE
+                 / (len(da.toks) + len(db.toks) - len(list_intersect(da.toks, db.toks))), 4) AS jaccard
+    FROM cand c
+    JOIN d da ON da.doc_id = c.doc_a
+    JOIN d db ON db.doc_id = c.doc_b)
+  WHERE jaccard >= {SETSIM_THRESHOLD}
+),
+sym AS (
+  SELECT doc_a AS doc_id, jaccard FROM pairs
+  UNION ALL
+  SELECT doc_b AS doc_id, jaccard FROM pairs
+)
+SELECT doc_id, count(*) AS n_similar, max(jaccard) AS max_jaccard
+FROM sym GROUP BY doc_id
+"""
+
+
+def _ml_tokens(c):
+    """Whitespace tokens of a (possibly lowered) text column; [] when blank.
+    Mirrors plans/llm_ops._tokens — duplicated 4-liner rather than imported
+    so this module's oracle strings and tokenizer stay self-consistent."""
+    t = F.trim(c)
+    return F.when(F.length(t) == 0, F.array().cast("array<string>")).otherwise(
+        F.split(t, r"\s+")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Markov transition matrix over event sequences
+# ---------------------------------------------------------------------------
+
+
+def q_events_transition_matrix(spark: SparkSession, sf: str) -> DataFrame:
+    """First-order Markov transition matrix of user event streams: for each
+    consecutive (event, next-event) pair within a user's timeline, the
+    transition count and row-normalized probability. The bread-and-butter
+    behavioral query (what do users do after an error?).
+
+    Scale shape: ONE shuffle keyed by user_id feeds the lead() window
+    (bounded per-user partitions), then a partial-agg groupBy to the
+    |types|² matrix and a tiny window over ≤ |types| rows for the row
+    normalizer. Raw events shuffle exactly once."""
+    ev = table(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).filter(F.col("next_type").isNotNull())
+    counts = pairs.groupBy("event_type", "next_type").agg(
+        F.count(F.lit(1)).alias("n_transitions")
+    )
+    row_total = F.sum("n_transitions").over(Window.partitionBy("event_type"))
+    return counts.select(
+        "event_type",
+        "next_type",
+        "n_transitions",
+        F.round(F.col("n_transitions").cast("double") / row_total, 6).alias("prob"),
+    )
+
+
+ORACLE_EVENTS_TRANSITION_MATRIX = """
+WITH pairs AS (
+  SELECT event_type,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+  FROM events
+),
+counts AS (
+  SELECT event_type, next_type, count(*) AS n_transitions
+  FROM pairs WHERE next_type IS NOT NULL
+  GROUP BY event_type, next_type
+)
+SELECT event_type, next_type, n_transitions,
+       round(n_transitions::DOUBLE
+             / sum(n_transitions) OVER (PARTITION BY event_type), 6) AS prob
+FROM counts
+"""
+
+
+# ---------------------------------------------------------------------------
+# Scalable global enumeration (two-phase row numbering)
+# ---------------------------------------------------------------------------
+
+ENUM_SAMPLE_MOD = 100  # emit every 100th id: validates numbering across buckets
+
+
+def q_orders_global_enumerate(spark: SparkSession, sf: str) -> DataFrame:
+    """Global row numbering of orders by (o_orderdate, o_orderkey) WITHOUT
+    the single-partition global window: bucket rows by a value-derived
+    range key (order month), window within each bounded bucket, and add a
+    broadcast per-bucket cumulative offset. Emits every ENUM_SAMPLE_MODth
+    id (plus the last) so the check spans many buckets without a 150k-row
+    result.
+
+    Scale shape: row_number() OVER (ORDER BY ...) with no PARTITION BY —
+    the naive spelling — funnels every row through ONE task; here each
+    window partition is one month and the offset table is |months| rows
+    riding a broadcast. This is zipWithIndex re-expressed declaratively
+    (and deterministically: buckets derive from VALUES, not from sampled
+    range-partition boundaries, so retries renumber identically)."""
+    orders = table(spark, sf, "orders")
+    bucket = F.date_format("o_orderdate", "yyyy-MM").alias("bucket")
+    o = orders.select(bucket, "o_orderdate", "o_orderkey")
+    per_bucket = o.groupBy("bucket").agg(F.count(F.lit(1)).alias("n"))
+    offsets = per_bucket.select(
+        "bucket",
+        (
+            F.sum("n").over(
+                Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+            )
+        ).alias("offset"),
+    ).fillna({"offset": 0})
+    w = Window.partitionBy("bucket").orderBy("o_orderdate", "o_orderkey")
+    numbered = (
+        o.withColumn("rn", F.row_number().over(w))
+        .join(F.broadcast(offsets), "bucket")
+        .select("o_orderkey", (F.col("offset") + F.col("rn")).alias("global_id"))
+    )
+    # last_id == total row count — derived from the TINY per-bucket counts,
+    # not max(global_id), which would recompute the whole windowed subtree
+    total = per_bucket.agg(F.sum("n").alias("last_id"))
+    return (
+        numbered.crossJoin(F.broadcast(total))
+        .filter(
+            (F.col("global_id") % ENUM_SAMPLE_MOD == 0)
+            | (F.col("global_id") == F.col("last_id"))
+        )
+        .select("global_id", "o_orderkey")
+    )
+
+
+ORACLE_ORDERS_GLOBAL_ENUMERATE = f"""
+WITH numbered AS (
+  SELECT o_orderkey,
+         row_number() OVER (ORDER BY o_orderdate, o_orderkey) AS global_id
+  FROM orders
+)
+SELECT global_id, o_orderkey FROM numbered
+WHERE global_id % {ENUM_SAMPLE_MOD} = 0
+   OR global_id = (SELECT max(global_id) FROM numbered)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Nation-to-nation trade flows (TPC-H Q7 shape)
+# ---------------------------------------------------------------------------
+
+
+def q_nation_trade_flows(spark: SparkSession, sf: str) -> DataFrame:
+    """Supplier-nation → customer-nation revenue flows by year (TPC-H Q7
+    generalized to all nation pairs): lineitem ⋈ orders on the co-shuffled
+    orderkey, customer / supplier / nation dims riding BROADCAST joins, so
+    the fact side shuffles exactly once. Cross-border flows only
+    (supp_nation != cust_nation). Decimal-exact revenue via money_sum."""
+    li = table(spark, sf, "lineitem")
+    orders = table(spark, sf, "orders")
+    cust = table(spark, sf, "customer")
+    supp = table(spark, sf, "supplier")
+    nation = table(spark, sf, "nation")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n1), supp.s_nationkey == F.col("s_nk"))
+        .join(F.broadcast(n2), cust.c_nationkey == F.col("c_nk"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+    )
+    return (
+        joined.groupBy(
+            "supp_nation", "cust_nation", F.year("o_orderdate").alias("order_year")
+        )
+        .agg(
+            F.round(F.sum(revenue()).cast("double"), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+ORACLE_NATION_TRADE_FLOWS = f"""
+SELECT n2.n_name AS supp_nation, n1.n_name AS cust_nation,
+       year(o_orderdate) AS order_year,
+       round(sum({SQL_REV})::DOUBLE, 2) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n1 ON c_nationkey = n1.n_nationkey
+JOIN nation n2 ON s_nationkey = n2.n_nationkey
+WHERE n2.n_name != n1.n_name
+GROUP BY supp_nation, cust_nation, order_year
+"""
+
+
+# ---------------------------------------------------------------------------
+# First-touch attribution
+# ---------------------------------------------------------------------------
+
+
+def q_events_attribution(spark: SparkSession, sf: str) -> DataFrame:
+    """First-touch attribution: credit each user's purchases to the FIRST
+    event type in that user's history (the acquisition channel proxy).
+    Output per first-touch type: users acquired through it, users of those
+    who purchased, total purchases, and purchase value.
+
+    Scale shape: two user-keyed partial aggregates (first event via
+    min_by(struct), purchase rollup via conditional sums) merged by a
+    co-partitioned user_id hash join, then a partial-agg groupBy to
+    |types| rows. Raw events shuffle once per aggregate; no windows."""
+    ev = table(spark, sf, "events")
+    first_touch = ev.groupBy("user_id").agg(
+        F.min_by("event_type", F.struct("ts", "event_id")).alias("first_type")
+    )
+    # value stays DECIMAL through BOTH aggregation levels — a double re-sum
+    # of per-user subtotals would be partial-agg-order-dependent
+    pv_dec = F.when(
+        F.col("event_type") == "purchase", F.col("value").cast("decimal(18,2)")
+    ).otherwise(F.lit(0).cast("decimal(18,2)"))
+    purchases = ev.groupBy("user_id").agg(
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long")
+        .alias("n_purchases"),
+        F.sum(pv_dec).alias("pv_dec"),
+    )
+    return (
+        first_touch.join(purchases, "user_id")
+        .groupBy("first_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum(F.when(F.col("n_purchases") > 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_buyers"),
+            F.sum("n_purchases").cast("long").alias("n_purchases"),
+            F.round(F.sum("pv_dec").cast("double"), 2).alias("purchase_value"),
+        )
+    )
+
+
+ORACLE_EVENTS_ATTRIBUTION = """
+WITH first_touch AS (
+  SELECT user_id, event_type AS first_type FROM (
+    SELECT user_id, event_type,
+           row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+    FROM events) WHERE rn = 1
+),
+purchases AS (
+  SELECT user_id,
+         sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS n_purchases,
+         sum(CASE WHEN event_type = 'purchase' THEN value::DECIMAL(18,2)
+                  ELSE 0::DECIMAL(18,2) END) AS pv_dec
+  FROM events GROUP BY user_id
+)
+SELECT first_type, count(*) AS n_users,
+       sum(CASE WHEN n_purchases > 0 THEN 1 ELSE 0 END)::BIGINT AS n_buyers,
+       sum(n_purchases)::BIGINT AS n_purchases,
+       round(sum(pv_dec)::DOUBLE, 2) AS purchase_value
+FROM first_touch JOIN purchases USING (user_id)
+GROUP BY first_type
+"""
+
+
+QUERIES: dict[str, Query] = {
+    "embedding_kmeans": Query(
+        q_embedding_kmeans,
+        ORACLE_EMBEDDING_KMEANS,
+        ("ml", "embedding", "clustering"),
+        True,
+    ),
+    "dedup_setsim_prefix": Query(
+        q_dedup_setsim_prefix,
+        ORACLE_DEDUP_SETSIM_PREFIX,
+        ("dedup", "setsim", "join"),
+        True,
+    ),
+    "events_transition_matrix": Query(
+        q_events_transition_matrix,
+        ORACLE_EVENTS_TRANSITION_MATRIX,
+        ("events", "markov", "window"),
+    ),
+    "orders_global_enumerate": Query(
+        q_orders_global_enumerate,
+        ORACLE_ORDERS_GLOBAL_ENUMERATE,
+        ("enumeration", "window", "layout"),
+    ),
+    "nation_trade_flows": Query(
+        q_nation_trade_flows,
+        ORACLE_NATION_TRADE_FLOWS,
+        ("tpch", "join", "agg"),
+        True,
+    ),
+    "events_attribution": Query(
+        q_events_attribution,
+        ORACLE_EVENTS_ATTRIBUTION,
+        ("events", "attribution", "agg"),
+    ),
+}

@@ -194,3 +194,42 @@ def test_snapshot_v1_backcompat(tmp_path, monkeypatch):
     rounds, fps = coverage_mod._read_snapshot()
     assert rounds == {"a": 3, "b": 4}
     assert fps == {}
+
+
+def test_window_family_promotion_displaces_only_fresh_entries(monkeypatch):
+    """When the fresh tier's required-family representatives overflow the
+    window slots, the crowded-out family's carrier is promoted by
+    displacing a FRESH window entry whose required tags stay covered by
+    another window entry — never a stale-due entry, never a sole carrier.
+    When no such victim exists, nothing is displaced (the family gate's
+    fresh-carriers exemption applies instead, test_registry.py)."""
+    monkeypatch.setattr(coverage_mod, "DRIVER_WINDOW", 4)
+    monkeypatch.setattr(
+        coverage_mod,
+        "REQUIRED_FAMILIES",
+        frozenset({"agg", "lsh", "similarity", "skew"}),
+    )
+    merged = {
+        "stale_a": _q(["agg"]),
+        "stale_b": _q(["agg"]),
+        "r1": _q(["lsh"]),  # rep; its lsh is ALSO carried by r2 -> victim
+        "r2": _q(["lsh", "similarity"]),  # rep; sole similarity carrier
+        "z1": _q(["skew"]),  # rep, but rarity-ranked past the window edge
+        "z2": _q(["skew"]),
+    }
+    cov = {"r1": 5, "r2": 5, "z1": 5, "z2": 5}
+    order = coverage_mod.catalog_order(merged, cov)
+    window = order[: coverage_mod.DRIVER_WINDOW]
+    # without promotion the window would be [stale_a, stale_b, r2, r1]
+    assert "z1" in window, order
+    assert "r2" in window, order  # sole similarity carrier kept
+    assert order.index("r1") == coverage_mod.DRIVER_WINDOW  # victim just outside
+    assert set(order[:2]) == {"stale_a", "stale_b"}  # stale still leads
+    rounds = [cov.get(n, 0) for n in order]
+    assert rounds == sorted(rounds)  # staleness monotonicity preserved
+
+    # every in-window fresh entry is a sole required-carrier -> no victim,
+    # no displacement of stale entries, family left just outside
+    monkeypatch.setattr(coverage_mod, "DRIVER_WINDOW", 2)
+    order2 = coverage_mod.catalog_order(merged, cov)
+    assert set(order2[:2]) == {"stale_a", "stale_b"}

@@ -204,3 +204,43 @@ def test_partition_pruning(spark, tmp_path):
     assert "PartitionFilters" in plan and "dt" in plan
     # only one of three partitions survives the scan
     assert back.count() == 33
+
+
+def test_kmeans_never_shuffles_vectors(spark, sf_correctness):
+    """Distributed Lloyd's contract: per iteration the vectors stay put —
+    centroids ride a broadcast (1-row array via BroadcastNestedLoop is the
+    intended shape), the argmin is map-side, and the ONLY hash exchanges
+    are cluster-keyed partial-agg updates (K rows). A vec_id-keyed
+    exchange means the plan started shuffling vectors."""
+    import re
+
+    plan = explain_str(QUERIES["embedding_kmeans"].fn(spark, sf_correctness), "simple")
+    hash_keys = re.findall(r"Exchange hashpartitioning\((\w+)#", plan)
+    assert hash_keys, plan
+    assert set(hash_keys) == {"cluster"}, f"non-cluster exchanges: {hash_keys}"
+    assert "Exchange rangepartitioning" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_setsim_prefix_equi_joins_only(spark, sf_correctness):
+    """Prefix filtering exists to make the similarity join an EQUI join on
+    prefix tokens; NestedLoop/Cartesian anywhere means the candidate
+    generation degenerated to pair enumeration."""
+    plan = explain_str(QUERIES["dedup_setsim_prefix"].fn(spark, sf_correctness), "simple")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_global_enumerate_windows_are_bucket_partitioned(spark, sf_correctness):
+    """The scalable-enumeration contract: the big-side row_number window
+    is PARTITIONED BY the range bucket (bounded partitions) and the only
+    unpartitioned window (the offset cumsum) sits above the per-bucket
+    aggregate — i.e. every row_number spec names the bucket key, and no
+    SinglePartition exchange feeds a row_number."""
+    plan = explain_str(QUERIES["orders_global_enumerate"].fn(spark, sf_correctness), "simple")
+    for ln in plan.splitlines():
+        if "row_number()" in ln:
+            assert "windowspecdefinition(bucket" in ln, (
+                f"row_number window lost its bucket key:\n{ln}"
+            )
+    assert "CartesianProduct" not in plan

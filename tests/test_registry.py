@@ -19,7 +19,7 @@ from customer_activity_lakehouse_spark.plans import (
 )
 from customer_activity_lakehouse_spark.plans.coverage import REQUIRED_FAMILIES, catalog_order
 
-DRIVER_WINDOW = 50
+from customer_activity_lakehouse_spark.plans.coverage import DRIVER_WINDOW
 
 
 def test_coverage_loaded_and_sane():
@@ -77,14 +77,30 @@ def test_every_oracled_family_has_an_entry_in_window():
     first 50 (fine-grained plan-vocab tags like 'having'/'case' are
     deliberately not required — recently-green entries rotate behind).
     The family list is the ordering policy's own constant, so the gate and
-    the ordering can't drift apart."""
+    the ordering can't drift apart.
+
+    Staleness outranks family coverage: when the stale-due tiers alone
+    fill the window (a round that adds many queries), a family may sit
+    just outside — allowed ONLY if every one of its carriers was green in
+    the LATEST round (the family is then provably not rotting, and the
+    staleness policy pulls it back next round)."""
     families = set(REQUIRED_FAMILIES)
     # every required family must actually exist in the catalog
     all_tags = {t for q in QUERIES.values() for t in q.tags}
     assert families <= all_tags, f"required families with no carrier: {families - all_tags}"
     order = list(QUERIES)[:DRIVER_WINDOW]
     window_tags = {t for n in order for t in QUERIES[n].tags}
-    assert families <= window_tags, f"families missing from window: {families - window_tags}"
+    max_round = max(EFFECTIVE_COVERAGE.values(), default=0)
+    rotting = [
+        fam
+        for fam in families - window_tags
+        if not all(
+            EFFECTIVE_COVERAGE.get(n, 0) == max_round
+            for n, q in QUERIES.items()
+            if fam in q.tags
+        )
+    ]
+    assert not rotting, f"families missing from window with stale carriers: {rotting}"
 
 
 def test_codegen_cache_sized_for_catalog(spark):
