@@ -211,7 +211,16 @@ def q_dedup_setsim_prefix(spark: SparkSession, sf: str) -> DataFrame:
     prefix, so posting lists stay short and candidate volume stays near
     the true-pair count; documents shuffle once, keyed by doc_id, for the
     verify join. ceil(t·n) is integer arithmetic ((9n + 9) DIV 10 for
-    t = 0.9) so both engines slice identical prefixes."""
+    t = 0.9) so both engines slice identical prefixes.
+
+    Degenerate-corpus caveat (measured, sf0.1): exact similarity join
+    output is Ω(true pairs); on a template-heavy corpus where thousands of
+    docs are mutually ≥ t-similar (this fixture: ~12M true pairs among
+    5k docs), candidate volume IS the answer size and NO exact algorithm
+    beats it. Like the other exact anchors (dedup_ngram_jaccard,
+    dedup_embedding_cosine) this entry is the correctness oracle for
+    sampled slices; the always-scalable path is the capped/audited LSH
+    family (dedup_minhash_megabuckets). Deliberately NOT benched."""
     docs = table(spark, sf, "documents")
     toks = F.array_sort(F.array_distinct(_ml_tokens(F.lower(F.col("text")))))
     d = docs.select("doc_id", toks.alias("toks")).filter(F.size("toks") > 0)
@@ -299,6 +308,173 @@ sym AS (
 )
 SELECT doc_id, count(*) AS n_similar, max(jaccard) AS max_jaccard
 FROM sym GROUP BY doc_id
+"""
+
+
+SETSIM_POSTING_CAP = 64  # max docs per prefix-token posting list
+
+
+def q_dedup_setsim_capped(spark: SparkSession, sf: str) -> DataFrame:
+    """The SCALE path of the set-similarity family: exact-duplicate family
+    collapse + prefix filtering + per-token posting-list caps — the same
+    cap-and-audit design as the LSH megabucket dedups.
+
+    1. Collapse docs with IDENTICAL token sets into families (md5 set
+       fingerprint): in-family similarity is exactly 1.0 and needs no pair
+       enumeration, which removes the largest quadratic blowup up front.
+    2. Prefix-join the family REPRESENTATIVES (df-rare prefix tokens,
+       threshold ceil arithmetic shared with q_dedup_setsim_prefix).
+    3. Cap each token's posting list at SETSIM_POSTING_CAP reps (first by
+       rep_id — deterministic); pairs reachable only through a hotter
+       posting are sacrificed and AUDITED per rep in n_pruned_postings.
+    4. Verify candidates exactly; report per-family neighbor stats with
+       member weighting (n_similar counts DOCUMENTS: in-family siblings
+       plus every member of each similar family).
+
+    Scale shape: candidate volume is bounded by Σ_token min(|posting|,
+    CAP)² — independent of how pathological the corpus is; everything
+    shuffles as (token) or (rep_id) keyed hash joins; token arrays travel
+    only to the bounded verify join."""
+    docs = table(spark, sf, "documents")
+    toks = F.array_sort(F.array_distinct(_ml_tokens(F.lower(F.col("text")))))
+    d = docs.select("doc_id", toks.alias("toks")).filter(F.size("toks") > 0)
+    fp = d.select("doc_id", F.md5(F.array_join("toks", " ").cast("binary")).alias("set_fp"))
+    fams = fp.groupBy("set_fp").agg(
+        F.min("doc_id").alias("rep_id"), F.count(F.lit(1)).alias("members")
+    )
+    reps = fams.join(d, fams.rep_id == d.doc_id).select("rep_id", "members", "toks")
+    tok = reps.select("rep_id", F.explode("toks").alias("token"))
+    dfc = tok.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    ordered = (
+        tok.join(dfc, "token")
+        .groupBy("rep_id")
+        .agg(F.array_sort(F.collect_list(F.struct("df", "token"))).alias("ord"))
+        .select(
+            "rep_id",
+            F.transform("ord", lambda s: s["token"]).alias("ord"),
+            F.size("ord").alias("n_tok"),
+        )
+    )
+    pfx_expr = f"slice(ord, 1, n_tok - {_SETSIM_CEIL} + 1)"
+    pfx = ordered.select("rep_id", F.explode(F.expr(pfx_expr)).alias("token"))
+    wtok = Window.partitionBy("token").orderBy("rep_id")
+    ranked = pfx.withColumn("pos", F.row_number().over(wtok))
+    kept = ranked.filter(F.col("pos") <= SETSIM_POSTING_CAP).select("rep_id", "token")
+    pruned = (
+        ranked.filter(F.col("pos") > SETSIM_POSTING_CAP)
+        .groupBy("rep_id")
+        .agg(F.count(F.lit(1)).alias("n_pruned_postings"))
+    )
+    a = kept.select(F.col("rep_id").alias("rep_a"), "token")
+    b = kept.select(F.col("rep_id").alias("rep_b"), "token")
+    cand = (
+        a.join(b, "token").filter(F.col("rep_a") < F.col("rep_b")).select("rep_a", "rep_b").distinct()
+    )
+    ra = reps.select(F.col("rep_id").alias("rep_a"), F.col("toks").alias("ta"))
+    rb = reps.select(F.col("rep_id").alias("rep_b"), F.col("toks").alias("tb"))
+    inter = F.size(F.array_intersect("ta", "tb"))
+    jacc = inter.cast("double") / (F.size("ta") + F.size("tb") - inter)
+    pairs = (
+        cand.join(ra, "rep_a")
+        .join(rb, "rep_b")
+        .withColumn("jaccard", F.round(jacc, 4))
+        .filter(F.col("jaccard") >= SETSIM_THRESHOLD)
+        .select("rep_a", "rep_b", "jaccard")
+    )
+    rm = reps.select("rep_id", "members")
+    sym = (
+        pairs.join(rm.select(F.col("rep_id").alias("rep_b"), F.col("members").alias("other_members")), "rep_b")
+        .select(F.col("rep_a").alias("rep_id"), "jaccard", "other_members")
+        .unionByName(
+            pairs.join(
+                rm.select(F.col("rep_id").alias("rep_a"), F.col("members").alias("other_members")),
+                "rep_a",
+            ).select(F.col("rep_b").alias("rep_id"), "jaccard", "other_members")
+        )
+    )
+    xfam = sym.groupBy("rep_id").agg(
+        F.sum("other_members").cast("long").alias("n_xfam"),
+        F.max("jaccard").alias("max_xfam_jaccard"),
+    )
+    return (
+        rm.join(xfam, "rep_id", "left")
+        .join(pruned.withColumnRenamed("rep_id", "p_rep"), F.col("rep_id") == F.col("p_rep"), "left")
+        .select(
+            "rep_id",
+            "members",
+            (
+                (F.col("members") - 1) + F.coalesce(F.col("n_xfam"), F.lit(0))
+            ).cast("long").alias("n_similar"),
+            F.when(F.col("members") > 1, F.lit(1.0))
+            .otherwise(F.coalesce(F.col("max_xfam_jaccard"), F.lit(0.0)))
+            .alias("max_jaccard"),
+            F.coalesce(F.col("n_pruned_postings"), F.lit(0)).cast("long").alias("n_pruned_postings"),
+        )
+        .filter(F.col("n_similar") > 0)
+    )
+
+
+ORACLE_DEDUP_SETSIM_CAPPED = f"""
+WITH d AS (
+  SELECT doc_id, list_sort(list_distinct({_SQL_ML_TOKENS})) AS toks
+  FROM documents
+  WHERE len(list_distinct({_SQL_ML_TOKENS})) > 0
+),
+fp AS (SELECT doc_id, md5(array_to_string(toks, ' ')) AS set_fp FROM d),
+fams AS (SELECT set_fp, min(doc_id) AS rep_id, count(*) AS members FROM fp GROUP BY set_fp),
+reps AS (SELECT f.rep_id, f.members, d.toks FROM fams f JOIN d ON d.doc_id = f.rep_id),
+tok AS (SELECT rep_id, unnest(toks) AS token FROM reps),
+dfc AS (SELECT token, count(*) AS df FROM tok GROUP BY token),
+ordered AS (
+  SELECT t.rep_id, list(t.token ORDER BY f.df, t.token) AS ord, count(*) AS n_tok
+  FROM tok t JOIN dfc f USING (token) GROUP BY t.rep_id
+),
+pfx AS (
+  SELECT rep_id, unnest(ord[1 : n_tok - {_SETSIM_CEIL_SQL} + 1]) AS token FROM ordered
+),
+ranked AS (
+  SELECT rep_id, token, row_number() OVER (PARTITION BY token ORDER BY rep_id) AS pos
+  FROM pfx
+),
+kept AS (SELECT rep_id, token FROM ranked WHERE pos <= {SETSIM_POSTING_CAP}),
+pruned AS (
+  SELECT rep_id, count(*) AS n_pruned_postings FROM ranked
+  WHERE pos > {SETSIM_POSTING_CAP} GROUP BY rep_id
+),
+cand AS (
+  SELECT DISTINCT a.rep_id AS rep_a, b.rep_id AS rep_b
+  FROM kept a JOIN kept b ON a.token = b.token AND a.rep_id < b.rep_id
+),
+pairs AS (
+  SELECT rep_a, rep_b, jaccard FROM (
+    SELECT c.rep_a, c.rep_b,
+           round(len(list_intersect(ra.toks, rb.toks))::DOUBLE
+                 / (len(ra.toks) + len(rb.toks) - len(list_intersect(ra.toks, rb.toks))), 4) AS jaccard
+    FROM cand c
+    JOIN reps ra ON ra.rep_id = c.rep_a
+    JOIN reps rb ON rb.rep_id = c.rep_b)
+  WHERE jaccard >= {SETSIM_THRESHOLD}
+),
+sym AS (
+  SELECT p.rep_a AS rep_id, p.jaccard, r.members AS other_members
+  FROM pairs p JOIN reps r ON r.rep_id = p.rep_b
+  UNION ALL
+  SELECT p.rep_b AS rep_id, p.jaccard, r.members AS other_members
+  FROM pairs p JOIN reps r ON r.rep_id = p.rep_a
+),
+xfam AS (
+  SELECT rep_id, sum(other_members)::BIGINT AS n_xfam, max(jaccard) AS max_xfam_jaccard
+  FROM sym GROUP BY rep_id
+)
+SELECT r.rep_id, r.members,
+       ((r.members - 1) + coalesce(x.n_xfam, 0))::BIGINT AS n_similar,
+       CASE WHEN r.members > 1 THEN 1.0
+            ELSE coalesce(x.max_xfam_jaccard, 0.0) END AS max_jaccard,
+       coalesce(p.n_pruned_postings, 0)::BIGINT AS n_pruned_postings
+FROM reps r
+LEFT JOIN xfam x USING (rep_id)
+LEFT JOIN pruned p USING (rep_id)
+WHERE (r.members - 1) + coalesce(x.n_xfam, 0) > 0
 """
 
 
@@ -561,6 +737,11 @@ QUERIES: dict[str, Query] = {
         q_dedup_setsim_prefix,
         ORACLE_DEDUP_SETSIM_PREFIX,
         ("dedup", "setsim", "join"),
+    ),
+    "dedup_setsim_capped": Query(
+        q_dedup_setsim_capped,
+        ORACLE_DEDUP_SETSIM_CAPPED,
+        ("dedup", "setsim", "audit", "join"),
         True,
     ),
     "events_transition_matrix": Query(

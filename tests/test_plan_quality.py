@@ -244,3 +244,21 @@ def test_global_enumerate_windows_are_bucket_partitioned(spark, sf_correctness):
                 f"row_number window lost its bucket key:\n{ln}"
             )
     assert "CartesianProduct" not in plan
+
+
+def test_setsim_capped_bounded_candidates_shape(spark, sf_correctness):
+    """The capped setsim variant's contract: posting-cap via a token-keyed
+    row_number window (never a global one), equi joins only — candidate
+    volume then has the Σ min(|posting|, CAP)² bound regardless of corpus
+    pathology (measured: 102s -> 2.6s at sf0.1 vs the exact variant)."""
+    plan = explain_str(QUERIES["dedup_setsim_capped"].fn(spark, sf_correctness), "simple")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    for ln in plan.splitlines():
+        if "row_number()" in ln:
+            # WindowGroupLimit = Spark's rank-limit pushdown (per-partition
+            # top-CAP before the shuffle) — the ideal shape for the cap
+            assert "windowspecdefinition(token" in ln or "WindowGroupLimit [token" in ln, (
+                f"posting-cap window lost its token key:\n{ln}"
+            )
+    assert "WindowGroupLimit" in plan, "rank-limit pushdown missing for the posting cap"

@@ -34,6 +34,10 @@ HEAVY = [
     # counts scale with sf
     "revenue_pareto_customers",
     "events_sliding_rates",
+    # r6 ML additions: posting-cap firing (hot tokens appear only at sf0.1)
+    # and k-means cluster populations are sf-dependent
+    "dedup_setsim_capped",
+    "embedding_kmeans",
 ]
 
 
