@@ -194,3 +194,88 @@ def vacuum(spark: SparkSession, table_dir: str, keep_last: int = 1) -> int:
             _, jm = _hadoop_fs(spark, f"{table_dir}/{_SNAP_DIR}/v{v:05d}.json")
             fs.delete(jm, False)
     return deleted
+
+
+def snapshot_changes(
+    spark: SparkSession,
+    table_dir: str,
+    v_from: int,
+    v_to: int | None = None,
+    key_cols: list[str] | None = None,
+) -> DataFrame:
+    """CDC between two snapshot versions: the rows a downstream consumer
+    must apply to move from ``v_from`` to ``v_to`` (default: latest).
+    Output = the table's columns plus ``change_type`` in
+    {'insert', 'update', 'delete'} (update/delete rows carry the NEW and
+    OLD values respectively).
+
+    Fast path — the one that matters at 100 TB: when every commit in
+    (v_from, v_to] is an APPEND, the change set is exactly the data files
+    added after v_from (manifest file-list difference). Those files are
+    read directly — no join, no scan of the base table, cost proportional
+    to the delta alone. This is the incremental-consumption contract
+    Delta's CDF/Iceberg's incremental reads provide, recovered from plain
+    manifests.
+
+    General path (any overwrite in the range): requires ``key_cols``; the
+    two snapshots meet in ONE co-partitioned full-outer hash join on the
+    key, and rows classify as insert (no old), delete (no new), or update
+    (both present, non-key columns differ under null-safe struct
+    comparison). Keys must be unique per snapshot — the same contract as
+    tables.merge_upsert.
+
+    Beyond-reference extension (the reference's Dask ETL re-reads whole
+    zones; ReadMe.md:99 defers incremental processing to future work)."""
+    from pyspark.sql import functions as F
+
+    versions = _list_versions(spark, table_dir)
+    v_to = versions[-1] if v_to is None else v_to
+    for v in (v_from, v_to):
+        if v not in versions:
+            raise FileNotFoundError(f"snapshot v{v} not found at {table_dir} (have {versions})")
+    if v_to < v_from:
+        raise ValueError(f"v_to={v_to} precedes v_from={v_from}")
+    manifests = {v: _read_manifest(spark, table_dir, v) for v in versions if v_from < v <= v_to}
+    if all(m["op"] == "append" for m in manifests.values()):
+        old_files = set(_read_manifest(spark, table_dir, v_from)["files"])
+        new_files = [f for f in _read_manifest(spark, table_dir, v_to)["files"] if f not in old_files]
+        if not new_files:
+            base = read_snapshot(spark, table_dir, v_to)
+            return base.withColumn("change_type", F.lit("insert")).limit(0)
+        return spark.read.parquet(*new_files).withColumn("change_type", F.lit("insert"))
+    if not key_cols:
+        raise ValueError(
+            f"snapshot_changes {table_dir} v{v_from}->v{v_to} crosses an overwrite "
+            "commit; row-level diff needs key_cols"
+        )
+    old = read_snapshot(spark, table_dir, v_from)
+    new = read_snapshot(spark, table_dir, v_to)
+    val_cols = [c for c in new.columns if c not in key_cols]
+    o = old.select(
+        *[F.col(c).alias(f"k_{c}") for c in key_cols],
+        F.struct(*val_cols).alias("old_vals"),
+    )
+    n = new.select(
+        *[F.col(c).alias(f"k_{c}") for c in key_cols],
+        F.struct(*val_cols).alias("new_vals"),
+    )
+    cond = [o[f"k_{c}"].eqNullSafe(n[f"k_{c}"]) for c in key_cols]
+    joined = o.join(n, cond, "full_outer")
+    change = (
+        F.when(o["old_vals"].isNull(), F.lit("insert"))
+        .when(n["new_vals"].isNull(), F.lit("delete"))
+        .when(~o["old_vals"].eqNullSafe(n["new_vals"]), F.lit("update"))
+    )
+    picked = F.coalesce(n["new_vals"], o["old_vals"])
+    return (
+        joined.withColumn("change_type", change)
+        .filter(F.col("change_type").isNotNull())
+        .select(
+            *[
+                F.coalesce(n[f"k_{c}"], o[f"k_{c}"]).alias(c)
+                for c in key_cols
+            ],
+            *[picked[c].alias(c) for c in val_cols],
+            "change_type",
+        )
+    )

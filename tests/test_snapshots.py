@@ -87,3 +87,61 @@ def test_uncommitted_data_is_invisible_and_vacuumed(spark, tmp_path):
     vacuum(spark, t, keep_last=1)
     assert not Path(f"{t}/data/v99999-orphan").exists()
     assert read_snapshot(spark, t).count() == 5
+
+
+def test_snapshot_changes_append_fast_path_reads_only_delta(spark, tmp_path):
+    """Append-only CDC must read exactly the files added after v_from —
+    no join, no base-table scan (the incremental-consumption contract)."""
+    import io
+    import contextlib
+
+    from customer_activity_lakehouse_spark.sources.snapshots import (
+        commit_append,
+        snapshot_changes,
+    )
+
+    t = str(tmp_path / "t")
+    base = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    delta = spark.createDataFrame([(3, "c"), (4, "d")], "id long, v string")
+    v1 = commit_append(spark, t, base)
+    v2 = commit_append(spark, t, delta)
+    ch = snapshot_changes(spark, t, v_from=v1, v_to=v2)
+    rows = {(r.id, r.v, r.change_type) for r in ch.collect()}
+    assert rows == {(3, "c", "insert"), (4, "d", "insert")}
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        ch.explain("simple")
+    assert "Join" not in buf.getvalue()  # delta files only, never a diff join
+    # empty range -> empty frame, correct schema
+    assert snapshot_changes(spark, t, v_from=v2, v_to=v2).count() == 0
+
+
+def test_snapshot_changes_overwrite_diff_classifies(spark, tmp_path):
+    """Crossing an overwrite falls back to the keyed full-outer diff:
+    insert/update/delete classification with new values (old for
+    deletes), unchanged rows suppressed."""
+    import pytest as _pytest
+
+    from customer_activity_lakehouse_spark.sources.snapshots import (
+        commit_append,
+        commit_overwrite,
+        snapshot_changes,
+    )
+
+    t = str(tmp_path / "t")
+    v1 = commit_append(
+        spark,
+        t,
+        spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "id long, v string"),
+    )
+    v2 = commit_overwrite(
+        spark,
+        t,
+        # 1 unchanged, 2 updated, 3 deleted, 4 inserted
+        spark.createDataFrame([(1, "a"), (2, "B"), (4, "d")], "id long, v string"),
+    )
+    with _pytest.raises(ValueError, match="key_cols"):
+        snapshot_changes(spark, t, v_from=v1, v_to=v2)
+    ch = snapshot_changes(spark, t, v_from=v1, v_to=v2, key_cols=["id"])
+    rows = {(r.id, r.v, r.change_type) for r in ch.collect()}
+    assert rows == {(2, "B", "update"), (3, "c", "delete"), (4, "d", "insert")}
