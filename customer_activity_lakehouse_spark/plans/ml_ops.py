@@ -41,6 +41,23 @@ from pyspark.sql import functions as F
 from .core import SQL_REV, revenue
 from .registry import Query, table
 
+
+def _ml_tokens(c):
+    """Whitespace tokens of a (possibly lowered) text column; [] when blank.
+    Mirrors plans/llm_ops._tokens — duplicated 4-liner rather than imported
+    so this module's oracle strings and tokenizer stay self-consistent."""
+    t = F.trim(c)
+    return F.when(F.length(t) == 0, F.array().cast("array<string>")).otherwise(
+        F.split(t, r"\s+")
+    )
+
+
+_SQL_ML_TOKENS = (
+    "CASE WHEN trim(lower(text)) = '' THEN []"
+    " ELSE string_split_regex(trim(lower(text)), '\\s+') END"
+)
+
+
 # ---------------------------------------------------------------------------
 # K-means over embeddings
 # ---------------------------------------------------------------------------
@@ -113,11 +130,33 @@ def _km_assign(embq: DataFrame, centroids: DataFrame) -> DataFrame:
 def _km_update(assigned: DataFrame) -> DataFrame:
     """Centroid update as KM_DIM integer-sum aggregates + one count —
     partial-aggregable (map-side combine) down to K rows; the single
-    sum/count division is the only float op, deterministic IEEE."""
-    sums = [F.sum(F.element_at("q", i + 1)).alias(f"s{i}") for i in range(KM_DIM)]
-    g = assigned.groupBy("cluster").agg(F.count(F.lit(1)).alias("n"), *sums)
-    c = F.array(*[(F.col(f"s{i}").cast("double") / F.col("n")) for i in range(KM_DIM)])
-    return g.select("cluster", c.alias("c"))
+    sum/count division is the only float op, deterministic IEEE.  The 65
+    aggregates are ONE SQL expression string, not 65 Column objects —
+    per-Column py4j round-trips cost ~1 s/call of pure driver time
+    (same lesson as q_ann_ivf_topk, llm_ops.py)."""
+    sums_sql = (
+        "struct(count(1) as n, "
+        + ", ".join(f"sum(element_at(q, {i + 1})) as s{i}" for i in range(KM_DIM))
+        + ") as acc"
+    )
+    arr_sql = (
+        "array(" + ", ".join(f"cast(acc.s{i} as double) / acc.n" for i in range(KM_DIM)) + ") as c"
+    )
+    return assigned.groupBy("cluster").agg(F.expr(sums_sql)).selectExpr("cluster", arr_sql)
+
+
+def _km_fit(spark: SparkSession, sf: str) -> tuple[DataFrame, DataFrame]:
+    """Run KM_ITERS Lloyd iterations; returns (final assignments, the
+    centroids those assignments were computed against) — the latter is
+    what an IVF probe must use to stay consistent with the cells."""
+    embq = _km_quantized(spark, sf)
+    centroids = _km_seed_centroids(embq)
+    assigned = cents_used = None
+    for _ in range(KM_ITERS):
+        cents_used = centroids
+        assigned = _km_assign(embq, cents_used)
+        centroids = _km_update(assigned)
+    return assigned, cents_used
 
 
 def q_embedding_kmeans(spark: SparkSession, sf: str) -> DataFrame:
@@ -130,18 +169,15 @@ def q_embedding_kmeans(spark: SparkSession, sf: str) -> DataFrame:
     partial-agg groupBy to K rows. The vectors are scanned KM_ITERS times
     but NEVER shuffled; total shuffle volume is O(K · dim · partitions)
     per iteration — the canonical distributed k-means."""
-    embq = _km_quantized(spark, sf)
-    centroids = _km_seed_centroids(embq)
-    assigned = None
-    for _ in range(KM_ITERS):
-        assigned = _km_assign(embq, centroids)
-        centroids = _km_update(assigned)
+    assigned, _ = _km_fit(spark, sf)
     return assigned.select("vec_id", "cluster", F.round("dist", 4).alias("dist"))
 
 
-def _km_sql_oracle() -> str:
-    """Unrolled Lloyd iterations as a DuckDB CTE chain mirroring the Spark
-    plan op-for-op (same quantization, same seeding, same tie-breaks)."""
+def _km_sql_parts() -> tuple[list[str], str, str]:
+    """Unrolled Lloyd iterations as DuckDB CTE parts mirroring the Spark
+    plan op-for-op (same quantization, same seeding, same tie-breaks).
+    Returns (with_parts, final_assignment_cte, probe_centroids_cte) so the
+    kmeans and IVF oracles share one chain."""
     dist = (
         "list_sum(list_transform(range(1, {d} + 1),"
         " i -> (e.q[i]::DOUBLE - c.c[i]) * (e.q[i]::DOUBLE - c.c[i])))"
@@ -174,13 +210,167 @@ def _km_sql_oracle() -> str:
         if it < KM_ITERS:
             parts.append(f"c{it} AS ({update.format(assigned=f'a{it}')})")
             prev_c = f"c{it}"
-    final = (
-        f"SELECT vec_id, cluster, round(dist, 4) AS dist FROM a{KM_ITERS}"
+    return parts, f"a{KM_ITERS}", prev_c
+
+
+def _km_sql_oracle() -> str:
+    parts, final_a, _ = _km_sql_parts()
+    return (
+        ",\n".join(parts)
+        + f"\nSELECT vec_id, cluster, round(dist, 4) AS dist FROM {final_a}"
     )
-    return ",\n".join([parts[0]] + parts[1:]) + "\n" + final
 
 
 ORACLE_EMBEDDING_KMEANS = _km_sql_oracle()
+
+
+# ---------------------------------------------------------------------------
+# IVF with k-means-trained cells (FAISS-style coarse quantizer)
+# ---------------------------------------------------------------------------
+
+IVF_PROBES = 2  # cells probed per query
+IVF_TOPK = 5
+
+
+def q_ann_ivf_kmeans_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF ANN with a LEARNED coarse quantizer — the FAISS design: cells
+    are the k-means clusters (not a label column as in q_ann_ivf_topk,
+    llm_ops.py, which trusts a pre-existing partition key), the query
+    probes its IVF_PROBES nearest centroids by the SAME quantized-distance
+    metric that assigned the cells, and exact cosine runs on candidates
+    from those cells only.
+
+    Scale shape: training is the kmeans pipeline (vectors never shuffle);
+    the probe is a K-row broadcast argsort; candidate selection is a
+    broadcast semi-join of the probe cells against the assignment frame —
+    at 100 TB the table is written partitioned by cell so a probe reads
+    IVF_PROBES partitions. Exact cosine + TakeOrdered top-k on candidates
+    only."""
+    from .llm_ops import _dot_expr, _norm_expr
+
+    assigned, cents = _km_fit(spark, sf)
+    carr = cents.agg(F.array_sort(F.collect_list(F.struct("cluster", "c"))).alias("cents"))
+    embq = _km_quantized(spark, sf)
+    q0 = embq.filter(F.col("vec_id") == 0)
+    cent_dist = F.aggregate(
+        F.zip_with(F.col("q"), F.col("cent.c"), lambda a, b: (a.cast("double") - b) * (a.cast("double") - b)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    probe = (
+        q0.crossJoin(F.broadcast(carr))
+        .select(F.explode("cents").alias("cent"), "q")
+        .select(F.col("cent.cluster").alias("cluster"), cent_dist.alias("cdist"))
+        .orderBy("cdist", "cluster")
+        .limit(IVF_PROBES)
+        .select("cluster")
+    )
+    cand = (
+        assigned.join(F.broadcast(probe), "cluster")
+        .filter(F.col("vec_id") != 0)
+        .select("vec_id")
+    )
+    emb = table(spark, sf, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q_emb"))
+    cos = _dot_expr(F.col("embedding"), F.col("q_emb")) / (
+        _norm_expr(F.col("embedding")) * _norm_expr(F.col("q_emb"))
+    )
+    return (
+        emb.join(cand, "vec_id")
+        .crossJoin(F.broadcast(qv))
+        .select("vec_id", F.round(cos, 4).alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), "vec_id")
+        .limit(IVF_TOPK)
+    )
+
+
+def _ivf_kmeans_sql_oracle() -> str:
+    parts, final_a, probe_c = _km_sql_parts()
+    cdist = (
+        "list_sum(list_transform(range(1, {d} + 1),"
+        " i -> (e.q[i]::DOUBLE - c.c[i]) * (e.q[i]::DOUBLE - c.c[i])))"
+    ).format(d=KM_DIM)
+    cos = (
+        "list_sum(list_transform(range(1, {d}+1), i -> a.embedding[i]::DOUBLE * q.embedding[i]::DOUBLE))"
+        " / (sqrt(list_sum(list_transform(range(1, {d}+1), i -> a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE)))"
+        " * sqrt(list_sum(list_transform(range(1, {d}+1), i -> q.embedding[i]::DOUBLE * q.embedding[i]::DOUBLE))))"
+    ).format(d=KM_DIM)
+    tail = f""",
+probe AS (
+  SELECT cluster FROM (
+    SELECT c.cluster, {cdist} AS cdist,
+           row_number() OVER (ORDER BY {cdist}, c.cluster) AS rn
+    FROM (SELECT * FROM emb WHERE vec_id = 0) e CROSS JOIN {probe_c} c)
+  WHERE rn <= {IVF_PROBES}
+),
+cand AS (
+  SELECT vec_id FROM {final_a}
+  WHERE cluster IN (SELECT cluster FROM probe) AND vec_id != 0
+)
+SELECT a.vec_id, round({cos}, 4) AS cos_sim
+FROM embeddings a
+JOIN cand USING (vec_id)
+CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+ORDER BY cos_sim DESC, vec_id
+LIMIT {IVF_TOPK}"""
+    return ",\n".join(parts) + tail
+
+
+ORACLE_ANN_IVF_KMEANS_TOPK = _ivf_kmeans_sql_oracle()
+
+
+# ---------------------------------------------------------------------------
+# BPE pair counting (tokenizer induction, first merge step)
+# ---------------------------------------------------------------------------
+
+BPE_TOP_K = 30
+
+
+def q_doc_bpe_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """The first BPE merge step of tokenizer training: corpus-weighted
+    frequencies of adjacent character pairs, top BPE_TOP_K (the pair a BPE
+    trainer would merge first, and the next candidates).
+
+    Scale shape — the classic BPE trick, distributed: pair counting runs
+    on the (word, frequency) VOCABULARY aggregate, not the corpus. The
+    corpus shuffles once into the partial-agg vocab (bounded by vocabulary
+    size, not token count); the character-bigram explosion multiplies only
+    vocab rows; the pair rollup is a second partial agg; top-k compiles to
+    TakeOrderedAndProject (per-partition heaps). Ties broken by pair
+    string so the cut is engine-exact."""
+    docs = table(spark, sf, "documents")
+    words = docs.select(F.explode(_ml_tokens(F.lower(F.col("text")))).alias("word"))
+    vocab = words.groupBy("word").agg(F.count(F.lit(1)).alias("wf"))
+    bigrams = vocab.filter(F.length("word") >= 2).select(
+        # NB sequence(1, 0) counts DOWN in Spark — the length guard is
+        # load-bearing, not cosmetic
+        F.explode(
+            F.expr("transform(sequence(1, length(word) - 1), i -> substring(word, i, 2))")
+        ).alias("pair"),
+        "wf",
+    )
+    return (
+        bigrams.groupBy("pair")
+        .agg(F.sum("wf").cast("long").alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), "pair")
+        .limit(BPE_TOP_K)
+    )
+
+
+ORACLE_DOC_BPE_PAIRS = f"""
+WITH words AS (
+  SELECT unnest({_SQL_ML_TOKENS}) AS word FROM documents
+),
+vocab AS (SELECT word, count(*) AS wf FROM words GROUP BY word),
+bigrams AS (
+  SELECT unnest(list_transform(range(1, length(word)), i -> substr(word, i, 2))) AS pair, wf
+  FROM vocab WHERE length(word) >= 2
+)
+SELECT pair, sum(wf)::BIGINT AS n_occurrences
+FROM bigrams GROUP BY pair
+ORDER BY n_occurrences DESC, pair
+LIMIT {BPE_TOP_K}
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -478,16 +668,6 @@ WHERE (r.members - 1) + coalesce(x.n_xfam, 0) > 0
 """
 
 
-def _ml_tokens(c):
-    """Whitespace tokens of a (possibly lowered) text column; [] when blank.
-    Mirrors plans/llm_ops._tokens — duplicated 4-liner rather than imported
-    so this module's oracle strings and tokenizer stay self-consistent."""
-    t = F.trim(c)
-    return F.when(F.length(t) == 0, F.array().cast("array<string>")).otherwise(
-        F.split(t, r"\s+")
-    )
-
-
 # ---------------------------------------------------------------------------
 # Markov transition matrix over event sequences
 # ---------------------------------------------------------------------------
@@ -742,6 +922,17 @@ QUERIES: dict[str, Query] = {
         q_dedup_setsim_capped,
         ORACLE_DEDUP_SETSIM_CAPPED,
         ("dedup", "setsim", "audit", "join"),
+        True,
+    ),
+    "ann_ivf_kmeans_topk": Query(
+        q_ann_ivf_kmeans_topk,
+        ORACLE_ANN_IVF_KMEANS_TOPK,
+        ("ann", "embedding", "clustering", "similarity"),
+    ),
+    "doc_bpe_pairs": Query(
+        q_doc_bpe_pairs,
+        ORACLE_DOC_BPE_PAIRS,
+        ("text", "tokenizer", "agg"),
         True,
     ),
     "events_transition_matrix": Query(
