@@ -151,11 +151,19 @@ _CONST_TYPES = (str, bytes, int, float, bool, tuple, frozenset)
 def _stable_repr(obj) -> str:
     """repr with process-independent ordering: frozenset iteration order
     depends on PYTHONHASHSEED, so sort elements before rendering (a plain
-    repr() here made every fingerprint differ between processes)."""
+    repr() here made every fingerprint differ between processes).
+    Integer-valued floats render as ints so equal-but-mixed-type sets
+    ({0} vs {0.0}: Python keeps whichever literal was inserted first)
+    cannot fingerprint differently by construction order — collapsing
+    `1.0` and `1` is an acceptable collision for change detection."""
     if isinstance(obj, (set, frozenset)):
         return "frozenset({%s})" % ", ".join(sorted(_stable_repr(x) for x in obj))
     if isinstance(obj, tuple):
         return "(%s)" % ", ".join(_stable_repr(x) for x in obj)
+    if isinstance(obj, bool):  # before float/int: bool == int in sets too
+        return repr(int(obj))
+    if isinstance(obj, float) and obj.is_integer():
+        return repr(int(obj))
     return repr(obj)
 
 

@@ -840,6 +840,210 @@ GROUP BY supp_nation, cust_nation, order_year
 
 
 # ---------------------------------------------------------------------------
+# PageRank over the nation trade graph (integer-exact)
+# ---------------------------------------------------------------------------
+
+PR_SCALE = 10**12  # ranks carried as integer micro-units
+PR_ITERS = 3
+
+
+def q_nation_pagerank(spark: SparkSession, sf: str) -> DataFrame:
+    """PageRank over the supplier-nation → customer-nation trade graph,
+    PR_ITERS unrolled iterations, damping 0.85 — with ALL rank arithmetic
+    in scaled INTEGERS (micro-rank units of 1e-12): contribution =
+    rank DIV out_degree, update = (15·SCALE) DIV (100·N) + (85·Σ) DIV 100.
+    Float PageRank is partial-agg-order-dependent (double sums over
+    incoming edges); integer rank units make every iteration bit-exact in
+    any engine at any parallelism — the same determinism trick as the
+    z-score's integer window sums. Simple variant: dangling-node mass is
+    not redistributed (deterministic; none exist in a dense trade graph).
+
+    Scale shape: the fact join runs ONCE to build the distinct edge list
+    (node- and edge-counts are dimension-sized from then on); each
+    iteration is a broadcast join of the K-node rank frame against the
+    edge list + a partial-agg groupBy — facts are never rescanned."""
+    li = table(spark, sf, "lineitem")
+    orders = table(spark, sf, "orders")
+    cust = table(spark, sf, "customer")
+    supp = table(spark, sf, "supplier")
+    nation = table(spark, sf, "nation")
+    pair_counts = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .select(F.col("s_nationkey").alias("src"), F.col("c_nationkey").alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    totals = pair_counts.agg(
+        F.sum("n").alias("tot"), F.count(F.lit(1)).alias("npairs")
+    )
+    # keep ABOVE-AVERAGE-volume lanes: n > tot/npairs, compared as
+    # n*npairs > tot so the threshold stays integer-exact cross-engine
+    # (a dense TPC-H graph is complete; thresholding makes degrees vary,
+    # which is what gives PageRank something to rank)
+    edges = (
+        pair_counts.crossJoin(F.broadcast(totals))
+        .filter(F.col("n") * F.col("npairs") > F.col("tot"))
+        .select("src", "dst")
+    )
+    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    n_row = nation.agg(F.count(F.lit(1)).alias("n_nations"))
+    nodes = nation.select(F.col("n_nationkey").alias("node"), "n_name").crossJoin(
+        F.broadcast(n_row)
+    )
+    base = F.expr(f"(15 * CAST({PR_SCALE} AS BIGINT)) DIV (100 * n_nations)")
+    rank = nodes.select(
+        "node", "n_name", "n_nations", F.expr(f"CAST({PR_SCALE} AS BIGINT) DIV n_nations").alias("r")
+    )
+    for _ in range(PR_ITERS):
+        contrib = (
+            edges.join(F.broadcast(outdeg), "src")
+            .join(
+                F.broadcast(rank.select(F.col("node").alias("src"), F.col("r").alias("r_src"))),
+                "src",
+            )
+            .select("dst", F.expr("r_src DIV outdeg").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+        )
+        rank = (
+            rank.join(F.broadcast(contrib), rank.node == contrib.dst, "left")
+            .select(
+                "node",
+                "n_name",
+                "n_nations",
+                (base + F.expr("(85 * coalesce(s, CAST(0 AS BIGINT))) DIV 100")).alias("r"),
+            )
+        )
+    return rank.select(
+        "n_name",
+        F.col("r").alias("rank_micro"),
+        F.round(F.col("r").cast("double") / PR_SCALE, 8).alias("rank"),
+    )
+
+
+ORACLE_NATION_PAGERANK = f"""
+WITH pair_counts AS (
+  SELECT s_nationkey AS src, c_nationkey AS dst, count(*) AS n
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  WHERE s_nationkey != c_nationkey
+  GROUP BY src, dst
+),
+totals AS (SELECT sum(n) AS tot, count(*) AS npairs FROM pair_counts),
+edges AS (
+  SELECT src, dst FROM pair_counts, totals WHERE n * npairs > tot
+),
+outdeg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+params AS (SELECT count(*) AS n_nations FROM nation),
+r0 AS (
+  SELECT n_nationkey AS node, n_name, ({PR_SCALE}::BIGINT // n_nations) AS r
+  FROM nation, params
+),
+{", ".join(
+    f'''s{it} AS (
+  SELECT e.dst, sum(r.r // o.outdeg) AS s
+  FROM edges e JOIN outdeg o USING (src) JOIN r{it - 1} r ON r.node = e.src
+  GROUP BY e.dst
+),
+r{it} AS (
+  SELECT p.node, p.n_name,
+         ((15 * {PR_SCALE}::BIGINT) // (100 * (SELECT n_nations FROM params))
+          + (85 * coalesce(s.s, 0)) // 100) AS r
+  FROM r{it - 1} p LEFT JOIN s{it} s ON s.dst = p.node
+)''' for it in range(1, PR_ITERS + 1)
+)}
+SELECT n_name, r::BIGINT AS rank_micro, round(r::DOUBLE / {PR_SCALE}, 8) AS rank
+FROM r{PR_ITERS}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Table profiling (ANALYZE-style column statistics)
+# ---------------------------------------------------------------------------
+
+
+def q_orders_profile(spark: SparkSession, sf: str) -> DataFrame:
+    """ANALYZE-style column profile of the orders table: one row per
+    column with null count, exact distinct count, and min/max rendered
+    through EXPLICIT per-type formats (date_format for timestamps, plain
+    casts for ints/strings, 2dp rounding for money) so both engines print
+    identical strings — naive cast-to-string of doubles/timestamps is
+    engine-formatted and would never hash-match.
+
+    Scale note: the exact multi-column distinct compiles to Spark's
+    Expand-based plan (one shuffle carrying |cols| copies of each row).
+    That is the honest cost of EXACT profiling; the at-scale variant is
+    approx_count_distinct per column in a single pass (see the sketch
+    family, q_events_distinct_users_sketch) — same query shape, bounded
+    state."""
+    orders = table(spark, sf, "orders")
+
+    def prof(col: str, minmax) -> list:
+        return [
+            F.struct(
+                F.lit(col).alias("col_name"),
+                F.sum(F.when(F.col(col).isNull(), 1).otherwise(0)).cast("long").alias("n_nulls"),
+                F.countDistinct(col).alias("n_distinct"),
+                minmax(F.min(col)).alias("min_value"),
+                minmax(F.max(col)).alias("max_value"),
+            )
+        ]
+
+    as_str = lambda c: c.cast("string")  # noqa: E731 — exact for ints/strings
+    as_date = lambda c: F.date_format(c, "yyyy-MM-dd")  # noqa: E731
+    # decimal-cast then string: '450000.55' in both engines (double→string
+    # is engine-formatted; decimal→string is not)
+    as_money = lambda c: c.cast("decimal(18,2)").cast("string")  # noqa: E731
+
+    structs = (
+        prof("o_orderkey", as_str)
+        + prof("o_custkey", as_str)
+        + prof("o_orderstatus", as_str)
+        + prof("o_totalprice", as_money)
+        + prof("o_orderdate", as_date)
+        + prof("o_orderpriority", as_str)
+    )
+    one = orders.agg(F.array(*structs).alias("profile"))
+    return one.select(F.explode("profile").alias("p")).select("p.*")
+
+
+ORACLE_ORDERS_PROFILE = """
+SELECT col_name, n_nulls, n_distinct, min_value, max_value FROM (
+  SELECT 'o_orderkey' AS col_name,
+         sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_nulls,
+         count(DISTINCT o_orderkey) AS n_distinct,
+         min(o_orderkey)::VARCHAR AS min_value, max(o_orderkey)::VARCHAR AS max_value
+  FROM orders
+  UNION ALL
+  SELECT 'o_custkey', sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)::BIGINT,
+         count(DISTINCT o_custkey),
+         min(o_custkey)::VARCHAR, max(o_custkey)::VARCHAR FROM orders
+  UNION ALL
+  SELECT 'o_orderstatus', sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END)::BIGINT,
+         count(DISTINCT o_orderstatus),
+         min(o_orderstatus), max(o_orderstatus) FROM orders
+  UNION ALL
+  SELECT 'o_totalprice', sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END)::BIGINT,
+         count(DISTINCT o_totalprice),
+         min(o_totalprice)::DECIMAL(18,2)::VARCHAR, max(o_totalprice)::DECIMAL(18,2)::VARCHAR FROM orders
+  UNION ALL
+  SELECT 'o_orderdate', sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END)::BIGINT,
+         count(DISTINCT o_orderdate),
+         strftime(min(o_orderdate), '%Y-%m-%d'), strftime(max(o_orderdate), '%Y-%m-%d') FROM orders
+  UNION ALL
+  SELECT 'o_orderpriority', sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END)::BIGINT,
+         count(DISTINCT o_orderpriority),
+         min(o_orderpriority), max(o_orderpriority) FROM orders
+)
+"""
+
+
+# ---------------------------------------------------------------------------
 # First-touch attribution
 # ---------------------------------------------------------------------------
 
@@ -934,6 +1138,16 @@ QUERIES: dict[str, Query] = {
         ORACLE_DOC_BPE_PAIRS,
         ("text", "tokenizer", "agg"),
         True,
+    ),
+    "nation_pagerank": Query(
+        q_nation_pagerank,
+        ORACLE_NATION_PAGERANK,
+        ("graph", "join", "tpch"),
+    ),
+    "orders_profile": Query(
+        q_orders_profile,
+        ORACLE_ORDERS_PROFILE,
+        ("profile", "agg"),
     ),
     "events_transition_matrix": Query(
         q_events_transition_matrix,
