@@ -1449,8 +1449,165 @@ FROM cum WHERE (cum_rev - rev) * 2 < (SELECT total_rev FROM tot)
 """
 
 
+BASKET_MIN_SUPPORT = 3  # pairs must co-occur in >= this many orders
+BASKET_TOP_K = 20
+
+
+def q_part_market_basket(spark: SparkSession, sf: str) -> DataFrame:
+    """Market-basket analysis (the apriori first stage): part pairs that
+    co-occur in the same order, with support, confidence and lift — all
+    ratios of exact integer counts (one deterministic IEEE division each),
+    top BASKET_TOP_K by (lift desc, pair) so the cut is engine-exact.
+
+    Scale shape: the self-join is keyed on l_orderkey, so its fan-out is
+    bounded by per-order basket size squared (TPC-H: ≤7 items), NEVER
+    |parts|² — the join output is ~sum(basket²) rows feeding a partial-agg
+    groupBy; the min-support filter then kills the long tail before the
+    per-item-support joins (two broadcastable aggregates). Top-k compiles
+    to TakeOrderedAndProject."""
+    li = table(spark, sf, "lineitem")
+    baskets = li.select("l_orderkey", "l_partkey").distinct()
+    n_orders = baskets.agg(F.countDistinct("l_orderkey").alias("n_orders"))
+    item = baskets.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_item"))
+    a = baskets.select("l_orderkey", F.col("l_partkey").alias("pa"))
+    b = baskets.select("l_orderkey", F.col("l_partkey").alias("pb"))
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+        .filter(F.col("n_both") >= BASKET_MIN_SUPPORT)
+    )
+    na = item.select(F.col("l_partkey").alias("pa"), F.col("n_item").alias("n_a"))
+    nb = item.select(F.col("l_partkey").alias("pb"), F.col("n_item").alias("n_b"))
+    lift = (F.col("n_both") * F.col("n_orders")).cast("double") / (
+        F.col("n_a") * F.col("n_b")
+    )
+    return (
+        pairs.join(F.broadcast(na), "pa")
+        .join(F.broadcast(nb), "pb")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "pa",
+            "pb",
+            "n_both",
+            F.round(F.col("n_both").cast("double") / F.col("n_a"), 4).alias("confidence_a_to_b"),
+            F.round(lift, 4).alias("lift"),
+        )
+        .orderBy(F.col("lift").desc(), "pa", "pb")
+        .limit(BASKET_TOP_K)
+    )
+
+
+ORACLE_PART_MARKET_BASKET = f"""
+WITH baskets AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+n_orders AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM baskets),
+item AS (SELECT l_partkey, count(*) AS n_item FROM baskets GROUP BY l_partkey),
+pairs AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb, count(*) AS n_both
+  FROM baskets a JOIN baskets b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY pa, pb
+  HAVING count(*) >= {BASKET_MIN_SUPPORT}
+)
+SELECT pa, pb, n_both,
+       round(n_both::DOUBLE / na.n_item, 4) AS confidence_a_to_b,
+       round((n_both * n_orders.n_orders)::DOUBLE / (na.n_item * nb.n_item), 4) AS lift
+FROM pairs
+JOIN item na ON na.l_partkey = pa
+JOIN item nb ON nb.l_partkey = pb
+CROSS JOIN n_orders
+ORDER BY lift DESC, pa, pb
+LIMIT {BASKET_TOP_K}
+"""
+
+
+FUNNEL_WINDOW_DAYS = 7
+
+
+def q_events_windowed_funnel(spark: SparkSession, sf: str) -> DataFrame:
+    """Time-BOUNDED funnel: of each week's signup cohort, who purchased
+    within FUNNEL_WINDOW_DAYS of their first signup (contrast
+    q_events_funnel_conversion, which is order-only with no deadline).
+    Deadline arithmetic in integer epoch seconds so both engines cut the
+    window identically; conversion rate is one integer division.
+
+    Scale shape: two user-keyed partial aggregates (first signup, per-user
+    purchase times) meet in ONE co-partitioned equi join on user_id with
+    the deadline as a post-filter inside a conditional aggregate — no
+    range join, no window over raw events."""
+    ev = table(spark, sf, "events")
+    signups = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min(F.unix_timestamp("ts")).alias("signup_epoch"))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.unix_timestamp("ts").alias("p_epoch")
+    )
+    deadline = F.col("signup_epoch") + FUNNEL_WINDOW_DAYS * 86400
+    conv = (
+        signups.join(purchases, "user_id", "left")
+        .groupBy("user_id", "signup_epoch")
+        .agg(
+            F.max(
+                F.when(
+                    (F.col("p_epoch") > F.col("signup_epoch")) & (F.col("p_epoch") <= deadline),
+                    1,
+                ).otherwise(0)
+            ).alias("converted")
+        )
+    )
+    week = F.date_format(
+        F.date_trunc("week", F.timestamp_seconds(F.col("signup_epoch"))), "yyyy-MM-dd"
+    )
+    return (
+        conv.groupBy(week.alias("signup_week"))
+        .agg(
+            F.count(F.lit(1)).alias("n_signups"),
+            F.sum("converted").cast("long").alias("n_converted"),
+        )
+        .withColumn(
+            "conversion_rate",
+            F.round(F.col("n_converted").cast("double") / F.col("n_signups"), 6),
+        )
+    )
+
+
+ORACLE_EVENTS_WINDOWED_FUNNEL = f"""
+WITH signups AS (
+  SELECT user_id, min(epoch(ts)::BIGINT) AS signup_epoch
+  FROM events WHERE event_type = 'signup' GROUP BY user_id
+),
+purchases AS (
+  SELECT user_id, epoch(ts)::BIGINT AS p_epoch
+  FROM events WHERE event_type = 'purchase'
+),
+conv AS (
+  SELECT s.user_id, s.signup_epoch,
+         max(CASE WHEN p.p_epoch > s.signup_epoch
+                   AND p.p_epoch <= s.signup_epoch + {FUNNEL_WINDOW_DAYS} * 86400
+                  THEN 1 ELSE 0 END) AS converted
+  FROM signups s LEFT JOIN purchases p USING (user_id)
+  GROUP BY s.user_id, s.signup_epoch
+)
+SELECT strftime(date_trunc('week', to_timestamp(signup_epoch)), '%Y-%m-%d') AS signup_week,
+       count(*) AS n_signups,
+       sum(converted)::BIGINT AS n_converted,
+       round(sum(converted)::DOUBLE / count(*), 6) AS conversion_rate
+FROM conv
+GROUP BY signup_week
+"""
+
+
 QUERIES: dict[str, Query] = {
     "pricing_summary": Query(q_pricing_summary, ORACLE_PRICING_SUMMARY, ("tpch", "agg"), True),
+    "part_market_basket": Query(
+        q_part_market_basket, ORACLE_PART_MARKET_BASKET, ("basket", "join", "agg"), True
+    ),
+    "events_windowed_funnel": Query(
+        q_events_windowed_funnel, ORACLE_EVENTS_WINDOWED_FUNNEL, ("events", "funnel", "agg")
+    ),
     "customer_rfm_segments": Query(
         q_customer_rfm_segments, ORACLE_CUSTOMER_RFM_SEGMENTS, ("star", "agg", "quantile")
     ),
