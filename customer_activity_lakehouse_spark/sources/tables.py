@@ -109,6 +109,7 @@ def merge_upsert(
     updates: DataFrame,
     keys: Sequence[str],
     order_col: str | None = None,
+    _delete_col: str | None = None,
 ) -> None:
     """MERGE INTO emulation over plain parquet — the Delta/Iceberg upsert
     contract (WHEN MATCHED UPDATE, WHEN NOT MATCHED INSERT) for the
@@ -137,6 +138,11 @@ def merge_upsert(
     the batch; per-file transaction isolation and time travel need the
     actual Delta/Iceberg runtime — on a cluster with the jars, set
     ``spec.fmt='delta'`` and replace this call with ``MERGE INTO``.
+
+    ``_delete_col`` is internal plumbing for :func:`apply_changes` (WHEN
+    MATCHED DELETE): when set, the named column marks rows and a key whose
+    WINNING row says 'delete' is dropped from the table instead of
+    written.
     """
     key_cols = list(keys)
     if not key_cols:
@@ -163,6 +169,10 @@ def merge_upsert(
             )
         else:
             relevant = existing
+        if _delete_col is not None:
+            # existing rows can never delete themselves; any non-'delete'
+            # marker keeps them when they win the key race
+            relevant = relevant.withColumn(_delete_col, F.lit("__keep__"))
         merged = relevant.withColumn("__pri", F.lit(0)).unionByName(
             updates.withColumn("__pri", F.lit(1))
         )
@@ -177,6 +187,8 @@ def merge_upsert(
         .filter(F.col("__rn") == 1)
         .drop("__rn", "__pri")
     )
+    if _delete_col is not None:
+        resolved = resolved.filter(F.col(_delete_col) != "delete").drop(_delete_col)
     if not exists:
         # Bootstrap: no read-write overlap to break, write directly.
         write_full(resolved, spec) if not spec.partition_cols else write_incremental(
@@ -222,6 +234,42 @@ def merge_upsert(
             f"staged merge preserved at {staging}"
         )
     fs.delete(jretired, True)
+
+
+CHANGE_TYPES = ("insert", "update", "delete")
+
+
+def apply_changes(
+    spark: SparkSession,
+    spec: TableSpec,
+    changes: DataFrame,
+    keys: Sequence[str],
+    order_col: str | None = None,
+    change_col: str = "change_type",
+) -> None:
+    """APPLY CHANGES INTO emulation (DLT's AUTO CDC / MERGE with WHEN
+    MATCHED DELETE): apply row-level change records — e.g. the output of
+    ``snapshots.snapshot_changes`` — to a keyed table. insert/update both
+    upsert (latest wins, same key-race rules as :func:`merge_upsert`,
+    ``order_col`` breaks in-batch ties); a key whose winning record is
+    'delete' is removed. Unknown change types fail loudly before any
+    write. Idempotent per batch like merge_upsert (stage-and-swap), which
+    is what the streaming sink (``streams.write_stream_apply_changes``)
+    composes into exactly-once."""
+    if change_col not in changes.columns:
+        raise ValueError(f"apply_changes: changes frame has no {change_col!r} column")
+    bad = (
+        changes.filter(~F.col(change_col).isin(*CHANGE_TYPES))
+        .select(change_col)
+        .limit(1)
+        .collect()
+    )
+    if bad:
+        raise ValueError(
+            f"apply_changes: unknown change type {bad[0][0]!r} "
+            f"(expected one of {CHANGE_TYPES})"
+        )
+    merge_upsert(spark, spec, changes, keys, order_col=order_col, _delete_col=change_col)
 
 
 def partition_stats(spark: SparkSession, spec: TableSpec) -> DataFrame:

@@ -491,3 +491,44 @@ def write_stream_merge_upsert(
     return write_stream_foreach_batch(
         df, merge_batch, checkpoint, available_now=available_now, output_mode="update"
     )
+
+
+def write_stream_apply_changes(
+    df: DataFrame,
+    spec,
+    keys: list[str],
+    checkpoint: str,
+    order_col: str | None = None,
+    change_col: str = "change_type",
+    available_now: bool = True,
+):
+    """Streaming CDC-apply sink: every micro-batch of change records
+    (insert/update/delete — e.g. ``snapshots.snapshot_changes`` output
+    shipped through a stream) lands in the keyed table via
+    ``sources.tables.apply_changes``. The streaming face of AUTO CDC:
+    where the MERGE sink can only upsert, this one also retires keys whose
+    latest record is a delete.
+
+    Exactly-once composition is the same as write_stream_merge_upsert:
+    checkpointed at-least-once delivery × an idempotent per-batch apply
+    (keyed latest-wins dedup + stage-and-swap) converges replays to the
+    same table state. Pass ``order_col`` (an event-time / LSN column)
+    whenever one batch can carry several records for a key — without it
+    the in-batch winner is the union's arbitrary row order."""
+    from ..sources.tables import apply_changes
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        apply_changes(
+            batch_df.sparkSession,
+            spec,
+            batch_df,
+            keys,
+            order_col=order_col,
+            change_col=change_col,
+        )
+
+    return write_stream_foreach_batch(
+        df, apply_batch, checkpoint, available_now=available_now, output_mode="append"
+    )

@@ -205,3 +205,60 @@ def test_mutated_payloads_fail_clean_or_decode(kind, edits, cut):
         decoders[kind](payload)
     except ValueError:
         pass  # the contract: malformed input -> clean container-level error
+
+
+# ---------------------------------------------------------------------------
+# prefix-filter lemma (dedup_setsim_prefix / dedup_setsim_capped)
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    a=st.sets(st.integers(0, 60), min_size=1, max_size=40),
+    drops=st.sets(st.integers(0, 60), max_size=4),
+    adds=st.sets(st.integers(61, 70), max_size=4),
+    order_seed=st.randoms(use_true_random=False),
+)
+def test_prefix_filter_lemma_at_threshold(a, drops, adds, order_seed):
+    """The recall guarantee the setsim queries lean on: two sets with
+    Jaccard >= t MUST share a token within their length-(n - ceil(t*n) + 1)
+    prefixes, for ANY consistent global token order (the queries use
+    (df, token); the lemma holds for every total order) — with ceil(0.9n)
+    computed by the queries' integer formula (9n + 9) DIV 10.  Pure-python
+    mirror; hypothesis hunts boundary sizes where an off-by-one in the
+    integer ceil would break recall."""
+    b = (a - drops) | adds
+    if not b:
+        return
+    inter = len(a & b)
+    union = len(a | b)
+    if inter / union < 0.9:
+        return  # lemma only claims pairs at/above the threshold
+    universe = sorted(a | b)
+    order_seed.shuffle(universe)
+    rank = {tok: i for i, tok in enumerate(universe)}
+
+    def prefix(s):
+        n = len(s)
+        p = n - ((9 * n + 9) // 10) + 1
+        return set(sorted(s, key=lambda t: rank[t])[:p])
+
+    assert prefix(a) & prefix(b), (
+        f"prefix filter missed a {inter}/{union} pair: a={sorted(a)} b={sorted(b)}"
+    )
+
+
+# ---------------------------------------------------------------------------
+# integer ceil used by the prefix formula
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=200, deadline=None)
+@given(n=st.integers(0, 10**15))
+def test_integer_ceil_matches_exact_ceil(n):
+    """(9n + 9) DIV 10 == ceil(9n/10) exactly, at any magnitude — checked
+    against the negation identity ceil(a/b) = -((-a) DIV b), never float
+    0.9*n (whose rounding is what the integer formula exists to avoid)."""
+    assert (9 * n + 9) // 10 == -((-9 * n) // 10), (
+        f"integer ceil formula diverges at n={n}"
+    )

@@ -543,3 +543,37 @@ def test_stream_static_enrichment_matches_batch_join(spark, sf_smoke, events_dir
     w = {(r.event_id, r.segment) for r in want.select("event_id", "segment").collect()}
     assert g == w
     assert any(s is None for _, s in g) and any(s is not None for _, s in g)
+
+
+def test_stream_apply_changes_retires_deleted_keys(spark, tmp_path):
+    """Streaming CDC-apply sink: change-record micro-batches upsert AND
+    delete; a key inserted by one batch and deleted by a later one is gone
+    after the stream drains, while the MERGE sink could only upsert."""
+    from customer_activity_lakehouse_spark.sources.tables import TableSpec, read_table
+    from customer_activity_lakehouse_spark.streaming import write_stream_apply_changes
+
+    landing = tmp_path / "changes"
+    b1 = spark.createDataFrame(
+        [(1, "a", 1, "insert"), (2, "b", 2, "insert"), (3, "c", 3, "insert")],
+        "id long, v string, lsn long, change_type string",
+    )
+    b1.coalesce(1).write.mode("overwrite").parquet(str(landing))
+    b2 = spark.createDataFrame(
+        [(2, "gone", 4, "delete"), (3, "c2", 5, "update"), (4, "d", 6, "insert")],
+        "id long, v string, lsn long, change_type string",
+    )
+    b2.coalesce(1).write.mode("append").parquet(str(landing))
+
+    stream = (
+        spark.readStream.schema("id long, v string, lsn long, change_type string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(landing))
+    )
+    spec = TableSpec(str(tmp_path / "cdc_tbl"))
+    q = write_stream_apply_changes(
+        stream, spec, keys=["id"], checkpoint=str(tmp_path / "ckpt"), order_col="lsn"
+    )
+    q.awaitTermination(120)
+    assert not q.isActive
+    got = {(r.id, r.v) for r in read_table(spark, spec).collect()}
+    assert got == {(1, "a"), (3, "c2"), (4, "d")}

@@ -209,3 +209,81 @@ def test_merge_upsert_order_col_resolves_in_batch_dups(spark, tmp_path):
     )
     merge_upsert(spark, spec, batch, keys=["id"], order_col="ver")
     assert [(r.id, r.ver, r.v) for r in read_table(spark, spec).collect()] == [(1, 20, "new")]
+
+
+def test_apply_changes_insert_update_delete(spark, tmp_path):
+    """AUTO-CDC contract: insert/update upsert, delete retires the key,
+    delete of an absent key is a no-op, unknown types fail loudly before
+    any write, and re-applying the same batch is idempotent."""
+    import pytest
+
+    from customer_activity_lakehouse_spark.sources.tables import (
+        apply_changes,
+        read_table,
+    )
+
+    spec = TableSpec(str(tmp_path / "cdc"), ("dt",))
+    seed = spark.createDataFrame(
+        [(1, "2024-01-01", "a"), (2, "2024-01-01", "b"), (3, "2024-01-02", "c")],
+        "id long, dt string, v string",
+    )
+    write_full(seed, spec)
+
+    changes = spark.createDataFrame(
+        [
+            (2, "2024-01-01", "b2", "update"),
+            (3, "2024-01-02", "c", "delete"),
+            (4, "2024-01-02", "d", "insert"),
+            (99, "2024-01-01", "zz", "delete"),  # absent key: no-op
+        ],
+        "id long, dt string, v string, change_type string",
+    )
+    apply_changes(spark, spec, changes, keys=["id"])
+    expect = {
+        (1, "2024-01-01", "a"),
+        (2, "2024-01-01", "b2"),
+        (4, "2024-01-02", "d"),
+    }
+    got = {(r.id, r.dt, r.v) for r in read_table(spark, spec).collect()}
+    assert got == expect
+    # change_type never leaks into the table
+    assert "change_type" not in read_table(spark, spec).columns
+    # idempotent re-apply
+    apply_changes(spark, spec, changes, keys=["id"])
+    assert {(r.id, r.dt, r.v) for r in read_table(spark, spec).collect()} == expect
+
+    bad = spark.createDataFrame(
+        [(5, "2024-01-01", "x", "upsert")], "id long, dt string, v string, change_type string"
+    )
+    with pytest.raises(ValueError, match="unknown change type"):
+        apply_changes(spark, spec, bad, keys=["id"])
+    with pytest.raises(ValueError, match="no 'change_type' column"):
+        apply_changes(spark, spec, seed, keys=["id"])
+
+
+def test_apply_changes_order_col_breaks_in_batch_races(spark, tmp_path):
+    """One batch carrying several records for a key resolves by order_col
+    descending — a trailing delete wins over an earlier update and vice
+    versa."""
+    from customer_activity_lakehouse_spark.sources.tables import (
+        apply_changes,
+        read_table,
+    )
+
+    spec = TableSpec(str(tmp_path / "cdc2"), ())
+    write_full(
+        spark.createDataFrame([(1, "a", 0), (2, "b", 0)], "id long, v string, lsn long"),
+        spec,
+    )
+    changes = spark.createDataFrame(
+        [
+            (1, "a2", 5, "update"),
+            (1, "gone", 9, "delete"),  # latest for id=1 -> retired
+            (2, "gone", 3, "delete"),
+            (2, "b2", 7, "update"),  # latest for id=2 -> survives
+        ],
+        "id long, v string, lsn long, change_type string",
+    )
+    apply_changes(spark, spec, changes, keys=["id"], order_col="lsn")
+    got = {(r.id, r.v) for r in read_table(spark, spec).collect()}
+    assert got == {(2, "b2")}
