@@ -75,8 +75,31 @@ def gen_media(spark: SparkSession, n_rows: int = 300, seed: int = 42) -> DataFra
     """Deterministic synthetic media corpus. Payload = repeated sha256 blocks
     keyed by (seed, id) — opaque bytes with stable content, like real files
     but reproducible. Metadata domains are realistic (small images, short
-    clips)."""
-    r = [F.rand(seed + k) for k in range(5)]
+    clips).
+
+    Randomness is md5-derived per (seed, stream, id) — NOT ``F.rand(seed)``,
+    whose draws depend on the range's partition split and therefore on
+    ``defaultParallelism``: the same call must yield identical rows on
+    local[8], local[32], and a 1000-executor cluster (the catalog's
+    multimodal census relies on this for its driver check)."""
+
+    def u01(k: int):
+        h = F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(f"media:{seed}:{k}:"), F.col("id").cast("string")
+                    ).cast("binary")
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        )
+        return h.cast("double") / F.lit(4294967296.0)
+
+    r = [u01(k) for k in range(5)]
     kind = F.element_at(
         F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
         (F.floor(r[0] * 3) + 1).cast("int"),

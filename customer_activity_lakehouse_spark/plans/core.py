@@ -1522,6 +1522,94 @@ LIMIT {BASKET_TOP_K}
 """
 
 
+PATHS_TOP_K = 15
+PATHS_MAX_LEN = 8  # longer sessions roll up under a truncated '>...' path
+
+
+def q_events_session_paths(spark: SparkSession, sf: str) -> DataFrame:
+    """Sequence mining: the most common session journeys ('view>click>
+    purchase'), sessions cut at 30-min inactivity exactly like
+    q_event_sessionization. Per session the ordered event-type path is
+    built by an array_sort over (ts, event_id, type) structs — NOT a bare
+    collect_list, whose order is whatever the shuffle delivered — then
+    truncated to PATHS_MAX_LEN steps with a '>...' marker so one
+    pathological bot session cannot materialize an unbounded string.
+    Deterministic top-K by (count desc, path).
+
+    Scale shape: one user-keyed shuffle feeds both session windows (same
+    as sessionization), one partial-agg groupBy to distinct paths, top-k
+    as TakeOrderedAndProject. Per-session state is bounded by
+    PATHS_MAX_LEN after truncation; the collect itself is bounded by
+    session length, the same bound every sessionizer carries."""
+    ev = table(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    epoch = F.unix_timestamp("ts")
+    gap = epoch - F.lag(epoch).over(w)
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap > 1800), F.lit(1)).otherwise(F.lit(0)),
+    )
+    sess = flagged.withColumn(
+        "session_id",
+        F.sum("new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    ordered = (
+        sess.groupBy("user_id", "session_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("ts", "event_id", F.col("event_type").alias("et")))
+            ).alias("evs")
+        )
+        .select(
+            F.transform("evs", lambda s: s["et"]).alias("types"),
+        )
+    )
+    path = F.when(
+        F.size("types") > PATHS_MAX_LEN,
+        F.concat(
+            F.array_join(F.slice("types", 1, PATHS_MAX_LEN), ">"), F.lit(">...")
+        ),
+    ).otherwise(F.array_join("types", ">"))
+    return (
+        ordered.select(path.alias("path"))
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .orderBy(F.col("n_sessions").desc(), "path")
+        .limit(PATHS_TOP_K)
+    )
+
+
+ORACLE_EVENTS_SESSION_PATHS = f"""
+WITH flagged AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN epoch(ts) - lag(epoch(ts)) OVER
+                (PARTITION BY user_id ORDER BY ts, event_id) > 1800
+              OR lag(epoch(ts)) OVER
+                (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+sess AS (
+  SELECT user_id, ts, event_id, event_type,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+),
+paths AS (
+  SELECT CASE WHEN count(*) > {PATHS_MAX_LEN}
+              THEN array_to_string((list(event_type ORDER BY ts, event_id))[1:{PATHS_MAX_LEN}], '>') || '>...'
+              ELSE array_to_string(list(event_type ORDER BY ts, event_id), '>') END AS path
+  FROM sess GROUP BY user_id, session_id
+)
+SELECT path, count(*) AS n_sessions
+FROM paths GROUP BY path
+ORDER BY n_sessions DESC, path
+LIMIT {PATHS_TOP_K}
+"""
+
+
 FUNNEL_WINDOW_DAYS = 7
 
 
@@ -1607,6 +1695,9 @@ QUERIES: dict[str, Query] = {
     ),
     "events_windowed_funnel": Query(
         q_events_windowed_funnel, ORACLE_EVENTS_WINDOWED_FUNNEL, ("events", "funnel", "agg")
+    ),
+    "events_session_paths": Query(
+        q_events_session_paths, ORACLE_EVENTS_SESSION_PATHS, ("events", "session", "sequence")
     ),
     "customer_rfm_segments": Query(
         q_customer_rfm_segments, ORACLE_CUSTOMER_RFM_SEGMENTS, ("star", "agg", "quantile")

@@ -1044,6 +1044,44 @@ SELECT col_name, n_nulls, n_distinct, min_value, max_value FROM (
 
 
 # ---------------------------------------------------------------------------
+# Multimodal census (driver-visible face of the Arrow decode path)
+# ---------------------------------------------------------------------------
+
+
+def q_media_image_census(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-codec census of the image corpus after the Arrow decode pass:
+    image counts, distinct perceptual hashes, and the min/max gray-std.
+    The corpus is generated IN-QUERY by gen_media (the driver parquet
+    fixtures carry no binary columns; generation is md5-keyed and
+    partition-count-independent, so every environment sees identical
+    rows); the decode itself is the real multimodal plumbing —
+    ``mapInPandas`` over Arrow batches through the BMP/JPEG/stub codec
+    dispatch (multimodal/media.py).
+
+    No DuckDB oracle ON PURPOSE: binary codecs are not SQL-expressible,
+    so the driver records the honest rows-only check; exact decode values
+    and cross-partitioning determinism are pinned by
+    tests/test_multimodal.py instead (same contract as the sketch
+    family). Aggregates here are integers and min/max — order-independent
+    by construction, so the output is stable anyway."""
+    from ..multimodal.media import decode_image_stats, gen_media
+
+    media = gen_media(spark, n_rows=300, seed=42)
+    stats = decode_image_stats(media)
+    meta = media.select("media_id", F.col("metadata.codec").alias("codec"))
+    return (
+        stats.join(meta, "media_id")
+        .groupBy("codec")
+        .agg(
+            F.count(F.lit(1)).alias("n_images"),
+            F.countDistinct("phash").alias("n_distinct_phash"),
+            F.round(F.min("std_gray"), 4).alias("min_std_gray"),
+            F.round(F.max("std_gray"), 4).alias("max_std_gray"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # First-touch attribution
 # ---------------------------------------------------------------------------
 
@@ -1148,6 +1186,13 @@ QUERIES: dict[str, Query] = {
         q_orders_profile,
         ORACLE_ORDERS_PROFILE,
         ("profile", "agg"),
+    ),
+    # no oracle by design: binary codecs aren't SQL-expressible — rows-only
+    # driver check; exact values pinned by tests/test_multimodal.py
+    "media_image_census": Query(
+        q_media_image_census,
+        None,
+        ("multimodal", "arrow"),
     ),
     "events_transition_matrix": Query(
         q_events_transition_matrix,

@@ -439,3 +439,47 @@ def test_malformed_payloads_raise_clean_errors():
     png[idat - 4 : idat] = (0x0F, 0xFF, 0xFF, 0xFF)
     with pytest.raises(ValueError, match="malformed PNG"):
         _decode_png(bytes(png))
+
+
+def test_gen_media_partition_count_independent(spark):
+    """The corpus generator's draws are md5-keyed per id — the same call
+    must produce IDENTICAL rows regardless of the range's partition split
+    (F.rand(seed) would not: its streams follow defaultParallelism)."""
+    a = gen_media(spark, 60, seed=7).orderBy("media_id").collect()
+    b = (
+        gen_media(spark.newSession(), 60, seed=7)
+        .repartition(13)
+        .orderBy("media_id")
+        .collect()
+    )
+    assert [r.asDict(recursive=True) for r in a] == [
+        r.asDict(recursive=True) for r in b
+    ]
+
+
+def test_media_image_census_stable_and_arrow_backed(spark):
+    """The catalog's driver-visible multimodal entry: deterministic across
+    runs, grouped by codec, and running the decode through mapInPandas
+    (Arrow) — never a row-Python UDF."""
+    import io
+    import contextlib
+
+    from customer_activity_lakehouse_spark.plans.ml_ops import q_media_image_census
+
+    df = q_media_image_census(spark, "unused-sf-dir")
+    rows1 = sorted((r.asDict() for r in df.collect()), key=lambda d: d["codec"])
+    rows2 = sorted(
+        (r.asDict() for r in q_media_image_census(spark, "x").collect()),
+        key=lambda d: d["codec"],
+    )
+    assert rows1 == rows2
+    assert 0 < len(rows1) <= 4  # one row per codec present among images
+    n_images = gen_media(spark, 300, seed=42).filter("kind = 'image'").count()
+    assert sum(r["n_images"] for r in rows1) == n_images
+    assert all(0 < r["n_distinct_phash"] <= r["n_images"] for r in rows1)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("simple")
+    plan = buf.getvalue()
+    assert "MapInPandas" in plan
+    assert "BatchEvalPython" not in plan
