@@ -189,21 +189,30 @@ def merge_upsert(
     )
     if _delete_col is not None:
         resolved = resolved.filter(F.col(_delete_col) != "delete").drop(_delete_col)
+    _stage_and_swap(spark, spec, resolved, exists)
+
+
+def _stage_and_swap(
+    spark: SparkSession, spec: TableSpec, resolved: DataFrame, exists: bool
+) -> None:
+    """Shared write path for the read-modify-write table operations
+    (merge_upsert / apply_changes / merge_additive).
+
+    Stage unpartitioned (partition values stay ordinary data columns, so
+    re-reading them is type-stable regardless of the session's partition-
+    column inference settings), then swap. Hadoop FS rename FAILS BY
+    RETURNING FALSE, not by raising — every rename result is checked, the
+    target is moved ASIDE (never deleted) before the swap so a failed
+    rename can restore it, and the staging dir — the only complete copy
+    of the merged data until the swap lands — is deleted ONLY after the
+    target verifiably holds the merge. On any failure the staging path
+    survives for manual recovery."""
     if not exists:
         # Bootstrap: no read-write overlap to break, write directly.
         write_full(resolved, spec) if not spec.partition_cols else write_incremental(
             resolved, spec
         )
         return
-    # Stage unpartitioned (partition values stay ordinary data columns, so
-    # re-reading them is type-stable regardless of the session's partition-
-    # column inference settings), then swap. Hadoop FS rename FAILS BY
-    # RETURNING FALSE, not by raising — every rename result is checked, the
-    # target is moved ASIDE (never deleted) before the swap so a failed
-    # rename can restore it, and the staging dir — the only complete copy
-    # of the merged data until the swap lands — is deleted ONLY after the
-    # target verifiably holds the merge. On any failure the staging path
-    # survives for manual recovery.
     staging = spec.path.rstrip("/") + ".__staging__"
     fs, jstaging = _hadoop_fs(spark, staging)
     resolved.write.format(spec.fmt).mode("overwrite").save(staging)
@@ -270,6 +279,61 @@ def apply_changes(
             f"(expected one of {CHANGE_TYPES})"
         )
     merge_upsert(spark, spec, changes, keys, order_col=order_col, _delete_col=change_col)
+
+
+def merge_additive(
+    spark: SparkSession,
+    spec: TableSpec,
+    delta: DataFrame,
+    keys: Sequence[str],
+) -> None:
+    """Incremental aggregate maintenance — the materialized-view refresh
+    for DISTRIBUTIVE aggregates: the table holds grouped sums/counts;
+    ``delta`` holds the SAME columns computed over only the new facts
+    (e.g. one late-arriving day). Matched keys ADD component-wise,
+    unmatched keys insert, so refreshing an hourly rollup costs
+    O(|delta| + touched partitions) — never a fact rescan. This is the
+    contract Spark's own streaming aggregations implement inside their
+    state store, surfaced for batch backfills.
+
+    Every non-key column must be additive (sum/count); avg must be stored
+    as (sum, count) and derived on read, min/max merge only while rows are
+    never retracted — store those with care. Column dtypes are preserved
+    (sums are cast back), so counts stay BIGINT through repeated merges.
+    Schema drift between table and delta fails loudly."""
+    key_cols = list(keys)
+    if not key_cols:
+        raise ValueError("merge_additive requires at least one key column")
+    add_cols = [c for c in delta.columns if c not in key_cols]
+    missing = [c for c in key_cols if c not in delta.columns]
+    if missing or not add_cols:
+        raise ValueError(
+            f"merge_additive: delta must carry keys {key_cols} plus at least "
+            f"one additive column (got {delta.columns})"
+        )
+    exists = _path_exists(spark, spec.path)
+    if exists:
+        existing = read_table(spark, spec)
+        if sorted(existing.columns) != sorted(delta.columns):
+            raise ValueError(
+                f"merge_additive: schema drift — table has {sorted(existing.columns)}, "
+                f"delta has {sorted(delta.columns)}"
+            )
+        if spec.partition_cols:
+            parts = delta.select(*spec.partition_cols).distinct()
+            relevant = existing.join(
+                F.broadcast(parts), list(spec.partition_cols), "left_semi"
+            )
+        else:
+            relevant = existing
+        merged = relevant.unionByName(delta.select(*existing.columns))
+    else:
+        merged = delta
+    dtypes = dict(merged.dtypes)
+    resolved = merged.groupBy(*key_cols).agg(
+        *[F.sum(c).cast(dtypes[c]).alias(c) for c in add_cols]
+    )
+    _stage_and_swap(spark, spec, resolved, exists)
 
 
 def partition_stats(spark: SparkSession, spec: TableSpec) -> DataFrame:

@@ -38,6 +38,10 @@ HEAVY = [
     # and k-means cluster populations are sf-dependent
     "dedup_setsim_capped",
     "embedding_kmeans",
+    # r6 analytics: min-support firing and multi-event session populations
+    # only materialize at sf0.1
+    "part_market_basket",
+    "events_session_paths",
 ]
 
 

@@ -287,3 +287,65 @@ def test_apply_changes_order_col_breaks_in_batch_races(spark, tmp_path):
     apply_changes(spark, spec, changes, keys=["id"], order_col="lsn")
     got = {(r.id, r.v) for r in read_table(spark, spec).collect()}
     assert got == {(2, "b2")}
+
+
+def test_merge_additive_equals_full_recompute(spark, tmp_path):
+    """IVM contract: maintaining an hourly rollup by merging per-batch
+    partial aggregates equals recomputing the rollup over all facts —
+    including a late-arrival batch that touches existing keys — and only
+    the touched partitions are rewritten."""
+    from customer_activity_lakehouse_spark.sources.tables import (
+        merge_additive,
+        read_table,
+    )
+
+    facts1 = spark.createDataFrame(
+        [("2024-01-01", "click", 2.0), ("2024-01-01", "click", 3.0), ("2024-01-02", "view", 1.0)],
+        "dt string, typ string, v double",
+    )
+    facts2 = spark.createDataFrame(  # late arrivals: existing + new keys
+        [("2024-01-01", "click", 5.0), ("2024-01-02", "buy", 7.0)],
+        "dt string, typ string, v double",
+    )
+
+    def rollup(df):
+        return df.groupBy("dt", "typ").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("v").alias("total")
+        )
+
+    spec = TableSpec(str(tmp_path / "rollup"), ("dt",))
+    merge_additive(spark, spec, rollup(facts1), keys=["dt", "typ"])
+    untouched = {f for f in _files(spec.path) if "dt=2024-01-02" in f}
+    merge_additive(
+        spark,
+        TableSpec(spec.path, spec.partition_cols),
+        rollup(facts2.filter("dt = '2024-01-01'")),
+        keys=["dt", "typ"],
+    )
+    assert {f for f in _files(spec.path) if "dt=2024-01-02" in f} == untouched, (
+        "additive merge rewrote a partition outside the delta"
+    )
+    merge_additive(spark, spec, rollup(facts2.filter("dt = '2024-01-02'")), keys=["dt", "typ"])
+
+    got = {(r.dt, r.typ, r.n, r.total) for r in read_table(spark, spec).collect()}
+    full = rollup(facts1.unionByName(facts2))
+    expect = {(r.dt, r.typ, r.n, r.total) for r in full.collect()}
+    assert got == expect
+    # dtypes preserved through the merge (counts stay BIGINT)
+    assert dict(read_table(spark, spec).dtypes)["n"] == "bigint"
+
+
+def test_merge_additive_rejects_schema_drift(spark, tmp_path):
+    import pytest
+
+    from customer_activity_lakehouse_spark.sources.tables import merge_additive
+
+    spec = TableSpec(str(tmp_path / "r2"), ())
+    d1 = spark.createDataFrame([("a", 1)], "k string, n long")
+    merge_additive(spark, spec, d1, keys=["k"])
+    with pytest.raises(ValueError, match="schema drift"):
+        merge_additive(
+            spark, spec, spark.createDataFrame([("a", 1, 2)], "k string, n long, x long"), keys=["k"]
+        )
+    with pytest.raises(ValueError, match="at least one additive"):
+        merge_additive(spark, spec, d1.select("k"), keys=["k"])
