@@ -861,7 +861,13 @@ def q_nation_pagerank(spark: SparkSession, sf: str) -> DataFrame:
     Scale shape: the fact join runs ONCE to build the distinct edge list
     (node- and edge-counts are dimension-sized from then on); each
     iteration is a broadcast join of the K-node rank frame against the
-    edge list + a partial-agg groupBy — facts are never rescanned."""
+    edge list + a partial-agg groupBy — facts are never rescanned. "Once"
+    requires MATERIALIZING the edge frame before the loop: every
+    iteration's join re-evaluates `edges`, whose lineage is the whole
+    fact join — the same iterative-lineage trap connected_components
+    documents (llm_ops.py:1559, measured 45s→7s there). Reliable
+    checkpoint when the session has a checkpoint dir, else
+    localCheckpoint."""
     li = table(spark, sf, "lineitem")
     orders = table(spark, sf, "orders")
     cust = table(spark, sf, "customer")
@@ -888,6 +894,8 @@ def q_nation_pagerank(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.col("n") * F.col("npairs") > F.col("tot"))
         .select("src", "dst")
     )
+    reliable = spark.sparkContext.getCheckpointDir() is not None
+    edges = edges.checkpoint(eager=True) if reliable else edges.localCheckpoint(eager=True)
     outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     n_row = nation.agg(F.count(F.lit(1)).alias("n_nations"))
     nodes = nation.select(F.col("n_nationkey").alias("node"), "n_name").crossJoin(

@@ -262,3 +262,41 @@ def test_setsim_capped_bounded_candidates_shape(spark, sf_correctness):
                 f"posting-cap window lost its token key:\n{ln}"
             )
     assert "WindowGroupLimit" in plan, "rank-limit pushdown missing for the posting cap"
+
+
+def test_trade_flows_broadcasts_all_dims(spark, sf_correctness):
+    """Q7-shape contract: the fact side shuffles once (lineitem co-joined
+    with orders); customer/supplier/nation×2 all ride broadcasts — any
+    SortMergeJoin against a dim means a dim shuffled the fact table."""
+    plan = explain_str(QUERIES["nation_trade_flows"].fn(spark, sf_correctness), "simple")
+    assert plan.count("BroadcastHashJoin") >= 4, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_market_basket_orderkey_join_and_takeordered(spark, sf_correctness):
+    """Basket fan-out is bounded by per-order size only when the self-join
+    is a HASH/MERGE equi join on l_orderkey; the only row-pairing join
+    allowed is the 1-row n_orders broadcast (Catalyst may spell that
+    Cartesian — 1×N is fine, |parts|×|parts| is not). Top-k must be
+    TakeOrderedAndProject."""
+    plan = explain_str(QUERIES["part_market_basket"].fn(spark, sf_correctness), "simple")
+    joined_on_orderkey = any(
+        ("SortMergeJoin" in ln or "ShuffledHashJoin" in ln or "BroadcastHashJoin" in ln)
+        and "l_orderkey" in ln
+        for ln in plan.splitlines()
+    )
+    assert joined_on_orderkey, f"basket self-join not an equi join on l_orderkey:\n{plan}"
+    # exactly the one 1-row totals pairing, nothing pair-enumerating beyond it
+    assert plan.count("CartesianProduct") + plan.count("BroadcastNestedLoopJoin") <= 1, plan
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_pagerank_iterations_never_rescan_facts(spark, sf_correctness):
+    """The iterative-lineage trap (connected_components precedent): the
+    edge list is materialized once via checkpoint, so the FINAL plan of
+    the 3-iteration rank chain contains ZERO parquet scans of lineitem —
+    re-deriving edges per iteration would triple the fact join."""
+    plan = explain_str(QUERIES["nation_pagerank"].fn(spark, sf_correctness), "simple")
+    assert "lineitem" not in plan, (
+        f"pagerank iterations re-scan the fact table:\n{plan[:2000]}"
+    )
