@@ -1522,6 +1522,97 @@ LIMIT {BASKET_TOP_K}
 """
 
 
+def q_revenue_time_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    """Time-hierarchy ROLLUP: order revenue at (year, quarter, month) with
+    the hierarchy's subtotal rows (grand total included) — the calendar
+    drill-down every BI layer issues, distinct from lineitem_cube's flag
+    cube. grouping_id disambiguates subtotal rows from real NULLs.
+    Decimal-exact money sums; one partial-aggregable rollup pass."""
+    orders = table(spark, sf, "orders")
+    return (
+        orders.select(
+            F.year("o_orderdate").alias("yr"),
+            F.quarter("o_orderdate").alias("qtr"),
+            F.month("o_orderdate").alias("mon"),
+            "o_totalprice",
+        )
+        .rollup("yr", "qtr", "mon")
+        .agg(
+            money_sum("o_totalprice").alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.grouping_id().cast("long").alias("gid"),
+        )
+    )
+
+
+ORACLE_REVENUE_TIME_ROLLUP = f"""
+SELECT year(o_orderdate) AS yr, quarter(o_orderdate) AS qtr,
+       month(o_orderdate) AS mon,
+       {sql_money_sum("o_totalprice")} AS revenue,
+       count(*) AS n_orders,
+       grouping(year(o_orderdate), quarter(o_orderdate), month(o_orderdate))::BIGINT AS gid
+FROM orders
+GROUP BY ROLLUP (yr, qtr, mon)
+"""
+
+
+def q_customer_order_gaps(spark: SparkSession, sf: str) -> DataFrame:
+    """Inter-order gap analysis: days between a customer's consecutive
+    orders, rolled up per market segment (repeat customers only) — the
+    recency signal behind churn models. Gaps via lag() inside bounded
+    per-customer windows; integer day arithmetic (datediff) so the
+    distribution is engine-exact; the per-segment percentile runs on the
+    gap rows (one partial agg + percentile_disc per segment).
+
+    Scale shape: one customer-keyed shuffle for the lag window, a
+    broadcast customer→segment join, then a segment-keyed aggregate —
+    raw orders shuffle once."""
+    orders = table(spark, sf, "orders")
+    cust = table(spark, sf, "customer")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = (
+        orders.select(
+            "o_custkey",
+            F.datediff("o_orderdate", F.lag("o_orderdate").over(w)).alias("gap_days"),
+        )
+        .filter(F.col("gap_days").isNotNull())
+    )
+    seg = cust.select(F.col("c_custkey").alias("o_custkey"), "c_mktsegment")
+    return (
+        gaps.join(F.broadcast(seg), "o_custkey")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            F.min("gap_days").alias("min_gap"),
+            # percentile_disc returns an ACTUAL gap value (an int) — Spark
+            # types it double; cast back so both engines emit BIGINT
+            F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY gap_days)")
+            .cast("long")
+            .alias("median_gap"),
+            F.max("gap_days").alias("max_gap"),
+        )
+    )
+
+
+ORACLE_CUSTOMER_ORDER_GAPS = """
+WITH gaps AS (
+  SELECT o_custkey,
+         date_diff('day',
+                   lag(o_orderdate) OVER (PARTITION BY o_custkey
+                                          ORDER BY o_orderdate, o_orderkey),
+                   o_orderdate) AS gap_days
+  FROM orders
+)
+SELECT c_mktsegment, count(*) AS n_gaps,
+       min(gap_days) AS min_gap,
+       percentile_disc(0.5) WITHIN GROUP (ORDER BY gap_days) AS median_gap,
+       max(gap_days) AS max_gap
+FROM gaps JOIN customer ON o_custkey = c_custkey
+WHERE gap_days IS NOT NULL
+GROUP BY c_mktsegment
+"""
+
+
 PATHS_TOP_K = 15
 PATHS_MAX_LEN = 8  # longer sessions roll up under a truncated '>...' path
 
@@ -1698,6 +1789,12 @@ QUERIES: dict[str, Query] = {
     ),
     "events_session_paths": Query(
         q_events_session_paths, ORACLE_EVENTS_SESSION_PATHS, ("events", "session", "sequence")
+    ),
+    "revenue_time_rollup": Query(
+        q_revenue_time_rollup, ORACLE_REVENUE_TIME_ROLLUP, ("rollup", "agg", "tpch")
+    ),
+    "customer_order_gaps": Query(
+        q_customer_order_gaps, ORACLE_CUSTOMER_ORDER_GAPS, ("window", "quantile", "join")
     ),
     "customer_rfm_segments": Query(
         q_customer_rfm_segments, ORACLE_CUSTOMER_RFM_SEGMENTS, ("star", "agg", "quantile")
