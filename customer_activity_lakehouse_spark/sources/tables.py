@@ -267,15 +267,10 @@ def apply_changes(
     composes into exactly-once."""
     if change_col not in changes.columns:
         raise ValueError(f"apply_changes: changes frame has no {change_col!r} column")
-    bad = (
-        changes.filter(~F.col(change_col).isin(*CHANGE_TYPES))
-        .select(change_col)
-        .limit(1)
-        .collect()
-    )
-    if bad:
+    bad = changes.filter(~F.col(change_col).isin(*CHANGE_TYPES)).select(change_col).first()
+    if bad is not None:
         raise ValueError(
-            f"apply_changes: unknown change type {bad[0][0]!r} "
+            f"apply_changes: unknown change type {bad[0]!r} "
             f"(expected one of {CHANGE_TYPES})"
         )
     merge_upsert(spark, spec, changes, keys, order_col=order_col, _delete_col=change_col)

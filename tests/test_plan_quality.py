@@ -273,19 +273,20 @@ def test_trade_flows_broadcasts_all_dims(spark, sf_correctness):
     assert "CartesianProduct" not in plan
 
 
-def test_market_basket_orderkey_join_and_takeordered(spark, sf_correctness):
-    """Basket fan-out is bounded by per-order size only when the self-join
-    is a HASH/MERGE equi join on l_orderkey; the only row-pairing join
-    allowed is the 1-row n_orders broadcast (Catalyst may spell that
-    Cartesian — 1×N is fine, |parts|×|parts| is not). Top-k must be
-    TakeOrderedAndProject."""
+def test_market_basket_mapside_pairs_and_takeordered(spark, sf_correctness):
+    """Basket pairs must be generated MAP-SIDE from the per-order part
+    arrays (a Generate/explode over the combinatorics expression) — never
+    an orderkey SELF-join, which reshuffles lineitem twice more for the
+    same pair stream. The only row-pairing join allowed is the 1-row
+    n_orders broadcast (Catalyst may spell that Cartesian — 1×N is fine,
+    |parts|×|parts| is not). Top-k must be TakeOrderedAndProject."""
     plan = explain_str(QUERIES["part_market_basket"].fn(spark, sf_correctness), "simple")
-    joined_on_orderkey = any(
-        ("SortMergeJoin" in ln or "ShuffledHashJoin" in ln or "BroadcastHashJoin" in ln)
-        and "l_orderkey" in ln
+    assert "Generate explode" in plan, f"pair generation is not an explode:\n{plan}"
+    self_join = any(
+        ("SortMergeJoin" in ln or "ShuffledHashJoin" in ln) and "l_orderkey" in ln
         for ln in plan.splitlines()
     )
-    assert joined_on_orderkey, f"basket self-join not an equi join on l_orderkey:\n{plan}"
+    assert not self_join, f"basket pairs regressed to an orderkey self-join:\n{plan}"
     # exactly the one 1-row totals pairing, nothing pair-enumerating beyond it
     assert plan.count("CartesianProduct") + plan.count("BroadcastNestedLoopJoin") <= 1, plan
     assert "TakeOrderedAndProject" in plan, plan
