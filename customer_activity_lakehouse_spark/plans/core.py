@@ -1566,6 +1566,92 @@ GROUP BY ROLLUP (yr, qtr, mon)
 """
 
 
+def q_customer_priority_scd(spark: SparkSession, sf: str) -> DataFrame:
+    """SCD Type-2 interval build from a change stream: treating each
+    customer's order sequence as a change log of their "current order
+    priority", collapse consecutive same-priority orders into runs and
+    emit validity intervals [run start, next run start) — the dimension-
+    history table a lakehouse maintains for as-of joins. Run detection is
+    the lag()≠current flag + running-sum run-id idiom (same two-window
+    shape as sessionization); interval ends come from lead() over run
+    starts. Output per priority: closed-interval counts and integer total
+    days, plus how many customers' history ENDS in that priority (open
+    intervals, no end date yet).
+
+    Scale shape: one customer-keyed shuffle feeds every window; the run
+    collapse is a partial-agg groupBy; final rollup is |priorities| rows."""
+    orders = table(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    runs = orders.select(
+        "o_custkey",
+        "o_orderdate",
+        "o_orderkey",
+        "o_orderpriority",
+        F.when(
+            F.lag("o_orderpriority").over(w).isNull()
+            | (F.lag("o_orderpriority").over(w) != F.col("o_orderpriority")),
+            1,
+        )
+        .otherwise(0)
+        .alias("chg"),
+    ).withColumn(
+        "run_id",
+        F.sum("chg").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    intervals = runs.groupBy("o_custkey", "run_id", "o_orderpriority").agg(
+        F.min("o_orderdate").alias("valid_from")
+    )
+    w_run = Window.partitionBy("o_custkey").orderBy("run_id")
+    iv = intervals.withColumn("valid_to", F.lead("valid_from").over(w_run))
+    return iv.groupBy("o_orderpriority").agg(
+        F.sum(F.when(F.col("valid_to").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_closed"),
+        F.sum(
+            F.when(
+                F.col("valid_to").isNotNull(),
+                F.datediff("valid_to", "valid_from"),
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("total_days"),
+        F.sum(F.when(F.col("valid_to").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_open"),
+    )
+
+
+ORACLE_CUSTOMER_PRIORITY_SCD = """
+WITH runs AS (
+  SELECT o_custkey, o_orderdate, o_orderkey, o_orderpriority,
+         CASE WHEN lag(o_orderpriority) OVER w IS NULL
+               OR lag(o_orderpriority) OVER w != o_orderpriority
+              THEN 1 ELSE 0 END AS chg
+  FROM orders
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+),
+rid AS (
+  SELECT *, sum(chg) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                           ROWS UNBOUNDED PRECEDING) AS run_id
+  FROM runs
+),
+intervals AS (
+  SELECT o_custkey, run_id, o_orderpriority, min(o_orderdate) AS valid_from
+  FROM rid GROUP BY o_custkey, run_id, o_orderpriority
+),
+iv AS (
+  SELECT *, lead(valid_from) OVER (PARTITION BY o_custkey ORDER BY run_id) AS valid_to
+  FROM intervals
+)
+SELECT o_orderpriority,
+       sum(CASE WHEN valid_to IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_closed,
+       sum(CASE WHEN valid_to IS NOT NULL
+                THEN date_diff('day', valid_from, valid_to) ELSE 0 END)::BIGINT AS total_days,
+       sum(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_open
+FROM iv GROUP BY o_orderpriority
+"""
+
+
 def q_customer_order_gaps(spark: SparkSession, sf: str) -> DataFrame:
     """Inter-order gap analysis: days between a customer's consecutive
     orders, rolled up per market segment (repeat customers only) — the
@@ -1805,6 +1891,9 @@ QUERIES: dict[str, Query] = {
     ),
     "customer_order_gaps": Query(
         q_customer_order_gaps, ORACLE_CUSTOMER_ORDER_GAPS, ("window", "quantile", "join")
+    ),
+    "customer_priority_scd": Query(
+        q_customer_priority_scd, ORACLE_CUSTOMER_PRIORITY_SCD, ("scd", "window", "agg")
     ),
     "customer_rfm_segments": Query(
         q_customer_rfm_segments, ORACLE_CUSTOMER_RFM_SEGMENTS, ("star", "agg", "quantile")
