@@ -1566,21 +1566,13 @@ GROUP BY ROLLUP (yr, qtr, mon)
 """
 
 
-def q_customer_priority_scd(spark: SparkSession, sf: str) -> DataFrame:
-    """SCD Type-2 interval build from a change stream: treating each
-    customer's order sequence as a change log of their "current order
-    priority", collapse consecutive same-priority orders into runs and
-    emit validity intervals [run start, next run start) — the dimension-
-    history table a lakehouse maintains for as-of joins. Run detection is
-    the lag()≠current flag + running-sum run-id idiom (same two-window
-    shape as sessionization); interval ends come from lead() over run
-    starts. Output per priority: closed-interval counts and integer total
-    days, plus how many customers' history ENDS in that priority (open
-    intervals, no end date yet).
-
-    Scale shape: one customer-keyed shuffle feeds every window; the run
-    collapse is a partial-agg groupBy; final rollup is |priorities| rows."""
-    orders = table(spark, sf, "orders")
+def _priority_intervals(orders: DataFrame) -> DataFrame:
+    """SCD Type-2 validity intervals for each customer's order priority:
+    (o_custkey, o_orderpriority, valid_from, valid_to) with half-open
+    [valid_from, valid_to) semantics and NULL valid_to for the open
+    (current) interval. Run detection is the lag()≠current flag +
+    running-sum run-id idiom; one customer-keyed shuffle feeds every
+    window and the run collapse is a partial-agg groupBy."""
     w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     runs = orders.select(
         "o_custkey",
@@ -1602,7 +1594,24 @@ def q_customer_priority_scd(spark: SparkSession, sf: str) -> DataFrame:
         F.min("o_orderdate").alias("valid_from")
     )
     w_run = Window.partitionBy("o_custkey").orderBy("run_id")
-    iv = intervals.withColumn("valid_to", F.lead("valid_from").over(w_run))
+    return intervals.withColumn("valid_to", F.lead("valid_from").over(w_run))
+
+
+def q_customer_priority_scd(spark: SparkSession, sf: str) -> DataFrame:
+    """SCD Type-2 interval build from a change stream: treating each
+    customer's order sequence as a change log of their "current order
+    priority", collapse consecutive same-priority orders into runs and
+    emit validity intervals [run start, next run start) — the dimension-
+    history table a lakehouse maintains for as-of joins. Run detection is
+    the lag()≠current flag + running-sum run-id idiom (same two-window
+    shape as sessionization); interval ends come from lead() over run
+    starts. Output per priority: closed-interval counts and integer total
+    days, plus how many customers' history ENDS in that priority (open
+    intervals, no end date yet).
+
+    Scale shape: one customer-keyed shuffle feeds every window; the run
+    collapse is a partial-agg groupBy; final rollup is |priorities| rows."""
+    iv = _priority_intervals(table(spark, sf, "orders"))
     return iv.groupBy("o_orderpriority").agg(
         F.sum(F.when(F.col("valid_to").isNotNull(), 1).otherwise(0))
         .cast("long")
@@ -1649,6 +1658,81 @@ SELECT o_orderpriority,
                 THEN date_diff('day', valid_from, valid_to) ELSE 0 END)::BIGINT AS total_days,
        sum(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_open
 FROM iv GROUP BY o_orderpriority
+"""
+
+
+def q_priority_drift_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """Point-in-time dimension lookup against the SCD Type-2 intervals —
+    the feature-pipeline op that answers "what was the dimension value AT
+    THE TIME of the fact", not at order entry: for every lineitem, look up
+    the customer's priority interval active at l_shipdate (half-open
+    [valid_from, valid_to), NULL valid_to = open) and cross-tab revenue by
+    (priority at order entry) × (priority active at ship time). Off-
+    diagonal rows are facts whose dimension drifted between the two
+    timestamps — exactly what a training pipeline silently gets wrong when
+    it joins facts to the CURRENT dim row (feature leakage).
+
+    Scale shape: lineitem shuffles twice, both as equi hash joins —
+    orderkey (fact⋈fact-header, co-shuffled) then custkey against the
+    interval table; the interval range predicate is a post-join filter on
+    a per-customer handful of rows (runs per customer ≈ orders per
+    customer), never an all-pairs range join. Every ship date ≥ the
+    customer's first order date, so exactly one interval matches and the
+    join preserves lineitem cardinality. Final agg is |prio|² rows."""
+    li = table(spark, sf, "lineitem").select("l_orderkey", "l_shipdate", revenue().alias("rev"))
+    orders = table(spark, sf, "orders")
+    hdr = orders.select("o_orderkey", "o_custkey", F.col("o_orderpriority").alias("prio_at_order"))
+    iv = _priority_intervals(orders).select(
+        "o_custkey", F.col("o_orderpriority").alias("prio_at_ship"), "valid_from", "valid_to"
+    )
+    return (
+        li.join(hdr, li.l_orderkey == hdr.o_orderkey)
+        .join(
+            iv,
+            (hdr.o_custkey == iv.o_custkey)
+            & (F.col("valid_from") <= F.col("l_shipdate"))
+            & (F.col("valid_to").isNull() | (F.col("l_shipdate") < F.col("valid_to"))),
+        )
+        .groupBy("prio_at_order", "prio_at_ship")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum("rev").cast("double"), 2).alias("revenue"),
+        )
+    )
+
+
+ORACLE_PRIORITY_DRIFT_REVENUE = f"""
+WITH runs AS (
+  SELECT o_custkey, o_orderdate, o_orderkey, o_orderpriority,
+         CASE WHEN lag(o_orderpriority) OVER w IS NULL
+               OR lag(o_orderpriority) OVER w != o_orderpriority
+              THEN 1 ELSE 0 END AS chg
+  FROM orders
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+),
+rid AS (
+  SELECT *, sum(chg) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                           ROWS UNBOUNDED PRECEDING) AS run_id
+  FROM runs
+),
+intervals AS (
+  SELECT o_custkey, run_id, o_orderpriority, min(o_orderdate) AS valid_from
+  FROM rid GROUP BY o_custkey, run_id, o_orderpriority
+),
+iv AS (
+  SELECT o_custkey, o_orderpriority AS prio_at_ship, valid_from,
+         lead(valid_from) OVER (PARTITION BY o_custkey ORDER BY run_id) AS valid_to
+  FROM intervals
+)
+SELECT o.o_orderpriority AS prio_at_order, iv.prio_at_ship,
+       count(*) AS n_items,
+       round(sum({SQL_REV})::DOUBLE, 2) AS revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN iv ON o.o_custkey = iv.o_custkey
+       AND iv.valid_from <= l.l_shipdate
+       AND (iv.valid_to IS NULL OR l.l_shipdate < iv.valid_to)
+GROUP BY prio_at_order, prio_at_ship
 """
 
 
@@ -1894,6 +1978,9 @@ QUERIES: dict[str, Query] = {
     ),
     "customer_priority_scd": Query(
         q_customer_priority_scd, ORACLE_CUSTOMER_PRIORITY_SCD, ("scd", "window", "agg")
+    ),
+    "priority_drift_revenue": Query(
+        q_priority_drift_revenue, ORACLE_PRIORITY_DRIFT_REVENUE, ("scd", "pit", "join", "agg")
     ),
     "customer_rfm_segments": Query(
         q_customer_rfm_segments, ORACLE_CUSTOMER_RFM_SEGMENTS, ("star", "agg", "quantile")

@@ -2585,6 +2585,85 @@ GROUP BY source, split
 """
 
 
+SYS_STRIDE = 2500  # sample one "tick" every SYS_STRIDE chars of corpus
+SYS_BAND = 64  # doc_id DIV SYS_BAND = prefix-sum band (bounded partitions)
+
+
+def q_doc_systematic_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Token-budget-proportional SYSTEMATIC sampling: lay the corpus out on
+    a char-position axis in doc_id order and select every document whose
+    span [cum_before, cum_before + n_chars) covers a multiple of
+    SYS_STRIDE. Selection probability is proportional to document length
+    (importance ∝ token budget), the sample is deterministic (same docs on
+    every engine/run/partitioning — unlike ``df.sample``), and spacing is
+    even across the corpus (systematic, not Bernoulli, so a contiguous
+    low-quality region can't be skipped by luck). All arithmetic is
+    integer: the tick-crossing test is ``(cum+w) DIV S > cum DIV S``.
+
+    Scale shape: the exact global prefix sum uses the same two-level
+    banded scan as revenue_pareto_customers — per-band totals form a tiny
+    window frame whose offsets broadcast back; the per-doc window is
+    PARTITIONED BY band (bounded partitions, never one global task).
+    Output: per-source doc/char totals vs sampled counts."""
+    docs = table(spark, sf, "documents").select(
+        "doc_id", "source", "n_chars", F.expr(f"doc_id DIV {SYS_BAND}").alias("band")
+    )
+    w_band = Window.orderBy("band").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    band_tbl = (
+        docs.groupBy("band")
+        .agg(F.sum("n_chars").alias("band_chars"))
+        .select(
+            "band",
+            (F.sum("band_chars").over(w_band) - F.col("band_chars")).alias("band_offset"),
+        )
+    )
+    w_in = (
+        Window.partitionBy("band")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum_before = F.col("band_offset") + F.sum("n_chars").over(w_in) - F.col("n_chars")
+    sel = docs.join(F.broadcast(band_tbl), "band").withColumn("cum_before", cum_before)
+    return (
+        # Integer DIV, not floor(float division): both engines then do exact
+        # integer arithmetic and the tick-crossing test can never disagree
+        # at a boundary, at any corpus size.
+        sel.withColumn(
+            "picked",
+            F.expr(f"(cum_before + n_chars) DIV {SYS_STRIDE} > cum_before DIV {SYS_STRIDE}"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("chars_total"),
+            F.sum(F.when(F.col("picked"), 1).otherwise(0)).cast("long").alias("n_sampled"),
+            F.sum(F.when(F.col("picked"), F.col("n_chars")).otherwise(0))
+            .cast("long")
+            .alias("chars_sampled"),
+        )
+    )
+
+
+ORACLE_DOC_SYSTEMATIC_SAMPLE = f"""
+WITH pos AS (
+  SELECT source, n_chars,
+         sum(n_chars) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_chars
+           AS cum_before
+  FROM documents
+),
+flagged AS (
+  SELECT source, n_chars,
+         ((cum_before + n_chars) // {SYS_STRIDE}) > (cum_before // {SYS_STRIDE}) AS picked
+  FROM pos
+)
+SELECT source, count(*) AS n_docs,
+       sum(n_chars)::BIGINT AS chars_total,
+       sum(CASE WHEN picked THEN 1 ELSE 0 END)::BIGINT AS n_sampled,
+       sum(CASE WHEN picked THEN n_chars ELSE 0 END)::BIGINT AS chars_sampled
+FROM flagged GROUP BY source
+"""
+
+
 RANGE_COS_MIN = 0.30  # cosine radius for range search
 
 
@@ -2717,6 +2796,9 @@ QUERIES: dict[str, Query] = {
     ),
     "doc_split_assign": Query(
         q_doc_split_assign, ORACLE_DOC_SPLIT_ASSIGN, ("text", "sampling", "split")
+    ),
+    "doc_systematic_sample": Query(
+        q_doc_systematic_sample, ORACLE_DOC_SYSTEMATIC_SAMPLE, ("text", "sampling", "cume")
     ),
     "ann_range_search": Query(
         q_ann_range_search, ORACLE_ANN_RANGE_SEARCH, ("similarity", "range-search")

@@ -320,6 +320,95 @@ ORACLE_ANN_IVF_KMEANS_TOPK = _ivf_kmeans_sql_oracle()
 
 
 # ---------------------------------------------------------------------------
+# Class-centroid similarity structure
+# ---------------------------------------------------------------------------
+
+SIM_SCALE = 10_000  # centroid quantization grid: q = floor(x * 10000)
+
+
+def q_embedding_label_similarity(spark: SparkSession, sf: str) -> DataFrame:
+    """Pairwise cosine similarity between per-label embedding centroids —
+    the class-confusion / cluster-structure report run before training a
+    classifier or choosing dedup thresholds (labels whose centroids sit at
+    cos ≈ 1 are candidates for merging; cos ≈ 0 are well-separated).
+
+    Cross-engine exactness: cosine is scale-invariant, so the centroid
+    (mean) never needs dividing — the cosine of the integer-quantized SUM
+    vectors equals the cosine of the means. Per-(label, dim) sums are
+    decimal-exact (order-independent at any parallelism); the only float
+    ops are one decimal→double conversion, two sqrt and one division per
+    pair — all IEEE correctly-rounded, identical in both engines — rounded
+    to 4dp at the boundary.
+
+    Scale shape: the 64 per-dim sums are ONE struct expression (not 64
+    Column objects — the py4j lesson from _km_update), partial-aggregable
+    map-side to |labels| rows; vectors never shuffle. The pair fan-out is
+    a broadcast self-join of the |labels|-row centroid frame."""
+    emb = table(spark, sf, "embeddings")
+    q = F.transform("embedding", lambda x: F.floor(x.cast("double") * SIM_SCALE))
+    embq = emb.select("label", q.alias("q"))
+    sums_sql = (
+        "struct(count(1) as n, "
+        + ", ".join(
+            f"sum(cast(element_at(q, {i + 1}) as decimal(20,0))) as s{i}"
+            for i in range(KM_DIM)
+        )
+        + ") as acc"
+    )
+    arr_sql = "array(" + ", ".join(f"acc.s{i}" for i in range(KM_DIM)) + ") as sv"
+    per = embq.groupBy("label").agg(F.expr(sums_sql)).selectExpr("label", "acc.n as n", arr_sql)
+    a = per.select(F.col("label").alias("label_a"), F.col("n").alias("n_a"), F.col("sv").alias("sa"))
+    b = per.select(F.col("label").alias("label_b"), F.col("n").alias("n_b"), F.col("sv").alias("sb"))
+    zero = F.lit(0).cast("decimal(38,0)")
+    dot = F.aggregate(
+        F.zip_with("sa", "sb", lambda x, y: x * y), zero, lambda acc, v: acc + v
+    )
+
+    def norm(col: str):
+        return F.sqrt(
+            F.aggregate(
+                F.transform(col, lambda x: x * x), zero, lambda acc, v: acc + v
+            ).cast("double")
+        )
+
+    return (
+        a.join(F.broadcast(b), F.col("label_a") < F.col("label_b"))
+        .select(
+            "label_a",
+            "label_b",
+            "n_a",
+            "n_b",
+            F.round(dot.cast("double") / (norm("sa") * norm("sb")), 4).alias("cos_sim"),
+        )
+    )
+
+
+ORACLE_EMBEDDING_LABEL_SIMILARITY = f"""
+WITH q AS (
+  SELECT label, generate_subscripts(embedding, 1) AS dim,
+         floor(unnest(embedding)::DOUBLE * {SIM_SCALE})::BIGINT AS qv
+  FROM embeddings
+),
+sums AS (
+  SELECT label, dim, sum(qv) AS s, count(*) AS n FROM q GROUP BY label, dim
+),
+norms AS (
+  SELECT label, sum(s * s) AS nrm, max(n) AS n FROM sums GROUP BY label
+),
+pairs AS (
+  SELECT a.label AS label_a, b.label AS label_b, sum(a.s * b.s) AS dot
+  FROM sums a JOIN sums b ON a.dim = b.dim AND a.label < b.label
+  GROUP BY a.label, b.label
+)
+SELECT label_a, label_b, na.n::BIGINT AS n_a, nb.n::BIGINT AS n_b,
+       round(dot::DOUBLE / (sqrt(na.nrm::DOUBLE) * sqrt(nb.nrm::DOUBLE)), 4) AS cos_sim
+FROM pairs
+JOIN norms na ON na.label = pairs.label_a
+JOIN norms nb ON nb.label = pairs.label_b
+"""
+
+
+# ---------------------------------------------------------------------------
 # BPE pair counting (tokenizer induction, first merge step)
 # ---------------------------------------------------------------------------
 
@@ -1173,6 +1262,11 @@ QUERIES: dict[str, Query] = {
         ORACLE_DEDUP_SETSIM_CAPPED,
         ("dedup", "setsim", "audit", "join"),
         True,
+    ),
+    "embedding_label_similarity": Query(
+        q_embedding_label_similarity,
+        ORACLE_EMBEDDING_LABEL_SIMILARITY,
+        ("ml", "embedding", "similarity"),
     ),
     "ann_ivf_kmeans_topk": Query(
         q_ann_ivf_kmeans_topk,

