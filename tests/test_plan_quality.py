@@ -301,3 +301,42 @@ def test_pagerank_iterations_never_rescan_facts(spark, sf_correctness):
     assert "lineitem" not in plan, (
         f"pagerank iterations re-scan the fact table:\n{plan[:2000]}"
     )
+
+
+def test_priority_drift_equi_joins_only(spark, sf_correctness):
+    """The point-in-time SCD lookup must ride two equi HASH joins
+    (orderkey, then custkey with the interval range predicate as a
+    post-join filter) — a NestedLoop/Cartesian means Catalyst treated the
+    range condition as the join itself, which is all-pairs at scale. The
+    interval windows must stay customer-keyed."""
+    plan = explain_str(QUERIES["priority_drift_revenue"].fn(spark, sf_correctness), "simple")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "windowspecdefinition(o_custkey" in plan, "interval windows lost the customer key"
+
+
+def test_systematic_sample_banded_prefix_sum(spark, sf_correctness):
+    """Same contract as the Pareto scan it reuses: the exact global char
+    prefix sum may single-partition ONLY the tiny per-band table, and the
+    per-document window is PARTITIONED BY band — a global ORDER BY doc_id
+    window would single-task the corpus."""
+    plan = explain_str(QUERIES["doc_systematic_sample"].fn(spark, sf_correctness))
+    assert plan.count("SinglePartition") == 1, plan
+    assert "windowspecdefinition(band" in plan, "per-doc window lost its band key"
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+def test_label_similarity_never_shuffles_vectors(spark, sf_correctness):
+    """Class-centroid similarity: vectors reduce map-side into the
+    struct-of-64-sums partial agg, so the ONLY hash exchange is label-keyed
+    (|labels| rows); the pair fan-out is a broadcast self-join of that tiny
+    frame (BroadcastNestedLoop on label_a < label_b is the intended shape).
+    An embedding/vec_id-keyed exchange means vectors started shuffling."""
+    import re
+
+    plan = explain_str(QUERIES["embedding_label_similarity"].fn(spark, sf_correctness), "simple")
+    hash_keys = re.findall(r"Exchange hashpartitioning\((\w+)#", plan)
+    assert hash_keys, plan
+    assert set(hash_keys) == {"label"}, f"non-label exchanges: {hash_keys}"
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
