@@ -1121,6 +1121,162 @@ GROUP BY user_id
 """
 
 
+def q_events_session_stats_native(spark: SparkSession, sf: str) -> DataFrame:
+    """Sessionization via Spark's NATIVE ``session_window`` aggregate — the
+    built-in twin of q_event_sessionization's lag+prefix-sum idiom, kept as
+    a separate catalog entry because the two disagree at the boundary:
+    session_window merges an event only while ts < previous-end (end =
+    prev ts + gap), so a gap of EXACTLY 30:00.000000 starts a NEW session,
+    where the idiom's ``gap > 1800`` keeps it. The oracle reproduces the
+    native rule (>= in micros) from first principles, so this entry
+    cross-checks Spark's builtin against the textbook definition.
+
+    All arithmetic is integer microseconds (unix_micros) — no float gap
+    math to disagree across engines. Output per user: session count, event
+    count, total active time (sum over sessions of last-first, µs).
+
+    Scale shape: ONE user-keyed shuffle into the session_window aggregate
+    (Spark plans it as a sort + merging-window agg per user partition);
+    the per-user rollup reuses the same partitioning — no second exchange
+    of event-volume data."""
+    ev = table(spark, sf, "events")
+    sess = (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("sw"))
+        .agg(
+            F.count(F.lit(1)).alias("n_ev"),
+            F.min(F.unix_micros("ts")).alias("first_us"),
+            F.max(F.unix_micros("ts")).alias("last_us"),
+        )
+    )
+    return sess.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("n_ev").cast("long").alias("n_events"),
+        F.sum(F.col("last_us") - F.col("first_us")).cast("long").alias("active_us"),
+    )
+
+
+ORACLE_EVENTS_SESSION_STATS_NATIVE = """
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us FROM events
+),
+flagged AS (
+  SELECT user_id, event_id, us,
+         CASE WHEN lag(us) OVER w IS NULL
+               OR us - lag(us) OVER w >= 1800 * 1000000 THEN 1 ELSE 0 END AS new_session
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+),
+sess AS (
+  SELECT user_id, us,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+),
+per_sess AS (
+  SELECT user_id, session_id, count(*) AS n_ev,
+         min(us) AS first_us, max(us) AS last_us
+  FROM sess GROUP BY user_id, session_id
+)
+SELECT user_id, count(*) AS n_sessions, sum(n_ev)::BIGINT AS n_events,
+       sum(last_us - first_us)::BIGINT AS active_us
+FROM per_sess GROUP BY user_id
+"""
+
+
+def q_nation_best_supplier(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-nation argmax WITHOUT a window: ``max(struct(orderkeys...))``
+    is lexicographic, partial-aggregable (map-side combine to one struct
+    per group per partition) and deterministic via the unique suppkey
+    tiebreak — the at-scale replacement for the row_number()-over-
+    partition top-1 idiom, which shuffles every row into a sort. The name
+    rides in the struct's tail where it can't influence the comparison
+    (suppkey is unique). Nation is a broadcast dim."""
+    sup = table(spark, sf, "supplier")
+    nat = table(spark, sf, "nation")
+    best = sup.groupBy("s_nationkey").agg(
+        F.max(F.struct(F.col("s_acctbal"), F.col("s_suppkey"), F.col("s_name"))).alias("b")
+    )
+    return (
+        best.join(F.broadcast(nat), best.s_nationkey == nat.n_nationkey)
+        .select(
+            "n_name",
+            F.col("b.s_acctbal").alias("best_acctbal"),
+            F.col("b.s_suppkey").alias("best_suppkey"),
+            F.col("b.s_name").alias("best_supplier"),
+        )
+    )
+
+
+ORACLE_NATION_BEST_SUPPLIER = """
+WITH m AS (
+  SELECT s_nationkey,
+         max({'bal': s_acctbal, 'k': s_suppkey, 'nm': s_name}) AS b
+  FROM supplier GROUP BY s_nationkey
+)
+SELECT n.n_name, (b).bal AS best_acctbal, (b).k AS best_suppkey, (b).nm AS best_supplier
+FROM m JOIN nation n ON n.n_nationkey = m.s_nationkey
+"""
+
+
+def q_orders_above_cust_avg(spark: SparkSession, sf: str) -> DataFrame:
+    """Self-relative filter: orders priced above 1.5× their OWN customer's
+    average order value, rolled up per market segment — the decorrelated
+    form of the classic correlated-subquery shape (``WHERE o_totalprice >
+    1.5 * (SELECT avg(...) WHERE same customer)``). The comparison is kept
+    in exact integer/decimal arithmetic — ``2·n·price > 3·sum`` instead of
+    ``price > 1.5·(sum/n)`` — so no float division sits on the predicate
+    boundary to flip rows between engines.
+
+    Scale shape: one custkey-keyed partial agg over orders, joined back to
+    orders on custkey (co-shuffled hash join — AQE reuses the aggregation
+    exchange), customer segment rides a broadcast; final rollup is
+    |segments| rows."""
+    orders = table(spark, sf, "orders")
+    cust = table(spark, sf, "customer")
+    per = orders.groupBy("o_custkey").agg(
+        F.sum(_dec("o_totalprice")).alias("tot"), F.count(F.lit(1)).alias("n")
+    )
+    seg = cust.select(F.col("c_custkey").alias("o_custkey"), "c_mktsegment")
+    flagged = (
+        orders.select("o_custkey", _dec("o_totalprice").alias("price"))
+        .join(per, "o_custkey")
+        .withColumn("big", F.col("price") * 2 * F.col("n") > F.col("tot") * 3)
+    )
+    return (
+        flagged.join(F.broadcast(seg), "o_custkey")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.sum(F.when(F.col("big"), 1).otherwise(0)).cast("long").alias("n_above"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .select(
+            "c_mktsegment",
+            "n_above",
+            "n_orders",
+            F.round(F.col("n_above").cast("double") / F.col("n_orders"), 4).alias("share"),
+        )
+    )
+
+
+ORACLE_ORDERS_ABOVE_CUST_AVG = """
+WITH per AS (
+  SELECT o_custkey, sum(o_totalprice::DECIMAL(18,2)) AS tot, count(*) AS n
+  FROM orders GROUP BY o_custkey
+),
+flagged AS (
+  SELECT o.o_custkey,
+         (o.o_totalprice::DECIMAL(18,2) * 2 * p.n > p.tot * 3) AS big
+  FROM orders o JOIN per p USING (o_custkey)
+)
+SELECT c.c_mktsegment,
+       sum(CASE WHEN big THEN 1 ELSE 0 END)::BIGINT AS n_above,
+       count(*) AS n_orders,
+       round(sum(CASE WHEN big THEN 1 ELSE 0 END)::DOUBLE / count(*), 4) AS share
+FROM flagged f JOIN customer c ON c.c_custkey = f.o_custkey
+GROUP BY c.c_mktsegment
+"""
+
+
 RFM_REF_DATE = "2001-09-01"  # just past the orders fixture's last date
 
 
@@ -1981,6 +2137,17 @@ QUERIES: dict[str, Query] = {
     ),
     "priority_drift_revenue": Query(
         q_priority_drift_revenue, ORACLE_PRIORITY_DRIFT_REVENUE, ("scd", "pit", "join", "agg")
+    ),
+    "events_session_stats_native": Query(
+        q_events_session_stats_native,
+        ORACLE_EVENTS_SESSION_STATS_NATIVE,
+        ("events", "session", "window-agg"),
+    ),
+    "nation_best_supplier": Query(
+        q_nation_best_supplier, ORACLE_NATION_BEST_SUPPLIER, ("agg", "argmax", "join")
+    ),
+    "orders_above_cust_avg": Query(
+        q_orders_above_cust_avg, ORACLE_ORDERS_ABOVE_CUST_AVG, ("tpch", "decorrelate", "agg")
     ),
     "customer_rfm_segments": Query(
         q_customer_rfm_segments, ORACLE_CUSTOMER_RFM_SEGMENTS, ("star", "agg", "quantile")

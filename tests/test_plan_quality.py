@@ -340,3 +340,36 @@ def test_label_similarity_never_shuffles_vectors(spark, sf_correctness):
     assert set(hash_keys) == {"label"}, f"non-label exchanges: {hash_keys}"
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_session_native_single_user_exchange(spark, sf_correctness):
+    """Native session_window contract: events shuffle ONCE (user-keyed)
+    into the MergingSessions aggregate — with a map-side partial session
+    agg below the exchange — and the per-user rollup reuses that
+    partitioning (no second event-volume exchange)."""
+    import re
+
+    plan = explain_str(QUERIES["events_session_stats_native"].fn(spark, sf_correctness), "simple")
+    assert "MergingSessions" in plan, f"session_window not planned as merging agg:\n{plan}"
+    hash_keys = re.findall(r"Exchange hashpartitioning\((\w+)#", plan)
+    assert hash_keys == ["user_id"], f"expected one user-keyed exchange, got: {hash_keys}"
+
+
+def test_best_supplier_argmax_no_window(spark, sf_correctness):
+    """max(struct(...)) argmax contract: partial-aggregable map-side combine
+    (partial_max below the exchange), ONE nationkey exchange, nation rides a
+    broadcast — and NO Window/row_number anywhere (the idiom this replaces)."""
+    plan = explain_str(QUERIES["nation_best_supplier"].fn(spark, sf_correctness), "simple")
+    assert "partial_max(struct(" in plan, f"argmax lost its map-side partial agg:\n{plan}"
+    assert "Window" not in plan and "row_number" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_orders_above_cust_avg_broadcast_and_hash_joins(spark, sf_correctness):
+    """Decorrelated self-relative filter: the per-customer aggregate joins
+    back on custkey as a hash join and the segment dim is broadcast —
+    NestedLoop/Cartesian would mean the correlation survived to the plan."""
+    plan = explain_str(QUERIES["orders_above_cust_avg"].fn(spark, sf_correctness), "simple")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan, plan
