@@ -1277,6 +1277,100 @@ GROUP BY c.c_mktsegment
 """
 
 
+def q_data_quality_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """Constraint-validation audit (the Deequ/dbt-test role, as one
+    catalog query): evaluates referential and domain constraints over the
+    star schema and emits one row per check — (check, n_violations,
+    n_checked). Checks: (1) orphan lineitems (fact rows whose orderkey has
+    no order header — left-anti), (2) duplicate (orderkey, linenumber)
+    fact keys, (3) orders with a custkey missing from the customer dim,
+    (4) negative or zero extendedprice, (5) discount outside [0, 1]. The
+    duplicate-key check genuinely FIRES on the driver fixtures (the
+    generator reuses linenumbers within an order — 11,785 dup pairs at
+    sf0.01), so the report exercises both the pass and fail paths and the
+    driver hash pins the real violation counts.
+
+    Scale shape: each referential check is a LEFT ANTI hash join keyed on
+    the fact side's join key (the dim/header side builds or co-shuffles);
+    domain checks fold into ONE lineitem scan of partial-agg conditional
+    counts; the final report is a union of single-row aggregates."""
+    li = table(spark, sf, "lineitem")
+    orders = table(spark, sf, "orders")
+    cust = table(spark, sf, "customer")
+
+    def one(check: str, viol, checked) -> DataFrame:
+        return viol.agg(
+            F.lit(check).alias("check"),
+            F.count(F.lit(1)).alias("n_violations"),
+        ).crossJoin(F.broadcast(checked.agg(F.count(F.lit(1)).alias("n_checked"))))
+
+    orphan = li.select("l_orderkey").join(
+        orders.select("o_orderkey"),
+        li.l_orderkey == orders.o_orderkey,
+        "left_anti",
+    )
+    dup_keys = (
+        li.groupBy("l_orderkey", "l_linenumber")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1)
+    )
+    missing_cust = orders.select("o_custkey").join(
+        cust.select("c_custkey"), orders.o_custkey == cust.c_custkey, "left_anti"
+    )
+    domain = li.agg(
+        F.sum(F.when(F.col("l_extendedprice") <= 0, 1).otherwise(0)).alias("bad_price"),
+        F.sum(
+            F.when((F.col("l_discount") < 0) | (F.col("l_discount") > 1), 1).otherwise(0)
+        ).alias("bad_discount"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return (
+        one("orphan_lineitems", orphan, li)
+        .unionByName(one("duplicate_fact_keys", dup_keys, li))
+        .unionByName(one("orders_missing_customer", missing_cust, orders))
+        .unionByName(
+            domain.select(
+                F.lit("nonpositive_extendedprice").alias("check"),
+                F.col("bad_price").cast("long").alias("n_violations"),
+                F.col("n").alias("n_checked"),
+            )
+        )
+        .unionByName(
+            domain.select(
+                F.lit("discount_out_of_range").alias("check"),
+                F.col("bad_discount").cast("long").alias("n_violations"),
+                F.col("n").alias("n_checked"),
+            )
+        )
+    )
+
+
+ORACLE_DATA_QUALITY_AUDIT = """
+SELECT 'orphan_lineitems' AS check,
+       (SELECT count(*) FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE o.o_orderkey IS NULL)::BIGINT AS n_violations,
+       (SELECT count(*) FROM lineitem) AS n_checked
+UNION ALL
+SELECT 'duplicate_fact_keys',
+       (SELECT count(*) FROM (SELECT l_orderkey, l_linenumber FROM lineitem
+                              GROUP BY 1, 2 HAVING count(*) > 1))::BIGINT,
+       (SELECT count(*) FROM lineitem)
+UNION ALL
+SELECT 'orders_missing_customer',
+       (SELECT count(*) FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+        WHERE c.c_custkey IS NULL)::BIGINT,
+       (SELECT count(*) FROM orders)
+UNION ALL
+SELECT 'nonpositive_extendedprice',
+       (SELECT count(*) FROM lineitem WHERE l_extendedprice <= 0)::BIGINT,
+       (SELECT count(*) FROM lineitem)
+UNION ALL
+SELECT 'discount_out_of_range',
+       (SELECT count(*) FROM lineitem WHERE l_discount < 0 OR l_discount > 1)::BIGINT,
+       (SELECT count(*) FROM lineitem)
+"""
+
+
 RFM_REF_DATE = "2001-09-01"  # just past the orders fixture's last date
 
 
@@ -2148,6 +2242,9 @@ QUERIES: dict[str, Query] = {
     ),
     "orders_above_cust_avg": Query(
         q_orders_above_cust_avg, ORACLE_ORDERS_ABOVE_CUST_AVG, ("tpch", "decorrelate", "agg")
+    ),
+    "data_quality_audit": Query(
+        q_data_quality_audit, ORACLE_DATA_QUALITY_AUDIT, ("dq", "antijoin", "agg")
     ),
     "customer_rfm_segments": Query(
         q_customer_rfm_segments, ORACLE_CUSTOMER_RFM_SEGMENTS, ("star", "agg", "quantile")

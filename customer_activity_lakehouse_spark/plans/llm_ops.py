@@ -2585,6 +2585,83 @@ GROUP BY source, split
 """
 
 
+NOVELTY_NGRAM = 3  # token n-gram width for the novelty census
+
+
+def q_doc_ngram_novelty(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus novelty census: for every document, the fraction of its
+    distinct token n-grams appearing for the FIRST time in corpus order
+    (doc_id), rolled up per source — the dataset-redundancy curve that
+    tells a training pipeline which sources still contribute new text and
+    which are re-crawls. First-occurrence attribution needs NO join-back:
+    grouping grams to (gram, min(doc_id)) and counting per min-doc yields
+    each doc's novel-gram count directly.
+
+    Scale shape: grams travel as xxhash64 longs (shared ``_ngram_hashes``
+    machinery — strings never shuffle); the gram→min(doc) groupBy is
+    partial-aggregable; per-doc totals reduce map-side; the only joins are
+    doc_id-keyed between per-doc aggregates. Docs with no gram (shorter
+    than n tokens) are excluded from both engines. The oracle compares
+    string grams to hashed grams — identical counts unless xxhash64
+    collides (p ~ n²/2⁶⁴, the same accepted risk as doc_decontaminate)."""
+    docs = table(spark, sf, "documents")
+    toks = docs.select("doc_id", "source", _tokens(F.col("text")).alias("tk"))
+    base = toks.select(
+        "doc_id",
+        "source",
+        F.array_distinct(_ngram_hashes(F.col("tk"), NOVELTY_NGRAM)).alias("grams"),
+    )
+    g = base.select(
+        "doc_id", "source", F.explode_outer("grams").alias("gram")
+    ).filter(F.col("gram").isNotNull())
+    tot = g.groupBy("doc_id", "source").agg(F.count(F.lit(1)).alias("n_grams"))
+    novel = (
+        g.groupBy("gram")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_novel"))
+    )
+    return (
+        tot.join(novel, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.sum("n_grams").cast("long").alias("total_grams"),
+            F.sum(F.coalesce(F.col("n_novel"), F.lit(0))).cast("long").alias("novel_grams"),
+        )
+        .select(
+            "source",
+            "total_grams",
+            "novel_grams",
+            F.round(
+                F.col("novel_grams").cast("double") / F.col("total_grams"), 4
+            ).alias("novelty"),
+        )
+    )
+
+
+ORACLE_DOC_NGRAM_NOVELTY = f"""
+WITH base AS (
+  SELECT doc_id, source, {_SQL_TOKENS} AS tk FROM documents
+),
+g AS (
+  SELECT DISTINCT doc_id, source, gram FROM (
+    SELECT doc_id, source, unnest({_sql_ngrams(NOVELTY_NGRAM)}) AS gram FROM base)
+),
+tot AS (SELECT doc_id, source, count(*) AS n_grams FROM g GROUP BY doc_id, source),
+novel AS (
+  SELECT doc_id, count(*) AS n_novel FROM (
+    SELECT gram, min(doc_id) AS doc_id FROM g GROUP BY gram)
+  GROUP BY doc_id
+)
+SELECT t.source,
+       sum(t.n_grams)::BIGINT AS total_grams,
+       sum(coalesce(n.n_novel, 0))::BIGINT AS novel_grams,
+       round(sum(coalesce(n.n_novel, 0))::DOUBLE / sum(t.n_grams), 4) AS novelty
+FROM tot t LEFT JOIN novel n USING (doc_id)
+GROUP BY t.source
+"""
+
+
 SYS_STRIDE = 2500  # sample one "tick" every SYS_STRIDE chars of corpus
 SYS_BAND = 64  # doc_id DIV SYS_BAND = prefix-sum band (bounded partitions)
 
@@ -2799,6 +2876,9 @@ QUERIES: dict[str, Query] = {
     ),
     "doc_systematic_sample": Query(
         q_doc_systematic_sample, ORACLE_DOC_SYSTEMATIC_SAMPLE, ("text", "sampling", "cume")
+    ),
+    "doc_ngram_novelty": Query(
+        q_doc_ngram_novelty, ORACLE_DOC_NGRAM_NOVELTY, ("text", "dedup", "novelty")
     ),
     "ann_range_search": Query(
         q_ann_range_search, ORACLE_ANN_RANGE_SEARCH, ("similarity", "range-search")

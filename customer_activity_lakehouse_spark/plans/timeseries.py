@@ -385,7 +385,56 @@ WHERE abs(zscore) >= {ANOMALY_Z}
 """
 
 
+def q_revenue_rolling_7d(spark: SparkSession, sf: str) -> DataFrame:
+    """Trailing 7-day revenue: per-day order totals with a RANGE-framed
+    rolling sum over the preceding 6 days + current — the moving-average
+    primitive behind every ops dashboard. The frame is driven by integer
+    epoch-day arithmetic (rangeBetween on datediff days), so frame
+    membership is engine-exact; sums are decimal until the output cast.
+
+    Scale note: the window runs on the DAY-LEVEL aggregate, whose row
+    count is bounded by the calendar (~2.4k rows for the 7-year fixture),
+    not the data — the raw orders reduce map-side into per-day partial
+    aggs first. A single unpartitioned window over a calendar-bounded
+    frame is the correct plan at any corpus size; the gate pins that the
+    window's input is the day aggregate, not raw orders."""
+    orders = table(spark, sf, "orders")
+    per_day = (
+        orders.select(
+            F.col("o_orderdate").alias("day"),
+            F.datediff("o_orderdate", F.lit("1992-01-01").cast("date")).alias("dayno"),
+            F.col("o_totalprice").cast("decimal(18,2)").alias("p"),
+        )
+        .groupBy("day", "dayno")
+        .agg(F.sum("p").alias("rev"))
+    )
+    w = Window.orderBy("dayno").rangeBetween(-6, 0)
+    return per_day.select(
+        "day",
+        F.round(F.col("rev").cast("double"), 2).alias("revenue"),
+        F.round(F.sum("rev").over(w).cast("double"), 2).alias("rolling_7d"),
+    )
+
+
+ORACLE_REVENUE_ROLLING_7D = """
+WITH per_day AS (
+  SELECT o_orderdate AS day,
+         date_diff('day', DATE '1992-01-01', o_orderdate) AS dayno,
+         sum(o_totalprice::DECIMAL(18,2)) AS rev
+  FROM orders GROUP BY 1, 2
+)
+SELECT day,
+       round(rev::DOUBLE, 2) AS revenue,
+       round(sum(rev) OVER (ORDER BY dayno RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)::DOUBLE,
+             2) AS rolling_7d
+FROM per_day
+"""
+
+
 QUERIES: dict[str, Query] = {
+    "revenue_rolling_7d": Query(
+        q_revenue_rolling_7d, ORACLE_REVENUE_ROLLING_7D, ("timeseries", "window", "rolling")
+    ),
     "events_asof_join": Query(
         q_events_asof_join, ORACLE_EVENTS_ASOF_JOIN, ("events", "asof-join"), bench=True
     ),

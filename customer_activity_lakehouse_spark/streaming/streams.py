@@ -155,6 +155,35 @@ def enrich_stream_with_dim(
     return events.join(F.broadcast(dim), key, "left")
 
 
+def session_window_stream(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """NATIVE streaming session windows — the built-in counterpart of the
+    ``applyInPandasWithState`` sessionizer (``sessionize_stream``): Spark's
+    session_window aggregate merges per-user event-time sessions in the
+    state store and, in append mode, emits a session once the watermark
+    passes its end (last event + gap), then drops its state — O(open
+    sessions) state, the same eviction contract as the hand-rolled
+    version but with zero Python in the loop. Batch twin:
+    plans/core.q_events_session_stats_native (same micros arithmetic)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id", F.session_window("ts", gap).alias("sw"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min(F.unix_micros("ts")).alias("first_us"),
+            F.max(F.unix_micros("ts")).alias("last_us"),
+        )
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+            (F.col("last_us") - F.col("first_us")).alias("active_us"),
+        )
+    )
+
+
 def stream_dedup_events(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     """Exact streaming dedup on event_id within the watermark horizon.
 

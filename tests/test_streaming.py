@@ -577,3 +577,53 @@ def test_stream_apply_changes_retires_deleted_keys(spark, tmp_path):
     assert not q.isActive
     got = {(r.id, r.v) for r in read_table(spark, spec).collect()}
     assert got == {(1, "a"), (3, "c2"), (4, "d")}
+
+
+def test_session_window_stream_matches_batch(spark, sf_smoke, events_dir):
+    """Native streaming session windows vs the same session_window
+    aggregate in batch: every session the stream emits must match the
+    batch session exactly (start, end, n_events, active µs), and every
+    batch session whose end precedes the final watermark must have been
+    emitted. This is the streaming twin of q_events_session_stats_native —
+    same builtin, same micros arithmetic."""
+    import datetime
+
+    from customer_activity_lakehouse_spark.streaming import session_window_stream
+
+    landing, root = events_dir
+    stream = read_events_stream(spark, landing, max_files_per_trigger=2)
+    _run(session_window_stream(stream), f"{root}/sessions_native", f"{root}/ckpt_sess_native")
+
+    got = spark.read.parquet(f"{root}/sessions_native")
+    batch = events_table(spark, sf_smoke)
+    want = (
+        batch.groupBy("user_id", F.session_window("ts", "30 minutes").alias("sw"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min(F.unix_micros("ts")).alias("first_us"),
+            F.max(F.unix_micros("ts")).alias("last_us"),
+        )
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+            (F.col("last_us") - F.col("first_us")).alias("active_us"),
+        )
+    )
+    g = {
+        (r.user_id, r.session_start): (r.session_end, r.n_events, r.active_us)
+        for r in got.collect()
+    }
+    w = {
+        (r.user_id, r.session_start): (r.session_end, r.n_events, r.active_us)
+        for r in want.collect()
+    }
+    assert set(g) <= set(w), "stream emitted a session batch doesn't have"
+    for k in g:
+        assert g[k] == w[k], (k, g[k], w[k])
+    max_ts = batch.agg(F.max("ts")).collect()[0][0]
+    horizon = max_ts - datetime.timedelta(hours=2)
+    overdue = [k for k, (end, _, _) in w.items() if end <= horizon and k not in g]
+    assert not overdue, f"sessions past the watermark never emitted: {overdue[:5]}"
+    assert g, "stream emitted no sessions at all"
