@@ -42,6 +42,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .avi import decode_avi_mjpeg, is_avi
+from .gif import GIF_MAGICS, decode_gif
 from .jpeg import JPEG_SIG, decode_jpeg
 from pyspark.sql import types as T
 
@@ -451,9 +452,10 @@ def _rng_from_bytes(payload: bytes) -> np.random.Generator:
 
 def _decode_image_bytes(payload: bytes, width: int, height: int, channels: int) -> np.ndarray:
     """Image payload → uint8 HxWxC. REAL decode for BMP (magic ``BM``),
-    PNG (magic ``\\x89PNG``, stdlib zlib), and baseline JPEG (magic
-    ``\\xff\\xd8``, stdlib+numpy huffman/IDCT — see ``jpeg.py``); anything
-    without a recognized magic falls back to the deterministic fake."""
+    PNG (magic ``\\x89PNG``, stdlib zlib), baseline JPEG (magic
+    ``\\xff\\xd8``, stdlib+numpy huffman/IDCT — see ``jpeg.py``), and GIF
+    (magic ``GIF8``, real LZW — see ``gif.py``); anything without a
+    recognized magic falls back to the deterministic fake."""
     if payload[:2] == b"BM":
         return _decode_bmp(payload)
     if payload[:8] == PNG_SIG:
@@ -463,6 +465,8 @@ def _decode_image_bytes(payload: bytes, width: int, height: int, channels: int) 
         if out.ndim == 2:  # grayscale → replicate to the channel axis
             out = np.stack([out] * 3, axis=-1)
         return out
+    if payload[:6] in GIF_MAGICS:
+        return decode_gif(payload)
     rng = _rng_from_bytes(payload)
     return rng.integers(0, 256, size=(height, width, channels), dtype=np.uint8)
 

@@ -483,3 +483,79 @@ def test_media_image_census_stable_and_arrow_backed(spark):
     plan = buf.getvalue()
     assert "MapInPandas" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_gif_roundtrips_and_lzw_stress():
+    """GIF codec: exact roundtrip when the palette fits (plain and
+    interlaced), bounded 3-3-2 cube error beyond 256 colors, LZW table
+    overflow (clear-code reset) and the KwKwK case, and clean ValueError
+    on truncated/garbage payloads."""
+    import numpy as np
+    import pytest
+
+    from customer_activity_lakehouse_spark.multimodal.gif import (
+        _lzw_compress,
+        _lzw_decompress,
+        decode_gif,
+        encode_gif,
+    )
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 4, size=(37, 53, 1), dtype=np.uint8).repeat(3, axis=2) * 60
+    assert np.array_equal(decode_gif(encode_gif(img)), img)
+    assert np.array_equal(decode_gif(encode_gif(img, interlace=True)), img)
+
+    img3 = rng.integers(0, 256, size=(40, 40, 3), dtype=np.uint8)
+    out3 = decode_gif(encode_gif(img3))
+    err = np.abs(out3.astype(int) - img3.astype(int))
+    # truncation to 8/8/4 levels: spacing bounds, not rounding bounds
+    assert err[:, :, 0].max() <= 31 and err[:, :, 1].max() <= 31
+    assert err[:, :, 2].max() <= 63
+
+    # LZW: long 256-symbol stream forces 12-bit overflow + clear resets
+    idx = rng.integers(0, 256, size=120_000, dtype=np.uint8)
+    assert np.array_equal(_lzw_decompress(_lzw_compress(idx, 8), 8, len(idx)), idx)
+    # KwKwK: constant run hits the code==len(table) branch immediately
+    run = np.zeros(1000, dtype=np.uint8)
+    assert np.array_equal(_lzw_decompress(_lzw_compress(run, 2), 2, len(run)), run)
+
+    whole = encode_gif(img)
+    with pytest.raises(ValueError):
+        decode_gif(whole[: len(whole) // 2])
+    with pytest.raises(ValueError):
+        decode_gif(b"GIF89a" + b"\x00" * 5)
+    with pytest.raises(ValueError):
+        decode_gif(b"NOTGIF" + whole)
+
+
+def test_real_gif_decode_through_operators(spark):
+    """A GIF payload flows through decode_image_stats with REAL pixels via
+    magic-byte dispatch: channel means match the source exactly (the
+    palette fits, so GIF is lossless here)."""
+    import numpy as np
+    import pytest
+
+    from customer_activity_lakehouse_spark.multimodal.gif import encode_gif
+    from customer_activity_lakehouse_spark.multimodal.media import MEDIA_SCHEMA
+
+    h, w = 21, 33
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = np.stack(
+        [(xx * 7 // (w - 1)) * 36, (yy * 7 // (h - 1)) * 36, np.full((h, w), 120)],
+        axis=-1,
+    ).astype(np.uint8)
+    payload = encode_gif(img)
+    rows = [
+        (
+            11,
+            "image",
+            bytearray(payload),
+            {"width": w, "height": h, "channels": 3, "sample_rate": None,
+             "duration_s": None, "codec": "gif"},
+        ),
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    stats = decode_image_stats(df).collect()
+    assert len(stats) == 1
+    want = [float(img[..., c].mean()) for c in range(3)]
+    assert stats[0].mean_rgb == pytest.approx(want, abs=1e-9)
