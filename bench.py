@@ -182,9 +182,10 @@ def main() -> None:
                     "r01 (cross-round comparable); value_full sums ALL benched "
                     "queries and is the SUCCESSOR headline — cross-round "
                     "anchor: BENCH_r05 value_full = 13.21 s (sf0.1, local[32]) "
-                    "over the r5 25-query set; r6 ADDS 4 benched queries "
+                    "over the r5 25-query set; r6 ADDS 5 benched queries "
                     "(embedding_kmeans, dedup_setsim_capped, doc_bpe_pairs, "
-                    "nation_trade_flows, ~+6 s of new work), so compare "
+                    "nation_trade_flows, priority_drift_revenue, ~+8 s of "
+                    "new work), so compare "
                     "value_full across rounds on the shared subset. The "
                     "legacy set can retire from r7 without losing "
                     "continuity. etl_pipeline is reported separately in "

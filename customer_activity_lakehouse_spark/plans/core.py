@@ -2230,7 +2230,10 @@ QUERIES: dict[str, Query] = {
         q_customer_priority_scd, ORACLE_CUSTOMER_PRIORITY_SCD, ("scd", "window", "agg")
     ),
     "priority_drift_revenue": Query(
-        q_priority_drift_revenue, ORACLE_PRIORITY_DRIFT_REVENUE, ("scd", "pit", "join", "agg")
+        q_priority_drift_revenue,
+        ORACLE_PRIORITY_DRIFT_REVENUE,
+        ("scd", "pit", "join", "agg"),
+        bench=True,
     ),
     "events_session_stats_native": Query(
         q_events_session_stats_native,

@@ -42,6 +42,10 @@ HEAVY = [
     # only materialize at sf0.1
     "part_market_basket",
     "events_session_paths",
+    # r6 late additions: SCD interval populations (run lengths per customer)
+    # and first-occurrence gram attribution both shift with corpus size
+    "priority_drift_revenue",
+    "doc_ngram_novelty",
 ]
 
 
