@@ -157,12 +157,15 @@ def _valid_media():
     rng = np.random.default_rng(5)
     img = rng.integers(0, 256, size=(16, 16, 3), dtype=np.uint8)
     wave = np.sin(np.linspace(0, 10, 400)).astype(np.float32)
+    from customer_activity_lakehouse_spark.multimodal.gif import encode_gif
+
     return {
         "jpeg": encode_jpeg(img, quality=85),
         "png": encode_png(img),
         "bmp": encode_bmp(img),
         "wav": encode_wav_mulaw(wave, 8000),
         "avi": encode_avi_mjpeg([img, img], fps=5),
+        "gif": encode_gif(img),
     }
 
 
@@ -183,6 +186,7 @@ def test_mutated_payloads_fail_clean_or_decode(kind, edits, cut):
     KeyError/zlib.error from decoder internals (ADVICE r5 hardening,
     generalized)."""
     from customer_activity_lakehouse_spark.multimodal.avi import decode_avi_mjpeg
+    from customer_activity_lakehouse_spark.multimodal.gif import decode_gif
     from customer_activity_lakehouse_spark.multimodal.jpeg import decode_jpeg
     from customer_activity_lakehouse_spark.multimodal.media import (
         _decode_bmp,
@@ -196,6 +200,7 @@ def test_mutated_payloads_fail_clean_or_decode(kind, edits, cut):
         "bmp": _decode_bmp,
         "wav": _decode_wav_mulaw,
         "avi": decode_avi_mjpeg,
+        "gif": decode_gif,
     }
     payload = bytearray(_MEDIA[kind])
     for pos, val in edits:
@@ -262,3 +267,86 @@ def test_integer_ceil_matches_exact_ceil(n):
     assert (9 * n + 9) // 10 == -((-9 * n) // 10), (
         f"integer ceil formula diverges at n={n}"
     )
+
+
+# ---------------------------------------------------------------------------
+# GIF LZW + roundtrip (gif.py)
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    mcs=st.integers(2, 8),
+    data=st.data(),
+)
+def test_gif_lzw_roundtrip(mcs, data):
+    """Compress∘decompress is the identity for any index stream whose
+    symbols fit the min code size — including streams long enough to grow
+    code width and repetitive enough to hit the KwKwK path."""
+    import numpy as np
+
+    from customer_activity_lakehouse_spark.multimodal.gif import (
+        _lzw_compress,
+        _lzw_decompress,
+    )
+
+    syms = data.draw(
+        st.lists(st.integers(0, (1 << mcs) - 1), min_size=1, max_size=400)
+    )
+    idx = np.asarray(syms, dtype=np.uint8)
+    out = _lzw_decompress(_lzw_compress(idx, mcs), mcs, len(idx))
+    assert np.array_equal(out, idx)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    h=st.integers(1, 24),
+    w=st.integers(1, 24),
+    n_colors=st.integers(1, 8),
+    interlace=st.booleans(),
+    seed=st.integers(0, 2**31),
+)
+def test_gif_image_roundtrip_exact(h, w, n_colors, interlace, seed):
+    """Any small image whose palette fits roundtrips exactly, interlaced
+    or not — including 1-pixel and single-row/column edge shapes."""
+    import numpy as np
+
+    from customer_activity_lakehouse_spark.multimodal.gif import decode_gif, encode_gif
+
+    rng = np.random.default_rng(seed)
+    colors = rng.integers(0, 256, size=(n_colors, 3), dtype=np.uint8)
+    img = colors[rng.integers(0, n_colors, size=(h, w))]
+    assert np.array_equal(decode_gif(encode_gif(img, interlace=interlace)), img)
+
+
+# ---------------------------------------------------------------------------
+# systematic-sample tick rule (llm_ops.q_doc_systematic_sample)
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    weights=st.lists(st.integers(0, 50), min_size=1, max_size=60),
+    stride=st.integers(1, 40),
+)
+def test_systematic_tick_rule_matches_bruteforce(weights, stride):
+    """The integer-DIV crossing test `(cum+w) DIV S > cum DIV S` selects a
+    doc iff its char-span [cum+1, cum+w] covers a multiple of S — checked
+    against literal tick enumeration. Sample size is at most the tick
+    count floor(total/S) (a doc spanning several ticks counts once), with
+    equality exactly when every selected doc covers a single tick — in
+    particular whenever all weights < S."""
+    cum = 0
+    selected = []
+    for wgt in weights:
+        rule = (cum + wgt) // stride > cum // stride
+        brute = any(
+            cum < k * stride <= cum + wgt
+            for k in range(1, (cum + wgt) // stride + 2)
+        )
+        assert rule == brute, (cum, wgt, stride)
+        selected.append(rule)
+        cum += wgt
+    assert sum(selected) <= cum // stride
+    if all(w < stride for w in weights):
+        assert sum(selected) == cum // stride
