@@ -1371,6 +1371,50 @@ SELECT 'discount_out_of_range',
 """
 
 
+def q_orders_yoy_growth(spark: SparkSession, sf: str) -> DataFrame:
+    """Year-over-year revenue growth per market segment — the BI staple:
+    revenue by (segment, year) with each year's delta vs the prior year
+    from a lag window over the AGGREGATE (|segments|×|years| rows, bounded
+    by the calendar — the window never sees order-volume data). Growth is
+    one IEEE division of two exact decimal sums, rounded 4dp; first year
+    emits NULL growth in both engines.
+
+    Scale shape: one segment-broadcast join + one (segment, year) partial
+    agg; raw orders shuffle once."""
+    orders = table(spark, sf, "orders")
+    cust = table(spark, sf, "customer")
+    seg = cust.select(F.col("c_custkey").alias("o_custkey"), "c_mktsegment")
+    per = (
+        orders.select("o_custkey", F.year("o_orderdate").alias("yr"), _dec("o_totalprice").alias("p"))
+        .join(F.broadcast(seg), "o_custkey")
+        .groupBy("c_mktsegment", "yr")
+        .agg(F.sum("p").alias("rev"))
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy("yr")
+    prev = F.lag("rev").over(w)
+    return per.select(
+        "c_mktsegment",
+        "yr",
+        F.round(F.col("rev").cast("double"), 2).alias("revenue"),
+        F.round((F.col("rev") - prev).cast("double") / prev.cast("double"), 4).alias("yoy_growth"),
+    )
+
+
+ORACLE_ORDERS_YOY_GROWTH = """
+WITH per AS (
+  SELECT c.c_mktsegment, year(o.o_orderdate) AS yr,
+         sum(o.o_totalprice::DECIMAL(18,2)) AS rev
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY 1, 2
+)
+SELECT c_mktsegment, yr,
+       round(rev::DOUBLE, 2) AS revenue,
+       round((rev - lag(rev) OVER w)::DOUBLE / (lag(rev) OVER w)::DOUBLE, 4) AS yoy_growth
+FROM per
+WINDOW w AS (PARTITION BY c_mktsegment ORDER BY yr)
+"""
+
+
 RFM_REF_DATE = "2001-09-01"  # just past the orders fixture's last date
 
 
@@ -2248,6 +2292,9 @@ QUERIES: dict[str, Query] = {
     ),
     "data_quality_audit": Query(
         q_data_quality_audit, ORACLE_DATA_QUALITY_AUDIT, ("dq", "antijoin", "agg")
+    ),
+    "orders_yoy_growth": Query(
+        q_orders_yoy_growth, ORACLE_ORDERS_YOY_GROWTH, ("star", "window", "agg")
     ),
     "customer_rfm_segments": Query(
         q_customer_rfm_segments, ORACLE_CUSTOMER_RFM_SEGMENTS, ("star", "agg", "quantile")
