@@ -32,9 +32,27 @@ from ..operators.joins import salt_column
 from ..schemas import DRIVER_TABLES, require_columns
 
 
+# Columnar formats the sinks below can write. Parquet is the default
+# everywhere; ORC ships inside the Spark distribution (no extra jars — the
+# one columnar alternative this environment actually allows, unlike
+# Delta/Iceberg whose runtimes are install-blocked, README "Table formats").
+COLUMNAR_FORMATS = ("parquet", "orc")
+
+
+def _check_fmt(fmt: str) -> str:
+    if fmt not in COLUMNAR_FORMATS:
+        raise ValueError(f"unsupported columnar format {fmt!r}; use one of {COLUMNAR_FORMATS}")
+    return fmt
+
+
 def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     """S4 — (partitioned) parquet scan with automatic partition discovery."""
     return spark.read.parquet(path)
+
+
+def read_columnar(spark: SparkSession, path: str, fmt: str = "parquet") -> DataFrame:
+    """Format-dispatched scan (parquet | orc), same partition discovery."""
+    return spark.read.format(_check_fmt(fmt)).load(path)
 
 
 def _cluster_by_partitions(
@@ -64,6 +82,7 @@ def write_raw_partitioned(
     path: str,
     partition_cols: list[str] | None = None,
     files_per_partition: int = 1,
+    fmt: str = "parquet",
 ) -> None:
     """S5 — raw-zone sink: hive-partitioned, full overwrite
     (data_processing.py:201-223; partition_on data_processing.py:218).
@@ -73,10 +92,10 @@ def write_raw_partitioned(
     cols = ["transaction_date"] if partition_cols is None else partition_cols
     require_columns(df, cols, "write_raw_partitioned")
     out = _cluster_by_partitions(df, cols, files_per_partition) if cols else df
-    writer = out.write.mode("overwrite")
+    writer = out.write.mode("overwrite").format(_check_fmt(fmt))
     if cols:
         writer = writer.partitionBy(*cols)
-    writer.parquet(path)
+    writer.save(path)
 
 
 def write_curated_parquet(
@@ -85,6 +104,7 @@ def write_curated_parquet(
     partition_cols: list[str] | None = None,
     target_partitions: int | None = 1,
     input_clustered: bool = False,
+    fmt: str = "parquet",
 ) -> None:
     """S6 — curated sink with output-file-count control
     (data_processing.py:399-435; repartition data_processing.py:187-196, 413).
@@ -122,10 +142,10 @@ def write_curated_parquet(
             # pull the whole upstream transform onto one task, serializing
             # the job.
             out = df.repartition(max(1, int(target_partitions)))
-    writer = out.write.mode("overwrite")
+    writer = out.write.mode("overwrite").format(_check_fmt(fmt))
     if cols:
         writer = writer.partitionBy(*cols)
-    writer.parquet(path)
+    writer.save(path)
 
 
 def load_driver_tables(

@@ -280,3 +280,38 @@ def test_partitioned_sink_accepts_map_columns(spark, tmp_path):
     back = spark.read.parquet(out)
     assert back.count() == 2
     assert set(back.columns) == {"transaction_date", "v", "props"}
+
+
+def test_orc_sinks_roundtrip_and_prune(spark, tmp_path):
+    """The sinks' fmt dispatch: a partitioned ORC curated write reads back
+    content-identical to the parquet one, partition pruning reaches the
+    ORC scan, and an unknown format fails loudly."""
+    import contextlib
+    import io
+
+    import pytest
+
+    from customer_activity_lakehouse_spark.sources.parquet import (
+        read_columnar,
+        write_curated_parquet,
+    )
+
+    df = spark.range(200).selectExpr(
+        "id", "cast(id % 4 as string) as part", "id * 1.5 as v"
+    )
+    pq, orc = str(tmp_path / "pq"), str(tmp_path / "orc")
+    write_curated_parquet(df, pq, partition_cols=["part"])
+    write_curated_parquet(df, orc, partition_cols=["part"], fmt="orc")
+    a = sorted(read_columnar(spark, pq).collect())
+    b = sorted(read_columnar(spark, orc, fmt="orc").collect())
+    assert a == b and len(a) == 200
+
+    pruned = read_columnar(spark, orc, fmt="orc").filter("part = '2'")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        pruned.explain()
+    assert "PartitionFilters: [isnotnull(part" in buf.getvalue()
+    assert pruned.count() == 50
+
+    with pytest.raises(ValueError, match="unsupported columnar format"):
+        write_curated_parquet(df, str(tmp_path / "x"), fmt="avro")
