@@ -1415,6 +1415,77 @@ WINDOW w AS (PARTITION BY c_mktsegment ORDER BY yr)
 """
 
 
+def q_customer_engagement_360(spark: SparkSession, sf: str) -> DataFrame:
+    """Customer-360: the clickstream (events) joined to the order history
+    (star schema) on user_id = c_custkey — the cross-dataset view a
+    lakehouse exists to serve. Per market segment: active clickstream
+    users, their event/purchase-event volumes and on-site spend, their
+    order-book revenue, and the engagement-to-revenue ratio. Event values
+    are 2dp-valued doubles → DECIMAL(18,2) before summation (the money
+    rule), so every aggregate is order-independent.
+
+    Scale shape: events reduce to per-user aggregates in ONE user-keyed
+    shuffle, orders likewise by custkey; the two per-user frames hash-join
+    on the shared key; segment rides a broadcast; the rollup is
+    |segments| rows. Raw events and raw orders each shuffle exactly once,
+    pre-aggregated map-side."""
+    ev = table(spark, sf, "events")
+    orders = table(spark, sf, "orders")
+    cust = table(spark, sf, "customer")
+    per_user = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long")
+        .alias("n_purchase_events"),
+        F.sum(F.coalesce(_dec("value"), F.lit(0).cast(MONEY))).alias("event_value"),
+    )
+    per_cust = orders.groupBy(F.col("o_custkey").alias("user_id")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(_dec("o_totalprice")).alias("order_rev"),
+    )
+    seg = cust.select(F.col("c_custkey").alias("user_id"), "c_mktsegment")
+    return (
+        per_user.join(per_cust, "user_id", "left")
+        .join(F.broadcast(seg), "user_id")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_active_users"),
+            F.sum("n_events").cast("long").alias("n_events"),
+            F.sum("n_purchase_events").cast("long").alias("n_purchase_events"),
+            F.round(F.sum("event_value").cast("double"), 2).alias("event_value"),
+            F.sum(F.coalesce(F.col("n_orders"), F.lit(0))).cast("long").alias("n_orders"),
+            F.round(F.sum(F.coalesce(F.col("order_rev"), F.lit(0).cast(MONEY))).cast("double"), 2)
+            .alias("order_revenue"),
+        )
+    )
+
+
+ORACLE_CUSTOMER_ENGAGEMENT_360 = """
+WITH per_user AS (
+  SELECT user_id, count(*) AS n_events,
+         sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase_events,
+         sum(coalesce(value::DECIMAL(18,2), 0)) AS event_value
+  FROM events GROUP BY user_id
+),
+per_cust AS (
+  SELECT o_custkey AS user_id, count(*) AS n_orders,
+         sum(o_totalprice::DECIMAL(18,2)) AS order_rev
+  FROM orders GROUP BY o_custkey
+)
+SELECT c.c_mktsegment,
+       count(*) AS n_active_users,
+       sum(u.n_events)::BIGINT AS n_events,
+       sum(u.n_purchase_events)::BIGINT AS n_purchase_events,
+       round(sum(u.event_value)::DOUBLE, 2) AS event_value,
+       sum(coalesce(o.n_orders, 0))::BIGINT AS n_orders,
+       round(sum(coalesce(o.order_rev, 0))::DOUBLE, 2) AS order_revenue
+FROM per_user u
+LEFT JOIN per_cust o USING (user_id)
+JOIN customer c ON c.c_custkey = u.user_id
+GROUP BY c.c_mktsegment
+"""
+
+
 RFM_REF_DATE = "2001-09-01"  # just past the orders fixture's last date
 
 
@@ -2295,6 +2366,11 @@ QUERIES: dict[str, Query] = {
     ),
     "orders_yoy_growth": Query(
         q_orders_yoy_growth, ORACLE_ORDERS_YOY_GROWTH, ("star", "window", "agg")
+    ),
+    "customer_engagement_360": Query(
+        q_customer_engagement_360,
+        ORACLE_CUSTOMER_ENGAGEMENT_360,
+        ("events", "star", "join", "agg"),
     ),
     "customer_rfm_segments": Query(
         q_customer_rfm_segments, ORACLE_CUSTOMER_RFM_SEGMENTS, ("star", "agg", "quantile")
