@@ -373,3 +373,31 @@ def test_orders_above_cust_avg_broadcast_and_hash_joins(spark, sf_correctness):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_data_quality_audit_hash_antijoins_only(spark, sf_correctness):
+    """Referential checks must plan as hash LEFT ANTI joins (build or
+    co-shuffle) — a nested-loop anti join degenerates to all-pairs on the
+    fact side at scale."""
+    plan = explain_str(QUERIES["data_quality_audit"].fn(spark, sf_correctness), "simple")
+    assert "LeftAnti" in plan, f"anti-join checks missing:\n{plan}"
+    for ln in plan.splitlines():
+        if "LeftAnti" in ln:
+            assert "HashJoin" in ln, f"anti join fell out of hash strategy:\n{ln}"
+    assert "CartesianProduct" not in plan
+
+
+def test_customer_360_single_shuffle_per_dataset(spark, sf_correctness):
+    """The clickstream⋈star join: events and orders each shuffle exactly
+    once (into their per-user partial aggs / the join), the segment dim is
+    broadcast — no event-volume or order-volume data moves twice."""
+    import re
+
+    plan = explain_str(QUERIES["customer_engagement_360"].fn(spark, sf_correctness), "simple")
+    assert "BroadcastHashJoin" in plan, plan
+    hash_keys = re.findall(r"Exchange hashpartitioning\((\w+)#", plan)
+    # exchanges are keyed by the shared user key (user_id / o_custkey) for
+    # the per-user aggregates and their join, plus the tiny final segment
+    # rollup (post-partial-agg, |users|→|segments| rows) — nothing else
+    assert hash_keys and set(hash_keys) <= {"user_id", "o_custkey", "c_mktsegment"}, hash_keys
+    assert "CartesianProduct" not in plan

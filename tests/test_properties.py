@@ -350,3 +350,53 @@ def test_systematic_tick_rule_matches_bruteforce(weights, stride):
     assert sum(selected) <= cum // stride
     if all(w < stride for w in weights):
         assert sum(selected) == cum // stride
+
+
+# ---------------------------------------------------------------------------
+# SCD Type-2 interval builder (core._priority_intervals)
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    orders=st.lists(
+        st.tuples(
+            st.integers(1, 3),      # customer
+            st.integers(0, 20),     # day offset
+            st.sampled_from(["A", "B", "C"]),  # priority
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_priority_intervals_partition_each_customer_timeline(spark, orders):
+    """For every customer the emitted intervals must (a) be chronologically
+    chained — each valid_to equals the NEXT interval's valid_from, with
+    exactly one open interval last; (b) alternate priorities (consecutive
+    intervals never share one — runs are maximal); (c) start at the
+    customer's first order date."""
+    import datetime
+
+    from customer_activity_lakehouse_spark.plans.core import _priority_intervals
+
+    base = datetime.date(1995, 1, 1)
+    rows = [
+        (cust, base + datetime.timedelta(days=day), i, prio)
+        for i, (cust, day, prio) in enumerate(orders)
+    ]
+    df = spark.createDataFrame(
+        rows, "o_custkey long, o_orderdate date, o_orderkey long, o_orderpriority string"
+    )
+    got = _priority_intervals(df).collect()
+    by_cust: dict[int, list] = {}
+    for r in got:
+        by_cust.setdefault(r.o_custkey, []).append(r)
+    for cust, ivs in by_cust.items():
+        ivs.sort(key=lambda r: r.valid_from)
+        cust_orders = sorted((d, i, p) for (c, d, i, p) in rows if c == cust)
+        assert ivs[0].valid_from == cust_orders[0][0], "first interval must open at first order"
+        opens = [r for r in ivs if r.valid_to is None]
+        assert len(opens) == 1 and opens[0] is ivs[-1], "exactly one open interval, last"
+        for a, b in zip(ivs, ivs[1:]):
+            assert a.valid_to == b.valid_from, "intervals must chain with no gap/overlap"
+            assert a.o_orderpriority != b.o_orderpriority, "runs must be maximal"
