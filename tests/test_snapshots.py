@@ -145,3 +145,60 @@ def test_snapshot_changes_overwrite_diff_classifies(spark, tmp_path):
     ch = snapshot_changes(spark, t, v_from=v1, v_to=v2, key_cols=["id"])
     rows = {(r.id, r.v, r.change_type) for r in ch.collect()}
     assert rows == {(2, "B", "update"), (3, "c", "delete"), (4, "d", "insert")}
+
+
+def test_cdc_driven_incremental_view_maintenance(spark, tmp_path):
+    """End-to-end IVM over the snapshot log: a rollup maintained purely
+    from snapshot_changes deltas (the append fast path — no base rescans)
+    must equal a full recompute over the latest snapshot. Chains the two
+    CDC/incremental primitives (snapshots.snapshot_changes →
+    tables.merge_additive) the way a production refresh job would."""
+    from pyspark.sql import functions as F
+
+    from customer_activity_lakehouse_spark.sources.snapshots import (
+        commit_append,
+        read_snapshot,
+        snapshot_changes,
+    )
+    from customer_activity_lakehouse_spark.sources.tables import (
+        TableSpec,
+        merge_additive,
+        read_table,
+    )
+
+    base = str(tmp_path / "facts")
+    b0 = spark.createDataFrame(
+        [("2024-01-01", "click", 2.0), ("2024-01-01", "view", 1.0)],
+        "dt string, typ string, v double",
+    )
+    b1 = spark.createDataFrame(
+        [("2024-01-01", "click", 5.0), ("2024-01-02", "buy", 7.0)],
+        "dt string, typ string, v double",
+    )
+    b2 = spark.createDataFrame(
+        [("2024-01-02", "buy", 1.0), ("2024-01-02", "view", 4.0)],
+        "dt string, typ string, v double",
+    )
+    v0 = commit_append(spark, base, b0)
+    v1 = commit_append(spark, base, b1)
+    v2 = commit_append(spark, base, b2)
+
+    def rollup(df):
+        return df.groupBy("dt", "typ").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("v").alias("total")
+        )
+
+    spec = TableSpec(str(tmp_path / "mv"), ("dt",))
+    # initialize from v0, then refresh ONLY from CDC deltas
+    merge_additive(spark, spec, rollup(read_snapshot(spark, base, version=v0)), keys=["dt", "typ"])
+    for v_from, v_to in [(v0, v1), (v1, v2)]:
+        delta = snapshot_changes(spark, base, v_from, v_to)
+        assert delta.filter("change_type != 'insert'").count() == 0  # append fast path
+        merge_additive(spark, spec, rollup(delta.drop("change_type")), keys=["dt", "typ"])
+
+    got = {(r.dt, r.typ, r.n, r.total) for r in read_table(spark, spec).collect()}
+    want = {
+        (r.dt, r.typ, r.n, r.total)
+        for r in rollup(read_snapshot(spark, base)).collect()
+    }
+    assert got == want
