@@ -41,6 +41,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .adpcm import IMA_ADPCM_TAG, decode_wav_adpcm
 from .avi import decode_avi_mjpeg, is_avi
 from .gif import GIF_MAGICS, decode_gif
 from .jpeg import JPEG_SIG, decode_jpeg
@@ -473,13 +474,18 @@ def _decode_image_bytes(payload: bytes, width: int, height: int, channels: int) 
 
 def _decode_audio_bytes(payload: bytes, sample_rate: int, duration_s: float) -> np.ndarray:
     """Audio payload → float32 mono waveform in [-1, 1]. REAL decode for
-    RIFF/WAVE containers — 16-bit PCM (stdlib ``wave``) and 8-bit G.711
-    µ-law (format tag 7, decoded manually since ``wave`` is PCM-only);
-    perceptual codecs (MP3/AAC) fall back to the deterministic fake (no
+    RIFF/WAVE containers — 16-bit PCM (stdlib ``wave``), 8-bit G.711
+    µ-law (format tag 7, decoded manually since ``wave`` is PCM-only),
+    and 4-bit IMA ADPCM (format tag 17 — see ``adpcm.py``); perceptual
+    codecs (MP3/AAC) fall back to the deterministic fake (no
     soundfile/ffmpeg in this container)."""
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
-        if _wav_format_tag(payload) == 7:
+        tag = _wav_format_tag(payload)
+        if tag == 7:
             data, _ = _decode_wav_mulaw(payload)
+            return data
+        if tag == IMA_ADPCM_TAG:
+            data, _ = decode_wav_adpcm(payload)
             return data
         data, _ = _decode_wav(payload)
         return data

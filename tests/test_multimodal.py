@@ -559,3 +559,43 @@ def test_real_gif_decode_through_operators(spark):
     assert len(stats) == 1
     want = [float(img[..., c].mean()) for c in range(3)]
     assert stats[0].mean_rgb == pytest.approx(want, abs=1e-9)
+
+
+def test_ima_adpcm_roundtrip_and_dispatch():
+    """IMA ADPCM WAV (tag 17): 4:1 compression with bounded reconstruction
+    error — tight in steady state once the adaptive step has ramped (the
+    initial attack transient is codec-inherent) — flowing through the
+    audio magic-byte dispatch; truncated/malformed containers raise clean
+    ValueErrors."""
+    import numpy as np
+    import pytest
+
+    from customer_activity_lakehouse_spark.multimodal.adpcm import (
+        decode_wav_adpcm,
+        encode_wav_adpcm,
+    )
+    from customer_activity_lakehouse_spark.multimodal.media import _decode_audio_bytes
+
+    t = np.linspace(0, 1.0, 16000, endpoint=False)
+    wav = (0.5 * np.sin(2 * np.pi * 440 * t)).astype(np.float32)
+    enc = encode_wav_adpcm(wav, 16000)
+    assert len(enc) < len(wav) * 2 * 0.27  # ~4:1 vs 16-bit PCM
+    dec, sr = decode_wav_adpcm(enc)
+    assert sr == 16000 and len(dec) == len(wav)
+    err = np.abs(dec - wav)
+    assert float(np.sqrt((err**2).mean())) < 0.02
+    assert float(err[100:].max()) < 0.05  # steady state, post-ramp
+    assert float(np.corrcoef(dec, wav)[0, 1]) > 0.999
+
+    via_dispatch = _decode_audio_bytes(enc, 16000, 1.0)
+    assert np.array_equal(via_dispatch, dec)
+
+    with pytest.raises(ValueError):
+        decode_wav_adpcm(enc[: len(enc) // 2])
+    with pytest.raises(ValueError):
+        decode_wav_adpcm(b"RIFF\x10\x00\x00\x00WAVEjunkmore")
+    # a PCM wav must NOT satisfy the ADPCM decoder
+    from customer_activity_lakehouse_spark.multimodal.media import encode_wav
+
+    with pytest.raises(ValueError, match="format tag"):
+        decode_wav_adpcm(encode_wav(wav, 16000))

@@ -157,6 +157,7 @@ def _valid_media():
     rng = np.random.default_rng(5)
     img = rng.integers(0, 256, size=(16, 16, 3), dtype=np.uint8)
     wave = np.sin(np.linspace(0, 10, 400)).astype(np.float32)
+    from customer_activity_lakehouse_spark.multimodal.adpcm import encode_wav_adpcm
     from customer_activity_lakehouse_spark.multimodal.gif import encode_gif
 
     return {
@@ -166,6 +167,7 @@ def _valid_media():
         "wav": encode_wav_mulaw(wave, 8000),
         "avi": encode_avi_mjpeg([img, img], fps=5),
         "gif": encode_gif(img),
+        "adpcm": encode_wav_adpcm(wave, 8000),
     }
 
 
@@ -185,6 +187,7 @@ def test_mutated_payloads_fail_clean_or_decode(kind, edits, cut):
     still decode or raise ValueError — never IndexError/struct.error/
     KeyError/zlib.error from decoder internals (ADVICE r5 hardening,
     generalized)."""
+    from customer_activity_lakehouse_spark.multimodal.adpcm import decode_wav_adpcm
     from customer_activity_lakehouse_spark.multimodal.avi import decode_avi_mjpeg
     from customer_activity_lakehouse_spark.multimodal.gif import decode_gif
     from customer_activity_lakehouse_spark.multimodal.jpeg import decode_jpeg
@@ -201,6 +204,7 @@ def test_mutated_payloads_fail_clean_or_decode(kind, edits, cut):
         "wav": _decode_wav_mulaw,
         "avi": decode_avi_mjpeg,
         "gif": decode_gif,
+        "adpcm": decode_wav_adpcm,
     }
     payload = bytearray(_MEDIA[kind])
     for pos, val in edits:
