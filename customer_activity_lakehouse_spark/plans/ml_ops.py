@@ -409,6 +409,77 @@ JOIN norms nb ON nb.label = pairs.label_b
 
 
 # ---------------------------------------------------------------------------
+# Numeric-feature correlation matrix
+# ---------------------------------------------------------------------------
+
+_CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def q_lineitem_correlation_matrix(spark: SparkSession, sf: str) -> DataFrame:
+    """Pairwise Pearson correlation of lineitem's numeric measures — the
+    feature-correlation profile run before model training or pruning
+    redundant features. NOT ``F.corr`` (whose double accumulation is
+    partition-order-dependent): every moment is an EXACT integer sum of
+    2dp-quantized values in decimal, so the five sums per pair are
+    bit-identical at any parallelism, and the final correlation is a fixed
+    IEEE sequence (one conversion per exact term, two sqrt, one division)
+    — same doctrine as the label-centroid cosine.
+
+    Scale shape: ONE scan, one 15-aggregate partial-agg reduce to a single
+    row (map-side combine does the work); the 6-row unpivot is a stack()
+    over that row. No joins, no shuffle beyond the 1-row final agg."""
+    li = table(spark, sf, "lineitem")
+    q = {c: F.round(F.col(c) * 100).cast("decimal(38,0)") for c in _CORR_COLS}
+    aggs = [F.count(F.lit(1)).cast("decimal(38,0)").alias("n")]
+    for i, a in enumerate(_CORR_COLS):
+        aggs.append(F.sum(q[a]).alias(f"s{i}"))
+        for j in range(i, len(_CORR_COLS)):
+            aggs.append(F.sum(q[a] * q[_CORR_COLS[j]]).alias(f"p{i}{j}"))
+    one = li.agg(*aggs)
+
+    def corr(i: int, j: int) -> str:
+        return (
+            f"round(cast(n * p{i}{j} - s{i} * s{j} as double) / "
+            f"(sqrt(cast(n * p{i}{i} - s{i} * s{i} as double)) * "
+            f"sqrt(cast(n * p{j}{j} - s{j} * s{j} as double))), 4)"
+        )
+
+    pairs = ", ".join(
+        f"'{_CORR_COLS[i][2:]}', '{_CORR_COLS[j][2:]}', {corr(i, j)}"
+        for i in range(len(_CORR_COLS))
+        for j in range(i + 1, len(_CORR_COLS))
+    )
+    return one.selectExpr(f"stack(6, {pairs}) as (col_a, col_b, corr)")
+
+
+def _corr_sql() -> str:
+    terms = ["count(*)::HUGEINT AS n"]
+    for i, a in enumerate(_CORR_COLS):
+        terms.append(f"sum(round({a} * 100)::BIGINT)::HUGEINT AS s{i}")
+        for j in range(i, len(_CORR_COLS)):
+            terms.append(
+                f"sum(round({a} * 100)::BIGINT * round({_CORR_COLS[j]} * 100)::BIGINT)::HUGEINT"
+                f" AS p{i}{j}"
+            )
+    sel = []
+    for i in range(len(_CORR_COLS)):
+        for j in range(i + 1, len(_CORR_COLS)):
+            c = (
+                f"round((n * p{i}{j} - s{i} * s{j})::DOUBLE / "
+                f"(sqrt((n * p{i}{i} - s{i} * s{i})::DOUBLE) * "
+                f"sqrt((n * p{j}{j} - s{j} * s{j})::DOUBLE)), 4)"
+            )
+            sel.append(
+                f"SELECT '{_CORR_COLS[i][2:]}' AS col_a, '{_CORR_COLS[j][2:]}' AS col_b,"
+                f" {c} AS corr FROM m"
+            )
+    return "WITH m AS (SELECT " + ", ".join(terms) + " FROM lineitem)\n" + "\nUNION ALL\n".join(sel)
+
+
+ORACLE_LINEITEM_CORRELATION_MATRIX = _corr_sql()
+
+
+# ---------------------------------------------------------------------------
 # BPE pair counting (tokenizer induction, first merge step)
 # ---------------------------------------------------------------------------
 
@@ -1270,6 +1341,11 @@ QUERIES: dict[str, Query] = {
         ORACLE_DEDUP_SETSIM_CAPPED,
         ("dedup", "setsim", "audit", "join"),
         True,
+    ),
+    "lineitem_correlation_matrix": Query(
+        q_lineitem_correlation_matrix,
+        ORACLE_LINEITEM_CORRELATION_MATRIX,
+        ("ml", "profile", "agg"),
     ),
     "embedding_label_similarity": Query(
         q_embedding_label_similarity,
