@@ -401,3 +401,16 @@ def test_customer_360_single_shuffle_per_dataset(spark, sf_correctness):
     # rollup (post-partial-agg, |users|→|segments| rows) — nothing else
     assert hash_keys and set(hash_keys) <= {"user_id", "o_custkey", "c_mktsegment"}, hash_keys
     assert "CartesianProduct" not in plan
+
+
+def test_rolling_7d_window_runs_on_day_aggregate(spark, sf_correctness):
+    """The trailing-7d RANGE window must consume the DAY-LEVEL aggregate
+    (calendar-bounded rows), never raw orders: the plan's window sits above
+    a hash aggregate keyed by day, and the only SinglePartition exchange
+    feeds that calendar-bounded frame."""
+    plan = explain_str(QUERIES["revenue_rolling_7d"].fn(spark, sf_correctness))
+    assert "specifiedwindowframe(RangeFrame" in plan, f"RANGE frame missing:\n{plan}"
+    # the window's input is the aggregated frame: partial_sum (map-side
+    # combine over raw orders) appears below the exchange feeding the sort
+    assert "partial_sum" in plan, plan
+    assert plan.count("SinglePartition") == 1, plan
