@@ -1486,6 +1486,93 @@ GROUP BY c.c_mktsegment
 """
 
 
+def q_customer_cohort_ltv(spark: SparkSession, sf: str) -> DataFrame:
+    """Acquisition-cohort lifetime-value triangle: customers cohort by
+    their FIRST order year, then revenue accumulates per (cohort_year,
+    order_year) — the order-book twin of the events-based retention matrix
+    (events_retention_cohorts), and the standard LTV payback report.
+    `years_out` = order_year - cohort_year keeps the triangle readable.
+
+    Scale shape: one custkey partial agg finds cohort years, joins back to
+    orders on the SAME custkey key (AQE reuses the exchange), and the
+    final rollup is |years|² rows. Orders shuffle once."""
+    orders = table(spark, sf, "orders")
+    first = orders.groupBy("o_custkey").agg(
+        F.min(F.year("o_orderdate")).alias("cohort_year")
+    )
+    return (
+        orders.select("o_custkey", F.year("o_orderdate").alias("order_year"), _dec("o_totalprice").alias("p"))
+        .join(first, "o_custkey")
+        .groupBy("cohort_year", "order_year")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("p").cast("double"), 2).alias("revenue"),
+        )
+        .withColumn("years_out", (F.col("order_year") - F.col("cohort_year")).cast("int"))
+    )
+
+
+ORACLE_CUSTOMER_COHORT_LTV = """
+WITH first AS (
+  SELECT o_custkey, min(year(o_orderdate)) AS cohort_year FROM orders GROUP BY o_custkey
+)
+SELECT f.cohort_year, year(o.o_orderdate) AS order_year,
+       count(*) AS n_orders,
+       round(sum(o.o_totalprice::DECIMAL(18,2))::DOUBLE, 2) AS revenue,
+       (year(o.o_orderdate) - f.cohort_year)::INT AS years_out
+FROM orders o JOIN first f USING (o_custkey)
+GROUP BY f.cohort_year, order_year
+"""
+
+
+def q_brand_concentration_hhi(spark: SparkSession, sf: str) -> DataFrame:
+    """Market concentration per part type: the Herfindahl–Hirschman index
+    of brand revenue shares. The naive Σ share² sums FLOATS in engine-
+    dependent order; instead the algebra collapses to (Σ rev_b²) / R² —
+    per-brand revenues square EXACTLY in decimal, their sum is exact, and
+    only TWO double conversions and one division remain (deterministic
+    IEEE), rounded 4dp. The same moment doctrine as the correlation
+    matrix.
+
+    Scale shape: lineitem⋈part (brand/type) rides a broadcast; one
+    (type, brand) partial agg, then a |types|-row rollup — revenue rows
+    never shuffle twice."""
+    li = table(spark, sf, "lineitem")
+    part = table(spark, sf, "part").select("p_partkey", "p_brand", "p_type")
+    per_brand = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_type", "p_brand")
+        # shares cancel the scale: HHI = Σq² / (Σq)² for ANY fixed scaling
+        # of revenue, so work in pure integers — q = rev·10⁴ (rev is
+        # 4dp-valued, q exact) — and sidestep both engines' decimal-width
+        # multiplication caps entirely
+        .agg((F.sum(revenue()) * 10000).cast("decimal(38,0)").alias("q"))
+    )
+    return (
+        per_brand.groupBy("p_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_brands"),
+            F.round(
+                F.sum(F.col("q") * F.col("q")).cast("double")
+                / (F.sum("q").cast("double") * F.sum("q").cast("double")),
+                4,
+            ).alias("hhi"),
+        )
+    )
+
+
+ORACLE_BRAND_CONCENTRATION_HHI = f"""
+WITH per_brand AS (
+  SELECT p.p_type, p.p_brand, (sum({SQL_REV}) * 10000)::HUGEINT AS q
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  GROUP BY p.p_type, p.p_brand
+)
+SELECT p_type, count(*) AS n_brands,
+       round(sum(q * q)::DOUBLE / (sum(q)::DOUBLE * sum(q)::DOUBLE), 4) AS hhi
+FROM per_brand GROUP BY p_type
+"""
+
+
 RFM_REF_DATE = "2001-09-01"  # just past the orders fixture's last date
 
 
@@ -2371,6 +2458,12 @@ QUERIES: dict[str, Query] = {
         q_customer_engagement_360,
         ORACLE_CUSTOMER_ENGAGEMENT_360,
         ("events", "star", "join", "agg"),
+    ),
+    "customer_cohort_ltv": Query(
+        q_customer_cohort_ltv, ORACLE_CUSTOMER_COHORT_LTV, ("star", "cohort", "agg")
+    ),
+    "brand_concentration_hhi": Query(
+        q_brand_concentration_hhi, ORACLE_BRAND_CONCENTRATION_HHI, ("star", "agg", "exact-float")
     ),
     "customer_rfm_segments": Query(
         q_customer_rfm_segments, ORACLE_CUSTOMER_RFM_SEGMENTS, ("star", "agg", "quantile")
