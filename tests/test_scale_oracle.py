@@ -46,6 +46,11 @@ HEAVY = [
     # and first-occurrence gram attribution both shift with corpus size
     "priority_drift_revenue",
     "doc_ngram_novelty",
+    # exact-moment queries: integer magnitudes GROW with sf — precisely the
+    # decimal/hugeint width class that can overflow or precision-cap at
+    # scale while sf0.01 stays silent
+    "brand_concentration_hhi",
+    "lineitem_correlation_matrix",
 ]
 
 
