@@ -1525,6 +1525,57 @@ WHERE jaccard >= 0.5
 """
 
 
+def q_dedup_source_syndication(spark: SparkSession, sf: str) -> DataFrame:
+    """Syndication detection: the verified near-dup pairs attributed to
+    SOURCE pairs — which sources mirror each other's content (cross-source
+    rows) and which re-publish internally (diagonal rows). The question a
+    curation pipeline asks before dropping a whole source as a re-crawl.
+    Source pairs are canonicalized with least/greatest so (A,B) and (B,A)
+    collapse. Mean jaccard is exact: the 4dp-rounded pair values quantize
+    to integers (×10⁴), sum exactly, and divide once — no engine-ordered
+    float accumulation.
+
+    Scale shape: the pair set is LSH-bounded (never all-pairs); two
+    doc_id-keyed joins attach sources; the rollup is |sources|² rows max."""
+    pairs = q_dedup_minhash_verified(spark, sf)
+    src_tbl = table(spark, sf, "documents").select("doc_id", "source")
+    attributed = (
+        pairs.join(
+            src_tbl.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("sa")), "doc_a"
+        )
+        .join(
+            src_tbl.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("sb")), "doc_b"
+        )
+        .select(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+            F.round(F.col("jaccard") * 10000).cast("long").alias("jq"),
+        )
+    )
+    return attributed.groupBy("source_a", "source_b").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.round(F.sum("jq").cast("double") / F.count(F.lit(1)) / 10000.0, 4).alias(
+            "mean_jaccard"
+        ),
+    )
+
+
+ORACLE_DEDUP_SOURCE_SYNDICATION = f"""
+WITH vpairs AS ({ORACLE_DEDUP_MINHASH_VERIFIED}),
+attributed AS (
+  SELECT least(sa.source, sb.source) AS source_a,
+         greatest(sa.source, sb.source) AS source_b,
+         round(p.jaccard * 10000)::BIGINT AS jq
+  FROM vpairs p
+  JOIN documents sa ON sa.doc_id = p.doc_a
+  JOIN documents sb ON sb.doc_id = p.doc_b
+)
+SELECT source_a, source_b, count(*) AS n_pairs,
+       round(sum(jq)::DOUBLE / count(*) / 10000.0, 4) AS mean_jaccard
+FROM attributed GROUP BY source_a, source_b
+"""
+
+
 def connected_components(
     pairs: DataFrame,
     src: str = "doc_a",
@@ -2814,6 +2865,11 @@ QUERIES: dict[str, Query] = {
     "dedup_minhash_lsh": Query(q_dedup_minhash_lsh, ORACLE_DEDUP_MINHASH_LSH, ("dedup", "lsh"), True),
     "dedup_minhash_verified": Query(
         q_dedup_minhash_verified, ORACLE_DEDUP_MINHASH_VERIFIED, ("dedup", "lsh")
+    ),
+    "dedup_source_syndication": Query(
+        q_dedup_source_syndication,
+        ORACLE_DEDUP_SOURCE_SYNDICATION,
+        ("dedup", "lsh", "governance"),
     ),
     "dedup_cluster_assignments": Query(
         q_dedup_cluster_assignments,
