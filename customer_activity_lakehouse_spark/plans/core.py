@@ -1573,6 +1573,76 @@ FROM per_brand GROUP BY p_type
 """
 
 
+def q_engagement_revenue_correlation(spark: SparkSession, sf: str) -> DataFrame:
+    """Does on-site engagement predict order-book revenue? Pearson
+    correlation between each clickstream user's event spend and their
+    order revenue — the cross-dataset statistic the customer-360 join
+    exists to enable. Users without orders count as zero revenue (the
+    honest join: engagement with no purchases is signal, not a dropped
+    row). Exact-moment doctrine: both measures are 2dp-valued → ×100
+    integer quantization, five decimal-exact sums, one fixed IEEE
+    sequence, 4dp round (same construction as the lineitem correlation
+    matrix).
+
+    Scale shape: one user-keyed partial agg per dataset, one hash join of
+    the two per-user frames, and a 5-aggregate reduce to a single row."""
+    ev = table(spark, sf, "events")
+    orders = table(spark, sf, "orders")
+    per_user = ev.groupBy("user_id").agg(
+        (F.sum(F.coalesce(_dec("value"), F.lit(0).cast(MONEY))) * 100)
+        .cast("decimal(38,0)")
+        .alias("x")
+    )
+    per_cust = orders.groupBy(F.col("o_custkey").alias("user_id")).agg(
+        (F.sum(_dec("o_totalprice")) * 100).cast("decimal(38,0)").alias("y")
+    )
+    joined = per_user.join(per_cust, "user_id", "left").select(
+        "x", F.coalesce(F.col("y"), F.lit(0).cast("decimal(38,0)")).alias("y")
+    )
+    one = joined.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    return one.selectExpr(
+        "cast(n as long) as n_users",
+        "round(cast(n * sxy - sx * sy as double) / "
+        "(sqrt(cast(n * sxx - sx * sx as double)) * "
+        "sqrt(cast(n * syy - sy * sy as double))), 4) as corr",
+    )
+
+
+ORACLE_ENGAGEMENT_REVENUE_CORRELATION = """
+WITH per_user AS (
+  SELECT user_id,
+         (sum(coalesce(value::DECIMAL(18,2), 0)) * 100)::HUGEINT AS x
+  FROM events GROUP BY user_id
+),
+per_cust AS (
+  SELECT o_custkey AS user_id,
+         (sum(o_totalprice::DECIMAL(18,2)) * 100)::HUGEINT AS y
+  FROM orders GROUP BY o_custkey
+),
+joined AS (
+  SELECT u.x, coalesce(c.y, 0)::HUGEINT AS y
+  FROM per_user u LEFT JOIN per_cust c USING (user_id)
+),
+m AS (
+  SELECT count(*)::HUGEINT AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+  FROM joined
+)
+SELECT n::BIGINT AS n_users,
+       round((n * sxy - sx * sy)::DOUBLE /
+             (sqrt((n * sxx - sx * sx)::DOUBLE) *
+              sqrt((n * syy - sy * sy)::DOUBLE)), 4) AS corr
+FROM m
+"""
+
+
 RFM_REF_DATE = "2001-09-01"  # just past the orders fixture's last date
 
 
@@ -2464,6 +2534,11 @@ QUERIES: dict[str, Query] = {
     ),
     "brand_concentration_hhi": Query(
         q_brand_concentration_hhi, ORACLE_BRAND_CONCENTRATION_HHI, ("star", "agg", "exact-float")
+    ),
+    "engagement_revenue_correlation": Query(
+        q_engagement_revenue_correlation,
+        ORACLE_ENGAGEMENT_REVENUE_CORRELATION,
+        ("events", "star", "join", "exact-float"),
     ),
     "customer_rfm_segments": Query(
         q_customer_rfm_segments, ORACLE_CUSTOMER_RFM_SEGMENTS, ("star", "agg", "quantile")
