@@ -489,6 +489,56 @@ def write_stream_foreach_batch(
     return writer.start()
 
 
+def write_stream_dq_monitor(
+    events: DataFrame,
+    audit_path: str,
+    checkpoint: str,
+):
+    """Streaming data-quality monitor — the continuous twin of the batch
+    ``data_quality_audit``: every micro-batch folds its constraint checks
+    into ONE partial-agg pass (null keys, null/absent timestamps, negative
+    values, duplicate event ids WITHIN the batch) and appends a single
+    audit row per batch to ``audit_path``. Deduplicating on batch_id at
+    read time keeps the log exactly-once under replays (foreachBatch may
+    re-run a batch after a crash; the audit carries the id so consumers
+    drop the duplicate — same idempotency contract as merge_upsert).
+
+    Scale: per batch one aggregate row; no state store, no watermark —
+    monitoring never holds back the pipeline."""
+    from pyspark.sql import functions as F
+
+    def audit_batch(batch_df: DataFrame, batch_id: int) -> None:
+        row = batch_df.agg(
+            F.lit(batch_id).alias("batch_id"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.when(F.col("user_id").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_null_user"),
+            F.sum(F.when(F.col("ts").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_null_ts"),
+            F.sum(F.when(F.col("value") < 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_negative_value"),
+            (F.count(F.lit(1)) - F.countDistinct("event_id")).alias("n_dup_event_ids"),
+        )
+        row.write.mode("append").parquet(audit_path)
+
+    return write_stream_foreach_batch(events, audit_batch, checkpoint)
+
+
+def read_dq_audit(spark, audit_path: str) -> DataFrame:
+    """The exactly-once view of the audit log: one row per batch_id
+    (replays deduplicate on read — keep the max-violation row, which is
+    identical across replays of the same deterministic batch)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    log = spark.read.parquet(audit_path)
+    w = Window.partitionBy("batch_id").orderBy(F.col("n_rows").desc())
+    return log.withColumn("rn", F.row_number().over(w)).filter("rn = 1").drop("rn")
+
+
 def write_stream_merge_upsert(
     df: DataFrame,
     spec,

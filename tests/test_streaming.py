@@ -627,3 +627,37 @@ def test_session_window_stream_matches_batch(spark, sf_smoke, events_dir):
     overdue = [k for k, (end, _, _) in w.items() if end <= horizon and k not in g]
     assert not overdue, f"sessions past the watermark never emitted: {overdue[:5]}"
     assert g, "stream emitted no sessions at all"
+
+
+def test_dq_monitor_stream_matches_batch_checks(spark, sf_smoke, events_dir):
+    """The streaming DQ monitor's audit rows, summed across micro-batches,
+    must equal the same checks computed in one batch pass over the whole
+    fixture; batch_ids are unique after the read-time dedup."""
+    from customer_activity_lakehouse_spark.streaming import (
+        read_dq_audit,
+        write_stream_dq_monitor,
+    )
+
+    landing, root = events_dir
+    stream = read_events_stream(spark, landing, max_files_per_trigger=2)
+    q = write_stream_dq_monitor(stream, f"{root}/dq_audit", f"{root}/ckpt_dq")
+    q.awaitTermination(120)
+    assert not q.isActive
+
+    audit = read_dq_audit(spark, f"{root}/dq_audit").collect()
+    assert len(audit) >= 2, "expected multiple micro-batches"
+    assert len({r.batch_id for r in audit}) == len(audit)
+
+    batch = events_table(spark, sf_smoke)
+    want = batch.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("user_id").isNull(), 1).otherwise(0)).cast("long").alias("nu"),
+        F.sum(F.when(F.col("ts").isNull(), 1).otherwise(0)).cast("long").alias("nt"),
+        F.sum(F.when(F.col("value") < 0, 1).otherwise(0)).cast("long").alias("nv"),
+    ).collect()[0]
+    assert sum(r.n_rows for r in audit) == want.n_rows
+    assert sum(r.n_null_user for r in audit) == want.nu
+    assert sum(r.n_null_ts for r in audit) == want.nt
+    assert sum(r.n_negative_value for r in audit) == want.nv
+    # event ids are unique in the fixture, so per-batch dup counts are 0
+    assert all(r.n_dup_event_ids == 0 for r in audit)
