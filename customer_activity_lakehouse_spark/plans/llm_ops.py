@@ -2636,6 +2636,40 @@ GROUP BY source, split
 """
 
 
+def q_source_lang_gini(spark: SparkSession, sf: str) -> DataFrame:
+    """Language-mixture diversity per source: Gini impurity of the lang
+    distribution, 1 - Σ p² — the curation signal separating monolingual
+    sources from mixed crawls. Deliberately Gini, NOT Shannon entropy:
+    entropy needs log(), which libms round differently across engines,
+    while Gini collapses to 1 - (Σ n²)/N² — pure integer counts, one
+    deterministic IEEE division (same construction as the brand HHI).
+
+    Scale shape: one (source, lang) partial agg, then a |sources|-row
+    rollup. Nothing else moves."""
+    docs = table(spark, sf, "documents")
+    per = docs.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("n"))
+    return per.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_langs"),
+        F.sum("n").cast("long").alias("n_docs"),
+        F.round(
+            1
+            - F.sum(F.col("n") * F.col("n")).cast("double")
+            / (F.sum("n").cast("double") * F.sum("n").cast("double")),
+            4,
+        ).alias("lang_gini"),
+    )
+
+
+ORACLE_SOURCE_LANG_GINI = """
+WITH per AS (
+  SELECT source, lang, count(*) AS n FROM documents GROUP BY source, lang
+)
+SELECT source, count(*) AS n_langs, sum(n)::BIGINT AS n_docs,
+       round(1 - sum(n * n)::DOUBLE / (sum(n)::DOUBLE * sum(n)::DOUBLE), 4) AS lang_gini
+FROM per GROUP BY source
+"""
+
+
 NOVELTY_NGRAM = 3  # token n-gram width for the novelty census
 
 
@@ -2935,6 +2969,9 @@ QUERIES: dict[str, Query] = {
     ),
     "doc_ngram_novelty": Query(
         q_doc_ngram_novelty, ORACLE_DOC_NGRAM_NOVELTY, ("text", "dedup", "novelty")
+    ),
+    "source_lang_gini": Query(
+        q_source_lang_gini, ORACLE_SOURCE_LANG_GINI, ("text", "governance", "exact-float")
     ),
     "ann_range_search": Query(
         q_ann_range_search, ORACLE_ANN_RANGE_SEARCH, ("similarity", "range-search")
