@@ -287,11 +287,18 @@ def _ensure_window_families(
             return order
         fam = missing[0]
         promoted = next(n for n in order[window:] if fam in merged[n].tags)
+        # A victim must be STALENESS-NEUTRAL or better: its tier is at
+        # least as fresh as the promoted carrier's (equal-tier swaps trade
+        # one owed check for another of the same age — the r6 case where
+        # 49 never-checked entries fill the window and the lone soft-stale
+        # slot must go to the unrepresented family's carrier), and every
+        # required tag it carries stays covered by another window entry.
+        promoted_tier = coverage.get(promoted, 0)
         victim = next(
             (
                 n
                 for n in reversed(win)
-                if coverage.get(n, 0) == max_tier
+                if coverage.get(n, 0) >= promoted_tier
                 and all(len(carriers[t]) > 1 for t in set(merged[n].tags) & required)
             ),
             None,

@@ -106,27 +106,33 @@ def test_every_oracled_family_has_an_entry_in_window():
     the ordering can't drift apart.
 
     Staleness outranks family coverage: when the stale-due tiers alone
-    fill the window (a round that adds many queries), a family may sit
-    just outside — allowed ONLY if every one of its carriers was green in
-    the LATEST round (the family is then provably not rotting, and the
-    staleness policy pulls it back next round)."""
+    fill the window (a round that adds many queries — r6 added 47, putting
+    49 never-checked entries against 50 slots), a family may sit just
+    outside — allowed ONLY if none of its carriers would exceed the
+    ADAPTIVE staleness bound by waiting one more round (carrier last-green
+    >= current_round - (bound - 1), or never-checked — tier 0 leads next
+    round by construction). The per-entry staleness gate already enforces
+    that no individual entry exceeds the bound, so under this exemption a
+    family cannot rot beyond it either."""
     families = set(REQUIRED_FAMILIES)
     # every required family must actually exist in the catalog
     all_tags = {t for q in QUERIES.values() for t in q.tags}
     assert families <= all_tags, f"required families with no carrier: {families - all_tags}"
     order = list(QUERIES)[:DRIVER_WINDOW]
     window_tags = {t for n in order for t in QUERIES[n].tags}
-    max_round = max(EFFECTIVE_COVERAGE.values(), default=0)
+    bound = _staleness_bound()
+    current_round = max(COVERAGE.values()) + 1
+    ok_floor = current_round - (bound - 1)
     rotting = [
         fam
         for fam in families - window_tags
         if not all(
-            EFFECTIVE_COVERAGE.get(n, 0) == max_round
+            EFFECTIVE_COVERAGE.get(n, 0) == 0 or EFFECTIVE_COVERAGE.get(n, 0) >= ok_floor
             for n, q in QUERIES.items()
             if fam in q.tags
         )
     ]
-    assert not rotting, f"families missing from window with stale carriers: {rotting}"
+    assert not rotting, f"families missing from window with carriers past the bound: {rotting}"
 
 
 def test_codegen_cache_sized_for_catalog(spark):
