@@ -157,6 +157,43 @@ def read_snapshot(
     return spark.read.parquet(*manifest["files"])
 
 
+def clone_snapshot(
+    spark: SparkSession, src_dir: str, dst_dir: str, version: int | None = None
+) -> int:
+    """SHALLOW (zero-copy) clone — the Delta ``CREATE TABLE ... SHALLOW
+    CLONE`` emulation: commit a v1 manifest at ``dst_dir`` referencing the
+    SOURCE's data files at ``version`` (default latest). No data moves —
+    clone cost is one manifest write regardless of table size, the
+    dev/test-against-prod-data primitive. Writes at the clone commit new
+    files under the CLONE's own dir (copy-on-write divergence); the
+    clone's ``vacuum`` walks only its own data dir, so it can never delete
+    source files.
+
+    Caveat (same as Delta's): the SOURCE's vacuum does not know about
+    clones — expiring the cloned version at the source deletes files the
+    clone still references. Pin the source's retention while clones live.
+
+    Refuses a non-empty destination (clones start at v1)."""
+    if _list_versions(spark, dst_dir):
+        raise FileExistsError(f"clone destination already has snapshots: {dst_dir}")
+    versions = _list_versions(spark, src_dir)
+    if not versions:
+        raise FileNotFoundError(f"no snapshots to clone at {src_dir}")
+    v = versions[-1] if version is None else version
+    if v not in versions:
+        raise FileNotFoundError(f"snapshot v{v} not found at {src_dir} (have {versions})")
+    src = _read_manifest(spark, src_dir, v)
+    manifest = {
+        "version": 1,
+        "op": "clone",
+        "files": src["files"],
+        "cloned_from": {"table": src_dir, "version": v},
+    }
+    if not _try_commit(spark, dst_dir, 1, manifest):
+        raise RuntimeError(f"clone destination committed concurrently: {dst_dir}")
+    return 1
+
+
 def vacuum(spark: SparkSession, table_dir: str, keep_last: int = 1) -> int:
     """Delete data files referenced ONLY by expired snapshots (and the
     expired manifests, and any orphaned data dirs from crashed commits).

@@ -202,3 +202,50 @@ def test_cdc_driven_incremental_view_maintenance(spark, tmp_path):
         for r in rollup(read_snapshot(spark, base)).collect()
     }
     assert got == want
+
+
+def test_shallow_clone_zero_copy_and_divergence(spark, tmp_path):
+    """Shallow clone: one manifest write, content-identical read, then
+    copy-on-write divergence — appends at the clone land under the clone's
+    dir and never touch the source; the clone's vacuum cannot delete
+    source files; cloning into a non-empty destination refuses. The
+    source-vacuum caveat (expiring the cloned version at the source breaks
+    the clone) is pinned as documented behavior."""
+    import pytest
+
+    from customer_activity_lakehouse_spark.sources.snapshots import (
+        clone_snapshot,
+        commit_append,
+        commit_overwrite,
+        read_snapshot,
+        vacuum,
+    )
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    df1 = spark.range(100).selectExpr("id", "id * 2 as v")
+    commit_append(spark, src, df1)
+    v = clone_snapshot(spark, src, dst)
+    assert v == 1
+    assert sorted(read_snapshot(spark, dst).collect()) == sorted(df1.collect())
+    # zero-copy: the clone's own data dir does not exist yet
+    import os
+
+    assert not os.path.exists(f"{dst}/data")
+
+    # divergence: append at the clone, source unchanged
+    commit_append(spark, dst, spark.range(100, 150).selectExpr("id", "id * 2 as v"))
+    assert read_snapshot(spark, dst).count() == 150
+    assert read_snapshot(spark, src).count() == 100
+    # clone vacuum never touches source files
+    vacuum(spark, dst, keep_last=1)
+    assert read_snapshot(spark, src).count() == 100
+
+    with pytest.raises(FileExistsError):
+        clone_snapshot(spark, src, dst)
+
+    # the documented caveat: source vacuum does not know about clones
+    commit_overwrite(spark, src, spark.range(5).selectExpr("id", "id as v"))
+    vacuum(spark, src, keep_last=1)  # expires the cloned version's files
+    with pytest.raises(Exception):
+        read_snapshot(spark, dst).collect()
