@@ -109,6 +109,7 @@ def merge_upsert(
     updates: DataFrame,
     keys: Sequence[str],
     order_col: str | None = None,
+    allow_schema_evolution: bool = False,
     _delete_col: str | None = None,
 ) -> None:
     """MERGE INTO emulation over plain parquet — the Delta/Iceberg upsert
@@ -138,6 +139,12 @@ def merge_upsert(
     the batch; per-file transaction isolation and time travel need the
     actual Delta/Iceberg runtime — on a cluster with the jars, set
     ``spec.fmt='delta'`` and replace this call with ``MERGE INTO``.
+
+    ``allow_schema_evolution=True`` is Delta's ``mergeSchema`` contract:
+    updates may ADD columns (existing rows read null there) or omit
+    existing ones (a winning update row leaves null — whole-row-replace
+    semantics, documented); the evolved schema lands atomically with the
+    swap. Off (default), schema drift fails loudly before anything stages.
 
     ``_delete_col`` is internal plumbing for :func:`apply_changes` (WHEN
     MATCHED DELETE): when set, the named column marks rows and a key whose
@@ -173,8 +180,18 @@ def merge_upsert(
             # existing rows can never delete themselves; any non-'delete'
             # marker keeps them when they win the key race
             relevant = relevant.withColumn(_delete_col, F.lit("__keep__"))
+        if not allow_schema_evolution:
+            drift = set(relevant.columns) ^ set(updates.columns)
+            drift.discard(_delete_col)
+            if drift:
+                raise ValueError(
+                    f"merge_upsert: schema drift {sorted(drift)} between table and "
+                    "updates; pass allow_schema_evolution=True to merge schemas "
+                    "(Delta mergeSchema semantics)"
+                )
         merged = relevant.withColumn("__pri", F.lit(0)).unionByName(
-            updates.withColumn("__pri", F.lit(1))
+            updates.withColumn("__pri", F.lit(1)),
+            allowMissingColumns=allow_schema_evolution,
         )
     else:
         merged = updates.withColumn("__pri", F.lit(1))

@@ -349,3 +349,31 @@ def test_merge_additive_rejects_schema_drift(spark, tmp_path):
         )
     with pytest.raises(ValueError, match="at least one additive"):
         merge_additive(spark, spec, d1.select("k"), keys=["k"])
+
+
+def test_merge_upsert_schema_evolution(spark, tmp_path):
+    """Delta mergeSchema parity: off (default), drift fails loudly naming
+    the columns; on, added columns land with nulls for untouched rows and
+    an update omitting an existing column leaves null on its replaced row
+    (whole-row-replace semantics, documented)."""
+    import pytest
+
+    from customer_activity_lakehouse_spark.sources.tables import merge_upsert, read_table
+
+    spec = TableSpec(str(tmp_path / "evo"), ())
+    base = spark.createDataFrame([(1, "a"), (2, "b")], "k long, val string")
+    merge_upsert(spark, spec, base, keys=["k"])
+
+    widened = spark.createDataFrame([(2, "B", 9.5), (3, "c", 1.0)], "k long, val string, score double")
+    with pytest.raises(ValueError, match="schema drift.*score"):
+        merge_upsert(spark, spec, widened, keys=["k"])
+
+    merge_upsert(spark, spec, widened, keys=["k"], allow_schema_evolution=True)
+    got = {r.k: (r.val, r.score) for r in read_table(spark, spec).collect()}
+    assert got == {1: ("a", None), 2: ("B", 9.5), 3: ("c", 1.0)}
+
+    # narrowing direction: update missing an existing column
+    narrow = spark.createDataFrame([(1, 7.0)], "k long, score double")
+    merge_upsert(spark, spec, narrow, keys=["k"], allow_schema_evolution=True)
+    got = {r.k: (r.val, r.score) for r in read_table(spark, spec).collect()}
+    assert got == {1: (None, 7.0), 2: ("B", 9.5), 3: ("c", 1.0)}
