@@ -404,3 +404,35 @@ def test_priority_intervals_partition_each_customer_timeline(spark, orders):
         for a, b in zip(ivs, ivs[1:]):
             assert a.valid_to == b.valid_from, "intervals must chain with no gap/overlap"
             assert a.o_orderpriority != b.o_orderpriority, "runs must be maximal"
+
+
+# ---------------------------------------------------------------------------
+# IMA ADPCM roundtrip (adpcm.py)
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    seed=st.integers(0, 2**31),
+    n=st.integers(300, 2500),
+    amp=st.floats(0.05, 0.9),
+)
+def test_adpcm_roundtrip_bounded_on_smooth_signals(seed, n, amp):
+    """Band-limited random signals (bounded per-sample step, the regime
+    ADPCM is designed for) roundtrip with small RMS error at any length —
+    including lengths that exercise the padded final block — and the
+    decoder returns exactly the encoded sample count."""
+    import numpy as np
+
+    from customer_activity_lakehouse_spark.multimodal.adpcm import (
+        decode_wav_adpcm,
+        encode_wav_adpcm,
+    )
+
+    rng = np.random.default_rng(seed)
+    steps = rng.uniform(-0.02, 0.02, size=n)
+    wav = np.clip(np.cumsum(steps), -1, 1).astype(np.float32) * np.float32(amp)
+    dec, sr = decode_wav_adpcm(encode_wav_adpcm(wav, 8000))
+    assert sr == 8000 and len(dec) == n
+    err = dec - wav
+    assert float(np.sqrt((err * err).mean())) < 0.03
