@@ -157,6 +157,61 @@ def read_snapshot(
     return spark.read.parquet(*manifest["files"])
 
 
+def consume_appends(
+    spark: SparkSession, table_dir: str, cursor_dir: str
+) -> tuple[DataFrame | None, int]:
+    """Checkpointed incremental consumption — the snapshot log as a batch
+    stream source: returns (delta since the cursor, latest version),
+    reading ONLY the files appended in between (the snapshot_changes fast
+    path), or (None, version) when nothing new committed. Does NOT move
+    the cursor: call :func:`advance_cursor` with the returned version
+    AFTER the sink succeeds — a consumer that dies in between re-reads the
+    same delta (at-least-once; pair with an idempotent sink like
+    merge_upsert / merge_additive for exactly-once effect).
+
+    This is incremental ETL without Structured Streaming: a cron-shaped
+    job calls it per tick and gets Delta's ``readChangeFeed`` append
+    contract from plain manifests. An overwrite inside the unconsumed
+    range raises (via snapshot_changes needing key_cols) — the caller must
+    resync, just as CDF consumers must on non-append history."""
+    versions = _list_versions(spark, table_dir)
+    if not versions:
+        raise FileNotFoundError(f"no snapshots at {table_dir}")
+    latest = versions[-1]
+    last_seen = cursor_position(spark, cursor_dir)
+    if latest <= last_seen:
+        return None, last_seen
+    if last_seen == 0:
+        delta = read_snapshot(spark, table_dir, version=latest)
+    else:
+        delta = snapshot_changes(spark, table_dir, last_seen, latest).drop("change_type")
+    return delta, latest
+
+
+def cursor_position(spark: SparkSession, cursor_dir: str) -> int:
+    """The last table version a consumer acknowledged (0 = nothing yet)."""
+    cursor_versions = _list_versions(spark, cursor_dir)
+    if not cursor_versions:
+        return 0
+    return _read_manifest(spark, cursor_dir, cursor_versions[-1])["consumed_version"]
+
+
+def advance_cursor(spark: SparkSession, cursor_dir: str, version: int) -> None:
+    """Acknowledge consumption THROUGH ``version``. The cursor is itself a
+    tiny snapshot log (one atomic manifest rename per advance), so two
+    consumers racing the same cursor cannot both win a version slot."""
+    cursor_versions = _list_versions(spark, cursor_dir)
+    cursor_v = (cursor_versions[-1] if cursor_versions else 0) + 1
+    manifest = {
+        "version": cursor_v,
+        "op": "cursor",
+        "files": [],
+        "consumed_version": version,
+    }
+    if not _try_commit(spark, cursor_dir, cursor_v, manifest):
+        raise RuntimeError(f"concurrent consumer advanced the cursor at {cursor_dir}")
+
+
 def clone_snapshot(
     spark: SparkSession, src_dir: str, dst_dir: str, version: int | None = None
 ) -> int:

@@ -249,3 +249,43 @@ def test_shallow_clone_zero_copy_and_divergence(spark, tmp_path):
     vacuum(spark, src, keep_last=1)  # expires the cloned version's files
     with pytest.raises(Exception):
         read_snapshot(spark, dst).collect()
+
+
+def test_consume_appends_at_least_once_cursor(spark, tmp_path):
+    """Incremental consumption contract: each consume returns exactly the
+    unseen appended rows; an unacknowledged delta is re-delivered
+    (at-least-once); after advance_cursor the next consume is empty; an
+    overwrite inside the unconsumed range fails instead of silently
+    misreporting."""
+    import pytest
+
+    from customer_activity_lakehouse_spark.sources.snapshots import (
+        advance_cursor,
+        commit_append,
+        commit_overwrite,
+        consume_appends,
+        cursor_position,
+    )
+
+    base = str(tmp_path / "t")
+    cur = str(tmp_path / "cursor")
+    commit_append(spark, base, spark.range(10).selectExpr("id"))
+    d1, v1 = consume_appends(spark, base, cur)
+    assert d1.count() == 10 and cursor_position(spark, cur) == 0
+    # crash before ack: same delta re-delivered
+    d1b, v1b = consume_appends(spark, base, cur)
+    assert v1b == v1 and d1b.count() == 10
+    advance_cursor(spark, cur, v1)
+    assert cursor_position(spark, cur) == v1
+    none_delta, v_same = consume_appends(spark, base, cur)
+    assert none_delta is None and v_same == v1
+
+    commit_append(spark, base, spark.range(10, 15).selectExpr("id"))
+    commit_append(spark, base, spark.range(15, 18).selectExpr("id"))
+    d2, v2 = consume_appends(spark, base, cur)
+    assert sorted(r.id for r in d2.collect()) == list(range(10, 18))
+    advance_cursor(spark, cur, v2)
+
+    commit_overwrite(spark, base, spark.range(3).selectExpr("id"))
+    with pytest.raises(Exception):
+        consume_appends(spark, base, cur)
