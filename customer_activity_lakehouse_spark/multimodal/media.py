@@ -545,6 +545,29 @@ def decode_image_stats(media: DataFrame, partitions: int | None = None) -> DataF
     return imgs.mapInPandas(run, IMAGE_STATS_SCHEMA)
 
 
+def duplicate_image_groups(media: DataFrame, partitions: int | None = None) -> DataFrame:
+    """Perceptual image dedup — the training-data op the aHash exists for:
+    decode (real codecs via magic dispatch), fingerprint, and group; rows
+    whose 64-bit aHash collides form a duplicate family (re-encodes and
+    pixel-identical copies land together; near-dups within small Hamming
+    distance need the banded-LSH treatment the text family uses). Output:
+    one row per family with >1 member — (phash, n_images, media_ids
+    sorted) — the removal worklist.
+
+    Scale shape: decode is Arrow mapInPandas (payloads never shuffle
+    twice); only (media_id, phash) pairs shuffle into the partial-agg
+    groupBy; family membership lists are bounded by family size."""
+    stats = decode_image_stats(media, partitions).select("media_id", "phash")
+    return (
+        stats.groupBy("phash")
+        .agg(
+            F.count(F.lit(1)).alias("n_images"),
+            F.array_sort(F.collect_list("media_id")).alias("media_ids"),
+        )
+        .filter(F.col("n_images") > 1)
+    )
+
+
 RESIZE_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType()),

@@ -249,6 +249,34 @@ def clone_snapshot(
     return 1
 
 
+def restore_snapshot(spark: SparkSession, table_dir: str, version: int) -> int:
+    """Delta ``RESTORE TABLE ... TO VERSION`` parity: roll the table back
+    by committing a NEW snapshot whose file list is the old version's —
+    history is preserved (the bad versions stay time-travelable until
+    vacuumed), readers flip atomically with the manifest rename, and a
+    concurrent commit aborts the restore rather than being clobbered
+    (an overwrite-class operation under the WriteSerializable rule)."""
+    versions = _list_versions(spark, table_dir)
+    if version not in versions:
+        raise FileNotFoundError(
+            f"snapshot v{version} not found at {table_dir} (have {versions})"
+        )
+    target = _read_manifest(spark, table_dir, version)
+    new_v = versions[-1] + 1
+    manifest = {
+        "version": new_v,
+        "op": "overwrite",
+        "files": target["files"],
+        "restored_from": version,
+    }
+    if not _try_commit(spark, table_dir, new_v, manifest):
+        raise RuntimeError(
+            f"restore_snapshot: version {new_v} was committed concurrently at "
+            f"{table_dir}; re-read and retry"
+        )
+    return new_v
+
+
 def vacuum(spark: SparkSession, table_dir: str, keep_last: int = 1) -> int:
     """Delete data files referenced ONLY by expired snapshots (and the
     expired manifests, and any orphaned data dirs from crashed commits).

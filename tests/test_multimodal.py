@@ -599,3 +599,30 @@ def test_ima_adpcm_roundtrip_and_dispatch():
 
     with pytest.raises(ValueError, match="format tag"):
         decode_wav_adpcm(encode_wav(wav, 16000))
+
+
+def test_duplicate_image_groups(spark):
+    """Perceptual image dedup: identical payloads collide on the aHash and
+    form one family; a distinct image stays out of the worklist."""
+    import numpy as np
+
+    from customer_activity_lakehouse_spark.multimodal.media import (
+        MEDIA_SCHEMA,
+        duplicate_image_groups,
+        encode_bmp,
+    )
+
+    rng = np.random.default_rng(3)
+    img_a = rng.integers(0, 256, size=(16, 16, 3), dtype=np.uint8)
+    img_b = rng.integers(0, 256, size=(16, 16, 3), dtype=np.uint8)
+    meta = {"width": 16, "height": 16, "channels": 3, "sample_rate": None,
+            "duration_s": None, "codec": "bmp"}
+    rows = [
+        (1, "image", bytearray(encode_bmp(img_a)), meta),
+        (2, "image", bytearray(encode_bmp(img_a)), meta),  # exact duplicate
+        (3, "image", bytearray(encode_bmp(img_b)), meta),
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    fams = duplicate_image_groups(df).collect()
+    assert len(fams) == 1
+    assert fams[0].n_images == 2 and list(fams[0].media_ids) == [1, 2]

@@ -289,3 +289,28 @@ def test_consume_appends_at_least_once_cursor(spark, tmp_path):
     commit_overwrite(spark, base, spark.range(3).selectExpr("id"))
     with pytest.raises(Exception):
         consume_appends(spark, base, cur)
+
+
+def test_restore_snapshot_rolls_back_preserving_history(spark, tmp_path):
+    """RESTORE parity: rolling back commits a NEW version with the old
+    file list — reads flip to the restored content, the bad version stays
+    time-travelable, and vacuum after restore keeps the restored files
+    (the latest manifest references them)."""
+    from customer_activity_lakehouse_spark.sources.snapshots import (
+        commit_append,
+        commit_overwrite,
+        read_snapshot,
+        restore_snapshot,
+        vacuum,
+    )
+
+    base = str(tmp_path / "t")
+    v1 = commit_append(spark, base, spark.range(10).selectExpr("id"))
+    v2 = commit_overwrite(spark, base, spark.range(3).selectExpr("id"))  # the bad deploy
+    assert read_snapshot(spark, base).count() == 3
+    v3 = restore_snapshot(spark, base, v1)
+    assert v3 == v2 + 1
+    assert read_snapshot(spark, base).count() == 10
+    assert read_snapshot(spark, base, version=v2).count() == 3  # history intact
+    vacuum(spark, base, keep_last=1)
+    assert read_snapshot(spark, base).count() == 10  # restored files survive
