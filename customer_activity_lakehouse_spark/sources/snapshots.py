@@ -97,11 +97,37 @@ def _try_commit(spark: SparkSession, table_dir: str, version: int, manifest: dic
     return False
 
 
-def commit_append(spark: SparkSession, table_dir: str, df: DataFrame) -> int:
+def _schema_sig(df: DataFrame) -> list[list[str]]:
+    """JSON-stable (name, dataType.simpleString) pairs — the schema
+    identity manifests record and appends validate against. Nullability is
+    deliberately excluded: parquet readers union it anyway."""
+    return [[f.name, f.dataType.simpleString()] for f in df.schema.fields]
+
+
+def commit_append(
+    spark: SparkSession, table_dir: str, df: DataFrame, allow_schema_evolution: bool = False
+) -> int:
     """Append ``df`` as a new snapshot: new files = previous snapshot's
     files + this batch's. Retries on version races (append order does not
-    depend on what the writer read, so retrying is always safe)."""
+    depend on what the writer read, so retrying is always safe).
+
+    Schema contract: the manifest records the table schema; an append whose
+    (name, type) signature differs fails BEFORE writing unless
+    ``allow_schema_evolution=True`` (the evolved signature is then
+    recorded, and readers see parquet's union-by-name view). Without the
+    gate a drifted append silently poisons every later read — parquet
+    multi-file reads take the schema of an arbitrary file."""
     versions = _list_versions(spark, table_dir)
+    sig = _schema_sig(df)
+    if versions:
+        prev_m = _read_manifest(spark, table_dir, versions[-1])
+        prev_sig = prev_m.get("schema")
+        if prev_sig is not None and prev_sig != sig and not allow_schema_evolution:
+            raise ValueError(
+                f"commit_append: schema drift at {table_dir} — table has "
+                f"{prev_sig}, append has {sig}; pass allow_schema_evolution=True "
+                "to record the evolved schema"
+            )
     attempt = (versions[-1] if versions else 0) + 1
     data_path = _write_data(df, table_dir, f"v{attempt:05d}-{abs(hash(table_dir)) % 10**6}")
     new_files = _data_files(spark, data_path)
@@ -111,7 +137,12 @@ def commit_append(spark: SparkSession, table_dir: str, df: DataFrame) -> int:
         prev_files = (
             _read_manifest(spark, table_dir, versions[-1])["files"] if versions else []
         )
-        manifest = {"version": version, "op": "append", "files": prev_files + new_files}
+        manifest = {
+            "version": version,
+            "op": "append",
+            "files": prev_files + new_files,
+            "schema": sig,
+        }
         if _try_commit(spark, table_dir, version, manifest):
             return version
     raise RuntimeError(
@@ -131,6 +162,7 @@ def commit_overwrite(spark: SparkSession, table_dir: str, df: DataFrame) -> int:
         "version": version,
         "op": "overwrite",
         "files": _data_files(spark, data_path),
+        "schema": _schema_sig(df),
     }
     if not _try_commit(spark, table_dir, version, manifest):
         raise RuntimeError(
@@ -154,6 +186,15 @@ def read_snapshot(
     manifest = _read_manifest(spark, table_dir, v)
     if not manifest["files"]:
         return spark.createDataFrame([], schema="__empty string").limit(0)
+    sig = manifest.get("schema")
+    if sig:
+        # The manifest's recorded schema is authoritative: an explicit-
+        # schema read gives files written before an evolution their
+        # missing columns as null WITHOUT mergeSchema's every-footer scan
+        # (the scale-right alternative), and guarantees readers at any
+        # version see that version's schema exactly.
+        ddl = ", ".join(f"`{name}` {typ}" for name, typ in sig)
+        return spark.read.schema(ddl).parquet(*manifest["files"])
     return spark.read.parquet(*manifest["files"])
 
 
@@ -242,6 +283,7 @@ def clone_snapshot(
         "version": 1,
         "op": "clone",
         "files": src["files"],
+        "schema": src.get("schema"),
         "cloned_from": {"table": src_dir, "version": v},
     }
     if not _try_commit(spark, dst_dir, 1, manifest):
@@ -267,6 +309,7 @@ def restore_snapshot(spark: SparkSession, table_dir: str, version: int) -> int:
         "version": new_v,
         "op": "overwrite",
         "files": target["files"],
+        "schema": target.get("schema"),
         "restored_from": version,
     }
     if not _try_commit(spark, table_dir, new_v, manifest):

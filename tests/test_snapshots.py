@@ -314,3 +314,29 @@ def test_restore_snapshot_rolls_back_preserving_history(spark, tmp_path):
     assert read_snapshot(spark, base, version=v2).count() == 3  # history intact
     vacuum(spark, base, keep_last=1)
     assert read_snapshot(spark, base).count() == 10  # restored files survive
+
+
+def test_append_schema_drift_gated(spark, tmp_path):
+    """Schema contract on the log: a drifted append fails BEFORE writing
+    (nothing new committed, table still reads), and with
+    allow_schema_evolution=True the evolved signature is recorded and the
+    table reads the union-by-name view."""
+    import pytest
+
+    from customer_activity_lakehouse_spark.sources.snapshots import (
+        commit_append,
+        read_snapshot,
+    )
+
+    base = str(tmp_path / "t")
+    commit_append(spark, base, spark.createDataFrame([(1, "a")], "k long, v string"))
+    drifted = spark.createDataFrame([(2, "b", 1.5)], "k long, v string, s double")
+    with pytest.raises(ValueError, match="schema drift"):
+        commit_append(spark, base, drifted)
+    assert read_snapshot(spark, base).count() == 1  # nothing poisoned
+
+    commit_append(spark, base, drifted, allow_schema_evolution=True)
+    got = read_snapshot(spark, base)
+    assert set(got.columns) == {"k", "v", "s"}
+    rows = {r.k: (r.v, r.s) for r in got.collect()}
+    assert rows == {1: ("a", None), 2: ("b", 1.5)}
