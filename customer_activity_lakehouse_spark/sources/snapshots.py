@@ -28,6 +28,7 @@ parquet; only the tiny manifest JSON touches the driver.
 from __future__ import annotations
 
 import json
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -129,7 +130,11 @@ def commit_append(
                 "to record the evolved schema"
             )
     attempt = (versions[-1] if versions else 0) + 1
-    data_path = _write_data(df, table_dir, f"v{attempt:05d}-{abs(hash(table_dir)) % 10**6}")
+    # the staged dir name must be WRITER-unique, not just attempt-unique:
+    # two appenders racing the same attempt number (threads in one driver,
+    # or a retried crashed commit) must never collide at the parquet write
+    # — the manifest rename is the only arbitration point
+    data_path = _write_data(df, table_dir, f"v{attempt:05d}-{uuid.uuid4().hex[:12]}")
     new_files = _data_files(spark, data_path)
     for _ in range(_MAX_COMMIT_RETRIES):
         versions = _list_versions(spark, table_dir)
@@ -157,7 +162,7 @@ def commit_overwrite(spark: SparkSession, table_dir: str, df: DataFrame) -> int:
     clobber a concurrent n+1 (same rule as Delta's WriteSerializable)."""
     versions = _list_versions(spark, table_dir)
     version = (versions[-1] if versions else 0) + 1
-    data_path = _write_data(df, table_dir, f"v{version:05d}-{abs(hash(table_dir)) % 10**6}")
+    data_path = _write_data(df, table_dir, f"v{version:05d}-{uuid.uuid4().hex[:12]}")
     manifest = {
         "version": version,
         "op": "overwrite",

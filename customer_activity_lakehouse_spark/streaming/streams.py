@@ -539,6 +539,66 @@ def read_dq_audit(spark, audit_path: str) -> DataFrame:
     return log.withColumn("rn", F.row_number().over(w)).filter("rn = 1").drop("rn")
 
 
+def write_stream_snapshot_append(
+    events: DataFrame,
+    table_dir: str,
+    checkpoint: str,
+):
+    """Stream → versioned table: every micro-batch commits as a snapshot
+    append, making the stream's output time-travelable and incrementally
+    consumable (snapshots.consume_appends) — the full loop a lakehouse
+    runs: ingest stream → snapshot log → downstream incremental jobs.
+
+    Exactly-once: the committed manifest records the micro-batch id; on a
+    foreachBatch replay (crash between commit and checkpoint advance) the
+    batch id is already in the log's recent history and the commit is
+    SKIPPED — dedup lives in the table's own log, not in reader-side
+    conventions."""
+    from customer_activity_lakehouse_spark.sources import snapshots as snap
+
+    # commit_append with the batch id stamped atomically in the SAME
+    # manifest (a second metadata write would race): reuses the log's
+    # internal commit machinery; replay detection walks recent appends
+    # until the first non-append (ids only ride appends)
+    def commit_batch_atomic(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        for v in snap._list_versions(spark, table_dir)[::-1]:
+            m = snap._read_manifest(spark, table_dir, v)
+            if m.get("stream_batch_id") == batch_id:
+                return
+            if m["op"] != "append":
+                break
+        versions = snap._list_versions(spark, table_dir)
+        attempt = (versions[-1] if versions else 0) + 1
+        import uuid
+
+        data_path = snap._write_data(
+            batch_df, table_dir, f"v{attempt:05d}-b{batch_id}-{uuid.uuid4().hex[:8]}"
+        )
+        new_files = snap._data_files(spark, data_path)
+        sig = snap._schema_sig(batch_df)
+        for _ in range(snap._MAX_COMMIT_RETRIES):
+            versions = snap._list_versions(spark, table_dir)
+            version = (versions[-1] if versions else 0) + 1
+            prev_files = (
+                snap._read_manifest(spark, table_dir, versions[-1])["files"]
+                if versions
+                else []
+            )
+            manifest = {
+                "version": version,
+                "op": "append",
+                "files": prev_files + new_files,
+                "schema": sig,
+                "stream_batch_id": batch_id,
+            }
+            if snap._try_commit(spark, table_dir, version, manifest):
+                return
+        raise RuntimeError(f"stream append lost every version race at {table_dir}")
+
+    return write_stream_foreach_batch(events, commit_batch_atomic, checkpoint)
+
+
 def write_stream_merge_upsert(
     df: DataFrame,
     spec,

@@ -661,3 +661,69 @@ def test_dq_monitor_stream_matches_batch_checks(spark, sf_smoke, events_dir):
     assert sum(r.n_negative_value for r in audit) == want.nv
     # event ids are unique in the fixture, so per-batch dup counts are 0
     assert all(r.n_dup_event_ids == 0 for r in audit)
+
+
+def test_stream_snapshot_append_versioned_and_idempotent(spark, sf_smoke, events_dir):
+    """Stream → snapshot log: micro-batches commit as appends (one version
+    per batch, time-travelable), the final content equals the batch read,
+    and a replayed batch (same batch_id) is skipped — the exactly-once
+    contract living in the table's own log."""
+    from customer_activity_lakehouse_spark.sources.snapshots import (
+        _list_versions,
+        _read_manifest,
+        read_snapshot,
+    )
+    from customer_activity_lakehouse_spark.streaming import write_stream_snapshot_append
+
+    landing, root = events_dir
+    stream = read_events_stream(spark, landing, max_files_per_trigger=2)
+    tdir = f"{root}/snap_table"
+    q = write_stream_snapshot_append(stream, tdir, f"{root}/ckpt_snap_append")
+    q.awaitTermination(120)
+    assert not q.isActive
+
+    versions = _list_versions(spark, tdir)
+    assert len(versions) >= 2, "expected one version per micro-batch"
+    batch_ids = [_read_manifest(spark, tdir, v).get("stream_batch_id") for v in versions]
+    assert all(b is not None for b in batch_ids) and len(set(batch_ids)) == len(batch_ids)
+
+    want = events_table(spark, sf_smoke).count()
+    assert read_snapshot(spark, tdir).count() == want
+    # time travel: the first version holds strictly fewer rows
+    assert read_snapshot(spark, tdir, version=versions[0]).count() < want
+
+    # replay the LAST batch manually: must be skipped (no new version)
+    from customer_activity_lakehouse_spark.streaming.streams import (
+        write_stream_snapshot_append as _factory,
+    )
+
+    last_batch_id = max(batch_ids)
+    batch_df = events_table(spark, sf_smoke).limit(5)
+    # reconstruct the inner committer by calling the factory's closure path:
+    # simplest faithful replay — invoke the foreachBatch function directly
+    inner_holder = {}
+    import customer_activity_lakehouse_spark.streaming.streams as streams_mod
+
+    orig = streams_mod.write_stream_foreach_batch
+
+    def capture(df, fn, ckpt, **kw):
+        inner_holder["fn"] = fn
+
+        class _Done:
+            isActive = False
+
+            def awaitTermination(self, *_):
+                return None
+
+        return _Done()
+
+    streams_mod.write_stream_foreach_batch = capture
+    try:
+        _factory(stream, tdir, f"{root}/ckpt_snap_replay")
+    finally:
+        streams_mod.write_stream_foreach_batch = orig
+    n_before = len(_list_versions(spark, tdir))
+    inner_holder["fn"](batch_df, last_batch_id)  # replay: skipped
+    assert len(_list_versions(spark, tdir)) == n_before
+    inner_holder["fn"](batch_df, last_batch_id + 1000)  # genuinely new: commits
+    assert len(_list_versions(spark, tdir)) == n_before + 1
