@@ -98,6 +98,49 @@ def _try_commit(spark: SparkSession, table_dir: str, version: int, manifest: dic
     return False
 
 
+def _file_stats(
+    spark: SparkSession, files: list[str], stats_cols: list[str]
+) -> dict[str, dict[str, list]]:
+    """Per-file [min, max] for ``stats_cols`` — ONE distributed pass over
+    the new files using the parquet reader's file-name column; the result
+    (|files| × |cols| tiny) is what the manifest stores for data skipping.
+    Nulls are excluded from min/max (a file of all-null values gets
+    [None, None] and is never skipped)."""
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(*files).withColumn("__file", F.input_file_name())
+    aggs = []
+    for c in stats_cols:
+        aggs.append(F.min(c).alias(f"__min_{c}"))
+        aggs.append(F.max(c).alias(f"__max_{c}"))
+    rows = df.groupBy("__file").agg(*aggs).collect()
+
+    def js(v):
+        # JSON-safe, order-preserving encoding: numbers stay numeric,
+        # everything orderable-but-not-JSON (dates, timestamps, decimals)
+        # becomes its string form — ISO date/timestamp strings compare in
+        # the same order as the values, which is all skipping needs
+        return v if v is None or isinstance(v, (int, float, str, bool)) else str(v)
+
+    out: dict[str, dict[str, list]] = {}
+    for r in rows:
+        d = r.asDict()
+        # input_file_name returns a URI; manifests store the same form the
+        # lister produced, so normalize both to the URI's path part
+        key = d["__file"]
+        out[key] = {c: [js(d[f"__min_{c}"]), js(d[f"__max_{c}"])] for c in stats_cols}
+    # re-key to the manifest's file strings: Hadoop's Path.toString() spells
+    # the scheme "file:/x" while input_file_name() spells "file:///x" —
+    # normalize both to the bare path before matching
+    import re
+
+    def norm(p: str) -> str:
+        return re.sub(r"^[a-zA-Z0-9+.-]+:/+", "/", p)
+
+    by_path = {norm(k): v for k, v in out.items()}
+    return {f: by_path[norm(f)] for f in files if norm(f) in by_path}
+
+
 def _schema_sig(df: DataFrame) -> list[list[str]]:
     """JSON-stable (name, dataType.simpleString) pairs — the schema
     identity manifests record and appends validate against. Nullability is
@@ -106,7 +149,11 @@ def _schema_sig(df: DataFrame) -> list[list[str]]:
 
 
 def commit_append(
-    spark: SparkSession, table_dir: str, df: DataFrame, allow_schema_evolution: bool = False
+    spark: SparkSession,
+    table_dir: str,
+    df: DataFrame,
+    allow_schema_evolution: bool = False,
+    stats_cols: list[str] | None = None,
 ) -> int:
     """Append ``df`` as a new snapshot: new files = previous snapshot's
     files + this batch's. Retries on version races (append order does not
@@ -136,18 +183,24 @@ def commit_append(
     # — the manifest rename is the only arbitration point
     data_path = _write_data(df, table_dir, f"v{attempt:05d}-{uuid.uuid4().hex[:12]}")
     new_files = _data_files(spark, data_path)
+    new_stats = _file_stats(spark, new_files, stats_cols) if stats_cols else {}
     for _ in range(_MAX_COMMIT_RETRIES):
         versions = _list_versions(spark, table_dir)
         version = (versions[-1] if versions else 0) + 1
-        prev_files = (
-            _read_manifest(spark, table_dir, versions[-1])["files"] if versions else []
-        )
+        if versions:
+            prev_m = _read_manifest(spark, table_dir, versions[-1])
+            prev_files = prev_m["files"]
+            prev_stats = prev_m.get("stats", {})
+        else:
+            prev_files, prev_stats = [], {}
         manifest = {
             "version": version,
             "op": "append",
             "files": prev_files + new_files,
             "schema": sig,
         }
+        if prev_stats or new_stats:
+            manifest["stats"] = {**prev_stats, **new_stats}
         if _try_commit(spark, table_dir, version, manifest):
             return version
     raise RuntimeError(
@@ -155,7 +208,12 @@ def commit_append(
     )
 
 
-def commit_overwrite(spark: SparkSession, table_dir: str, df: DataFrame) -> int:
+def commit_overwrite(
+    spark: SparkSession,
+    table_dir: str,
+    df: DataFrame,
+    stats_cols: list[str] | None = None,
+) -> int:
     """Replace the table contents as a new snapshot (old versions remain
     readable until vacuumed). On a version race this ABORTS instead of
     retrying — an overwrite validated against version n must not blindly
@@ -163,12 +221,15 @@ def commit_overwrite(spark: SparkSession, table_dir: str, df: DataFrame) -> int:
     versions = _list_versions(spark, table_dir)
     version = (versions[-1] if versions else 0) + 1
     data_path = _write_data(df, table_dir, f"v{version:05d}-{uuid.uuid4().hex[:12]}")
+    files = _data_files(spark, data_path)
     manifest = {
         "version": version,
         "op": "overwrite",
-        "files": _data_files(spark, data_path),
+        "files": files,
         "schema": _schema_sig(df),
     }
+    if stats_cols:
+        manifest["stats"] = _file_stats(spark, files, stats_cols)
     if not _try_commit(spark, table_dir, version, manifest):
         raise RuntimeError(
             f"commit_overwrite: version {version} was committed concurrently at "
@@ -178,10 +239,20 @@ def commit_overwrite(spark: SparkSession, table_dir: str, df: DataFrame) -> int:
 
 
 def read_snapshot(
-    spark: SparkSession, table_dir: str, version: int | None = None
+    spark: SparkSession,
+    table_dir: str,
+    version: int | None = None,
+    skip_where: tuple | None = None,
 ) -> DataFrame:
     """Read the table at ``version`` (default: latest). Reads exactly the
-    manifest's file list — uncommitted/orphaned data is invisible."""
+    manifest's file list — uncommitted/orphaned data is invisible.
+
+    ``skip_where=(col, lo, hi)`` is manifest-level DATA SKIPPING (the
+    Delta file-stats prune): files whose recorded [min, max] for ``col``
+    cannot intersect [lo, hi] (None = open bound) are dropped from the
+    read BEFORE Spark ever lists them. Files without recorded stats are
+    always read (skipping is an optimization, never a filter) — the
+    caller still applies the actual predicate; skipping only shrinks I/O."""
     versions = _list_versions(spark, table_dir)
     if not versions:
         raise FileNotFoundError(f"no snapshots at {table_dir}")
@@ -191,6 +262,30 @@ def read_snapshot(
     manifest = _read_manifest(spark, table_dir, v)
     if not manifest["files"]:
         return spark.createDataFrame([], schema="__empty string").limit(0)
+    files = manifest["files"]
+    if skip_where is not None:
+        col, lo, hi = skip_where
+        stats = manifest.get("stats", {})
+
+        def keep(f: str) -> bool:
+            st = stats.get(f, {}).get(col)
+            if not st or st[0] is None:
+                return True  # no stats / all-null file: must read
+            mn, mx = st
+            if lo is not None and mx < lo:
+                return False
+            if hi is not None and mn > hi:
+                return False
+            return True
+
+        files = [f for f in files if keep(f)]
+        if not files:
+            empty = spark.createDataFrame([], schema="__empty string").limit(0)
+            sig = manifest.get("schema")
+            if sig:
+                ddl = ", ".join(f"`{n}` {t}" for n, t in sig)
+                return spark.createDataFrame([], schema=ddl)
+            return empty
     sig = manifest.get("schema")
     if sig:
         # The manifest's recorded schema is authoritative: an explicit-
@@ -199,8 +294,8 @@ def read_snapshot(
         # (the scale-right alternative), and guarantees readers at any
         # version see that version's schema exactly.
         ddl = ", ".join(f"`{name}` {typ}" for name, typ in sig)
-        return spark.read.schema(ddl).parquet(*manifest["files"])
-    return spark.read.parquet(*manifest["files"])
+        return spark.read.schema(ddl).parquet(*files)
+    return spark.read.parquet(*files)
 
 
 def consume_appends(

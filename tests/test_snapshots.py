@@ -378,3 +378,43 @@ def test_concurrent_appends_all_land_exactly_once(spark, tmp_path):
     got = sorted(r.id for r in read_snapshot(spark, base).collect())
     want = sorted(x for i in range(n_writers) for x in range(i * 100, i * 100 + 10))
     assert got == want
+
+
+def test_manifest_stats_data_skipping(spark, tmp_path):
+    """Delta-style data skipping from manifest stats: commits record
+    per-file [min,max]; a skip_where read drops files whose range cannot
+    intersect BEFORE Spark lists them (verified via inputFiles), returns
+    exactly the matching rows after the real predicate, never skips
+    stat-less files, and an impossible range reads empty with the
+    table's schema."""
+    from customer_activity_lakehouse_spark.sources.snapshots import (
+        commit_append,
+        read_snapshot,
+    )
+
+    base = str(tmp_path / "t")
+    for lo in (0, 1000, 2000):
+        commit_append(
+            spark,
+            base,
+            spark.range(lo, lo + 100).selectExpr("id", "id * 2 as v").coalesce(1),
+            stats_cols=["id"],
+        )
+    full = read_snapshot(spark, base)
+    assert len(full.inputFiles()) == 3
+
+    pruned = read_snapshot(spark, base, skip_where=("id", 1010, 1020))
+    assert len(pruned.inputFiles()) == 1, pruned.inputFiles()
+    got = sorted(r.id for r in pruned.filter("id between 1010 and 1020").collect())
+    assert got == list(range(1010, 1021))
+
+    # open bounds prune one side only
+    assert len(read_snapshot(spark, base, skip_where=("id", 2000, None)).inputFiles()) == 1
+    assert len(read_snapshot(spark, base, skip_where=("id", None, 999)).inputFiles()) == 1
+
+    # impossible range: empty frame, schema preserved
+    empty = read_snapshot(spark, base, skip_where=("id", 5000, 6000))
+    assert empty.count() == 0 and set(empty.columns) == {"id", "v"}
+
+    # a column with no recorded stats never skips
+    assert len(read_snapshot(spark, base, skip_where=("v", 0, 1)).inputFiles()) == 3
