@@ -543,6 +543,8 @@ def write_stream_snapshot_append(
     events: DataFrame,
     table_dir: str,
     checkpoint: str,
+    stats_cols: list[str] | None = None,
+    allow_schema_evolution: bool = False,
 ):
     """Stream → versioned table: every micro-batch commits as a snapshot
     append, making the stream's output time-travelable and incrementally
@@ -553,13 +555,26 @@ def write_stream_snapshot_append(
     foreachBatch replay (crash between commit and checkpoint advance) the
     batch id is already in the log's recent history and the commit is
     SKIPPED — dedup lives in the table's own log, not in reader-side
-    conventions."""
+    conventions.
+
+    The commit itself is ``snapshots._commit_append_files`` — the same
+    retry loop batch appends use — so the streaming sink inherits the
+    schema-drift gate (a drifted micro-batch fails the stream loudly
+    instead of poisoning reads) and carries the previous manifest's
+    per-file stats forward (ADVICE r6: a sink that rebuilt its manifest
+    from scratch permanently discarded them, silently disabling
+    ``skip_where`` for the whole table). ``stats_cols`` records skipping
+    stats for each batch's new files — on an event stream, stats on the
+    event-time column make time-ranged reads prune old micro-batches.
+
+    At 100 TB: one commit per micro-batch grows the manifest forever —
+    schedule ``snapshots.compact_snapshot`` alongside this sink (its
+    data_change=false commits don't disturb incremental consumers)."""
     from customer_activity_lakehouse_spark.sources import snapshots as snap
 
-    # commit_append with the batch id stamped atomically in the SAME
-    # manifest (a second metadata write would race): reuses the log's
-    # internal commit machinery; replay detection walks recent appends
-    # until the first non-append (ids only ride appends)
+    # replay detection walks recent appends until the first non-append
+    # (ids only ride appends); the batch id lands atomically in the SAME
+    # manifest as the file list (a second metadata write would race)
     def commit_batch_atomic(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         for v in snap._list_versions(spark, table_dir)[::-1]:
@@ -576,25 +591,18 @@ def write_stream_snapshot_append(
             batch_df, table_dir, f"v{attempt:05d}-b{batch_id}-{uuid.uuid4().hex[:8]}"
         )
         new_files = snap._data_files(spark, data_path)
-        sig = snap._schema_sig(batch_df)
-        for _ in range(snap._MAX_COMMIT_RETRIES):
-            versions = snap._list_versions(spark, table_dir)
-            version = (versions[-1] if versions else 0) + 1
-            prev_files = (
-                snap._read_manifest(spark, table_dir, versions[-1])["files"]
-                if versions
-                else []
-            )
-            manifest = {
-                "version": version,
-                "op": "append",
-                "files": prev_files + new_files,
-                "schema": sig,
-                "stream_batch_id": batch_id,
-            }
-            if snap._try_commit(spark, table_dir, version, manifest):
-                return
-        raise RuntimeError(f"stream append lost every version race at {table_dir}")
+        new_stats = (
+            snap._file_stats(spark, new_files, stats_cols) if stats_cols else {}
+        )
+        snap._commit_append_files(
+            spark,
+            table_dir,
+            new_files,
+            snap._schema_sig(batch_df),
+            new_stats,
+            allow_schema_evolution=allow_schema_evolution,
+            extra={"stream_batch_id": batch_id},
+        )
 
     return write_stream_foreach_batch(events, commit_batch_atomic, checkpoint)
 

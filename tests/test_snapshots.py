@@ -418,3 +418,384 @@ def test_manifest_stats_data_skipping(spark, tmp_path):
 
     # a column with no recorded stats never skips
     assert len(read_snapshot(spark, base, skip_where=("v", 0, 1)).inputFiles()) == 3
+
+
+# ---------------------------------------------------------------------------
+# round 7: OPTIMIZE (compact_snapshot), snapshot-native MERGE, stats fixes
+# ---------------------------------------------------------------------------
+
+
+def _commit_sized(spark, t, lo, hi, incompressible=False):
+    """One single-file append with id-stats. ``incompressible`` makes the
+    file genuinely large (xxhash64 payload defeats parquet encodings), so a
+    size threshold between tiny and large files is stable."""
+    from pyspark.sql import functions as F
+
+    from customer_activity_lakehouse_spark.sources.snapshots import commit_append
+
+    df = spark.range(lo, hi).select(
+        "id",
+        (F.xxhash64("id") if incompressible else (F.col("id") * 2)).alias("v"),
+    )
+    return commit_append(spark, t, df.coalesce(1), stats_cols=["id"])
+
+
+def test_compact_snapshot_bin_packs_preserving_history_and_skipping(spark, tmp_path):
+    """OPTIMIZE: small files bin-pack into a replace-class commit; files at
+    or above the target are kept VERBATIM with their stats; time travel to
+    the pre-compact version still reads the old layout; skip_where prunes
+    on both the kept and the rewritten side; vacuum expires the old small
+    files only after the retained window passes; an immediate re-compact
+    is a no-op."""
+    from customer_activity_lakehouse_spark.sources.snapshots import (
+        _list_versions,
+        _read_manifest,
+        compact_snapshot,
+        read_snapshot,
+        vacuum,
+    )
+
+    t = str(tmp_path / "tbl")
+    _commit_sized(spark, t, 0, 100)  # tiny
+    _commit_sized(spark, t, 100, 200)  # tiny
+    _commit_sized(spark, t, 1_000_000, 1_500_000, incompressible=True)  # ~4-8 MB
+    pre_v = _list_versions(spark, t)[-1]
+    pre_files = _read_manifest(spark, t, pre_v)["files"]
+    assert len(pre_files) == 3
+
+    v = compact_snapshot(spark, t, target_file_mb=1)
+    assert v == pre_v + 1
+    m = _read_manifest(spark, t, v)
+    assert m["op"] == "replace" and m["data_change"] is False
+    assert m["files_rewritten"] == 2 and len(m["files"]) == 2
+    big = [f for f in pre_files if f in set(m["files"])]
+    assert len(big) == 1  # the large file was kept verbatim
+
+    # content identical before/after; the old layout stays time-travelable
+    assert read_snapshot(spark, t).count() == 100 + 100 + 500_000
+    assert read_snapshot(spark, t, version=pre_v).count() == 100 + 100 + 500_000
+    assert len(read_snapshot(spark, t, version=pre_v).inputFiles()) == 3
+
+    # skipping still works on BOTH sides of the rewrite
+    assert len(read_snapshot(spark, t, skip_where=("id", 0, 50)).inputFiles()) == 1
+    assert (
+        len(read_snapshot(spark, t, skip_where=("id", 1_000_000, 1_000_010)).inputFiles())
+        == 1
+    )
+    got = sorted(
+        r.id
+        for r in read_snapshot(spark, t, skip_where=("id", 0, 150))
+        .filter("id <= 150")
+        .collect()
+    )
+    assert got == list(range(151))
+
+    # nothing left to compact (one small file + one big file)
+    assert compact_snapshot(spark, t, target_file_mb=1) is None
+
+    # vacuum keeping the pre-compact version preserves the old small files
+    vacuum(spark, t, keep_last=2)
+    assert read_snapshot(spark, t, version=pre_v).count() == 500_200
+    # expiring it removes them; the compacted layout still reads
+    vacuum(spark, t, keep_last=1)
+    assert read_snapshot(spark, t).count() == 500_200
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError):
+        read_snapshot(spark, t, version=pre_v)
+
+
+def test_compact_snapshot_aborts_on_concurrent_commit(spark, tmp_path, monkeypatch):
+    """A commit landing between compaction's read and its rename must abort
+    the compaction (its file list depends on what it read), leaving the
+    table untouched."""
+    import customer_activity_lakehouse_spark.sources.snapshots as S
+
+    t = str(tmp_path / "tbl")
+    # v1 already holds two small files so the stale-read compaction has
+    # work to do; v2 is the concurrent commit it must not clobber
+    S.commit_append(
+        spark, t, spark.range(0, 100).selectExpr("id", "id*2 as v").repartition(2)
+    )
+    _commit_sized(spark, t, 100, 200)
+    real = S._list_versions
+    monkeypatch.setattr(S, "_list_versions", lambda sp, td: [1])  # stale read
+    with pytest.raises(RuntimeError, match="committed concurrently"):
+        S.compact_snapshot(spark, t, target_file_mb=1)
+    monkeypatch.undo()
+    assert real(spark, t) == [1, 2]
+    assert S.read_snapshot(spark, t).count() == 200  # unharmed
+
+
+def test_compact_is_zero_delta_for_incremental_consumers(spark, tmp_path):
+    """data_change=false contract: a consumer mid-stream sees compaction as
+    an empty delta (never the rewritten rows re-delivered as inserts), and
+    appends AFTER compaction flow through normally."""
+    from customer_activity_lakehouse_spark.sources.snapshots import (
+        advance_cursor,
+        commit_append,
+        compact_snapshot,
+        consume_appends,
+    )
+
+    t = str(tmp_path / "t")
+    cur = str(tmp_path / "cursor")
+    commit_append(spark, t, spark.range(0, 10).selectExpr("id").coalesce(1))
+    commit_append(spark, t, spark.range(10, 20).selectExpr("id").coalesce(1))
+    d, v = consume_appends(spark, t, cur)
+    assert d.count() == 20
+    advance_cursor(spark, cur, v)
+
+    cv = compact_snapshot(spark, t, target_file_mb=1)
+    assert cv is not None
+    d2, v2 = consume_appends(spark, t, cur)
+    assert v2 == cv and d2.count() == 0  # compaction is invisible
+    advance_cursor(spark, cur, v2)
+
+    commit_append(spark, t, spark.range(20, 25).selectExpr("id").coalesce(1))
+    d3, v3 = consume_appends(spark, t, cur)
+    assert sorted(r.id for r in d3.collect()) == list(range(20, 25))
+
+
+def test_merge_snapshot_rewrites_only_overlapping_files(spark, tmp_path):
+    """MERGE prunes with the log's own stats: files whose key range cannot
+    intersect the batch are carried into the new manifest verbatim (stats
+    included); matched keys update whole-row, unmatched insert."""
+    from customer_activity_lakehouse_spark.sources.snapshots import (
+        _read_manifest,
+        merge_snapshot,
+        read_snapshot,
+    )
+
+    t = str(tmp_path / "tbl")
+    _commit_sized(spark, t, 0, 100)  # file A: ids 0-99
+    _commit_sized(spark, t, 1000, 1100)  # file B: ids 1000-1099
+    m_before = _read_manifest(spark, t, 2)
+    file_b = [f for f in m_before["files"] if m_before["stats"][f]["id"][0] == 1000]
+    assert len(file_b) == 1
+
+    updates = spark.createDataFrame(
+        [(10, -1), (50, -2), (75_000, -3)], "id long, v long"  # 2 updates + 1 insert
+    )
+    v = merge_snapshot(spark, t, updates, keys=["id"])
+    m = _read_manifest(spark, t, v)
+    assert m["op"] == "merge" and m["files_rewritten"] == 1
+    assert file_b[0] in m["files"]  # B untouched, carried verbatim
+    assert m["stats"][file_b[0]]["id"] == [1000, 1099]  # with its stats
+
+    got = {r.id: r.v for r in read_snapshot(spark, t).collect()}
+    assert got[10] == -1 and got[50] == -2 and got[75_000] == -3
+    assert got[11] == 22 and got[1000] == 2000  # untouched rows intact
+    assert len(got) == 201
+    # pre-merge version still time-travels to the old values
+    old = {r.id: r.v for r in read_snapshot(spark, t, version=2).collect()}
+    assert old[10] == 20 and 75_000 not in old
+
+    # an insert-only merge outside every file's range rewrites NOTHING
+    v2 = merge_snapshot(
+        spark, t, spark.createDataFrame([(90_000, -9)], "id long, v long"), keys=["id"]
+    )
+    m2 = _read_manifest(spark, t, v2)
+    assert m2["files_rewritten"] == 0
+    assert set(m["files"]) < set(m2["files"])
+    assert read_snapshot(spark, t).count() == 202
+
+
+def test_merge_snapshot_order_col_and_schema_gate(spark, tmp_path):
+    """In-batch ties resolve by order_col descending; schema drift refuses
+    before any write."""
+    from customer_activity_lakehouse_spark.sources.snapshots import (
+        merge_snapshot,
+        read_snapshot,
+    )
+
+    from pyspark.sql import functions as F
+
+    t = str(tmp_path / "tbl")
+    _commit_sized(spark, t, 0, 10)
+    dup = spark.createDataFrame([(3, 111), (3, 222)], "id long, v long").withColumn(
+        "seq", F.when(F.col("v") == 222, 7).otherwise(1)
+    )
+    with pytest.raises(ValueError, match="schema drift"):
+        merge_snapshot(spark, t, dup, keys=["id"])  # extra 'seq' column
+    merge_snapshot(spark, t, dup.select("id", "v"), keys=["id"], order_col="v")
+    assert read_snapshot(spark, t).filter("id = 3").collect()[0].v == 222
+
+
+def test_merge_snapshot_racing_merges_serialize(spark, tmp_path):
+    """The racing-merges twin of the 6-writer append stress: concurrent
+    merges either commit or abort with a version-race error; with
+    retry-on-abort every merge lands exactly once and the final table is
+    the serial application of all of them."""
+    import threading
+
+    from customer_activity_lakehouse_spark.sources.snapshots import (
+        _list_versions,
+        merge_snapshot,
+        read_snapshot,
+    )
+
+    t = str(tmp_path / "race")
+    _commit_sized(spark, t, 0, 40)
+    n_writers = 4
+    errs = []
+
+    def writer(i: int) -> None:
+        upd = spark.createDataFrame([(i, -(i + 1)), (100 + i, -(i + 1))], "id long, v long")
+        for _ in range(12):  # retry aborted (conflicting) merges
+            try:
+                merge_snapshot(spark, t, upd, keys=["id"])
+                return
+            except RuntimeError:
+                continue
+        errs.append(i)
+
+    threads = [threading.Thread(target=writer, args=(i,)) for i in range(n_writers)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errs, f"writers never landed: {errs}"
+    versions = _list_versions(spark, t)
+    assert versions == list(range(1, n_writers + 2)), versions
+    got = {r.id: r.v for r in read_snapshot(spark, t).collect()}
+    assert len(got) == 40 + n_writers
+    for i in range(n_writers):
+        assert got[i] == -(i + 1) and got[100 + i] == -(i + 1)
+
+
+def test_merge_snapshot_cdc_reports_net_delta(spark, tmp_path):
+    """snapshot_changes across a merge commit (keyed diff path) reports
+    exactly the merge's net effect: updates + inserts, unchanged rows
+    suppressed."""
+    from customer_activity_lakehouse_spark.sources.snapshots import (
+        merge_snapshot,
+        snapshot_changes,
+    )
+
+    t = str(tmp_path / "tbl")
+    v1 = _commit_sized(spark, t, 0, 10)
+    updates = spark.createDataFrame([(3, -3), (500, -5)], "id long, v long")
+    v2 = merge_snapshot(spark, t, updates, keys=["id"])
+    ch = snapshot_changes(spark, t, v1, v2, key_cols=["id"])
+    rows = {(r.id, r.v, r.change_type) for r in ch.collect()}
+    assert rows == {(3, -3, "update"), (500, -5, "insert")}
+
+
+def test_merge_snapshot_bootstraps_empty_table(spark, tmp_path):
+    from customer_activity_lakehouse_spark.sources.snapshots import (
+        merge_snapshot,
+        read_snapshot,
+    )
+
+    t = str(tmp_path / "t")
+    v = merge_snapshot(
+        spark,
+        t,
+        spark.createDataFrame([(1, 10), (1, 20), (2, 30)], "id long, v long"),
+        keys=["id"],
+        order_col="v",
+        stats_cols=["id"],
+    )
+    assert v == 1
+    got = {r.id: r.v for r in read_snapshot(spark, t).collect()}
+    assert got == {1: 20, 2: 30}
+
+
+def test_decimal_stats_skip_safely(spark, tmp_path):
+    """ADVICE r6: decimal min/max must not be stringified ('9.5' > '10.5'
+    lexicographically would turn skipping into a WRONG filter). They are
+    recorded as outward-widened floats; numeric, decimal, and string-era
+    bounds all prune correctly or degrade to a full read — never drop a
+    matching file."""
+    import decimal as _dec
+    import json as _json
+    from pathlib import Path as _Path
+
+    from customer_activity_lakehouse_spark.sources.snapshots import (
+        commit_append,
+        read_snapshot,
+    )
+
+    t = str(tmp_path / "t")
+    for lo, hi in [("1.5", "9.5"), ("10.5", "20.5")]:
+        df = spark.createDataFrame(
+            [(_dec.Decimal(lo),), (_dec.Decimal(hi),)], "d decimal(10,2)"
+        )
+        commit_append(spark, t, df.coalesce(1), stats_cols=["d"])
+
+    # stats landed numeric, not strings
+    mpath = sorted((_Path(t) / "_snapshots").glob("v*.json"))[-1]
+    stats = _json.loads(mpath.read_text())["stats"]
+    for st in stats.values():
+        assert all(isinstance(b, float) for b in st["d"]), st
+
+    # the ADVICE failure case: a [10, 15] probe must keep the 10.5 file
+    pr = read_snapshot(spark, t, skip_where=("d", _dec.Decimal("10.0"), _dec.Decimal("15.0")))
+    assert len(pr.inputFiles()) == 1
+    assert [float(r.d) for r in pr.filter("d <= 15").collect()] == [10.5]
+    # float bounds behave identically
+    assert len(read_snapshot(spark, t, skip_where=("d", 10.0, 15.0)).inputFiles()) == 1
+    # incomparable legacy stats (strings) degrade to reading, never pruning
+    m = _json.loads(mpath.read_text())
+    for st in m["stats"].values():
+        st["d"] = [str(st["d"][0]), str(st["d"][1])]
+    mpath.write_text(_json.dumps(m))
+    crc = mpath.parent / f".{mpath.name}.crc"  # stale Hadoop checksum
+    if crc.exists():
+        crc.unlink()
+    assert len(read_snapshot(spark, t, skip_where=("d", 10.0, 15.0)).inputFiles()) == 2
+
+
+def test_append_retry_revalidates_schema_against_latest(spark, tmp_path):
+    """ADVICE r6: the commit retry loop must re-check schema drift against
+    whatever manifest is latest AT COMMIT TIME — a concurrent writer may
+    have evolved the schema after this writer's entry validation. Without
+    evolution the stale append fails; with it, the recorded signature is
+    the UNION (the concurrently-added column survives)."""
+    from customer_activity_lakehouse_spark.sources.snapshots import (
+        _commit_append_files,
+        _read_manifest,
+        commit_append,
+        read_snapshot,
+    )
+
+    t = str(tmp_path / "t")
+    commit_append(spark, t, spark.createDataFrame([(1, "a")], "k long, v string"))
+    # competitor evolves the schema first
+    commit_append(
+        spark,
+        t,
+        spark.createDataFrame([(2, "b", 1.5)], "k long, v string, s double"),
+        allow_schema_evolution=True,
+    )
+    stale_sig = [["k", "bigint"], ["v", "string"]]
+    with pytest.raises(ValueError, match="schema drift"):
+        _commit_append_files(spark, t, [], stale_sig, {})
+    v = _commit_append_files(spark, t, [], stale_sig, {}, allow_schema_evolution=True)
+    sig = _read_manifest(spark, t, v)["schema"]
+    assert sig == [["k", "bigint"], ["v", "string"], ["s", "double"]]
+    assert set(read_snapshot(spark, t).columns) == {"k", "v", "s"}
+
+
+def test_clone_and_restore_carry_skipping_stats(spark, tmp_path):
+    """ADVICE r6: clone/restore manifests must propagate per-file stats —
+    dropping them silently disables skip_where at the clone / after the
+    restore."""
+    from customer_activity_lakehouse_spark.sources.snapshots import (
+        clone_snapshot,
+        commit_overwrite,
+        read_snapshot,
+        restore_snapshot,
+    )
+
+    src = str(tmp_path / "src")
+    for lo in (0, 1000):
+        _commit_sized(spark, src, lo, lo + 100)
+    dst = str(tmp_path / "dst")
+    clone_snapshot(spark, src, dst)
+    assert len(read_snapshot(spark, dst, skip_where=("id", 0, 50)).inputFiles()) == 1
+
+    commit_overwrite(spark, src, spark.range(3).selectExpr("id", "id as v"))
+    v = restore_snapshot(spark, src, 2)
+    assert len(read_snapshot(spark, src, version=v, skip_where=("id", 0, 50)).inputFiles()) == 1
