@@ -120,3 +120,32 @@ def write_bucketed(
 
 def read_table(spark: SparkSession, table: str) -> DataFrame:
     return spark.table(table)
+
+
+def dim_join(fact: DataFrame, dim: DataFrame, on, how: str = "inner") -> DataFrame:
+    """Fact⋈dimension with the SIZE-AWARE broadcast policy (VERDICT r6 #2)
+    — the doctrine every catalog plan follows:
+
+    - FIXED-CARDINALITY frames keep an unconditional ``F.broadcast`` at
+      the call site: nation (25 rows), region (5), K centroids, quantile
+      cuts, band tables, single-row totals, bounded probe/query sets,
+      month-offset tables. Their size is a constant of the SCHEMA, not of
+      the data volume — broadcasting them is correct at every scale and
+      the hint saves AQE a stats round-trip.
+    - SCALE-PROPORTIONAL tables (customer, supplier, part, and anything
+      derived row-per-entity from them — segment maps, per-key thresholds,
+      drop lists) go through THIS helper, un-hinted. At every testable SF
+      AQE broadcasts them anyway (identical plan, identical results), but
+      these tables grow with the data: at a true 100 TB (customer ≈ 1.5 B
+      rows) a hard ``F.broadcast(cust)`` is a driver/executor OOM, not a
+      slow plan. Un-hinted, AQE chooses broadcast while the dim's RUNTIME
+      size fits ``spark.sql.autoBroadcastJoinThreshold`` and degrades to a
+      co-shuffled join beyond it — the only strategy that survives every
+      scale-up.
+
+    The helper is deliberately a plain ``join``: its value is the call
+    site marking which side of the doctrine a dimension is on, so a
+    hard-broadcast of a scale-proportional table can never hide in plan
+    code again.
+    """
+    return fact.join(dim, on, how)

@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..operators.joins import salted_join
+from ..operators.joins import dim_join, salted_join
 from .registry import Query, table
 
 # ---------------------------------------------------------------------------
@@ -117,7 +117,7 @@ def q_revenue_by_brand_month(spark: SparkSession, sf: str) -> DataFrame:
     part = table(spark, sf, "part")
     orders = table(spark, sf, "orders")
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        dim_join(li, part, li.l_partkey == part.p_partkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
         .groupBy(
             F.col("p_brand"),
@@ -148,8 +148,11 @@ def q_building_top_orders(spark: SparkSession, sf: str) -> DataFrame:
     orders = table(spark, sf, "orders").filter(F.col("o_orderdate") < "1998-01-01")
     li = table(spark, sf, "lineitem").filter(F.col("l_shipdate") > "1998-01-01")
     return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        dim_join(
+            li.join(orders, li.l_orderkey == orders.o_orderkey),
+            cust,
+            orders.o_custkey == cust.c_custkey,
+        )
         .groupBy("o_orderkey", F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"))
         .agg(revenue_sum().alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
@@ -212,8 +215,11 @@ def q_region_nation_revenue(spark: SparkSession, sf: str) -> DataFrame:
         .select("c_custkey", "n_name", "r_name")
     )
     return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(dim), orders.o_custkey == dim.c_custkey)
+        dim_join(
+            li.join(orders, li.l_orderkey == orders.o_orderkey),
+            dim,
+            orders.o_custkey == dim.c_custkey,
+        )
         .groupBy("r_name", "n_name")
         .agg(revenue_sum().alias("revenue"))
     )
@@ -325,8 +331,11 @@ def q_returned_top_customers(spark: SparkSession, sf: str) -> DataFrame:
     orders = table(spark, sf, "orders")
     cust = table(spark, sf, "customer")
     return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        dim_join(
+            li.join(orders, li.l_orderkey == orders.o_orderkey),
+            cust,
+            orders.o_custkey == cust.c_custkey,
+        )
         .groupBy("c_custkey", "c_name")
         .agg(revenue_sum().alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
@@ -426,7 +435,7 @@ def q_promo_revenue_pct(spark: SparkSession, sf: str) -> DataFrame:
     zero = F.lit(0).cast("decimal(18,4)")
     promo = F.when(F.col("p_type") == "PROMO", revenue().cast("decimal(18,4)")).otherwise(zero)
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        dim_join(li, part, li.l_partkey == part.p_partkey)
         .agg(
             F.round(
                 F.lit(100.0) * F.sum(promo).cast("double") / F.sum(revenue()).cast("double"),
@@ -488,7 +497,7 @@ def q_small_qty_revenue(spark: SparkSession, sf: str) -> DataFrame:
         (0.5 * (F.sum("l_quantity") / F.count("l_quantity"))).alias("qty_threshold")
     )
     return (
-        li.join(F.broadcast(thresholds), "l_partkey")
+        dim_join(li, thresholds, "l_partkey")
         .filter(F.col("l_quantity") < F.col("qty_threshold"))
         .agg(
             F.round(F.sum(_dec("l_extendedprice")).cast("double") / 7.0, 2).alias("avg_yearly")
@@ -517,8 +526,11 @@ def q_large_orders(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.col("sum_qty") > 150)
     )
     return (
-        big.join(orders, big.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        dim_join(
+            big.join(orders, big.l_orderkey == orders.o_orderkey),
+            cust,
+            orders.o_custkey == cust.c_custkey,
+        )
         .select(
             "c_name",
             "c_custkey",
@@ -1243,7 +1255,7 @@ def q_orders_above_cust_avg(spark: SparkSession, sf: str) -> DataFrame:
         .withColumn("big", F.col("price") * 2 * F.col("n") > F.col("tot") * 3)
     )
     return (
-        flagged.join(F.broadcast(seg), "o_custkey")
+        dim_join(flagged, seg, "o_custkey")
         .groupBy("c_mktsegment")
         .agg(
             F.sum(F.when(F.col("big"), 1).otherwise(0)).cast("long").alias("n_above"),
@@ -1385,8 +1397,13 @@ def q_orders_yoy_growth(spark: SparkSession, sf: str) -> DataFrame:
     cust = table(spark, sf, "customer")
     seg = cust.select(F.col("c_custkey").alias("o_custkey"), "c_mktsegment")
     per = (
-        orders.select("o_custkey", F.year("o_orderdate").alias("yr"), _dec("o_totalprice").alias("p"))
-        .join(F.broadcast(seg), "o_custkey")
+        dim_join(
+            orders.select(
+                "o_custkey", F.year("o_orderdate").alias("yr"), _dec("o_totalprice").alias("p")
+            ),
+            seg,
+            "o_custkey",
+        )
         .groupBy("c_mktsegment", "yr")
         .agg(F.sum("p").alias("rev"))
     )
@@ -1445,8 +1462,7 @@ def q_customer_engagement_360(spark: SparkSession, sf: str) -> DataFrame:
     )
     seg = cust.select(F.col("c_custkey").alias("user_id"), "c_mktsegment")
     return (
-        per_user.join(per_cust, "user_id", "left")
-        .join(F.broadcast(seg), "user_id")
+        dim_join(per_user.join(per_cust, "user_id", "left"), seg, "user_id")
         .groupBy("c_mktsegment")
         .agg(
             F.count(F.lit(1)).alias("n_active_users"),
@@ -1540,7 +1556,7 @@ def q_brand_concentration_hhi(spark: SparkSession, sf: str) -> DataFrame:
     li = table(spark, sf, "lineitem")
     part = table(spark, sf, "part").select("p_partkey", "p_brand", "p_type")
     per_brand = (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        dim_join(li, part, li.l_partkey == part.p_partkey)
         .groupBy("p_type", "p_brand")
         # shares cancel the scale: HHI = Σq² / (Σq)² for ANY fixed scaling
         # of revenue, so work in pure integers — q = rev·10⁴ (rev is
@@ -2016,8 +2032,7 @@ def q_part_market_basket(spark: SparkSession, sf: str) -> DataFrame:
         F.col("n_a") * F.col("n_b")
     )
     return (
-        pairs.join(F.broadcast(na), "pa")
-        .join(F.broadcast(nb), "pb")
+        dim_join(dim_join(pairs, na, "pa"), nb, "pb")
         .crossJoin(F.broadcast(n_orders))
         .select(
             "pa",
@@ -2281,7 +2296,7 @@ def q_customer_order_gaps(spark: SparkSession, sf: str) -> DataFrame:
     )
     seg = cust.select(F.col("c_custkey").alias("o_custkey"), "c_mktsegment")
     return (
-        gaps.join(F.broadcast(seg), "o_custkey")
+        dim_join(gaps, seg, "o_custkey")
         .groupBy("c_mktsegment")
         .agg(
             F.count(F.lit(1)).alias("n_gaps"),

@@ -49,6 +49,7 @@ from ..functions.text import (
     language_argmax,
     language_scores,
 )
+from ..operators.joins import dim_join
 from .registry import Query, table
 
 # Default per-bucket row cap for the LSH band self-joins. A band bucket of n
@@ -1705,8 +1706,10 @@ def q_dedup_survivor_stats(spark: SparkSession, sf: str) -> DataFrame:
     cluster plus all unclustered docs — and report the surviving corpus per
     source (kept/dropped counts, surviving chars). Scale shape: the
     assignment frame holds only docs in near-dup clusters (a sliver of the
-    corpus), so the drop list rides a BROADCAST left join; the corpus
-    itself never shuffles — one scan + one partial-agg groupBy on sources."""
+    corpus), so the drop-list join is AQE-decided via dim_join — broadcast
+    at every tested scale, degrading to a co-shuffled join if the dup
+    sliver of a 100 TB corpus outgrows the broadcast threshold (the drop
+    list is corpus-proportional, not fixed-cardinality)."""
     drops = (
         q_dedup_cluster_assignments(spark, sf)
         .filter(F.col("doc_id") != F.col("cluster_id"))
@@ -1714,7 +1717,7 @@ def q_dedup_survivor_stats(spark: SparkSession, sf: str) -> DataFrame:
     )
     docs = table(spark, sf, "documents")
     return (
-        docs.join(F.broadcast(drops), "doc_id", "left")
+        dim_join(docs, drops, "doc_id", "left")
         .groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),

@@ -38,6 +38,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..operators.joins import dim_join
 from .core import SQL_REV, revenue
 from .registry import Query, table
 
@@ -973,9 +974,15 @@ def q_nation_trade_flows(spark: SparkSession, sf: str) -> DataFrame:
         F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
     )
     joined = (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        dim_join(
+            dim_join(
+                li.join(orders, li.l_orderkey == orders.o_orderkey),
+                cust,
+                orders.o_custkey == cust.c_custkey,
+            ),
+            supp,
+            li.l_suppkey == supp.s_suppkey,
+        )
         .join(F.broadcast(n1), supp.s_nationkey == F.col("s_nk"))
         .join(F.broadcast(n2), cust.c_nationkey == F.col("c_nk"))
         .filter(F.col("supp_nation") != F.col("cust_nation"))
@@ -1042,9 +1049,15 @@ def q_nation_pagerank(spark: SparkSession, sf: str) -> DataFrame:
     supp = table(spark, sf, "supplier")
     nation = table(spark, sf, "nation")
     pair_counts = (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        dim_join(
+            dim_join(
+                li.join(orders, li.l_orderkey == orders.o_orderkey),
+                cust,
+                orders.o_custkey == cust.c_custkey,
+            ),
+            supp,
+            li.l_suppkey == supp.s_suppkey,
+        )
         .select(F.col("s_nationkey").alias("src"), F.col("c_nationkey").alias("dst"))
         .filter(F.col("src") != F.col("dst"))
         .groupBy("src", "dst")
