@@ -506,6 +506,27 @@ PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 PII_PHONE_RE = r"\d{3}-\d{3}-\d{4}"
 
 
+def pii_scrub_exprs(text_col):
+    """(n_emails, n_phones, n_residual, scrubbed) expressions over ANY text
+    column — shared by :func:`q_doc_pii_scrub` (whose fixture inputs are
+    PII-free, hence its self-seeding demo) and the true-positive tests
+    (tests/test_graph_text.py), so the scrub the tests exercise on real
+    emails/phones/residual cases is byte-identical to the catalog's.
+    n_residual counts emails STILL matching after redaction — e.g. chained
+    addresses like 'a@b.com@c.co', where replacing the first match leaves
+    '<EMAIL>@c.co' re-matching (a documented single-pass limitation the
+    tests pin)."""
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(text_col, PII_EMAIL_RE, "<EMAIL>"), PII_PHONE_RE, "<PHONE>"
+    )
+    return (
+        F.regexp_count(text_col, F.lit(PII_EMAIL_RE)).cast("long"),
+        F.regexp_count(text_col, F.lit(PII_PHONE_RE)).cast("long"),
+        F.regexp_count(scrubbed, F.lit(PII_EMAIL_RE)).cast("long"),
+        scrubbed,
+    )
+
+
 def q_doc_pii_scrub(spark: SparkSession, sf: str) -> DataFrame:
     """PII detection + redaction — the scrub pass every training-data
     pipeline runs before tokenization. Counts then replaces emails and
@@ -526,14 +547,12 @@ def q_doc_pii_scrub(spark: SparkSession, sf: str) -> DataFrame:
         F.lit("@mail.example.com tel 555-123-"),
         F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
     )
-    scrubbed = F.regexp_replace(
-        F.regexp_replace(seeded, PII_EMAIL_RE, "<EMAIL>"), PII_PHONE_RE, "<PHONE>"
-    )
+    n_emails, n_phones, n_residual, scrubbed = pii_scrub_exprs(seeded)
     return docs.select(
         "doc_id",
-        F.regexp_count(seeded, F.lit(PII_EMAIL_RE)).cast("long").alias("n_emails"),
-        F.regexp_count(seeded, F.lit(PII_PHONE_RE)).cast("long").alias("n_phones"),
-        F.regexp_count(scrubbed, F.lit(PII_EMAIL_RE)).cast("long").alias("n_residual"),
+        n_emails.alias("n_emails"),
+        n_phones.alias("n_phones"),
+        n_residual.alias("n_residual"),
         _md5s(scrubbed).alias("scrubbed_fp"),
     )
 
