@@ -316,6 +316,54 @@ def commit_overwrite(
     return version
 
 
+def _prune_by_stats(files: list[str], stats: dict, skip_where: tuple) -> list[str]:
+    """The manifest-level file prune shared by read (``read_snapshot``) and
+    write-side DML (``delete_snapshot``): keep only files whose recorded
+    [min, max] for ``col`` can intersect [lo, hi] (None = open bound).
+    Files without stats always survive — pruning is an optimization,
+    never a filter."""
+    col, lo, hi = skip_where
+
+    def coerce(bound, stat_sample, side):
+        # Align the caller's bound with the recorded stat's JSON type.
+        # Any coercion must only ever widen the keep-set, so numeric
+        # coercions nudge OUTWARD (lo down, hi up) and anything
+        # incomparable reads.
+        if bound is None or isinstance(bound, type(stat_sample)):
+            return bound
+        if isinstance(stat_sample, str) and not isinstance(bound, str):
+            # dates/timestamps were recorded as ISO strings, which
+            # compare in value order against str(bound)'s same form
+            return str(bound)
+        if isinstance(stat_sample, (int, float)) and isinstance(
+            bound, decimal.Decimal
+        ):
+            f = float(bound)
+            return math.nextafter(f, -math.inf if side < 0 else math.inf)
+        return bound
+
+    def keep(f: str) -> bool:
+        st = stats.get(f, {}).get(col)
+        if not st or st[0] is None:
+            return True  # no stats / all-null file: must read
+        mn, mx = st
+        try:
+            clo = coerce(lo, mn, -1)
+            chi = coerce(hi, mx, +1)
+            if clo is not None and mx < clo:
+                return False
+            if chi is not None and mn > chi:
+                return False
+        except TypeError:
+            # stat/bound types incomparable (e.g. legacy string stats
+            # vs a numeric bound): never prune on evidence we can't
+            # read — skipping degrades to a plain full read
+            return True
+        return True
+
+    return [f for f in files if keep(f)]
+
+
 def read_snapshot(
     spark: SparkSession,
     table_dir: str,
@@ -342,47 +390,7 @@ def read_snapshot(
         return spark.createDataFrame([], schema="__empty string").limit(0)
     files = manifest["files"]
     if skip_where is not None:
-        col, lo, hi = skip_where
-        stats = manifest.get("stats", {})
-
-        def coerce(bound, stat_sample, side):
-            # Align the caller's bound with the recorded stat's JSON type.
-            # Skipping is an optimization, never a filter — any coercion
-            # must only ever widen the keep-set, so numeric coercions nudge
-            # OUTWARD (lo down, hi up) and anything incomparable reads.
-            if bound is None or isinstance(bound, type(stat_sample)):
-                return bound
-            if isinstance(stat_sample, str) and not isinstance(bound, str):
-                # dates/timestamps were recorded as ISO strings, which
-                # compare in value order against str(bound)'s same form
-                return str(bound)
-            if isinstance(stat_sample, (int, float)) and isinstance(
-                bound, decimal.Decimal
-            ):
-                f = float(bound)
-                return math.nextafter(f, -math.inf if side < 0 else math.inf)
-            return bound
-
-        def keep(f: str) -> bool:
-            st = stats.get(f, {}).get(col)
-            if not st or st[0] is None:
-                return True  # no stats / all-null file: must read
-            mn, mx = st
-            try:
-                clo = coerce(lo, mn, -1)
-                chi = coerce(hi, mx, +1)
-                if clo is not None and mx < clo:
-                    return False
-                if chi is not None and mn > chi:
-                    return False
-            except TypeError:
-                # stat/bound types incomparable (e.g. legacy string stats
-                # vs a numeric bound): never prune on evidence we can't
-                # read — skipping degrades to a plain full read
-                return True
-            return True
-
-        files = [f for f in files if keep(f)]
+        files = _prune_by_stats(files, manifest.get("stats", {}), skip_where)
         if not files:
             empty = spark.createDataFrame([], schema="__empty string").limit(0)
             sig = manifest.get("schema")
@@ -699,6 +707,7 @@ def compact_snapshot(
     table_dir: str,
     target_file_mb: int = 128,
     stats_cols: list[str] | None = None,
+    cluster_by: list[str] | None = None,
 ) -> int | None:
     """OPTIMIZE for the snapshot log — bin-pack small files into
     ~``target_file_mb`` rewrites and commit the new layout as a
@@ -730,6 +739,17 @@ def compact_snapshot(
     (fewer than two sub-target files, or the rewrite wouldn't reduce the
     file count).
 
+    ``cluster_by`` is OPTIMIZE's clustering mode (Delta's ``ZORDER BY``
+    for the leading dimension): EVERY file is rewritten — clustering is a
+    layout change, not a small-file sweep — range-repartitioned then
+    sorted on the given columns, so the new files carry DISJOINT key
+    ranges and ``skip_where`` on the cluster key prunes to ~one file per
+    probe instead of every file that ever appended a row in the range.
+    Costs one range shuffle (plain compaction is a shuffle-free coalesce);
+    the cluster columns are added to the recorded stats automatically.
+    Multi-column lists linearize (major-to-minor sort), the 1-D core of
+    what bit-interleaved Z-order generalizes to several dimensions.
+
     Beyond-reference extension: the reference rewrites whole zones nightly
     (data_processing.py:217), so it never accumulates small files — a
     streaming/incremental lakehouse does, hence OPTIMIZE.
@@ -742,12 +762,15 @@ def compact_snapshot(
     files = m["files"]
     target_bytes = target_file_mb * 1024 * 1024
     sizes = _file_sizes(spark, files)
-    small = [f for f in files if sizes[f] < target_bytes]
+    if cluster_by:
+        small = list(files)  # clustering rewrites the whole layout
+    else:
+        small = [f for f in files if sizes[f] < target_bytes]
     if len(small) < 2:
         return None
     total_small = sum(sizes[f] for f in small)
     n_out = max(1, -(-total_small // target_bytes))  # ceil
-    if n_out >= len(small):
+    if not cluster_by and n_out >= len(small):
         return None
     big = [f for f in files if f not in set(small)]
     sig = m.get("schema")
@@ -756,13 +779,21 @@ def compact_snapshot(
         df = spark.read.schema(ddl).parquet(*small)
     else:
         df = spark.read.parquet(*small)
+    if cluster_by:
+        rewritten = df.repartitionByRange(n_out, *cluster_by).sortWithinPartitions(
+            *cluster_by
+        )
+    else:
+        rewritten = df.coalesce(n_out)
     data_path = _write_data(
-        df.coalesce(n_out),
+        rewritten,
         table_dir,
         f"v{base_v + 1:05d}-compact-{uuid.uuid4().hex[:12]}",
     )
     new_files = _data_files(spark, data_path)
     cols = stats_cols if stats_cols is not None else _stats_cols_of(m)
+    if cluster_by:
+        cols = sorted(set(cols) | set(cluster_by))
     new_stats = _file_stats(spark, new_files, cols) if cols else {}
     kept_stats = {f: s for f, s in m.get("stats", {}).items() if f in set(big)}
     manifest = {
@@ -774,6 +805,8 @@ def compact_snapshot(
         "compacted_from": base_v,
         "files_rewritten": len(small),
     }
+    if cluster_by:
+        manifest["clustered_by"] = list(cluster_by)
     if kept_stats or new_stats:
         manifest["stats"] = {**kept_stats, **new_stats}
     if not _try_commit(spark, table_dir, base_v + 1, manifest):
@@ -968,5 +1001,106 @@ def merge_snapshot(
             f"merge_snapshot: version {base_v + 1} was committed concurrently at "
             f"{table_dir}; re-read the table and retry the merge "
             "(rewrite dir left as vacuum debris)"
+        )
+    return base_v + 1
+
+
+def delete_snapshot(
+    spark: SparkSession,
+    table_dir: str,
+    where: str,
+    prune_where: tuple | None = None,
+    stats_cols: list[str] | None = None,
+) -> int:
+    """DELETE FROM ... WHERE as a snapshot commit — with MERGE and
+    OPTIMIZE this completes the log's DML triad (UPDATE is a merge whose
+    updates are the rewritten rows).
+
+    File targeting is two-stage, exactly Delta's shape:
+    1. MANIFEST PRUNE (no I/O): ``prune_where=(col, lo, hi)`` — the same
+       interval test as ``read_snapshot``'s skip_where, shared via
+       :func:`_prune_by_stats` — drops files whose recorded stats prove
+       them clean. The caller asserts the predicate can only match inside
+       [lo, hi] (e.g. ``where="ts < '2023-01-01'"`` with
+       ``prune_where=("ts", None, "2023-01-01")``); at 100 TB a retention
+       delete on a date-ranged table never even LISTS the other ~365 days.
+    2. EMPIRICAL PROBE (one distributed pass over the survivors): a
+       per-file matching-row count with the predicate pushed down to the
+       parquet reader — files with zero matches are carried into the new
+       manifest VERBATIM, stats included; only files truly holding
+       matching rows are rewritten without them. The probe is exact for
+       ARBITRARY predicates, which interval reasoning alone cannot be.
+
+    ``where`` is a SQL boolean expression over the table's columns (the
+    rows it selects are REMOVED). A no-match delete commits nothing and
+    returns the current version (idempotent). Overwrite-class conflict
+    rule: a version race aborts (rewrite dir becomes vacuum debris). The
+    commit is op='delete' (a data change) so ``snapshot_changes`` across
+    it uses the keyed diff and reports the deletions. Returns the
+    committed version.
+    """
+    from pyspark.sql import functions as F
+
+    versions = _list_versions(spark, table_dir)
+    if not versions:
+        raise FileNotFoundError(f"no snapshots at {table_dir}")
+    base_v = versions[-1]
+    m = _read_manifest(spark, table_dir, base_v)
+    files = m["files"]
+    stats = m.get("stats", {})
+    sig = m.get("schema")
+
+    def read_files(fl: list[str]) -> DataFrame:
+        if sig:
+            ddl = ", ".join(f"`{n}` {t}" for n, t in sig)
+            return spark.read.schema(ddl).parquet(*fl)
+        return spark.read.parquet(*fl)
+
+    candidates = files
+    if prune_where is not None:
+        candidates = _prune_by_stats(files, stats, prune_where)
+    if not candidates:
+        return base_v  # stats prove nothing can match
+    probe = (
+        read_files(candidates)
+        .withColumn("__file", F.input_file_name())
+        .filter(where)
+        .groupBy("__file")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    import re as _re
+
+    def _norm(p: str) -> str:
+        return _re.sub(r"^[a-zA-Z0-9+.-]+:/+", "/", p)
+
+    hit = {_norm(r["__file"]) for r in probe}
+    touched = [f for f in candidates if _norm(f) in hit]
+    touched_set = set(touched)
+    untouched = [f for f in files if f not in touched_set]  # original order
+    if not touched:
+        return base_v  # nothing matches: no new commit needed (idempotent)
+    survivors = read_files(touched).filter(f"NOT ({where})")
+    data_path = _write_data(
+        survivors, table_dir, f"v{base_v + 1:05d}-delete-{uuid.uuid4().hex[:12]}"
+    )
+    new_files = _data_files(spark, data_path)
+    cols = stats_cols if stats_cols is not None else _stats_cols_of(m)
+    new_stats = _file_stats(spark, new_files, cols) if cols and new_files else {}
+    kept_stats = {f: s for f, s in stats.items() if f in set(untouched)}
+    manifest = {
+        "version": base_v + 1,
+        "op": "delete",
+        "files": untouched + new_files,
+        "schema": sig,
+        "deleted_where": where,
+        "files_rewritten": len(touched),
+    }
+    if kept_stats or new_stats:
+        manifest["stats"] = {**kept_stats, **new_stats}
+    if not _try_commit(spark, table_dir, base_v + 1, manifest):
+        raise RuntimeError(
+            f"delete_snapshot: version {base_v + 1} was committed concurrently at "
+            f"{table_dir}; re-read and retry (rewrite dir left as vacuum debris)"
         )
     return base_v + 1

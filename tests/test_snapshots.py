@@ -799,3 +799,102 @@ def test_clone_and_restore_carry_skipping_stats(spark, tmp_path):
     commit_overwrite(spark, src, spark.range(3).selectExpr("id", "id as v"))
     v = restore_snapshot(spark, src, 2)
     assert len(read_snapshot(spark, src, version=v, skip_where=("id", 0, 50)).inputFiles()) == 1
+
+
+def test_delete_snapshot_prunes_probes_and_rewrites(spark, tmp_path):
+    """DELETE as a commit: manifest-level prune_where carries provably-
+    clean files verbatim; the empirical probe leaves zero-match candidates
+    untouched; only files truly holding matching rows are rewritten
+    without them. History, skipping stats, idempotent no-match, and CDC
+    all pinned."""
+    from customer_activity_lakehouse_spark.sources.snapshots import (
+        _read_manifest,
+        delete_snapshot,
+        read_snapshot,
+        snapshot_changes,
+    )
+
+    t = str(tmp_path / "tbl")
+    for lo in (0, 1000, 2000):
+        _commit_sized(spark, t, lo, lo + 100)
+    m0 = _read_manifest(spark, t, 3)
+
+    v = delete_snapshot(
+        spark, t, "id BETWEEN 1010 AND 1019", prune_where=("id", 1010, 1019)
+    )
+    assert v == 4
+    m = _read_manifest(spark, t, v)
+    assert m["op"] == "delete" and m["files_rewritten"] == 1
+    kept = set(m0["files"]) & set(m["files"])
+    assert len(kept) == 2  # the 0-99 and 2000-2099 files carried verbatim
+    for f in kept:
+        assert m["stats"][f] == m0["stats"][f]
+    got = sorted(r.id for r in read_snapshot(spark, t).collect())
+    assert len(got) == 290 and not any(1010 <= i <= 1019 for i in got)
+    assert read_snapshot(spark, t, version=3).count() == 300  # time travel
+    # skipping still prunes on both kept and rewritten sides
+    assert len(read_snapshot(spark, t, skip_where=("id", 0, 5)).inputFiles()) == 1
+    assert len(read_snapshot(spark, t, skip_where=("id", 1050, 1060)).inputFiles()) == 1
+
+    # CDC across the delete (keyed diff) reports exactly the deletions
+    ch = snapshot_changes(spark, t, 3, v, key_cols=["id"])
+    rows = {(r.id, r.change_type) for r in ch.collect()}
+    assert rows == {(i, "delete") for i in range(1010, 1020)}
+
+    # no-match deletes are idempotent no-ops (no new version):
+    # (a) pruned entirely by stats — no probe I/O either
+    assert delete_snapshot(spark, t, "id = 5000", prune_where=("id", 5000, 5000)) == v
+    # (b) probe finds no rows
+    assert delete_snapshot(spark, t, "id = 5000") == v
+
+
+def test_delete_snapshot_aborts_on_concurrent_commit(spark, tmp_path, monkeypatch):
+    import customer_activity_lakehouse_spark.sources.snapshots as S
+
+    t = str(tmp_path / "tbl")
+    _commit_sized(spark, t, 0, 100)
+    _commit_sized(spark, t, 100, 200)
+    monkeypatch.setattr(S, "_list_versions", lambda sp, td: [1])  # stale read
+    with pytest.raises(RuntimeError, match="committed concurrently"):
+        S.delete_snapshot(spark, t, "id < 10")
+    monkeypatch.undo()
+    assert S.read_snapshot(spark, t).count() == 200  # unharmed
+
+
+def test_compact_snapshot_clustered_tightens_skipping(spark, tmp_path):
+    """OPTIMIZE cluster_by: interleaved appends each span the whole key
+    range, so every probe reads every file; the clustered rewrite range-
+    partitions the table into files with DISJOINT key ranges, after which
+    a narrow skip_where reads ~one file. Still data_change=false."""
+    from pyspark.sql import functions as F
+
+    from customer_activity_lakehouse_spark.sources.snapshots import (
+        _read_manifest,
+        commit_append,
+        compact_snapshot,
+        read_snapshot,
+    )
+
+    t = str(tmp_path / "tbl")
+    n, stride = 300_000, 4
+    for k in range(stride):
+        df = (
+            spark.range(n)
+            .filter(F.col("id") % stride == k)  # ids interleave across files
+            .select("id", F.xxhash64("id").alias("v"))
+        )
+        commit_append(spark, t, df.coalesce(1), stats_cols=["id"])
+    probe = ("id", 10, 20)
+    assert len(read_snapshot(spark, t, skip_where=probe).inputFiles()) == stride
+
+    v = compact_snapshot(spark, t, target_file_mb=1, cluster_by=["id"])
+    m = _read_manifest(spark, t, v)
+    assert m["data_change"] is False and m["clustered_by"] == ["id"]
+    assert m["files_rewritten"] == stride and len(m["files"]) > 1
+    # disjoint per-file ranges on the cluster key
+    ranges = sorted(m["stats"][f]["id"] for f in m["files"])
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 < lo2
+    # a narrow probe now reads exactly one file; content unchanged
+    assert len(read_snapshot(spark, t, skip_where=probe).inputFiles()) == 1
+    assert read_snapshot(spark, t).count() == n
