@@ -1073,6 +1073,55 @@ FROM events GROUP BY hour, event_type
 """
 
 
+def q_events_retention_matrix(spark: SparkSession, sf: str) -> DataFrame:
+    """Weekly cohort retention — the product-analytics staple: users
+    grouped by their FIRST active week (cohort), counted in every later
+    week they return, as (cohort_week, week_offset) cells.
+
+    Scale shape — ONE shuffle total: events partial-aggregate straight to
+    per-user distinct-week sets (collect_set bounded by |weeks of
+    history|, not event volume — map-side combine collapses each user's
+    events before the exchange); the cohort week is array_min of the set
+    (no second shuffle, no window); explode fans out |weeks-per-user| rows
+    and the final (cohort, offset) rollup is a partial agg over that
+    already-tiny frame. The naive spelling — distinct, then a min-window,
+    then a self-join back — shuffles the event-scale frame three times.
+
+    Both engines truncate weeks to ISO Monday, so offsets are exact
+    multiples of 7 days."""
+    ev = table(spark, sf, "events")
+    per_user = (
+        ev.filter(F.col("user_id").isNotNull())
+        .select(
+            "user_id",
+            F.date_format(F.date_trunc("week", F.col("ts")), "yyyy-MM-dd").alias("week"),
+        )
+        .groupBy("user_id")
+        .agg(F.collect_set("week").alias("weeks"))
+    )
+    exploded = per_user.select(
+        F.array_min("weeks").alias("cohort_week"), F.explode("weeks").alias("week")
+    )
+    return exploded.groupBy(
+        "cohort_week",
+        F.floor(F.datediff("week", "cohort_week") / 7).cast("int").alias("week_offset"),
+    ).agg(F.count(F.lit(1)).alias("n_users"))
+
+
+ORACLE_EVENTS_RETENTION_MATRIX = """
+WITH per AS (
+  SELECT user_id, strftime(date_trunc('week', ts), '%Y-%m-%d') AS week
+  FROM events WHERE user_id IS NOT NULL GROUP BY user_id, week
+),
+cohort AS (SELECT user_id, min(week) AS cohort_week FROM per GROUP BY user_id)
+SELECT cohort_week,
+       (((week::DATE - cohort_week::DATE) // 7))::INT AS week_offset,
+       count(*)::BIGINT AS n_users
+FROM per JOIN cohort USING (user_id)
+GROUP BY cohort_week, week_offset
+"""
+
+
 def q_events_json_extract(spark: SparkSession, sf: str) -> DataFrame:
     """JSON path extraction from the props column (semi-structured surface)."""
     ev = table(spark, sf, "events")
@@ -2657,6 +2706,11 @@ QUERIES: dict[str, Query] = {
     "dedup_distinct": Query(q_dedup_distinct, ORACLE_DEDUP_DISTINCT, ("dedup",)),
     "dedup_keep_first": Query(q_dedup_keep_first, ORACLE_DEDUP_KEEP_FIRST, ("dedup", "window")),
     "events_hourly": Query(q_events_hourly, ORACLE_EVENTS_HOURLY, ("events", "window-agg"), True),
+    "events_retention_matrix": Query(
+        q_events_retention_matrix,
+        ORACLE_EVENTS_RETENTION_MATRIX,
+        ("events", "cohort", "agg"),
+    ),
     "events_json_extract": Query(
         q_events_json_extract, ORACLE_EVENTS_JSON_EXTRACT, ("events", "json")
     ),

@@ -1420,6 +1420,85 @@ def q_media_image_census(spark: SparkSession, sf: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def q_events_audience_overlap(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact pairwise audience overlap between event types: for every type
+    pair (a < b), the distinct-user counts, the intersection size, and the
+    exact Jaccard — the 'how much do my channels share users' question
+    sketch set-ops estimate and this answers exactly.
+
+    Scale shape — ONE event-scale shuffle, never a self-join: events
+    partial-aggregate to per-user sorted type SETS (collect_set bounded by
+    |event types|, map-side combined), pairs fan out per user as
+    C(|types|,2) ≤ 10 struct rows via a HOF transform (no join), and both
+    the pair rollup and the per-type audience rollup are partial aggs over
+    user-sized frames. The naive spelling — events self-joined on user_id
+    with type_a < type_b — shuffles event-scale data twice and explodes
+    hot users quadratically; per-user sets cap that fan-out at the type
+    alphabet. The |types|-row audience table rides an unconditional
+    broadcast (fixed cardinality — dim_join doctrine).
+
+    Jaccard divides exact longs in ONE double division, rounded to 6dp —
+    bit-identical across engines."""
+    ev = table(spark, sf, "events")
+    per_user = (
+        ev.filter(F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(F.array_sort(F.collect_set("event_type")).alias("types"))
+    )
+    pairs = per_user.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(types, (x, i) ->"
+                " transform(slice(types, i + 2, size(types)),"
+                " y -> struct(x AS a, y AS b))))"
+            )
+        ).alias("p")
+    )
+    n_both = pairs.groupBy(
+        F.col("p.a").alias("type_a"), F.col("p.b").alias("type_b")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_both"))
+    audience = (
+        per_user.select(F.explode("types").alias("event_type"))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    ua = audience.select(F.col("event_type").alias("type_a"), F.col("n").alias("n_a"))
+    ub = audience.select(F.col("event_type").alias("type_b"), F.col("n").alias("n_b"))
+    return (
+        n_both.join(F.broadcast(ua), "type_a")
+        .join(F.broadcast(ub), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "n_a",
+            "n_b",
+            "n_both",
+            F.round(
+                F.col("n_both") / (F.col("n_a") + F.col("n_b") - F.col("n_both")), 6
+            ).alias("jaccard"),
+        )
+    )
+
+
+ORACLE_EVENTS_AUDIENCE_OVERLAP = """
+WITH per AS (
+  SELECT user_id, event_type FROM events
+  WHERE user_id IS NOT NULL GROUP BY user_id, event_type
+),
+u AS (SELECT event_type, count(*)::BIGINT AS n FROM per GROUP BY event_type),
+b AS (
+  SELECT x.event_type AS type_a, y.event_type AS type_b, count(*)::BIGINT AS n_both
+  FROM per x JOIN per y ON x.user_id = y.user_id AND x.event_type < y.event_type
+  GROUP BY type_a, type_b
+)
+SELECT type_a, type_b, ua.n AS n_a, ub.n AS n_b, n_both,
+       round(n_both / (ua.n + ub.n - n_both), 6) AS jaccard
+FROM b
+JOIN u ua ON ua.event_type = type_a
+JOIN u ub ON ub.event_type = type_b
+"""
+
+
 def q_events_attribution(spark: SparkSession, sf: str) -> DataFrame:
     """First-touch attribution: credit each user's purchases to the FIRST
     event type in that user's history (the acquisition channel proxy).
@@ -1558,6 +1637,11 @@ QUERIES: dict[str, Query] = {
         ORACLE_NATION_TRADE_FLOWS,
         ("tpch", "join", "agg"),
         True,
+    ),
+    "events_audience_overlap": Query(
+        q_events_audience_overlap,
+        ORACLE_EVENTS_AUDIENCE_OVERLAP,
+        ("events", "setops", "agg"),
     ),
     "events_attribution": Query(
         q_events_attribution,
