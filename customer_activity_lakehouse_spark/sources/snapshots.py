@@ -553,7 +553,12 @@ def vacuum(spark: SparkSession, table_dir: str, keep_last: int = 1) -> int:
     keep = set(versions[-max(1, keep_last):])
     live: set[str] = set()
     for v in keep:
-        live.update(_read_manifest(spark, table_dir, v)["files"])
+        m = _read_manifest(spark, table_dir, v)
+        live.update(m["files"])
+        # change files (CDF) of retained versions stay readable through
+        # snapshot_change_feed; expiring a version expires its feed too,
+        # exactly Delta's CDF-vs-VACUUM retention coupling
+        live.update(m.get("cdc_files", []))
     fs, jdata = _hadoop_fs(spark, f"{table_dir}/data")
     deleted = 0
     if fs.exists(jdata):
@@ -906,7 +911,12 @@ def merge_snapshot(
       predecessor.
     - CDC: the commit is op='merge' (a data change), so
       ``snapshot_changes`` across it uses the keyed diff and reports
-      exactly the merge's net row delta.
+      exactly the merge's net row delta. The merge ALSO persists its
+      per-commit change rows (update postimages + inserts) as CHANGE FILES
+      recorded in the manifest (``cdc_files``) — Delta's Change Data Feed
+      contract — so :func:`snapshot_change_feed` reads the merge's effect
+      at O(|changes|) cost, never a two-snapshot diff. The split is free:
+      the merge already knows which update keys matched a touched file.
 
     Bootstraps an empty table as a plain first append of the (deduped)
     updates. Returns the committed version.
@@ -977,12 +987,31 @@ def merge_snapshot(
             updates.select(*keys).dropDuplicates(keys), keys, "left_anti"
         )
         merged = survivors.unionByName(updates.select(*existing.columns))
+        # change feed: an update key that matched a touched file is an
+        # UPDATE (postimage = the update row); the rest are INSERTs. Keys
+        # outside every touched file are provably absent from the table
+        # (that's what the pruning asserts), so the split needs no second
+        # table scan.
+        matched = existing.select(*keys).dropDuplicates(keys).withColumn(
+            "__m", F.lit(1)
+        )
+        changes = updates.join(matched, keys, "left").select(
+            *[c for c in updates.columns],
+            F.when(F.col("__m").isNull(), F.lit("insert"))
+            .otherwise(F.lit("update"))
+            .alias("change_type"),
+        )
     else:
         merged = updates
+        changes = updates.withColumn("change_type", F.lit("insert"))
     data_path = _write_data(
         merged, table_dir, f"v{base_v + 1:05d}-merge-{uuid.uuid4().hex[:12]}"
     )
+    cdc_path = _write_data(
+        changes, table_dir, f"v{base_v + 1:05d}-merge-cdc-{uuid.uuid4().hex[:12]}"
+    )
     new_files = _data_files(spark, data_path)
+    cdc_files = _data_files(spark, cdc_path)
     cols = stats_cols if stats_cols is not None else _stats_cols_of(m)
     new_stats = _file_stats(spark, new_files, cols) if cols else {}
     kept_stats = {f: s for f, s in stats.items() if f in set(untouched)}
@@ -993,6 +1022,7 @@ def merge_snapshot(
         "schema": sig if sig is not None else up_sig,
         "merged_over": base_v,
         "files_rewritten": len(touched),
+        "cdc_files": cdc_files,
     }
     if kept_stats or new_stats:
         manifest["stats"] = {**kept_stats, **new_stats}
@@ -1084,6 +1114,14 @@ def delete_snapshot(
     data_path = _write_data(
         survivors, table_dir, f"v{base_v + 1:05d}-delete-{uuid.uuid4().hex[:12]}"
     )
+    # change feed: the removed rows themselves, persisted per-commit so
+    # snapshot_change_feed never re-derives them from a snapshot diff
+    removed = read_files(touched).filter(where).withColumn(
+        "change_type", F.lit("delete")
+    )
+    cdc_path = _write_data(
+        removed, table_dir, f"v{base_v + 1:05d}-delete-cdc-{uuid.uuid4().hex[:12]}"
+    )
     new_files = _data_files(spark, data_path)
     cols = stats_cols if stats_cols is not None else _stats_cols_of(m)
     new_stats = _file_stats(spark, new_files, cols) if cols and new_files else {}
@@ -1095,6 +1133,7 @@ def delete_snapshot(
         "schema": sig,
         "deleted_where": where,
         "files_rewritten": len(touched),
+        "cdc_files": _data_files(spark, cdc_path),
     }
     if kept_stats or new_stats:
         manifest["stats"] = {**kept_stats, **new_stats}
@@ -1104,3 +1143,211 @@ def delete_snapshot(
             f"{table_dir}; re-read and retry (rewrite dir left as vacuum debris)"
         )
     return base_v + 1
+
+
+def update_snapshot(
+    spark: SparkSession,
+    table_dir: str,
+    where: str,
+    set_exprs: dict[str, str],
+    prune_where: tuple | None = None,
+    stats_cols: list[str] | None = None,
+) -> int:
+    """UPDATE ... SET as a snapshot commit — the last verb of the DML
+    quartet, spelled directly instead of via merge so callers don't have
+    to pre-compute postimage rows.
+
+    File targeting is :func:`delete_snapshot`'s two-stage shape (manifest
+    interval prune via ``prune_where``, then the exact per-file matching
+    probe); touched files are rewritten with every ``set_exprs`` column
+    replaced WHERE the predicate holds — all SET expressions evaluate
+    against the ORIGINAL row (standard UPDATE semantics: swap-style
+    ``{"a": "b", "b": "a"}`` is well-defined) and are cast back to the
+    column's recorded type so the table schema never drifts. Untouched
+    files carry verbatim, stats included; rewritten files get refreshed
+    stats. Update postimages persist as change files (``cdc_files``) for
+    :func:`snapshot_change_feed`. No-match updates are version-preserving
+    no-ops; version races abort (overwrite-class)."""
+    from pyspark.sql import functions as F
+
+    versions = _list_versions(spark, table_dir)
+    if not versions:
+        raise FileNotFoundError(f"no snapshots at {table_dir}")
+    base_v = versions[-1]
+    m = _read_manifest(spark, table_dir, base_v)
+    files = m["files"]
+    stats = m.get("stats", {})
+    sig = m.get("schema")
+
+    def read_files(fl: list[str]) -> DataFrame:
+        if sig:
+            ddl = ", ".join(f"`{n}` {t}" for n, t in sig)
+            return spark.read.schema(ddl).parquet(*fl)
+        return spark.read.parquet(*fl)
+
+    candidates = files
+    if prune_where is not None:
+        candidates = _prune_by_stats(files, stats, prune_where)
+    if not candidates:
+        return base_v
+    probe = (
+        read_files(candidates)
+        .withColumn("__file", F.input_file_name())
+        .filter(where)
+        .groupBy("__file")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    import re as _re
+
+    def _norm(p: str) -> str:
+        return _re.sub(r"^[a-zA-Z0-9+.-]+:/+", "/", p)
+
+    hit = {_norm(r["__file"]) for r in probe}
+    touched = [f for f in candidates if _norm(f) in hit]
+    if not touched:
+        return base_v
+    untouched = [f for f in files if f not in set(touched)]
+    existing = read_files(touched)
+    types = dict(existing.dtypes)
+    missing = [c for c in set_exprs if c not in types]
+    if missing:
+        raise ValueError(f"update_snapshot: SET column(s) {missing} not in table")
+    cond = F.expr(where)
+
+    def updated_cols(df: DataFrame, only_matching: bool) -> DataFrame:
+        # one select: every SET expression sees the ORIGINAL columns
+        out = [
+            (
+                F.expr(set_exprs[c]).cast(types[c])
+                if only_matching
+                else F.when(cond, F.expr(set_exprs[c]).cast(types[c])).otherwise(
+                    F.col(c)
+                )
+            ).alias(c)
+            if c in set_exprs
+            else F.col(c)
+            for c in df.columns
+        ]
+        return df.select(*out)
+
+    rewritten = updated_cols(existing, only_matching=False)
+    data_path = _write_data(
+        rewritten, table_dir, f"v{base_v + 1:05d}-update-{uuid.uuid4().hex[:12]}"
+    )
+    postimages = updated_cols(existing.filter(cond), only_matching=True).withColumn(
+        "change_type", F.lit("update")
+    )
+    cdc_path = _write_data(
+        postimages, table_dir, f"v{base_v + 1:05d}-update-cdc-{uuid.uuid4().hex[:12]}"
+    )
+    new_files = _data_files(spark, data_path)
+    cols = stats_cols if stats_cols is not None else _stats_cols_of(m)
+    new_stats = _file_stats(spark, new_files, cols) if cols and new_files else {}
+    kept_stats = {f: s for f, s in stats.items() if f in set(untouched)}
+    manifest = {
+        "version": base_v + 1,
+        "op": "update",
+        "files": untouched + new_files,
+        "schema": sig,
+        "updated_where": where,
+        "files_rewritten": len(touched),
+        "cdc_files": _data_files(spark, cdc_path),
+    }
+    if kept_stats or new_stats:
+        manifest["stats"] = {**kept_stats, **new_stats}
+    if not _try_commit(spark, table_dir, base_v + 1, manifest):
+        raise RuntimeError(
+            f"update_snapshot: version {base_v + 1} was committed concurrently at "
+            f"{table_dir}; re-read and retry (rewrite dir left as vacuum debris)"
+        )
+    return base_v + 1
+
+
+def snapshot_change_feed(
+    spark: SparkSession, table_dir: str, v_from: int, v_to: int | None = None
+) -> DataFrame:
+    """Delta's readChangeFeed over the snapshot log: the PER-COMMIT change
+    rows for every version in (v_from, v_to] — table columns plus
+    ``change_type`` and ``_commit_version`` — at cost O(|changes|), never
+    a two-snapshot diff:
+
+    - append commits read exactly their added files ('insert');
+    - merge/delete/update commits read the CHANGE FILES they persisted at
+      commit time (``cdc_files``: postimages/inserts/removed rows);
+    - data_change=false commits (compaction) contribute nothing;
+    - overwrite/restore/clone commits have no row-level feed — they raise,
+      and the caller falls back to :func:`snapshot_changes` with
+      ``key_cols`` (the net keyed diff), exactly Delta's CDF behavior on
+      non-CDC history.
+
+    Unlike ``snapshot_changes`` (the NET delta between two versions), the
+    feed preserves per-commit granularity and ordering: a key updated in
+    two commits appears twice, stamped with each version. Replaying the
+    feed in ``_commit_version`` order (e.g. ``tables.apply_changes`` with
+    ``order_col="_commit_version"``) reconstructs the table — the
+    downstream-replica contract. Feed availability is coupled to vacuum
+    retention: expiring a version expires its change files."""
+    import functools
+
+    from pyspark.sql import functions as F
+
+    versions = _list_versions(spark, table_dir)
+    if not versions:
+        raise FileNotFoundError(f"no snapshots at {table_dir}")
+    v_to = versions[-1] if v_to is None else v_to
+    for v in (v_from, v_to):
+        if v not in versions:
+            raise FileNotFoundError(
+                f"snapshot v{v} not found at {table_dir} (have {versions})"
+            )
+    if v_to < v_from:
+        raise ValueError(f"v_to={v_to} precedes v_from={v_from}")
+    in_range = [v for v in versions if v_from < v <= v_to]
+    prev_files = set(_read_manifest(spark, table_dir, v_from)["files"])
+    pieces: list[DataFrame] = []
+    last_sig = None
+    for v in in_range:
+        m = _read_manifest(spark, table_dir, v)
+        last_sig = m.get("schema") or last_sig
+        if m.get("data_change") is False:
+            prev_files = set(m["files"])
+            continue
+        sig = m.get("schema")
+        ddl = ", ".join(f"`{n}` {t}" for n, t in sig) if sig else None
+        if m["op"] == "append":
+            added = [f for f in m["files"] if f not in prev_files]
+            if added:
+                base = (
+                    spark.read.schema(ddl).parquet(*added)
+                    if ddl
+                    else spark.read.parquet(*added)
+                )
+                pieces.append(
+                    base.withColumn("change_type", F.lit("insert")).withColumn(
+                        "_commit_version", F.lit(v).cast("int")
+                    )
+                )
+        elif m.get("cdc_files"):
+            cdc_ddl = f"{ddl}, `change_type` string" if ddl else None
+            base = (
+                spark.read.schema(cdc_ddl).parquet(*m["cdc_files"])
+                if cdc_ddl
+                else spark.read.parquet(*m["cdc_files"])
+            )
+            pieces.append(base.withColumn("_commit_version", F.lit(v).cast("int")))
+        else:
+            raise ValueError(
+                f"snapshot_change_feed: v{v} at {table_dir} is op={m['op']!r} with "
+                "no change files; use snapshot_changes(key_cols=...) across it"
+            )
+        prev_files = set(m["files"])
+    if not pieces:
+        if last_sig is None:
+            last_sig = _read_manifest(spark, table_dir, v_to).get("schema") or []
+        ddl = ", ".join(f"`{n}` {t}" for n, t in last_sig)
+        ddl = (ddl + ", " if ddl else "") + "`change_type` string, `_commit_version` int"
+        return spark.createDataFrame([], schema=ddl)
+    return functools.reduce(
+        lambda a, b: a.unionByName(b, allowMissingColumns=True), pieces
+    )

@@ -898,3 +898,171 @@ def test_compact_snapshot_clustered_tightens_skipping(spark, tmp_path):
     # a narrow probe now reads exactly one file; content unchanged
     assert len(read_snapshot(spark, t, skip_where=probe).inputFiles()) == 1
     assert read_snapshot(spark, t).count() == n
+
+
+def test_snapshot_change_feed_per_commit_granularity(spark, tmp_path):
+    """Delta CDF parity: the feed reads per-commit change rows (appends
+    from their added files; merge/delete/update from persisted change
+    files) stamped with _commit_version — a key changed twice appears
+    twice, compaction contributes nothing, and commits without row-level
+    feeds (overwrite) raise toward the keyed-diff fallback."""
+    from customer_activity_lakehouse_spark.sources.snapshots import (
+        commit_append,
+        commit_overwrite,
+        compact_snapshot,
+        delete_snapshot,
+        merge_snapshot,
+        snapshot_change_feed,
+        update_snapshot,
+    )
+
+    t = str(tmp_path / "tbl")
+    v1 = commit_append(
+        spark,
+        t,
+        spark.range(10).selectExpr("id", "id * 2 AS v").coalesce(1),
+        stats_cols=["id"],
+    )
+    v2 = merge_snapshot(
+        spark, t,
+        spark.createDataFrame([(3, -3), (100, -100)], "id long, v long"),
+        keys=["id"],
+    )
+    v3 = delete_snapshot(spark, t, "id = 5")
+    v4 = compact_snapshot(spark, t, target_file_mb=1)
+    v5 = update_snapshot(spark, t, "id = 100", {"v": "v - 900"})
+    v6 = merge_snapshot(
+        spark, t, spark.createDataFrame([(3, 333)], "id long, v long"), keys=["id"]
+    )
+    assert v4 is not None and v6 == 6
+
+    feed = snapshot_change_feed(spark, t, v_from=v1)
+    rows = {(r.id, r.v, r.change_type, r._commit_version) for r in feed.collect()}
+    assert rows == {
+        (3, -3, "update", v2),
+        (100, -100, "insert", v2),
+        (5, 10, "delete", v3),
+        (100, -1000, "update", v5),
+        (3, 333, "update", v6),
+    }
+    # per-commit granularity: id 3 appears once per change, version-stamped
+    assert sorted(r[3] for r in rows if r[0] == 3) == [v2, v6]
+    # sub-ranges slice exactly
+    assert {r._commit_version for r in snapshot_change_feed(spark, t, v2, v5).collect()} == {v3, v5}
+
+    commit_overwrite(spark, t, spark.range(3).selectExpr("id", "id AS v"))
+    with pytest.raises(ValueError, match="no change files"):
+        snapshot_change_feed(spark, t, v_from=v1)
+
+
+def test_change_feed_replay_reconstructs_table(spark, tmp_path):
+    """The downstream-replica contract: applying the feed commit-by-commit
+    (tables.apply_changes) to a replica seeded from the starting snapshot
+    reproduces the source's latest state exactly."""
+    from customer_activity_lakehouse_spark.sources.snapshots import (
+        commit_append,
+        delete_snapshot,
+        merge_snapshot,
+        read_snapshot,
+        snapshot_change_feed,
+        update_snapshot,
+    )
+    from customer_activity_lakehouse_spark.sources.tables import (
+        TableSpec,
+        apply_changes,
+        read_table,
+        write_full,
+    )
+
+    t = str(tmp_path / "src")
+    v1 = commit_append(
+        spark, t, spark.range(20).selectExpr("id", "id * 2 AS v").coalesce(1)
+    )
+    merge_snapshot(
+        spark, t,
+        spark.createDataFrame([(1, -1), (200, -200)], "id long, v long"),
+        keys=["id"],
+    )
+    delete_snapshot(spark, t, "id IN (4, 5)")
+    update_snapshot(spark, t, "id = 200", {"v": "v * 10"})
+    latest = sorted(
+        r._commit_version
+        for r in snapshot_change_feed(spark, t, v1).select("_commit_version").distinct().collect()
+    )
+
+    spec = TableSpec(str(tmp_path / "replica"))
+    write_full(read_snapshot(spark, t, version=v1), spec)
+    for v in latest:
+        batch = (
+            snapshot_change_feed(spark, t, v - 1, v).drop("_commit_version")
+        )
+        apply_changes(spark, spec, batch, keys=["id"])
+    got = sorted((r.id, r.v) for r in read_table(spark, spec).collect())
+    want = sorted((r.id, r.v) for r in read_snapshot(spark, t).collect())
+    assert got == want
+
+
+def test_update_snapshot_set_semantics_and_pruning(spark, tmp_path):
+    """UPDATE: SET expressions see the ORIGINAL row (swap is well-defined),
+    types are preserved, untouched files carry verbatim with stats, time
+    travel sees pre-update values, and no-match updates don't commit."""
+    from customer_activity_lakehouse_spark.sources.snapshots import (
+        _read_manifest,
+        read_snapshot,
+        update_snapshot,
+    )
+
+    t = str(tmp_path / "tbl")
+    _commit_sized(spark, t, 0, 100)
+    _commit_sized(spark, t, 1000, 1100)
+    v = update_snapshot(
+        spark, t, "id < 10", {"id": "v", "v": "id"},  # swap
+        prune_where=("id", None, 9),
+    )
+    assert v == 3
+    m = _read_manifest(spark, t, v)
+    assert m["op"] == "update" and m["files_rewritten"] == 1
+    pairs = sorted((r.id, r.v) for r in read_snapshot(spark, t).collect())
+    got = dict(pairs)
+    assert got[2] == 1 and got[4] == 2  # ids 0..9 swapped to (2id, id)
+    # the swapped (18, 9) coexists with the untouched original (18, 36)
+    assert sorted(v for i, v in pairs if i == 18) == [9, 36]
+    assert got[50] == 100 and got[1000] == 2000  # untouched rows intact
+    assert dict(read_snapshot(spark, t).dtypes) == {"id": "bigint", "v": "bigint"}
+    old = {r.id: r.v for r in read_snapshot(spark, t, version=2).collect()}
+    assert old[4] == 8  # time travel: pre-update
+    # stats intact on the untouched side
+    assert len(read_snapshot(spark, t, skip_where=("id", 1050, 1060)).inputFiles()) == 1
+    # no-match: version-preserving no-op (both pruned and probed)
+    assert update_snapshot(spark, t, "id = 99999", {"v": "0"}) == v
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="SET column"):
+        update_snapshot(spark, t, "id = 50", {"nope": "1"})
+
+
+def test_vacuum_expires_change_files_with_their_versions(spark, tmp_path):
+    """CDF-vs-VACUUM retention coupling: change files live exactly as long
+    as their version's manifest; retained DML commits keep a readable
+    feed after vacuum."""
+    from customer_activity_lakehouse_spark.sources.snapshots import (
+        commit_append,
+        delete_snapshot,
+        merge_snapshot,
+        read_snapshot,
+        snapshot_change_feed,
+        vacuum,
+    )
+
+    t = str(tmp_path / "tbl")
+    commit_append(spark, t, spark.range(10).selectExpr("id", "id AS v").coalesce(1))
+    merge_snapshot(
+        spark, t, spark.createDataFrame([(1, -1)], "id long, v long"), keys=["id"]
+    )
+    v3 = delete_snapshot(spark, t, "id = 2")
+    deleted = vacuum(spark, t, keep_last=2)  # expires v1, keeps v2 (merge) + v3
+    assert deleted > 0
+    # the retained delete commit's feed still reads
+    rows = {(r.id, r.change_type) for r in snapshot_change_feed(spark, t, v3 - 1, v3).collect()}
+    assert rows == {(2, "delete")}
+    assert read_snapshot(spark, t).count() == 9
