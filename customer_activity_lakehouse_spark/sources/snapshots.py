@@ -1351,3 +1351,44 @@ def snapshot_change_feed(
     return functools.reduce(
         lambda a, b: a.unionByName(b, allowMissingColumns=True), pieces
     )
+
+
+def consume_changes(
+    spark: SparkSession, table_dir: str, cursor_dir: str
+) -> tuple[DataFrame | None, int]:
+    """Checkpointed incremental CHANGE consumption — :func:`consume_appends`
+    upgraded from append-only history to the full DML surface: the delta
+    is the per-commit change feed (insert/update/delete rows stamped with
+    ``_commit_version``), so a downstream replica keeps streaming through
+    merges, deletes, and updates instead of resyncing. First consumption
+    delivers the current snapshot as 'insert' rows (Delta CDF's
+    startingVersion=0 contract).
+
+    Same cursor discipline as consume_appends: nothing moves until
+    :func:`advance_cursor` — a consumer that dies between sink and ack
+    re-reads the same feed (at-least-once); pair with an idempotent keyed
+    sink (``tables.apply_changes`` with ``order_col='_commit_version',
+    order_col_is_metadata=True`` — one batch can span several commits
+    touching the same key, and the version stamp ranks the winner without
+    entering the replica's schema) for exactly-once effect. Raises (via
+    snapshot_change_feed) when the
+    unconsumed range crosses an overwrite/restore — the no-row-level-feed
+    history where a replica genuinely must resync."""
+    from pyspark.sql import functions as F
+
+    versions = _list_versions(spark, table_dir)
+    if not versions:
+        raise FileNotFoundError(f"no snapshots at {table_dir}")
+    latest = versions[-1]
+    last_seen = cursor_position(spark, cursor_dir)
+    if latest <= last_seen:
+        return None, last_seen
+    if last_seen == 0:
+        delta = (
+            read_snapshot(spark, table_dir, version=latest)
+            .withColumn("change_type", F.lit("insert"))
+            .withColumn("_commit_version", F.lit(latest).cast("int"))
+        )
+    else:
+        delta = snapshot_change_feed(spark, table_dir, last_seen, latest)
+    return delta, latest

@@ -110,6 +110,7 @@ def merge_upsert(
     keys: Sequence[str],
     order_col: str | None = None,
     allow_schema_evolution: bool = False,
+    order_col_is_metadata: bool = False,
     _delete_col: str | None = None,
 ) -> None:
     """MERGE INTO emulation over plain parquet — the Delta/Iceberg upsert
@@ -146,6 +147,14 @@ def merge_upsert(
     semantics, documented); the evolved schema lands atomically with the
     swap. Off (default), schema drift fails loudly before anything stages.
 
+    ``order_col_is_metadata=True`` says ``order_col`` is a transport-level
+    sequencing column (an LSN, a CDC ``_commit_version``) that exists ONLY
+    on the updates: it ranks the in-batch winner and is then dropped, the
+    schema-drift check ignores it, and existing rows rank as null under it
+    (``__pri`` already puts updates above existing; the order column only
+    breaks ties WITHIN the batch). This is what lets a multi-commit change
+    feed apply in one batch without teaching the table its version stamps.
+
     ``_delete_col`` is internal plumbing for :func:`apply_changes` (WHEN
     MATCHED DELETE): when set, the named column marks rows and a key whose
     WINNING row says 'delete' is dropped from the table instead of
@@ -154,6 +163,8 @@ def merge_upsert(
     key_cols = list(keys)
     if not key_cols:
         raise ValueError("merge_upsert requires at least one key column")
+    if order_col_is_metadata and order_col is None:
+        raise ValueError("order_col_is_metadata requires order_col")
     clash = [c for c in MERGE_RESERVED_COLS if c in updates.columns]
     if clash:
         raise ValueError(
@@ -183,6 +194,8 @@ def merge_upsert(
         if not allow_schema_evolution:
             drift = set(relevant.columns) ^ set(updates.columns)
             drift.discard(_delete_col)
+            if order_col_is_metadata:
+                drift.discard(order_col)
             if drift:
                 raise ValueError(
                     f"merge_upsert: schema drift {sorted(drift)} between table and "
@@ -191,7 +204,7 @@ def merge_upsert(
                 )
         merged = relevant.withColumn("__pri", F.lit(0)).unionByName(
             updates.withColumn("__pri", F.lit(1)),
-            allowMissingColumns=allow_schema_evolution,
+            allowMissingColumns=allow_schema_evolution or order_col_is_metadata,
         )
     else:
         merged = updates.withColumn("__pri", F.lit(1))
@@ -206,6 +219,8 @@ def merge_upsert(
     )
     if _delete_col is not None:
         resolved = resolved.filter(F.col(_delete_col) != "delete").drop(_delete_col)
+    if order_col_is_metadata:
+        resolved = resolved.drop(order_col)
     _stage_and_swap(spark, spec, resolved, exists)
 
 
@@ -272,6 +287,7 @@ def apply_changes(
     keys: Sequence[str],
     order_col: str | None = None,
     change_col: str = "change_type",
+    order_col_is_metadata: bool = False,
 ) -> None:
     """APPLY CHANGES INTO emulation (DLT's AUTO CDC / MERGE with WHEN
     MATCHED DELETE): apply row-level change records — e.g. the output of
@@ -290,7 +306,15 @@ def apply_changes(
             f"apply_changes: unknown change type {bad[0]!r} "
             f"(expected one of {CHANGE_TYPES})"
         )
-    merge_upsert(spark, spec, changes, keys, order_col=order_col, _delete_col=change_col)
+    merge_upsert(
+        spark,
+        spec,
+        changes,
+        keys,
+        order_col=order_col,
+        order_col_is_metadata=order_col_is_metadata,
+        _delete_col=change_col,
+    )
 
 
 def merge_additive(

@@ -1066,3 +1066,70 @@ def test_vacuum_expires_change_files_with_their_versions(spark, tmp_path):
     rows = {(r.id, r.change_type) for r in snapshot_change_feed(spark, t, v3 - 1, v3).collect()}
     assert rows == {(2, "delete")}
     assert read_snapshot(spark, t).count() == 9
+
+
+def test_consume_changes_streams_through_dml(spark, tmp_path):
+    """Replica pipeline over DML history: consume_changes + apply_changes
+    keeps a downstream table exact through append, merge, delete, and
+    update commits — where consume_appends must resync; unacknowledged
+    feeds redeliver (at-least-once)."""
+    from customer_activity_lakehouse_spark.sources.snapshots import (
+        advance_cursor,
+        commit_append,
+        consume_changes,
+        delete_snapshot,
+        merge_snapshot,
+        read_snapshot,
+        update_snapshot,
+    )
+    from customer_activity_lakehouse_spark.sources.tables import (
+        TableSpec,
+        apply_changes,
+        read_table,
+    )
+
+    src = str(tmp_path / "src")
+    cur = str(tmp_path / "cursor")
+    spec = TableSpec(str(tmp_path / "replica"))
+
+    def sync():
+        delta, v = consume_changes(spark, src, cur)
+        if delta is not None:
+            # one batch may span several commits touching the SAME key —
+            # _commit_version ranks the winner; as a metadata order column
+            # it never lands in the replica's schema
+            apply_changes(
+                spark, spec, delta, keys=["id"],
+                order_col="_commit_version", order_col_is_metadata=True,
+            )
+            advance_cursor(spark, cur, v)
+        return v
+
+    commit_append(spark, src, spark.range(10).selectExpr("id", "id * 2 AS v").coalesce(1))
+    sync()
+    merge_snapshot(
+        spark, src, spark.createDataFrame([(1, -1), (50, -50)], "id long, v long"), keys=["id"]
+    )
+    delete_snapshot(spark, src, "id = 3")
+    # same key changed by TWO commits inside one unconsumed batch: the
+    # later commit must win in the replica (ordering is load-bearing)
+    merge_snapshot(
+        spark, src, spark.createDataFrame([(7, 700)], "id long, v long"), keys=["id"]
+    )
+    update_snapshot(spark, src, "id = 7", {"v": "v + 1"})
+    # unacked feed redelivers: consume twice without advancing
+    d1, v1 = consume_changes(spark, src, cur)
+    d2, v2 = consume_changes(spark, src, cur)
+    assert v1 == v2 and sorted(map(tuple, d1.collect())) == sorted(map(tuple, d2.collect()))
+    sync()
+    update_snapshot(spark, src, "id = 50", {"v": "v * 100"})
+    commit_append(spark, src, spark.createDataFrame([(99, 99)], "id long, v long"))
+    sync()
+
+    got = sorted((r.id, r.v) for r in read_table(spark, spec).collect())
+    want = sorted((r.id, r.v) for r in read_snapshot(spark, src).collect())
+    assert got == want
+    assert dict(got)[7] == 701  # the later of the two same-key commits won
+    assert set(read_table(spark, spec).columns) == {"id", "v"}  # no stamps leaked
+    # fully caught up: next consume is empty
+    assert consume_changes(spark, src, cur)[0] is None
