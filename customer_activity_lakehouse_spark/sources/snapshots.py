@@ -713,6 +713,7 @@ def compact_snapshot(
     target_file_mb: int = 128,
     stats_cols: list[str] | None = None,
     cluster_by: list[str] | None = None,
+    zorder: bool = False,
 ) -> int | None:
     """OPTIMIZE for the snapshot log — bin-pack small files into
     ~``target_file_mb`` rewrites and commit the new layout as a
@@ -752,8 +753,14 @@ def compact_snapshot(
     probe instead of every file that ever appended a row in the range.
     Costs one range shuffle (plain compaction is a shuffle-free coalesce);
     the cluster columns are added to the recorded stats automatically.
-    Multi-column lists linearize (major-to-minor sort), the 1-D core of
-    what bit-interleaved Z-order generalizes to several dimensions.
+    Multi-column lists linearize (major-to-minor sort) by default —
+    pruning is tight on the LEADING column only; pass ``zorder=True`` for
+    the true multi-dimensional layout: rows cluster by the bit-interleaved
+    Morton key of the cluster columns (reusing ``sources.layout``'s pure
+    column-arithmetic bucketize/interleave — no UDFs, one extra min/max
+    scan + the same range shuffle), so every file covers a small HYPERCUBE
+    and ``skip_where`` prunes on ANY of the cluster columns, exactly
+    Delta's ``OPTIMIZE ZORDER BY`` on the log.
 
     Beyond-reference extension: the reference rewrites whole zones nightly
     (data_processing.py:217), so it never accumulates small files — a
@@ -784,7 +791,30 @@ def compact_snapshot(
         df = spark.read.schema(ddl).parquet(*small)
     else:
         df = spark.read.parquet(*small)
-    if cluster_by:
+    if cluster_by and zorder and len(cluster_by) >= 2:
+        from pyspark.sql import functions as F
+
+        from .layout import _bucketize, zorder_key
+
+        aggs = []
+        for c in cluster_by:
+            aggs += [F.min(c).alias(f"__min_{c}"), F.max(c).alias(f"__max_{c}")]
+        bounds = df.agg(*aggs)
+        buckets_keyed = df.crossJoin(F.broadcast(bounds))
+        zbuckets = [
+            _bucketize(F.col(c), F.col(f"__min_{c}"), F.col(f"__max_{c}"), 8)
+            for c in cluster_by
+        ]
+        keyed = buckets_keyed.withColumn("__zkey", zorder_key(zbuckets, 8)).drop(
+            *[f"__min_{c}" for c in cluster_by],
+            *[f"__max_{c}" for c in cluster_by],
+        )
+        rewritten = (
+            keyed.repartitionByRange(n_out, "__zkey")
+            .sortWithinPartitions("__zkey")
+            .drop("__zkey")
+        )
+    elif cluster_by:
         rewritten = df.repartitionByRange(n_out, *cluster_by).sortWithinPartitions(
             *cluster_by
         )
@@ -812,6 +842,8 @@ def compact_snapshot(
     }
     if cluster_by:
         manifest["clustered_by"] = list(cluster_by)
+        if zorder and len(cluster_by) >= 2:
+            manifest["zorder"] = True
     if kept_stats or new_stats:
         manifest["stats"] = {**kept_stats, **new_stats}
     if not _try_commit(spark, table_dir, base_v + 1, manifest):

@@ -1133,3 +1133,59 @@ def test_consume_changes_streams_through_dml(spark, tmp_path):
     assert set(read_table(spark, spec).columns) == {"id", "v"}  # no stamps leaked
     # fully caught up: next consume is empty
     assert consume_changes(spark, src, cur)[0] is None
+
+
+def test_compact_snapshot_zorder_prunes_on_every_dimension(spark, tmp_path):
+    """OPTIMIZE ZORDER on the log: after a Morton-clustered rewrite a
+    narrow skip_where prunes on EITHER cluster column, where the linear
+    (major-to-minor) clustered rewrite prunes only on its leading column
+    — the hypercube-vs-slab contrast sources/layout.py pins for hive
+    layouts, reproduced through the manifest's own stats."""
+    from pyspark.sql import functions as F
+
+    from customer_activity_lakehouse_spark.sources.snapshots import (
+        _read_manifest,
+        commit_append,
+        compact_snapshot,
+        read_snapshot,
+    )
+
+    def build(tdir, **compact_kw):
+        n, stride = 1_600_000, 4
+        for k in range(stride):
+            df = (
+                spark.range(n)
+                .filter(F.col("id") % stride == k)
+                .select(
+                    (F.col("id") % 1000).alias("x"),
+                    (F.col("id") / 1000).cast("long").alias("y"),
+                    F.xxhash64("id").alias("payload"),
+                )
+            )
+            commit_append(spark, tdir, df.coalesce(1), stats_cols=["x", "y"])
+        v = compact_snapshot(spark, tdir, target_file_mb=1, **compact_kw)
+        return _read_manifest(spark, tdir, v)
+
+    z = str(tmp_path / "zorder")
+    mz = build(z, cluster_by=["x", "y"], zorder=True)
+    assert mz.get("zorder") is True
+    lin = str(tmp_path / "linear")
+    ml = build(lin, cluster_by=["x", "y"])
+
+    n_files_z, n_files_l = len(mz["files"]), len(ml["files"])
+    assert n_files_z > 4 and n_files_l > 4
+
+    def probed(tdir, col, lo, hi):
+        return len(read_snapshot(spark, tdir, skip_where=(col, lo, hi)).inputFiles())
+
+    # leading column: both layouts prune
+    assert probed(z, "x", 10, 30) < n_files_z
+    assert probed(lin, "x", 10, 30) < n_files_l
+    # NON-leading column: only the Morton layout prunes — the linear sort
+    # leaves every file spanning (almost) the full y range
+    y_z = probed(z, "y", 10, 20)
+    y_l = probed(lin, "y", 10, 20)
+    assert y_z < n_files_z / 2, (y_z, n_files_z)
+    assert y_l >= n_files_l - 1, (y_l, n_files_l)
+    # content identical
+    assert read_snapshot(spark, z).count() == 1_600_000
