@@ -38,7 +38,12 @@ from pyspark.sql import DataFrame, SparkSession
 from .tables import _hadoop_fs
 
 _SNAP_DIR = "_snapshots"
-_MAX_COMMIT_RETRIES = 20
+# A retry costs one manifest read + one rename, so the budget is cheap
+# insurance: under heavy JVM load (observed once in CI-like full-suite
+# runs) a writer can lose many more consecutive races than writer-count
+# alone suggests, because its list->write->rename window stretches while
+# competitors stay fast.
+_MAX_COMMIT_RETRIES = 64
 
 
 def _list_versions(spark: SparkSession, table_dir: str) -> list[int]:
