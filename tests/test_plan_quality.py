@@ -414,3 +414,42 @@ def test_rolling_7d_window_runs_on_day_aggregate(spark, sf_correctness):
     # combine over raw orders) appears below the exchange feeding the sort
     assert "partial_sum" in plan, plan
     assert plan.count("SinglePartition") == 1, plan
+
+
+def test_retention_matrix_single_event_shuffle_no_join(spark, sf_correctness):
+    """Cohort retention's scale contract: NO join anywhere (the naive
+    spelling self-joins events back onto a min-window), exactly one
+    event-volume exchange (user-keyed, into the per-user week-set partial
+    agg — ObjectHashAggregate does map-side combine), and the final
+    (cohort, offset) rollup re-shuffles only the already-tiny exploded
+    frame."""
+    import re
+
+    plan = explain_str(QUERIES["events_retention_matrix"].fn(spark, sf_correctness), "simple")
+    assert "Join" not in plan, f"retention must not join:\n{plan}"
+    assert "Window" not in plan, plan
+    user_exchanges = re.findall(r"Exchange hashpartitioning\(user_id#", plan)
+    assert len(user_exchanges) == 1, f"events must shuffle exactly once:\n{plan}"
+
+
+def test_audience_overlap_no_event_self_join(spark, sf_correctness):
+    """Audience overlap must come from per-user type SETS (HOF pair
+    fan-out), never the quadratic events-on-events self-join: the only
+    event exchanges are the user-keyed set aggregate (it feeds both the
+    pair and audience branches — two IDENTICAL map-side-combined
+    exchanges in the static plan, deduped by exchange reuse at runtime),
+    and the only joins are the |types|-row audience broadcasts."""
+    df = QUERIES["events_audience_overlap"].fn(spark, sf_correctness)
+    static_plan = explain_str(df, "simple")
+    assert "SortMergeJoin" not in static_plan, f"event-scale join leaked in:\n{static_plan}"
+    assert "CartesianProduct" not in static_plan, static_plan
+    assert "BroadcastHashJoin" in static_plan, static_plan  # |types|-row dims
+    assert "partial_collect_set" in static_plan, static_plan  # map-side combine
+    # The per-user set aggregate feeds three branches (pairs, n_a, n_b) —
+    # the static plan shows identical user exchanges per branch; at
+    # RUNTIME AQE's exchange reuse must collapse them so events scan and
+    # shuffle once. Execute and assert on the final plan.
+    df.collect()
+    final_plan = explain_str(df, "simple")
+    assert "isFinalPlan=true" in final_plan
+    assert "ReusedExchange" in final_plan, f"user shuffle not reused:\n{final_plan}"

@@ -727,3 +727,41 @@ def test_stream_snapshot_append_versioned_and_idempotent(spark, sf_smoke, events
     assert len(_list_versions(spark, tdir)) == n_before
     inner_holder["fn"](batch_df, last_batch_id + 1000)  # genuinely new: commits
     assert len(_list_versions(spark, tdir)) == n_before + 1
+
+
+def test_stream_snapshot_append_records_skipping_stats(spark, sf_smoke, events_dir):
+    """The streaming snapshot sink's stats_cols: every micro-batch commit
+    records per-file [min,max] AND carries earlier batches' stats forward
+    (ADVICE r6 — the old sink rebuilt manifests from scratch and silently
+    discarded them), so event-id-ranged reads prune old micro-batches."""
+    from customer_activity_lakehouse_spark.sources.snapshots import (
+        _list_versions,
+        _read_manifest,
+        read_snapshot,
+    )
+    from customer_activity_lakehouse_spark.streaming import write_stream_snapshot_append
+
+    landing, root = events_dir
+    stream = read_events_stream(spark, landing, max_files_per_trigger=2)
+    tdir = f"{root}/snap_stats_table"
+    q = write_stream_snapshot_append(
+        stream, tdir, f"{root}/ckpt_snap_stats", stats_cols=["event_id"]
+    )
+    q.awaitTermination(120)
+    assert not q.isActive
+
+    versions = _list_versions(spark, tdir)
+    assert len(versions) >= 2
+    m = _read_manifest(spark, tdir, versions[-1])
+    # EVERY file — including ones committed by earlier micro-batches —
+    # has recorded bounds in the LATEST manifest
+    assert set(m["stats"].keys()) == set(m["files"])
+    for st in m["stats"].values():
+        lo, hi = st["event_id"]
+        assert isinstance(lo, int) and isinstance(hi, int) and lo <= hi
+
+    total = len(m["files"])
+    lo0 = min(st["event_id"][0] for st in m["stats"].values())
+    pruned = read_snapshot(spark, tdir, skip_where=("event_id", lo0, lo0))
+    assert 1 <= len(pruned.inputFiles()) <= total
+    assert pruned.filter(f"event_id = {lo0}").count() == 1
