@@ -114,6 +114,52 @@ def _make_etl_task(spark, sf: float | str, work_dir: str):
     return run
 
 
+SNAPSHOT_DML_RUNS = 3
+
+
+def _make_snapshot_dml_tasks(spark, sf_dir: str, work_dir: str, n_passes: int):
+    """Pre-build ``n_passes`` identical snapshot tables (untimed setup),
+    return one timed callable per pass: a MERGE (range-local 1% update
+    batch — the pruning-effective daily-load shape), a ranged DELETE, and
+    an OPTIMIZE compaction on that pass's own table. Fresh table per pass
+    keeps passes comparable (DML mutates state); the timed cycle is the
+    maintenance loop a continuously-loaded snapshot table actually runs."""
+    from pyspark.sql import functions as F
+
+    from customer_activity_lakehouse_spark.sources import snapshots as snap
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"
+    )
+    lo, hi = li.agg(F.min("l_orderkey"), F.max("l_orderkey")).collect()[0]
+    span = max(1, hi - lo)
+    upd_hi = lo + span // 100  # ~1% of the keyspace
+    del_lo, del_hi = lo + span // 2, lo + span // 2 + span // 200
+    updates = li.filter(F.col("l_orderkey") <= upd_hi).withColumn(
+        "l_quantity", -F.col("l_quantity")
+    )
+    base = li.repartitionByRange(8, "l_orderkey")
+    tasks = []
+    for i in range(n_passes):
+        tdir = f"{work_dir}/snap_dml_{i}"
+        snap.commit_append(spark, tdir, base, stats_cols=["l_orderkey"])
+
+        def run(tdir=tdir):
+            snap.merge_snapshot(
+                spark, tdir, updates, keys=["l_orderkey", "l_linenumber"]
+            )
+            snap.delete_snapshot(
+                spark,
+                tdir,
+                f"l_orderkey BETWEEN {del_lo} AND {del_hi}",
+                prune_where=("l_orderkey", del_lo, del_hi),
+            )
+            snap.compact_snapshot(spark, tdir, target_file_mb=32)
+
+        tasks.append(run)
+    return tasks
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = _sf_label(sf_dir)
@@ -162,6 +208,21 @@ def main() -> None:
                 etl_samples.append(dt)
         samples["etl_pipeline"] = etl_samples
 
+        # Snapshot-DML phase (r7): merge + ranged delete + OPTIMIZE on a
+        # pre-built table per pass. Own phase for the same isolation
+        # reason as ETL; excluded from value/value_full.
+        dml_tasks = _make_snapshot_dml_tasks(
+            spark, sf_dir, work_dir, SNAPSHOT_DML_RUNS + 1
+        )
+        dml_samples: list[float] = []
+        for i, run_dml in enumerate(dml_tasks):  # pass 0 is warm-up
+            t0 = time.perf_counter()
+            run_dml()
+            dt = time.perf_counter() - t0
+            if i > 0:
+                dml_samples.append(dt)
+        samples["snapshot_dml"] = dml_samples
+
         timings = {n: round(statistics.median(samples[n]), 4) for n in samples}
     finally:
         shutil.rmtree(work_dir, ignore_errors=True)
@@ -180,9 +241,9 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
-                "value_excludes": ["etl_pipeline"]
+                "value_excludes": ["etl_pipeline", "snapshot_dml"]
                 + sorted(n for n in headline if n not in legacy),
-                "value_full_excludes": ["etl_pipeline"],
+                "value_full_excludes": ["etl_pipeline", "snapshot_dml"],
                 "runs": RUNS,
                 "note": (
                     "interleaved shuffled passes, median of 5; ETL timed in "
