@@ -1189,3 +1189,70 @@ def test_compact_snapshot_zorder_prunes_on_every_dimension(spark, tmp_path):
     assert y_l >= n_files_l - 1, (y_l, n_files_l)
     # content identical
     assert read_snapshot(spark, z).count() == 1_600_000
+
+
+@pytest.mark.slow
+def test_concurrent_appends_across_processes(spark, tmp_path):
+    """Cross-PROCESS optimistic concurrency: a second driver JVM races
+    commit_append against this session on the same table. This is the
+    scenario the uuid4 tmp-manifest fix exists for — id(manifest) is only
+    process-unique, so two processes racing one version could clobber each
+    other's staged manifest and silently lose an append. Every batch from
+    both processes must land exactly once with contiguous versions."""
+    import subprocess
+    import sys
+    import textwrap
+
+    from customer_activity_lakehouse_spark.sources.snapshots import (
+        _list_versions,
+        commit_append,
+        read_snapshot,
+    )
+
+    t = str(tmp_path / "xproc")
+    n_each = 4
+    script = textwrap.dedent(
+        f"""
+        import sys
+        sys.path.insert(0, "/root/repo")
+        from pyspark.sql import SparkSession
+        from customer_activity_lakehouse_spark.sources.snapshots import commit_append
+
+        spark = (
+            SparkSession.builder.master("local[2]").appName("xproc-writer")
+            .config("spark.ui.enabled", "false")
+            .config("spark.sql.shuffle.partitions", "2").getOrCreate()
+        )
+        for i in range({n_each}):
+            commit_append(
+                spark,
+                {t!r},
+                spark.range(1000 + i * 10, 1000 + i * 10 + 10).selectExpr("id"),
+            )
+        print("XPROC_OK")
+        """
+    )
+    proc = subprocess.Popen(
+        [sys.executable, "-c", script],
+        stdout=subprocess.PIPE,
+        stderr=subprocess.PIPE,
+        text=True,
+    )
+    try:
+        for i in range(n_each):
+            commit_append(
+                spark, t, spark.range(i * 10, i * 10 + 10).selectExpr("id")
+            )
+        out, err = proc.communicate(timeout=240)
+        assert proc.returncode == 0 and "XPROC_OK" in out, (out, err[-2000:])
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+    versions = _list_versions(spark, t)
+    assert versions == list(range(1, 2 * n_each + 1)), versions
+    got = sorted(r.id for r in read_snapshot(spark, t).collect())
+    want = sorted(
+        [x for i in range(n_each) for x in range(i * 10, i * 10 + 10)]
+        + [x for i in range(n_each) for x in range(1000 + i * 10, 1000 + i * 10 + 10)]
+    )
+    assert got == want
