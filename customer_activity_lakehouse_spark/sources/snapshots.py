@@ -321,6 +321,48 @@ def commit_overwrite(
     return version
 
 
+def _read_with_dvs(
+    spark: SparkSession,
+    files: list[str],
+    sig: list | None,
+    dv_files: list[str],
+    keep_meta: bool = False,
+):
+    """Read ``files`` (with the manifest's explicit schema when recorded)
+    APPLYING DELETION VECTORS: rows whose (file_path, row_index) appear in
+    the table's DV files are anti-joined away — Delta's merge-on-read
+    DELETE, built on parquet's ``_metadata.row_index`` (stable because
+    data files are immutable). The DV frame rides a broadcast: DVs stay
+    tiny relative to data (they hold positions of deleted rows only) and
+    compaction materializes them away before they could grow large.
+
+    ``keep_meta=True`` keeps ``__p``/``__i`` (file path, row index)
+    visible for callers that need per-file attribution (the DML probes) —
+    captured AT THE SCAN, so they stay correct even after joins where
+    ``input_file_name()`` would be unreliable."""
+    from pyspark.sql import functions as F
+
+    if sig:
+        ddl = ", ".join(f"`{n}` {t}" for n, t in sig)
+        base = spark.read.schema(ddl).parquet(*files)
+    else:
+        base = spark.read.parquet(*files)
+    if not dv_files and not keep_meta:
+        return base
+    cols = base.columns
+    with_meta = base.select(
+        *cols,
+        F.col("_metadata.file_path").alias("__p"),
+        F.col("_metadata.row_index").alias("__i"),
+    )
+    if dv_files:
+        dv = spark.read.parquet(*dv_files).select(
+            F.col("file_path").alias("__p"), F.col("row_index").alias("__i")
+        )
+        with_meta = with_meta.join(F.broadcast(dv), ["__p", "__i"], "left_anti")
+    return with_meta if keep_meta else with_meta.select(*cols)
+
+
 def _prune_by_stats(files: list[str], stats: dict, skip_where: tuple) -> list[str]:
     """The manifest-level file prune shared by read (``read_snapshot``) and
     write-side DML (``delete_snapshot``): keep only files whose recorded
@@ -403,16 +445,15 @@ def read_snapshot(
                 ddl = ", ".join(f"`{n}` {t}" for n, t in sig)
                 return spark.createDataFrame([], schema=ddl)
             return empty
-    sig = manifest.get("schema")
-    if sig:
-        # The manifest's recorded schema is authoritative: an explicit-
-        # schema read gives files written before an evolution their
-        # missing columns as null WITHOUT mergeSchema's every-footer scan
-        # (the scale-right alternative), and guarantees readers at any
-        # version see that version's schema exactly.
-        ddl = ", ".join(f"`{name}` {typ}" for name, typ in sig)
-        return spark.read.schema(ddl).parquet(*files)
-    return spark.read.parquet(*files)
+    # The manifest's recorded schema is authoritative: an explicit-schema
+    # read gives files written before an evolution their missing columns
+    # as null WITHOUT mergeSchema's every-footer scan (the scale-right
+    # alternative), and guarantees readers at any version see that
+    # version's schema exactly. Deletion vectors, when present, are
+    # applied at read (merge-on-read).
+    return _read_with_dvs(
+        spark, files, manifest.get("schema"), manifest.get("dv_files", [])
+    )
 
 
 def consume_appends(
@@ -507,6 +548,10 @@ def clone_snapshot(
         # carry the source's per-file skipping stats — a clone that drops
         # them silently disables skip_where at the clone (ADVICE r6)
         manifest["stats"] = {f: s for f, s in src["stats"].items() if f in set(src["files"])}
+    if src.get("dv_files"):
+        # DVs are part of the cloned version's read path (dropping them
+        # would resurrect deleted rows at the clone)
+        manifest["dv_files"] = src["dv_files"]
     if not _try_commit(spark, dst_dir, 1, manifest):
         raise RuntimeError(f"clone destination committed concurrently: {dst_dir}")
     return 1
@@ -539,6 +584,9 @@ def restore_snapshot(spark: SparkSession, table_dir: str, version: int) -> int:
         manifest["stats"] = {
             f: s for f, s in target["stats"].items() if f in set(target["files"])
         }
+    if target.get("dv_files"):
+        # restoring to a DV-bearing version restores its deletions too
+        manifest["dv_files"] = target["dv_files"]
     if not _try_commit(spark, table_dir, new_v, manifest):
         raise RuntimeError(
             f"restore_snapshot: version {new_v} was committed concurrently at "
@@ -562,8 +610,10 @@ def vacuum(spark: SparkSession, table_dir: str, keep_last: int = 1) -> int:
         live.update(m["files"])
         # change files (CDF) of retained versions stay readable through
         # snapshot_change_feed; expiring a version expires its feed too,
-        # exactly Delta's CDF-vs-VACUUM retention coupling
+        # exactly Delta's CDF-vs-VACUUM retention coupling. Deletion
+        # vectors are part of a version's read path — same lifetime.
         live.update(m.get("cdc_files", []))
+        live.update(m.get("dv_files", []))
     fs, jdata = _hadoop_fs(spark, f"{table_dir}/data")
     deleted = 0
     if fs.exists(jdata):
@@ -791,11 +841,10 @@ def compact_snapshot(
         return None
     big = [f for f in files if f not in set(small)]
     sig = m.get("schema")
-    if sig:
-        ddl = ", ".join(f"`{n}` {t}" for n, t in sig)
-        df = spark.read.schema(ddl).parquet(*small)
-    else:
-        df = spark.read.parquet(*small)
+    dv_files = m.get("dv_files", [])
+    # rewriting through the DVs MATERIALIZES them for the rewritten files
+    # (their deleted rows are gone for good); kept files still need theirs
+    df = _read_with_dvs(spark, small, sig, dv_files)
     if cluster_by and zorder and len(cluster_by) >= 2:
         from pyspark.sql import functions as F
 
@@ -849,6 +898,9 @@ def compact_snapshot(
         manifest["clustered_by"] = list(cluster_by)
         if zorder and len(cluster_by) >= 2:
             manifest["zorder"] = True
+    if dv_files and big:
+        manifest["dv_files"] = dv_files  # kept files still need theirs
+    # (no kept files -> every DV materialized -> the list drops entirely)
     if kept_stats or new_stats:
         manifest["stats"] = {**kept_stats, **new_stats}
     if not _try_commit(spark, table_dir, base_v + 1, manifest):
@@ -1014,12 +1066,9 @@ def merge_snapshot(
     touched = [f for f in files if overlaps(f)] if lo is not None else []
     touched = _refine_touched(spark, updates, key0, touched, stats)
     untouched = [f for f in files if f not in set(touched)]
+    dv_files = m.get("dv_files", [])
     if touched:
-        if sig:
-            ddl = ", ".join(f"`{n}` {t}" for n, t in sig)
-            existing = spark.read.schema(ddl).parquet(*touched)
-        else:
-            existing = spark.read.parquet(*touched)
+        existing = _read_with_dvs(spark, touched, sig, dv_files)
         survivors = existing.join(
             updates.select(*keys).dropDuplicates(keys), keys, "left_anti"
         )
@@ -1061,6 +1110,10 @@ def merge_snapshot(
         "files_rewritten": len(touched),
         "cdc_files": cdc_files,
     }
+    if dv_files:
+        # rewritten files materialized their DVs; untouched files still
+        # need theirs (entries for removed files are inert)
+        manifest["dv_files"] = dv_files
     if kept_stats or new_stats:
         manifest["stats"] = {**kept_stats, **new_stats}
     if not _try_commit(spark, table_dir, base_v + 1, manifest):
@@ -1078,6 +1131,7 @@ def delete_snapshot(
     where: str,
     prune_where: tuple | None = None,
     stats_cols: list[str] | None = None,
+    mode: str = "rewrite",
 ) -> int:
     """DELETE FROM ... WHERE as a snapshot commit — with MERGE and
     OPTIMIZE this completes the log's DML triad (UPDATE is a merge whose
@@ -1105,9 +1159,22 @@ def delete_snapshot(
     commit is op='delete' (a data change) so ``snapshot_changes`` across
     it uses the keyed diff and reports the deletions. Returns the
     committed version.
+
+    ``mode='dv'`` is the MERGE-ON-READ delete (Delta's deletion vectors):
+    instead of rewriting candidate files, the matching rows' (file path,
+    row index) pairs — captured from parquet's ``_metadata.row_index``,
+    stable because data files are immutable — are written as a tiny DV
+    file and recorded in the manifest; ``read_snapshot`` anti-joins them
+    away. Deleting 3 rows from a 128 MB file costs a 3-row write instead
+    of a 128 MB rewrite — the scale path for frequent small deletes
+    (GDPR erasure, late-event retractions). DVs accumulate across dv
+    deletes and are MATERIALIZED (applied and dropped for the rewritten
+    files) by the next compaction/rewrite touching those files.
     """
     from pyspark.sql import functions as F
 
+    if mode not in ("rewrite", "dv"):
+        raise ValueError(f"delete_snapshot: unknown mode {mode!r}")
     versions = _list_versions(spark, table_dir)
     if not versions:
         raise FileNotFoundError(f"no snapshots at {table_dir}")
@@ -1116,44 +1183,75 @@ def delete_snapshot(
     files = m["files"]
     stats = m.get("stats", {})
     sig = m.get("schema")
-
-    def read_files(fl: list[str]) -> DataFrame:
-        if sig:
-            ddl = ", ".join(f"`{n}` {t}" for n, t in sig)
-            return spark.read.schema(ddl).parquet(*fl)
-        return spark.read.parquet(*fl)
+    dv_files = m.get("dv_files", [])
 
     candidates = files
     if prune_where is not None:
         candidates = _prune_by_stats(files, stats, prune_where)
     if not candidates:
         return base_v  # stats prove nothing can match
-    probe = (
-        read_files(candidates)
-        .withColumn("__file", F.input_file_name())
-        .filter(where)
-        .groupBy("__file")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .collect()
+    # probe THROUGH the DVs (an already-deleted row must not re-match);
+    # file attribution comes from scan-time metadata, join-safe
+    matched_meta = _read_with_dvs(spark, candidates, sig, dv_files, keep_meta=True).filter(
+        where
     )
+    data_cols = [c for c in matched_meta.columns if c not in ("__p", "__i")]
+
+    if mode == "dv":
+        new_dv = matched_meta.select(
+            F.col("__p").alias("file_path"), F.col("__i").alias("row_index")
+        )
+        if new_dv.limit(1).count() == 0:
+            return base_v
+        dv_path = _write_data(
+            new_dv, table_dir, f"v{base_v + 1:05d}-dv-{uuid.uuid4().hex[:12]}"
+        )
+        cdc_path = _write_data(
+            matched_meta.select(*data_cols).withColumn("change_type", F.lit("delete")),
+            table_dir,
+            f"v{base_v + 1:05d}-delete-cdc-{uuid.uuid4().hex[:12]}",
+        )
+        manifest = {
+            "version": base_v + 1,
+            "op": "delete",
+            "mode": "dv",
+            "files": files,
+            "schema": sig,
+            "deleted_where": where,
+            "files_rewritten": 0,
+            "dv_files": dv_files + _data_files(spark, dv_path),
+            "cdc_files": _data_files(spark, cdc_path),
+        }
+        if stats:
+            # per-file [min,max] stay VALID bounds with rows deleted —
+            # skipping is conservative, never a filter
+            manifest["stats"] = stats
+        if not _try_commit(spark, table_dir, base_v + 1, manifest):
+            raise RuntimeError(
+                f"delete_snapshot: version {base_v + 1} was committed concurrently "
+                f"at {table_dir}; re-read and retry (DV dir left as vacuum debris)"
+            )
+        return base_v + 1
+
+    probe = matched_meta.groupBy("__p").agg(F.count(F.lit(1)).alias("n")).collect()
     import re as _re
 
     def _norm(p: str) -> str:
         return _re.sub(r"^[a-zA-Z0-9+.-]+:/+", "/", p)
 
-    hit = {_norm(r["__file"]) for r in probe}
+    hit = {_norm(r["__p"]) for r in probe}
     touched = [f for f in candidates if _norm(f) in hit]
     touched_set = set(touched)
     untouched = [f for f in files if f not in touched_set]  # original order
     if not touched:
         return base_v  # nothing matches: no new commit needed (idempotent)
-    survivors = read_files(touched).filter(f"NOT ({where})")
+    survivors = _read_with_dvs(spark, touched, sig, dv_files).filter(f"NOT ({where})")
     data_path = _write_data(
         survivors, table_dir, f"v{base_v + 1:05d}-delete-{uuid.uuid4().hex[:12]}"
     )
     # change feed: the removed rows themselves, persisted per-commit so
     # snapshot_change_feed never re-derives them from a snapshot diff
-    removed = read_files(touched).filter(where).withColumn(
+    removed = _read_with_dvs(spark, touched, sig, dv_files).filter(where).withColumn(
         "change_type", F.lit("delete")
     )
     cdc_path = _write_data(
@@ -1172,6 +1270,11 @@ def delete_snapshot(
         "files_rewritten": len(touched),
         "cdc_files": _data_files(spark, cdc_path),
     }
+    if dv_files:
+        # rewritten files materialized their DVs (survivors read through
+        # them); untouched files still need theirs — carry the list (the
+        # entries for removed files are inert)
+        manifest["dv_files"] = dv_files
     if kept_stats or new_stats:
         manifest["stats"] = {**kept_stats, **new_stats}
     if not _try_commit(spark, table_dir, base_v + 1, manifest):
@@ -1215,12 +1318,7 @@ def update_snapshot(
     files = m["files"]
     stats = m.get("stats", {})
     sig = m.get("schema")
-
-    def read_files(fl: list[str]) -> DataFrame:
-        if sig:
-            ddl = ", ".join(f"`{n}` {t}" for n, t in sig)
-            return spark.read.schema(ddl).parquet(*fl)
-        return spark.read.parquet(*fl)
+    dv_files = m.get("dv_files", [])
 
     candidates = files
     if prune_where is not None:
@@ -1228,10 +1326,9 @@ def update_snapshot(
     if not candidates:
         return base_v
     probe = (
-        read_files(candidates)
-        .withColumn("__file", F.input_file_name())
+        _read_with_dvs(spark, candidates, sig, dv_files, keep_meta=True)
         .filter(where)
-        .groupBy("__file")
+        .groupBy("__p")
         .agg(F.count(F.lit(1)).alias("n"))
         .collect()
     )
@@ -1240,12 +1337,12 @@ def update_snapshot(
     def _norm(p: str) -> str:
         return _re.sub(r"^[a-zA-Z0-9+.-]+:/+", "/", p)
 
-    hit = {_norm(r["__file"]) for r in probe}
+    hit = {_norm(r["__p"]) for r in probe}
     touched = [f for f in candidates if _norm(f) in hit]
     if not touched:
         return base_v
     untouched = [f for f in files if f not in set(touched)]
-    existing = read_files(touched)
+    existing = _read_with_dvs(spark, touched, sig, dv_files)
     types = dict(existing.dtypes)
     missing = [c for c in set_exprs if c not in types]
     if missing:
@@ -1291,6 +1388,8 @@ def update_snapshot(
         "files_rewritten": len(touched),
         "cdc_files": _data_files(spark, cdc_path),
     }
+    if dv_files:
+        manifest["dv_files"] = dv_files  # untouched files still need theirs
     if kept_stats or new_stats:
         manifest["stats"] = {**kept_stats, **new_stats}
     if not _try_commit(spark, table_dir, base_v + 1, manifest):

@@ -1256,3 +1256,87 @@ def test_concurrent_appends_across_processes(spark, tmp_path):
         + [x for i in range(n_each) for x in range(1000 + i * 10, 1000 + i * 10 + 10)]
     )
     assert got == want
+
+
+def test_deletion_vector_delete_merge_on_read(spark, tmp_path):
+    """DV (merge-on-read) DELETE: no data file is rewritten — the manifest
+    keeps the exact same file list and records a tiny positions file that
+    read_snapshot anti-joins away. Accumulation, time travel, skipping,
+    CDC, clone/restore carriage, probe-through-DV semantics, compaction
+    materialization, and vacuum lifetime all pinned."""
+    from customer_activity_lakehouse_spark.sources.snapshots import (
+        _read_manifest,
+        clone_snapshot,
+        compact_snapshot,
+        delete_snapshot,
+        merge_snapshot,
+        read_snapshot,
+        snapshot_change_feed,
+        update_snapshot,
+        vacuum,
+    )
+
+    t = str(tmp_path / "tbl")
+    _commit_sized(spark, t, 0, 100)
+    _commit_sized(spark, t, 1000, 1100)
+
+    v3 = delete_snapshot(spark, t, "id IN (5, 7)", prune_where=("id", 5, 7), mode="dv")
+    m3 = _read_manifest(spark, t, v3)
+    m2 = _read_manifest(spark, t, 2)
+    assert m3["mode"] == "dv" and m3["files_rewritten"] == 0
+    assert m3["files"] == m2["files"]  # merge-on-read: nothing rewritten
+    assert m3["dv_files"]
+    got = sorted(r.id for r in read_snapshot(spark, t).collect())
+    assert len(got) == 198 and 5 not in got and 7 not in got
+    assert read_snapshot(spark, t, version=2).count() == 200  # time travel
+    # stats carried verbatim: skipping still prunes (the DV file itself
+    # also appears in inputFiles — count data files only)
+    pruned_data = [
+        f
+        for f in read_snapshot(spark, t, skip_where=("id", 1050, 1060)).inputFiles()
+        if "-dv-" not in f
+    ]
+    assert len(pruned_data) == 1
+
+    # DVs accumulate across dv deletes
+    v4 = delete_snapshot(spark, t, "id = 1005", mode="dv")
+    m4 = _read_manifest(spark, t, v4)
+    assert len(m4["dv_files"]) > len(m3["dv_files"])
+    assert read_snapshot(spark, t).count() == 197
+
+    # deleting an already-DV-deleted row is a no-op (probe reads through DVs)
+    assert delete_snapshot(spark, t, "id = 5", mode="dv") == v4
+    # ...and so is updating it
+    assert update_snapshot(spark, t, "id = 5", {"v": "0"}) == v4
+
+    # the change feed shows the DV deletes per commit
+    feed = snapshot_change_feed(spark, t, 2, v4)
+    rows = {(r.id, r.change_type, r._commit_version) for r in feed.collect()}
+    assert rows == {(5, "delete", v3), (7, "delete", v3), (1005, "delete", v4)}
+
+    # a merge on a DV-deleted key classifies as INSERT (the key is gone)
+    v5 = merge_snapshot(
+        spark, t, spark.createDataFrame([(5, -5)], "id long, v long"), keys=["id"]
+    )
+    assert {(r.id, r.change_type) for r in snapshot_change_feed(spark, t, v4, v5).collect()} == {
+        (5, "insert")
+    }
+    assert read_snapshot(spark, t).filter("id = 5").collect()[0].v == -5
+
+    # clone carries the DVs (dropping them would resurrect deleted rows)
+    dst = str(tmp_path / "clone")
+    clone_snapshot(spark, t, dst)
+    assert read_snapshot(spark, dst).count() == 198  # 197 + re-inserted 5
+
+    # compaction rewrites through the DVs (materializes them); with no
+    # kept big files the DV list drops entirely
+    v6 = compact_snapshot(spark, t, target_file_mb=64)
+    m6 = _read_manifest(spark, t, v6)
+    assert "dv_files" not in m6
+    got = sorted(r.id for r in read_snapshot(spark, t).collect())
+    assert len(got) == 198 and 7 not in got and 1005 not in got
+
+    # DV files live exactly as long as a retained manifest references them
+    deleted = vacuum(spark, t, keep_last=1)
+    assert deleted > 0
+    assert read_snapshot(spark, t).count() == 198
