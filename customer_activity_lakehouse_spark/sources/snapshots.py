@@ -1292,6 +1292,7 @@ def update_snapshot(
     set_exprs: dict[str, str],
     prune_where: tuple | None = None,
     stats_cols: list[str] | None = None,
+    mode: str = "rewrite",
 ) -> int:
     """UPDATE ... SET as a snapshot commit — the last verb of the DML
     quartet, spelled directly instead of via merge so callers don't have
@@ -1307,9 +1308,18 @@ def update_snapshot(
     files carry verbatim, stats included; rewritten files get refreshed
     stats. Update postimages persist as change files (``cdc_files``) for
     :func:`snapshot_change_feed`. No-match updates are version-preserving
-    no-ops; version races abort (overwrite-class)."""
+    no-ops; version races abort (overwrite-class).
+
+    ``mode='dv'`` is the merge-on-read UPDATE (Delta's DV-based update):
+    the matched PREIMAGE rows are deletion-vectored away and their
+    postimages APPEND as a new small file — updating 3 rows in a 128 MB
+    file costs a 3-row DV plus a 3-row append instead of a 128 MB
+    rewrite. Original files (and their stats) carry verbatim; the next
+    rewrite/compaction touching them materializes the DVs."""
     from pyspark.sql import functions as F
 
+    if mode not in ("rewrite", "dv"):
+        raise ValueError(f"update_snapshot: unknown mode {mode!r}")
     versions = _list_versions(spark, table_dir)
     if not versions:
         raise FileNotFoundError(f"no snapshots at {table_dir}")
@@ -1325,6 +1335,10 @@ def update_snapshot(
         candidates = _prune_by_stats(files, stats, prune_where)
     if not candidates:
         return base_v
+    if mode == "dv":
+        return _update_snapshot_dv(
+            spark, table_dir, base_v, m, candidates, where, set_exprs, stats_cols
+        )
     probe = (
         _read_with_dvs(spark, candidates, sig, dv_files, keep_meta=True)
         .filter(where)
@@ -1528,3 +1542,76 @@ def consume_changes(
     else:
         delta = snapshot_change_feed(spark, table_dir, last_seen, latest)
     return delta, latest
+
+
+def _update_snapshot_dv(
+    spark: SparkSession,
+    table_dir: str,
+    base_v: int,
+    m: dict,
+    candidates: list[str],
+    where: str,
+    set_exprs: dict[str, str],
+    stats_cols: list[str] | None,
+) -> int:
+    """The merge-on-read UPDATE commit (see :func:`update_snapshot`
+    ``mode='dv'``): DV the matched preimages, append their postimages."""
+    from pyspark.sql import functions as F
+
+    sig = m.get("schema")
+    dv_files = m.get("dv_files", [])
+    stats = m.get("stats", {})
+    matched = _read_with_dvs(spark, candidates, sig, dv_files, keep_meta=True).filter(
+        where
+    )
+    data_cols = [c for c in matched.columns if c not in ("__p", "__i")]
+    types = dict(
+        (n, t) for n, t in (sig or _schema_sig(matched.select(*data_cols)))
+    )
+    missing = [c for c in set_exprs if c not in types]
+    if missing:
+        raise ValueError(f"update_snapshot: SET column(s) {missing} not in table")
+    if matched.limit(1).count() == 0:
+        return base_v
+    postimages = matched.select(
+        *[
+            (F.expr(set_exprs[c]).cast(types[c]) if c in set_exprs else F.col(c)).alias(c)
+            for c in data_cols
+        ]
+    )
+    new_dv = matched.select(
+        F.col("__p").alias("file_path"), F.col("__i").alias("row_index")
+    )
+    dv_path = _write_data(
+        new_dv, table_dir, f"v{base_v + 1:05d}-dv-{uuid.uuid4().hex[:12]}"
+    )
+    post_path = _write_data(
+        postimages, table_dir, f"v{base_v + 1:05d}-update-{uuid.uuid4().hex[:12]}"
+    )
+    cdc_path = _write_data(
+        postimages.withColumn("change_type", F.lit("update")),
+        table_dir,
+        f"v{base_v + 1:05d}-update-cdc-{uuid.uuid4().hex[:12]}",
+    )
+    post_files = _data_files(spark, post_path)
+    cols = stats_cols if stats_cols is not None else _stats_cols_of(m)
+    post_stats = _file_stats(spark, post_files, cols) if cols and post_files else {}
+    manifest = {
+        "version": base_v + 1,
+        "op": "update",
+        "mode": "dv",
+        "files": m["files"] + post_files,
+        "schema": sig,
+        "updated_where": where,
+        "files_rewritten": 0,
+        "dv_files": dv_files + _data_files(spark, dv_path),
+        "cdc_files": _data_files(spark, cdc_path),
+    }
+    if stats or post_stats:
+        manifest["stats"] = {**stats, **post_stats}
+    if not _try_commit(spark, table_dir, base_v + 1, manifest):
+        raise RuntimeError(
+            f"update_snapshot: version {base_v + 1} was committed concurrently at "
+            f"{table_dir}; re-read and retry (DV/postimage dirs left as vacuum debris)"
+        )
+    return base_v + 1

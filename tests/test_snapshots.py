@@ -1340,3 +1340,51 @@ def test_deletion_vector_delete_merge_on_read(spark, tmp_path):
     deleted = vacuum(spark, t, keep_last=1)
     assert deleted > 0
     assert read_snapshot(spark, t).count() == 198
+
+
+def test_deletion_vector_update_appends_postimages(spark, tmp_path):
+    """DV (merge-on-read) UPDATE: preimages deletion-vectored, postimages
+    appended as a small file — no original file rewritten. Reads show the
+    new values; time travel shows the old; the feed carries the update
+    postimages; compaction materializes everything."""
+    from customer_activity_lakehouse_spark.sources.snapshots import (
+        _read_manifest,
+        compact_snapshot,
+        read_snapshot,
+        snapshot_change_feed,
+        update_snapshot,
+    )
+
+    t = str(tmp_path / "tbl")
+    _commit_sized(spark, t, 0, 100)
+    _commit_sized(spark, t, 1000, 1100)
+    m2 = _read_manifest(spark, t, 2)
+
+    v3 = update_snapshot(
+        spark, t, "id IN (4, 1004)", {"v": "v * -1"}, mode="dv"
+    )
+    m3 = _read_manifest(spark, t, v3)
+    assert m3["mode"] == "dv" and m3["files_rewritten"] == 0
+    assert set(m2["files"]) < set(m3["files"])  # originals intact + postimage file
+    assert m3["dv_files"]
+    got = {r.id: r.v for r in read_snapshot(spark, t).collect()}
+    assert len(got) == 200 and got[4] == -8 and got[1004] == -2008
+    assert got[5] == 10  # neighbors untouched
+    old = {r.id: r.v for r in read_snapshot(spark, t, version=2).collect()}
+    assert old[4] == 8  # time travel: preimages
+
+    feed = snapshot_change_feed(spark, t, 2, v3)
+    assert {(r.id, r.v, r.change_type) for r in feed.collect()} == {
+        (4, -8, "update"),
+        (1004, -2008, "update"),
+    }
+    # a second DV update of the SAME key hits the postimage row, not the
+    # DV'd preimage (reads go through the vectors)
+    v4 = update_snapshot(spark, t, "id = 4", {"v": "v - 1"}, mode="dv")
+    assert {r.v for r in read_snapshot(spark, t).filter("id = 4").collect()} == {-9}
+
+    v5 = compact_snapshot(spark, t, target_file_mb=64)
+    m5 = _read_manifest(spark, t, v5)
+    assert "dv_files" not in m5
+    got = {r.id: r.v for r in read_snapshot(spark, t).collect()}
+    assert len(got) == 200 and got[4] == -9 and got[1004] == -2008
