@@ -201,6 +201,7 @@ def _commit_append_files(
     new_stats: dict,
     allow_schema_evolution: bool = False,
     extra: dict | None = None,
+    validated_constraints: dict | None = None,
 ) -> int:
     """The append-commit retry loop shared by :func:`commit_append` and the
     streaming snapshot sink: chain ``new_files`` onto whatever manifest is
@@ -209,8 +210,13 @@ def _commit_append_files(
     r6): a concurrent writer may commit an evolved schema between this
     writer's entry validation and its winning rename — recording the stale
     signature then would silently drop the new column from latest-version
-    reads. ``extra`` keys land verbatim in the manifest (the streaming sink
-    stamps its batch id there, atomically with the file list)."""
+    reads. CHECK constraints get the same treatment: the latest manifest's
+    set is enforced against the staged files (re-reading them only when
+    the set differs from what the caller already validated, tracked via
+    ``validated_constraints``). ``extra`` keys land verbatim in the
+    manifest (the streaming sink stamps its batch id there, atomically
+    with the file list)."""
+    validated = dict(validated_constraints or {})
     for _ in range(_MAX_COMMIT_RETRIES):
         versions = _list_versions(spark, table_dir)
         version = (versions[-1] if versions else 0) + 1
@@ -219,8 +225,11 @@ def _commit_append_files(
             prev_files = prev_m["files"]
             prev_stats = prev_m.get("stats", {})
             prev_sig = prev_m.get("schema")
+            prev_dvs = prev_m.get("dv_files", [])
+            prev_cons = prev_m.get("constraints", {})
         else:
             prev_files, prev_stats, prev_sig = [], {}, None
+            prev_dvs, prev_cons = [], {}
         record_sig = sig
         if prev_sig is not None and prev_sig != sig:
             if not allow_schema_evolution:
@@ -230,12 +239,27 @@ def _commit_append_files(
                     "allow_schema_evolution=True to record the evolved schema"
                 )
             record_sig = _merge_sigs(prev_sig, sig)
+        unvalidated = {k: v for k, v in prev_cons.items() if validated.get(k) != v}
+        if unvalidated and new_files:
+            # a constraint landed after the caller's entry validation (or
+            # the caller never validated — the streaming sink): enforce
+            # the LATEST set against the staged files before chaining
+            _validate_constraints(
+                _read_with_dvs(spark, new_files, sig, []),
+                unvalidated,
+                "commit_append",
+            )
+            validated.update(unvalidated)
         manifest = {
             "version": version,
             "op": "append",
             "files": prev_files + new_files,
             "schema": record_sig,
         }
+        if prev_cons:
+            manifest["constraints"] = prev_cons
+        if prev_dvs:
+            manifest["dv_files"] = prev_dvs
         if prev_stats or new_stats:
             manifest["stats"] = {**prev_stats, **new_stats}
         if extra:
@@ -266,6 +290,7 @@ def commit_append(
     multi-file reads take the schema of an arbitrary file."""
     versions = _list_versions(spark, table_dir)
     sig = _schema_sig(df)
+    entry_cons: dict = {}
     if versions:
         prev_m = _read_manifest(spark, table_dir, versions[-1])
         prev_sig = prev_m.get("schema")
@@ -278,6 +303,10 @@ def commit_append(
                 f"{prev_sig}, append has {sig}; pass allow_schema_evolution=True "
                 "to record the evolved schema"
             )
+        entry_cons = prev_m.get("constraints", {})
+        # CHECK constraints fail the append BEFORE any data lands (the
+        # retry loop re-validates against constraints added concurrently)
+        _validate_constraints(df, entry_cons, "commit_append")
     attempt = (versions[-1] if versions else 0) + 1
     # the staged dir name must be WRITER-unique, not just attempt-unique:
     # two appenders racing the same attempt number (threads in one driver,
@@ -287,7 +316,13 @@ def commit_append(
     new_files = _data_files(spark, data_path)
     new_stats = _file_stats(spark, new_files, stats_cols) if stats_cols else {}
     return _commit_append_files(
-        spark, table_dir, new_files, sig, new_stats, allow_schema_evolution
+        spark,
+        table_dir,
+        new_files,
+        sig,
+        new_stats,
+        allow_schema_evolution,
+        validated_constraints=entry_cons,
     )
 
 
@@ -300,9 +335,17 @@ def commit_overwrite(
     """Replace the table contents as a new snapshot (old versions remain
     readable until vacuumed). On a version race this ABORTS instead of
     retrying — an overwrite validated against version n must not blindly
-    clobber a concurrent n+1 (same rule as Delta's WriteSerializable)."""
+    clobber a concurrent n+1 (same rule as Delta's WriteSerializable).
+    CHECK constraints carry through and are enforced on the replacement
+    rows before any data lands."""
     versions = _list_versions(spark, table_dir)
     version = (versions[-1] if versions else 0) + 1
+    cons = (
+        _read_manifest(spark, table_dir, versions[-1]).get("constraints", {})
+        if versions
+        else {}
+    )
+    _validate_constraints(df, cons, "commit_overwrite")
     data_path = _write_data(df, table_dir, f"v{version:05d}-{uuid.uuid4().hex[:12]}")
     files = _data_files(spark, data_path)
     manifest = {
@@ -311,6 +354,8 @@ def commit_overwrite(
         "files": files,
         "schema": _schema_sig(df),
     }
+    if cons:
+        manifest["constraints"] = cons
     if stats_cols:
         manifest["stats"] = _file_stats(spark, files, stats_cols)
     if not _try_commit(spark, table_dir, version, manifest):
@@ -319,6 +364,107 @@ def commit_overwrite(
             f"{table_dir}; re-read the table and retry the overwrite"
         )
     return version
+
+
+def _carry_props(prev_m: dict | None, manifest: dict) -> dict:
+    """Table PROPERTIES travel with every commit: unlike files/stats
+    (which each commit recomputes for its own file list), properties like
+    CHECK constraints are table-level state that would silently vanish if
+    any commit built its manifest without them."""
+    if prev_m and prev_m.get("constraints"):
+        manifest.setdefault("constraints", prev_m["constraints"])
+    return manifest
+
+
+def _validate_constraints(df: DataFrame, constraints: dict[str, str], ctx: str) -> None:
+    """Every CHECK constraint must hold on every row of ``df`` — one
+    pushdown-friendly probe per constraint (constraint counts are small;
+    violations fail LOUDLY with the first offending row)."""
+    from pyspark.sql import functions as F
+
+    for name, expr in (constraints or {}).items():
+        bad = df.filter(~F.expr(expr)).limit(1).collect()
+        if bad:
+            raise ValueError(
+                f"{ctx}: CHECK constraint {name!r} ({expr}) violated, e.g. "
+                f"{bad[0].asDict()}"
+            )
+
+
+def set_check_constraint(
+    spark: SparkSession, table_dir: str, name: str, expr: str
+) -> int:
+    """ALTER TABLE ADD CONSTRAINT ... CHECK parity: record a SQL boolean
+    ``expr`` every future write-class commit must satisfy (appends,
+    overwrites, merges, updates — violations fail BEFORE any data lands).
+    Exactly Delta's contract: the EXISTING table must already satisfy the
+    constraint (validated here, one pushdown scan), and the constraint
+    rides the manifest so every writer sees it. The commit is
+    data_change=false (no row changed) — invisible to incremental
+    consumers. Version races abort."""
+    versions = _list_versions(spark, table_dir)
+    if not versions:
+        raise FileNotFoundError(f"no snapshots at {table_dir}")
+    base_v = versions[-1]
+    m = _read_manifest(spark, table_dir, base_v)
+    _validate_constraints(
+        read_snapshot(spark, table_dir, version=base_v),
+        {name: expr},
+        "set_check_constraint",
+    )
+    # build the manifest EXPLICITLY from table-level state — copying the
+    # previous manifest would leak its per-commit keys (cdc_files would
+    # make the change feed re-deliver the prior commit's rows here)
+    manifest = {
+        "version": base_v + 1,
+        "op": "set_constraint",
+        "data_change": False,
+        "files": m["files"],
+        "schema": m.get("schema"),
+        "constraints": {**m.get("constraints", {}), name: expr},
+    }
+    if m.get("stats"):
+        manifest["stats"] = m["stats"]
+    if m.get("dv_files"):
+        manifest["dv_files"] = m["dv_files"]
+    if not _try_commit(spark, table_dir, base_v + 1, manifest):
+        raise RuntimeError(
+            f"set_check_constraint: version {base_v + 1} was committed "
+            f"concurrently at {table_dir}; re-read and retry"
+        )
+    return base_v + 1
+
+
+def drop_check_constraint(spark: SparkSession, table_dir: str, name: str) -> int:
+    """ALTER TABLE DROP CONSTRAINT parity (data_change=false commit)."""
+    versions = _list_versions(spark, table_dir)
+    if not versions:
+        raise FileNotFoundError(f"no snapshots at {table_dir}")
+    base_v = versions[-1]
+    m = _read_manifest(spark, table_dir, base_v)
+    cons = dict(m.get("constraints", {}))
+    if name not in cons:
+        raise KeyError(f"no CHECK constraint {name!r} at {table_dir} (have {sorted(cons)})")
+    del cons[name]
+    manifest = {
+        "version": base_v + 1,
+        "op": "drop_constraint",
+        "data_change": False,
+        "files": m["files"],
+        "schema": m.get("schema"),
+    }
+    if cons:
+        manifest["constraints"] = cons
+    if m.get("stats"):
+        manifest["stats"] = m["stats"]
+    if m.get("dv_files"):
+        manifest["dv_files"] = m["dv_files"]
+    if not _try_commit(spark, table_dir, base_v + 1, manifest):
+        raise RuntimeError(
+            f"drop_check_constraint: version {base_v + 1} was committed "
+            f"concurrently at {table_dir}; re-read and retry"
+        )
+    return base_v + 1
 
 
 def _read_with_dvs(
@@ -552,6 +698,7 @@ def clone_snapshot(
         # DVs are part of the cloned version's read path (dropping them
         # would resurrect deleted rows at the clone)
         manifest["dv_files"] = src["dv_files"]
+    _carry_props(src, manifest)  # the clone inherits CHECK constraints
     if not _try_commit(spark, dst_dir, 1, manifest):
         raise RuntimeError(f"clone destination committed concurrently: {dst_dir}")
     return 1
@@ -587,6 +734,8 @@ def restore_snapshot(spark: SparkSession, table_dir: str, version: int) -> int:
     if target.get("dv_files"):
         # restoring to a DV-bearing version restores its deletions too
         manifest["dv_files"] = target["dv_files"]
+    _carry_props(target, manifest)  # restore returns to that version's
+    # constraints (consistent with restoring its schema)
     if not _try_commit(spark, table_dir, new_v, manifest):
         raise RuntimeError(
             f"restore_snapshot: version {new_v} was committed concurrently at "
@@ -901,6 +1050,7 @@ def compact_snapshot(
     if dv_files and big:
         manifest["dv_files"] = dv_files  # kept files still need theirs
     # (no kept files -> every DV materialized -> the list drops entirely)
+    _carry_props(m, manifest)
     if kept_stats or new_stats:
         manifest["stats"] = {**kept_stats, **new_stats}
     if not _try_commit(spark, table_dir, base_v + 1, manifest):
@@ -1038,6 +1188,8 @@ def merge_snapshot(
             f"updates have {up_sig} (merge does not evolve schemas; append "
             "with allow_schema_evolution=True first)"
         )
+    # survivors are already in-table; only the incoming rows need checking
+    _validate_constraints(updates, m.get("constraints", {}), "merge_snapshot")
     files = m["files"]
     stats = m.get("stats", {})
     key0 = keys[0]
@@ -1116,6 +1268,7 @@ def merge_snapshot(
         manifest["dv_files"] = dv_files
     if kept_stats or new_stats:
         manifest["stats"] = {**kept_stats, **new_stats}
+    _carry_props(m, manifest)
     if not _try_commit(spark, table_dir, base_v + 1, manifest):
         raise RuntimeError(
             f"merge_snapshot: version {base_v + 1} was committed concurrently at "
@@ -1226,6 +1379,7 @@ def delete_snapshot(
             # per-file [min,max] stay VALID bounds with rows deleted —
             # skipping is conservative, never a filter
             manifest["stats"] = stats
+        _carry_props(m, manifest)
         if not _try_commit(spark, table_dir, base_v + 1, manifest):
             raise RuntimeError(
                 f"delete_snapshot: version {base_v + 1} was committed concurrently "
@@ -1277,6 +1431,7 @@ def delete_snapshot(
         manifest["dv_files"] = dv_files
     if kept_stats or new_stats:
         manifest["stats"] = {**kept_stats, **new_stats}
+    _carry_props(m, manifest)
     if not _try_commit(spark, table_dir, base_v + 1, manifest):
         raise RuntimeError(
             f"delete_snapshot: version {base_v + 1} was committed concurrently at "
@@ -1380,6 +1535,12 @@ def update_snapshot(
         return df.select(*out)
 
     rewritten = updated_cols(existing, only_matching=False)
+    # only the transformed rows can break a CHECK constraint
+    _validate_constraints(
+        updated_cols(existing.filter(cond), only_matching=True),
+        m.get("constraints", {}),
+        "update_snapshot",
+    )
     data_path = _write_data(
         rewritten, table_dir, f"v{base_v + 1:05d}-update-{uuid.uuid4().hex[:12]}"
     )
@@ -1406,6 +1567,7 @@ def update_snapshot(
         manifest["dv_files"] = dv_files  # untouched files still need theirs
     if kept_stats or new_stats:
         manifest["stats"] = {**kept_stats, **new_stats}
+    _carry_props(m, manifest)
     if not _try_commit(spark, table_dir, base_v + 1, manifest):
         raise RuntimeError(
             f"update_snapshot: version {base_v + 1} was committed concurrently at "
@@ -1579,6 +1741,7 @@ def _update_snapshot_dv(
             for c in data_cols
         ]
     )
+    _validate_constraints(postimages, m.get("constraints", {}), "update_snapshot")
     new_dv = matched.select(
         F.col("__p").alias("file_path"), F.col("__i").alias("row_index")
     )
@@ -1609,6 +1772,7 @@ def _update_snapshot_dv(
     }
     if stats or post_stats:
         manifest["stats"] = {**stats, **post_stats}
+    _carry_props(m, manifest)
     if not _try_commit(spark, table_dir, base_v + 1, manifest):
         raise RuntimeError(
             f"update_snapshot: version {base_v + 1} was committed concurrently at "

@@ -1388,3 +1388,93 @@ def test_deletion_vector_update_appends_postimages(spark, tmp_path):
     assert "dv_files" not in m5
     got = {r.id: r.v for r in read_snapshot(spark, t).collect()}
     assert len(got) == 200 and got[4] == -9 and got[1004] == -2008
+
+
+def test_check_constraints_enforced_across_all_dml(spark, tmp_path):
+    """ALTER TABLE ADD CONSTRAINT parity: a CHECK recorded in the manifest
+    fails violating appends/overwrites/merges/updates BEFORE any data
+    lands; the existing table must satisfy it at set time; the property
+    rides every commit class (merge, delete, compact, clone); drop lifts
+    enforcement."""
+    from customer_activity_lakehouse_spark.sources.snapshots import (
+        _read_manifest,
+        clone_snapshot,
+        commit_append,
+        commit_overwrite,
+        compact_snapshot,
+        delete_snapshot,
+        drop_check_constraint,
+        merge_snapshot,
+        read_snapshot,
+        set_check_constraint,
+        update_snapshot,
+    )
+
+    t = str(tmp_path / "tbl")
+    commit_append(spark, t, spark.range(1, 50).selectExpr("id", "id * 2 AS v").coalesce(1))
+
+    # a constraint the current data violates refuses to be set
+    with pytest.raises(ValueError, match="CHECK constraint"):
+        set_check_constraint(spark, t, "v_big", "v > 50")
+    v = set_check_constraint(spark, t, "v_pos", "v > 0")
+    assert _read_manifest(spark, t, v)["data_change"] is False
+
+    with pytest.raises(ValueError, match="v_pos"):
+        commit_append(spark, t, spark.createDataFrame([(99, -1)], "id long, v long"))
+    with pytest.raises(ValueError, match="v_pos"):
+        merge_snapshot(
+            spark, t, spark.createDataFrame([(5, -5)], "id long, v long"), keys=["id"]
+        )
+    with pytest.raises(ValueError, match="v_pos"):
+        update_snapshot(spark, t, "id = 5", {"v": "-v"})
+    with pytest.raises(ValueError, match="v_pos"):
+        update_snapshot(spark, t, "id = 5", {"v": "-v"}, mode="dv")
+    with pytest.raises(ValueError, match="v_pos"):
+        commit_overwrite(spark, t, spark.createDataFrame([(1, 0)], "id long, v long"))
+    assert read_snapshot(spark, t).count() == 49  # nothing landed
+
+    # valid writes pass, and EVERY commit class carries the property
+    commit_append(spark, t, spark.createDataFrame([(100, 1)], "id long, v long"))
+    merge_snapshot(
+        spark, t, spark.createDataFrame([(5, 555)], "id long, v long"), keys=["id"]
+    )
+    delete_snapshot(spark, t, "id = 7")
+    compact_snapshot(spark, t, target_file_mb=64)
+    versions = sorted(
+        int(p.stem[1:]) for p in (Path(t) / "_snapshots").glob("v*.json")
+    )
+    m = _read_manifest(spark, t, versions[-1])
+    assert m["constraints"] == {"v_pos": "v > 0"}
+    with pytest.raises(ValueError, match="v_pos"):
+        commit_append(spark, t, spark.createDataFrame([(99, -1)], "id long, v long"))
+
+    # clones inherit the constraint
+    dst = str(tmp_path / "clone")
+    clone_snapshot(spark, t, dst)
+    with pytest.raises(ValueError, match="v_pos"):
+        commit_append(spark, dst, spark.createDataFrame([(99, -1)], "id long, v long"))
+
+    # drop lifts enforcement
+    drop_check_constraint(spark, t, "v_pos")
+    commit_append(spark, t, spark.createDataFrame([(99, -1)], "id long, v long"))
+    assert read_snapshot(spark, t).filter("v < 0").count() == 1
+    with pytest.raises(KeyError):
+        drop_check_constraint(spark, t, "nope")
+
+
+def test_append_after_dv_delete_keeps_vectors(spark, tmp_path):
+    """Regression: a plain append after a DV delete must CARRY the
+    manifest's deletion vectors — a commit that rebuilt the manifest
+    without them would resurrect the deleted rows."""
+    from customer_activity_lakehouse_spark.sources.snapshots import (
+        commit_append,
+        delete_snapshot,
+        read_snapshot,
+    )
+
+    t = str(tmp_path / "tbl")
+    _commit_sized(spark, t, 0, 100)
+    delete_snapshot(spark, t, "id IN (3, 4)", mode="dv")
+    commit_append(spark, t, spark.range(200, 210).selectExpr("id", "id * 2 AS v"))
+    got = sorted(r.id for r in read_snapshot(spark, t).collect())
+    assert len(got) == 108 and 3 not in got and 4 not in got
