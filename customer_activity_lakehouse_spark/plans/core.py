@@ -1590,6 +1590,130 @@ GROUP BY f.cohort_year, order_year
 """
 
 
+def q_customer_balance_capped(spark: SparkSession, sf: str) -> DataFrame:
+    """Floor-capped running balance per customer — the classic INHERENTLY
+    SEQUENTIAL per-key recurrence (acc' = max(0, acc + Δ)): a store-credit
+    ledger where finished orders debit and open orders credit, and the
+    balance can never go negative. No window function can express it (a
+    clamped prefix sum is a non-linear recurrence, not a frame aggregate),
+    and the reflex answer — applyInPandas per key — drops to Python.
+
+    This stays JVM-side: ONE shuffle collects each customer's ordered
+    (date, orderkey, Δ) structs (bounded by orders-per-customer, not data
+    volume; array_sort gives a deterministic total order because orderkey
+    is unique), then ``F.aggregate`` folds the clamp as a HOF expression.
+    DuckDB mirrors the fold with list_reduce over a 0-seeded list, so the
+    recurrence itself is oracle-checked, not just its inputs. Amounts are
+    integer cents end-to-end — the fold is bit-exact in both engines."""
+    orders = table(spark, sf, "orders")
+    delta = (
+        F.when(F.col("o_orderstatus") == "F", F.lit(-1)).otherwise(F.lit(1))
+        * F.round(_dec("o_totalprice") * 100).cast("long")
+    ).alias("d")
+    per = (
+        orders.select("o_custkey", "o_orderdate", "o_orderkey", delta)
+        .groupBy("o_custkey")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("o_orderdate", "o_orderkey", "d"))
+            ).alias("seq")
+        )
+    )
+    zero = F.lit(0).cast("long")
+    balance = F.aggregate(
+        F.expr("transform(seq, s -> s.d)"),
+        zero,
+        lambda acc, x: F.greatest(zero, acc + x),
+    )
+    return per.select(
+        "o_custkey",
+        F.size("seq").cast("long").alias("n_orders"),
+        balance.alias("final_balance_cents"),
+    )
+
+
+ORACLE_CUSTOMER_BALANCE_CAPPED = """
+SELECT o_custkey, count(*)::BIGINT AS n_orders,
+       list_reduce(
+         list_prepend(0::BIGINT, list(d ORDER BY o_orderdate, o_orderkey)),
+         (acc, x) -> greatest(0::BIGINT, acc + x)
+       )::BIGINT AS final_balance_cents
+FROM (
+  SELECT o_custkey, o_orderdate, o_orderkey,
+         (CASE WHEN o_orderstatus = 'F' THEN -1 ELSE 1 END)
+           * round(o_totalprice::DECIMAL(18,2) * 100)::BIGINT AS d
+  FROM orders)
+GROUP BY o_custkey
+"""
+
+
+def q_brand_revenue_trend(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-brand revenue trend: the OLS slope of monthly revenue over the
+    ship-month index — 'which brands are growing'. Same exactness doctrine
+    as the correlation matrix (q_lineitem_correlation_matrix): floating
+    moments accumulate in partition order and drift between engines, so
+    every moment (n, Σx, Σy, Σxy, Σx²) is an EXACT integer — x is the
+    month index (year·12+month), y is monthly revenue in 10⁻⁴ currency
+    units (revenue() is 4dp-decimal-exact) — and the slope
+    (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²) does ONE double division at the
+    end, rounded to 6dp: bit-identical everywhere.
+
+    Scale shape: lineitem⋈part rides dim_join (AQE-decided — part scales
+    with data), one (brand, month) partial agg, then a |brands|-row
+    moment rollup. Brands with a single month have no slope (HAVING
+    n ≥ 2)."""
+    li = table(spark, sf, "lineitem")
+    part = table(spark, sf, "part").select("p_partkey", "p_brand")
+    big = "decimal(38,0)"
+    monthly = (
+        dim_join(li, part, li.l_partkey == part.p_partkey)
+        .groupBy(
+            "p_brand",
+            (F.year("l_shipdate") * 12 + F.month("l_shipdate")).alias("x"),
+        )
+        .agg((F.sum(revenue()) * 10000).cast(big).alias("y"))
+    )
+    x = F.col("x").cast(big)
+    mo = monthly.groupBy("p_brand").agg(
+        F.count(F.lit(1)).cast(big).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(x * F.col("y")).alias("sxy"),
+        F.sum(x * x).alias("sxx"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    return (
+        mo.filter(F.col("n") >= 2)
+        .select(
+            "p_brand",
+            F.col("n").cast("long").alias("n_months"),
+            F.round(num / den / 10000.0, 6).alias("slope_per_month"),
+        )
+    )
+
+
+ORACLE_BRAND_REVENUE_TREND = f"""
+WITH monthly AS (
+  SELECT p_brand,
+         (year(l_shipdate) * 12 + month(l_shipdate))::HUGEINT AS x,
+         (sum({SQL_REV}) * 10000)::HUGEINT AS y
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY p_brand, x
+),
+mo AS (
+  SELECT p_brand, count(*)::HUGEINT AS n, sum(x)::HUGEINT AS sx,
+         sum(y)::HUGEINT AS sy, sum(x * y)::HUGEINT AS sxy,
+         sum(x * x)::HUGEINT AS sxx
+  FROM monthly GROUP BY p_brand
+)
+SELECT p_brand, n::BIGINT AS n_months,
+       round((n * sxy - sx * sy)::DOUBLE / (n * sxx - sx * sx)::DOUBLE / 10000.0, 6)
+         AS slope_per_month
+FROM mo WHERE n >= 2
+"""
+
+
 def q_brand_concentration_hhi(spark: SparkSession, sf: str) -> DataFrame:
     """Market concentration per part type: the Herfindahl–Hirschman index
     of brand revenue shares. The naive Σ share² sums FLOATS in engine-
@@ -2595,6 +2719,16 @@ QUERIES: dict[str, Query] = {
     ),
     "customer_cohort_ltv": Query(
         q_customer_cohort_ltv, ORACLE_CUSTOMER_COHORT_LTV, ("star", "cohort", "agg")
+    ),
+    "customer_balance_capped": Query(
+        q_customer_balance_capped,
+        ORACLE_CUSTOMER_BALANCE_CAPPED,
+        ("sequential", "hof", "fold"),
+    ),
+    "brand_revenue_trend": Query(
+        q_brand_revenue_trend,
+        ORACLE_BRAND_REVENUE_TREND,
+        ("regression", "agg", "tpch"),
     ),
     "brand_concentration_hhi": Query(
         q_brand_concentration_hhi, ORACLE_BRAND_CONCENTRATION_HHI, ("star", "agg", "exact-float")
