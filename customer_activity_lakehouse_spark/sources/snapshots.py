@@ -1779,3 +1779,152 @@ def _update_snapshot_dv(
             f"{table_dir}; re-read and retry (DV/postimage dirs left as vacuum debris)"
         )
     return base_v + 1
+
+
+# ---------------------------------------------------------------------------
+# Metadata tables — DESCRIBE HISTORY / DESCRIBE DETAIL / files listing
+# ---------------------------------------------------------------------------
+
+def snapshot_history(spark: SparkSession, table_dir: str) -> DataFrame:
+    """``DESCRIBE HISTORY`` parity: one row per retained version, as a
+    DataFrame so the commit log is itself queryable (filter to DML
+    commits, join versions against an audit table, chart file-count
+    growth between OPTIMIZE runs — the operational questions Delta
+    answers from its history table).
+
+    Columns: ``version``, ``op``, ``data_change``, ``n_files`` (total in
+    the snapshot), ``n_files_added`` / ``n_files_removed`` (file-set diff
+    vs the previous retained version), ``n_dv_files``, ``n_cdc_files``,
+    ``n_constraints``, ``stream_batch_id`` (streaming-sink commits only,
+    else null), ``detail`` (JSON of the op-specific manifest keys:
+    ``compacted_from``, ``clustered_by``, ``deleted_where`` …).
+
+    Scale: the history is built from the manifests alone — |versions|
+    driver-side JSON reads, zero data I/O, same cost class as reading the
+    log. Vacuumed versions no longer appear (their manifests are gone),
+    exactly as Delta history is bounded by retention.
+
+    Beyond-reference extension: the reference keeps no commit log at all —
+    its zones are overwritten in place (data_processing.py:217), so
+    "what changed when" is unanswerable there.
+    """
+    versions = _list_versions(spark, table_dir)
+    if not versions:
+        raise FileNotFoundError(f"no snapshots at {table_dir}")
+    _core = {
+        "version", "op", "data_change", "files", "schema", "constraints",
+        "dv_files", "stats", "cdc_files", "stream_batch_id",
+    }
+    rows = []
+    prev_files: set[str] = set()
+    first = True
+    for v in versions:
+        m = _read_manifest(spark, table_dir, v)
+        cur = set(m["files"])
+        rows.append(
+            (
+                v,
+                m.get("op", "unknown"),
+                bool(m.get("data_change", True)),
+                len(cur),
+                # the first RETAINED version's diff base is unknowable
+                # once vacuum dropped its predecessors: report its full
+                # file list as "added" (it is, relative to nothing)
+                len(cur if first else cur - prev_files),
+                0 if first else len(prev_files - cur),
+                len(m.get("dv_files", [])),
+                len(m.get("cdc_files", [])),
+                len(m.get("constraints", {})),
+                m.get("stream_batch_id"),
+                json.dumps(
+                    {k: v2 for k, v2 in m.items() if k not in _core},
+                    sort_keys=True, default=str,
+                ),
+            )
+        )
+        prev_files, first = cur, False
+    return spark.createDataFrame(
+        rows,
+        schema=(
+            "version int, op string, data_change boolean, n_files int, "
+            "n_files_added int, n_files_removed int, n_dv_files int, "
+            "n_cdc_files int, n_constraints int, stream_batch_id long, "
+            "detail string"
+        ),
+    )
+
+
+def snapshot_detail(
+    spark: SparkSession, table_dir: str, version: int | None = None
+) -> DataFrame:
+    """``DESCRIBE DETAIL`` parity: a one-row DataFrame describing the
+    table at ``version`` (default latest) — version, file count, total
+    bytes, schema DDL, CHECK constraints (JSON), deletion-vector count,
+    and which columns carry skipping stats. The byte total is FileSystem
+    metadata (|files| driver-side status calls), never a data scan."""
+    versions = _list_versions(spark, table_dir)
+    if not versions:
+        raise FileNotFoundError(f"no snapshots at {table_dir}")
+    v = versions[-1] if version is None else version
+    if v not in versions:
+        raise FileNotFoundError(f"snapshot v{v} not found at {table_dir} (have {versions})")
+    m = _read_manifest(spark, table_dir, v)
+    sizes = _file_sizes(spark, m["files"])
+    sig = m.get("schema") or []
+    row = (
+        v,
+        versions[-1],
+        len(m["files"]),
+        sum(sizes.values()),
+        ", ".join(f"{n} {t}" for n, t in sig),
+        json.dumps(m.get("constraints", {}), sort_keys=True),
+        len(m.get("dv_files", [])),
+        _stats_cols_of(m),
+    )
+    return spark.createDataFrame(
+        [row],
+        schema=(
+            "version int, latest_version int, n_files int, size_bytes long, "
+            "schema_ddl string, constraints string, n_dv_files int, "
+            "stats_columns array<string>"
+        ),
+    )
+
+
+def snapshot_file_listing(
+    spark: SparkSession, table_dir: str, version: int | None = None
+) -> DataFrame:
+    """The Iceberg ``files`` metadata table: one row per data file in the
+    snapshot at ``version`` (default latest) — path, byte size, and the
+    recorded per-column [min, max] skipping stats (stringified, as a
+    ``map<string, array<string>>``; a null entry means an all-null file).
+    This is the table an operator inspects to decide WHEN to run
+    :func:`compact_snapshot` (file-size histogram) and to audit what
+    ``skip_where`` can prune — all from manifest + FS metadata, zero data
+    I/O."""
+    versions = _list_versions(spark, table_dir)
+    if not versions:
+        raise FileNotFoundError(f"no snapshots at {table_dir}")
+    v = versions[-1] if version is None else version
+    if v not in versions:
+        raise FileNotFoundError(f"snapshot v{v} not found at {table_dir} (have {versions})")
+    m = _read_manifest(spark, table_dir, v)
+    sizes = _file_sizes(spark, m["files"])
+    stats = m.get("stats", {})
+    rows = []
+    for f in m["files"]:
+        st = stats.get(f, {})
+        rows.append(
+            (
+                f,
+                sizes[f],
+                {
+                    c: (None if mm[0] is None else [str(mm[0]), str(mm[1])])
+                    for c, mm in st.items()
+                },
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        schema="file string, size_bytes long, col_stats map<string, array<string>>",
+    )

@@ -1478,3 +1478,57 @@ def test_append_after_dv_delete_keeps_vectors(spark, tmp_path):
     commit_append(spark, t, spark.range(200, 210).selectExpr("id", "id * 2 AS v"))
     got = sorted(r.id for r in read_snapshot(spark, t).collect())
     assert len(got) == 108 and 3 not in got and 4 not in got
+
+
+def test_snapshot_history_detail_and_files_metadata(spark, tmp_path):
+    """DESCRIBE HISTORY / DETAIL / files-listing metadata tables: per-
+    version op + file-diff accounting, one-row detail, and per-file stats
+    rows — all built from manifests + FS metadata, no data scan."""
+    from customer_activity_lakehouse_spark.sources.snapshots import (
+        compact_snapshot,
+        delete_snapshot,
+        snapshot_detail,
+        snapshot_file_listing,
+        snapshot_history,
+    )
+
+    t = str(tmp_path / "tbl")
+    commit_append(spark, t, _df(spark, 0, 10).coalesce(1), stats_cols=["id"])
+    commit_append(spark, t, _df(spark, 10, 20).coalesce(1), stats_cols=["id"])
+    delete_snapshot(spark, t, "id >= 18")
+    compact_snapshot(spark, t, target_file_mb=64)
+
+    hist = snapshot_history(spark, t).orderBy("version").collect()
+    assert [r.op for r in hist] == ["append", "append", "delete", "replace"]
+    assert [r.data_change for r in hist] == [True, True, True, False]
+    # first retained version reports its whole file list as added
+    assert hist[0].n_files_added == hist[0].n_files == 1
+    assert hist[1].n_files == 2 and hist[1].n_files_added == 1
+    assert hist[2].n_cdc_files >= 1
+    # compaction removed the small files and added the packed rewrite
+    assert hist[3].n_files_removed >= 1 and hist[3].n_files_added >= 1
+    assert '"compacted_from": 3' in hist[3].detail
+
+    det = snapshot_detail(spark, t).collect()[0]
+    assert det.version == det.latest_version == 4
+    assert det.n_files == hist[3].n_files
+    assert det.size_bytes > 0
+    assert "id bigint" in det.schema_ddl
+    assert det.stats_columns == ["id"]
+
+    # time-travel detail pins the pre-compact state
+    det2 = snapshot_detail(spark, t, version=2).collect()[0]
+    assert (det2.version, det2.latest_version, det2.n_files) == (2, 4, 2)
+
+    files = snapshot_file_listing(spark, t).collect()
+    assert len(files) == det.n_files
+    assert all(f.size_bytes > 0 for f in files)
+    stats = {c: v for f in files for c, v in f.col_stats.items()}
+    assert "id" in stats  # compaction refreshed skipping stats
+    # min/max stringified, orderable back to ints
+    lo, hi = int(stats["id"][0]), int(stats["id"][1])
+    assert 0 <= lo <= hi <= 17  # 18,19 deleted before compaction
+
+    # history is bounded by retention, exactly as Delta
+    vacuum(spark, t, keep_last=1)
+    assert snapshot_history(spark, t).count() == 1
