@@ -193,6 +193,199 @@ def _merge_sigs(prev_sig: list, sig: list) -> list:
     return merged
 
 
+# ---------------------------------------------------------------------------
+# Column mapping (Delta name-mode): rename/drop columns WITHOUT rewriting data
+# ---------------------------------------------------------------------------
+#
+# Once enabled (implicitly, by the first rename/drop), the manifest carries
+#   colmap:      {logical name -> physical name}   (what readers alias)
+#   colmap_used: [every physical name ever assigned]
+# Physical names are IMMUTABLE — a rename changes only the logical side, so
+# renaming a column on a 100 TB table is one manifest write, zero data I/O.
+# Data files, skipping stats, and CDC change files are always keyed/written
+# by PHYSICAL name; every read aliases back to the manifest's logical names.
+# A re-added column whose name was ever used physically gets a fresh
+# uuid-suffixed physical name — without this, explicit-schema reads would
+# surface a DROPPED column's stale bytes as the new column's values (the
+# exact hazard Delta's column-id indirection exists for).
+
+
+def _mapping_of(m: dict | None) -> tuple[dict | None, list[str]]:
+    """(colmap, colmap_used) of a manifest; (None, used) when mapping is
+    not enabled (logical == physical everywhere)."""
+    if not m:
+        return None, []
+    cm = m.get("colmap")
+    return (dict(cm) if cm is not None else None), list(m.get("colmap_used", []))
+
+
+def _phys(colmap: dict | None, col: str) -> str:
+    return colmap.get(col, col) if colmap else col
+
+
+def _to_physical(df: DataFrame, colmap: dict | None) -> DataFrame:
+    """Project ``df``'s logical columns to their physical names before any
+    file write. One aliasing projection (never chained withColumnRenamed —
+    a swap-shaped mapping would transiently collide); non-mapped columns
+    (``change_type``, probe metadata) pass through unchanged."""
+    if not colmap or all(colmap.get(c, c) == c for c in df.columns):
+        return df
+    from pyspark.sql import functions as F
+
+    return df.select(*[F.col(c).alias(colmap.get(c, c)) for c in df.columns])
+
+
+def _carry_mapping(src_m: dict | None, manifest: dict) -> dict:
+    """Column mapping is table-level state like CHECK constraints: any
+    commit that rebuilds a manifest without carrying it would silently
+    detach every reader from the physical file schema."""
+    if src_m:
+        if src_m.get("colmap") is not None:
+            manifest.setdefault("colmap", src_m["colmap"])
+        if src_m.get("colmap_used"):
+            manifest.setdefault("colmap_used", src_m["colmap_used"])
+    return manifest
+
+
+def rename_snapshot_column(
+    spark: SparkSession, table_dir: str, old: str, new: str
+) -> int:
+    """``ALTER TABLE RENAME COLUMN`` parity via name-mode column mapping:
+    a metadata-only (``data_change=false``) commit — the physical files,
+    their skipping stats, and any deletion vectors are untouched; only the
+    logical schema and the mapping change. Time travel still shows the old
+    name at old versions (each manifest carries its own mapping).
+
+    Refused when a CHECK constraint references the column (Delta's rule —
+    the stored SQL expr would silently stop binding). Version races abort.
+
+    Beyond-reference extension: the reference renames columns by
+    rewriting whole zones (data_processing.py:150's projections); on a
+    100 TB table that is days of I/O for a name change."""
+    versions = _list_versions(spark, table_dir)
+    if not versions:
+        raise FileNotFoundError(f"no snapshots at {table_dir}")
+    base_v = versions[-1]
+    m = _read_manifest(spark, table_dir, base_v)
+    sig = m.get("schema")
+    if sig is None:
+        raise ValueError(f"rename_snapshot_column: no recorded schema at {table_dir}")
+    names = [n for n, _ in sig]
+    if old not in names:
+        raise KeyError(f"no column {old!r} at {table_dir} (have {names})")
+    if new in names:
+        raise ValueError(f"column {new!r} already exists at {table_dir}")
+    _check_constraint_refs(m, old, "rename_snapshot_column")
+    colmap, used = _mapping_of(m)
+    if colmap is None:
+        colmap, used = {n: n for n in names}, list(names)
+    colmap[new] = colmap.pop(old)
+    manifest = {
+        "version": base_v + 1,
+        "op": "rename_column",
+        "data_change": False,
+        "files": m["files"],
+        "schema": [[new if n == old else n, t] for n, t in sig],
+        "colmap": colmap,
+        "colmap_used": used,
+        "renamed": [old, new],
+    }
+    for k in ("stats", "dv_files"):
+        if m.get(k):
+            manifest[k] = m[k]
+    _carry_props(m, manifest)
+    if not _try_commit(spark, table_dir, base_v + 1, manifest):
+        raise RuntimeError(
+            f"rename_snapshot_column: version {base_v + 1} was committed "
+            f"concurrently at {table_dir}; re-read and retry"
+        )
+    return base_v + 1
+
+
+def drop_snapshot_column(spark: SparkSession, table_dir: str, name: str) -> int:
+    """``ALTER TABLE DROP COLUMN`` parity: metadata-only — the column
+    vanishes from the logical schema and the mapping, its bytes stay in
+    the files (invisible to every read, reclaimed physically by the next
+    rewrite of each file), and its physical name is retired forever in
+    ``colmap_used``. Refused while a CHECK constraint references it."""
+    versions = _list_versions(spark, table_dir)
+    if not versions:
+        raise FileNotFoundError(f"no snapshots at {table_dir}")
+    base_v = versions[-1]
+    m = _read_manifest(spark, table_dir, base_v)
+    sig = m.get("schema")
+    if sig is None:
+        raise ValueError(f"drop_snapshot_column: no recorded schema at {table_dir}")
+    names = [n for n, _ in sig]
+    if name not in names:
+        raise KeyError(f"no column {name!r} at {table_dir} (have {names})")
+    if len(names) == 1:
+        raise ValueError(f"cannot drop the only column of {table_dir}")
+    _check_constraint_refs(m, name, "drop_snapshot_column")
+    colmap, used = _mapping_of(m)
+    if colmap is None:
+        colmap, used = {n: n for n in names}, list(names)
+    phys = colmap.pop(name)
+    stats = {
+        f: {c: mm for c, mm in st.items() if c != phys}
+        for f, st in m.get("stats", {}).items()
+    }
+    manifest = {
+        "version": base_v + 1,
+        "op": "drop_column",
+        "data_change": False,
+        "files": m["files"],
+        "schema": [[n, t] for n, t in sig if n != name],
+        "colmap": colmap,
+        "colmap_used": used,
+        "dropped": name,
+    }
+    if any(st for st in stats.values()):
+        manifest["stats"] = stats
+    if m.get("dv_files"):
+        manifest["dv_files"] = m["dv_files"]
+    _carry_props(m, manifest)
+    if not _try_commit(spark, table_dir, base_v + 1, manifest):
+        raise RuntimeError(
+            f"drop_snapshot_column: version {base_v + 1} was committed "
+            f"concurrently at {table_dir}; re-read and retry"
+        )
+    return base_v + 1
+
+
+def _check_constraint_refs(m: dict, col: str, ctx: str) -> None:
+    """Refuse a rename/drop while any CHECK constraint's SQL references
+    the column. Word-boundary containment is deliberately conservative
+    (a false positive refuses a legal rename; a false negative would
+    leave a constraint that silently stops binding — the unsafe side)."""
+    import re as _re
+
+    pat = _re.compile(rf"(?<![A-Za-z0-9_`]){_re.escape(col)}(?![A-Za-z0-9_])")
+    offenders = [n for n, e in m.get("constraints", {}).items() if pat.search(e)]
+    if offenders:
+        raise ValueError(
+            f"{ctx}: column {col!r} is referenced by CHECK constraint(s) "
+            f"{offenders}; drop them first"
+        )
+
+
+def _assign_physical(
+    logical_cols: list[str], colmap: dict, used: list[str]
+) -> tuple[dict, list[str]]:
+    """Extend an enabled mapping for schema evolution: each new logical
+    column gets its own name physically unless that name was EVER used
+    (live or retired), in which case a uuid-suffixed fresh name — stale
+    bytes of a dropped column must never surface as the new column."""
+    colmap, used = dict(colmap), list(used)
+    for c in logical_cols:
+        if c in colmap:
+            continue
+        p = c if c not in used else f"{c}_{uuid.uuid4().hex[:8]}"
+        colmap[c] = p
+        used.append(p)
+    return colmap, used
+
+
 def _commit_append_files(
     spark: SparkSession,
     table_dir: str,
@@ -202,6 +395,7 @@ def _commit_append_files(
     allow_schema_evolution: bool = False,
     extra: dict | None = None,
     validated_constraints: dict | None = None,
+    mapping: tuple | None = None,
 ) -> int:
     """The append-commit retry loop shared by :func:`commit_append` and the
     streaming snapshot sink: chain ``new_files`` onto whatever manifest is
@@ -215,8 +409,17 @@ def _commit_append_files(
     the set differs from what the caller already validated, tracked via
     ``validated_constraints``). ``extra`` keys land verbatim in the
     manifest (the streaming sink stamps its batch id there, atomically
-    with the file list)."""
+    with the file list).
+
+    ``mapping`` = (base_colmap, record_colmap, record_used) when the
+    caller staged its files against an enabled column mapping: the staged
+    files carry PHYSICAL column names, which stay valid across concurrent
+    renames (physical names are immutable) — but a concurrent MAPPING
+    change (another writer's evolution assigning physical names, or a
+    drop) invalidates the entry-time extension, so the retry loop raises
+    rather than record a guessed merge."""
     validated = dict(validated_constraints or {})
+    base_colmap = mapping[0] if mapping else None
     for _ in range(_MAX_COMMIT_RETRIES):
         versions = _list_versions(spark, table_dir)
         version = (versions[-1] if versions else 0) + 1
@@ -227,9 +430,23 @@ def _commit_append_files(
             prev_sig = prev_m.get("schema")
             prev_dvs = prev_m.get("dv_files", [])
             prev_cons = prev_m.get("constraints", {})
+            prev_colmap, _prev_used = _mapping_of(prev_m)
         else:
             prev_files, prev_stats, prev_sig = [], {}, None
             prev_dvs, prev_cons = [], {}
+            prev_colmap = None
+        if mapping is None and prev_colmap is not None:
+            raise ValueError(
+                f"commit_append: {table_dir} has column mapping enabled; this "
+                "write path staged files with logical names — stage through "
+                "commit_append (it translates to physical names) instead"
+            )
+        if mapping is not None and prev_colmap != base_colmap:
+            raise RuntimeError(
+                f"commit_append: column mapping at {table_dir} changed between "
+                "staging and commit (concurrent rename/drop/evolution); re-read "
+                "the table and retry the append"
+            )
         record_sig = sig
         if prev_sig is not None and prev_sig != sig:
             if not allow_schema_evolution:
@@ -245,7 +462,10 @@ def _commit_append_files(
             # the caller never validated — the streaming sink): enforce
             # the LATEST set against the staged files before chaining
             _validate_constraints(
-                _read_with_dvs(spark, new_files, sig, []),
+                _read_with_dvs(
+                    spark, new_files, sig, [],
+                    colmap=mapping[1] if mapping else None,
+                ),
                 unvalidated,
                 "commit_append",
             )
@@ -256,6 +476,9 @@ def _commit_append_files(
             "files": prev_files + new_files,
             "schema": record_sig,
         }
+        if mapping is not None:
+            manifest["colmap"] = mapping[1]
+            manifest["colmap_used"] = mapping[2]
         if prev_cons:
             manifest["constraints"] = prev_cons
         if prev_dvs:
@@ -291,9 +514,18 @@ def commit_append(
     versions = _list_versions(spark, table_dir)
     sig = _schema_sig(df)
     entry_cons: dict = {}
+    mapping = None
     if versions:
         prev_m = _read_manifest(spark, table_dir, versions[-1])
         prev_sig = prev_m.get("schema")
+        base_colmap, base_used = _mapping_of(prev_m)
+        if base_colmap is not None:
+            # mapped table: stage this batch's files under PHYSICAL names
+            # (new logical columns from an evolving append get fresh ones)
+            rec_colmap, rec_used = _assign_physical(
+                [n for n, _ in sig], base_colmap, base_used
+            )
+            mapping = (base_colmap, rec_colmap, rec_used)
         if prev_sig is not None and prev_sig != sig and not allow_schema_evolution:
             # fail BEFORE writing any data (the retry loop re-validates
             # against whatever manifest is latest at commit time — this
@@ -312,9 +544,15 @@ def commit_append(
     # two appenders racing the same attempt number (threads in one driver,
     # or a retried crashed commit) must never collide at the parquet write
     # — the manifest rename is the only arbitration point
-    data_path = _write_data(df, table_dir, f"v{attempt:05d}-{uuid.uuid4().hex[:12]}")
+    staged = _to_physical(df, mapping[1]) if mapping else df
+    data_path = _write_data(staged, table_dir, f"v{attempt:05d}-{uuid.uuid4().hex[:12]}")
     new_files = _data_files(spark, data_path)
-    new_stats = _file_stats(spark, new_files, stats_cols) if stats_cols else {}
+    # skipping stats are keyed by PHYSICAL column name (stable across renames)
+    stat_keys = (
+        [_phys(mapping[1], c) for c in stats_cols] if mapping and stats_cols
+        else stats_cols
+    )
+    new_stats = _file_stats(spark, new_files, stat_keys) if stat_keys else {}
     return _commit_append_files(
         spark,
         table_dir,
@@ -323,6 +561,7 @@ def commit_append(
         new_stats,
         allow_schema_evolution,
         validated_constraints=entry_cons,
+        mapping=mapping,
     )
 
 
@@ -337,7 +576,12 @@ def commit_overwrite(
     retrying — an overwrite validated against version n must not blindly
     clobber a concurrent n+1 (same rule as Delta's WriteSerializable).
     CHECK constraints carry through and are enforced on the replacement
-    rows before any data lands."""
+    rows before any data lands.
+
+    Column mapping RESETS here: the overwrite's files are a complete fresh
+    physical layout written under the new frame's own (logical) names, so
+    the new manifest carries no colmap — older versions keep their own
+    mapping for time travel."""
     versions = _list_versions(spark, table_dir)
     version = (versions[-1] if versions else 0) + 1
     cons = (
@@ -427,6 +671,7 @@ def set_check_constraint(
         manifest["stats"] = m["stats"]
     if m.get("dv_files"):
         manifest["dv_files"] = m["dv_files"]
+    _carry_mapping(m, manifest)
     if not _try_commit(spark, table_dir, base_v + 1, manifest):
         raise RuntimeError(
             f"set_check_constraint: version {base_v + 1} was committed "
@@ -459,6 +704,7 @@ def drop_check_constraint(spark: SparkSession, table_dir: str, name: str) -> int
         manifest["stats"] = m["stats"]
     if m.get("dv_files"):
         manifest["dv_files"] = m["dv_files"]
+    _carry_mapping(m, manifest)
     if not _try_commit(spark, table_dir, base_v + 1, manifest):
         raise RuntimeError(
             f"drop_check_constraint: version {base_v + 1} was committed "
@@ -473,6 +719,7 @@ def _read_with_dvs(
     sig: list | None,
     dv_files: list[str],
     keep_meta: bool = False,
+    colmap: dict | None = None,
 ):
     """Read ``files`` (with the manifest's explicit schema when recorded)
     APPLYING DELETION VECTORS: rows whose (file_path, row_index) appear in
@@ -485,19 +732,27 @@ def _read_with_dvs(
     ``keep_meta=True`` keeps ``__p``/``__i`` (file path, row index)
     visible for callers that need per-file attribution (the DML probes) —
     captured AT THE SCAN, so they stay correct even after joins where
-    ``input_file_name()`` would be unreliable."""
+    ``input_file_name()`` would be unreliable.
+
+    With ``colmap`` (column mapping enabled) the files are read by their
+    PHYSICAL schema and aliased back to logical names in the scan's first
+    projection — everything downstream (DV anti-join, DML probes, user
+    predicates) sees logical names only."""
     from pyspark.sql import functions as F
 
     if sig:
-        ddl = ", ".join(f"`{n}` {t}" for n, t in sig)
+        ddl = ", ".join(f"`{_phys(colmap, n)}` {t}" for n, t in sig)
         base = spark.read.schema(ddl).parquet(*files)
     else:
         base = spark.read.parquet(*files)
+    logical = (
+        [F.col(_phys(colmap, n)).alias(n) for n, _ in sig] if colmap and sig else None
+    )
     if not dv_files and not keep_meta:
-        return base
-    cols = base.columns
+        return base.select(*logical) if logical is not None else base
+    cols = [c for c, _ in sig] if colmap and sig else base.columns
     with_meta = base.select(
-        *cols,
+        *(logical if logical is not None else cols),
         F.col("_metadata.file_path").alias("__p"),
         F.col("_metadata.row_index").alias("__i"),
     )
@@ -579,11 +834,16 @@ def read_snapshot(
     if v not in versions:
         raise FileNotFoundError(f"snapshot v{v} not found at {table_dir} (have {versions})")
     manifest = _read_manifest(spark, table_dir, v)
+    colmap, _ = _mapping_of(manifest)
     if not manifest["files"]:
         return spark.createDataFrame([], schema="__empty string").limit(0)
     files = manifest["files"]
     if skip_where is not None:
-        files = _prune_by_stats(files, manifest.get("stats", {}), skip_where)
+        # stats are keyed by PHYSICAL name; callers skip on logical
+        col, lo, hi = skip_where
+        files = _prune_by_stats(
+            files, manifest.get("stats", {}), (_phys(colmap, col), lo, hi)
+        )
         if not files:
             empty = spark.createDataFrame([], schema="__empty string").limit(0)
             sig = manifest.get("schema")
@@ -598,7 +858,8 @@ def read_snapshot(
     # version's schema exactly. Deletion vectors, when present, are
     # applied at read (merge-on-read).
     return _read_with_dvs(
-        spark, files, manifest.get("schema"), manifest.get("dv_files", [])
+        spark, files, manifest.get("schema"), manifest.get("dv_files", []),
+        colmap=colmap,
     )
 
 
@@ -699,6 +960,8 @@ def clone_snapshot(
         # would resurrect deleted rows at the clone)
         manifest["dv_files"] = src["dv_files"]
     _carry_props(src, manifest)  # the clone inherits CHECK constraints
+    _carry_mapping(src, manifest)  # … and the column mapping (it references
+    # the source's physical files, so it must read them the source's way)
     if not _try_commit(spark, dst_dir, 1, manifest):
         raise RuntimeError(f"clone destination committed concurrently: {dst_dir}")
     return 1
@@ -736,6 +999,7 @@ def restore_snapshot(spark: SparkSession, table_dir: str, version: int) -> int:
         manifest["dv_files"] = target["dv_files"]
     _carry_props(target, manifest)  # restore returns to that version's
     # constraints (consistent with restoring its schema)
+    _carry_mapping(target, manifest)  # and its column mapping
     if not _try_commit(spark, table_dir, new_v, manifest):
         raise RuntimeError(
             f"restore_snapshot: version {new_v} was committed concurrently at "
@@ -854,7 +1118,12 @@ def snapshot_changes(
         if not new_files:
             base = read_snapshot(spark, table_dir, v_to)
             return base.withColumn("change_type", F.lit("insert")).limit(0)
-        return spark.read.parquet(*new_files).withColumn("change_type", F.lit("insert"))
+        # read through v_to's recorded schema + column mapping: files are
+        # stored under physical names; consumers see v_to's logical view
+        m_to = _read_manifest(spark, table_dir, v_to)
+        return _read_with_dvs(
+            spark, new_files, m_to.get("schema"), [], colmap=_mapping_of(m_to)[0]
+        ).withColumn("change_type", F.lit("insert"))
     if not key_cols:
         raise ValueError(
             f"snapshot_changes {table_dir} v{v_from}->v{v_to} crosses an overwrite "
@@ -975,6 +1244,7 @@ def compact_snapshot(
         raise FileNotFoundError(f"no snapshots at {table_dir}")
     base_v = versions[-1]
     m = _read_manifest(spark, table_dir, base_v)
+    colmap, _ = _mapping_of(m)
     files = m["files"]
     target_bytes = target_file_mb * 1024 * 1024
     sizes = _file_sizes(spark, files)
@@ -993,7 +1263,7 @@ def compact_snapshot(
     dv_files = m.get("dv_files", [])
     # rewriting through the DVs MATERIALIZES them for the rewritten files
     # (their deleted rows are gone for good); kept files still need theirs
-    df = _read_with_dvs(spark, small, sig, dv_files)
+    df = _read_with_dvs(spark, small, sig, dv_files, colmap=colmap)
     if cluster_by and zorder and len(cluster_by) >= 2:
         from pyspark.sql import functions as F
 
@@ -1024,14 +1294,18 @@ def compact_snapshot(
     else:
         rewritten = df.coalesce(n_out)
     data_path = _write_data(
-        rewritten,
+        _to_physical(rewritten, colmap),
         table_dir,
         f"v{base_v + 1:05d}-compact-{uuid.uuid4().hex[:12]}",
     )
     new_files = _data_files(spark, data_path)
-    cols = stats_cols if stats_cols is not None else _stats_cols_of(m)
+    cols = (
+        [_phys(colmap, c) for c in stats_cols]
+        if stats_cols is not None
+        else _stats_cols_of(m)
+    )
     if cluster_by:
-        cols = sorted(set(cols) | set(cluster_by))
+        cols = sorted(set(cols) | {_phys(colmap, c) for c in cluster_by})
     new_stats = _file_stats(spark, new_files, cols) if cols else {}
     kept_stats = {f: s for f, s in m.get("stats", {}).items() if f in set(big)}
     manifest = {
@@ -1051,6 +1325,7 @@ def compact_snapshot(
         manifest["dv_files"] = dv_files  # kept files still need theirs
     # (no kept files -> every DV materialized -> the list drops entirely)
     _carry_props(m, manifest)
+    _carry_mapping(m, manifest)
     if kept_stats or new_stats:
         manifest["stats"] = {**kept_stats, **new_stats}
     if not _try_commit(spark, table_dir, base_v + 1, manifest):
@@ -1068,6 +1343,7 @@ def _refine_touched(
     key0: str,
     candidates: list[str],
     stats: dict,
+    stat_key: str | None = None,
 ) -> list[str]:
     """Exact per-file containment refinement for merge pruning: among
     interval-passing candidate files, keep only those whose recorded
@@ -1085,7 +1361,8 @@ def _refine_touched(
     """
     from pyspark.sql import functions as F
 
-    sts = [stats.get(f, {}).get(key0) for f in candidates]
+    sk = stat_key or key0  # stats are keyed by PHYSICAL name under mapping
+    sts = [stats.get(f, {}).get(sk) for f in candidates]
     if not candidates or any(not st or st[0] is None for st in sts):
         return candidates
     dtype = dict(updates.dtypes)[key0]
@@ -1192,7 +1469,9 @@ def merge_snapshot(
     _validate_constraints(updates, m.get("constraints", {}), "merge_snapshot")
     files = m["files"]
     stats = m.get("stats", {})
+    colmap, _ = _mapping_of(m)
     key0 = keys[0]
+    pkey0 = _phys(colmap, key0)  # stats are keyed by physical name
     # prune with the batch's key range — one 1-row driver agg over the
     # (batch-sized) updates frame, then the same interval test skip_where
     # applies at read time, reused here to bound the WRITE
@@ -1202,7 +1481,7 @@ def merge_snapshot(
     lo, hi = bounds["lo"], bounds["hi"]
 
     def overlaps(f: str) -> bool:
-        st = stats.get(f, {}).get(key0)
+        st = stats.get(f, {}).get(pkey0)
         if not st or st[0] is None:
             return True  # no stats: cannot prove the file clean — rewrite
         mn, mx = st
@@ -1216,11 +1495,11 @@ def merge_snapshot(
         return True
 
     touched = [f for f in files if overlaps(f)] if lo is not None else []
-    touched = _refine_touched(spark, updates, key0, touched, stats)
+    touched = _refine_touched(spark, updates, key0, touched, stats, stat_key=pkey0)
     untouched = [f for f in files if f not in set(touched)]
     dv_files = m.get("dv_files", [])
     if touched:
-        existing = _read_with_dvs(spark, touched, sig, dv_files)
+        existing = _read_with_dvs(spark, touched, sig, dv_files, colmap=colmap)
         survivors = existing.join(
             updates.select(*keys).dropDuplicates(keys), keys, "left_anti"
         )
@@ -1243,14 +1522,22 @@ def merge_snapshot(
         merged = updates
         changes = updates.withColumn("change_type", F.lit("insert"))
     data_path = _write_data(
-        merged, table_dir, f"v{base_v + 1:05d}-merge-{uuid.uuid4().hex[:12]}"
+        _to_physical(merged, colmap),
+        table_dir,
+        f"v{base_v + 1:05d}-merge-{uuid.uuid4().hex[:12]}",
     )
     cdc_path = _write_data(
-        changes, table_dir, f"v{base_v + 1:05d}-merge-cdc-{uuid.uuid4().hex[:12]}"
+        _to_physical(changes, colmap),
+        table_dir,
+        f"v{base_v + 1:05d}-merge-cdc-{uuid.uuid4().hex[:12]}",
     )
     new_files = _data_files(spark, data_path)
     cdc_files = _data_files(spark, cdc_path)
-    cols = stats_cols if stats_cols is not None else _stats_cols_of(m)
+    cols = (
+        [_phys(colmap, c) for c in stats_cols]
+        if stats_cols is not None
+        else _stats_cols_of(m)
+    )
     new_stats = _file_stats(spark, new_files, cols) if cols else {}
     kept_stats = {f: s for f, s in stats.items() if f in set(untouched)}
     manifest = {
@@ -1269,6 +1556,7 @@ def merge_snapshot(
     if kept_stats or new_stats:
         manifest["stats"] = {**kept_stats, **new_stats}
     _carry_props(m, manifest)
+    _carry_mapping(m, manifest)
     if not _try_commit(spark, table_dir, base_v + 1, manifest):
         raise RuntimeError(
             f"merge_snapshot: version {base_v + 1} was committed concurrently at "
@@ -1337,17 +1625,19 @@ def delete_snapshot(
     stats = m.get("stats", {})
     sig = m.get("schema")
     dv_files = m.get("dv_files", [])
+    colmap, _ = _mapping_of(m)
 
     candidates = files
     if prune_where is not None:
-        candidates = _prune_by_stats(files, stats, prune_where)
+        pc, plo, phi = prune_where
+        candidates = _prune_by_stats(files, stats, (_phys(colmap, pc), plo, phi))
     if not candidates:
         return base_v  # stats prove nothing can match
     # probe THROUGH the DVs (an already-deleted row must not re-match);
     # file attribution comes from scan-time metadata, join-safe
-    matched_meta = _read_with_dvs(spark, candidates, sig, dv_files, keep_meta=True).filter(
-        where
-    )
+    matched_meta = _read_with_dvs(
+        spark, candidates, sig, dv_files, keep_meta=True, colmap=colmap
+    ).filter(where)
     data_cols = [c for c in matched_meta.columns if c not in ("__p", "__i")]
 
     if mode == "dv":
@@ -1360,7 +1650,12 @@ def delete_snapshot(
             new_dv, table_dir, f"v{base_v + 1:05d}-dv-{uuid.uuid4().hex[:12]}"
         )
         cdc_path = _write_data(
-            matched_meta.select(*data_cols).withColumn("change_type", F.lit("delete")),
+            _to_physical(
+                matched_meta.select(*data_cols).withColumn(
+                    "change_type", F.lit("delete")
+                ),
+                colmap,
+            ),
             table_dir,
             f"v{base_v + 1:05d}-delete-cdc-{uuid.uuid4().hex[:12]}",
         )
@@ -1380,6 +1675,7 @@ def delete_snapshot(
             # skipping is conservative, never a filter
             manifest["stats"] = stats
         _carry_props(m, manifest)
+        _carry_mapping(m, manifest)
         if not _try_commit(spark, table_dir, base_v + 1, manifest):
             raise RuntimeError(
                 f"delete_snapshot: version {base_v + 1} was committed concurrently "
@@ -1399,20 +1695,30 @@ def delete_snapshot(
     untouched = [f for f in files if f not in touched_set]  # original order
     if not touched:
         return base_v  # nothing matches: no new commit needed (idempotent)
-    survivors = _read_with_dvs(spark, touched, sig, dv_files).filter(f"NOT ({where})")
+    survivors = _read_with_dvs(
+        spark, touched, sig, dv_files, colmap=colmap
+    ).filter(f"NOT ({where})")
     data_path = _write_data(
-        survivors, table_dir, f"v{base_v + 1:05d}-delete-{uuid.uuid4().hex[:12]}"
+        _to_physical(survivors, colmap),
+        table_dir,
+        f"v{base_v + 1:05d}-delete-{uuid.uuid4().hex[:12]}",
     )
     # change feed: the removed rows themselves, persisted per-commit so
     # snapshot_change_feed never re-derives them from a snapshot diff
-    removed = _read_with_dvs(spark, touched, sig, dv_files).filter(where).withColumn(
-        "change_type", F.lit("delete")
-    )
+    removed = _read_with_dvs(
+        spark, touched, sig, dv_files, colmap=colmap
+    ).filter(where).withColumn("change_type", F.lit("delete"))
     cdc_path = _write_data(
-        removed, table_dir, f"v{base_v + 1:05d}-delete-cdc-{uuid.uuid4().hex[:12]}"
+        _to_physical(removed, colmap),
+        table_dir,
+        f"v{base_v + 1:05d}-delete-cdc-{uuid.uuid4().hex[:12]}",
     )
     new_files = _data_files(spark, data_path)
-    cols = stats_cols if stats_cols is not None else _stats_cols_of(m)
+    cols = (
+        [_phys(colmap, c) for c in stats_cols]
+        if stats_cols is not None
+        else _stats_cols_of(m)
+    )
     new_stats = _file_stats(spark, new_files, cols) if cols and new_files else {}
     kept_stats = {f: s for f, s in stats.items() if f in set(untouched)}
     manifest = {
@@ -1432,6 +1738,7 @@ def delete_snapshot(
     if kept_stats or new_stats:
         manifest["stats"] = {**kept_stats, **new_stats}
     _carry_props(m, manifest)
+    _carry_mapping(m, manifest)
     if not _try_commit(spark, table_dir, base_v + 1, manifest):
         raise RuntimeError(
             f"delete_snapshot: version {base_v + 1} was committed concurrently at "
@@ -1484,10 +1791,12 @@ def update_snapshot(
     stats = m.get("stats", {})
     sig = m.get("schema")
     dv_files = m.get("dv_files", [])
+    colmap, _ = _mapping_of(m)
 
     candidates = files
     if prune_where is not None:
-        candidates = _prune_by_stats(files, stats, prune_where)
+        pc, plo, phi = prune_where
+        candidates = _prune_by_stats(files, stats, (_phys(colmap, pc), plo, phi))
     if not candidates:
         return base_v
     if mode == "dv":
@@ -1495,7 +1804,7 @@ def update_snapshot(
             spark, table_dir, base_v, m, candidates, where, set_exprs, stats_cols
         )
     probe = (
-        _read_with_dvs(spark, candidates, sig, dv_files, keep_meta=True)
+        _read_with_dvs(spark, candidates, sig, dv_files, keep_meta=True, colmap=colmap)
         .filter(where)
         .groupBy("__p")
         .agg(F.count(F.lit(1)).alias("n"))
@@ -1511,7 +1820,7 @@ def update_snapshot(
     if not touched:
         return base_v
     untouched = [f for f in files if f not in set(touched)]
-    existing = _read_with_dvs(spark, touched, sig, dv_files)
+    existing = _read_with_dvs(spark, touched, sig, dv_files, colmap=colmap)
     types = dict(existing.dtypes)
     missing = [c for c in set_exprs if c not in types]
     if missing:
@@ -1542,16 +1851,24 @@ def update_snapshot(
         "update_snapshot",
     )
     data_path = _write_data(
-        rewritten, table_dir, f"v{base_v + 1:05d}-update-{uuid.uuid4().hex[:12]}"
+        _to_physical(rewritten, colmap),
+        table_dir,
+        f"v{base_v + 1:05d}-update-{uuid.uuid4().hex[:12]}",
     )
     postimages = updated_cols(existing.filter(cond), only_matching=True).withColumn(
         "change_type", F.lit("update")
     )
     cdc_path = _write_data(
-        postimages, table_dir, f"v{base_v + 1:05d}-update-cdc-{uuid.uuid4().hex[:12]}"
+        _to_physical(postimages, colmap),
+        table_dir,
+        f"v{base_v + 1:05d}-update-cdc-{uuid.uuid4().hex[:12]}",
     )
     new_files = _data_files(spark, data_path)
-    cols = stats_cols if stats_cols is not None else _stats_cols_of(m)
+    cols = (
+        [_phys(colmap, c) for c in stats_cols]
+        if stats_cols is not None
+        else _stats_cols_of(m)
+    )
     new_stats = _file_stats(spark, new_files, cols) if cols and new_files else {}
     kept_stats = {f: s for f, s in stats.items() if f in set(untouched)}
     manifest = {
@@ -1568,6 +1885,7 @@ def update_snapshot(
     if kept_stats or new_stats:
         manifest["stats"] = {**kept_stats, **new_stats}
     _carry_props(m, manifest)
+    _carry_mapping(m, manifest)
     if not _try_commit(spark, table_dir, base_v + 1, manifest):
         raise RuntimeError(
             f"update_snapshot: version {base_v + 1} was committed concurrently at "
@@ -1626,7 +1944,15 @@ def snapshot_change_feed(
             prev_files = set(m["files"])
             continue
         sig = m.get("schema")
-        ddl = ", ".join(f"`{n}` {t}" for n, t in sig) if sig else None
+        colmap_v, _ = _mapping_of(m)
+        ddl = (
+            ", ".join(f"`{_phys(colmap_v, n)}` {t}" for n, t in sig) if sig else None
+        )
+        relogical = (
+            [F.col(_phys(colmap_v, n)).alias(n) for n, _ in sig]
+            if colmap_v and sig
+            else None
+        )
         if m["op"] == "append":
             added = [f for f in m["files"] if f not in prev_files]
             if added:
@@ -1635,18 +1961,25 @@ def snapshot_change_feed(
                     if ddl
                     else spark.read.parquet(*added)
                 )
+                if relogical is not None:
+                    base = base.select(*relogical)
                 pieces.append(
                     base.withColumn("change_type", F.lit("insert")).withColumn(
                         "_commit_version", F.lit(v).cast("int")
                     )
                 )
         elif m.get("cdc_files"):
+            # change files are written under physical names too (plus the
+            # unmapped change_type marker) — alias back to THIS version's
+            # logical names so the feed unions cleanly across renames
             cdc_ddl = f"{ddl}, `change_type` string" if ddl else None
             base = (
                 spark.read.schema(cdc_ddl).parquet(*m["cdc_files"])
                 if cdc_ddl
                 else spark.read.parquet(*m["cdc_files"])
             )
+            if relogical is not None:
+                base = base.select(*relogical, F.col("change_type"))
             pieces.append(base.withColumn("_commit_version", F.lit(v).cast("int")))
         else:
             raise ValueError(
@@ -1723,9 +2056,10 @@ def _update_snapshot_dv(
     sig = m.get("schema")
     dv_files = m.get("dv_files", [])
     stats = m.get("stats", {})
-    matched = _read_with_dvs(spark, candidates, sig, dv_files, keep_meta=True).filter(
-        where
-    )
+    colmap, _ = _mapping_of(m)
+    matched = _read_with_dvs(
+        spark, candidates, sig, dv_files, keep_meta=True, colmap=colmap
+    ).filter(where)
     data_cols = [c for c in matched.columns if c not in ("__p", "__i")]
     types = dict(
         (n, t) for n, t in (sig or _schema_sig(matched.select(*data_cols)))
@@ -1749,15 +2083,21 @@ def _update_snapshot_dv(
         new_dv, table_dir, f"v{base_v + 1:05d}-dv-{uuid.uuid4().hex[:12]}"
     )
     post_path = _write_data(
-        postimages, table_dir, f"v{base_v + 1:05d}-update-{uuid.uuid4().hex[:12]}"
+        _to_physical(postimages, colmap),
+        table_dir,
+        f"v{base_v + 1:05d}-update-{uuid.uuid4().hex[:12]}",
     )
     cdc_path = _write_data(
-        postimages.withColumn("change_type", F.lit("update")),
+        _to_physical(postimages.withColumn("change_type", F.lit("update")), colmap),
         table_dir,
         f"v{base_v + 1:05d}-update-cdc-{uuid.uuid4().hex[:12]}",
     )
     post_files = _data_files(spark, post_path)
-    cols = stats_cols if stats_cols is not None else _stats_cols_of(m)
+    cols = (
+        [_phys(colmap, c) for c in stats_cols]
+        if stats_cols is not None
+        else _stats_cols_of(m)
+    )
     post_stats = _file_stats(spark, post_files, cols) if cols and post_files else {}
     manifest = {
         "version": base_v + 1,
@@ -1773,6 +2113,7 @@ def _update_snapshot_dv(
     if stats or post_stats:
         manifest["stats"] = {**stats, **post_stats}
     _carry_props(m, manifest)
+    _carry_mapping(m, manifest)
     if not _try_commit(spark, table_dir, base_v + 1, manifest):
         raise RuntimeError(
             f"update_snapshot: version {base_v + 1} was committed concurrently at "
@@ -1871,6 +2212,8 @@ def snapshot_detail(
     m = _read_manifest(spark, table_dir, v)
     sizes = _file_sizes(spark, m["files"])
     sig = m.get("schema") or []
+    colmap, _ = _mapping_of(m)
+    to_logical = {p_: l for l, p_ in (colmap or {}).items()}
     row = (
         v,
         versions[-1],
@@ -1879,7 +2222,13 @@ def snapshot_detail(
         ", ".join(f"{n} {t}" for n, t in sig),
         json.dumps(m.get("constraints", {}), sort_keys=True),
         len(m.get("dv_files", [])),
-        _stats_cols_of(m),
+        # stats are keyed by physical name; report logically (stats of
+        # DROPPED columns have no logical name and are omitted)
+        sorted(
+            to_logical.get(c, c)
+            for c in _stats_cols_of(m)
+            if not colmap or c in to_logical
+        ),
     )
     return spark.createDataFrame(
         [row],
@@ -1911,6 +2260,8 @@ def snapshot_file_listing(
     m = _read_manifest(spark, table_dir, v)
     sizes = _file_sizes(spark, m["files"])
     stats = m.get("stats", {})
+    colmap, _ = _mapping_of(m)
+    to_logical = {p_: l for l, p_ in (colmap or {}).items()}
     rows = []
     for f in m["files"]:
         st = stats.get(f, {})
@@ -1919,8 +2270,11 @@ def snapshot_file_listing(
                 f,
                 sizes[f],
                 {
-                    c: (None if mm[0] is None else [str(mm[0]), str(mm[1])])
+                    to_logical.get(c, c): (
+                        None if mm[0] is None else [str(mm[0]), str(mm[1])]
+                    )
                     for c, mm in st.items()
+                    if not colmap or c in to_logical
                 },
             )
         )

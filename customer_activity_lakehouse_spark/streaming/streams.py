@@ -587,21 +587,43 @@ def write_stream_snapshot_append(
         attempt = (versions[-1] if versions else 0) + 1
         import uuid
 
+        # column mapping (rename/drop without rewrite): stage this
+        # micro-batch under the table's PHYSICAL names, exactly as
+        # commit_append does; the commit loop re-checks the mapping
+        # didn't change concurrently
+        mapping = None
+        sig = snap._schema_sig(batch_df)
+        if versions:
+            base_colmap, base_used = snap._mapping_of(
+                snap._read_manifest(spark, table_dir, versions[-1])
+            )
+            if base_colmap is not None:
+                rec_colmap, rec_used = snap._assign_physical(
+                    [n for n, _ in sig], base_colmap, base_used
+                )
+                mapping = (base_colmap, rec_colmap, rec_used)
+        staged = snap._to_physical(batch_df, mapping[1]) if mapping else batch_df
         data_path = snap._write_data(
-            batch_df, table_dir, f"v{attempt:05d}-b{batch_id}-{uuid.uuid4().hex[:8]}"
+            staged, table_dir, f"v{attempt:05d}-b{batch_id}-{uuid.uuid4().hex[:8]}"
         )
         new_files = snap._data_files(spark, data_path)
+        stat_keys = (
+            [snap._phys(mapping[1], c) for c in stats_cols]
+            if mapping and stats_cols
+            else stats_cols
+        )
         new_stats = (
-            snap._file_stats(spark, new_files, stats_cols) if stats_cols else {}
+            snap._file_stats(spark, new_files, stat_keys) if stat_keys else {}
         )
         snap._commit_append_files(
             spark,
             table_dir,
             new_files,
-            snap._schema_sig(batch_df),
+            sig,
             new_stats,
             allow_schema_evolution=allow_schema_evolution,
             extra={"stream_batch_id": batch_id},
+            mapping=mapping,
         )
 
     return write_stream_foreach_batch(events, commit_batch_atomic, checkpoint)

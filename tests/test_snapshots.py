@@ -1532,3 +1532,143 @@ def test_snapshot_history_detail_and_files_metadata(spark, tmp_path):
     # history is bounded by retention, exactly as Delta
     vacuum(spark, t, keep_last=1)
     assert snapshot_history(spark, t).count() == 1
+
+
+def test_rename_column_metadata_only(spark, tmp_path):
+    """Rename is one manifest write: no data I/O, values intact under the
+    new name, time travel keeps the old name, skipping stats keep pruning
+    (keyed by immutable physical names)."""
+    from customer_activity_lakehouse_spark.sources.snapshots import (
+        rename_snapshot_column,
+        snapshot_file_listing,
+    )
+
+    t = str(tmp_path / "tbl")
+    commit_append(spark, t, _df(spark, 0, 10).repartition(2), stats_cols=["id"])
+    before_files = sorted(read_snapshot(spark, t).inputFiles())
+    v = rename_snapshot_column(spark, t, "v", "doubled")
+    assert v == 2
+    cur = read_snapshot(spark, t)
+    assert cur.columns == ["id", "doubled"]
+    assert cur.agg({"doubled": "sum"}).collect()[0][0] == sum(2 * i for i in range(10))
+    # zero data movement: identical physical files
+    assert sorted(cur.inputFiles()) == before_files
+    # time travel: v1 still reads the OLD logical name
+    assert read_snapshot(spark, t, version=1).columns == ["id", "v"]
+    # skipping on the logical name still prunes (stats keyed physically)
+    pruned = read_snapshot(spark, t, skip_where=("id", 0, 1))
+    assert len(pruned.inputFiles()) < len(before_files) or len(before_files) == 1
+    # rename the STATS column itself and skip on the new name
+    rename_snapshot_column(spark, t, "id", "ident")
+    pruned2 = read_snapshot(spark, t, skip_where=("ident", 0, 1))
+    assert pruned2.filter("ident <= 1").count() == 2
+    # metadata tables report logical names
+    fl = snapshot_file_listing(spark, t).collect()
+    assert all("ident" in f.col_stats for f in fl if f.col_stats)
+
+
+def test_rename_then_append_and_dml(spark, tmp_path):
+    """Writes after a rename stage under physical names: appends, MERGE,
+    DELETE, UPDATE, OPTIMIZE all speak logical names while files stay
+    physically consistent; the change feed re-logicalizes per version."""
+    from customer_activity_lakehouse_spark.sources.snapshots import (
+        compact_snapshot,
+        delete_snapshot,
+        merge_snapshot,
+        rename_snapshot_column,
+        snapshot_change_feed,
+        update_snapshot,
+    )
+
+    t = str(tmp_path / "tbl")
+    commit_append(spark, t, _df(spark, 0, 10).coalesce(1), stats_cols=["id"])
+    rename_snapshot_column(spark, t, "v", "val")
+    # append AFTER the rename — logical frame, physically translated
+    commit_append(
+        spark, t, spark.range(10, 15).selectExpr("id", "id * 2 AS val").coalesce(1),
+        stats_cols=["id"],
+    )
+    assert read_snapshot(spark, t).count() == 15
+    # merge on the renamed table (update 2, insert 1)
+    ups = spark.createDataFrame([(0, 100), (14, 100), (99, 100)], "id long, val long")
+    merge_snapshot(spark, t, ups, keys=["id"])
+    got = {r.id: r.val for r in read_snapshot(spark, t).collect()}
+    assert got[0] == 100 and got[14] == 100 and got[99] == 100 and len(got) == 16
+    # delete + update via the renamed column name in predicates
+    delete_snapshot(spark, t, "val = 100 AND id = 99")
+    update_snapshot(spark, t, "id = 1", {"val": "val + 7"})
+    got = {r.id: r.val for r in read_snapshot(spark, t).collect()}
+    assert 99 not in got and got[1] == 2 + 7
+    # OPTIMIZE rewrites through the mapping; logical view unchanged
+    compact_snapshot(spark, t, target_file_mb=64)
+    after = read_snapshot(spark, t)
+    assert after.columns == ["id", "val"]
+    assert {r.id: r.val for r in after.collect()} == got
+    # feed across rename + DML: logical columns throughout
+    feed = snapshot_change_feed(spark, t, 1)
+    assert set(feed.columns) == {"id", "val", "change_type", "_commit_version"}
+    assert feed.filter("change_type = 'delete'").count() == 1
+
+
+def test_drop_column_and_readd_never_resurrects(spark, tmp_path):
+    """DROP is metadata-only; re-adding a same-named column gets a FRESH
+    physical name, so the dropped column's stale bytes never surface."""
+    from customer_activity_lakehouse_spark.sources.snapshots import (
+        drop_snapshot_column,
+        rename_snapshot_column,
+    )
+
+    t = str(tmp_path / "tbl")
+    commit_append(spark, t, _df(spark, 0, 5).coalesce(1))
+    # enable mapping via a rename, then drop the renamed column
+    rename_snapshot_column(spark, t, "v", "val")
+    drop_snapshot_column(spark, t, "val")
+    assert read_snapshot(spark, t).columns == ["id"]
+    # time travel still sees it
+    assert read_snapshot(spark, t, version=2).columns == ["id", "val"]
+    # re-add a column with the ORIGINAL physical name ("v"): old files
+    # hold v = id * 2 bytes — they must read as NULL, not as stale values
+    evolved = spark.range(5, 8).selectExpr("id", "id * 1000 AS v")
+    commit_append(spark, t, evolved, allow_schema_evolution=True)
+    rows = {r.id: r.v for r in read_snapshot(spark, t).collect()}
+    assert rows[5] == 5000 and rows[0] is None  # NOT 0*2 from stale bytes
+    assert len(rows) == 8
+
+
+def test_rename_refused_while_constraint_references(spark, tmp_path):
+    from customer_activity_lakehouse_spark.sources.snapshots import (
+        drop_check_constraint,
+        rename_snapshot_column,
+        set_check_constraint,
+    )
+
+    t = str(tmp_path / "tbl")
+    commit_append(spark, t, _df(spark, 0, 5))
+    set_check_constraint(spark, t, "v_nonneg", "v >= 0")
+    with pytest.raises(ValueError, match="v_nonneg"):
+        rename_snapshot_column(spark, t, "v", "val")
+    drop_check_constraint(spark, t, "v_nonneg")
+    rename_snapshot_column(spark, t, "v", "val")
+    assert read_snapshot(spark, t).columns == ["id", "val"]
+
+
+def test_clone_restore_and_streaming_carry_mapping(spark, tmp_path):
+    from customer_activity_lakehouse_spark.sources.snapshots import (
+        clone_snapshot,
+        rename_snapshot_column,
+        restore_snapshot,
+    )
+
+    t = str(tmp_path / "tbl")
+    commit_append(spark, t, _df(spark, 0, 6).coalesce(1))
+    rename_snapshot_column(spark, t, "v", "val")
+    commit_append(spark, t, spark.range(6, 9).selectExpr("id", "id*2 AS val"))
+    # clone reads the source's physical files through the carried mapping
+    c = str(tmp_path / "clone")
+    clone_snapshot(spark, t, c)
+    assert read_snapshot(spark, c).columns == ["id", "val"]
+    assert read_snapshot(spark, c).count() == 9
+    # restore to the post-rename version keeps its mapping
+    restore_snapshot(spark, t, 2)
+    assert read_snapshot(spark, t).columns == ["id", "val"]
+    assert read_snapshot(spark, t).count() == 6
