@@ -52,6 +52,15 @@ def get_spark(
     extra_conf: dict[str, str] | None = None,
 ) -> SparkSession:
     """Build (or get) the session. Idempotent per-JVM; safe for tests."""
+    # Python workers must be able to import THIS package by reference
+    # (the snapshot_log DataSource class pickles by module path, unlike
+    # closure-serialized UDFs). PYTHONPATH is inherited by the workers
+    # the JVM forks, so set it BEFORE the JVM launches; on a real
+    # cluster ship the package via --py-files / pip instead.
+    pkg_parent = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    pp = os.environ.get("PYTHONPATH", "")
+    if pkg_parent not in pp.split(os.pathsep):
+        os.environ["PYTHONPATH"] = pkg_parent + (os.pathsep + pp if pp else "")
     cpus = default_parallelism()
     builder = (
         SparkSession.builder.appName(app_name)

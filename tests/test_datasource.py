@@ -1,0 +1,110 @@
+"""The snapshot_log Python Data Source (Spark 4 DataSource API): batch
+reads with DV + column-mapping + time-travel fidelity, and the log as a
+real Structured Streaming source with exactly-once version offsets."""
+
+from __future__ import annotations
+
+import pytest
+
+from customer_activity_lakehouse_spark.sources.datasource import (
+    SnapshotLogDataSource,
+)
+from customer_activity_lakehouse_spark.sources.snapshots import (
+    commit_append,
+    delete_snapshot,
+    merge_snapshot,
+    read_snapshot,
+    rename_snapshot_column,
+)
+
+
+@pytest.fixture(scope="module")
+def registered(spark):
+    spark.dataSource.register(SnapshotLogDataSource)
+    return spark
+
+
+def test_batch_read_matches_read_snapshot(registered, tmp_path):
+    spark = registered
+    t = str(tmp_path / "tbl")
+    commit_append(
+        spark, t, spark.range(0, 10).selectExpr("id", "id*2 AS v").coalesce(2)
+    )
+    commit_append(spark, t, spark.range(10, 15).selectExpr("id", "id*2 AS v"))
+    delete_snapshot(spark, t, "id = 3", mode="dv")  # DV applied in-reader
+    rename_snapshot_column(spark, t, "v", "val")  # mapping aliased in-reader
+
+    df = spark.read.format("snapshot_log").option("path", t).load()
+    assert df.columns == ["id", "val"]
+    got = {r.id: r.val for r in df.collect()}
+    want = {r.id: r.val for r in read_snapshot(spark, t).collect()}
+    assert got == want and 3 not in got and len(got) == 14
+
+    # time travel via option; pre-rename logical name
+    v1 = spark.read.format("snapshot_log").option("path", t).option("version", "1")
+    assert v1.load().columns == ["id", "v"]
+    assert v1.load().count() == 10
+
+
+def test_batch_read_evolved_schema_nulls(registered, tmp_path):
+    spark = registered
+    t = str(tmp_path / "tbl")
+    commit_append(spark, t, spark.range(0, 4).selectExpr("id"))
+    commit_append(
+        spark,
+        t,
+        spark.range(4, 6).selectExpr("id", "id*7 AS extra"),
+        allow_schema_evolution=True,
+    )
+    df = spark.read.format("snapshot_log").option("path", t).load()
+    rows = {r.id: r.extra for r in df.collect()}
+    assert rows[0] is None and rows[5] == 35 and len(rows) == 6
+
+
+def test_stream_source_exactly_once_offsets(registered, tmp_path):
+    """availableNow run consumes the log; appends land; a restart from
+    the same checkpoint delivers ONLY the delta (version offsets)."""
+    spark = registered
+    t = str(tmp_path / "tbl")
+    sink = str(tmp_path / "sink")
+    ck = str(tmp_path / "ck")
+    commit_append(spark, t, spark.range(0, 5).selectExpr("id", "id*3 AS v"))
+    sdf = spark.readStream.format("snapshot_log").option("path", t).load()
+
+    def run():
+        q = (
+            sdf.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run()
+    assert {r.id for r in spark.read.parquet(sink).collect()} == set(range(5))
+    commit_append(spark, t, spark.range(5, 9).selectExpr("id", "id*3 AS v"))
+    run()
+    # exactly-once: 0-4 not re-delivered, 5-8 delivered once
+    ids = sorted(r.id for r in spark.read.parquet(sink).collect())
+    assert ids == list(range(9))
+
+
+def test_stream_source_refuses_dml_commits(registered, tmp_path):
+    spark = registered
+    t = str(tmp_path / "tbl")
+    commit_append(spark, t, spark.range(0, 5).selectExpr("id", "id*3 AS v"))
+    merge_snapshot(
+        spark, t, spark.createDataFrame([(0, 99)], "id long, v long"), keys=["id"]
+    )
+    sdf = spark.readStream.format("snapshot_log").option("path", t).load()
+    q = (
+        sdf.writeStream.format("parquet")
+        .option("path", str(tmp_path / "sink"))
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(Exception, match="append-only|STREAM"):
+        q.awaitTermination(120)
+        raise RuntimeError("stream should have failed on the merge commit")
