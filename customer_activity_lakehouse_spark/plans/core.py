@@ -2669,7 +2669,184 @@ GROUP BY signup_week
 """
 
 
+def q_shipment_concurrency(spark: SparkSession, sf: str) -> DataFrame:
+    """Interval sweep-line: how many orders are simultaneously OPEN (from
+    o_orderdate until their last shipment ships) at the end of each
+    date, reported as a monthly high-water mark — the operational-
+    capacity question (peak concurrent in-flight load) that a plain
+    per-month COUNT cannot answer because intervals span months.
+
+    Scale shape: the interval endpoints collapse FIRST — lineitem
+    partial-aggregates to one close-date per order (co-keyed
+    orderkey⋈orderkey shuffle with orders), then the +1/-1 endpoint
+    deltas partial-aggregate to one net per DATE (a |dates|-row frame,
+    bounded by the calendar, not the data volume), and only that tiny
+    frame pays the ordered running-sum window. At 100 TB the window
+    still sees a few thousand rows; the 100 TB never sorts.
+    """
+    li = table(spark, sf, "lineitem")
+    orders = table(spark, sf, "orders")
+    closes = li.groupBy("l_orderkey").agg(F.max("l_shipdate").alias("close_d"))
+    spans = orders.join(
+        closes, orders.o_orderkey == closes.l_orderkey
+    ).select("o_orderdate", "close_d")
+    deltas = spans.select(
+        F.col("o_orderdate").alias("d"), F.lit(1).alias("delta")
+    ).unionAll(spans.select(F.col("close_d").alias("d"), F.lit(-1).alias("delta")))
+    daily = deltas.groupBy("d").agg(F.sum("delta").alias("net"))
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    run = daily.withColumn("open_cnt", F.sum("net").over(w))
+    return (
+        run.groupBy(F.date_format("d", "yyyy-MM").alias("month"))
+        .agg(F.max("open_cnt").cast("long").alias("max_open"))
+    )
+
+
+ORACLE_SHIPMENT_CONCURRENCY = """
+WITH spans AS (
+  SELECT o.o_orderdate, max(l.l_shipdate) AS close_d
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+  GROUP BY o.o_orderkey, o.o_orderdate
+), deltas AS (
+  SELECT o_orderdate AS d, 1 AS delta FROM spans
+  UNION ALL
+  SELECT close_d AS d, -1 AS delta FROM spans
+), daily AS (
+  SELECT d, sum(delta) AS net FROM deltas GROUP BY d
+), run AS (
+  SELECT d, sum(net) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) AS open_cnt
+  FROM daily
+)
+SELECT strftime(d, '%Y-%m') AS month, max(open_cnt)::BIGINT AS max_open
+FROM run
+GROUP BY month
+"""
+
+
+def q_customer_order_streaks(spark: SparkSession, sf: str) -> DataFrame:
+    """Gaps-and-islands: each customer's LONGEST run of consecutive
+    calendar months with at least one order, reported as a distribution
+    (streak length -> number of customers). The island id is the classic
+    ``month_index - row_number`` trick over distinct months — constant
+    within a consecutive run, shifted by every gap — entirely integer
+    arithmetic, so both engines agree exactly.
+
+    Scale shape: one shuffle to distinct (custkey, month); every window
+    partitions by custkey (bounded partitions); the two rollups are
+    plain partial-aggregable groupBys. No self-join, no global sort.
+    """
+    orders = table(spark, sf, "orders")
+    months = orders.select(
+        "o_custkey",
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1).alias("midx"),
+    ).distinct()
+    w = Window.partitionBy("o_custkey").orderBy("midx")
+    islands = months.withColumn("island", F.col("midx") - F.row_number().over(w))
+    streaks = islands.groupBy("o_custkey", "island").agg(
+        F.count(F.lit(1)).alias("streak")
+    )
+    best = streaks.groupBy("o_custkey").agg(F.max("streak").alias("max_streak"))
+    return best.groupBy("max_streak").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers")
+    )
+
+
+ORACLE_CUSTOMER_ORDER_STREAKS = """
+WITH months AS (
+  SELECT DISTINCT o_custkey,
+         year(o_orderdate) * 12 + month(o_orderdate) - 1 AS midx
+  FROM orders
+), islands AS (
+  SELECT o_custkey, midx,
+         midx - row_number() OVER (PARTITION BY o_custkey ORDER BY midx) AS island
+  FROM months
+), streaks AS (
+  SELECT o_custkey, island, count(*) AS streak
+  FROM islands GROUP BY o_custkey, island
+), best AS (
+  SELECT o_custkey, max(streak) AS max_streak FROM streaks GROUP BY o_custkey
+)
+SELECT max_streak, count(*)::BIGINT AS n_customers
+FROM best
+GROUP BY max_streak
+"""
+
+
+def q_lineitem_key_skew_profile(spark: SparkSession, sf: str) -> DataFrame:
+    """Join-key skew diagnostics — the profile an operator reads BEFORE
+    choosing salting / AQE skew-join thresholds for a 100 TB join on
+    this key (the doctrine queries like skew_salted_revenue then apply):
+    per-key row counts summarized as exact disc-percentiles, the max
+    key's share, and the top-10 keys' share of all rows.
+
+    Scale shape: ONE event-scale shuffle (groupBy l_suppkey with partial
+    aggregation); everything after runs on the |keys|-row count frame —
+    the percentile sort and top-10 window cost |keys| log |keys|, never
+    touching the fact again. Ratios are single rounded double divisions
+    of exact integers (the OLS doctrine), so both engines agree bitwise.
+    """
+    li = table(spark, sf, "lineitem")
+    counts = li.groupBy("l_suppkey").agg(F.count(F.lit(1)).alias("cnt"))
+    wtop = Window.orderBy(F.col("cnt").desc(), F.col("l_suppkey"))
+    ranked = counts.withColumn("rk", F.row_number().over(wtop))
+    return ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.sum("cnt").cast("long").alias("n_rows"),
+        F.max("cnt").cast("long").alias("max_cnt"),
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY cnt)")
+        .cast("long")
+        .alias("p50_cnt"),
+        F.expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY cnt)")
+        .cast("long")
+        .alias("p90_cnt"),
+        F.expr("percentile_disc(0.99) WITHIN GROUP (ORDER BY cnt)")
+        .cast("long")
+        .alias("p99_cnt"),
+        F.round(F.max("cnt") / F.sum("cnt"), 8).alias("max_share"),
+        F.round(
+            F.sum(F.when(F.col("rk") <= 10, F.col("cnt")).otherwise(F.lit(0)))
+            / F.sum("cnt"),
+            8,
+        ).alias("top10_share"),
+    )
+
+
+ORACLE_LINEITEM_KEY_SKEW_PROFILE = """
+WITH counts AS (
+  SELECT l_suppkey, count(*) AS cnt FROM lineitem GROUP BY l_suppkey
+), ranked AS (
+  SELECT cnt, row_number() OVER (ORDER BY cnt DESC, l_suppkey) AS rk
+  FROM counts
+)
+SELECT count(*)::BIGINT AS n_keys,
+       sum(cnt)::BIGINT AS n_rows,
+       max(cnt)::BIGINT AS max_cnt,
+       quantile_disc(cnt, 0.5)::BIGINT AS p50_cnt,
+       quantile_disc(cnt, 0.9)::BIGINT AS p90_cnt,
+       quantile_disc(cnt, 0.99)::BIGINT AS p99_cnt,
+       round(max(cnt)::DOUBLE / sum(cnt), 8) AS max_share,
+       round(sum(CASE WHEN rk <= 10 THEN cnt ELSE 0 END)::DOUBLE / sum(cnt), 8)
+         AS top10_share
+FROM ranked
+"""
+
+
 QUERIES: dict[str, Query] = {
+    "shipment_concurrency": Query(
+        q_shipment_concurrency,
+        ORACLE_SHIPMENT_CONCURRENCY,
+        ("sweepline", "interval", "window"),
+    ),
+    "customer_order_streaks": Query(
+        q_customer_order_streaks,
+        ORACLE_CUSTOMER_ORDER_STREAKS,
+        ("islands", "window", "agg"),
+    ),
+    "lineitem_key_skew_profile": Query(
+        q_lineitem_key_skew_profile,
+        ORACLE_LINEITEM_KEY_SKEW_PROFILE,
+        ("skew", "diagnostics", "percentile"),
+    ),
     "pricing_summary": Query(q_pricing_summary, ORACLE_PRICING_SUMMARY, ("tpch", "agg"), True),
     "part_market_basket": Query(
         q_part_market_basket, ORACLE_PART_MARKET_BASKET, ("basket", "join", "agg"), True
