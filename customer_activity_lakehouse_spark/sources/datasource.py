@@ -276,3 +276,324 @@ class SnapshotLogDataSource(DataSource):
 
     def streamReader(self, schema) -> DataSourceStreamReader:
         return _SnapshotStreamReader(self._dir())
+
+    def writer(self, schema, overwrite: bool):
+        """``df.write.format("snapshot_log").mode("append"|"overwrite")``:
+        tasks stage one parquet file each (Arrow-batched, physical names
+        under column mapping), validating CHECK constraints and
+        accumulating ``option("stats_cols", "a,b")`` skipping stats as
+        they write; the driver's commit() replays the log's append retry
+        loop (schema-drift gate, optimistic concurrency) in pure Python.
+        Overwrite resets the mapping, exactly as ``commit_overwrite``."""
+        import uuid as _uuid
+
+        table_dir = self._dir()
+        sig = [[f.name, f.dataType.simpleString()] for f in schema.fields]
+        tag = f"ds-{_uuid.uuid4().hex[:12]}"
+        mapping = None
+        colmap = None
+        constraints: dict = {}
+        versions = _py_versions(table_dir)
+        if versions:
+            m = _py_manifest(table_dir, versions[-1])
+            constraints = m.get("constraints", {})
+            base_colmap = m.get("colmap")
+            if not overwrite and base_colmap is not None:
+                from .snapshots import _assign_physical
+
+                rec_colmap, rec_used = _assign_physical(
+                    [n for n, _ in sig],
+                    dict(base_colmap),
+                    list(m.get("colmap_used", [])),
+                )
+                mapping = (dict(base_colmap), rec_colmap, rec_used)
+                colmap = rec_colmap
+        stats_opt = self.options.get("stats_cols")
+        stat_cols = [c.strip() for c in stats_opt.split(",")] if stats_opt else None
+        return _SnapshotWriterDriver(
+            table_dir,
+            tag,
+            colmap,
+            constraints,
+            stat_cols,
+            overwrite,
+            sig,
+            mapping,
+            str(self.options.get("schema_evolution", "")).lower() == "true",
+        )
+
+
+# ---------------------------------------------------------------------------
+# Writer: df.write.format("snapshot_log") — the commit protocol as a sink
+# ---------------------------------------------------------------------------
+#
+# Spark calls write() in each task and commit()/abort() in a DRIVER-SIDE
+# PYTHON RUNNER that has no SparkSession — so the write path is built to
+# need no JVM anywhere:
+# - tasks validate CHECK constraints on their own Arrow batches (DuckDB
+#   over Arrow — distributed validation, like commit_append's probe) and
+#   compute their file's [min,max] skipping stats with pyarrow.compute;
+# - commit() replays the append retry loop in pure Python: schema-drift
+#   gate (reusing snapshots' pure helpers), column-mapping and
+#   constraint-set guards (a CONCURRENT change of either between staging
+#   and commit aborts loudly — no engine is available to re-validate),
+#   and an atomic create via os.link (link fails if the destination
+#   exists — the same no-overwrite arbitration Hadoop rename gives the
+#   Spark-side _try_commit).
+
+from dataclasses import dataclass as _dataclass  # noqa: E402
+
+from pyspark.sql.datasource import (  # noqa: E402
+    DataSourceArrowWriter,
+    WriterCommitMessage,
+)
+
+
+@_dataclass
+class _FileCommit(WriterCommitMessage):
+    file: str | None  # None = empty partition (no file written)
+    rows: int = 0
+    stats: dict | None = None  # {physical_col: [min, max]} for this file
+
+
+def _py_stat_val(v, side: int):
+    """JSON-safe stat encoding, mirroring snapshots._file_stats.js for the
+    types the writer records (decimals widen OUTWARD so pruning can never
+    drop a boundary file)."""
+    import decimal as _decimal
+    import math as _math
+
+    if v is None or isinstance(v, (int, float, str, bool)):
+        return v
+    if isinstance(v, _decimal.Decimal):
+        f = float(v)
+        return _math.nextafter(f, -_math.inf if side < 0 else _math.inf)
+    raise TypeError(type(v))
+
+
+class _SnapshotArrowWriter(DataSourceArrowWriter):
+    """Executor side: each task streams its Arrow batches into ONE parquet
+    file under the table's staging dir (physical column names when the
+    table has column mapping), validating CHECK constraints batch-by-batch
+    and accumulating the file's skipping stats. A failed task fails the
+    job before any manifest exists — the staged dir is vacuum debris."""
+
+    def __init__(
+        self,
+        table_dir: str,
+        tag: str,
+        colmap: dict | None,
+        constraints: dict,
+        stat_cols: list | None,
+    ):
+        self._dir = table_dir
+        self._tag = tag
+        self._colmap = colmap
+        self._constraints = constraints
+        self._stat_cols = stat_cols  # LOGICAL names (pre-mapping)
+
+    def write(self, iterator):
+        import os
+        import uuid as _uuid
+
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        con = None
+        if self._constraints:
+            import duckdb
+
+            con = duckdb.connect()
+        out_dir = os.path.join(_localize(self._dir), "data", self._tag)
+        os.makedirs(out_dir, exist_ok=True)
+        path = os.path.join(out_dir, f"part-{_uuid.uuid4().hex}.parquet")
+        writer = None
+        rows = 0
+        agg: dict = {}
+        for batch in iterator:
+            if con is not None:
+                tbl = pa.Table.from_batches([batch])
+                con.register("__batch", tbl)
+                for name, expr in self._constraints.items():
+                    bad = con.execute(
+                        f"SELECT * FROM __batch WHERE NOT ({expr}) LIMIT 1"
+                    ).fetchall()
+                    if bad:
+                        raise ValueError(
+                            f"snapshot_log writer: CHECK constraint {name!r} "
+                            f"({expr}) violated, e.g. {bad[0]}"
+                        )
+            for c in self._stat_cols or []:
+                if c in batch.schema.names:
+                    col = batch.column(c)
+                    if col.null_count == len(col):
+                        agg.setdefault(c, [None, None])
+                        continue
+                    mn, mx = pc.min(col).as_py(), pc.max(col).as_py()
+                    cur = agg.get(c)
+                    if cur is None or cur[0] is None:
+                        agg[c] = [mn, mx]
+                    else:
+                        agg[c] = [min(cur[0], mn), max(cur[1], mx)]
+            if self._colmap:
+                batch = batch.rename_columns(
+                    [self._colmap.get(c, c) for c in batch.schema.names]
+                )
+            if writer is None:
+                writer = pq.ParquetWriter(path, batch.schema)
+            writer.write_batch(batch)
+            rows += batch.num_rows
+        if writer is None:
+            return _FileCommit(None)
+        writer.close()
+        stats = {
+            (self._colmap or {}).get(c, c): [
+                _py_stat_val(mm[0], -1),
+                _py_stat_val(mm[1], +1),
+            ]
+            for c, mm in agg.items()
+        }
+        return _FileCommit(path, rows, stats or None)
+
+
+def _py_try_commit(table_dir: str, version: int, manifest: dict) -> bool:
+    """Pure-python twin of snapshots._try_commit: stage the manifest under
+    a writer-unique name, then os.link it to the version slot — link is
+    atomic and FAILS if the destination exists, so two racing writers
+    cannot both claim a version."""
+    import uuid as _uuid
+
+    snap_dir = os.path.join(_localize(table_dir), _SNAP_DIR)
+    os.makedirs(snap_dir, exist_ok=True)
+    tmp = os.path.join(snap_dir, f".tmp-{_uuid.uuid4().hex}.json")
+    final = os.path.join(snap_dir, f"v{version:05d}.json")
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh)
+    try:
+        os.link(tmp, final)
+        return True
+    except FileExistsError:
+        return False
+    finally:
+        os.unlink(tmp)
+
+
+class _SnapshotWriterDriver(_SnapshotArrowWriter):
+    """commit()/abort() run in Spark's driver-side Python runner (no
+    SparkSession) — everything here is plain file I/O on the manifests."""
+
+    def __init__(
+        self,
+        table_dir,
+        tag,
+        colmap,
+        constraints,
+        stat_cols,
+        overwrite,
+        sig,
+        mapping,
+        evolution,
+    ):
+        super().__init__(table_dir, tag, colmap, constraints, stat_cols)
+        self._overwrite = overwrite
+        self._sig = sig
+        self._mapping = mapping  # (base_colmap, record_colmap, record_used) | None
+        self._evolution = evolution
+
+    def commit(self, messages):
+        from .snapshots import _MAX_COMMIT_RETRIES, _merge_sigs
+
+        files = [m.file for m in messages if m is not None and m.file]
+        new_stats = {
+            m.file: m.stats for m in messages if m is not None and m.file and m.stats
+        }
+        sig = self._sig
+        if self._overwrite:
+            versions = _py_versions(self._dir)
+            version = (versions[-1] if versions else 0) + 1
+            prev = _py_manifest(self._dir, versions[-1]) if versions else None
+            if prev and prev.get("constraints", {}) != self._constraints:
+                raise RuntimeError(
+                    "snapshot_log writer: CHECK constraints changed between "
+                    "staging and commit; re-run the write"
+                )
+            manifest = {
+                "version": version,
+                "op": "overwrite",
+                "files": files,
+                "schema": sig,
+            }
+            if self._constraints:
+                manifest["constraints"] = self._constraints
+            if new_stats:
+                manifest["stats"] = new_stats
+            if not _py_try_commit(self._dir, version, manifest):
+                raise RuntimeError(
+                    f"snapshot_log writer: version {version} was committed "
+                    f"concurrently at {self._dir}; staged dir is vacuum debris"
+                )
+            return
+        base_colmap = self._mapping[0] if self._mapping else None
+        for _ in range(_MAX_COMMIT_RETRIES):
+            versions = _py_versions(self._dir)
+            version = (versions[-1] if versions else 0) + 1
+            prev = _py_manifest(self._dir, versions[-1]) if versions else None
+            prev_sig = prev.get("schema") if prev else None
+            record_sig = sig
+            if prev_sig is not None and prev_sig != sig:
+                # same gate as commit_append; evolution must be opted into
+                # at writer-create time (the files are already staged)
+                if not self._allow_evolution():
+                    raise ValueError(
+                        f"snapshot_log writer: schema drift at {self._dir} — "
+                        f"table has {prev_sig}, write has {sig}; set "
+                        "option('schema_evolution', 'true')"
+                    )
+                record_sig = _merge_sigs(prev_sig, sig)
+            prev_colmap = prev.get("colmap") if prev else None
+            if prev_colmap != base_colmap:
+                raise RuntimeError(
+                    f"snapshot_log writer: column mapping at {self._dir} changed "
+                    "between staging and commit; re-run the write"
+                )
+            prev_cons = prev.get("constraints", {}) if prev else {}
+            if prev_cons != self._constraints:
+                # constraints were validated task-side against the set read
+                # at staging time; with no engine here, a concurrent change
+                # must abort rather than commit unvalidated data
+                raise RuntimeError(
+                    f"snapshot_log writer: CHECK constraints at {self._dir} "
+                    "changed between staging and commit; re-run the write"
+                )
+            manifest = {
+                "version": version,
+                "op": "append",
+                "files": (prev["files"] if prev else []) + files,
+                "schema": record_sig,
+            }
+            if self._mapping is not None:
+                manifest["colmap"] = self._mapping[1]
+                manifest["colmap_used"] = self._mapping[2]
+            if prev_cons:
+                manifest["constraints"] = prev_cons
+            if prev and prev.get("dv_files"):
+                manifest["dv_files"] = prev["dv_files"]
+            prev_stats = prev.get("stats", {}) if prev else {}
+            if prev_stats or new_stats:
+                manifest["stats"] = {**prev_stats, **new_stats}
+            if _py_try_commit(self._dir, version, manifest):
+                return
+        raise RuntimeError(
+            f"snapshot_log writer: lost {_MAX_COMMIT_RETRIES} version races "
+            f"at {self._dir}"
+        )
+
+    def _allow_evolution(self) -> bool:
+        return self._evolution
+
+    def abort(self, messages):
+        import shutil
+
+        staged = os.path.join(_localize(self._dir), "data", self._tag)
+        shutil.rmtree(staged, ignore_errors=True)

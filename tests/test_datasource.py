@@ -108,3 +108,76 @@ def test_stream_source_refuses_dml_commits(registered, tmp_path):
     with pytest.raises(Exception, match="append-only|STREAM"):
         q.awaitTermination(120)
         raise RuntimeError("stream should have failed on the merge commit")
+
+
+def test_writer_append_bootstrap_and_chain(registered, tmp_path):
+    """df.write.format('snapshot_log'): bootstrap, chained appends, and
+    read-back parity through both the format and the JVM path."""
+    spark = registered
+    t = str(tmp_path / "tbl")
+    spark.range(0, 10).selectExpr("id", "id*2 AS v").write.format(
+        "snapshot_log"
+    ).option("path", t).mode("append").save()
+    spark.range(10, 15).selectExpr("id", "id*2 AS v").write.format(
+        "snapshot_log"
+    ).option("path", t).mode("append").save()
+    assert read_snapshot(spark, t).count() == 15
+    assert spark.read.format("snapshot_log").option("path", t).load().count() == 15
+    # time travel sees the bootstrap commit alone
+    assert read_snapshot(spark, t, version=1).count() == 10
+
+
+def test_writer_respects_mapping_constraints_and_stats(registered, tmp_path):
+    from customer_activity_lakehouse_spark.sources.snapshots import (
+        set_check_constraint,
+        snapshot_file_listing,
+    )
+
+    spark = registered
+    t = str(tmp_path / "tbl")
+    spark.range(0, 10).selectExpr("id", "id*2 AS v").write.format(
+        "snapshot_log"
+    ).option("path", t).option("stats_cols", "id").mode("append").save()
+    rename_snapshot_column(spark, t, "v", "val")
+    # append through the format AFTER the rename: staged physically
+    spark.range(10, 13).selectExpr("id", "id*2 AS val").write.format(
+        "snapshot_log"
+    ).option("path", t).option("stats_cols", "id").mode("append").save()
+    got = {r.id: r.val for r in read_snapshot(spark, t).collect()}
+    assert got[11] == 22 and len(got) == 13
+    # task-side stats feed skip_where
+    fl = snapshot_file_listing(spark, t)
+    assert fl.filter("col_stats['id'] IS NOT NULL").count() == fl.count()
+    # constraints enforced task-side, write fails before any commit
+    set_check_constraint(spark, t, "id_nonneg", "id >= 0")
+    n_before = read_snapshot(spark, t).count()
+    with pytest.raises(Exception, match="id_nonneg"):
+        spark.range(1).selectExpr("-id - 1 AS id", "id AS val").write.format(
+            "snapshot_log"
+        ).option("path", t).mode("append").save()
+    assert read_snapshot(spark, t).count() == n_before
+
+
+def test_writer_overwrite_resets_and_schema_gate(registered, tmp_path):
+    spark = registered
+    t = str(tmp_path / "tbl")
+    spark.range(0, 5).selectExpr("id", "id*2 AS v").write.format(
+        "snapshot_log"
+    ).option("path", t).mode("append").save()
+    # drifted append refused without the evolution option
+    with pytest.raises(Exception, match="schema_evolution|drift"):
+        spark.range(5, 6).selectExpr("id", "id*2 AS other").write.format(
+            "snapshot_log"
+        ).option("path", t).mode("append").save()
+    spark.range(5, 8).selectExpr("id", "id*2 AS v", "id AS extra").write.format(
+        "snapshot_log"
+    ).option("path", t).option("schema_evolution", "true").mode("append").save()
+    rows = {r.id: r.extra for r in read_snapshot(spark, t).collect()}
+    assert rows[6] == 6 and rows[0] is None
+    # overwrite replaces contents and schema; history retained
+    spark.range(0, 3).selectExpr("id", "id AS fresh").write.format(
+        "snapshot_log"
+    ).option("path", t).mode("overwrite").save()
+    cur = read_snapshot(spark, t)
+    assert cur.columns == ["id", "fresh"] and cur.count() == 3
+    assert read_snapshot(spark, t, version=1).count() == 5
