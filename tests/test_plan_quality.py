@@ -453,3 +453,39 @@ def test_audience_overlap_no_event_self_join(spark, sf_correctness):
     final_plan = explain_str(df, "simple")
     assert "isFinalPlan=true" in final_plan
     assert "ReusedExchange" in final_plan, f"user shuffle not reused:\n{final_plan}"
+
+
+def test_shipment_concurrency_window_on_date_aggregate(spark, sf_correctness):
+    """The sweep-line's scale contract: the single ordered running-sum
+    window consumes the DATE-level net-delta aggregate (calendar-bounded),
+    never the raw endpoint stream — partial_sum below the one
+    SinglePartition exchange proves the fact collapsed map-side first."""
+    plan = explain_str(QUERIES["shipment_concurrency"].fn(spark, sf_correctness))
+    assert plan.count("SinglePartition") == 1, plan
+    assert "partial_sum" in plan, plan
+
+
+def test_order_streaks_no_join_customer_partitioned_window(spark, sf_correctness):
+    """Gaps-and-islands must stay join-free; its only window partitions by
+    customer (bounded partitions, never a global sort)."""
+    plan = explain_str(
+        QUERIES["customer_order_streaks"].fn(spark, sf_correctness), "simple"
+    )
+    assert "Join" not in plan, plan
+    assert "SinglePartition" not in plan, plan
+
+
+def test_key_skew_profile_single_fact_shuffle(spark, sf_correctness):
+    """The skew profile pays ONE event-scale exchange (groupBy suppkey
+    with map-side partial_count); the percentile sort and top-10 window
+    run on the |keys| count frame only."""
+    import re
+
+    plan = explain_str(
+        QUERIES["lineitem_key_skew_profile"].fn(spark, sf_correctness), "simple"
+    )
+    assert "partial_count" in explain_str(
+        QUERIES["lineitem_key_skew_profile"].fn(spark, sf_correctness)
+    )
+    key_exchanges = re.findall(r"Exchange hashpartitioning\(l_suppkey#", plan)
+    assert len(key_exchanges) == 1, plan
