@@ -1187,6 +1187,7 @@ def compact_snapshot(
     stats_cols: list[str] | None = None,
     cluster_by: list[str] | None = None,
     zorder: bool = False,
+    scope_where: tuple | None = None,
 ) -> int | None:
     """OPTIMIZE for the snapshot log — bin-pack small files into
     ~``target_file_mb`` rewrites and commit the new layout as a
@@ -1235,6 +1236,14 @@ def compact_snapshot(
     and ``skip_where`` prunes on ANY of the cluster columns, exactly
     Delta's ``OPTIMIZE ZORDER BY`` on the log.
 
+    ``scope_where=(col, lo, hi)`` is ``OPTIMIZE ... WHERE``: only files
+    whose recorded stats can intersect the interval are candidates (the
+    same conservative test as ``skip_where``); everything outside the
+    scope carries verbatim, stats included. At 100 TB this is how a
+    streaming table compacts TODAY's micro-batch files nightly without
+    relisting the other ~365 days; with ``cluster_by`` it scopes the
+    clustering rewrite the same way.
+
     Beyond-reference extension: the reference rewrites whole zones nightly
     (data_processing.py:217), so it never accumulates small files — a
     streaming/incremental lakehouse does, hence OPTIMIZE.
@@ -1247,11 +1256,17 @@ def compact_snapshot(
     colmap, _ = _mapping_of(m)
     files = m["files"]
     target_bytes = target_file_mb * 1024 * 1024
+    scoped = files
+    if scope_where is not None:
+        sc, slo, shi = scope_where
+        scoped = _prune_by_stats(
+            files, m.get("stats", {}), (_phys(colmap, sc), slo, shi)
+        )
     sizes = _file_sizes(spark, files)
     if cluster_by:
-        small = list(files)  # clustering rewrites the whole layout
+        small = list(scoped)  # clustering rewrites the whole (scoped) layout
     else:
-        small = [f for f in files if sizes[f] < target_bytes]
+        small = [f for f in scoped if sizes[f] < target_bytes]
     if len(small) < 2:
         return None
     total_small = sum(sizes[f] for f in small)

@@ -1672,3 +1672,33 @@ def test_clone_restore_and_streaming_carry_mapping(spark, tmp_path):
     restore_snapshot(spark, t, 2)
     assert read_snapshot(spark, t).columns == ["id", "val"]
     assert read_snapshot(spark, t).count() == 6
+
+
+def test_compact_snapshot_scoped_where(spark, tmp_path):
+    """OPTIMIZE ... WHERE: only files overlapping the interval compact;
+    out-of-scope files (and their stats) carry verbatim."""
+    from customer_activity_lakehouse_spark.sources.snapshots import compact_snapshot
+
+    t = str(tmp_path / "tbl")
+    for lo in (0, 100, 200, 300):  # four files with disjoint id ranges
+        commit_append(
+            spark, t, _df(spark, lo, lo + 50).coalesce(1), stats_cols=["id"]
+        )
+    m_before = json.loads(
+        (Path(t) / "_snapshots" / "v00004.json").read_text()
+    )
+    assert len(m_before["files"]) == 4
+    out_of_scope = [
+        f for f in m_before["files"]
+        if m_before["stats"][f]["id"][0] >= 200
+    ]
+    v = compact_snapshot(spark, t, target_file_mb=64, scope_where=("id", 0, 150))
+    m_after = json.loads((Path(t) / "_snapshots" / f"v{v:05d}.json").read_text())
+    # the two in-scope files packed into one; the two out-of-scope carried
+    assert len(m_after["files"]) == 3
+    assert set(out_of_scope) <= set(m_after["files"])
+    for f in out_of_scope:
+        assert m_after["stats"][f] == m_before["stats"][f]
+    assert read_snapshot(spark, t).count() == 200
+    # skipping still prunes: only the [300, 350) file survives this probe
+    assert read_snapshot(spark, t, skip_where=("id", 310, 320)).count() == 50
