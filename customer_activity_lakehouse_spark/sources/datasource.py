@@ -454,6 +454,10 @@ class _SnapshotArrowWriter(DataSourceArrowWriter):
             ]
             for c, mm in agg.items()
         }
+        if stats:
+            # same contract as snapshots._file_stats: row counts ride the
+            # stats entry under the reserved __rows key
+            stats["__rows"] = rows
         return _FileCommit(path, rows, stats or None)
 
 

@@ -119,11 +119,14 @@ def _file_stats(
     the new files using the parquet reader's file-name column; the result
     (|files| × |cols| tiny) is what the manifest stores for data skipping.
     Nulls are excluded from min/max (a file of all-null values gets
-    [None, None] and is never skipped)."""
+    [None, None] and is never skipped). The same pass records each file's
+    exact ROW COUNT under the reserved ``__rows`` key (Delta's numRecords
+    — what lets ``snapshot_detail`` report row totals with zero data
+    I/O); ``_stats_cols_of`` and the pruners ignore it."""
     from pyspark.sql import functions as F
 
     df = spark.read.parquet(*files).withColumn("__file", F.input_file_name())
-    aggs = []
+    aggs = [F.count(F.lit(1)).alias("__nrows")]
     for c in stats_cols:
         aggs.append(F.min(c).alias(f"__min_{c}"))
         aggs.append(F.max(c).alias(f"__max_{c}"))
@@ -154,6 +157,7 @@ def _file_stats(
         out[key] = {
             c: [js(d[f"__min_{c}"], -1), js(d[f"__max_{c}"], +1)] for c in stats_cols
         }
+        out[key]["__rows"] = int(d["__nrows"])
     # re-key to the manifest's file strings: Hadoop's Path.toString() spells
     # the scheme "file:/x" while input_file_name() spells "file:///x" —
     # normalize both to the bare path before matching
@@ -481,6 +485,8 @@ def _commit_append_files(
             manifest["colmap_used"] = mapping[2]
         if prev_cons:
             manifest["constraints"] = prev_cons
+        if versions and prev_m.get("table_stats"):
+            manifest["table_stats"] = prev_m["table_stats"]
         if prev_dvs:
             manifest["dv_files"] = prev_dvs
         if prev_stats or new_stats:
@@ -613,10 +619,13 @@ def commit_overwrite(
 def _carry_props(prev_m: dict | None, manifest: dict) -> dict:
     """Table PROPERTIES travel with every commit: unlike files/stats
     (which each commit recomputes for its own file list), properties like
-    CHECK constraints are table-level state that would silently vanish if
-    any commit built its manifest without them."""
+    CHECK constraints — and ANALYZE's table_stats, which record their own
+    version so staleness is visible — are table-level state that would
+    silently vanish if any commit built its manifest without them."""
     if prev_m and prev_m.get("constraints"):
         manifest.setdefault("constraints", prev_m["constraints"])
+    if prev_m and prev_m.get("table_stats"):
+        manifest.setdefault("table_stats", prev_m["table_stats"])
     return manifest
 
 
@@ -671,6 +680,7 @@ def set_check_constraint(
         manifest["stats"] = m["stats"]
     if m.get("dv_files"):
         manifest["dv_files"] = m["dv_files"]
+    _carry_props(m, manifest)  # carries table_stats; constraints set above win
     _carry_mapping(m, manifest)
     if not _try_commit(spark, table_dir, base_v + 1, manifest):
         raise RuntimeError(
@@ -704,6 +714,10 @@ def drop_check_constraint(spark: SparkSession, table_dir: str, name: str) -> int
         manifest["stats"] = m["stats"]
     if m.get("dv_files"):
         manifest["dv_files"] = m["dv_files"]
+    # NOT _carry_props: it would setdefault the just-dropped constraint set
+    # back in when this drop empties it; only table_stats carries here
+    if m.get("table_stats"):
+        manifest["table_stats"] = m["table_stats"]
     _carry_mapping(m, manifest)
     if not _try_commit(spark, table_dir, base_v + 1, manifest):
         raise RuntimeError(
@@ -1165,8 +1179,11 @@ def snapshot_changes(
 def _stats_cols_of(manifest: dict) -> list[str]:
     """The columns this table has been recording skipping stats for —
     inferred from the manifest so maintenance commits (compact/merge) keep
-    skip_where working without the caller re-declaring them."""
-    return sorted({c for st in manifest.get("stats", {}).values() for c in st})
+    skip_where working without the caller re-declaring them. The reserved
+    ``__rows`` row-count entry is not a column."""
+    return sorted(
+        {c for st in manifest.get("stats", {}).values() for c in st if c != "__rows"}
+    )
 
 
 def _file_sizes(spark: SparkSession, files: list[str]) -> dict[str, int]:
@@ -2229,13 +2246,24 @@ def snapshot_detail(
     sig = m.get("schema") or []
     colmap, _ = _mapping_of(m)
     to_logical = {p_: l for l, p_ in (colmap or {}).items()}
+    stats = m.get("stats", {})
+    counts = [stats.get(f, {}).get("__rows") for f in m["files"]]
+    n_rows = (
+        sum(counts)
+        if m["files"] and all(c is not None for c in counts)
+        # unknown (some file predates row-count stats) — never guess; note
+        # DV'd rows are NOT subtracted here: counts describe the files
+        else None
+    )
     row = (
         v,
         versions[-1],
         len(m["files"]),
         sum(sizes.values()),
+        n_rows,
         ", ".join(f"{n} {t}" for n, t in sig),
         json.dumps(m.get("constraints", {}), sort_keys=True),
+        json.dumps(m.get("table_stats")) if m.get("table_stats") else None,
         len(m.get("dv_files", [])),
         # stats are keyed by physical name; report logically (stats of
         # DROPPED columns have no logical name and are omitted)
@@ -2249,7 +2277,9 @@ def snapshot_detail(
         [row],
         schema=(
             "version int, latest_version int, n_files int, size_bytes long, "
-            "schema_ddl string, constraints string, n_dv_files int, "
+            "n_rows long, "
+            "schema_ddl string, constraints string, table_stats string, "
+            "n_dv_files int, "
             "stats_columns array<string>"
         ),
     )
@@ -2284,16 +2314,116 @@ def snapshot_file_listing(
             (
                 f,
                 sizes[f],
+                st.get("__rows"),
                 {
                     to_logical.get(c, c): (
                         None if mm[0] is None else [str(mm[0]), str(mm[1])]
                     )
                     for c, mm in st.items()
-                    if not colmap or c in to_logical
+                    if c != "__rows" and (not colmap or c in to_logical)
                 },
             )
         )
     return spark.createDataFrame(
         rows,
-        schema="file string, size_bytes long, col_stats map<string, array<string>>",
+        schema=(
+            "file string, size_bytes long, n_rows long, "
+            "col_stats map<string, array<string>>"
+        ),
     )
+
+
+def analyze_snapshot(
+    spark: SparkSession, table_dir: str, cols: list[str] | None = None
+) -> int:
+    """``ANALYZE TABLE ... COMPUTE STATISTICS FOR COLUMNS`` parity (and
+    Iceberg's NDV-in-puffin role): one distributed pass over the current
+    snapshot computing per-column approximate NDV (HLL-based
+    ``approx_count_distinct``, the fixed-size partial-agg sketch — the
+    only sane distinct counter at 100 TB) and exact null counts, recorded
+    as TABLE-level state in a ``data_change=false`` commit
+    (``table_stats``). These are the cardinalities a planner (or a human
+    choosing a join strategy / bucketing key) reads from
+    ``snapshot_detail`` without scanning data. Stats describe the version
+    they were computed at (``table_stats.version``) — consumers can see
+    how stale they are. Version races abort."""
+    from pyspark.sql import functions as F
+
+    versions = _list_versions(spark, table_dir)
+    if not versions:
+        raise FileNotFoundError(f"no snapshots at {table_dir}")
+    base_v = versions[-1]
+    m = _read_manifest(spark, table_dir, base_v)
+    sig = m.get("schema") or []
+    names = [n for n, _ in sig]
+    use = cols if cols is not None else names
+    missing = [c for c in use if c not in names]
+    if missing:
+        raise KeyError(f"analyze_snapshot: no column(s) {missing} (have {names})")
+    df = read_snapshot(spark, table_dir, version=base_v)
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in use:
+        aggs.append(F.approx_count_distinct(c).alias(f"__ndv_{c}"))
+        aggs.append(F.count(F.when(F.col(c).isNull(), 1)).alias(f"__nulls_{c}"))
+    r = df.agg(*aggs).collect()[0].asDict()
+    table_stats = {
+        "version": base_v,
+        "row_count": int(r["__n"]),
+        "columns": {
+            c: {"ndv": int(r[f"__ndv_{c}"]), "nulls": int(r[f"__nulls_{c}"])}
+            for c in use
+        },
+    }
+    manifest = {
+        "version": base_v + 1,
+        "op": "analyze",
+        "data_change": False,
+        "files": m["files"],
+        "schema": m.get("schema"),
+        "table_stats": table_stats,
+    }
+    for k in ("stats", "dv_files"):
+        if m.get(k):
+            manifest[k] = m[k]
+    _carry_props(m, manifest)
+    _carry_mapping(m, manifest)
+    if not _try_commit(spark, table_dir, base_v + 1, manifest):
+        raise RuntimeError(
+            f"analyze_snapshot: version {base_v + 1} was committed concurrently "
+            f"at {table_dir}; re-read and retry"
+        )
+    return base_v + 1
+
+
+def maintain_snapshot(
+    spark: SparkSession,
+    table_dir: str,
+    target_file_mb: int = 128,
+    max_small_files: int = 8,
+    keep_versions: int = 10,
+) -> dict:
+    """The nightly maintenance loop as one idempotent call — the policy
+    glue an operator would otherwise cron by hand around a streaming
+    table (every micro-batch append grows the manifest forever —
+    the module-header bottleneck):
+
+    1. OPTIMIZE when more than ``max_small_files`` files sit under the
+       target size (decided from FS metadata, no data read);
+    2. VACUUM down to ``keep_versions`` retained versions.
+
+    Returns ``{"compacted": version|None, "vacuumed": n_files}``. Order
+    matters: compacting first makes the superseded small files eligible
+    for this same call's vacuum once their versions expire. Conflict
+    behavior is inherited (a racing writer aborts the compaction; rerun
+    next tick — maintenance must never win over data)."""
+    versions = _list_versions(spark, table_dir)
+    if not versions:
+        raise FileNotFoundError(f"no snapshots at {table_dir}")
+    m = _read_manifest(spark, table_dir, versions[-1])
+    sizes = _file_sizes(spark, m["files"])
+    small = [f for f in m["files"] if sizes[f] < target_file_mb * 1024 * 1024]
+    compacted = None
+    if len(small) > max_small_files:
+        compacted = compact_snapshot(spark, table_dir, target_file_mb)
+    deleted = vacuum(spark, table_dir, keep_last=keep_versions)
+    return {"compacted": compacted, "vacuumed": deleted}

@@ -1702,3 +1702,43 @@ def test_compact_snapshot_scoped_where(spark, tmp_path):
     assert read_snapshot(spark, t).count() == 200
     # skipping still prunes: only the [300, 350) file survives this probe
     assert read_snapshot(spark, t, skip_where=("id", 310, 320)).count() == 50
+
+
+def test_analyze_and_maintain_snapshot(spark, tmp_path):
+    """ANALYZE records table-level NDV/null stats as data_change=false
+    state that rides every later commit (staleness visible via its
+    version); maintain_snapshot compacts + vacuums by policy."""
+    from customer_activity_lakehouse_spark.sources.snapshots import (
+        analyze_snapshot,
+        maintain_snapshot,
+        snapshot_detail,
+        snapshot_history,
+    )
+
+    t = str(tmp_path / "tbl")
+    for lo in range(0, 100, 10):  # ten small files
+        commit_append(spark, t, _df(spark, lo, lo + 10).coalesce(1), stats_cols=["id"])
+    v = analyze_snapshot(spark, t)
+    assert v == 11
+    det = snapshot_detail(spark, t).collect()[0]
+    ts = json.loads(det.table_stats)
+    assert ts["row_count"] == 100 and ts["version"] == 10
+    assert ts["columns"]["id"]["nulls"] == 0
+    assert 90 <= ts["columns"]["id"]["ndv"] <= 110  # approx NDV of 100
+    # per-file row counts recorded by the stats pass -> exact n_rows
+    assert det.n_rows == 100
+    # analyze is zero-delta for incremental consumers
+    hist = {r.version: r for r in snapshot_history(spark, t).collect()}
+    assert hist[11].op == "analyze" and hist[11].data_change is False
+    # table_stats ride later commits
+    commit_append(spark, t, _df(spark, 100, 110).coalesce(1), stats_cols=["id"])
+    det2 = snapshot_detail(spark, t).collect()[0]
+    assert json.loads(det2.table_stats)["version"] == 10  # visibly stale
+    # maintenance: compact the 11 small files, trim history
+    out = maintain_snapshot(spark, t, target_file_mb=64, max_small_files=4,
+                            keep_versions=1)
+    # keep_versions=1 retains only the compaction commit, so the
+    # superseded small files become vacuum-eligible in the same call
+    assert out["compacted"] is not None and out["vacuumed"] > 0
+    assert read_snapshot(spark, t).count() == 110
+    assert snapshot_history(spark, t).count() == 1
