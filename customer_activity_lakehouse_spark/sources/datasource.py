@@ -114,12 +114,19 @@ def _arrow_type(t: str):
 class _FilePartition(InputPartition):
     """One manifest data file = one Spark task. Picklable and tiny: the
     per-file deleted row indices ride along (DVs are small by contract —
-    compaction materializes them before they grow)."""
+    compaction materializes them away before they could grow).
+
+    ``change_type``/``commit_version`` are set only by the CDC stream
+    reader: a literal change_type means "stamp every row" (an appended
+    data file = all inserts); ``change_type == ""`` means the file is a
+    persisted CHANGE FILE already carrying its own change_type column."""
 
     file: str
     sig: list  # [[logical_name, simpleString], ...] — the read schema
     colmap: dict | None  # logical -> physical (None = unmapped)
     deleted: list = field(default_factory=list)  # sorted row indices
+    change_type: str | None = None
+    commit_version: int | None = None
 
 
 def _read_file_partition(p: _FilePartition):
@@ -146,6 +153,18 @@ def _read_file_partition(p: _FilePartition):
             # explicit-schema contract as the JVM path)
             arrays.append(pa.nulls(table.num_rows, type=at))
         fields.append(pa.field(logical, at))
+    if p.change_type is not None:
+        ct = (
+            table.column("change_type").cast(pa.string())
+            if p.change_type == ""
+            else pa.array([p.change_type] * table.num_rows, type=pa.string())
+        )
+        arrays.append(ct)
+        fields.append(pa.field("change_type", pa.string()))
+        arrays.append(
+            pa.array([p.commit_version] * table.num_rows, type=pa.int32())
+        )
+        fields.append(pa.field("_commit_version", pa.int32()))
     out = pa.table(arrays, schema=pa.schema(fields))
     yield from out.to_batches(max_chunksize=1 << 16)
 
@@ -195,10 +214,19 @@ class _SnapshotStreamReader(DataSourceStreamReader):
     """Offsets are manifest versions — the atomic-rename commit points —
     so a micro-batch is exactly the files some range of commits appended,
     and any offset range replays byte-identically (files are immutable,
-    manifests only expire via vacuum)."""
+    manifests only expire via vacuum).
 
-    def __init__(self, table_dir: str):
+    ``cdc=True`` is Delta's ``readChangeFeed`` as a stream: micro-batches
+    carry the per-commit change rows (table columns + ``change_type`` +
+    ``_commit_version``) — appends from their added files stamped
+    'insert', DML commits from their persisted change files,
+    data_change=false commits contributing nothing — so a downstream
+    replica keeps streaming THROUGH merges/deletes/updates where the
+    append-only mode must fail."""
+
+    def __init__(self, table_dir: str, cdc: bool = False):
         self._dir = table_dir
+        self._cdc = cdc
 
     def initialOffset(self) -> dict:
         return {"version": 0}
@@ -218,20 +246,40 @@ class _SnapshotStreamReader(DataSourceStreamReader):
             if not (v0 < v <= v1):
                 continue
             m = _py_manifest(self._dir, v)
-            if m["op"] != "append" and m.get("data_change") is not False:
+            sig = m.get("schema") or []
+            colmap = m.get("colmap")
+            if m.get("data_change") is False:
+                prev_files = set(m["files"])
+                continue
+            if m["op"] == "append":
+                added = [f for f in m["files"] if f not in prev_files]
+                parts.extend(
+                    _FilePartition(
+                        f, sig, colmap,
+                        change_type="insert" if self._cdc else None,
+                        commit_version=v if self._cdc else None,
+                    )
+                    for f in added
+                )
+            elif self._cdc and m.get("cdc_files"):
+                # persisted change files already carry change_type; they
+                # are never DV'd and never carried between commits
+                parts.extend(
+                    _FilePartition(f, sig, colmap, change_type="", commit_version=v)
+                    for f in m["cdc_files"]
+                )
+            elif self._cdc:
+                raise ValueError(
+                    f"snapshot_log stream (cdc): v{v} at {self._dir} is op="
+                    f"{m['op']!r} with no change files (overwrite/restore "
+                    "have no row-level feed); resync the consumer"
+                )
+            else:
                 raise ValueError(
                     f"snapshot_log stream: v{v} at {self._dir} is op="
                     f"{m['op']!r} (a data change that is not an append); "
-                    "this source is append-only — consume DML via "
-                    "snapshots.consume_changes"
-                )
-            sig = m.get("schema") or []
-            colmap = m.get("colmap")
-            if m["op"] == "append":
-                parts.extend(
-                    _FilePartition(f, sig, colmap)
-                    for f in m["files"]
-                    if f not in prev_files
+                    "this source is append-only — set option('mode','cdc') "
+                    "or consume DML via snapshots.consume_changes"
                 )
             prev_files = set(m["files"])
         return parts
@@ -268,14 +316,19 @@ class SnapshotLogDataSource(DataSource):
         sig = _py_manifest(table_dir, v).get("schema")
         if not sig:
             raise ValueError(f"no recorded schema at {table_dir}")
-        return ", ".join(f"`{n}` {t}" for n, t in sig)
+        ddl = ", ".join(f"`{n}` {t}" for n, t in sig)
+        if str(self.options.get("mode", "")).lower() == "cdc":
+            ddl += ", `change_type` string, `_commit_version` int"
+        return ddl
 
     def reader(self, schema) -> DataSourceReader:
         v = self.options.get("version")
         return _SnapshotBatchReader(self._dir(), int(v) if v is not None else None)
 
     def streamReader(self, schema) -> DataSourceStreamReader:
-        return _SnapshotStreamReader(self._dir())
+        return _SnapshotStreamReader(
+            self._dir(), cdc=str(self.options.get("mode", "")).lower() == "cdc"
+        )
 
     def writer(self, schema, overwrite: bool):
         """``df.write.format("snapshot_log").mode("append"|"overwrite")``:

@@ -181,3 +181,54 @@ def test_writer_overwrite_resets_and_schema_gate(registered, tmp_path):
     cur = read_snapshot(spark, t)
     assert cur.columns == ["id", "fresh"] and cur.count() == 3
     assert read_snapshot(spark, t, version=1).count() == 5
+
+
+def test_stream_cdc_mode_flows_through_dml(registered, tmp_path):
+    """option('mode','cdc'): the stream delivers per-commit change rows
+    (insert/update/delete + _commit_version) and keeps flowing through
+    MERGE and DELETE where append-only mode must fail."""
+    from customer_activity_lakehouse_spark.sources.snapshots import delete_snapshot
+
+    spark = registered
+    t = str(tmp_path / "tbl")
+    sink = str(tmp_path / "sink")
+    ck = str(tmp_path / "ck")
+    commit_append(spark, t, spark.range(0, 5).selectExpr("id", "id*3 AS v"))
+    sdf = (
+        spark.readStream.format("snapshot_log")
+        .option("path", t)
+        .option("mode", "cdc")
+        .load()
+    )
+
+    def run():
+        q = (
+            sdf.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run()
+    first = spark.read.parquet(sink).collect()
+    assert {r.change_type for r in first} == {"insert"}
+    assert all(r._commit_version == 1 for r in first)
+
+    merge_snapshot(
+        spark, t,
+        spark.createDataFrame([(0, 99), (7, 21)], "id long, v long"),
+        keys=["id"],
+    )
+    delete_snapshot(spark, t, "id = 4")
+    run()
+    rows = spark.read.parquet(sink).collect()
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r.change_type, []).append(r)
+    # merge: id=0 matched (update), id=7 inserted; delete: id=4 removed
+    assert {r.id for r in by_type["update"]} == {0}
+    assert {r.id for r in by_type["insert"]} == set(range(5)) | {7}
+    assert {r.id for r in by_type["delete"]} == {4}
+    assert {r._commit_version for r in rows} == {1, 2, 3}
