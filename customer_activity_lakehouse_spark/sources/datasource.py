@@ -521,6 +521,12 @@ def _py_try_commit(table_dir: str, version: int, manifest: dict) -> bool:
     cannot both claim a version."""
     import uuid as _uuid
 
+    import datetime as _dt
+
+    manifest.setdefault(
+        "committed_at",
+        _dt.datetime.now(_dt.timezone.utc).isoformat(timespec="seconds"),
+    )
     snap_dir = os.path.join(_localize(table_dir), _SNAP_DIR)
     os.makedirs(snap_dir, exist_ok=True)
     tmp = os.path.join(snap_dir, f".tmp-{_uuid.uuid4().hex}.json")

@@ -89,7 +89,18 @@ def _data_files(spark: SparkSession, data_path: str) -> list[str]:
 def _try_commit(spark: SparkSession, table_dir: str, version: int, manifest: dict) -> bool:
     """Write the manifest to a temp name, then atomically rename it to
     v{n}.json. Rename refuses an existing destination → losing a race
-    returns False instead of clobbering the winner's commit."""
+    returns False instead of clobbering the winner's commit.
+
+    Every commit is stamped ``committed_at`` (UTC ISO) here — the single
+    chokepoint — so history is auditable and vacuum can retain BY AGE
+    (Delta's actual retention model). The stamp is informational wall
+    clock, never an ordering authority: versions order commits."""
+    import datetime as _dt
+
+    manifest.setdefault(
+        "committed_at",
+        _dt.datetime.now(_dt.timezone.utc).isoformat(timespec="seconds"),
+    )
     fs, jdir = _hadoop_fs(spark, f"{table_dir}/{_SNAP_DIR}")
     fs.mkdirs(jdir)
     # The tmp name must be unique ACROSS PROCESSES, not just within one:
@@ -1022,15 +1033,35 @@ def restore_snapshot(spark: SparkSession, table_dir: str, version: int) -> int:
     return new_v
 
 
-def vacuum(spark: SparkSession, table_dir: str, keep_last: int = 1) -> int:
+def vacuum(
+    spark: SparkSession,
+    table_dir: str,
+    keep_last: int = 1,
+    older_than_hours: float | None = None,
+) -> int:
     """Delete data files referenced ONLY by expired snapshots (and the
     expired manifests, and any orphaned data dirs from crashed commits).
     Returns the number of files deleted. Time travel remains available for
-    the ``keep_last`` newest versions."""
+    the ``keep_last`` newest versions.
+
+    ``older_than_hours`` is Delta's RETAIN n HOURS: versions whose
+    ``committed_at`` stamp is within the window are retained IN ADDITION
+    to ``keep_last`` (retention only ever widens — the latest version is
+    always safe). Unstamped legacy manifests count as expired by age."""
+    import datetime as _dt
+
     versions = _list_versions(spark, table_dir)
     if not versions:
         return 0
     keep = set(versions[-max(1, keep_last):])
+    if older_than_hours is not None:
+        cutoff = _dt.datetime.now(_dt.timezone.utc) - _dt.timedelta(
+            hours=older_than_hours
+        )
+        for v in versions:
+            ts = _read_manifest(spark, table_dir, v).get("committed_at")
+            if ts is not None and _dt.datetime.fromisoformat(ts) >= cutoff:
+                keep.add(v)
     live: set[str] = set()
     for v in keep:
         m = _read_manifest(spark, table_dir, v)
@@ -2186,7 +2217,7 @@ def snapshot_history(spark: SparkSession, table_dir: str) -> DataFrame:
         raise FileNotFoundError(f"no snapshots at {table_dir}")
     _core = {
         "version", "op", "data_change", "files", "schema", "constraints",
-        "dv_files", "stats", "cdc_files", "stream_batch_id",
+        "dv_files", "stats", "cdc_files", "stream_batch_id", "committed_at",
     }
     rows = []
     prev_files: set[str] = set()
@@ -2209,6 +2240,7 @@ def snapshot_history(spark: SparkSession, table_dir: str) -> DataFrame:
                 len(m.get("cdc_files", [])),
                 len(m.get("constraints", {})),
                 m.get("stream_batch_id"),
+                m.get("committed_at"),
                 json.dumps(
                     {k: v2 for k, v2 in m.items() if k not in _core},
                     sort_keys=True, default=str,
@@ -2222,7 +2254,7 @@ def snapshot_history(spark: SparkSession, table_dir: str) -> DataFrame:
             "version int, op string, data_change boolean, n_files int, "
             "n_files_added int, n_files_removed int, n_dv_files int, "
             "n_cdc_files int, n_constraints int, stream_batch_id long, "
-            "detail string"
+            "committed_at string, detail string"
         ),
     )
 

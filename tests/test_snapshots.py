@@ -1742,3 +1742,25 @@ def test_analyze_and_maintain_snapshot(spark, tmp_path):
     assert out["compacted"] is not None and out["vacuumed"] > 0
     assert read_snapshot(spark, t).count() == 110
     assert snapshot_history(spark, t).count() == 1
+
+
+def test_commit_timestamps_and_age_based_vacuum(spark, tmp_path):
+    """Every commit is stamped committed_at (UTC ISO, the _try_commit
+    chokepoint); vacuum's older_than_hours retains by age IN ADDITION to
+    keep_last — retention only ever widens."""
+    from customer_activity_lakehouse_spark.sources.snapshots import snapshot_history
+
+    t = str(tmp_path / "tbl")
+    for lo in (0, 10, 20):
+        commit_append(spark, t, _df(spark, lo, lo + 10).coalesce(1))
+    hist = snapshot_history(spark, t).collect()
+    assert all(r.committed_at and r.committed_at.endswith("+00:00") for r in hist)
+    # everything committed seconds ago -> a 1h window retains ALL versions
+    assert vacuum(spark, t, keep_last=1, older_than_hours=1.0) == 0
+    assert read_snapshot(spark, t, version=1).count() == 10
+    # zero-hour window degrades to keep_last alone: expired manifests go
+    # (no data files — appends chain, so v3 references every file)
+    assert vacuum(spark, t, keep_last=1, older_than_hours=0.0) == 0
+    with pytest.raises(FileNotFoundError):
+        read_snapshot(spark, t, version=1)
+    assert read_snapshot(spark, t).count() == 30
