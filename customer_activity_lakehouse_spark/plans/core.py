@@ -2831,7 +2831,68 @@ FROM ranked
 """
 
 
+def q_order_interarrival_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Repeat-purchase cadence: the gap in days between each customer's
+    consecutive orders (lag window), summarized as a global distribution
+    — count, mean (one rounded double division of exact integer sums),
+    and exact disc-percentiles. The retention question ("how often do
+    customers come back?") behind every re-engagement trigger.
+
+    Scale shape: the lag window partitions by customer (bounded
+    partitions, co-keyed with the one shuffle); the final rollup is a
+    zero-key aggregate over the |orders - customers| gap rows with
+    map-side partials. No self-join — the naive spelling joins orders to
+    orders on adjacent ranks.
+    """
+    orders = table(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = (
+        orders.select(
+            "o_custkey",
+            F.datediff(
+                "o_orderdate", F.lag("o_orderdate").over(w)
+            ).alias("gap_days"),
+        )
+        .filter(F.col("gap_days").isNotNull())
+    )
+    return gaps.agg(
+        F.count(F.lit(1)).cast("long").alias("n_gaps"),
+        F.round(F.sum("gap_days") / F.count(F.lit(1)), 8).alias("mean_gap"),
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY gap_days)")
+        .cast("long")
+        .alias("p50_gap"),
+        F.expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY gap_days)")
+        .cast("long")
+        .alias("p90_gap"),
+        F.max("gap_days").cast("long").alias("max_gap"),
+    )
+
+
+ORACLE_ORDER_INTERARRIVAL_STATS = """
+WITH gaps AS (
+  SELECT o_custkey,
+         date_diff('day',
+                   lag(o_orderdate) OVER (PARTITION BY o_custkey
+                                          ORDER BY o_orderdate, o_orderkey),
+                   o_orderdate) AS gap_days
+  FROM orders
+)
+SELECT count(*)::BIGINT AS n_gaps,
+       round(sum(gap_days)::DOUBLE / count(*), 8) AS mean_gap,
+       quantile_disc(gap_days, 0.5)::BIGINT AS p50_gap,
+       quantile_disc(gap_days, 0.9)::BIGINT AS p90_gap,
+       max(gap_days)::BIGINT AS max_gap
+FROM gaps
+WHERE gap_days IS NOT NULL
+"""
+
+
 QUERIES: dict[str, Query] = {
+    "order_interarrival_stats": Query(
+        q_order_interarrival_stats,
+        ORACLE_ORDER_INTERARRIVAL_STATS,
+        ("window", "lag", "percentile"),
+    ),
     "shipment_concurrency": Query(
         q_shipment_concurrency,
         ORACLE_SHIPMENT_CONCURRENCY,
