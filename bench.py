@@ -260,8 +260,12 @@ def main() -> None:
                     "(embedding_kmeans, dedup_setsim_capped, doc_bpe_pairs, "
                     "nation_trade_flows, priority_drift_revenue, "
                     "part_market_basket; the r6 note miscounted them as 5), "
-                    "25->31; compare value_full across rounds on the shared "
-                    "subset. etl_pipeline is reported separately in queries. "
+                    "25->31; r7 ADDED the snapshot_dml phase plus TWO "
+                    "benched queries (shipment_concurrency, "
+                    "lineitem_key_skew_profile), 31->34 entries in "
+                    "queries{}; compare value_full across rounds on the "
+                    "shared subset. etl_pipeline is reported separately in "
+                    "queries. "
                     "Events NTZ-cast cost (~0.1 s/query at sf0.1, required "
                     "for UTC oracle parity): moved only with whole-set "
                     "environmental shifts through r6 — accepted, not "

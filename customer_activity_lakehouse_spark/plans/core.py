@@ -2897,6 +2897,7 @@ QUERIES: dict[str, Query] = {
         q_shipment_concurrency,
         ORACLE_SHIPMENT_CONCURRENCY,
         ("sweepline", "interval", "window"),
+        True,
     ),
     "customer_order_streaks": Query(
         q_customer_order_streaks,
@@ -2907,6 +2908,7 @@ QUERIES: dict[str, Query] = {
         q_lineitem_key_skew_profile,
         ORACLE_LINEITEM_KEY_SKEW_PROFILE,
         ("skew", "diagnostics", "percentile"),
+        True,
     ),
     "pricing_summary": Query(q_pricing_summary, ORACLE_PRICING_SUMMARY, ("tpch", "agg"), True),
     "part_market_basket": Query(
