@@ -24,6 +24,13 @@ package's functions:
   loudly (use ``snapshots.consume_changes`` for CDC consumption) —
   Delta's streaming-source default.
 
+SQL note: ``CREATE TABLE ... USING snapshot_log OPTIONS (path ...)``
+resolves the schema but cannot be SELECTed in this Spark build — the
+engine does not forward a SQL table's stored OPTIONS to the Python
+reader phase (verified: reader-side ``self.options`` arrives empty while
+the schema phase sees them). Use ``spark.read.format("snapshot_log")``
+(options flow correctly there) and ``createOrReplaceTempView`` for SQL.
+
 Scale note: the JVM parquet scan (:func:`..snapshots.read_snapshot`)
 remains the batch fast path — whole-stage codegen, pushdown, AQE. This
 source's batch reader trades that for API interop (Arrow keeps it

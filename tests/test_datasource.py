@@ -232,3 +232,35 @@ def test_stream_cdc_mode_flows_through_dml(registered, tmp_path):
     assert {r.id for r in by_type["insert"]} == set(range(5)) | {7}
     assert {r.id for r in by_type["delete"]} == {4}
     assert {r._commit_version for r in rows} == {1, 2, 3}
+
+
+def test_py_try_commit_atomic_no_overwrite(tmp_path):
+    """The writer's pure-python commit primitive: os.link arbitration —
+    exactly one winner per version slot, loser's content never clobbers,
+    across genuinely concurrent committers (no Spark involved)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from customer_activity_lakehouse_spark.sources.datasource import (
+        _py_manifest,
+        _py_try_commit,
+    )
+
+    t = str(tmp_path / "tbl")
+    assert _py_try_commit(t, 1, {"version": 1, "op": "append", "files": ["w0"]})
+    assert not _py_try_commit(t, 1, {"version": 1, "op": "append", "files": ["w1"]})
+    assert _py_manifest(t, 1)["files"] == ["w0"]  # winner intact
+
+    # 16 racers per version slot, 10 slots: exactly one winner each
+    def race(args):
+        v, w = args
+        return _py_try_commit(
+            t, v, {"version": v, "op": "append", "files": [f"w{w}"]}
+        )
+
+    with ThreadPoolExecutor(max_workers=16) as ex:
+        for v in range(2, 12):
+            results = list(ex.map(race, [(v, w) for w in range(16)]))
+            assert sum(results) == 1, f"v{v}: {results}"
+            assert _py_manifest(t, v)["files"][0].startswith("w")
+    # every committed manifest carries its timestamp stamp
+    assert _py_manifest(t, 5)["committed_at"]
