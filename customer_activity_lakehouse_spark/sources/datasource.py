@@ -191,6 +191,28 @@ def _dv_index(dv_files: list[str]) -> dict[str, list[int]]:
     return {k: sorted(v) for k, v in out.items()}
 
 
+def _py_version_at(table_dir: str, ts: str) -> int:
+    """Pure-python twin of snapshots.version_at_timestamp."""
+    import datetime as _dt
+
+    want = _dt.datetime.fromisoformat(ts)
+    if want.tzinfo is None:
+        want = want.replace(tzinfo=_dt.timezone.utc)
+    best = None
+    for v in _py_versions(table_dir):
+        stamp = _py_manifest(table_dir, v).get("committed_at")
+        at = (
+            _dt.datetime.fromisoformat(stamp)
+            if stamp
+            else _dt.datetime.min.replace(tzinfo=_dt.timezone.utc)
+        )
+        if at <= want:
+            best = v
+    if best is None:
+        raise ValueError(f"no snapshot at {table_dir} committed at or before {ts}")
+    return best
+
+
 class _SnapshotBatchReader(DataSourceReader):
     def __init__(self, table_dir: str, version: int | None):
         versions = _py_versions(table_dir)
@@ -319,7 +341,8 @@ class SnapshotLogDataSource(DataSource):
         versions = _py_versions(table_dir)
         if not versions:
             raise FileNotFoundError(f"no snapshots at {table_dir}")
-        v = int(self.options.get("version", versions[-1]))
+        rv = self._resolve_version()
+        v = versions[-1] if rv is None else rv
         sig = _py_manifest(table_dir, v).get("schema")
         if not sig:
             raise ValueError(f"no recorded schema at {table_dir}")
@@ -328,9 +351,17 @@ class SnapshotLogDataSource(DataSource):
             ddl += ", `change_type` string, `_commit_version` int"
         return ddl
 
-    def reader(self, schema) -> DataSourceReader:
+    def _resolve_version(self) -> int | None:
         v = self.options.get("version")
-        return _SnapshotBatchReader(self._dir(), int(v) if v is not None else None)
+        ts = self.options.get("timestampasof") or self.options.get("timestampAsOf")
+        if v is not None and ts is not None:
+            raise ValueError("snapshot_log: pass version OR timestampAsOf, not both")
+        if ts is not None:
+            return _py_version_at(self._dir(), ts)
+        return int(v) if v is not None else None
+
+    def reader(self, schema) -> DataSourceReader:
+        return _SnapshotBatchReader(self._dir(), self._resolve_version())
 
     def streamReader(self, schema) -> DataSourceStreamReader:
         return _SnapshotStreamReader(

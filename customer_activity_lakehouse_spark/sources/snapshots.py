@@ -837,14 +837,52 @@ def _prune_by_stats(files: list[str], stats: dict, skip_where: tuple) -> list[st
     return [f for f in files if keep(f)]
 
 
+def version_at_timestamp(spark: SparkSession, table_dir: str, ts: str) -> int:
+    """``TIMESTAMP AS OF`` resolution: the latest version whose
+    ``committed_at`` stamp is <= ``ts`` (ISO-8601; naive strings are read
+    as UTC). Raises if the table's history starts after ``ts`` — exactly
+    Delta's behavior for a too-early timestamp. Unstamped legacy
+    manifests (pre-r7) are treated as infinitely old, so they resolve for
+    any timestamp."""
+    import datetime as _dt
+
+    want = _dt.datetime.fromisoformat(ts)
+    if want.tzinfo is None:
+        want = want.replace(tzinfo=_dt.timezone.utc)
+    versions = _list_versions(spark, table_dir)
+    if not versions:
+        raise FileNotFoundError(f"no snapshots at {table_dir}")
+    best = None
+    for v in versions:
+        stamp = _read_manifest(spark, table_dir, v).get("committed_at")
+        at = (
+            _dt.datetime.fromisoformat(stamp)
+            if stamp
+            else _dt.datetime.min.replace(tzinfo=_dt.timezone.utc)
+        )
+        if at <= want:
+            best = v
+    if best is None:
+        raise ValueError(
+            f"no snapshot at {table_dir} committed at or before {ts} "
+            f"(history starts later)"
+        )
+    return best
+
+
 def read_snapshot(
     spark: SparkSession,
     table_dir: str,
     version: int | None = None,
     skip_where: tuple | None = None,
+    as_of: str | None = None,
 ) -> DataFrame:
     """Read the table at ``version`` (default: latest). Reads exactly the
     manifest's file list — uncommitted/orphaned data is invisible.
+
+    ``as_of`` is ``TIMESTAMP AS OF`` time travel (mutually exclusive
+    with ``version``): the table as of that wall-clock instant, resolved
+    through each manifest's ``committed_at`` stamp.
 
     ``skip_where=(col, lo, hi)`` is manifest-level DATA SKIPPING (the
     Delta file-stats prune): files whose recorded [min, max] for ``col``
@@ -852,6 +890,10 @@ def read_snapshot(
     read BEFORE Spark ever lists them. Files without recorded stats are
     always read (skipping is an optimization, never a filter) — the
     caller still applies the actual predicate; skipping only shrinks I/O."""
+    if as_of is not None and version is not None:
+        raise ValueError("read_snapshot: pass version OR as_of, not both")
+    if as_of is not None:
+        version = version_at_timestamp(spark, table_dir, as_of)
     versions = _list_versions(spark, table_dir)
     if not versions:
         raise FileNotFoundError(f"no snapshots at {table_dir}")

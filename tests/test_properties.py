@@ -436,3 +436,78 @@ def test_adpcm_roundtrip_bounded_on_smooth_signals(seed, n, amp):
     assert sr == 8000 and len(dec) == n
     err = dec - wav
     assert float(np.sqrt((err * err).mean())) < 0.03
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(ops=st.lists(st.integers(0, 3), min_size=3, max_size=8), data=st.data())
+def test_column_mapping_model(spark, tmp_path_factory, ops, data):
+    """Model-based check of column mapping: a random interleaving of
+    append / rename / drop / evolving-append agrees with a plain dict
+    model at EVERY step — logical schema, row count, and per-column
+    values — and a dropped-then-readded name never resurrects old bytes
+    (the physical-name-reuse hazard)."""
+    from customer_activity_lakehouse_spark.sources.snapshots import (
+        commit_append,
+        drop_snapshot_column,
+        read_snapshot,
+        rename_snapshot_column,
+    )
+
+    t = str(tmp_path_factory.mktemp("cmprop") / "tbl")
+    # model: cols -> {row_id: value}; engine rows carry (rid, one col per name)
+    next_rid = 0
+    next_col = 0
+    cols: dict[str, dict[int, int]] = {}
+    all_rids: list[int] = []
+
+    def append(new_col: bool):
+        nonlocal next_rid, next_col
+        names = sorted(cols)
+        if new_col:
+            names = names + [f"c{next_col}"]
+            next_col += 1
+        if not names:
+            names = [f"c{next_col}"]
+            next_col += 1
+        rids = [next_rid, next_rid + 1]
+        next_rid += 2
+        exprs = ["id + %d AS rid" % rids[0]] + [
+            f"(id + {rids[0]}) * 10 + {i} AS `{n}`" for i, n in enumerate(names)
+        ]
+        df = spark.range(0, 2).selectExpr(*exprs)
+        commit_append(spark, t, df, allow_schema_evolution=True)
+        for n in sorted(set(names) | set(cols)):
+            cols.setdefault(n, {})
+            for j, rid in enumerate(rids):
+                cols[n][rid] = (rid * 10 + names.index(n)) if n in names else None
+        # pre-existing rows don't gain values for a fresh column
+        all_rids.extend(rids)
+
+    append(new_col=True)
+    for op in ops:
+        names = sorted(cols)
+        if op == 0:  # plain append
+            append(new_col=False)
+        elif op == 1:  # evolving append
+            append(new_col=True)
+        elif op == 2 and names:  # rename
+            src_name = data.draw(st.sampled_from(names), label="rename_src")
+            dst = f"r{next_col}_{src_name[-6:]}"
+            rename_snapshot_column(spark, t, src_name, dst)
+            cols[dst] = cols.pop(src_name)
+        elif op == 3 and len(names) > 1:  # drop (keep rid)
+            victim = data.draw(
+                st.sampled_from([n for n in names]), label="drop_col"
+            )
+            drop_snapshot_column(spark, t, victim)
+            del cols[victim]
+        # invariant check after every op
+        got = read_snapshot(spark, t)
+        assert sorted(got.columns) == sorted(["rid"] + sorted(cols))
+        rows = {r["rid"]: r.asDict() for r in got.collect()}
+        assert sorted(rows) == sorted(all_rids)
+        for n, vals in cols.items():
+            for rid in all_rids:
+                assert rows[rid][n] == vals.get(rid), (
+                    f"col {n} rid {rid}: engine {rows[rid][n]} model {vals.get(rid)}"
+                )

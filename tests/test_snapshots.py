@@ -1764,3 +1764,38 @@ def test_commit_timestamps_and_age_based_vacuum(spark, tmp_path):
     with pytest.raises(FileNotFoundError):
         read_snapshot(spark, t, version=1)
     assert read_snapshot(spark, t).count() == 30
+
+
+def test_timestamp_as_of_time_travel(spark, tmp_path):
+    """TIMESTAMP AS OF: resolved through committed_at stamps, in both the
+    library API and the data source option."""
+    import datetime as dt
+
+    from customer_activity_lakehouse_spark.sources.snapshots import (
+        version_at_timestamp,
+    )
+
+    t = str(tmp_path / "tbl")
+    commit_append(spark, t, _df(spark, 0, 10))
+    commit_append(spark, t, _df(spark, 10, 20))
+    now = dt.datetime.now(dt.timezone.utc).isoformat()
+    assert version_at_timestamp(spark, t, now) == 2
+    assert read_snapshot(spark, t, as_of=now).count() == 20
+    # before history began -> loud error (Delta's too-early contract)
+    with pytest.raises(ValueError, match="committed at or before"):
+        version_at_timestamp(spark, t, "2000-01-01T00:00:00+00:00")
+    with pytest.raises(ValueError, match="not both"):
+        read_snapshot(spark, t, version=1, as_of=now)
+    # data source option
+    from customer_activity_lakehouse_spark.sources.datasource import (
+        SnapshotLogDataSource,
+    )
+
+    spark.dataSource.register(SnapshotLogDataSource)
+    df = (
+        spark.read.format("snapshot_log")
+        .option("path", t)
+        .option("timestampAsOf", now)
+        .load()
+    )
+    assert df.count() == 20
