@@ -368,6 +368,67 @@ def drop_snapshot_column(spark: SparkSession, table_dir: str, name: str) -> int:
     return base_v + 1
 
 
+_WIDENINGS = {
+    "tinyint": {"smallint", "int", "bigint"},
+    "smallint": {"int", "bigint"},
+    "int": {"bigint"},
+    "float": {"double"},
+}
+
+
+def widen_snapshot_column(
+    spark: SparkSession, table_dir: str, col: str, new_type: str
+) -> int:
+    """``ALTER TABLE ... ALTER COLUMN ... TYPE`` (Delta type widening):
+    a metadata-only commit recording the wider type in the schema — zero
+    data I/O, because every read already goes through the manifest's
+    explicit DDL and Spark's parquet reader upcasts int8/16/32→int64 and
+    float→double in the scan (verified on this build). Only lossless
+    widenings are allowed (the integer chain and float→double); anything
+    else raises. Future appends must already carry the widened type (the
+    ordinary drift gate enforces it). Recorded [min,max] stats stay valid
+    — JSON integers don't change representation when the column widens.
+    Version races abort."""
+    versions = _list_versions(spark, table_dir)
+    if not versions:
+        raise FileNotFoundError(f"no snapshots at {table_dir}")
+    base_v = versions[-1]
+    m = _read_manifest(spark, table_dir, base_v)
+    sig = m.get("schema")
+    if sig is None:
+        raise ValueError(f"widen_snapshot_column: no recorded schema at {table_dir}")
+    types = {n: t for n, t in sig}
+    if col not in types:
+        raise KeyError(f"no column {col!r} at {table_dir} (have {sorted(types)})")
+    cur = types[col]
+    if new_type == cur:
+        return base_v  # idempotent no-op
+    if new_type not in _WIDENINGS.get(cur, ()):  # loud on narrowing/sideways
+        raise ValueError(
+            f"widen_snapshot_column: {cur} -> {new_type} is not a lossless "
+            f"widening (allowed from {cur}: {sorted(_WIDENINGS.get(cur, []))})"
+        )
+    manifest = {
+        "version": base_v + 1,
+        "op": "widen_column",
+        "data_change": False,
+        "files": m["files"],
+        "schema": [[n, new_type if n == col else t] for n, t in sig],
+        "widened": [col, cur, new_type],
+    }
+    for k in ("stats", "dv_files"):
+        if m.get(k):
+            manifest[k] = m[k]
+    _carry_props(m, manifest)
+    _carry_mapping(m, manifest)
+    if not _try_commit(spark, table_dir, base_v + 1, manifest):
+        raise RuntimeError(
+            f"widen_snapshot_column: version {base_v + 1} was committed "
+            f"concurrently at {table_dir}; re-read and retry"
+        )
+    return base_v + 1
+
+
 def _check_constraint_refs(m: dict, col: str, ctx: str) -> None:
     """Refuse a rename/drop while any CHECK constraint's SQL references
     the column. Word-boundary containment is deliberately conservative

@@ -1799,3 +1799,39 @@ def test_timestamp_as_of_time_travel(spark, tmp_path):
         .load()
     )
     assert df.count() == 20
+
+
+def test_widen_column_type_metadata_only(spark, tmp_path):
+    """Type widening: int->bigint via one manifest write; old int32 files
+    upcast in the scan, new appends land wide, narrowing refused."""
+    from customer_activity_lakehouse_spark.sources.snapshots import (
+        widen_snapshot_column,
+    )
+
+    t = str(tmp_path / "tbl")
+    commit_append(
+        spark, t,
+        spark.range(0, 5).selectExpr("cast(id AS int) AS id", "cast(id AS float) AS x"),
+        stats_cols=["id"],
+    )
+    before_files = sorted(read_snapshot(spark, t).inputFiles())
+    widen_snapshot_column(spark, t, "id", "bigint")
+    widen_snapshot_column(spark, t, "x", "double")
+    cur = read_snapshot(spark, t)
+    assert dict(cur.dtypes) == {"id": "bigint", "x": "double"}
+    assert sorted(cur.inputFiles()) == before_files  # zero data movement
+    assert cur.agg({"id": "sum"}).collect()[0][0] == 10
+    # appends now land wide; drift gate enforces the widened sig
+    commit_append(
+        spark, t, spark.range(5, 8).selectExpr("id", "cast(id AS double) AS x")
+    )
+    assert read_snapshot(spark, t).count() == 8
+    # skipping on the widened column still prunes with old int stats
+    assert read_snapshot(spark, t, skip_where=("id", 0, 2)).count() >= 3
+    # narrowing and sideways moves are refused
+    with pytest.raises(ValueError, match="not a lossless"):
+        widen_snapshot_column(spark, t, "id", "int")
+    with pytest.raises(ValueError, match="not a lossless"):
+        widen_snapshot_column(spark, t, "x", "bigint")
+    # time travel shows the narrow type
+    assert dict(read_snapshot(spark, t, version=1).dtypes)["id"] == "int"
