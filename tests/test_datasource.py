@@ -264,3 +264,44 @@ def test_py_try_commit_atomic_no_overwrite(tmp_path):
             assert _py_manifest(t, v)["files"][0].startswith("w")
     # every committed manifest carries its timestamp stamp
     assert _py_manifest(t, 5)["committed_at"]
+
+
+def test_lakehouse_loop_log_to_log_streaming(registered, tmp_path):
+    """The full loop a lakehouse runs, end to end through Spark's own
+    streaming machinery: snapshot table A --readStream(snapshot_log)-->
+    stateful aggregation --write_stream_snapshot_append--> snapshot
+    table B, with B's commits carrying the micro-batch id for replay
+    dedup and B remaining time-travelable."""
+    from customer_activity_lakehouse_spark.sources.snapshots import (
+        snapshot_history,
+    )
+
+    spark = registered
+    a = str(tmp_path / "a")
+    b = str(tmp_path / "b")
+    ck = str(tmp_path / "ck")
+    commit_append(
+        spark, a, spark.range(0, 20).selectExpr("id % 4 AS k", "id AS v")
+    )
+    commit_append(
+        spark, a, spark.range(20, 40).selectExpr("id % 4 AS k", "id AS v")
+    )
+    src = spark.readStream.format("snapshot_log").option("path", a).load()
+    agg = src.groupBy("k").count()
+    # complete-mode aggregate → one snapshot commit per micro-batch
+    query = (
+        agg.writeStream.outputMode("complete")
+        .foreachBatch(
+            lambda df, bid: commit_append(
+                spark, b, df.withColumn("batch", df.k * 0 + bid)
+            )
+        )
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(120)
+    out = read_snapshot(spark, b)
+    got = {r.k: r["count"] for r in out.collect()}
+    assert got == {0: 10, 1: 10, 2: 10, 3: 10}
+    assert snapshot_history(spark, b).count() >= 1
