@@ -559,6 +559,8 @@ def _commit_append_files(
             manifest["constraints"] = prev_cons
         if versions and prev_m.get("table_stats"):
             manifest["table_stats"] = prev_m["table_stats"]
+        if versions and prev_m.get("generated"):
+            manifest["generated"] = prev_m["generated"]
         if prev_dvs:
             manifest["dv_files"] = prev_dvs
         if prev_stats or new_stats:
@@ -594,8 +596,22 @@ def commit_append(
     entry_cons: dict = {}
     mapping = None
     if versions:
+        from pyspark.sql import functions as F
+
         prev_m = _read_manifest(spark, table_dir, versions[-1])
         prev_sig = prev_m.get("schema")
+        # GENERATED columns: compute any the writer omitted (Delta's
+        # contract — provide it and the paired CHECK validates it, omit
+        # it and the engine computes it), then restore the recorded
+        # column order so the signature compares positionally.
+        gen = prev_m.get("generated", {})
+        absent = [(n, e) for n, e in gen.items() if n not in df.columns]
+        if absent:
+            for n, e in absent:
+                df = df.withColumn(n, F.expr(e))
+            if prev_sig is not None and set(df.columns) == {n for n, _ in prev_sig}:
+                df = df.select(*[n for n, _ in prev_sig])
+            sig = _schema_sig(df)
         base_colmap, base_used = _mapping_of(prev_m)
         if base_colmap is not None:
             # mapped table: stage this batch's files under PHYSICAL names
@@ -698,6 +714,8 @@ def _carry_props(prev_m: dict | None, manifest: dict) -> dict:
         manifest.setdefault("constraints", prev_m["constraints"])
     if prev_m and prev_m.get("table_stats"):
         manifest.setdefault("table_stats", prev_m["table_stats"])
+    if prev_m and prev_m.get("generated"):
+        manifest.setdefault("generated", prev_m["generated"])
     return manifest
 
 
@@ -787,9 +805,11 @@ def drop_check_constraint(spark: SparkSession, table_dir: str, name: str) -> int
     if m.get("dv_files"):
         manifest["dv_files"] = m["dv_files"]
     # NOT _carry_props: it would setdefault the just-dropped constraint set
-    # back in when this drop empties it; only table_stats carries here
+    # back in when this drop empties it; only the other table-state does
     if m.get("table_stats"):
         manifest["table_stats"] = m["table_stats"]
+    if m.get("generated"):
+        manifest["generated"] = m["generated"]
     _carry_mapping(m, manifest)
     if not _try_commit(spark, table_dir, base_v + 1, manifest):
         raise RuntimeError(
@@ -1566,6 +1586,7 @@ def merge_snapshot(
     keys: list[str],
     order_col: str | None = None,
     stats_cols: list[str] | None = None,
+    extra: dict | None = None,
 ) -> int:
     """MERGE INTO as a snapshot commit — the Delta flagship verb (WHEN
     MATCHED UPDATE whole-row, WHEN NOT MATCHED INSERT) expressed natively
@@ -1608,6 +1629,8 @@ def merge_snapshot(
 
     if not keys:
         raise ValueError("merge_snapshot requires at least one key column")
+    # ``extra`` keys land verbatim in the manifest — the streaming merge
+    # sink stamps its batch id there, atomically with the merge itself
     # updates-side dedup: one winning row per key BEFORE any table I/O
     if order_col is not None:
         w = Window.partitionBy(*keys).orderBy(F.col(order_col).desc_nulls_last())
@@ -1721,6 +1744,8 @@ def merge_snapshot(
         manifest["dv_files"] = dv_files
     if kept_stats or new_stats:
         manifest["stats"] = {**kept_stats, **new_stats}
+    if extra:
+        manifest.update(extra)
     _carry_props(m, manifest)
     _carry_mapping(m, manifest)
     if not _try_commit(spark, table_dir, base_v + 1, manifest):
@@ -2562,3 +2587,96 @@ def maintain_snapshot(
         compacted = compact_snapshot(spark, table_dir, target_file_mb)
     deleted = vacuum(spark, table_dir, keep_last=keep_versions)
     return {"compacted": compacted, "vacuumed": deleted}
+
+
+def set_generated_column(
+    spark: SparkSession, table_dir: str, name: str, expr: str
+) -> int:
+    """Delta GENERATED ALWAYS AS parity for an existing column: record
+    ``expr`` as ``name``'s generating expression. From this commit on,
+    (a) appends that OMIT the column get it COMPUTED from ``expr``
+    (commit_append), and (b) every write path VALIDATES provided values
+    via an automatically-paired CHECK constraint
+    ``name IS NOT DISTINCT FROM (expr)`` — the null-safe spelling runs
+    identically under Spark (library verbs) and DuckDB (the format
+    writer's task-side validation), so no write class can desynchronize
+    the column from its expression. The existing data must already
+    satisfy the expression (validated here, one pushdown scan). The
+    commit is data_change=false; version races abort.
+
+    Declare-at-create flow: commit v1 with the column precomputed, then
+    declare it generated. The rename/drop guards already refuse mutating
+    a column a (paired) constraint references."""
+    versions = _list_versions(spark, table_dir)
+    if not versions:
+        raise FileNotFoundError(f"no snapshots at {table_dir}")
+    base_v = versions[-1]
+    m = _read_manifest(spark, table_dir, base_v)
+    sig = m.get("schema") or []
+    names = [n for n, _ in sig]
+    if name not in names:
+        raise KeyError(
+            f"set_generated_column: no column {name!r} at {table_dir} (have "
+            f"{names}); commit the table with the column precomputed first"
+        )
+    check = f"{name} IS NOT DISTINCT FROM ({expr})"
+    _validate_constraints(
+        read_snapshot(spark, table_dir, version=base_v),
+        {f"__gen_{name}": check},
+        "set_generated_column",
+    )
+    manifest = {
+        "version": base_v + 1,
+        "op": "set_generated",
+        "data_change": False,
+        "files": m["files"],
+        "schema": sig,
+        "generated": {**m.get("generated", {}), name: expr},
+        "constraints": {**m.get("constraints", {}), f"__gen_{name}": check},
+    }
+    for k in ("stats", "dv_files", "table_stats"):
+        if m.get(k):
+            manifest[k] = m[k]
+    _carry_mapping(m, manifest)
+    if not _try_commit(spark, table_dir, base_v + 1, manifest):
+        raise RuntimeError(
+            f"set_generated_column: version {base_v + 1} was committed "
+            f"concurrently at {table_dir}; re-read and retry"
+        )
+    return base_v + 1
+
+
+def drop_generated_column_expr(spark: SparkSession, table_dir: str, name: str) -> int:
+    """Un-declare a generated column (the column and its data stay; only
+    the generation rule and its paired CHECK go)."""
+    versions = _list_versions(spark, table_dir)
+    if not versions:
+        raise FileNotFoundError(f"no snapshots at {table_dir}")
+    base_v = versions[-1]
+    m = _read_manifest(spark, table_dir, base_v)
+    gen = dict(m.get("generated", {}))
+    if name not in gen:
+        raise KeyError(f"no generated column {name!r} at {table_dir} (have {sorted(gen)})")
+    del gen[name]
+    cons = {k: v for k, v in m.get("constraints", {}).items() if k != f"__gen_{name}"}
+    manifest = {
+        "version": base_v + 1,
+        "op": "drop_generated",
+        "data_change": False,
+        "files": m["files"],
+        "schema": m.get("schema"),
+    }
+    if gen:
+        manifest["generated"] = gen
+    if cons:
+        manifest["constraints"] = cons
+    for k in ("stats", "dv_files", "table_stats"):
+        if m.get(k):
+            manifest[k] = m[k]
+    _carry_mapping(m, manifest)
+    if not _try_commit(spark, table_dir, base_v + 1, manifest):
+        raise RuntimeError(
+            f"drop_generated_column_expr: version {base_v + 1} was committed "
+            f"concurrently at {table_dir}; re-read and retry"
+        )
+    return base_v + 1

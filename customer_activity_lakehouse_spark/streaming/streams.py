@@ -701,3 +701,68 @@ def write_stream_apply_changes(
     return write_stream_foreach_batch(
         df, apply_batch, checkpoint, available_now=available_now, output_mode="append"
     )
+
+
+def write_stream_snapshot_merge(
+    updates: DataFrame,
+    table_dir: str,
+    keys: list[str],
+    checkpoint: str,
+    order_col: str | None = None,
+    stats_cols: list[str] | None = None,
+    max_retries: int = 8,
+):
+    """Stream → MERGE INTO the snapshot log: every micro-batch upserts
+    (matched keys update, unmatched insert) as ONE snapshot commit —
+    Delta's `foreachBatch + MERGE` streaming-upsert idiom, with the
+    exactly-once guarantee moved into the table's own log:
+
+    - REPLAY DEDUP: the merge commit records its micro-batch id
+      (``stream_batch_id``) atomically with the merge; on a foreachBatch
+      replay (crash between commit and checkpoint advance) the id is
+      found in recent history and the batch SKIPS — a replayed merge
+      can never double-apply (a re-merge of the same rows would be
+      value-idempotent but would still pollute the change feed with
+      duplicate update rows; the skip keeps CDC exact too).
+    - RACE RETRY: merge aborts on a lost version race (overwrite-class);
+      the sink re-runs the whole merge against the new latest version —
+      re-reading the log each attempt, so concurrent batch writers and
+      the stream serialize cleanly.
+
+    The merge inherits everything the batch verb does: stats-pruned file
+    targeting, CHECK/generated-column enforcement, column mapping, CDC
+    change files (each micro-batch becomes one change-feed commit that
+    ``consume_changes`` replicas stream through)."""
+    from customer_activity_lakehouse_spark.sources import snapshots as snap
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        recent = snap._list_versions(spark, table_dir)[-32:]
+        for v in recent[::-1]:
+            if snap._read_manifest(spark, table_dir, v).get(
+                "stream_batch_id"
+            ) == batch_id:
+                return  # replayed batch: already merged
+        last_err: Exception | None = None
+        for _ in range(max_retries):
+            try:
+                snap.merge_snapshot(
+                    spark,
+                    table_dir,
+                    batch_df,
+                    keys,
+                    order_col=order_col,
+                    stats_cols=stats_cols,
+                    extra={"stream_batch_id": batch_id},
+                )
+                return
+            except RuntimeError as e:
+                if "committed concurrently" not in str(e):
+                    raise
+                last_err = e  # lost a version race: re-read and re-merge
+        raise RuntimeError(
+            f"write_stream_snapshot_merge: batch {batch_id} lost "
+            f"{max_retries} version races at {table_dir}"
+        ) from last_err
+
+    return write_stream_foreach_batch(updates, merge_batch, checkpoint)

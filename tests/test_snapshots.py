@@ -1835,3 +1835,52 @@ def test_widen_column_type_metadata_only(spark, tmp_path):
         widen_snapshot_column(spark, t, "x", "bigint")
     # time travel shows the narrow type
     assert dict(read_snapshot(spark, t, version=1).dtypes)["id"] == "int"
+
+
+def test_generated_columns_compute_and_enforce(spark, tmp_path):
+    """GENERATED ALWAYS AS: appends omitting the column get it computed;
+    provided values are validated null-safely on every write path
+    (library verbs AND the format writer's DuckDB task-side check)."""
+    from customer_activity_lakehouse_spark.sources.datasource import (
+        SnapshotLogDataSource,
+    )
+    from customer_activity_lakehouse_spark.sources.snapshots import (
+        drop_generated_column_expr,
+        merge_snapshot,
+        set_generated_column,
+    )
+
+    spark.dataSource.register(SnapshotLogDataSource)
+    t = str(tmp_path / "tbl")
+    commit_append(
+        spark, t, spark.range(0, 5).selectExpr("id", "id * 2 AS twice")
+    )
+    set_generated_column(spark, t, "twice", "id * 2")
+    # omitted -> computed (and column order restored to the recorded sig)
+    commit_append(spark, t, spark.range(5, 8).selectExpr("id"))
+    got = {r.id: r.twice for r in read_snapshot(spark, t).collect()}
+    assert got[6] == 12 and len(got) == 8
+    # provided-but-wrong -> refused on every path
+    bad = spark.range(8, 9).selectExpr("id", "id * 3 AS twice")
+    with pytest.raises(ValueError, match="__gen_twice"):
+        commit_append(spark, t, bad)
+    with pytest.raises(ValueError, match="__gen_twice"):
+        merge_snapshot(spark, t, bad, keys=["id"])
+    with pytest.raises(Exception, match="__gen_twice"):
+        bad.write.format("snapshot_log").option("path", t).mode("append").save()
+    # provided-and-right -> fine (merge postimage path)
+    merge_snapshot(
+        spark, t, spark.range(8, 9).selectExpr("id", "id * 2 AS twice"), keys=["id"]
+    )
+    assert read_snapshot(spark, t).count() == 9
+    # declared rule blocks renaming the column out from under it
+    from customer_activity_lakehouse_spark.sources.snapshots import (
+        rename_snapshot_column,
+    )
+
+    with pytest.raises(ValueError, match="__gen_twice"):
+        rename_snapshot_column(spark, t, "twice", "double_id")
+    # un-declare: the rule and its CHECK go; the data stays
+    drop_generated_column_expr(spark, t, "twice")
+    commit_append(spark, t, spark.range(9, 10).selectExpr("id", "id * 7 AS twice"))
+    assert read_snapshot(spark, t).count() == 10

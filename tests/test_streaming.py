@@ -765,3 +765,64 @@ def test_stream_snapshot_append_records_skipping_stats(spark, sf_smoke, events_d
     pruned = read_snapshot(spark, tdir, skip_where=("event_id", lo0, lo0))
     assert 1 <= len(pruned.inputFiles()) <= total
     assert pruned.filter(f"event_id = {lo0}").count() == 1
+
+
+def test_write_stream_snapshot_merge_exactly_once(spark, tmp_path):
+    """Streaming MERGE sink: micro-batch upserts land as merge commits
+    with the batch id stamped atomically; a replayed batch (same id in
+    recent history) is skipped, so state and the change feed stay exact."""
+    from customer_activity_lakehouse_spark.sources.snapshots import (
+        commit_append,
+        read_snapshot,
+        snapshot_change_feed,
+    )
+    from customer_activity_lakehouse_spark.streaming.streams import (
+        read_rate_events_stream,
+        write_stream_snapshot_merge,
+    )
+
+    t = str(tmp_path / "tbl")
+    ck = str(tmp_path / "ck")
+    commit_append(
+        spark, t,
+        spark.range(0, 50).selectExpr("id AS user_id", "cast(0 AS long) AS last_event"),
+    )
+    # rate stream: users 0..49 recurring; keep the LAST event id per user
+    ev = read_rate_events_stream(spark, rows_per_batch=200).selectExpr(
+        "user_id", "event_id AS last_event"
+    )
+    q = write_stream_snapshot_merge(
+        ev, t, keys=["user_id"], checkpoint=ck, order_col="last_event"
+    )
+    q.awaitTermination(120)
+    got = {r.user_id: r.last_event for r in read_snapshot(spark, t).collect()}
+    assert len(got) == 50
+    assert got[49] == 199 and got[0] == 150  # max event_id per user (v%50)
+    # the merge commits are change-feed readable (one commit per batch)
+    feed = snapshot_change_feed(spark, t, 1)
+    assert feed.filter("change_type = 'update'").count() == 50
+    # REPLAY: calling the batch fn again with an already-committed id is a no-op
+    from customer_activity_lakehouse_spark.sources.snapshots import _list_versions
+
+    v_before = _list_versions(spark, t)[-1]
+    import customer_activity_lakehouse_spark.streaming.streams as S
+
+    # simulate foreachBatch redelivery of batch 0
+    batch_df = spark.range(0, 5).selectExpr("id AS user_id", "cast(999 AS long) AS last_event")
+    # rebuild the same closure the sink used
+    sink_closure = None
+    def capture(df, fn, ck2):  # capture merge_batch without starting a stream
+        nonlocal sink_closure
+        sink_closure = fn
+        class _Q:  # minimal stand-in
+            def awaitTermination(self, *_): pass
+        return _Q()
+    orig = S.write_stream_foreach_batch
+    S.write_stream_foreach_batch = capture
+    try:
+        write_stream_snapshot_merge(batch_df, t, keys=["user_id"], checkpoint=ck)
+        sink_closure(batch_df, 0)  # batch id 0 already committed above
+    finally:
+        S.write_stream_foreach_batch = orig
+    assert _list_versions(spark, t)[-1] == v_before  # skipped, no new commit
+    assert read_snapshot(spark, t).filter("last_event = 999").count() == 0
