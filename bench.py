@@ -232,49 +232,53 @@ def main() -> None:
     assert not missing, f"legacy headline queries missing from catalog: {missing}"
     total = round(sum(timings[n] for n in LEGACY_VALUE_SET), 4)
     total_full = round(sum(timings[n] for n in headline), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_median_sec",
-                "value": total,
-                "value_full": total_full,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "value_excludes": ["etl_pipeline", "snapshot_dml"]
-                + sorted(n for n in headline if n not in legacy),
-                "value_full_excludes": ["etl_pipeline", "snapshot_dml"],
-                "runs": RUNS,
-                "note": (
-                    "interleaved shuffled passes, median of 5; ETL timed in "
-                    "its own phase (2 warm-ups + median of 7 — BENCH_r06's "
-                    "etl_pipeline=6.98 s was a cold-page-cache artifact of a "
-                    "fresh driver VM; the judge re-measured 4.11/4.32 s on "
-                    "unchanged code, and the widened warm-up makes a single "
-                    "cold pass unable to move the median). value sums the "
-                    "FROZEN legacy 18-query set benched since r01 "
-                    "(cross-round comparable); value_full sums ALL benched "
-                    "queries and is the SUCCESSOR headline — cross-round "
-                    "anchors: BENCH_r05 value_full = 13.21 s over the r5 "
-                    "25-query set; r6 ADDED SIX benched queries "
-                    "(embedding_kmeans, dedup_setsim_capped, doc_bpe_pairs, "
-                    "nation_trade_flows, priority_drift_revenue, "
-                    "part_market_basket; the r6 note miscounted them as 5), "
-                    "25->31; r7 ADDED the snapshot_dml phase plus TWO "
-                    "benched queries (shipment_concurrency, "
-                    "lineitem_key_skew_profile), 31->34 entries in "
-                    "queries{}; compare value_full across rounds on the "
-                    "shared subset. etl_pipeline is reported separately in "
-                    "queries. "
-                    "Events NTZ-cast cost (~0.1 s/query at sf0.1, required "
-                    "for UTC oracle parity): moved only with whole-set "
-                    "environmental shifts through r6 — accepted, not "
-                    "chased; if it ever creeps RELATIVE to the set, "
-                    "materialize the casted events projection once per pass"
-                ),
-            }
-        )
+    line = json.dumps(
+        {
+        "metric": "headline_queries_total_median_sec",
+        "value": total,
+        "value_full": total_full,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "value_excludes": ["etl_pipeline", "snapshot_dml"]
+        + sorted(n for n in headline if n not in legacy),
+        "value_full_excludes": ["etl_pipeline", "snapshot_dml"],
+        "runs": RUNS,
+        "note": (
+            "interleaved shuffled passes, median of 5; ETL timed in "
+            "its own phase (2 warm-ups + median of 7 — BENCH_r06's "
+            "etl_pipeline=6.98 s was a cold-page-cache artifact of a "
+            "fresh driver VM; the judge re-measured 4.11/4.32 s on "
+            "unchanged code, and the widened warm-up makes a single "
+            "cold pass unable to move the median). value sums the "
+            "FROZEN legacy 18-query set benched since r01 "
+            "(cross-round comparable); value_full sums ALL benched "
+            "queries and is the SUCCESSOR headline — cross-round "
+            "anchors: BENCH_r05 value_full = 13.21 s over the r5 "
+            "25-query set; r6 ADDED SIX benched queries "
+            "(embedding_kmeans, dedup_setsim_capped, doc_bpe_pairs, "
+            "nation_trade_flows, priority_drift_revenue, "
+            "part_market_basket; the r6 note miscounted them as 5), "
+            "25->31; r7 ADDED the snapshot_dml phase plus TWO "
+            "benched queries (shipment_concurrency, "
+            "lineitem_key_skew_profile), 31->34 entries in "
+            "queries{}; compare value_full across rounds on the "
+            "shared subset. etl_pipeline is reported separately in "
+            "queries. "
+            "Events NTZ-cast cost (~0.1 s/query at sf0.1, required "
+            "for UTC oracle parity): moved only with whole-set "
+            "environmental shifts through r6 — accepted, not "
+            "chased; if it ever creeps RELATIVE to the set, "
+            "materialize the casted events projection once per pass"
+        ),
+        }
     )
+    # The driver archives only the last ~2000 chars of stdout, which has
+    # truncated the headline totals three rounds running (ADVICE r7) —
+    # persist the full JSON beside the repo so the artifact is always
+    # parseable, then print the contract's single stdout line.
+    (REPO / "BENCH_FULL.json").write_text(line + "\n")
+    print(line)
 
 
 if __name__ == "__main__":
