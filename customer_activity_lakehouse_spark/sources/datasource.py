@@ -57,6 +57,8 @@ from pyspark.sql.datasource import (
     InputPartition,
 )
 
+from . import commitlog
+
 _SNAP_DIR = "_snapshots"
 
 
@@ -80,10 +82,26 @@ def _py_versions(table_dir: str) -> list[int]:
     return sorted(out)
 
 
-def _py_manifest(table_dir: str, version: int) -> dict:
-    path = os.path.join(_localize(table_dir), _SNAP_DIR, f"v{version:05d}.json")
+def _py_commit(table_dir: str, version: int) -> dict:
+    """RAW commit record — self-contained or O(delta); metadata keys
+    (schema, colmap, committed_at, op, cdc_files, …) are always verbatim
+    (commitlog module doc), so metadata-only readers stop here."""
+    path = os.path.join(
+        _localize(table_dir), _SNAP_DIR, commitlog.commit_name(version)
+    )
     with open(path, "rb") as fh:
         return json.loads(fh.read().decode())
+
+
+def _py_manifest(table_dir: str, version: int) -> dict:
+    """RESOLVED manifest (full files/stats/dv_files view) from the
+    segmented log: checkpoint + < CKPT_EVERY delta replays — the same
+    shared resolution as snapshots._read_manifest."""
+    snap_dir = os.path.join(_localize(table_dir), _SNAP_DIR)
+    has_ckpt, read_ckpt = commitlog.ckpt_prober(snap_dir)
+    return commitlog.resolve(
+        version, lambda v: _py_commit(table_dir, v), has_ckpt, read_ckpt
+    )
 
 
 def _arrow_type(t: str):
@@ -200,7 +218,8 @@ def _py_version_at(table_dir: str, ts: str) -> int:
         want = want.replace(tzinfo=_dt.timezone.utc)
     best = None
     for v in _py_versions(table_dir):
-        stamp = _py_manifest(table_dir, v).get("committed_at")
+        # committed_at is metadata — verbatim in every raw commit record
+        stamp = _py_commit(table_dir, v).get("committed_at")
         at = (
             _dt.datetime.fromisoformat(stamp)
             if stamp
@@ -268,20 +287,33 @@ class _SnapshotStreamReader(DataSourceStreamReader):
         v0, v1 = start["version"], end["version"]
         versions = _py_versions(self._dir)
         parts: list[_FilePartition] = []
-        prev_files: set[str] = set()
-        if v0 and v0 in versions:
-            prev_files = set(_py_manifest(self._dir, v0)["files"])
+        # Delta fast path: an append's raw commit record names its added
+        # files directly — O(batch) per micro-batch plan, no file-list
+        # resolution. ``prev_files`` (the pre-r8 set-diff base) is only
+        # materialized lazily when a FULL-format commit forces a diff.
+        prev_files: set[str] | None = None
         for v in versions:
             if not (v0 < v <= v1):
                 continue
-            m = _py_manifest(self._dir, v)
+            m = _py_commit(self._dir, v)
             sig = m.get("schema") or []
             colmap = m.get("colmap")
             if m.get("data_change") is False:
-                prev_files = set(m["files"])
+                if "files" in m:
+                    prev_files = set(m["files"])
                 continue
             if m["op"] == "append":
-                added = [f for f in m["files"] if f not in prev_files]
+                if "files" not in m:
+                    added = list(m["delta"].get("add", []))
+                else:
+                    if prev_files is None:
+                        prev_files = (
+                            set(_py_manifest(self._dir, v - 1)["files"])
+                            if v > 1
+                            else set()
+                        )
+                    added = [f for f in m["files"] if f not in prev_files]
+                    prev_files = set(m["files"])
                 parts.extend(
                     _FilePartition(
                         f, sig, colmap,
@@ -310,7 +342,11 @@ class _SnapshotStreamReader(DataSourceStreamReader):
                     "this source is append-only — set option('mode','cdc') "
                     "or consume DML via snapshots.consume_changes"
                 )
-            prev_files = set(m["files"])
+            if "files" in m:
+                prev_files = set(m["files"])
+            # delta records invalidate a lazily-held diff base only if a
+            # full-format commit follows, which cannot happen (the log
+            # only moves old->new format); keep prev_files as-is
         return parts
 
     def read(self, partition):
@@ -343,7 +379,8 @@ class SnapshotLogDataSource(DataSource):
             raise FileNotFoundError(f"no snapshots at {table_dir}")
         rv = self._resolve_version()
         v = versions[-1] if rv is None else rv
-        sig = _py_manifest(table_dir, v).get("schema")
+        # schema is metadata — verbatim in the raw commit record
+        sig = _py_commit(table_dir, v).get("schema")
         if not sig:
             raise ValueError(f"no recorded schema at {table_dir}")
         ddl = ", ".join(f"`{n}` {t}" for n, t in sig)
@@ -386,7 +423,8 @@ class SnapshotLogDataSource(DataSource):
         constraints: dict = {}
         versions = _py_versions(table_dir)
         if versions:
-            m = _py_manifest(table_dir, versions[-1])
+            # constraints/colmap are metadata — raw commit record suffices
+            m = _py_commit(table_dir, versions[-1])
             constraints = m.get("constraints", {})
             base_colmap = m.get("colmap")
             if not overwrite and base_colmap is not None:
@@ -552,32 +590,33 @@ class _SnapshotArrowWriter(DataSourceArrowWriter):
         return _FileCommit(path, rows, stats or None)
 
 
-def _py_try_commit(table_dir: str, version: int, manifest: dict) -> bool:
-    """Pure-python twin of snapshots._try_commit: stage the manifest under
-    a writer-unique name, then os.link it to the version slot — link is
-    atomic and FAILS if the destination exists, so two racing writers
-    cannot both claim a version."""
-    import uuid as _uuid
-
+def _py_try_commit(
+    table_dir: str, version: int, manifest: dict, prev: dict | None = None
+) -> bool:
+    """Pure-python twin of snapshots._try_commit, sharing the SAME
+    commitlog primitives: the resolved ``manifest`` is encoded as an
+    O(delta) commit record against ``prev`` and published with the atomic
+    os.link/EEXIST arbitration (commitlog.publish_exclusive) — the exact
+    primitive the JVM path uses on local filesystems, so mixed-engine
+    races share one kernel-level arbiter. Winning CKPT_EVERY-th commits
+    also publish a checkpoint manifest."""
     import datetime as _dt
 
     manifest.setdefault(
         "committed_at",
         _dt.datetime.now(_dt.timezone.utc).isoformat(timespec="seconds"),
     )
+    if version > 1 and prev is None:
+        prev = _py_manifest(table_dir, version - 1)
+    record = commitlog.make_commit(prev if version > 1 else None, manifest)
     snap_dir = os.path.join(_localize(table_dir), _SNAP_DIR)
-    os.makedirs(snap_dir, exist_ok=True)
-    tmp = os.path.join(snap_dir, f".tmp-{_uuid.uuid4().hex}.json")
-    final = os.path.join(snap_dir, f"v{version:05d}.json")
-    with open(tmp, "w") as fh:
-        json.dump(manifest, fh)
-    try:
-        os.link(tmp, final)
-        return True
-    except FileExistsError:
-        return False
-    finally:
-        os.unlink(tmp)
+    won = commitlog.publish_exclusive(
+        os.path.join(snap_dir, commitlog.commit_name(version)),
+        json.dumps(record).encode(),
+    )
+    if won and version % commitlog.CKPT_EVERY == 0 and "files" in manifest:
+        commitlog.write_ckpt_local(snap_dir, version, manifest)
+    return won
 
 
 class _SnapshotWriterDriver(_SnapshotArrowWriter):
@@ -629,7 +668,7 @@ class _SnapshotWriterDriver(_SnapshotArrowWriter):
                 manifest["constraints"] = self._constraints
             if new_stats:
                 manifest["stats"] = new_stats
-            if not _py_try_commit(self._dir, version, manifest):
+            if not _py_try_commit(self._dir, version, manifest, prev=prev):
                 raise RuntimeError(
                     f"snapshot_log writer: version {version} was committed "
                     f"concurrently at {self._dir}; staged dir is vacuum debris"
@@ -683,7 +722,7 @@ class _SnapshotWriterDriver(_SnapshotArrowWriter):
             prev_stats = prev.get("stats", {}) if prev else {}
             if prev_stats or new_stats:
                 manifest["stats"] = {**prev_stats, **new_stats}
-            if _py_try_commit(self._dir, version, manifest):
+            if _py_try_commit(self._dir, version, manifest, prev=prev):
                 return
         raise RuntimeError(
             f"snapshot_log writer: lost {_MAX_COMMIT_RETRIES} version races "

@@ -31,10 +31,12 @@ from __future__ import annotations
 import decimal
 import json
 import math
+import os
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 
+from . import commitlog
 from .tables import _hadoop_fs
 
 _SNAP_DIR = "_snapshots"
@@ -61,14 +63,83 @@ def _list_versions(spark: SparkSession, table_dir: str) -> list[int]:
     return sorted(out)
 
 
-def _read_manifest(spark: SparkSession, table_dir: str, version: int) -> dict:
-    fs, jpath = _hadoop_fs(spark, f"{table_dir}/{_SNAP_DIR}/v{version:05d}.json")
+def _read_commit(spark: SparkSession, table_dir: str, version: int) -> dict:
+    """The RAW commit record at ``version`` — self-contained (pre-r8
+    format, v1, checkpoint-backed) or an O(delta) action record. Valid on
+    its own for every METADATA key (schema, constraints, colmap,
+    committed_at, op, cdc_files, stream_batch_id, …): delta records carry
+    those verbatim, so metadata-only consumers never pay file-list
+    resolution. Only ``files`` / ``stats`` / ``dv_files`` need
+    :func:`_read_manifest`."""
+    rel = f"{_SNAP_DIR}/{commitlog.commit_name(version)}"
+    if commitlog.is_local(table_dir):
+        with open(os.path.join(commitlog.localize(table_dir), rel), "rb") as fh:
+            return json.loads(fh.read().decode())
+    fs, jpath = _hadoop_fs(spark, f"{table_dir}/{rel}")
     stream = fs.open(jpath)
     try:
         data = bytes(stream.readAllBytes())
     finally:
         stream.close()
     return json.loads(data.decode())
+
+
+def _ckpt_io(spark: SparkSession, table_dir: str):
+    """(has_ckpt, read_ckpt) probes for resolution — local fast path (no
+    JVM round-trips), Hadoop FS otherwise."""
+    if commitlog.is_local(table_dir):
+        snap_local = os.path.join(commitlog.localize(table_dir), _SNAP_DIR)
+        return commitlog.ckpt_prober(snap_local)
+
+    def has_ckpt(v: int) -> bool:
+        fs, jp = _hadoop_fs(spark, f"{table_dir}/{_SNAP_DIR}/{commitlog.ckpt_name(v)}")
+        return bool(fs.exists(jp))
+
+    def read_ckpt(v: int) -> dict:
+        fs, jp = _hadoop_fs(spark, f"{table_dir}/{_SNAP_DIR}/{commitlog.ckpt_name(v)}")
+        stream = fs.open(jp)
+        try:
+            data = bytes(stream.readAllBytes())
+        finally:
+            stream.close()
+        return json.loads(data.decode())
+
+    return has_ckpt, read_ckpt
+
+
+def _read_manifest(spark: SparkSession, table_dir: str, version: int) -> dict:
+    """The RESOLVED manifest at ``version`` — the full files/stats/DV view
+    every pre-r8 caller expects, now reconstructed from checkpoint +
+    O(delta) commit records (commitlog module doc). Cost: one checkpoint
+    parse + < CKPT_EVERY delta parses, independent of commit count."""
+    has_ckpt, read_ckpt = _ckpt_io(spark, table_dir)
+    return commitlog.resolve(
+        version, lambda v: _read_commit(spark, table_dir, v), has_ckpt, read_ckpt
+    )
+
+
+def _iter_resolved(spark: SparkSession, table_dir: str, versions: list[int]):
+    """Yield ``(v, resolved_manifest)`` for each requested version in
+    ascending order — ONE full resolution for the first, then O(delta)
+    forward replay per subsequent commit. This is the history/CDF/vacuum
+    walk: without it, per-version resolution would be quadratic in
+    file count across a long retained range."""
+    want = sorted(versions)
+    if not want:
+        return
+    first = _read_manifest(spark, table_dir, want[0])
+    state = (
+        list(first.get("files") or []),
+        dict(first.get("stats") or {}),
+        list(first.get("dv_files") or []),
+    )
+    yield want[0], first
+    want_set = set(want)
+    for v in range(want[0] + 1, want[-1] + 1):
+        raw = _read_commit(spark, table_dir, v)
+        state = commitlog.apply_commit(state, raw)
+        if v in want_set:
+            yield v, commitlog.resolved_view(raw, state)
 
 
 def _write_data(df: DataFrame, table_dir: str, tag: str) -> str:
@@ -86,41 +157,85 @@ def _data_files(spark: SparkSession, data_path: str) -> list[str]:
     )
 
 
-def _try_commit(spark: SparkSession, table_dir: str, version: int, manifest: dict) -> bool:
-    """Write the manifest to a temp name, then atomically rename it to
-    v{n}.json. Rename refuses an existing destination → losing a race
-    returns False instead of clobbering the winner's commit.
+def _try_commit(
+    spark: SparkSession,
+    table_dir: str,
+    version: int,
+    manifest: dict,
+    prev: dict | None = None,
+) -> bool:
+    """Claim version slot v{n}.json with ``manifest`` (the RESOLVED view —
+    callers keep building full manifests; this chokepoint encodes them as
+    O(delta) commit records against ``prev``, the resolved previous
+    version, resolving it here when the caller didn't pass it). Losing a
+    race returns False instead of clobbering the winner's commit.
+
+    Arbitration (unified primitive, VERDICT r7 #3): local filesystems use
+    commitlog.publish_exclusive — the SAME atomic os.link/EEXIST idiom as
+    the Python DataSource's _py_try_commit, so JVM-path and DataSource
+    writers racing one slot share one kernel-level arbiter with no
+    check-then-act window (Hadoop's RawLocalFileSystem rename emulates
+    no-clobber with an exists() check — a real μs race against a link
+    commit). Non-local schemes keep Hadoop rename: on HDFS the
+    refuse-existing-destination is the NameNode's own atomic rule.
 
     Every commit is stamped ``committed_at`` (UTC ISO) here — the single
     chokepoint — so history is auditable and vacuum can retain BY AGE
     (Delta's actual retention model). The stamp is informational wall
-    clock, never an ordering authority: versions order commits."""
+    clock, never an ordering authority: versions order commits.
+
+    Every CKPT_EVERY-th winning commit also publishes a checkpoint
+    manifest + pointer — the committer holds the resolved view already,
+    so checkpointing costs one extra write and zero resolution."""
     import datetime as _dt
 
     manifest.setdefault(
         "committed_at",
         _dt.datetime.now(_dt.timezone.utc).isoformat(timespec="seconds"),
     )
+    if version > 1 and prev is None:
+        prev = _read_manifest(spark, table_dir, version - 1)
+    record = commitlog.make_commit(prev if version > 1 else None, manifest)
+    data = json.dumps(record, indent=1).encode()
+    name = commitlog.commit_name(version)
+    if commitlog.is_local(table_dir):
+        snap_local = os.path.join(commitlog.localize(table_dir), _SNAP_DIR)
+        won = commitlog.publish_exclusive(os.path.join(snap_local, name), data)
+        if won and version % commitlog.CKPT_EVERY == 0 and "files" in manifest:
+            commitlog.write_ckpt_local(snap_local, version, manifest)
+        return won
     fs, jdir = _hadoop_fs(spark, f"{table_dir}/{_SNAP_DIR}")
     fs.mkdirs(jdir)
     # The tmp name must be unique ACROSS PROCESSES, not just within one:
-    # id(manifest) is only process-unique, so two drivers racing the same
-    # version could coincide and fs.create(tmp, overwrite=True) would
-    # clobber the other writer's staged manifest — a commit could then
-    # succeed with the LOSER's content (silent lost append). uuid4 closes
-    # the window the same way the data-dir tags do.
+    # two drivers racing the same version must never collide at the
+    # staged file — uuid4 closes the window the same way data-dir tags do.
     tmp = f"{table_dir}/{_SNAP_DIR}/.tmp-v{version:05d}-{uuid.uuid4().hex}"
     _, jtmp = _hadoop_fs(spark, tmp)
     out = fs.create(jtmp, True)
     try:
-        out.write(bytearray(json.dumps(manifest, indent=1).encode()))
+        out.write(bytearray(data))
     finally:
         out.close()
-    _, jfinal = _hadoop_fs(spark, f"{table_dir}/{_SNAP_DIR}/v{version:05d}.json")
-    if fs.rename(jtmp, jfinal):
-        return True
-    fs.delete(jtmp, False)
-    return False
+    _, jfinal = _hadoop_fs(spark, f"{table_dir}/{_SNAP_DIR}/{name}")
+    if not fs.rename(jtmp, jfinal):
+        fs.delete(jtmp, False)
+        return False
+    if version % commitlog.CKPT_EVERY == 0 and "files" in manifest:
+        ck = f"{table_dir}/{_SNAP_DIR}/{commitlog.ckpt_name(version)}"
+        _, jck = _hadoop_fs(spark, ck)
+        if not fs.exists(jck):
+            out = fs.create(jck, False)
+            try:
+                out.write(bytearray(json.dumps(manifest, indent=1).encode()))
+            finally:
+                out.close()
+        _, jptr = _hadoop_fs(spark, f"{table_dir}/{_SNAP_DIR}/{commitlog.LAST_CKPT}")
+        out = fs.create(jptr, True)
+        try:
+            out.write(bytearray(json.dumps({"version": version}).encode()))
+        finally:
+            out.close()
+    return True
 
 
 def _file_stats(
@@ -567,7 +682,10 @@ def _commit_append_files(
             manifest["stats"] = {**prev_stats, **new_stats}
         if extra:
             manifest.update(extra)
-        if _try_commit(spark, table_dir, version, manifest):
+        if _try_commit(
+            spark, table_dir, version, manifest,
+            prev=prev_m if versions else None,
+        ):
             return version
     raise RuntimeError(
         f"commit_append: lost {_MAX_COMMIT_RETRIES} version races at {table_dir}"
@@ -935,7 +1053,8 @@ def version_at_timestamp(spark: SparkSession, table_dir: str, ts: str) -> int:
         raise FileNotFoundError(f"no snapshots at {table_dir}")
     best = None
     for v in versions:
-        stamp = _read_manifest(spark, table_dir, v).get("committed_at")
+        # committed_at is metadata — verbatim in every raw commit record
+        stamp = _read_commit(spark, table_dir, v).get("committed_at")
         at = (
             _dt.datetime.fromisoformat(stamp)
             if stamp
@@ -1047,7 +1166,8 @@ def cursor_position(spark: SparkSession, cursor_dir: str) -> int:
     cursor_versions = _list_versions(spark, cursor_dir)
     if not cursor_versions:
         return 0
-    return _read_manifest(spark, cursor_dir, cursor_versions[-1])["consumed_version"]
+    # consumed_version is metadata — verbatim in the raw commit record
+    return _read_commit(spark, cursor_dir, cursor_versions[-1])["consumed_version"]
 
 
 def advance_cursor(spark: SparkSession, cursor_dir: str, version: int) -> None:
@@ -1182,12 +1302,15 @@ def vacuum(
             hours=older_than_hours
         )
         for v in versions:
-            ts = _read_manifest(spark, table_dir, v).get("committed_at")
+            # committed_at is verbatim in every raw commit record
+            ts = _read_commit(spark, table_dir, v).get("committed_at")
             if ts is not None and _dt.datetime.fromisoformat(ts) >= cutoff:
                 keep.add(v)
     live: set[str] = set()
-    for v in keep:
-        m = _read_manifest(spark, table_dir, v)
+    oldest_kept: dict | None = None
+    for v, m in _iter_resolved(spark, table_dir, sorted(keep)):
+        if oldest_kept is None:
+            oldest_kept = m
         live.update(m["files"])
         # change files (CDF) of retained versions stay readable through
         # snapshot_change_feed; expiring a version expires its feed too,
@@ -1215,10 +1338,40 @@ def vacuum(
                 if p not in live:
                     fs.delete(f.getPath(), False)
                     deleted += 1
-    for v in versions:
-        if v not in keep:
-            _, jm = _hadoop_fs(spark, f"{table_dir}/{_SNAP_DIR}/v{v:05d}.json")
-            fs.delete(jm, False)
+    # Expiring commit records must not strand retained DELTA records
+    # without a base: materialize a checkpoint AT the oldest retained
+    # version first (its resolved view is already in hand), so every
+    # retained version resolves from it after the chain below is gone.
+    min_keep = min(keep)
+    expired = [v for v in versions if v not in keep]
+    has_ckpt, _rd = _ckpt_io(spark, table_dir)
+    if expired and oldest_kept is not None and not has_ckpt(min_keep):
+        if commitlog.is_local(table_dir):
+            commitlog.write_ckpt_local(
+                os.path.join(commitlog.localize(table_dir), _SNAP_DIR),
+                min_keep,
+                oldest_kept,
+            )
+        else:
+            _, jck = _hadoop_fs(
+                spark, f"{table_dir}/{_SNAP_DIR}/{commitlog.ckpt_name(min_keep)}"
+            )
+            out = fs.create(jck, False)
+            try:
+                out.write(bytearray(json.dumps(oldest_kept, indent=1).encode()))
+            finally:
+                out.close()
+    for v in expired:
+        _, jm = _hadoop_fs(
+            spark, f"{table_dir}/{_SNAP_DIR}/{commitlog.commit_name(v)}"
+        )
+        fs.delete(jm, False)
+        # the expired version's checkpoint (if any) expires with it
+        _, jck = _hadoop_fs(
+            spark, f"{table_dir}/{_SNAP_DIR}/{commitlog.ckpt_name(v)}"
+        )
+        if v != min_keep and fs.exists(jck):
+            fs.delete(jck, False)
     return deleted
 
 
@@ -1262,7 +1415,8 @@ def snapshot_changes(
     if v_to < v_from:
         raise ValueError(f"v_to={v_to} precedes v_from={v_from}")
     in_range = sorted(v for v in versions if v_from < v <= v_to)
-    manifests = {v: _read_manifest(spark, table_dir, v) for v in in_range}
+    resolved = dict(_iter_resolved(spark, table_dir, [v_from] + in_range))
+    manifests = {v: resolved[v] for v in in_range}
     # Fast-path eligible commits: appends, plus any commit marked
     # data_change=false (compaction) — those rewrite the file LAYOUT
     # without changing row content, so incremental consumers must see them
@@ -1275,7 +1429,7 @@ def snapshot_changes(
         m["op"] == "append" or m.get("data_change") is False
         for m in manifests.values()
     ):
-        prev_set = set(_read_manifest(spark, table_dir, v_from)["files"])
+        prev_set = set(resolved[v_from]["files"])
         new_files: list[str] = []
         for v in in_range:
             m = manifests[v]
@@ -1288,7 +1442,7 @@ def snapshot_changes(
             return base.withColumn("change_type", F.lit("insert")).limit(0)
         # read through v_to's recorded schema + column mapping: files are
         # stored under physical names; consumers see v_to's logical view
-        m_to = _read_manifest(spark, table_dir, v_to)
+        m_to = resolved[v_to] if v_to in resolved else resolved[v_from]
         return _read_with_dvs(
             spark, new_files, m_to.get("schema"), [], colmap=_mapping_of(m_to)[0]
         ).withColumn("change_type", F.lit("insert"))
@@ -2125,11 +2279,12 @@ def snapshot_change_feed(
     if v_to < v_from:
         raise ValueError(f"v_to={v_to} precedes v_from={v_from}")
     in_range = [v for v in versions if v_from < v <= v_to]
-    prev_files = set(_read_manifest(spark, table_dir, v_from)["files"])
+    feed_resolved = dict(_iter_resolved(spark, table_dir, [v_from] + in_range))
+    prev_files = set(feed_resolved[v_from]["files"])
     pieces: list[DataFrame] = []
     last_sig = None
     for v in in_range:
-        m = _read_manifest(spark, table_dir, v)
+        m = feed_resolved[v]
         last_sig = m.get("schema") or last_sig
         if m.get("data_change") is False:
             prev_files = set(m["files"])
@@ -2180,7 +2335,7 @@ def snapshot_change_feed(
         prev_files = set(m["files"])
     if not pieces:
         if last_sig is None:
-            last_sig = _read_manifest(spark, table_dir, v_to).get("schema") or []
+            last_sig = _read_commit(spark, table_dir, v_to).get("schema") or []
         ddl = ", ".join(f"`{n}` {t}" for n, t in last_sig)
         ddl = (ddl + ", " if ddl else "") + "`change_type` string, `_commit_version` int"
         return spark.createDataFrame([], schema=ddl)
@@ -2350,8 +2505,7 @@ def snapshot_history(spark: SparkSession, table_dir: str) -> DataFrame:
     rows = []
     prev_files: set[str] = set()
     first = True
-    for v in versions:
-        m = _read_manifest(spark, table_dir, v)
+    for v, m in _iter_resolved(spark, table_dir, versions):
         cur = set(m["files"])
         rows.append(
             (

@@ -578,7 +578,9 @@ def write_stream_snapshot_append(
     def commit_batch_atomic(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         for v in snap._list_versions(spark, table_dir)[::-1]:
-            m = snap._read_manifest(spark, table_dir, v)
+            # metadata-only probe: raw commit records carry op and
+            # stream_batch_id verbatim — no file-list resolution needed
+            m = snap._read_commit(spark, table_dir, v)
             if m.get("stream_batch_id") == batch_id:
                 return
             if m["op"] != "append":
@@ -739,7 +741,8 @@ def write_stream_snapshot_merge(
         spark = batch_df.sparkSession
         recent = snap._list_versions(spark, table_dir)[-32:]
         for v in recent[::-1]:
-            if snap._read_manifest(spark, table_dir, v).get(
+            # metadata-only probe: raw commit records carry the batch id
+            if snap._read_commit(spark, table_dir, v).get(
                 "stream_batch_id"
             ) == batch_id:
                 return  # replayed batch: already merged

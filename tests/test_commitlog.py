@@ -1,0 +1,272 @@
+"""Segmented commit-log tests (VERDICT r7 #1/#3): O(batch) commit
+records, checkpoint-bounded resolution, 100-commit time travel / CDF /
+vacuum, and the unified mixed-primitive commit race."""
+
+from __future__ import annotations
+
+import json
+import threading
+from pathlib import Path
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from customer_activity_lakehouse_spark.sources import commitlog
+from customer_activity_lakehouse_spark.sources.snapshots import (
+    commit_append,
+    commit_overwrite,
+    read_snapshot,
+    snapshot_change_feed,
+    vacuum,
+)
+
+
+def _df(spark, lo, hi):
+    return spark.range(lo, hi).selectExpr("id", "id * 2 AS v")
+
+
+# ---------------------------------------------------------------- pure log
+
+
+def _manifest(files, stats=None, dvs=None, **meta):
+    m = {"version": 9, "op": "append", "files": list(files), **meta}
+    if stats:
+        m["stats"] = stats
+    if dvs:
+        m["dv_files"] = dvs
+    return m
+
+
+def test_make_commit_first_is_self_contained():
+    m = _manifest(["a", "b"])
+    assert commitlog.make_commit(None, m) is m
+
+
+def test_make_commit_encodes_o_delta_and_round_trips():
+    prev = _manifest(["a", "b"], stats={"a": {"id": [0, 9]}, "b": {"id": [10, 19]}})
+    cur = _manifest(
+        ["a", "c"],
+        stats={"a": {"id": [0, 9]}, "c": {"id": [20, 29]}},
+        dvs=["dv1"],
+        schema=[["id", "bigint"]],
+    )
+    rec = commitlog.make_commit(prev, cur)
+    assert "files" not in rec and rec["schema"] == [["id", "bigint"]]
+    d = rec["delta"]
+    assert d["add"] == ["c"] and d["remove"] == ["b"]
+    assert d["stats_add"] == {"c": {"id": [20, 29]}}
+    assert d["dv_add"] == ["dv1"]
+    files, stats, dvs = commitlog.apply_commit(
+        commitlog.apply_commit(None, prev), rec
+    )
+    assert (files, stats, dvs) == (cur["files"], cur["stats"], ["dv1"])
+
+
+def test_make_commit_truncate_on_disjoint_rewrite():
+    prev = _manifest([f"f{i}" for i in range(500)])
+    cur = _manifest(["g1", "g2"])
+    rec = commitlog.make_commit(prev, cur)
+    d = rec["delta"]
+    # overwrite-class: O(new), no O(old) remove list
+    assert d.get("truncate") is True and d["add"] == ["g1", "g2"]
+    assert "remove" not in d
+    assert commitlog.apply_commit(commitlog.apply_commit(None, prev), rec)[0] == [
+        "g1",
+        "g2",
+    ]
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.sets(st.integers(0, 30), max_size=12),  # live file ids
+            st.booleans(),  # drop stats for even files
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_commit_chain_round_trips(steps):
+    """Any sequence of manifests replays exactly through the encoded
+    delta chain: resolve(make_commit chain) == the original manifests."""
+    prev = None
+    state = None
+    for ids, drop_even in steps:
+        files = sorted(f"f{i}" for i in ids)
+        stats = {
+            f: {"id": [i, i + 1]}
+            for i, f in enumerate(files)
+            if not (drop_even and i % 2 == 0)
+        }
+        cur = _manifest(files, stats=stats or None)
+        rec = commitlog.make_commit(prev, cur)
+        state = commitlog.apply_commit(state, rec)
+        view = commitlog.resolved_view(rec, state)
+        # the file list is a SET contract (readers union/diff, never index)
+        assert sorted(view["files"]) == files
+        assert len(set(view["files"])) == len(view["files"])
+        assert view.get("stats", {}) == stats
+        prev = cur
+
+
+def test_resolve_uses_checkpoint_and_survives_torn_pointer(tmp_path):
+    snap = tmp_path / "_snapshots"
+    snap.mkdir()
+    # v1 self-contained, v2..v12 deltas, ckpt at v10
+    m = _manifest(["f1"])
+    (snap / commitlog.commit_name(1)).write_text(json.dumps(m))
+    prev = m
+    for v in range(2, 13):
+        cur = _manifest(prev["files"] + [f"f{v}"])
+        (snap / commitlog.commit_name(v)).write_text(
+            json.dumps(commitlog.make_commit(prev, cur))
+        )
+        if v == 10:
+            commitlog.write_ckpt_local(str(snap), 10, cur)
+        prev = cur
+
+    def read_commit(v):
+        return json.loads((snap / commitlog.commit_name(v)).read_text())
+
+    has_ckpt, read_ckpt = commitlog.ckpt_prober(str(snap))
+    out = commitlog.resolve(12, read_commit, has_ckpt, read_ckpt)
+    assert out["files"] == [f"f{v}" for v in range(1, 13)]
+    # time travel BELOW the checkpoint still resolves from raw commits
+    assert commitlog.resolve(5, read_commit, has_ckpt, read_ckpt)["files"] == [
+        f"f{v}" for v in range(1, 6)
+    ]
+    # torn/corrupt pointer is advisory only
+    (snap / commitlog.LAST_CKPT).write_text("{garbage")
+    assert commitlog.read_last_ckpt_pointer(str(snap)) is None
+    out2 = commitlog.resolve(12, read_commit, has_ckpt, read_ckpt)
+    assert out2["files"] == out["files"]
+
+
+# ----------------------------------------------------- end-to-end (Spark)
+
+
+def test_100_commit_table_o_batch_records(spark, tmp_path):
+    """The verdict's acceptance test: manifest bytes per append stay
+    O(batch) across 100 commits — while the table still time-travels to
+    v1, CDC-feeds the whole range, and vacuums correctly."""
+    t = str(tmp_path / "tbl")
+    for i in range(100):
+        commit_append(
+            spark, t, _df(spark, i * 10, i * 10 + 10).coalesce(1), stats_cols=["id"]
+        )
+    snap = Path(t) / "_snapshots"
+    sizes = {
+        int(p.name[1:6]): p.stat().st_size for p in snap.glob("v*.json")
+    }
+    assert len(sizes) == 100
+    # delta records don't grow with table size: every late commit stays
+    # within 2x of an early delta commit (each adds the same 1-file batch)
+    assert sizes[99] < 2 * sizes[3], sizes
+    assert sizes[95] < 2 * sizes[3], sizes
+    # checkpoints exist every CKPT_EVERY commits and DO carry the growth
+    ckpts = sorted(int(p.name[6:11]) for p in snap.glob("ckpt-v*.json"))
+    assert ckpts == list(range(10, 101, 10))
+    assert commitlog.read_last_ckpt_pointer(str(snap)) == 100
+    # full correctness across the log: latest, time travel, stats pruning
+    assert read_snapshot(spark, t).count() == 1000
+    assert read_snapshot(spark, t, version=1).count() == 10
+    assert read_snapshot(spark, t, version=57).count() == 570
+    assert (
+        len(read_snapshot(spark, t, skip_where=("id", 0, 5)).inputFiles()) == 1
+    )
+    # CDF across the whole range after v1
+    feed = snapshot_change_feed(spark, t, 1, 100)
+    assert feed.count() == 990
+    assert feed.select("change_type").distinct().collect()[0][0] == "insert"
+    # vacuum expires the head; a checkpoint is materialized at the oldest
+    # retained version so the surviving delta chain still resolves
+    vacuum(spark, t, keep_last=7)
+    assert read_snapshot(spark, t).count() == 1000
+    assert read_snapshot(spark, t, version=94).count() == 940
+    with pytest.raises(FileNotFoundError):
+        read_snapshot(spark, t, version=93)
+
+
+def test_overwrite_in_log_is_o_new_and_history_replays(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    for i in range(4):
+        commit_append(spark, t, _df(spark, i * 10, i * 10 + 10).coalesce(1))
+    commit_overwrite(spark, t, _df(spark, 500, 503).coalesce(1))
+    raw = json.loads((Path(t) / "_snapshots" / "v00005.json").read_text())
+    assert raw["delta"].get("truncate") is True and "remove" not in raw["delta"]
+    assert read_snapshot(spark, t).count() == 3
+    assert read_snapshot(spark, t, version=4).count() == 40
+    commit_append(spark, t, _df(spark, 600, 610).coalesce(1))
+    assert read_snapshot(spark, t).count() == 13
+
+
+def test_pre_r8_full_manifests_read_unchanged(spark, tmp_path):
+    """Old-format logs (every commit self-contained) resolve verbatim —
+    simulate by rewriting each raw record as its resolved view."""
+    from customer_activity_lakehouse_spark.sources.snapshots import _read_manifest
+
+    t = str(tmp_path / "tbl")
+    for i in range(5):
+        commit_append(spark, t, _df(spark, i * 10, i * 10 + 10).coalesce(1))
+    snap = Path(t) / "_snapshots"
+    resolved = {v: _read_manifest(spark, t, v) for v in range(1, 6)}
+    for p in snap.glob("*"):
+        p.unlink()
+    for v, m in resolved.items():
+        (snap / commitlog.commit_name(v)).write_text(json.dumps(m))
+    assert read_snapshot(spark, t).count() == 50
+    assert read_snapshot(spark, t, version=2).count() == 20
+    # and new delta commits append on top of the legacy log seamlessly
+    commit_append(spark, t, _df(spark, 100, 105).coalesce(1))
+    raw = json.loads((snap / "v00006.json").read_text())
+    assert "delta" in raw and "files" not in raw
+    assert read_snapshot(spark, t).count() == 55
+
+
+def test_mixed_primitive_commit_race(spark, tmp_path):
+    """VERDICT r7 #3 acceptance: the JVM-path _try_commit and the
+    DataSource's _py_try_commit race the SAME version slots from 16
+    threads x 10 slots — exactly one winner per slot, every loser told so,
+    and the winner's content is intact (no clobber)."""
+    from customer_activity_lakehouse_spark.sources import datasource as DS
+    from customer_activity_lakehouse_spark.sources import snapshots as S
+
+    t = str(tmp_path / "tbl")
+    commit_append(spark, t, _df(spark, 0, 5).coalesce(1))
+    prev = S._read_manifest(spark, t, 1)
+    wins: dict[int, list[str]] = {v: [] for v in range(2, 12)}
+    lock = threading.Lock()
+
+    def contend(tag: str, use_jvm: bool):
+        for v in range(2, 12):
+            m = {"version": v, "op": "append", "files": prev["files"], "writer": tag}
+            won = (
+                S._try_commit(spark, t, v, dict(m), prev=prev)
+                if use_jvm
+                else DS._py_try_commit(t, v, dict(m), prev=prev)
+            )
+            if won:
+                with lock:
+                    wins[v].append(tag)
+
+    threads = [
+        threading.Thread(target=contend, args=(f"w{i}", i % 2 == 0))
+        for i in range(16)
+    ]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert all(len(w) == 1 for w in wins.values()), wins
+    for v in range(2, 12):
+        raw = json.loads(
+            (Path(t) / "_snapshots" / commitlog.commit_name(v)).read_text()
+        )
+        assert raw["writer"] == wins[v][0]  # winner's bytes, uncorrupted
+    # both engines won at least once across the 10 slots (probabilistic
+    # but 16 threads x 10 slots makes a one-sided sweep ~impossible; if it
+    # flakes, the assertion below is the one to loosen)
+    winners = {w for ws in wins.values() for w in ws}
+    assert len(winners) >= 2, winners

@@ -724,9 +724,10 @@ def test_decimal_stats_skip_safely(spark, tmp_path):
         )
         commit_append(spark, t, df.coalesce(1), stats_cols=["d"])
 
-    # stats landed numeric, not strings
-    mpath = sorted((_Path(t) / "_snapshots").glob("v*.json"))[-1]
-    stats = _json.loads(mpath.read_text())["stats"]
+    # stats landed numeric, not strings (resolved view across the log)
+    from customer_activity_lakehouse_spark.sources.snapshots import _read_manifest
+
+    stats = _read_manifest(spark, t, 2)["stats"]
     for st in stats.values():
         assert all(isinstance(b, float) for b in st["d"]), st
 
@@ -736,14 +737,18 @@ def test_decimal_stats_skip_safely(spark, tmp_path):
     assert [float(r.d) for r in pr.filter("d <= 15").collect()] == [10.5]
     # float bounds behave identically
     assert len(read_snapshot(spark, t, skip_where=("d", 10.0, 15.0)).inputFiles()) == 1
-    # incomparable legacy stats (strings) degrade to reading, never pruning
-    m = _json.loads(mpath.read_text())
-    for st in m["stats"].values():
-        st["d"] = [str(st["d"][0]), str(st["d"][1])]
-    mpath.write_text(_json.dumps(m))
-    crc = mpath.parent / f".{mpath.name}.crc"  # stale Hadoop checksum
-    if crc.exists():
-        crc.unlink()
+    # incomparable legacy stats (strings) degrade to reading, never
+    # pruning — stringify every stat bound in the RAW commit records
+    # (full manifests carry "stats", delta records "delta.stats_add")
+    for mpath in sorted((_Path(t) / "_snapshots").glob("v*.json")):
+        m = _json.loads(mpath.read_text())
+        for st in {**m.get("stats", {}), **m.get("delta", {}).get("stats_add", {})}.values():
+            if "d" in st:
+                st["d"] = [str(st["d"][0]), str(st["d"][1])]
+        mpath.write_text(_json.dumps(m))
+        crc = mpath.parent / f".{mpath.name}.crc"  # stale Hadoop checksum
+        if crc.exists():
+            crc.unlink()
     assert len(read_snapshot(spark, t, skip_where=("d", 10.0, 15.0)).inputFiles()) == 2
 
 
@@ -1677,23 +1682,24 @@ def test_clone_restore_and_streaming_carry_mapping(spark, tmp_path):
 def test_compact_snapshot_scoped_where(spark, tmp_path):
     """OPTIMIZE ... WHERE: only files overlapping the interval compact;
     out-of-scope files (and their stats) carry verbatim."""
-    from customer_activity_lakehouse_spark.sources.snapshots import compact_snapshot
+    from customer_activity_lakehouse_spark.sources.snapshots import (
+        _read_manifest,
+        compact_snapshot,
+    )
 
     t = str(tmp_path / "tbl")
     for lo in (0, 100, 200, 300):  # four files with disjoint id ranges
         commit_append(
             spark, t, _df(spark, lo, lo + 50).coalesce(1), stats_cols=["id"]
         )
-    m_before = json.loads(
-        (Path(t) / "_snapshots" / "v00004.json").read_text()
-    )
+    m_before = _read_manifest(spark, t, 4)
     assert len(m_before["files"]) == 4
     out_of_scope = [
         f for f in m_before["files"]
         if m_before["stats"][f]["id"][0] >= 200
     ]
     v = compact_snapshot(spark, t, target_file_mb=64, scope_where=("id", 0, 150))
-    m_after = json.loads((Path(t) / "_snapshots" / f"v{v:05d}.json").read_text())
+    m_after = _read_manifest(spark, t, v)
     # the two in-scope files packed into one; the two out-of-scope carried
     assert len(m_after["files"]) == 3
     assert set(out_of_scope) <= set(m_after["files"])
