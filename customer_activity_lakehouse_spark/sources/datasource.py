@@ -425,6 +425,17 @@ class SnapshotLogDataSource(DataSource):
         if versions:
             # constraints/colmap are metadata — raw commit record suffices
             m = _py_commit(table_dir, versions[-1])
+            if not overwrite and m.get("partition_by"):
+                # the task-staged Arrow writer lays files flat; appending
+                # them to a partitioned table would silently weaken its
+                # partition pruning (files spanning values). Fail loud —
+                # the JVM path (snapshots.commit_append) honors the layout.
+                raise ValueError(
+                    f"snapshot_log writer: {table_dir} is partitioned by "
+                    f"{m['partition_by']}; the Python DataSource writer does "
+                    "not stage hive layouts — append via "
+                    "snapshots.commit_append, or overwrite() to re-lay flat"
+                )
             constraints = m.get("constraints", {})
             base_colmap = m.get("colmap")
             if not overwrite and base_colmap is not None:

@@ -142,19 +142,57 @@ def _iter_resolved(spark: SparkSession, table_dir: str, versions: list[int]):
             yield v, commitlog.resolved_view(raw, state)
 
 
-def _write_data(df: DataFrame, table_dir: str, tag: str) -> str:
+# Hive-layout directory columns are DUPLICATES of the real partition
+# columns: partitionBy strips its columns from the written files, and a
+# snapshot read is an explicit file-list scan (no directory inference), so
+# the real column must stay IN the files. The prefixed duplicate exists
+# only to drive the writer's directory layout — which gives each data file
+# exactly one partition value, the property that makes partition pruning
+# exact through ordinary [min, max] stats.
+_PART_PREFIX = "__pp_"
+
+
+def _write_data(
+    df: DataFrame, table_dir: str, tag: str, partition_by: list[str] | None = None
+) -> str:
+    """``partition_by`` (PHYSICAL column names) lays the batch out in
+    hive-style ``__pp_<col>=<value>`` directories — the reference's layout
+    contract (data_processing.py:218) carried onto snapshot tables — while
+    keeping the real columns in the files (see _PART_PREFIX note)."""
     path = f"{table_dir}/data/{tag}"
-    df.write.mode("error").parquet(path)
+    if partition_by:
+        from pyspark.sql import functions as F
+
+        staged = df
+        for c in partition_by:
+            staged = staged.withColumn(f"{_PART_PREFIX}{c}", F.col(c))
+        staged.write.mode("error").partitionBy(
+            *[f"{_PART_PREFIX}{c}" for c in partition_by]
+        ).parquet(path)
+    else:
+        df.write.mode("error").parquet(path)
     return path
 
 
 def _data_files(spark: SparkSession, data_path: str) -> list[str]:
+    # recursive: partitioned batches nest files under __pp_<col>=<value>/
     fs, jdir = _hadoop_fs(spark, data_path)
-    return sorted(
-        str(s.getPath().toString())
-        for s in fs.listStatus(jdir)
-        if s.getPath().getName().endswith(".parquet")
-    )
+    out = []
+    it = fs.listFiles(jdir, True)
+    while it.hasNext():
+        p = it.next().getPath()
+        if str(p.getName()).endswith(".parquet"):
+            out.append(str(p.toString()))
+    return sorted(out)
+
+
+def _part_keys(m: dict | None) -> list[str]:
+    """PHYSICAL partition-column names of a manifest (``partition_by``
+    records logical names; stats and file layout speak physical)."""
+    if not m or not m.get("partition_by"):
+        return []
+    colmap, _ = _mapping_of(m)
+    return [_phys(colmap, c) for c in m["partition_by"]]
 
 
 def _try_commit(
@@ -420,6 +458,12 @@ def rename_snapshot_column(
         "colmap_used": used,
         "renamed": [old, new],
     }
+    if old in (m.get("partition_by") or []):
+        # partitioning follows the LOGICAL name; the physical name (and
+        # with it the layout and the stats keys) is untouched
+        manifest["partition_by"] = [
+            new if c == old else c for c in m["partition_by"]
+        ]
     for k in ("stats", "dv_files"):
         if m.get(k):
             manifest[k] = m[k]
@@ -451,6 +495,12 @@ def drop_snapshot_column(spark: SparkSession, table_dir: str, name: str) -> int:
         raise KeyError(f"no column {name!r} at {table_dir} (have {names})")
     if len(names) == 1:
         raise ValueError(f"cannot drop the only column of {table_dir}")
+    if name in (m.get("partition_by") or []):
+        raise ValueError(
+            f"drop_snapshot_column: {name!r} is a partition column of "
+            f"{table_dir} (partitioned by {m['partition_by']}) — re-lay the "
+            "table with commit_overwrite(partition_by=[...]) first"
+        )
     _check_constraint_refs(m, name, "drop_snapshot_column")
     colmap, used = _mapping_of(m)
     if colmap is None:
@@ -587,6 +637,7 @@ def _commit_append_files(
     extra: dict | None = None,
     validated_constraints: dict | None = None,
     mapping: tuple | None = None,
+    partition_by: list[str] | None = None,
 ) -> int:
     """The append-commit retry loop shared by :func:`commit_append` and the
     streaming snapshot sink: chain ``new_files`` onto whatever manifest is
@@ -661,12 +712,21 @@ def _commit_append_files(
                 "commit_append",
             )
             validated.update(unvalidated)
+        recorded_part = prev_m.get("partition_by") if versions else None
+        if versions and partition_by and recorded_part != partition_by:
+            raise ValueError(
+                f"commit_append: {table_dir} is partitioned by {recorded_part}; "
+                f"this append declared {partition_by} — partitioning is fixed "
+                "at table creation (use commit_overwrite to re-lay the table)"
+            )
         manifest = {
             "version": version,
             "op": "append",
             "files": prev_files + new_files,
             "schema": record_sig,
         }
+        if recorded_part or partition_by:
+            manifest["partition_by"] = recorded_part or partition_by
         if mapping is not None:
             manifest["colmap"] = mapping[1]
             manifest["colmap_used"] = mapping[2]
@@ -698,6 +758,7 @@ def commit_append(
     df: DataFrame,
     allow_schema_evolution: bool = False,
     stats_cols: list[str] | None = None,
+    partition_by: list[str] | None = None,
 ) -> int:
     """Append ``df`` as a new snapshot: new files = previous snapshot's
     files + this batch's. Retries on version races (append order does not
@@ -708,7 +769,17 @@ def commit_append(
     ``allow_schema_evolution=True`` (the evolved signature is then
     recorded, and readers see parquet's union-by-name view). Without the
     gate a drifted append silently poisons every later read — parquet
-    multi-file reads take the schema of an arbitrary file."""
+    multi-file reads take the schema of an arbitrary file.
+
+    ``partition_by`` (first commit only — it becomes a fixed table
+    property, validated on every later append) declares PARTITION COLUMNS:
+    each batch is laid out hive-style so every data file holds exactly one
+    value per partition column, and those columns always join the skipping
+    stats — so any partition predicate prunes files through the existing
+    [min, max] machinery with EXACT (min == max) bounds, before plain
+    stats and before Spark lists a single file. The reference's own layout
+    contract (flows.py:314 partitions by transaction_date) applied to the
+    snapshot log."""
     versions = _list_versions(spark, table_dir)
     sig = _schema_sig(df)
     entry_cons: dict = {}
@@ -751,19 +822,44 @@ def commit_append(
         # CHECK constraints fail the append BEFORE any data lands (the
         # retry loop re-validates against constraints added concurrently)
         _validate_constraints(df, entry_cons, "commit_append")
+        recorded_part = prev_m.get("partition_by")
+        if partition_by and recorded_part != partition_by:
+            raise ValueError(
+                f"commit_append: {table_dir} is partitioned by {recorded_part}; "
+                f"this append declared {partition_by} — partitioning is fixed "
+                "at table creation (use commit_overwrite to re-lay the table)"
+            )
+        partition_by = recorded_part  # inherit the table's layout
+    if partition_by:
+        missing = [c for c in partition_by if c not in {n for n, _ in sig}]
+        if missing:
+            raise KeyError(
+                f"commit_append: partition column(s) {missing} not in the "
+                f"append's schema {[n for n, _ in sig]}"
+            )
     attempt = (versions[-1] if versions else 0) + 1
     # the staged dir name must be WRITER-unique, not just attempt-unique:
     # two appenders racing the same attempt number (threads in one driver,
     # or a retried crashed commit) must never collide at the parquet write
     # — the manifest rename is the only arbitration point
     staged = _to_physical(df, mapping[1]) if mapping else df
-    data_path = _write_data(staged, table_dir, f"v{attempt:05d}-{uuid.uuid4().hex[:12]}")
+    part_phys = [
+        _phys(mapping[1] if mapping else None, c) for c in (partition_by or [])
+    ]
+    data_path = _write_data(
+        staged, table_dir, f"v{attempt:05d}-{uuid.uuid4().hex[:12]}",
+        partition_by=part_phys or None,
+    )
     new_files = _data_files(spark, data_path)
-    # skipping stats are keyed by PHYSICAL column name (stable across renames)
+    # skipping stats are keyed by PHYSICAL column name (stable across
+    # renames). Partition columns ALWAYS join the stats set: each file is
+    # value-pure (hive layout), so its [min, max] is exact and every
+    # partition predicate prunes through the ordinary stats machinery.
     stat_keys = (
         [_phys(mapping[1], c) for c in stats_cols] if mapping and stats_cols
-        else stats_cols
+        else list(stats_cols or [])
     )
+    stat_keys = sorted(set(stat_keys) | set(part_phys))
     new_stats = _file_stats(spark, new_files, stat_keys) if stat_keys else {}
     return _commit_append_files(
         spark,
@@ -774,6 +870,7 @@ def commit_append(
         allow_schema_evolution,
         validated_constraints=entry_cons,
         mapping=mapping,
+        partition_by=partition_by,
     )
 
 
@@ -782,6 +879,7 @@ def commit_overwrite(
     table_dir: str,
     df: DataFrame,
     stats_cols: list[str] | None = None,
+    partition_by: list[str] | None = None,
 ) -> int:
     """Replace the table contents as a new snapshot (old versions remain
     readable until vacuumed). On a version race this ABORTS instead of
@@ -793,27 +891,46 @@ def commit_overwrite(
     Column mapping RESETS here: the overwrite's files are a complete fresh
     physical layout written under the new frame's own (logical) names, so
     the new manifest carries no colmap — older versions keep their own
-    mapping for time travel."""
+    mapping for time travel.
+
+    PARTITIONING: inherited from the table by default; an explicit
+    ``partition_by`` re-lays the whole table (the one operation allowed to
+    change it — the overwrite rewrites every file anyway). Pass ``[]`` to
+    drop partitioning."""
     versions = _list_versions(spark, table_dir)
     version = (versions[-1] if versions else 0) + 1
-    cons = (
-        _read_manifest(spark, table_dir, versions[-1]).get("constraints", {})
-        if versions
-        else {}
-    )
+    prev_m = _read_manifest(spark, table_dir, versions[-1]) if versions else None
+    cons = prev_m.get("constraints", {}) if prev_m else {}
+    if partition_by is None:
+        partition_by = prev_m.get("partition_by") if prev_m else None
+    partition_by = partition_by or None  # [] normalizes to unpartitioned
+    sig = _schema_sig(df)
+    if partition_by:
+        missing = [c for c in partition_by if c not in {n for n, _ in sig}]
+        if missing:
+            raise KeyError(
+                f"commit_overwrite: partition column(s) {missing} not in "
+                f"the frame's schema {[n for n, _ in sig]}"
+            )
     _validate_constraints(df, cons, "commit_overwrite")
-    data_path = _write_data(df, table_dir, f"v{version:05d}-{uuid.uuid4().hex[:12]}")
+    data_path = _write_data(
+        df, table_dir, f"v{version:05d}-{uuid.uuid4().hex[:12]}",
+        partition_by=partition_by,
+    )
     files = _data_files(spark, data_path)
     manifest = {
         "version": version,
         "op": "overwrite",
         "files": files,
-        "schema": _schema_sig(df),
+        "schema": sig,
     }
+    if partition_by:
+        manifest["partition_by"] = partition_by
     if cons:
         manifest["constraints"] = cons
-    if stats_cols:
-        manifest["stats"] = _file_stats(spark, files, stats_cols)
+    stat_keys = sorted(set(stats_cols or []) | set(partition_by or []))
+    if stat_keys:
+        manifest["stats"] = _file_stats(spark, files, stat_keys)
     if not _try_commit(spark, table_dir, version, manifest):
         raise RuntimeError(
             f"commit_overwrite: version {version} was committed concurrently at "
@@ -834,6 +951,8 @@ def _carry_props(prev_m: dict | None, manifest: dict) -> dict:
         manifest.setdefault("table_stats", prev_m["table_stats"])
     if prev_m and prev_m.get("generated"):
         manifest.setdefault("generated", prev_m["generated"])
+    if prev_m and prev_m.get("partition_by"):
+        manifest.setdefault("partition_by", prev_m["partition_by"])
     return manifest
 
 
@@ -1076,6 +1195,7 @@ def read_snapshot(
     version: int | None = None,
     skip_where: tuple | None = None,
     as_of: str | None = None,
+    partition_where: dict | None = None,
 ) -> DataFrame:
     """Read the table at ``version`` (default: latest). Reads exactly the
     manifest's file list — uncommitted/orphaned data is invisible.
@@ -1089,7 +1209,16 @@ def read_snapshot(
     cannot intersect [lo, hi] (None = open bound) are dropped from the
     read BEFORE Spark ever lists them. Files without recorded stats are
     always read (skipping is an optimization, never a filter) — the
-    caller still applies the actual predicate; skipping only shrinks I/O."""
+    caller still applies the actual predicate; skipping only shrinks I/O.
+
+    ``partition_where={col: value_or_list, ...}`` is PARTITION PRUNING:
+    on a partitioned table every data file holds exactly one value per
+    partition column and records it as an exact [v, v] stat, so equality /
+    IN-list predicates here keep precisely the named partitions' files —
+    Delta's partitionValues prune, before plain stats. (It degrades to a
+    conservative stats prune on non-partition columns or on files
+    rewritten by a pre-partitioning engine — never a filter.) The caller
+    still applies the real predicate for row-level exactness."""
     if as_of is not None and version is not None:
         raise ValueError("read_snapshot: pass version OR as_of, not both")
     if as_of is not None:
@@ -1105,12 +1234,26 @@ def read_snapshot(
     if not manifest["files"]:
         return spark.createDataFrame([], schema="__empty string").limit(0)
     files = manifest["files"]
+    if partition_where:
+        stats = manifest.get("stats", {})
+        for col, vals in partition_where.items():
+            pc = _phys(colmap, col)
+            if not isinstance(vals, (list, tuple, set)):
+                vals = [vals]
+            # union of exact [v, v] probes through the one shared pruner:
+            # a file survives iff SOME requested value can intersect it
+            files = [
+                f
+                for f in files
+                if any(_prune_by_stats([f], stats, (pc, v, v)) for v in vals)
+            ]
     if skip_where is not None:
         # stats are keyed by PHYSICAL name; callers skip on logical
         col, lo, hi = skip_where
         files = _prune_by_stats(
             files, manifest.get("stats", {}), (_phys(colmap, col), lo, hi)
         )
+    if skip_where is not None or partition_where:
         if not files:
             empty = spark.createDataFrame([], schema="__empty string").limit(0)
             sig = manifest.get("schema")
@@ -1322,12 +1465,13 @@ def vacuum(
     deleted = 0
     if fs.exists(jdata):
         for d in fs.listStatus(jdata):
-            statuses = list(fs.listStatus(d.getPath()))
-            parquet = [
-                (f, str(f.getPath().toString()))
-                for f in statuses
-                if str(f.getPath().getName()).endswith(".parquet")
-            ]
+            # recursive: partitioned batches nest under __pp_<col>=<val>/
+            parquet = []
+            it = fs.listFiles(d.getPath(), True)
+            while it.hasNext():
+                f = it.next()
+                if str(f.getPath().getName()).endswith(".parquet"):
+                    parquet.append((f, str(f.getPath().toString())))
             if not any(p in live for _, p in parquet):
                 # whole batch dir is dead (incl. orphans from crashed
                 # commits, whose _SUCCESS markers are junk too)
@@ -1637,6 +1781,7 @@ def compact_snapshot(
         _to_physical(rewritten, colmap),
         table_dir,
         f"v{base_v + 1:05d}-compact-{uuid.uuid4().hex[:12]}",
+        partition_by=_part_keys(m) or None,
     )
     new_files = _data_files(spark, data_path)
     cols = (
@@ -1644,6 +1789,7 @@ def compact_snapshot(
         if stats_cols is not None
         else _stats_cols_of(m)
     )
+    cols = sorted(set(cols) | set(_part_keys(m)))
     if cluster_by:
         cols = sorted(set(cols) | {_phys(colmap, c) for c in cluster_by})
     new_stats = _file_stats(spark, new_files, cols) if cols else {}
@@ -1868,6 +2014,7 @@ def merge_snapshot(
         _to_physical(merged, colmap),
         table_dir,
         f"v{base_v + 1:05d}-merge-{uuid.uuid4().hex[:12]}",
+        partition_by=_part_keys(m) or None,
     )
     cdc_path = _write_data(
         _to_physical(changes, colmap),
@@ -1881,6 +2028,7 @@ def merge_snapshot(
         if stats_cols is not None
         else _stats_cols_of(m)
     )
+    cols = sorted(set(cols) | set(_part_keys(m)))
     new_stats = _file_stats(spark, new_files, cols) if cols else {}
     kept_stats = {f: s for f, s in stats.items() if f in set(untouched)}
     manifest = {
@@ -2047,6 +2195,7 @@ def delete_snapshot(
         _to_physical(survivors, colmap),
         table_dir,
         f"v{base_v + 1:05d}-delete-{uuid.uuid4().hex[:12]}",
+        partition_by=_part_keys(m) or None,
     )
     # change feed: the removed rows themselves, persisted per-commit so
     # snapshot_change_feed never re-derives them from a snapshot diff
@@ -2064,6 +2213,7 @@ def delete_snapshot(
         if stats_cols is not None
         else _stats_cols_of(m)
     )
+    cols = sorted(set(cols) | set(_part_keys(m)))
     new_stats = _file_stats(spark, new_files, cols) if cols and new_files else {}
     kept_stats = {f: s for f, s in stats.items() if f in set(untouched)}
     manifest = {
@@ -2199,6 +2349,7 @@ def update_snapshot(
         _to_physical(rewritten, colmap),
         table_dir,
         f"v{base_v + 1:05d}-update-{uuid.uuid4().hex[:12]}",
+        partition_by=_part_keys(m) or None,
     )
     postimages = updated_cols(existing.filter(cond), only_matching=True).withColumn(
         "change_type", F.lit("update")
@@ -2214,6 +2365,7 @@ def update_snapshot(
         if stats_cols is not None
         else _stats_cols_of(m)
     )
+    cols = sorted(set(cols) | set(_part_keys(m)))
     new_stats = _file_stats(spark, new_files, cols) if cols and new_files else {}
     kept_stats = {f: s for f, s in stats.items() if f in set(untouched)}
     manifest = {
@@ -2432,6 +2584,7 @@ def _update_snapshot_dv(
         _to_physical(postimages, colmap),
         table_dir,
         f"v{base_v + 1:05d}-update-{uuid.uuid4().hex[:12]}",
+        partition_by=_part_keys(m) or None,
     )
     cdc_path = _write_data(
         _to_physical(postimages.withColumn("change_type", F.lit("update")), colmap),
@@ -2444,6 +2597,7 @@ def _update_snapshot_dv(
         if stats_cols is not None
         else _stats_cols_of(m)
     )
+    cols = sorted(set(cols) | set(_part_keys(m)))
     post_stats = _file_stats(spark, post_files, cols) if cols and post_files else {}
     manifest = {
         "version": base_v + 1,
@@ -2586,6 +2740,7 @@ def snapshot_detail(
             for c in _stats_cols_of(m)
             if not colmap or c in to_logical
         ),
+        list(m.get("partition_by") or []),
     )
     return spark.createDataFrame(
         [row],
@@ -2594,7 +2749,7 @@ def snapshot_detail(
             "n_rows long, "
             "schema_ddl string, constraints string, table_stats string, "
             "n_dv_files int, "
-            "stats_columns array<string>"
+            "stats_columns array<string>, partition_columns array<string>"
         ),
     )
 

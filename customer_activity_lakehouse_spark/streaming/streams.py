@@ -594,26 +594,31 @@ def write_stream_snapshot_append(
         # commit_append does; the commit loop re-checks the mapping
         # didn't change concurrently
         mapping = None
+        part_phys: list[str] = []
         sig = snap._schema_sig(batch_df)
         if versions:
-            base_colmap, base_used = snap._mapping_of(
-                snap._read_manifest(spark, table_dir, versions[-1])
-            )
+            latest_m = snap._read_manifest(spark, table_dir, versions[-1])
+            base_colmap, base_used = snap._mapping_of(latest_m)
             if base_colmap is not None:
                 rec_colmap, rec_used = snap._assign_physical(
                     [n for n, _ in sig], base_colmap, base_used
                 )
                 mapping = (base_colmap, rec_colmap, rec_used)
+            # partitioned table: micro-batches honor the layout, so each
+            # streamed-in file stays value-pure and partition-prunable
+            part_phys = snap._part_keys(latest_m)
         staged = snap._to_physical(batch_df, mapping[1]) if mapping else batch_df
         data_path = snap._write_data(
-            staged, table_dir, f"v{attempt:05d}-b{batch_id}-{uuid.uuid4().hex[:8]}"
+            staged, table_dir, f"v{attempt:05d}-b{batch_id}-{uuid.uuid4().hex[:8]}",
+            partition_by=part_phys or None,
         )
         new_files = snap._data_files(spark, data_path)
         stat_keys = (
             [snap._phys(mapping[1], c) for c in stats_cols]
             if mapping and stats_cols
-            else stats_cols
+            else list(stats_cols or [])
         )
+        stat_keys = sorted(set(stat_keys) | set(part_phys))
         new_stats = (
             snap._file_stats(spark, new_files, stat_keys) if stat_keys else {}
         )
