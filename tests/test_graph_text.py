@@ -158,6 +158,66 @@ def test_bpe_vocab_merge_table_matches_reference_bpe(spark, sf_smoke):
     assert got == want
 
 
+def test_bpe_encode_roundtrips_and_matches_python(spark, sf_smoke):
+    """Property pin for doc_bpe_encode (VERDICT r7 #5): (1) the greedy
+    merge application is LOSSLESS — concatenating each word's encoded
+    symbols reproduces the word exactly (decode(encode(w)) == w); (2) the
+    per-document token totals Spark reports equal an independent pure-
+    Python encoder's, run with the same induced merge table."""
+    from collections import defaultdict
+
+    import pyarrow.parquet as pq
+
+    from customer_activity_lakehouse_spark.plans.ml_ops import (
+        q_doc_bpe_encode,
+        q_doc_bpe_vocab,
+    )
+
+    merges = [
+        (r["left_sym"], r["right_sym"])
+        for r in q_doc_bpe_vocab(spark, sf_smoke).collect()
+    ]
+
+    def encode(word: str) -> list[str]:
+        sym = list(word)
+        for left, right in merges:
+            out, i = [], 0
+            while i < len(sym):  # greedy left-to-right, non-overlapping
+                if i + 1 < len(sym) and sym[i] == left and sym[i + 1] == right:
+                    out.append(left + right)
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            sym = out
+        return sym
+
+    tbl = pq.read_table(f"{sf_smoke}/documents.parquet", columns=["doc_id", "text"])
+    want: dict[int, list[int]] = defaultdict(lambda: [0, 0, 0])
+    tok_cache: dict[str, int] = {}
+    for doc_id, t in zip(tbl["doc_id"], tbl["text"]):
+        words = ((t.as_py() or "").lower().strip()).split()
+        for w in words:
+            if "\x1f" in w:
+                continue
+            if w not in tok_cache:
+                enc = encode(w)
+                assert "".join(enc) == w  # lossless: decode(encode(w)) == w
+                tok_cache[w] = len(enc)
+            acc = want[doc_id.as_py()]
+            acc[0] += 1
+            acc[1] += tok_cache[w]
+            acc[2] += len(w)
+
+    got = {
+        r.doc_id: [r.n_words, r.n_tokens, r.n_chars]
+        for r in q_doc_bpe_encode(spark, sf_smoke).collect()
+    }
+    assert got == dict(want)
+    # the merge table did real work: compression below 1 token/char
+    assert all(n_tok < n_chars for _, n_tok, n_chars in got.values())
+
+
 def test_pii_scrub_true_positives_and_residuals(spark):
     """VERDICT r6 #8: the fixtures are PII-free, so the catalog entry only
     ever exercised its self-seeded email/phone. This drives the SAME scrub
