@@ -222,6 +222,23 @@ def test_kmeans_never_shuffles_vectors(spark, sf_correctness):
     assert "SortMergeJoin" not in plan
 
 
+def test_semantic_cells_vectors_shuffle_only_by_cell(spark, sf_correctness):
+    """SemDeDup composition contract (VERDICT r7 #6): the clustering
+    phase never shuffles vectors (kmeans gate above), and the within-cell
+    pair search shuffles them exactly once, keyed by CLUSTER — every hash
+    exchange in the plan is cluster-keyed, and the pair join is an equi
+    join on the cell, never pair enumeration."""
+    import re
+
+    plan = explain_str(
+        QUERIES["dedup_semantic_cells"].fn(spark, sf_correctness), "simple"
+    )
+    hash_keys = re.findall(r"Exchange hashpartitioning\((\w+)#", plan)
+    assert hash_keys, plan
+    assert set(hash_keys) == {"cluster"}, f"non-cluster exchanges: {hash_keys}"
+    assert "CartesianProduct" not in plan
+
+
 def test_setsim_prefix_equi_joins_only(spark, sf_correctness):
     """Prefix filtering exists to make the similarity join an EQUI join on
     prefix tokens; NestedLoop/Cartesian anywhere means the candidate

@@ -250,3 +250,19 @@ def test_guards_pass_at_oracle_scale(spark, sf_correctness):
     """Defaults must not trip on the driver's correctness fixtures."""
     assert q_dedup_ngram_jaccard(spark, sf_correctness).count() >= 0
     assert q_dedup_embedding_cosine(spark, sf_correctness).count() >= 0
+
+
+def test_balance_fold_width_guard_trips_on_hot_key(spark, sf_correctness):
+    """VERDICT r7 wrong #3: the clamped-balance fold collects each
+    customer's history into ONE row — a hot key past the documented cap
+    must fail loudly (raise_error in the row), never widen unboundedly."""
+    from pyspark.errors import PySparkException
+
+    from customer_activity_lakehouse_spark.plans.core import (
+        q_customer_balance_capped,
+    )
+
+    with pytest.raises(PySparkException, match="hot-key pathology"):
+        q_customer_balance_capped(spark, sf_correctness, seq_cap=3).collect()
+    # the default cap clears the fixtures untouched
+    assert q_customer_balance_capped(spark, sf_correctness).count() > 0
