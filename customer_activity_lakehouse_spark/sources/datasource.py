@@ -422,20 +422,24 @@ class SnapshotLogDataSource(DataSource):
         colmap = None
         constraints: dict = {}
         versions = _py_versions(table_dir)
+        part_cols: list | None = None
         if versions:
             # constraints/colmap are metadata — raw commit record suffices
             m = _py_commit(table_dir, versions[-1])
-            if not overwrite and m.get("partition_by"):
-                # the task-staged Arrow writer lays files flat; appending
-                # them to a partitioned table would silently weaken its
-                # partition pruning (files spanning values). Fail loud —
-                # the JVM path (snapshots.commit_append) honors the layout.
-                raise ValueError(
-                    f"snapshot_log writer: {table_dir} is partitioned by "
-                    f"{m['partition_by']}; the Python DataSource writer does "
-                    "not stage hive layouts — append via "
-                    "snapshots.commit_append, or overwrite() to re-lay flat"
-                )
+            if m.get("partition_by"):
+                # the write honors the table's layout: tasks split each
+                # batch by partition value and stage hive-style, so every
+                # staged file stays value-pure and partition-prunable.
+                # Overwrites INHERIT it too (commit_overwrite's default) —
+                # re-laying flat is a JVM-path operation
+                # (commit_overwrite(partition_by=[])).
+                part_cols = list(m["partition_by"])
+                missing = [c for c in part_cols if c not in {n for n, _ in sig}]
+                if missing:
+                    raise KeyError(
+                        f"snapshot_log writer: partition column(s) {missing} "
+                        f"not in the write's schema {[n for n, _ in sig]}"
+                    )
             constraints = m.get("constraints", {})
             base_colmap = m.get("colmap")
             if not overwrite and base_colmap is not None:
@@ -450,6 +454,10 @@ class SnapshotLogDataSource(DataSource):
                 colmap = rec_colmap
         stats_opt = self.options.get("stats_cols")
         stat_cols = [c.strip() for c in stats_opt.split(",")] if stats_opt else None
+        if part_cols:
+            # partition columns always join the stats (value-pure files →
+            # exact [v, v] bounds — the partition-pruning contract)
+            stat_cols = sorted(set(stat_cols or []) | set(part_cols))
         return _SnapshotWriterDriver(
             table_dir,
             tag,
@@ -460,6 +468,7 @@ class SnapshotLogDataSource(DataSource):
             sig,
             mapping,
             str(self.options.get("schema_evolution", "")).lower() == "true",
+            part_cols=part_cols,
         )
 
 
@@ -482,6 +491,7 @@ class SnapshotLogDataSource(DataSource):
 #   Spark-side _try_commit).
 
 from dataclasses import dataclass as _dataclass  # noqa: E402
+from dataclasses import field as _dc_field  # noqa: E402
 
 from pyspark.sql.datasource import (  # noqa: E402
     DataSourceArrowWriter,
@@ -491,9 +501,11 @@ from pyspark.sql.datasource import (  # noqa: E402
 
 @_dataclass
 class _FileCommit(WriterCommitMessage):
-    file: str | None  # None = empty partition (no file written)
-    rows: int = 0
-    stats: dict | None = None  # {physical_col: [min, max]} for this file
+    # one entry per file this task wrote: (path, rows, stats|None) with
+    # stats = {physical_col: [min, max]}. A flat write emits one entry; a
+    # partitioned write emits one per partition value the task saw; an
+    # empty task emits none.
+    entries: list = _dc_field(default_factory=list)
 
 
 def _py_stat_val(v, side: int):
@@ -508,15 +520,31 @@ def _py_stat_val(v, side: int):
     if isinstance(v, _decimal.Decimal):
         f = float(v)
         return _math.nextafter(f, -_math.inf if side < 0 else _math.inf)
-    raise TypeError(type(v))
+    # dates/timestamps (and anything else ISO-printable): same str()
+    # fallback as the JVM encoder — compares in value order, all skipping
+    # needs
+    return str(v)
+
+
+# Layout-column prefix for partitioned writes — keep in sync with
+# snapshots._PART_PREFIX (pinned by a test); defined locally so write()
+# tasks never import the JVM-side module.
+_PART_PREFIX = "__pp_"
+
+_HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
 
 
 class _SnapshotArrowWriter(DataSourceArrowWriter):
-    """Executor side: each task streams its Arrow batches into ONE parquet
-    file under the table's staging dir (physical column names when the
-    table has column mapping), validating CHECK constraints batch-by-batch
-    and accumulating the file's skipping stats. A failed task fails the
-    job before any manifest exists — the staged dir is vacuum debris."""
+    """Executor side: each task streams its Arrow batches into parquet
+    under the table's staging dir (physical column names when the table
+    has column mapping) — ONE file per task on a flat table, one file per
+    partition value the task saw on a partitioned table (hive-style
+    ``__pp_<col>=<value>`` dirs, matching snapshots._write_data's layout:
+    the partition columns stay IN the files; the dirs exist for value
+    purity and human layout). CHECK constraints validate batch-by-batch;
+    per-file skipping stats accumulate as the batches stream. A failed
+    task fails the job before any manifest exists — the staged dir is
+    vacuum debris."""
 
     def __init__(
         self,
@@ -525,15 +553,18 @@ class _SnapshotArrowWriter(DataSourceArrowWriter):
         colmap: dict | None,
         constraints: dict,
         stat_cols: list | None,
+        part_cols: list | None = None,
     ):
         self._dir = table_dir
         self._tag = tag
         self._colmap = colmap
         self._constraints = constraints
         self._stat_cols = stat_cols  # LOGICAL names (pre-mapping)
+        self._part_cols = part_cols  # LOGICAL names (pre-mapping)
 
     def write(self, iterator):
         import os
+        import urllib.parse
         import uuid as _uuid
 
         import pyarrow as pa
@@ -547,23 +578,27 @@ class _SnapshotArrowWriter(DataSourceArrowWriter):
             con = duckdb.connect()
         out_dir = os.path.join(_localize(self._dir), "data", self._tag)
         os.makedirs(out_dir, exist_ok=True)
-        path = os.path.join(out_dir, f"part-{_uuid.uuid4().hex}.parquet")
-        writer = None
-        rows = 0
-        agg: dict = {}
-        for batch in iterator:
-            if con is not None:
-                tbl = pa.Table.from_batches([batch])
-                con.register("__batch", tbl)
-                for name, expr in self._constraints.items():
-                    bad = con.execute(
-                        f"SELECT * FROM __batch WHERE NOT ({expr}) LIMIT 1"
-                    ).fetchall()
-                    if bad:
-                        raise ValueError(
-                            f"snapshot_log writer: CHECK constraint {name!r} "
-                            f"({expr}) violated, e.g. {bad[0]}"
-                        )
+        states: dict[tuple | None, dict] = {}
+
+        def consume(key: tuple | None, batch):
+            st = states.get(key)
+            if st is None:
+                d = out_dir
+                if key is not None:
+                    segs = [
+                        f"{_PART_PREFIX}{(self._colmap or {}).get(c, c)}="
+                        + urllib.parse.quote(v, safe="")
+                        for c, v in zip(self._part_cols, key)
+                    ]
+                    d = os.path.join(out_dir, *segs)
+                    os.makedirs(d, exist_ok=True)
+                st = states[key] = {
+                    "path": os.path.join(d, f"part-{_uuid.uuid4().hex}.parquet"),
+                    "writer": None,
+                    "rows": 0,
+                    "agg": {},
+                }
+            agg = st["agg"]
             for c in self._stat_cols or []:
                 if c in batch.schema.names:
                     col = batch.column(c)
@@ -580,25 +615,63 @@ class _SnapshotArrowWriter(DataSourceArrowWriter):
                 batch = batch.rename_columns(
                     [self._colmap.get(c, c) for c in batch.schema.names]
                 )
-            if writer is None:
-                writer = pq.ParquetWriter(path, batch.schema)
-            writer.write_batch(batch)
-            rows += batch.num_rows
-        if writer is None:
-            return _FileCommit(None)
-        writer.close()
-        stats = {
-            (self._colmap or {}).get(c, c): [
-                _py_stat_val(mm[0], -1),
-                _py_stat_val(mm[1], +1),
-            ]
-            for c, mm in agg.items()
-        }
-        if stats:
-            # same contract as snapshots._file_stats: row counts ride the
-            # stats entry under the reserved __rows key
-            stats["__rows"] = rows
-        return _FileCommit(path, rows, stats or None)
+            if st["writer"] is None:
+                st["writer"] = pq.ParquetWriter(st["path"], batch.schema)
+            st["writer"].write_batch(batch)
+            st["rows"] += batch.num_rows
+
+        for batch in iterator:
+            if con is not None:
+                tbl = pa.Table.from_batches([batch])
+                con.register("__batch", tbl)
+                for name, expr in self._constraints.items():
+                    bad = con.execute(
+                        f"SELECT * FROM __batch WHERE NOT ({expr}) LIMIT 1"
+                    ).fetchall()
+                    if bad:
+                        raise ValueError(
+                            f"snapshot_log writer: CHECK constraint {name!r} "
+                            f"({expr}) violated, e.g. {bad[0]}"
+                        )
+            if not self._part_cols:
+                consume(None, batch)
+                continue
+            # vectorized split by partition-value tuple: NUL-joined string
+            # key per row, then one filter per distinct value in the batch
+            key_arr = None
+            for c in self._part_cols:
+                s = pc.fill_null(
+                    pc.cast(batch.column(c), pa.string()), _HIVE_NULL
+                )
+                key_arr = (
+                    s
+                    if key_arr is None
+                    else pc.binary_join_element_wise(key_arr, s, "\x00")
+                )
+            for key in pc.unique(key_arr).to_pylist():
+                consume(
+                    tuple(key.split("\x00")),
+                    batch.filter(pc.equal(key_arr, key)),
+                )
+
+        entries = []
+        for st in states.values():
+            if st["writer"] is None:
+                continue
+            st["writer"].close()
+            stats = {
+                (self._colmap or {}).get(c, c): [
+                    _py_stat_val(mm[0], -1),
+                    _py_stat_val(mm[1], +1),
+                ]
+                for c, mm in st["agg"].items()
+            }
+            if stats:
+                # same contract as snapshots._file_stats: row counts ride
+                # the stats entry under the reserved __rows key
+                stats["__rows"] = st["rows"]
+            entries.append((st["path"], st["rows"], stats or None))
+        return _FileCommit(entries)
 
 
 def _py_try_commit(
@@ -645,8 +718,9 @@ class _SnapshotWriterDriver(_SnapshotArrowWriter):
         sig,
         mapping,
         evolution,
+        part_cols=None,
     ):
-        super().__init__(table_dir, tag, colmap, constraints, stat_cols)
+        super().__init__(table_dir, tag, colmap, constraints, stat_cols, part_cols)
         self._overwrite = overwrite
         self._sig = sig
         self._mapping = mapping  # (base_colmap, record_colmap, record_used) | None
@@ -655,10 +729,9 @@ class _SnapshotWriterDriver(_SnapshotArrowWriter):
     def commit(self, messages):
         from .snapshots import _MAX_COMMIT_RETRIES, _merge_sigs
 
-        files = [m.file for m in messages if m is not None and m.file]
-        new_stats = {
-            m.file: m.stats for m in messages if m is not None and m.file and m.stats
-        }
+        entries = [e for m in messages if m is not None for e in m.entries]
+        files = [e[0] for e in entries]
+        new_stats = {e[0]: e[2] for e in entries if e[2]}
         sig = self._sig
         if self._overwrite:
             versions = _py_versions(self._dir)
@@ -675,6 +748,8 @@ class _SnapshotWriterDriver(_SnapshotArrowWriter):
                 "files": files,
                 "schema": sig,
             }
+            if self._part_cols:
+                manifest["partition_by"] = list(self._part_cols)
             if self._constraints:
                 manifest["constraints"] = self._constraints
             if new_stats:
@@ -717,12 +792,22 @@ class _SnapshotWriterDriver(_SnapshotArrowWriter):
                     f"snapshot_log writer: CHECK constraints at {self._dir} "
                     "changed between staging and commit; re-run the write"
                 )
+            prev_part = (prev.get("partition_by") if prev else None) or None
+            if prev_part != (list(self._part_cols) if self._part_cols else None):
+                # the files were staged under the layout read at writer
+                # creation; a concurrently re-laid table invalidates them
+                raise RuntimeError(
+                    f"snapshot_log writer: partitioning at {self._dir} "
+                    "changed between staging and commit; re-run the write"
+                )
             manifest = {
                 "version": version,
                 "op": "append",
                 "files": (prev["files"] if prev else []) + files,
                 "schema": record_sig,
             }
+            if prev_part:
+                manifest["partition_by"] = prev_part
             if self._mapping is not None:
                 manifest["colmap"] = self._mapping[1]
                 manifest["colmap_used"] = self._mapping[2]

@@ -202,27 +202,71 @@ def test_rename_follows_partition_column_and_drop_refused(spark, tmp_path):
     ).count() == 4
 
 
-def test_datasource_writer_refuses_partitioned_append(spark, tmp_path):
+def test_datasource_writer_honors_partition_layout(spark, tmp_path):
+    """The pure-Python Arrow writer splits its batches by partition value
+    and stages hive-style, so a DataSource append to a partitioned table
+    keeps every file value-pure — then JVM-side partition pruning works on
+    Python-written files and vice versa (mixed-engine table)."""
+    from customer_activity_lakehouse_spark.sources import datasource as DS
+    from customer_activity_lakehouse_spark.sources.datasource import (
+        SnapshotLogDataSource,
+    )
+
+    # layout prefix contract shared by both engines
+    assert DS._PART_PREFIX == _PART_PREFIX
+
+    spark.dataSource.register(SnapshotLogDataSource)
     t = str(tmp_path / "tbl")
     commit_append(
         spark, t, _days(spark, "2024-01-01", 0, 5).coalesce(1), partition_by=["d"]
     )
+    # one Python-written batch spanning TWO partition values
+    batch = _days(spark, "2024-01-02", 5, 10).union(
+        _days(spark, "2024-01-03", 10, 14)
+    )
+    (
+        batch.coalesce(1)
+        .write.format("snapshot_log")
+        .option("path", t)
+        .mode("append")
+        .save()
+    )
+    assert read_snapshot(spark, t).count() == 14
+    files = read_snapshot(spark, t).inputFiles()
+    assert len(files) == 3  # the task split its batch into one file per value
+    assert all(f"{_PART_PREFIX}d=" in f for f in files)
+    # exact partition pruning over the Python-written files
+    scoped = read_snapshot(spark, t, partition_where={"d": "2024-01-03"})
+    assert len(_data_files_of(scoped)) == 1
+    assert sorted(r.id for r in scoped.collect()) == list(range(10, 14))
+    # and the DataSource reader round-trips the mixed-engine table
+    got = spark.read.format("snapshot_log").option("path", t).load()
+    assert sorted(r.id for r in got.collect()) == list(range(14))
+
+
+def test_datasource_overwrite_inherits_partitioning(spark, tmp_path):
     from customer_activity_lakehouse_spark.sources.datasource import (
         SnapshotLogDataSource,
     )
 
     spark.dataSource.register(SnapshotLogDataSource)
-    with pytest.raises(Exception, match="partitioned by"):
-        (
-            _days(spark, "2024-01-02", 5, 8)
-            .write.format("snapshot_log")
-            .option("path", t)
-            .mode("append")
-            .save()
-        )
-    # reading a partitioned table through the DataSource works unchanged
-    # (partition columns live IN the files)
-    got = (
-        spark.read.format("snapshot_log").option("path", t).load()
+    t = str(tmp_path / "tbl")
+    commit_append(
+        spark, t, _days(spark, "2024-01-01", 0, 5).coalesce(1), partition_by=["d"]
     )
-    assert sorted(r.id for r in got.collect()) == list(range(5))
+    (
+        _days(spark, "2024-01-09", 0, 6)
+        .coalesce(1)
+        .write.format("snapshot_log")
+        .option("path", t)
+        .mode("overwrite")
+        .save()
+    )
+    assert snapshot_detail(spark, t).collect()[0]["partition_columns"] == ["d"]
+    files = read_snapshot(spark, t).inputFiles()
+    assert all(f"{_PART_PREFIX}d=" in f for f in files)
+    # a JVM append after the Python overwrite still inherits the layout
+    commit_append(spark, t, _days(spark, "2024-01-10", 6, 9).coalesce(1))
+    assert read_snapshot(
+        spark, t, partition_where={"d": "2024-01-10"}
+    ).count() == 3
