@@ -736,6 +736,8 @@ def _commit_append_files(
             manifest["table_stats"] = prev_m["table_stats"]
         if versions and prev_m.get("generated"):
             manifest["generated"] = prev_m["generated"]
+        if versions and prev_m.get("bloom"):
+            manifest["bloom"] = prev_m["bloom"]
         if prev_dvs:
             manifest["dv_files"] = prev_dvs
         if prev_stats or new_stats:
@@ -861,6 +863,9 @@ def commit_append(
     )
     stat_keys = sorted(set(stat_keys) | set(part_phys))
     new_stats = _file_stats(spark, new_files, stat_keys) if stat_keys else {}
+    new_stats = _attach_blooms(
+        spark, table_dir, prev_m if versions else None, new_files, new_stats
+    )
     return _commit_append_files(
         spark,
         table_dir,
@@ -928,9 +933,15 @@ def commit_overwrite(
         manifest["partition_by"] = partition_by
     if cons:
         manifest["constraints"] = cons
+    if prev_m and prev_m.get("bloom"):
+        # bloom indexing is a table property — it survives the rewrite
+        # (file_blooms skips spec columns absent from the new layout)
+        manifest["bloom"] = prev_m["bloom"]
     stat_keys = sorted(set(stats_cols or []) | set(partition_by or []))
-    if stat_keys:
-        manifest["stats"] = _file_stats(spark, files, stat_keys)
+    new_stats = _file_stats(spark, files, stat_keys) if stat_keys else {}
+    new_stats = _attach_blooms(spark, table_dir, prev_m, files, new_stats)
+    if new_stats:
+        manifest["stats"] = new_stats
     if not _try_commit(spark, table_dir, version, manifest):
         raise RuntimeError(
             f"commit_overwrite: version {version} was committed concurrently at "
@@ -939,20 +950,28 @@ def commit_overwrite(
     return version
 
 
-def _carry_props(prev_m: dict | None, manifest: dict) -> dict:
+_TABLE_PROPS = ("constraints", "table_stats", "generated", "partition_by", "bloom")
+
+
+def _carry_props(
+    prev_m: dict | None, manifest: dict, exclude: tuple = ()
+) -> dict:
     """Table PROPERTIES travel with every commit: unlike files/stats
     (which each commit recomputes for its own file list), properties like
     CHECK constraints — and ANALYZE's table_stats, which record their own
     version so staleness is visible — are table-level state that would
-    silently vanish if any commit built its manifest without them."""
-    if prev_m and prev_m.get("constraints"):
-        manifest.setdefault("constraints", prev_m["constraints"])
-    if prev_m and prev_m.get("table_stats"):
-        manifest.setdefault("table_stats", prev_m["table_stats"])
-    if prev_m and prev_m.get("generated"):
-        manifest.setdefault("generated", prev_m["generated"])
-    if prev_m and prev_m.get("partition_by"):
-        manifest.setdefault("partition_by", prev_m["partition_by"])
+    silently vanish if any commit built its manifest without them.
+
+    ``exclude`` names properties the CALLER owns this commit (a drop
+    commit must not setdefault the just-dropped value back in when the
+    drop empties it) — everything else still carries: hand-picked carry
+    lists at those sites silently dropped ``partition_by`` when it joined
+    the property set, exactly the bug class this parameter removes."""
+    for key in _TABLE_PROPS:
+        if key in exclude:
+            continue
+        if prev_m and prev_m.get(key):
+            manifest.setdefault(key, prev_m[key])
     return manifest
 
 
@@ -1041,12 +1060,9 @@ def drop_check_constraint(spark: SparkSession, table_dir: str, name: str) -> int
         manifest["stats"] = m["stats"]
     if m.get("dv_files"):
         manifest["dv_files"] = m["dv_files"]
-    # NOT _carry_props: it would setdefault the just-dropped constraint set
-    # back in when this drop empties it; only the other table-state does
-    if m.get("table_stats"):
-        manifest["table_stats"] = m["table_stats"]
-    if m.get("generated"):
-        manifest["generated"] = m["generated"]
+    # constraints excluded: carrying them would setdefault the
+    # just-dropped set back in when this drop empties it
+    _carry_props(m, manifest, exclude=("constraints",))
     _carry_mapping(m, manifest)
     if not _try_commit(spark, table_dir, base_v + 1, manifest):
         raise RuntimeError(
@@ -1054,6 +1070,226 @@ def drop_check_constraint(spark: SparkSession, table_dir: str, name: str) -> int
             f"concurrently at {table_dir}; re-read and retry"
         )
     return base_v + 1
+
+
+def set_bloom_filter(
+    spark: SparkSession,
+    table_dir: str,
+    cols: list[str],
+    m_bits: int = 2**20,
+    k: int = 5,
+    backfill: bool = False,
+) -> int:
+    """Declare per-file BLOOM FILTER indexing on ``cols`` (Delta's
+    ``CREATE BLOOMFILTER INDEX`` parity): every later write-class commit
+    indexes its new files in the same pass that computes their skipping
+    stats, and ``read_snapshot(point_where=...)`` prunes on the result
+    (see sources/bloom.py for the full design). The spec records PHYSICAL
+    names so it survives renames. Like Delta, existing files are NOT
+    indexed retroactively by default — they are always read until a
+    rewrite (OPTIMIZE) covers them — but ``backfill=True`` indexes the
+    current file list right here, in this commit (one column-pruned
+    scan), which Delta cannot do. Metadata-only commit; races abort."""
+    from . import bloom as _bl
+
+    if m_bits <= 0 or m_bits % 8 or k <= 0:
+        raise ValueError("set_bloom_filter: m_bits must be a positive "
+                         f"multiple of 8 and k positive (got {m_bits}, {k})")
+    versions = _list_versions(spark, table_dir)
+    if not versions:
+        raise FileNotFoundError(f"no snapshots at {table_dir}")
+    base_v = versions[-1]
+    m = _read_manifest(spark, table_dir, base_v)
+    colmap, _ = _mapping_of(m)
+    known = {n for n, _ in m.get("schema") or []}
+    missing = [c for c in cols if c not in known]
+    if missing:
+        raise KeyError(
+            f"set_bloom_filter: column(s) {missing} not in the table schema "
+            f"{sorted(known)}"
+        )
+    spec = {"cols": sorted(_phys(colmap, c) for c in cols), "m": m_bits, "k": k}
+    manifest = {
+        "version": base_v + 1,
+        "op": "set_bloom",
+        "data_change": False,
+        "files": m["files"],
+        "schema": m.get("schema"),
+        "bloom": spec,
+    }
+    stats = dict(m.get("stats") or {})
+    if backfill and m["files"]:
+        blooms = _bl.file_blooms(spark, m["files"], spec["cols"], m_bits, k)
+        if blooms:
+            rel = _write_bloom_sidecar(spark, table_dir, blooms, spec)
+            for f, _cols in blooms.items():
+                stats[f] = {**stats.get(f, {}), _bl.STATS_KEY: rel}
+    if stats:
+        manifest["stats"] = stats
+    if m.get("dv_files"):
+        manifest["dv_files"] = m["dv_files"]
+    _carry_props(m, manifest, exclude=("bloom",))
+    _carry_mapping(m, manifest)
+    if not _try_commit(spark, table_dir, base_v + 1, manifest):
+        raise RuntimeError(
+            f"set_bloom_filter: version {base_v + 1} was committed "
+            f"concurrently at {table_dir}; re-read and retry"
+        )
+    return base_v + 1
+
+
+def drop_bloom_filter(spark: SparkSession, table_dir: str) -> int:
+    """Un-declare bloom indexing: removes the spec AND every file's
+    sidecar pointer (the commit log's stats diff records the drops;
+    orphaned sidecar bytes go with the next vacuum)."""
+    from . import bloom as _bl
+
+    versions = _list_versions(spark, table_dir)
+    if not versions:
+        raise FileNotFoundError(f"no snapshots at {table_dir}")
+    base_v = versions[-1]
+    m = _read_manifest(spark, table_dir, base_v)
+    if not m.get("bloom"):
+        raise KeyError(f"no bloom filter spec at {table_dir}")
+    manifest = {
+        "version": base_v + 1,
+        "op": "drop_bloom",
+        "data_change": False,
+        "files": m["files"],
+        "schema": m.get("schema"),
+    }
+    stats = {
+        f: {c: v for c, v in st.items() if c != _bl.STATS_KEY}
+        for f, st in (m.get("stats") or {}).items()
+    }
+    stats = {f: st for f, st in stats.items() if st}
+    if stats:
+        manifest["stats"] = stats
+    if m.get("dv_files"):
+        manifest["dv_files"] = m["dv_files"]
+    _carry_props(m, manifest, exclude=("bloom",))
+    _carry_mapping(m, manifest)
+    if not _try_commit(spark, table_dir, base_v + 1, manifest):
+        raise RuntimeError(
+            f"drop_bloom_filter: version {base_v + 1} was committed "
+            f"concurrently at {table_dir}; re-read and retry"
+        )
+    return base_v + 1
+
+
+def _write_bloom_sidecar(
+    spark: SparkSession, table_dir: str, blooms: dict, spec: dict
+) -> str:
+    """Publish one sidecar JSON for a commit's newly-indexed files and
+    return its table-relative path (what stats entries point at). The
+    name is writer-unique — sidecars never race."""
+    from . import bloom as _bl
+
+    rel = f"{_bl.SIDECAR_DIR}/bloom-{uuid.uuid4().hex}.json"
+    fs, jp = _hadoop_fs(spark, f"{table_dir}/{rel}")
+    out = fs.create(jp, False)
+    try:
+        out.write(bytearray(_bl.sidecar_payload(blooms, spec["m"], spec["k"])))
+    finally:
+        out.close()
+    return rel
+
+
+def _attach_blooms(
+    spark: SparkSession,
+    table_dir: str,
+    prev_m: dict | None,
+    new_files: list[str],
+    new_stats: dict,
+) -> dict:
+    """When the table declares a bloom spec, index ``new_files`` (one
+    column-pruned pass beside the stats pass) and hang the sidecar
+    pointer on each covered file's stats entry under the reserved
+    ``__bloom`` key — so coverage rides the segmented log's existing
+    stats replay. Called by every JVM write path that lands data files;
+    files from engines that can't run this pass (the pure-Python
+    DataSource writer) simply stay uncovered and are always read."""
+    spec = (prev_m or {}).get("bloom")
+    if not spec or not new_files:
+        return new_stats
+    from . import bloom as _bl
+
+    blooms = _bl.file_blooms(spark, new_files, spec["cols"], spec["m"], spec["k"])
+    if not blooms:
+        return new_stats
+    rel = _write_bloom_sidecar(spark, table_dir, blooms, spec)
+    new_stats = dict(new_stats)
+    for f in blooms:
+        new_stats[f] = {**new_stats.get(f, {}), _bl.STATS_KEY: rel}
+    return new_stats
+
+
+def _prune_by_bloom(
+    spark: SparkSession,
+    table_dir: str,
+    manifest: dict,
+    files: list[str],
+    point_where: dict,
+    colmap: dict | None,
+) -> list[str]:
+    """Drop files whose bloom bitmaps prove they lack EVERY probed value
+    (per column: a file survives if it might contain ANY of the values —
+    IN-list semantics, matching ``partition_where``). Uncovered files,
+    unindexed columns, unreadable sidecars and None probes all
+    conservatively survive: bloom pruning is an optimization, never a
+    filter."""
+    from . import bloom as _bl
+
+    spec = manifest.get("bloom")
+    if not spec:
+        return files
+    types = {n: t for n, t in manifest.get("schema") or []}
+    stats = manifest.get("stats", {})
+
+    def read_bytes(rel: str):
+        # unreadable/missing sidecar = no evidence = read the file (a
+        # clone carries stats whose refs point at the SOURCE table's
+        # _bloom dir — the miss here degrades it to a plain read)
+        if commitlog.is_local(table_dir):
+            try:
+                p = os.path.join(commitlog.localize(table_dir), rel)
+                with open(p, "rb") as fh:
+                    return fh.read()
+            except OSError:
+                return None
+        try:
+            fs, jp = _hadoop_fs(spark, f"{table_dir}/{rel}")
+            if not fs.exists(jp):
+                return None
+            stream = fs.open(jp)
+            try:
+                return bytes(stream.readAllBytes())
+            finally:
+                stream.close()
+        except Exception:
+            return None
+
+    cache = _bl.SidecarCache(read_bytes)
+    for col, vals in point_where.items():
+        pc = _phys(colmap, col)
+        if pc not in spec["cols"]:
+            continue
+        if not isinstance(vals, (list, tuple, set)):
+            vals = [vals]
+        vals = [v for v in vals if v is not None]
+        if not vals:
+            continue
+        probes = _bl.probe_positions(
+            spark, list(vals), types.get(col), spec["m"], spec["k"]
+        )
+        kept = []
+        for f in files:
+            rel = stats.get(f, {}).get(_bl.STATS_KEY)
+            bm = cache.bitmap(rel, f, pc) if rel else None
+            if bm is None or any(_bl.might_contain(bm, ps) for ps in probes):
+                kept.append(f)
+        files = kept
+    return files
 
 
 def _read_with_dvs(
@@ -1196,6 +1432,7 @@ def read_snapshot(
     skip_where: tuple | None = None,
     as_of: str | None = None,
     partition_where: dict | None = None,
+    point_where: dict | None = None,
 ) -> DataFrame:
     """Read the table at ``version`` (default: latest). Reads exactly the
     manifest's file list — uncommitted/orphaned data is invisible.
@@ -1218,7 +1455,15 @@ def read_snapshot(
     Delta's partitionValues prune, before plain stats. (It degrades to a
     conservative stats prune on non-partition columns or on files
     rewritten by a pre-partitioning engine — never a filter.) The caller
-    still applies the real predicate for row-level exactness."""
+    still applies the real predicate for row-level exactness.
+
+    ``point_where={col: value_or_list, ...}`` is BLOOM pruning (Delta's
+    bloom filter index; requires :func:`set_bloom_filter`): equality /
+    IN-list probes on indexed HIGH-CARDINALITY columns drop every covered
+    file whose bitmap proves the value absent — the point-lookup
+    complement to [min, max] stats, which such columns defeat. Uncovered
+    files always survive; the caller still applies the real predicate
+    (bloom false positives pass the prune and are filtered row-level)."""
     if as_of is not None and version is not None:
         raise ValueError("read_snapshot: pass version OR as_of, not both")
     if as_of is not None:
@@ -1253,7 +1498,11 @@ def read_snapshot(
         files = _prune_by_stats(
             files, manifest.get("stats", {}), (_phys(colmap, col), lo, hi)
         )
-    if skip_where is not None or partition_where:
+    if point_where and files:
+        files = _prune_by_bloom(
+            spark, table_dir, manifest, files, point_where, colmap
+        )
+    if skip_where is not None or partition_where or point_where:
         if not files:
             empty = spark.createDataFrame([], schema="__empty string").limit(0)
             sig = manifest.get("schema")
@@ -1461,6 +1710,16 @@ def vacuum(
         # vectors are part of a version's read path — same lifetime.
         live.update(m.get("cdc_files", []))
         live.update(m.get("dv_files", []))
+        # bloom sidecars referenced by any retained version stay live —
+        # same lifetime rule as CDF/DV files
+        for st in (m.get("stats") or {}).values():
+            if st.get("__bloom"):
+                live.add(st["__bloom"].rsplit("/", 1)[-1])
+    fs_b, jbloom = _hadoop_fs(spark, f"{table_dir}/_bloom")
+    if fs_b.exists(jbloom):
+        for s in fs_b.listStatus(jbloom):
+            if str(s.getPath().getName()) not in live:
+                fs_b.delete(s.getPath(), False)
     fs, jdata = _hadoop_fs(spark, f"{table_dir}/data")
     deleted = 0
     if fs.exists(jdata):
@@ -1632,9 +1891,15 @@ def _stats_cols_of(manifest: dict) -> list[str]:
     """The columns this table has been recording skipping stats for —
     inferred from the manifest so maintenance commits (compact/merge) keep
     skip_where working without the caller re-declaring them. The reserved
-    ``__rows`` row-count entry is not a column."""
+    ``__rows`` row-count and ``__bloom`` sidecar-pointer entries are not
+    columns."""
     return sorted(
-        {c for st in manifest.get("stats", {}).values() for c in st if c != "__rows"}
+        {
+            c
+            for st in manifest.get("stats", {}).values()
+            for c in st
+            if not c.startswith("__")
+        }
     )
 
 
@@ -1793,6 +2058,7 @@ def compact_snapshot(
     if cluster_by:
         cols = sorted(set(cols) | {_phys(colmap, c) for c in cluster_by})
     new_stats = _file_stats(spark, new_files, cols) if cols else {}
+    new_stats = _attach_blooms(spark, table_dir, m, new_files, new_stats)
     kept_stats = {f: s for f, s in m.get("stats", {}).items() if f in set(big)}
     manifest = {
         "version": base_v + 1,
@@ -2030,6 +2296,7 @@ def merge_snapshot(
     )
     cols = sorted(set(cols) | set(_part_keys(m)))
     new_stats = _file_stats(spark, new_files, cols) if cols else {}
+    new_stats = _attach_blooms(spark, table_dir, m, new_files, new_stats)
     kept_stats = {f: s for f, s in stats.items() if f in set(untouched)}
     manifest = {
         "version": base_v + 1,
@@ -2215,6 +2482,7 @@ def delete_snapshot(
     )
     cols = sorted(set(cols) | set(_part_keys(m)))
     new_stats = _file_stats(spark, new_files, cols) if cols and new_files else {}
+    new_stats = _attach_blooms(spark, table_dir, m, new_files, new_stats)
     kept_stats = {f: s for f, s in stats.items() if f in set(untouched)}
     manifest = {
         "version": base_v + 1,
@@ -2367,6 +2635,7 @@ def update_snapshot(
     )
     cols = sorted(set(cols) | set(_part_keys(m)))
     new_stats = _file_stats(spark, new_files, cols) if cols and new_files else {}
+    new_stats = _attach_blooms(spark, table_dir, m, new_files, new_stats)
     kept_stats = {f: s for f, s in stats.items() if f in set(untouched)}
     manifest = {
         "version": base_v + 1,
@@ -2599,6 +2868,7 @@ def _update_snapshot_dv(
     )
     cols = sorted(set(cols) | set(_part_keys(m)))
     post_stats = _file_stats(spark, post_files, cols) if cols and post_files else {}
+    post_stats = _attach_blooms(spark, table_dir, m, post_files, post_stats)
     manifest = {
         "version": base_v + 1,
         "op": "update",
@@ -2741,6 +3011,11 @@ def snapshot_detail(
             if not colmap or c in to_logical
         ),
         list(m.get("partition_by") or []),
+        sorted(
+            to_logical.get(c, c)
+            for c in (m.get("bloom") or {}).get("cols", [])
+            if not colmap or c in to_logical
+        ),
     )
     return spark.createDataFrame(
         [row],
@@ -2749,7 +3024,8 @@ def snapshot_detail(
             "n_rows long, "
             "schema_ddl string, constraints string, table_stats string, "
             "n_dv_files int, "
-            "stats_columns array<string>, partition_columns array<string>"
+            "stats_columns array<string>, partition_columns array<string>, "
+            "bloom_columns array<string>"
         ),
     )
 
@@ -2979,9 +3255,12 @@ def drop_generated_column_expr(spark: SparkSession, table_dir: str, name: str) -
         manifest["generated"] = gen
     if cons:
         manifest["constraints"] = cons
-    for k in ("stats", "dv_files", "table_stats"):
+    for k in ("stats", "dv_files"):
         if m.get(k):
             manifest[k] = m[k]
+    # generated/constraints excluded: this drop owns both (the paired
+    # __gen CHECK goes with the rule); everything else carries
+    _carry_props(m, manifest, exclude=("generated", "constraints"))
     _carry_mapping(m, manifest)
     if not _try_commit(spark, table_dir, base_v + 1, manifest):
         raise RuntimeError(

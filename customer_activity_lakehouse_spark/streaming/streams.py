@@ -622,6 +622,9 @@ def write_stream_snapshot_append(
         new_stats = (
             snap._file_stats(spark, new_files, stat_keys) if stat_keys else {}
         )
+        new_stats = snap._attach_blooms(
+            spark, table_dir, latest_m if versions else None, new_files, new_stats
+        )
         snap._commit_append_files(
             spark,
             table_dir,

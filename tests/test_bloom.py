@@ -1,0 +1,176 @@
+"""Per-file bloom filter indexes on the snapshot log (sources/bloom.py):
+point-lookup file pruning on high-cardinality keys that [min, max] stats
+cannot prune, Delta's BLOOMFILTER INDEX as the public model. Covers the
+never-a-filter invariant, backfill, hash parity across column types,
+rename survival (physical-keyed spec), coverage regeneration through
+DML/OPTIMIZE, drop + vacuum lifecycle, and the _carry_props regression
+(drop-commits must not shed unrelated table properties)."""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import pytest
+
+from customer_activity_lakehouse_spark.sources.snapshots import (
+    commit_append,
+    commit_overwrite,
+    compact_snapshot,
+    delete_snapshot,
+    drop_bloom_filter,
+    drop_check_constraint,
+    read_snapshot,
+    rename_snapshot_column,
+    set_bloom_filter,
+    set_check_constraint,
+    snapshot_detail,
+    vacuum,
+)
+
+M, K = 2**13, 4  # 1 KiB bitmaps keep the suite fast; fpp irrelevant at n<=100
+
+
+def _batch(spark, lo: int, hi: int):
+    from pyspark.sql import functions as F
+
+    return (
+        spark.range(lo, hi)
+        .select(
+            "id",
+            F.format_string("k%04d", F.col("id")).alias("k"),
+            (F.col("id") % 7).cast("int").alias("grp"),
+        )
+        .coalesce(1)
+    )
+
+
+def _files(df) -> list[str]:
+    return [f for f in df.inputFiles() if "-dv-" not in f]
+
+
+def test_point_where_prunes_covered_files_never_filters(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    commit_append(spark, t, _batch(spark, 0, 25))  # v1: pre-spec, UNCOVERED
+    set_bloom_filter(spark, t, ["k"], m_bits=M, k=K)
+    for lo in (25, 50, 75):
+        commit_append(spark, t, _batch(spark, lo, lo + 25))
+    assert len(_files(read_snapshot(spark, t))) == 4
+    # a key in the third covered batch: prune keeps the uncovered v1 file
+    # (no evidence -> read) + exactly the file that holds it
+    hit = read_snapshot(spark, t, point_where={"k": "k0080"})
+    kept = _files(hit)
+    assert len(kept) == 2
+    assert hit.where("k = 'k0080'").count() == 1  # never a filter
+    # IN-list: union semantics across two covered files + the uncovered one
+    both = read_snapshot(spark, t, point_where={"k": ["k0030", "k0090"]})
+    assert len(_files(both)) == 3
+    # absent key: every covered file pruned, the uncovered survivor reads
+    miss = read_snapshot(spark, t, point_where={"k": "nope"})
+    assert len(_files(miss)) == 1
+    assert miss.where("k = 'nope'").count() == 0
+    # a probe on an UNINDEXED column is a no-op, not an error
+    assert len(_files(read_snapshot(spark, t, point_where={"id": 3}))) == 4
+    assert snapshot_detail(spark, t).collect()[0]["bloom_columns"] == ["k"]
+
+
+def test_backfill_covers_existing_files_and_int_types_hash_alike(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    commit_append(spark, t, _batch(spark, 0, 30))
+    commit_append(spark, t, _batch(spark, 30, 60))
+    # index id (bigint) AND grp (int): backfill covers both files NOW —
+    # the capability Delta lacks (it only indexes files written later)
+    set_bloom_filter(spark, t, ["id", "grp"], m_bits=M, k=K, backfill=True)
+    one = read_snapshot(spark, t, point_where={"id": 42})
+    assert len(_files(one)) == 1
+    assert one.where("id = 42").count() == 1
+    assert len(_files(read_snapshot(spark, t, point_where={"id": 10**9}))) == 0
+    # int column: the probe literal is cast to the RECORDED type before
+    # hashing (xxhash64 of int(3) != bigint(3)) — a wrong cast would
+    # prune every file and this count would be 0
+    g = read_snapshot(spark, t, point_where={"grp": 3})
+    assert g.where("grp = 3").count() == len([i for i in range(60) if i % 7 == 3])
+
+
+def test_probe_survives_rename_and_regenerates_through_dml(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    commit_append(spark, t, _batch(spark, 0, 40))
+    set_bloom_filter(spark, t, ["k"], m_bits=M, k=K, backfill=True)
+    commit_append(spark, t, _batch(spark, 40, 80))
+    rename_snapshot_column(spark, t, "k", "doc_key")
+    # spec is physical-keyed: probes on the NEW logical name still prune
+    hit = read_snapshot(spark, t, point_where={"doc_key": "k0055"})
+    assert len(_files(hit)) == 1
+    assert hit.where("doc_key = 'k0055'").count() == 1
+    # DML rewrite: the rewritten file gets a FRESH sidecar in the same
+    # commit — coverage never decays through the write paths
+    delete_snapshot(spark, t, "id >= 70")
+    hit2 = read_snapshot(spark, t, point_where={"doc_key": "k0055"})
+    assert len(_files(hit2)) == 1
+    assert hit2.where("doc_key = 'k0055'").count() == 1
+    assert read_snapshot(spark, t, point_where={"doc_key": "k0075"}).where(
+        "doc_key = 'k0075'"
+    ).count() == 0
+    # OPTIMIZE bin-pack: compacted output is covered too
+    compact_snapshot(spark, t, target_file_mb=1024)
+    hit3 = read_snapshot(spark, t, point_where={"doc_key": "k0055"})
+    assert len(_files(hit3)) == 1
+    assert hit3.where("doc_key = 'k0055'").count() == 1
+
+
+def test_drop_and_vacuum_lifecycle(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    commit_append(spark, t, _batch(spark, 0, 20))
+    set_bloom_filter(spark, t, ["k"], m_bits=M, k=K, backfill=True)
+    commit_append(spark, t, _batch(spark, 20, 40))
+    bloom_dir = Path(t) / "_bloom"
+    assert len(list(bloom_dir.glob("*.json"))) == 2
+    # overwrite rewrites everything -> one fresh sidecar; vacuum to the
+    # latest version deletes the two now-unreferenced ones
+    commit_overwrite(spark, t, _batch(spark, 100, 120))
+    vacuum(spark, t, keep_last=1)
+    remaining = list(bloom_dir.glob("*.json"))
+    assert len(remaining) == 1
+    hit = read_snapshot(spark, t, point_where={"k": "k0110"})
+    assert len(_files(hit)) == 1
+    # drop the index: spec + every pointer go; probes become no-ops and
+    # the next vacuum clears the orphaned sidecar bytes
+    drop_bloom_filter(spark, t)
+    assert snapshot_detail(spark, t).collect()[0]["bloom_columns"] == []
+    assert len(_files(read_snapshot(spark, t, point_where={"k": "nope"}))) == 1
+    vacuum(spark, t, keep_last=1)
+    assert list(bloom_dir.glob("*.json")) == []
+    with pytest.raises(KeyError, match="no bloom"):
+        drop_bloom_filter(spark, t)
+
+
+def test_spec_validation(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    commit_append(spark, t, _batch(spark, 0, 5))
+    with pytest.raises(KeyError, match="not in the table schema"):
+        set_bloom_filter(spark, t, ["nope"])
+    with pytest.raises(ValueError, match="m_bits"):
+        set_bloom_filter(spark, t, ["k"], m_bits=100)
+
+
+def test_drop_commits_keep_unrelated_table_properties(spark, tmp_path):
+    """Regression for the _carry_props refactor: drop_check_constraint
+    and friends built their carry lists BY HAND and silently shed
+    partition_by (and would have shed the bloom spec) — a constraint
+    drop on a partitioned table must not flatten its layout."""
+    from pyspark.sql import functions as F
+
+    t = str(tmp_path / "tbl")
+    df = _batch(spark, 0, 10).withColumn("d", F.lit("2024-01-01").cast("date"))
+    commit_append(spark, t, df, partition_by=["d"])
+    set_bloom_filter(spark, t, ["k"], m_bits=M, k=K, backfill=True)
+    set_check_constraint(spark, t, "pos", "id >= 0")
+    drop_check_constraint(spark, t, "pos")
+    detail = snapshot_detail(spark, t).collect()[0]
+    assert detail["partition_columns"] == ["d"]
+    assert detail["bloom_columns"] == ["k"]
+    # and an append after the drop still honors the layout + the index
+    df2 = _batch(spark, 10, 20).withColumn("d", F.lit("2024-01-02").cast("date"))
+    commit_append(spark, t, df2)
+    scoped = read_snapshot(spark, t, partition_where={"d": "2024-01-02"})
+    assert len(_files(scoped)) == 1
+    assert len(_files(read_snapshot(spark, t, point_where={"k": "k0015"}))) == 1
