@@ -2848,6 +2848,121 @@ FROM flagged GROUP BY source
 """
 
 
+WGT_STRIDE = 6000  # sample one tick every WGT_STRIDE quality-weight units
+
+
+def q_doc_sample_weighted(spark: SparkSession, sf: str) -> DataFrame:
+    """QUALITY-WEIGHTED systematic sampling — the corpus re-weighting step
+    of a curation pipeline (DataComp/DCLM-style: better documents get
+    proportionally more of the token budget). Each doc earns an INTEGER
+    quality tier from integer-only tests (length band 100..5000 chars;
+    stopword ratio 0.1..0.5 tested as cross-multiplications ``n_stop*10 >=
+    n_tok AND n_stop*2 <= n_tok`` — no float ratio can disagree at a
+    boundary), weight = tier * n_chars, and selection ticks every
+    WGT_STRIDE units of CUMULATIVE WEIGHT in doc_id order: a tier-3 doc is
+    3x as likely to be drawn as a tier-1 doc of the same length, the
+    draw is deterministic on every engine/run/partitioning, and evenly
+    spread (systematic, not Bernoulli).
+
+    Scale shape: identical to q_doc_systematic_sample — the exact global
+    prefix sum is the two-level banded scan (per-band totals form a tiny
+    broadcast frame; the per-doc window partitions BY band), so no global
+    single-task sort ever happens. Reference: beyond-reference surface
+    (the reference has no sampling at all)."""
+    docs = table(spark, sf, "documents")
+    toks = _tokens(F.col("text"))
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS_EN])
+    n_tok = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, F.lower(t))))
+    tier = (
+        F.lit(1)
+        + F.when(F.col("n_chars").between(100, 5000), 1).otherwise(0)
+        + F.when(
+            (n_tok > 0) & (n_stop * 10 >= n_tok) & (n_stop * 2 <= n_tok), 1
+        ).otherwise(0)
+    )
+    scored = docs.select(
+        "doc_id",
+        "source",
+        tier.alias("tier"),
+        (tier * F.col("n_chars")).alias("weight"),
+        F.expr(f"doc_id DIV {SYS_BAND}").alias("band"),
+    )
+    w_band = Window.orderBy("band").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    band_tbl = (
+        scored.groupBy("band")
+        .agg(F.sum("weight").alias("band_w"))
+        .select(
+            "band",
+            (F.sum("band_w").over(w_band) - F.col("band_w")).alias("band_offset"),
+        )
+    )
+    w_in = (
+        Window.partitionBy("band")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum_before = F.col("band_offset") + F.sum("weight").over(w_in) - F.col("weight")
+    return (
+        scored.join(F.broadcast(band_tbl), "band")
+        .withColumn("cum_before", cum_before)
+        .withColumn(
+            "picked",
+            F.expr(
+                f"(cum_before + weight) DIV {WGT_STRIDE} > cum_before DIV {WGT_STRIDE}"
+            ),
+        )
+        .groupBy("source", "tier")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("weight").cast("long").alias("weight_total"),
+            F.sum(F.when(F.col("picked"), 1).otherwise(0)).cast("long").alias("n_sampled"),
+            F.sum(F.when(F.col("picked"), F.col("weight")).otherwise(0))
+            .cast("long")
+            .alias("weight_sampled"),
+        )
+    )
+
+
+ORACLE_DOC_SAMPLE_WEIGHTED = f"""
+WITH counted AS (
+  SELECT doc_id, source, n_chars,
+         len(tk) AS n_tok,
+         len(list_filter(tk, t -> lower(t) IN ({_SQL_STOPLIST}))) AS n_stop
+  FROM (SELECT doc_id, source, n_chars, {_SQL_TOKENS} AS tk FROM documents)
+),
+tiered AS (
+  SELECT doc_id, source,
+         (1 + CASE WHEN n_chars BETWEEN 100 AND 5000 THEN 1 ELSE 0 END
+            + CASE WHEN n_tok > 0 AND n_stop * 10 >= n_tok
+                        AND n_stop * 2 <= n_tok THEN 1 ELSE 0 END) AS tier,
+         (1 + CASE WHEN n_chars BETWEEN 100 AND 5000 THEN 1 ELSE 0 END
+            + CASE WHEN n_tok > 0 AND n_stop * 10 >= n_tok
+                        AND n_stop * 2 <= n_tok THEN 1 ELSE 0 END) * n_chars AS weight
+  FROM counted
+),
+pos AS (
+  SELECT source, tier, weight,
+         sum(weight) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - weight
+           AS cum_before
+  FROM tiered
+),
+flagged AS (
+  SELECT source, tier, weight,
+         ((cum_before + weight) // {WGT_STRIDE}) > (cum_before // {WGT_STRIDE})
+           AS picked
+  FROM pos
+)
+SELECT source, tier, count(*) AS n_docs,
+       sum(weight)::BIGINT AS weight_total,
+       sum(CASE WHEN picked THEN 1 ELSE 0 END)::BIGINT AS n_sampled,
+       sum(CASE WHEN picked THEN weight ELSE 0 END)::BIGINT AS weight_sampled
+FROM flagged GROUP BY source, tier
+"""
+
+
 RANGE_COS_MIN = 0.30  # cosine radius for range search
 
 
@@ -2988,6 +3103,11 @@ QUERIES: dict[str, Query] = {
     ),
     "doc_systematic_sample": Query(
         q_doc_systematic_sample, ORACLE_DOC_SYSTEMATIC_SAMPLE, ("text", "sampling", "cume")
+    ),
+    "doc_sample_weighted": Query(
+        q_doc_sample_weighted,
+        ORACLE_DOC_SAMPLE_WEIGHTED,
+        ("text", "sampling", "quality", "cume"),
     ),
     "doc_ngram_novelty": Query(
         q_doc_ngram_novelty, ORACLE_DOC_NGRAM_NOVELTY, ("text", "dedup", "novelty")

@@ -1761,6 +1761,112 @@ GROUP BY first_type
 """
 
 
+# ---------------------------------------------------------------------------
+# Chi-square association test (integer-exact contingency machinery)
+# ---------------------------------------------------------------------------
+
+
+def q_segment_priority_chisq(spark: SparkSession, sf: str) -> DataFrame:
+    """Pearson chi-square test of association between customer market
+    segment and order priority — the dataset-bias / independence check a
+    curation pipeline runs on categorical metadata (is `source`
+    independent of `lang`? does one segment over-order one priority?).
+
+    Numeric determinism: the cell statistic is algebraically rearranged to
+    ``(o*n - r*c)^2 / (n*r*c)`` so the numerator's difference happens in
+    EXACT INT64 (o*n and r*c are integer products of counts; |o*n - r*c|
+    < 2^53 converts to double losslessly) and each cell's value is one
+    fixed-order scalar expression — bit-identical on any engine at any
+    parallelism. The total chi2 sums per-cell contributions through
+    DECIMAL(18,8) (order-free), the plans/core numeric-determinism policy.
+
+    Scale shape: orders-scale data aggregates EXACTLY ONCE (the segment x
+    priority groupBy after one dim_join co-shuffle); marginals, the grand
+    total, and the chi2 sum are WINDOW functions over the resulting
+    |segments| x |priorities| frame (25 rows — the unpartitioned windows
+    are bounded by the categorical cardinalities, the same tiny-frame
+    exemption as the sampler's band table). Spelling the marginals as
+    separate groupBy branches instead re-evaluates the whole fact join
+    once per marginal — the duplicated-subtree trap the module header
+    names; the window form shares one subtree by construction."""
+    orders = table(spark, sf, "orders")
+    cust = table(spark, sf, "customer")
+    cells = (
+        dim_join(orders, cust, orders.o_custkey == cust.c_custkey)
+        .groupBy(
+            F.col("c_mktsegment").alias("mktsegment"),
+            F.col("o_orderpriority").alias("priority"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_obs"))
+    )
+    w_all = Window.partitionBy()
+    scored = (
+        cells.select(
+            "mktsegment",
+            "priority",
+            "n_obs",
+            F.sum("n_obs").over(Window.partitionBy("mktsegment")).alias("r_tot"),
+            F.sum("n_obs").over(Window.partitionBy("priority")).alias("c_tot"),
+            F.sum("n_obs").over(w_all).alias("n_all"),
+        )
+        .withColumn(
+            "expected",
+            F.round(F.col("r_tot").cast("double") * F.col("c_tot") / F.col("n_all"), 4),
+        )
+        .withColumn(
+            "contribution",
+            F.round(
+                F.pow(
+                    (F.col("n_obs") * F.col("n_all") - F.col("r_tot") * F.col("c_tot"))
+                    .cast("double"),
+                    2,
+                )
+                / (F.col("n_all").cast("double") * F.col("r_tot") * F.col("c_tot")),
+                6,
+            ),
+        )
+    )
+    return scored.select(
+        "mktsegment",
+        "priority",
+        "n_obs",
+        "expected",
+        "contribution",
+        F.round(
+            F.sum(F.col("contribution").cast("decimal(18,8)")).over(w_all)
+            .cast("double"),
+            4,
+        ).alias("chi2_total"),
+    )
+
+
+ORACLE_SEGMENT_PRIORITY_CHISQ = """
+WITH cells AS (
+  SELECT c_mktsegment AS mktsegment, o_orderpriority AS priority,
+         count(*) AS n_obs
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT mktsegment, priority, n_obs,
+         sum(n_obs) OVER (PARTITION BY mktsegment) AS r_tot,
+         sum(n_obs) OVER (PARTITION BY priority) AS c_tot,
+         sum(n_obs) OVER () AS n_all
+  FROM cells
+),
+calc AS (
+  SELECT mktsegment, priority, n_obs,
+         round(r_tot::DOUBLE * c_tot / n_all, 4) AS expected,
+         round(pow((n_obs * n_all - r_tot * c_tot)::DOUBLE, 2)
+               / (n_all::DOUBLE * r_tot * c_tot), 6) AS contribution
+  FROM scored
+)
+SELECT mktsegment, priority, n_obs, expected, contribution,
+       round(sum(contribution::DECIMAL(18,8)) OVER ()::DOUBLE, 4) AS chi2_total
+FROM calc
+"""
+
+
 QUERIES: dict[str, Query] = {
     "embedding_kmeans": Query(
         q_embedding_kmeans,
@@ -1847,6 +1953,11 @@ QUERIES: dict[str, Query] = {
         ORACLE_NATION_TRADE_FLOWS,
         ("tpch", "join", "agg"),
         True,
+    ),
+    "segment_priority_chisq": Query(
+        q_segment_priority_chisq,
+        ORACLE_SEGMENT_PRIORITY_CHISQ,
+        ("stats", "association", "join"),
     ),
     "events_audience_overlap": Query(
         q_events_audience_overlap,

@@ -343,6 +343,32 @@ def test_systematic_sample_banded_prefix_sum(spark, sf_correctness):
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan
 
 
+def test_weighted_sample_banded_prefix_sum(spark, sf_correctness):
+    """The quality-weighted sampler inherits the systematic sampler's
+    scale contract: one SinglePartition (the per-band offsets table
+    only), per-doc window partitioned by band, no nested-loop joins."""
+    plan = explain_str(QUERIES["doc_sample_weighted"].fn(spark, sf_correctness))
+    assert plan.count("SinglePartition") == 1, plan
+    assert "windowspecdefinition(band" in plan, "per-doc window lost its band key"
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+def test_chisq_single_fact_aggregation(spark, sf_correctness):
+    """Chi-square's scale contract: orders-scale data aggregates EXACTLY
+    ONCE (separate groupBy branches per marginal would re-evaluate the
+    whole fact join 4x — the duplicated-subtree trap); marginals/totals
+    are windows over the 25-row cell frame, whose unpartitioned form is
+    bounded by the categorical cardinalities."""
+    plan = explain_str(
+        QUERIES["segment_priority_chisq"].fn(spark, sf_correctness), "simple"
+    )
+    # one scan each: the fact subtree is shared, never duplicated
+    assert plan.count("orders.parquet") == 1, plan
+    assert plan.count("customer.parquet") == 1, plan
+    assert "windowspecdefinition" in plan, plan
+    assert "NestedLoop" not in plan, plan
+
+
 def test_label_similarity_never_shuffles_vectors(spark, sf_correctness):
     """Class-centroid similarity: vectors reduce map-side into the
     struct-of-64-sums partial agg, so the ONLY hash exchange is label-keyed
