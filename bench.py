@@ -160,6 +160,46 @@ def _make_snapshot_dml_tasks(spark, sf_dir: str, work_dir: str, n_passes: int):
     return tasks
 
 
+SNAPSHOT_BLOOM_RUNS = 3
+BLOOM_PROBES = 10  # point lookups per timed pass
+
+
+def _make_snapshot_bloom_tasks(spark, sf_dir: str, work_dir: str):
+    """Pre-build ONE snapshot table with a high-cardinality synthetic key
+    (``uk = orderkey-linenumber``) laid out in 16 range files BY ORDERKEY
+    — so uk's per-file [min, max] spans the whole domain and plain stats
+    cannot prune a uk equality probe — plus a backfilled bloom index on
+    uk. Returns two timed callables over the SAME table: BLOOM_PROBES
+    point lookups with ``point_where`` (bloom prune) and the same lookups
+    without (every file read). The pair is the feature's measured value:
+    at 100 TB the unpruned variant reads the whole table."""
+    from pyspark.sql import functions as F
+
+    from customer_activity_lakehouse_spark.sources import snapshots as snap
+
+    keyed = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+        .withColumn("uk", F.concat_ws("-", "l_orderkey", "l_linenumber"))
+    )
+    tdir = f"{work_dir}/snap_bloom"
+    snap.commit_append(spark, tdir, keyed.repartitionByRange(16, "l_orderkey"))
+    snap.set_bloom_filter(spark, tdir, ["uk"], m_bits=2**19, k=5, backfill=True)
+    # deterministic true-hit probe keys, spread across the keyspace
+    pool = [r["uk"] for r in keyed.filter("l_linenumber = 1").limit(2000).collect()]
+    step = max(1, len(pool) // BLOOM_PROBES)
+    probes = pool[::step][:BLOOM_PROBES]
+
+    def lookups(use_bloom: bool):
+        for k in probes:
+            df = snap.read_snapshot(
+                spark, tdir, point_where={"uk": k} if use_bloom else None
+            )
+            df.where(F.col("uk") == k).write.format("noop").mode("overwrite").save()
+
+    return (lambda: lookups(True)), (lambda: lookups(False))
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = _sf_label(sf_dir)
@@ -223,6 +263,23 @@ def main() -> None:
                 dml_samples.append(dt)
         samples["snapshot_dml"] = dml_samples
 
+        # Snapshot-bloom phase (r8): BLOOM_PROBES point lookups on a
+        # high-cardinality key, with vs without the bloom index, same
+        # table. Same-phase isolation rules; excluded from totals.
+        bloom_run, full_run = _make_snapshot_bloom_tasks(spark, sf_dir, work_dir)
+        for name, run_fn in (
+            ("snapshot_bloom_lookup", bloom_run),
+            ("snapshot_full_lookup", full_run),
+        ):
+            ts: list[float] = []
+            for i in range(SNAPSHOT_BLOOM_RUNS + 1):  # pass 0 is warm-up
+                t0 = time.perf_counter()
+                run_fn()
+                dt = time.perf_counter() - t0
+                if i > 0:
+                    ts.append(dt)
+            samples[name] = ts
+
         timings = {n: round(statistics.median(samples[n]), 4) for n in samples}
     finally:
         shutil.rmtree(work_dir, ignore_errors=True)
@@ -240,9 +297,19 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
-        "value_excludes": ["etl_pipeline", "snapshot_dml"]
+        "value_excludes": [
+            "etl_pipeline",
+            "snapshot_dml",
+            "snapshot_bloom_lookup",
+            "snapshot_full_lookup",
+        ]
         + sorted(n for n in headline if n not in legacy),
-        "value_full_excludes": ["etl_pipeline", "snapshot_dml"],
+        "value_full_excludes": [
+            "etl_pipeline",
+            "snapshot_dml",
+            "snapshot_bloom_lookup",
+            "snapshot_full_lookup",
+        ],
         "runs": RUNS,
         "note": (
             "interleaved shuffled passes, median of 5; ETL timed in "
@@ -262,9 +329,12 @@ def main() -> None:
             "25->31; r7 ADDED the snapshot_dml phase plus TWO "
             "benched queries (shipment_concurrency, "
             "lineitem_key_skew_profile), 31->34 entries in "
-            "queries{}; compare value_full across rounds on the "
-            "shared subset. etl_pipeline is reported separately in "
-            "queries. "
+            "queries{}; r8 ADDED the snapshot_bloom phase "
+            "(snapshot_bloom_lookup vs snapshot_full_lookup: the same "
+            "point lookups with and without the bloom index — their "
+            "RATIO is the feature's measured value); compare "
+            "value_full across rounds on the shared subset. "
+            "etl_pipeline is reported separately in queries. "
             "Events NTZ-cast cost (~0.1 s/query at sf0.1, required "
             "for UTC oracle parity): moved only with whole-set "
             "environmental shifts through r6 — accepted, not "

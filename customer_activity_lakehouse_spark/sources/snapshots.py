@@ -1269,7 +1269,7 @@ def _prune_by_bloom(
         except Exception:
             return None
 
-    cache = _bl.SidecarCache(read_bytes)
+    cache = _bl.SidecarCache(read_bytes, key_prefix=table_dir)
     for col, vals in point_where.items():
         pc = _phys(colmap, col)
         if pc not in spec["cols"]:

@@ -143,6 +143,56 @@ def test_drop_and_vacuum_lifecycle(spark, tmp_path):
         drop_bloom_filter(spark, t)
 
 
+def test_local_xxh64_parity_with_jvm(spark):
+    """The driver-local XXH64 probe path must agree with Spark's own
+    xxhash64 chain BIT-FOR-BIT for every supported type — a single
+    divergent position would turn bloom pruning into a wrong filter.
+    Battery spans the hash's structural boundaries (empty, <4, <8, <32,
+    multi-stripe inputs; negative and extreme integers; pre-epoch
+    dates) and compares against the writer's actual JVM expression."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from customer_activity_lakehouse_spark.sources import bloom as bl
+
+    m, k = 2**13, 4
+    cases = {
+        "string": ["", "a", "abc", "1234567", "12345678", "hello world",
+                   "x" * 31, "y" * 32, "z" * 33, "w" * 100, "héllo🦆",
+                   "k0042", "\x00nul"],
+        "bigint": [0, 1, -1, 42, 2**62, -(2**62), 2**63 - 1, -(2**63)],
+        "int": [0, 5, -7, 2**31 - 1, -(2**31)],
+        "smallint": [0, -3, 32767, -32768],
+        "tinyint": [0, 7, 127, -128],
+        "date": ["2024-01-02", "1970-01-01", "1969-12-31", "2199-12-31",
+                 dt.date(2000, 2, 29)],
+    }
+    for typ, vals in cases.items():
+        enc = bl._local_hasher(typ)
+        assert enc is not None, typ
+        local = [
+            [bl._pmod(bl._xxh64_seeded(enc(v), i), m) for i in range(k)]
+            for v in vals
+        ]
+        lits = [
+            F.array(
+                *[
+                    F.pmod(F.xxhash64(F.lit(v).cast(typ), F.lit(i)), F.lit(m))
+                    for i in range(k)
+                ]
+            )
+            for v in vals
+        ]
+        row = spark.range(1).select(F.array(*lits).alias("p")).collect()[0]
+        jvm = [[int(x) for x in ps] for ps in row["p"]]
+        assert local == jvm, f"{typ}: local={local} jvm={jvm}"
+    # unsupported types must decline the fast path (JVM fallback decides)
+    assert bl._local_hasher("decimal(12,2)") is None
+    assert bl._local_hasher("timestamp") is None
+    assert bl._local_hasher(None) is None
+
+
 def test_spec_validation(spark, tmp_path):
     t = str(tmp_path / "tbl")
     commit_append(spark, t, _batch(spark, 0, 5))
