@@ -2333,6 +2333,7 @@ def delete_snapshot(
     prune_where: tuple | None = None,
     stats_cols: list[str] | None = None,
     mode: str = "rewrite",
+    point_where: dict | None = None,
 ) -> int:
     """DELETE FROM ... WHERE as a snapshot commit — with MERGE and
     OPTIMIZE this completes the log's DML triad (UPDATE is a merge whose
@@ -2346,6 +2347,12 @@ def delete_snapshot(
        [lo, hi] (e.g. ``where="ts < '2023-01-01'"`` with
        ``prune_where=("ts", None, "2023-01-01")``); at 100 TB a retention
        delete on a date-ranged table never even LISTS the other ~365 days.
+       ``point_where={col: value_or_list}`` is the BLOOM complement for
+       equality predicates on indexed high-cardinality keys (the GDPR
+       single-subject erasure shape: ``where="uk = 'x'"`` +
+       ``point_where={"uk": "x"}`` probes only the ~1 file whose bitmap
+       might hold the key); same caller contract, uncovered files
+       conservatively survive into stage 2.
     2. EMPIRICAL PROBE (one distributed pass over the survivors): a
        per-file matching-row count with the predicate pushed down to the
        parquet reader — files with zero matches are carried into the new
@@ -2391,6 +2398,10 @@ def delete_snapshot(
     if prune_where is not None:
         pc, plo, phi = prune_where
         candidates = _prune_by_stats(files, stats, (_phys(colmap, pc), plo, phi))
+    if point_where:
+        candidates = _prune_by_bloom(
+            spark, table_dir, m, candidates, point_where, colmap
+        )
     if not candidates:
         return base_v  # stats prove nothing can match
     # probe THROUGH the DVs (an already-deleted row must not re-match);
@@ -2518,14 +2529,16 @@ def update_snapshot(
     prune_where: tuple | None = None,
     stats_cols: list[str] | None = None,
     mode: str = "rewrite",
+    point_where: dict | None = None,
 ) -> int:
     """UPDATE ... SET as a snapshot commit — the last verb of the DML
     quartet, spelled directly instead of via merge so callers don't have
     to pre-compute postimage rows.
 
     File targeting is :func:`delete_snapshot`'s two-stage shape (manifest
-    interval prune via ``prune_where``, then the exact per-file matching
-    probe); touched files are rewritten with every ``set_exprs`` column
+    interval prune via ``prune_where`` and/or bloom prune via
+    ``point_where`` — see delete's docstring — then the exact per-file
+    matching probe); touched files are rewritten with every ``set_exprs`` column
     replaced WHERE the predicate holds — all SET expressions evaluate
     against the ORIGINAL row (standard UPDATE semantics: swap-style
     ``{"a": "b", "b": "a"}`` is well-defined) and are cast back to the
@@ -2560,6 +2573,10 @@ def update_snapshot(
     if prune_where is not None:
         pc, plo, phi = prune_where
         candidates = _prune_by_stats(files, stats, (_phys(colmap, pc), plo, phi))
+    if point_where:
+        candidates = _prune_by_bloom(
+            spark, table_dir, m, candidates, point_where, colmap
+        )
     if not candidates:
         return base_v
     if mode == "dv":
@@ -3036,7 +3053,8 @@ def snapshot_file_listing(
     """The Iceberg ``files`` metadata table: one row per data file in the
     snapshot at ``version`` (default latest) — path, byte size, and the
     recorded per-column [min, max] skipping stats (stringified, as a
-    ``map<string, array<string>>``; a null entry means an all-null file).
+    ``map<string, array<string>>``; a null entry means an all-null file)
+    plus the file's bloom sidecar pointer (null = not bloom-covered).
     This is the table an operator inspects to decide WHEN to run
     :func:`compact_snapshot` (file-size histogram) and to audit what
     ``skip_where`` can prune — all from manifest + FS metadata, zero data
@@ -3065,15 +3083,17 @@ def snapshot_file_listing(
                         None if mm[0] is None else [str(mm[0]), str(mm[1])]
                     )
                     for c, mm in st.items()
-                    if c != "__rows" and (not colmap or c in to_logical)
+                    # __rows / __bloom are reserved entries, not columns
+                    if not c.startswith("__") and (not colmap or c in to_logical)
                 },
+                st.get("__bloom"),
             )
         )
     return spark.createDataFrame(
         rows,
         schema=(
             "file string, size_bytes long, n_rows long, "
-            "col_stats map<string, array<string>>"
+            "col_stats map<string, array<string>>, bloom_sidecar string"
         ),
     )
 

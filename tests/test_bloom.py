@@ -71,6 +71,15 @@ def test_point_where_prunes_covered_files_never_filters(spark, tmp_path):
     # a probe on an UNINDEXED column is a no-op, not an error
     assert len(_files(read_snapshot(spark, t, point_where={"id": 3}))) == 4
     assert snapshot_detail(spark, t).collect()[0]["bloom_columns"] == ["k"]
+    # the files metadata table shows coverage: 3 covered, v1 not
+    from customer_activity_lakehouse_spark.sources.snapshots import (
+        snapshot_file_listing,
+    )
+
+    listing = snapshot_file_listing(spark, t).collect()
+    assert sum(r["bloom_sidecar"] is not None for r in listing) == 3
+    # and the reserved pointer never leaks into the per-column stats map
+    assert all("__bloom" not in (r["col_stats"] or {}) for r in listing)
 
 
 def test_backfill_covers_existing_files_and_int_types_hash_alike(spark, tmp_path):
@@ -191,6 +200,39 @@ def test_local_xxh64_parity_with_jvm(spark):
     assert bl._local_hasher("decimal(12,2)") is None
     assert bl._local_hasher("timestamp") is None
     assert bl._local_hasher(None) is None
+
+
+def test_dml_point_where_touches_only_matching_file(spark, tmp_path):
+    """The GDPR single-subject erasure shape: DELETE/UPDATE with
+    ``point_where`` on an indexed key must probe (and rewrite) only the
+    file(s) whose bloom might hold it — ``files_rewritten`` in the commit
+    metadata is the witness. A probe for an absent key is a no-op commit
+    (version preserved)."""
+    from customer_activity_lakehouse_spark.sources.snapshots import (
+        _read_commit,
+        update_snapshot,
+    )
+
+    t = str(tmp_path / "tbl")
+    commit_append(spark, t, _batch(spark, 0, 25))
+    set_bloom_filter(spark, t, ["k"], m_bits=M, k=K, backfill=True)
+    for lo in (25, 50, 75):
+        commit_append(spark, t, _batch(spark, lo, lo + 25))
+    v = delete_snapshot(
+        spark, t, "k = 'k0060'", point_where={"k": "k0060"}
+    )
+    meta = _read_commit(spark, t, v)
+    assert meta["files_rewritten"] == 1
+    assert read_snapshot(spark, t).where("k = 'k0060'").count() == 0
+    assert read_snapshot(spark, t).count() == 99
+    # absent key: bloom proves no file can match -> version-preserving no-op
+    assert delete_snapshot(spark, t, "k = 'nope'", point_where={"k": "nope"}) == v
+    v2 = update_snapshot(
+        spark, t, "k = 'k0030'", {"grp": "-1"}, point_where={"k": "k0030"}
+    )
+    meta2 = _read_commit(spark, t, v2)
+    assert meta2["files_rewritten"] == 1
+    assert read_snapshot(spark, t).where("grp = -1").count() == 1
 
 
 def test_spec_validation(spark, tmp_path):
