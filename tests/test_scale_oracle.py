@@ -51,6 +51,12 @@ HEAVY = [
     # scale while sf0.01 stays silent
     "brand_concentration_hhi",
     "lineitem_correlation_matrix",
+    # r8: tier populations (which quality bands docs land in) and the
+    # chi-square's integer products (o*n, r*c) both grow with sf — the
+    # weighted sampler's tick count and the chisq int64 headroom are the
+    # scale-dependent parts
+    "doc_sample_weighted",
+    "segment_priority_chisq",
 ]
 
 
