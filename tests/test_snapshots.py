@@ -1890,3 +1890,144 @@ def test_generated_columns_compute_and_enforce(spark, tmp_path):
     drop_generated_column_expr(spark, t, "twice")
     commit_append(spark, t, spark.range(9, 10).selectExpr("id", "id * 7 AS twice"))
     assert read_snapshot(spark, t).count() == 10
+
+
+def test_replace_where_atomic_partition_backfill(spark, tmp_path):
+    """Delta's replaceWhere: one commit deletes the predicate's rows and
+    inserts the replacement; untouched files carry verbatim with stats;
+    out-of-scope replacement rows are refused before any data lands."""
+    from pyspark.sql import functions as F
+
+    from customer_activity_lakehouse_spark.sources.snapshots import (
+        _read_manifest,
+        commit_replace_where,
+        read_snapshot,
+        snapshot_change_feed,
+    )
+
+    t = str(tmp_path / "tbl")
+    _commit_sized(spark, t, 0, 100)  # file A: ids 0-99
+    _commit_sized(spark, t, 1000, 1100)  # file B: ids 1000-1099
+    m_before = _read_manifest(spark, t, 2)
+    file_b = [f for f in m_before["files"] if m_before["stats"][f]["id"][0] == 1000]
+
+    # recompute the 0-99 slice: half the rows, new values
+    repl = spark.range(0, 50).select("id", (F.col("id") * 10).alias("v"))
+    v = commit_replace_where(
+        spark, t, repl, "id < 100", prune_where=("id", None, 99)
+    )
+    m = _read_manifest(spark, t, v)
+    assert m["op"] == "replace_where" and m["files_rewritten"] == 1
+    assert file_b[0] in m["files"]  # B untouched, carried verbatim
+    assert m["stats"][file_b[0]]["id"] == [1000, 1099]
+
+    got = {r.id: r.v for r in read_snapshot(spark, t).collect()}
+    assert len(got) == 150  # 50 replaced + 100 untouched
+    assert got[10] == 100 and 75 not in got and got[1000] == 2000
+    # history intact: pre-replace version still reads the old slice
+    assert read_snapshot(spark, t, 2).count() == 200
+
+    # CDC: 100 delete preimages + 50 insert postimages, one commit
+    feed = snapshot_change_feed(spark, t, v - 1, v)
+    counts = {r["change_type"]: r["n"] for r in feed.groupBy("change_type").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    assert counts == {"delete": 100, "insert": 50}
+
+    # the replaceWhere contract: replacement rows must satisfy the scope
+    with pytest.raises(ValueError, match="outside the predicate"):
+        commit_replace_where(
+            spark, t, spark.createDataFrame([(5000, 1)], "id long, v long"),
+            "id < 100",
+        )
+    # idempotent backfill: a no-match scope with empty frame just inserts
+    v2 = commit_replace_where(
+        spark, t, spark.createDataFrame([], "id long, v long"), "id >= 5000"
+    )
+    assert read_snapshot(spark, t, v2).count() == 150
+
+
+def test_merge_clauses_cdc_tombstone_apply(spark, tmp_path):
+    """The classic apply-changes pattern: WHEN MATCHED AND s.op='D' THEN
+    DELETE, conditional insert excluding tombstones, source wider than the
+    table via drop_source_cols."""
+    from pyspark.sql import functions as F
+
+    from customer_activity_lakehouse_spark.sources.snapshots import (
+        merge_snapshot,
+        read_snapshot,
+        snapshot_change_feed,
+    )
+
+    t = str(tmp_path / "tbl")
+    _commit_sized(spark, t, 0, 10)  # ids 0-9, v = 2*id
+    cdc = spark.createDataFrame(
+        [
+            (3, -3, "U", 1),   # update id 3
+            (5, 0, "D", 1),    # delete id 5
+            (20, 40, "I", 1),  # insert id 20
+            (21, 0, "D", 1),   # tombstone for absent key: no-op
+        ],
+        "id long, v long, op string, seq long",
+    )
+    v = merge_snapshot(
+        spark, t, cdc, keys=["id"], order_col="seq",
+        when_matched_delete="s.op = 'D'",
+        when_not_matched_insert="op != 'D'",
+        drop_source_cols=["op", "seq"],
+    )
+    got = {r.id: r.v for r in read_snapshot(spark, t).collect()}
+    assert 5 not in got and 21 not in got
+    assert got[3] == -3 and got[20] == 40 and got[0] == 0 and len(got) == 10
+    feed = snapshot_change_feed(spark, t, v - 1, v)
+    counts = {r["change_type"]: r["n"] for r in feed.groupBy("change_type").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    assert counts == {"delete": 1, "insert": 1, "update": 1}
+    # the dropped metadata columns never land in the table or the feed
+    assert set(feed.columns) >= {"id", "v", "change_type"}
+    assert "op" not in feed.columns and "op" not in read_snapshot(spark, t).columns
+
+
+def test_merge_clauses_staleness_and_one_way_sync(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from customer_activity_lakehouse_spark.sources.snapshots import (
+        _read_manifest,
+        commit_append,
+        merge_snapshot,
+        read_snapshot,
+    )
+
+    t = str(tmp_path / "tbl")
+    commit_append(
+        spark, t,
+        spark.createDataFrame(
+            [(1, 100, 5), (2, 200, 5), (3, 300, 5)], "id long, v long, ts long"
+        ).coalesce(1),
+        stats_cols=["id"],
+    )
+    commit_append(
+        spark, t,
+        spark.createDataFrame(
+            [(1000, 1, 5), (1001, 2, 5)], "id long, v long, ts long"
+        ).coalesce(1),
+        stats_cols=["id"],
+    )
+    # source: fresh update for 1, STALE update for 2, nothing for 3
+    src = spark.createDataFrame(
+        [(1, -1, 9), (2, -2, 3)], "id long, v long, ts long"
+    )
+    v = merge_snapshot(
+        spark, t, src, keys=["id"],
+        when_matched_update="s.ts > t.ts",
+        not_matched_by_source_delete="id < 100",
+        nmbs_prune_where=("id", None, 99),
+    )
+    got = {r.id: (r.v, r.ts) for r in read_snapshot(spark, t).collect()}
+    assert got[1] == (-1, 9)      # fresh update applied
+    assert got[2] == (200, 5)     # stale update refused — row unchanged
+    assert 3 not in got           # not matched by source, in scope: deleted
+    assert got[1000] == (1, 5) and got[1001] == (2, 5)  # out of scope survive
+    m = _read_manifest(spark, t, v)
+    # the 1000s file is outside nmbs_prune_where AND the batch key range:
+    # it must carry verbatim, not rewrite
+    assert m["files_rewritten"] == 1
