@@ -2996,7 +2996,267 @@ WHERE a.vec_id != 0
 """
 
 
+UNIGRAM_SURPRISAL_TOP_K = 20
+
+
+def q_doc_unigram_logprob(spark: SparkSession, sf: str) -> DataFrame:
+    """Unigram-LM quality scoring: train a unigram language model on the
+    corpus itself (token → probability) and score every document by its
+    average surprisal, ``bits_per_token = -mean(log2 p(token))`` — the
+    cheapest useful perplexity proxy (KenLM's degenerate n=1 case). High
+    scores flag gibberish / rare-token soup; the top-K most surprising
+    docs are the review queue a pretraining pipeline actually triages.
+
+    Determinism doctrine: per-token surprisal is quantized to integer
+    MICRO-BITS (round(-log2(p) * 1e6) as BIGINT) before the per-doc sum,
+    so the distributed sum is exact-integer and parallelism-independent —
+    the same integer-quantization trick as `embedding_kmeans`; a raw
+    double sum would be partial-agg-order-dependent.
+
+    Scale: two corpus passes (token count partial-agg to |vocab|; token →
+    surprisal map join back), per-doc sum is a partial-agg groupBy on
+    doc_id, top-K via TakeOrdered — no global sort, no window over the
+    corpus. The vocab-side join key is Zipf-headed; AQE handles the skew
+    (surprisal frame is |vocab|-sized, usually broadcastable)."""
+    docs = table(spark, sf, "documents")
+    tok = docs.select(
+        "doc_id", "source", F.explode(_tokens(F.col("text"))).alias("token")
+    )
+    counts = tok.groupBy("token").agg(F.count(F.lit(1)).alias("n_tok"))
+    total = counts.agg(F.sum("n_tok").alias("total_tok"))
+    surprisal = counts.crossJoin(F.broadcast(total)).select(
+        "token",
+        F.round(
+            -F.log2(F.col("n_tok").cast("double") / F.col("total_tok")) * 1e6
+        )
+        .cast("long")
+        .alias("microbits"),
+    )
+    per_doc = (
+        tok.join(surprisal, "token")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("microbits").alias("sum_mb"),
+        )
+    )
+    return (
+        per_doc.select(
+            "doc_id",
+            "source",
+            "n_tokens",
+            F.round(
+                F.col("sum_mb").cast("double") / F.col("n_tokens") / 1e6, 4
+            ).alias("bits_per_token"),
+        )
+        .orderBy(F.col("bits_per_token").desc(), "doc_id")
+        .limit(UNIGRAM_SURPRISAL_TOP_K)
+    )
+
+
+ORACLE_DOC_UNIGRAM_LOGPROB = f"""
+WITH tok AS (
+  SELECT doc_id, source, unnest({_SQL_TOKENS}) AS token FROM documents
+),
+counts AS (SELECT token, count(*)::BIGINT AS n_tok FROM tok GROUP BY token),
+total AS (SELECT sum(n_tok) AS total_tok FROM counts),
+surprisal AS (
+  SELECT token,
+         round(-log2(n_tok::DOUBLE / total_tok) * 1e6)::BIGINT AS microbits
+  FROM counts, total
+),
+per_doc AS (
+  SELECT t.doc_id, t.source, count(*)::BIGINT AS n_tokens,
+         sum(s.microbits)::BIGINT AS sum_mb
+  FROM tok t JOIN surprisal s USING (token)
+  GROUP BY t.doc_id, t.source
+)
+SELECT doc_id, source, n_tokens,
+       round(sum_mb::DOUBLE / n_tokens / 1e6, 4) AS bits_per_token
+FROM per_doc
+ORDER BY bits_per_token DESC, doc_id
+LIMIT {UNIGRAM_SURPRISAL_TOP_K}
+"""
+
+
+def q_doc_zipf_slope(spark: SparkSession, sf: str) -> DataFrame:
+    """Zipf's-law fit per language: OLS slope of log(freq) on log(rank)
+    over each language's token vocabulary — natural text sits near -1;
+    a flat slope flags templated/synthetic text, a cliff flags tiny
+    vocabularies. A corpus-health gauge next to `doc_ngram_novelty`.
+
+    Determinism doctrine: log(rank) and log(freq) are quantized to
+    integer micro-units, the five OLS moments (n, Σx, Σy, Σxy, Σx²) are
+    summed as exact DECIMAL(38,0) (Σxy ≈ 1e14/type would creep toward
+    int64 limits on a 100 TB vocab), and the slope is one double division
+    of exact integers at the end — bit-identical at any parallelism.
+
+    Scale: vocab is a partial-agg rollup of the corpus; ranking windows
+    over |vocab| rows per language, never the corpus; moments are a
+    |langs|-row partial agg."""
+    docs = table(spark, sf, "documents")
+    tok = docs.select("lang", F.explode(_tokens(F.col("text"))).alias("token"))
+    vocab = tok.groupBy("lang", "token").agg(F.count(F.lit(1)).alias("freq"))
+    w = Window.partitionBy("lang").orderBy(F.col("freq").desc(), "token")
+    ranked = vocab.withColumn("rank", F.row_number().over(w))
+    q = ranked.select(
+        "lang",
+        F.round(F.log(F.col("rank").cast("double")) * 1e6).cast("long").alias("x"),
+        F.round(F.log(F.col("freq").cast("double")) * 1e6).cast("long").alias("y"),
+    )
+    dec = "decimal(38,0)"
+    sums = q.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.sum(F.col("x").cast(dec)).alias("sx"),
+        F.sum(F.col("y").cast(dec)).alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast(dec)).alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast(dec)).alias("sxx"),
+    )
+    n = F.col("n_types").cast(dec)
+    num = (n * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = (n * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    return (
+        sums.filter(F.col("n_types") >= 2)
+        .select("lang", "n_types", F.round(num / den, 6).alias("zipf_slope"))
+    )
+
+
+ORACLE_DOC_ZIPF_SLOPE = f"""
+WITH tok AS (SELECT lang, unnest({_SQL_TOKENS}) AS token FROM documents),
+vocab AS (SELECT lang, token, count(*)::BIGINT AS freq FROM tok GROUP BY lang, token),
+ranked AS (
+  SELECT lang, freq,
+         row_number() OVER (PARTITION BY lang ORDER BY freq DESC, token) AS rank
+  FROM vocab
+),
+q AS (
+  SELECT lang,
+         round(ln(rank::DOUBLE) * 1e6)::BIGINT AS x,
+         round(ln(freq::DOUBLE) * 1e6)::BIGINT AS y
+  FROM ranked
+),
+sums AS (
+  SELECT lang, count(*)::BIGINT AS n_types,
+         sum(x::HUGEINT) AS sx, sum(y::HUGEINT) AS sy,
+         sum((x * y)::HUGEINT) AS sxy, sum((x * x)::HUGEINT) AS sxx
+  FROM q GROUP BY lang
+)
+SELECT lang, n_types,
+       round((n_types::HUGEINT * sxy - sx * sy)::DOUBLE /
+             (n_types::HUGEINT * sxx - sx * sx)::DOUBLE, 6) AS zipf_slope
+FROM sums WHERE n_types >= 2
+"""
+
+
+def q_ann_sq_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Scalar-quantized ANN (SQ8, the FAISS/Milvus workhorse): corpus
+    vectors are compressed to one byte per dimension against per-dim
+    [min, max] learned from the corpus, and search is ASYMMETRIC — the
+    full-precision query scores against dequantized codes (ADC), so
+    quantization error applies once, not twice. Top-10 for vec_id=0.
+
+    At 100 TB this is THE memory story: 64-dim float32 → 64 bytes/vector
+    (4× now, 8-16× vs float64/PQ-ready), codes scan sequentially and the
+    128-double codebook broadcasts. Here codes are computed on the fly
+    from the parquet source (the fixture stores floats); the plan shape —
+    one corpus scan, per-row lambda arithmetic in codegen, TakeOrdered
+    top-k, zero shuffles before the k-row result — is the production one.
+
+    Correctness: quantize/dequantize is pure closed-form double
+    arithmetic (floor-clamp to 0..255, reconstruct at the cell midpoint),
+    so the oracle reproduces it bit-exactly; cos rounded to 4dp with
+    (score desc, vec_id) ordering."""
+    emb = table(spark, sf, "embeddings")
+    dims = emb.select(F.posexplode("embedding").alias("pos", "v"))
+    mm = dims.groupBy("pos").agg(
+        F.min(F.col("v").cast("double")).alias("mn"),
+        F.max(F.col("v").cast("double")).alias("mx"),
+    )
+    codebook = mm.agg(
+        F.array_sort(F.collect_list(F.struct("pos", "mn"))).alias("amn"),
+        F.array_sort(F.collect_list(F.struct("pos", "mx"))).alias("amx"),
+    ).select(
+        F.transform("amn", lambda s: s["mn"]).alias("mn_arr"),
+        F.transform("amx", lambda s: s["mx"]).alias("mx_arr"),
+    )
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q_emb"))
+    mn_at = lambda i: F.element_at(F.col("mn_arr"), i + 1)  # noqa: E731
+    mx_at = lambda i: F.element_at(F.col("mx_arr"), i + 1)  # noqa: E731
+    dq = F.transform(
+        F.col("embedding"),
+        lambda v, i: F.when(
+            mx_at(i) > mn_at(i),
+            mn_at(i)
+            + (
+                F.least(
+                    F.floor(
+                        (v.cast("double") - mn_at(i)) / (mx_at(i) - mn_at(i)) * 256
+                    ).cast("double"),
+                    F.lit(255.0),
+                )
+                + 0.5
+            )
+            * (mx_at(i) - mn_at(i))
+            / 256,
+        ).otherwise(mn_at(i)),
+    )
+    qd = F.transform(F.col("q_emb"), lambda x: x.cast("double"))
+    scored = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(codebook))
+        .crossJoin(F.broadcast(q))
+        .withColumn("dqv", dq)
+        .withColumn("qd", qd)
+    )
+    cos = _dot_expr_pre(F.col("dqv"), F.col("qd")) / (
+        _norm_expr_pre(F.col("dqv")) * _norm_expr_pre(F.col("qd"))
+    )
+    return (
+        scored.select("vec_id", F.round(cos, 4).alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), "vec_id")
+        .limit(10)
+    )
+
+
+_SQL_SQ_DQ = f"""list_transform(range(1, {_DIM} + 1), i ->
+  CASE WHEN mx_arr[i] > mn_arr[i]
+    THEN mn_arr[i] + (least(floor((a.embedding[i]::DOUBLE - mn_arr[i]) /
+           (mx_arr[i] - mn_arr[i]) * 256), 255.0) + 0.5) *
+         (mx_arr[i] - mn_arr[i]) / 256
+    ELSE mn_arr[i] END)"""
+
+ORACLE_ANN_SQ_TOPK = f"""
+WITH mm AS (
+  SELECT i, min(embedding[i]::DOUBLE) AS mn, max(embedding[i]::DOUBLE) AS mx
+  FROM embeddings, range(1, {_DIM} + 1) t(i)
+  GROUP BY i
+),
+arrs AS (SELECT list(mn ORDER BY i) AS mn_arr, list(mx ORDER BY i) AS mx_arr FROM mm),
+q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0),
+dq AS (
+  SELECT a.vec_id, {_SQL_SQ_DQ} AS dqv,
+         list_transform(range(1, {_DIM} + 1), i -> q_emb[i]::DOUBLE) AS qd
+  FROM embeddings a, arrs, q WHERE a.vec_id != 0
+)
+SELECT vec_id,
+       round(list_sum(list_transform(range(1, {_DIM} + 1), i -> dqv[i] * qd[i])) /
+             (sqrt(list_sum(list_transform(range(1, {_DIM} + 1), i -> dqv[i] * dqv[i]))) *
+              sqrt(list_sum(list_transform(range(1, {_DIM} + 1), i -> qd[i] * qd[i])))),
+             4) AS cos_sim
+FROM dq
+ORDER BY cos_sim DESC, vec_id
+LIMIT 10
+"""
+
+
 QUERIES: dict[str, Query] = {
+    "doc_unigram_logprob": Query(
+        q_doc_unigram_logprob, ORACLE_DOC_UNIGRAM_LOGPROB, ("text", "quality"), True
+    ),
+    "doc_zipf_slope": Query(q_doc_zipf_slope, ORACLE_DOC_ZIPF_SLOPE, ("text", "quality")),
+    "ann_sq_topk": Query(
+        q_ann_sq_topk, ORACLE_ANN_SQ_TOPK, ("similarity", "quantization"), True
+    ),
     "doc_token_stats": Query(q_doc_token_stats, ORACLE_DOC_TOKEN_STATS, ("text",), True),
     "doc_quality": Query(q_doc_quality, ORACLE_DOC_QUALITY, ("text",)),
     "doc_langid": Query(q_doc_langid, ORACLE_DOC_LANGID, ("text",)),

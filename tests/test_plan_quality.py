@@ -532,3 +532,38 @@ def test_key_skew_profile_single_fact_shuffle(spark, sf_correctness):
     )
     key_exchanges = re.findall(r"Exchange hashpartitioning\(l_suppkey#", plan)
     assert len(key_exchanges) == 1, plan
+
+
+def test_ann_sq_vectors_never_shuffle(spark, sf_correctness):
+    """SQ8 ANN scale contract: the corpus scan dequantizes and scores
+    in-place against broadcast codebook + query (BroadcastNestedLoop cross
+    joins) and finishes in TakeOrdered — corpus vectors must never enter a
+    hash exchange or a sort-merge join. The only exchanges allowed belong
+    to the 64-row codebook build (pos-keyed) and the k-row result."""
+    import re
+
+    plan = explain_str(QUERIES["ann_sq_topk"].fn(spark, sf_correctness), "simple")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan, plan
+    hash_keys = re.findall(r"Exchange hashpartitioning\((\w+)#", plan)
+    assert set(hash_keys) <= {"pos"}, f"vector-scale exchanges: {hash_keys}"
+
+
+def test_unigram_logprob_topk_no_global_sort(spark, sf_correctness):
+    """Unigram surprisal: per-doc sums are partial-aggregated map-side and
+    the top-K is TakeOrdered. The ONLY single-partition stage allowed is
+    the scalar corpus-token total (a 1-row broadcast, partial_sum below
+    it); a second one would mean the corpus hit a global sort/window."""
+    plan = explain_str(QUERIES["doc_unigram_logprob"].fn(spark, sf_correctness))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert plan.count("SinglePartition") == 1, plan
+    assert "partial_count" in plan or "partial_sum" in plan, plan
+
+
+def test_zipf_slope_windows_vocab_by_lang(spark, sf_correctness):
+    """Zipf fit: the ranking window partitions by lang over the VOCAB
+    rollup (partial_count proves the corpus collapsed map-side first);
+    no single-partition stage anywhere."""
+    plan = explain_str(QUERIES["doc_zipf_slope"].fn(spark, sf_correctness))
+    assert "SinglePartition" not in plan, plan
+    assert "partial_count" in plan, plan

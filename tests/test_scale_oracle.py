@@ -57,6 +57,13 @@ HEAVY = [
     # scale-dependent parts
     "doc_sample_weighted",
     "segment_priority_chisq",
+    # r8 late additions: unigram surprisal quantization boundaries and the
+    # Zipf fit's decimal/hugeint moment widths both grow with vocab size;
+    # SQ8's per-dim [min,max] (and thus every cell boundary) widens with
+    # the corpus — all three are exactly the scale-dependent float class
+    "doc_unigram_logprob",
+    "doc_zipf_slope",
+    "ann_sq_topk",
 ]
 
 
