@@ -3249,7 +3249,63 @@ LIMIT 10
 """
 
 
+def q_ann_sq_recall(spark: SparkSession, sf: str) -> DataFrame:
+    """Measured recall@10 of SQ8 asymmetric search vs exact brute force —
+    the quantization-quality gate (same contract as `ann_recall_at_k` for
+    the LSH/IVF paths): byte codes are only acceptable at 100 TB if this
+    number stays pinned near 1.0 on the fixture sample."""
+    bf = _bruteforce_topk(spark, sf, 10).select("vec_id")
+    return (
+        q_ann_sq_topk(spark, sf)
+        .select("vec_id")
+        .join(bf, "vec_id", "left_semi")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+        .select(
+            F.lit("sq8").alias("method"),
+            F.lit(10).alias("k"),
+            "n_hits",
+            F.round(F.col("n_hits") / F.lit(10), 4).alias("recall_at_k"),
+        )
+    )
+
+
+ORACLE_ANN_SQ_RECALL = f"""
+WITH bf AS (
+  SELECT a.vec_id AS vec_id
+  FROM embeddings a, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+  WHERE a.vec_id != 0
+  ORDER BY round({_SQL_DOT} / ({_SQL_NORM_A} * {_SQL_NORM_Q}), 4) DESC, a.vec_id
+  LIMIT 10),
+mm AS (
+  SELECT i, min(embedding[i]::DOUBLE) AS mn, max(embedding[i]::DOUBLE) AS mx
+  FROM embeddings, range(1, {_DIM} + 1) t(i)
+  GROUP BY i
+),
+arrs AS (SELECT list(mn ORDER BY i) AS mn_arr, list(mx ORDER BY i) AS mx_arr FROM mm),
+q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0),
+dq AS (
+  SELECT a.vec_id, {_SQL_SQ_DQ} AS dqv,
+         list_transform(range(1, {_DIM} + 1), i -> q_emb[i]::DOUBLE) AS qd
+  FROM embeddings a, arrs, q WHERE a.vec_id != 0
+),
+sq AS (
+  SELECT vec_id
+  FROM dq
+  ORDER BY round(list_sum(list_transform(range(1, {_DIM} + 1), i -> dqv[i] * qd[i])) /
+           (sqrt(list_sum(list_transform(range(1, {_DIM} + 1), i -> dqv[i] * dqv[i]))) *
+            sqrt(list_sum(list_transform(range(1, {_DIM} + 1), i -> qd[i] * qd[i])))),
+           4) DESC, vec_id
+  LIMIT 10)
+SELECT 'sq8' AS method, 10 AS k, count(*)::BIGINT AS n_hits,
+       round(count(*) / 10, 4) AS recall_at_k
+FROM sq SEMI JOIN bf USING (vec_id)
+"""
+
+
 QUERIES: dict[str, Query] = {
+    "ann_sq_recall": Query(
+        q_ann_sq_recall, ORACLE_ANN_SQ_RECALL, ("similarity", "quantization", "audit")
+    ),
     "doc_unigram_logprob": Query(
         q_doc_unigram_logprob, ORACLE_DOC_UNIGRAM_LOGPROB, ("text", "quality"), True
     ),

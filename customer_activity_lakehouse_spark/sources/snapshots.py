@@ -2238,6 +2238,106 @@ def compact_snapshot(
     return base_v + 1
 
 
+def reorg_snapshot(spark: SparkSession, table_dir: str) -> int | None:
+    """Delta's ``REORG TABLE ... APPLY (PURGE)``: physically rewrite
+    exactly the files still carrying SOFT-DELETED data, so vacuum can
+    reclaim it. Two kinds qualify:
+
+    - files holding ORPHANED PHYSICAL COLUMNS — ``drop_snapshot_column``
+      is metadata-only (column mapping stops projecting the physical
+      column), so dropped-column bytes stay on disk (and in scan I/O
+      footers) until a rewrite; GDPR column erasure needs the purge;
+    - files with DELETION-VECTOR entries — ``mode='dv'`` DML hides rows
+      at read time; the bytes (and the per-read anti-join) persist until
+      the DVs are materialized.
+
+    Everything else carries into the new manifest VERBATIM, stats
+    included. The commit is ``data_change=false`` (no row changed —
+    incremental consumers see zero delta, same as OPTIMIZE) and
+    overwrite-class for races. Returns the committed version, or None
+    when no file needs purging.
+
+    Detection cost: one parquet-footer read per manifest file (the same
+    driver-side metadata class as ``_file_sizes``; partition columns are
+    directory-encoded, so footers are compared against the non-partition
+    physical schema) plus one scan of the (tiny by contract) DV files.
+    """
+    import re as _re
+
+    versions = _list_versions(spark, table_dir)
+    if not versions:
+        raise FileNotFoundError(f"no snapshots at {table_dir}")
+    base_v = versions[-1]
+    m = _read_manifest(spark, table_dir, base_v)
+    files = m["files"]
+    sig = m.get("schema")
+    dv_files = m.get("dv_files", [])
+    colmap, _ = _mapping_of(m)
+    part_keys = set(_part_keys(m))
+    cur_phys = {
+        _phys(colmap, n) for n, _ in (sig or []) if n not in part_keys
+    }
+
+    def _local(p: str) -> str:
+        return _re.sub(r"^[a-zA-Z0-9+.-]+:/+", "/", p)
+
+    needs: list[str] = []
+    if sig is not None:
+        import pyarrow.parquet as _pq
+
+        for f in files:
+            footer_cols = set(_pq.read_schema(_local(f)).names)
+            if footer_cols - cur_phys:
+                needs.append(f)
+    if dv_files:
+        dv_paths = {
+            _local(r["file_path"])
+            for r in spark.read.parquet(*dv_files).select("file_path").distinct().collect()
+        }
+        needs.extend(
+            f for f in files if _local(f) in dv_paths and f not in set(needs)
+        )
+    if not needs:
+        return None
+    keep = [f for f in files if f not in set(needs)]
+    # the logical read drops orphaned physical columns and applies DVs;
+    # writing it back under physical names is precisely the purge
+    rewritten = _read_with_dvs(spark, needs, sig, dv_files, colmap=colmap)
+    data_path = _write_data(
+        _to_physical(rewritten, colmap),
+        table_dir,
+        f"v{base_v + 1:05d}-reorg-{uuid.uuid4().hex[:12]}",
+        partition_by=_part_keys(m) or None,
+    )
+    new_files = _data_files(spark, data_path)
+    cols = _stats_cols_of(m)
+    cols = sorted(set(cols) | set(_part_keys(m)))
+    new_stats = _file_stats(spark, new_files, cols) if cols and new_files else {}
+    new_stats = _attach_blooms(spark, table_dir, m, new_files, new_stats)
+    kept_stats = {f: s for f, s in m.get("stats", {}).items() if f in set(keep)}
+    manifest = {
+        "version": base_v + 1,
+        "op": "reorg",
+        "data_change": False,
+        "files": keep + new_files,
+        "schema": sig,
+        "files_rewritten": len(needs),
+    }
+    if dv_files and keep:
+        manifest["dv_files"] = dv_files  # kept files still need theirs
+    if kept_stats or new_stats:
+        manifest["stats"] = {**kept_stats, **new_stats}
+    _carry_props(m, manifest)
+    _carry_mapping(m, manifest)
+    if not _try_commit(spark, table_dir, base_v + 1, manifest):
+        raise RuntimeError(
+            f"reorg_snapshot: version {base_v + 1} was committed concurrently at "
+            f"{table_dir}; re-run against the new latest version (rewrite dir "
+            "left as vacuum debris)"
+        )
+    return base_v + 1
+
+
 def _refine_touched(
     spark: SparkSession,
     updates: DataFrame,

@@ -2031,3 +2031,60 @@ def test_merge_clauses_staleness_and_one_way_sync(spark, tmp_path):
     # the 1000s file is outside nmbs_prune_where AND the batch key range:
     # it must carry verbatim, not rewrite
     assert m["files_rewritten"] == 1
+
+
+def test_reorg_purges_dropped_columns_and_dvs(spark, tmp_path):
+    """REORG APPLY (PURGE): only files carrying orphaned physical columns
+    or DV-hidden rows rewrite; clean files carry verbatim; the commit is
+    data_change=false so incremental consumers see zero delta."""
+    import pyarrow.parquet as pq
+
+    from customer_activity_lakehouse_spark.sources.snapshots import (
+        _read_manifest,
+        delete_snapshot,
+        drop_snapshot_column,
+        rename_snapshot_column,
+        reorg_snapshot,
+        snapshot_changes,
+    )
+
+    t = str(tmp_path / "tbl")
+    commit_append(
+        spark, t,
+        spark.range(0, 5).selectExpr("id", "id * 2 AS v", "id * 3 AS w").coalesce(1),
+        stats_cols=["id"],
+    )
+    rename_snapshot_column(spark, t, "w", "weight")  # enables mapping
+    drop_snapshot_column(spark, t, "weight")         # orphans physical 'w'
+    # a post-drop append: its file never had 'w' — must NOT rewrite
+    commit_append(
+        spark, t, spark.range(5, 8).selectExpr("id", "id * 2 AS v").coalesce(1),
+        stats_cols=["id"],
+    )
+    m_before = _read_manifest(spark, t, 4)
+    clean = [f for f in m_before["files"] if "v00004" in f]
+    assert len(clean) == 1
+
+    v = reorg_snapshot(spark, t)
+    m = _read_manifest(spark, t, v)
+    assert m["op"] == "reorg" and m["data_change"] is False
+    assert m["files_rewritten"] == 1
+    assert clean[0] in m["files"]  # post-drop file carried verbatim
+    # the rewritten file's footer no longer holds the orphaned column
+    for f in m["files"]:
+        assert "w" not in pq.read_schema(f).names
+    rows = {r.id: r.v for r in read_snapshot(spark, t).collect()}
+    assert rows == {i: i * 2 for i in range(8)}
+    # nothing left to purge: idempotent no-op
+    assert reorg_snapshot(spark, t) is None
+    # zero delta for incremental consumers across the reorg
+    assert snapshot_changes(spark, t, 4, v).count() == 0
+
+    # DV flavor: hide two rows merge-on-read, then purge materializes
+    delete_snapshot(spark, t, "id IN (1, 6)", mode="dv")
+    m_dv = _read_manifest(spark, t, v + 1)
+    assert m_dv.get("dv_files")
+    v2 = reorg_snapshot(spark, t)
+    m2 = _read_manifest(spark, t, v2)
+    assert not m2.get("dv_files")  # every DV materialized
+    assert {r.id for r in read_snapshot(spark, t).collect()} == {0, 2, 3, 4, 5, 7}
