@@ -1867,7 +1867,257 @@ FROM calc
 """
 
 
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) ANN — the FAISS IVFPQ residual-free variant
+# ---------------------------------------------------------------------------
+
+PQ_M = 8  # subspaces
+PQ_SUB = KM_DIM // PQ_M  # dims per subspace
+PQ_K = 16  # centroids per subspace (one md5-hex bucket each)
+PQ_ITERS = 2  # unrolled Lloyd iterations per subspace
+
+
+def _pq_subrows(embq: DataFrame) -> DataFrame:
+    """(vec_id, m, sq): the corpus exploded into per-subspace integer
+    subvectors — training's working set (same bytes as the corpus, 8×
+    the rows at 1/8 the width)."""
+    m = F.explode(F.sequence(F.lit(0), F.lit(PQ_M - 1))).alias("m")
+    sub = F.transform(
+        F.sequence(F.lit(1), F.lit(PQ_SUB)),
+        lambda i: F.element_at(F.col("q"), (F.col("m") * PQ_SUB + i).cast("int")),
+    )
+    return embq.select("vec_id", "q", m).withColumn("sq", sub).drop("q")
+
+
+def _pq_fit(spark: SparkSession, sf: str) -> DataFrame:
+    """Train all PQ_M codebooks in ONE grouped Lloyd's loop: assignment is
+    a per-(vec,subspace) argmin against that subspace's 16 centroids
+    (128-row broadcast), update is a (m, cluster)-keyed integer-sum
+    partial agg — the same machinery as `_km_fit`, keyed by subspace.
+    Returns the trained codebook (m, cluster, c[PQ_SUB] doubles)."""
+    embq = _km_quantized(spark, sf)
+    sub_rows = _pq_subrows(embq)
+    hex1 = F.substring(F.md5(F.col("vec_id").cast("string").cast("binary")), 1, 1)
+    bucket = F.conv(hex1, 16, 10).cast("int") % PQ_K
+    seeds = (
+        embq.select(bucket.cast("int").alias("cluster"), "vec_id")
+        .groupBy("cluster")
+        .agg(F.min("vec_id").alias("vec_id"))
+    )
+    cents = sub_rows.join(F.broadcast(seeds), "vec_id").select(
+        "m", "cluster", F.transform("sq", lambda x: x.cast("double")).alias("c")
+    )
+    for _ in range(PQ_ITERS - 1):
+        assigned = _pq_assign(sub_rows, cents)
+        cents = _pq_update(assigned)
+    return cents
+
+
+def _pq_cents_by_m(cents: DataFrame):
+    """Collapse the codebook to ONE broadcastable row: cents[m+1] = the
+    m-th subspace's 16 (cluster, c) structs, cluster-sorted."""
+    return (
+        cents.groupBy("m")
+        .agg(F.array_sort(F.collect_list(F.struct("cluster", "c"))).alias("cm"))
+        .agg(F.array_sort(F.collect_list(F.struct("m", "cm"))).alias("byms"))
+        .select(F.transform("byms", lambda s: s["cm"]).alias("cents"))
+    )
+
+
+def _pq_assign(sub_rows: DataFrame, cents: DataFrame) -> DataFrame:
+    """Per-(vec, subspace) argmin — map-side against the broadcast
+    codebook row; ties break toward the smaller cluster id."""
+    carr = _pq_cents_by_m(cents)
+    my_cents = F.element_at(F.col("cents"), (F.col("m") + 1).cast("int"))
+    dist_structs = F.transform(
+        my_cents,
+        lambda s: F.struct(
+            F.aggregate(
+                F.zip_with(
+                    F.col("sq"), s["c"],
+                    lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ).alias("dist"),
+            s["cluster"].alias("cluster"),
+        ),
+    )
+    best = F.array_min(dist_structs)
+    return sub_rows.crossJoin(F.broadcast(carr)).select(
+        "vec_id", "m", "sq", best["cluster"].alias("cluster")
+    )
+
+
+def _pq_update(assigned: DataFrame) -> DataFrame:
+    """Codebook update: PQ_SUB integer sums + count per (m, cluster) —
+    partial-aggregable to PQ_M*PQ_K rows; one exact division per dim."""
+    sums_sql = (
+        "struct(count(1) as n, "
+        + ", ".join(f"sum(element_at(sq, {i + 1})) as s{i}" for i in range(PQ_SUB))
+        + ") as acc"
+    )
+    arr_sql = (
+        "array("
+        + ", ".join(f"cast(acc.s{i} as double) / acc.n" for i in range(PQ_SUB))
+        + ") as c"
+    )
+    return (
+        assigned.groupBy("m", "cluster")
+        .agg(F.expr(sums_sql))
+        .selectExpr("m", "cluster", arr_sql)
+    )
+
+
+def q_ann_pq_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Product-quantized ANN — the FAISS PQ design that makes billion-
+    vector search fit in RAM: the 64-dim space splits into PQ_M=8
+    subspaces, each with its own 16-centroid codebook (trained by the
+    same grouped Lloyd's as `embedding_kmeans`), so a vector compresses
+    to 8 NIBBLES (4 bytes, 16× vs float32; SQ8 manages only 4×) and
+    search scores codes against the full-precision query (ADC).
+
+    Scale shape: training pays the per-subspace partial aggs; encoding
+    and scoring are ZERO-shuffle — each corpus row assigns its 8 codes,
+    reconstructs from the broadcast 128-row codebook, and folds cosine
+    terms in fixed subspace order ENTIRELY in-row (deterministic double
+    fold, engine-identical), finishing in TakeOrdered. Corpus vectors
+    never shuffle; only (m, cluster)-keyed training aggregates do.
+
+    Output: top-10 (vec_id, cos_sim) for the vec_id=0 query, cosine of
+    the PQ-reconstructed vector vs the exact query, rounded to 4dp."""
+    embq = _km_quantized(spark, sf)
+    cents = _pq_fit(spark, sf)
+    carr = _pq_cents_by_m(cents)
+    q0 = embq.filter(F.col("vec_id") == 0).select(F.col("q").alias("qq"))
+    scored = (
+        embq.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(carr))
+        .crossJoin(F.broadcast(q0))
+    )
+
+    def _subvec(arr, m):
+        return F.transform(
+            F.sequence(F.lit(1), F.lit(PQ_SUB)),
+            lambda i: F.element_at(arr, (m * PQ_SUB + i).cast("int")),
+        )
+
+    def _fold(arr):
+        return F.aggregate(arr, F.lit(0.0), lambda acc, v: acc + v)
+
+    def _per_m(m):
+        sv = _subvec(F.col("q"), m)
+        qv = _subvec(F.col("qq"), m)
+        my_cents = F.element_at(F.col("cents"), (m + 1).cast("int"))
+        best = F.array_min(
+            F.transform(
+                my_cents,
+                lambda s: F.struct(
+                    _fold(
+                        F.zip_with(
+                            sv, s["c"],
+                            lambda a, b: (a.cast("double") - b)
+                            * (a.cast("double") - b),
+                        )
+                    ).alias("dist"),
+                    s["cluster"].alias("cluster"),
+                    s["c"].alias("c"),
+                ),
+            )
+        )
+        c = best["c"]
+        return F.struct(
+            _fold(F.zip_with(c, qv, lambda a, b: a * b.cast("double"))).alias("dot"),
+            _fold(F.transform(c, lambda x: x * x)).alias("sq"),
+        )
+
+    per_m = F.transform(F.sequence(F.lit(0), F.lit(PQ_M - 1)), _per_m)
+    dots = _fold(F.transform(per_m, lambda s: s["dot"]))
+    sqs = _fold(F.transform(per_m, lambda s: s["sq"]))
+    qnorm = F.sqrt(
+        F.aggregate(
+            F.transform(F.col("qq"), lambda x: x * x), F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        ).cast("double")
+    )
+    cos = dots / (F.sqrt(sqs) * qnorm)
+    return (
+        scored.select("vec_id", F.round(cos, 4).alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), "vec_id")
+        .limit(10)
+    )
+
+
+def _pq_sql_oracle() -> str:
+    """Unrolled grouped-Lloyd PQ chain mirroring the Spark plan op-for-op
+    (same quantization, seeding, tie-breaks, fold orders). Re-referenced
+    stages are MATERIALIZED (the r7 CTE-inlining lesson)."""
+    sub_expr = f"list_transform(range(1, {PQ_SUB} + 1), i -> q[m * {PQ_SUB} + i])"
+    dist = (
+        f"list_sum(list_transform(range(1, {PQ_SUB} + 1),"
+        " i -> (b.sq[i]::DOUBLE - c.c[i]) * (b.sq[i]::DOUBLE - c.c[i])))"
+    )
+    upd_list = ", ".join(
+        f"sum(sq[{i + 1}])::DOUBLE / count(*)" for i in range(PQ_SUB)
+    )
+    assign = (
+        "SELECT vec_id, m, sq, cluster FROM ("
+        f" SELECT b.vec_id, b.m, b.sq, c.cluster, {dist} AS dist,"
+        f"        row_number() OVER (PARTITION BY b.vec_id, b.m ORDER BY {dist}, c.cluster) AS rn"
+        " FROM sub b JOIN {cents} c ON b.m = c.m) WHERE rn = 1"
+    )
+    parts = [
+        "WITH emb AS MATERIALIZED (SELECT vec_id,"
+        f" list_transform(embedding, x -> floor(x::DOUBLE * {KM_SCALE})::BIGINT) AS q"
+        " FROM embeddings)",
+        f"sub AS MATERIALIZED (SELECT vec_id, m, {sub_expr} AS sq"
+        f" FROM emb, range(0, {PQ_M}) t(m))",
+        "seeds AS (SELECT ((strpos('" + _HEX + "', substr(md5(vec_id::VARCHAR), 1, 1)) - 1)"
+        f" % {PQ_K})::INT AS cluster, min(vec_id) AS vec_id"
+        " FROM emb GROUP BY 1)",
+        "c0 AS MATERIALIZED (SELECT b.m, s.cluster,"
+        " list_transform(b.sq, x -> x::DOUBLE) AS c"
+        " FROM seeds s JOIN sub b USING (vec_id))",
+    ]
+    prev_c = "c0"
+    for it in range(1, PQ_ITERS):
+        parts.append(f"a{it} AS MATERIALIZED ({assign.format(cents=prev_c)})")
+        parts.append(
+            f"c{it} AS MATERIALIZED (SELECT m, cluster, [{upd_list}] AS c"
+            f" FROM a{it} GROUP BY m, cluster)"
+        )
+        prev_c = f"c{it}"
+    parts.append(f"af AS MATERIALIZED ({assign.format(cents=prev_c)})")
+    parts += [
+        "q0 AS (SELECT q FROM emb WHERE vec_id = 0)",
+        f"qsub AS (SELECT m, list_transform(range(1, {PQ_SUB} + 1),"
+        f" i -> q[m * {PQ_SUB} + i]::DOUBLE) AS qs FROM q0, range(0, {PQ_M}) t(m))",
+        "qn AS (SELECT sqrt(list_sum(list_transform(q, x -> x * x))::DOUBLE) AS qnorm FROM q0)",
+        "parts AS (SELECT a.vec_id, a.m,"
+        f" list_sum(list_transform(range(1, {PQ_SUB} + 1), i -> c.c[i] * s.qs[i])) AS dot_m,"
+        f" list_sum(list_transform(range(1, {PQ_SUB} + 1), i -> c.c[i] * c.c[i])) AS sq_m"
+        f" FROM af a JOIN {prev_c} c ON a.m = c.m AND a.cluster = c.cluster"
+        " JOIN qsub s ON s.m = a.m WHERE a.vec_id != 0)",
+        "agg AS (SELECT vec_id, list_sum(list(dot_m ORDER BY m)) AS dots,"
+        " list_sum(list(sq_m ORDER BY m)) AS sqs FROM parts GROUP BY vec_id)",
+    ]
+    return (
+        ",\n".join(parts)
+        + "\nSELECT vec_id, round(dots / (sqrt(sqs) * qnorm), 4) AS cos_sim"
+        " FROM agg, qn ORDER BY cos_sim DESC, vec_id LIMIT 10"
+    )
+
+
+ORACLE_ANN_PQ_TOPK = _pq_sql_oracle()
+
+
 QUERIES: dict[str, Query] = {
+    "ann_pq_topk": Query(
+        q_ann_pq_topk,
+        ORACLE_ANN_PQ_TOPK,
+        ("ml", "similarity", "quantization"),
+        True,
+    ),
     "embedding_kmeans": Query(
         q_embedding_kmeans,
         ORACLE_EMBEDDING_KMEANS,

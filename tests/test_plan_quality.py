@@ -567,3 +567,18 @@ def test_zipf_slope_windows_vocab_by_lang(spark, sf_correctness):
     plan = explain_str(QUERIES["doc_zipf_slope"].fn(spark, sf_correctness))
     assert "SinglePartition" not in plan, plan
     assert "partial_count" in plan, plan
+
+
+def test_ann_pq_vectors_shuffle_only_for_training_aggs(spark, sf_correctness):
+    """PQ contract: encoding + ADC scoring are in-row against the
+    broadcast codebook (TakeOrdered finish); the only hash exchanges
+    allowed are the training aggregates — seed buckets and (m, cluster)
+    codebook updates. A vec_id/embedding-keyed exchange means corpus
+    vectors started shuffling."""
+    import re
+
+    plan = explain_str(QUERIES["ann_pq_topk"].fn(spark, sf_correctness), "simple")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan, plan
+    hash_keys = re.findall(r"Exchange hashpartitioning\((\w+)#", plan)
+    assert set(hash_keys) <= {"m", "cluster"}, f"vector-scale exchanges: {hash_keys}"

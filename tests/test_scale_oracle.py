@@ -64,6 +64,10 @@ HEAVY = [
     "doc_unigram_logprob",
     "doc_zipf_slope",
     "ann_sq_topk",
+    # PQ: codebook cells (which centroids survive seeding, where Lloyd
+    # moves them) repopulate with corpus size — sf0.01 greenness alone
+    # proves little about the trained-codebook float path
+    "ann_pq_topk",
 ]
 
 
