@@ -332,7 +332,9 @@ def main() -> None:
             "queries{}; r8 ADDED the snapshot_bloom phase "
             "(snapshot_bloom_lookup vs snapshot_full_lookup: the same "
             "point lookups with and without the bloom index — their "
-            "RATIO is the feature's measured value); compare "
+            "RATIO is the feature's measured value; 34->37 queries{} "
+            "entries) plus THREE benched queries (doc_unigram_logprob, "
+            "ann_sq_topk, ann_pq_topk), 37->40; compare "
             "value_full across rounds on the shared subset. "
             "etl_pipeline is reported separately in queries. "
             "Events NTZ-cast cost (~0.1 s/query at sf0.1, required "

@@ -1,0 +1,137 @@
+"""SQL front-end tests: every statement shape routes to the native verb
+and mis-parses fail loudly (a silently no-op DML is a data-loss bug)."""
+
+from __future__ import annotations
+
+import pytest
+
+from customer_activity_lakehouse_spark.sources.snapshots import (
+    _read_manifest,
+    commit_append,
+    read_snapshot,
+)
+from customer_activity_lakehouse_spark.sources.sql import run_table_sql
+
+
+def _seed(spark, tmp_path, n=10):
+    t = str(tmp_path / "tbl")
+    commit_append(
+        spark, t, spark.range(0, n).selectExpr("id", "id * 2 AS v").coalesce(1),
+        stats_cols=["id"],
+    )
+    return t
+
+
+def test_select_with_time_travel_and_joins(spark, tmp_path):
+    t = _seed(spark, tmp_path)
+    run_table_sql(spark, f"INSERT INTO snapshot.`{t}` SELECT id, id AS v FROM range(100, 103)")
+    df = run_table_sql(spark, f"SELECT count(*) AS n FROM snapshot.`{t}`")
+    assert df.collect()[0]["n"] == 13
+    old = run_table_sql(
+        spark, f"SELECT count(*) AS n FROM snapshot.`{t}` VERSION AS OF 1"
+    )
+    assert old.collect()[0]["n"] == 10
+    # self-join of two travel points through plain Spark SQL
+    both = run_table_sql(
+        spark,
+        f"SELECT a.id FROM snapshot.`{t}` a JOIN snapshot.`{t}` VERSION AS OF 1 b "
+        "ON a.id = b.id",
+    )
+    assert both.count() == 10
+
+
+def test_insert_overwrite_delete_update(spark, tmp_path):
+    t = _seed(spark, tmp_path)
+    v = run_table_sql(spark, f"DELETE FROM snapshot.`{t}` WHERE id >= 8")
+    assert v == 2 and read_snapshot(spark, t).count() == 8
+    run_table_sql(spark, f"UPDATE snapshot.`{t}` SET v = v + 1000 WHERE id < 2")
+    got = {r.id: r.v for r in read_snapshot(spark, t).collect()}
+    assert got[0] == 1000 and got[1] == 1002 and got[5] == 10
+    run_table_sql(
+        spark, f"INSERT OVERWRITE snapshot.`{t}` SELECT id, id AS v FROM range(3)"
+    )
+    assert read_snapshot(spark, t).count() == 3
+    with pytest.raises(ValueError, match="WHERE is required"):
+        run_table_sql(spark, f"DELETE FROM snapshot.`{t}`")
+
+
+def test_merge_clauses_via_sql(spark, tmp_path):
+    t = _seed(spark, tmp_path)
+    spark.createDataFrame(
+        [(3, -3), (20, 40)], "id long, v long"
+    ).createOrReplaceTempView("src")
+    v = run_table_sql(
+        spark,
+        f"MERGE INTO snapshot.`{t}` AS t USING src AS s ON t.id = s.id "
+        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *",
+    )
+    got = {r.id: r.v for r in read_snapshot(spark, t).collect()}
+    assert got[3] == -3 and got[20] == 40 and len(got) == 11
+    m = _read_manifest(spark, t, v)
+    assert m["op"] == "merge"
+    # delete-only merge: matched rows satisfying the condition vanish,
+    # unmatched source rows must NOT insert
+    spark.createDataFrame(
+        [(4, 0), (500, 0)], "id long, v long"
+    ).createOrReplaceTempView("tomb")
+    run_table_sql(
+        spark,
+        f"MERGE INTO snapshot.`{t}` t USING tomb s ON t.id = s.id "
+        "WHEN MATCHED THEN DELETE",
+    )
+    got = {r.id for r in read_snapshot(spark, t).collect()}
+    assert 4 not in got and 500 not in got and len(got) == 10
+    with pytest.raises(ValueError, match="key equalities"):
+        run_table_sql(
+            spark,
+            f"MERGE INTO snapshot.`{t}` t USING src s ON t.id < s.id "
+            "WHEN MATCHED THEN DELETE",
+        )
+
+
+def test_optimize_reorg_vacuum_restore_describe(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    for lo in (0, 10, 20):
+        commit_append(
+            spark, t,
+            spark.range(lo, lo + 10).selectExpr("id", "id * 2 AS v").coalesce(1),
+            stats_cols=["id"],
+        )
+    v = run_table_sql(spark, f"OPTIMIZE snapshot.`{t}`")
+    assert v == 4 and read_snapshot(spark, t).count() == 30
+    hist = run_table_sql(spark, f"DESCRIBE HISTORY snapshot.`{t}`")
+    assert hist.filter("op = 'replace'").count() == 1
+    run_table_sql(spark, f"RESTORE snapshot.`{t}` TO VERSION AS OF 2")
+    assert read_snapshot(spark, t).count() == 20
+    n = run_table_sql(spark, f"VACUUM snapshot.`{t}`")
+    assert isinstance(n, int)
+    assert run_table_sql(spark, f"REORG TABLE snapshot.`{t}` APPLY (PURGE)") is None
+
+
+def test_alter_and_constraints_via_sql(spark, tmp_path):
+    t = _seed(spark, tmp_path)
+    run_table_sql(spark, f"ALTER TABLE snapshot.`{t}` RENAME COLUMN v TO val")
+    assert read_snapshot(spark, t).columns == ["id", "val"]
+    run_table_sql(
+        spark, f"ALTER TABLE snapshot.`{t}` ADD CONSTRAINT pos CHECK (val >= 0)"
+    )
+    with pytest.raises(ValueError, match="pos"):
+        run_table_sql(
+            spark,
+            f"INSERT INTO snapshot.`{t}` SELECT id, CAST(-1 AS BIGINT) AS val FROM range(1)",
+        )
+    run_table_sql(spark, f"ALTER TABLE snapshot.`{t}` DROP CONSTRAINT pos")
+    run_table_sql(spark, f"ALTER TABLE snapshot.`{t}` DROP COLUMN val")
+    assert read_snapshot(spark, t).columns == ["id"]
+
+
+def test_unsupported_statements_fail_loudly(spark, tmp_path):
+    t = _seed(spark, tmp_path)
+    for bad in (
+        "TRUNCATE TABLE snapshot.`/x`",
+        f"OPTIMIZE snapshot.`{t}` FULL NONSENSE",
+        "SELECT 1",  # no snapshot ref
+        f"MERGE INTO snapshot.`{t}` t USING src s ON t.id = s.id WHEN MATCHED THEN UPDATE SET v = 1",
+    ):
+        with pytest.raises(ValueError):
+            run_table_sql(spark, bad)
