@@ -238,9 +238,15 @@ def test_mixed_primitive_commit_race(spark, tmp_path):
     prev = S._read_manifest(spark, t, 1)
     wins: dict[int, list[str]] = {v: [] for v in range(2, 12)}
     lock = threading.Lock()
+    # Per-slot barrier: without it a single fast thread stays one slot
+    # ahead of the pack and sweeps every version uncontended (observed as
+    # a one-engine-sweep flake); with it all 16 threads hit each slot's
+    # arbiter simultaneously — the race the test exists to exercise.
+    barrier = threading.Barrier(16, timeout=60)
 
     def contend(tag: str, use_jvm: bool):
         for v in range(2, 12):
+            barrier.wait()
             m = {"version": v, "op": "append", "files": prev["files"], "writer": tag}
             won = (
                 S._try_commit(spark, t, v, dict(m), prev=prev)
@@ -265,8 +271,10 @@ def test_mixed_primitive_commit_race(spark, tmp_path):
             (Path(t) / "_snapshots" / commitlog.commit_name(v)).read_text()
         )
         assert raw["writer"] == wins[v][0]  # winner's bytes, uncorrupted
-    # both engines won at least once across the 10 slots (probabilistic
-    # but 16 threads x 10 slots makes a one-sided sweep ~impossible; if it
-    # flakes, the assertion below is the one to loosen)
-    winners = {w for ws in wins.values() for w in ws}
-    assert len(winners) >= 2, winners
+    # Both PARITY CLASSES (JVM-path threads = even tags, DataSource-path
+    # = odd) won at least once across the 10 barrier-synchronized slots.
+    # Probabilistic, but with the barrier each slot's winner is an
+    # effectively uniform draw over 16 threads (8 per class):
+    # P(one class sweeps) ≈ 2·(1/2)^10 ≈ 0.2%.
+    classes = {int(w[1:]) % 2 for ws in wins.values() for w in ws}
+    assert classes == {0, 1}, wins
