@@ -2111,7 +2111,190 @@ def _pq_sql_oracle() -> str:
 ORACLE_ANN_PQ_TOPK = _pq_sql_oracle()
 
 
+# -------------------------------------------------- sketch family: set ops
+
+# Fixed-threshold theta sketch: keep a user iff the top 60 bits of
+# md5(user_id) fall below θ·2^60. θ = 1/4 here (2^58) — at 100 TB you'd
+# push θ down to ~2^-20 so per-group state stays KB-sized.
+THETA_KEEP = 1 << 58
+THETA_SCALE = 4  # 1/θ — integer, so estimates are exact longs cross-engine
+
+
+def _h60(col):
+    """Top 60 bits of md5(col) as a NON-NEGATIVE long — the uniform hash
+    both engines compute bit-identically (Spark conv(hex,16,10) ==
+    DuckDB ('0x'||hex)::UBIGINT; 60 bits < 2^63 so signedness never
+    bites). The SAME md5-over-utf8 doctrine as _md5 bucketing."""
+    return F.conv(
+        F.substring(F.md5(col.cast("string").cast("binary")), 1, 15), 16, 10
+    ).cast("long")
+
+
+def q_events_theta_overlap(spark: SparkSession, sf: str) -> DataFrame:
+    """Sketch family — SET OPERATIONS on distinct-user audiences, the gap
+    HLL can't fill: HLL unions but cannot intersect, while theta sketches
+    (Dahlgaard et al.; Apache DataSketches' workhorse) estimate |A∩B| and
+    |A∪B| per event-type pair from a tiny uniform hash sample. This is the
+    FIXED-threshold variant: keep users whose 60-bit md5 hash < θ·2^60
+    (θ=1/4), estimate every cardinality as sample_count·(1/θ). Unlike the
+    adaptive KMV k-th-smallest form, the fixed threshold is embarrassingly
+    partial-aggregable (a filter!), mergeable by union, and — because the
+    hash is engine-portable md5 — fully DETERMINISTIC, so unlike the HLL /
+    GK entries (`events_distinct_users_sketch`) this sketch is
+    oracle-checked to the last bit, not just bounds-tested.
+
+    Scale shape: the θ-filter prunes the event stream BEFORE any shuffle
+    (at θ=2^-20, a trillion users → ~a million sampled); per-user type
+    sets partial-aggregate; pairs fan out ≤ C(|types|,2) per sampled user
+    via the same HOF expansion as `events_audience_overlap` (never a
+    self-join); estimate math is integer multiplication. Accuracy vs the
+    exact overlap query is pinned in tests/test_sketches.py."""
+    ev = table(spark, sf, "events").filter(F.col("user_id").isNotNull())
+    sampled = (
+        ev.select("user_id", "event_type")
+        .filter(_h60(F.col("user_id")) < THETA_KEEP)
+        .distinct()
+    )
+    per_user = sampled.groupBy("user_id").agg(
+        F.array_sort(F.collect_set("event_type")).alias("types")
+    )
+    pairs = per_user.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(types, (x, i) ->"
+                " transform(slice(types, i + 2, size(types)),"
+                " y -> struct(x AS a, y AS b))))"
+            )
+        ).alias("p")
+    )
+    n_both = pairs.groupBy(
+        F.col("p.a").alias("type_a"), F.col("p.b").alias("type_b")
+    ).agg((F.count(F.lit(1)) * THETA_SCALE).cast("long").alias("est_both"))
+    # audiences derive from per_user (not the sampled relation) so all
+    # three branches share ONE θ-filtered scan+exchange subtree — Spark
+    # reuses the exchange instead of rescanning events per branch
+    audience = (
+        per_user.select(F.explode("types").alias("event_type"))
+        .groupBy("event_type")
+        .agg((F.count(F.lit(1)) * THETA_SCALE).cast("long").alias("est"))
+    )
+    ua = audience.select(F.col("event_type").alias("type_a"), F.col("est").alias("est_a"))
+    ub = audience.select(F.col("event_type").alias("type_b"), F.col("est").alias("est_b"))
+    return (
+        n_both.join(F.broadcast(ua), "type_a")
+        .join(F.broadcast(ub), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "est_a",
+            "est_b",
+            "est_both",
+            (F.col("est_a") + F.col("est_b") - F.col("est_both")).alias("est_union"),
+            F.round(
+                F.col("est_both")
+                / (F.col("est_a") + F.col("est_b") - F.col("est_both")),
+                6,
+            ).alias("est_jaccard"),
+        )
+    )
+
+
+ORACLE_EVENTS_THETA_OVERLAP = f"""
+WITH s AS (
+  SELECT DISTINCT user_id, event_type FROM events
+  WHERE user_id IS NOT NULL
+    AND ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::UBIGINT < {THETA_KEEP}
+),
+u AS (SELECT event_type, (count(*) * {THETA_SCALE})::BIGINT AS est
+      FROM s GROUP BY event_type),
+b AS (
+  SELECT x.event_type AS type_a, y.event_type AS type_b,
+         (count(*) * {THETA_SCALE})::BIGINT AS est_both
+  FROM s x JOIN s y ON x.user_id = y.user_id AND x.event_type < y.event_type
+  GROUP BY type_a, type_b
+)
+SELECT type_a, type_b, ua.est AS est_a, ub.est AS est_b, est_both,
+       (ua.est + ub.est - est_both)::BIGINT AS est_union,
+       round(est_both / (ua.est + ub.est - est_both), 6) AS est_jaccard
+FROM b
+JOIN u ua ON ua.event_type = type_a
+JOIN u ub ON ub.event_type = type_b
+"""
+
+
+# ------------------------------------------- sketch family: heavy hitters
+
+MG_CAPACITY = 4096  # per-partition Misra-Gries summary size
+HEAVY_HITTER_TOP_K = 15
+
+
+def q_doc_token_heavy_hitters(spark: SparkSession, sf: str) -> DataFrame:
+    """Sketch family — FREQUENT ITEMS: top-K corpus tokens by the
+    two-pass Misra-Gries pattern (Misra & Gries 1982; 'space-saving' in
+    Metwally et al.). Pass 1 runs an MG(capacity) summary PER PARTITION
+    inside mapInPandas — bounded state, no shuffle — whose union is
+    guaranteed to contain every token with global count > N/capacity
+    (pigeonhole over the per-partition bounds). Pass 2 rescans the corpus
+    counting ONLY the candidate set (broadcast semi-join) and takes the
+    exact top-K. The output is therefore EXACT — partitioning affects
+    which extra low-count candidates get recounted, never the result —
+    so the entry is fully oracle-checked; the MG retention guarantee and
+    the decrement path (never triggered by this corpus' small vocab) are
+    exercised on synthetic Zipf data in tests/test_sketches.py.
+
+    Why this is THE 100 TB frequent-items plan: a naive token groupBy
+    shuffles |vocab| keys (billions of n-grams at web scale); here the
+    full-vocab shuffle never happens — pass 1 is shuffle-free, pass 2
+    shuffles at most |candidates|·|partitions| partial rows. Zipf-headed
+    natural text puts every plausible top-K token far above N/4096."""
+    import pandas as pd  # noqa: F401 — mapInPandas contract
+
+    docs = table(spark, sf, "documents")
+    tok = docs.select(F.explode(_ml_tokens(F.lower(F.col("text")))).alias("token"))
+
+    def _mg(batches):
+        import pandas as pd
+
+        counts: dict[str, int] = {}
+        for pdf in batches:
+            for t, c in pdf["token"].value_counts().items():
+                counts[t] = counts.get(t, 0) + int(c)
+            if len(counts) > MG_CAPACITY:
+                # batched MG decrement: subtract the (capacity+1)-th
+                # largest count from everyone, drop the non-positive —
+                # equivalent to that many unit decrement rounds at once
+                cut = sorted(counts.values(), reverse=True)[MG_CAPACITY]
+                counts = {k: v - cut for k, v in counts.items() if v > cut}
+        yield pd.DataFrame({"token": list(counts)})
+
+    candidates = tok.mapInPandas(_mg, "token string").distinct()
+    exact = (
+        tok.join(F.broadcast(candidates), "token", "leftsemi")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+    )
+    return exact.orderBy(F.desc("n_occurrences"), "token").limit(HEAVY_HITTER_TOP_K)
+
+
+ORACLE_DOC_TOKEN_HEAVY_HITTERS = f"""
+WITH tok AS (SELECT unnest({_SQL_ML_TOKENS}) AS token FROM documents)
+SELECT token, count(*)::BIGINT AS n_occurrences
+FROM tok GROUP BY token
+ORDER BY n_occurrences DESC, token LIMIT {HEAVY_HITTER_TOP_K}
+"""
+
+
 QUERIES: dict[str, Query] = {
+    "events_theta_overlap": Query(
+        q_events_theta_overlap,
+        ORACLE_EVENTS_THETA_OVERLAP,
+        ("events", "sketch", "setops"),
+    ),
+    "doc_token_heavy_hitters": Query(
+        q_doc_token_heavy_hitters,
+        ORACLE_DOC_TOKEN_HEAVY_HITTERS,
+        ("text", "sketch", "arrow"),
+    ),
     "ann_pq_topk": Query(
         q_ann_pq_topk,
         ORACLE_ANN_PQ_TOPK,

@@ -582,3 +582,43 @@ def test_ann_pq_vectors_shuffle_only_for_training_aggs(spark, sf_correctness):
     assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan, plan
     hash_keys = re.findall(r"Exchange hashpartitioning\((\w+)#", plan)
     assert set(hash_keys) <= {"m", "cluster"}, f"vector-scale exchanges: {hash_keys}"
+
+
+def test_theta_overlap_samples_before_shuffle_and_reuses_scan(spark, sf_correctness):
+    """The theta sketch's scale contract: the θ-filter runs map-side UNDER
+    the first exchange (only the hash sample ever shuffles), pair fan-out
+    is the HOF expansion (no event self-join), audiences ride broadcasts,
+    and at runtime AQE's exchange reuse collapses the three logical
+    branches onto ONE θ-filtered events scan."""
+    df = QUERIES["events_theta_overlap"].fn(spark, sf_correctness)
+    static_plan = explain_str(df, "simple")
+    assert "SortMergeJoin" not in static_plan, static_plan
+    assert "CartesianProduct" not in static_plan, static_plan
+    assert "BroadcastHashJoin" in static_plan, static_plan
+    # θ-filter (conv(substring(md5(...)))) runs map-side — the sample is
+    # taken before any shuffle
+    assert "conv(substring(md5(" in static_plan, static_plan
+    df.collect()
+    final_plan = explain_str(df, "simple")
+    assert "isFinalPlan=true" in final_plan
+    assert final_plan.count("ReusedExchange") >= 2, (
+        f"audience branches must reuse the sampled exchange:\n{final_plan}"
+    )
+
+
+def test_heavy_hitters_candidates_broadcast_no_vocab_shuffle(spark, sf_correctness):
+    """Two-pass MG's scale contract: pass 1 (MapInPandas) runs with NO
+    exchange below it — per-partition summaries only; the candidate set
+    reaches pass 2 as a BROADCAST left-semi (the full-vocab token shuffle
+    never happens); the final rollup is a map-side-combined partial
+    aggregate into TakeOrdered, not a global sort."""
+    plan = explain_str(QUERIES["doc_token_heavy_hitters"].fn(spark, sf_correctness), "simple")
+    assert "MapInPandas" in plan, plan
+    # nothing below MapInPandas but the generate+scan: no exchange feeds it
+    below = plan.split("MapInPandas", 1)[1]
+    assert "Exchange" not in below.split("Scan parquet", 1)[0], plan
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "partial_count" in explain_str(
+        QUERIES["doc_token_heavy_hitters"].fn(spark, sf_correctness)
+    ), "second pass must map-side combine"
