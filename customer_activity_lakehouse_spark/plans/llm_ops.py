@@ -3302,7 +3302,209 @@ FROM sq SEMI JOIN bf USING (vec_id)
 """
 
 
+BIGRAM_SURPRISAL_TOP_K = 20
+
+
+def q_doc_bigram_logprob(spark: SparkSession, sf: str) -> DataFrame:
+    """Bigram-LM quality scoring — the n=2 step up from
+    `doc_unigram_logprob`: train bigram conditionals on the corpus itself
+    (p(w2|w1) = c(w1,w2) / c(w1,·), both counts over the bigram stream, so
+    every scored bigram has c ≥ 1 and no smoothing mass is needed) and
+    score each document by mean bigram surprisal,
+    ``bits_per_bigram = -mean(log2 p(w2|w1))``. The unigram score flags
+    rare-TOKEN soup; this flags improbable SEQUENCES of common tokens —
+    shuffled/templated text that unigram statistics cannot see. Top-K most
+    surprising docs = the sequence-level review queue.
+
+    Determinism doctrine: per-bigram surprisal is quantized to integer
+    micro-bits (round(-log2(c12/c1)·1e6) as BIGINT) before the per-doc
+    sum — exact-integer distributed sums, parallelism-independent (the
+    `doc_unigram_logprob` trick).
+
+    Scale: bigrams come from an array HOF over each doc's token array (no
+    self-join, no window); the model is two partial-agg rollups of the
+    bigram stream (|bigram vocab| and |unigram vocab| rows); scoring joins
+    the stream to the model (Zipf-headed key — AQE skew handling; the
+    conditional frame is usually broadcastable) and per-doc sums are
+    map-side-combined partial aggs into a TakeOrdered top-K — no global
+    sort. Docs with < 2 tokens have no bigrams and drop out, exactly as in
+    the oracle."""
+    docs = table(spark, sf, "documents")
+    # project the token array to an ATTRIBUTE first: HOF lambdas re-evaluate
+    # non-attribute inputs per element (the known split()-in-transform trap)
+    tokd = docs.select("doc_id", "source", _tokens(F.col("text")).alias("toks"))
+    big = tokd.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.expr(
+                "transform(slice(toks, 1, greatest(size(toks) - 1, 0)),"
+                " (x, i) -> struct(x AS w1, toks[i + 1] AS w2))"
+            )
+        ).alias("bg"),
+    ).select("doc_id", "source", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    c12 = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n12"))
+    c1 = big.groupBy("w1").agg(F.count(F.lit(1)).alias("n1"))
+    model = c12.join(c1, "w1").select(
+        "w1",
+        "w2",
+        F.round(-F.log2(F.col("n12").cast("double") / F.col("n1")) * 1e6)
+        .cast("long")
+        .alias("microbits"),
+    )
+    per_doc = (
+        big.join(model, ["w1", "w2"])
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("microbits").alias("sum_mb"),
+        )
+    )
+    return (
+        per_doc.select(
+            "doc_id",
+            "source",
+            "n_bigrams",
+            F.round(
+                F.col("sum_mb").cast("double") / F.col("n_bigrams") / 1e6, 4
+            ).alias("bits_per_bigram"),
+        )
+        .orderBy(F.col("bits_per_bigram").desc(), "doc_id")
+        .limit(BIGRAM_SURPRISAL_TOP_K)
+    )
+
+
+ORACLE_DOC_BIGRAM_LOGPROB = f"""
+WITH tok AS (SELECT doc_id, source, {_SQL_TOKENS} AS toks FROM documents),
+big AS (
+  SELECT doc_id, source, toks[pos] AS w1, toks[pos + 1] AS w2
+  FROM (SELECT doc_id, source, toks,
+               unnest(generate_series(1, len(toks) - 1)) AS pos
+        FROM tok)
+),
+c12 AS (SELECT w1, w2, count(*)::BIGINT AS n12 FROM big GROUP BY w1, w2),
+c1 AS (SELECT w1, count(*)::BIGINT AS n1 FROM big GROUP BY w1),
+model AS (
+  SELECT w1, w2, round(-log2(n12::DOUBLE / n1) * 1e6)::BIGINT AS microbits
+  FROM c12 JOIN c1 USING (w1)
+),
+per_doc AS (
+  SELECT b.doc_id, b.source, count(*)::BIGINT AS n_bigrams,
+         sum(m.microbits)::BIGINT AS sum_mb
+  FROM big b JOIN model m USING (w1, w2)
+  GROUP BY b.doc_id, b.source
+)
+SELECT doc_id, source, n_bigrams,
+       round(sum_mb::DOUBLE / n_bigrams / 1e6, 4) AS bits_per_bigram
+FROM per_doc
+ORDER BY bits_per_bigram DESC, doc_id
+LIMIT {BIGRAM_SURPRISAL_TOP_K}
+"""
+
+
+# boundary after any word whose md5 leads below this hex digit → p = 1/4,
+# expected chunk length 4 words (demo-sized; production CDC tunes p to hit
+# a byte-size target, FastCDC §3.2)
+CDC_HEX_BOUND = "4"
+
+
+def q_doc_cdc_chunks(spark: SparkSession, sf: str) -> DataFrame:
+    """Content-defined chunking (the FastCDC / rolling-hash family, word
+    granularity): a chunk boundary falls after every word whose md5 leads
+    with a hex digit < '{CDC_HEX_BOUND}'. Because boundaries depend only
+    on LOCAL content, inserting a sentence shifts chunk ids but not the
+    chunks around it — so cross-doc duplicate detection survives edits
+    that break fixed-width chunking (`doc_dup_chunks`' failure mode: one
+    leading word re-frames every downstream chunk). Output per source:
+    chunk volume, distinct chunk fingerprints, the syndication-induced
+    duplicate ratio, and mean chunk width.
+
+    Scale shape: tokenize → posexplode; boundary flags are a map-side md5;
+    chunk ids are a prefix sum windowed PER DOCUMENT (partitions bounded
+    by doc length — the session-window shape, never a global sort); chunk
+    text reassembles with array_sort(collect_list(struct(pos, word))) —
+    deterministic, no ordering assumption on the aggregate; only (source,
+    fingerprint) pairs shuffle for the dedup rollup, never chunk text
+    beyond its one groupBy."""
+    docs = table(spark, sf, "documents")
+    words = docs.select(
+        "doc_id", "source", F.posexplode(_tokens(F.col("text"))).alias("pos", "word")
+    )
+    flagged = words.withColumn(
+        "is_boundary",
+        (F.substring(_md5s(F.col("word")), 1, 1) < CDC_HEX_BOUND).cast("int"),
+    )
+    win = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    chunk_ids = flagged.withColumn(
+        "chunk_id", F.coalesce(F.sum("is_boundary").over(win), F.lit(0)).cast("long")
+    )
+    chunks = chunk_ids.groupBy("doc_id", "source", "chunk_id").agg(
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "word"))),
+                    lambda s: s.word,
+                ),
+                " ",
+            ).cast("binary")
+        ).alias("fp"),
+        F.count(F.lit(1)).alias("n_words"),
+    )
+    return (
+        chunks.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.countDistinct("fp").alias("n_distinct_chunks"),
+            F.round(
+                F.lit(1.0) - F.countDistinct("fp") / F.count(F.lit(1)), 6
+            ).alias("dup_ratio"),
+            F.round(F.avg("n_words"), 4).alias("avg_chunk_words"),
+        )
+    )
+
+
+ORACLE_DOC_CDC_CHUNKS = f"""
+WITH tok AS (SELECT doc_id, source, {_SQL_TOKENS} AS toks FROM documents),
+w AS (
+  SELECT doc_id, source, pos, toks[pos] AS word
+  FROM (SELECT doc_id, source, toks,
+               unnest(generate_series(1, len(toks))) AS pos
+        FROM tok)
+),
+cid AS (
+  SELECT doc_id, source, pos, word,
+         coalesce(sum(CASE WHEN substr(md5(word), 1, 1) < '{CDC_HEX_BOUND}'
+                           THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) AS chunk_id
+  FROM w
+),
+chunks AS (
+  SELECT doc_id, source, chunk_id,
+         md5(string_agg(word, ' ' ORDER BY pos)) AS fp,
+         count(*)::BIGINT AS n_words
+  FROM cid GROUP BY doc_id, source, chunk_id
+)
+SELECT source, count(*)::BIGINT AS n_chunks,
+       count(DISTINCT fp)::BIGINT AS n_distinct_chunks,
+       round(1.0 - count(DISTINCT fp) / count(*), 6) AS dup_ratio,
+       round(avg(n_words), 4) AS avg_chunk_words
+FROM chunks GROUP BY source
+"""
+
+
 QUERIES: dict[str, Query] = {
+    "doc_bigram_logprob": Query(
+        q_doc_bigram_logprob, ORACLE_DOC_BIGRAM_LOGPROB, ("text", "quality", "lm")
+    ),
+    "doc_cdc_chunks": Query(
+        q_doc_cdc_chunks, ORACLE_DOC_CDC_CHUNKS, ("text", "dedup", "chunking")
+    ),
     "ann_sq_recall": Query(
         q_ann_sq_recall, ORACLE_ANN_SQ_RECALL, ("similarity", "quantization", "audit")
     ),

@@ -301,3 +301,77 @@ def test_pii_scrub_true_positives_and_residuals(spark):
         for r in odf.itertuples()
     }
     assert got == want
+
+
+def test_cdc_chunks_reconstruct_and_shift_resilience(spark, sf_smoke):
+    """Two CDC invariants fixed-width chunking lacks: (1) chunks partition
+    the token stream — concatenating a doc's chunks in order reproduces
+    its token sequence exactly; (2) prepending words to a document leaves
+    every chunk AFTER the first boundary untouched (boundaries depend on
+    local content only), which is why CDC dedup survives edits."""
+    import hashlib
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from customer_activity_lakehouse_spark.plans.llm_ops import (
+        CDC_HEX_BOUND,
+        _md5s,
+        _tokens,
+    )
+
+    docs = (
+        spark.read.parquet(f"{sf_smoke}/documents.parquet")
+        .orderBy("doc_id")
+        .limit(5)
+        .select("doc_id", "text")
+    )
+    words = docs.select(
+        "doc_id", F.posexplode(_tokens(F.col("text"))).alias("pos", "word")
+    )
+    win = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = words.withColumn(
+        "b", (F.substring(_md5s(F.col("word")), 1, 1) < CDC_HEX_BOUND).cast("int")
+    ).withColumn("chunk_id", F.coalesce(F.sum("b").over(win), F.lit(0)))
+    chunks = (
+        flagged.groupBy("doc_id", "chunk_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "word"))),
+                    lambda s: s.word,
+                ),
+                " ",
+            ).alias("chunk")
+        )
+        .collect()
+    )
+    by_doc: dict[int, list[tuple[int, str]]] = {}
+    for r in chunks:
+        by_doc.setdefault(r.doc_id, []).append((r.chunk_id, r.chunk))
+    texts = {r.doc_id: r.text for r in docs.collect()}
+    for doc_id, cs in by_doc.items():
+        joined = " ".join(c for _, c in sorted(cs))
+        assert joined == " ".join(texts[doc_id].split()), doc_id
+
+    # (2) shift resilience, pure-python reference of the same rule
+    def cdc(tokens):
+        out, cur = [], []
+        for w in tokens:
+            cur.append(w)
+            if hashlib.md5(w.encode()).hexdigest()[0] < CDC_HEX_BOUND:
+                out.append(" ".join(cur))
+                cur = []
+        if cur:
+            out.append(" ".join(cur))
+        return out
+
+    base = texts[sorted(texts)[0]].split()
+    shifted = ["zzz", "prepended"] + base
+    a, b = cdc(base), cdc(shifted)
+    # everything after the first boundary in the shifted stream realigns
+    assert a[1:] == b[len(b) - len(a) + 1 :]

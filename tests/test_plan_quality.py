@@ -622,3 +622,27 @@ def test_heavy_hitters_candidates_broadcast_no_vocab_shuffle(spark, sf_correctne
     assert "partial_count" in explain_str(
         QUERIES["doc_token_heavy_hitters"].fn(spark, sf_correctness)
     ), "second pass must map-side combine"
+
+
+def test_bigram_logprob_hof_stream_no_global_sort(spark, sf_correctness):
+    """Bigram scoring's scale contract: bigrams come from a Generate over
+    the per-doc token array (never a token self-join or position window),
+    per-doc sums map-side combine, and the top-K is TakeOrdered — no
+    global sort of the scored corpus."""
+    plan = explain_str(QUERIES["doc_bigram_logprob"].fn(spark, sf_correctness), "simple")
+    assert "Window" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "partial_count" in explain_str(
+        QUERIES["doc_bigram_logprob"].fn(spark, sf_correctness)
+    ), "per-doc rollup must map-side combine"
+
+
+def test_cdc_chunks_windows_per_doc_no_join(spark, sf_correctness):
+    """Content-defined chunking's scale contract: join-free end to end;
+    the prefix-sum window partitions by doc_id (bounded by doc length —
+    never a global sort / SinglePartition funnel)."""
+    plan = explain_str(QUERIES["doc_cdc_chunks"].fn(spark, sf_correctness), "simple")
+    assert "Join" not in plan, plan
+    assert "SinglePartition" not in plan, plan
+    assert "Window" in plan, plan
