@@ -76,6 +76,93 @@ LAST_CKPT = "_last_checkpoint"
 # Keys resolved positionally from the log rather than carried verbatim.
 _FILE_KEYS = ("files", "stats", "dv_files")
 
+# ---------------------------------------------------------------- protocol
+#
+# Delta-style protocol feature gating: every commit records which table
+# features a READER must implement to produce correct results from that
+# version (ignoring deletion vectors resurrects deleted rows; ignoring
+# column mapping reads dropped/renamed columns; ignoring partition
+# columns drops them from the rows entirely) and which a WRITER must
+# implement to commit on top of it (an engine that doesn't validate CHECK
+# constraints or recompute generated columns would corrupt the table's
+# invariants without ever producing a read error). An engine that doesn't
+# know a feature fails LOUDLY instead of silently mis-reading — Delta's
+# reader/writer table-features contract (protocol action, Delta PROTOCOL.md
+# is the public model).
+#
+# One deliberate divergence from Delta: features are stamped PER VERSION
+# from that version's own manifest rather than ratcheting monotonically at
+# table level. Safe here because every commit record carries its metadata
+# verbatim, so resolving version v needs exactly v's features — and it
+# keeps time travel to a pre-feature version readable by engines that
+# never learned the feature.
+
+READER_FEATURES = frozenset(
+    {
+        "deletion-vectors",  # dv_files anti-joined at scan (snapshots.py)
+        "column-mapping",  # physical->logical name indirection
+        "partition-columns",  # per-file partition values re-attached on read
+    }
+)
+
+# Writers must support everything readers do (they re-encode state) plus
+# the write-path invariants readers never see.
+WRITER_FEATURES = READER_FEATURES | {
+    "check-constraints",  # validated on every append/DML
+    "generated-columns",  # recomputed on write
+}
+
+_FEATURE_KEYS = (
+    ("dv_files", "deletion-vectors", True),
+    ("colmap", "column-mapping", True),
+    ("partition_by", "partition-columns", True),
+    ("constraints", "check-constraints", False),
+    ("generated", "generated-columns", False),
+)
+
+
+def stamp_features(manifest: dict) -> None:
+    """Derive and record ``reader_features`` / ``writer_features`` from the
+    manifest's own content (mutates ``manifest`` — called from the single
+    commit chokepoint so records AND checkpoints carry the stamp).
+    Explicitly-present feature names are kept (forward-written tables)."""
+    readers = set(manifest.get("reader_features") or [])
+    writers = set(manifest.get("writer_features") or [])
+    for key, feature, reader_relevant in _FEATURE_KEYS:
+        if manifest.get(key):
+            writers.add(feature)
+            if reader_relevant:
+                readers.add(feature)
+    if readers:
+        manifest["reader_features"] = sorted(readers)
+    if writers:
+        manifest["writer_features"] = sorted(writers)
+
+
+class UnsupportedTableFeature(RuntimeError):
+    """A manifest requires a protocol feature this engine doesn't have."""
+
+
+def check_reader_features(manifest: dict, version: int | None = None) -> dict:
+    unknown = set(manifest.get("reader_features") or []) - READER_FEATURES
+    if unknown:
+        raise UnsupportedTableFeature(
+            f"snapshot version {version if version is not None else '?'} "
+            f"requires reader features {sorted(unknown)}; this engine "
+            f"supports {sorted(READER_FEATURES)} — refusing to mis-read"
+        )
+    return manifest
+
+
+def check_writer_features(prev: dict | None) -> None:
+    unknown = set((prev or {}).get("writer_features") or []) - WRITER_FEATURES
+    if unknown:
+        raise UnsupportedTableFeature(
+            f"table requires writer features {sorted(unknown)}; this engine "
+            f"supports {sorted(WRITER_FEATURES)} — committing on top would "
+            "break invariants it cannot maintain"
+        )
+
 
 def commit_name(version: int) -> str:
     return f"v{version:05d}.json"
@@ -121,6 +208,8 @@ def make_commit(prev: dict | None, manifest: dict) -> dict:
     ``manifest``'s files/stats/dv_files precisely (stats entries the
     caller dropped for still-present files travel as ``stats_drop``, so
     even deliberate stat removal round-trips)."""
+    check_writer_features(prev)
+    stamp_features(manifest)
     if prev is None or "files" not in manifest:
         return manifest
     out = {k: v for k, v in manifest.items() if k not in _FILE_KEYS}
@@ -221,7 +310,7 @@ def resolve(
     I/O is injected so the JVM (Hadoop FS) and pure-Python (os) engines
     share one resolution algorithm — and one set of tests."""
     if has_ckpt(version):
-        return read_ckpt(version)
+        return check_reader_features(read_ckpt(version), version)
     chain: list[dict] = []
     v = version
     base_state: tuple[list, dict, list] | None = None
@@ -229,7 +318,7 @@ def resolve(
         m = read_commit(v)
         if "files" in m:
             if not chain:
-                return m  # self-contained — nothing to replay
+                return check_reader_features(m, version)  # self-contained
             base_state = apply_commit(None, m)
             break
         chain.append(m)
@@ -246,7 +335,7 @@ def resolve(
     state = base_state
     for m in reversed(chain):
         state = apply_commit(state, m)
-    return resolved_view(chain[0], state)
+    return check_reader_features(resolved_view(chain[0], state), version)
 
 
 def read_last_ckpt_pointer(snap_dir_local: str) -> int | None:

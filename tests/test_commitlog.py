@@ -278,3 +278,105 @@ def test_mixed_primitive_commit_race(spark, tmp_path):
     # P(one class sweeps) ≈ 2·(1/2)^10 ≈ 0.2%.
     classes = {int(w[1:]) % 2 for ws in wins.values() for w in ws}
     assert classes == {0, 1}, wins
+
+
+# ------------------------------------------------------- protocol features
+
+
+def test_features_stamped_from_manifest_content(spark, tmp_path):
+    """DV deletes, partition columns, CHECK constraints: each stamps the
+    matching reader/writer feature on its commit; plain appends stamp
+    none. Delta's table-features contract (PROTOCOL.md is the model),
+    derived per version from the manifest's own keys."""
+    from customer_activity_lakehouse_spark.sources.snapshots import (
+        _read_manifest,
+        delete_snapshot,
+        set_check_constraint,
+    )
+
+    t = str(tmp_path / "tbl")
+    commit_append(spark, t, _df(spark, 0, 10).coalesce(1))
+    m1 = _read_manifest(spark, t, 1)
+    assert "reader_features" not in m1 and "writer_features" not in m1
+
+    delete_snapshot(spark, t, "id < 2", mode="dv")
+    m2 = _read_manifest(spark, t, 2)
+    assert "deletion-vectors" in m2["reader_features"]
+    assert "deletion-vectors" in m2["writer_features"]
+
+    set_check_constraint(spark, t, "v_even", "v % 2 = 0")
+    m3 = _read_manifest(spark, t, 3)
+    assert "check-constraints" in m3["writer_features"]
+    # constraints are writer-only: readers need not know them
+    assert "check-constraints" not in (m3.get("reader_features") or [])
+
+    t2 = str(tmp_path / "part")
+    commit_append(
+        spark,
+        t2,
+        _df(spark, 0, 10).selectExpr("id", "v", "id % 2 AS p").coalesce(1),
+        partition_by=["p"],
+    )
+    mp = _read_manifest(spark, t2, 1)
+    assert "partition-columns" in mp["reader_features"]
+
+
+def test_unknown_reader_feature_fails_loudly_everywhere(spark, tmp_path):
+    """A manifest demanding a feature this engine lacks must refuse to
+    resolve — via the JVM read path AND the Python DataSource path (both
+    share commitlog.resolve) — never silently mis-read."""
+    import pytest as _pytest
+
+    from customer_activity_lakehouse_spark.sources import datasource as DS
+
+    t = str(tmp_path / "tbl")
+    commit_append(spark, t, _df(spark, 0, 10).coalesce(1))
+    raw = json.loads((Path(t) / "_snapshots" / commitlog.commit_name(1)).read_text())
+    raw["reader_features"] = ["v9-quantum-clustering"]
+    (Path(t) / "_snapshots" / commitlog.commit_name(1)).unlink()
+    (Path(t) / "_snapshots" / commitlog.commit_name(1)).write_text(json.dumps(raw))
+
+    with _pytest.raises(commitlog.UnsupportedTableFeature, match="quantum"):
+        read_snapshot(spark, t)
+    with _pytest.raises(commitlog.UnsupportedTableFeature, match="quantum"):
+        DS._py_manifest(t, 1)
+
+
+def test_unknown_writer_feature_blocks_commit_not_read(spark, tmp_path):
+    """Writer-only features gate COMMITS (an engine that can't maintain
+    the invariant must not write) while reads stay open."""
+    import pytest as _pytest
+
+    t = str(tmp_path / "tbl")
+    commit_append(spark, t, _df(spark, 0, 10).coalesce(1))
+    p = Path(t) / "_snapshots" / commitlog.commit_name(1)
+    raw = json.loads(p.read_text())
+    raw["writer_features"] = ["append-only-enforcement"]
+    p.unlink()
+    p.write_text(json.dumps(raw))
+
+    assert read_snapshot(spark, t).count() == 10  # reads unaffected
+    with _pytest.raises(commitlog.UnsupportedTableFeature, match="append-only"):
+        commit_append(spark, t, _df(spark, 10, 20).coalesce(1))
+
+
+def test_features_survive_delta_encoding_and_checkpoints(spark, tmp_path):
+    """The stamp must ride delta records and checkpoints: after 12 more
+    appends (crossing a checkpoint boundary) a DV table still declares
+    deletion-vectors at the latest version."""
+    from customer_activity_lakehouse_spark.sources.snapshots import (
+        _list_versions,
+        _read_manifest,
+        delete_snapshot,
+    )
+
+    t = str(tmp_path / "tbl")
+    commit_append(spark, t, _df(spark, 0, 10).coalesce(1))
+    delete_snapshot(spark, t, "id < 2", mode="dv")
+    for i in range(12):
+        commit_append(spark, t, _df(spark, 100 + i, 101 + i).coalesce(1))
+    v = max(_list_versions(spark, t))
+    assert v >= 13
+    m = _read_manifest(spark, t, v)
+    assert "deletion-vectors" in m["reader_features"]
+    assert read_snapshot(spark, t).count() == 8 + 12
