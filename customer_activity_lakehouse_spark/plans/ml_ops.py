@@ -233,22 +233,12 @@ IVF_PROBES = 2  # cells probed per query
 IVF_TOPK = 5
 
 
-def q_ann_ivf_kmeans_topk(spark: SparkSession, sf: str) -> DataFrame:
-    """IVF ANN with a LEARNED coarse quantizer — the FAISS design: cells
-    are the k-means clusters (not a label column as in q_ann_ivf_topk,
-    llm_ops.py, which trusts a pre-existing partition key), the query
-    probes its IVF_PROBES nearest centroids by the SAME quantized-distance
-    metric that assigned the cells, and exact cosine runs on candidates
-    from those cells only.
-
-    Scale shape: training is the kmeans pipeline (vectors never shuffle);
-    the probe is a K-row broadcast argsort; candidate selection is a
-    broadcast semi-join of the probe cells against the assignment frame —
-    at 100 TB the table is written partitioned by cell so a probe reads
-    IVF_PROBES partitions. Exact cosine + TakeOrdered top-k on candidates
-    only."""
-    from .llm_ops import _dot_expr, _norm_expr
-
+def _ivf_cand(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF candidate vec_ids: the query's IVF_PROBES nearest k-means cells
+    (by the same quantized distance that trained them), then every
+    non-query vector assigned to those cells — a broadcast semi-join of
+    the K-row probe table against the assignment frame. Shared by the
+    exact-rerank IVF and the IVF-PQ composition."""
     assigned, cents = _km_fit(spark, sf)
     carr = cents.agg(F.array_sort(F.collect_list(F.struct("cluster", "c"))).alias("cents"))
     embq = _km_quantized(spark, sf)
@@ -266,11 +256,30 @@ def q_ann_ivf_kmeans_topk(spark: SparkSession, sf: str) -> DataFrame:
         .limit(IVF_PROBES)
         .select("cluster")
     )
-    cand = (
+    return (
         assigned.join(F.broadcast(probe), "cluster")
         .filter(F.col("vec_id") != 0)
         .select("vec_id")
     )
+
+
+def q_ann_ivf_kmeans_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF ANN with a LEARNED coarse quantizer — the FAISS design: cells
+    are the k-means clusters (not a label column as in q_ann_ivf_topk,
+    llm_ops.py, which trusts a pre-existing partition key), the query
+    probes its IVF_PROBES nearest centroids by the SAME quantized-distance
+    metric that assigned the cells, and exact cosine runs on candidates
+    from those cells only.
+
+    Scale shape: training is the kmeans pipeline (vectors never shuffle);
+    the probe is a K-row broadcast argsort; candidate selection is a
+    broadcast semi-join of the probe cells against the assignment frame —
+    at 100 TB the table is written partitioned by cell so a probe reads
+    IVF_PROBES partitions. Exact cosine + TakeOrdered top-k on candidates
+    only."""
+    from .llm_ops import _dot_expr, _norm_expr
+
+    cand = _ivf_cand(spark, sf)
     emb = table(spark, sf, "embeddings")
     qv = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q_emb"))
     cos = _dot_expr(F.col("embedding"), F.col("q_emb")) / (
@@ -1987,14 +1996,19 @@ def q_ann_pq_topk(spark: SparkSession, sf: str) -> DataFrame:
     Output: top-10 (vec_id, cos_sim) for the vec_id=0 query, cosine of
     the PQ-reconstructed vector vs the exact query, rounded to 4dp."""
     embq = _km_quantized(spark, sf)
+    return _pq_adc_topk(spark, sf, embq.filter(F.col("vec_id") != 0))
+
+
+def _pq_adc_topk(spark: SparkSession, sf: str, corpus: DataFrame) -> DataFrame:
+    """ADC top-10 over ``corpus`` (a (vec_id, q) frame): train the PQ
+    codebook, broadcast it + the query, score codes in-row, TakeOrdered.
+    Shared by whole-corpus PQ and IVF-PQ (which passes the probed-cell
+    candidates only)."""
+    embq = _km_quantized(spark, sf)
     cents = _pq_fit(spark, sf)
     carr = _pq_cents_by_m(cents)
     q0 = embq.filter(F.col("vec_id") == 0).select(F.col("q").alias("qq"))
-    scored = (
-        embq.filter(F.col("vec_id") != 0)
-        .crossJoin(F.broadcast(carr))
-        .crossJoin(F.broadcast(q0))
-    )
+    scored = corpus.crossJoin(F.broadcast(carr)).crossJoin(F.broadcast(q0))
 
     def _subvec(arr, m):
         return F.transform(
@@ -2048,10 +2062,17 @@ def q_ann_pq_topk(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def _pq_sql_oracle() -> str:
+def _pq_sql_parts(
+    prefix: str = "", include_emb: bool = True, cand_cte: str | None = None
+) -> tuple[list[str], str]:
     """Unrolled grouped-Lloyd PQ chain mirroring the Spark plan op-for-op
     (same quantization, seeding, tie-breaks, fold orders). Re-referenced
-    stages are MATERIALIZED (the r7 CTE-inlining lesson)."""
+    stages are MATERIALIZED (the r7 CTE-inlining lesson). ``prefix`` names
+    every CTE so the chain composes with the k-means chain (their a{i}/
+    c{i}/seeds names collide otherwise); ``cand_cte`` restricts SCORING
+    (never training) to a candidate vec_id set — the IVF-PQ hook. Returns
+    (with_parts, final_select)."""
+    P = prefix
     sub_expr = f"list_transform(range(1, {PQ_SUB} + 1), i -> q[m * {PQ_SUB} + i])"
     dist = (
         f"list_sum(list_transform(range(1, {PQ_SUB} + 1),"
@@ -2064,51 +2085,115 @@ def _pq_sql_oracle() -> str:
         "SELECT vec_id, m, sq, cluster FROM ("
         f" SELECT b.vec_id, b.m, b.sq, c.cluster, {dist} AS dist,"
         f"        row_number() OVER (PARTITION BY b.vec_id, b.m ORDER BY {dist}, c.cluster) AS rn"
-        " FROM sub b JOIN {cents} c ON b.m = c.m) WHERE rn = 1"
+        f" FROM {P}sub b JOIN {{cents}} c ON b.m = c.m) WHERE rn = 1"
     )
-    parts = [
-        "WITH emb AS MATERIALIZED (SELECT vec_id,"
-        f" list_transform(embedding, x -> floor(x::DOUBLE * {KM_SCALE})::BIGINT) AS q"
-        " FROM embeddings)",
-        f"sub AS MATERIALIZED (SELECT vec_id, m, {sub_expr} AS sq"
+    parts = []
+    if include_emb:
+        parts.append(
+            "WITH emb AS MATERIALIZED (SELECT vec_id,"
+            f" list_transform(embedding, x -> floor(x::DOUBLE * {KM_SCALE})::BIGINT) AS q"
+            " FROM embeddings)"
+        )
+    parts += [
+        f"{P}sub AS MATERIALIZED (SELECT vec_id, m, {sub_expr} AS sq"
         f" FROM emb, range(0, {PQ_M}) t(m))",
-        "seeds AS (SELECT ((strpos('" + _HEX + "', substr(md5(vec_id::VARCHAR), 1, 1)) - 1)"
+        f"{P}seeds AS (SELECT ((strpos('" + _HEX + "', substr(md5(vec_id::VARCHAR), 1, 1)) - 1)"
         f" % {PQ_K})::INT AS cluster, min(vec_id) AS vec_id"
         " FROM emb GROUP BY 1)",
-        "c0 AS MATERIALIZED (SELECT b.m, s.cluster,"
+        f"{P}c0 AS MATERIALIZED (SELECT b.m, s.cluster,"
         " list_transform(b.sq, x -> x::DOUBLE) AS c"
-        " FROM seeds s JOIN sub b USING (vec_id))",
+        f" FROM {P}seeds s JOIN {P}sub b USING (vec_id))",
     ]
-    prev_c = "c0"
+    prev_c = f"{P}c0"
     for it in range(1, PQ_ITERS):
-        parts.append(f"a{it} AS MATERIALIZED ({assign.format(cents=prev_c)})")
+        parts.append(f"{P}a{it} AS MATERIALIZED ({assign.format(cents=prev_c)})")
         parts.append(
-            f"c{it} AS MATERIALIZED (SELECT m, cluster, [{upd_list}] AS c"
-            f" FROM a{it} GROUP BY m, cluster)"
+            f"{P}c{it} AS MATERIALIZED (SELECT m, cluster, [{upd_list}] AS c"
+            f" FROM {P}a{it} GROUP BY m, cluster)"
         )
-        prev_c = f"c{it}"
-    parts.append(f"af AS MATERIALIZED ({assign.format(cents=prev_c)})")
+        prev_c = f"{P}c{it}"
+    parts.append(f"{P}af AS MATERIALIZED ({assign.format(cents=prev_c)})")
+    cand_filter = (
+        "" if cand_cte is None else f" AND a.vec_id IN (SELECT vec_id FROM {cand_cte})"
+    )
     parts += [
-        "q0 AS (SELECT q FROM emb WHERE vec_id = 0)",
-        f"qsub AS (SELECT m, list_transform(range(1, {PQ_SUB} + 1),"
-        f" i -> q[m * {PQ_SUB} + i]::DOUBLE) AS qs FROM q0, range(0, {PQ_M}) t(m))",
-        "qn AS (SELECT sqrt(list_sum(list_transform(q, x -> x * x))::DOUBLE) AS qnorm FROM q0)",
-        "parts AS (SELECT a.vec_id, a.m,"
+        f"{P}q0 AS (SELECT q FROM emb WHERE vec_id = 0)",
+        f"{P}qsub AS (SELECT m, list_transform(range(1, {PQ_SUB} + 1),"
+        f" i -> q[m * {PQ_SUB} + i]::DOUBLE) AS qs FROM {P}q0, range(0, {PQ_M}) t(m))",
+        f"{P}qn AS (SELECT sqrt(list_sum(list_transform(q, x -> x * x))::DOUBLE) AS qnorm FROM {P}q0)",
+        f"{P}parts AS (SELECT a.vec_id, a.m,"
         f" list_sum(list_transform(range(1, {PQ_SUB} + 1), i -> c.c[i] * s.qs[i])) AS dot_m,"
         f" list_sum(list_transform(range(1, {PQ_SUB} + 1), i -> c.c[i] * c.c[i])) AS sq_m"
-        f" FROM af a JOIN {prev_c} c ON a.m = c.m AND a.cluster = c.cluster"
-        " JOIN qsub s ON s.m = a.m WHERE a.vec_id != 0)",
-        "agg AS (SELECT vec_id, list_sum(list(dot_m ORDER BY m)) AS dots,"
-        " list_sum(list(sq_m ORDER BY m)) AS sqs FROM parts GROUP BY vec_id)",
+        f" FROM {P}af a JOIN {prev_c} c ON a.m = c.m AND a.cluster = c.cluster"
+        f" JOIN {P}qsub s ON s.m = a.m WHERE a.vec_id != 0{cand_filter})",
+        f"{P}agg AS (SELECT vec_id, list_sum(list(dot_m ORDER BY m)) AS dots,"
+        f" list_sum(list(sq_m ORDER BY m)) AS sqs FROM {P}parts GROUP BY vec_id)",
     ]
-    return (
-        ",\n".join(parts)
-        + "\nSELECT vec_id, round(dots / (sqrt(sqs) * qnorm), 4) AS cos_sim"
-        " FROM agg, qn ORDER BY cos_sim DESC, vec_id LIMIT 10"
+    final = (
+        "SELECT vec_id, round(dots / (sqrt(sqs) * qnorm), 4) AS cos_sim"
+        f" FROM {P}agg, {P}qn ORDER BY cos_sim DESC, vec_id LIMIT 10"
     )
+    return parts, final
+
+
+def _pq_sql_oracle() -> str:
+    parts, final = _pq_sql_parts()
+    return ",\n".join(parts) + "\n" + final
 
 
 ORACLE_ANN_PQ_TOPK = _pq_sql_oracle()
+
+
+def q_ann_ivfpq_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF-PQ — the composition FAISS ships as its billion-vector default
+    (IndexIVFPQ): the k-means coarse quantizer routes the query to its
+    IVF_PROBES nearest cells, and only THOSE cells' vectors are scored,
+    by PQ codes against the full-precision query (ADC). Composes two
+    independently-verified stages: `_ivf_cand` (the `ann_ivf_kmeans_topk`
+    probe) and `_pq_adc_topk` (the `ann_pq_topk` scorer). Direct-coding
+    variant: codes quantize the vectors themselves, not the residuals
+    against the coarse centroid (FAISS's refinement) — residual coding
+    would need a codebook trained per probe layout and is noted as the
+    upgrade path, not silently approximated.
+
+    Scale shape — why THIS is the 100 TB ANN plan: the probe is a K-row
+    broadcast argsort; candidates arrive via broadcast semi-join (at
+    scale: partition the table by cell and the probe reads IVF_PROBES
+    partitions); scoring touches 4-byte codes, in-row, zero-shuffle, for
+    ~|corpus|·probes/K vectors instead of the whole corpus. Training pays
+    the only shuffles — (m, cluster)-keyed partial aggs."""
+    embq = _km_quantized(spark, sf)
+    cand = _ivf_cand(spark, sf)
+    corpus = embq.join(cand, "vec_id")
+    return _pq_adc_topk(spark, sf, corpus)
+
+
+def _ivfpq_sql_oracle() -> str:
+    km_parts, final_a, probe_c = _km_sql_parts()
+    # the combined chain references emb from both sub-chains — materialize
+    km_parts = [km_parts[0].replace("WITH emb AS (", "WITH emb AS MATERIALIZED (", 1)] + km_parts[1:]
+    cdist = (
+        "list_sum(list_transform(range(1, {d} + 1),"
+        " i -> (e.q[i]::DOUBLE - c.c[i]) * (e.q[i]::DOUBLE - c.c[i])))"
+    ).format(d=KM_DIM)
+    ivf_tail = [
+        f"""probe AS (
+  SELECT cluster FROM (
+    SELECT c.cluster, {cdist} AS cdist,
+           row_number() OVER (ORDER BY {cdist}, c.cluster) AS rn
+    FROM (SELECT * FROM emb WHERE vec_id = 0) e CROSS JOIN {probe_c} c)
+  WHERE rn <= {IVF_PROBES}
+)""",
+        f"""cand AS MATERIALIZED (
+  SELECT vec_id FROM {final_a}
+  WHERE cluster IN (SELECT cluster FROM probe) AND vec_id != 0
+)""",
+    ]
+    pq_parts, final = _pq_sql_parts(prefix="p", include_emb=False, cand_cte="cand")
+    return ",\n".join(km_parts + ivf_tail + pq_parts) + "\n" + final
+
+
+ORACLE_ANN_IVFPQ_TOPK = _ivfpq_sql_oracle()
 
 
 # -------------------------------------------------- sketch family: set ops
@@ -2294,6 +2379,11 @@ QUERIES: dict[str, Query] = {
         q_doc_token_heavy_hitters,
         ORACLE_DOC_TOKEN_HEAVY_HITTERS,
         ("text", "sketch", "arrow"),
+    ),
+    "ann_ivfpq_topk": Query(
+        q_ann_ivfpq_topk,
+        ORACLE_ANN_IVFPQ_TOPK,
+        ("ml", "similarity", "quantization"),
     ),
     "ann_pq_topk": Query(
         q_ann_pq_topk,

@@ -646,3 +646,20 @@ def test_cdc_chunks_windows_per_doc_no_join(spark, sf_correctness):
     assert "Join" not in plan, plan
     assert "SinglePartition" not in plan, plan
     assert "Window" in plan, plan
+
+
+def test_ann_ivfpq_cells_broadcast_codes_in_row(spark, sf_correctness):
+    """IVF-PQ composition contract: probe cells and the candidate set ride
+    broadcasts, ADC scoring stays in-row (TakeOrdered finish), and the
+    only hash exchanges are the TRAINING aggregates of the two stages —
+    k-means (cluster / vec_id assignment replays) and PQ codebook
+    ((m, cluster)). No SortMergeJoin anywhere: candidate selection and
+    scoring must never shuffle corpus vectors."""
+    import re
+
+    plan = explain_str(QUERIES["ann_ivfpq_topk"].fn(spark, sf_correctness), "simple")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    hash_keys = set(re.findall(r"Exchange hashpartitioning\((\w+)#", plan))
+    assert hash_keys <= {"m", "cluster", "vec_id"}, f"unexpected exchanges: {hash_keys}"
