@@ -122,6 +122,54 @@ def hourly_event_counts(events: DataFrame, watermark: str = "2 hours") -> DataFr
     )
 
 
+def theta_distinct_stream(
+    events: DataFrame, watermark: str = "2 hours", window: str = "1 hour"
+) -> DataFrame:
+    """Windowed APPROXIMATE distinct users per event type — the streaming
+    face of the fixed-threshold theta sketch (plans/ml_ops.py
+    `events_theta_overlap`): θ-filter the stream on the 60-bit md5 hash
+    (map-side, stateless), exact-dedup only the sampled (window, type,
+    user) triples within the watermark, and count × 1/θ.
+
+    Why not countDistinct: streaming aggregation forbids DISTINCT
+    aggregates outright, and the exact workaround (dedup state over EVERY
+    user) holds |active users| rows per window. Here the per-(window,
+    type) state is collect_set over the SAMPLE only — θ·|users| entries
+    (2^-20 at web scale), merged across micro-batches by set union inside
+    ONE stateful operator (a chained dedup→agg would hold its tail window
+    in flight one extra data batch per stage). Because the hash is the
+    engine-portable md5, a batch run of this same function yields the
+    identical numbers — the module's batch-equivalence doctrine.
+
+    Watermark note: Catalyst pushes the deterministic θ-filter BELOW the
+    EventTimeWatermark operator, so the watermark advances with the max
+    ts of SAMPLED rows — it lags the full stream by ~1/θ inter-event
+    gaps (negligible at any real rate, conservative in the safe
+    direction: windows close later, never early)."""
+    from ..plans.ml_ops import THETA_KEEP, THETA_SCALE, _h60
+
+    sampled = (
+        events.withWatermark("ts", watermark)
+        .filter(F.col("user_id").isNotNull())
+        .filter(_h60(F.col("user_id")) < THETA_KEEP)
+        .select("ts", "event_type", "user_id")
+    )
+    return (
+        sampled.groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            (F.size(F.collect_set("user_id")) * THETA_SCALE)
+            .cast("long")
+            .alias("est_users")
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "est_users",
+        )
+    )
+
+
 def sliding_event_rates(
     events: DataFrame,
     window: str = "1 hour",

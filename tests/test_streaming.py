@@ -826,3 +826,62 @@ def test_write_stream_snapshot_merge_exactly_once(spark, tmp_path):
         S.write_stream_foreach_batch = orig
     assert _list_versions(spark, t)[-1] == v_before  # skipped, no new commit
     assert read_snapshot(spark, t).filter("last_event = 999").count() == 0
+
+
+def test_theta_distinct_stream_matches_batch_and_tracks_exact(spark, sf_smoke, events_dir):
+    """The streaming theta sketch must produce IDENTICAL numbers to the
+    same function run in batch (deterministic md5 sample — the sketch's
+    whole selling point), and the per-(window, type) estimates must track
+    the exact distinct counts within a multi-sigma band."""
+    import datetime
+
+    from customer_activity_lakehouse_spark.streaming.streams import (
+        theta_distinct_stream,
+    )
+
+    landing, root = events_dir
+    batch = events_table(spark, sf_smoke)
+    stream = read_events_stream(spark, landing)
+    _run(theta_distinct_stream(stream), f"{root}/theta", f"{root}/ckpt_theta")
+
+    got = {
+        (r.window_start, r.event_type): r.est_users
+        for r in spark.read.parquet(f"{root}/theta").collect()
+    }
+    # the watermark tracks the SAMPLED stream (θ-filter pushes below the
+    # watermark operator — see the operator's watermark note), so the
+    # emission horizon derives from the max sampled event time
+    from customer_activity_lakehouse_spark.plans.ml_ops import THETA_KEEP, _h60
+
+    max_ts = (
+        batch.filter(F.col("user_id").isNotNull())
+        .filter(_h60(F.col("user_id")) < THETA_KEEP)
+        .agg(F.max("ts"))
+        .collect()[0][0]
+    )
+    want = {
+        (r.window_start, r.event_type): (r.window_end, r.est_users)
+        for r in theta_distinct_stream(batch).collect()
+    }
+    horizon = max_ts - datetime.timedelta(hours=2)
+    for k, (end, est) in want.items():
+        if end <= horizon:
+            assert got[k] == est, k
+        elif k in got:
+            assert got[k] == est, k
+    assert set(got) <= set(want)
+    assert got, "watermark horizon swallowed every window"
+
+    exact = {
+        (r.w.start, r.event_type): r.n
+        for r in batch.filter(F.col("user_id").isNotNull())
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    # θ=1/4 on small per-window audiences is noisy; the bound here is the
+    # sketch's own ±4/θ·sqrt band, asserted loosely: estimates stay within
+    # max(16, 3x) of exact — a broken sample or scale factor lands far out
+    for k, (end, est) in want.items():
+        ex = exact[k]
+        assert est <= max(16, 3 * ex) and (est >= ex / 3 or ex <= 16), (k, est, ex)
