@@ -68,6 +68,15 @@ HEAVY = [
     # moves them) repopulate with corpus size — sf0.01 greenness alone
     # proves little about the trained-codebook float path
     "ann_pq_topk",
+    # r8 sketch/text/ANN additions: theta sample populations, MG candidate
+    # survival, bigram-model mass, CDC chunk boundaries, and IVF cell
+    # routing all shift with corpus size — each is exactly the
+    # sf-dependent class the driver's sf0.01 pass cannot see
+    "events_theta_overlap",
+    "doc_token_heavy_hitters",
+    "doc_bigram_logprob",
+    "doc_cdc_chunks",
+    "ann_ivfpq_topk",
 ]
 
 
