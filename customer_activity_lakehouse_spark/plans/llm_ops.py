@@ -3302,6 +3302,111 @@ FROM sq SEMI JOIN bf USING (vec_id)
 """
 
 
+CONTAIN_TAU_NUM, CONTAIN_TAU_DEN = 4, 5  # containment threshold τ = 0.8
+
+
+def q_dedup_containment(spark: SparkSession, sf: str) -> DataFrame:
+    """ASYMMETRIC near-dup detection — containment |A∩B| / |A| ≥ τ over
+    char-8-gram shingle sets: catches a doc living INSIDE a longer one
+    (wire stories in roundups, quoted posts, boilerplate-wrapped reprints)
+    that symmetric Jaccard misses outright (a 100-shingle doc embedded in
+    a 1000-shingle page has Jaccard ≤ 0.1 but containment 1.0). This is
+    the metric the dedup literature pairs with suffix-array substring
+    dedup; shingle containment is its set-algebra form.
+
+    Recall-exact prefix filter, containment-adapted: order shingles by
+    global (df, shingle) rarity; if B misses ALL of A's first
+    ⌊(1-τ)·|A|⌋+1 prefix shingles then |A∩B| < τ|A| — so candidates are
+    A-PREFIX postings joined against FULL postings on the B side (the
+    asymmetry: only the contained side gets a prefix). ⌈τ·n⌉ is integer
+    arithmetic ((4n+4) DIV 5) so both engines slice identical prefixes.
+
+    Scale shape: prefixes hold each doc's RAREST shingles and char-8-gram
+    df is tiny on natural text, so posting lists stay short; documents
+    shuffle once, keyed by doc_id, for the exact verify join. Same
+    degenerate-corpus caveat as `dedup_setsim_prefix` (exact output is
+    Ω(true pairs)); the capped/audited LSH family remains the always-
+    scalable screen. Output: per CONTAINED doc, how many containers hold
+    it and the max containment — the drop-list a curation pass acts on."""
+    docs = table(spark, sf, "documents")
+    d = (
+        _trimmed_docs(docs)
+        .select("doc_id", _shingles(F.col("t")).alias("sh"))
+        .filter(F.size("sh") > 0)
+    )
+    post = d.select("doc_id", F.explode("sh").alias("s"))
+    dfc = post.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    ordered = (
+        post.join(dfc, "s")
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list(F.struct("df", "s"))).alias("ord"))
+        .select(
+            "doc_id",
+            F.transform("ord", lambda x: x["s"]).alias("ord"),
+            F.size("ord").alias("n_sh"),
+        )
+    )
+    k = f"n_sh - ({CONTAIN_TAU_NUM} * n_sh + {CONTAIN_TAU_NUM}) DIV {CONTAIN_TAU_DEN} + 1"
+    pfx = ordered.select("doc_id", F.explode(F.expr(f"slice(ord, 1, {k})")).alias("s"))
+    cand = (
+        pfx.select(F.col("doc_id").alias("doc_a"), "s")
+        .join(post.select(F.col("doc_id").alias("doc_b"), "s"), "s")
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    da = d.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sa"))
+    db = d.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sb"))
+    cont = F.size(F.array_intersect("sa", "sb")).cast("double") / F.size("sa")
+    pairs = (
+        cand.join(da, "doc_a")
+        .join(db, "doc_b")
+        .withColumn("containment", F.round(cont, 4))
+        .filter(
+            F.col("containment")
+            >= F.lit(CONTAIN_TAU_NUM) / F.lit(CONTAIN_TAU_DEN)
+        )
+        .select("doc_a", "doc_b", "containment")
+    )
+    return pairs.groupBy(F.col("doc_a").alias("doc_id")).agg(
+        F.count(F.lit(1)).alias("n_containers"),
+        F.max("containment").alias("max_containment"),
+    )
+
+
+ORACLE_DEDUP_CONTAINMENT = f"""
+WITH d AS MATERIALIZED (
+  SELECT doc_id, {_SQL_SHINGLES} AS sh FROM documents
+  WHERE len({_SQL_SHINGLES}) > 0
+),
+post AS MATERIALIZED (SELECT doc_id, unnest(sh) AS s FROM d),
+dfc AS (SELECT s, count(*)::BIGINT AS df FROM post GROUP BY s),
+ordered AS (
+  SELECT p.doc_id, list(p.s ORDER BY f.df, p.s) AS ord, count(*)::BIGINT AS n_sh
+  FROM post p JOIN dfc f USING (s) GROUP BY p.doc_id
+),
+pfx AS (
+  SELECT doc_id,
+         unnest(ord[1 : (n_sh - ({CONTAIN_TAU_NUM} * n_sh + {CONTAIN_TAU_NUM}) // {CONTAIN_TAU_DEN} + 1)::INT]) AS s
+  FROM ordered
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM pfx a JOIN post b USING (s) WHERE a.doc_id != b.doc_id
+),
+pairs AS (
+  SELECT c.doc_a, c.doc_b,
+         round(len(list_intersect(x.sh, y.sh))::DOUBLE / len(x.sh), 4) AS containment
+  FROM cand c JOIN d x ON x.doc_id = c.doc_a JOIN d y ON y.doc_id = c.doc_b
+)
+SELECT doc_a AS doc_id, count(*)::BIGINT AS n_containers,
+       max(containment) AS max_containment
+FROM pairs
+WHERE containment >= {CONTAIN_TAU_NUM} / {CONTAIN_TAU_DEN}
+GROUP BY doc_a
+"""
+
+
 BIGRAM_SURPRISAL_TOP_K = 20
 
 
@@ -3500,10 +3605,13 @@ FROM chunks GROUP BY source
 
 QUERIES: dict[str, Query] = {
     "doc_bigram_logprob": Query(
-        q_doc_bigram_logprob, ORACLE_DOC_BIGRAM_LOGPROB, ("text", "quality", "lm")
+        q_doc_bigram_logprob, ORACLE_DOC_BIGRAM_LOGPROB, ("text", "quality", "lm"), True
     ),
     "doc_cdc_chunks": Query(
         q_doc_cdc_chunks, ORACLE_DOC_CDC_CHUNKS, ("text", "dedup", "chunking")
+    ),
+    "dedup_containment": Query(
+        q_dedup_containment, ORACLE_DEDUP_CONTAINMENT, ("dedup", "setsim")
     ),
     "ann_sq_recall": Query(
         q_ann_sq_recall, ORACLE_ANN_SQ_RECALL, ("similarity", "quantization", "audit")

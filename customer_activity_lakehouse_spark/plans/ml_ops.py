@@ -2196,6 +2196,107 @@ def _ivfpq_sql_oracle() -> str:
 ORACLE_ANN_IVFPQ_TOPK = _ivfpq_sql_oracle()
 
 
+# ----------------------------------------------------- PCA power iteration
+
+PCA_ITERS = 6  # fixed iteration count — the analytic contract, like k-means
+PCA_CSCALE = 100  # per-row projection quantization (2dp) before integer sums
+
+
+def q_embedding_pca_power(spark: SparkSession, sf: str) -> DataFrame:
+    """Top principal direction of the embedding corpus by MATRIX-FREE
+    power iteration — the covariance-free PCA that works at 100 TB: never
+    materialize the D×D covariance (fine at D=64, impossible for joint
+    feature spaces), never shuffle a vector. Per iteration: broadcast the
+    current direction v (one D-vector), project every row map-side
+    (q·v), and update w_d = Σ_x q_d·proj_x as D partial-aggregable sums —
+    the same one-broadcast-one-partial-agg shape as `embedding_kmeans`'s
+    Lloyd step. Six fixed iterations, then normalize; the output is
+    DEFINED as 6 power steps from v0 = 1/8·𝟙 (an analytic contract, like
+    the k-means entry — convergence diagnostics belong to the caller).
+
+    Determinism doctrine: vectors are the integer-quantized q grid; each
+    row's projection is a sequential double fold (engine-identical)
+    quantized to integers (round(proj·100)) BEFORE the distributed sum,
+    so every cross-row reduction is exact integer arithmetic —
+    parallelism-independent, bit-reproducible against DuckDB. Magnitudes:
+    |q|≤10³, |c|≤10⁶ ⇒ per-dim sums ≤ ~10¹⁴ rows·products at sf0.1 —
+    inside int64, and exact under double (< 2⁵³) for the final division.
+
+    UNcentered: the dominant direction of the raw second moment (top
+    right-singular vector), not of the mean-centered covariance —
+    embeddings here are near-zero-mean, and the centered variant is the
+    integer-preserving substitution x' = n·x − Σx (same direction,
+    DECIMAL(38,0) sums), noted as the extension rather than silently
+    approximated."""
+    embq = _km_quantized(spark, sf)
+    v = spark.range(1).select(
+        F.expr("array(" + ", ".join(["0.125D"] * KM_DIM) + ")").alias("v")
+    )
+    for _ in range(PCA_ITERS):
+        proj = embq.crossJoin(F.broadcast(v)).select(
+            "q",
+            F.round(
+                F.expr(
+                    "aggregate(zip_with(q, v, (a, b) -> a * b),"
+                    " 0.0D, (acc, x) -> acc + x)"
+                )
+                * PCA_CSCALE
+            )
+            .cast("long")
+            .alias("c"),
+        )
+        sums = proj.agg(
+            *[
+                F.sum(F.expr(f"element_at(q, {d + 1}) * c")).alias(f"s{d}")
+                for d in range(KM_DIM)
+            ]
+        )
+        w = sums.select(
+            F.array(*[F.col(f"s{d}").cast("double") for d in range(KM_DIM)]).alias("w")
+        )
+        v = w.select(
+            F.expr(
+                "transform(w, x -> x / sqrt(aggregate(transform(w, y -> y * y),"
+                " 0.0D, (acc, y) -> acc + y)))"
+            ).alias("v")
+        )
+    return (
+        v.select(F.posexplode("v").alias("dim0", "loading"))
+        .select(
+            (F.col("dim0") + 1).cast("int").alias("dim"),
+            F.round("loading", 6).alias("loading"),
+        )
+    )
+
+
+def _pca_sql_oracle() -> str:
+    parts = [
+        "WITH emb AS MATERIALIZED (SELECT vec_id,"
+        f" list_transform(embedding, x -> floor(x::DOUBLE * {KM_SCALE})::BIGINT) AS q"
+        " FROM embeddings)",
+        "v0 AS (SELECT [" + ", ".join(["0.125"] * KM_DIM) + "]::DOUBLE[] AS v)",
+    ]
+    w_list = ", ".join(f"sum(q[{d + 1}] * c)::DOUBLE" for d in range(KM_DIM))
+    for i in range(1, PCA_ITERS + 1):
+        parts.append(
+            f"c{i} AS (SELECT q, round(list_sum(list_transform(range(1, {KM_DIM} + 1),"
+            f" j -> q[j] * v[j])) * {PCA_CSCALE})::BIGINT AS c FROM emb, v{i - 1})"
+        )
+        parts.append(f"w{i} AS (SELECT [{w_list}] AS w FROM c{i})")
+        parts.append(
+            f"v{i} AS (SELECT list_transform(w,"
+            f" x -> x / sqrt(list_sum(list_transform(w, y -> y * y)))) AS v FROM w{i})"
+        )
+    return (
+        ",\n".join(parts)
+        + f"\nSELECT j::INT AS dim, round(v[j], 6) AS loading"
+        f" FROM v{PCA_ITERS}, range(1, {KM_DIM} + 1) t(j)"
+    )
+
+
+ORACLE_EMBEDDING_PCA_POWER = _pca_sql_oracle()
+
+
 # -------------------------------------------------- sketch family: set ops
 
 # Fixed-threshold theta sketch: keep a user iff the top 60 bits of
@@ -2379,11 +2480,18 @@ QUERIES: dict[str, Query] = {
         q_doc_token_heavy_hitters,
         ORACLE_DOC_TOKEN_HEAVY_HITTERS,
         ("text", "sketch", "arrow"),
+        True,
     ),
     "ann_ivfpq_topk": Query(
         q_ann_ivfpq_topk,
         ORACLE_ANN_IVFPQ_TOPK,
         ("ml", "similarity", "quantization"),
+        True,
+    ),
+    "embedding_pca_power": Query(
+        q_embedding_pca_power,
+        ORACLE_EMBEDDING_PCA_POWER,
+        ("ml", "embedding", "iterative"),
     ),
     "ann_pq_topk": Query(
         q_ann_pq_topk,

@@ -663,3 +663,35 @@ def test_ann_ivfpq_cells_broadcast_codes_in_row(spark, sf_correctness):
     assert "BroadcastHashJoin" in plan, plan
     hash_keys = set(re.findall(r"Exchange hashpartitioning\((\w+)#", plan))
     assert hash_keys <= {"m", "cluster", "vec_id"}, f"unexpected exchanges: {hash_keys}"
+
+
+def test_containment_prefix_postings_no_nested_loop(spark, sf_correctness):
+    """Containment dedup's scale contract: candidates come from the
+    (prefix × full) posting join — hash joins on the shingle key — and
+    the exact verify re-joins documents BY doc_id; no nested-loop or
+    cartesian pair enumeration anywhere."""
+    plan = explain_str(QUERIES["dedup_containment"].fn(spark, sf_correctness), "simple")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "partial_count" in explain_str(
+        QUERIES["dedup_containment"].fn(spark, sf_correctness)
+    ), "df counts must map-side combine"
+
+
+def test_pca_power_vectors_never_shuffle(spark, sf_correctness):
+    """Power iteration's scale contract: per iteration ONE broadcast of v
+    and ONE global partial-aggregated sum (D integer sums → a
+    SinglePartition merge of partial rows); corpus vectors never hash-
+    shuffle. Any hashpartitioning exchange means a vector-scale shuffle
+    leaked in."""
+    import re
+
+    from customer_activity_lakehouse_spark.plans.ml_ops import PCA_ITERS
+
+    plan = explain_str(QUERIES["embedding_pca_power"].fn(spark, sf_correctness), "simple")
+    assert "BroadcastExchange" in plan, plan
+    assert not re.search(r"Exchange hashpartitioning", plan), plan
+    assert plan.count("SinglePartition") == PCA_ITERS, plan
+    assert "partial_sum" in explain_str(
+        QUERIES["embedding_pca_power"].fn(spark, sf_correctness)
+    ), "per-dim sums must map-side combine"

@@ -77,6 +77,13 @@ HEAVY = [
     "doc_bigram_logprob",
     "doc_cdc_chunks",
     "ann_ivfpq_topk",
+    # PCA: the integer magnitudes of the per-dim sums (and thus the
+    # double-exactness headroom the docstring reasons about) grow
+    # linearly with corpus size — precisely the sf-dependent class.
+    # dedup_containment stays OUT like dedup_setsim_prefix: exact-anchor
+    # output is Ω(true pairs) and this template-heavy corpus is the
+    # documented degenerate case.
+    "embedding_pca_power",
 ]
 
 
