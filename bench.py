@@ -334,7 +334,9 @@ def main() -> None:
             "point lookups with and without the bloom index — their "
             "RATIO is the feature's measured value; 34->37 queries{} "
             "entries) plus THREE benched queries (doc_unigram_logprob, "
-            "ann_sq_topk, ann_pq_topk), 37->40; compare "
+            "ann_sq_topk, ann_pq_topk), 37->40, then THREE more "
+            "(doc_token_heavy_hitters, doc_bigram_logprob, "
+            "ann_ivfpq_topk), 40->43; compare "
             "value_full across rounds on the shared subset. "
             "etl_pipeline is reported separately in queries. "
             "Events NTZ-cast cost (~0.1 s/query at sf0.1, required "
