@@ -1624,6 +1624,34 @@ def q_media_image_census(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_media_audio_census(spark: SparkSession, sf: str) -> DataFrame:
+    """Audio-side twin of `media_image_census`: per-codec census of the
+    audio corpus after the Arrow decode pass — clip counts, total decoded
+    samples, and the RMS/peak envelope. Same contract: gen_media corpus
+    (md5-keyed, partition-count-independent), mapInPandas Arrow decode
+    (multimodal/media.py:audio_features — payloads never shuffle; only
+    the (media_id, scalar-features) rows do), rows-only driver check with
+    exact values and cross-partitioning determinism pinned by
+    tests/test_multimodal.py. Aggregates are integer counts/sums and
+    min/max over per-row doubles — order-independent by construction."""
+    from ..multimodal.media import audio_features, gen_media
+
+    media = gen_media(spark, n_rows=300, seed=42)
+    feats = audio_features(media)
+    meta = media.select("media_id", F.col("metadata.codec").alias("codec"))
+    return (
+        feats.join(meta, "media_id")
+        .groupBy("codec")
+        .agg(
+            F.count(F.lit(1)).alias("n_clips"),
+            F.sum("n_samples").alias("total_samples"),
+            F.round(F.min("rms"), 4).alias("min_rms"),
+            F.round(F.max("rms"), 4).alias("max_rms"),
+            F.round(F.max("peak"), 4).alias("max_peak"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # First-touch attribution
 # ---------------------------------------------------------------------------
@@ -2566,6 +2594,14 @@ QUERIES: dict[str, Query] = {
     # driver check; exact values pinned by tests/test_multimodal.py
     "media_image_census": Query(
         q_media_image_census,
+        None,
+        ("multimodal", "arrow"),
+    ),
+    # rows-only by design, same contract as media_image_census: the
+    # decode chain is not SQL-expressible; exact values pinned by
+    # tests/test_multimodal.py
+    "media_audio_census": Query(
+        q_media_audio_census,
         None,
         ("multimodal", "arrow"),
     ),

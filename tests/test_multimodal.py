@@ -626,3 +626,33 @@ def test_duplicate_image_groups(spark):
     fams = duplicate_image_groups(df).collect()
     assert len(fams) == 1
     assert fams[0].n_images == 2 and list(fams[0].media_ids) == [1, 2]
+
+
+def test_media_audio_census_stable_and_arrow_backed(spark):
+    """Audio twin of the image census: deterministic across runs and
+    partitionings, totals reconciling against the corpus's audio rows,
+    decode through mapInPandas — never a row-Python UDF."""
+    import contextlib
+    import io
+
+    from customer_activity_lakehouse_spark.plans.ml_ops import q_media_audio_census
+
+    df = q_media_audio_census(spark, "unused-sf-dir")
+    rows1 = sorted((r.asDict() for r in df.collect()), key=lambda d: d["codec"])
+    rows2 = sorted(
+        (r.asDict() for r in q_media_audio_census(spark, "x").collect()),
+        key=lambda d: d["codec"],
+    )
+    assert rows1 == rows2
+    assert 0 < len(rows1) <= 4  # one row per codec present among audio rows
+    n_audio = gen_media(spark, 300, seed=42).filter("kind = 'audio'").count()
+    assert sum(r["n_clips"] for r in rows1) == n_audio
+    for r in rows1:
+        assert r["total_samples"] > 0
+        assert 0 <= r["min_rms"] <= r["max_rms"] <= r["max_peak"]
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("simple")
+    plan = buf.getvalue()
+    assert "MapInPandas" in plan
+    assert "BatchEvalPython" not in plan
