@@ -788,6 +788,67 @@ FROM enc GROUP BY doc_id ORDER BY doc_id"""
 ORACLE_DOC_BPE_ENCODE = _bpe_encode_sql()
 
 
+def q_doc_bpe_pack(spark: SparkSession, sf: str) -> DataFrame:
+    """The induce → encode → PACK chain, end to end — the actual shape a
+    training pipeline ships: `doc_bpe_vocab` learns the merges,
+    `doc_bpe_encode` prices every document in REAL tokenizer tokens, and
+    this entry packs those token counts into fixed context-window bins
+    with the `pack_sequences` primitive (whitespace counts, which
+    `doc_pack_sequences` packs on, overestimate BPE-merged lengths — bins
+    packed on them underfill every context window). Output: per (lang,
+    pack) doc counts and token fill.
+
+    Scale shape is the union of its parts: encoding is the (doc, word)
+    partial agg + JVM replace chain (merge table broadcast as literals),
+    packing shuffles only the shard key; see both primitives' docstrings
+    for the 100 TB sharding contract."""
+    from .llm_ops import pack_sequences
+
+    enc = q_doc_bpe_encode(spark, sf)
+    docs = table(spark, sf, "documents").select("doc_id", "lang")
+    toks = enc.join(docs, "doc_id").select(
+        "lang", "doc_id", F.col("n_tokens").alias("n_tok")
+    )
+    packed = pack_sequences(toks, shard_cols=["lang"])
+    return packed.groupBy("lang", "pack_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("pack_tokens"),
+    )
+
+
+def _bpe_pack_sql() -> str:
+    """Encode chain (verbatim, through ``enc``) + the recursive greedy
+    packer from ORACLE_DOC_PACK_SEQUENCES, re-based on BPE token counts."""
+    from .llm_ops import PACK_TOKEN_BUDGET
+
+    prefix = ORACLE_DOC_BPE_ENCODE.rsplit("\nSELECT doc_id, sum(c)", 1)[0]
+    prefix = prefix.replace("WITH ", "WITH RECURSIVE ", 1)
+    return f"""{prefix},
+per_doc AS (SELECT doc_id, sum(c * tok)::BIGINT AS n_tok FROM enc GROUP BY doc_id),
+toks AS (
+  SELECT d.lang, p.doc_id, p.n_tok,
+         row_number() OVER (PARTITION BY d.lang ORDER BY p.doc_id) AS rn
+  FROM per_doc p JOIN documents d USING (doc_id)
+),
+packs AS (
+  SELECT lang, doc_id, n_tok, rn, 0 AS pack_id, n_tok AS cum
+  FROM toks WHERE rn = 1
+  UNION ALL
+  SELECT t.lang, t.doc_id, t.n_tok, t.rn,
+         CASE WHEN p.cum > 0 AND p.cum + t.n_tok > {PACK_TOKEN_BUDGET}
+              THEN p.pack_id + 1 ELSE p.pack_id END,
+         CASE WHEN p.cum > 0 AND p.cum + t.n_tok > {PACK_TOKEN_BUDGET}
+              THEN t.n_tok ELSE p.cum + t.n_tok END
+  FROM toks t JOIN packs p ON t.lang = p.lang AND t.rn = p.rn + 1
+)
+SELECT lang, pack_id, count(*)::BIGINT AS n_docs, sum(n_tok)::BIGINT AS pack_tokens
+FROM packs GROUP BY lang, pack_id
+"""
+
+
+ORACLE_DOC_BPE_PACK = _bpe_pack_sql()
+
+
 # ---------------------------------------------------------------------------
 # Semantic dedup within k-means cells (SemDeDup-shaped)
 # ---------------------------------------------------------------------------
@@ -2520,6 +2581,11 @@ QUERIES: dict[str, Query] = {
         q_embedding_pca_power,
         ORACLE_EMBEDDING_PCA_POWER,
         ("ml", "embedding", "iterative"),
+    ),
+    "doc_bpe_pack": Query(
+        q_doc_bpe_pack,
+        ORACLE_DOC_BPE_PACK,
+        ("text", "tokenizer", "packing"),
     ),
     "ann_pq_topk": Query(
         q_ann_pq_topk,
