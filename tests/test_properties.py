@@ -457,6 +457,9 @@ def test_column_mapping_model(spark, tmp_path_factory, ops, data):
     # model: cols -> {row_id: value}; engine rows carry (rid, one col per name)
     next_rid = 0
     next_col = 0
+    next_ren = 0  # renames need their OWN counter: reusing next_col lets a
+    # rename chain reach a fixed point (dst == src after 3 hops via the
+    # [-6:] suffix truncation) and collide — a hypothesis-found test bug
     cols: dict[str, dict[int, int]] = {}
     all_rids: list[int] = []
 
@@ -492,7 +495,8 @@ def test_column_mapping_model(spark, tmp_path_factory, ops, data):
             append(new_col=True)
         elif op == 2 and names:  # rename
             src_name = data.draw(st.sampled_from(names), label="rename_src")
-            dst = f"r{next_col}_{src_name[-6:]}"
+            next_ren += 1
+            dst = f"ren{next_ren}_{src_name[-6:]}"
             rename_snapshot_column(spark, t, src_name, dst)
             cols[dst] = cols.pop(src_name)
         elif op == 3 and len(names) > 1:  # drop (keep rid)
