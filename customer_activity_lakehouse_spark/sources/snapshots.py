@@ -761,6 +761,7 @@ def commit_append(
     allow_schema_evolution: bool = False,
     stats_cols: list[str] | None = None,
     partition_by: list[str] | None = None,
+    extra: dict | None = None,
 ) -> int:
     """Append ``df`` as a new snapshot: new files = previous snapshot's
     files + this batch's. Retries on version races (append order does not
@@ -873,6 +874,7 @@ def commit_append(
         sig,
         new_stats,
         allow_schema_evolution,
+        extra=extra,
         validated_constraints=entry_cons,
         mapping=mapping,
         partition_by=partition_by,
@@ -885,6 +887,7 @@ def commit_overwrite(
     df: DataFrame,
     stats_cols: list[str] | None = None,
     partition_by: list[str] | None = None,
+    extra: dict | None = None,
 ) -> int:
     """Replace the table contents as a new snapshot (old versions remain
     readable until vacuumed). On a version race this ABORTS instead of
@@ -942,6 +945,8 @@ def commit_overwrite(
     new_stats = _attach_blooms(spark, table_dir, prev_m, files, new_stats)
     if new_stats:
         manifest["stats"] = new_stats
+    if extra:
+        manifest.update(extra)
     if not _try_commit(spark, table_dir, version, manifest):
         raise RuntimeError(
             f"commit_overwrite: version {version} was committed concurrently at "
@@ -2647,16 +2652,26 @@ def merge_snapshot(
         merged = survivors.unionByName(upd_rows.select(*survivors.columns)).unionByName(
             ins_rows.select(*survivors.columns)
         )
-        # change feed: postimages for updates/inserts, preimages for both
-        # delete flavors — all derived from frames already computed above
+        # change feed, Delta CDF vocabulary: update_preimage (the matched
+        # target row) AND update_postimage per updated key, inserts,
+        # delete preimages — all derived from frames already computed
+        # above. Preimages are what make ADDITIVE downstream consumers
+        # (incremental.maintain_sum_aggregate) possible: a postimage-only
+        # feed cannot subtract the old contribution.
         del_pre = existing.join(kdel.dropDuplicates(keys), keys, "left_semi")
         if not_matched_by_source_delete is not None:
             nmbs_pre = existing.join(src_keys, keys, "left_anti").filter(
                 not_matched_by_source_delete
             )
             del_pre = del_pre.unionByName(nmbs_pre)
+        upd_pre = existing.join(kupd.dropDuplicates(keys), keys, "left_semi")
         changes = (
-            upd_rows.withColumn("change_type", F.lit("update"))
+            upd_rows.withColumn("change_type", F.lit("update_postimage"))
+            .unionByName(
+                upd_pre.select(*payload_cols).withColumn(
+                    "change_type", F.lit("update_preimage")
+                )
+            )
             .unionByName(ins_rows.withColumn("change_type", F.lit("insert")))
             .unionByName(
                 del_pre.select(*payload_cols).withColumn(
@@ -2671,7 +2686,8 @@ def merge_snapshot(
         )
         merged = survivors.unionByName(updates.select(*existing.columns))
         # change feed: an update key that matched a touched file is an
-        # UPDATE (postimage = the update row); the rest are INSERTs. Keys
+        # UPDATE (postimage = the update row, preimage = the matched
+        # target row — Delta CDF vocabulary); the rest are INSERTs. Keys
         # outside every touched file are provably absent from the table
         # (that's what the pruning asserts), so the split needs no second
         # table scan.
@@ -2679,10 +2695,16 @@ def merge_snapshot(
             "__m", F.lit(1)
         )
         changes = updates.join(matched, keys, "left").select(
-            *[c for c in updates.columns],
+            *existing.columns,
             F.when(F.col("__m").isNull(), F.lit("insert"))
-            .otherwise(F.lit("update"))
+            .otherwise(F.lit("update_postimage"))
             .alias("change_type"),
+        )
+        upd_pre = existing.join(
+            updates.select(*keys).dropDuplicates(keys), keys, "left_semi"
+        )
+        changes = changes.unionByName(
+            upd_pre.withColumn("change_type", F.lit("update_preimage"))
         )
     else:
         merged = updates
@@ -3049,11 +3071,19 @@ def update_snapshot(
         f"v{base_v + 1:05d}-update-{uuid.uuid4().hex[:12]}",
         partition_by=_part_keys(m) or None,
     )
-    postimages = updated_cols(existing.filter(cond), only_matching=True).withColumn(
-        "change_type", F.lit("update")
+    # Delta CDF vocabulary: preimage (the matched row as it was) +
+    # postimage (after SET) — additive consumers need both
+    changes = (
+        updated_cols(existing.filter(cond), only_matching=True)
+        .withColumn("change_type", F.lit("update_postimage"))
+        .unionByName(
+            existing.filter(cond).withColumn(
+                "change_type", F.lit("update_preimage")
+            )
+        )
     )
     cdc_path = _write_data(
-        _to_physical(postimages, colmap),
+        _to_physical(changes, colmap),
         table_dir,
         f"v{base_v + 1:05d}-update-cdc-{uuid.uuid4().hex[:12]}",
     )
@@ -3096,7 +3126,12 @@ def snapshot_change_feed(
     """Delta's readChangeFeed over the snapshot log: the PER-COMMIT change
     rows for every version in (v_from, v_to] — table columns plus
     ``change_type`` and ``_commit_version`` — at cost O(|changes|), never
-    a two-snapshot diff:
+    a two-snapshot diff. ``change_type`` uses Delta CDF's full vocabulary:
+    ``insert``, ``delete``, and updates as PAIRED ``update_preimage`` /
+    ``update_postimage`` rows — preimages are what let additive consumers
+    (``incremental.maintain_sum_aggregate``) subtract a row's old
+    contribution; replica-building consumers (``tables.apply_changes``)
+    drop them and upsert on postimages, exactly Delta's APPLY CHANGES:
 
     - append commits read exactly their added files ('insert');
     - merge/delete/update commits read the CHANGE FILES they persisted at
@@ -3286,7 +3321,15 @@ def _update_snapshot_dv(
         partition_by=_part_keys(m) or None,
     )
     cdc_path = _write_data(
-        _to_physical(postimages.withColumn("change_type", F.lit("update")), colmap),
+        _to_physical(
+            postimages.withColumn("change_type", F.lit("update_postimage"))
+            .unionByName(
+                matched.select(*data_cols).withColumn(
+                    "change_type", F.lit("update_preimage")
+                )
+            ),
+            colmap,
+        ),
         table_dir,
         f"v{base_v + 1:05d}-update-cdc-{uuid.uuid4().hex[:12]}",
     )

@@ -277,7 +277,9 @@ def _stage_and_swap(
     fs.delete(jretired, True)
 
 
-CHANGE_TYPES = ("insert", "update", "delete")
+# 'update' is the NET-diff form (snapshot_changes); the per-commit change
+# feed uses Delta CDF's split vocabulary update_preimage/update_postimage
+CHANGE_TYPES = ("insert", "update", "delete", "update_preimage", "update_postimage")
 
 
 def apply_changes(
@@ -306,6 +308,10 @@ def apply_changes(
             f"apply_changes: unknown change type {bad[0]!r} "
             f"(expected one of {CHANGE_TYPES})"
         )
+    # preimages describe the OLD row — replica state comes from the
+    # postimage (Delta's APPLY CHANGES drops them the same way); dropping
+    # before the merge also keeps a key's winning record unambiguous
+    changes = changes.filter(F.col(change_col) != "update_preimage")
     merge_upsert(
         spark,
         spec,

@@ -227,8 +227,10 @@ def test_stream_cdc_mode_flows_through_dml(registered, tmp_path):
     by_type = {}
     for r in rows:
         by_type.setdefault(r.change_type, []).append(r)
-    # merge: id=0 matched (update), id=7 inserted; delete: id=4 removed
-    assert {r.id for r in by_type["update"]} == {0}
+    # merge: id=0 matched (pre+post images — Delta CDF vocabulary),
+    # id=7 inserted; delete: id=4 removed
+    assert {r.id for r in by_type["update_preimage"]} == {0}
+    assert {r.id for r in by_type["update_postimage"]} == {0}
     assert {r.id for r in by_type["insert"]} == set(range(5)) | {7}
     assert {r.id for r in by_type["delete"]} == {4}
     assert {r._commit_version for r in rows} == {1, 2, 3}

@@ -943,15 +943,20 @@ def test_snapshot_change_feed_per_commit_granularity(spark, tmp_path):
 
     feed = snapshot_change_feed(spark, t, v_from=v1)
     rows = {(r.id, r.v, r.change_type, r._commit_version) for r in feed.collect()}
+    # Delta CDF vocabulary: every update carries its preimage AND postimage
     assert rows == {
-        (3, -3, "update", v2),
+        (3, 6, "update_preimage", v2),
+        (3, -3, "update_postimage", v2),
         (100, -100, "insert", v2),
         (5, 10, "delete", v3),
-        (100, -1000, "update", v5),
-        (3, 333, "update", v6),
+        (100, -100, "update_preimage", v5),
+        (100, -1000, "update_postimage", v5),
+        (3, -3, "update_preimage", v6),
+        (3, 333, "update_postimage", v6),
     }
-    # per-commit granularity: id 3 appears once per change, version-stamped
-    assert sorted(r[3] for r in rows if r[0] == 3) == [v2, v6]
+    # per-commit granularity: id 3 appears (pre, post) per change,
+    # version-stamped
+    assert sorted(r[3] for r in rows if r[0] == 3) == [v2, v2, v6, v6]
     # sub-ranges slice exactly
     assert {r._commit_version for r in snapshot_change_feed(spark, t, v2, v5).collect()} == {v3, v5}
 
@@ -1380,8 +1385,10 @@ def test_deletion_vector_update_appends_postimages(spark, tmp_path):
 
     feed = snapshot_change_feed(spark, t, 2, v3)
     assert {(r.id, r.v, r.change_type) for r in feed.collect()} == {
-        (4, -8, "update"),
-        (1004, -2008, "update"),
+        (4, 8, "update_preimage"),
+        (4, -8, "update_postimage"),
+        (1004, 2008, "update_preimage"),
+        (1004, -2008, "update_postimage"),
     }
     # a second DV update of the SAME key hits the postimage row, not the
     # DV'd preimage (reads go through the vectors)
@@ -1981,7 +1988,12 @@ def test_merge_clauses_cdc_tombstone_apply(spark, tmp_path):
     feed = snapshot_change_feed(spark, t, v - 1, v)
     counts = {r["change_type"]: r["n"] for r in feed.groupBy("change_type").agg(
         F.count(F.lit(1)).alias("n")).collect()}
-    assert counts == {"delete": 1, "insert": 1, "update": 1}
+    assert counts == {
+        "delete": 1,
+        "insert": 1,
+        "update_preimage": 1,
+        "update_postimage": 1,
+    }
     # the dropped metadata columns never land in the table or the feed
     assert set(feed.columns) >= {"id", "v", "change_type"}
     assert "op" not in feed.columns and "op" not in read_snapshot(spark, t).columns

@@ -798,9 +798,11 @@ def test_write_stream_snapshot_merge_exactly_once(spark, tmp_path):
     got = {r.user_id: r.last_event for r in read_snapshot(spark, t).collect()}
     assert len(got) == 50
     assert got[49] == 199 and got[0] == 150  # max event_id per user (v%50)
-    # the merge commits are change-feed readable (one commit per batch)
+    # the merge commits are change-feed readable (one commit per batch);
+    # Delta CDF vocabulary — each updated key carries pre- AND postimage
     feed = snapshot_change_feed(spark, t, 1)
-    assert feed.filter("change_type = 'update'").count() == 50
+    assert feed.filter("change_type = 'update_postimage'").count() == 50
+    assert feed.filter("change_type = 'update_preimage'").count() == 50
     # REPLAY: calling the batch fn again with an already-committed id is a no-op
     from customer_activity_lakehouse_spark.sources.snapshots import _list_versions
 
