@@ -68,6 +68,24 @@ def _stamp_only(
     )
 
 
+def _reject_null_keys(touched: DataFrame, keys: list[str], op: str) -> None:
+    """MERGE key semantics are SQL's: NULL never matches NULL (Delta
+    MERGE behaves identically), so a null-keyed aggregate row is
+    unaddressable by maintenance — it would silently go stale (matched
+    path) or duplicate (insert path). Fail loudly instead; the fix
+    belongs in the view definition (``coalesce(k, <sentinel>)``)."""
+    cond = None
+    for k in keys:
+        c = F.col(k).isNull()
+        cond = c if cond is None else (cond | c)
+    if touched.filter(cond).limit(1).collect():
+        raise ValueError(
+            f"{op}: change feed touches a NULL group key in {keys} — "
+            "MERGE cannot address null-keyed aggregate rows (SQL null "
+            "semantics); coalesce the grouping key in the view definition"
+        )
+
+
 def _signed_delta(feed: DataFrame, keys: list[str], sum_cols: list[str]) -> DataFrame:
     sign = (
         F.when(F.col("change_type").isin("insert", "update_postimage"), F.lit(1))
@@ -139,12 +157,38 @@ def maintain_sum_aggregate(
     if not delta.limit(1).collect():
         _stamp_only(spark, agg_dir, keys, extra)
         return src_latest
+    _reject_null_keys(delta, keys, "maintain_sum_aggregate")
 
-    cur = read_snapshot(spark, agg_dir).select(
-        *keys,
-        *[F.col(c).alias(f"__cur_{c}") for c in sum_cols],
-        F.col(_N_COL).alias("__cur_n"),
-    )
+    apply_signed_delta(spark, agg_dir, delta, keys, sum_cols, extra)
+    return src_latest
+
+
+def apply_signed_delta(
+    spark: SparkSession,
+    agg_dir: str,
+    delta: DataFrame,
+    keys: list[str],
+    sum_cols: list[str],
+    extra: dict,
+) -> None:
+    """MERGE a signed per-key delta frame (``keys + sum_cols + n_rows``)
+    into the aggregate table: absolutes come from a left join against
+    ONLY the touched keys' current rows; keys whose count reaches 0 are
+    deleted; new keys insert. A missing aggregate table bootstraps from
+    the delta alone (the CDC stream's first batch IS the initial snapshot
+    as inserts — Delta CDF's startingVersion=0 contract)."""
+    try:
+        cur = read_snapshot(spark, agg_dir).select(
+            *keys,
+            *[F.col(c).alias(f"__cur_{c}") for c in sum_cols],
+            F.col(_N_COL).alias("__cur_n"),
+        )
+    except FileNotFoundError:
+        cur = delta.select(
+            *keys,
+            *[F.col(c).alias(f"__cur_{c}") for c in sum_cols],
+            F.col(_N_COL).alias("__cur_n"),
+        ).limit(0)
     absolute = (
         delta.join(cur, keys, "left")
         .select(
@@ -157,6 +201,93 @@ def maintain_sum_aggregate(
             .cast("long")
             .alias(_N_COL),
         )
+    )
+    merge_snapshot(
+        spark,
+        agg_dir,
+        absolute,
+        keys,
+        stats_cols=[keys[0]],
+        extra=extra,
+        when_matched_delete=f"s.{_N_COL} = 0",
+        when_not_matched_insert=f"{_N_COL} > 0",
+    )
+
+
+def maintain_recompute_aggregate(
+    spark: SparkSession,
+    src_dir: str,
+    agg_dir: str,
+    keys: list[str],
+    agg_exprs: dict[str, str],
+) -> int | None:
+    """Materialized view for NON-ADDITIVE aggregates (MIN/MAX/
+    count-distinct/...): signed folding cannot undo a deleted row's
+    contribution to a MIN, so maintenance recomputes — but only the
+    TOUCHED keys. ``agg_exprs`` maps output columns to SQL aggregate
+    expressions over source rows (e.g. ``{"v_min": "min(v)"}``);
+    ``n_rows`` is always appended.
+
+    The 100 TB contract: the feed names which keys changed
+    (O(|changes|)); the recompute scans the source pruned to the touched
+    keys' [min, max] range via the manifest's own per-file stats
+    (``skip_where``) then semi-joined to the exact key set — cost is
+    O(|files containing touched keys|), not a table rescan. A day of
+    changes against an all-time MIN/MAX rollup touches that day's keys'
+    files only. Same exactly-once stamp + overwrite-resync discipline as
+    :func:`maintain_sum_aggregate`.
+
+    Delta/DLT is the public model (partial recompute of invalidated
+    groups); the reference recomputes its curated zone wholesale each run
+    (data_processing.py:217)."""
+    src_latest = max(_list_versions(spark, src_dir))
+    v_from = _consumed_version(spark, agg_dir)
+    if v_from >= src_latest:
+        return None
+    extra = {"mv_consumed_version": src_latest}
+
+    def full_agg(snap: DataFrame) -> DataFrame:
+        return snap.groupBy(*keys).agg(
+            *[F.expr(e).alias(c) for c, e in agg_exprs.items()],
+            F.count(F.lit(1)).cast("long").alias(_N_COL),
+        )
+
+    if v_from == 0:
+        commit_append(
+            spark, agg_dir, full_agg(read_snapshot(spark, src_dir)),
+            stats_cols=[keys[0]], extra=extra,
+        )
+        return src_latest
+    try:
+        feed = snapshot_change_feed(spark, src_dir, v_from, src_latest)
+    except ValueError:
+        commit_overwrite(
+            spark, agg_dir, full_agg(read_snapshot(spark, src_dir)),
+            stats_cols=[keys[0]], extra=extra,
+        )
+        return src_latest
+
+    touched = feed.select(*keys).dropDuplicates(keys)
+    # 1-row driver fetch, |touched| bounded by the change batch — the
+    # same batch-sized bounds probe merge_snapshot's pruning uses
+    b = touched.agg(
+        F.min(keys[0]).alias("lo"),
+        F.max(keys[0]).alias("hi"),
+        F.count(F.lit(1)).alias("n"),
+        F.count(keys[0]).alias("n_nonnull"),
+    ).collect()[0]
+    if b["n"] == 0:
+        _stamp_only(spark, agg_dir, keys, extra)
+        return src_latest
+    if b["n"] > b["n_nonnull"] or len(keys) > 1:
+        _reject_null_keys(touched, keys, "maintain_recompute_aggregate")
+    pruned = read_snapshot(spark, src_dir, skip_where=(keys[0], b["lo"], b["hi"]))
+    recomputed = full_agg(pruned.join(touched, keys, "left_semi"))
+    # touched keys with no surviving source rows leave the aggregate
+    absolute = touched.join(recomputed, keys, "left").select(
+        *keys,
+        *[F.col(c) for c in agg_exprs],
+        F.coalesce(_N_COL, F.lit(0)).cast("long").alias(_N_COL),
     )
     merge_snapshot(
         spark,

@@ -2517,7 +2517,12 @@ def merge_snapshot(
         if when_not_matched_insert is not None:
             # empty table: every source row is NOT MATCHED
             boot = updates.filter(when_not_matched_insert).select(*payload_cols)
-        return commit_append(spark, table_dir, boot, stats_cols=stats_cols)
+        # ``extra`` must ride the bootstrap too: streaming sinks stamp
+        # their batch id through it, and a dropped stamp would make the
+        # FIRST micro-batch silently replayable (double-fold on recovery)
+        return commit_append(
+            spark, table_dir, boot, stats_cols=stats_cols, extra=extra
+        )
     base_v = versions[-1]
     m = _read_manifest(spark, table_dir, base_v)
     sig = m.get("schema")

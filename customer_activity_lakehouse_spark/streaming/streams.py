@@ -825,3 +825,69 @@ def write_stream_snapshot_merge(
         ) from last_err
 
     return write_stream_foreach_batch(updates, merge_batch, checkpoint)
+
+
+def write_stream_incremental_aggregate(
+    changes: DataFrame,
+    agg_dir: str,
+    keys: list[str],
+    sum_cols: list[str],
+    checkpoint: str,
+    available_now: bool = True,
+    max_retries: int = 8,
+):
+    """STREAMING materialized aggregate — the DLT pattern end to end: a
+    CDC stream (the snapshot-log DataSource's ``mode=cdc`` reader, rows =
+    table columns + ``change_type``) continuously maintains a per-key
+    SUM/COUNT aggregate snapshot table. Each micro-batch folds its change
+    rows into signed per-key deltas (insert/update_postimage = +1,
+    delete/update_preimage = −1) and MERGEs absolutes in — cost per batch
+    O(|changes| + |touched keys|), never a source rescan, which is what
+    lets an all-time rollup ride a 100 TB table's stream of daily DML.
+
+    Exactly-once: the merge commit records the micro-batch id atomically
+    with the aggregate change (``stream_batch_id``); a foreachBatch replay
+    finds the id in recent history and SKIPS — additive application is
+    NOT idempotent, so this replay dedup (same mechanism as
+    :func:`write_stream_snapshot_merge`) is load-bearing, not hygiene.
+    The CDC reader's first batch delivers the source's initial snapshot
+    as 'insert' rows (Delta CDF startingVersion=0 contract), so bootstrap
+    is just batch 0. Float caveat as in ``sources.incremental``: exact
+    for integer/decimal measures."""
+    from customer_activity_lakehouse_spark.sources import incremental as inc
+    from customer_activity_lakehouse_spark.sources import snapshots as snap
+
+    def fold_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        recent = snap._list_versions(spark, agg_dir)[-32:]  # [] if no table yet
+        for v in recent[::-1]:
+            if snap._read_commit(spark, agg_dir, v).get(
+                "stream_batch_id"
+            ) == batch_id:
+                return  # replayed batch: already folded in
+        delta = inc._signed_delta(
+            batch_df.drop("_commit_version"), keys, sum_cols
+        )
+        if not delta.limit(1).collect():
+            return
+        inc._reject_null_keys(delta, keys, "write_stream_incremental_aggregate")
+        last_err: Exception | None = None
+        for _ in range(max_retries):
+            try:
+                inc.apply_signed_delta(
+                    spark, agg_dir, delta, keys, sum_cols,
+                    extra={"stream_batch_id": batch_id},
+                )
+                return
+            except RuntimeError as e:
+                if "committed concurrently" not in str(e):
+                    raise
+                last_err = e  # lost a version race: re-read and re-merge
+        raise RuntimeError(
+            f"write_stream_incremental_aggregate: batch {batch_id} lost "
+            f"{max_retries} version races at {agg_dir}"
+        ) from last_err
+
+    return write_stream_foreach_batch(
+        changes, fold_batch, checkpoint, available_now=available_now
+    )

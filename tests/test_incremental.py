@@ -10,6 +10,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from customer_activity_lakehouse_spark.sources.incremental import (
+    maintain_recompute_aggregate,
     maintain_sum_aggregate,
 )
 from customer_activity_lakehouse_spark.sources.snapshots import (
@@ -122,6 +123,178 @@ def test_mv_overwrite_falls_back_to_resync(spark, tmp_path):
     v = maintain_sum_aggregate(spark, src, agg, ["k"], ["v"])
     assert v == max(_list_versions(spark, src))
     assert _mv(spark, agg) == _recompute(spark, src)
+
+
+def _recompute_minmax(spark, src):
+    return {
+        r.k: (r.v_min, r.v_max, r.n)
+        for r in read_snapshot(spark, src)
+        .groupBy("k")
+        .agg(F.min("v").alias("v_min"), F.max("v").alias("v_max"),
+             F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+
+
+def test_minmax_mv_survives_extremum_deletion(spark, tmp_path):
+    """The case signed folding can NEVER maintain: delete the row holding
+    a key's MAX — the recompute MV must find the new max from the
+    survivors, touching only the changed keys."""
+    src = str(tmp_path / "src")
+    agg = str(tmp_path / "agg")
+    exprs = {"v_min": "min(v)", "v_max": "max(v)"}
+    commit_append(spark, src, _src_df(spark, 0, 40).coalesce(2), stats_cols=["id"])
+    v = maintain_recompute_aggregate(spark, src, agg, ["k"], exprs)
+    assert v == 1
+    assert {r.k: (r.v_min, r.v_max, r.n_rows)
+            for r in read_snapshot(spark, agg).collect()} == _recompute_minmax(spark, src)
+    assert maintain_recompute_aggregate(spark, src, agg, ["k"], exprs) is None
+
+    # id=39 is k=4's max (v=78); id=35..38 removes the runners-up too
+    delete_snapshot(spark, src, "id >= 35", stats_cols=["id"])
+    update_snapshot(spark, src, "id = 2", {"v": "v - 1000"}, stats_cols=["id"])
+    merge_snapshot(
+        spark, src,
+        spark.createDataFrame([(100, 0, 7)], "id long, k long, v long"),
+        ["id"], stats_cols=["id"],
+    )
+    v = maintain_recompute_aggregate(spark, src, agg, ["k"], exprs)
+    assert v == max(_list_versions(spark, src))
+    assert {r.k: (r.v_min, r.v_max, r.n_rows)
+            for r in read_snapshot(spark, agg).collect()} == _recompute_minmax(spark, src)
+
+
+def test_minmax_mv_key_retirement_and_null_key_rejection(spark, tmp_path):
+    """Key 1 retires when its last row dies. A NULL group key must FAIL
+    LOUDLY: SQL MERGE (Delta's too) never matches NULL keys, so a
+    null-keyed aggregate row is unaddressable by maintenance — silent
+    staleness is the failure mode the guard prevents."""
+    src = str(tmp_path / "src")
+    agg = str(tmp_path / "agg")
+    exprs = {"v_max": "max(v)"}
+    df = spark.createDataFrame(
+        [(0, 0, 10), (1, 0, 20), (2, 1, 30), (3, None, 40), (4, None, 5)],
+        "id long, k long, v long",
+    )
+    commit_append(spark, src, df.coalesce(1), stats_cols=["id"])
+    maintain_recompute_aggregate(spark, src, agg, ["k"], exprs)
+    got = {r.k: (r.v_max, r.n_rows) for r in read_snapshot(spark, agg).collect()}
+    assert got == {0: (20, 2), 1: (30, 1), None: (40, 2)}  # bootstrap is a full agg
+    # the incremental path refuses a feed touching the null group
+    delete_snapshot(spark, src, "id = 2 OR id = 3", stats_cols=["id"])
+    with pytest.raises(ValueError, match="NULL group key"):
+        maintain_recompute_aggregate(spark, src, agg, ["k"], exprs)
+    # a non-null-key change still maintains (key 1 retires)
+    src2 = str(tmp_path / "src2")
+    agg2 = str(tmp_path / "agg2")
+    commit_append(spark, src2, df.filter("k IS NOT NULL").coalesce(1), stats_cols=["id"])
+    maintain_recompute_aggregate(spark, src2, agg2, ["k"], exprs)
+    delete_snapshot(spark, src2, "id = 2", stats_cols=["id"])
+    maintain_recompute_aggregate(spark, src2, agg2, ["k"], exprs)
+    got = {r.k: (r.v_max, r.n_rows) for r in read_snapshot(spark, agg2).collect()}
+    assert got == {0: (20, 2)}
+
+
+def test_sum_mv_rejects_null_group_key(spark, tmp_path):
+    src = str(tmp_path / "src")
+    agg = str(tmp_path / "agg")
+    df = spark.createDataFrame(
+        [(0, 0, 10), (1, None, 20)], "id long, k long, v long"
+    )
+    commit_append(spark, src, df.coalesce(1), stats_cols=["id"])
+    maintain_sum_aggregate(spark, src, agg, ["k"], ["v"])  # bootstrap: full agg ok
+    delete_snapshot(spark, src, "id = 1", stats_cols=["id"])
+    with pytest.raises(ValueError, match="NULL group key"):
+        maintain_sum_aggregate(spark, src, agg, ["k"], ["v"])
+
+
+def test_minmax_mv_overwrite_resync(spark, tmp_path):
+    src = str(tmp_path / "src")
+    agg = str(tmp_path / "agg")
+    exprs = {"v_min": "min(v)", "v_max": "max(v)"}
+    commit_append(spark, src, _src_df(spark, 0, 30).coalesce(1), stats_cols=["id"])
+    maintain_recompute_aggregate(spark, src, agg, ["k"], exprs)
+    commit_overwrite(spark, src, _src_df(spark, 100, 115).coalesce(1), stats_cols=["id"])
+    v = maintain_recompute_aggregate(spark, src, agg, ["k"], exprs)
+    assert v == max(_list_versions(spark, src))
+    assert {r.k: (r.v_min, r.v_max, r.n_rows)
+            for r in read_snapshot(spark, agg).collect()} == _recompute_minmax(spark, src)
+
+
+def test_streaming_mv_follows_cdc_stream_exactly_once(spark, tmp_path):
+    """End-to-end DLT shape: snapshot_log CDC stream → streaming
+    incremental aggregate. Batch 0 bootstraps from the initial snapshot's
+    insert rows; a second availableNow pass folds only the new DML
+    commits; a replayed batch id is a no-op (the stamp lives in the
+    aggregate's own log)."""
+    from customer_activity_lakehouse_spark.sources.datasource import (
+        SnapshotLogDataSource,
+    )
+    import customer_activity_lakehouse_spark.streaming.streams as S
+
+    spark.dataSource.register(SnapshotLogDataSource)
+    src = str(tmp_path / "src")
+    agg = str(tmp_path / "agg")
+    ck = str(tmp_path / "ck")
+    commit_append(spark, src, _src_df(spark, 0, 20).coalesce(2), stats_cols=["id"])
+
+    def run_pass():
+        sdf = (
+            spark.readStream.format("snapshot_log")
+            .option("path", src)
+            .option("mode", "cdc")
+            .load()
+        )
+        q = S.write_stream_incremental_aggregate(sdf, agg, ["k"], ["v"], ck)
+        q.awaitTermination(120)
+
+    run_pass()
+    assert _mv(spark, agg) == _recompute(spark, src)
+    n_agg_v = len(_list_versions(spark, agg))
+
+    # full DML surface on the source, then one more availableNow pass
+    merge_snapshot(
+        spark, src,
+        spark.range(0, 4).selectExpr("id", "id % 5 AS k", "id * 100 AS v"),
+        ["id"], stats_cols=["id"],
+    )
+    delete_snapshot(spark, src, "id >= 18", mode="dv", stats_cols=["id"])
+    update_snapshot(spark, src, "id = 10", {"v": "v + 1"}, stats_cols=["id"])
+    run_pass()
+    assert _mv(spark, agg) == _recompute(spark, src)
+
+    # REPLAY: re-deliver an already-committed batch id — must be a no-op
+    captured = {}
+    orig = S.write_stream_foreach_batch
+
+    def capture(df, fn, *a, **kw):
+        captured["fn"] = fn
+
+        class _Done:
+            def awaitTermination(self, *_):
+                return True
+
+        return _Done()
+
+    S.write_stream_foreach_batch = capture
+    try:
+        S.write_stream_incremental_aggregate(
+            spark.createDataFrame(
+                [(999, 0, 1, "insert")], "id long, k long, v long, change_type string"
+            ),
+            agg, ["k"], ["v"], ck,
+        )
+    finally:
+        S.write_stream_foreach_batch = orig
+    replay_df = spark.createDataFrame(
+        [(999, 0, 12345, "insert")], "id long, k long, v long, change_type string"
+    )
+    before = _mv(spark, agg)
+    captured["fn"](replay_df, 0)  # batch 0 already stamped in the agg log
+    assert _mv(spark, agg) == before
+    assert len(_list_versions(spark, agg)) >= n_agg_v  # and no new data commit
+    captured["fn"](replay_df, 777)  # a NEW batch id applies
+    assert _mv(spark, agg)[0] == (before[0][0] + 12345, before[0][1] + 1)
 
 
 def test_mv_rejects_unknown_change_type(spark):
