@@ -1,0 +1,214 @@
+"""Oracle-checked DML surface: the snapshot log's MERGE / DELETE /
+UPDATE / change-feed / materialized-view chain, expressed as catalog
+queries so the driver's DuckDB gate checks the TABLE LAYER itself — not
+just analytics over parquet.
+
+Each query builds a scratch snapshot table from the sf_dir's ``orders``
+(memoized per sf_dir, so the three queries share one build), applies a
+deterministic DML chain, and returns a frame whose oracle is the same
+chain replayed as DuckDB CTEs over the ``orders`` view:
+
+  v1  append   orders (o_orderkey, o_custkey, price DECIMAL(18,2))
+      + MV bootstrap (per-custkey SUM/COUNT)
+  v2  MERGE    matched  (o_orderkey % 11 = 0): price += 100
+               inserted (o_orderkey % 101 = 0): shifted key +10_000_000,
+               price 50.00
+  v3  DELETE   o_orderkey % 13 = 0
+  v4  UPDATE   o_custkey % 17 = 0: price += 1
+      + MV incremental maintenance (consumes the v2..v4 change feed)
+
+Money discipline: DECIMAL(18,2) end to end (plans/core.py MONEY
+convention) so sums are order-independent and hash-exact in both engines.
+
+Reference: the reference pipeline has no DML surface at all — its curated
+zone is a full overwrite each run (data_processing.py:217); this module
+is beyond-reference surface with Delta Lake's verbs as the public model.
+"""
+
+from __future__ import annotations
+
+import atexit
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .core import MONEY
+from .registry import Query, table
+
+# sf_dir -> (src_table_dir, mv_dir); one build shared by all dml queries
+_SCRATCH: dict[str, tuple[str, str]] = {}
+
+
+def _dml_chain(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    if sf_dir in _SCRATCH:
+        return _SCRATCH[sf_dir]
+    from ..sources.incremental import maintain_sum_aggregate
+    from ..sources.snapshots import (
+        commit_append,
+        delete_snapshot,
+        merge_snapshot,
+        update_snapshot,
+    )
+
+    base = tempfile.mkdtemp(prefix="calh-dml-")
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
+    src, agg = f"{base}/orders_snap", f"{base}/orders_mv"
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.col("o_totalprice").cast(MONEY).alias("price"),
+    )
+    commit_append(spark, src, orders.repartition(4), stats_cols=["o_orderkey"])
+    maintain_sum_aggregate(spark, src, agg, ["o_custkey"], ["price"])
+    upd = orders.filter("o_orderkey % 11 = 0").withColumn(
+        "price", F.expr(f"cast(price + 100 as {MONEY})")
+    )
+    ins = orders.filter("o_orderkey % 101 = 0").select(
+        (F.col("o_orderkey") + F.lit(10_000_000)).alias("o_orderkey"),
+        "o_custkey",
+        F.expr(f"cast(50.00 as {MONEY})").alias("price"),
+    )
+    merge_snapshot(
+        spark, src, upd.unionByName(ins), ["o_orderkey"], stats_cols=["o_orderkey"]
+    )
+    delete_snapshot(spark, src, "o_orderkey % 13 = 0", stats_cols=["o_orderkey"])
+    update_snapshot(
+        spark,
+        src,
+        "o_custkey % 17 = 0",
+        {"price": f"cast(price + 1 as {MONEY})"},
+        stats_cols=["o_orderkey"],
+    )
+    maintain_sum_aggregate(spark, src, agg, ["o_custkey"], ["price"])
+    _SCRATCH[sf_dir] = (src, agg)
+    return src, agg
+
+
+# DuckDB mirror of the chain; each stage AS MATERIALIZED (re-referenced).
+_SQL_CHAIN = """
+WITH base AS MATERIALIZED (
+  SELECT o_orderkey, o_custkey, o_totalprice::DECIMAL(18,2) AS price
+  FROM orders
+), batch AS MATERIALIZED (
+  SELECT o_orderkey, o_custkey, (price + 100)::DECIMAL(18,2) AS price
+  FROM base WHERE o_orderkey % 11 = 0
+  UNION ALL
+  SELECT o_orderkey + 10000000, o_custkey, 50.00::DECIMAL(18,2)
+  FROM base WHERE o_orderkey % 101 = 0
+), merged AS MATERIALIZED (
+  SELECT b.o_orderkey,
+         coalesce(u.o_custkey, b.o_custkey) AS o_custkey,
+         coalesce(u.price, b.price) AS price
+  FROM base b LEFT JOIN batch u ON b.o_orderkey = u.o_orderkey
+  UNION ALL
+  SELECT u.o_orderkey, u.o_custkey, u.price
+  FROM batch u ANTI JOIN base b ON u.o_orderkey = b.o_orderkey
+), survivors AS MATERIALIZED (
+  SELECT * FROM merged WHERE o_orderkey % 13 != 0
+), final AS MATERIALIZED (
+  SELECT o_orderkey, o_custkey,
+         CASE WHEN o_custkey % 17 = 0 THEN (price + 1)::DECIMAL(18,2)
+              ELSE price END AS price
+  FROM survivors
+)
+"""
+
+
+def q_dml_snapshot_mv_totals(spark: SparkSession, sf: str) -> DataFrame:
+    """The materialized view AFTER the full DML chain: per-custkey totals
+    maintained incrementally from the change feed (sources/incremental.py)
+    must equal the oracle's from-scratch aggregate of the final state —
+    one green row here certifies MERGE, DELETE, UPDATE, the pre/postimage
+    change feed, AND the MV fold in a single equality."""
+    _, agg = _dml_chain(spark, sf)
+    from ..sources.snapshots import read_snapshot
+
+    return read_snapshot(spark, agg).select(
+        "o_custkey",
+        F.round(F.col("price").cast("double"), 2).alias("total_price"),
+        F.col("n_rows"),
+    )
+
+
+ORACLE_DML_SNAPSHOT_MV_TOTALS = (
+    _SQL_CHAIN
+    + """
+SELECT o_custkey, round(sum(price)::DOUBLE, 2) AS total_price,
+       count(*) AS n_rows
+FROM final GROUP BY o_custkey
+"""
+)
+
+
+def q_dml_change_feed_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-commit change-feed row counts across the DML chain — checks the
+    CDF vocabulary itself (Delta CDF parity: paired update_preimage/
+    update_postimage, insert, delete) and per-commit granularity against
+    counts the oracle derives from the replayed chain."""
+    src, _ = _dml_chain(spark, sf)
+    from ..sources.snapshots import snapshot_change_feed
+
+    feed = snapshot_change_feed(spark, src, 1)  # (v1, latest]
+    return feed.groupBy(
+        F.col("_commit_version").alias("commit_version"), "change_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+
+ORACLE_DML_CHANGE_FEED_AUDIT = (
+    _SQL_CHAIN
+    + """
+SELECT 2 AS commit_version, 'update_preimage' AS change_type, count(*) AS n
+FROM base WHERE o_orderkey % 11 = 0
+UNION ALL
+SELECT 2, 'update_postimage', count(*) FROM base WHERE o_orderkey % 11 = 0
+UNION ALL
+SELECT 2, 'insert', count(*) FROM base WHERE o_orderkey % 101 = 0
+UNION ALL
+SELECT 3, 'delete', count(*) FROM merged WHERE o_orderkey % 13 = 0
+UNION ALL
+SELECT 4, 'update_preimage', count(*) FROM survivors WHERE o_custkey % 17 = 0
+UNION ALL
+SELECT 4, 'update_postimage', count(*) FROM survivors WHERE o_custkey % 17 = 0
+"""
+)
+
+
+def q_dml_time_travel_totals(spark: SparkSession, sf: str) -> DataFrame:
+    """TIMESTAMP-ordinal time travel: version 1 read AFTER three DML
+    commits must still be byte-for-byte the initial append — the oracle is
+    just the raw ``orders`` aggregate, untouched by the chain."""
+    src, _ = _dml_chain(spark, sf)
+    from ..sources.snapshots import read_snapshot
+
+    return read_snapshot(spark, src, version=1).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("price").cast("double"), 2).alias("total_price"),
+    )
+
+
+ORACLE_DML_TIME_TRAVEL_TOTALS = """
+SELECT count(*) AS n_orders,
+       round(sum(o_totalprice::DECIMAL(18,2))::DOUBLE, 2) AS total_price
+FROM orders
+"""
+
+
+QUERIES: dict[str, Query] = {
+    "dml_snapshot_mv_totals": Query(
+        q_dml_snapshot_mv_totals,
+        ORACLE_DML_SNAPSHOT_MV_TOTALS,
+        ("dml", "merge", "mv", "agg"),
+    ),
+    "dml_change_feed_audit": Query(
+        q_dml_change_feed_audit,
+        ORACLE_DML_CHANGE_FEED_AUDIT,
+        ("dml", "cdc", "audit"),
+    ),
+    "dml_time_travel_totals": Query(
+        q_dml_time_travel_totals,
+        ORACLE_DML_TIME_TRAVEL_TOTALS,
+        ("dml", "timetravel", "agg"),
+    ),
+}

@@ -178,23 +178,27 @@ def apply_signed_delta(
     the delta alone (the CDC stream's first batch IS the initial snapshot
     as inserts — Delta CDF's startingVersion=0 contract)."""
     try:
-        cur = read_snapshot(spark, agg_dir).select(
-            *keys,
-            *[F.col(c).alias(f"__cur_{c}") for c in sum_cols],
-            F.col(_N_COL).alias("__cur_n"),
-        )
+        full = read_snapshot(spark, agg_dir)
     except FileNotFoundError:
-        cur = delta.select(
-            *keys,
-            *[F.col(c).alias(f"__cur_{c}") for c in sum_cols],
-            F.col(_N_COL).alias("__cur_n"),
-        ).limit(0)
+        full = delta.limit(0)
+    # additions widen decimals (dec(28,2)+dec(28,2) → dec(29,2)), which
+    # would trip the merge's schema-drift gate — pin each measure back to
+    # the type the bootstrap committed (headroom for 10 decimal digits of
+    # row count over the source type; an overflow past THAT fails loudly)
+    tgt = {f.name: f.dataType for f in full.schema.fields}
+    cur = full.select(
+        *keys,
+        *[F.col(c).alias(f"__cur_{c}") for c in sum_cols],
+        F.col(_N_COL).alias("__cur_n"),
+    )
     absolute = (
         delta.join(cur, keys, "left")
         .select(
             *keys,
             *[
-                (F.coalesce(f"__cur_{c}", F.lit(0)) + F.col(c)).alias(c)
+                (F.coalesce(f"__cur_{c}", F.lit(0)) + F.col(c))
+                .cast(tgt[c])
+                .alias(c)
                 for c in sum_cols
             ],
             (F.coalesce("__cur_n", F.lit(0)) + F.col(_N_COL))

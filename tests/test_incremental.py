@@ -297,6 +297,32 @@ def test_streaming_mv_follows_cdc_stream_exactly_once(spark, tmp_path):
     assert _mv(spark, agg)[0] == (before[0][0] + 12345, before[0][1] + 1)
 
 
+def test_sum_mv_decimal_measure_stays_committed_type(spark, tmp_path):
+    """Decimal measures: sum widening (dec(28,2)+dec(28,2) → dec(29,2))
+    must not trip the merge's schema-drift gate — the absolute is pinned
+    back to the bootstrap's committed type, and values stay exact."""
+    src = str(tmp_path / "src")
+    agg = str(tmp_path / "agg")
+    df = spark.range(0, 20).selectExpr(
+        "id", "id % 5 AS k", "cast(id * 1.5 AS decimal(18,2)) AS v"
+    )
+    commit_append(spark, src, df.coalesce(1), stats_cols=["id"])
+    maintain_sum_aggregate(spark, src, agg, ["k"], ["v"])
+    assert read_snapshot(spark, agg).schema["v"].dataType.simpleString() == "decimal(28,2)"
+    delete_snapshot(spark, src, "id >= 15", stats_cols=["id"])
+    update_snapshot(spark, src, "id = 0", {"v": "cast(v + 0.25 as decimal(18,2))"},
+                    stats_cols=["id"])
+    maintain_sum_aggregate(spark, src, agg, ["k"], ["v"])
+    got = {r.k: (str(r.v), r.n_rows) for r in read_snapshot(spark, agg).collect()}
+    want = {
+        r.k: (str(r.v), r.n)
+        for r in read_snapshot(spark, src).groupBy("k").agg(
+            F.sum("v").alias("v"), F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert got == want
+    assert read_snapshot(spark, agg).schema["v"].dataType.simpleString() == "decimal(28,2)"
+
+
 def test_mv_rejects_unknown_change_type(spark):
     from customer_activity_lakehouse_spark.sources.incremental import _signed_delta
 
