@@ -160,6 +160,58 @@ def _make_snapshot_dml_tasks(spark, sf_dir: str, work_dir: str, n_passes: int):
     return tasks
 
 
+MV_MAINTAIN_RUNS = 3
+
+
+def _make_mv_maintain_tasks(spark, sf_dir: str, work_dir: str, n_passes: int):
+    """Pre-build per pass (untimed): an orders snapshot table, its
+    bootstrapped per-custkey SUM materialized view, and an applied
+    MERGE (range-local 1% batch) + ranged DELETE. The timed callable is
+    ONE incremental maintenance run — the per-batch cost of keeping an
+    all-time rollup current from the change feed, which is
+    O(|changes| + |touched aggregate keys|) and independent of source
+    size; at 100 TB this number is why the MV exists at all."""
+    from pyspark.sql import functions as F
+
+    from customer_activity_lakehouse_spark.sources import snapshots as snap
+    from customer_activity_lakehouse_spark.sources.incremental import (
+        maintain_sum_aggregate,
+    )
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey",
+        "o_custkey",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+    )
+    lo, hi = orders.agg(F.min("o_orderkey"), F.max("o_orderkey")).collect()[0]
+    span = max(1, hi - lo)
+    upd_hi = lo + span // 100
+    del_lo, del_hi = lo + span // 2, lo + span // 2 + span // 200
+    updates = orders.filter(F.col("o_orderkey") <= upd_hi).withColumn(
+        "price", F.expr("cast(price + 100 as decimal(18,2))")
+    )
+    base = orders.repartitionByRange(8, "o_orderkey")
+    tasks = []
+    for i in range(n_passes):
+        sdir, adir = f"{work_dir}/mv_src_{i}", f"{work_dir}/mv_agg_{i}"
+        snap.commit_append(spark, sdir, base, stats_cols=["o_orderkey"])
+        maintain_sum_aggregate(spark, sdir, adir, ["o_custkey"], ["price"])
+        snap.merge_snapshot(spark, sdir, updates, keys=["o_orderkey"])
+        snap.delete_snapshot(
+            spark,
+            sdir,
+            f"o_orderkey BETWEEN {del_lo} AND {del_hi}",
+            prune_where=("o_orderkey", del_lo, del_hi),
+        )
+
+        def run(sdir=sdir, adir=adir):
+            v = maintain_sum_aggregate(spark, sdir, adir, ["o_custkey"], ["price"])
+            assert v is not None, "mv_maintain: nothing consumed (setup bug)"
+
+        tasks.append(run)
+    return tasks
+
+
 SNAPSHOT_BLOOM_RUNS = 3
 BLOOM_PROBES = 10  # point lookups per timed pass
 
@@ -263,6 +315,22 @@ def main() -> None:
                 dml_samples.append(dt)
         samples["snapshot_dml"] = dml_samples
 
+        # MV-maintain phase (r8): one incremental materialized-view
+        # maintenance run over a pre-applied MERGE+DELETE change batch,
+        # fresh table pair per pass. Same-phase isolation rules;
+        # excluded from totals.
+        mv_tasks = _make_mv_maintain_tasks(
+            spark, sf_dir, work_dir, MV_MAINTAIN_RUNS + 1
+        )
+        mv_samples: list[float] = []
+        for i, run_mv in enumerate(mv_tasks):  # pass 0 is warm-up
+            t0 = time.perf_counter()
+            run_mv()
+            dt = time.perf_counter() - t0
+            if i > 0:
+                mv_samples.append(dt)
+        samples["mv_maintain"] = mv_samples
+
         # Snapshot-bloom phase (r8): BLOOM_PROBES point lookups on a
         # high-cardinality key, with vs without the bloom index, same
         # table. Same-phase isolation rules; excluded from totals.
@@ -302,6 +370,7 @@ def main() -> None:
             "snapshot_dml",
             "snapshot_bloom_lookup",
             "snapshot_full_lookup",
+            "mv_maintain",
         ]
         + sorted(n for n in headline if n not in legacy),
         "value_full_excludes": [
@@ -309,6 +378,7 @@ def main() -> None:
             "snapshot_dml",
             "snapshot_bloom_lookup",
             "snapshot_full_lookup",
+            "mv_maintain",
         ],
         "runs": RUNS,
         "note": (
@@ -336,8 +406,11 @@ def main() -> None:
             "entries) plus THREE benched queries (doc_unigram_logprob, "
             "ann_sq_topk, ann_pq_topk), 37->40, then THREE more "
             "(doc_token_heavy_hitters, doc_bigram_logprob, "
-            "ann_ivfpq_topk), 40->43; compare "
-            "value_full across rounds on the shared subset. "
+            "ann_ivfpq_topk), 40->43, then the mv_maintain phase "
+            "(one incremental MV maintenance run over a pre-applied "
+            "MERGE+DELETE change batch; fresh table pair per pass) "
+            "and THREE dml-chain catalog queries (not benched); "
+            "compare value_full across rounds on the shared subset. "
             "etl_pipeline is reported separately in queries. "
             "Events NTZ-cast cost (~0.1 s/query at sf0.1, required "
             "for UTC oracle parity): moved only with whole-set "

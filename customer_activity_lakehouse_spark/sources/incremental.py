@@ -86,19 +86,90 @@ def _reject_null_keys(touched: DataFrame, keys: list[str], op: str) -> None:
         )
 
 
+def _apply_transform(df: DataFrame, transform) -> DataFrame:
+    """Run the view-defining transform over change rows, enforcing its
+    contract: ``change_type`` must survive (signs are assigned AFTER the
+    transform — a dropped column would silently unsign the fold)."""
+    out = transform(df)
+    if "change_type" not in out.columns:
+        raise ValueError(
+            "mv transform must carry the change_type column through "
+            "(it assigns each output row its source row's fold sign)"
+        )
+    return out
+
+
+_FOLD_SIGNS = {
+    "insert": 1,
+    "update_postimage": 1,
+    "delete": -1,
+    "update_preimage": -1,
+}
+
+
 def _signed_delta(feed: DataFrame, keys: list[str], sum_cols: list[str]) -> DataFrame:
+    """Per-key signed fold. Unknown change types contribute to ``__bad``
+    instead of raising here, so validation rides the SAME job as the fold
+    (a row with a null sign nulls out of every sum — harmless, because
+    ``_fold_feed`` raises before any __bad-carrying delta is applied)."""
     sign = (
-        F.when(F.col("change_type").isin("insert", "update_postimage"), F.lit(1))
-        .when(F.col("change_type").isin("delete", "update_preimage"), F.lit(-1))
+        F.when(F.col("change_type").isin(*[k for k, s in _FOLD_SIGNS.items() if s == 1]), F.lit(1))
+        .when(F.col("change_type").isin(*[k for k, s in _FOLD_SIGNS.items() if s == -1]), F.lit(-1))
         .otherwise(F.lit(None))
     )
     signed = feed.withColumn("__sign", sign)
-    bad = signed.filter(F.col("__sign").isNull()).limit(1).collect()
-    if bad:
-        raise ValueError(f"unknown change_type in feed: {bad[0]['change_type']}")
     aggs = [F.sum(F.col(c) * F.col("__sign")).alias(c) for c in sum_cols]
     aggs.append(F.sum("__sign").cast("long").alias(_N_COL))
+    aggs.append(
+        F.sum(F.when(F.col("__sign").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("__bad")
+    )
     return signed.groupBy(*keys).agg(*aggs)
+
+
+def _fold_feed(
+    feed: DataFrame, keys: list[str], sum_cols: list[str], op: str
+) -> DataFrame | None:
+    """Fold + validate in ONE evaluation: the signed delta is persisted
+    (it is read again by the merge — without the cache the fold over the
+    change batch would run three times: emptiness probe, null-key probe,
+    merge write) and a single probe job checks change-type validity,
+    null group keys, and emptiness. Returns the persisted delta (caller
+    must unpersist) or None when the feed folds to nothing."""
+    delta = _signed_delta(feed, keys, sum_cols).persist()
+    nullk = None
+    for k in keys:
+        c = F.col(k).isNull()
+        nullk = c if nullk is None else (nullk | c)
+    p = delta.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("__bad").alias("bad"),
+        F.sum(F.when(nullk, 1).otherwise(0)).alias("nk"),
+    ).collect()[0]
+    if (p["bad"] or 0) > 0:
+        try:
+            bad = (
+                feed.filter(~F.col("change_type").isin(*_FOLD_SIGNS))
+                .select("change_type")
+                .limit(1)
+                .collect()
+            )
+            detail = bad[0]["change_type"] if bad else "?"
+        finally:
+            delta.unpersist()
+        raise ValueError(f"unknown change_type in feed: {detail!r}")
+    if p["n"] == 0:
+        delta.unpersist()
+        return None
+    if (p["nk"] or 0) > 0:
+        delta.unpersist()
+        raise ValueError(
+            f"{op}: change feed touches a NULL group key in {keys} — "
+            "MERGE cannot address null-keyed aggregate rows (SQL null "
+            "semantics); coalesce the grouping key in the view definition"
+        )
+    return delta
 
 
 def maintain_sum_aggregate(
@@ -107,6 +178,7 @@ def maintain_sum_aggregate(
     agg_dir: str,
     keys: list[str],
     sum_cols: list[str],
+    transform=None,
 ) -> int | None:
     """Advance the materialized SUM/COUNT aggregate at ``agg_dir`` to
     reflect ``src_dir``'s latest version. Returns the source version
@@ -116,6 +188,19 @@ def maintain_sum_aggregate(
     entry holds the per-key SUM of the source column, ``n_rows`` the
     surviving row count (AVG = sum/n downstream; keys whose count reaches
     0 are deleted).
+
+    ``transform`` (optional, DataFrame -> DataFrame) defines the view
+    over the source BEFORE aggregation — this is how an MV over a JOIN is
+    maintained (DLT's fact-⋈-dim rollup): it is applied to the feed's
+    change rows and folded with their signs, so it MUST be row-local and
+    deterministic — each input row maps to its output rows independent
+    of any other row and of WHEN it is evaluated. Broadcast joins to
+    STATIC dimension tables, filters, projections, explodes qualify; a
+    join to a dim that changes between maintenance runs does NOT (the
+    preimage would re-join against the new dim — maintain such views by
+    recompute, or snapshot the dim). The transform must carry the
+    ``change_type`` column through (joins/filters/withColumn do; a
+    select must include it) and must not read it.
 
     Maintenance plan, all on existing verbs: the change feed reads
     exactly the touched commits' files (O(|changes|)); the signed rollup
@@ -131,35 +216,43 @@ def maintain_sum_aggregate(
         return None
     extra = {"mv_consumed_version": src_latest}
 
-    if v_from == 0:
-        # bootstrap: aggregate the current snapshot directly
-        snap = read_snapshot(spark, src_dir)
-        agg = snap.groupBy(*keys).agg(
+    def full_agg(snap: DataFrame) -> DataFrame:
+        if transform is not None:
+            snap = _apply_transform(snap.withColumn("change_type", F.lit("insert")),
+                                    transform).drop("change_type")
+        return snap.groupBy(*keys).agg(
             *[F.sum(c).alias(c) for c in sum_cols],
             F.count(F.lit(1)).cast("long").alias(_N_COL),
         )
-        commit_append(spark, agg_dir, agg, stats_cols=[keys[0]], extra=extra)
+
+    if v_from == 0:
+        # bootstrap: aggregate the current snapshot directly
+        commit_append(
+            spark, agg_dir, full_agg(read_snapshot(spark, src_dir)),
+            stats_cols=[keys[0]], extra=extra,
+        )
         return src_latest
 
     try:
         feed = snapshot_change_feed(spark, src_dir, v_from, src_latest)
     except ValueError:
         # overwrite/restore in range: no row-level feed — full resync
-        snap = read_snapshot(spark, src_dir)
-        agg = snap.groupBy(*keys).agg(
-            *[F.sum(c).alias(c) for c in sum_cols],
-            F.count(F.lit(1)).cast("long").alias(_N_COL),
+        commit_overwrite(
+            spark, agg_dir, full_agg(read_snapshot(spark, src_dir)),
+            stats_cols=[keys[0]], extra=extra,
         )
-        commit_overwrite(spark, agg_dir, agg, stats_cols=[keys[0]], extra=extra)
         return src_latest
 
-    delta = _signed_delta(feed, keys, sum_cols)
-    if not delta.limit(1).collect():
+    if transform is not None:
+        feed = _apply_transform(feed, transform)
+    delta = _fold_feed(feed, keys, sum_cols, "maintain_sum_aggregate")
+    if delta is None:
         _stamp_only(spark, agg_dir, keys, extra)
         return src_latest
-    _reject_null_keys(delta, keys, "maintain_sum_aggregate")
-
-    apply_signed_delta(spark, agg_dir, delta, keys, sum_cols, extra)
+    try:
+        apply_signed_delta(spark, agg_dir, delta, keys, sum_cols, extra)
+    finally:
+        delta.unpersist()
     return src_latest
 
 

@@ -865,28 +865,31 @@ def write_stream_incremental_aggregate(
                 "stream_batch_id"
             ) == batch_id:
                 return  # replayed batch: already folded in
-        delta = inc._signed_delta(
-            batch_df.drop("_commit_version"), keys, sum_cols
+        delta = inc._fold_feed(
+            batch_df.drop("_commit_version"), keys, sum_cols,
+            "write_stream_incremental_aggregate",
         )
-        if not delta.limit(1).collect():
+        if delta is None:
             return
-        inc._reject_null_keys(delta, keys, "write_stream_incremental_aggregate")
-        last_err: Exception | None = None
-        for _ in range(max_retries):
-            try:
-                inc.apply_signed_delta(
-                    spark, agg_dir, delta, keys, sum_cols,
-                    extra={"stream_batch_id": batch_id},
-                )
-                return
-            except RuntimeError as e:
-                if "committed concurrently" not in str(e):
-                    raise
-                last_err = e  # lost a version race: re-read and re-merge
-        raise RuntimeError(
-            f"write_stream_incremental_aggregate: batch {batch_id} lost "
-            f"{max_retries} version races at {agg_dir}"
-        ) from last_err
+        try:
+            last_err: Exception | None = None
+            for _ in range(max_retries):
+                try:
+                    inc.apply_signed_delta(
+                        spark, agg_dir, delta, keys, sum_cols,
+                        extra={"stream_batch_id": batch_id},
+                    )
+                    return
+                except RuntimeError as e:
+                    if "committed concurrently" not in str(e):
+                        raise
+                    last_err = e  # lost a version race: re-read and re-merge
+            raise RuntimeError(
+                f"write_stream_incremental_aggregate: batch {batch_id} lost "
+                f"{max_retries} version races at {agg_dir}"
+            ) from last_err
+        finally:
+            delta.unpersist()
 
     return write_stream_foreach_batch(
         changes, fold_batch, checkpoint, available_now=available_now

@@ -323,11 +323,123 @@ def test_sum_mv_decimal_measure_stays_committed_type(spark, tmp_path):
     assert read_snapshot(spark, agg).schema["v"].dataType.simpleString() == "decimal(28,2)"
 
 
+def test_mv_maintenance_reads_only_change_files(spark, tmp_path):
+    """The 100 TB contract, gated on the actual scan: maintenance's feed
+    read must touch ONLY the DML commits' change files — never the base
+    table's data files. A regression here turns O(|changes|) maintenance
+    into a table rescan."""
+    src = str(tmp_path / "src")
+    commit_append(spark, src, _src_df(spark, 0, 40).coalesce(4), stats_cols=["id"])
+    base_files = set(read_snapshot(spark, src).inputFiles())
+    merge_snapshot(
+        spark, src,
+        spark.range(0, 3).selectExpr("id", "id % 5 AS k", "id * 9 AS v"),
+        ["id"], stats_cols=["id"],
+    )
+    delete_snapshot(spark, src, "id = 20", stats_cols=["id"])
+    from customer_activity_lakehouse_spark.sources.snapshots import (
+        snapshot_change_feed,
+    )
+
+    feed = snapshot_change_feed(spark, src, 1)
+    feed_files = set(feed.inputFiles())
+    assert feed_files, "feed read no files"
+    assert not (feed_files & base_files), (
+        "change feed scanned base data files: "
+        f"{sorted(feed_files & base_files)}"
+    )
+
+
+def test_recompute_mv_engages_stats_pruning(spark, tmp_path, monkeypatch):
+    """maintain_recompute_aggregate must pass the touched keys' [min,max]
+    to read_snapshot's skip_where — the mechanism that bounds the partial
+    recompute to the files containing touched keys."""
+    import customer_activity_lakehouse_spark.sources.incremental as inc
+
+    src = str(tmp_path / "src")
+    agg = str(tmp_path / "agg")
+    exprs = {"v_max": "max(v)"}
+    # two range-disjoint files
+    commit_append(spark, src, _src_df(spark, 0, 20).coalesce(1), stats_cols=["id"])
+    commit_append(
+        spark, src, _src_df(spark, 1000, 1020).coalesce(1), stats_cols=["id"]
+    )
+    maintain_recompute_aggregate(spark, src, agg, ["k"], exprs)
+    seen = {}
+    real = inc.read_snapshot
+
+    def spy(spark_, dir_, **kw):
+        if dir_ == src and "skip_where" in kw:
+            seen["skip_where"] = kw["skip_where"]
+        return real(spark_, dir_, **kw)
+
+    monkeypatch.setattr(inc, "read_snapshot", spy)
+    delete_snapshot(spark, src, "id = 5", stats_cols=["id"])
+    maintain_recompute_aggregate(spark, src, agg, ["k"], exprs)
+    # k=0 is the only touched key (id=5 → k=0): bounds collapse to [0, 0]
+    assert seen.get("skip_where") == ("k", 0, 0), seen
+    got = {r.k: r.v_max for r in read_snapshot(spark, agg).collect()}
+    assert got == {r.k: r.v_max for r in read_snapshot(spark, src)
+                   .groupBy("k").agg(F.max("v").alias("v_max")).collect()}
+
+
+def test_mv_over_static_dim_join(spark, tmp_path):
+    """MV over a JOIN (DLT's fact-⋈-dim rollup): the transform joins each
+    change row to a STATIC broadcast dim; signed folding then maintains
+    per-segment totals through the full DML surface. Also checks the
+    inner join's filtering effect (facts with no dim match never count)
+    and the change_type-preservation guard."""
+    src = str(tmp_path / "src")
+    agg = str(tmp_path / "agg")
+    dim = spark.createDataFrame(
+        [(0, "gold"), (1, "gold"), (2, "silver"), (3, "silver")],
+        "k long, seg string",
+    )  # k=4 intentionally unmapped
+
+    def view(df):
+        return df.join(F.broadcast(dim), "k")
+
+    commit_append(spark, src, _src_df(spark, 0, 40).coalesce(2), stats_cols=["id"])
+    maintain_sum_aggregate(spark, src, agg, ["seg"], ["v"], transform=view)
+
+    def recompute():
+        return {
+            r.seg: (r.v, r.n)
+            for r in read_snapshot(spark, src).join(dim, "k")
+            .groupBy("seg")
+            .agg(F.sum("v").alias("v"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+
+    def mv():
+        return {r.seg: (r.v, r.n_rows) for r in read_snapshot(spark, agg).collect()}
+
+    assert mv() == recompute()
+    merge_snapshot(
+        spark, src,
+        spark.range(0, 6).selectExpr("id", "id % 5 AS k", "id * 1000 AS v"),
+        ["id"], stats_cols=["id"],
+    )
+    delete_snapshot(spark, src, "id >= 30", stats_cols=["id"])
+    update_snapshot(spark, src, "id = 7", {"v": "v + 13"}, stats_cols=["id"])
+    v = maintain_sum_aggregate(spark, src, agg, ["seg"], ["v"], transform=view)
+    assert v == max(_list_versions(spark, src))
+    assert mv() == recompute()
+
+    # a transform that drops change_type is refused before any commit
+    with pytest.raises(ValueError, match="change_type"):
+        delete_snapshot(spark, src, "id = 8", stats_cols=["id"])
+        maintain_sum_aggregate(
+            spark, src, agg, ["seg"], ["v"],
+            transform=lambda df: df.join(F.broadcast(dim), "k").select("seg", "v"),
+        )
+
+
 def test_mv_rejects_unknown_change_type(spark):
-    from customer_activity_lakehouse_spark.sources.incremental import _signed_delta
+    from customer_activity_lakehouse_spark.sources.incremental import _fold_feed
 
     feed = spark.createDataFrame(
         [(1, 10, "mutate", 3)], "k long, v long, change_type string, _commit_version int"
     )
     with pytest.raises(ValueError, match="mutate"):
-        _signed_delta(feed, ["k"], ["v"])
+        _fold_feed(feed, ["k"], ["v"], "test")
