@@ -276,6 +276,82 @@ def _try_commit(
     return True
 
 
+def _commit_rebase_appends(
+    spark: SparkSession,
+    table_dir: str,
+    version: int,
+    manifest: dict,
+    op: str,
+    debris: str = "rewrite dir",
+    max_rebases: int = 8,
+) -> int:
+    """Commit with Delta's WriteSerializable conflict rule: losing the
+    version slot to interleaved commits that are ALL pure appends (op ==
+    'append', add-only delta, unchanged schema) does not conflict with a
+    rewrite-class verb — the verb's result is serialized BEFORE those
+    appends, so the commit REBASES: carry the appended files (and their
+    stats) into its manifest verbatim and re-claim the next slot, without
+    re-running any data work. Every table-level mutation (schema
+    evolution, constraints, mapping, DV changes, overwrites, other
+    rewrites) uses a distinct op or a non-add delta and ABORTS exactly as
+    before — the caller re-reads and retries the whole verb.
+
+    Why it matters at 100 TB: a streaming sink appending a micro-batch
+    every few seconds would otherwise starve any long-running MERGE or
+    OPTIMIZE into an abort/re-execute loop; under the rebase rule both
+    proceed, and only true conflicts pay. ``rebased_over`` in the
+    committed manifest records the appends the verb serialized ahead of
+    (audit trail). Public model: Delta's ConflictChecker — blind AddFiles
+    don't conflict with concurrent txns under WriteSerializable."""
+    attempt_v = version
+    for _ in range(max_rebases):
+        if _try_commit(spark, table_dir, attempt_v, manifest):
+            return attempt_v
+        latest = _list_versions(spark, table_dir)[-1]
+        adds: list[str] = []
+        stats_add: dict = {}
+        conflict = None
+        for v in range(attempt_v, latest + 1):
+            r = _read_commit(spark, table_dir, v)
+            d = r.get("delta")
+            if (
+                r.get("op") != "append"
+                or d is None
+                or d.get("truncate")
+                or d.get("remove")
+                or d.get("dv_add")
+                or d.get("dv_remove")
+                or d.get("stats_drop")
+                or r.get("schema") != manifest.get("schema")
+            ):
+                conflict = f"v{v} op={r.get('op')!r}"
+                break
+            adds += d.get("add", [])
+            stats_add.update(d.get("stats_add", {}))
+        if conflict is not None:
+            raise RuntimeError(
+                f"{op}: version {attempt_v} was committed concurrently at "
+                f"{table_dir} by a conflicting commit ({conflict}); re-read "
+                f"the table and retry the verb ({debris} left as vacuum "
+                "debris)"
+            )
+        manifest = {
+            **manifest,
+            "version": latest + 1,
+            "files": manifest["files"] + adds,
+            "rebased_over": manifest.get("rebased_over", [])
+            + list(range(attempt_v, latest + 1)),
+        }
+        if stats_add or manifest.get("stats"):
+            manifest["stats"] = {**(manifest.get("stats") or {}), **stats_add}
+        attempt_v = latest + 1
+    raise RuntimeError(
+        f"{op}: {max_rebases} version slots were committed concurrently at "
+        f"{table_dir} faster than append-rebase could claim one; re-read "
+        f"the table and retry the verb ({debris} left as vacuum debris)"
+    )
+
+
 def _file_stats(
     spark: SparkSession, files: list[str], stats_cols: list[str]
 ) -> dict[str, dict[str, list]]:
@@ -2234,13 +2310,9 @@ def compact_snapshot(
     _carry_mapping(m, manifest)
     if kept_stats or new_stats:
         manifest["stats"] = {**kept_stats, **new_stats}
-    if not _try_commit(spark, table_dir, base_v + 1, manifest):
-        raise RuntimeError(
-            f"compact_snapshot: version {base_v + 1} was committed concurrently "
-            f"at {table_dir}; the table advanced — re-run compaction against "
-            "the new latest version (rewrite dir left as vacuum debris)"
-        )
-    return base_v + 1
+    return _commit_rebase_appends(
+        spark, table_dir, base_v + 1, manifest, op="compact_snapshot"
+    )
 
 
 def reorg_snapshot(spark: SparkSession, table_dir: str) -> int | None:
@@ -2334,13 +2406,9 @@ def reorg_snapshot(spark: SparkSession, table_dir: str) -> int | None:
         manifest["stats"] = {**kept_stats, **new_stats}
     _carry_props(m, manifest)
     _carry_mapping(m, manifest)
-    if not _try_commit(spark, table_dir, base_v + 1, manifest):
-        raise RuntimeError(
-            f"reorg_snapshot: version {base_v + 1} was committed concurrently at "
-            f"{table_dir}; re-run against the new latest version (rewrite dir "
-            "left as vacuum debris)"
-        )
-    return base_v + 1
+    return _commit_rebase_appends(
+        spark, table_dir, base_v + 1, manifest, op="reorg_snapshot"
+    )
 
 
 def _refine_touched(
@@ -2757,13 +2825,9 @@ def merge_snapshot(
         manifest.update(extra)
     _carry_props(m, manifest)
     _carry_mapping(m, manifest)
-    if not _try_commit(spark, table_dir, base_v + 1, manifest):
-        raise RuntimeError(
-            f"merge_snapshot: version {base_v + 1} was committed concurrently at "
-            f"{table_dir}; re-read the table and retry the merge "
-            "(rewrite dir left as vacuum debris)"
-        )
-    return base_v + 1
+    return _commit_rebase_appends(
+        spark, table_dir, base_v + 1, manifest, op="merge_snapshot"
+    )
 
 
 def delete_snapshot(
@@ -2887,12 +2951,10 @@ def delete_snapshot(
             manifest["stats"] = stats
         _carry_props(m, manifest)
         _carry_mapping(m, manifest)
-        if not _try_commit(spark, table_dir, base_v + 1, manifest):
-            raise RuntimeError(
-                f"delete_snapshot: version {base_v + 1} was committed concurrently "
-                f"at {table_dir}; re-read and retry (DV dir left as vacuum debris)"
-            )
-        return base_v + 1
+        return _commit_rebase_appends(
+            spark, table_dir, base_v + 1, manifest,
+            op="delete_snapshot", debris="DV dir",
+        )
 
     probe = matched_meta.groupBy("__p").agg(F.count(F.lit(1)).alias("n")).collect()
     import re as _re
@@ -2953,12 +3015,9 @@ def delete_snapshot(
         manifest["stats"] = {**kept_stats, **new_stats}
     _carry_props(m, manifest)
     _carry_mapping(m, manifest)
-    if not _try_commit(spark, table_dir, base_v + 1, manifest):
-        raise RuntimeError(
-            f"delete_snapshot: version {base_v + 1} was committed concurrently at "
-            f"{table_dir}; re-read and retry (rewrite dir left as vacuum debris)"
-        )
-    return base_v + 1
+    return _commit_rebase_appends(
+        spark, table_dir, base_v + 1, manifest, op="delete_snapshot"
+    )
 
 
 def update_snapshot(
@@ -3117,12 +3176,9 @@ def update_snapshot(
         manifest["stats"] = {**kept_stats, **new_stats}
     _carry_props(m, manifest)
     _carry_mapping(m, manifest)
-    if not _try_commit(spark, table_dir, base_v + 1, manifest):
-        raise RuntimeError(
-            f"update_snapshot: version {base_v + 1} was committed concurrently at "
-            f"{table_dir}; re-read and retry (rewrite dir left as vacuum debris)"
-        )
-    return base_v + 1
+    return _commit_rebase_appends(
+        spark, table_dir, base_v + 1, manifest, op="update_snapshot"
+    )
 
 
 def snapshot_change_feed(
@@ -3362,12 +3418,10 @@ def _update_snapshot_dv(
         manifest["stats"] = {**stats, **post_stats}
     _carry_props(m, manifest)
     _carry_mapping(m, manifest)
-    if not _try_commit(spark, table_dir, base_v + 1, manifest):
-        raise RuntimeError(
-            f"update_snapshot: version {base_v + 1} was committed concurrently at "
-            f"{table_dir}; re-read and retry (DV/postimage dirs left as vacuum debris)"
-        )
-    return base_v + 1
+    return _commit_rebase_appends(
+        spark, table_dir, base_v + 1, manifest,
+        op="update_snapshot", debris="DV/postimage dirs",
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -2100,3 +2100,105 @@ def test_reorg_purges_dropped_columns_and_dvs(spark, tmp_path):
     m2 = _read_manifest(spark, t, v2)
     assert not m2.get("dv_files")  # every DV materialized
     assert {r.id for r in read_snapshot(spark, t).collect()} == {0, 2, 3, 4, 5, 7}
+
+
+def test_writeserializable_merge_rebases_over_appends(spark, tmp_path, monkeypatch):
+    """Delta WriteSerializable parity: a MERGE losing its version slot to
+    a PURE APPEND does not abort — it rebases, carrying the appended
+    files into its manifest verbatim (no data work re-runs, no appended
+    rows lost). The appended rows do NOT participate in the merge: the
+    merge serialized BEFORE the append (rebased_over records it)."""
+    import customer_activity_lakehouse_spark.sources.snapshots as S
+
+    t = str(tmp_path / "tbl")
+    _commit_sized(spark, t, 0, 10)  # ids 0..9, v = 2*id
+
+    real_try = S._try_commit
+    state = {"fired": False}
+    late = spark.createDataFrame([(500, 1), (3, 999)], "id long, v long")
+
+    def hook(spark_, tdir, version, manifest, prev=None):
+        if not state["fired"] and manifest.get("op") == "merge":
+            state["fired"] = True
+            # steal the slot with a real append — id=3's new row arrives
+            # AFTER the merge's serialization point
+            S.commit_append(spark_, tdir, late.coalesce(1), stats_cols=["id"])
+        return real_try(spark_, tdir, version, manifest, prev)
+
+    monkeypatch.setattr(S, "_try_commit", hook)
+    upd = spark.createDataFrame([(3, -3), (100, -100)], "id long, v long")
+    v = S.merge_snapshot(spark, t, upd, keys=["id"], stats_cols=["id"])
+    assert state["fired"]
+    assert v == 3  # append took v2; the merge rebased onto v3
+    m = S._read_manifest(spark, t, 3)
+    assert m["rebased_over"] == [2]
+    got = {(r.id): r.v for r in S.read_snapshot(spark, t).collect()}
+    # merge updated the PRE-APPEND id=3 row; the appended (3, 999) row is
+    # a second row for the key, exactly what serial merge-then-append gives
+    rows = {(r.id, r.v) for r in S.read_snapshot(spark, t).collect()}
+    assert (3, -3) in rows and (3, 999) in rows and (500, 1) in rows
+    assert (100, -100) in rows
+    # time travel: v2 = base + append, merge absent
+    v2 = {(r.id, r.v) for r in S.read_snapshot(spark, t, version=2).collect()}
+    assert (3, 6) in v2 and (3, 999) in v2 and (100, -100) not in v2
+    # the change feed stays per-commit exact across the rebase
+    feed = S.snapshot_change_feed(spark, t, 1)
+    by = {}
+    for r in feed.collect():
+        by.setdefault((r._commit_version, r.change_type), set()).add((r.id, r.v))
+    assert by[(2, "insert")] == {(500, 1), (3, 999)}
+    assert by[(3, "update_postimage")] == {(3, -3)}
+    assert by[(3, "insert")] == {(100, -100)}
+
+
+def test_writeserializable_conflicting_interleave_still_aborts(
+    spark, tmp_path, monkeypatch
+):
+    """A rewrite-class interleave (here a DELETE) is a true conflict —
+    the merge must abort exactly as before, naming the conflicting op."""
+    import pytest as _pytest
+
+    import customer_activity_lakehouse_spark.sources.snapshots as S
+
+    t = str(tmp_path / "tbl")
+    _commit_sized(spark, t, 0, 10)
+    real_try = S._try_commit
+    state = {"fired": False}
+
+    def hook(spark_, tdir, version, manifest, prev=None):
+        if not state["fired"] and manifest.get("op") == "merge":
+            state["fired"] = True
+            S.delete_snapshot(spark_, tdir, "id = 7", stats_cols=["id"])
+        return real_try(spark_, tdir, version, manifest, prev)
+
+    monkeypatch.setattr(S, "_try_commit", hook)
+    upd = spark.createDataFrame([(3, -3)], "id long, v long")
+    with _pytest.raises(RuntimeError, match="conflicting commit.*op='delete'"):
+        S.merge_snapshot(spark, t, upd, keys=["id"], stats_cols=["id"])
+
+
+def test_writeserializable_compact_rebases_over_append(spark, tmp_path, monkeypatch):
+    """OPTIMIZE racing a streaming append is THE common contention shape:
+    the compaction rebases, the micro-batch's files survive uncompacted,
+    and no rows are lost either way."""
+    import customer_activity_lakehouse_spark.sources.snapshots as S
+
+    t = str(tmp_path / "tbl")
+    for i in range(4):  # four small files worth compacting
+        _commit_sized(spark, t, i * 10, i * 10 + 10)
+    real_try = S._try_commit
+    state = {"fired": False}
+    late = spark.range(1000, 1005).selectExpr("id", "id*2 AS v")
+
+    def hook(spark_, tdir, version, manifest, prev=None):
+        if not state["fired"] and manifest.get("op") == "replace":  # OPTIMIZE op
+            state["fired"] = True
+            S.commit_append(spark_, tdir, late.coalesce(1), stats_cols=["id"])
+        return real_try(spark_, tdir, version, manifest, prev)
+
+    monkeypatch.setattr(S, "_try_commit", hook)
+    v = S.compact_snapshot(spark, t)
+    assert state["fired"] and v == 6  # append stole v5
+    assert S.read_snapshot(spark, t).count() == 45
+    m = S._read_manifest(spark, t, v)
+    assert m["rebased_over"] == [5]
