@@ -195,7 +195,76 @@ FROM orders
 """
 
 
+_RW_SCRATCH: dict[str, str] = {}
+
+
+def _replace_where_chain(spark: SparkSession, sf_dir: str) -> str:
+    """Scratch chain #2: orders snapshot PARTITIONED by o_orderpriority,
+    its per-priority MV bootstrapped, then Delta's replaceWhere re-lands
+    the URGENT slice with doubled prices (the reference's daily-backfill
+    shape, flows.py:314, as one atomic commit), and the MV consumes the
+    replace commit's CDC (delete preimages + insert postimages)
+    ADDITIVELY — no resync."""
+    if sf_dir in _RW_SCRATCH:
+        return _RW_SCRATCH[sf_dir]
+    from ..sources.incremental import maintain_sum_aggregate
+    from ..sources.snapshots import commit_append, commit_replace_where
+
+    base = tempfile.mkdtemp(prefix="calh-rw-")
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
+    src, agg = f"{base}/orders_part", f"{base}/orders_prio_mv"
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.col("o_totalprice").cast(MONEY).alias("price"),
+    )
+    commit_append(
+        spark, src, orders.repartition(4),
+        stats_cols=["o_orderkey"], partition_by=["o_orderpriority"],
+    )
+    maintain_sum_aggregate(spark, src, agg, ["o_orderpriority"], ["price"])
+    repl = orders.filter("o_orderpriority = '1-URGENT'").withColumn(
+        "price", F.expr(f"cast(price * 2 as {MONEY})")
+    )
+    commit_replace_where(
+        spark, src, repl, "o_orderpriority = '1-URGENT'", stats_cols=["o_orderkey"]
+    )
+    maintain_sum_aggregate(spark, src, agg, ["o_orderpriority"], ["price"])
+    _RW_SCRATCH[sf_dir] = agg
+    return agg
+
+
+def q_dml_replace_where_mv(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-priority MV after replaceWhere on a PARTITIONED snapshot table:
+    the replaced slice's doubled totals and every untouched partition's
+    originals, maintained from the replace commit's own change feed."""
+    agg = _replace_where_chain(spark, sf)
+    from ..sources.snapshots import read_snapshot
+
+    return read_snapshot(spark, agg).select(
+        "o_orderpriority",
+        F.round(F.col("price").cast("double"), 2).alias("total_price"),
+        F.col("n_rows"),
+    )
+
+
+ORACLE_DML_REPLACE_WHERE_MV = """
+SELECT o_orderpriority,
+       round(sum(CASE WHEN o_orderpriority = '1-URGENT'
+                      THEN (o_totalprice::DECIMAL(18,2) * 2)::DECIMAL(18,2)
+                      ELSE o_totalprice::DECIMAL(18,2) END)::DOUBLE, 2)
+         AS total_price,
+       count(*) AS n_rows
+FROM orders GROUP BY o_orderpriority
+"""
+
+
 QUERIES: dict[str, Query] = {
+    "dml_replace_where_mv": Query(
+        q_dml_replace_where_mv,
+        ORACLE_DML_REPLACE_WHERE_MV,
+        ("dml", "replacewhere", "mv", "partition"),
+    ),
     "dml_snapshot_mv_totals": Query(
         q_dml_snapshot_mv_totals,
         ORACLE_DML_SNAPSHOT_MV_TOTALS,

@@ -2202,3 +2202,61 @@ def test_writeserializable_compact_rebases_over_append(spark, tmp_path, monkeypa
     assert S.read_snapshot(spark, t).count() == 45
     m = S._read_manifest(spark, t, v)
     assert m["rebased_over"] == [5]
+
+
+def test_writeserializable_rebase_stress_appends_vs_merges(spark, tmp_path):
+    """Contention stress for the rebase rule: two append threads and two
+    merge threads race one table. Appends never abort (retry-append
+    class), merges rebase over appends and only abort against each other
+    (retried). Disjoint key spaces make the final state order-independent:
+    every appended row present exactly once, every merge landed exactly
+    once."""
+    import threading
+
+    import customer_activity_lakehouse_spark.sources.snapshots as S
+
+    t = str(tmp_path / "race")
+    _commit_sized(spark, t, 0, 20)  # ids 0..19
+    n_appends, n_merges = 6, 3
+    errs: list[str] = []
+
+    def appender(slot: int) -> None:
+        for j in range(n_appends // 2):
+            i = slot * (n_appends // 2) + j
+            df = spark.createDataFrame([(1000 + i, i)], "id long, v long")
+            try:
+                S.commit_append(spark, t, df.coalesce(1), stats_cols=["id"])
+            except Exception as e:  # appends must never fail
+                errs.append(f"append {i}: {e}")
+
+    def merger(i: int) -> None:
+        upd = spark.createDataFrame(
+            [(i, -(i + 1)), (500 + i, -(i + 1))], "id long, v long"
+        )
+        for _ in range(16):
+            try:
+                S.merge_snapshot(spark, t, upd, keys=["id"], stats_cols=["id"])
+                return
+            except RuntimeError:
+                continue  # merge-vs-merge conflict: retry
+        errs.append(f"merge {i} never landed")
+
+    threads = [threading.Thread(target=appender, args=(s,)) for s in range(2)] + [
+        threading.Thread(target=merger, args=(i,)) for i in range(n_merges)
+    ]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errs, errs
+    got = {}
+    for r in S.read_snapshot(spark, t).collect():
+        got.setdefault(r.id, []).append(r.v)
+    # every appended row exactly once (a lost rebase would drop one)
+    for i in range(n_appends):
+        assert got.get(1000 + i) == [i], (1000 + i, got.get(1000 + i))
+    # every merge landed exactly once
+    for i in range(n_merges):
+        assert got.get(i) == [-(i + 1)]
+        assert got.get(500 + i) == [-(i + 1)]
+    assert sum(len(v) for v in got.values()) == 20 + n_appends + n_merges
