@@ -179,6 +179,7 @@ def maintain_sum_aggregate(
     keys: list[str],
     sum_cols: list[str],
     transform=None,
+    partition_by: list[str] | None = None,
 ) -> int | None:
     """Advance the materialized SUM/COUNT aggregate at ``agg_dir`` to
     reflect ``src_dir``'s latest version. Returns the source version
@@ -187,7 +188,10 @@ def maintain_sum_aggregate(
     Aggregate schema: ``keys + sum_cols + n_rows`` — each ``sum_cols``
     entry holds the per-key SUM of the source column, ``n_rows`` the
     surviving row count (AVG = sum/n downstream; keys whose count reaches
-    0 are deleted).
+    0 are deleted). ``partition_by`` lays the aggregate out hive-style
+    (bootstrap/resync declare it; every maintenance MERGE inherits the
+    layout from the manifest) so partition-scoped reads of the MV prune
+    to one partition's files.
 
     ``transform`` (optional, DataFrame -> DataFrame) defines the view
     over the source BEFORE aggregation — this is how an MV over a JOIN is
@@ -229,7 +233,7 @@ def maintain_sum_aggregate(
         # bootstrap: aggregate the current snapshot directly
         commit_append(
             spark, agg_dir, full_agg(read_snapshot(spark, src_dir)),
-            stats_cols=[keys[0]], extra=extra,
+            stats_cols=[keys[0]], extra=extra, partition_by=partition_by,
         )
         return src_latest
 
@@ -239,7 +243,7 @@ def maintain_sum_aggregate(
         # overwrite/restore in range: no row-level feed — full resync
         commit_overwrite(
             spark, agg_dir, full_agg(read_snapshot(spark, src_dir)),
-            stats_cols=[keys[0]], extra=extra,
+            stats_cols=[keys[0]], extra=extra, partition_by=partition_by,
         )
         return src_latest
 
@@ -317,6 +321,7 @@ def maintain_recompute_aggregate(
     agg_dir: str,
     keys: list[str],
     agg_exprs: dict[str, str],
+    partition_by: list[str] | None = None,
 ) -> int | None:
     """Materialized view for NON-ADDITIVE aggregates (MIN/MAX/
     count-distinct/...): signed folding cannot undo a deleted row's
@@ -352,7 +357,7 @@ def maintain_recompute_aggregate(
     if v_from == 0:
         commit_append(
             spark, agg_dir, full_agg(read_snapshot(spark, src_dir)),
-            stats_cols=[keys[0]], extra=extra,
+            stats_cols=[keys[0]], extra=extra, partition_by=partition_by,
         )
         return src_latest
     try:
@@ -360,7 +365,7 @@ def maintain_recompute_aggregate(
     except ValueError:
         commit_overwrite(
             spark, agg_dir, full_agg(read_snapshot(spark, src_dir)),
-            stats_cols=[keys[0]], extra=extra,
+            stats_cols=[keys[0]], extra=extra, partition_by=partition_by,
         )
         return src_latest
 

@@ -435,6 +435,27 @@ def test_mv_over_static_dim_join(spark, tmp_path):
         )
 
 
+def test_mv_partitioned_aggregate_prunes_reads(spark, tmp_path):
+    """An MV declared with partition_by lays its aggregate out hive-style:
+    bootstrap honors it, every maintenance MERGE inherits the layout from
+    the manifest, and a partition-scoped read of the MV lists only that
+    partition's files — the dashboard-query shape the MV exists for."""
+    from customer_activity_lakehouse_spark.sources.snapshots import _read_manifest
+
+    src = str(tmp_path / "src")
+    agg = str(tmp_path / "agg")
+    commit_append(spark, src, _src_df(spark, 0, 40).coalesce(2), stats_cols=["id"])
+    maintain_sum_aggregate(spark, src, agg, ["k"], ["v"], partition_by=["k"])
+    m = _read_manifest(spark, agg, max(_list_versions(spark, agg)))
+    assert m["partition_by"] == ["k"]
+    delete_snapshot(spark, src, "id % 7 = 0", stats_cols=["id"])
+    maintain_sum_aggregate(spark, src, agg, ["k"], ["v"], partition_by=["k"])
+    assert _mv(spark, agg) == _recompute(spark, src)
+    pruned = read_snapshot(spark, agg, partition_where={"k": 2})
+    files = [f for f in pruned.inputFiles() if "-dv-" not in f]
+    assert files and all("k=2" in f for f in files), files
+
+
 def test_mv_rejects_unknown_change_type(spark):
     from customer_activity_lakehouse_spark.sources.incremental import _fold_feed
 

@@ -84,6 +84,14 @@ HEAVY = [
     # output is Ω(true pairs) and this template-heavy corpus is the
     # documented degenerate case.
     "embedding_pca_power",
+    # r8 DML chain: decimal SUM magnitudes grow with sf (the exact-width
+    # class), and the chain's file populations (which files each
+    # MERGE/DELETE/UPDATE prunes to, which partitions replaceWhere
+    # touches, how many keys each MV maintenance folds) all shift with
+    # table size — sf0.01 greenness proves the verbs, not their pruning
+    # behavior at scale
+    "dml_snapshot_mv_totals",
+    "dml_replace_where_mv",
 ]
 
 
