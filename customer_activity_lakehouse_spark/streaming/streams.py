@@ -587,12 +587,35 @@ def read_dq_audit(spark, audit_path: str) -> DataFrame:
     return log.withColumn("rn", F.row_number().over(w)).filter("rn = 1").drop("rn")
 
 
+def _stream_txn_committed(
+    spark, snap, table_dir: str, app_id: str, batch_id: int, lookback: int = 64
+) -> bool:
+    """Replay probe for streaming sinks — Delta's txnAppId/txnVersion
+    idempotence contract: a micro-batch is identified by (app_id,
+    batch_id), BOTH matched, so two different streams (distinct
+    checkpoints) writing one table can never false-dedupe each other's
+    same-numbered batches. The probe walks the last ``lookback`` raw
+    commit records regardless of op (a DML commit landing between a crash
+    and the replay must not hide the stamp — the old walk-until-non-append
+    heuristic did exactly that). Metadata-only: no file-list resolution.
+    A replay arriving more than ``lookback`` commits late would re-apply;
+    replays are always the last uncommitted batch of their checkpoint, so
+    the window only needs to cover commits interleaving a single
+    crash-restart."""
+    for v in snap._list_versions(spark, table_dir)[-lookback:][::-1]:
+        r = snap._read_commit(spark, table_dir, v)
+        if r.get("stream_batch_id") == batch_id and r.get("stream_app_id") == app_id:
+            return True
+    return False
+
+
 def write_stream_snapshot_append(
     events: DataFrame,
     table_dir: str,
     checkpoint: str,
     stats_cols: list[str] | None = None,
     allow_schema_evolution: bool = False,
+    app_id: str | None = None,
 ):
     """Stream → versioned table: every micro-batch commits as a snapshot
     append, making the stream's output time-travelable and incrementally
@@ -620,19 +643,14 @@ def write_stream_snapshot_append(
     data_change=false commits don't disturb incremental consumers)."""
     from customer_activity_lakehouse_spark.sources import snapshots as snap
 
-    # replay detection walks recent appends until the first non-append
-    # (ids only ride appends); the batch id lands atomically in the SAME
-    # manifest as the file list (a second metadata write would race)
+    txn_app = app_id or checkpoint  # Delta txnAppId default: the checkpoint
+
+    # the (app, batch) id lands atomically in the SAME manifest as the
+    # file list (a second metadata write would race)
     def commit_batch_atomic(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        for v in snap._list_versions(spark, table_dir)[::-1]:
-            # metadata-only probe: raw commit records carry op and
-            # stream_batch_id verbatim — no file-list resolution needed
-            m = snap._read_commit(spark, table_dir, v)
-            if m.get("stream_batch_id") == batch_id:
-                return
-            if m["op"] != "append":
-                break
+        if _stream_txn_committed(spark, snap, table_dir, txn_app, batch_id):
+            return
         versions = snap._list_versions(spark, table_dir)
         attempt = (versions[-1] if versions else 0) + 1
         import uuid
@@ -680,7 +698,7 @@ def write_stream_snapshot_append(
             sig,
             new_stats,
             allow_schema_evolution=allow_schema_evolution,
-            extra={"stream_batch_id": batch_id},
+            extra={"stream_batch_id": batch_id, "stream_app_id": txn_app},
             mapping=mapping,
         )
 
@@ -769,6 +787,7 @@ def write_stream_snapshot_merge(
     order_col: str | None = None,
     stats_cols: list[str] | None = None,
     max_retries: int = 8,
+    app_id: str | None = None,
 ):
     """Stream → MERGE INTO the snapshot log: every micro-batch upserts
     (matched keys update, unmatched insert) as ONE snapshot commit —
@@ -793,15 +812,12 @@ def write_stream_snapshot_merge(
     ``consume_changes`` replicas stream through)."""
     from customer_activity_lakehouse_spark.sources import snapshots as snap
 
+    txn_app = app_id or checkpoint  # Delta txnAppId default: the checkpoint
+
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        recent = snap._list_versions(spark, table_dir)[-32:]
-        for v in recent[::-1]:
-            # metadata-only probe: raw commit records carry the batch id
-            if snap._read_commit(spark, table_dir, v).get(
-                "stream_batch_id"
-            ) == batch_id:
-                return  # replayed batch: already merged
+        if _stream_txn_committed(spark, snap, table_dir, txn_app, batch_id):
+            return  # replayed batch: already merged
         last_err: Exception | None = None
         for _ in range(max_retries):
             try:
@@ -812,7 +828,10 @@ def write_stream_snapshot_merge(
                     keys,
                     order_col=order_col,
                     stats_cols=stats_cols,
-                    extra={"stream_batch_id": batch_id},
+                    extra={
+                        "stream_batch_id": batch_id,
+                        "stream_app_id": txn_app,
+                    },
                 )
                 return
             except RuntimeError as e:
@@ -835,6 +854,7 @@ def write_stream_incremental_aggregate(
     checkpoint: str,
     available_now: bool = True,
     max_retries: int = 8,
+    app_id: str | None = None,
 ):
     """STREAMING materialized aggregate — the DLT pattern end to end: a
     CDC stream (the snapshot-log DataSource's ``mode=cdc`` reader, rows =
@@ -857,14 +877,12 @@ def write_stream_incremental_aggregate(
     from customer_activity_lakehouse_spark.sources import incremental as inc
     from customer_activity_lakehouse_spark.sources import snapshots as snap
 
+    txn_app = app_id or checkpoint  # Delta txnAppId default: the checkpoint
+
     def fold_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        recent = snap._list_versions(spark, agg_dir)[-32:]  # [] if no table yet
-        for v in recent[::-1]:
-            if snap._read_commit(spark, agg_dir, v).get(
-                "stream_batch_id"
-            ) == batch_id:
-                return  # replayed batch: already folded in
+        if _stream_txn_committed(spark, snap, agg_dir, txn_app, batch_id):
+            return  # replayed batch: already folded in
         delta = inc._fold_feed(
             batch_df.drop("_commit_version"), keys, sum_cols,
             "write_stream_incremental_aggregate",
@@ -877,7 +895,10 @@ def write_stream_incremental_aggregate(
                 try:
                     inc.apply_signed_delta(
                         spark, agg_dir, delta, keys, sum_cols,
-                        extra={"stream_batch_id": batch_id},
+                        extra={
+                            "stream_batch_id": batch_id,
+                            "stream_app_id": txn_app,
+                        },
                     )
                     return
                 except RuntimeError as e:

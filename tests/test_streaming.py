@@ -719,7 +719,10 @@ def test_stream_snapshot_append_versioned_and_idempotent(spark, sf_smoke, events
 
     streams_mod.write_stream_foreach_batch = capture
     try:
-        _factory(stream, tdir, f"{root}/ckpt_snap_replay")
+        # SAME checkpoint as the original stream: replay dedup is scoped by
+        # (app_id=checkpoint, batch_id) — Delta's txnAppId contract — and a
+        # real foreachBatch replay always comes from the same checkpoint
+        _factory(stream, tdir, f"{root}/ckpt_snap_append")
     finally:
         streams_mod.write_stream_foreach_batch = orig
     n_before = len(_list_versions(spark, tdir))
@@ -887,3 +890,63 @@ def test_theta_distinct_stream_matches_batch_and_tracks_exact(spark, sf_smoke, e
     for k, (end, est) in want.items():
         ex = exact[k]
         assert est <= max(16, 3 * ex) and (est >= ex / 3 or ex <= 16), (k, est, ex)
+
+
+def test_stream_txn_dedup_is_app_scoped_and_dml_proof(spark, tmp_path):
+    """Delta txnAppId parity for the streaming sinks' replay dedup:
+    (1) two DIFFERENT streams (distinct checkpoints) writing one table
+    must both land their batch 0 — a batch-id-only stamp would false-
+    dedupe the second stream; (2) a replay must be detected even when a
+    DML commit landed between the crash and the replay — the old probe
+    walked appends only and stopped at the first non-append."""
+    import customer_activity_lakehouse_spark.streaming.streams as S
+    from customer_activity_lakehouse_spark.sources.snapshots import (
+        merge_snapshot,
+        read_snapshot,
+    )
+
+    t = str(tmp_path / "tbl")
+    fns = {}
+    orig = S.write_stream_foreach_batch
+
+    def capture(df, fn, ck, **kw):
+        fns[ck] = fn
+
+        class _Done:
+            def awaitTermination(self, *_):
+                return True
+
+        return _Done()
+
+    S.write_stream_foreach_batch = capture
+    try:
+        S.write_stream_snapshot_append(
+            spark.range(0, 1).selectExpr("id", "id AS v"),
+            t, str(tmp_path / "ckA"), stats_cols=["id"],
+        )
+        S.write_stream_snapshot_append(
+            spark.range(0, 1).selectExpr("id", "id AS v"),
+            t, str(tmp_path / "ckB"), stats_cols=["id"],
+        )
+    finally:
+        S.write_stream_foreach_batch = orig
+    fnA, fnB = fns[str(tmp_path / "ckA")], fns[str(tmp_path / "ckB")]
+
+    batchA = spark.createDataFrame([(1, 10)], "id long, v long")
+    batchB = spark.createDataFrame([(2, 20)], "id long, v long")
+    fnA(batchA, 0)
+    fnB(batchB, 0)  # same batch id, different app → must land too
+    assert {r.id for r in read_snapshot(spark, t).collect()} == {1, 2}
+
+    # a MERGE lands between stream A's commit and its replay of batch 0;
+    # the replay must still be recognized (no duplicate id=1 row)
+    merge_snapshot(
+        spark, t, spark.createDataFrame([(3, 30)], "id long, v long"), ["id"],
+        stats_cols=["id"],
+    )
+    fnA(batchA, 0)  # replay
+    rows = [r.id for r in read_snapshot(spark, t).collect()]
+    assert sorted(rows) == [1, 2, 3], rows
+    # and a genuinely new batch still applies
+    fnA(spark.createDataFrame([(4, 40)], "id long, v long"), 1)
+    assert {r.id for r in read_snapshot(spark, t).collect()} == {1, 2, 3, 4}
