@@ -73,7 +73,12 @@ def _dml_chain(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     merge_snapshot(
         spark, src, upd.unionByName(ins), ["o_orderkey"], stats_cols=["o_orderkey"]
     )
-    delete_snapshot(spark, src, "o_orderkey % 13 = 0", stats_cols=["o_orderkey"])
+    # mode='dv' puts the MERGE-ON-READ path under the oracle: the read's
+    # row-index anti-join, the DV commit's CDC preimages, the MV folding
+    # them, and the next rewrite (the UPDATE below) materializing the DVs
+    delete_snapshot(
+        spark, src, "o_orderkey % 13 = 0", mode="dv", stats_cols=["o_orderkey"]
+    )
     update_snapshot(
         spark,
         src,
