@@ -30,6 +30,7 @@ from __future__ import annotations
 import atexit
 import shutil
 import tempfile
+import threading
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -37,11 +38,18 @@ from pyspark.sql import functions as F
 from .core import MONEY
 from .registry import Query, table
 
-# sf_dir -> (src_table_dir, mv_dir); one build shared by all dml queries
+# sf_dir -> (src_table_dir, mv_dir); one build shared by all dml queries.
+# The lock makes concurrent first-calls build once (harness parallelism).
 _SCRATCH: dict[str, tuple[str, str]] = {}
+_SCRATCH_LOCK = threading.Lock()
 
 
 def _dml_chain(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    with _SCRATCH_LOCK:
+        return _dml_chain_locked(spark, sf_dir)
+
+
+def _dml_chain_locked(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     if sf_dir in _SCRATCH:
         return _SCRATCH[sf_dir]
     from ..sources.incremental import maintain_sum_aggregate
@@ -210,8 +218,13 @@ def _replace_where_chain(spark: SparkSession, sf_dir: str) -> str:
     shape, flows.py:314, as one atomic commit), and the MV consumes the
     replace commit's CDC (delete preimages + insert postimages)
     ADDITIVELY — no resync."""
-    if sf_dir in _RW_SCRATCH:
-        return _RW_SCRATCH[sf_dir]
+    with _SCRATCH_LOCK:
+        if sf_dir in _RW_SCRATCH:
+            return _RW_SCRATCH[sf_dir]
+        return _replace_where_chain_locked(spark, sf_dir)
+
+
+def _replace_where_chain_locked(spark: SparkSession, sf_dir: str) -> str:
     from ..sources.incremental import maintain_sum_aggregate
     from ..sources.snapshots import commit_append, commit_replace_where
 
