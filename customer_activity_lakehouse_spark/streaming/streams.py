@@ -855,6 +855,7 @@ def write_stream_incremental_aggregate(
     available_now: bool = True,
     max_retries: int = 8,
     app_id: str | None = None,
+    transform=None,
 ):
     """STREAMING materialized aggregate — the DLT pattern end to end: a
     CDC stream (the snapshot-log DataSource's ``mode=cdc`` reader, rows =
@@ -872,8 +873,10 @@ def write_stream_incremental_aggregate(
     :func:`write_stream_snapshot_merge`) is load-bearing, not hygiene.
     The CDC reader's first batch delivers the source's initial snapshot
     as 'insert' rows (Delta CDF startingVersion=0 contract), so bootstrap
-    is just batch 0. Float caveat as in ``sources.incremental``: exact
-    for integer/decimal measures."""
+    is just batch 0. ``transform`` defines the view over the change rows
+    before folding — same row-local/static-dim/change_type-preserving
+    contract as ``incremental.maintain_sum_aggregate``. Float caveat as
+    in ``sources.incremental``: exact for integer/decimal measures."""
     from customer_activity_lakehouse_spark.sources import incremental as inc
     from customer_activity_lakehouse_spark.sources import snapshots as snap
 
@@ -883,9 +886,11 @@ def write_stream_incremental_aggregate(
         spark = batch_df.sparkSession
         if _stream_txn_committed(spark, snap, agg_dir, txn_app, batch_id):
             return  # replayed batch: already folded in
+        rows = batch_df.drop("_commit_version")
+        if transform is not None:
+            rows = inc._apply_transform(rows, transform)
         delta = inc._fold_feed(
-            batch_df.drop("_commit_version"), keys, sum_cols,
-            "write_stream_incremental_aggregate",
+            rows, keys, sum_cols, "write_stream_incremental_aggregate"
         )
         if delta is None:
             return

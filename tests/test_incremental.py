@@ -456,6 +456,60 @@ def test_mv_partitioned_aggregate_prunes_reads(spark, tmp_path):
     assert files and all("k=2" in f for f in files), files
 
 
+def test_streaming_mv_with_dim_join_transform(spark, tmp_path):
+    """Streaming MV over a JOIN: the CDC stream's change rows join a
+    static broadcast dim inside the fold — per-segment totals follow the
+    source through DML with no source rescan."""
+    from customer_activity_lakehouse_spark.sources.datasource import (
+        SnapshotLogDataSource,
+    )
+    import customer_activity_lakehouse_spark.streaming.streams as S
+
+    spark.dataSource.register(SnapshotLogDataSource)
+    src = str(tmp_path / "src")
+    agg = str(tmp_path / "agg")
+    ck = str(tmp_path / "ck")
+    dim = spark.createDataFrame(
+        [(0, "gold"), (1, "gold"), (2, "silver"), (3, "silver"), (4, "bronze")],
+        "k long, seg string",
+    )
+
+    def view(df):
+        return df.join(F.broadcast(dim), "k")
+
+    commit_append(spark, src, _src_df(spark, 0, 30).coalesce(2), stats_cols=["id"])
+
+    def run_pass():
+        sdf = (
+            spark.readStream.format("snapshot_log")
+            .option("path", src)
+            .option("mode", "cdc")
+            .load()
+        )
+        q = S.write_stream_incremental_aggregate(
+            sdf, agg, ["seg"], ["v"], ck, transform=view
+        )
+        q.awaitTermination(120)
+
+    def recompute():
+        return {
+            r.seg: (r.v, r.n)
+            for r in read_snapshot(spark, src).join(dim, "k")
+            .groupBy("seg")
+            .agg(F.sum("v").alias("v"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+
+    run_pass()
+    assert {r.seg: (r.v, r.n_rows) for r in read_snapshot(spark, agg).collect()} \
+        == recompute()
+    delete_snapshot(spark, src, "id >= 25", mode="dv", stats_cols=["id"])
+    update_snapshot(spark, src, "id = 1", {"v": "v + 100"}, stats_cols=["id"])
+    run_pass()
+    assert {r.seg: (r.v, r.n_rows) for r in read_snapshot(spark, agg).collect()} \
+        == recompute()
+
+
 def test_mv_rejects_unknown_change_type(spark):
     from customer_activity_lakehouse_spark.sources.incremental import _fold_feed
 
