@@ -2044,6 +2044,95 @@ WHERE cos_sim >= 0.40
 """
 
 
+EMB_DECON_THETA = 0.30  # cosine above which a corpus vector is "contaminated"
+EMB_DECON_MOD = 50  # vec_id % MOD == 0 plays the held-out benchmark set
+
+
+def q_embedding_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding-space decontamination: the semantic twin of
+    `doc_decontaminate` (which catches verbatim n-gram overlap, and which
+    paraphrased benchmark leakage walks straight past). A held-out
+    benchmark slice (vec_id % EMB_DECON_MOD == 0 — in production, the
+    eval-set embeddings) is scored against the remaining corpus; any
+    corpus vector with cosine ≥ EMB_DECON_THETA to ANY benchmark vector
+    is contaminated. Output: per-label corpus size, contaminated count,
+    and the worst offending similarity — the report a pretraining run
+    reviews before freezing the mix.
+
+    Scale shape: the benchmark side is bounded (an eval suite is
+    thousands of rows, not billions) and BROADCAST, so the corpus never
+    shuffles — every executor streams its corpus partition past the
+    in-memory benchmark, exactly `doc_decontaminate`'s broadcast
+    semi-join doctrine lifted to vectors. Per-row work (double cast,
+    norm) happens once per vector before the pair loop; cosines round to
+    4dp before max() so the per-label aggregate is order-free. At larger
+    benchmark sizes, pre-bucket both sides with the hyperplane-LSH bands
+    (`embedding_lsh_pairs`) and verify within buckets only."""
+    emb = table(spark, sf, "embeddings")
+    prep = emb.select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("e"),
+    ).select("vec_id", "label", "e", _norm_expr_pre(F.col("e")).alias("nrm"))
+    bench = prep.filter(F.col("vec_id") % EMB_DECON_MOD == 0).select(
+        F.col("vec_id").alias("b_id"), F.col("e").alias("eb"), F.col("nrm").alias("nb")
+    )
+    corpus = prep.filter(F.col("vec_id") % EMB_DECON_MOD != 0)
+    cos = F.round(_dot_expr_pre(F.col("e"), F.col("eb")) / (F.col("nrm") * F.col("nb")), 4)
+    per_vec = (
+        corpus.join(F.broadcast(bench))
+        .withColumn("cos_sim", cos)
+        .filter(F.col("cos_sim") >= EMB_DECON_THETA)
+        .groupBy("vec_id", "label")
+        .agg(F.max("cos_sim").alias("worst_cos"))
+    )
+    sizes = corpus.groupBy("label").agg(F.count(F.lit(1)).alias("n_vecs"))
+    cont = per_vec.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_contaminated"),
+        F.max("worst_cos").alias("max_cos"),
+    )
+    return (
+        sizes.join(cont, "label", "left")
+        .select(
+            "label",
+            "n_vecs",
+            F.coalesce(F.col("n_contaminated"), F.lit(0)).alias("n_contaminated"),
+            F.coalesce(F.col("max_cos"), F.lit(0.0)).alias("max_cos"),
+        )
+        .orderBy("label")
+    )
+
+
+_SQL_DECON_COS = (
+    "list_sum(list_transform(range(1, {d}+1), i -> c.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))"
+    " / (sqrt(list_sum(list_transform(range(1, {d}+1), i -> c.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE)))"
+    " * sqrt(list_sum(list_transform(range(1, {d}+1), i -> b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))))"
+).format(d=_DIM)
+
+ORACLE_EMBEDDING_DECONTAMINATE = f"""
+WITH per_vec AS (
+  SELECT c.vec_id, c.label, max(round({_SQL_DECON_COS}, 4)) AS worst_cos
+  FROM embeddings c JOIN embeddings b
+    ON b.vec_id % {EMB_DECON_MOD} = 0 AND c.vec_id % {EMB_DECON_MOD} != 0
+  WHERE round({_SQL_DECON_COS}, 4) >= {EMB_DECON_THETA}
+  GROUP BY c.vec_id, c.label
+),
+sizes AS (
+  SELECT label, count(*)::BIGINT AS n_vecs FROM embeddings
+  WHERE vec_id % {EMB_DECON_MOD} != 0 GROUP BY label
+),
+cont AS (
+  SELECT label, count(*)::BIGINT AS n_contaminated, max(worst_cos) AS max_cos
+  FROM per_vec GROUP BY label
+)
+SELECT s.label, s.n_vecs,
+       coalesce(c.n_contaminated, 0)::BIGINT AS n_contaminated,
+       coalesce(c.max_cos, 0.0) AS max_cos
+FROM sizes s LEFT JOIN cont c USING (label)
+ORDER BY s.label
+"""
+
+
 N_EMB_BANDS = 4
 EMB_BAND_BITS = 4
 
@@ -3148,6 +3237,123 @@ FROM sums WHERE n_types >= 2
 """
 
 
+DSIR_TOP_K = 25  # review-queue size for the highest-importance raw docs
+
+
+def q_doc_dsir_weights(spark: SparkSession, sf: str) -> DataFrame:
+    """DSIR-style data-selection importance weights (Xie et al. 2023,
+    "Data Selection for Language Models via Importance Resampling"): fit
+    two add-1-smoothed unigram LMs — a TARGET model on the English slice
+    (the distribution a pretraining mix wants more of) and a RAW model on
+    the whole corpus — and score every document by its per-token mean
+    log-likelihood RATIO, ``dsir_bits = mean(log2 p_tgt(w) - log2
+    p_raw(w))``. Docs whose text "looks like" the target score high and
+    are what importance resampling keeps; output is the top-K raw-pool
+    review queue. The paper hashes n-grams into buckets to bound the
+    feature space; at sf the exact-token vocabulary IS bounded, so the
+    oracle compares exact tokens — at 100 TB swap the token key for
+    ``pmod(xxhash64(token), B)`` (the `_ngram_hashes` machinery) without
+    touching the plan shape.
+
+    Determinism doctrine: the per-token log-ratio is quantized to integer
+    micro-bits before the per-doc sum (`doc_unigram_logprob`'s trick), so
+    the distributed sum is exact-integer and parallelism-independent.
+
+    Scale: two |vocab|-sized partial-agg passes build the models (the
+    target pass is a filtered re-aggregation, not a second corpus scan —
+    Catalyst reuses the exchange), one join token→weight scores the
+    corpus, per-doc sums partial-agg on doc_id, top-K via TakeOrdered.
+    The weight frame is |vocab|-sized and broadcastable; no global sort."""
+    docs = table(spark, sf, "documents")
+    tok = docs.select(
+        "doc_id", "lang", "source", F.explode(_tokens(F.col("text"))).alias("token")
+    )
+    counts = tok.groupBy("token").agg(
+        F.count(F.lit(1)).alias("n_raw"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("n_tgt"),
+    )
+    totals = counts.agg(
+        F.sum("n_raw").alias("tot_raw"),
+        F.sum("n_tgt").alias("tot_tgt"),
+        F.count(F.lit(1)).alias("vocab"),
+    )
+    # log2 of a ratio of exact integers on both sides; micro-bit quantize.
+    weights = counts.crossJoin(F.broadcast(totals)).select(
+        "token",
+        F.round(
+            (
+                F.log2(
+                    (F.col("n_tgt") + 1).cast("double")
+                    / (F.col("tot_tgt") + F.col("vocab")).cast("double")
+                )
+                - F.log2(
+                    (F.col("n_raw") + 1).cast("double")
+                    / (F.col("tot_raw") + F.col("vocab")).cast("double")
+                )
+            )
+            * 1e6
+        )
+        .cast("long")
+        .alias("microbits"),
+    )
+    per_doc = (
+        tok.join(weights, "token")
+        .groupBy("doc_id", "lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("microbits").alias("sum_mb"),
+        )
+    )
+    return (
+        per_doc.select(
+            "doc_id",
+            "lang",
+            "source",
+            "n_tokens",
+            F.round(F.col("sum_mb").cast("double") / F.col("n_tokens") / 1e6, 4).alias(
+                "dsir_bits"
+            ),
+        )
+        .orderBy(F.col("dsir_bits").desc(), "doc_id")
+        .limit(DSIR_TOP_K)
+    )
+
+
+ORACLE_DOC_DSIR_WEIGHTS = f"""
+WITH tok AS (
+  SELECT doc_id, lang, source, unnest({_SQL_TOKENS}) AS token FROM documents
+),
+counts AS (
+  SELECT token, count(*)::BIGINT AS n_raw,
+         sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT AS n_tgt
+  FROM tok GROUP BY token
+),
+totals AS (
+  SELECT sum(n_raw) AS tot_raw, sum(n_tgt) AS tot_tgt,
+         count(*)::BIGINT AS vocab
+  FROM counts
+),
+weights AS (
+  SELECT token,
+         round((log2((n_tgt + 1)::DOUBLE / (tot_tgt + vocab))
+              - log2((n_raw + 1)::DOUBLE / (tot_raw + vocab))) * 1e6)::BIGINT
+           AS microbits
+  FROM counts, totals
+),
+per_doc AS (
+  SELECT t.doc_id, t.lang, t.source, count(*)::BIGINT AS n_tokens,
+         sum(w.microbits)::BIGINT AS sum_mb
+  FROM tok t JOIN weights w USING (token)
+  GROUP BY t.doc_id, t.lang, t.source
+)
+SELECT doc_id, lang, source, n_tokens,
+       round(sum_mb::DOUBLE / n_tokens / 1e6, 4) AS dsir_bits
+FROM per_doc
+ORDER BY dsir_bits DESC, doc_id
+LIMIT {DSIR_TOP_K}
+"""
+
+
 def q_ann_sq_topk(spark: SparkSession, sf: str) -> DataFrame:
     """Scalar-quantized ANN (SQ8, the FAISS/Milvus workhorse): corpus
     vectors are compressed to one byte per dimension against per-dim
@@ -3620,6 +3826,14 @@ QUERIES: dict[str, Query] = {
         q_doc_unigram_logprob, ORACLE_DOC_UNIGRAM_LOGPROB, ("text", "quality"), True
     ),
     "doc_zipf_slope": Query(q_doc_zipf_slope, ORACLE_DOC_ZIPF_SLOPE, ("text", "quality")),
+    "doc_dsir_weights": Query(
+        q_doc_dsir_weights, ORACLE_DOC_DSIR_WEIGHTS, ("text", "sampling", "quality")
+    ),
+    "embedding_decontaminate": Query(
+        q_embedding_decontaminate,
+        ORACLE_EMBEDDING_DECONTAMINATE,
+        ("similarity", "decontam", "governance"),
+    ),
     "ann_sq_topk": Query(
         q_ann_sq_topk, ORACLE_ANN_SQ_TOPK, ("similarity", "quantization"), True
     ),

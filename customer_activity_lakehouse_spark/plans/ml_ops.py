@@ -39,7 +39,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators.joins import dim_join
-from .core import SQL_REV, revenue
+from .core import MONEY, SQL_REV, revenue
 from .registry import Query, table
 
 
@@ -1965,6 +1965,100 @@ FROM calc
 """
 
 
+def q_priority_revenue_anova(spark: SparkSession, sf: str) -> DataFrame:
+    """One-way ANOVA of order value across order priorities — the
+    continuous-response companion to `segment_priority_chisq` (categorical
+    × categorical there, categorical × money here): does priority class
+    explain any of the variance in o_totalprice? Emits per-group moments
+    and the shared F-statistic, F = (SSB/(k-1)) / (SSW/(N-k)) with
+    SSB = Σ_g sx_g²/n_g − (Σsx)²/N and SSW = Σ_g (sxx_g − sx_g²/n_g).
+
+    Numeric determinism (the plans/core money policy, extended to second
+    moments): money is lifted to exact integer CENTS, so per-group Σx and
+    Σx² sum as exact DECIMAL(38,0) — order-free — and every variance-style
+    subtraction (n·Σx² − (Σx)², the catastrophic-cancellation site where
+    a 1-ulp decimal→double difference explodes) happens in EXACT decimal
+    arithmetic; doubles appear only in one fixed-order division per group
+    at the very end. Cross-group sums round contributions to 6dp and go
+    through DECIMAL(28,6) (order-free). A first draft subtracted doubles
+    (Σx² − (Σx)²/n) and lost var at the 4th decimal from exactly that
+    cancellation. Widths: (Σx_cents)² needs < 38 digits — holds to ~10¹⁸
+    cents per group (10 quadrillion dollars); beyond that re-scale CENT.
+
+    Scale shape: orders aggregate EXACTLY ONCE (partial-agg groupBy to k
+    rows); the grand totals and both sums of contributions are windows
+    over the k-row frame — the same tiny-frame exemption as the chi-square
+    (k = |priorities| = 5). No fact rescans, no global sort."""
+    orders = table(spark, sf, "orders")
+    cents = (F.col("o_totalprice").cast(MONEY) * 100).cast("decimal(18,0)")
+    g = orders.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(cents).cast("decimal(18,0)").alias("sx"),
+        F.sum((cents * cents).cast("decimal(38,0)")).alias("sxx"),
+    )
+    w_all = Window.partitionBy()
+    n = F.col("n_orders")
+    sx2 = (F.col("sx") * F.col("sx")).cast("decimal(38,0)")  # exact
+    # n·Σx² − (Σx)²: exact decimal; /1e4 converts cents² → dollars².
+    var_num = (n.cast("decimal(38,0)") * F.col("sxx") - sx2).cast("double")
+    scored = g.select(
+        "priority",
+        "n_orders",
+        F.round(F.col("sx").cast("double") / n / 100, 4).alias("mean_price"),
+        F.round(var_num / (n * (n - 1)) / 1e4, 4).alias("var_price"),
+        F.round(sx2.cast("double") / n / 1e4, 6).alias("ssb_term"),
+        F.round(var_num / n / 1e4, 6).alias("ssw_term"),
+        F.sum("n_orders").over(w_all).alias("n_all"),
+        F.sum("sx").over(w_all).cast("decimal(18,0)").alias("sx_all"),
+        F.count(F.lit(1)).over(w_all).alias("k"),
+    )
+    dec = "decimal(28,6)"
+    grand = (F.col("sx_all") * F.col("sx_all")).cast("decimal(38,0)").cast(
+        "double"
+    ) / F.col("n_all") / 1e4
+    ssb = F.sum(F.col("ssb_term").cast(dec)).over(w_all).cast("double") - grand
+    ssw = F.sum(F.col("ssw_term").cast(dec)).over(w_all).cast("double")
+    f_stat = (ssb / (F.col("k") - 1)) / (ssw / (F.col("n_all") - F.col("k")))
+    return scored.select(
+        "priority",
+        "n_orders",
+        "mean_price",
+        "var_price",
+        F.round(f_stat, 6).alias("f_stat"),
+    ).orderBy("priority")
+
+
+ORACLE_PRIORITY_REVENUE_ANOVA = """
+WITH g AS (
+  SELECT o_orderpriority AS priority, count(*)::BIGINT AS n_orders,
+         sum((o_totalprice::DECIMAL(18,2) * 100)::DECIMAL(18,0))::DECIMAL(18,0) AS sx,
+         sum(((o_totalprice::DECIMAL(18,2) * 100)::DECIMAL(18,0)
+              * (o_totalprice::DECIMAL(18,2) * 100)::DECIMAL(18,0))::DECIMAL(38,0)) AS sxx
+  FROM orders GROUP BY 1
+),
+scored AS (
+  SELECT priority, n_orders,
+         round(sx::DOUBLE / n_orders / 100, 4) AS mean_price,
+         round((n_orders::HUGEINT * sxx::HUGEINT - sx::HUGEINT * sx::HUGEINT)::DOUBLE
+               / (n_orders * (n_orders - 1)) / 1e4, 4) AS var_price,
+         round((sx::HUGEINT * sx::HUGEINT)::DOUBLE / n_orders / 1e4, 6) AS ssb_term,
+         round((n_orders::HUGEINT * sxx::HUGEINT - sx::HUGEINT * sx::HUGEINT)::DOUBLE
+               / n_orders / 1e4, 6) AS ssw_term,
+         sum(n_orders) OVER () AS n_all,
+         sum(sx) OVER ()::DECIMAL(18,0) AS sx_all,
+         count(*) OVER () AS k
+  FROM g
+)
+SELECT priority, n_orders, mean_price, var_price,
+       round(((sum(ssb_term::DECIMAL(28,6)) OVER ()::DOUBLE
+               - (sx_all::HUGEINT * sx_all::HUGEINT)::DOUBLE / n_all / 1e4) / (k - 1))
+             / ((sum(ssw_term::DECIMAL(28,6)) OVER ()::DOUBLE) / (n_all - k)), 6)
+         AS f_stat
+FROM scored
+ORDER BY priority
+"""
+
+
 # ---------------------------------------------------------------------------
 # Product quantization (PQ) ANN — the FAISS IVFPQ residual-free variant
 # ---------------------------------------------------------------------------
@@ -2686,6 +2780,11 @@ QUERIES: dict[str, Query] = {
         ORACLE_NATION_TRADE_FLOWS,
         ("tpch", "join", "agg"),
         True,
+    ),
+    "priority_revenue_anova": Query(
+        q_priority_revenue_anova,
+        ORACLE_PRIORITY_REVENUE_ANOVA,
+        ("stats", "association"),
     ),
     "segment_priority_chisq": Query(
         q_segment_priority_chisq,
