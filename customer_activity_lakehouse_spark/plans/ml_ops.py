@@ -1566,6 +1566,147 @@ FROM r{PR_ITERS}
 """
 
 
+SP_SOURCE = 0  # n_nationkey of the shortest-path source nation
+SP_ITERS = 4  # Bellman-Ford relaxation rounds (trade graphs are dense/shallow)
+
+
+def q_nation_trade_paths(spark: SparkSession, sf: str) -> DataFrame:
+    """Strongest-trade-path search: single-source shortest paths over the
+    supplier-nation → customer-nation graph where an edge costs
+    ``-log2(flow share)`` — so a path's cost is the bits of improbability
+    of goods flowing along it, and the min-cost path is the most probable
+    trade route (the Viterbi/min-plus reading of PageRank's graph). Unlike
+    `dedup_cluster_assignments` (min-label propagation) and
+    `nation_pagerank` (power iteration), this exercises the min-PLUS
+    semiring: SP_ITERS unrolled Bellman-Ford relaxations from SP_SOURCE.
+
+    Numeric determinism: edge weights are micro-bit integers (the
+    log-quantization doctrine), so every relaxation is min() over exact
+    BIGINT sums — bit-identical at any parallelism, no float path costs.
+    Unreachable-vs-reached is explicit CASE logic on NULLs (Spark's
+    least() ignores NULLs, DuckDB's least() has version-dependent NULL
+    semantics — neither is trusted).
+
+    Scale shape: identical to pagerank's — facts join ONCE into the
+    distinct-edge frame (then checkpointed: each round's join would
+    otherwise re-evaluate the whole fact lineage, the iterative-lineage
+    trap), and every relaxation is a broadcast join of the K-node
+    distance frame against dimension-sized edges + a partial-agg min."""
+    li = table(spark, sf, "lineitem")
+    orders = table(spark, sf, "orders")
+    cust = table(spark, sf, "customer")
+    supp = table(spark, sf, "supplier")
+    nation = table(spark, sf, "nation")
+    pair_counts = (
+        dim_join(
+            dim_join(
+                li.join(orders, li.l_orderkey == orders.o_orderkey),
+                cust,
+                orders.o_custkey == cust.c_custkey,
+            ),
+            supp,
+            li.l_suppkey == supp.s_suppkey,
+        )
+        .select(F.col("s_nationkey").alias("src"), F.col("c_nationkey").alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    out_tot = pair_counts.groupBy("src").agg(F.sum("n").alias("tot"))
+    edges = pair_counts.join(out_tot, "src").select(
+        "src",
+        "dst",
+        F.round(-F.log2(F.col("n").cast("double") / F.col("tot")) * 1e6)
+        .cast("long")
+        .alias("w"),
+    )
+    reliable = spark.sparkContext.getCheckpointDir() is not None
+    edges = edges.checkpoint(eager=True) if reliable else edges.localCheckpoint(eager=True)
+    dist = nation.select(
+        F.col("n_nationkey").alias("node"),
+        "n_name",
+        F.when(F.col("n_nationkey") == SP_SOURCE, F.lit(0)).cast("long").alias("d"),
+    )
+    for _ in range(SP_ITERS):
+        relax = (
+            edges.join(
+                F.broadcast(
+                    dist.filter(F.col("d").isNotNull()).select(
+                        F.col("node").alias("src"), F.col("d").alias("d_src")
+                    )
+                ),
+                "src",
+            )
+            .select(F.col("dst").alias("node"), (F.col("d_src") + F.col("w")).alias("cand"))
+            .groupBy("node")
+            .agg(F.min("cand").alias("cand"))
+        )
+        dist = dist.join(F.broadcast(relax), "node", "left").select(
+            "node",
+            "n_name",
+            F.when(F.col("d").isNull(), F.col("cand"))
+            .when(F.col("cand").isNull(), F.col("d"))
+            .otherwise(F.least("d", "cand"))
+            .alias("d"),
+        )
+    return dist.select(
+        "n_name",
+        F.col("d").isNotNull().alias("reachable"),
+        F.coalesce(F.col("d"), F.lit(-1)).alias("cost_micro"),
+        F.round(F.coalesce(F.col("d"), F.lit(-1)).cast("double") / 1e6, 4).alias(
+            "cost_bits"
+        ),
+    ).orderBy("n_name")
+
+
+def _sp_oracle() -> str:
+    rounds = "".join(
+        f""",
+c{it} AS MATERIALIZED (
+  SELECT e.dst AS node, min(d.d + e.w) AS cand
+  FROM edges e JOIN d{it - 1} d ON d.node = e.src
+  WHERE d.d IS NOT NULL GROUP BY e.dst
+),
+d{it} AS MATERIALIZED (
+  SELECT p.node, p.n_name,
+         CASE WHEN p.d IS NULL THEN c.cand
+              WHEN c.cand IS NULL THEN p.d
+              ELSE least(p.d, c.cand) END AS d
+  FROM d{it - 1} p LEFT JOIN c{it} c ON c.node = p.node
+)"""
+        for it in range(1, SP_ITERS + 1)
+    )
+    return f"""
+WITH pair_counts AS MATERIALIZED (
+  SELECT s_nationkey AS src, c_nationkey AS dst, count(*) AS n
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  WHERE s_nationkey != c_nationkey
+  GROUP BY src, dst
+),
+out_tot AS (SELECT src, sum(n) AS tot FROM pair_counts GROUP BY src),
+edges AS MATERIALIZED (
+  SELECT src, dst, round(-log2(n::DOUBLE / tot) * 1e6)::BIGINT AS w
+  FROM pair_counts JOIN out_tot USING (src)
+),
+d0 AS MATERIALIZED (
+  SELECT n_nationkey AS node, n_name,
+         CASE WHEN n_nationkey = {SP_SOURCE} THEN 0::BIGINT END AS d
+  FROM nation
+){rounds}
+SELECT n_name, d IS NOT NULL AS reachable,
+       coalesce(d, -1)::BIGINT AS cost_micro,
+       round(coalesce(d, -1)::DOUBLE / 1e6, 4) AS cost_bits
+FROM d{SP_ITERS}
+ORDER BY n_name
+"""
+
+
+ORACLE_NATION_TRADE_PATHS = _sp_oracle()
+
+
 # ---------------------------------------------------------------------------
 # Table profiling (ANALYZE-style column statistics)
 # ---------------------------------------------------------------------------
@@ -2743,6 +2884,11 @@ QUERIES: dict[str, Query] = {
     "nation_pagerank": Query(
         q_nation_pagerank,
         ORACLE_NATION_PAGERANK,
+        ("graph", "join", "tpch"),
+    ),
+    "nation_trade_paths": Query(
+        q_nation_trade_paths,
+        ORACLE_NATION_TRADE_PATHS,
         ("graph", "join", "tpch"),
     ),
     "orders_profile": Query(

@@ -320,6 +320,16 @@ def test_pagerank_iterations_never_rescan_facts(spark, sf_correctness):
     )
 
 
+def test_trade_paths_iterations_never_rescan_facts(spark, sf_correctness):
+    """Same iterative-lineage gate as pagerank for the min-plus
+    Bellman-Ford chain: the edge frame checkpoints before the relaxation
+    loop, so the final 4-round plan contains zero lineitem scans."""
+    plan = explain_str(QUERIES["nation_trade_paths"].fn(spark, sf_correctness), "simple")
+    assert "lineitem" not in plan, (
+        f"trade-path relaxations re-scan the fact table:\n{plan[:2000]}"
+    )
+
+
 def test_priority_drift_equi_joins_only(spark, sf_correctness):
     """The point-in-time SCD lookup must ride two equi HASH joins
     (orderkey, then custkey with the interval range predicate as a

@@ -92,6 +92,18 @@ HEAVY = [
     # behavior at scale
     "dml_snapshot_mv_totals",
     "dml_replace_where_mv",
+    # r8 stats/selection additions: DSIR's vocab (and with it every
+    # smoothed log-ratio) repopulates with corpus size; the ANOVA's
+    # integer-cents moment widths are exactly the exact-width class; the
+    # decontam report's threshold-crossing population shifts with both
+    # corpus and benchmark-slice size
+    "doc_dsir_weights",
+    "priority_revenue_anova",
+    "embedding_decontaminate",
+    # min-plus path costs: every edge weight is a quantized log of a flow
+    # share that repopulates with fact volume — the whole distance table
+    # is sf-dependent
+    "nation_trade_paths",
 ]
 
 
