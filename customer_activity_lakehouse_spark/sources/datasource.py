@@ -742,6 +742,13 @@ class _SnapshotWriterDriver(_SnapshotArrowWriter):
                     "snapshot_log writer: CHECK constraints changed between "
                     "staging and commit; re-run the write"
                 )
+            if prev and prev.get("identity"):
+                raise RuntimeError(
+                    f"snapshot_log writer: {self._dir} has identity column(s) "
+                    f"{sorted(prev['identity'])}; the pure-Python writer does "
+                    "not allocate identity values — write through commit_append/"
+                    "commit_overwrite"
+                )
             manifest = {
                 "version": version,
                 "op": "overwrite",
@@ -754,6 +761,12 @@ class _SnapshotWriterDriver(_SnapshotArrowWriter):
                 manifest["constraints"] = self._constraints
             if new_stats:
                 manifest["stats"] = new_stats
+            # table-level properties survive an overwrite (Delta keeps
+            # metadata across mode=overwrite); without the carry a
+            # DataSource overwrite would silently un-declare them
+            for k in ("generated", "bloom", "table_stats"):
+                if prev and prev.get(k):
+                    manifest.setdefault(k, prev[k])
             if not _py_try_commit(self._dir, version, manifest, prev=prev):
                 raise RuntimeError(
                     f"snapshot_log writer: version {version} was committed "
@@ -800,6 +813,15 @@ class _SnapshotWriterDriver(_SnapshotArrowWriter):
                     f"snapshot_log writer: partitioning at {self._dir} "
                     "changed between staging and commit; re-run the write"
                 )
+            if prev and prev.get("identity"):
+                # fail-loud (same contract as the streaming sink): this
+                # path has no identity allocator, and committing rows
+                # around the watermark would mint future duplicates
+                raise RuntimeError(
+                    f"snapshot_log writer: {self._dir} has identity column(s) "
+                    f"{sorted(prev['identity'])}; the pure-Python writer does "
+                    "not allocate identity values — append through commit_append"
+                )
             manifest = {
                 "version": version,
                 "op": "append",
@@ -815,6 +837,9 @@ class _SnapshotWriterDriver(_SnapshotArrowWriter):
                 manifest["constraints"] = prev_cons
             if prev and prev.get("dv_files"):
                 manifest["dv_files"] = prev["dv_files"]
+            for k in ("generated", "bloom", "table_stats"):
+                if prev and prev.get(k):
+                    manifest.setdefault(k, prev[k])
             prev_stats = prev.get("stats", {}) if prev else {}
             if prev_stats or new_stats:
                 manifest["stats"] = {**prev_stats, **new_stats}

@@ -32,6 +32,7 @@ import decimal
 import json
 import math
 import os
+import re
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -46,6 +47,23 @@ _SNAP_DIR = "_snapshots"
 # alone suggests, because its list->write->rename window stretches while
 # competitors stay fast.
 _MAX_COMMIT_RETRIES = 64
+# Identity-allocation conflicts rewrite the staged parquet (ids are baked
+# into the data), so the budget is small — conflicts need two writers
+# allocating from the SAME watermark in the same instant.
+_MAX_IDENTITY_RETRIES = 5
+
+
+class IdentityConflictError(RuntimeError):
+    """A concurrent commit moved an identity column's high watermark (or
+    declared identity) between this writer's allocation and its commit —
+    the staged files carry ids minted from a stale base and must be
+    re-staged. ``commit_append`` catches this and retries the whole
+    stage+commit; other write paths surface it (fail-loud: they do not
+    allocate identity values)."""
+
+    def __init__(self, staged_path: str | None, msg: str):
+        super().__init__(msg)
+        self.staged_path = staged_path
 
 
 def _list_versions(spark: SparkSession, table_dir: str) -> list[int]:
@@ -540,6 +558,12 @@ def rename_snapshot_column(
         manifest["partition_by"] = [
             new if c == old else c for c in m["partition_by"]
         ]
+    if old in (m.get("identity") or {}):
+        # the allocation rule follows the rename (identity specs are keyed
+        # by logical name; a stale key would silently stop allocation)
+        ident = dict(m["identity"])
+        ident[new] = ident.pop(old)
+        manifest["identity"] = ident
     for k in ("stats", "dv_files"):
         if m.get(k):
             manifest[k] = m[k]
@@ -576,6 +600,11 @@ def drop_snapshot_column(spark: SparkSession, table_dir: str, name: str) -> int:
             f"drop_snapshot_column: {name!r} is a partition column of "
             f"{table_dir} (partitioned by {m['partition_by']}) — re-lay the "
             "table with commit_overwrite(partition_by=[...]) first"
+        )
+    if name in (m.get("identity") or {}):
+        raise ValueError(
+            f"drop_snapshot_column: {name!r} is an identity column of "
+            f"{table_dir} — drop_identity_column first"
         )
     _check_constraint_refs(m, name, "drop_snapshot_column")
     colmap, used = _mapping_of(m)
@@ -714,6 +743,9 @@ def _commit_append_files(
     validated_constraints: dict | None = None,
     mapping: tuple | None = None,
     partition_by: list[str] | None = None,
+    identity_base: dict | None = None,
+    identity_update: dict | None = None,
+    staged_path: str | None = None,
 ) -> int:
     """The append-commit retry loop shared by :func:`commit_append` and the
     streaming snapshot sink: chain ``new_files`` onto whatever manifest is
@@ -795,6 +827,32 @@ def _commit_append_files(
                 f"this append declared {partition_by} — partitioning is fixed "
                 "at table creation (use commit_overwrite to re-lay the table)"
             )
+        # IDENTITY watermark arbitration: the staged files carry ids minted
+        # from identity_base — commit only if that base is STILL the
+        # table's watermark; otherwise two writers allocated the same
+        # range and one must re-stage (IdentityConflictError → the
+        # commit_append wrapper rewrites the batch with fresh ids). A
+        # write path that never allocates (the streaming sink, raw
+        # callers) fails loud on identity tables rather than silently
+        # bypassing the watermark.
+        prev_ident = prev_m.get("identity") if versions else None
+        if identity_base is not None:
+            for n, base_high in identity_base.items():
+                cur = (prev_ident or {}).get(n)
+                if cur is None or cur.get("high") != base_high:
+                    raise IdentityConflictError(
+                        staged_path,
+                        f"identity watermark for {n!r} moved "
+                        f"({base_high} -> {cur and cur.get('high')}) between "
+                        f"allocation and commit at {table_dir}",
+                    )
+        elif prev_ident:
+            raise IdentityConflictError(
+                staged_path,
+                f"{table_dir} has identity column(s) {sorted(prev_ident)} but "
+                "this write path did not allocate them — append through "
+                "commit_append",
+            )
         manifest = {
             "version": version,
             "op": "append",
@@ -814,6 +872,8 @@ def _commit_append_files(
             manifest["generated"] = prev_m["generated"]
         if versions and prev_m.get("bloom"):
             manifest["bloom"] = prev_m["bloom"]
+        if identity_update is not None:
+            manifest["identity"] = identity_update
         if prev_dvs:
             manifest["dv_files"] = prev_dvs
         if prev_stats or new_stats:
@@ -843,6 +903,18 @@ def commit_append(
     files + this batch's. Retries on version races (append order does not
     depend on what the writer read, so retrying is always safe).
 
+    IDENTITY columns (``set_identity_column``): an append that OMITS a
+    declared identity column gets values minted here — unique, ≥ start,
+    multiples of step apart, strictly above the table's recorded high
+    watermark; like Delta, values may have GAPS (allocation rides
+    ``monotonically_increasing_id``, which strides by partition). A
+    concurrent append that moves the watermark between allocation and
+    commit raises :class:`IdentityConflictError` inside the commit loop;
+    this wrapper deletes the stale staged files and re-stages with fresh
+    ids (ids are baked into parquet, so a plain manifest retry would
+    commit duplicates — the same reason Delta restarts the whole write on
+    an identity metadata conflict).
+
     Schema contract: the manifest records the table schema; an append whose
     (name, type) signature differs fails BEFORE writing unless
     ``allow_schema_evolution=True`` (the evolved signature is then
@@ -859,15 +931,75 @@ def commit_append(
     stats and before Spark lists a single file. The reference's own layout
     contract (flows.py:314 partitions by transaction_date) applied to the
     snapshot log."""
+    for _ in range(_MAX_IDENTITY_RETRIES):
+        try:
+            return _commit_append_once(
+                spark, table_dir, df, allow_schema_evolution, stats_cols,
+                partition_by, extra,
+            )
+        except IdentityConflictError as e:
+            if e.staged_path:
+                import shutil
+
+                shutil.rmtree(
+                    re.sub(r"^[a-zA-Z0-9+.-]+:/+", "/", e.staged_path),
+                    ignore_errors=True,
+                )
+            continue
+    raise RuntimeError(
+        f"commit_append: lost {_MAX_IDENTITY_RETRIES} identity-allocation "
+        f"races at {table_dir}"
+    )
+
+
+def _commit_append_once(
+    spark: SparkSession,
+    table_dir: str,
+    df: DataFrame,
+    allow_schema_evolution: bool,
+    stats_cols: list[str] | None,
+    partition_by: list[str] | None,
+    extra: dict | None,
+) -> int:
     versions = _list_versions(spark, table_dir)
     sig = _schema_sig(df)
     entry_cons: dict = {}
     mapping = None
+    ident: dict = {}
+    identity_base: dict | None = None
+    identity_new: dict | None = None
     if versions:
         from pyspark.sql import functions as F
 
         prev_m = _read_manifest(spark, table_dir, versions[-1])
         prev_sig = prev_m.get("schema")
+        # IDENTITY columns: mint values for omitted ones BEFORE generated
+        # columns compute (a generation expr may reference the id) and
+        # before constraint validation sees the rows.
+        ident = prev_m.get("identity", {})
+        if ident:
+            identity_base = {n: spec["high"] for n, spec in ident.items()}
+            identity_new = dict(ident)
+            for n, spec in ident.items():
+                if n in df.columns:
+                    if spec.get("mode", "always") == "always":
+                        raise ValueError(
+                            f"commit_append: column {n!r} is GENERATED ALWAYS "
+                            f"AS IDENTITY at {table_dir}; omit it (declare "
+                            "mode='default' to allow explicit values)"
+                        )
+                else:
+                    nxt = spec["high"] + spec["step"]
+                    df = df.withColumn(
+                        n,
+                        (
+                            F.lit(nxt)
+                            + F.lit(spec["step"]) * F.monotonically_increasing_id()
+                        ).cast("long"),
+                    )
+            if prev_sig is not None and set(df.columns) == {x for x, _ in prev_sig}:
+                df = df.select(*[x for x, _ in prev_sig])
+            sig = _schema_sig(df)
         # GENERATED columns: compute any the writer omitted (Delta's
         # contract — provide it and the paired CHECK validates it, omit
         # it and the engine computes it), then restore the recorded
@@ -938,8 +1070,25 @@ def commit_append(
         [_phys(mapping[1], c) for c in stats_cols] if mapping and stats_cols
         else list(stats_cols or [])
     )
-    stat_keys = sorted(set(stat_keys) | set(part_phys))
+    # identity columns always join the stats pass: the new high watermark
+    # is read off the staged files' max — no second scan, and the ids the
+    # manifest accounts for are EXACTLY the ids parquet holds (a separate
+    # agg over the pre-write frame could disagree: mono-id is re-evaluated
+    # per action).
+    ident_phys = {
+        n: _phys(mapping[1] if mapping else None, n) for n in ident
+    }
+    stat_keys = sorted(set(stat_keys) | set(part_phys) | set(ident_phys.values()))
     new_stats = _file_stats(spark, new_files, stat_keys) if stat_keys else {}
+    if identity_new is not None:
+        for n, ph in ident_phys.items():
+            observed = [
+                s[ph][1]
+                for s in new_stats.values()
+                if s.get(ph) and s[ph][1] is not None
+            ]
+            hi = max([identity_base[n], *[int(v) for v in observed]])
+            identity_new[n] = {**ident[n], "high": int(hi)}
     new_stats = _attach_blooms(
         spark, table_dir, prev_m if versions else None, new_files, new_stats
     )
@@ -954,6 +1103,9 @@ def commit_append(
         validated_constraints=entry_cons,
         mapping=mapping,
         partition_by=partition_by,
+        identity_base=identity_base,
+        identity_update=identity_new,
+        staged_path=data_path,
     )
 
 
@@ -1180,7 +1332,9 @@ def commit_replace_where(
     return base_v + 1
 
 
-_TABLE_PROPS = ("constraints", "table_stats", "generated", "partition_by", "bloom")
+_TABLE_PROPS = (
+    "constraints", "table_stats", "generated", "partition_by", "bloom", "identity"
+)
 
 
 def _carry_props(
@@ -3761,6 +3915,130 @@ def set_generated_column(
     if not _try_commit(spark, table_dir, base_v + 1, manifest):
         raise RuntimeError(
             f"set_generated_column: version {base_v + 1} was committed "
+            f"concurrently at {table_dir}; re-read and retry"
+        )
+    return base_v + 1
+
+
+def set_identity_column(
+    spark: SparkSession,
+    table_dir: str,
+    name: str,
+    start: int = 1,
+    step: int = 1,
+    mode: str = "always",
+) -> int:
+    """Delta ``GENERATED ALWAYS AS IDENTITY`` parity for an existing
+    BIGINT column: from this commit on, appends that omit ``name`` get
+    engine-minted values — unique, ≥ ``start``, spaced by multiples of
+    ``step``, monotonically above the recorded high watermark (gaps
+    allowed, exactly Delta's contract). ``mode='always'`` refuses
+    writer-provided values; ``mode='default'`` accepts them and folds
+    their max into the watermark (Delta's GENERATED BY DEFAULT — explicit
+    values are NOT checked for uniqueness, also Delta's contract). The
+    watermark initializes above any values already in the table (one
+    column-pruned scan here, never again: appends read the new high off
+    their own file stats).
+
+    Scope (documented, fail-loud elsewhere): allocation lives in
+    ``commit_append`` — the streaming snapshot sink and the Python
+    DataSource writer raise on identity tables rather than mint
+    unaccounted ids; DML rewrite verbs carry existing ids untouched
+    (``_TABLE_PROPS``) but a MERGE's INSERT clause must supply explicit
+    values (mode='default'), as in Delta before identity-merge support.
+
+    Reference basis: the reference pipeline has no surrogate-key story at
+    all (ids arrive in the CSVs, data_processing.py); this is part of the
+    beyond-reference table layer."""
+    if step < 1:
+        raise ValueError(f"set_identity_column: step must be >= 1, got {step}")
+    if mode not in ("always", "default"):
+        raise ValueError(
+            f"set_identity_column: mode must be 'always' or 'default', got {mode!r}"
+        )
+    versions = _list_versions(spark, table_dir)
+    if not versions:
+        raise FileNotFoundError(f"no snapshots at {table_dir}")
+    base_v = versions[-1]
+    m = _read_manifest(spark, table_dir, base_v)
+    sig = m.get("schema") or []
+    types = {n: t for n, t in sig}
+    if name not in types:
+        raise KeyError(
+            f"set_identity_column: no column {name!r} at {table_dir} (have "
+            f"{sorted(types)}); commit the table with the column first"
+        )
+    if types[name] != "bigint":
+        raise TypeError(
+            f"set_identity_column: {name!r} is {types[name]}; identity "
+            "columns must be bigint"
+        )
+    from pyspark.sql import functions as F
+
+    row = (
+        read_snapshot(spark, table_dir, version=base_v)
+        .agg(F.max(name).alias("mx"))
+        .collect()[0]
+    )
+    existing_max = row["mx"]
+    high = start - step
+    if existing_max is not None:
+        high = max(high, int(existing_max))
+    manifest = {
+        "version": base_v + 1,
+        "op": "set_identity",
+        "data_change": False,
+        "files": m["files"],
+        "schema": sig,
+        "identity": {
+            **m.get("identity", {}),
+            name: {"start": start, "step": step, "mode": mode, "high": high},
+        },
+    }
+    for k in ("stats", "dv_files"):
+        if m.get(k):
+            manifest[k] = m[k]
+    _carry_props(m, manifest, exclude=("identity",))
+    _carry_mapping(m, manifest)
+    if not _try_commit(spark, table_dir, base_v + 1, manifest):
+        raise RuntimeError(
+            f"set_identity_column: version {base_v + 1} was committed "
+            f"concurrently at {table_dir}; re-read and retry"
+        )
+    return base_v + 1
+
+
+def drop_identity_column(spark: SparkSession, table_dir: str, name: str) -> int:
+    """Un-declare an identity column (the column and its minted values
+    stay; only the allocation rule and watermark go)."""
+    versions = _list_versions(spark, table_dir)
+    if not versions:
+        raise FileNotFoundError(f"no snapshots at {table_dir}")
+    base_v = versions[-1]
+    m = _read_manifest(spark, table_dir, base_v)
+    ident = dict(m.get("identity", {}))
+    if name not in ident:
+        raise KeyError(
+            f"no identity column {name!r} at {table_dir} (have {sorted(ident)})"
+        )
+    del ident[name]
+    manifest = {
+        "version": base_v + 1,
+        "op": "drop_identity",
+        "data_change": False,
+        "files": m["files"],
+        "schema": m.get("schema"),
+    }
+    if ident:
+        manifest["identity"] = ident
+    for k in ("stats", "dv_files"):
+        if m.get(k):
+            manifest[k] = m[k]
+    _carry_props(m, manifest, exclude=("identity",))
+    _carry_mapping(m, manifest)
+    if not _try_commit(spark, table_dir, base_v + 1, manifest):
+        raise RuntimeError(
+            f"drop_identity_column: version {base_v + 1} was committed "
             f"concurrently at {table_dir}; re-read and retry"
         )
     return base_v + 1

@@ -2260,3 +2260,155 @@ def test_writeserializable_rebase_stress_appends_vs_merges(spark, tmp_path):
         assert got.get(i) == [-(i + 1)]
         assert got.get(500 + i) == [-(i + 1)]
     assert sum(len(v) for v in got.values()) == 20 + n_appends + n_merges
+
+
+# ---------------------------------------------------------------------------
+# Identity columns (Delta GENERATED ... AS IDENTITY parity)
+# ---------------------------------------------------------------------------
+
+
+def test_identity_mints_unique_ids_above_watermark(spark, tmp_path):
+    import customer_activity_lakehouse_spark.sources.snapshots as S
+
+    t = str(tmp_path / "tbl")
+    # declare-at-create flow: v1 carries the column precomputed
+    commit_append(
+        spark, t, spark.range(0, 5).selectExpr("id + 1 AS rid", "id AS v")
+    )
+    S.set_identity_column(spark, t, "rid", start=1, step=1)
+    commit_append(spark, t, spark.range(100, 108).selectExpr("id AS v"))
+    rows = read_snapshot(spark, t).collect()
+    rids = [r.rid for r in rows]
+    assert len(rids) == 13 and len(set(rids)) == 13
+    minted = sorted(r.rid for r in rows if r.v >= 100)
+    assert min(minted) > 5  # strictly above the initialized watermark
+    # watermark advanced to the minted max, atomically with the commit
+    m = S._read_manifest(spark, t, S._list_versions(spark, t)[-1])
+    assert m["identity"]["rid"]["high"] == max(minted)
+    # the NEXT append continues above it (no reuse across commits)
+    commit_append(spark, t, spark.range(200, 203).selectExpr("id AS v"))
+    rows2 = read_snapshot(spark, t).collect()
+    assert len({r.rid for r in rows2}) == 16
+    assert min(r.rid for r in rows2 if r.v >= 200) > max(minted)
+
+
+def test_identity_step_and_start_spacing(spark, tmp_path):
+    import customer_activity_lakehouse_spark.sources.snapshots as S
+
+    t = str(tmp_path / "tbl")
+    commit_append(spark, t, spark.createDataFrame([(100, "a")], "rid long, v string"))
+    S.set_identity_column(spark, t, "rid", start=100, step=10)
+    commit_append(
+        spark,
+        t,
+        spark.createDataFrame([("b",), ("c",), ("d",)], "v string"),
+    )
+    minted = [r.rid for r in read_snapshot(spark, t).collect() if r.v != "a"]
+    assert all(x > 100 and (x - 100) % 10 == 0 for x in minted), minted
+    assert len(set(minted)) == 3
+
+
+def test_identity_always_refuses_writer_values_default_accepts(spark, tmp_path):
+    import customer_activity_lakehouse_spark.sources.snapshots as S
+
+    t = str(tmp_path / "tbl")
+    commit_append(spark, t, spark.createDataFrame([(1, 0)], "rid long, v long"))
+    S.set_identity_column(spark, t, "rid", mode="always")
+    with pytest.raises(ValueError, match="GENERATED ALWAYS"):
+        commit_append(spark, t, spark.createDataFrame([(99, 1)], "rid long, v long"))
+    # switch to BY DEFAULT: explicit values accepted, watermark folds them in
+    S.drop_identity_column(spark, t, "rid")
+    S.set_identity_column(spark, t, "rid", mode="default")
+    commit_append(spark, t, spark.createDataFrame([(50, 1)], "rid long, v long"))
+    m = S._read_manifest(spark, t, S._list_versions(spark, t)[-1])
+    assert m["identity"]["rid"]["high"] == 50
+    commit_append(spark, t, spark.createDataFrame([(2,)], "v long"))
+    minted = [r.rid for r in read_snapshot(spark, t).collect() if r.v == 2]
+    assert minted[0] > 50
+
+
+def test_identity_requires_bigint_and_existing_column(spark, tmp_path):
+    import customer_activity_lakehouse_spark.sources.snapshots as S
+
+    t = str(tmp_path / "tbl")
+    commit_append(spark, t, spark.createDataFrame([(1, "x")], "rid int, v string"))
+    with pytest.raises(KeyError):
+        S.set_identity_column(spark, t, "nope")
+    with pytest.raises(TypeError, match="bigint"):
+        S.set_identity_column(spark, t, "rid")
+
+
+def test_identity_survives_rename_and_blocks_drop(spark, tmp_path):
+    import customer_activity_lakehouse_spark.sources.snapshots as S
+
+    t = str(tmp_path / "tbl")
+    commit_append(spark, t, spark.createDataFrame([(1, 0)], "rid long, v long"))
+    S.set_identity_column(spark, t, "rid")
+    with pytest.raises(ValueError, match="identity column"):
+        S.drop_snapshot_column(spark, t, "rid")
+    S.rename_snapshot_column(spark, t, "rid", "row_id")
+    commit_append(spark, t, spark.createDataFrame([(7,)], "v long"))
+    rows = read_snapshot(spark, t).collect()
+    minted = [r.row_id for r in rows if r.v == 7]
+    assert minted and minted[0] > 1  # allocation followed the rename
+
+
+def test_identity_concurrent_appends_never_collide(spark, tmp_path):
+    """Two writers allocating from the same watermark: the loser's commit
+    sees the moved watermark, re-stages with fresh ids, and the final
+    table holds unique ids for every row."""
+    import threading
+
+    import customer_activity_lakehouse_spark.sources.snapshots as S
+
+    t = str(tmp_path / "tbl")
+    commit_append(spark, t, spark.createDataFrame([(1, -1)], "rid long, v long"))
+    S.set_identity_column(spark, t, "rid")
+    errs = []
+
+    def appender(k: int) -> None:
+        try:
+            commit_append(
+                spark, t,
+                spark.createDataFrame([(k * 10 + j,) for j in range(5)], "v long"),
+            )
+        except Exception as e:  # pragma: no cover - failure surface
+            errs.append(e)
+
+    threads = [threading.Thread(target=appender, args=(k,)) for k in range(4)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errs, errs
+    rows = read_snapshot(spark, t).collect()
+    assert len(rows) == 21
+    rids = [r.rid for r in rows]
+    assert len(set(rids)) == 21, sorted(rids)
+    m = S._read_manifest(spark, t, S._list_versions(spark, t)[-1])
+    assert m["identity"]["rid"]["high"] == max(rids)
+
+
+def test_identity_blocks_datasource_writer(spark, tmp_path):
+    import customer_activity_lakehouse_spark.sources.snapshots as S
+    from customer_activity_lakehouse_spark.sources.datasource import (
+        SnapshotLogDataSource,
+    )
+
+    spark.dataSource.register(SnapshotLogDataSource)
+    t = str(tmp_path / "tbl")
+    commit_append(spark, t, spark.createDataFrame([(1, 0)], "rid long, v long"))
+    S.set_identity_column(spark, t, "rid")
+    from py4j.protocol import Py4JJavaError
+
+    with pytest.raises(Exception, match="identity"):
+        try:
+            (
+                spark.createDataFrame([(9, 9)], "rid long, v long")
+                .write.format("snapshot_log")
+                .mode("append")
+                .option("path", t)
+                .save()
+            )
+        except Py4JJavaError as e:  # surface the python-side message
+            raise RuntimeError(str(e)) from e
