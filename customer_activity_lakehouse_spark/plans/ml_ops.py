@@ -2200,6 +2200,117 @@ ORDER BY priority
 """
 
 
+MW_GROUP_A = "1-URGENT"
+MW_GROUP_B = "2-HIGH"
+
+
+def q_priority_ranksum_test(spark: SparkSession, sf: str) -> DataFrame:
+    """Mann-Whitney U rank-sum test of order value between two priority
+    classes — the NONPARAMETRIC companion to `priority_revenue_anova`
+    (rank-based, so heavy-tailed money distributions can't distort it the
+    way they distort variance-based F). Midranks for ties, the normal
+    approximation with the standard tie correction, and the rank-biserial
+    effect size r = 1 − 2U/(n_a·n_b).
+
+    Numeric determinism: money is integer cents, so the VALUE-level
+    frame is exact; midranks are carried DOUBLED (2·rank is always an
+    integer — no .5 floats), every moment (rank sums, Σ(t³−t)) sums as
+    exact DECIMAL(38,0), and U/z/r are fixed-order double expressions of
+    those exact aggregates at the very end.
+
+    Scale shape (the part that matters at 100 TB): facts collapse FIRST
+    to the distinct-value frame (cents, n_a, n) via one partial-agg
+    groupBy — ranks need only value-level counts, never a rank() window
+    over the fact table. The single ordered window runs over |distinct
+    cent values| rows (bounded by the price domain, ~10⁶ — the same
+    endpoint-collapse exemption as `shipment_concurrency`), and the
+    final moments are a 1-row aggregate."""
+    orders = table(spark, sf, "orders")
+    cents = (F.col("o_totalprice").cast(MONEY) * 100).cast("decimal(18,0)").cast("long")
+    vals = (
+        orders.filter(F.col("o_orderpriority").isin(MW_GROUP_A, MW_GROUP_B))
+        .select(F.col("o_orderpriority").alias("g"), cents.alias("v"))
+        .groupBy("v")
+        .agg(
+            F.sum(F.when(F.col("g") == MW_GROUP_A, 1).otherwise(0)).alias("na_v"),
+            F.count(F.lit(1)).alias("n_v"),
+        )
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    scored = vals.select(
+        "na_v",
+        "n_v",
+        (2 * F.coalesce(F.sum("n_v").over(w), F.lit(0)) + F.col("n_v") + 1).alias("r2"),
+    )
+    dec = "decimal(38,0)"
+    m = scored.agg(
+        F.sum("na_v").cast("long").alias("n_a"),
+        F.sum(F.col("n_v") - F.col("na_v")).cast("long").alias("n_b"),
+        F.sum((F.col("na_v") * F.col("r2")).cast(dec)).alias("r2_a"),
+        F.sum(
+            (F.col("n_v") * F.col("n_v") * F.col("n_v") - F.col("n_v")).cast(dec)
+        ).alias("ties"),
+    )
+    n_a, n_b = F.col("n_a"), F.col("n_b")
+    n = n_a + n_b
+    # U_a = R_a − n_a(n_a+1)/2, carried doubled: U2 = R2_a − n_a(n_a+1)
+    u2 = (F.col("r2_a") - (n_a * (n_a + 1)).cast(dec)).cast("double")
+    mu2 = (n_a * n_b).cast("double")  # 2·mean(U) = n_a·n_b
+    # var(U) = n_a·n_b/12 · ((n+1) − Σ(t³−t)/(n(n−1)))
+    var = (
+        (n_a * n_b).cast("double")
+        / 12.0
+        * (
+            (n + 1).cast("double")
+            - F.col("ties").cast("double") / (n * (n - 1)).cast("double")
+        )
+    )
+    z = (u2 - mu2) / 2.0 / F.sqrt(var)
+    return m.select(
+        "n_a",
+        "n_b",
+        F.round(u2 / 2.0, 1).alias("u_stat"),
+        F.round(z, 6).alias("z_score"),
+        F.round(F.lit(1.0) - u2 / (n_a * n_b).cast("double"), 6).alias("rank_biserial"),
+    )
+
+
+ORACLE_PRIORITY_RANKSUM_TEST = f"""
+WITH vals AS (
+  SELECT (o_totalprice::DECIMAL(18,2) * 100)::DECIMAL(18,0)::BIGINT AS v,
+         sum(CASE WHEN o_orderpriority = '{MW_GROUP_A}' THEN 1 ELSE 0 END)::BIGINT AS na_v,
+         count(*)::BIGINT AS n_v
+  FROM orders
+  WHERE o_orderpriority IN ('{MW_GROUP_A}', '{MW_GROUP_B}')
+  GROUP BY 1
+),
+scored AS (
+  SELECT na_v, n_v,
+         2 * coalesce(sum(n_v) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           + n_v + 1 AS r2
+  FROM vals
+),
+m AS (
+  SELECT sum(na_v)::BIGINT AS n_a,
+         sum(n_v - na_v)::BIGINT AS n_b,
+         sum((na_v * r2)::HUGEINT) AS r2_a,
+         sum((n_v * n_v * n_v - n_v)::HUGEINT) AS ties
+  FROM scored
+)
+SELECT n_a, n_b,
+       round((r2_a - (n_a::HUGEINT * (n_a + 1)))::DOUBLE / 2, 1) AS u_stat,
+       round(((r2_a - (n_a::HUGEINT * (n_a + 1)))::DOUBLE - (n_a * n_b)::DOUBLE) / 2
+             / sqrt((n_a * n_b)::DOUBLE / 12.0
+                    * ((n_a + n_b + 1)::DOUBLE
+                       - ties::DOUBLE / ((n_a + n_b) * (n_a + n_b - 1))::DOUBLE)), 6)
+         AS z_score,
+       round(1.0 - (r2_a - (n_a::HUGEINT * (n_a + 1)))::DOUBLE / (n_a * n_b)::DOUBLE, 6)
+         AS rank_biserial
+FROM m
+"""
+
+
 # ---------------------------------------------------------------------------
 # Product quantization (PQ) ANN — the FAISS IVFPQ residual-free variant
 # ---------------------------------------------------------------------------
@@ -2930,6 +3041,11 @@ QUERIES: dict[str, Query] = {
     "priority_revenue_anova": Query(
         q_priority_revenue_anova,
         ORACLE_PRIORITY_REVENUE_ANOVA,
+        ("stats", "association"),
+    ),
+    "priority_ranksum_test": Query(
+        q_priority_ranksum_test,
+        ORACLE_PRIORITY_RANKSUM_TEST,
         ("stats", "association"),
     ),
     "segment_priority_chisq": Query(

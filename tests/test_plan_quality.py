@@ -518,6 +518,16 @@ def test_shipment_concurrency_window_on_date_aggregate(spark, sf_correctness):
     assert "partial_sum" in plan, plan
 
 
+def test_ranksum_window_on_value_aggregate(spark, sf_correctness):
+    """Mann-Whitney's scale contract (same doctrine as the sweep-line):
+    the single ordered midrank window consumes the distinct-CENT-VALUE
+    aggregate, never a rank() over raw orders — partial counts below the
+    one SinglePartition exchange prove the fact collapsed map-side."""
+    plan = explain_str(QUERIES["priority_ranksum_test"].fn(spark, sf_correctness))
+    assert plan.count("SinglePartition") <= 2, plan  # value window + 1-row moments
+    assert "partial_count" in plan or "partial_sum" in plan, plan
+
+
 def test_order_streaks_no_join_customer_partitioned_window(spark, sf_correctness):
     """Gaps-and-islands must stay join-free; its only window partitions by
     customer (bounded partitions, never a global sort)."""

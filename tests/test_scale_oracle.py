@@ -104,6 +104,9 @@ HEAVY = [
     # share that repopulates with fact volume — the whole distance table
     # is sf-dependent
     "nation_trade_paths",
+    # rank-sum moments: the distinct-value frame, tie populations, and
+    # the HUGEINT/decimal rank-sum widths all grow with order volume
+    "priority_ranksum_test",
 ]
 
 
