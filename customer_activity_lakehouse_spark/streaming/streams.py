@@ -738,6 +738,67 @@ def write_stream_merge_upsert(
     )
 
 
+def write_stream_apply_changes_scd2(
+    df: DataFrame,
+    table_dir: str,
+    keys: list[str],
+    order_col: str,
+    checkpoint: str,
+    change_col: str = "change_type",
+    stats_cols: list[str] | None = None,
+    max_retries: int = 8,
+    app_id: str | None = None,
+    available_now: bool = True,
+):
+    """Streaming SCD TYPE 2 sink — DLT's ``APPLY CHANGES ... STORED AS
+    SCD TYPE 2`` as a foreachBatch over :func:`sources.scd.
+    apply_changes_scd2`: each micro-batch of change records extends the
+    dimension's interval history in ONE merge commit. Replay dedup and
+    race retry are exactly the snapshot-merge sink's: the commit stamps
+    (app_id, batch_id) so a replayed batch skips (keeping CDC exact),
+    and a lost version race re-reads the log and re-applies."""
+    from customer_activity_lakehouse_spark.sources import scd
+    from customer_activity_lakehouse_spark.sources import snapshots as snap
+
+    txn_app = app_id or checkpoint
+
+    def scd2_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        if _stream_txn_committed(spark, snap, table_dir, txn_app, batch_id):
+            return
+        last_err: Exception | None = None
+        for _ in range(max_retries):
+            try:
+                scd.apply_changes_scd2(
+                    spark,
+                    table_dir,
+                    batch_df,
+                    keys,
+                    order_col,
+                    change_col=change_col,
+                    stats_cols=stats_cols,
+                    extra={
+                        "stream_batch_id": batch_id,
+                        "stream_app_id": txn_app,
+                    },
+                )
+                return
+            except RuntimeError as e:
+                if "committed concurrently" not in str(e):
+                    raise
+                last_err = e
+        raise RuntimeError(
+            f"write_stream_apply_changes_scd2: batch {batch_id} lost "
+            f"{max_retries} version races at {table_dir}"
+        ) from last_err
+
+    return write_stream_foreach_batch(
+        df, scd2_batch, checkpoint, available_now=available_now, output_mode="append"
+    )
+
+
 def write_stream_apply_changes(
     df: DataFrame,
     spec,
