@@ -277,7 +277,146 @@ FROM orders GROUP BY o_orderpriority
 """
 
 
+_SCD_SCRATCH: dict[str, str] = {}
+
+
+def _scd2_chain(spark: SparkSession, sf_dir: str) -> str:
+    """Scratch chain #3: a customer dimension maintained as SCD TYPE 2
+    (sources/scd.py) under three deterministic change batches:
+
+      lsn 1  insert every customer (segment, balance)
+      lsn 2  update  custkey % 7 = 0      → balance += 10
+      lsn 3  delete  custkey % 55 = 0     (history closes, coverage gap)
+             update  custkey % 11 = 0 and % 55 != 0 → segment 'VIP'
+                     (balance carries its post-lsn-2 value)
+
+    Each batch is ONE atomic merge commit; the oracle rebuilds the same
+    interval history from closed-form flags over the ``customer`` view."""
+    with _SCRATCH_LOCK:
+        if sf_dir in _SCD_SCRATCH:
+            return _SCD_SCRATCH[sf_dir]
+        return _scd2_chain_locked(spark, sf_dir)
+
+
+def _scd2_chain_locked(spark: SparkSession, sf_dir: str) -> str:
+    from ..sources.scd import apply_changes_scd2
+
+    base = tempfile.mkdtemp(prefix="calh-scd2-")
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
+    dim = f"{base}/dim_customer"
+    cust = table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_mktsegment").alias("segment"),
+        F.col("c_acctbal").cast(MONEY).alias("bal"),
+    )
+    b1 = cust.select(
+        "k", "segment", "bal", F.lit(1).alias("lsn"), F.lit("insert").alias("change_type")
+    )
+    apply_changes_scd2(spark, dim, b1, ["k"], "lsn")
+    b2 = cust.filter("k % 7 = 0").select(
+        "k",
+        "segment",
+        F.expr(f"cast(bal + 10 as {MONEY})").alias("bal"),
+        F.lit(2).alias("lsn"),
+        F.lit("update").alias("change_type"),
+    )
+    apply_changes_scd2(spark, dim, b2, ["k"], "lsn")
+    bal_now = F.expr(
+        f"CASE WHEN k % 7 = 0 THEN cast(bal + 10 as {MONEY}) ELSE bal END"
+    )
+    d3 = cust.filter("k % 55 = 0").select(
+        "k",
+        F.lit(None).cast("string").alias("segment"),
+        F.lit(None).cast(MONEY).alias("bal"),
+        F.lit(3).alias("lsn"),
+        F.lit("delete").alias("change_type"),
+    )
+    u3 = cust.filter("k % 11 = 0 AND k % 55 != 0").select(
+        "k",
+        F.lit("VIP").alias("segment"),
+        bal_now.alias("bal"),
+        F.lit(3).alias("lsn"),
+        F.lit("update").alias("change_type"),
+    )
+    apply_changes_scd2(spark, dim, d3.unionByName(u3), ["k"], "lsn")
+    _SCD_SCRATCH[sf_dir] = dim
+    return dim
+
+
+def q_dml_scd2_dimension(spark: SparkSession, sf: str) -> DataFrame:
+    """The SCD2 dimension's full interval history after the three-batch
+    chain, audited per segment: total history rows, OPEN rows, rows
+    closed by each boundary, and the open rows' exact balance total —
+    one green row set certifies interval chaining, delete gaps, payload
+    carry-forward, and the merge-on-(key, valid_from) apply in a single
+    equality against the closed-form replay."""
+    dim = _scd2_chain(spark, sf)
+    from ..sources.snapshots import read_snapshot
+
+    h = read_snapshot(spark, dim)
+    return (
+        h.groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).alias("n_hist"),
+            F.sum(F.when(F.col("valid_to").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_open"),
+            F.sum(F.when(F.col("valid_to") == 2, 1).otherwise(0))
+            .cast("long")
+            .alias("n_closed_at_2"),
+            F.sum(F.when(F.col("valid_to") == 3, 1).otherwise(0))
+            .cast("long")
+            .alias("n_closed_at_3"),
+            F.round(
+                F.sum(F.when(F.col("valid_to").isNull(), F.col("bal"))).cast("double"),
+                2,
+            ).alias("open_bal"),
+        )
+        .orderBy("segment")
+    )
+
+
+ORACLE_DML_SCD2_DIMENSION = """
+WITH flags AS MATERIALIZED (
+  SELECT c_custkey AS k, c_mktsegment AS seg, c_acctbal::DECIMAL(18,2) AS bal,
+         (c_custkey % 7 = 0) AS u2,
+         (c_custkey % 55 = 0) AS d3,
+         (c_custkey % 11 = 0 AND c_custkey % 55 != 0) AS u3
+  FROM customer
+),
+hist AS MATERIALIZED (
+  -- r1: the insert row, closed by whichever change hits the key first
+  SELECT k, seg AS segment, bal, 1 AS vf,
+         CASE WHEN u2 THEN 2 WHEN d3 OR u3 THEN 3 END AS vt
+  FROM flags
+  UNION ALL
+  -- r2: the balance bump, closed by a lsn-3 change if any
+  SELECT k, seg, (bal + 10)::DECIMAL(18,2), 2,
+         CASE WHEN d3 OR u3 THEN 3 END
+  FROM flags WHERE u2
+  UNION ALL
+  -- r3: the VIP re-segmentation (balance carries its post-lsn-2 value);
+  -- deletes contribute no row — their keys end as coverage gaps
+  SELECT k, 'VIP',
+         CASE WHEN u2 THEN (bal + 10)::DECIMAL(18,2) ELSE bal END, 3, NULL
+  FROM flags WHERE u3
+)
+SELECT segment,
+       count(*)::BIGINT AS n_hist,
+       sum(CASE WHEN vt IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_open,
+       sum(CASE WHEN vt = 2 THEN 1 ELSE 0 END)::BIGINT AS n_closed_at_2,
+       sum(CASE WHEN vt = 3 THEN 1 ELSE 0 END)::BIGINT AS n_closed_at_3,
+       round(sum(CASE WHEN vt IS NULL THEN bal END)::DOUBLE, 2) AS open_bal
+FROM hist GROUP BY segment ORDER BY segment
+"""
+
+
 QUERIES: dict[str, Query] = {
+    "dml_scd2_dimension": Query(
+        q_dml_scd2_dimension,
+        ORACLE_DML_SCD2_DIMENSION,
+        ("dml", "scd2", "merge", "history"),
+    ),
     "dml_replace_where_mv": Query(
         q_dml_replace_where_mv,
         ORACLE_DML_REPLACE_WHERE_MV,

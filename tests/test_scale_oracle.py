@@ -107,6 +107,9 @@ HEAVY = [
     # rank-sum moments: the distinct-value frame, tie populations, and
     # the HUGEINT/decimal rank-sum widths all grow with order volume
     "priority_ranksum_test",
+    # SCD2 chain: which keys each batch touches, the merge's file pruning,
+    # and the open-balance decimal widths all shift with dimension size
+    "dml_scd2_dimension",
 ]
 
 
