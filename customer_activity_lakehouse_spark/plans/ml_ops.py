@@ -2311,6 +2311,88 @@ FROM m
 """
 
 
+def q_priority_ks_test(spark: SparkSession, sf: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov test of the order-value DISTRIBUTIONS
+    between the same two priority classes as the rank-sum test — the
+    third member of the testing family (ANOVA: means; Mann-Whitney:
+    stochastic ordering; KS: the whole CDF, catching shape differences
+    the other two can't see). D = sup|ECDF_a − ECDF_b|, plus the
+    asymptotic two-sample statistic sqrt(n_a·n_b/(n_a+n_b))·D.
+
+    Numeric determinism: the ECDF difference is carried CROSS-MULTIPLIED
+    — |cum_a·n_b − cum_b·n_a| is an exact BIGINT at every step (orders of
+    10¹³ rows × 10¹³ rows would need decimal; the per-group counts here
+    bound it far under 2⁶³ — documented width, like the chi-square), so
+    the max is an integer max and D is ONE double division at the end.
+
+    Scale shape: identical to the rank-sum — facts collapse to the
+    distinct-cent-value frame first; two running-count windows over that
+    bounded frame; a 1-row final aggregate. No fact-table sort."""
+    orders = table(spark, sf, "orders")
+    cents = (F.col("o_totalprice").cast(MONEY) * 100).cast("decimal(18,0)").cast("long")
+    vals = (
+        orders.filter(F.col("o_orderpriority").isin(MW_GROUP_A, MW_GROUP_B))
+        .select(F.col("o_orderpriority").alias("g"), cents.alias("v"))
+        .groupBy("v")
+        .agg(
+            F.sum(F.when(F.col("g") == MW_GROUP_A, 1).otherwise(0)).alias("na_v"),
+            F.sum(F.when(F.col("g") == MW_GROUP_B, 1).otherwise(0)).alias("nb_v"),
+        )
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_all = Window.partitionBy()
+    scored = vals.select(
+        F.sum("na_v").over(w).alias("cum_a"),
+        F.sum("nb_v").over(w).alias("cum_b"),
+        F.sum("na_v").over(w_all).alias("n_a"),
+        F.sum("nb_v").over(w_all).alias("n_b"),
+    )
+    gap = F.abs(F.col("cum_a") * F.col("n_b") - F.col("cum_b") * F.col("n_a"))
+    m = scored.select("n_a", "n_b", gap.alias("gap")).agg(
+        F.max("n_a").alias("n_a"),
+        F.max("n_b").alias("n_b"),
+        F.max("gap").alias("max_gap"),
+    )
+    n_a, n_b = F.col("n_a"), F.col("n_b")
+    d = F.col("max_gap").cast("double") / (n_a * n_b).cast("double")
+    ks = F.sqrt((n_a * n_b).cast("double") / (n_a + n_b).cast("double")) * d
+    return m.select(
+        n_a.cast("long").alias("n_a"),
+        n_b.cast("long").alias("n_b"),
+        F.round(d, 6).alias("d_stat"),
+        F.round(ks, 6).alias("ks_stat"),
+    )
+
+
+ORACLE_PRIORITY_KS_TEST = f"""
+WITH vals AS (
+  SELECT (o_totalprice::DECIMAL(18,2) * 100)::DECIMAL(18,0)::BIGINT AS v,
+         sum(CASE WHEN o_orderpriority = '{MW_GROUP_A}' THEN 1 ELSE 0 END)::BIGINT AS na_v,
+         sum(CASE WHEN o_orderpriority = '{MW_GROUP_B}' THEN 1 ELSE 0 END)::BIGINT AS nb_v
+  FROM orders
+  WHERE o_orderpriority IN ('{MW_GROUP_A}', '{MW_GROUP_B}')
+  GROUP BY 1
+),
+scored AS (
+  SELECT sum(na_v) OVER (ORDER BY v) AS cum_a,
+         sum(nb_v) OVER (ORDER BY v) AS cum_b,
+         sum(na_v) OVER () AS n_a,
+         sum(nb_v) OVER () AS n_b
+  FROM vals
+),
+m AS (
+  SELECT max(n_a) AS n_a, max(n_b) AS n_b,
+         max(abs(cum_a * n_b - cum_b * n_a)) AS max_gap
+  FROM scored
+)
+SELECT n_a::BIGINT AS n_a, n_b::BIGINT AS n_b,
+       round(max_gap::DOUBLE / (n_a * n_b), 6) AS d_stat,
+       round(sqrt((n_a * n_b)::DOUBLE / (n_a + n_b))
+             * (max_gap::DOUBLE / (n_a * n_b)), 6) AS ks_stat
+FROM m
+"""
+
+
 # ---------------------------------------------------------------------------
 # Product quantization (PQ) ANN — the FAISS IVFPQ residual-free variant
 # ---------------------------------------------------------------------------
@@ -3046,6 +3128,11 @@ QUERIES: dict[str, Query] = {
     "priority_ranksum_test": Query(
         q_priority_ranksum_test,
         ORACLE_PRIORITY_RANKSUM_TEST,
+        ("stats", "association"),
+    ),
+    "priority_ks_test": Query(
+        q_priority_ks_test,
+        ORACLE_PRIORITY_KS_TEST,
         ("stats", "association"),
     ),
     "segment_priority_chisq": Query(

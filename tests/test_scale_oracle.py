@@ -110,6 +110,9 @@ HEAVY = [
     # SCD2 chain: which keys each batch touches, the merge's file pruning,
     # and the open-balance decimal widths all shift with dimension size
     "dml_scd2_dimension",
+    # KS: the cross-multiplied ECDF gap (cum·n products) grows
+    # quadratically with group size — the int64-headroom class
+    "priority_ks_test",
 ]
 
 
