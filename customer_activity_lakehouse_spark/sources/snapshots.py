@@ -746,6 +746,7 @@ def _commit_append_files(
     identity_base: dict | None = None,
     identity_update: dict | None = None,
     staged_path: str | None = None,
+    unique_check: tuple | None = None,
 ) -> int:
     """The append-commit retry loop shared by :func:`commit_append` and the
     streaming snapshot sink: chain ``new_files`` onto whatever manifest is
@@ -853,6 +854,48 @@ def _commit_append_files(
                 "this write path did not allocate them — append through "
                 "commit_append",
             )
+        # UNIQUE keys: commit_append validated the batch against the
+        # manifest it READ; commits that landed since could carry
+        # colliding keys — probe ONLY those interleaved files (bounded by
+        # the interleaved batches, never the table).
+        prev_uniq = prev_m.get("unique_keys") if versions else None
+        if prev_uniq:
+            if unique_check is None:
+                raise RuntimeError(
+                    f"commit_append: {table_dir} has unique key(s) "
+                    f"{sorted(prev_uniq)} but this write path cannot enforce "
+                    "them — append through commit_append"
+                )
+            uniq_entry, entry_files = unique_check
+            if set(prev_uniq) - set(uniq_entry):
+                raise RuntimeError(
+                    f"commit_append: unique key declared concurrently at "
+                    f"{table_dir}; re-read and retry the append"
+                )
+            added = [
+                f for f in prev_files if f not in entry_files and f not in new_files
+            ]
+            if added and new_files:
+                batch = _read_with_dvs(
+                    spark, new_files, sig, [],
+                    colmap=mapping[1] if mapping else None,
+                )
+                other = _read_with_dvs(
+                    spark, added, prev_sig or sig, [], colmap=prev_colmap
+                )
+                for uk_name, uk_cols in prev_uniq.items():
+                    hit = (
+                        other.select(*uk_cols)
+                        .join(batch.select(*uk_cols), list(uk_cols), "inner")
+                        .limit(1)
+                        .collect()
+                    )
+                    if hit:
+                        raise ValueError(
+                            f"commit_append: unique key {uk_name!r} "
+                            f"{tuple(uk_cols)} collision with a concurrently "
+                            f"appended row {tuple(hit[0])} at {table_dir}"
+                        )
         manifest = {
             "version": version,
             "op": "append",
@@ -874,6 +917,8 @@ def _commit_append_files(
             manifest["bloom"] = prev_m["bloom"]
         if identity_update is not None:
             manifest["identity"] = identity_update
+        if prev_uniq:
+            manifest["unique_keys"] = prev_uniq
         if prev_dvs:
             manifest["dv_files"] = prev_dvs
         if prev_stats or new_stats:
@@ -968,6 +1013,8 @@ def _commit_append_once(
     ident: dict = {}
     identity_base: dict | None = None
     identity_new: dict | None = None
+    uniq: dict = {}
+    entry_files: set = set()
     if versions:
         from pyspark.sql import functions as F
 
@@ -1033,6 +1080,30 @@ def _commit_append_once(
         # CHECK constraints fail the append BEFORE any data lands (the
         # retry loop re-validates against constraints added concurrently)
         _validate_constraints(df, entry_cons, "commit_append")
+        # UNIQUE keys: the batch must be internally unique AND collision-
+        # free against the table. The table probe narrows by the batch's
+        # key range through manifest stats (skip_where) — an append
+        # touching one day's keys probes that range's files, not 100 TB.
+        uniq = prev_m.get("unique_keys", {})
+        entry_files = set(prev_m["files"])
+        if uniq:
+            _validate_unique_batch(df, uniq, "commit_append")
+            for uk_name, uk_cols in uniq.items():
+                rng = df.agg(
+                    F.min(uk_cols[0]).alias("lo"), F.max(uk_cols[0]).alias("hi")
+                ).collect()[0]
+                if rng["lo"] is None:
+                    continue  # empty batch
+                tbl = read_snapshot(
+                    spark, table_dir, version=versions[-1],
+                    skip_where=(uk_cols[0], rng["lo"], rng["hi"]),
+                ).select(*uk_cols)
+                hit = tbl.join(df.select(*uk_cols), list(uk_cols), "inner").limit(1).collect()
+                if hit:
+                    raise ValueError(
+                        f"commit_append: unique key {uk_name!r} {tuple(uk_cols)} "
+                        f"collision with existing row {tuple(hit[0])} at {table_dir}"
+                    )
         recorded_part = prev_m.get("partition_by")
         if partition_by and recorded_part != partition_by:
             raise ValueError(
@@ -1106,6 +1177,7 @@ def _commit_append_once(
         identity_base=identity_base,
         identity_update=identity_new,
         staged_path=data_path,
+        unique_check=(uniq, entry_files),
     )
 
 
@@ -1149,6 +1221,11 @@ def commit_overwrite(
                 f"the frame's schema {[n for n, _ in sig]}"
             )
     _validate_constraints(df, cons, "commit_overwrite")
+    # an overwrite REPLACES the table, so batch-internal uniqueness IS the
+    # complete unique-key check
+    _validate_unique_batch(
+        df, prev_m.get("unique_keys", {}) if prev_m else {}, "commit_overwrite"
+    )
     data_path = _write_data(
         df, table_dir, f"v{version:05d}-{uuid.uuid4().hex[:12]}",
         partition_by=partition_by,
@@ -1168,9 +1245,39 @@ def commit_overwrite(
         # bloom indexing is a table property — it survives the rewrite
         # (file_blooms skips spec columns absent from the new layout)
         manifest["bloom"] = prev_m["bloom"]
-    stat_keys = sorted(set(stats_cols or []) | set(partition_by or []))
+    # generated rules, unique keys, and identity specs survive an
+    # overwrite (Delta keeps table metadata across mode=overwrite)
+    for k in ("generated", "unique_keys"):
+        if prev_m and prev_m.get(k):
+            manifest[k] = prev_m[k]
+    ident = prev_m.get("identity", {}) if prev_m else {}
+    for n, spec in ident.items():
+        if n not in {s[0] for s in sig}:
+            raise ValueError(
+                f"commit_overwrite: {table_dir} declares identity column "
+                f"{n!r}; an overwrite must carry it explicitly (or "
+                "drop_identity_column first) — this path does not mint ids"
+            )
+        if spec.get("mode", "always") == "always":
+            raise ValueError(
+                f"commit_overwrite: column {n!r} is GENERATED ALWAYS AS "
+                f"IDENTITY at {table_dir}; overwrites cannot supply it "
+                "(declare mode='default' to allow explicit values)"
+            )
+    stat_keys = sorted(set(stats_cols or []) | set(partition_by or []) | set(ident))
     new_stats = _file_stats(spark, files, stat_keys) if stat_keys else {}
     new_stats = _attach_blooms(spark, table_dir, prev_m, files, new_stats)
+    if ident:
+        # watermark only moves up: old versions' ids stay reserved so a
+        # post-overwrite append can never re-mint a historical id
+        new_ident = {}
+        for n, spec in ident.items():
+            observed = [
+                int(s[n][1]) for s in new_stats.values()
+                if s.get(n) and s[n][1] is not None
+            ]
+            new_ident[n] = {**spec, "high": max([spec["high"], *observed])}
+        manifest["identity"] = new_ident
     if new_stats:
         manifest["stats"] = new_stats
     if extra:
@@ -1333,7 +1440,8 @@ def commit_replace_where(
 
 
 _TABLE_PROPS = (
-    "constraints", "table_stats", "generated", "partition_by", "bloom", "identity"
+    "constraints", "table_stats", "generated", "partition_by", "bloom", "identity",
+    "unique_keys",
 )
 
 
@@ -1372,6 +1480,116 @@ def _validate_constraints(df: DataFrame, constraints: dict[str, str], ctx: str) 
                 f"{ctx}: CHECK constraint {name!r} ({expr}) violated, e.g. "
                 f"{bad[0].asDict()}"
             )
+
+
+def _validate_unique_batch(df: DataFrame, uniq: dict, ctx: str) -> None:
+    """No two rows of ``df`` may share a declared unique key — one
+    partial-agg probe per key (groupBy the key columns, any count > 1
+    fails loudly with the offending key)."""
+    from pyspark.sql import functions as F
+
+    for name, cols in (uniq or {}).items():
+        dup = (
+            df.groupBy(*cols)
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") > 1)
+            .limit(1)
+            .collect()
+        )
+        if dup:
+            d = dup[0].asDict()
+            raise ValueError(
+                f"{ctx}: unique key {name!r} {tuple(cols)} violated within "
+                f"the batch, e.g. {tuple(d[c] for c in cols)} x{d['__n']}"
+            )
+
+
+def set_unique_key(
+    spark: SparkSession, table_dir: str, cols: list[str], name: str = "uk"
+) -> int:
+    """Declare an ENFORCED unique key: from this commit on, appends
+    validate both batch-internal uniqueness and batch-vs-table collisions
+    BEFORE any data lands — dedup-on-ingest without a MERGE, the
+    idempotent-by-key ingest contract. Goes beyond Delta, whose PRIMARY
+    KEY/UNIQUE constraints are informational (not enforced); the cost is
+    one key-range-narrowed probe of the table per append (the probe rides
+    ``skip_where`` manifest pruning, so an append touching one day's keys
+    scans that key range's files, not the table). The EXISTING data must
+    already be unique (validated here). Scope (documented, like
+    identity): enforcement covers the append path; MERGE preserves
+    uniqueness by construction (keyed upsert), but replaceWhere/overwrite
+    validate only batch-internal uniqueness (an overwrite replaces the
+    table, so that IS the full check); the streaming append sink and the
+    pure-Python DataSource writer fail loudly on unique-key tables."""
+    versions = _list_versions(spark, table_dir)
+    if not versions:
+        raise FileNotFoundError(f"no snapshots at {table_dir}")
+    base_v = versions[-1]
+    m = _read_manifest(spark, table_dir, base_v)
+    sig_names = [n for n, _ in (m.get("schema") or [])]
+    missing = [c for c in cols if c not in sig_names]
+    if missing:
+        raise KeyError(
+            f"set_unique_key: column(s) {missing} not in {table_dir}'s "
+            f"schema {sig_names}"
+        )
+    _validate_unique_batch(
+        read_snapshot(spark, table_dir, version=base_v),
+        {name: list(cols)},
+        "set_unique_key",
+    )
+    manifest = {
+        "version": base_v + 1,
+        "op": "set_unique_key",
+        "data_change": False,
+        "files": m["files"],
+        "schema": m.get("schema"),
+        "unique_keys": {**m.get("unique_keys", {}), name: list(cols)},
+    }
+    for k in ("stats", "dv_files"):
+        if m.get(k):
+            manifest[k] = m[k]
+    _carry_props(m, manifest, exclude=("unique_keys",))
+    _carry_mapping(m, manifest)
+    if not _try_commit(spark, table_dir, base_v + 1, manifest):
+        raise RuntimeError(
+            f"set_unique_key: version {base_v + 1} was committed "
+            f"concurrently at {table_dir}; re-read and retry"
+        )
+    return base_v + 1
+
+
+def drop_unique_key(spark: SparkSession, table_dir: str, name: str = "uk") -> int:
+    """Un-declare a unique key (data untouched; only enforcement stops)."""
+    versions = _list_versions(spark, table_dir)
+    if not versions:
+        raise FileNotFoundError(f"no snapshots at {table_dir}")
+    base_v = versions[-1]
+    m = _read_manifest(spark, table_dir, base_v)
+    uniq = dict(m.get("unique_keys", {}))
+    if name not in uniq:
+        raise KeyError(f"no unique key {name!r} at {table_dir} (have {sorted(uniq)})")
+    del uniq[name]
+    manifest = {
+        "version": base_v + 1,
+        "op": "drop_unique_key",
+        "data_change": False,
+        "files": m["files"],
+        "schema": m.get("schema"),
+    }
+    if uniq:
+        manifest["unique_keys"] = uniq
+    for k in ("stats", "dv_files"):
+        if m.get(k):
+            manifest[k] = m[k]
+    _carry_props(m, manifest, exclude=("unique_keys",))
+    _carry_mapping(m, manifest)
+    if not _try_commit(spark, table_dir, base_v + 1, manifest):
+        raise RuntimeError(
+            f"drop_unique_key: version {base_v + 1} was committed "
+            f"concurrently at {table_dir}; re-read and retry"
+        )
+    return base_v + 1
 
 
 def set_check_constraint(

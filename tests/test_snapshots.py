@@ -2412,3 +2412,102 @@ def test_identity_blocks_datasource_writer(spark, tmp_path):
             )
         except Py4JJavaError as e:  # surface the python-side message
             raise RuntimeError(str(e)) from e
+
+
+# ---------------------------------------------------------------------------
+# Enforced unique keys (dedup-on-ingest)
+# ---------------------------------------------------------------------------
+
+
+def test_unique_key_declaration_validates_existing(spark, tmp_path):
+    import customer_activity_lakehouse_spark.sources.snapshots as S
+
+    t = str(tmp_path / "tbl")
+    commit_append(spark, t, spark.createDataFrame([(1, "a"), (1, "b")], "k long, v string"))
+    with pytest.raises(ValueError, match="unique key"):
+        S.set_unique_key(spark, t, ["k"])
+    t2 = str(tmp_path / "tbl2")
+    commit_append(spark, t2, spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string"))
+    assert S.set_unique_key(spark, t2, ["k"]) == 2
+
+
+def test_unique_key_blocks_dup_appends(spark, tmp_path):
+    import customer_activity_lakehouse_spark.sources.snapshots as S
+
+    t = str(tmp_path / "tbl")
+    commit_append(spark, t, spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string"))
+    S.set_unique_key(spark, t, ["k"])
+    # in-batch duplicate
+    with pytest.raises(ValueError, match="within\n?.*the batch|within the batch"):
+        commit_append(
+            spark, t, spark.createDataFrame([(5, "x"), (5, "y")], "k long, v string")
+        )
+    # collision with existing data
+    with pytest.raises(ValueError, match="collision with existing"):
+        commit_append(spark, t, spark.createDataFrame([(2, "x")], "k long, v string"))
+    # clean append lands; enforcement stops after drop
+    commit_append(spark, t, spark.createDataFrame([(3, "c")], "k long, v string"))
+    S.drop_unique_key(spark, t)
+    commit_append(spark, t, spark.createDataFrame([(3, "dup-ok")], "k long, v string"))
+    assert read_snapshot(spark, t).count() == 4
+
+
+def test_unique_key_concurrent_appends_one_loses(spark, tmp_path):
+    import threading
+
+    import customer_activity_lakehouse_spark.sources.snapshots as S
+
+    t = str(tmp_path / "tbl")
+    commit_append(spark, t, spark.createDataFrame([(1, "a")], "k long, v string"))
+    S.set_unique_key(spark, t, ["k"])
+    errs, oks = [], []
+
+    def appender(tag: str) -> None:
+        try:
+            commit_append(
+                spark, t, spark.createDataFrame([(7, tag)], "k long, v string")
+            )
+            oks.append(tag)
+        except ValueError as e:
+            errs.append(str(e))
+
+    threads = [threading.Thread(target=appender, args=(s,)) for s in ("t1", "t2")]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert len(oks) == 1 and len(errs) == 1, (oks, errs)
+    assert "unique key" in errs[0]
+    rows = read_snapshot(spark, t).filter("k = 7").collect()
+    assert len(rows) == 1 and rows[0].v == oks[0]
+
+
+def test_unique_key_overwrite_validates_and_carries(spark, tmp_path):
+    import customer_activity_lakehouse_spark.sources.snapshots as S
+
+    t = str(tmp_path / "tbl")
+    commit_append(spark, t, spark.createDataFrame([(1, "a")], "k long, v string"))
+    S.set_unique_key(spark, t, ["k"])
+    with pytest.raises(ValueError, match="unique key"):
+        commit_overwrite(
+            spark, t, spark.createDataFrame([(9, "x"), (9, "y")], "k long, v string")
+        )
+    commit_overwrite(spark, t, spark.createDataFrame([(9, "x")], "k long, v string"))
+    # the key survived the overwrite: a colliding append still fails
+    with pytest.raises(ValueError, match="collision with existing"):
+        commit_append(spark, t, spark.createDataFrame([(9, "again")], "k long, v string"))
+
+
+def test_unique_key_blocks_raw_append_paths(spark, tmp_path):
+    """Write paths that cannot enforce the key (the streaming append
+    sink's direct _commit_append_files) fail loudly instead of silently
+    bypassing it."""
+    import customer_activity_lakehouse_spark.sources.snapshots as S
+
+    t = str(tmp_path / "tbl")
+    commit_append(spark, t, spark.createDataFrame([(1, "a")], "k long, v string"))
+    S.set_unique_key(spark, t, ["k"])
+    with pytest.raises(RuntimeError, match="cannot enforce"):
+        S._commit_append_files(
+            spark, t, [], [["k", "bigint"], ["v", "string"]], {}
+        )
