@@ -3237,6 +3237,122 @@ FROM sums WHERE n_types >= 2
 """
 
 
+GOPHER_STOP = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def q_doc_gopher_rules(spark: SparkSession, sf: str) -> DataFrame:
+    """Gopher quality-rule report (Rae et al. 2021, the ruleset MassiveWeb
+    filtering popularized and most pretraining pipelines still start
+    from): per source, how many documents pass each rule and all rules —
+    word-count bounds [50, 100k], mean word length in [3, 10], symbol-
+    to-word ratio (# and ellipses) ≤ 0.1, < 90% bullet lines, ≥ 2
+    distinct common-English stopwords, and ≥ 80% of words containing an
+    alphabetic character. `doc_quality` reports the raw ratios; this is
+    the thresholded KEEP/DROP decision a curation pipeline acts on.
+
+    Determinism: every threshold compares CROSS-MULTIPLIED integers
+    (10·symbols ≤ words, 5·alpha_words ≥ 4·words, …) — no float ratio
+    ever exists, so rule booleans are bit-identical by construction.
+
+    Scale shape: one projection pass computes all per-doc counters
+    in-row (token transforms, no explode), then one partial-agg groupBy
+    to |sources| rows."""
+    docs = table(spark, sf, "documents")
+    c = F.col("text")
+    toks = _tokens(c)
+    n_tok = F.size(toks)
+    sum_wlen = F.coalesce(
+        F.aggregate(F.transform(toks, F.length), F.lit(0), lambda a, v: a + v),
+        F.lit(0),
+    )
+    n_alpha = F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]")))
+    n_hash = F.length(c) - F.length(F.replace(c, F.lit("#"), F.lit("")))
+    n_ell = (F.length(c) - F.length(F.replace(c, F.lit("..."), F.lit("")))) / F.lit(3)
+    n_sym = (n_hash + n_ell).cast("long")
+    lines = F.split(c, "\n")
+    n_lines = F.size(lines)
+    n_bullet = F.size(F.filter(lines, lambda s: s.rlike(r"^\s*[-*]")))
+    n_stop = F.size(
+        F.array_intersect(
+            F.transform(toks, F.lower), F.array(*[F.lit(s) for s in GOPHER_STOP])
+        )
+    )
+    per_doc = docs.select(
+        "source",
+        ((n_tok >= 50) & (n_tok <= 100_000)).alias("r_count"),
+        ((n_tok > 0) & (3 * n_tok <= sum_wlen) & (sum_wlen <= 10 * n_tok)).alias(
+            "r_word_len"
+        ),
+        (10 * n_sym <= n_tok).alias("r_symbols"),
+        (10 * n_bullet <= 9 * n_lines).alias("r_bullets"),
+        (n_stop >= 2).alias("r_stopwords"),
+        (5 * n_alpha >= 4 * n_tok).alias("r_alpha"),
+    )
+    rules = ["r_count", "r_word_len", "r_symbols", "r_bullets", "r_stopwords", "r_alpha"]
+    all_pass = F.lit(True)
+    for r in rules:
+        all_pass = all_pass & F.col(r)
+    aggs = [F.count(F.lit(1)).alias("n_docs")] + [
+        F.sum(F.col(r).cast("int")).cast("long").alias(f"n_{r[2:]}") for r in rules
+    ]
+    return (
+        per_doc.withColumn("r_all", all_pass)
+        .groupBy("source")
+        .agg(
+            *aggs,
+            F.sum(F.col("r_all").cast("int")).cast("long").alias("n_pass_all"),
+            F.round(
+                F.sum(F.col("r_all").cast("int")).cast("double") / F.count(F.lit(1)), 4
+            ).alias("keep_rate"),
+        )
+        .orderBy("source")
+    )
+
+
+_SQL_GOPHER_STOP = ", ".join(f"'{s}'" for s in GOPHER_STOP)
+
+ORACLE_DOC_GOPHER_RULES = f"""
+WITH per_doc AS (
+  SELECT source,
+         len(tk) AS n_tok,
+         coalesce(list_sum(list_transform(tk, t -> length(t))), 0) AS sum_wlen,
+         len(list_filter(tk, t -> regexp_matches(t, '[A-Za-z]'))) AS n_alpha,
+         (length(text) - length(replace(text, '#', '')))
+           + (length(text) - length(replace(text, '...', ''))) // 3 AS n_sym,
+         len(string_split(text, chr(10))) AS n_lines,
+         len(list_filter(string_split(text, chr(10)),
+                         l -> regexp_matches(l, '^\\s*[-*]'))) AS n_bullet,
+         len(list_intersect(list_transform(tk, t -> lower(t)),
+                            [{_SQL_GOPHER_STOP}])) AS n_stop
+  FROM (SELECT source, text, {_SQL_TOKENS} AS tk FROM documents)
+),
+flags AS (
+  SELECT source,
+         (n_tok >= 50 AND n_tok <= 100000) AS r_count,
+         (n_tok > 0 AND 3 * n_tok <= sum_wlen AND sum_wlen <= 10 * n_tok) AS r_word_len,
+         (10 * n_sym <= n_tok) AS r_symbols,
+         (10 * n_bullet <= 9 * n_lines) AS r_bullets,
+         (n_stop >= 2) AS r_stopwords,
+         (5 * n_alpha >= 4 * n_tok) AS r_alpha
+  FROM per_doc
+)
+SELECT source,
+       count(*)::BIGINT AS n_docs,
+       sum(r_count::INT)::BIGINT AS n_count,
+       sum(r_word_len::INT)::BIGINT AS n_word_len,
+       sum(r_symbols::INT)::BIGINT AS n_symbols,
+       sum(r_bullets::INT)::BIGINT AS n_bullets,
+       sum(r_stopwords::INT)::BIGINT AS n_stopwords,
+       sum(r_alpha::INT)::BIGINT AS n_alpha,
+       sum((r_count AND r_word_len AND r_symbols AND r_bullets
+            AND r_stopwords AND r_alpha)::INT)::BIGINT AS n_pass_all,
+       round(sum((r_count AND r_word_len AND r_symbols AND r_bullets
+                  AND r_stopwords AND r_alpha)::INT)::DOUBLE / count(*), 4)
+         AS keep_rate
+FROM flags GROUP BY source ORDER BY source
+"""
+
+
 DSIR_TOP_K = 25  # review-queue size for the highest-importance raw docs
 
 
@@ -3833,6 +3949,11 @@ QUERIES: dict[str, Query] = {
         q_embedding_decontaminate,
         ORACLE_EMBEDDING_DECONTAMINATE,
         ("similarity", "decontam", "governance"),
+    ),
+    "doc_gopher_rules": Query(
+        q_doc_gopher_rules,
+        ORACLE_DOC_GOPHER_RULES,
+        ("text", "quality", "curation"),
     ),
     "ann_sq_topk": Query(
         q_ann_sq_topk, ORACLE_ANN_SQ_TOPK, ("similarity", "quantization"), True

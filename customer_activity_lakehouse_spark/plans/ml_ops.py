@@ -2393,6 +2393,80 @@ FROM m
 """
 
 
+def q_orders_benford_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """Benford's-law first-digit audit of order values — the classic
+    fraud/synthetic-data screen (fabricated amounts over-sample middle
+    digits; organic multiplicative processes follow P(d) = log10(1+1/d)).
+    Emits the per-digit observed vs expected shares, each digit's
+    chi-square contribution, and the shared chi2 total (8 df).
+
+    Determinism: the first significant digit is taken from the DECIMAL
+    CENTS value's string form — pure integer/string logic, no float
+    log-floor that could disagree at a power-of-ten boundary. Expected
+    shares and contributions are fixed-order double expressions per
+    digit; the chi2 total re-sums 9 rounded contributions through
+    DECIMAL(18,8) (the chi-square doctrine).
+
+    Scale shape: ONE partial-agg groupBy collapses orders to ≤9 rows;
+    everything after is windows over that frame."""
+    orders = table(spark, sf, "orders")
+    cents = (F.col("o_totalprice").cast(MONEY) * 100).cast("decimal(18,0)")
+    digit = F.substring(cents.cast("string"), 1, 1).cast("int")
+    obs = (
+        orders.filter(cents > 0)
+        .groupBy(digit.alias("digit"))
+        .agg(F.count(F.lit(1)).alias("n_obs"))
+    )
+    w_all = Window.partitionBy()
+    n_all = F.sum("n_obs").over(w_all)
+    expected_share = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit"))
+    scored = obs.select(
+        "digit",
+        "n_obs",
+        F.round(F.col("n_obs").cast("double") / n_all, 6).alias("observed_share"),
+        F.round(expected_share, 6).alias("expected_share"),
+        F.round(
+            F.pow(F.col("n_obs").cast("double") - expected_share * n_all, 2)
+            / (expected_share * n_all),
+            6,
+        ).alias("contribution"),
+    )
+    return scored.select(
+        "digit",
+        "n_obs",
+        "observed_share",
+        "expected_share",
+        "contribution",
+        F.round(
+            F.sum(F.col("contribution").cast("decimal(18,8)")).over(w_all).cast("double"),
+            4,
+        ).alias("chi2_total"),
+    ).orderBy("digit")
+
+
+ORACLE_ORDERS_BENFORD_AUDIT = """
+WITH obs AS (
+  SELECT substring((o_totalprice::DECIMAL(18,2) * 100)::DECIMAL(18,0)::VARCHAR, 1, 1)::INT
+           AS digit,
+         count(*)::BIGINT AS n_obs
+  FROM orders
+  WHERE (o_totalprice::DECIMAL(18,2) * 100)::DECIMAL(18,0) > 0
+  GROUP BY 1
+),
+scored AS (
+  SELECT digit, n_obs,
+         round(n_obs::DOUBLE / sum(n_obs) OVER (), 6) AS observed_share,
+         round(log10(1.0 + 1.0 / digit), 6) AS expected_share,
+         round(pow(n_obs::DOUBLE - log10(1.0 + 1.0 / digit) * sum(n_obs) OVER (), 2)
+               / (log10(1.0 + 1.0 / digit) * sum(n_obs) OVER ()), 6) AS contribution
+  FROM obs
+)
+SELECT digit, n_obs, observed_share, expected_share, contribution,
+       round(sum(contribution::DECIMAL(18,8)) OVER ()::DOUBLE, 4) AS chi2_total
+FROM scored ORDER BY digit
+"""
+
+
 # ---------------------------------------------------------------------------
 # Product quantization (PQ) ANN — the FAISS IVFPQ residual-free variant
 # ---------------------------------------------------------------------------
@@ -3134,6 +3208,11 @@ QUERIES: dict[str, Query] = {
         q_priority_ks_test,
         ORACLE_PRIORITY_KS_TEST,
         ("stats", "association"),
+    ),
+    "orders_benford_audit": Query(
+        q_orders_benford_audit,
+        ORACLE_ORDERS_BENFORD_AUDIT,
+        ("stats", "quality", "audit"),
     ),
     "segment_priority_chisq": Query(
         q_segment_priority_chisq,

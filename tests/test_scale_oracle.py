@@ -113,6 +113,10 @@ HEAVY = [
     # KS: the cross-multiplied ECDF gap (cum·n products) grows
     # quadratically with group size — the int64-headroom class
     "priority_ks_test",
+    # rule-firing populations (which docs pass which Gopher threshold)
+    # and first-digit counts both repopulate with corpus/order volume
+    "doc_gopher_rules",
+    "orders_benford_audit",
 ]
 
 
