@@ -110,6 +110,8 @@ READER_FEATURES = frozenset(
 WRITER_FEATURES = READER_FEATURES | {
     "check-constraints",  # validated on every append/DML
     "generated-columns",  # recomputed on write
+    "identity-columns",  # watermark-allocated on append (snapshots.py)
+    "unique-keys",  # collision-probed on append/overwrite
 }
 
 _FEATURE_KEYS = (
@@ -118,6 +120,8 @@ _FEATURE_KEYS = (
     ("partition_by", "partition-columns", True),
     ("constraints", "check-constraints", False),
     ("generated", "generated-columns", False),
+    ("identity", "identity-columns", False),
+    ("unique_keys", "unique-keys", False),
 )
 
 

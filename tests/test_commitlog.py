@@ -380,3 +380,29 @@ def test_features_survive_delta_encoding_and_checkpoints(spark, tmp_path):
     m = _read_manifest(spark, t, v)
     assert "deletion-vectors" in m["reader_features"]
     assert read_snapshot(spark, t).count() == 8 + 12
+
+
+def test_identity_and_unique_stamp_writer_features(spark, tmp_path):
+    """Identity allocation and unique-key probing are write-path
+    invariants: an engine that doesn't implement them would mint
+    duplicate ids / land colliding keys without any read error — so
+    declaring either stamps the writer feature, and a writer missing it
+    refuses."""
+    import customer_activity_lakehouse_spark.sources.snapshots as S
+    from customer_activity_lakehouse_spark.sources import commitlog
+
+    t = str(tmp_path / "tbl")
+    S.commit_append(
+        spark, t, spark.createDataFrame([(1, 0)], "rid long, v long")
+    )
+    S.set_identity_column(spark, t, "rid")
+    S.set_unique_key(spark, t, ["v"])
+    m = S._read_commit(spark, t, S._list_versions(spark, t)[-1])
+    assert "identity-columns" in m["writer_features"]
+    assert "unique-keys" in m["writer_features"]
+    # neither is reader-relevant: old readers still read the rows fine
+    assert "identity-columns" not in (m.get("reader_features") or [])
+    with pytest.raises(commitlog.UnsupportedTableFeature):
+        commitlog.check_writer_features(
+            {"writer_features": ["identity-columns", "not-a-real-feature"]}
+        )
