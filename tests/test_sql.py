@@ -135,3 +135,28 @@ def test_unsupported_statements_fail_loudly(spark, tmp_path):
     ):
         with pytest.raises(ValueError):
             run_table_sql(spark, bad)
+
+
+def test_alter_identity_and_unique_key_routes(spark, tmp_path):
+    from customer_activity_lakehouse_spark.sources.snapshots import (
+        commit_append,
+        read_snapshot,
+    )
+    from customer_activity_lakehouse_spark.sources.sql import run_table_sql
+
+    t = str(tmp_path / "tbl")
+    commit_append(spark, t, spark.createDataFrame([(1, 10)], "rid long, v long"))
+    run_table_sql(
+        spark,
+        f"ALTER TABLE snapshot.`{t}` ALTER COLUMN rid SET IDENTITY (START 100 STEP 10)",
+    )
+    run_table_sql(spark, f"ALTER TABLE snapshot.`{t}` ADD UNIQUE KEY uk (v)")
+    commit_append(spark, t, spark.createDataFrame([(20,)], "v long"))
+    rows = {r.v: r.rid for r in read_snapshot(spark, t).collect()}
+    assert rows[20] > 100 and (rows[20] - 100) % 10 == 0
+    with pytest.raises(ValueError, match="unique key"):
+        commit_append(spark, t, spark.createDataFrame([(20,)], "v long"))
+    run_table_sql(spark, f"ALTER TABLE snapshot.`{t}` ALTER COLUMN rid DROP IDENTITY")
+    run_table_sql(spark, f"ALTER TABLE snapshot.`{t}` DROP UNIQUE KEY uk")
+    commit_append(spark, t, spark.createDataFrame([(5, 20)], "rid long, v long"))
+    assert read_snapshot(spark, t).count() == 3
