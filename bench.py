@@ -212,6 +212,51 @@ def _make_mv_maintain_tasks(spark, sf_dir: str, work_dir: str, n_passes: int):
     return tasks
 
 
+SCD2_APPLY_RUNS = 3
+
+
+def _make_scd2_apply_tasks(spark, sf_dir: str, work_dir: str, n_passes: int):
+    """Pre-build per pass (untimed): a customer SCD2 dimension fully
+    inserted at lsn 1. The timed callable is ONE apply_changes_scd2
+    batch — ~1% of keys updated + a band deleted at lsn 2 — i.e. the
+    per-batch cost of extending interval history: touched-key open-row
+    read + timeline window + one stats-pruned merge. At 100 TB this is
+    the number that says dimension maintenance never rescans history."""
+    from pyspark.sql import functions as F
+
+    from customer_activity_lakehouse_spark.sources.scd import apply_changes_scd2
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_mktsegment").alias("segment"),
+        F.col("c_acctbal").cast("decimal(18,2)").alias("bal"),
+    )
+    b1 = cust.select(
+        "k", "segment", "bal", F.lit(1).alias("lsn"),
+        F.lit("insert").alias("change_type"),
+    )
+    upd = cust.filter("k % 100 = 0").select(
+        "k", "segment", F.expr("cast(bal + 5 as decimal(18,2))").alias("bal"),
+        F.lit(2).alias("lsn"), F.lit("update").alias("change_type"),
+    )
+    dels = cust.filter("k % 997 = 0 AND k % 100 != 0").select(
+        "k", F.lit(None).cast("string").alias("segment"),
+        F.lit(None).cast("decimal(18,2)").alias("bal"),
+        F.lit(2).alias("lsn"), F.lit("delete").alias("change_type"),
+    )
+    batch2 = upd.unionByName(dels)
+    tasks = []
+    for i in range(n_passes):
+        ddir = f"{work_dir}/scd2_dim_{i}"
+        apply_changes_scd2(spark, ddir, b1, ["k"], "lsn", stats_cols=["k"])
+
+        def run(ddir=ddir):
+            apply_changes_scd2(spark, ddir, batch2, ["k"], "lsn", stats_cols=["k"])
+
+        tasks.append(run)
+    return tasks
+
+
 SNAPSHOT_BLOOM_RUNS = 3
 BLOOM_PROBES = 10  # point lookups per timed pass
 
@@ -331,6 +376,21 @@ def main() -> None:
                 mv_samples.append(dt)
         samples["mv_maintain"] = mv_samples
 
+        # SCD2-apply phase (r8): one interval-history change batch onto a
+        # pre-inserted dimension, fresh table per pass. Same-phase
+        # isolation rules; excluded from totals.
+        scd_tasks = _make_scd2_apply_tasks(
+            spark, sf_dir, work_dir, SCD2_APPLY_RUNS + 1
+        )
+        scd_samples: list[float] = []
+        for i, run_scd in enumerate(scd_tasks):  # pass 0 is warm-up
+            t0 = time.perf_counter()
+            run_scd()
+            dt = time.perf_counter() - t0
+            if i > 0:
+                scd_samples.append(dt)
+        samples["scd2_apply"] = scd_samples
+
         # Snapshot-bloom phase (r8): BLOOM_PROBES point lookups on a
         # high-cardinality key, with vs without the bloom index, same
         # table. Same-phase isolation rules; excluded from totals.
@@ -371,6 +431,7 @@ def main() -> None:
             "snapshot_bloom_lookup",
             "snapshot_full_lookup",
             "mv_maintain",
+            "scd2_apply",
         ]
         + sorted(n for n in headline if n not in legacy),
         "value_full_excludes": [
@@ -379,6 +440,7 @@ def main() -> None:
             "snapshot_bloom_lookup",
             "snapshot_full_lookup",
             "mv_maintain",
+            "scd2_apply",
         ],
         "runs": RUNS,
         "note": (
@@ -410,6 +472,9 @@ def main() -> None:
             "(one incremental MV maintenance run over a pre-applied "
             "MERGE+DELETE change batch; fresh table pair per pass) "
             "and THREE dml-chain catalog queries (not benched); "
+            "late-r8 ADDED the scd2_apply phase (one SCD Type 2 "
+            "change batch onto a pre-inserted dimension; fresh table "
+            "per pass) and kept new catalog queries un-benched; "
             "compare value_full across rounds on the shared subset. "
             "etl_pipeline is reported separately in queries. "
             "Events NTZ-cast cost (~0.1 s/query at sf0.1, required "
