@@ -192,3 +192,83 @@ def test_scd2_reenter_after_delete_gap(spark, tmp_path):
     )
     got = _by_key(read_snapshot(spark, t))
     assert got[2] == [(10, 30, "b"), (30, None, "b2")]
+
+
+# ---------------------------------------------------------------------------
+# Model-based: random change sequences vs a pure-Python SCD2 reference
+# ---------------------------------------------------------------------------
+
+
+def _py_scd2_apply(state: dict, batch: list[tuple]) -> None:
+    """Reference SCD2: state maps key -> list of [vf, vt, payload] rows.
+    ``batch`` rows are (key, payload, lsn, change_type), already valid
+    (unique (key, lsn), in-order). Mirrors the documented semantics: each
+    record closes its predecessor; deletes close without opening; known
+    (key, lsn) re-statements are skipped."""
+    by_key: dict = {}
+    for k, payload, lsn, chg in sorted(batch, key=lambda r: (r[0], r[2])):
+        known = any(r[0] == lsn for r in state.get(k, []))
+        if not known:
+            by_key.setdefault(k, []).append((lsn, payload, chg))
+    for k, recs in by_key.items():
+        rows = state.setdefault(k, [])
+        open_rows = [r for r in rows if r[1] is None]
+        timeline = [(r[0], r[2], "existing") for r in open_rows] + [
+            (lsn, p, c) for lsn, p, c in recs
+        ]
+        timeline.sort(key=lambda r: r[0])
+        for r in open_rows:
+            rows.remove(r)
+        for i, (lsn, p, c) in enumerate(timeline):
+            nxt = timeline[i + 1][0] if i + 1 < len(timeline) else None
+            if c != "delete":
+                rows.append([lsn, nxt, p])
+
+
+def test_scd2_model_based_random_sequences(spark, tmp_path):
+    """Random valid change sequences: the snapshot-log SCD2 and the
+    pure-Python reference must agree on the full interval history after
+    every batch. Batches are generated in-order per key (the documented
+    contract); a seeded RNG keeps the case reproducible."""
+    import random as _random
+
+    rng = _random.Random(0x5CD2)
+    for case in range(3):
+        t = str(tmp_path / f"dim_{case}")
+        state: dict = {}
+        next_lsn: dict = {}
+        for batch_i in range(4):
+            batch = []
+            used = set()
+            for _ in range(rng.randint(1, 8)):
+                k = rng.randint(0, 5)
+                if k in used:
+                    continue  # one record per key per batch keeps it simple
+                used.add(k)
+                lsn = next_lsn.get(k, 0) + rng.randint(1, 3)
+                next_lsn[k] = lsn
+                has_open = any(r[1] is None for r in state.get(k, []))
+                chg = (
+                    rng.choice(["update", "delete"])
+                    if has_open
+                    else rng.choice(["insert", "update"])
+                )
+                payload = None if chg == "delete" else f"v{case}_{batch_i}_{k}"
+                batch.append((k, payload, lsn, chg))
+            if not batch:
+                continue
+            df = spark.createDataFrame(
+                batch, "id long, v string, lsn long, change_type string"
+            )
+            apply_changes_scd2(spark, t, df, ["id"], "lsn")
+            _py_scd2_apply(state, batch)
+            got = {
+                (r.id, r.valid_from, r.valid_to, r.v)
+                for r in read_snapshot(spark, t).collect()
+            }
+            want = {
+                (k, vf, vt, p)
+                for k, rows in state.items()
+                for vf, vt, p in rows
+            }
+            assert got == want, (case, batch_i, sorted(got) , sorted(want))
