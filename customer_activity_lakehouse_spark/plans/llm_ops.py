@@ -3925,7 +3925,140 @@ FROM chunks GROUP BY source
 """
 
 
+WINNOW_K = 5  # k-gram length (chars)
+WINNOW_W = 4  # winnowing window (k-gram hashes per window)
+_WINNOW_MOD = 2147483647  # Mersenne prime 2^31-1
+_WINNOW_BASE = 257
+
+
+def _winnow_hash_sql(text: str, p: str) -> str:
+    """Polynomial k-gram hash (base 257 mod 2^31−1) of ``text[p .. p+K-1]``,
+    spelled char-by-char so the SAME expression runs in Spark SQL and DuckDB
+    (both engines' ``ascii``/``substr`` agree on ASCII input; the first
+    operand is cast to BIGINT so every intermediate is 64-bit — max value
+    257⁴·127 ≈ 5.5e11, far under 2⁶³, one mod at the end)."""
+    h = f"cast(ascii(substr({text}, {p}, 1)) as bigint)"
+    for i in range(1, WINNOW_K):
+        h = f"({h} * {_WINNOW_BASE} + ascii(substr({text}, {p} + {i}, 1)))"
+    return f"({h} % {_WINNOW_MOD})"
+
+
+def q_doc_winnowing_fingerprints(spark: SparkSession, sf: str) -> DataFrame:
+    """Winnowing fingerprint selection (Schleimer, Wilkerson & Aiken,
+    SIGMOD'03 — the MOSS algorithm): from each document's k-gram hash
+    stream, select the minimum hash of every w-window (rightmost minimum
+    on ties), guaranteeing any shared substring of length ≥ k+w−1 yields
+    a shared fingerprint while keeping the fingerprint density ~2/(w+1)
+    — the position-robust middle ground between exact-hash dedup (brittle
+    to 1-char edits) and MinHash (no locality).  Emits the corpus census:
+    docs fingerprinted, fingerprints selected, distinct hashes, hashes
+    shared across ≥2 docs (the cross-doc overlap signal), and density.
+
+    Determinism: the k-gram hash is an exact BIGINT polynomial (base 257
+    mod 2³¹−1) over ascii codepoints (fixtures verified ASCII); the
+    rightmost-min tie-break is encoded arithmetically — each window
+    offset o contributes key h·w + (w−1−o), so the integer MIN of the w
+    keys picks min-hash-then-max-offset, and position/hash are recovered
+    by divmod.  No floats anywhere until the final density division.
+
+    Scale shape: hashing is a row-local array transform (the text is
+    never duplicated per position); the lead() windows partition BY
+    DOCUMENT — state is one doc's hash stream, embarrassingly parallel;
+    the only shuffles are the per-doc repartition and two bounded
+    fingerprint-frame aggregates.  At 100 TB each task winnows its own
+    documents and ships only (doc_id, pos, hash) triples ~2/(w+1) the
+    k-gram count."""
+    docs = table(spark, sf, "documents").filter(
+        F.length("text") >= WINNOW_K + WINNOW_W - 1
+    )
+    arr = F.expr(
+        f"transform(sequence(1, length(text) - {WINNOW_K - 1}), "
+        f"p -> {_winnow_hash_sql('text', 'p')})"
+    )
+    hp = docs.select("doc_id", F.posexplode(arr).alias("p0", "h")).select(
+        "doc_id", (F.col("p0") + 1).alias("p"), "h"
+    )
+    w_doc = Window.partitionBy("doc_id").orderBy("p")
+    wf = WINNOW_W
+    keys = [
+        (F.lead("h", o).over(w_doc) if o else F.col("h")) * wf + (wf - 1 - o)
+        for o in range(wf)
+    ]
+    wins = (
+        hp.select("doc_id", "p", F.lead("h", wf - 1).over(w_doc).alias("h_last"),
+                  F.least(*keys).alias("m"))
+        .filter(F.col("h_last").isNotNull())
+    )
+    sel = wins.select(
+        "doc_id",
+        (F.col("p") + (wf - 1) - (F.col("m") % wf)).alias("pos"),
+        F.expr(f"m DIV {wf}").alias("fp"),
+    ).distinct()
+    agg_doc = sel.agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_fingerprints"),
+    )
+    per_fp = sel.groupBy("fp").agg(F.countDistinct("doc_id").alias("n_docs_fp"))
+    agg_fp = per_fp.agg(
+        F.count(F.lit(1)).alias("n_distinct_fp"),
+        F.sum(F.when(F.col("n_docs_fp") >= 2, 1).otherwise(0)).alias("n_shared_fp"),
+    )
+    return agg_doc.crossJoin(agg_fp).select(
+        F.col("n_docs").cast("long"),
+        F.col("n_fingerprints").cast("long"),
+        F.col("n_distinct_fp").cast("long"),
+        F.col("n_shared_fp").cast("long"),
+        F.round(
+            F.col("n_fingerprints").cast("double") / F.col("n_docs").cast("double"), 6
+        ).alias("avg_fp_per_doc"),
+    )
+
+
+ORACLE_DOC_WINNOWING_FINGERPRINTS = f"""
+WITH pos AS (
+  SELECT doc_id, unnest(range(1, length(text) - {WINNOW_K - 2})) AS p, text
+  FROM documents WHERE length(text) >= {WINNOW_K + WINNOW_W - 1}
+),
+hp AS (
+  SELECT doc_id, p, {_winnow_hash_sql('text', 'p')} AS h FROM pos
+),
+wins AS (
+  SELECT doc_id, p,
+         lead(h, {WINNOW_W - 1}) OVER w AS h_last,
+         least({', '.join(
+             f"lead(h, {o}) OVER w * {WINNOW_W} + {WINNOW_W - 1 - o}" if o
+             else f"h * {WINNOW_W} + {WINNOW_W - 1}"
+             for o in range(WINNOW_W))}) AS m
+  FROM hp WINDOW w AS (PARTITION BY doc_id ORDER BY p)
+),
+sel AS (
+  SELECT DISTINCT doc_id,
+         p + {WINNOW_W - 1} - (m % {WINNOW_W}) AS pos,
+         m // {WINNOW_W} AS fp
+  FROM wins WHERE h_last IS NOT NULL
+),
+agg_doc AS (
+  SELECT count(DISTINCT doc_id)::BIGINT AS n_docs,
+         count(*)::BIGINT AS n_fingerprints
+  FROM sel
+),
+agg_fp AS (
+  SELECT count(*)::BIGINT AS n_distinct_fp,
+         sum(CASE WHEN n_docs_fp >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_shared_fp
+  FROM (SELECT fp, count(DISTINCT doc_id) AS n_docs_fp FROM sel GROUP BY fp)
+)
+SELECT n_docs, n_fingerprints, n_distinct_fp, n_shared_fp,
+       round(n_fingerprints::DOUBLE / n_docs::DOUBLE, 6) AS avg_fp_per_doc
+FROM agg_doc, agg_fp
+"""
+
+
 QUERIES: dict[str, Query] = {
+    "doc_winnowing_fingerprints": Query(
+        q_doc_winnowing_fingerprints,
+        ORACLE_DOC_WINNOWING_FINGERPRINTS,
+        ("text", "dedup", "fingerprint"),
+    ),
     "doc_bigram_logprob": Query(
         q_doc_bigram_logprob, ORACLE_DOC_BIGRAM_LOGPROB, ("text", "quality", "lm"), True
     ),

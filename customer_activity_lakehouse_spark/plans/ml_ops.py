@@ -3061,6 +3061,328 @@ ORDER BY n_occurrences DESC, token LIMIT {HEAVY_HITTER_TOP_K}
 """
 
 
+def q_revenue_mann_kendall(spark: SparkSession, sf: str) -> DataFrame:
+    """Mann-Kendall monotonic-trend test of the DAILY revenue series —
+    the non-parametric "is revenue drifting?" screen (no distributional
+    assumption, robust to outliers; the standard first question asked of
+    any KPI series before fitting a forecast).  S = Σ_{i<j} sign(v_j−v_i)
+    over date order, Kendall tau-a = S / (n(n−1)/2), and the
+    tie-corrected normal approximation z = (S − sign(S)) / sqrt(Var(S))
+    with 18·Var(S) = n(n−1)(2n+5) − Σ_t t(t−1)(2t+5).
+
+    Numeric determinism: daily values are BIGINT cents, so every pairwise
+    sign is exact ±1/0 and S, the tie term, and the variance numerator
+    are exact BIGINTs (n ≈ 2.4k days → n(n−1)(2n+5) ≈ 2.8e10, far under
+    2⁶³); tau and z are single double expressions at the end.
+
+    Scale shape: the fact table collapses to the |dates|-row daily frame
+    FIRST (one partial-agg groupBy); the O(|dates|²) pair join runs on
+    that bounded frame only (≈3M pairs for 7 years of days — constant in
+    fact count, so a 100 TB orders table pays exactly the same pair
+    cost).  Gate: tests/test_plan_quality.py pins the pre-join collapse."""
+    orders = table(spark, sf, "orders")
+    cents = (F.col("o_totalprice").cast(MONEY) * 100).cast("decimal(18,0)").cast("long")
+    daily = (
+        orders.groupBy(F.col("o_orderdate").alias("d"))
+        .agg(F.sum(cents).alias("v"))
+    )
+    a, b = daily.alias("a"), daily.alias("b")
+    sgn = (
+        F.when(F.col("b.v") > F.col("a.v"), 1)
+        .when(F.col("b.v") < F.col("a.v"), -1)
+        .otherwise(0)
+    )
+    s_row = (
+        a.join(b, F.col("a.d") < F.col("b.d"))
+        .agg(F.sum(sgn).alias("s_stat"))
+    )
+    ties = daily.groupBy("v").agg(F.count(F.lit(1)).alias("t"))
+    t = F.col("t")
+    base = ties.agg(
+        F.sum("t").alias("n_days"),
+        F.sum(t * (t - 1) * (2 * t + 5)).alias("tie_term"),
+    )
+    n = F.col("n_days")
+    joined = base.crossJoin(s_row)
+    var18 = (n * (n - 1) * (2 * n + 5) - F.col("tie_term")).alias("var_num18")
+    s = F.col("s_stat")
+    tau = s.cast("double") / (n * (n - 1) / 2).cast("double")
+    cc = F.when(s > 0, s - 1).when(s < 0, s + 1).otherwise(0)
+    z = cc.cast("double") / F.sqrt(F.col("var_num18").cast("double") / 18.0)
+    return joined.select(
+        n.cast("long").alias("n_days"),
+        s.cast("long").alias("s_stat"),
+        var18.cast("long"),
+        F.round(tau, 6).alias("tau"),
+        F.round(z, 6).alias("z_stat"),
+    )
+
+
+ORACLE_REVENUE_MANN_KENDALL = """
+WITH daily AS (
+  SELECT o_orderdate AS d,
+         sum((o_totalprice::DECIMAL(18,2) * 100)::DECIMAL(18,0)::BIGINT) AS v
+  FROM orders GROUP BY 1
+),
+s AS (
+  SELECT sum(CASE WHEN b.v > a.v THEN 1 WHEN b.v < a.v THEN -1 ELSE 0 END)::BIGINT AS s_stat
+  FROM daily a JOIN daily b ON a.d < b.d
+),
+ties AS (SELECT count(*)::BIGINT AS t FROM daily GROUP BY v),
+base AS (
+  SELECT sum(t)::BIGINT AS n_days,
+         sum(t * (t - 1) * (2 * t + 5))::BIGINT AS tie_term
+  FROM ties
+)
+SELECT n_days,
+       s_stat,
+       (n_days * (n_days - 1) * (2 * n_days + 5) - tie_term)::BIGINT AS var_num18,
+       round(s_stat::DOUBLE / (n_days * (n_days - 1) / 2), 6) AS tau,
+       round((CASE WHEN s_stat > 0 THEN s_stat - 1
+                   WHEN s_stat < 0 THEN s_stat + 1 ELSE 0 END)::DOUBLE
+             / sqrt((n_days * (n_days - 1) * (2 * n_days + 5) - tie_term)::DOUBLE / 18.0),
+             6) AS z_stat
+FROM base, s
+"""
+
+
+def q_orders_runs_test(spark: SparkSession, sf: str) -> DataFrame:
+    """Wald–Wolfowitz runs test of the daily-revenue sequence around its
+    median — "are above/below-median days randomly interleaved, or do
+    they clump?" (clumping = serial dependence the i.i.d. assumption of
+    the other tests in this family would miss).  Days equal to the
+    median are dropped (the standard dichotomization); R = number of
+    runs in the date-ordered ±sequence; z uses the exact mean
+    E = 1 + 2·n1·n2/(n1+n2) and variance
+    Var = 2·n1·n2·(2·n1·n2 − n1 − n2) / ((n1+n2)²·(n1+n2−1)).
+
+    Numeric determinism: daily values are BIGINT cents; the median is
+    the LOWER median — the value at row (n+1)/2 of the value-ordered
+    frame (an exact selection, no interpolated float); R, n1, n2 are
+    exact integers; E and z are fixed-shape double expressions of those
+    integers, identical in both engines.
+
+    Scale shape: same as Mann-Kendall — one partial-agg collapse to the
+    |dates|-row frame, then windows over that bounded frame only (the
+    lag/median sorts never see fact-table cardinality)."""
+    orders = table(spark, sf, "orders")
+    cents = (F.col("o_totalprice").cast(MONEY) * 100).cast("decimal(18,0)").cast("long")
+    daily = (
+        orders.groupBy(F.col("o_orderdate").alias("d"))
+        .agg(F.sum(cents).alias("v"))
+    )
+    w_v = Window.orderBy("v", "d")
+    w_all = Window.partitionBy()
+    med = (
+        daily.select(
+            "v",
+            F.row_number().over(w_v).alias("rn"),
+            F.count(F.lit(1)).over(w_all).alias("n"),
+        )
+        .filter(F.col("rn") == F.floor((F.col("n") + 1) / 2))
+        .select(F.col("v").alias("med"))
+    )
+    marked = (
+        daily.crossJoin(F.broadcast(med))
+        .filter(F.col("v") != F.col("med"))
+        .select(
+            "d",
+            "med",
+            F.when(F.col("v") > F.col("med"), 1).otherwise(0).alias("s"),
+        )
+    )
+    w_d = Window.orderBy("d")
+    steps = marked.select(
+        "med",
+        "s",
+        F.when(
+            F.lag("s").over(w_d).isNull() | (F.lag("s").over(w_d) != F.col("s")), 1
+        )
+        .otherwise(0)
+        .alias("new_run"),
+    )
+    agg = steps.agg(
+        F.max("med").alias("median_cents"),
+        F.sum(F.col("s")).alias("n_above"),
+        F.sum(1 - F.col("s")).alias("n_below"),
+        F.sum("new_run").alias("n_runs"),
+    )
+    n1, n2, r = F.col("n_above"), F.col("n_below"), F.col("n_runs")
+    nn = (n1 + n2).cast("double")
+    e = 1 + 2 * (n1 * n2).cast("double") / nn
+    var = (
+        2 * (n1 * n2).cast("double") * (2 * (n1 * n2) - n1 - n2).cast("double")
+        / (nn * nn * (nn - 1))
+    )
+    z = (r.cast("double") - e) / F.sqrt(var)
+    return agg.select(
+        F.col("median_cents").cast("long"),
+        n1.cast("long").alias("n_above"),
+        n2.cast("long").alias("n_below"),
+        r.cast("long").alias("n_runs"),
+        F.round(e, 6).alias("e_runs"),
+        F.round(z, 6).alias("z_stat"),
+    )
+
+
+ORACLE_ORDERS_RUNS_TEST = """
+WITH daily AS (
+  SELECT o_orderdate AS d,
+         sum((o_totalprice::DECIMAL(18,2) * 100)::DECIMAL(18,0)::BIGINT) AS v
+  FROM orders GROUP BY 1
+),
+med AS (
+  SELECT v AS med FROM (
+    SELECT v, row_number() OVER (ORDER BY v, d) AS rn, count(*) OVER () AS n
+    FROM daily
+  ) WHERE rn = (n + 1) // 2
+),
+marked AS (
+  SELECT d, med, CASE WHEN v > med THEN 1 ELSE 0 END AS s
+  FROM daily, med WHERE v <> med
+),
+steps AS (
+  SELECT med, s,
+         CASE WHEN lag(s) OVER (ORDER BY d) IS NULL
+                OR lag(s) OVER (ORDER BY d) <> s THEN 1 ELSE 0 END AS new_run
+  FROM marked
+),
+agg AS (
+  SELECT max(med)::BIGINT AS median_cents,
+         sum(s)::BIGINT AS n_above,
+         sum(1 - s)::BIGINT AS n_below,
+         sum(new_run)::BIGINT AS n_runs
+  FROM steps
+)
+SELECT median_cents, n_above, n_below, n_runs,
+       round(1 + 2 * (n_above * n_below)::DOUBLE / (n_above + n_below), 6) AS e_runs,
+       round((n_runs::DOUBLE
+              - (1 + 2 * (n_above * n_below)::DOUBLE / (n_above + n_below)))
+             / sqrt(2 * (n_above * n_below)::DOUBLE
+                    * (2 * (n_above * n_below) - n_above - n_below)::DOUBLE
+                    / ((n_above + n_below)::DOUBLE * (n_above + n_below)
+                       * ((n_above + n_below)::DOUBLE - 1))),
+             6) AS z_stat
+FROM agg
+"""
+
+
+def q_part_triangle_count(spark: SparkSession, sf: str) -> DataFrame:
+    """Triangle census of the part CO-PURCHASE graph (parts are adjacent
+    iff some order contains both) — the graph-density primitive behind
+    clustering coefficients and community detection, and the classic
+    MapReduce skew case study.  Counts each triangle exactly once via
+    DEGREE ORIENTATION (Suri & Vassilvitskii, WWW'12): orient every edge
+    from its (degree, id)-smaller endpoint to the larger, enumerate
+    wedges only at the tail, and close them against the oriented edge
+    set.  Emits the one-row census: nodes, edges, triangles, max
+    out-degree.
+
+    Scale shape: orientation bounds every out-degree by O(√m) no matter
+    how skewed the raw degree distribution is — the "curse of the last
+    reducer" fix — so the wedge fan-out per node is √m-bounded and the
+    closing step is an equi hash join on (b, c).  Edge building is
+    per-order local (pairs within an order, ≤ C(lines_per_order, 2)),
+    then a distinct; the fact table never joins itself globally.  All
+    counts are exact BIGINTs."""
+    li = table(spark, sf, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a, b = li.alias("ea"), li.alias("eb")
+    edges = (
+        a.join(
+            b,
+            (F.col("ea.l_orderkey") == F.col("eb.l_orderkey"))
+            & (F.col("ea.l_partkey") < F.col("eb.l_partkey")),
+        )
+        .select(F.col("ea.l_partkey").alias("u"), F.col("eb.l_partkey").alias("v"))
+        .distinct()
+    )
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    ed = edges.join(
+        deg.select(F.col("node").alias("u"), F.col("deg").alias("du")), "u"
+    ).join(deg.select(F.col("node").alias("v"), F.col("deg").alias("dv")), "v")
+    u_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = ed.select(
+        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("a"),
+        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("b"),
+        F.when(u_first, F.col("dv")).otherwise(F.col("du")).alias("db"),
+    )
+    o1, o2 = oriented.alias("o1"), oriented.alias("o2")
+    wedges = o1.join(
+        o2,
+        (F.col("o1.a") == F.col("o2.a"))
+        & (
+            (F.col("o1.db") < F.col("o2.db"))
+            | ((F.col("o1.db") == F.col("o2.db")) & (F.col("o1.b") < F.col("o2.b")))
+        ),
+    ).select(F.col("o1.b").alias("x"), F.col("o2.b").alias("y"))
+    tri = wedges.join(
+        oriented.select(F.col("a").alias("x"), F.col("b").alias("y")), ["x", "y"]
+    ).agg(F.count(F.lit(1)).alias("n_triangles"))
+    base = edges.agg(F.count(F.lit(1)).alias("n_edges"))
+    nodes = deg.agg(F.count(F.lit(1)).alias("n_nodes"))
+    outdeg = (
+        oriented.groupBy("a")
+        .agg(F.count(F.lit(1)).alias("od"))
+        .agg(F.max("od").alias("max_outdeg"))
+    )
+    return (
+        nodes.crossJoin(base)
+        .crossJoin(tri)
+        .crossJoin(outdeg)
+        .select(
+            F.col("n_nodes").cast("long"),
+            F.col("n_edges").cast("long"),
+            F.col("n_triangles").cast("long"),
+            F.col("max_outdeg").cast("long"),
+        )
+    )
+
+
+ORACLE_PART_TRIANGLE_COUNT = """
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+edges AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+deg AS (
+  SELECT node, count(*)::BIGINT AS deg FROM (
+    SELECT u AS node FROM edges UNION ALL SELECT v FROM edges
+  ) GROUP BY node
+),
+oriented AS (
+  SELECT CASE WHEN (du < dv) OR (du = dv AND u < v) THEN u ELSE v END AS a,
+         CASE WHEN (du < dv) OR (du = dv AND u < v) THEN v ELSE u END AS b,
+         CASE WHEN (du < dv) OR (du = dv AND u < v) THEN dv ELSE du END AS db
+  FROM edges
+  JOIN (SELECT node AS u, deg AS du FROM deg) USING (u)
+  JOIN (SELECT node AS v, deg AS dv FROM deg) USING (v)
+),
+wedges AS (
+  SELECT o1.b AS x, o2.b AS y
+  FROM oriented o1 JOIN oriented o2
+    ON o1.a = o2.a AND ((o1.db < o2.db) OR (o1.db = o2.db AND o1.b < o2.b))
+),
+tri AS (
+  SELECT count(*)::BIGINT AS n_triangles
+  FROM wedges w JOIN oriented o ON w.x = o.a AND w.y = o.b
+)
+SELECT (SELECT count(*)::BIGINT FROM deg) AS n_nodes,
+       (SELECT count(*)::BIGINT FROM edges) AS n_edges,
+       n_triangles,
+       (SELECT max(od)::BIGINT FROM
+          (SELECT count(*) AS od FROM oriented GROUP BY a)) AS max_outdeg
+FROM tri
+"""
+
+
 QUERIES: dict[str, Query] = {
     "events_theta_overlap": Query(
         q_events_theta_overlap,
@@ -3208,6 +3530,21 @@ QUERIES: dict[str, Query] = {
         q_priority_ks_test,
         ORACLE_PRIORITY_KS_TEST,
         ("stats", "association"),
+    ),
+    "revenue_mann_kendall": Query(
+        q_revenue_mann_kendall,
+        ORACLE_REVENUE_MANN_KENDALL,
+        ("stats", "trend", "timeseries"),
+    ),
+    "orders_runs_test": Query(
+        q_orders_runs_test,
+        ORACLE_ORDERS_RUNS_TEST,
+        ("stats", "trend", "timeseries"),
+    ),
+    "part_triangle_count": Query(
+        q_part_triangle_count,
+        ORACLE_PART_TRIANGLE_COUNT,
+        ("graph", "join", "skew"),
     ),
     "orders_benford_audit": Query(
         q_orders_benford_audit,

@@ -715,3 +715,50 @@ def test_pca_power_vectors_never_shuffle(spark, sf_correctness):
     assert "partial_sum" in explain_str(
         QUERIES["embedding_pca_power"].fn(spark, sf_correctness)
     ), "per-dim sums must map-side combine"
+
+
+def test_mann_kendall_pair_join_on_day_aggregate(spark, sf_correctness):
+    """Mann-Kendall's scale contract: the O(|dates|^2) pair join runs on
+    the DAY-AGGREGATED frame only — both join inputs are hash aggregates
+    keyed by o_orderdate (map-side combined), so the nested-loop pair
+    enumeration is constant in fact volume. A raw-orders pair join would
+    show a FileScan feeding the BNLJ without the day collapse."""
+    plan = explain_str(QUERIES["revenue_mann_kendall"].fn(spark, sf_correctness), "simple")
+    assert "CartesianProduct" not in plan, plan
+    # the inequality pair join exists and is the ONLY conditional
+    # nested-loop (the census crossJoins are Cross over 1-row aggregates)
+    assert plan.count("BroadcastNestedLoopJoin BuildRight, Inner") == 1, plan
+    # day collapse on both pair branches: partial+final hash agg keyed by
+    # o_orderdate (2 per branch) feed the join, never raw orders rows
+    assert plan.count("HashAggregate(keys=[o_orderdate") >= 4, plan
+    assert "partial_sum" in plan, "day collapse must map-side combine"
+
+
+def test_triangle_count_no_conditional_nested_loop(spark, sf_correctness):
+    """Triangle census's scale contract (Suri-Vassilvitskii): wedges close
+    against the oriented edge set via EQUI joins — the only nested-loop
+    joins in the plan are the Cross joins assembling four 1-row census
+    aggregates. A quadratic all-pairs enumeration would surface as a
+    conditional BroadcastNestedLoopJoin or CartesianProduct."""
+    plan = explain_str(QUERIES["part_triangle_count"].fn(spark, sf_correctness), "simple")
+    assert "CartesianProduct" not in plan, plan
+    bnlj = plan.count("BroadcastNestedLoopJoin")
+    assert bnlj == plan.count("BroadcastNestedLoopJoin BuildRight, Cross"), plan
+    assert bnlj == 3, plan  # exactly the three census crossJoins
+
+
+def test_winnowing_window_per_document_no_text_duplication(spark, sf_correctness):
+    """Winnowing's scale contract: the k-gram hash stream is built by a
+    row-local array transform (posexplode(transform(sequence(...)))) so
+    the document text is never duplicated per position, and every lead()
+    window partitions BY doc_id — no global sort, no single-partition
+    window over the position stream."""
+    plan = explain_str(QUERIES["doc_winnowing_fingerprints"].fn(spark, sf_correctness), "simple")
+    assert "posexplode(transform(sequence(" in plan.replace("\n", ""), plan
+    assert "windowspecdefinition(doc_id#" in plan, plan
+    # the only SinglePartition exchanges feed the two 1-row census
+    # aggregates — never the per-position window sort
+    import re
+
+    wins = re.findall(r"windowspecdefinition\((\w+)#", plan)
+    assert wins and set(wins) == {"doc_id"}, wins

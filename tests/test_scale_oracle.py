@@ -117,6 +117,13 @@ HEAVY = [
     # and first-digit counts both repopulate with corpus/order volume
     "doc_gopher_rules",
     "orders_benford_audit",
+    # r8 graph/text additions: the co-purchase graph's edge/wedge/triangle
+    # populations grow superlinearly with order volume (the orientation
+    # bound only matters once degrees are high), and winnowing's shared-
+    # fingerprint population shifts with corpus size — both are exactly
+    # the sf-dependent class
+    "part_triangle_count",
+    "doc_winnowing_fingerprints",
 ]
 
 
