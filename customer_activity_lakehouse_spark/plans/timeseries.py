@@ -431,7 +431,126 @@ FROM per_day
 """
 
 
+ACF_MAX_LAG = 14
+
+
+def q_revenue_acf(spark: SparkSession, sf: str) -> DataFrame:
+    """Autocorrelation function of the daily revenue series at lags
+    1..14 — the diagnostic every forecasting pipeline runs first (weekly
+    seasonality shows as a lag-7/14 spike; a slow decay says trend).
+    Uses the standard full-series-mean estimator
+    r_k = Σ_{t≤n−k}(x_t−x̄)(x_{t+k}−x̄) / Σ(x_t−x̄)².
+
+    Numeric determinism (the ANOVA second-moment doctrine): daily values
+    are exact integer cents; multiplying the estimator through by n²
+    clears the rational mean, so both numerator
+    n²·Σx_t·x_{t+k} − n·S·(A_k+B_k) + (n−k)·S² and denominator n²·Q − n·S²
+    are EXACT DECIMAL(38,0)/HUGEINT expressions (S=Σx, Q=Σx², A_k/B_k the
+    overlap partial sums); r_k is ONE double division, rounded 6dp —
+    no catastrophic cancellation in doubles anywhere.  Widths: n≈2.4e3
+    days, x up to ~1.5e12 cents/day at 100 TB → n²·Σxy ≈ 3e34 < 10³⁸.
+
+    Scale shape: orders collapse map-side to the |dates|-row daily frame;
+    the lag structure is ONE window pass (14 lead() columns over the
+    bounded frame) exploded to a 14·|dates| stack that partial-aggregates
+    to 14 rows.  No self-join, no fact-table sort."""
+    orders = table(spark, sf, "orders")
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast(
+        "decimal(18,0)"
+    ).cast("long")
+    daily = orders.groupBy(F.col("o_orderdate").alias("d")).agg(
+        F.sum(cents).alias("v")
+    )
+    w_t = Window.orderBy("d")
+    dec = "decimal(38,0)"
+    vd = F.col("v").cast("decimal(18,0)")
+    led = daily.select(
+        "v",
+        *[
+            F.lead("v", k).over(w_t).alias(f"y{k}")
+            for k in range(1, ACF_MAX_LAG + 1)
+        ],
+    )
+    lagged = led.select(
+        "v",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(k).alias("k"), F.col(f"y{k}").alias("y"))
+                    for k in range(1, ACF_MAX_LAG + 1)
+                ]
+            )
+        ).alias("lag"),
+    ).select("v", F.col("lag.k").alias("k"), F.col("lag.y").alias("y"))
+    per_k = (
+        lagged.filter(F.col("y").isNotNull())
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum((vd * F.col("y").cast("decimal(18,0)")).cast(dec)).alias("sxy"),
+            F.sum(vd).cast(dec).alias("a_sum"),
+            F.sum(F.col("y").cast("decimal(18,0)")).cast(dec).alias("b_sum"),
+        )
+    )
+    glob = daily.agg(
+        F.count(F.lit(1)).cast(dec).alias("n"),
+        F.sum(vd).cast(dec).alias("s"),
+        F.sum((vd * vd).cast(dec)).alias("q"),
+    )
+    n, s, q = F.col("n"), F.col("s"), F.col("q")
+    num = (
+        (n * n).cast(dec) * F.col("sxy")
+        - (n * s).cast(dec) * (F.col("a_sum") + F.col("b_sum")).cast(dec)
+        + (n - F.col("k")).cast(dec) * (s * s).cast(dec)
+    ).cast(dec)
+    den = ((n * n).cast(dec) * q - (n * (s * s).cast(dec)).cast(dec)).cast(dec)
+    return (
+        per_k.crossJoin(F.broadcast(glob))
+        .select(
+            F.col("k").cast("int").alias("lag"),
+            F.col("n_pairs").cast("long"),
+            F.round(num.cast("double") / den.cast("double"), 6).alias("acf"),
+        )
+        .orderBy("lag")
+    )
+
+
+ORACLE_REVENUE_ACF = f"""
+WITH daily AS (
+  SELECT o_orderdate AS d,
+         sum((o_totalprice::DECIMAL(18,2) * 100)::DECIMAL(18,0)::BIGINT)::BIGINT AS v
+  FROM orders GROUP BY 1
+),
+idx AS (
+  SELECT v, row_number() OVER (ORDER BY d) AS t FROM daily
+),
+lagged AS (
+  SELECT b.t - a.t AS k, a.v AS v, b.v AS y
+  FROM idx a JOIN idx b ON b.t > a.t AND b.t <= a.t + {ACF_MAX_LAG}
+),
+per_k AS (
+  SELECT k, count(*)::BIGINT AS n_pairs,
+         sum(v::HUGEINT * y::HUGEINT)::HUGEINT AS sxy,
+         sum(v)::HUGEINT AS a_sum, sum(y)::HUGEINT AS b_sum
+  FROM lagged GROUP BY k
+),
+totals AS (
+  SELECT count(*)::HUGEINT AS n, sum(v)::HUGEINT AS s,
+         sum(v::HUGEINT * v::HUGEINT)::HUGEINT AS q
+  FROM daily
+)
+SELECT k::INT AS lag, n_pairs,
+       round((n * n * sxy - n * s * (a_sum + b_sum) + (n - k) * s * s)::DOUBLE
+             / (n * n * q - n * s * s)::DOUBLE, 6) AS acf
+FROM per_k, totals
+ORDER BY lag
+"""
+
+
 QUERIES: dict[str, Query] = {
+    "revenue_acf": Query(
+        q_revenue_acf, ORACLE_REVENUE_ACF, ("timeseries", "stats", "trend")
+    ),
     "revenue_rolling_7d": Query(
         q_revenue_rolling_7d, ORACLE_REVENUE_ROLLING_7D, ("timeseries", "window", "rolling")
     ),

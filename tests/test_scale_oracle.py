@@ -124,6 +124,9 @@ HEAVY = [
     # the sf-dependent class
     "part_triangle_count",
     "doc_winnowing_fingerprints",
+    # ACF: the n²·Σxy / S² decimal widths grow quadratically with daily
+    # revenue magnitude — the exact-width class the docstring bounds
+    "revenue_acf",
 ]
 
 
