@@ -4053,7 +4053,143 @@ FROM agg_doc, agg_fp
 """
 
 
+SUBSTR_DUP_T = 40  # duplicated-window length (chars) — the dedup threshold
+
+
+def q_doc_suffix_dup_spans(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact duplicated-SUBSTRING spans across the corpus — the
+    suffix-array dedup of Lee et al., "Deduplicating Training Data Makes
+    Language Models Better" (ACL'22), re-expressed for a distributed
+    engine: a substring of length ≥ T is repeated (anywhere in the
+    corpus, including within one document) iff some T-char window of it
+    is repeated, so (1) hash every T-char window (stride 1), (2) keep
+    windows whose hash occurs ≥ 2 times corpus-wide, (3) merge each
+    document's surviving windows into maximal duplicated spans with an
+    interval-union sweep.  Emits the corpus census: documents containing
+    duplicated text, span count, total duplicated chars, longest span,
+    and the duplicated-char share of the corpus.
+
+    Why windows and not a suffix array: the suffix array is the right
+    single-node structure, but it needs a global sort of every suffix;
+    the T-window formulation is shuffle-friendly — hashing is row-local,
+    the ONLY corpus-wide exchange is the hash-keyed count (computed as a
+    count() window over the fp partition — partial-aggregable), and the
+    span merge is per-document local.  Counts are exact integers; the
+    share is one double division.
+
+    Scale shape: |windows| ≈ corpus chars; each carries only (doc_id,
+    p, 16-byte md5) through the one exchange — the text itself never
+    shuffles (windows are materialized per-row, hashed, and dropped).
+    The island sweep partitions BY doc_id."""
+    t = SUBSTR_DUP_T
+    docs = table(spark, sf, "documents").filter(F.length("text") >= t)
+    arr = F.expr(
+        f"transform(sequence(1, length(text) - {t - 1}), "
+        f"p -> md5(cast(substr(text, p, {t}) as binary)))"
+    )
+    wins = docs.select("doc_id", F.posexplode(arr).alias("p0", "fp")).select(
+        "doc_id", (F.col("p0") + 1).alias("p"), "fp"
+    )
+    w_fp = Window.partitionBy("fp")
+    dup = wins.select(
+        "doc_id", "p", F.count(F.lit(1)).over(w_fp).alias("n_occ")
+    ).filter(F.col("n_occ") >= 2)
+    w_doc = Window.partitionBy("doc_id").orderBy("p")
+    w_prev = w_doc.rowsBetween(Window.unboundedPreceding, -1)
+    marked = dup.select(
+        "doc_id",
+        "p",
+        (F.col("p") + (t - 1)).alias("win_end"),
+        F.when(
+            F.max(F.col("p") + (t - 1)).over(w_prev).isNull()
+            | (F.col("p") > F.max(F.col("p") + (t - 1)).over(w_prev) + 1),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_span"),
+    )
+    spans = marked.select(
+        "doc_id",
+        "win_end",
+        F.sum("new_span").over(w_doc).alias("span_id"),
+    )
+    per_span = spans.groupBy("doc_id", "span_id").agg(
+        (F.max("win_end") - F.min(F.col("win_end") - (t - 1)) + 1).alias("span_chars")
+    )
+    census = per_span.agg(
+        F.countDistinct("doc_id").alias("n_docs_with_dups"),
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum("span_chars").alias("dup_chars"),
+        F.max("span_chars").alias("max_span_chars"),
+    )
+    corpus = docs.agg(F.sum(F.length("text")).alias("corpus_chars"))
+    return census.crossJoin(F.broadcast(corpus)).select(
+        F.col("n_docs_with_dups").cast("long"),
+        F.col("n_spans").cast("long"),
+        F.col("dup_chars").cast("long"),
+        F.col("max_span_chars").cast("long"),
+        F.round(
+            F.col("dup_chars").cast("double") / F.col("corpus_chars").cast("double"),
+            6,
+        ).alias("dup_share"),
+    )
+
+
+ORACLE_DOC_SUFFIX_DUP_SPANS = f"""
+WITH docs AS (
+  SELECT doc_id, text FROM documents WHERE length(text) >= {SUBSTR_DUP_T}
+),
+wins AS (
+  SELECT doc_id, unnest(range(1, length(text) - {SUBSTR_DUP_T - 2})) AS p, text
+  FROM docs
+),
+hashed AS (
+  SELECT doc_id, p, md5(substr(text, p, {SUBSTR_DUP_T})) AS fp FROM wins
+),
+dup AS (
+  SELECT doc_id, p FROM (
+    SELECT doc_id, p, count(*) OVER (PARTITION BY fp) AS n_occ FROM hashed
+  ) WHERE n_occ >= 2
+),
+marked AS (
+  SELECT doc_id, p, p + {SUBSTR_DUP_T - 1} AS win_end,
+         CASE WHEN max(p + {SUBSTR_DUP_T - 1}) OVER w_prev IS NULL
+                OR p > max(p + {SUBSTR_DUP_T - 1}) OVER w_prev + 1 THEN 1 ELSE 0 END
+           AS new_span
+  FROM dup
+  WINDOW w_prev AS (PARTITION BY doc_id ORDER BY p
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+),
+spans AS (
+  SELECT doc_id, win_end,
+         sum(new_span) OVER (PARTITION BY doc_id ORDER BY p) AS span_id
+  FROM marked
+),
+per_span AS (
+  SELECT doc_id, span_id,
+         max(win_end) - min(win_end - {SUBSTR_DUP_T - 1}) + 1 AS span_chars
+  FROM spans GROUP BY doc_id, span_id
+),
+census AS (
+  SELECT count(DISTINCT doc_id)::BIGINT AS n_docs_with_dups,
+         count(*)::BIGINT AS n_spans,
+         sum(span_chars)::BIGINT AS dup_chars,
+         max(span_chars)::BIGINT AS max_span_chars
+  FROM per_span
+)
+SELECT n_docs_with_dups, n_spans, dup_chars, max_span_chars,
+       round(dup_chars::DOUBLE
+             / (SELECT sum(length(text)) FROM docs)::DOUBLE, 6) AS dup_share
+FROM census
+"""
+
+
 QUERIES: dict[str, Query] = {
+    "doc_suffix_dup_spans": Query(
+        q_doc_suffix_dup_spans,
+        ORACLE_DOC_SUFFIX_DUP_SPANS,
+        ("text", "dedup", "substring"),
+    ),
     "doc_winnowing_fingerprints": Query(
         q_doc_winnowing_fingerprints,
         ORACLE_DOC_WINNOWING_FINGERPRINTS,

@@ -762,3 +762,22 @@ def test_winnowing_window_per_document_no_text_duplication(spark, sf_correctness
 
     wins = re.findall(r"windowspecdefinition\((\w+)#", plan)
     assert wins and set(wins) == {"doc_id"}, wins
+
+
+def test_suffix_dup_spans_text_never_shuffles(spark, sf_correctness):
+    """Substring-dedup's scale contract (Lee et al. shape): T-char windows
+    are hashed by a row-local array transform — the text never shuffles;
+    the only corpus-wide exchange carries (doc_id, p, fp) into the
+    fp-partitioned count window, and the span merge windows partition BY
+    doc_id. No joins of window-scale frames."""
+    import re
+
+    plan = explain_str(QUERIES["doc_suffix_dup_spans"].fn(spark, sf_correctness), "simple")
+    assert "posexplode(transform(sequence(" in plan.replace("\n", ""), plan
+    assert "CartesianProduct" not in plan, plan
+    # exchanges: the fp-count window and the doc-partitioned sweep — never
+    # a text-bearing column
+    for m in re.finditer(r"Exchange hashpartitioning\((\w+)#", plan):
+        assert m.group(1) in {"fp", "doc_id"}, plan
+    wins = set(re.findall(r"windowspecdefinition\((\w+)#", plan))
+    assert wins == {"fp", "doc_id"}, wins

@@ -127,6 +127,10 @@ HEAVY = [
     # ACF: the n²·Σxy / S² decimal widths grow quadratically with daily
     # revenue magnitude — the exact-width class the docstring bounds
     "revenue_acf",
+    # substring dedup: which T-windows repeat (and thus the whole span
+    # population) is a pure function of corpus size — template collisions
+    # only materialize at sf0.1
+    "doc_suffix_dup_spans",
 ]
 
 
