@@ -160,3 +160,28 @@ def test_alter_identity_and_unique_key_routes(spark, tmp_path):
     run_table_sql(spark, f"ALTER TABLE snapshot.`{t}` DROP UNIQUE KEY uk")
     commit_append(spark, t, spark.createDataFrame([(5, 20)], "rid long, v long"))
     assert read_snapshot(spark, t).count() == 3
+
+
+def test_create_shallow_clone_via_sql(spark, tmp_path):
+    src = str(tmp_path / "src")
+    for lo in (0, 10):
+        commit_append(
+            spark, src, spark.range(lo, lo + 10).selectExpr("id", "id * 2 AS v")
+        )
+    dst = str(tmp_path / "dst")
+    v = run_table_sql(
+        spark, f"CREATE TABLE snapshot.`{dst}` SHALLOW CLONE snapshot.`{src}`"
+    )
+    assert v == 1 and read_snapshot(spark, dst).count() == 20
+    # pinned-version clone sees only the first append
+    dst1 = str(tmp_path / "dst1")
+    run_table_sql(
+        spark,
+        f"CREATE TABLE snapshot.`{dst1}` SHALLOW CLONE snapshot.`{src}`"
+        " VERSION AS OF 1",
+    )
+    assert read_snapshot(spark, dst1).count() == 10
+    # clones diverge copy-on-write: writes at the clone never touch the src
+    run_table_sql(spark, f"DELETE FROM snapshot.`{dst}` WHERE id < 5")
+    assert read_snapshot(spark, dst).count() == 15
+    assert read_snapshot(spark, src).count() == 20
