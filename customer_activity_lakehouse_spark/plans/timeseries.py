@@ -547,7 +547,91 @@ ORDER BY lag
 """
 
 
+def q_revenue_seasonal_profile(spark: SparkSession, sf: str) -> DataFrame:
+    """Classical (moving-average) seasonal decomposition of MONTHLY
+    revenue — the additive-model seasonal profile: trend = centered
+    12-month MA (half-weight endpoints, the textbook even-period form),
+    detrended = observed − trend, seasonal index = per-calendar-month
+    mean of the detrended series.  A lag-7/14 ACF spike says "weekly";
+    this says WHICH months run hot or cold and by how many dollars.
+
+    Numeric determinism: monthly revenue is exact integer cents; the
+    centered MA is carried ×24 — trend24_t = v_{t−6} + 2·Σ_{t−5..t+5} +
+    v_{t+6}, an exact BIGINT window expression — and the detrended value
+    ×24 is an exact subtraction; each month's seasonal index is ONE
+    double division sum/(n·2400) at the end, rounded 4dp.  Months
+    without a full ±6 window (the first/last 6) are excluded exactly as
+    the textbook estimator prescribes — via the lag/lead NULLs, in both
+    engines.
+
+    Scale shape: the fact table collapses map-side to the |months|-row
+    frame (~84 rows for the 7-year fixture); every window runs on that
+    calendar-bounded frame — same tiny-frame exemption as rolling_7d."""
+    orders = table(spark, sf, "orders")
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast(
+        "decimal(18,0)"
+    ).cast("long")
+    monthly = orders.groupBy(F.date_trunc("month", "o_orderdate").alias("m")).agg(
+        F.sum(cents).alias("v")
+    )
+    w_m = Window.orderBy("m")
+    w_band = w_m.rowsBetween(-5, 5)
+    trend24 = (
+        F.lag("v", 6).over(w_m)
+        + 2 * F.sum("v").over(w_band)
+        + F.lead("v", 6).over(w_m)
+    )
+    scored = monthly.select(
+        F.month("m").alias("month"),
+        "v",
+        (24 * F.col("v") - trend24).alias("detr24"),
+    ).filter(F.col("detr24").isNotNull())
+    return (
+        scored.groupBy("month")
+        .agg(
+            F.count(F.lit(1)).alias("n_obs"),
+            F.sum("detr24").alias("s24"),
+        )
+        .select(
+            "month",
+            F.col("n_obs").cast("long"),
+            F.round(
+                F.col("s24").cast("double") / (F.col("n_obs") * 2400).cast("double"),
+                4,
+            ).alias("seasonal_dollars"),
+        )
+        .orderBy("month")
+    )
+
+
+ORACLE_REVENUE_SEASONAL_PROFILE = """
+WITH monthly AS (
+  SELECT date_trunc('month', o_orderdate) AS m,
+         sum((o_totalprice::DECIMAL(18,2) * 100)::DECIMAL(18,0)::BIGINT)::BIGINT AS v
+  FROM orders GROUP BY 1
+),
+scored AS (
+  SELECT month(m)::INT AS month,
+         24 * v - (lag(v, 6) OVER (ORDER BY m)
+                   + 2 * sum(v) OVER (ORDER BY m
+                                      ROWS BETWEEN 5 PRECEDING AND 5 FOLLOWING)
+                   + lead(v, 6) OVER (ORDER BY m)) AS detr24
+  FROM monthly
+)
+SELECT month, count(*)::BIGINT AS n_obs,
+       round(sum(detr24)::DOUBLE / (count(*) * 2400)::DOUBLE, 4)
+         AS seasonal_dollars
+FROM scored WHERE detr24 IS NOT NULL
+GROUP BY month ORDER BY month
+"""
+
+
 QUERIES: dict[str, Query] = {
+    "revenue_seasonal_profile": Query(
+        q_revenue_seasonal_profile,
+        ORACLE_REVENUE_SEASONAL_PROFILE,
+        ("timeseries", "stats", "seasonality"),
+    ),
     "revenue_acf": Query(
         q_revenue_acf, ORACLE_REVENUE_ACF, ("timeseries", "stats", "trend")
     ),
