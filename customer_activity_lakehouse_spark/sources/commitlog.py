@@ -112,6 +112,7 @@ WRITER_FEATURES = READER_FEATURES | {
     "generated-columns",  # recomputed on write
     "identity-columns",  # watermark-allocated on append (snapshots.py)
     "unique-keys",  # collision-probed on append/overwrite
+    "row-tracking",  # base-row-id allocation on every file add (snapshots.py)
 }
 
 _FEATURE_KEYS = (
@@ -122,6 +123,7 @@ _FEATURE_KEYS = (
     ("generated", "generated-columns", False),
     ("identity", "identity-columns", False),
     ("unique_keys", "unique-keys", False),
+    ("row_tracking", "row-tracking", False),
 )
 
 

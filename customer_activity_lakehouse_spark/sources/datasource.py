@@ -749,6 +749,12 @@ class _SnapshotWriterDriver(_SnapshotArrowWriter):
                     "not allocate identity values — write through commit_append/"
                     "commit_overwrite"
                 )
+            if prev and prev.get("row_tracking"):
+                raise RuntimeError(
+                    f"snapshot_log writer: {self._dir} has row tracking "
+                    "enabled; the pure-Python writer does not allocate base "
+                    "row ids — write through commit_append/commit_overwrite"
+                )
             manifest = {
                 "version": version,
                 "op": "overwrite",
@@ -821,6 +827,14 @@ class _SnapshotWriterDriver(_SnapshotArrowWriter):
                     f"snapshot_log writer: {self._dir} has identity column(s) "
                     f"{sorted(prev['identity'])}; the pure-Python writer does "
                     "not allocate identity values — append through commit_append"
+                )
+            if prev and prev.get("row_tracking"):
+                # same fail-loud contract: appending files without base
+                # row ids would silently break every with_row_ids read
+                raise RuntimeError(
+                    f"snapshot_log writer: {self._dir} has row tracking "
+                    "enabled; the pure-Python writer does not allocate base "
+                    "row ids — append through commit_append"
                 )
             manifest = {
                 "version": version,

@@ -249,6 +249,10 @@ def _try_commit(
         "committed_at",
         _dt.datetime.now(_dt.timezone.utc).isoformat(timespec="seconds"),
     )
+    # row-tracking scratch keys (the rebase funnel's reallocation inputs)
+    # never reach disk — strip at the chokepoint so no site can leak them
+    if any(k.startswith("_rt_") for k in manifest):
+        manifest = {k: v for k, v in manifest.items() if not k.startswith("_rt_")}
     if version > 1 and prev is None:
         prev = _read_manifest(spark, table_dir, version - 1)
     record = commitlog.make_commit(prev if version > 1 else None, manifest)
@@ -329,8 +333,10 @@ def _commit_rebase_appends(
         adds: list[str] = []
         stats_add: dict = {}
         conflict = None
+        latest_rt = None
         for v in range(attempt_v, latest + 1):
             r = _read_commit(spark, table_dir, v)
+            latest_rt = r.get("row_tracking") or latest_rt
             d = r.get("delta")
             if (
                 r.get("op") != "append"
@@ -362,6 +368,25 @@ def _commit_rebase_appends(
         }
         if stats_add or manifest.get("stats"):
             manifest["stats"] = {**(manifest.get("stats") or {}), **stats_add}
+        # row tracking: the interleaved appends allocated from the SAME
+        # watermark this verb read, so this verb's fresh bases may collide
+        # with theirs — re-allocate its own new files above the rebased
+        # watermark (metadata-only; ids are never baked into data files)
+        if manifest.get("row_tracking") and latest_rt:
+            alloc = manifest.get("_rt_alloc") or []
+            nxt = max(int(latest_rt["next"]), int(manifest["row_tracking"]["next"]))
+            if alloc:
+                stats = dict(manifest.get("stats") or {})
+                nxt = int(latest_rt["next"])
+                for f, n in alloc:
+                    stats[f] = {
+                        **stats.get(f, {}),
+                        "__rows": int(n),
+                        "__base_row_id": nxt,
+                    }
+                    nxt += int(n)
+                manifest["stats"] = stats
+            manifest["row_tracking"] = {"next": nxt}
         attempt_v = latest + 1
     raise RuntimeError(
         f"{op}: {max_rebases} version slots were committed concurrently at "
@@ -426,6 +451,116 @@ def _file_stats(
 
     by_path = {norm(k): v for k, v in out.items()}
     return {f: by_path[norm(f)] for f in files if norm(f) in by_path}
+
+
+def _normpath(p: str) -> str:
+    """Manifest paths vs scan paths spell schemes differently
+    ("file:/x" vs "file:///x") — compare on the bare path."""
+    return re.sub(r"^[a-zA-Z0-9+.-]+:/+", "/", p)
+
+
+def _rt_of(m: dict | None) -> dict | None:
+    """The table's row-tracking property ({"next": high watermark}) or
+    None when the feature was never enabled."""
+    return (m or {}).get("row_tracking") or None
+
+
+def _file_row_counts(spark: SparkSession, files: list[str]) -> dict[str, int]:
+    """Per-file PHYSICAL row counts (one distributed pass) — row-id
+    allocation needs parquet row counts (ids are positional: base +
+    ``_metadata.row_index``), so DV-hidden rows still count."""
+    from pyspark.sql import functions as F
+
+    rows = (
+        spark.read.parquet(*files)
+        .groupBy(F.input_file_name().alias("__file"))
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .collect()
+    )
+    by = {_normpath(r["__file"]): int(r["__n"]) for r in rows}
+    return {f: by.get(_normpath(f), 0) for f in files}
+
+
+def _alloc_row_ids(
+    spark: SparkSession,
+    prev_m: dict | None,
+    manifest: dict,
+    new_files: list[str],
+    materialized: bool = False,
+) -> None:
+    """Row-tracking bookkeeping for a commit adding ``new_files`` — no-op
+    unless the table carries the ``row_tracking`` property (Delta's row
+    tracking: every row has a unique 64-bit id, stable while its file
+    lives).  Per-file state rides INSIDE the existing per-file ``stats``
+    entries — ``__base_row_id`` (ids derive as base + parquet row index)
+    or ``__row_ids: "materialized"`` (the file carries a physical
+    ``_row_id`` column) — because the commit log already delta-encodes
+    and carries stats per file at every site; a new O(files) manifest key
+    would reintroduce the per-commit cost the log segmentation removed.
+    The allocation watermark ``row_tracking.next`` is a table property
+    (carried by ``_carry_props``; bumped only here).
+
+    ``materialized=True`` marks ``new_files`` as carrying their own
+    ``_row_id`` column (OPTIMIZE/REORG rewrites, which must PRESERVE ids
+    under ``data_change=false``); otherwise fresh bases are allocated in
+    file order — rewritten rows of data-change DML get NEW ids, exactly
+    Delta's non-preserving-operation semantics.  Fresh allocations are
+    recorded under the scratch key ``_rt_alloc`` so the rebase funnel can
+    re-allocate above an interloper's watermark; ``_try_commit`` strips
+    scratch keys before anything reaches disk."""
+    rt = _rt_of(prev_m)
+    if not rt:
+        return
+    stats = dict(manifest.get("stats") or {})
+    if materialized:
+        for f in new_files:
+            stats[f] = {**stats.get(f, {}), "__row_ids": "materialized"}
+        manifest["stats"] = stats
+        manifest.setdefault("row_tracking", dict(rt))
+        return
+    counts: dict[str, int] = {}
+    missing = [
+        f for f in new_files if (stats.get(f) or {}).get("__rows") is None
+    ]
+    if missing:
+        counts.update(_file_row_counts(spark, missing))
+    nxt = int(rt["next"])
+    alloc: list[list] = []
+    for f in new_files:
+        n = counts.get(f, (stats.get(f) or {}).get("__rows"))
+        n = int(n)
+        stats[f] = {**stats.get(f, {}), "__rows": n, "__base_row_id": nxt}
+        alloc.append([f, n])
+        nxt += n
+    manifest["stats"] = stats
+    manifest["row_tracking"] = {"next": nxt}
+    if alloc:
+        manifest["_rt_alloc"] = alloc
+
+
+def _rt_bases_for(m: dict, files: list[str], ctx: str) -> dict[str, int] | None:
+    """{normalized path: base row id} for ``files`` on a row-tracked
+    table (None when row tracking is off).  Files marked
+    ``__row_ids: "materialized"`` are omitted — their ids come from the
+    physical ``_row_id`` column; a file with NEITHER marker means a
+    writer broke the invariant, and reading would silently fabricate
+    null ids — fail loudly instead."""
+    if not _rt_of(m):
+        return None
+    st = m.get("stats", {})
+    bases: dict[str, int] = {}
+    for f in files:
+        e = st.get(f) or {}
+        if e.get("__row_ids") == "materialized":
+            continue
+        b = e.get("__base_row_id")
+        if b is None:
+            raise RuntimeError(
+                f"{ctx}: row-tracking invariant broken — {f} has neither a "
+                "base row id nor materialized ids"
+            )
+        bases[_normpath(f)] = int(b)
+    return bases
 
 
 def _schema_sig(df: DataFrame) -> list[list[str]]:
@@ -925,6 +1060,13 @@ def _commit_append_files(
             manifest["stats"] = {**prev_stats, **new_stats}
         if extra:
             manifest.update(extra)
+        # row tracking: allocate bases for this batch from the manifest
+        # read THIS attempt — losing the slot re-enters the loop and
+        # re-allocates above the winner's watermark (metadata-only, so
+        # retrying can never bake stale ids into data files)
+        _alloc_row_ids(
+            spark, prev_m if versions else None, manifest, new_files
+        )
         if _try_commit(
             spark, table_dir, version, manifest,
             prev=prev_m if versions else None,
@@ -1282,6 +1424,9 @@ def commit_overwrite(
         manifest["stats"] = new_stats
     if extra:
         manifest.update(extra)
+    # row tracking: an overwrite replaces every row — all ids are fresh
+    # (Delta's non-preserving semantics); the watermark stays monotonic
+    _alloc_row_ids(spark, prev_m, manifest, files)
     if not _try_commit(spark, table_dir, version, manifest):
         raise RuntimeError(
             f"commit_overwrite: version {version} was committed concurrently at "
@@ -1430,6 +1575,9 @@ def commit_replace_where(
         manifest["stats"] = {**kept_stats, **new_stats}
     _carry_props(m, manifest)
     _carry_mapping(m, manifest)
+    # row tracking: replaced-scope rows get fresh ids (non-preserving
+    # rewrite); untouched files keep theirs via kept_stats
+    _alloc_row_ids(spark, m, manifest, all_new)
     if not _try_commit(spark, table_dir, base_v + 1, manifest):
         raise RuntimeError(
             f"commit_replace_where: version {base_v + 1} was committed "
@@ -1441,7 +1589,7 @@ def commit_replace_where(
 
 _TABLE_PROPS = (
     "constraints", "table_stats", "generated", "partition_by", "bloom", "identity",
-    "unique_keys",
+    "unique_keys", "row_tracking",
 )
 
 
@@ -1587,6 +1735,78 @@ def drop_unique_key(spark: SparkSession, table_dir: str, name: str = "uk") -> in
     if not _try_commit(spark, table_dir, base_v + 1, manifest):
         raise RuntimeError(
             f"drop_unique_key: version {base_v + 1} was committed "
+            f"concurrently at {table_dir}; re-read and retry"
+        )
+    return base_v + 1
+
+
+def enable_row_tracking(spark: SparkSession, table_dir: str) -> int:
+    """Delta ROW TRACKING parity: give every row a unique, stable 64-bit
+    ``_row_id``.  Ids are POSITIONAL — each data file gets a base row id
+    and a row's id is base + its parquet ``_metadata.row_index`` (stable
+    because data files are immutable) — so enabling costs ONE metadata
+    commit assigning bases to the existing files (row counts come from
+    the recorded ``__rows`` stats when present, else one count pass); no
+    data is rewritten.  Read ids back with
+    ``read_snapshot(..., with_row_ids=True)``.
+
+    Stability contract (exactly Delta's):
+    - ids survive every metadata commit, appends, and merge-on-read
+      (``mode='dv'``) DML — the files don't change;
+    - OPTIMIZE / REORG rewrites PRESERVE ids by materializing a physical
+      ``_row_id`` column into the compacted files (required: they are
+      ``data_change=false``, so row identity must be indistinguishable
+      across them);
+    - data-change rewrites (DELETE/UPDATE/MERGE rewrite mode,
+      replaceWhere, overwrite) assign FRESH ids to the rows they rewrite
+      — Delta's non-preserving-operation semantics (a rewrite is
+      delete + re-insert); untouched files keep their ids.
+
+    The ``row-tracking`` writer feature is stamped so engines that cannot
+    maintain the allocation refuse to write (the pure-Python DataSource
+    writer does — commit through the JVM path).
+
+    Requires a recorded schema (every DML-created table has one).
+    Idempotent: enabling an enabled table returns the current version."""
+    versions = _list_versions(spark, table_dir)
+    if not versions:
+        raise FileNotFoundError(f"no snapshots at {table_dir}")
+    base_v = versions[-1]
+    m = _read_manifest(spark, table_dir, base_v)
+    if _rt_of(m):
+        return base_v
+    if not m.get("schema"):
+        raise ValueError(
+            f"enable_row_tracking: {table_dir} has no recorded schema — "
+            "row-id reads project by explicit schema; commit through "
+            "commit_append first"
+        )
+    files = m["files"]
+    stats = {f: dict(s) for f, s in (m.get("stats") or {}).items()}
+    missing = [f for f in files if (stats.get(f) or {}).get("__rows") is None]
+    counts = _file_row_counts(spark, missing) if missing else {}
+    nxt = 0
+    for f in files:
+        n = int(counts.get(f, (stats.get(f) or {}).get("__rows", 0)))
+        stats[f] = {**stats.get(f, {}), "__rows": n, "__base_row_id": nxt}
+        nxt += n
+    manifest = {
+        "version": base_v + 1,
+        "op": "set_row_tracking",
+        "data_change": False,
+        "files": files,
+        "schema": m.get("schema"),
+        "row_tracking": {"next": nxt},
+    }
+    if stats:
+        manifest["stats"] = stats
+    if m.get("dv_files"):
+        manifest["dv_files"] = m["dv_files"]
+    _carry_props(m, manifest)
+    _carry_mapping(m, manifest)
+    if not _try_commit(spark, table_dir, base_v + 1, manifest):
+        raise RuntimeError(
+            f"enable_row_tracking: version {base_v + 1} was committed "
             f"concurrently at {table_dir}; re-read and retry"
         )
     return base_v + 1
@@ -1901,6 +2121,7 @@ def _read_with_dvs(
     dv_files: list[str],
     keep_meta: bool = False,
     colmap: dict | None = None,
+    row_bases: dict[str, int] | None = None,
 ):
     """Read ``files`` (with the manifest's explicit schema when recorded)
     APPLYING DELETION VECTORS: rows whose (file_path, row_index) appear in
@@ -1918,25 +2139,58 @@ def _read_with_dvs(
     With ``colmap`` (column mapping enabled) the files are read by their
     PHYSICAL schema and aliased back to logical names in the scan's first
     projection — everything downstream (DV anti-join, DML probes, user
-    predicates) sees logical names only."""
+    predicates) sees logical names only.
+
+    ``row_bases`` (row tracking) = {normalized file path: base row id}:
+    the output gains a ``_row_id`` column — the file's materialized
+    ``_row_id`` parquet column where present (the explicit-schema read
+    yields nulls for files without it — a schema-superset read, no
+    mergeSchema footer scan), else base + ``_metadata.row_index``.  Ids
+    attach BEFORE the DV anti-join: they are positional in the ORIGINAL
+    immutable file, so hidden rows just leave gaps.  The base map rides a
+    broadcast (it is |files|-sized — manifest-scale, like the DV frame)."""
     from pyspark.sql import functions as F
 
+    if row_bases is not None and not sig:
+        raise ValueError("row-id reads need the manifest's recorded schema")
     if sig:
         ddl = ", ".join(f"`{_phys(colmap, n)}` {t}" for n, t in sig)
+        if row_bases is not None:
+            ddl += ", `_row_id` long"
         base = spark.read.schema(ddl).parquet(*files)
     else:
         base = spark.read.parquet(*files)
     logical = (
         [F.col(_phys(colmap, n)).alias(n) for n, _ in sig] if colmap and sig else None
     )
-    if not dv_files and not keep_meta:
+    if logical is not None and row_bases is not None:
+        logical = logical + [F.col("_row_id")]
+    if not dv_files and not keep_meta and row_bases is None:
         return base.select(*logical) if logical is not None else base
     cols = [c for c, _ in sig] if colmap and sig else base.columns
+    if colmap and sig and row_bases is not None:
+        cols = cols + ["_row_id"]
     with_meta = base.select(
         *(logical if logical is not None else cols),
         F.col("_metadata.file_path").alias("__p"),
         F.col("_metadata.row_index").alias("__i"),
     )
+    if row_bases is not None:
+        bframe = spark.createDataFrame(
+            [(p, int(b)) for p, b in row_bases.items()],
+            "__pn string, __base long",
+        )
+        with_meta = (
+            with_meta.withColumn(
+                "__pn", F.regexp_replace("__p", r"^[a-zA-Z0-9+.-]+:/+", "/")
+            )
+            .join(F.broadcast(bframe), "__pn", "left")
+            .withColumn(
+                "_row_id",
+                F.coalesce(F.col("_row_id"), F.col("__base") + F.col("__i")),
+            )
+            .drop("__pn", "__base")
+        )
     if dv_files:
         dv = spark.read.parquet(*dv_files).select(
             F.col("file_path").alias("__p"), F.col("row_index").alias("__i")
@@ -2035,9 +2289,16 @@ def read_snapshot(
     as_of: str | None = None,
     partition_where: dict | None = None,
     point_where: dict | None = None,
+    with_row_ids: bool = False,
 ) -> DataFrame:
     """Read the table at ``version`` (default: latest). Reads exactly the
     manifest's file list — uncommitted/orphaned data is invisible.
+
+    ``with_row_ids=True`` (requires :func:`enable_row_tracking`) adds the
+    ``_row_id`` column — each row's stable unique id (base + parquet row
+    index, or the file's materialized ``_row_id`` column after an
+    OPTIMIZE/REORG rewrite); composes with every pruning/time-travel
+    option here.
 
     ``as_of`` is ``TIMESTAMP AS OF`` time travel (mutually exclusive
     with ``version``): the table as of that wall-clock instant, resolved
@@ -2112,6 +2373,14 @@ def read_snapshot(
                 ddl = ", ".join(f"`{n}` {t}" for n, t in sig)
                 return spark.createDataFrame([], schema=ddl)
             return empty
+    row_bases = None
+    if with_row_ids:
+        if not _rt_of(manifest):
+            raise ValueError(
+                f"read_snapshot: row tracking is not enabled at {table_dir} "
+                f"(v{v}) — call enable_row_tracking first"
+            )
+        row_bases = _rt_bases_for(manifest, files, f"read_snapshot {table_dir} v{v}")
     # The manifest's recorded schema is authoritative: an explicit-schema
     # read gives files written before an evolution their missing columns
     # as null WITHOUT mergeSchema's every-footer scan (the scale-right
@@ -2120,7 +2389,7 @@ def read_snapshot(
     # applied at read (merge-on-read).
     return _read_with_dvs(
         spark, files, manifest.get("schema"), manifest.get("dv_files", []),
-        colmap=colmap,
+        colmap=colmap, row_bases=row_bases,
     )
 
 
@@ -2262,6 +2531,21 @@ def restore_snapshot(spark: SparkSession, table_dir: str, version: int) -> int:
     _carry_props(target, manifest)  # restore returns to that version's
     # constraints (consistent with restoring its schema)
     _carry_mapping(target, manifest)  # and its column mapping
+    rt_t, rt_l = _rt_of(target), _rt_of(_read_manifest(spark, table_dir, versions[-1]))
+    if rt_t or rt_l:
+        # the row-id watermark is MONOTONIC across a restore (Delta's
+        # rule): ids minted by the rolled-back versions stay reserved, so
+        # a post-restore append can never re-mint an id that a
+        # still-time-travelable version already gave to a different row
+        nxt = max(int((rt_t or {}).get("next", 0)), int((rt_l or {}).get("next", 0)))
+        manifest["row_tracking"] = {"next": nxt}
+        if not rt_t:
+            # restoring to a PRE-ENABLE version: those files never got
+            # bases — mint fresh ones above the watermark so with_row_ids
+            # reads keep working (the feature, once on, stays on)
+            _alloc_row_ids(
+                spark, {"row_tracking": {"next": nxt}}, manifest, target["files"]
+            )
     if not _try_commit(spark, table_dir, new_v, manifest):
         raise RuntimeError(
             f"restore_snapshot: version {new_v} was committed concurrently at "
@@ -2613,8 +2897,15 @@ def compact_snapshot(
     sig = m.get("schema")
     dv_files = m.get("dv_files", [])
     # rewriting through the DVs MATERIALIZES them for the rewritten files
-    # (their deleted rows are gone for good); kept files still need theirs
-    df = _read_with_dvs(spark, small, sig, dv_files, colmap=colmap)
+    # (their deleted rows are gone for good); kept files still need theirs.
+    # Row tracking: OPTIMIZE is data_change=false, so it must PRESERVE row
+    # ids — the read attaches each row's id (base + index, or an earlier
+    # rewrite's materialized column) and the rewrite writes it as a
+    # physical `_row_id` column the explicit-schema readers never see.
+    rt_bases = _rt_bases_for(m, small, "compact_snapshot")
+    df = _read_with_dvs(
+        spark, small, sig, dv_files, colmap=colmap, row_bases=rt_bases
+    )
     if cluster_by and zorder and len(cluster_by) >= 2:
         from pyspark.sql import functions as F
 
@@ -2682,6 +2973,7 @@ def compact_snapshot(
     _carry_mapping(m, manifest)
     if kept_stats or new_stats:
         manifest["stats"] = {**kept_stats, **new_stats}
+    _alloc_row_ids(spark, m, manifest, new_files, materialized=True)
     return _commit_rebase_appends(
         spark, table_dir, base_v + 1, manifest, op="compact_snapshot"
     )
@@ -2726,6 +3018,10 @@ def reorg_snapshot(spark: SparkSession, table_dir: str) -> int | None:
     cur_phys = {
         _phys(colmap, n) for n, _ in (sig or []) if n not in part_keys
     }
+    if _rt_of(m):
+        # `_row_id` is the row-tracking materialization column, not an
+        # orphaned physical column — purging it would destroy row ids
+        cur_phys.add("_row_id")
 
     def _local(p: str) -> str:
         return _re.sub(r"^[a-zA-Z0-9+.-]+:/+", "/", p)
@@ -2750,8 +3046,13 @@ def reorg_snapshot(spark: SparkSession, table_dir: str) -> int | None:
         return None
     keep = [f for f in files if f not in set(needs)]
     # the logical read drops orphaned physical columns and applies DVs;
-    # writing it back under physical names is precisely the purge
-    rewritten = _read_with_dvs(spark, needs, sig, dv_files, colmap=colmap)
+    # writing it back under physical names is precisely the purge.
+    # data_change=false => row ids must survive: same materialization as
+    # compaction
+    rt_bases = _rt_bases_for(m, needs, "reorg_snapshot")
+    rewritten = _read_with_dvs(
+        spark, needs, sig, dv_files, colmap=colmap, row_bases=rt_bases
+    )
     data_path = _write_data(
         _to_physical(rewritten, colmap),
         table_dir,
@@ -2778,6 +3079,7 @@ def reorg_snapshot(spark: SparkSession, table_dir: str) -> int | None:
         manifest["stats"] = {**kept_stats, **new_stats}
     _carry_props(m, manifest)
     _carry_mapping(m, manifest)
+    _alloc_row_ids(spark, m, manifest, new_files, materialized=True)
     return _commit_rebase_appends(
         spark, table_dir, base_v + 1, manifest, op="reorg_snapshot"
     )
@@ -3197,6 +3499,9 @@ def merge_snapshot(
         manifest.update(extra)
     _carry_props(m, manifest)
     _carry_mapping(m, manifest)
+    # row tracking: rewritten/inserted rows get fresh ids (non-preserving
+    # rewrite — Delta semantics); untouched files keep theirs
+    _alloc_row_ids(spark, m, manifest, new_files)
     return _commit_rebase_appends(
         spark, table_dir, base_v + 1, manifest, op="merge_snapshot"
     )
@@ -3387,6 +3692,9 @@ def delete_snapshot(
         manifest["stats"] = {**kept_stats, **new_stats}
     _carry_props(m, manifest)
     _carry_mapping(m, manifest)
+    # row tracking: survivor rows live in rewritten files -> fresh ids
+    # (non-preserving rewrite); use mode='dv' to preserve ids on delete
+    _alloc_row_ids(spark, m, manifest, new_files)
     return _commit_rebase_appends(
         spark, table_dir, base_v + 1, manifest, op="delete_snapshot"
     )
@@ -3548,6 +3856,9 @@ def update_snapshot(
         manifest["stats"] = {**kept_stats, **new_stats}
     _carry_props(m, manifest)
     _carry_mapping(m, manifest)
+    # row tracking: fresh ids for the rewritten files (update = delete +
+    # re-insert under Delta's non-preserving semantics)
+    _alloc_row_ids(spark, m, manifest, new_files)
     return _commit_rebase_appends(
         spark, table_dir, base_v + 1, manifest, op="update_snapshot"
     )
@@ -3790,6 +4101,9 @@ def _update_snapshot_dv(
         manifest["stats"] = {**stats, **post_stats}
     _carry_props(m, manifest)
     _carry_mapping(m, manifest)
+    # row tracking: postimage files are physically new rows -> fresh ids;
+    # DV-hidden originals keep their (now shadowed) positions
+    _alloc_row_ids(spark, m, manifest, post_files)
     return _commit_rebase_appends(
         spark, table_dir, base_v + 1, manifest,
         op="update_snapshot", debris="DV/postimage dirs",

@@ -185,3 +185,17 @@ def test_create_shallow_clone_via_sql(spark, tmp_path):
     run_table_sql(spark, f"DELETE FROM snapshot.`{dst}` WHERE id < 5")
     assert read_snapshot(spark, dst).count() == 15
     assert read_snapshot(spark, src).count() == 20
+
+
+def test_enable_row_tracking_via_tblproperties(spark, tmp_path):
+    from customer_activity_lakehouse_spark.sources.snapshots import read_snapshot as rs
+
+    t = str(tmp_path / "tbl")
+    commit_append(spark, t, spark.range(0, 8).selectExpr("id", "id * 2 AS v"))
+    run_table_sql(
+        spark,
+        f"ALTER TABLE snapshot.`{t}` SET TBLPROPERTIES "
+        "('delta.enableRowTracking'='true')",
+    )
+    ids = {r._row_id for r in rs(spark, t, with_row_ids=True).collect()}
+    assert ids == set(range(8))
