@@ -3267,6 +3267,108 @@ FROM agg
 """
 
 
+def q_revenue_cusum_drift(spark: SparkSession, sf: str) -> DataFrame:
+    """Page's CUSUM drift detector over daily revenue — the sequential
+    change-point screen (SPC's upper CUSUM): accumulate each day's excess
+    over (1+α)·mean and flag when the cumulative excess tops h = 5 mean-
+    days.  Completes the trend family: Mann-Kendall asks "is there a
+    monotonic trend?", the runs test "is the sequence random?", CUSUM
+    "WHEN did the level shift?".
+
+    The recurrence C_t = max(0, C_{t−1} + u_t) looks inherently
+    sequential, but it has a pure WINDOW identity —
+    C_t = S_t − min(0, min_{j≤t} S_j) with S the running sum of the
+    residuals — so no fold, no collected array, no driver loop: two
+    running windows over the |dates|-row frame (this identity is exactly
+    why the operator scales; a per-row fold would serialize).  No-reset
+    variant: alarms count threshold EXCEEDANCE days (the decision
+    interval is not re-armed), which is what the identity computes.
+
+    Numeric determinism: with α = 5% and the mean cleared by cross-
+    multiplication, the residual is u_t = 20n·x_t − 21·S (exact: 20·1.05
+    = 21) carried in DECIMAL(38,0)/HUGEINT, so every prefix sum, running
+    min, C_t, and the h = 100·S comparison are exact; the reported peak
+    ratio is ONE double division.  Peak day ties break to the earliest
+    date via (C, −epoch_day) struct max — identical in both engines."""
+    orders = table(spark, sf, "orders")
+    cents = (F.col("o_totalprice").cast(MONEY) * 100).cast("decimal(18,0)").cast("long")
+    daily = orders.groupBy(F.col("o_orderdate").alias("d")).agg(
+        F.sum(cents).alias("v")
+    )
+    dec = "decimal(38,0)"
+    totals = daily.agg(
+        F.count(F.lit(1)).cast(dec).alias("n"),
+        F.sum(F.col("v").cast("decimal(18,0)")).cast(dec).alias("s"),
+    )
+    base = daily.crossJoin(F.broadcast(totals))
+    u = (20 * F.col("n") * F.col("v").cast(dec) - 21 * F.col("s")).cast(dec)
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    scored = base.select(
+        "d",
+        "n",
+        "s",
+        F.sum(u).over(w).alias("prefix"),
+    ).select(
+        "d",
+        "n",
+        "s",
+        (
+            F.col("prefix")
+            - F.least(F.lit(0).cast(dec), F.min("prefix").over(w))
+        ).alias("c"),
+    )
+    neg_day = -F.datediff("d", F.lit("1992-01-01").cast("date"))
+    agg = scored.agg(
+        F.max("n").alias("n"),
+        F.max("s").alias("s"),
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum(
+            F.when(F.col("c") >= 100 * F.col("s"), 1).otherwise(0)
+        ).alias("n_alarm_days"),
+        F.max(F.struct(F.col("c"), neg_day.alias("nd"), F.col("d"))).alias("pk"),
+    )
+    return agg.select(
+        F.col("n_days").cast("long"),
+        F.col("n_alarm_days").cast("long"),
+        F.col("pk.d").alias("peak_day"),
+        F.round(
+            F.col("pk.c").cast("double") / (20 * F.col("s")).cast("double"), 6
+        ).alias("peak_over_mean"),
+    )
+
+
+ORACLE_REVENUE_CUSUM_DRIFT = """
+WITH daily AS (
+  SELECT o_orderdate AS d,
+         sum((o_totalprice::DECIMAL(18,2) * 100)::DECIMAL(18,0)::BIGINT)::BIGINT AS v
+  FROM orders GROUP BY 1
+),
+totals AS (
+  SELECT count(*)::HUGEINT AS n, sum(v)::HUGEINT AS s FROM daily
+),
+prefixed AS (
+  SELECT d, n, s,
+         sum(20 * n * v::HUGEINT - 21 * s)
+           OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS prefix
+  FROM daily, totals
+),
+scored AS (
+  SELECT d, n, s,
+         prefix - least(0::HUGEINT,
+                        min(prefix) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED
+                                          PRECEDING AND CURRENT ROW)) AS c
+  FROM prefixed
+)
+SELECT (SELECT count(*) FROM daily)::BIGINT AS n_days,
+       (SELECT sum(CASE WHEN c >= 100 * s THEN 1 ELSE 0 END) FROM scored)::BIGINT
+         AS n_alarm_days,
+       (SELECT d FROM scored ORDER BY c DESC, d LIMIT 1) AS peak_day,
+       (SELECT round(max(c)::DOUBLE / (20 * max(s))::DOUBLE, 6) FROM scored)
+         AS peak_over_mean
+"""
+
+
 def q_part_triangle_count(spark: SparkSession, sf: str) -> DataFrame:
     """Triangle census of the part CO-PURCHASE graph (parts are adjacent
     iff some order contains both) — the graph-density primitive behind
@@ -3545,6 +3647,11 @@ QUERIES: dict[str, Query] = {
         q_part_triangle_count,
         ORACLE_PART_TRIANGLE_COUNT,
         ("graph", "join", "skew"),
+    ),
+    "revenue_cusum_drift": Query(
+        q_revenue_cusum_drift,
+        ORACLE_REVENUE_CUSUM_DRIFT,
+        ("stats", "trend", "changepoint"),
     ),
     "orders_benford_audit": Query(
         q_orders_benford_audit,

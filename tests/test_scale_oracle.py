@@ -131,6 +131,9 @@ HEAVY = [
     # population) is a pure function of corpus size — template collisions
     # only materialize at sf0.1
     "doc_suffix_dup_spans",
+    # CUSUM: the alarm-day population and the HUGEINT prefix-sum widths
+    # both grow with daily-revenue magnitude
+    "revenue_cusum_drift",
 ]
 
 
