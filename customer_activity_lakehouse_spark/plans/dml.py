@@ -411,7 +411,93 @@ FROM hist GROUP BY segment ORDER BY segment
 """
 
 
+# sf_dir -> row-tracked scratch table; separate from the main chain (its
+# own deterministic layout is the contract under test).
+_RT_SCRATCH: dict[str, str] = {}
+
+
+def _rt_chain(spark: SparkSession, sf_dir: str) -> str:
+    with _SCRATCH_LOCK:
+        if sf_dir in _RT_SCRATCH:
+            return _RT_SCRATCH[sf_dir]
+        from ..sources.snapshots import (
+            commit_append,
+            compact_snapshot,
+            delete_snapshot,
+            enable_row_tracking,
+        )
+
+        base = tempfile.mkdtemp(prefix="calh-rt-")
+        atexit.register(shutil.rmtree, base, ignore_errors=True)
+        src = f"{base}/orders_rt"
+        keys = table(spark, sf_dir, "orders").select("o_orderkey")
+        # two single-file appends with DETERMINISTIC row order (sorted,
+        # one partition) — the positional id contract needs a layout the
+        # oracle can reproduce: file 1 = even keys ascending (row ids
+        # 0..n_even-1), file 2 = odd keys ascending (n_even..n-1)
+        for parity in (0, 1):
+            commit_append(
+                spark,
+                src,
+                keys.filter(f"o_orderkey % 2 = {parity}")
+                .repartition(1)
+                .sortWithinPartitions("o_orderkey"),
+                stats_cols=["o_orderkey"],
+            )
+        enable_row_tracking(spark, src)
+        # merge-on-read delete PRESERVES survivor ids (files unchanged) …
+        delete_snapshot(spark, src, "o_orderkey % 7 = 0", mode="dv")
+        # … and OPTIMIZE preserves them by MATERIALIZING the _row_id
+        # column into the compacted file (data_change=false contract)
+        assert compact_snapshot(spark, src) is not None
+        _RT_SCRATCH[sf_dir] = src
+        return src
+
+
+def q_dml_row_tracking_ids(spark: SparkSession, sf: str) -> DataFrame:
+    """Row tracking end-to-end under the oracle: positional id assignment
+    (base per file + row index over a deterministic two-file sorted
+    layout), preservation across a merge-on-read DELETE (files unchanged)
+    and an OPTIMIZE rewrite (ids materialized into the compacted file) —
+    one green row set certifies enable → dv-delete → compact keeps every
+    surviving row's id exactly as first assigned, which the oracle
+    reproduces arithmetically: even keys get rank-1 among evens, odd keys
+    get n_even + rank-1 among odds, %7 keys deleted AFTER assignment."""
+    src = _rt_chain(spark, sf)
+    from ..sources.snapshots import read_snapshot
+
+    return (
+        read_snapshot(spark, src, with_row_ids=True)
+        .select("o_orderkey", F.col("_row_id").alias("row_id"))
+        .orderBy("o_orderkey")
+    )
+
+
+ORACLE_DML_ROW_TRACKING_IDS = """
+WITH ranked AS (
+  SELECT o_orderkey,
+         o_orderkey % 2 AS par,
+         row_number() OVER (PARTITION BY o_orderkey % 2
+                            ORDER BY o_orderkey) - 1 AS rk
+  FROM orders
+),
+sized AS (
+  SELECT count(*) AS n_even FROM ranked WHERE par = 0
+)
+SELECT o_orderkey,
+       (CASE WHEN par = 0 THEN rk ELSE n_even + rk END)::BIGINT AS row_id
+FROM ranked, sized
+WHERE o_orderkey % 7 <> 0
+ORDER BY o_orderkey
+"""
+
+
 QUERIES: dict[str, Query] = {
+    "dml_row_tracking_ids": Query(
+        q_dml_row_tracking_ids,
+        ORACLE_DML_ROW_TRACKING_IDS,
+        ("dml", "row-tracking", "optimize"),
+    ),
     "dml_scd2_dimension": Query(
         q_dml_scd2_dimension,
         ORACLE_DML_SCD2_DIMENSION,

@@ -134,6 +134,9 @@ HEAVY = [
     # CUSUM: the alarm-day population and the HUGEINT prefix-sum widths
     # both grow with daily-revenue magnitude
     "revenue_cusum_drift",
+    # row tracking: the id space, the dv-delete population, and the
+    # compaction's materialized-file layout all scale with order volume
+    "dml_row_tracking_ids",
 ]
 
 
