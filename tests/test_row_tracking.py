@@ -223,3 +223,33 @@ def test_datasource_writer_refuses_row_tracked_table(spark, tmp_path):
     df = spark.range(50, 55).selectExpr("id", "id * 2 AS v")
     with pytest.raises(Exception, match="row tracking"):
         df.write.format("snapshot_log").mode("append").option("path", t).save()
+
+
+def test_streaming_sink_allocates_row_ids(spark, tmp_path):
+    """The streaming snapshot sink funnels through _commit_append_files,
+    so micro-batch appends to a row-tracked table must allocate bases
+    like any append: seed ids unchanged, streamed rows above the
+    watermark, global uniqueness across every micro-batch."""
+    from customer_activity_lakehouse_spark.streaming import (
+        write_stream_snapshot_append,
+    )
+
+    t = _seed(spark, tmp_path / "tbl", batches=((0, 10),))
+    enable_row_tracking(spark, t)
+    before = _ids(spark, t)
+    landing = str(tmp_path / "landing")
+    spark.range(100, 140).selectExpr("id", "id * 2 AS v").repartition(
+        2
+    ).write.parquet(landing)
+    stream = (
+        spark.readStream.schema("id long, v long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+    )
+    q = write_stream_snapshot_append(stream, t, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+    assert not q.isActive
+    after = _ids(spark, t)
+    assert {k: after[k] for k in before} == before
+    assert len(after) == 50 and len(set(after.values())) == 50
+    assert all(after[k] >= 10 for k in range(100, 140))
