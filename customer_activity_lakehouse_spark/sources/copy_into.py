@@ -86,6 +86,20 @@ def _rollback_copy(spark: SparkSession, table_dir: str, version: int) -> int:
         versions = S._list_versions(spark, table_dir)
         latest = versions[-1]
         prev_m = S._read_manifest(spark, table_dir, latest)
+        # Rollback drops the duplicate load BY FILE NAME — valid only while
+        # those files still exist verbatim. A rewrite-class commit
+        # (OPTIMIZE / DML) in the window may have folded them into new
+        # files; dropping nothing would silently keep the duplicate rows.
+        folded = added - set(prev_m["files"])
+        if folded:
+            raise RuntimeError(
+                f"copy_into: cannot roll back version {version} at "
+                f"{table_dir} — {len(folded)} of its files were rewritten "
+                "by a later commit (OPTIMIZE/DML) before the compensating "
+                "rollback, so the duplicate rows now live in rewritten "
+                "files. Remove them by provenance (e.g. DELETE on the "
+                "batch's key range) and re-run copy_into."
+            )
         manifest = {
             "version": latest + 1,
             "op": "copy_rollback",

@@ -699,6 +699,14 @@ def rename_snapshot_column(
         ident = dict(m["identity"])
         ident[new] = ident.pop(old)
         manifest["identity"] = ident
+    uniq = m.get("unique_keys") or {}
+    if any(old in cols for cols in uniq.values()):
+        # enforcement follows the rename too — a stale column list would
+        # fail every later append inside _validate_unique_batch's groupBy
+        # (unresolved column), bricking the append path until drop_unique_key
+        manifest["unique_keys"] = {
+            k: [new if c == old else c for c in cols] for k, cols in uniq.items()
+        }
     for k in ("stats", "dv_files"):
         if m.get(k):
             manifest[k] = m[k]
@@ -740,6 +748,15 @@ def drop_snapshot_column(spark: SparkSession, table_dir: str, name: str) -> int:
         raise ValueError(
             f"drop_snapshot_column: {name!r} is an identity column of "
             f"{table_dir} — drop_identity_column first"
+        )
+    uk_owners = sorted(
+        k for k, cols in (m.get("unique_keys") or {}).items() if name in cols
+    )
+    if uk_owners:
+        raise ValueError(
+            f"drop_snapshot_column: {name!r} belongs to declared unique "
+            f"key(s) {uk_owners} of {table_dir} — drop_unique_key first "
+            "(dropping it would brick every later append's uniqueness probe)"
         )
     _check_constraint_refs(m, name, "drop_snapshot_column")
     colmap, used = _mapping_of(m)
@@ -1126,12 +1143,13 @@ def commit_append(
             )
         except IdentityConflictError as e:
             if e.staged_path:
-                import shutil
-
-                shutil.rmtree(
-                    re.sub(r"^[a-zA-Z0-9+.-]+:/+", "/", e.staged_path),
-                    ignore_errors=True,
-                )
+                # staged files carry stale baked-in ids — delete through the
+                # Hadoop FS (like _write_data/vacuum), not a local-only
+                # rmtree, so hdfs/s3 table_dirs don't leak unreferenced
+                # debris on every conflict retry
+                fs, jp = _hadoop_fs(spark, e.staged_path)
+                if fs.exists(jp):
+                    fs.delete(jp, True)
             continue
     raise RuntimeError(
         f"commit_append: lost {_MAX_IDENTITY_RETRIES} identity-allocation "
@@ -1665,7 +1683,10 @@ def set_unique_key(
     scans that key range's files, not the table). The EXISTING data must
     already be unique (validated here). Scope (documented, like
     identity): enforcement covers the append path; MERGE preserves
-    uniqueness by construction (keyed upsert), but replaceWhere/overwrite
+    uniqueness by construction ONLY when its merge keys are a subset of
+    each declared unique key's columns (the result is unique on the merge
+    keys, hence on any column set containing them) — merge_snapshot
+    refuses any other key set on a unique-key table; replaceWhere/overwrite
     validate only batch-internal uniqueness (an overwrite replaces the
     table, so that IS the full check); the streaming append sink and the
     pure-Python DataSource writer fail loudly on unique-key tables."""
@@ -1780,6 +1801,15 @@ def enable_row_tracking(spark: SparkSession, table_dir: str) -> int:
             f"enable_row_tracking: {table_dir} has no recorded schema — "
             "row-id reads project by explicit schema; commit through "
             "commit_append first"
+        )
+    _names = [n for n, _ in m["schema"]]
+    _, _used = _mapping_of(m)
+    if "_row_id" in _names or (_used and "_row_id" in _used):
+        raise ValueError(
+            f"enable_row_tracking: {table_dir} already has a `_row_id` "
+            "column — row tracking reserves that name for the "
+            "engine-maintained id (reads would project a duplicate, "
+            "ambiguous column); rename_snapshot_column it first"
         )
     files = m["files"]
     stats = {f: dict(s) for f, s in (m.get("stats") or {}).items()}
@@ -3279,6 +3309,21 @@ def merge_snapshot(
     if not clause_mode:
         # survivors are already in-table; only incoming rows need checking
         _validate_constraints(updates, m.get("constraints", {}), "merge_snapshot")
+    # ENFORCED unique keys: a keyed upsert leaves the table unique on its
+    # merge keys (updates are deduped by them; pruning proves inserts are
+    # new key values table-wide), and unique-on-keys implies unique on any
+    # unique key whose columns CONTAIN the merge keys. Any other key set
+    # could insert duplicate unique-key values through a feature
+    # advertised as ENFORCED — refuse loudly instead.
+    for uk_name, uk_cols in (m.get("unique_keys") or {}).items():
+        if not set(keys) <= set(uk_cols):
+            raise ValueError(
+                f"merge_snapshot: unique key {uk_name!r} {tuple(uk_cols)} at "
+                f"{table_dir} is not preserved by a merge on keys {keys} — "
+                "uniqueness survives by construction only when the merge "
+                "keys are a subset of every declared unique key's columns; "
+                "merge by the unique key, or drop_unique_key first"
+            )
     files = m["files"]
     stats = m.get("stats", {})
     colmap, _ = _mapping_of(m)

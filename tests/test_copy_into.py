@@ -70,6 +70,29 @@ def test_copy_rollback_supersedes_ledger(spark, tmp_path):
     assert read_snapshot(spark, t).count() == 10
 
 
+def test_copy_rollback_refuses_after_rewrite(spark, tmp_path):
+    """Rollback drops the duplicate load BY FILE NAME — if a rewrite-class
+    commit (OPTIMIZE/DML) folded the copy's files into new files first,
+    the compensation would silently remove nothing; it must fail loudly."""
+    import pytest
+
+    from customer_activity_lakehouse_spark.sources.snapshots import (
+        compact_snapshot,
+    )
+
+    src = tmp_path / "landing"
+    _land(spark, src, "a", 0, 10)
+    _land(spark, src, "b", 10, 30)
+    t = str(tmp_path / "tbl")
+    v = copy_into(spark, t, str(src))["version"]
+    assert compact_snapshot(spark, t, target_file_mb=1) is not None
+    with pytest.raises(RuntimeError, match="rewritten by a later commit"):
+        _rollback_copy(spark, t, v)
+    # nothing was dropped and the ledger still reflects the load
+    assert read_snapshot(spark, t).count() == 30
+    assert len(loaded_sources(spark, t)) == 2
+
+
 def test_copy_into_concurrent_loaders_load_once(spark, tmp_path):
     import threading
 

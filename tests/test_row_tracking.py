@@ -253,3 +253,16 @@ def test_streaming_sink_allocates_row_ids(spark, tmp_path):
     assert {k: after[k] for k in before} == before
     assert len(after) == 50 and len(set(after.values())) == 50
     assert all(after[k] >= 10 for k in range(100, 140))
+
+
+def test_enable_refuses_existing_row_id_column(spark, tmp_path):
+    """`_row_id` is a reserved physical name: enabling tracking on a table
+    whose schema already carries one would make every with_row_ids read
+    project a duplicate, ambiguous column — refuse loudly instead."""
+    t = str(tmp_path / "tbl")
+    commit_append(
+        spark, t,
+        spark.range(5).selectExpr("id", "id AS _row_id"),
+    )
+    with pytest.raises(ValueError, match="_row_id"):
+        enable_row_tracking(spark, t)

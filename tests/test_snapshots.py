@@ -2498,6 +2498,60 @@ def test_unique_key_overwrite_validates_and_carries(spark, tmp_path):
         commit_append(spark, t, spark.createDataFrame([(9, "again")], "k long, v string"))
 
 
+def test_unique_key_follows_rename_and_blocks_drop(spark, tmp_path):
+    """ALTER-surface interplay: renaming a unique-key column remaps the
+    declared key (enforcement keeps working under the new name — a stale
+    list would brick every later append's uniqueness probe); dropping a
+    unique-key column is refused until drop_unique_key."""
+    import customer_activity_lakehouse_spark.sources.snapshots as S
+
+    t = str(tmp_path / "tbl")
+    commit_append(spark, t, spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string"))
+    S.set_unique_key(spark, t, ["k"])
+    S.rename_snapshot_column(spark, t, "k", "key_id")
+    # enforcement survived the rename: dup on the renamed column still fails
+    with pytest.raises(ValueError, match="collision with existing"):
+        commit_append(spark, t, spark.createDataFrame([(2, "x")], "key_id long, v string"))
+    commit_append(spark, t, spark.createDataFrame([(3, "c")], "key_id long, v string"))
+    assert read_snapshot(spark, t).count() == 3
+    # dropping the key's column is refused (drop_unique_key first)
+    with pytest.raises(ValueError, match="unique key"):
+        S.drop_snapshot_column(spark, t, "key_id")
+    S.drop_unique_key(spark, t)
+    S.drop_snapshot_column(spark, t, "key_id")
+    assert read_snapshot(spark, t).columns == ["v"]
+
+
+def test_unique_key_merge_requires_covering_keys(spark, tmp_path):
+    """ENFORCED unique keys vs MERGE: merging BY the unique key preserves
+    uniqueness by construction; any merge whose keys are not a subset of
+    the declared key's columns is refused (it could insert duplicate
+    unique-key values through a feature advertised as ENFORCED)."""
+    import customer_activity_lakehouse_spark.sources.snapshots as S
+
+    t = str(tmp_path / "tbl")
+    commit_append(
+        spark, t,
+        spark.createDataFrame([(1, "d1", "a"), (2, "d1", "b")], "k long, d string, v string"),
+    )
+    S.set_unique_key(spark, t, ["k"])
+    # covered: merge by the unique key upserts and stays unique
+    S.merge_snapshot(
+        spark, t,
+        spark.createDataFrame([(2, "d2", "B"), (3, "d1", "c")], "k long, d string, v string"),
+        keys=["k"],
+    )
+    rows = {(r.k, r.d, r.v) for r in read_snapshot(spark, t).collect()}
+    assert rows == {(1, "d1", "a"), (2, "d2", "B"), (3, "d1", "c")}
+    # uncovered: keys=[k, d] could insert a second row for an existing k
+    with pytest.raises(ValueError, match="not preserved by a merge"):
+        S.merge_snapshot(
+            spark, t,
+            spark.createDataFrame([(2, "d9", "dup")], "k long, d string, v string"),
+            keys=["k", "d"],
+        )
+
+
 def test_unique_key_blocks_raw_append_paths(spark, tmp_path):
     """Write paths that cannot enforce the key (the streaming append
     sink's direct _commit_append_files) fail loudly instead of silently
