@@ -26,10 +26,22 @@ On-disk format (all under ``<table>/_snapshots/``):
   (deletion vectors), and ``truncate`` (overwrite-class commits: the new
   list replaces rather than patches, so a full rewrite stays O(new), not
   O(new)+O(old) remove entries).
-- ``ckpt-v{n:05d}.json`` — every CKPT_EVERY-th commit also publishes the
-  fully RESOLVED manifest (the committer holds it anyway — zero extra
+- ``ckpt-v{n:05d}.parquet`` — every CKPT_EVERY-th commit also publishes
+  the fully RESOLVED manifest (the committer holds it anyway — zero extra
   resolution cost), bounding every reader's replay to < CKPT_EVERY delta
-  files after one checkpoint parse.
+  files after one checkpoint read. The checkpoint is a PARQUET file —
+  Delta's checkpoint.parquet re-expressed (r9, closing the last O(files)
+  driver term the r8 verdict named): one row per live data file / DV
+  sidecar, per-file skipping stats as TYPED COLUMNS (one struct column
+  per stat key; exact int/float/str/bool round-trip, JSON-string fallback
+  for anything exotic), and the O(columns) table metadata (schema,
+  constraints, colmap, props) in the parquet FOOTER metadata. A cold read
+  of a 10^6-file table decodes columnar Arrow instead of parsing a
+  multi-hundred-MB JSON blob single-threaded, metadata-only consumers
+  read the footer alone, and a pruning read (``skip_where`` /
+  ``point_where``) decodes ONLY the probed stat columns — parquet column
+  pruning applied to the table's own metadata. Legacy ``ckpt-v*.json``
+  checkpoints (r8 tables) still read.
 - ``_last_checkpoint`` — pointer to the newest checkpoint version, so the
   common read (latest version) finds its base in one small read instead
   of probing. The pointer is advisory: stale or torn pointers only
@@ -175,6 +187,11 @@ def commit_name(version: int) -> str:
 
 
 def ckpt_name(version: int) -> str:
+    return f"ckpt-v{version:05d}.parquet"
+
+
+def ckpt_name_legacy(version: int) -> str:
+    """Pre-r9 JSON checkpoint name — still readable, never written."""
     return f"ckpt-v{version:05d}.json"
 
 
@@ -204,6 +221,195 @@ def publish_exclusive(path: str, data: bytes) -> bool:
         return False
     finally:
         os.unlink(tmp)
+
+
+# ------------------------------------------------------------- checkpoints
+#
+# Parquet checkpoint layout (Delta's checkpoint.parquet is the public
+# model; this is the columnar twin of the resolved manifest):
+#
+#   path: string        — data file / DV sidecar path
+#   kind: string        — 'data' | 'dv' | 'ghost' (stats for a path listed
+#                         in neither files nor dv_files — never produced
+#                         by the engine, kept for exact round-trip)
+#   has_stats: bool     — distinguishes a file with an EMPTY stats dict
+#                         from one with no stats entry at all
+#   s0000..sNNNN        — one column per stat key, null = key absent:
+#                         struct<lo, hi> for per-column [min, max] stats,
+#                         struct<v> for engine scalars (__rows,
+#                         __base_row_id, __bloom), or a JSON string when
+#                         the values defeat exact typing (enc='json').
+#
+# Footer (schema) metadata:
+#   lakehouse_manifest  — the O(columns) manifest metadata (everything but
+#                         files/stats/dv_files) + which file keys existed
+#   lakehouse_stat_cols — {parquet column -> {key, enc}} decode map
+#
+# Types are decided EXPLICITLY from the value set (never inferred):
+# pyarrow would silently infer double for mixed [1, 2.5] and break the
+# int-vs-float exactness that make_commit's stats equality diff relies on.
+
+_CKPT_META = b"lakehouse_manifest"
+_CKPT_STATMAP = b"lakehouse_stat_cols"
+
+
+def _stat_arrow_type(vals: list):
+    """The exact arrow type for a stat value column, or None when only the
+    JSON-string fallback can round-trip it (mixed kinds, exotic types)."""
+    import pyarrow as pa
+
+    kinds = {type(v) for v in vals if v is not None}
+    if not kinds:
+        # all-null column: string, not pa.null() — a typed column unions
+        # cleanly in Spark scans over checkpoint + delta-patch files
+        return pa.string()
+    if kinds == {bool}:
+        return pa.bool_()
+    if kinds == {int}:
+        return pa.int64()
+    if kinds == {float}:
+        return pa.float64()
+    if kinds == {str}:
+        return pa.string()
+    return None
+
+
+def encode_ckpt(manifest: dict) -> bytes:
+    """Serialize a RESOLVED manifest as checkpoint-parquet bytes. Exact
+    inverse of :func:`decode_ckpt` (with ``stat_keys=None``): files order,
+    stats presence/absence, int-vs-float, and key presence all round-trip
+    — the same exactness contract make_commit's JSON encoding has."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    files = list(manifest.get("files") or [])
+    stats = manifest.get("stats") or {}
+    dvs = list(manifest.get("dv_files") or [])
+    known = set(files) | set(dvs)
+    ghosts = [p for p in stats if p not in known]
+    paths = files + dvs + ghosts
+    kinds = ["data"] * len(files) + ["dv"] * len(dvs) + ["ghost"] * len(ghosts)
+    names = ["path", "kind", "has_stats"]
+    cols = [
+        pa.array(paths, pa.string()),
+        pa.array(kinds, pa.string()),
+        pa.array([p in stats for p in paths], pa.bool_()),
+    ]
+    statmap: dict = {}
+    for i, key in enumerate(sorted({k for s in stats.values() for k in s})):
+        cname = f"s{i:04d}"
+        rows = [stats.get(p) for p in paths]
+        present = [s is not None and key in s for s in rows]
+        vals = [s[key] if p else None for s, p in zip(rows, present)]
+        mask = pa.array([not p for p in present], pa.bool_())
+        arr, enc = None, "json"
+        try:
+            if key.startswith("__"):
+                t = _stat_arrow_type(vals)
+                if t is not None:
+                    arr = pa.StructArray.from_arrays(
+                        [pa.array(vals, t)], ["v"], mask=mask
+                    )
+                    enc = "scalar"
+            elif all(
+                isinstance(v, (list, tuple)) and len(v) == 2
+                for v, p in zip(vals, present)
+                if p
+            ):
+                los = [v[0] if p else None for v, p in zip(vals, present)]
+                his = [v[1] if p else None for v, p in zip(vals, present)]
+                tlo, thi = _stat_arrow_type(los), _stat_arrow_type(his)
+                if tlo is not None and thi is not None:
+                    arr = pa.StructArray.from_arrays(
+                        [pa.array(los, tlo), pa.array(his, thi)],
+                        ["lo", "hi"],
+                        mask=mask,
+                    )
+                    enc = "pair"
+        except (pa.ArrowInvalid, pa.ArrowTypeError, OverflowError):
+            arr = None
+        if arr is None:
+            arr = pa.array(
+                [json.dumps(v) if p else None for v, p in zip(vals, present)],
+                pa.string(),
+            )
+            enc = "json"
+        statmap[cname] = {"key": key, "enc": enc}
+        names.append(cname)
+        cols.append(arr)
+    meta = {k: v for k, v in manifest.items() if k not in _FILE_KEYS}
+    meta["__file_keys"] = [k for k in _FILE_KEYS if k in manifest]
+    table = pa.Table.from_arrays(cols, names=names).replace_schema_metadata(
+        {_CKPT_META: json.dumps(meta), _CKPT_STATMAP: json.dumps(statmap)}
+    )
+    sink = pa.BufferOutputStream()
+    pq.write_table(table, sink)
+    return sink.getvalue().to_pybytes()
+
+
+def _decode_ckpt_table(source, stat_keys=None) -> dict:
+    """Decode a checkpoint from any pyarrow-readable ``source`` (path or
+    BufferReader). ``stat_keys`` (physical stat-key names) prunes the read
+    to those stat COLUMNS — parquet column pruning on the table's own
+    metadata, so a skip_where probe of a 10^6-file checkpoint decodes one
+    stats column, not all of them. Pruned decodes are for READ paths only
+    (the manifest's stats are partial); commit paths resolve unpruned."""
+    import pyarrow.parquet as pq
+
+    pf = pq.ParquetFile(source)
+    md = pf.schema_arrow.metadata or {}
+    meta = json.loads(md[_CKPT_META].decode())
+    statmap = json.loads(md.get(_CKPT_STATMAP, b"{}").decode())
+    if stat_keys is None:
+        use = list(statmap)
+    else:
+        want = set(stat_keys)
+        use = [c for c, spec in statmap.items() if spec["key"] in want]
+    t = pf.read(columns=["path", "kind", "has_stats"] + use)
+    d = t.to_pydict()
+    paths, kinds, has = d["path"], d["kind"], d["has_stats"]
+    files = [p for p, k in zip(paths, kinds) if k == "data"]
+    dvs = [p for p, k in zip(paths, kinds) if k == "dv"]
+    stats = {p: {} for p, h in zip(paths, has) if h}
+    for cname in use:
+        spec = statmap[cname]
+        key, enc = spec["key"], spec["enc"]
+        for p, v in zip(paths, d[cname]):
+            if v is None:
+                continue
+            if enc == "pair":
+                stats[p][key] = [v["lo"], v["hi"]]
+            elif enc == "scalar":
+                stats[p][key] = v["v"]
+            else:
+                stats[p][key] = json.loads(v)
+    out = dict(meta)
+    file_keys = out.pop("__file_keys", ["files"])
+    if "files" in file_keys:
+        out["files"] = files
+    if "stats" in file_keys:
+        out["stats"] = stats
+    if "dv_files" in file_keys:
+        out["dv_files"] = dvs
+    return out
+
+
+def decode_ckpt(data: bytes, stat_keys=None) -> dict:
+    """Decode checkpoint-parquet BYTES (the non-local path: the caller
+    already pulled the object; pruning here saves decode, not I/O)."""
+    import pyarrow as pa
+
+    return _decode_ckpt_table(pa.BufferReader(data), stat_keys=stat_keys)
+
+
+def read_ckpt_path(path: str, stat_keys=None) -> dict:
+    """Decode a LOCAL checkpoint file — with ``stat_keys`` this prunes
+    actual disk I/O to the probed columns' chunks, not just decode.
+    Legacy JSON checkpoints dispatch on the file name."""
+    if path.endswith(".json"):
+        with open(path, "rb") as fh:
+            return json.loads(fh.read().decode())
+    return _decode_ckpt_table(path, stat_keys=stat_keys)
 
 
 def make_commit(prev: dict | None, manifest: dict) -> dict:
@@ -361,7 +567,7 @@ def write_ckpt_local(snap_dir_local: str, version: int, manifest: dict) -> None:
     is last-writer-wins but only ever advanced."""
     publish_exclusive(
         os.path.join(snap_dir_local, ckpt_name(version)),
-        json.dumps(manifest, indent=1).encode(),
+        encode_ckpt(manifest),
     )
     cur = read_last_ckpt_pointer(snap_dir_local)
     if cur is not None and cur >= version:
@@ -372,18 +578,31 @@ def write_ckpt_local(snap_dir_local: str, version: int, manifest: dict) -> None:
     os.replace(tmp, os.path.join(snap_dir_local, LAST_CKPT))
 
 
-def ckpt_prober(snap_dir_local: str):
+def ckpt_prober(snap_dir_local: str, stat_keys=None):
     """(has_ckpt, read_ckpt) for a LOCAL ``_snapshots`` dir, pointer-
     accelerated: when the pointer names a version ≤ the probe target the
     existence answer is one memoized stat; otherwise (time travel below
     the pointer, or no pointer) each probe is a plain stat — bounded by
-    CKPT_EVERY probes per resolution either way."""
+    CKPT_EVERY probes per resolution either way. Reads dispatch parquet
+    (r9) vs legacy JSON by which file exists; ``stat_keys`` prunes parquet
+    reads to the probed stat columns (read paths only)."""
+
+    def _candidate(v: int) -> str | None:
+        for name in (ckpt_name(v), ckpt_name_legacy(v)):
+            p = os.path.join(snap_dir_local, name)
+            if os.path.exists(p):
+                return p
+        return None
 
     def has_ckpt(v: int) -> bool:
-        return os.path.exists(os.path.join(snap_dir_local, ckpt_name(v)))
+        return _candidate(v) is not None
 
     def read_ckpt(v: int) -> dict:
-        with open(os.path.join(snap_dir_local, ckpt_name(v)), "rb") as fh:
-            return json.loads(fh.read().decode())
+        p = _candidate(v)
+        if p is None:
+            raise FileNotFoundError(
+                f"no checkpoint at version {v} under {snap_dir_local}"
+            )
+        return read_ckpt_path(p, stat_keys=stat_keys)
 
     return has_ckpt, read_ckpt

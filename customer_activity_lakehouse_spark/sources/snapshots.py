@@ -102,35 +102,56 @@ def _read_commit(spark: SparkSession, table_dir: str, version: int) -> dict:
     return json.loads(data.decode())
 
 
-def _ckpt_io(spark: SparkSession, table_dir: str):
+def _ckpt_io(spark: SparkSession, table_dir: str, stat_keys=None):
     """(has_ckpt, read_ckpt) probes for resolution — local fast path (no
-    JVM round-trips), Hadoop FS otherwise."""
+    JVM round-trips), Hadoop FS otherwise. ``stat_keys`` prunes parquet
+    checkpoint decodes to the probed stat columns (read paths only — a
+    pruned manifest must never seed a commit)."""
     if commitlog.is_local(table_dir):
         snap_local = os.path.join(commitlog.localize(table_dir), _SNAP_DIR)
-        return commitlog.ckpt_prober(snap_local)
+        return commitlog.ckpt_prober(snap_local, stat_keys=stat_keys)
+
+    def _candidate(v: int):
+        for name in (commitlog.ckpt_name(v), commitlog.ckpt_name_legacy(v)):
+            fs, jp = _hadoop_fs(spark, f"{table_dir}/{_SNAP_DIR}/{name}")
+            if fs.exists(jp):
+                return fs, jp, name
+        return None
 
     def has_ckpt(v: int) -> bool:
-        fs, jp = _hadoop_fs(spark, f"{table_dir}/{_SNAP_DIR}/{commitlog.ckpt_name(v)}")
-        return bool(fs.exists(jp))
+        return _candidate(v) is not None
 
     def read_ckpt(v: int) -> dict:
-        fs, jp = _hadoop_fs(spark, f"{table_dir}/{_SNAP_DIR}/{commitlog.ckpt_name(v)}")
+        hit = _candidate(v)
+        if hit is None:
+            raise FileNotFoundError(f"no checkpoint v{v} at {table_dir}")
+        fs, jp, name = hit
         stream = fs.open(jp)
         try:
             data = bytes(stream.readAllBytes())
         finally:
             stream.close()
-        return json.loads(data.decode())
+        if name.endswith(".json"):
+            return json.loads(data.decode())
+        return commitlog.decode_ckpt(data, stat_keys=stat_keys)
 
     return has_ckpt, read_ckpt
 
 
-def _read_manifest(spark: SparkSession, table_dir: str, version: int) -> dict:
+def _read_manifest(
+    spark: SparkSession, table_dir: str, version: int, stat_keys=None
+) -> dict:
     """The RESOLVED manifest at ``version`` — the full files/stats/DV view
     every pre-r8 caller expects, now reconstructed from checkpoint +
     O(delta) commit records (commitlog module doc). Cost: one checkpoint
-    parse + < CKPT_EVERY delta parses, independent of commit count."""
-    has_ckpt, read_ckpt = _ckpt_io(spark, table_dir)
+    read + < CKPT_EVERY delta parses, independent of commit count.
+
+    ``stat_keys`` (physical stat-key names) prunes the parquet
+    checkpoint's decode — and, locally, its disk I/O — to those stat
+    columns: the skip_where/point_where fast path. READ paths only: a
+    stats-pruned manifest seeded into make_commit would diff incomplete
+    stats and drop the unread columns' entries from the log."""
+    has_ckpt, read_ckpt = _ckpt_io(spark, table_dir, stat_keys=stat_keys)
     return commitlog.resolve(
         version, lambda v: _read_commit(spark, table_dir, v), has_ckpt, read_ckpt
     )
@@ -286,7 +307,7 @@ def _try_commit(
         if not fs.exists(jck):
             out = fs.create(jck, False)
             try:
-                out.write(bytearray(json.dumps(manifest, indent=1).encode()))
+                out.write(bytearray(commitlog.encode_ckpt(manifest)))
             finally:
                 out.close()
         _, jptr = _hadoop_fs(spark, f"{table_dir}/{_SNAP_DIR}/{commitlog.LAST_CKPT}")
@@ -1990,6 +2011,57 @@ def set_bloom_filter(
     return base_v + 1
 
 
+def backfill_bloom_filters(spark: SparkSession, table_dir: str) -> int | None:
+    """Index every bloom-UNCOVERED file in one metadata-class commit — no
+    data rewrite (blooms are sidecars outside the data files, bloom.py).
+    Coverage gaps come from files written before ``set_bloom_filter`` (no
+    backfill requested then) or by writers that cannot pack bitmaps (the
+    pure-Python DataSource) — previously permanently unindexed until some
+    DML happened to rewrite them (r8 verdict What's-missing #4). One
+    column-pruned scan of exactly the uncovered files; returns the
+    committed version, or None when the table has no bloom spec or is
+    already fully covered. Version races abort (rerun next tick)."""
+    from . import bloom as _bl
+
+    versions = _list_versions(spark, table_dir)
+    if not versions:
+        raise FileNotFoundError(f"no snapshots at {table_dir}")
+    base_v = versions[-1]
+    m = _read_manifest(spark, table_dir, base_v)
+    spec = m.get("bloom")
+    if not spec or not m["files"]:
+        return None
+    stats = dict(m.get("stats") or {})
+    uncovered = [
+        f for f in m["files"] if not (stats.get(f) or {}).get(_bl.STATS_KEY)
+    ]
+    if not uncovered:
+        return None
+    blooms = _bl.file_blooms(spark, uncovered, spec["cols"], spec["m"], spec["k"])
+    rel = _write_bloom_sidecar(spark, table_dir, blooms, spec)
+    for f in blooms:
+        stats[f] = {**stats.get(f, {}), _bl.STATS_KEY: rel}
+    manifest = {
+        "version": base_v + 1,
+        "op": "bloom_backfill",
+        "data_change": False,
+        "files": m["files"],
+        "schema": m.get("schema"),
+        "stats": stats,
+        "bloom_backfilled": len(blooms),
+    }
+    if m.get("dv_files"):
+        manifest["dv_files"] = m["dv_files"]
+    _carry_props(m, manifest)
+    _carry_mapping(m, manifest)
+    if not _try_commit(spark, table_dir, base_v + 1, manifest):
+        raise RuntimeError(
+            f"backfill_bloom_filters: version {base_v + 1} was committed "
+            f"concurrently at {table_dir}; re-read and retry"
+        )
+    return base_v + 1
+
+
 def drop_bloom_filter(spark: SparkSession, table_dir: str) -> int:
     """Un-declare bloom indexing: removes the spec AND every file's
     sidecar pointer (the commit log's stats diff records the drops;
@@ -2367,7 +2439,26 @@ def read_snapshot(
     v = versions[-1] if version is None else version
     if v not in versions:
         raise FileNotFoundError(f"snapshot v{v} not found at {table_dir} (have {versions})")
-    manifest = _read_manifest(spark, table_dir, v)
+    # Pruning fast path: a pruning read needs only the PROBED stat columns
+    # (plus the engine scalars its options touch), so the parquet
+    # checkpoint decode — the O(files × stat-columns) term of a cold read
+    # — shrinks to O(files × probed columns). The probe columns' physical
+    # names come from the version's own RAW commit record (metadata is
+    # carried verbatim — one O(columns) read, no file-state resolution).
+    prune_keys = None
+    if skip_where is not None or partition_where or point_where:
+        raw_cm, _ = _mapping_of(_read_commit(spark, table_dir, v))
+        prune_keys = set()
+        if partition_where:
+            prune_keys |= {_phys(raw_cm, c) for c in partition_where}
+        if skip_where is not None:
+            prune_keys.add(_phys(raw_cm, skip_where[0]))
+        if point_where:
+            prune_keys |= {_phys(raw_cm, c) for c in point_where}
+            prune_keys.add("__bloom")
+        if with_row_ids:
+            prune_keys |= {"__rows", "__base_row_id"}
+    manifest = _read_manifest(spark, table_dir, v, stat_keys=prune_keys)
     colmap, _ = _mapping_of(manifest)
     if not manifest["files"]:
         return spark.createDataFrame([], schema="__empty string").limit(0)
@@ -2614,18 +2705,25 @@ def vacuum(
             ts = _read_commit(spark, table_dir, v).get("committed_at")
             if ts is not None and _dt.datetime.fromisoformat(ts) >= cutoff:
                 keep.add(v)
+    # Liveness comparison is SCHEME-NORMALIZED: the JVM writer records
+    # file:/x paths, the pure-Python DataSource writer records bare /x —
+    # comparing them verbatim deleted LIVE DataSource-written files as
+    # orphans (caught by test_maintain_backfills_datasource_written_files).
+    def _np(p: str) -> str:
+        return re.sub(r"^[a-zA-Z0-9+.-]+:/+", "/", p)
+
     live: set[str] = set()
     oldest_kept: dict | None = None
     for v, m in _iter_resolved(spark, table_dir, sorted(keep)):
         if oldest_kept is None:
             oldest_kept = m
-        live.update(m["files"])
+        live.update(_np(f) for f in m["files"])
         # change files (CDF) of retained versions stay readable through
         # snapshot_change_feed; expiring a version expires its feed too,
         # exactly Delta's CDF-vs-VACUUM retention coupling. Deletion
         # vectors are part of a version's read path — same lifetime.
-        live.update(m.get("cdc_files", []))
-        live.update(m.get("dv_files", []))
+        live.update(_np(f) for f in m.get("cdc_files", []))
+        live.update(_np(f) for f in m.get("dv_files", []))
         # bloom sidecars referenced by any retained version stay live —
         # same lifetime rule as CDF/DV files
         for st in (m.get("stats") or {}).values():
@@ -2646,7 +2744,7 @@ def vacuum(
             while it.hasNext():
                 f = it.next()
                 if str(f.getPath().getName()).endswith(".parquet"):
-                    parquet.append((f, str(f.getPath().toString())))
+                    parquet.append((f, _np(str(f.getPath().toString()))))
             if not any(p in live for _, p in parquet):
                 # whole batch dir is dead (incl. orphans from crashed
                 # commits, whose _SUCCESS markers are junk too)
@@ -2677,7 +2775,7 @@ def vacuum(
             )
             out = fs.create(jck, False)
             try:
-                out.write(bytearray(json.dumps(oldest_kept, indent=1).encode()))
+                out.write(bytearray(commitlog.encode_ckpt(oldest_kept)))
             finally:
                 out.close()
     for v in expired:
@@ -2685,12 +2783,12 @@ def vacuum(
             spark, f"{table_dir}/{_SNAP_DIR}/{commitlog.commit_name(v)}"
         )
         fs.delete(jm, False)
-        # the expired version's checkpoint (if any) expires with it
-        _, jck = _hadoop_fs(
-            spark, f"{table_dir}/{_SNAP_DIR}/{commitlog.ckpt_name(v)}"
-        )
-        if v != min_keep and fs.exists(jck):
-            fs.delete(jck, False)
+        # the expired version's checkpoint (if any, either format)
+        # expires with it
+        for name in (commitlog.ckpt_name(v), commitlog.ckpt_name_legacy(v)):
+            _, jck = _hadoop_fs(spark, f"{table_dir}/{_SNAP_DIR}/{name}")
+            if v != min_keep and fs.exists(jck):
+                fs.delete(jck, False)
     return deleted
 
 
@@ -4344,6 +4442,135 @@ def snapshot_file_listing(
     )
 
 
+def _rename_ckpt_stats(spark: SparkSession, df: DataFrame, ckpt_path: str):
+    """Rename a checkpoint scan's ``sNNNN`` stat columns to ``stat:<key>``
+    using the footer's decode map (one tiny pyarrow footer read)."""
+    import pyarrow.parquet as pq
+
+    md = pq.read_schema(ckpt_path).metadata or {}
+    statmap = json.loads(md.get(commitlog._CKPT_STATMAP, b"{}").decode())
+    for cname, spec in statmap.items():
+        df = df.withColumnRenamed(cname, f"stat:{spec['key']}")
+    return df
+
+
+def snapshot_files_scan(
+    spark: SparkSession, table_dir: str, version: int | None = None
+) -> DataFrame:
+    """The snapshot's FILE-LEVEL state as a DISTRIBUTED Spark scan — the
+    100 TB twin of :func:`snapshot_file_listing` (which materializes one
+    driver row per file): ``spark.read.parquet`` directly over the
+    table's own parquet checkpoint, plus one O(batch) patch frame
+    covering the < CKPT_EVERY trailing delta commits. Nothing per-file
+    ever lands on the driver: a 10^6-file planner groups/filters/joins
+    this frame with ordinary executors-side operators.
+
+    Columns: ``path``, ``kind`` ('data'/'dv'), ``has_stats``, and one
+    ``stat:<key>`` column per recorded stat key — ``struct<lo, hi>`` for
+    per-column [min, max] skipping stats, ``struct<v>`` for engine
+    scalars (``__rows``, ``__base_row_id``, ``__bloom``). Selecting a
+    subset of stat columns PRUNES the checkpoint scan (parquet column
+    pruning applied to the table's own metadata) — the complement of
+    read_snapshot's driver-side pruned decode.
+
+    Local table paths only (the checkpoint must be Spark-readable in
+    place). Tables whose resolution base is not a parquet checkpoint
+    (younger than CKPT_EVERY commits, legacy-JSON checkpoints, truncate
+    bases) fall back to encoding the resolved view once into a scratch
+    checkpoint — same scan contract, one extra driver resolution."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    if not commitlog.is_local(table_dir):
+        raise ValueError(
+            "snapshot_files_scan: local table paths only (the checkpoint "
+            "file is read in place by spark.read.parquet)"
+        )
+    versions = _list_versions(spark, table_dir)
+    if not versions:
+        raise FileNotFoundError(f"no snapshots at {table_dir}")
+    v = versions[-1] if version is None else version
+    if v not in versions:
+        raise FileNotFoundError(
+            f"snapshot v{v} not found at {table_dir} (have {versions})"
+        )
+    snap_local = os.path.join(commitlog.localize(table_dir), _SNAP_DIR)
+    chain: list[dict] = []
+    base_path = None
+    vv = v
+    while vv >= 1:
+        cand = os.path.join(snap_local, commitlog.ckpt_name(vv))
+        if os.path.exists(cand):
+            base_path = cand
+            break
+        raw = _read_commit(spark, table_dir, vv)
+        if "files" in raw or raw.get("delta", {}).get("truncate"):
+            break
+        chain.append(raw)
+        vv -= 1
+    if base_path is None:
+        # no parquet checkpoint under v: encode the resolved view once
+        m = _read_manifest(spark, table_dir, v)
+        fd, base_path = tempfile.mkstemp(suffix=".ckpt.parquet")
+        os.close(fd)
+        with open(base_path, "wb") as fh:
+            fh.write(commitlog.encode_ckpt(m))
+        chain = []
+    df = _rename_ckpt_stats(
+        spark, spark.read.parquet(base_path), base_path
+    )
+    if not chain:
+        return df
+    # Fold the trailing deltas into ONE patch: final membership + final
+    # stats per touched path (delta stats_add entries are complete
+    # replacement dicts, so later entries win outright).
+    mem: dict[str, tuple[str, bool]] = {}
+    stat_over: dict[str, tuple[bool, dict]] = {}
+    for rec in reversed(chain):  # oldest → newest
+        d = rec["delta"]
+        for f in d.get("remove", []):
+            mem[f] = ("data", False)
+            stat_over.pop(f, None)
+        for f in d.get("add", []):
+            mem[f] = ("data", True)
+            stat_over[f] = (False, {})
+        for f, s in d.get("stats_add", {}).items():
+            stat_over[f] = (True, s)
+        for f in d.get("stats_drop", []):
+            stat_over[f] = (False, {})
+        for f in d.get("dv_remove", []):
+            mem[f] = ("dv", False)
+        for f in d.get("dv_add", []):
+            mem[f] = ("dv", True)
+    overridden = sorted(set(mem) | set(stat_over))
+    df = df.filter(~F.col("path").isin(overridden))
+    live_files = sorted(
+        [f for f, (k, alive) in mem.items() if alive and k == "data"]
+        + [f for f in stat_over if f not in mem]  # restat of a base file
+    )
+    live_dvs = sorted(f for f, (k, alive) in mem.items() if alive and k == "dv")
+    if not live_files and not live_dvs:
+        return df
+    patch = {
+        "files": live_files,
+        "stats": {
+            f: s
+            for f, (has, s) in stat_over.items()
+            if has and (f in set(live_files))
+        },
+        "dv_files": live_dvs,
+    }
+    fd, patch_path = tempfile.mkstemp(suffix=".ckpt-patch.parquet")
+    os.close(fd)
+    with open(patch_path, "wb") as fh:
+        fh.write(commitlog.encode_ckpt(patch))
+    patch_df = _rename_ckpt_stats(
+        spark, spark.read.parquet(patch_path), patch_path
+    )
+    return df.unionByName(patch_df, allowMissingColumns=True)
+
+
 def analyze_snapshot(
     spark: SparkSession, table_dir: str, cols: list[str] | None = None
 ) -> int:
@@ -4420,13 +4647,18 @@ def maintain_snapshot(
 
     1. OPTIMIZE when more than ``max_small_files`` files sit under the
        target size (decided from FS metadata, no data read);
-    2. VACUUM down to ``keep_versions`` retained versions.
+    2. BLOOM BACKFILL: on bloom-spec'd tables, index any uncovered files
+       (pre-spec or DataSource-written) in one metadata-class commit —
+       blooms are sidecars, so coverage needs no data rewrite;
+    3. VACUUM down to ``keep_versions`` retained versions.
 
-    Returns ``{"compacted": version|None, "vacuumed": n_files}``. Order
-    matters: compacting first makes the superseded small files eligible
-    for this same call's vacuum once their versions expire. Conflict
-    behavior is inherited (a racing writer aborts the compaction; rerun
-    next tick — maintenance must never win over data)."""
+    Returns ``{"compacted": version|None, "bloom_backfilled":
+    version|None, "vacuumed": n_files}``. Order matters: compacting
+    first makes the superseded small files eligible for this same call's
+    vacuum once their versions expire (and the compaction's own rewrites
+    arrive bloom-covered, shrinking the backfill). Conflict behavior is
+    inherited (a racing writer aborts the compaction; rerun next tick —
+    maintenance must never win over data)."""
     versions = _list_versions(spark, table_dir)
     if not versions:
         raise FileNotFoundError(f"no snapshots at {table_dir}")
@@ -4436,8 +4668,13 @@ def maintain_snapshot(
     compacted = None
     if len(small) > max_small_files:
         compacted = compact_snapshot(spark, table_dir, target_file_mb)
+    backfilled = backfill_bloom_filters(spark, table_dir)
     deleted = vacuum(spark, table_dir, keep_last=keep_versions)
-    return {"compacted": compacted, "vacuumed": deleted}
+    return {
+        "compacted": compacted,
+        "bloom_backfilled": backfilled,
+        "vacuumed": deleted,
+    }
 
 
 def set_generated_column(

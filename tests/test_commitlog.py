@@ -166,7 +166,7 @@ def test_100_commit_table_o_batch_records(spark, tmp_path):
     assert sizes[99] < 2 * sizes[3], sizes
     assert sizes[95] < 2 * sizes[3], sizes
     # checkpoints exist every CKPT_EVERY commits and DO carry the growth
-    ckpts = sorted(int(p.name[6:11]) for p in snap.glob("ckpt-v*.json"))
+    ckpts = sorted(int(p.name[6:11]) for p in snap.glob("ckpt-v*.parquet"))
     assert ckpts == list(range(10, 101, 10))
     assert commitlog.read_last_ckpt_pointer(str(snap)) == 100
     # full correctness across the log: latest, time travel, stats pruning
@@ -406,3 +406,178 @@ def test_identity_and_unique_stamp_writer_features(spark, tmp_path):
         commitlog.check_writer_features(
             {"writer_features": ["identity-columns", "not-a-real-feature"]}
         )
+
+
+# ---------------------------------------------------------------------------
+# Parquet checkpoints (r9): columnar, typed, prunable table metadata
+# ---------------------------------------------------------------------------
+
+
+def test_ckpt_encode_decode_exact_round_trip():
+    """The parquet checkpoint must round-trip a manifest EXACTLY — key
+    presence, empty-vs-absent stats dicts, int-vs-float, None bounds,
+    engine scalars, dv files — because make_commit diffs stats dicts by
+    equality against the checkpoint-resolved previous manifest."""
+    m = {
+        "version": 40,
+        "op": "append",
+        "schema": [["id", "bigint"], ["v", "double"]],
+        "colmap": {"id": "id", "v": "v"},
+        "constraints": {"pos": "id >= 0"},
+        "files": ["/t/data/a.parquet", "/t/data/b.parquet", "/t/data/c.parquet"],
+        "stats": {
+            "/t/data/a.parquet": {
+                "id": [0, 9],
+                "v": [0.5, 2.25],
+                "__rows": 10,
+                "__base_row_id": 0,
+                "__bloom": "/t/_bloom/a.bin",
+            },
+            "/t/data/b.parquet": {"id": [None, None], "name": ["a", "zz"]},
+            "/t/data/c.parquet": {},
+        },
+        "dv_files": ["/t/data/x-dv-1.parquet"],
+        "reader_features": ["deletion-vectors"],
+    }
+    out = commitlog.decode_ckpt(commitlog.encode_ckpt(m))
+    assert out == m
+    # int-vs-float exactness survives (pyarrow inference would make 7 a
+    # double next to 2.5 — the encoder must fall back to JSON instead)
+    weird = {
+        "version": 10,
+        "op": "append",
+        "files": ["f1", "f2"],
+        "stats": {"f1": {"c": [7, 9]}, "f2": {"c": [2.5, 3.5]}},
+    }
+    rt = commitlog.decode_ckpt(commitlog.encode_ckpt(weird))
+    assert rt == weird
+    assert isinstance(rt["stats"]["f1"]["c"][0], int)
+    assert isinstance(rt["stats"]["f2"]["c"][0], float)
+
+
+def test_ckpt_pruned_decode_reads_only_probed_columns():
+    m = {
+        "version": 10,
+        "op": "append",
+        "files": ["f1", "f2"],
+        "stats": {
+            "f1": {"a": [0, 1], "b": ["x", "y"], "__rows": 5},
+            "f2": {"a": [2, 3], "b": ["p", "q"], "__rows": 7},
+        },
+    }
+    data = commitlog.encode_ckpt(m)
+    pruned = commitlog.decode_ckpt(data, stat_keys={"a"})
+    assert pruned["files"] == ["f1", "f2"]
+    assert pruned["stats"] == {"f1": {"a": [0, 1]}, "f2": {"a": [2, 3]}}
+    # everything else (op, schema-free meta) still rides the footer
+    assert pruned["op"] == "append" and pruned["version"] == 10
+
+
+def test_cold_read_resolves_from_parquet_checkpoint(spark, tmp_path):
+    """The r8 verdict's acceptance: a cold read of a long table resolves
+    from the parquet checkpoint — proven by DELETING every commit record
+    at or below the last checkpoint; only the checkpoint plus the <10
+    trailing deltas remain, and reads (latest + skip_where pruning) still
+    work. A standalone pyarrow open of the same file must also work (the
+    pure-Python DataSource reader path has no JVM)."""
+    import pyarrow.parquet as pq
+
+    t = str(tmp_path / "tbl")
+    for i in range(23):
+        commit_append(
+            spark, t, _df(spark, i * 10, i * 10 + 10).coalesce(1), stats_cols=["id"]
+        )
+    snap = Path(t) / "_snapshots"
+    assert commitlog.read_last_ckpt_pointer(str(snap)) == 20
+    for v in range(1, 21):
+        (snap / commitlog.commit_name(v)).unlink()
+    (snap / commitlog.ckpt_name(10)).unlink()
+    assert read_snapshot(spark, t).count() == 230
+    assert len(read_snapshot(spark, t, skip_where=("id", 0, 5)).inputFiles()) == 1
+    # plain pyarrow reads the checkpoint file directly — typed columns
+    pf = pq.ParquetFile(str(snap / commitlog.ckpt_name(20)))
+    names = pf.schema_arrow.names
+    assert names[:3] == ["path", "kind", "has_stats"]
+    assert pf.metadata.num_rows == 20
+    direct = commitlog.read_ckpt_path(str(snap / commitlog.ckpt_name(20)))
+    assert len(direct["files"]) == 20 and direct["version"] == 20
+
+
+def test_legacy_json_checkpoints_still_read(spark, tmp_path):
+    """r8 tables carry ckpt-v*.json — resolution must keep reading them."""
+    t = str(tmp_path / "tbl")
+    for i in range(12):
+        commit_append(spark, t, _df(spark, i * 10, i * 10 + 10).coalesce(1))
+    snap = Path(t) / "_snapshots"
+    from customer_activity_lakehouse_spark.sources.snapshots import _read_manifest
+
+    resolved = _read_manifest(spark, t, 10)
+    (snap / commitlog.ckpt_name(10)).unlink()
+    (snap / commitlog.ckpt_name_legacy(10)).write_text(json.dumps(resolved))
+    for v in range(1, 10):
+        (snap / commitlog.commit_name(v)).unlink()
+    assert read_snapshot(spark, t).count() == 120
+    assert read_snapshot(spark, t, version=10).count() == 100
+
+
+def test_datasource_python_reader_resolves_parquet_ckpt(spark, tmp_path):
+    """The Spark 4 Python DataSource reader (driver-side Python, no JVM
+    manifest path) must resolve through the parquet checkpoint too."""
+    from customer_activity_lakehouse_spark.sources.datasource import (
+        SnapshotLogDataSource,
+    )
+
+    spark.dataSource.register(SnapshotLogDataSource)
+    t = str(tmp_path / "tbl")
+    for i in range(12):
+        commit_append(spark, t, _df(spark, i * 10, i * 10 + 10).coalesce(1))
+    snap = Path(t) / "_snapshots"
+    for v in range(1, 11):
+        (snap / commitlog.commit_name(v)).unlink()
+    df = spark.read.format("snapshot_log").option("path", t).load()
+    assert df.count() == 120
+
+
+def test_snapshot_files_scan_distributed_and_pruned(spark, tmp_path):
+    """snapshot_files_scan: the file-level state as a spark.read.parquet
+    scan over the checkpoint + one delta patch — distributed metadata
+    planning with column pruning (unselected stat columns never leave the
+    checkpoint file)."""
+    from customer_activity_lakehouse_spark.sources.snapshots import (
+        _read_manifest,
+        delete_snapshot,
+        snapshot_files_scan,
+    )
+
+    t = str(tmp_path / "tbl")
+    for i in range(23):
+        commit_append(
+            spark, t, _df(spark, i * 10, i * 10 + 10).coalesce(1), stats_cols=["id"]
+        )
+    delete_snapshot(spark, t, "id < 3", mode="dv")  # v24: dv_add delta
+    scan = snapshot_files_scan(spark, t)
+    m = _read_manifest(spark, t, 24)
+    got_data = {r.path for r in scan.filter("kind = 'data'").collect()}
+    assert got_data == set(m["files"])
+    got_dv = {r.path for r in scan.filter("kind = 'dv'").collect()}
+    assert got_dv == set(m.get("dv_files", []))
+    # stat columns carry the recorded skipping stats (typed lo/hi)
+    row = (
+        scan.filter("kind = 'data'")
+        .selectExpr("min(`stat:id`.lo) AS lo", "max(`stat:id`.hi) AS hi",
+                    "sum(`stat:__rows`.v) AS rows")
+        .collect()[0]
+    )
+    assert (row.lo, row.hi, row.rows) == (0, 229, 230)
+    # column pruning: a path+one-stat projection never reads the other
+    # stat columns (has_stats / __rows stay out of the scan's ReadSchema)
+    plan = (
+        scan.select("path", "`stat:id`")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "has_stats" not in plan
+    # time travel: the scan at an old version patches from the right base
+    old = snapshot_files_scan(spark, t, version=13)
+    assert old.filter("kind = 'data'").count() == 13
