@@ -11,6 +11,7 @@ tier — see coverage.py.  The policy gate (no entry >2 rounds unchecked)
 lives in tests/test_registry.py.
 """
 
+from .ann_index import QUERIES as ANN_IDX_QUERIES
 from .core import QUERIES as CORE_QUERIES
 from .dml import QUERIES as DML_QUERIES
 from .coverage import catalog_order, effective_coverage, load_coverage, load_fingerprints
@@ -20,7 +21,8 @@ from .registry import Query
 from .timeseries import QUERIES as TS_QUERIES
 
 _MERGED: dict[str, Query] = {
-    **CORE_QUERIES, **LLM_QUERIES, **TS_QUERIES, **ML_QUERIES, **DML_QUERIES
+    **CORE_QUERIES, **LLM_QUERIES, **TS_QUERIES, **ML_QUERIES, **DML_QUERIES,
+    **ANN_IDX_QUERIES,
 }
 
 COVERAGE: dict[str, int] = load_coverage()

@@ -146,11 +146,9 @@ def _km_update(assigned: DataFrame) -> DataFrame:
     return assigned.groupBy("cluster").agg(F.expr(sums_sql)).selectExpr("cluster", arr_sql)
 
 
-def _km_fit(spark: SparkSession, sf: str) -> tuple[DataFrame, DataFrame]:
-    """Run KM_ITERS Lloyd iterations; returns (final assignments, the
-    centroids those assignments were computed against) — the latter is
-    what an IVF probe must use to stay consistent with the cells."""
-    embq = _km_quantized(spark, sf)
+def _km_fit_frame(embq: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Frame-based Lloyd core (shared with the persisted ANN index, which
+    trains over snapshot-table corpora rather than the sf fixture)."""
     centroids = _km_seed_centroids(embq)
     assigned = cents_used = None
     for _ in range(KM_ITERS):
@@ -158,6 +156,13 @@ def _km_fit(spark: SparkSession, sf: str) -> tuple[DataFrame, DataFrame]:
         assigned = _km_assign(embq, cents_used)
         centroids = _km_update(assigned)
     return assigned, cents_used
+
+
+def _km_fit(spark: SparkSession, sf: str) -> tuple[DataFrame, DataFrame]:
+    """Run KM_ITERS Lloyd iterations; returns (final assignments, the
+    centroids those assignments were computed against) — the latter is
+    what an IVF probe must use to stay consistent with the cells."""
+    return _km_fit_frame(_km_quantized(spark, sf))
 
 
 def q_embedding_kmeans(spark: SparkSession, sf: str) -> DataFrame:
@@ -2489,13 +2494,12 @@ def _pq_subrows(embq: DataFrame) -> DataFrame:
     return embq.select("vec_id", "q", m).withColumn("sq", sub).drop("q")
 
 
-def _pq_fit(spark: SparkSession, sf: str) -> DataFrame:
+def _pq_fit_frame(embq: DataFrame) -> DataFrame:
     """Train all PQ_M codebooks in ONE grouped Lloyd's loop: assignment is
     a per-(vec,subspace) argmin against that subspace's 16 centroids
     (128-row broadcast), update is a (m, cluster)-keyed integer-sum
     partial agg — the same machinery as `_km_fit`, keyed by subspace.
     Returns the trained codebook (m, cluster, c[PQ_SUB] doubles)."""
-    embq = _km_quantized(spark, sf)
     sub_rows = _pq_subrows(embq)
     hex1 = F.substring(F.md5(F.col("vec_id").cast("string").cast("binary")), 1, 1)
     bucket = F.conv(hex1, 16, 10).cast("int") % PQ_K
@@ -2511,6 +2515,10 @@ def _pq_fit(spark: SparkSession, sf: str) -> DataFrame:
         assigned = _pq_assign(sub_rows, cents)
         cents = _pq_update(assigned)
     return cents
+
+
+def _pq_fit(spark: SparkSession, sf: str) -> DataFrame:
+    return _pq_fit_frame(_km_quantized(spark, sf))
 
 
 def _pq_cents_by_m(cents: DataFrame):

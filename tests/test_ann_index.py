@@ -1,0 +1,124 @@
+"""Persisted ANN index (plans/ann_index.py): the FAISS build/serve split.
+
+Contract under test:
+- build commits centroids / codebooks / cell-partitioned codes as
+  snapshot tables;
+- query serves from the persisted tables with NO training and reads only
+  the probed cells' code files (partition pruning on the index itself);
+- maintain encodes ONLY newly appended vectors against the FROZEN
+  codebooks, stamps the consumed source version exactly-once, and
+  refuses non-append feeds loudly.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from customer_activity_lakehouse_spark.plans.ann_index import (
+    build_ann_index,
+    maintain_ann_index,
+    query_ann_index,
+    _quantize,
+)
+from customer_activity_lakehouse_spark.sources.snapshots import (
+    _list_versions,
+    _read_manifest,
+    commit_append,
+    read_snapshot,
+    update_snapshot,
+)
+
+
+def _corpus(spark, lo: int, hi: int):
+    """Deterministic synthetic (vec_id, embedding float[64]) rows."""
+    emb = F.transform(
+        F.sequence(F.lit(1), F.lit(64)),
+        lambda i: (
+            F.pmod(F.col("id") * 31 + i.cast("long") * 7, F.lit(97)) / 97.0
+        ).cast("float"),
+    )
+    return spark.range(lo, hi).select(
+        F.col("id").alias("vec_id"), emb.alias("embedding")
+    )
+
+
+def test_build_then_query_serves_without_training(spark, tmp_path):
+    idx = str(tmp_path / "idx")
+    build_ann_index(spark, _corpus(spark, 0, 300), idx)
+    cents = read_snapshot(spark, f"{idx}/ivf_centroids")
+    books = read_snapshot(spark, f"{idx}/pq_codebooks")
+    codes = read_snapshot(spark, f"{idx}/codes")
+    assert cents.count() <= 8 and books.count() <= 8 * 16
+    assert codes.count() == 300
+    assert set(codes.columns) == {"vec_id", "cell", "code"}
+    q0 = _quantize(_corpus(spark, 0, 1))
+    top = query_ann_index(spark, idx, q0, k=5)
+    rows = top.collect()
+    assert len(rows) == 5
+    assert all(-1.0 <= r.cos_sim <= 1.0 for r in rows)
+    # serving reads ONLY the probed cells' code files: the codes subtree
+    # of the plan must touch fewer files than the table holds (the table
+    # is partitioned by cell; IVF_PROBES=2 of up to 8 cells are probed)
+    all_code_files = {
+        f for f in read_snapshot(spark, f"{idx}/codes").inputFiles()
+    }
+    probed_code_files = {
+        f for f in top.inputFiles() if "/codes/" in f and "-dv-" not in f
+    }
+    n_cells = codes.select("cell").distinct().count()
+    assert len(probed_code_files) < len(all_code_files)
+    # files are one-per-cell-per-commit here: exactly 2 cells' worth
+    assert len(probed_code_files) <= len(all_code_files) * 2 // n_cells + 1
+
+
+def test_maintain_encodes_only_new_vectors_with_frozen_books(spark, tmp_path):
+    src = str(tmp_path / "corpus")
+    idx = str(tmp_path / "idx")
+    commit_append(spark, src, _corpus(spark, 0, 200))
+    build_ann_index(
+        spark,
+        read_snapshot(spark, src),
+        idx,
+        consumed_version=_list_versions(spark, src)[-1],
+    )
+    books_v1 = read_snapshot(spark, f"{idx}/pq_codebooks").collect()
+    cents_v1 = read_snapshot(spark, f"{idx}/ivf_centroids").collect()
+    # nothing new → no-op
+    assert maintain_ann_index(spark, idx, src) is None
+    # append 50 vectors; maintain folds exactly them
+    commit_append(spark, src, _corpus(spark, 200, 250))
+    v = maintain_ann_index(spark, idx, src)
+    assert v == _list_versions(spark, src)[-1]
+    codes = read_snapshot(spark, f"{idx}/codes")
+    assert codes.count() == 250
+    assert codes.filter("vec_id >= 200").count() == 50
+    # codebooks/centroids FROZEN — maintenance never retrains
+    assert read_snapshot(spark, f"{idx}/pq_codebooks").collect() == books_v1
+    assert read_snapshot(spark, f"{idx}/ivf_centroids").collect() == cents_v1
+    # consumed version stamped in the codes commit itself (exactly-once)
+    m = _read_manifest(
+        spark, f"{idx}/codes", _list_versions(spark, f"{idx}/codes")[-1]
+    )
+    assert m["ann_consumed_version"] == v
+    # idempotent: a second maintain consumes nothing
+    assert maintain_ann_index(spark, idx, src) is None
+    # the new vectors are SERVABLE: query with a new vector finds itself
+    qnew = _quantize(_corpus(spark, 225, 226))
+    got = query_ann_index(spark, idx, qnew, k=3).collect()
+    assert 225 in {r.vec_id for r in got}
+
+
+def test_maintain_refuses_non_append_feeds(spark, tmp_path):
+    src = str(tmp_path / "corpus")
+    idx = str(tmp_path / "idx")
+    commit_append(spark, src, _corpus(spark, 0, 100).withColumn("tag", F.lit(1)))
+    build_ann_index(
+        spark,
+        read_snapshot(spark, src).select("vec_id", "embedding"),
+        idx,
+        consumed_version=_list_versions(spark, src)[-1],
+    )
+    update_snapshot(spark, src, "vec_id = 5", {"tag": "2"})
+    with pytest.raises(ValueError, match="append-only"):
+        maintain_ann_index(spark, idx, src)
