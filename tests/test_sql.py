@@ -199,3 +199,131 @@ def test_enable_row_tracking_via_tblproperties(spark, tmp_path):
     )
     ids = {r._row_id for r in rs(spark, t, with_row_ids=True).collect()}
     assert ids == set(range(8))
+
+
+def test_copy_into_sql_route(spark, tmp_path):
+    """COPY INTO via SQL: exactly-once ledger semantics survive the SQL
+    path (r8 verdict #3 — the loader verb a scheduler invokes)."""
+    src = tmp_path / "landing"
+    spark.range(0, 10).selectExpr("id", "id * 2 AS v").coalesce(1).write.parquet(
+        str(src / "a")
+    )
+    t = str(tmp_path / "tbl")
+    r = run_table_sql(spark, f"COPY INTO snapshot.`{t}` FROM '{src}'")
+    assert r == {"loaded_files": 1, "version": 1}
+    # idempotent re-run loads nothing
+    r2 = run_table_sql(spark, f"COPY INTO snapshot.`{t}` FROM '{src}'")
+    assert r2 == {"loaded_files": 0, "version": None}
+    assert read_snapshot(spark, t).count() == 10
+    # CSV with schema + format options
+    csvdir = tmp_path / "csvland"
+    csvdir.mkdir()
+    (csvdir / "one.csv").write_text("id,v\n100,x\n101,y\n")
+    t2 = str(tmp_path / "tbl2")
+    r3 = run_table_sql(
+        spark,
+        f"COPY INTO snapshot.`{t2}` FROM '{csvdir}' FILEFORMAT = CSV "
+        "SCHEMA 'id long, v string' FORMAT_OPTIONS ('header' = 'true')",
+    )
+    assert r3["loaded_files"] == 1
+    assert {(x.id, x.v) for x in read_snapshot(spark, t2).collect()} == {
+        (100, "x"), (101, "y"),
+    }
+
+
+def test_apply_changes_scd2_sql_route(spark, tmp_path):
+    """APPLY CHANGES ... STORED AS SCD TYPE 2 via SQL routes to
+    scd.apply_changes_scd2 — interval history, one atomic commit."""
+    dim = str(tmp_path / "dim")
+    b1 = spark.createDataFrame(
+        [(1, "a", 10, "insert"), (2, "b", 10, "insert")],
+        "k long, seg string, lsn long, change_type string",
+    )
+    b1.createOrReplaceTempView("scd_batch1")
+    run_table_sql(
+        spark,
+        f"APPLY CHANGES INTO snapshot.`{dim}` FROM scd_batch1 "
+        "KEYS (k) SEQUENCE BY lsn STORED AS SCD TYPE 2",
+    )
+    b2 = spark.createDataFrame(
+        [(1, "a2", 20, "update")], "k long, seg string, lsn long, change_type string"
+    )
+    b2.createOrReplaceTempView("scd_batch2")
+    run_table_sql(
+        spark,
+        f"APPLY CHANGES INTO snapshot.`{dim}` FROM scd_batch2 "
+        "KEYS (k) SEQUENCE BY lsn STORED AS SCD TYPE 2",
+    )
+    rows = {
+        (r.k, r.seg, r.valid_from, r.valid_to)
+        for r in read_snapshot(spark, dim).collect()
+    }
+    assert (1, "a", 10, 20) in rows  # closed old row
+    assert (1, "a2", 20, None) in rows  # open new row
+    assert (2, "b", 10, None) in rows  # untouched key stays open
+
+
+def test_refresh_materialized_view_sql_route(spark, tmp_path):
+    """REFRESH MATERIALIZED VIEW via SQL: bootstrap on first run, then
+    O(changes) maintenance from the change feed — exactly-once (a second
+    refresh with nothing new consumes nothing)."""
+    src = str(tmp_path / "src")
+    agg = str(tmp_path / "agg")
+    commit_append(
+        spark,
+        src,
+        spark.range(0, 100).selectExpr(
+            "id % 7 AS k", "cast(id as decimal(18,2)) AS price"
+        ),
+    )
+    v = run_table_sql(
+        spark,
+        f"REFRESH MATERIALIZED VIEW snapshot.`{agg}` FROM snapshot.`{src}` "
+        "GROUP BY k SUM (price)",
+    )
+    assert v == 1
+    run_table_sql(
+        spark,
+        f"INSERT INTO snapshot.`{src}` "
+        "SELECT id % 7 AS k, cast(1000 as decimal(18,2)) AS price FROM range(0, 7)",
+    )
+    v2 = run_table_sql(
+        spark,
+        f"REFRESH MATERIALIZED VIEW snapshot.`{agg}` FROM snapshot.`{src}` "
+        "GROUP BY k SUM (price)",
+    )
+    assert v2 == 2
+    # already current → None
+    assert (
+        run_table_sql(
+            spark,
+            f"REFRESH MATERIALIZED VIEW snapshot.`{agg}` FROM snapshot.`{src}` "
+            "GROUP BY k SUM (price)",
+        )
+        is None
+    )
+    got = {(r.k, str(r.price)) for r in read_snapshot(spark, agg).collect()}
+    want = {
+        (r.k, str(r.price))
+        for r in read_snapshot(spark, src)
+        .groupBy("k")
+        .agg({"price": "sum"})
+        .withColumnRenamed("sum(price)", "price")
+        .collect()
+    }
+    assert got == want
+
+
+def test_create_table_as_select_sql_route(spark, tmp_path):
+    t = _seed(spark, tmp_path)
+    dst = str(tmp_path / "ctas")
+    v = run_table_sql(
+        spark,
+        f"CREATE TABLE snapshot.`{dst}` AS SELECT id, v FROM snapshot.`{t}` WHERE id < 5",
+    )
+    assert v == 1
+    assert read_snapshot(spark, dst).count() == 5
+    with pytest.raises(ValueError, match="already exists"):
+        run_table_sql(
+            spark, f"CREATE TABLE snapshot.`{dst}` AS SELECT 1 AS id, 2 AS v"
+        )
