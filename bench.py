@@ -297,9 +297,64 @@ def _make_snapshot_bloom_tasks(spark, sf_dir: str, work_dir: str):
     return (lambda: lookups(True)), (lambda: lookups(False))
 
 
+ANN_INDEX_QUERY_RUNS = 3
+
+
+def _make_ann_index_tasks(spark, sf_dir: str, work_dir: str):
+    """The FAISS lifecycle pair (r9): ``ann_index_build`` trains IVF+PQ
+    once and persists the index as snapshot tables; ``ann_index_query``
+    serves top-10 from the PERSISTED index — partition-pruned code read +
+    in-row ADC, zero training. The build/query RATIO is the feature's
+    measured value: r8's ann_ivfpq_topk paid the build on every query."""
+    from customer_activity_lakehouse_spark.plans.ann_index import (
+        _quantize,
+        build_ann_index,
+        query_ann_index,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    q0 = _quantize(emb.filter("vec_id = 0"))
+
+    def build(tag: str):
+        build_ann_index(spark, emb, f"{work_dir}/ann_idx_{tag}")
+
+    def query():
+        query_ann_index(spark, f"{work_dir}/ann_idx_timed", q0).write.format(
+            "noop"
+        ).mode("overwrite").save()
+
+    return build, query
+
+
+def _calibration() -> dict:
+    """Fixed CPU microbenchmark recorded with every run so cross-round
+    environmental drift is normalizable (VERDICT r8 What's-wrong #2: an
+    unusually quiet-VM run became a false cross-round anchor). Two
+    axes: C-speed hashing (CPU + memory bandwidth) and a pure-Python
+    loop (interpreter + scheduling pressure)."""
+    import hashlib
+
+    buf = bytes(range(256)) * (4 * 1024 * 1024 // 256)  # 4 MiB pattern
+    t0 = time.perf_counter()
+    h = hashlib.sha256()
+    for _ in range(64):  # 256 MiB hashed
+        h.update(buf)
+    sha = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    x = 0
+    for i in range(2_000_000):
+        x += (i * 31) & 0xFFFF
+    loop = time.perf_counter() - t0
+    assert x > 0
+    return {"sha256_256mib_sec": round(sha, 4), "pyloop_2m_sec": round(loop, 4)}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = _sf_label(sf_dir)
+    calib_start = _calibration()
     spark = get_spark("lakehouse-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -408,6 +463,24 @@ def main() -> None:
                     ts.append(dt)
             samples[name] = ts
 
+        # ANN-index phase (r9): build once (warm-up build + timed build),
+        # then serve ANN_INDEX_QUERY_RUNS queries from the timed build's
+        # persisted tables. Excluded from totals; the build:query ratio
+        # is the number that says the FAISS split paid off.
+        idx_build, idx_query = _make_ann_index_tasks(spark, sf_dir, work_dir)
+        idx_build("warmup")
+        t0 = time.perf_counter()
+        idx_build("timed")
+        samples["ann_index_build"] = [time.perf_counter() - t0]
+        qts: list[float] = []
+        for i in range(ANN_INDEX_QUERY_RUNS + 1):  # pass 0 is warm-up
+            t0 = time.perf_counter()
+            idx_query()
+            dt = time.perf_counter() - t0
+            if i > 0:
+                qts.append(dt)
+        samples["ann_index_query"] = qts
+
         timings = {n: round(statistics.median(samples[n]), 4) for n in samples}
     finally:
         shutil.rmtree(work_dir, ignore_errors=True)
@@ -432,6 +505,8 @@ def main() -> None:
             "snapshot_full_lookup",
             "mv_maintain",
             "scd2_apply",
+            "ann_index_build",
+            "ann_index_query",
         ]
         + sorted(n for n in headline if n not in legacy),
         "value_full_excludes": [
@@ -441,7 +516,10 @@ def main() -> None:
             "snapshot_full_lookup",
             "mv_maintain",
             "scd2_apply",
+            "ann_index_build",
+            "ann_index_query",
         ],
+        "calibration": {"start": calib_start, "end": _calibration()},
         "runs": RUNS,
         "note": (
             "interleaved shuffled passes, median of 5; ETL timed in "
@@ -475,6 +553,12 @@ def main() -> None:
             "late-r8 ADDED the scd2_apply phase (one SCD Type 2 "
             "change batch onto a pre-inserted dimension; fresh table "
             "per pass) and kept new catalog queries un-benched; "
+            "r9 ADDED the ann_index phase (ann_index_build trains "
+            "and persists IVF+PQ once; ann_index_query serves from "
+            "the persisted tables — their ratio is the FAISS "
+            "build/serve split's value) and the calibration block "
+            "(fixed CPU microbenchmarks at start+end of the run, "
+            "for normalizing cross-round environmental drift); "
             "compare value_full across rounds on the shared subset. "
             "etl_pipeline is reported separately in queries. "
             "Events NTZ-cast cost (~0.1 s/query at sf0.1, required "

@@ -141,3 +141,22 @@ def test_codegen_cache_sized_for_catalog(spark):
     regression root cause)."""
     assert spark.conf.get("spark.sql.codegen.cache.maxEntries") == "4096"
     assert len(QUERIES) < 4096
+
+
+def test_readme_catalog_count_matches_registry():
+    """VERDICT r8 What's-wrong #1: the README's hand-maintained catalog
+    count drifted (claimed 174, registry held 173). Pin it: the count in
+    README.md's 'Query catalog' section must equal len(QUERIES), so any
+    future drift fails the suite instead of shipping."""
+    import re
+    from pathlib import Path
+
+    from customer_activity_lakehouse_spark.plans import QUERIES
+
+    readme = (Path(__file__).resolve().parents[1] / "README.md").read_text()
+    m = re.search(r"query catalog \((\d+) entries", readme)
+    assert m, "README.md no longer states the catalog entry count"
+    assert int(m.group(1)) == len(QUERIES), (
+        f"README claims {m.group(1)} catalog entries; registry has "
+        f"{len(QUERIES)} — update README.md's Query catalog section"
+    )
