@@ -16,13 +16,14 @@ from .core import QUERIES as CORE_QUERIES
 from .dml import QUERIES as DML_QUERIES
 from .coverage import catalog_order, effective_coverage, load_coverage, load_fingerprints
 from .llm_ops import QUERIES as LLM_QUERIES
+from .minhash_index import QUERIES as MH_IDX_QUERIES
 from .ml_ops import QUERIES as ML_QUERIES
 from .registry import Query
 from .timeseries import QUERIES as TS_QUERIES
 
 _MERGED: dict[str, Query] = {
     **CORE_QUERIES, **LLM_QUERIES, **TS_QUERIES, **ML_QUERIES, **DML_QUERIES,
-    **ANN_IDX_QUERIES,
+    **ANN_IDX_QUERIES, **MH_IDX_QUERIES,
 }
 
 COVERAGE: dict[str, int] = load_coverage()

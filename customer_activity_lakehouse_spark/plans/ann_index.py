@@ -136,9 +136,9 @@ def maintain_ann_index(
     corpora only: an update/delete in the feed fails loudly (a quantized
     index cannot un-train; Delta's answer for mutated vectors is a
     rebuild, and silently skipping them would serve stale neighbors)."""
+    from ..sources.incremental import stamped_version
     from ..sources.snapshots import (
         _list_versions,
-        _read_manifest,
         commit_append,
         read_snapshot,
         snapshot_change_feed,
@@ -148,11 +148,9 @@ def maintain_ann_index(
     versions = _list_versions(spark, codes_dir)
     if not versions:
         raise FileNotFoundError(f"no ANN index at {index_dir} — build first")
-    consumed = int(
-        _read_manifest(spark, codes_dir, versions[-1]).get(
-            "ann_consumed_version", 0
-        )
-    )
+    # stamp read walks the log so interleaved commits (an OPTIMIZE of the
+    # codes table) can't reset the cursor (incremental.stamped_version)
+    consumed = stamped_version(spark, codes_dir, "ann_consumed_version")
     src_versions = _list_versions(spark, source_table_dir)
     if not src_versions:
         raise FileNotFoundError(f"no snapshots at {source_table_dir}")

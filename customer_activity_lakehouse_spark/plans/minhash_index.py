@@ -1,0 +1,256 @@
+"""Incremental cross-snapshot MinHash dedup — ingest-time near-dup
+detection at O(new bands), not O(corpus).
+
+Round-8 verdict, Next-round #6: the catalog's MinHash-LSH queries
+(llm_ops.py) recompute every document's signature per run — right for a
+one-shot census, wrong for a CONTINUOUSLY-LOADED corpus, where each
+append should dedup against everything already ingested without
+re-shingling 100 TB. This module composes three independently-green
+primitives into that pipeline:
+
+- the MinHash band keys (llm_ops.minhash_band_keys: char-8-gram
+  shingles → 8 salted minhashes → 4 bands of 2),
+- the snapshot log's CHANGE FEED (exactly-once consumption, stamped in
+  the index's own commit — the MV doctrine, incremental.py),
+- per-file BLOOM indexes on the band-value column (bloom.py) — band
+  values are uniform md5 hex, so [min, max] stats can never prune a
+  band lookup; the bloom probe is what makes "join the new batch
+  against the full corpus index" read only the files that can match.
+
+Lifecycle:
+
+- :func:`build_minhash_index` commits the corpus's band postings
+  (doc_id, band_idx, band_val) as a snapshot table with a bloom index
+  on band_val.
+- :func:`maintain_minhash_index` consumes the corpus table's change
+  feed: the NEW documents' bands probe the EXISTING index through
+  ``point_where`` (bloom file pruning), within-batch pairs come from a
+  batch-local self-join, and the new postings append in ONE commit that
+  stamps the consumed source version. Returns the candidate duplicate
+  pairs — each new doc against the full corpus — at O(new bands) read
+  cost plus the pruned probe.
+
+Non-append feeds fail loudly: deleting a document leaves stale postings
+(rebuild, or drop its bands by doc_id first) — silently skipping a
+delete would keep reporting dups against a ghost.
+
+Reference basis: the reference has no dedup surface at all; the public
+models are Lee et al.'s dedup pipeline (arXiv:2107.06499) for the
+MinHash construction and Delta's CDF-fed incremental materialization
+for the maintenance contract.
+"""
+
+from __future__ import annotations
+
+import atexit
+import shutil
+import tempfile
+import threading
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .llm_ops import _SQL_BANDS, _SQL_LONG_BANDS, _spread, minhash_band_keys
+from .registry import Query, table
+
+# the batch predicate the CATALOG queries use to split the fixture into
+# an initial corpus (80%) and one incoming append (20%)
+_BATCH_PRED = "doc_id % 5 = 0"
+
+
+def build_minhash_index(
+    spark: SparkSession,
+    docs: DataFrame,
+    index_dir: str,
+    consumed_version: int | None = None,
+) -> None:
+    """Commit ``docs``' (doc_id, text) band postings as the dedup index:
+    one snapshot table of (doc_id, band_idx, band_val) rows with a
+    bloom index on band_val (backfilled — the probe must cover the
+    bootstrap files too). Docs too short to shingle produce null bands
+    and are excluded (they can never LSH-match)."""
+    from ..sources.snapshots import commit_append, set_bloom_filter
+
+    bands = minhash_band_keys(docs).filter(F.col("band_val").isNotNull())
+    extra = (
+        None
+        if consumed_version is None
+        else {"mh_consumed_version": int(consumed_version)}
+    )
+    commit_append(
+        spark,
+        f"{index_dir}/bands",
+        bands,
+        stats_cols=["doc_id"],
+        extra=extra,
+    )
+    set_bloom_filter(
+        spark, f"{index_dir}/bands", ["band_val"], m_bits=2**17, k=5,
+        backfill=True,
+    )
+
+
+def maintain_minhash_index(
+    spark: SparkSession, index_dir: str, source_table_dir: str
+) -> tuple[DataFrame | None, int | None]:
+    """Fold the corpus change feed into the band index and return the
+    batch's candidate duplicate pairs as ``(new_doc, dup_of)``:
+
+    - ``dup_of`` in the EXISTING corpus: the new bands (broadcast —
+      O(batch) rows) join the index through a bloom-pruned
+      ``point_where`` read, so only index files that can contain one of
+      the batch's band values are scanned;
+    - ``dup_of`` earlier IN THE SAME BATCH (``dup_of < new_doc``): a
+      batch-local self-join — an append must dedup against itself too.
+
+    The new postings land in ONE commit stamping the consumed source
+    version (exactly-once; a crashed run re-consumes the same feed).
+    Returns (pairs, consumed_version), or (None, None) when current."""
+    from ..sources.incremental import stamped_version
+    from ..sources.snapshots import (
+        _list_versions,
+        commit_append,
+        read_snapshot,
+        snapshot_change_feed,
+    )
+
+    bands_dir = f"{index_dir}/bands"
+    versions = _list_versions(spark, bands_dir)
+    if not versions:
+        raise FileNotFoundError(f"no MinHash index at {index_dir} — build first")
+    # the walk survives interleaved non-stamping commits (the build's own
+    # set_bloom_filter commit is exactly one of those)
+    consumed = stamped_version(spark, bands_dir, "mh_consumed_version")
+    src_versions = _list_versions(spark, source_table_dir)
+    if not src_versions:
+        raise FileNotFoundError(f"no snapshots at {source_table_dir}")
+    latest = src_versions[-1]
+    if latest <= consumed:
+        return None, None
+    feed = snapshot_change_feed(spark, source_table_dir, consumed, latest)
+    bad = feed.filter(F.col("change_type") != "insert").limit(1).collect()
+    if bad:
+        raise ValueError(
+            f"maintain_minhash_index: change feed ({consumed}, {latest}] of "
+            f"{source_table_dir} contains a {bad[0]['change_type']!r} — the "
+            "index maintains append-only corpora (a deleted doc leaves "
+            "stale postings); rebuild after updates/deletes"
+        )
+    new_bands = (
+        minhash_band_keys(feed.select("doc_id", "text"))
+        .filter(F.col("band_val").isNotNull())
+    )
+    # O(batch) driver list: the probe values that drive bloom pruning
+    vals = [
+        r["band_val"]
+        for r in new_bands.select("band_val").distinct().collect()
+    ]
+    # the PRE-APPEND index (read_snapshot pins the current file list at
+    # plan time, so the append below cannot leak into this read)
+    idx = (
+        read_snapshot(spark, bands_dir, point_where={"band_val": vals})
+        if vals
+        else read_snapshot(spark, bands_dir).limit(0)
+    )
+    nb = new_bands.alias("n")
+    pairs_corpus = (
+        idx.alias("o")
+        .join(
+            F.broadcast(nb),
+            (F.col("o.band_idx") == F.col("n.band_idx"))
+            & (F.col("o.band_val") == F.col("n.band_val")),
+        )
+        .select(
+            F.col("n.doc_id").alias("new_doc"),
+            F.col("o.doc_id").alias("dup_of"),
+        )
+    )
+    pairs_within = (
+        nb.join(
+            new_bands.alias("m"),
+            (F.col("n.band_idx") == F.col("m.band_idx"))
+            & (F.col("n.band_val") == F.col("m.band_val"))
+            & (F.col("m.doc_id") < F.col("n.doc_id")),
+        )
+        .select(
+            F.col("n.doc_id").alias("new_doc"),
+            F.col("m.doc_id").alias("dup_of"),
+        )
+    )
+    pairs = pairs_corpus.unionByName(pairs_within).distinct()
+    commit_append(
+        spark,
+        bands_dir,
+        new_bands,
+        stats_cols=["doc_id"],
+        extra={"mh_consumed_version": latest},
+    )
+    return pairs, latest
+
+
+# --------------------------------------------------------------- catalog
+
+_SCRATCH: dict[str, str] = {}
+_SCRATCH_LOCK = threading.Lock()
+
+
+def _incremental_chain(spark: SparkSession, sf_dir: str) -> str:
+    """Memoized per sf_dir: corpus table (80% of documents) → index →
+    one batch append (20%) → maintain; the resulting pairs land in a
+    snapshot table so repeated catalog runs read, never re-mutate."""
+    with _SCRATCH_LOCK:
+        if sf_dir in _SCRATCH:
+            return _SCRATCH[sf_dir]
+        from ..sources.snapshots import commit_append
+
+        base = tempfile.mkdtemp(prefix="calh-mhidx-")
+        atexit.register(shutil.rmtree, base, ignore_errors=True)
+        docs = _spread(spark, table(spark, sf_dir, "documents")).select(
+            "doc_id", "text"
+        )
+        src = f"{base}/corpus"
+        commit_append(spark, src, docs.filter(f"NOT ({_BATCH_PRED})"))
+        build_minhash_index(
+            spark, docs.filter(f"NOT ({_BATCH_PRED})"), base, consumed_version=1
+        )
+        commit_append(spark, src, docs.filter(_BATCH_PRED))
+        pairs, _v = maintain_minhash_index(spark, base, src)
+        commit_append(spark, f"{base}/pairs", pairs)
+        _SCRATCH[sf_dir] = base
+        return base
+
+
+def q_dedup_incremental_minhash(spark: SparkSession, sf: str) -> DataFrame:
+    """The ingest-dedup lifecycle over the documents fixture: build the
+    band index on 80% of the corpus, append the other 20%, and report
+    every candidate duplicate the APPEND introduced — against the
+    pre-existing corpus, and against earlier docs in the same batch —
+    having read only bloom-pruned index files plus the batch itself."""
+    from ..sources.snapshots import read_snapshot
+
+    base = _incremental_chain(spark, sf)
+    return read_snapshot(spark, f"{base}/pairs").orderBy("new_doc", "dup_of")
+
+
+ORACLE_DEDUP_INCREMENTAL_MINHASH = f"""
+WITH bands AS ({_SQL_BANDS}),
+lb AS ({_SQL_LONG_BANDS}),
+nn AS (SELECT * FROM lb WHERE band_val IS NOT NULL),
+newb AS (SELECT * FROM nn WHERE {_BATCH_PRED}),
+oldb AS (SELECT * FROM nn WHERE NOT ({_BATCH_PRED}))
+SELECT DISTINCT n.doc_id AS new_doc, o.doc_id AS dup_of
+FROM newb n
+JOIN (SELECT * FROM oldb UNION ALL SELECT * FROM newb) o
+  ON n.band_idx = o.band_idx AND n.band_val = o.band_val
+WHERE NOT (o.{_BATCH_PRED}) OR o.doc_id < n.doc_id
+ORDER BY new_doc, dup_of
+"""
+
+
+QUERIES: dict[str, Query] = {
+    "dedup_incremental_minhash": Query(
+        q_dedup_incremental_minhash,
+        ORACLE_DEDUP_INCREMENTAL_MINHASH,
+        ("dedup", "minhash", "incremental", "index"),
+    ),
+}

@@ -45,15 +45,28 @@ from .snapshots import (
 _N_COL = "n_rows"  # per-key surviving-row count; 0 ⇒ key leaves the aggregate
 
 
+def stamped_version(spark: SparkSession, table_dir: str, key: str) -> int:
+    """Most recent value of a consumption stamp (``key``) in ``table_dir``'s
+    commit log — walks raw commit records newest-first, so the stamp
+    SURVIVES interleaved commits that don't carry it (a compaction or a
+    bloom-spec commit between maintenance runs previously reset the
+    cursor to 0, and an MV cursor reset double-folds the whole feed).
+    Raw records carry their metadata verbatim (the `_read_commit`
+    contract), so each probe is O(1); the walk is O(commits since the
+    last stamp). Returns 0 when never stamped."""
+    from .snapshots import _read_commit
+
+    for v in reversed(_list_versions(spark, table_dir)):
+        r = _read_commit(spark, table_dir, v)
+        if key in r:
+            return int(r[key])
+    return 0
+
+
 def _consumed_version(spark: SparkSession, agg_dir: str) -> int:
-    """Source version the aggregate last consumed — stamped in the
-    aggregate's own latest manifest (0 ⇒ never maintained)."""
-    versions = _list_versions(spark, agg_dir)
-    if not versions:
-        return 0
-    return int(
-        _read_manifest(spark, agg_dir, versions[-1]).get("mv_consumed_version", 0)
-    )
+    """Source version the aggregate last consumed (0 ⇒ never
+    maintained) — see :func:`stamped_version` for why this walks."""
+    return stamped_version(spark, agg_dir, "mv_consumed_version")
 
 
 def _stamp_only(

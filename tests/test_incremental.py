@@ -518,3 +518,45 @@ def test_mv_rejects_unknown_change_type(spark):
     )
     with pytest.raises(ValueError, match="mutate"):
         _fold_feed(feed, ["k"], ["v"], "test")
+
+
+def test_cursor_survives_interleaved_nonstamping_commits(spark, tmp_path):
+    """r9 regression: the consumed-version stamp rides only maintenance
+    commits, so an interleaved commit to the AGGREGATE table (an
+    OPTIMIZE, a bloom spec) used to reset the cursor to 0 and the next
+    maintenance double-folded the whole feed. stamped_version walks the
+    log instead."""
+    from pyspark.sql import functions as F
+
+    from customer_activity_lakehouse_spark.sources.incremental import (
+        maintain_sum_aggregate,
+        stamped_version,
+    )
+    from customer_activity_lakehouse_spark.sources.snapshots import (
+        commit_append,
+        read_snapshot,
+        set_check_constraint,
+    )
+
+    src, agg = str(tmp_path / "src"), str(tmp_path / "agg")
+    rows = spark.range(0, 100).selectExpr(
+        "id % 5 AS k", "cast(id as decimal(18,2)) AS price"
+    )
+    commit_append(spark, src, rows.repartition(4))
+    maintain_sum_aggregate(spark, src, agg, ["k"], ["price"])
+    # a non-stamping commit lands on the AGGREGATE table
+    set_check_constraint(spark, agg, "nonneg_rows", "n_rows >= 0")
+    assert stamped_version(spark, agg, "mv_consumed_version") == 1
+    # nothing new in the source → maintenance must be a no-op, not a
+    # full re-fold of v1 (which would double every sum)
+    assert maintain_sum_aggregate(spark, src, agg, ["k"], ["price"]) is None
+    got = {
+        (r.k, str(r.price)) for r in read_snapshot(spark, agg).collect()
+    }
+    want = {
+        (r.k, str(r.price))
+        for r in rows.groupBy("k")
+        .agg(F.sum("price").alias("price"))
+        .collect()
+    }
+    assert got == want

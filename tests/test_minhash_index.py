@@ -1,0 +1,129 @@
+"""Incremental MinHash dedup index (plans/minhash_index.py): ingest-time
+near-dup detection at O(new bands) — build, bloom-pruned corpus probe,
+within-batch pairs, exactly-once stamping, and the append-only refusal.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from customer_activity_lakehouse_spark.plans.minhash_index import (
+    build_minhash_index,
+    maintain_minhash_index,
+)
+from customer_activity_lakehouse_spark.sources.snapshots import (
+    _list_versions,
+    _read_manifest,
+    commit_append,
+    delete_snapshot,
+    read_snapshot,
+    snapshot_change_feed,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+_BASE = [
+    (1, "the quick brown fox jumps over the lazy dog again and again"),
+    (2, "a completely different document about distributed query engines"),
+    (3, "yet another unrelated text concerning parquet column pruning"),
+]
+
+
+def test_maintain_dedups_append_against_corpus_and_itself(spark, tmp_path):
+    src = str(tmp_path / "corpus")
+    idx = str(tmp_path / "idx")
+    commit_append(spark, src, _docs(spark, _BASE))
+    build_minhash_index(
+        spark, read_snapshot(spark, src), idx, consumed_version=1
+    )
+    # nothing new → no-op
+    assert maintain_minhash_index(spark, idx, src) == (None, None)
+    # batch: 10 = near-copy of corpus doc 1; 11/12 = near-copies of each
+    # other (within-batch dup); 13 = genuinely new
+    batch = [
+        (10, "the quick brown fox jumps over the lazy dog again and again!"),
+        (11, "snapshot logs give exactly once ingest semantics for free text"),
+        (12, "snapshot logs give exactly once ingest semantics for free text?"),
+        (13, "nothing about this sentence resembles anything else here"),
+    ]
+    commit_append(spark, src, _docs(spark, batch))
+    files_before = set(
+        _read_manifest(spark, f"{idx}/bands", _list_versions(spark, f"{idx}/bands")[-1])["files"]
+    )
+    pairs, v = maintain_minhash_index(spark, idx, src)
+    assert v == 2
+    got = {(r.new_doc, r.dup_of) for r in pairs.collect()}
+    assert (10, 1) in got  # new vs corpus
+    assert (12, 11) in got  # within batch, earlier doc wins
+    assert all(n in (10, 11, 12, 13) for n, _ in got)
+    assert not any(n == 13 or d == 13 for n, d in got)
+    # maintenance touched ONLY the new docs' band postings: old files all
+    # survive verbatim, the one new commit adds exactly the batch's bands
+    m = _read_manifest(
+        spark, f"{idx}/bands", _list_versions(spark, f"{idx}/bands")[-1]
+    )
+    assert files_before <= set(m["files"])
+    feed = snapshot_change_feed(spark, f"{idx}/bands", v_from=2)
+    assert feed.count() == 4 * 4  # N_BANDS postings per batch doc
+    assert m["mh_consumed_version"] == 2
+    # exactly-once: re-running consumes nothing and re-reports nothing
+    assert maintain_minhash_index(spark, idx, src) == (None, None)
+    # the index now answers future batches against doc 10 too
+    commit_append(
+        spark, src,
+        _docs(spark, [(20, "the quick brown fox jumps over the lazy dog again and again")]),
+    )
+    pairs3, v3 = maintain_minhash_index(spark, idx, src)
+    got3 = {(r.new_doc, r.dup_of) for r in pairs3.collect()}
+    assert v3 == 3 and (20, 1) in got3 and (20, 10) in got3
+
+
+def test_maintain_probe_prunes_index_files_via_bloom(spark, tmp_path):
+    """The corpus probe reads only bloom-pruned index files: a batch that
+    matches nothing scans (close to) none of the corpus postings."""
+    src = str(tmp_path / "corpus")
+    idx = str(tmp_path / "idx")
+
+    def _gen(lo, hi):
+        return spark.range(lo, hi).select(
+            F.col("id").alias("doc_id"),
+            F.concat(
+                F.lit("document number "), F.col("id"),
+                F.lit(" talks about topic "), F.col("id") * 17,
+                F.lit(" with some padding text to shingle on"),
+            ).alias("text"),
+        )
+
+    commit_append(spark, src, _gen(0, 8).coalesce(1))
+    build_minhash_index(spark, read_snapshot(spark, src), idx, consumed_version=1)
+    # 7 more ingest batches → 7 more maintain commits → ≥8 band files,
+    # each bloom-covered at write (the commit-path attach) or backfilled
+    for i in range(1, 8):
+        commit_append(spark, src, _gen(i * 8, i * 8 + 8).coalesce(1))
+        maintain_minhash_index(spark, idx, src)
+    n_files = len(
+        _read_manifest(spark, f"{idx}/bands", _list_versions(spark, f"{idx}/bands")[-1])["files"]
+    )
+    assert n_files >= 8
+    commit_append(
+        spark, src,
+        _docs(spark, [(100, "an entirely novel sentence matching no corpus shingles at all")]),
+    )
+    pairs, _ = maintain_minhash_index(spark, idx, src)
+    scanned = {f for f in pairs.inputFiles() if "/bands/" in f and "-dv-" not in f}
+    assert len(scanned) < n_files
+    assert pairs.count() == 0
+
+
+def test_maintain_refuses_non_append_feeds(spark, tmp_path):
+    src = str(tmp_path / "corpus")
+    idx = str(tmp_path / "idx")
+    commit_append(spark, src, _docs(spark, _BASE))
+    build_minhash_index(spark, read_snapshot(spark, src), idx, consumed_version=1)
+    delete_snapshot(spark, src, "doc_id = 2")
+    with pytest.raises(ValueError, match="append-only"):
+        maintain_minhash_index(spark, idx, src)
