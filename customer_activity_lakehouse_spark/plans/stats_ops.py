@@ -1,0 +1,410 @@
+"""Statistics battery, round 9: rank correlation and robust-trend tests.
+
+Four classics the r8 battery (KS / Mann-Whitney / ANOVA / chi-square /
+Mann-Kendall / runs / CUSUM / Benford) did not cover, each under the
+same numeric doctrine that made those hash-exact against DuckDB:
+
+- collapse facts to VALUE-LEVEL frames first (ranks need counts per
+  distinct value, never a rank() window over the fact table);
+- midranks carried DOUBLED (2·rank is an integer — no .5 floats);
+- every moment sums as exact DECIMAL(38,0) / HUGEINT (order-free);
+- n·Σx² − (Σx)²-style cancellation happens IN exact decimals;
+- doubles appear only in fixed-order final expressions.
+
+Queries:
+- ``lineitem_spearman_qty_price`` — Spearman rank correlation (Pearson
+  on midranks, the tie-correct definition) of quantity vs extended
+  price, with the t-statistic.
+- ``lineitem_kendall_qty_discount`` — Kendall's tau-b via the joint
+  CONTINGENCY table: both columns have tiny domains (≤50 × ≤11
+  values), so concordant/discordant pairs come from a cell×cell join
+  of a ≤550-row frame — never an O(n²) row-pair join.
+- ``priority_revenue_kruskal`` — Kruskal-Wallis rank ANOVA across the
+  five order priorities (the nonparametric companion of
+  ``priority_revenue_anova``), tie-corrected.
+- ``revenue_theil_sen_trend`` — the Theil-Sen robust slope of monthly
+  revenue: median of all pairwise slopes over the ~80-point monthly
+  aggregate (the estimator behind Mann-Kendall's trend direction).
+
+Reference basis: the reference computes no statistics at all (930-line
+CSV ETL); the public models are the classical definitions (Kendall 1945
+tau-b; Kruskal & Wallis 1952; Theil 1950 / Sen 1968).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .core import MONEY
+from .registry import Query, table
+
+_DEC = "decimal(38,0)"
+
+
+def _cents(col: str):
+    return (F.col(col).cast(MONEY) * 100).cast("decimal(18,0)").cast("long")
+
+
+def q_lineitem_spearman_qty_price(spark: SparkSession, sf: str) -> DataFrame:
+    """Spearman rank correlation of l_quantity vs l_extendedprice —
+    Pearson on DOUBLED midranks (scale-invariant, so the doubling
+    cancels), which is the correct tie-handling definition (the
+    6Σd²/(n³−n) shortcut is biased under ties).
+
+    Scale shape: facts collapse once to (qty, price) CELLS (one partial
+    agg); each axis's midranks come from a window over its own
+    distinct-value frame; the cell frame joins the two small rank maps
+    and one 1-row aggregate takes the five exact decimal moments."""
+    li = table(spark, sf, "lineitem")
+    cells = (
+        li.select(_cents("l_quantity").alias("x"), _cents("l_extendedprice").alias("y"))
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+
+    def _rank2(axis: str) -> DataFrame:
+        vals = cells.groupBy(axis).agg(F.sum("f").alias("n_v"))
+        w = Window.orderBy(axis).rowsBetween(Window.unboundedPreceding, -1)
+        return vals.select(
+            axis,
+            (2 * F.coalesce(F.sum("n_v").over(w), F.lit(0)) + F.col("n_v") + 1)
+            .alias(f"r2{axis}"),
+        )
+
+    joined = cells.join(_rank2("x"), "x").join(_rank2("y"), "y")
+    fd = F.col("f").cast(_DEC)
+    m = joined.agg(
+        F.sum("f").cast("long").alias("n"),
+        F.sum(fd * F.col("r2x")).cast(_DEC).alias("sx"),
+        F.sum(fd * F.col("r2y")).cast(_DEC).alias("sy"),
+        F.sum(fd * F.col("r2x") * F.col("r2x")).cast(_DEC).alias("sxx"),
+        F.sum(fd * F.col("r2y") * F.col("r2y")).cast(_DEC).alias("syy"),
+        F.sum(fd * F.col("r2x") * F.col("r2y")).cast(_DEC).alias("sxy"),
+    )
+    n = F.col("n").cast(_DEC)
+    num = (n * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    vx = (n * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    vy = (n * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    rho = num / (F.sqrt(vx) * F.sqrt(vy))
+    t = rho * F.sqrt((F.col("n") - 2) / (F.lit(1.0) - rho * rho))
+    return m.select(
+        "n", F.round(rho, 6).alias("rho"), F.round(t, 4).alias("t_stat")
+    )
+
+
+ORACLE_LINEITEM_SPEARMAN_QTY_PRICE = """
+WITH cells AS (
+  SELECT (l_quantity::DECIMAL(18,2) * 100)::DECIMAL(18,0)::BIGINT AS x,
+         (l_extendedprice::DECIMAL(18,2) * 100)::DECIMAL(18,0)::BIGINT AS y,
+         count(*)::BIGINT AS f
+  FROM lineitem GROUP BY 1, 2
+),
+rx AS (
+  SELECT x, 2 * coalesce(sum(n_v) OVER (ORDER BY x
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + n_v + 1 AS r2x
+  FROM (SELECT x, sum(f)::BIGINT AS n_v FROM cells GROUP BY x)
+),
+ry AS (
+  SELECT y, 2 * coalesce(sum(n_v) OVER (ORDER BY y
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + n_v + 1 AS r2y
+  FROM (SELECT y, sum(f)::BIGINT AS n_v FROM cells GROUP BY y)
+),
+m AS (
+  SELECT sum(f)::BIGINT AS n,
+         sum(f::HUGEINT * r2x) AS sx, sum(f::HUGEINT * r2y) AS sy,
+         sum(f::HUGEINT * r2x * r2x) AS sxx,
+         sum(f::HUGEINT * r2y * r2y) AS syy,
+         sum(f::HUGEINT * r2x * r2y) AS sxy
+  FROM cells JOIN rx USING (x) JOIN ry USING (y)
+)
+SELECT n,
+       round((n::HUGEINT * sxy - sx * sy)::DOUBLE
+             / (sqrt((n::HUGEINT * sxx - sx * sx)::DOUBLE)
+                * sqrt((n::HUGEINT * syy - sy * sy)::DOUBLE)), 6) AS rho,
+       round(((n::HUGEINT * sxy - sx * sy)::DOUBLE
+              / (sqrt((n::HUGEINT * sxx - sx * sx)::DOUBLE)
+                 * sqrt((n::HUGEINT * syy - sy * sy)::DOUBLE)))
+             * sqrt((n - 2)
+                    / (1.0 - ((n::HUGEINT * sxy - sx * sy)::DOUBLE
+                              / (sqrt((n::HUGEINT * sxx - sx * sx)::DOUBLE)
+                                 * sqrt((n::HUGEINT * syy - sy * sy)::DOUBLE)))
+                             ^ 2)), 4) AS t_stat
+FROM m
+"""
+
+
+def q_lineitem_kendall_qty_discount(spark: SparkSession, sf: str) -> DataFrame:
+    """Kendall's tau-b between l_quantity and l_discount — association on
+    ORDINAL scales where Pearson is meaningless. Both domains are tiny
+    (≤50 quantities × ≤11 discounts), so the estimator runs on the joint
+    CONTINGENCY table: concordant/discordant pair counts are one
+    cell×cell broadcast join of a ≤550-row frame (each unordered pair
+    counted once via x_a < x_b), never an O(n²) row join. Ties use the
+    tau-b denominator √((n0−n1)(n0−n2))."""
+    li = table(spark, sf, "lineitem")
+    cells = (
+        li.select(_cents("l_quantity").alias("x"), _cents("l_discount").alias("y"))
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).cast("long").alias("f"))
+    )
+    a, b = cells.alias("a"), cells.alias("b")
+    fa = F.col("a.f").cast(_DEC)
+    fb = F.col("b.f").cast(_DEC)
+    pair = a.join(F.broadcast(b), F.col("a.x") < F.col("b.x")).agg(
+        F.sum(F.when(F.col("a.y") < F.col("b.y"), fa * fb).otherwise(F.lit(0).cast(_DEC))).alias("nc"),
+        F.sum(F.when(F.col("a.y") > F.col("b.y"), fa * fb).otherwise(F.lit(0).cast(_DEC))).alias("nd"),
+    )
+    ties = cells.agg(F.sum("f").cast("long").alias("n"))
+    tx = (
+        cells.groupBy("x").agg(F.sum("f").alias("t"))
+        .agg(F.sum(F.col("t").cast(_DEC) * F.col("t")).cast(_DEC).alias("sx2"))
+    )
+    ty = (
+        cells.groupBy("y").agg(F.sum("f").alias("t"))
+        .agg(F.sum(F.col("t").cast(_DEC) * F.col("t")).cast(_DEC).alias("sy2"))
+    )
+    m = pair.crossJoin(ties).crossJoin(tx).crossJoin(ty)
+    n = F.col("n").cast(_DEC)
+    # doubled pair counts: 2·n0 = n² − n, 2·n1 = Σt_x² − n, 2·n2 = Σt_y² − n
+    n0_2 = (n * n - n).cast("double")
+    n1_2 = (F.col("sx2") - n).cast("double")
+    n2_2 = (F.col("sy2") - n).cast("double")
+    nc, nd = F.col("nc").cast("double"), F.col("nd").cast("double")
+    tau = (nc - nd) * 2.0 / (F.sqrt(n0_2 - n1_2) * F.sqrt(n0_2 - n2_2))
+    return m.select(
+        "n",
+        nc.alias("n_concordant"),
+        nd.alias("n_discordant"),
+        F.round(tau, 6).alias("tau_b"),
+    )
+
+
+ORACLE_LINEITEM_KENDALL_QTY_DISCOUNT = """
+WITH cells AS (
+  SELECT (l_quantity::DECIMAL(18,2) * 100)::DECIMAL(18,0)::BIGINT AS x,
+         (l_discount::DECIMAL(18,2) * 100)::DECIMAL(18,0)::BIGINT AS y,
+         count(*)::BIGINT AS f
+  FROM lineitem GROUP BY 1, 2
+),
+pair AS (
+  SELECT sum(CASE WHEN a.y < b.y THEN a.f::HUGEINT * b.f ELSE 0::HUGEINT END) AS nc,
+         sum(CASE WHEN a.y > b.y THEN a.f::HUGEINT * b.f ELSE 0::HUGEINT END) AS nd
+  FROM cells a JOIN cells b ON a.x < b.x
+),
+ties AS (SELECT sum(f)::BIGINT AS n FROM cells),
+tx AS (SELECT sum(t::HUGEINT * t) AS sx2
+       FROM (SELECT sum(f)::BIGINT AS t FROM cells GROUP BY x)),
+ty AS (SELECT sum(t::HUGEINT * t) AS sy2
+       FROM (SELECT sum(f)::BIGINT AS t FROM cells GROUP BY y))
+SELECT n, nc::DOUBLE AS n_concordant, nd::DOUBLE AS n_discordant,
+       round((nc::DOUBLE - nd::DOUBLE) * 2.0
+             / (sqrt((n::HUGEINT * n - n)::DOUBLE - (sx2 - n)::DOUBLE)
+                * sqrt((n::HUGEINT * n - n)::DOUBLE - (sy2 - n)::DOUBLE)), 6)
+         AS tau_b
+FROM pair, ties, tx, ty
+"""
+
+
+def q_priority_revenue_kruskal(spark: SparkSession, sf: str) -> DataFrame:
+    """Kruskal-Wallis rank ANOVA of order value across the five order
+    priorities — the nonparametric companion of
+    ``priority_revenue_anova`` (rank-based, so heavy tails can't
+    distort it). Doubled midranks over the distinct-cents frame; per
+    group the exact decimal rank sum; H with the standard tie
+    correction; contributions cross the 5-row frame as 6dp-rounded
+    DECIMAL(28,6) (order-free — the anova doctrine)."""
+    orders = table(spark, sf, "orders")
+    cells = orders.groupBy(
+        F.col("o_orderpriority").alias("priority"),
+        _cents("o_totalprice").alias("v"),
+    ).agg(F.count(F.lit(1)).alias("f"))
+    vframe = cells.groupBy("v").agg(F.sum("f").alias("n_v"))
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    r2 = vframe.select(
+        "v",
+        "n_v",
+        (2 * F.coalesce(F.sum("n_v").over(w), F.lit(0)) + F.col("n_v") + 1)
+        .alias("r2"),
+    )
+    g = (
+        cells.join(r2.select("v", "r2"), "v")
+        .groupBy("priority")
+        .agg(
+            F.sum("f").cast("long").alias("n_g"),
+            F.sum(F.col("f").cast(_DEC) * F.col("r2")).cast(_DEC).alias("r2_g"),
+        )
+    )
+    tie_row = r2.agg(
+        F.sum(
+            (F.col("n_v").cast(_DEC) * F.col("n_v") * F.col("n_v") - F.col("n_v"))
+        ).cast(_DEC).alias("tie3")
+    )
+    w_all = Window.partitionBy()
+    term = F.round(
+        (F.col("r2_g") * F.col("r2_g")).cast(_DEC).cast("double") / F.col("n_g"),
+        6,
+    ).cast("decimal(28,6)")
+    scored = g.crossJoin(tie_row).select(
+        "priority",
+        "n_g",
+        F.round(F.col("r2_g").cast("double") / 2 / F.col("n_g"), 4).alias("mean_rank"),
+        F.sum("n_g").over(w_all).alias("n_all"),
+        F.sum(term).over(w_all).alias("sum_term"),
+        F.count(F.lit(1)).over(w_all).alias("k"),
+        "tie3",
+    )
+    n_all = F.col("n_all")
+    # H = 3/(N(N+1))·Σ(r2_g²/n_g) − 3(N+1)   (doubled ranks: 12/4 = 3)
+    h = (
+        F.lit(3.0)
+        / (n_all.cast("double") * (n_all + 1).cast("double"))
+        * F.col("sum_term").cast("double")
+        - 3.0 * (n_all + 1).cast("double")
+    )
+    corr = F.lit(1.0) - F.col("tie3").cast("double") / (
+        n_all.cast(_DEC) * n_all * n_all - n_all
+    ).cast("double")
+    return scored.select(
+        "priority",
+        "n_g",
+        "mean_rank",
+        F.round(h / corr, 6).alias("h_stat"),
+        (F.col("k") - 1).cast("long").alias("df"),
+    ).orderBy("priority")
+
+
+ORACLE_PRIORITY_REVENUE_KRUSKAL = """
+WITH cells AS (
+  SELECT o_orderpriority AS priority,
+         (o_totalprice::DECIMAL(18,2) * 100)::DECIMAL(18,0)::BIGINT AS v,
+         count(*)::BIGINT AS f
+  FROM orders GROUP BY 1, 2
+),
+r2f AS (
+  SELECT v, n_v,
+         2 * coalesce(sum(n_v) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + n_v + 1 AS r2
+  FROM (SELECT v, sum(f)::BIGINT AS n_v FROM cells GROUP BY v)
+),
+g AS (
+  SELECT priority, sum(f)::BIGINT AS n_g,
+         sum(f::HUGEINT * r2) AS r2_g
+  FROM cells JOIN r2f USING (v) GROUP BY priority
+),
+tie AS (SELECT sum(n_v::HUGEINT * n_v * n_v - n_v) AS tie3 FROM r2f),
+scored AS (
+  SELECT priority, n_g,
+         round(r2_g::DOUBLE / 2 / n_g, 4) AS mean_rank,
+         sum(n_g) OVER () AS n_all,
+         sum(round((r2_g * r2_g)::DOUBLE / n_g, 6)::DECIMAL(28,6)) OVER () AS sum_term,
+         count(*) OVER () AS k,
+         tie3
+  FROM g, tie
+)
+SELECT priority, n_g, mean_rank,
+       round((3.0 / (n_all::DOUBLE * (n_all + 1)) * sum_term::DOUBLE
+              - 3.0 * (n_all + 1))
+             / (1.0 - tie3::DOUBLE
+                      / (n_all::HUGEINT * n_all * n_all - n_all)::DOUBLE), 6)
+         AS h_stat,
+       (k - 1)::BIGINT AS df
+FROM scored
+ORDER BY priority
+"""
+
+
+def q_revenue_theil_sen_trend(spark: SparkSession, sf: str) -> DataFrame:
+    """Theil-Sen robust trend of monthly revenue: the MEDIAN of all
+    pairwise slopes between the ~80 monthly totals — the slope
+    estimator Mann-Kendall (``revenue_mann_kendall``) tests the sign
+    of, immune to outlier months (breakdown point 29%).
+
+    Scale shape: orders collapse ONCE to the month frame (partial agg);
+    everything after — the pair join (~80² / 2 slopes), the sort, the
+    median — runs on the tiny aggregate (the endpoint-collapse
+    exemption). Slopes divide exact integer cents by exact integer
+    month gaps, so both engines produce bit-identical doubles and the
+    median picks the same value."""
+    orders = table(spark, sf, "orders")
+    months = (
+        orders.groupBy(F.date_trunc("month", F.col("o_orderdate")).alias("mon"))
+        .agg(F.sum(_cents("o_totalprice")).cast("long").alias("c"))
+    )
+    iw = Window.orderBy("mon")
+    idx = months.select(F.row_number().over(iw).alias("i"), "c")
+    a, b = idx.alias("a"), idx.alias("b")
+    slopes = a.join(F.broadcast(b), F.col("a.i") < F.col("b.i")).select(
+        (
+            (F.col("b.c") - F.col("a.c")).cast("double")
+            / (F.col("b.i") - F.col("a.i")).cast("double")
+        ).alias("slope")
+    )
+    sw = Window.orderBy("slope")
+    ranked = slopes.select(
+        "slope",
+        F.row_number().over(sw).alias("r"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("m"),
+    )
+    # integer division: fp /2 would miss the lower middle for even m
+    med = ranked.filter(
+        (F.col("r") == F.expr("(m + 1) div 2"))
+        | (F.col("r") == F.expr("(m + 2) div 2"))
+    ).agg(F.max("m").alias("n_pairs"), F.avg("slope").alias("med"))
+    n_months = months.agg(F.count(F.lit(1)).alias("n_months"))
+    return n_months.crossJoin(med).select(
+        "n_months",
+        F.col("n_pairs").cast("long").alias("n_pairs"),
+        F.round(F.col("med") / 100.0, 6).alias("sen_slope_dollars_per_month"),
+    )
+
+
+ORACLE_REVENUE_THEIL_SEN_TREND = """
+WITH months AS (
+  SELECT date_trunc('month', o_orderdate) AS mon,
+         sum((o_totalprice::DECIMAL(18,2) * 100)::DECIMAL(18,0))::BIGINT AS c
+  FROM orders GROUP BY 1
+),
+idx AS (SELECT row_number() OVER (ORDER BY mon) AS i, c FROM months),
+slopes AS (
+  SELECT (b.c - a.c)::DOUBLE / (b.i - a.i)::DOUBLE AS slope
+  FROM idx a JOIN idx b ON a.i < b.i
+),
+ranked AS (
+  SELECT slope, row_number() OVER (ORDER BY slope) AS r,
+         count(*) OVER () AS m
+  FROM slopes
+),
+med AS (
+  SELECT max(m) AS n_pairs, avg(slope) AS med
+  FROM ranked WHERE r = (m + 1) // 2 OR r = (m + 2) // 2
+)
+SELECT (SELECT count(*) FROM months)::BIGINT AS n_months,
+       n_pairs::BIGINT AS n_pairs,
+       round(med / 100.0, 6) AS sen_slope_dollars_per_month
+FROM med
+"""
+
+
+QUERIES: dict[str, Query] = {
+    "lineitem_spearman_qty_price": Query(
+        q_lineitem_spearman_qty_price,
+        ORACLE_LINEITEM_SPEARMAN_QTY_PRICE,
+        ("stats", "correlation", "rank"),
+    ),
+    "lineitem_kendall_qty_discount": Query(
+        q_lineitem_kendall_qty_discount,
+        ORACLE_LINEITEM_KENDALL_QTY_DISCOUNT,
+        ("stats", "correlation", "rank"),
+    ),
+    "priority_revenue_kruskal": Query(
+        q_priority_revenue_kruskal,
+        ORACLE_PRIORITY_REVENUE_KRUSKAL,
+        ("stats", "association", "rank"),
+    ),
+    "revenue_theil_sen_trend": Query(
+        q_revenue_theil_sen_trend,
+        ORACLE_REVENUE_THEIL_SEN_TREND,
+        ("stats", "trend", "timeseries"),
+    ),
+}

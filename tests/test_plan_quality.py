@@ -781,3 +781,44 @@ def test_suffix_dup_spans_text_never_shuffles(spark, sf_correctness):
         assert m.group(1) in {"fp", "doc_id"}, plan
     wins = set(re.findall(r"windowspecdefinition\((\w+)#", plan))
     assert wins == {"fp", "doc_id"}, wins
+
+
+def test_ann_index_query_serves_without_training(spark, sf_correctness):
+    """The persisted-index serving contract (r9): the query plan contains
+    NO training subtree — zero hash exchanges at all (the codes scan is
+    scored in-row against broadcast codebooks and finishes in
+    TakeOrdered), and the codes read is partition-pruned to the probed
+    cells' files."""
+    import re
+
+    df = QUERIES["ann_index_query"].fn(spark, sf_correctness)
+    plan = explain_str(df, "simple")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan, plan
+    # the ONLY permitted hash exchange is the 128-ROW codebook collapse
+    # (groupBy m -> collect_list) feeding a broadcast; the codes/corpus
+    # side must not shuffle, and no (m, cluster) TRAINING agg may appear
+    # (training keys both columns — its presence would mean a retrain)
+    hash_keys = set(re.findall(r"Exchange hashpartitioning\((\w+)#", plan))
+    assert hash_keys <= {"m"}, f"serving plan must not shuffle: {hash_keys}\n{plan}"
+    assert plan.count("Exchange hashpartitioning(") == 1, plan
+    # partition pruning on the index table: the codes scan touches fewer
+    # files than the table holds (IVF_PROBES=2 of up to 8 cells probed)
+    from customer_activity_lakehouse_spark.plans.ann_index import _index_dir
+    from customer_activity_lakehouse_spark.sources.snapshots import read_snapshot
+
+    idx = _index_dir(spark, sf_correctness)
+    all_codes = set(read_snapshot(spark, f"{idx}/codes").inputFiles())
+    probed = {f for f in df.inputFiles() if "/codes/" in f and "-dv-" not in f}
+    assert probed and len(probed) < len(all_codes), (len(probed), len(all_codes))
+
+
+def test_dedup_incremental_minhash_reads_persisted_pairs(spark, sf_correctness):
+    """The catalog entry reads the COMMITTED pairs table — no shingle
+    recomputation rides repeated runs (the lifecycle mutates once,
+    memoized; the query itself is a scan)."""
+    df = QUERIES["dedup_incremental_minhash"].fn(spark, sf_correctness)
+    files = df.inputFiles()
+    assert files and all("/pairs/" in f for f in files), files
+    plan = explain_str(df, "simple")
+    assert "BatchEvalPython" not in plan, plan

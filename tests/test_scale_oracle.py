@@ -137,6 +137,18 @@ HEAVY = [
     # row tracking: the id space, the dv-delete population, and the
     # compaction's materialized-file layout all scale with order volume
     "dml_row_tracking_ids",
+    # r9 rank statistics: midrank frames, tie populations, and the
+    # HUGEINT/decimal moment widths (n·Σr², Σt³) all grow with fact
+    # volume — the same exact-width class as ranksum/KS
+    "lineitem_spearman_qty_price",
+    "lineitem_kendall_qty_discount",
+    "priority_revenue_kruskal",
+    "revenue_theil_sen_trend",
+    # r9 index lifecycle: which band buckets collide (and thus the whole
+    # candidate-pair population) repopulates with corpus size; the ANN
+    # serve must keep matching the retraining oracle as cells refill
+    "dedup_incremental_minhash",
+    "ann_index_query",
 ]
 
 
