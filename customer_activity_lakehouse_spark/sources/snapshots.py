@@ -728,6 +728,13 @@ def rename_snapshot_column(
         manifest["unique_keys"] = {
             k: [new if c == old else c for c in cols] for k, cols in uniq.items()
         }
+    clus = m.get("clustering")
+    if clus and old in clus.get("cols", []):
+        # layout keys follow the rename (a stale key would fail the next
+        # liquid compaction's repartitionByRange on an unresolved column)
+        manifest["clustering"] = {
+            **clus, "cols": [new if c == old else c for c in clus["cols"]]
+        }
     for k in ("stats", "dv_files"):
         if m.get(k):
             manifest[k] = m[k]
@@ -778,6 +785,11 @@ def drop_snapshot_column(spark: SparkSession, table_dir: str, name: str) -> int:
             f"drop_snapshot_column: {name!r} belongs to declared unique "
             f"key(s) {uk_owners} of {table_dir} — drop_unique_key first "
             "(dropping it would brick every later append's uniqueness probe)"
+        )
+    if name in (m.get("clustering") or {}).get("cols", []):
+        raise ValueError(
+            f"drop_snapshot_column: {name!r} is a clustering column of "
+            f"{table_dir} — drop_cluster_columns (CLUSTER BY NONE) first"
         )
     _check_constraint_refs(m, name, "drop_snapshot_column")
     colmap, used = _mapping_of(m)
@@ -998,8 +1010,8 @@ def _commit_append_files(
         if versions and partition_by and recorded_part != partition_by:
             raise ValueError(
                 f"commit_append: {table_dir} is partitioned by {recorded_part}; "
-                f"this append declared {partition_by} — partitioning is fixed "
-                "at table creation (use commit_overwrite to re-lay the table)"
+                f"this append declared {partition_by} — evolve the recorded "
+                "spec first (set_partition_spec), or commit_overwrite to re-lay"
             )
         # IDENTITY watermark arbitration: the staged files carry ids minted
         # from identity_base — commit only if that base is STILL the
@@ -1098,6 +1110,11 @@ def _commit_append_files(
             manifest["stats"] = {**prev_stats, **new_stats}
         if extra:
             manifest.update(extra)
+        # belt-and-braces: any table property the hand-built section above
+        # didn't own still carries (setdefault — explicit sets win). The
+        # hand-picked list silently dropped `clustering` when it joined
+        # the property set — the exact bug class _carry_props removes.
+        _carry_props(prev_m if versions else None, manifest)
         # row tracking: allocate bases for this batch from the manifest
         # read THIS attempt — losing the slot re-enters the loop and
         # re-allocates above the winner's watermark (metadata-only, so
@@ -1289,8 +1306,8 @@ def _commit_append_once(
         if partition_by and recorded_part != partition_by:
             raise ValueError(
                 f"commit_append: {table_dir} is partitioned by {recorded_part}; "
-                f"this append declared {partition_by} — partitioning is fixed "
-                "at table creation (use commit_overwrite to re-lay the table)"
+                f"this append declared {partition_by} — evolve the recorded "
+                "spec first (set_partition_spec), or commit_overwrite to re-lay"
             )
         partition_by = recorded_part  # inherit the table's layout
     if partition_by:
@@ -1426,9 +1443,9 @@ def commit_overwrite(
         # bloom indexing is a table property — it survives the rewrite
         # (file_blooms skips spec columns absent from the new layout)
         manifest["bloom"] = prev_m["bloom"]
-    # generated rules, unique keys, and identity specs survive an
-    # overwrite (Delta keeps table metadata across mode=overwrite)
-    for k in ("generated", "unique_keys"):
+    # generated rules, unique keys, clustering, and identity specs survive
+    # an overwrite (Delta keeps table metadata across mode=overwrite)
+    for k in ("generated", "unique_keys", "clustering"):
         if prev_m and prev_m.get(k):
             manifest[k] = prev_m[k]
     ident = prev_m.get("identity", {}) if prev_m else {}
@@ -1628,7 +1645,7 @@ def commit_replace_where(
 
 _TABLE_PROPS = (
     "constraints", "table_stats", "generated", "partition_by", "bloom", "identity",
-    "unique_keys", "row_tracking",
+    "unique_keys", "row_tracking", "clustering",
 )
 
 
@@ -2006,6 +2023,138 @@ def set_bloom_filter(
     if not _try_commit(spark, table_dir, base_v + 1, manifest):
         raise RuntimeError(
             f"set_bloom_filter: version {base_v + 1} was committed "
+            f"concurrently at {table_dir}; re-read and retry"
+        )
+    return base_v + 1
+
+
+def set_partition_spec(
+    spark: SparkSession, table_dir: str, cols: list[str]
+) -> int:
+    """Iceberg PARTITION EVOLUTION (Delta cannot do this): change the
+    table's partition spec with ONE metadata commit — zero data rewrite.
+    Files written before the change keep their old layout; files written
+    after lay out hive-style by the new spec. Reads stay correct because
+    partition pruning runs through per-file [min, max] STATS, never
+    directory inference: new-spec files prune EXACTLY (value-pure, so
+    min == max), old-spec files are kept conservatively until a rewrite
+    (OPTIMIZE / DML) re-lays them under the current spec — exactly
+    Iceberg's spec-evolution semantics. Pass ``[]`` to unpartition.
+
+    At 100 TB this is the difference between "repartition the table"
+    being a metadata statement and being days of I/O (the reference
+    re-lays whole zones to change layout, data_processing.py:218)."""
+    versions = _list_versions(spark, table_dir)
+    if not versions:
+        raise FileNotFoundError(f"no snapshots at {table_dir}")
+    base_v = versions[-1]
+    m = _read_manifest(spark, table_dir, base_v)
+    known = {n for n, _ in m.get("schema") or []}
+    missing = [c for c in cols if c not in known]
+    if missing:
+        raise KeyError(
+            f"set_partition_spec: column(s) {missing} not in the table "
+            f"schema {sorted(known)}"
+        )
+    manifest = {
+        "version": base_v + 1,
+        "op": "set_partitioning",
+        "data_change": False,
+        "files": m["files"],
+        "schema": m.get("schema"),
+    }
+    if cols:
+        manifest["partition_by"] = list(cols)
+    for k in ("stats", "dv_files"):
+        if m.get(k):
+            manifest[k] = m[k]
+    _carry_props(m, manifest, exclude=("partition_by",))
+    _carry_mapping(m, manifest)
+    if not _try_commit(spark, table_dir, base_v + 1, manifest):
+        raise RuntimeError(
+            f"set_partition_spec: version {base_v + 1} was committed "
+            f"concurrently at {table_dir}; re-read and retry"
+        )
+    return base_v + 1
+
+
+def set_cluster_columns(
+    spark: SparkSession, table_dir: str, cols: list[str], zorder: bool = False
+) -> int:
+    """Delta LIQUID CLUSTERING parity (``ALTER TABLE ... CLUSTER BY``):
+    record ``cols`` as the table's persistent clustering keys. From this
+    commit on, every plain ``compact_snapshot`` / ``maintain_snapshot``
+    run lays its rewrites out range-sorted (or Z-ordered, with
+    ``zorder=True`` and ≥2 cols) on these columns INCREMENTALLY — only
+    the sub-target files it was going to rewrite anyway, so nightly
+    maintenance clusters the new data without ever re-laying the whole
+    table (Delta liquid's core contract vs static ZORDER). A full
+    re-layout stays available explicitly (``compact_snapshot(...,
+    cluster_by=...)`` or SQL ``OPTIMIZE ... FULL``).
+
+    Advisory layout state, not a protocol feature: readers need nothing,
+    and a writer that ignores it only writes less-prunable files —
+    correctness never depends on it. Metadata-only commit; races abort."""
+    versions = _list_versions(spark, table_dir)
+    if not versions:
+        raise FileNotFoundError(f"no snapshots at {table_dir}")
+    base_v = versions[-1]
+    m = _read_manifest(spark, table_dir, base_v)
+    known = {n for n, _ in m.get("schema") or []}
+    missing = [c for c in cols if c not in known]
+    if missing:
+        raise KeyError(
+            f"set_cluster_columns: column(s) {missing} not in the table "
+            f"schema {sorted(known)}"
+        )
+    if zorder and len(cols) < 2:
+        raise ValueError("set_cluster_columns: zorder needs >= 2 columns")
+    manifest = {
+        "version": base_v + 1,
+        "op": "set_clustering",
+        "data_change": False,
+        "files": m["files"],
+        "schema": m.get("schema"),
+        "clustering": {"cols": list(cols), "zorder": bool(zorder)},
+    }
+    for k in ("stats", "dv_files"):
+        if m.get(k):
+            manifest[k] = m[k]
+    _carry_props(m, manifest, exclude=("clustering",))
+    _carry_mapping(m, manifest)
+    if not _try_commit(spark, table_dir, base_v + 1, manifest):
+        raise RuntimeError(
+            f"set_cluster_columns: version {base_v + 1} was committed "
+            f"concurrently at {table_dir}; re-read and retry"
+        )
+    return base_v + 1
+
+
+def drop_cluster_columns(spark: SparkSession, table_dir: str) -> int:
+    """``ALTER TABLE ... CLUSTER BY NONE``: stop clustering future
+    rewrites (existing layout untouched)."""
+    versions = _list_versions(spark, table_dir)
+    if not versions:
+        raise FileNotFoundError(f"no snapshots at {table_dir}")
+    base_v = versions[-1]
+    m = _read_manifest(spark, table_dir, base_v)
+    if not m.get("clustering"):
+        raise KeyError(f"no clustering columns declared at {table_dir}")
+    manifest = {
+        "version": base_v + 1,
+        "op": "drop_clustering",
+        "data_change": False,
+        "files": m["files"],
+        "schema": m.get("schema"),
+    }
+    for k in ("stats", "dv_files"):
+        if m.get(k):
+            manifest[k] = m[k]
+    _carry_props(m, manifest, exclude=("clustering",))
+    _carry_mapping(m, manifest)
+    if not _try_commit(spark, table_dir, base_v + 1, manifest):
+        raise RuntimeError(
+            f"drop_cluster_columns: version {base_v + 1} was committed "
             f"concurrently at {table_dir}; re-read and retry"
         )
     return base_v + 1
@@ -3011,14 +3160,26 @@ def compact_snapshot(
             files, m.get("stats", {}), (_phys(colmap, sc), slo, shi)
         )
     sizes = _file_sizes(spark, files)
-    if cluster_by:
-        small = list(scoped)  # clustering rewrites the whole (scoped) layout
+    # LIQUID CLUSTERING (set_cluster_columns): with no explicit
+    # cluster_by, a declared clustering property turns the ORDINARY
+    # small-file sweep into an incremental clustering pass — the files
+    # being rewritten anyway come out range-/Z-laid on the clustering
+    # keys, so maintenance clusters new data without full re-layouts.
+    liquid = False
+    if cluster_by is None and m.get("clustering"):
+        cluster_by = list(m["clustering"]["cols"])
+        zorder = bool(m["clustering"].get("zorder"))
+        liquid = True
+    if cluster_by and not liquid:
+        small = list(scoped)  # explicit clustering rewrites the whole scope
     else:
         small = [f for f in scoped if sizes[f] < target_bytes]
     if len(small) < 2:
         return None
     total_small = sum(sizes[f] for f in small)
     n_out = max(1, -(-total_small // target_bytes))  # ceil
+    # liquid reclusters even when the file count wouldn't drop — the
+    # value is the layout, not the count (explicit cluster_by likewise)
     if not cluster_by and n_out >= len(small):
         return None
     big = [f for f in files if f not in set(small)]

@@ -270,3 +270,49 @@ def test_datasource_overwrite_inherits_partitioning(spark, tmp_path):
     assert read_snapshot(
         spark, t, partition_where={"d": "2024-01-10"}
     ).count() == 3
+
+
+def test_partition_spec_evolution(spark, tmp_path):
+    """Iceberg partition evolution: one metadata commit changes the spec
+    — old files keep their layout (pruned conservatively), new files lay
+    out by the new spec (pruned exactly), and a rewrite adopts the
+    current spec so pruning tightens over time. Never a filter."""
+    from pyspark.sql import functions as F
+
+    import customer_activity_lakehouse_spark.sources.snapshots as S
+
+    t = str(tmp_path / "tbl")
+    df = spark.range(0, 400).select(
+        "id",
+        (F.col("id") % 4).cast("int").alias("region"),
+        F.date_add(F.lit("2024-01-01").cast("date"), (F.col("id") % 10).cast("int")).alias("day"),
+    )
+    S.commit_append(spark, t, df.filter("id < 200"), partition_by=["region"])
+    v = S.set_partition_spec(spark, t, ["day"])
+    m = S._read_manifest(spark, t, v)
+    assert m["partition_by"] == ["day"]
+    # appends now lay out by day (and may no longer declare region)
+    S.commit_append(spark, t, df.filter("id >= 200"))
+    assert S.read_snapshot(spark, t).count() == 400
+    m2 = S._read_manifest(spark, t, v + 1)
+    new_files = [f for f in m2["files"] if f not in set(m["files"])]
+    assert new_files and all("__pp_day=" in f for f in new_files)
+    # pruning on the NEW spec: new files prune exactly; old-spec files
+    # survive conservatively (they hold matching rows anyway here)
+    probe = S.read_snapshot(spark, t, partition_where={"day": "2024-01-03"})
+    assert probe.filter("day = '2024-01-03'").count() == 40
+    pruned_new = [f for f in probe.inputFiles() if "__pp_day=" in f]
+    assert all("__pp_day=2024-01-03" in f for f in pruned_new)
+    # pruning on the OLD spec still works for old files (exact) and keeps
+    # new files conservatively — never a filter in either direction
+    probe_r = S.read_snapshot(spark, t, partition_where={"region": 2})
+    assert probe_r.filter("region = 2").count() == 100
+    # a rewrite adopts the current spec: compaction re-lays everything
+    S.compact_snapshot(spark, t, target_file_mb=1)
+    m3 = S._read_manifest(spark, t, S._list_versions(spark, t)[-1])
+    rewritten = [f for f in m3["files"] if f not in set(m2["files"])]
+    assert rewritten and all("__pp_day=" in f for f in rewritten)
+    # unpartition via the same verb
+    S.set_partition_spec(spark, t, [])
+    S.commit_append(spark, t, df.limit(5))
+    assert S.read_snapshot(spark, t).count() == 405

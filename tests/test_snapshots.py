@@ -2565,3 +2565,62 @@ def test_unique_key_blocks_raw_append_paths(spark, tmp_path):
         S._commit_append_files(
             spark, t, [], [["k", "bigint"], ["v", "string"]], {}
         )
+
+
+# ---------------------------------------------------------------------------
+# Liquid clustering (persistent CLUSTER BY)
+# ---------------------------------------------------------------------------
+
+
+def test_liquid_clustering_incremental_compaction(spark, tmp_path):
+    """set_cluster_columns makes PLAIN compaction an incremental
+    clustering pass: sub-target files come out range-laid on the
+    clustering key (disjoint stats → skip_where prunes to ~1 file),
+    while above-target files carry verbatim — maintenance clusters the
+    new data without full re-layouts (Delta liquid's contract)."""
+    import customer_activity_lakehouse_spark.sources.snapshots as S
+
+    t = str(tmp_path / "tbl")
+    # one ABOVE-target base file (~>1 MB) plus overlapping small appends
+    big = spark.range(0, 300_000).selectExpr(
+        "id", "md5(cast(id AS string)) AS pad"
+    ).coalesce(1)
+    commit_append(spark, t, big, stats_cols=["id"])
+    base_files = set(_read_manifest_latest(spark, t)["files"])
+    for _ in range(3):  # each small append spans the WHOLE id range
+        commit_append(
+            spark, t,
+            spark.range(0, 300_000, 1000).selectExpr(
+                "id", "md5(cast(id AS string)) AS pad"
+            ).coalesce(1),
+            stats_cols=["id"],
+        )
+    S.set_cluster_columns(spark, t, ["id"])
+    v = S.compact_snapshot(spark, t, target_file_mb=1)
+    assert v is not None
+    m = _read_manifest_latest(spark, t)
+    # the big file carried verbatim (incremental, not a full re-layout)
+    assert base_files <= set(m["files"])
+    new_files = [f for f in m["files"] if f not in base_files]
+    assert len(new_files) >= 1
+    # rewritten files carry DISJOINT id ranges (range-partitioned sort)
+    spans = sorted(
+        tuple(m["stats"][f]["id"]) for f in new_files if "id" in m["stats"][f]
+    )
+    for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
+        assert hi1 <= lo2, spans
+    assert read_snapshot(spark, t).count() == 300_000 + 3 * 300
+    # clustering survives rename; dropping the clustered column refuses
+    S.rename_snapshot_column(spark, t, "id", "rid")
+    m2 = _read_manifest_latest(spark, t)
+    assert m2["clustering"]["cols"] == ["rid"]
+    with pytest.raises(ValueError, match="clustering column"):
+        S.drop_snapshot_column(spark, t, "rid")
+    S.drop_cluster_columns(spark, t)
+    assert "clustering" not in _read_manifest_latest(spark, t)
+
+
+def _read_manifest_latest(spark, t):
+    import customer_activity_lakehouse_spark.sources.snapshots as S
+
+    return S._read_manifest(spark, t, S._list_versions(spark, t)[-1])

@@ -327,3 +327,76 @@ def test_create_table_as_select_sql_route(spark, tmp_path):
         run_table_sql(
             spark, f"CREATE TABLE snapshot.`{dst}` AS SELECT 1 AS id, 2 AS v"
         )
+
+
+def test_cluster_by_and_optimize_full_sql_routes(spark, tmp_path):
+    """ALTER TABLE ... CLUSTER BY declares liquid clustering; plain
+    OPTIMIZE then clusters incrementally, OPTIMIZE FULL re-lays the
+    whole table; CLUSTER BY NONE stops it."""
+    import customer_activity_lakehouse_spark.sources.snapshots as S
+
+    t = str(tmp_path / "tbl")
+    for i in range(4):
+        commit_append(
+            spark, t,
+            spark.range(0, 1000, 2 if i % 2 else 3).selectExpr(
+                "id", "id * 2 AS v"
+            ).coalesce(1),
+            stats_cols=["id"],
+        )
+    run_table_sql(spark, f"ALTER TABLE snapshot.`{t}` CLUSTER BY (id)")
+    m = S._read_manifest(spark, t, S._list_versions(spark, t)[-1])
+    assert m["clustering"] == {"cols": ["id"], "zorder": False}
+    v = run_table_sql(spark, f"OPTIMIZE snapshot.`{t}`")
+    assert v is not None
+    m = S._read_manifest(spark, t, S._list_versions(spark, t)[-1])
+    spans = sorted(st["id"] for st in m["stats"].values() if "id" in st)
+    for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
+        assert hi1 <= lo2, spans
+    # two more overlapping appends, then FULL re-lays EVERYTHING
+    for step in (5, 7):
+        commit_append(
+            spark, t,
+            spark.range(0, 1000, step).selectExpr("id", "id * 2 AS v").coalesce(1),
+            stats_cols=["id"],
+        )
+    v2 = run_table_sql(spark, f"OPTIMIZE snapshot.`{t}` FULL")
+    assert v2 is not None and v2 > v
+    m = S._read_manifest(spark, t, S._list_versions(spark, t)[-1])
+    spans = sorted(st["id"] for st in m["stats"].values() if "id" in st)
+    for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
+        assert hi1 <= lo2, spans
+    run_table_sql(spark, f"ALTER TABLE snapshot.`{t}` CLUSTER BY NONE")
+    m = S._read_manifest(spark, t, S._list_versions(spark, t)[-1])
+    assert "clustering" not in m
+    with pytest.raises(ValueError, match="no clustering columns"):
+        run_table_sql(spark, f"OPTIMIZE snapshot.`{t}` FULL")
+
+
+def test_set_partitioning_sql_route(spark, tmp_path):
+    import customer_activity_lakehouse_spark.sources.snapshots as S
+
+    t = _seed(spark, tmp_path)
+    run_table_sql(spark, f"ALTER TABLE snapshot.`{t}` SET PARTITIONING (v)")
+    m = S._read_manifest(spark, t, S._list_versions(spark, t)[-1])
+    assert m["partition_by"] == ["v"]
+    run_table_sql(spark, f"ALTER TABLE snapshot.`{t}` SET PARTITIONING NONE")
+    m = S._read_manifest(spark, t, S._list_versions(spark, t)[-1])
+    assert "partition_by" not in m
+
+
+def test_describe_files_sql_route(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    for i in range(12):  # crosses the checkpoint boundary
+        commit_append(
+            spark, t,
+            spark.range(i * 10, i * 10 + 10).selectExpr("id", "id * 2 AS v").coalesce(1),
+            stats_cols=["id"],
+        )
+    df = run_table_sql(spark, f"DESCRIBE FILES snapshot.`{t}`")
+    rows = df.filter("kind = 'data'").collect()
+    assert len(rows) == 12
+    got = {(r["path"], r["stat:id"]["lo"], r["stat:id"]["hi"]) for r in rows}
+    m = _read_manifest(spark, t, 12)
+    want = {(f, m["stats"][f]["id"][0], m["stats"][f]["id"][1]) for f in m["files"]}
+    assert got == want
