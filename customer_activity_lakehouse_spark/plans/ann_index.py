@@ -361,6 +361,55 @@ def q_ann_index_query(spark: SparkSession, sf: str) -> DataFrame:
     return query_ann_index(spark, idx, q0, k=ANN_TOPK)
 
 
+def q_ann_index_recall(spark: SparkSession, sf: str) -> DataFrame:
+    """Measured recall@10 of the PERSISTED-index serve against exact
+    brute-force cosine — the index-quality gate an operator tracks after
+    every rebuild/maintenance cycle (the quantized serve trades exactness
+    for 16x compression; this is the number that says how much). Both
+    sides are deterministic, so the oracle computes the identical value."""
+    from .llm_ops import _bruteforce_topk
+
+    served = q_ann_index_query(spark, sf).select("vec_id")
+    bf = _bruteforce_topk(spark, sf, ANN_TOPK).select("vec_id")
+    return (
+        served.join(bf, "vec_id", "left_semi")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+        .select(
+            F.lit(ANN_TOPK).alias("k"),
+            "n_hits",
+            F.round(F.col("n_hits") / F.lit(ANN_TOPK), 4).alias("recall_at_k"),
+        )
+    )
+
+
+def _ann_index_recall_sql() -> str:
+    from .llm_ops import _SQL_DOT, _SQL_NORM_A, _SQL_NORM_Q
+    from .ml_ops import _ivfpq_sql_chain
+
+    parts, final = _ivfpq_sql_chain()
+    return (
+        ",\n".join(
+            parts
+            + [
+                f"served AS (\n{final}\n)",
+                f"""bf AS (
+  SELECT a.vec_id AS vec_id
+  FROM embeddings a, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+  WHERE a.vec_id != 0
+  ORDER BY round({_SQL_DOT} / ({_SQL_NORM_A} * {_SQL_NORM_Q}), 4) DESC, a.vec_id
+  LIMIT {ANN_TOPK})""",
+            ]
+        )
+        + f"""
+SELECT {ANN_TOPK} AS k, count(*) AS n_hits,
+       round(count(*)::DOUBLE / {ANN_TOPK}, 4) AS recall_at_k
+FROM served WHERE vec_id IN (SELECT vec_id FROM bf)"""
+    )
+
+
+ORACLE_ANN_INDEX_RECALL = _ann_index_recall_sql()
+
+
 QUERIES: dict[str, Query] = {
     "ann_index_build": Query(
         q_ann_index_build,
@@ -371,5 +420,10 @@ QUERIES: dict[str, Query] = {
         q_ann_index_query,
         ORACLE_ANN_IVFPQ_TOPK,
         ("ann", "index", "similarity"),
+    ),
+    "ann_index_recall": Query(
+        q_ann_index_recall,
+        ORACLE_ANN_INDEX_RECALL,
+        ("ann", "index", "recall", "audit"),
     ),
 }

@@ -2767,7 +2767,10 @@ def q_ann_ivfpq_topk(spark: SparkSession, sf: str) -> DataFrame:
     return _pq_adc_topk(spark, sf, corpus)
 
 
-def _ivfpq_sql_oracle() -> str:
+def _ivfpq_sql_chain() -> tuple[list[str], str]:
+    """(with_parts, final_select) of the IVF-PQ oracle — exposed as parts
+    so composing oracles (the persisted-index recall) can wrap the final
+    select as a CTE instead of duplicating the chain."""
     km_parts, final_a, probe_c = _km_sql_parts()
     # the combined chain references emb from both sub-chains — materialize
     km_parts = [km_parts[0].replace("WITH emb AS (", "WITH emb AS MATERIALIZED (", 1)] + km_parts[1:]
@@ -2789,7 +2792,12 @@ def _ivfpq_sql_oracle() -> str:
 )""",
     ]
     pq_parts, final = _pq_sql_parts(prefix="p", include_emb=False, cand_cte="cand")
-    return ",\n".join(km_parts + ivf_tail + pq_parts) + "\n" + final
+    return km_parts + ivf_tail + pq_parts, final
+
+
+def _ivfpq_sql_oracle() -> str:
+    parts, final = _ivfpq_sql_chain()
+    return ",\n".join(parts) + "\n" + final
 
 
 ORACLE_ANN_IVFPQ_TOPK = _ivfpq_sql_oracle()

@@ -127,3 +127,48 @@ def test_maintain_refuses_non_append_feeds(spark, tmp_path):
     delete_snapshot(spark, src, "doc_id = 2")
     with pytest.raises(ValueError, match="append-only"):
         maintain_minhash_index(spark, idx, src)
+
+
+def test_streamed_corpus_feeds_index_maintenance(spark, tmp_path):
+    """Composition: documents arrive via the STREAMING snapshot sink
+    (micro-batch appends with replay-dedup stamps), and one maintenance
+    call afterwards folds exactly the streamed docs into the band index
+    — ingest-time dedup over a streaming corpus, no extra plumbing."""
+    from pyspark.sql import functions as F
+
+    from customer_activity_lakehouse_spark.streaming.streams import (
+        write_stream_snapshot_append,
+    )
+
+    src = str(tmp_path / "corpus")
+    idx = str(tmp_path / "idx")
+    commit_append(spark, src, _docs(spark, _BASE))
+    build_minhash_index(
+        spark, read_snapshot(spark, src), idx,
+        consumed_version=_list_versions(spark, src)[-1],
+    )
+    landing = str(tmp_path / "landing")
+    docs = spark.createDataFrame(
+        [
+            (30, "the quick brown fox jumps over the lazy dog again and again"),
+            (31, "this streamed doc resembles no other in the whole corpus"),
+        ],
+        "doc_id long, text string",
+    )
+    docs.coalesce(1).write.parquet(landing)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+    )
+    q = write_stream_snapshot_append(stream, src, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+    assert not q.isActive
+    pairs, v = maintain_minhash_index(spark, idx, src)
+    assert v == _list_versions(spark, src)[-1]
+    got = {(r.new_doc, r.dup_of) for r in pairs.collect()}
+    assert (30, 1) in got
+    assert not any(n == 31 for n, _ in got)
+    assert read_snapshot(spark, f"{idx}/bands").filter(
+        "doc_id >= 30"
+    ).count() == 8  # 4 bands x 2 streamed docs
