@@ -822,3 +822,39 @@ def test_dedup_incremental_minhash_reads_persisted_pairs(spark, sf_correctness):
     assert files and all("/pairs/" in f for f in files), files
     plan = explain_str(df, "simple")
     assert "BatchEvalPython" not in plan, plan
+
+
+def test_rank_stats_collapse_before_ranking(spark, sf_correctness):
+    """The r9 rank statistics' scale contract: facts collapse to
+    value-level frames FIRST (one partial-agg groupBy); the single
+    ordered window runs over the distinct-value frame, never a rank()
+    window over the fact table — so no plan may sort fact rows
+    globally. Kendall additionally must never pair fact ROWS: its
+    concordant/discordant join runs on the <=550-cell contingency frame
+    (broadcast), so no SortMergeJoin can appear at all."""
+    for name in (
+        "lineitem_spearman_qty_price",
+        "priority_revenue_kruskal",
+        "lineitem_kendall_qty_discount",
+    ):
+        plan = explain_str(QUERIES[name].fn(spark, sf_correctness), "simple")
+        assert "BatchEvalPython" not in plan, name
+        # partial aggregation reaches the scan side (map-side combine)
+        assert "partial_" in plan, f"{name}: no partial agg\n{plan}"
+    kendall = explain_str(
+        QUERIES["lineitem_kendall_qty_discount"].fn(spark, sf_correctness),
+        "simple",
+    )
+    assert "SortMergeJoin" not in kendall, kendall
+
+
+def test_theil_sen_pairs_only_monthly_aggregate(spark, sf_correctness):
+    """Theil-Sen's O(n²) pair join is legal ONLY because n is the ~80-row
+    monthly aggregate: the join must be a broadcast over the collapsed
+    frame (no SortMergeJoin, no exchange of fact rows into the pair
+    join)."""
+    plan = explain_str(
+        QUERIES["revenue_theil_sen_trend"].fn(spark, sf_correctness), "simple"
+    )
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
