@@ -386,7 +386,108 @@ FROM med
 """
 
 
+def q_revenue_pettitt_change(spark: SparkSession, sf: str) -> DataFrame:
+    """Pettitt changepoint test on daily revenue — WHERE does the series
+    split into two regimes? Completes the trend family: Mann-Kendall
+    (is there a trend), runs test (is it random), CUSUM (threshold
+    exceedance days), Theil-Sen (how steep); Pettitt locates the single
+    most likely change point with a significance approximation, rank-
+    based so outlier days can't fake a shift.
+
+    Identity: U_t = 2·W_t − t(n+1) with W_t the sum of the first t
+    midranks — carried DOUBLED (U_t = W2_t − t(n+1), exact integers),
+    so K = max|U_t| and the argmax day are bit-identical cross-engine;
+    p ≈ 2·exp(−6K²/(n³+n²)) is one fixed-order double expression.
+
+    Scale shape: facts collapse once to the day frame; ranks come from
+    the distinct-value frame; the prefix sum is one window over |days|
+    rows (the endpoint-collapse exemption — days don't grow with fact
+    volume); the argmax is a 1-row struct max."""
+    orders = table(spark, sf, "orders")
+    daily = orders.groupBy(F.col("o_orderdate").alias("d")).agg(
+        F.sum(_cents("o_totalprice")).cast("long").alias("v")
+    )
+    vals = daily.groupBy("v").agg(F.count(F.lit(1)).alias("n_v"))
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    r2map = vals.select(
+        "v",
+        (2 * F.coalesce(F.sum("n_v").over(w), F.lit(0)) + F.col("n_v") + 1)
+        .alias("r2"),
+    )
+    tw = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    scored = (
+        daily.join(r2map, "v")
+        .select(
+            "d",
+            F.row_number().over(Window.orderBy("d")).alias("t"),
+            F.sum(F.col("r2").cast(_DEC)).over(tw).alias("w2"),
+            F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+        )
+        .filter(F.col("t") < F.col("n"))
+    )
+    u = (F.col("w2") - F.col("t").cast(_DEC) * (F.col("n") + 1)).cast(_DEC)
+    peaked = scored.select(
+        "n",
+        F.max(
+            F.struct(
+                F.abs(u).alias("k"),
+                (-F.col("t")).alias("nt"),
+                F.col("t").alias("t"),
+                F.col("d").alias("d"),
+            )
+        ).over(Window.partitionBy()).alias("pk"),
+    ).limit(1)
+    n = F.col("n").cast(_DEC)
+    k = F.col("pk.k").cast("double")
+    p = 2.0 * F.exp(-6.0 * k * k / (n * n * n + n * n).cast("double"))
+    return peaked.select(
+        F.col("n").cast("long").alias("n_days"),
+        F.col("pk.k").cast("long").alias("k_stat"),
+        F.col("pk.t").cast("long").alias("change_t"),
+        F.col("pk.d").alias("change_day"),
+        F.round(F.least(p, F.lit(1.0)), 6).alias("p_approx"),
+    )
+
+
+ORACLE_REVENUE_PETTITT_CHANGE = """
+WITH daily AS (
+  SELECT o_orderdate AS d,
+         sum((o_totalprice::DECIMAL(18,2) * 100)::DECIMAL(18,0))::BIGINT AS v
+  FROM orders GROUP BY 1
+),
+r2map AS (
+  SELECT v, 2 * coalesce(sum(n_v) OVER (ORDER BY v
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + n_v + 1 AS r2
+  FROM (SELECT v, count(*)::BIGINT AS n_v FROM daily GROUP BY v)
+),
+scored AS (
+  SELECT d,
+         row_number() OVER (ORDER BY d) AS t,
+         sum(r2::HUGEINT) OVER (ORDER BY d
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS w2,
+         count(*) OVER () AS n
+  FROM daily JOIN r2map USING (v)
+),
+u AS (
+  SELECT d, t, n, abs(w2 - t::HUGEINT * (n + 1)) AS k
+  FROM scored WHERE t < n
+),
+pk AS (SELECT * FROM u ORDER BY k DESC, t LIMIT 1)
+SELECT n::BIGINT AS n_days, k::BIGINT AS k_stat, t::BIGINT AS change_t,
+       d AS change_day,
+       round(least(2.0 * exp(-6.0 * k::DOUBLE * k::DOUBLE
+                   / (n::HUGEINT * n * n + n::HUGEINT * n)::DOUBLE), 1.0), 6)
+         AS p_approx
+FROM pk
+"""
+
+
 QUERIES: dict[str, Query] = {
+    "revenue_pettitt_change": Query(
+        q_revenue_pettitt_change,
+        ORACLE_REVENUE_PETTITT_CHANGE,
+        ("stats", "changepoint", "timeseries"),
+    ),
     "lineitem_spearman_qty_price": Query(
         q_lineitem_spearman_qty_price,
         ORACLE_LINEITEM_SPEARMAN_QTY_PRICE,

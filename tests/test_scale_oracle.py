@@ -144,6 +144,7 @@ HEAVY = [
     "lineitem_kendall_qty_discount",
     "priority_revenue_kruskal",
     "revenue_theil_sen_trend",
+    "revenue_pettitt_change",
     # r9 index lifecycle: which band buckets collide (and thus the whole
     # candidate-pair population) repopulates with corpus size; the ANN
     # serve must keep matching the retraining oracle as cells refill
