@@ -42,6 +42,16 @@ On-disk format (all under ``<table>/_snapshots/``):
   ``point_where``) decodes ONLY the probed stat columns — parquet column
   pruning applied to the table's own metadata. Legacy ``ckpt-v*.json``
   checkpoints (r8 tables) still read.
+  Write-side note (deliberate): the checkpoint ENCODE runs on the driver
+  — one Arrow columnar encode of the resolved manifest, not a Spark job.
+  By protocol design the committer already HOLDS the resolved manifest
+  driver-side (optimistic concurrency arbitrates on one file rename;
+  there is no distributed commit state to write FROM), and an Arrow
+  encode of 10^6 rows is sub-second CPU, unlike the multi-minute
+  single-threaded JSON serialize it replaces. The side that must scale
+  horizontally is the READ, and it does: ``decode_ckpt`` prunes columns
+  (locally: column-chunk I/O), and ``snapshots.snapshot_files_scan``
+  reads the same file through ``spark.read.parquet`` distributed.
 - ``_last_checkpoint`` — pointer to the newest checkpoint version, so the
   common read (latest version) finds its base in one small read instead
   of probing. The pointer is advisory: stale or torn pointers only
