@@ -519,6 +519,21 @@ def resolved_view(raw: dict, state: tuple[list, dict, list]) -> dict:
     return out
 
 
+def _try_read_ckpt(read_ckpt, v: int) -> dict | None:
+    """Checkpoints are an ACCELERATION, not the source of truth: a torn
+    or corrupt checkpoint (a crashed non-local writer; local publication
+    is link-atomic) must degrade to walking the commit chain, never brick
+    resolution — the deltas below still hold everything (Delta readers
+    tolerate bad checkpoints the same way). UnsupportedTableFeature is
+    NOT swallowed: that one is a correctness refusal, not corruption."""
+    try:
+        return read_ckpt(v)
+    except UnsupportedTableFeature:
+        raise
+    except Exception:
+        return None
+
+
 def resolve(
     version: int,
     read_commit,
@@ -530,9 +545,14 @@ def resolve(
     ``read_commit(v) -> dict`` reads a raw commit record; ``has_ckpt(v) ->
     bool`` / ``read_ckpt(v) -> dict`` probe/read checkpoint manifests. The
     I/O is injected so the JVM (Hadoop FS) and pure-Python (os) engines
-    share one resolution algorithm — and one set of tests."""
+    share one resolution algorithm — and one set of tests. Unreadable
+    checkpoints are treated as absent (see ``_try_read_ckpt``); a
+    resolution that NEEDS a checkpoint (the chain below was vacuumed)
+    still fails loudly when that checkpoint is corrupt."""
     if has_ckpt(version):
-        return check_reader_features(read_ckpt(version), version)
+        ck = _try_read_ckpt(read_ckpt, version)
+        if ck is not None:
+            return check_reader_features(ck, version)
     chain: list[dict] = []
     v = version
     base_state: tuple[list, dict, list] | None = None
@@ -552,8 +572,10 @@ def resolve(
             )
         v -= 1
         if has_ckpt(v):
-            base_state = apply_commit(None, read_ckpt(v))
-            break
+            ck = _try_read_ckpt(read_ckpt, v)
+            if ck is not None:
+                base_state = apply_commit(None, ck)
+                break
     state = base_state
     for m in reversed(chain):
         state = apply_commit(state, m)

@@ -581,3 +581,36 @@ def test_snapshot_files_scan_distributed_and_pruned(spark, tmp_path):
     # time travel: the scan at an old version patches from the right base
     old = snapshot_files_scan(spark, t, version=13)
     assert old.filter("kind = 'data'").count() == 13
+
+
+def test_corrupt_checkpoint_degrades_to_chain_walk(spark, tmp_path):
+    """Checkpoints are an acceleration, not the source of truth: a torn/
+    corrupt checkpoint (crashed non-local writer) must degrade to walking
+    the delta chain, never brick resolution — but a resolution that
+    NEEDS the checkpoint (chain vacuumed away) still fails loudly."""
+    t = str(tmp_path / "tbl")
+    for i in range(23):
+        commit_append(
+            spark, t, _df(spark, i * 10, i * 10 + 10).coalesce(1), stats_cols=["id"]
+        )
+    snap = Path(t) / "_snapshots"
+    (snap / commitlog.ckpt_name(20)).write_bytes(b"PAR1 torn garbage")
+    assert read_snapshot(spark, t).count() == 230
+    assert len(read_snapshot(spark, t, skip_where=("id", 0, 5)).inputFiles()) == 1
+    # both checkpoints corrupt: the full chain from self-contained v1
+    (snap / commitlog.ckpt_name(10)).write_bytes(b"")
+    assert read_snapshot(spark, t, version=22).count() == 220
+    # the pure-Python DataSource reader degrades identically
+    from customer_activity_lakehouse_spark.sources.datasource import (
+        SnapshotLogDataSource,
+    )
+
+    spark.dataSource.register(SnapshotLogDataSource)
+    assert (
+        spark.read.format("snapshot_log").option("path", t).load().count() == 230
+    )
+    # chain vacuumed, checkpoint corrupt -> loud failure, not silence
+    for v in range(1, 21):
+        (snap / commitlog.commit_name(v)).unlink()
+    with pytest.raises(Exception):
+        read_snapshot(spark, t, version=23).count()
