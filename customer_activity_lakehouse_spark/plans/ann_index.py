@@ -168,6 +168,12 @@ def maintain_ann_index(
             "deletes (frozen codebooks cannot re-encode mutated vectors)"
         )
     new = feed.select("vec_id", "embedding")
+    if not new.limit(1).collect():
+        # the range held only data_change=false commits (an OPTIMIZE of
+        # the corpus): nothing to encode. Don't stamp either — stamping
+        # needs a commit, and an empty append has no files to commit;
+        # the next maintenance re-walks the same empty range (cheap).
+        return None
     embq = _quantize(new)
     cents = read_snapshot(spark, f"{index_dir}/ivf_centroids")
     books = read_snapshot(spark, f"{index_dir}/pq_codebooks")

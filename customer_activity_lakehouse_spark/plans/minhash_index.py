@@ -136,10 +136,18 @@ def maintain_minhash_index(
             "index maintains append-only corpora (a deleted doc leaves "
             "stale postings); rebuild after updates/deletes"
         )
+    if not feed.select("doc_id").limit(1).collect():
+        # only data_change=false commits in the range (an OPTIMIZE of the
+        # corpus): nothing to index, nothing to report; no stamp (an
+        # empty append has no files) — the next run re-walks the range
+        return None, None
     new_bands = (
         minhash_band_keys(feed.select("doc_id", "text"))
         .filter(F.col("band_val").isNotNull())
     )
+    if not new_bands.limit(1).collect():
+        # every new doc too short to shingle — nothing can ever LSH-match
+        return None, None
     # O(batch) driver list: the probe values that drive bloom pruning
     vals = [
         r["band_val"]

@@ -122,3 +122,25 @@ def test_maintain_refuses_non_append_feeds(spark, tmp_path):
     update_snapshot(spark, src, "vec_id = 5", {"tag": "2"})
     with pytest.raises(ValueError, match="append-only"):
         maintain_ann_index(spark, idx, src)
+
+
+def test_maintain_is_noop_after_corpus_optimize(spark, tmp_path):
+    """data_change=false corpus commits feed nothing — maintenance must
+    no-op instead of committing an empty append."""
+    from customer_activity_lakehouse_spark.sources.snapshots import (
+        compact_snapshot,
+    )
+
+    src = str(tmp_path / "corpus")
+    idx = str(tmp_path / "idx")
+    for lo in (0, 100):
+        commit_append(spark, src, _corpus(spark, lo, lo + 100).coalesce(1))
+    build_ann_index(
+        spark, read_snapshot(spark, src), idx,
+        consumed_version=_list_versions(spark, src)[-1],
+    )
+    assert compact_snapshot(spark, src, target_file_mb=1) is not None
+    assert maintain_ann_index(spark, idx, src) is None
+    commit_append(spark, src, _corpus(spark, 300, 320))
+    assert maintain_ann_index(spark, idx, src) == _list_versions(spark, src)[-1]
+    assert read_snapshot(spark, f"{idx}/codes").count() == 220

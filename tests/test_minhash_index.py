@@ -172,3 +172,34 @@ def test_streamed_corpus_feeds_index_maintenance(spark, tmp_path):
     assert read_snapshot(spark, f"{idx}/bands").filter(
         "doc_id >= 30"
     ).count() == 8  # 4 bands x 2 streamed docs
+
+
+def test_maintain_is_noop_after_corpus_optimize(spark, tmp_path):
+    """A data_change=false commit on the corpus (OPTIMIZE) contributes
+    nothing to the feed — maintenance must no-op, not crash on an empty
+    append; the next REAL append still folds correctly."""
+    from customer_activity_lakehouse_spark.sources.snapshots import (
+        compact_snapshot,
+    )
+
+    src = str(tmp_path / "corpus")
+    idx = str(tmp_path / "idx")
+    for lo in (0, 3):
+        commit_append(
+            spark, src,
+            _docs(spark, [(i, f"document {i} some shingleable content here padded")
+                          for i in range(lo, lo + 3)]).coalesce(1),
+        )
+    build_minhash_index(
+        spark, read_snapshot(spark, src), idx,
+        consumed_version=_list_versions(spark, src)[-1],
+    )
+    assert compact_snapshot(spark, src, target_file_mb=1) is not None
+    assert maintain_minhash_index(spark, idx, src) == (None, None)
+    commit_append(
+        spark, src,
+        _docs(spark, [(100, "document 1 some shingleable content here padded")]),
+    )
+    pairs, v = maintain_minhash_index(spark, idx, src)
+    assert v == _list_versions(spark, src)[-1]
+    assert (100, 1) in {(r.new_doc, r.dup_of) for r in pairs.collect()}
