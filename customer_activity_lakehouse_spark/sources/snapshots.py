@@ -4538,6 +4538,7 @@ def snapshot_detail(
             for c in (m.get("bloom") or {}).get("cols", [])
             if not colmap or c in to_logical
         ),
+        list((m.get("clustering") or {}).get("cols", [])),
     )
     return spark.createDataFrame(
         [row],
@@ -4547,7 +4548,7 @@ def snapshot_detail(
             "schema_ddl string, constraints string, table_stats string, "
             "n_dv_files int, "
             "stats_columns array<string>, partition_columns array<string>, "
-            "bloom_columns array<string>"
+            "bloom_columns array<string>, cluster_columns array<string>"
         ),
     )
 
