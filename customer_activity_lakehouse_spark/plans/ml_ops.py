@@ -2803,6 +2803,146 @@ def _ivfpq_sql_oracle() -> str:
 ORACLE_ANN_IVFPQ_TOPK = _ivfpq_sql_oracle()
 
 
+# ------------------------------------------------------- MMR re-ranking
+
+MMR_POOL = 20  # retrieved pool size (the ANN stage's output)
+MMR_K = 5  # diverse results returned
+# λ = 0.7: the relevance/diversity mix, Carbonell & Goldstein 1998's
+# default region. Applied to 6dp-ROUNDED similarities, so the blended
+# score is a fixed-order double of identical inputs in both engines.
+
+
+def _q_cos6(a, b):
+    """round(cosine, 6) of two QUANTIZED (integer) vectors — integer dot
+    and norms (order-free, exact), one double division at the end."""
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    ).cast("double")
+    na = F.aggregate(
+        F.transform(a, lambda x: x * x), F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    ).cast("double")
+    nb = F.aggregate(
+        F.transform(b, lambda x: x * x), F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    ).cast("double")
+    return F.round(dot / (F.sqrt(na) * F.sqrt(nb)), 6)
+
+
+def q_ann_mmr_rerank(spark: SparkSession, sf: str) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein 1998)
+    of the query's retrieved pool — the diversity stage every RAG serving
+    path runs after ANN: greedily pick MMR_K results maximizing
+    λ·rel(q, d) − (1−λ)·max_{s∈selected} sim(d, s), so near-duplicate
+    hits can't crowd the answer set (the first pick is pure relevance;
+    each later pick is penalized by its closest already-picked neighbor).
+
+    Scale shape: ONE corpus scan builds the MMR_POOL-row pool
+    (TakeOrdered); everything after — the pool's pairwise similarity
+    frame (≤ POOL² rows) and the K greedy argmax steps — runs on
+    broadcast-tiny frames, exactly how a serving tier re-ranks. The
+    greedy loop is K fixed unrolled steps (deterministic plan), never a
+    driver fold over collected rows.
+
+    Determinism: similarities are integer-exact (quantized grid) rounded
+    to 6dp BEFORE blending; ties break to the smaller vec_id."""
+    embq = _km_quantized(spark, sf)
+    q0 = embq.filter(F.col("vec_id") == 0).select(F.col("q").alias("qq"))
+    pool = (
+        embq.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q0))
+        .select("vec_id", "q", _q_cos6(F.col("q"), F.col("qq")).alias("rel"))
+        .orderBy(F.col("rel").desc(), "vec_id")
+        .limit(MMR_POOL)
+    )
+    a, b = pool.alias("a"), pool.alias("b")
+    pairs = (
+        a.join(F.broadcast(b), F.col("a.vec_id") != F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("a_id"),
+            F.col("b.vec_id").alias("b_id"),
+            _q_cos6(F.col("a.q"), F.col("b.q")).alias("sim"),
+        )
+    )
+    picks = (
+        pool.select(
+            F.lit(1).alias("rank"), "vec_id", "rel",
+            F.round(0.7 * F.col("rel"), 6).alias("mmr"),
+        )
+        .orderBy(F.col("mmr").desc(), "vec_id")
+        .limit(1)
+    )
+    selected = picks.select("vec_id")
+    for i in range(2, MMR_K + 1):
+        ms = (
+            pairs.join(F.broadcast(selected), pairs.b_id == selected.vec_id)
+            .groupBy("a_id")
+            .agg(F.max("sim").alias("maxsim"))
+        )
+        step = (
+            pool.join(F.broadcast(selected), "vec_id", "left_anti")
+            .join(ms, pool.vec_id == ms.a_id)
+            .select(
+                F.lit(i).alias("rank"),
+                "vec_id",
+                "rel",
+                F.round(0.7 * F.col("rel") - 0.3 * F.col("maxsim"), 6).alias("mmr"),
+            )
+            .orderBy(F.col("mmr").desc(), "vec_id")
+            .limit(1)
+        )
+        picks = picks.unionByName(step)
+        selected = picks.select("vec_id")
+    return picks.orderBy("rank")
+
+
+def _mmr_sql_oracle() -> str:
+    cos = (
+        "round(list_sum(list_transform(range(1, {d}+1), i -> {a}[i] * {b}[i]))::DOUBLE"
+        " / (sqrt(list_sum(list_transform(range(1, {d}+1), i -> {a}[i] * {a}[i]))::DOUBLE)"
+        " * sqrt(list_sum(list_transform(range(1, {d}+1), i -> {b}[i] * {b}[i]))::DOUBLE)), 6)"
+    )
+    parts = [
+        "WITH emb AS MATERIALIZED (SELECT vec_id,"
+        f" list_transform(embedding, x -> floor(x::DOUBLE * {KM_SCALE})::BIGINT) AS q"
+        " FROM embeddings)",
+        "pool AS MATERIALIZED (SELECT a.vec_id, a.q,"
+        f" {cos.format(d=KM_DIM, a='a.q', b='qq.q')} AS rel"
+        " FROM emb a, (SELECT q FROM emb WHERE vec_id = 0) qq"
+        " WHERE a.vec_id != 0"
+        f" ORDER BY rel DESC, a.vec_id LIMIT {MMR_POOL})",
+        "pairs AS MATERIALIZED (SELECT a.vec_id AS a_id, b.vec_id AS b_id,"
+        f" {cos.format(d=KM_DIM, a='a.q', b='b.q')} AS sim"
+        " FROM pool a JOIN pool b ON a.vec_id != b.vec_id)",
+        "s1 AS MATERIALIZED (SELECT 1 AS rank, vec_id, rel,"
+        " round(0.7 * rel, 6) AS mmr"
+        " FROM pool ORDER BY mmr DESC, vec_id LIMIT 1)",
+    ]
+    prev_sel = "SELECT vec_id FROM s1"
+    for i in range(2, MMR_K + 1):
+        parts.append(
+            f"s{i} AS MATERIALIZED (SELECT {i} AS rank, p.vec_id, p.rel,"
+            " round(0.7 * p.rel - 0.3 * max(pr.sim), 6) AS mmr"
+            " FROM pool p JOIN pairs pr ON pr.a_id = p.vec_id"
+            f" AND pr.b_id IN ({prev_sel})"
+            f" WHERE p.vec_id NOT IN ({prev_sel})"
+            " GROUP BY p.vec_id, p.rel"
+            " ORDER BY mmr DESC, p.vec_id LIMIT 1)"
+        )
+        prev_sel += f" UNION ALL SELECT vec_id FROM s{i}"
+    final = (
+        " UNION ALL ".join(
+            f"SELECT rank, vec_id, rel, mmr FROM s{i}" for i in range(1, MMR_K + 1)
+        )
+        + " ORDER BY rank"
+    )
+    return ",\n".join(parts) + "\n" + final
+
+
+ORACLE_ANN_MMR_RERANK = _mmr_sql_oracle()
+
+
 # ----------------------------------------------------- PCA power iteration
 
 PCA_ITERS = 6  # fixed iteration count — the analytic contract, like k-means
@@ -3566,6 +3706,11 @@ QUERIES: dict[str, Query] = {
         q_ann_ivf_kmeans_topk,
         ORACLE_ANN_IVF_KMEANS_TOPK,
         ("ann", "embedding", "clustering", "similarity"),
+    ),
+    "ann_mmr_rerank": Query(
+        q_ann_mmr_rerank,
+        ORACLE_ANN_MMR_RERANK,
+        ("ann", "similarity", "rerank", "diversity"),
     ),
     "doc_bpe_pairs": Query(
         q_doc_bpe_pairs,

@@ -150,6 +150,10 @@ HEAVY = [
     # serve must keep matching the retraining oracle as cells refill
     "dedup_incremental_minhash",
     "ann_index_query",
+    # MMR: the retrieved pool's membership (and thus every greedy pick)
+    # is a pure function of corpus size — diversity picks reshuffle at
+    # each sf
+    "ann_mmr_rerank",
 ]
 
 
