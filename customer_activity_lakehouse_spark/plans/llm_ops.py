@@ -4184,7 +4184,112 @@ FROM census
 """
 
 
+# --------------------------------------------------------------- BM25
+
+BM25_QUERY = ("table", "query", "spark")  # fixed query terms (fixture vocab)
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOPK = 20
+
+
+def q_doc_bm25_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """BM25 retrieval scoring (Robertson et al.; the Lucene +1 idf
+    variant, always positive) of a fixed 3-term query over the corpus —
+    the lexical side of hybrid search that `ann_*` leaves uncovered:
+    top-BM25_TOPK docs by Σ_t idf_t · tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl)).
+
+    Determinism: tf/dl/N/df are exact integers from one token pass; the
+    per-term scores are fixed-order double expressions of those integers
+    summed EXPLICITLY (s0+s1+s2, never a float SUM over rows), rounded to
+    4dp before the (score, doc_id) ordering — the ln() 1-ulp exposure is
+    absorbed by the rounding, same policy as the exp() tests.
+
+    Scale shape: one projection pass computes every per-doc counter
+    in-row (array filters, no explode); the corpus constants are a 1-row
+    broadcast; the finish is TakeOrdered."""
+    docs = table(spark, sf, "documents")
+    toks = _tokens(F.col("text"))
+
+    def _eq(q: str):
+        # a 2-arg lambda would make F.filter pass (element, INDEX) —
+        # close over the term instead of a default arg
+        return lambda t: t == F.lit(q)
+
+    per = docs.select(
+        "doc_id",
+        F.size(toks).alias("dl"),
+        *[
+            F.size(F.filter(toks, _eq(q))).alias(f"tf{i}")
+            for i, q in enumerate(BM25_QUERY)
+        ],
+    )
+    totals = per.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("dl").alias("sdl"),
+        *[
+            F.sum((F.col(f"tf{i}") > 0).cast("long")).alias(f"df{i}")
+            for i in range(len(BM25_QUERY))
+        ],
+    )
+    j = per.crossJoin(F.broadcast(totals))
+    avgdl = F.col("sdl").cast("double") / F.col("n").cast("double")
+    norm = 1.0 - BM25_B + BM25_B * F.col("dl").cast("double") / avgdl
+
+    def term(i: int):
+        tf = F.col(f"tf{i}").cast("double")
+        df = F.col(f"df{i}").cast("double")
+        idf = F.log(
+            (F.col("n").cast("double") - df + 0.5) / (df + 0.5) + 1.0
+        )
+        return idf * tf * (BM25_K1 + 1.0) / (tf + BM25_K1 * norm)
+
+    score = F.round(term(0) + term(1) + term(2), 4)
+    matched = F.col("tf0") + F.col("tf1") + F.col("tf2") > 0
+    return (
+        j.filter(matched)
+        .select("doc_id", score.alias("bm25"))
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(BM25_TOPK)
+    )
+
+
+def _bm25_sql() -> str:
+    tf_cols = ", ".join(
+        f"len(list_filter(tk, t -> t = '{q}'))::BIGINT AS tf{i}"
+        for i, q in enumerate(BM25_QUERY)
+    )
+    df_cols = ", ".join(
+        f"sum(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END)::BIGINT AS df{i}"
+        for i in range(len(BM25_QUERY))
+    )
+    terms = " + ".join(
+        f"(ln((n::DOUBLE - df{i}::DOUBLE + 0.5) / (df{i}::DOUBLE + 0.5) + 1.0)"
+        f" * tf{i}::DOUBLE * ({BM25_K1} + 1.0)"
+        f" / (tf{i}::DOUBLE + {BM25_K1} * (1.0 - {BM25_B}"
+        f" + {BM25_B} * dl::DOUBLE / (sdl::DOUBLE / n::DOUBLE))))"
+        for i in range(len(BM25_QUERY))
+    )
+    return f"""
+WITH per AS (
+  SELECT doc_id, len(tk)::BIGINT AS dl, {tf_cols}
+  FROM (SELECT doc_id, {_SQL_TOKENS} AS tk FROM documents)
+),
+tot AS (SELECT count(*)::BIGINT AS n, sum(dl)::BIGINT AS sdl, {df_cols} FROM per)
+SELECT doc_id, round({terms}, 4) AS bm25
+FROM per, tot
+WHERE tf0 + tf1 + tf2 > 0
+ORDER BY bm25 DESC, doc_id
+LIMIT {BM25_TOPK}
+"""
+
+
+ORACLE_DOC_BM25_TOPK = _bm25_sql()
+
+
 QUERIES: dict[str, Query] = {
+    "doc_bm25_topk": Query(
+        q_doc_bm25_topk, ORACLE_DOC_BM25_TOPK, ("text", "retrieval", "scoring")
+    ),
     "doc_suffix_dup_spans": Query(
         q_doc_suffix_dup_spans,
         ORACLE_DOC_SUFFIX_DUP_SPANS,

@@ -858,3 +858,15 @@ def test_theil_sen_pairs_only_monthly_aggregate(spark, sf_correctness):
     )
     assert "SortMergeJoin" not in plan, plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+
+
+def test_mmr_single_corpus_scan_then_tiny_frames(spark, sf_correctness):
+    """MMR's contract: ONE TakeOrdered pool scan of the corpus; the
+    pairwise-similarity frame and all K greedy steps run on broadcast
+    joins of the pool — no SortMergeJoin anywhere, and no more scans of
+    the embeddings table than the pool + query subtrees need."""
+    df = QUERIES["ann_mmr_rerank"].fn(spark, sf_correctness)
+    plan = explain_str(df, "simple")
+    assert "SortMergeJoin" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "BatchEvalPython" not in plan, plan

@@ -154,6 +154,9 @@ HEAVY = [
     # is a pure function of corpus size — diversity picks reshuffle at
     # each sf
     "ann_mmr_rerank",
+    # BM25: df/avgdl corpus constants and the ln() 1-ulp exposure both
+    # move with corpus size
+    "doc_bm25_topk",
 ]
 
 
