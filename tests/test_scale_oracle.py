@@ -157,6 +157,9 @@ HEAVY = [
     # BM25: df/avgdl corpus constants and the ln() 1-ulp exposure both
     # move with corpus size
     "doc_bm25_topk",
+    # RRF: fuses two sf-dependent pools — membership of either pool
+    # reshuffles the fused ordering
+    "hybrid_search_rrf",
 ]
 
 
