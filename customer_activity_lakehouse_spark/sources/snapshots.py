@@ -2829,7 +2829,8 @@ def vacuum(
     table_dir: str,
     keep_last: int = 1,
     older_than_hours: float | None = None,
-) -> int:
+    dry_run: bool = False,
+) -> int | list[str]:
     """Delete data files referenced ONLY by expired snapshots (and the
     expired manifests, and any orphaned data dirs from crashed commits).
     Returns the number of files deleted. Time travel remains available for
@@ -2838,7 +2839,12 @@ def vacuum(
     ``older_than_hours`` is Delta's RETAIN n HOURS: versions whose
     ``committed_at`` stamp is within the window are retained IN ADDITION
     to ``keep_last`` (retention only ever widens — the latest version is
-    always safe). Unstamped legacy manifests count as expired by age."""
+    always safe). Unstamped legacy manifests count as expired by age.
+
+    ``dry_run=True`` (Delta's VACUUM ... DRY RUN) returns the sorted list
+    of data-file/sidecar paths the same call would delete, touching
+    NOTHING — the operator's blast-radius check before an aggressive
+    retention change."""
     import datetime as _dt
 
     versions = _list_versions(spark, table_dir)
@@ -2879,6 +2885,23 @@ def vacuum(
             if st.get("__bloom"):
                 live.add(st["__bloom"].rsplit("/", 1)[-1])
     fs_b, jbloom = _hadoop_fs(spark, f"{table_dir}/_bloom")
+    if dry_run:
+        would: list[str] = []
+        fs_dr, jdata_dr = _hadoop_fs(spark, f"{table_dir}/data")
+        if fs_dr.exists(jdata_dr):
+            for d in fs_dr.listStatus(jdata_dr):
+                it = fs_dr.listFiles(d.getPath(), True)
+                while it.hasNext():
+                    f = it.next()
+                    if str(f.getPath().getName()).endswith(".parquet"):
+                        p = _np(str(f.getPath().toString()))
+                        if p not in live:
+                            would.append(p)
+        if fs_b.exists(jbloom):
+            for s in fs_b.listStatus(jbloom):
+                if str(s.getPath().getName()) not in live:
+                    would.append(_np(str(s.getPath().toString())))
+        return sorted(would)
     if fs_b.exists(jbloom):
         for s in fs_b.listStatus(jbloom):
             if str(s.getPath().getName()) not in live:

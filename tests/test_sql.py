@@ -400,3 +400,30 @@ def test_describe_files_sql_route(spark, tmp_path):
     m = _read_manifest(spark, t, 12)
     want = {(f, m["stats"][f]["id"][0], m["stats"][f]["id"][1]) for f in m["files"]}
     assert got == want
+
+
+def test_vacuum_dry_run_and_restore_to_timestamp(spark, tmp_path):
+    """VACUUM ... DRY RUN returns the would-delete list touching nothing;
+    RESTORE ... TO TIMESTAMP AS OF resolves through committed_at."""
+    t = str(tmp_path / "tbl")
+    for lo in (0, 10, 20):
+        commit_append(
+            spark, t,
+            spark.range(lo, lo + 10).selectExpr("id", "id * 2 AS v").coalesce(1),
+        )
+    run_table_sql(spark, f"INSERT OVERWRITE snapshot.`{t}` SELECT id, id AS v FROM range(5)")
+    would = run_table_sql(spark, f"VACUUM snapshot.`{t}` DRY RUN")
+    assert isinstance(would, list) and len(would) == 3  # the 3 superseded files
+    # nothing deleted: time travel still reads the pre-overwrite version
+    assert read_snapshot(spark, t, version=3).count() == 30
+    # restore by timestamp: 'now' resolves to the latest version
+    import datetime as dt
+
+    ts = (dt.datetime.now(dt.timezone.utc) + dt.timedelta(minutes=1)).isoformat()
+    run_table_sql(
+        spark, f"RESTORE snapshot.`{t}` TO TIMESTAMP AS OF '{ts}'"
+    )
+    assert read_snapshot(spark, t).count() == 5
+    # the real deletion still works and matches the dry run's list
+    n = run_table_sql(spark, f"VACUUM snapshot.`{t}`")
+    assert n >= 3
