@@ -36,6 +36,14 @@ def test_row_green_rules():
     assert not _row_green({**GREEN, "rows_match": False})
     assert not _row_green({**GREEN, "err": "boom"})
     assert not _row_green({})
+    # no_oracle rows (registry oracle=None by design): a successful
+    # rows-only Spark run IS the check — r9 rotation fix
+    assert _row_green(
+        {"rows_match": None, "schema_match": None, "hash_match": None,
+         "spark_rows": 4, "oracle_rows": None, "err": "no_oracle"}
+    )
+    assert not _row_green({"err": "no_oracle"})  # Spark side never ran
+    assert not _row_green({"err": "no_oracle", "spark_rows": None})
 
 
 def test_compute_coverage_latest_round_wins_and_red_rows_ignored(tmp_path):
