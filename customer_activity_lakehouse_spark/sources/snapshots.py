@@ -2028,6 +2028,94 @@ def set_bloom_filter(
     return base_v + 1
 
 
+def fsck_snapshot(
+    spark: SparkSession, table_dir: str, repair: bool = False
+) -> dict:
+    """Delta ``FSCK REPAIR TABLE`` parity: find manifest references to
+    PHYSICALLY MISSING files (out-of-band deletion, partial restores,
+    storage loss) — the failure that otherwise surfaces as a mid-scan
+    FileNotFound on some executor hours into a job. Reports
+    ``{"missing_files", "missing_dv_files", "missing_bloom_sidecars",
+    "repaired"}``; with ``repair=True`` commits one metadata-class fix:
+
+    - missing DATA files drop from the file list (their rows are gone —
+      acknowledged data loss, exactly Delta's FSCK semantics);
+    - missing BLOOM sidecars drop their stats pointers (pruning-only
+      state; the files just lose coverage until a backfill);
+    - missing DELETION VECTORS are NEVER repaired-by-drop — removing a
+      DV would RESURRECT deleted rows (a correctness inversion, not a
+      cleanup); they are reported and repair REFUSES until the operator
+      restores the sidecar or rewrites the file (delete mode='rewrite'
+      of its range). Fail-loud beats silent un-deletion."""
+    versions = _list_versions(spark, table_dir)
+    if not versions:
+        raise FileNotFoundError(f"no snapshots at {table_dir}")
+    base_v = versions[-1]
+    m = _read_manifest(spark, table_dir, base_v)
+    fs, _ = _hadoop_fs(spark, table_dir)
+
+    def _exists(p: str) -> bool:
+        _, jp = _hadoop_fs(spark, p)
+        return bool(fs.exists(jp))
+
+    missing = [f for f in m["files"] if not _exists(f)]
+    missing_dv = [f for f in m.get("dv_files", []) if not _exists(f)]
+    stats = {f: dict(s) for f, s in (m.get("stats") or {}).items()}
+    bloom_rels = {
+        s["__bloom"] for s in stats.values() if s.get("__bloom")
+    }
+    missing_bloom = sorted(
+        rel for rel in bloom_rels if not _exists(f"{table_dir}/{rel}")
+    )
+    out = {
+        "missing_files": sorted(missing),
+        "missing_dv_files": sorted(missing_dv),
+        "missing_bloom_sidecars": missing_bloom,
+        "repaired": None,
+    }
+    if repair and missing_dv:
+        raise RuntimeError(
+            f"fsck_snapshot: {len(missing_dv)} deletion vector(s) missing at "
+            f"{table_dir} — dropping a DV would RESURRECT its deleted rows; "
+            "restore the sidecar or rewrite the affected files "
+            "(delete_snapshot mode='rewrite' over their key range) first"
+        )
+    if not repair or not (missing or missing_bloom):
+        return out
+    gone = set(missing)
+    kept = [f for f in m["files"] if f not in gone]
+    new_stats = {}
+    for f, s in stats.items():
+        if f in gone:
+            continue
+        if s.get("__bloom") in missing_bloom:
+            s = {k: v for k, v in s.items() if k != "__bloom"}
+        if s:
+            new_stats[f] = s
+    manifest = {
+        "version": base_v + 1,
+        "op": "fsck",
+        "data_change": bool(missing),  # dropped rows ARE a data change
+        "files": kept,
+        "schema": m.get("schema"),
+        "fsck_dropped": len(missing),
+        "fsck_unbloomed": len(missing_bloom),
+    }
+    if new_stats:
+        manifest["stats"] = new_stats
+    if m.get("dv_files"):
+        manifest["dv_files"] = m["dv_files"]
+    _carry_props(m, manifest)
+    _carry_mapping(m, manifest)
+    if not _try_commit(spark, table_dir, base_v + 1, manifest):
+        raise RuntimeError(
+            f"fsck_snapshot: version {base_v + 1} was committed concurrently "
+            f"at {table_dir}; re-read and retry"
+        )
+    out["repaired"] = base_v + 1
+    return out
+
+
 def set_partition_spec(
     spark: SparkSession, table_dir: str, cols: list[str]
 ) -> int:

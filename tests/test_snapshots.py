@@ -2624,3 +2624,54 @@ def _read_manifest_latest(spark, t):
     import customer_activity_lakehouse_spark.sources.snapshots as S
 
     return S._read_manifest(spark, t, S._list_versions(spark, t)[-1])
+
+
+def test_fsck_reports_and_repairs_missing_files(spark, tmp_path):
+    """FSCK REPAIR TABLE parity: missing data files drop (acknowledged
+    loss), missing bloom sidecars drop their pointers (pruning-only),
+    missing deletion vectors REFUSE repair (dropping one would resurrect
+    deleted rows)."""
+    import os
+
+    import customer_activity_lakehouse_spark.sources.snapshots as S
+
+    t = str(tmp_path / "tbl")
+    for lo in (0, 10, 20):
+        commit_append(
+            spark, t,
+            spark.range(lo, lo + 10).selectExpr("id", "id * 2 AS v").coalesce(1),
+            stats_cols=["id"],
+        )
+    S.set_bloom_filter(spark, t, ["id"], m_bits=2**13, k=4, backfill=True)
+    m = _read_manifest_latest(spark, t)
+    # clean table: nothing to report
+    rep0 = S.fsck_snapshot(spark, t)
+    assert rep0 == {
+        "missing_files": [], "missing_dv_files": [],
+        "missing_bloom_sidecars": [], "repaired": None,
+    }
+    # out-of-band delete one data file and the bloom sidecar
+    victim = sorted(m["files"])[0]
+    os.unlink(victim.replace("file:", ""))
+    rel = next(s["__bloom"] for s in m["stats"].values() if s.get("__bloom"))
+    os.unlink(os.path.join(t, rel))
+    rep = S.fsck_snapshot(spark, t)
+    assert rep["missing_files"] == [victim]
+    assert rep["missing_bloom_sidecars"] == [rel]
+    assert rep["repaired"] is None  # report-only by default
+    # repair drops the dead reference; the table reads again
+    rep2 = S.fsck_snapshot(spark, t, repair=True)
+    assert rep2["repaired"] is not None
+    assert read_snapshot(spark, t).count() == 20  # 10 rows acknowledged lost
+    assert S.fsck_snapshot(spark, t) == {
+        "missing_files": [], "missing_dv_files": [],
+        "missing_bloom_sidecars": [], "repaired": None,
+    }
+    # missing DV refuses repair (dropping it would un-delete rows)
+    S.delete_snapshot(spark, t, "id = 25", mode="dv")
+    m2 = _read_manifest_latest(spark, t)
+    os.unlink(m2["dv_files"][0].replace("file:", ""))
+    rep3 = S.fsck_snapshot(spark, t)
+    assert rep3["missing_dv_files"] == [m2["dv_files"][0]]
+    with pytest.raises(RuntimeError, match="RESURRECT"):
+        S.fsck_snapshot(spark, t, repair=True)

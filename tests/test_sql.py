@@ -427,3 +427,17 @@ def test_vacuum_dry_run_and_restore_to_timestamp(spark, tmp_path):
     # the real deletion still works and matches the dry run's list
     n = run_table_sql(spark, f"VACUUM snapshot.`{t}`")
     assert n >= 3
+
+
+def test_fsck_sql_route(spark, tmp_path):
+    import os
+
+    t = _seed(spark, tmp_path)
+    commit_append(spark, t, spark.range(50, 60).selectExpr("id", "id*2 AS v").coalesce(1))
+    rep = run_table_sql(spark, f"FSCK REPAIR TABLE snapshot.`{t}` DRY RUN")
+    assert rep["missing_files"] == [] and rep["repaired"] is None
+    m = _read_manifest(spark, t, 2)
+    os.unlink(sorted(m["files"])[0].replace("file:", ""))
+    rep2 = run_table_sql(spark, f"FSCK REPAIR TABLE snapshot.`{t}`")
+    assert rep2["repaired"] == 3
+    assert read_snapshot(spark, t).count() == 10
