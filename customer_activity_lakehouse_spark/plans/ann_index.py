@@ -192,7 +192,11 @@ def maintain_ann_index(
 
 
 def query_ann_index(
-    spark: SparkSession, index_dir: str, query_q: DataFrame, k: int = ANN_TOPK
+    spark: SparkSession,
+    index_dir: str,
+    query_q: DataFrame,
+    k: int = ANN_TOPK,
+    exclude_id: int | None = None,
 ) -> DataFrame:
     """Serve top-``k`` for ``query_q`` (one row: quantized ``q``) from the
     persisted index — NO training in this plan:
@@ -207,6 +211,12 @@ def query_ann_index(
        codebook and fold dot/norm terms in fixed m order ENTIRELY in-row
        — the same arithmetic (and therefore bit-identical doubles) as
        the retraining path `ml_ops._pq_adc_topk`.
+
+    ``exclude_id`` drops one vec_id from the candidates — pass the query
+    vector's own id when serving "neighbors of a corpus member" (the
+    catalog entry passes 0); leave None for external query vectors, which
+    must be able to get every corpus row back (ADVICE r9: this was a
+    hardcoded ``vec_id != 0``).
 
     Returns (vec_id, cos_sim) — cosine of the PQ-reconstructed vector vs
     the exact query, rounded to 4dp, ties broken by vec_id."""
@@ -236,7 +246,9 @@ def query_ann_index(
     probes = [int(r["cluster"]) for r in probe_rows]
     codes = read_snapshot(
         spark, f"{index_dir}/codes", partition_where={"cell": probes}
-    ).filter(F.col("vec_id") != 0)
+    )
+    if exclude_id is not None:
+        codes = codes.filter(F.col("vec_id") != exclude_id)
     books = read_snapshot(spark, f"{index_dir}/pq_codebooks")
     barr = (
         books.groupBy("m")
@@ -364,7 +376,7 @@ def q_ann_index_query(spark: SparkSession, sf: str) -> DataFrame:
     the oracle IS that query's chain."""
     idx = _index_dir(spark, sf)
     q0 = _km_quantized(spark, sf).filter(F.col("vec_id") == 0)
-    return query_ann_index(spark, idx, q0, k=ANN_TOPK)
+    return query_ann_index(spark, idx, q0, k=ANN_TOPK, exclude_id=0)
 
 
 def q_ann_index_recall(spark: SparkSession, sf: str) -> DataFrame:

@@ -28,6 +28,7 @@ only the tiny manifest JSON touches the driver.
 
 from __future__ import annotations
 
+import atexit
 import decimal
 import json
 import math
@@ -2694,7 +2695,10 @@ def read_snapshot(
             prune_keys |= {_phys(raw_cm, c) for c in point_where}
             prune_keys.add("__bloom")
         if with_row_ids:
-            prune_keys |= {"__rows", "__base_row_id"}
+            # "__row_ids" must survive the prune: OPTIMIZE/REORG rewrites
+            # mark files '__row_ids: materialized' and _rt_bases_for treats
+            # a missing marker as a broken row-tracking invariant.
+            prune_keys |= {"__rows", "__base_row_id", "__row_ids"}
     manifest = _read_manifest(spark, table_dir, v, stat_keys=prune_keys)
     colmap, _ = _mapping_of(manifest)
     if not manifest["files"]:
@@ -4727,6 +4731,14 @@ def _rename_ckpt_stats(spark: SparkSession, df: DataFrame, ckpt_path: str):
     return df
 
 
+def _unlink_quiet(path: str) -> None:
+    """atexit target for lazily-read scratch parquet (missing-file safe)."""
+    try:
+        os.unlink(path)
+    except OSError:
+        pass
+
+
 def snapshot_files_scan(
     spark: SparkSession, table_dir: str, version: int | None = None
 ) -> DataFrame:
@@ -4777,7 +4789,14 @@ def snapshot_files_scan(
         if os.path.exists(cand):
             base_path = cand
             break
-        raw = _read_commit(spark, table_dir, vv)
+        try:
+            raw = _read_commit(spark, table_dir, vv)
+        except FileNotFoundError:
+            # Vacuumed chain below a legacy-JSON checkpoint (pre-parquet
+            # upgrade): the walk can't resolve raw commits past the hole,
+            # but _read_manifest can (it resolves through legacy
+            # checkpoints) — take the scratch-encode fallback.
+            break
         if "files" in raw or raw.get("delta", {}).get("truncate"):
             break
         chain.append(raw)
@@ -4787,6 +4806,10 @@ def snapshot_files_scan(
         m = _read_manifest(spark, table_dir, v)
         fd, base_path = tempfile.mkstemp(suffix=".ckpt.parquet")
         os.close(fd)
+        # the returned DataFrame reads this lazily, so the path must
+        # outlive the call — retire it at interpreter exit like the
+        # module's other scratch artifacts
+        atexit.register(_unlink_quiet, base_path)
         with open(base_path, "wb") as fh:
             fh.write(commitlog.encode_ckpt(m))
         chain = []
@@ -4836,6 +4859,7 @@ def snapshot_files_scan(
     }
     fd, patch_path = tempfile.mkstemp(suffix=".ckpt-patch.parquet")
     os.close(fd)
+    atexit.register(_unlink_quiet, patch_path)
     with open(patch_path, "wb") as fh:
         fh.write(commitlog.encode_ckpt(patch))
     patch_df = _rename_ckpt_stats(

@@ -109,6 +109,22 @@ def test_maintain_encodes_only_new_vectors_with_frozen_books(spark, tmp_path):
     assert 225 in {r.vec_id for r in got}
 
 
+def test_query_exclude_id_optional_not_hardcoded(spark, tmp_path):
+    """Regression (ADVICE r9): the serve API hardcoded `vec_id != 0` (the
+    fixture's self-match exclusion). An EXTERNAL query vector must be able
+    to get vec_id 0 back; passing exclude_id drops exactly that id."""
+    idx = str(tmp_path / "idx")
+    build_ann_index(spark, _corpus(spark, 0, 300), idx)
+    q0 = _quantize(_corpus(spark, 0, 1))  # vector 0 itself as the query
+    ids_plain = {r.vec_id for r in query_ann_index(spark, idx, q0, k=5).collect()}
+    assert 0 in ids_plain  # self-match comes back when not excluded
+    ids_excl = {
+        r.vec_id
+        for r in query_ann_index(spark, idx, q0, k=5, exclude_id=0).collect()
+    }
+    assert 0 not in ids_excl and len(ids_excl) == 5
+
+
 def test_maintain_refuses_non_append_feeds(spark, tmp_path):
     src = str(tmp_path / "corpus")
     idx = str(tmp_path / "idx")

@@ -614,3 +614,44 @@ def test_corrupt_checkpoint_degrades_to_chain_walk(spark, tmp_path):
         (snap / commitlog.commit_name(v)).unlink()
     with pytest.raises(Exception):
         read_snapshot(spark, t, version=23).count()
+
+def test_files_scan_legacy_ckpt_vacuumed_chain(spark, tmp_path, monkeypatch):
+    """Regression (ADVICE r9): snapshot_files_scan's chain walk only probes
+    PARQUET checkpoints — on a pre-upgrade table whose resolution base is a
+    legacy JSON checkpoint with the chain below it vacuumed, the walk must
+    break to the scratch-encode fallback (which resolves through
+    _read_manifest), not die on the missing commit record. Also pins the
+    scratch-parquet leak fix: every mkstemp path is atexit-registered."""
+    from customer_activity_lakehouse_spark.sources import snapshots
+    from customer_activity_lakehouse_spark.sources.snapshots import (
+        _read_manifest,
+        snapshot_files_scan,
+    )
+
+    registered: list = []
+    real_register = snapshots.atexit.register
+
+    class _FakeAtexit:
+        @staticmethod
+        def register(fn, *a):
+            registered.append(a[0] if a else None)
+            return real_register(fn, *a)
+
+    monkeypatch.setattr(snapshots, "atexit", _FakeAtexit)
+
+    t = str(tmp_path / "tbl")
+    for i in range(12):
+        commit_append(spark, t, _df(spark, i * 10, i * 10 + 10).coalesce(1))
+    snap = Path(t) / "_snapshots"
+    resolved = _read_manifest(spark, t, 10)
+    (snap / commitlog.ckpt_name(10)).unlink()
+    (snap / commitlog.ckpt_name_legacy(10)).write_text(json.dumps(resolved))
+    for v in range(1, 10):
+        (snap / commitlog.commit_name(v)).unlink()
+    scan = snapshot_files_scan(spark, t)
+    assert scan.filter("kind = 'data'").count() == 12
+    assert {r.path for r in scan.collect()} == set(
+        _read_manifest(spark, t, 12)["files"]
+    )
+    # the scratch checkpoint encode was registered for exit cleanup
+    assert any(str(p).endswith(".ckpt.parquet") for p in registered)

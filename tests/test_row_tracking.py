@@ -255,6 +255,31 @@ def test_streaming_sink_allocates_row_ids(spark, tmp_path):
     assert all(after[k] >= 10 for k in range(100, 140))
 
 
+def test_pruned_checkpoint_read_keeps_row_id_markers(spark, tmp_path):
+    """Regression (ADVICE r9): a pruned read (skip_where/point_where) decodes
+    only the probed stat columns from the parquet checkpoint — but
+    with_row_ids also needs the '__row_ids: materialized' marker that
+    OPTIMIZE/REORG rewrites stamp on their files, or _rt_bases_for raises
+    'row-tracking invariant broken'. Repro: compacted file + enough appends
+    to cross CKPT_EVERY so the manifest resolves through a pruned
+    checkpoint decode."""
+    t = _seed(spark, tmp_path / "tbl", batches=((0, 5), (5, 10), (10, 15)))
+    enable_row_tracking(spark, t)
+    assert compact_snapshot(spark, t) is not None  # marks '__row_ids'
+    for k in range(6):  # past CKPT_EVERY=10 commits total
+        commit_append(
+            spark, t,
+            spark.range(20 + 5 * k, 25 + 5 * k).selectExpr("id", "id * 2 AS v"),
+            stats_cols=["id"],
+        )
+    full = _ids(spark, t)
+    pruned = _ids(spark, t, skip_where=("id", 0, 5))
+    assert {k: v for k, v in full.items() if 0 <= k <= 5} == {
+        k: v for k, v in pruned.items() if 0 <= k <= 5
+    }
+    assert len(set(full.values())) == len(full)
+
+
 def test_enable_refuses_existing_row_id_column(spark, tmp_path):
     """`_row_id` is a reserved physical name: enabling tracking on a table
     whose schema already carries one would make every with_row_ids read
