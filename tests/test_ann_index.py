@@ -160,3 +160,53 @@ def test_maintain_is_noop_after_corpus_optimize(spark, tmp_path):
     commit_append(spark, src, _corpus(spark, 300, 320))
     assert maintain_ann_index(spark, idx, src) == _list_versions(spark, src)[-1]
     assert read_snapshot(spark, f"{idx}/codes").count() == 220
+
+
+def test_query_where_filters_and_widens_probes(spark, tmp_path):
+    """query_ann_index_where (VERDICT r9 missing #1): a metadata predicate
+    must compose with the serve, and when the first IVF_PROBES cells hold
+    fewer than k predicate survivors the serve WIDENS the probed prefix
+    instead of silently under-returning (post-filtering an unfiltered
+    top-k is the wrong plan — pinned below)."""
+    from customer_activity_lakehouse_spark.plans.ann_index import (
+        _ordered_cells,
+        query_ann_index_where,
+    )
+
+    idx = str(tmp_path / "idx")
+    build_ann_index(spark, _corpus(spark, 0, 300), idx)
+    q0 = _quantize(_corpus(spark, 0, 1))
+    allowed_ids = set(range(200, 260))
+    allowed = spark.createDataFrame(
+        [(i,) for i in sorted(allowed_ids)], "vec_id long"
+    )
+    got = query_ann_index_where(spark, idx, q0, allowed, k=10).collect()
+    assert len(got) == 10
+    assert {r.vec_id for r in got} <= allowed_ids
+    # post-filtering the unfiltered top-10 under-returns: strictly fewer
+    # than 10 of its hits satisfy the predicate
+    unfiltered = query_ann_index(spark, idx, q0, k=10).collect()
+    assert len([r for r in unfiltered if r.vec_id in allowed_ids]) < 10
+    assert {r.vec_id for r in unfiltered} != {r.vec_id for r in got}
+    # forced widening: allow ONLY vectors living outside the first
+    # IVF_PROBES cells — the initial probe finds zero survivors, and the
+    # serve must widen until it can return them
+    order = _ordered_cells(spark, idx, q0)
+    codes = read_snapshot(spark, f"{idx}/codes")
+    far = [
+        r.vec_id
+        for r in codes.filter(~F.col("cell").isin(order[:2])).collect()
+    ]
+    assert far, "fixture degenerate: every vector in the probed cells"
+    far_allowed = spark.createDataFrame(
+        [(i,) for i in sorted(far[:30])], "vec_id long"
+    )
+    widened = query_ann_index_where(spark, idx, q0, far_allowed, k=10).collect()
+    assert len(widened) == min(10, len(far[:30]))
+    assert {r.vec_id for r in widened} <= set(far[:30])
+    # exclude_id composes: excluding one served id drops exactly it
+    victim = widened[0].vec_id
+    again = query_ann_index_where(
+        spark, idx, q0, far_allowed, k=10, exclude_id=victim
+    ).collect()
+    assert victim not in {r.vec_id for r in again}
