@@ -81,6 +81,45 @@ def _stamp_only(
     )
 
 
+def net_change_feed(
+    feed: DataFrame, key_col: str
+) -> tuple[DataFrame, DataFrame]:
+    """NET a change feed per key for index maintenance (r10): returns
+    ``(retract_keys, final_rows)`` —
+
+    - ``retract_keys``: one-column frame of keys whose PRE-EXISTING index
+      state is stale (any ``delete``/``update_preimage`` in the range —
+      an update is retract-then-reinsert to a frozen-codebook index);
+    - ``final_rows``: the feed row carrying each surviving key's LAST
+      state (latest ``_commit_version``; at the shared update version the
+      postimage wins), kept only when that last change is an ``insert``/
+      ``update_postimage`` — a key inserted then deleted inside one range
+      must not be indexed at all.
+
+    Everything is O(|changes|): one window over the feed keyed by
+    ``key_col``."""
+    from pyspark.sql import Window
+
+    retract = (
+        feed.filter(F.col("change_type").isin("delete", "update_preimage"))
+        .select(key_col)
+        .distinct()
+    )
+    pri = F.when(
+        F.col("change_type").isin("insert", "update_postimage"), 2
+    ).otherwise(1)
+    w = Window.partitionBy(key_col).orderBy(
+        F.col("_commit_version").desc(), pri.desc()
+    )
+    final_rows = (
+        feed.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .filter(F.col("change_type").isin("insert", "update_postimage"))
+        .drop("__rn")
+    )
+    return retract, final_rows
+
+
 def _reject_null_keys(touched: DataFrame, keys: list[str], op: str) -> None:
     """MERGE key semantics are SQL's: NULL never matches NULL (Delta
     MERGE behaves identically), so a null-keyed aggregate row is

@@ -125,19 +125,54 @@ def test_query_exclude_id_optional_not_hardcoded(spark, tmp_path):
     assert 0 not in ids_excl and len(ids_excl) == 5
 
 
-def test_maintain_refuses_non_append_feeds(spark, tmp_path):
+def test_maintain_retracts_deletes_and_reencodes_updates(spark, tmp_path):
+    """Delete/update handling (VERDICT r9 missing #2): a deleted vector's
+    code row is DV-masked out of the serve immediately and physically
+    retired by the next OPTIMIZE; an updated vector re-encodes against
+    the FROZEN codebooks as retract-then-reinsert."""
+    from customer_activity_lakehouse_spark.sources.snapshots import (
+        compact_snapshot,
+        delete_snapshot,
+    )
+
     src = str(tmp_path / "corpus")
     idx = str(tmp_path / "idx")
-    commit_append(spark, src, _corpus(spark, 0, 100).withColumn("tag", F.lit(1)))
+    commit_append(spark, src, _corpus(spark, 0, 200))
     build_ann_index(
         spark,
-        read_snapshot(spark, src).select("vec_id", "embedding"),
+        read_snapshot(spark, src),
         idx,
         consumed_version=_list_versions(spark, src)[-1],
     )
-    update_snapshot(spark, src, "vec_id = 5", {"tag": "2"})
-    with pytest.raises(ValueError, match="append-only"):
-        maintain_ann_index(spark, idx, src)
+    books_v1 = read_snapshot(spark, f"{idx}/pq_codebooks").collect()
+    # vector 7 serves as its own nearest neighbor before the delete
+    q7 = _quantize(_corpus(spark, 7, 8))
+    assert 7 in {r.vec_id for r in query_ann_index(spark, idx, q7, k=3).collect()}
+    delete_snapshot(spark, src, "vec_id = 7")
+    assert maintain_ann_index(spark, idx, src) is None  # retraction-only: no stamp
+    codes = read_snapshot(spark, f"{idx}/codes")
+    assert codes.count() == 199 and codes.filter("vec_id = 7").count() == 0
+    # the served neighbors no longer contain the ghost
+    assert 7 not in {r.vec_id for r in query_ann_index(spark, idx, q7, k=3).collect()}
+    # update: the vector re-encodes against the same frozen books
+    # (retract-then-reinsert — exactly ONE code row afterwards, and the
+    # codebooks never retrain)
+    old_code = read_snapshot(spark, f"{idx}/codes").filter("vec_id = 9").collect()
+    update_snapshot(
+        spark, src, "vec_id = 9",
+        {"embedding": "transform(embedding, x -> cast(x * 0.5 as float))"},
+    )
+    assert maintain_ann_index(spark, idx, src) == _list_versions(spark, src)[-1]
+    codes2 = read_snapshot(spark, f"{idx}/codes")
+    assert codes2.count() == 199 and codes2.filter("vec_id = 9").count() == 1
+    new_code = codes2.filter("vec_id = 9").collect()
+    assert new_code != old_code  # halved magnitudes quantize differently
+    assert read_snapshot(spark, f"{idx}/pq_codebooks").collect() == books_v1
+    # physical retirement: OPTIMIZE leaves no deletion-vector files
+    assert compact_snapshot(spark, f"{idx}/codes", target_file_mb=1) is not None
+    after = read_snapshot(spark, f"{idx}/codes")
+    assert after.count() == 199
+    assert not [f for f in after.inputFiles() if "-dv-" in f]
 
 
 def test_maintain_is_noop_after_corpus_optimize(spark, tmp_path):
