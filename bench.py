@@ -351,6 +351,26 @@ def _calibration() -> dict:
     return {"sha256_256mib_sec": round(sha, 4), "pyloop_2m_sec": round(loop, 4)}
 
 
+# Reference calibration for cross-round normalization (VERDICT r9 missing
+# #4): the r9 board's run, mean of its start/end blocks (BENCH_FULL.json
+# at commit 292c707 — sha 0.176/0.2015, loop 0.122/0.1335). A round's
+# normalized headline = raw ÷ (this run's mean calibration ÷ these
+# constants, averaged over both axes) — so a +12% quieter/noisier VM
+# moves the raw number but not the normalized one, and cross-round
+# comparison needs no human divider (the r7-anchor incident class).
+_CALIB_REF = {"sha256_256mib_sec": 0.18875, "pyloop_2m_sec": 0.12775}
+
+
+def _calib_ratio(start: dict, end: dict) -> float:
+    """This run's CPU-speed ratio vs the recorded r9 reference (mean of
+    the two axes, each averaged over the run's start/end samples).
+    > 1.0 ⇒ this machine ran slower than the reference round."""
+    ratios = [
+        ((start[k] + end[k]) / 2.0) / ref for k, ref in _CALIB_REF.items()
+    ]
+    return round(sum(ratios) / len(ratios), 4)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = _sf_label(sf_dir)
@@ -490,11 +510,15 @@ def main() -> None:
     assert not missing, f"legacy headline queries missing from catalog: {missing}"
     total = round(sum(timings[n] for n in LEGACY_VALUE_SET), 4)
     total_full = round(sum(timings[n] for n in headline), 4)
+    calib_end = _calibration()
+    ratio = _calib_ratio(calib_start, calib_end)
     line = json.dumps(
         {
         "metric": "headline_queries_total_median_sec",
         "value": total,
         "value_full": total_full,
+        "value_normalized": round(total / ratio, 4),
+        "value_full_normalized": round(total_full / ratio, 4),
         "unit": "sec",
         "queries": timings,
         "sf": sf,
@@ -519,7 +543,12 @@ def main() -> None:
             "ann_index_build",
             "ann_index_query",
         ],
-        "calibration": {"start": calib_start, "end": _calibration()},
+        "calibration": {
+            "start": calib_start,
+            "end": calib_end,
+            "reference": _CALIB_REF,
+            "ratio_vs_reference": ratio,
+        },
         "runs": RUNS,
         "note": (
             "interleaved shuffled passes, median of 5; ETL timed in "
@@ -559,7 +588,11 @@ def main() -> None:
             "build/serve split's value) and the calibration block "
             "(fixed CPU microbenchmarks at start+end of the run, "
             "for normalizing cross-round environmental drift); "
-            "compare value_full across rounds on the shared subset. "
+            "r10 ADDED value_normalized/value_full_normalized: raw "
+            "totals divided by calibration.ratio_vs_reference (this "
+            "run's mean CPU microbenchmark over the recorded r9 "
+            "reference constants) — compare NORMALIZED value_full "
+            "across rounds on the shared subset, no human divider. "
             "etl_pipeline is reported separately in queries. "
             "Events NTZ-cast cost (~0.1 s/query at sf0.1, required "
             "for UTC oracle parity): moved only with whole-set "
