@@ -515,3 +515,90 @@ def test_column_mapping_model(spark, tmp_path_factory, ops, data):
                 assert rows[rid][n] == vals.get(rid), (
                     f"col {n} rid {rid}: engine {rows[rid][n]} model {vals.get(rid)}"
                 )
+
+
+# ---------------------------------------------------------------------------
+# banded_prefix vs a plain Python running sum (r10: the rank batteries'
+# scale kernel — bands must reproduce the global prefix EXACTLY)
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 5_000), st.integers(1, 50), st.integers(0, 50)),
+        min_size=1,
+        max_size=40,
+        unique_by=lambda r: r[0],
+    ),
+    inclusive=st.booleans(),
+)
+def test_banded_prefix_matches_global_running_sum(spark, rows, inclusive):
+    from customer_activity_lakehouse_spark.plans.stats_ops import banded_prefix
+
+    df = spark.createDataFrame(rows, "v long, a long, b long")
+    # tiny band width so many bands AND multi-row bands both occur
+    got = {
+        r.v: (r.cum_a, r.cum_b)
+        for r in banded_prefix(df, "v", ["a", "b"], band_width=7,
+                               inclusive=inclusive).collect()
+    }
+    cum_a = cum_b = 0
+    want = {}
+    for v, a, b in sorted(rows):
+        if inclusive:
+            cum_a += a
+            cum_b += b
+            want[v] = (cum_a, cum_b)
+        else:
+            want[v] = (cum_a, cum_b)
+            cum_a += a
+            cum_b += b
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
+# net_change_feed vs a Python replay (r10: index-retraction netting)
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    ops=st.lists(
+        st.tuples(
+            st.integers(0, 5),               # key
+            st.sampled_from(["insert", "delete", "update"]),
+            st.integers(0, 99),              # payload
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_net_change_feed_matches_python_replay(spark, ops):
+    from customer_activity_lakehouse_spark.sources.incremental import (
+        net_change_feed,
+    )
+
+    feed_rows = []
+    state: dict[int, int] = {}
+    touched: set[int] = set()
+    for ver, (k, op, payload) in enumerate(ops, start=1):
+        if op == "insert":
+            feed_rows.append((k, payload, "insert", ver))
+            state[k] = payload
+        elif op == "delete":
+            feed_rows.append((k, state.get(k, -1), "delete", ver))
+            state.pop(k, None)
+            touched.add(k)
+        else:
+            feed_rows.append((k, state.get(k, -1), "update_preimage", ver))
+            feed_rows.append((k, payload, "update_postimage", ver))
+            state[k] = payload
+            touched.add(k)
+    feed = spark.createDataFrame(
+        feed_rows, "k long, payload long, change_type string, _commit_version long"
+    )
+    retract, final_rows = net_change_feed(feed, "k")
+    assert {r.k for r in retract.collect()} == touched
+    got = {r.k: r.payload for r in final_rows.collect()}
+    assert got == state  # survivors carry their LAST payload, nothing else
