@@ -2807,15 +2807,23 @@ def q_lineitem_key_skew_profile(spark: SparkSession, sf: str) -> DataFrame:
     key's share, and the top-10 keys' share of all rows.
 
     Scale shape: ONE event-scale shuffle (groupBy l_suppkey with partial
-    aggregation); everything after runs on the |keys|-row count frame —
-    the percentile sort and top-10 window cost |keys| log |keys|, never
-    touching the fact again. Ratios are single rounded double divisions
-    of exact integers (the OLS doctrine), so both engines agree bitwise.
+    aggregation); everything after runs on the |keys|-row count frame,
+    and (r10) the top-10 share comes from a TakeOrdered 10-row frame
+    crossed back in — never a global row_number window over |keys| rows
+    (keys grow with the fact table; the flagged single-partition-window
+    class). The exact percentile aggregates remain the documented
+    |keys|-cost term of this profiling tool. Ratios are single rounded
+    double divisions of exact integers (the OLS doctrine), so both
+    engines agree bitwise.
     """
     li = table(spark, sf, "lineitem")
     counts = li.groupBy("l_suppkey").agg(F.count(F.lit(1)).alias("cnt"))
-    wtop = Window.orderBy(F.col("cnt").desc(), F.col("l_suppkey"))
-    ranked = counts.withColumn("rk", F.row_number().over(wtop))
+    top10 = (
+        counts.orderBy(F.col("cnt").desc(), F.col("l_suppkey"))
+        .limit(10)
+        .agg(F.sum("cnt").cast("long").alias("top10_cnt"))
+    )
+    ranked = counts.crossJoin(F.broadcast(top10))
     return ranked.agg(
         F.count(F.lit(1)).cast("long").alias("n_keys"),
         F.sum("cnt").cast("long").alias("n_rows"),
@@ -2830,11 +2838,7 @@ def q_lineitem_key_skew_profile(spark: SparkSession, sf: str) -> DataFrame:
         .cast("long")
         .alias("p99_cnt"),
         F.round(F.max("cnt") / F.sum("cnt"), 8).alias("max_share"),
-        F.round(
-            F.sum(F.when(F.col("rk") <= 10, F.col("cnt")).otherwise(F.lit(0)))
-            / F.sum("cnt"),
-            8,
-        ).alias("top10_share"),
+        F.round(F.max("top10_cnt") / F.sum("cnt"), 8).alias("top10_share"),
     )
 
 

@@ -552,8 +552,10 @@ def test_order_streaks_no_join_customer_partitioned_window(spark, sf_correctness
 
 def test_key_skew_profile_single_fact_shuffle(spark, sf_correctness):
     """The skew profile pays ONE event-scale exchange (groupBy suppkey
-    with map-side partial_count); the percentile sort and top-10 window
-    run on the |keys| count frame only."""
+    with map-side partial_count); the percentiles run on the |keys|
+    count frame, and (r10) the top-10 share is a TakeOrdered 10-row
+    frame — never a global row_number window over |keys| rows (keys
+    grow with the fact table)."""
     import re
 
     plan = explain_str(
@@ -564,6 +566,8 @@ def test_key_skew_profile_single_fact_shuffle(spark, sf_correctness):
     )
     key_exchanges = re.findall(r"Exchange hashpartitioning\(l_suppkey#", plan)
     assert len(key_exchanges) == 1, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "row_number" not in plan, plan
 
 
 def test_ann_sq_vectors_never_shuffle(spark, sf_correctness):
