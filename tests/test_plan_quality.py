@@ -558,16 +558,24 @@ def test_key_skew_profile_single_fact_shuffle(spark, sf_correctness):
     grow with the fact table)."""
     import re
 
-    plan = explain_str(
-        QUERIES["lineitem_key_skew_profile"].fn(spark, sf_correctness), "simple"
-    )
-    assert "partial_count" in explain_str(
-        QUERIES["lineitem_key_skew_profile"].fn(spark, sf_correctness)
-    )
+    df = QUERIES["lineitem_key_skew_profile"].fn(spark, sf_correctness)
+    plan = explain_str(df, "simple")
+    assert "partial_count" in explain_str(df)
+    # the counts frame feeds TWO branches (top-10 and the main aggregate):
+    # the static plan shows one identical suppkey exchange per branch; at
+    # runtime AQE's exchange reuse collapses them so lineitem scans and
+    # shuffles ONCE (the events_audience_overlap precedent).
     key_exchanges = re.findall(r"Exchange hashpartitioning\(l_suppkey#", plan)
-    assert len(key_exchanges) == 1, plan
+    assert 1 <= len(key_exchanges) <= 2, plan
     assert "TakeOrderedAndProject" in plan, plan
     assert "row_number" not in plan, plan
+    if len(key_exchanges) == 2:
+        df.collect()
+        final_plan = explain_str(df, "simple")
+        assert "isFinalPlan=true" in final_plan
+        assert "ReusedExchange" in final_plan, (
+            f"suppkey shuffle not reused:\n{final_plan}"
+        )
 
 
 def test_ann_sq_vectors_never_shuffle(spark, sf_correctness):
