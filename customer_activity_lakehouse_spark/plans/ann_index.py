@@ -44,7 +44,7 @@ import shutil
 import tempfile
 import threading
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .ml_ops import (
@@ -274,29 +274,12 @@ def _ordered_cells(
     return [int(r["cluster"]) for r in rows]
 
 
-def _adc_topk(
-    spark: SparkSession,
-    index_dir: str,
-    query_q: DataFrame,
-    codes: DataFrame,
-    k: int,
-) -> DataFrame:
-    """ADC-score a candidate codes frame against the persisted codebooks
-    and take top-k — the shared tail of the filtered and unfiltered serve
-    paths (same fixed m-order folds as `ml_ops._pq_adc_topk`, so the
-    doubles are bit-identical to the retraining oracle)."""
-    from ..sources.snapshots import read_snapshot
-
-    books = read_snapshot(spark, f"{index_dir}/pq_codebooks")
-    barr = (
-        books.groupBy("m")
-        .agg(F.array_sort(F.collect_list(F.struct("cluster", "c"))).alias("cm"))
-        .agg(F.array_sort(F.collect_list(F.struct("m", "cm"))).alias("byms"))
-        .select(F.transform("byms", lambda s: s["cm"]).alias("cents"))
-    )
-    scored = codes.crossJoin(F.broadcast(barr)).crossJoin(
-        F.broadcast(query_q.select(F.col("q").alias("qq")))
-    )
+def _adc_cos():
+    """The in-row ADC cosine expression over columns ``qq`` (quantized
+    query), ``code`` (PQ code array) and ``cents`` (broadcast per-m
+    codebooks) — independent of HOW qq arrived on the row, so the
+    single-query (broadcast scalar) and batch (joined per-row) serve
+    paths share the exact fold order and stay bit-identical."""
 
     def _subvec(arr, m):
         return F.transform(
@@ -331,11 +314,118 @@ def _adc_topk(
             lambda acc, v: acc + v,
         ).cast("double")
     )
-    cos = dots / (F.sqrt(sqs) * qnorm)
+    return dots / (F.sqrt(sqs) * qnorm)
+
+
+def _books_arr(spark: SparkSession, index_dir: str) -> DataFrame:
+    """The PQ codebooks collapsed to ONE broadcastable row: per-m sorted
+    (cluster, c) arrays, ordered by m."""
+    from ..sources.snapshots import read_snapshot
+
+    books = read_snapshot(spark, f"{index_dir}/pq_codebooks")
     return (
-        scored.select("vec_id", F.round(cos, 4).alias("cos_sim"))
+        books.groupBy("m")
+        .agg(F.array_sort(F.collect_list(F.struct("cluster", "c"))).alias("cm"))
+        .agg(F.array_sort(F.collect_list(F.struct("m", "cm"))).alias("byms"))
+        .select(F.transform("byms", lambda s: s["cm"]).alias("cents"))
+    )
+
+
+def _adc_topk(
+    spark: SparkSession,
+    index_dir: str,
+    query_q: DataFrame,
+    codes: DataFrame,
+    k: int,
+) -> DataFrame:
+    """ADC-score a candidate codes frame against the persisted codebooks
+    and take top-k — the shared tail of the filtered and unfiltered serve
+    paths (same fixed m-order folds as `ml_ops._pq_adc_topk`, so the
+    doubles are bit-identical to the retraining oracle)."""
+    scored = codes.crossJoin(F.broadcast(_books_arr(spark, index_dir))).crossJoin(
+        F.broadcast(query_q.select(F.col("q").alias("qq")))
+    )
+    return (
+        scored.select("vec_id", F.round(_adc_cos(), 4).alias("cos_sim"))
         .orderBy(F.col("cos_sim").desc(), "vec_id")
         .limit(k)
+    )
+
+
+def query_ann_index_batch(
+    spark: SparkSession,
+    index_dir: str,
+    queries_q: DataFrame,
+    k: int = ANN_TOPK,
+    exclude_self: bool = False,
+) -> DataFrame:
+    """Serve a BATCH of queries from the persisted index in one plan —
+    the throughput shape of a serving tier (one probed-cells scan
+    amortized over the whole batch, instead of |batch| separate jobs):
+
+    1. per-query probes DISTRIBUTIVELY: each (qid, q) row folds over the
+       broadcast centroid array and a row_number window PARTITIONED BY
+       qid (bounded: ≤K cells per query, WindowGroupLimit) keeps its
+       IVF_PROBES nearest cells — no driver work per query;
+    2. ONE partition-pruned read of the UNION of probed cells (the only
+       driver-bounded collect: ≤K distinct cell ids, independent of
+       batch size);
+    3. candidates = codes ⋈ broadcast probe pairs on cell — each code
+       row is scored only for the queries that probed its cell, with the
+       query vector arriving ON the row (same `_adc_cos` folds as the
+       single-query path, bit-identical);
+    4. top-k per query: row_number over partitionBy(qid) — bounded
+       partitions (a query's candidates ≤ probed cells' rows),
+       WindowGroupLimit-shaped.
+
+    ``queries_q``: (qid, q) quantized query vectors. ``exclude_self``
+    drops vec_id == qid matches (corpus-member queries — the batch twin
+    of the single serve's ``exclude_id``). Returns (qid, vec_id,
+    cos_sim), ordered within each query by (cos_sim desc, vec_id); each
+    query's rows equal `query_ann_index`'s for the same vector
+    (pytest-pinned)."""
+    from ..sources.snapshots import read_snapshot
+
+    cents = read_snapshot(spark, f"{index_dir}/ivf_centroids")
+    carr = cents.agg(
+        F.array_sort(F.collect_list(F.struct("cluster", "c"))).alias("cents")
+    )
+    cent_dist = F.aggregate(
+        F.zip_with(
+            F.col("q"),
+            F.col("cent.c"),
+            lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    w_probe = Window.partitionBy("qid").orderBy("cdist", "cluster")
+    probes = (
+        queries_q.crossJoin(F.broadcast(carr))
+        .select("qid", "q", F.explode("cents").alias("cent"))
+        .select("qid", "q", F.col("cent.cluster").alias("cluster"), cent_dist.alias("cdist"))
+        .withColumn("pr", F.row_number().over(w_probe))
+        .filter(F.col("pr") <= IVF_PROBES)
+        .select("qid", F.col("q").alias("qq"), F.col("cluster").alias("cell"))
+    )
+    cell_union = sorted(
+        int(r["cell"]) for r in probes.select("cell").distinct().collect()
+    )
+    codes = read_snapshot(
+        spark, f"{index_dir}/codes", partition_where={"cell": cell_union}
+    )
+    cand = codes.join(F.broadcast(probes), "cell")
+    if exclude_self:
+        cand = cand.filter(F.col("vec_id") != F.col("qid"))
+    scored = cand.crossJoin(F.broadcast(_books_arr(spark, index_dir))).select(
+        "qid", "vec_id", F.round(_adc_cos(), 4).alias("cos_sim")
+    )
+    w_k = Window.partitionBy("qid").orderBy(F.col("cos_sim").desc(), "vec_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w_k))
+        .filter(F.col("rk") <= k)
+        .select("qid", "vec_id", "cos_sim")
+        .orderBy("qid", F.col("cos_sim").desc(), "vec_id")
     )
 
 

@@ -7,7 +7,10 @@ Contract under test:
   the probed cells' code files (partition pruning on the index itself);
 - maintain encodes ONLY newly appended vectors against the FROZEN
   codebooks, stamps the consumed source version exactly-once, and
-  refuses non-append feeds loudly.
+  RETRACTS deletes/updates (DV-masked code rows, physically retired by
+  OPTIMIZE; updates re-encode as retract-then-reinsert);
+- filtered serve widens probes instead of under-returning; batch serve
+  amortizes one pruned scan over a query batch, bit-identical per query.
 """
 
 from __future__ import annotations
@@ -245,3 +248,46 @@ def test_query_where_filters_and_widens_probes(spark, tmp_path):
         spark, idx, q0, far_allowed, k=10, exclude_id=victim
     ).collect()
     assert victim not in {r.vec_id for r in again}
+
+
+def test_batch_serve_matches_single_query_serve(spark, tmp_path):
+    """query_ann_index_batch: one plan serves a whole query batch — each
+    query's top-k must be IDENTICAL (ids and 4dp cosines) to the
+    single-query serve, the probed-cells read must prune (union of the
+    batch's cells, not the whole table), and exclude_self mirrors
+    exclude_id."""
+    from customer_activity_lakehouse_spark.plans.ann_index import (
+        query_ann_index_batch,
+    )
+
+    idx = str(tmp_path / "idx")
+    build_ann_index(spark, _corpus(spark, 0, 300), idx)
+    qids = [0, 7, 131, 250]
+    batch = _quantize(
+        spark.createDataFrame([(i,) for i in qids], "id long")
+        .join(_corpus(spark, 0, 300).withColumnRenamed("vec_id", "id"), "id")
+        .select(F.col("id").alias("vec_id"), "embedding")
+    ).withColumnRenamed("vec_id", "qid")
+    got = query_ann_index_batch(spark, idx, batch, k=5, exclude_self=True)
+    rows = got.collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.qid, []).append((r.vec_id, r.cos_sim))
+    assert set(by_q) == set(qids)
+    for qid in qids:
+        single = query_ann_index(
+            spark,
+            idx,
+            _quantize(_corpus(spark, qid, qid + 1)),
+            k=5,
+            exclude_id=qid,
+        ).collect()
+        assert by_q[qid] == [(r.vec_id, r.cos_sim) for r in single], qid
+    # pruning: the batch read touches only the union of probed cells
+    all_files = set(read_snapshot(spark, f"{idx}/codes").inputFiles())
+    probed = {f for f in got.inputFiles() if "/codes/" in f and "-dv-" not in f}
+    assert probed and len(probed) <= len(all_files)
+    # plan shape: per-query probe and top-k windows are qid-partitioned
+    # rank limits (WindowGroupLimit), never a global sort of candidates
+    phys = got._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in phys, phys
