@@ -325,7 +325,19 @@ def _make_ann_index_tasks(spark, sf_dir: str, work_dir: str):
             "noop"
         ).mode("overwrite").save()
 
-    return build, query
+    def query_batch8():
+        from customer_activity_lakehouse_spark.plans.ann_index import (
+            query_ann_index_batch,
+        )
+
+        batch = _quantize(
+            emb.filter("vec_id % 250 = 0 AND vec_id < 2000")  # 8 queries
+        ).withColumnRenamed("vec_id", "qid")
+        query_ann_index_batch(
+            spark, f"{work_dir}/ann_idx_timed", batch, exclude_self=True
+        ).write.format("noop").mode("overwrite").save()
+
+    return build, query, query_batch8
 
 
 def _calibration() -> dict:
@@ -486,8 +498,12 @@ def main() -> None:
         # ANN-index phase (r9): build once (warm-up build + timed build),
         # then serve ANN_INDEX_QUERY_RUNS queries from the timed build's
         # persisted tables. Excluded from totals; the build:query ratio
-        # is the number that says the FAISS split paid off.
-        idx_build, idx_query = _make_ann_index_tasks(spark, sf_dir, work_dir)
+        # is the number that says the FAISS split paid off. r10 adds
+        # ann_index_batch8 — EIGHT queries in one batched plan; its ratio
+        # to 8x ann_index_query is the serving-tier amortization win.
+        idx_build, idx_query, idx_batch8 = _make_ann_index_tasks(
+            spark, sf_dir, work_dir
+        )
         idx_build("warmup")
         t0 = time.perf_counter()
         idx_build("timed")
@@ -500,6 +516,14 @@ def main() -> None:
             if i > 0:
                 qts.append(dt)
         samples["ann_index_query"] = qts
+        bts: list[float] = []
+        for i in range(ANN_INDEX_QUERY_RUNS + 1):  # pass 0 is warm-up
+            t0 = time.perf_counter()
+            idx_batch8()
+            dt = time.perf_counter() - t0
+            if i > 0:
+                bts.append(dt)
+        samples["ann_index_batch8"] = bts
 
         timings = {n: round(statistics.median(samples[n]), 4) for n in samples}
     finally:
@@ -531,6 +555,7 @@ def main() -> None:
             "scd2_apply",
             "ann_index_build",
             "ann_index_query",
+            "ann_index_batch8",
         ]
         + sorted(n for n in headline if n not in legacy),
         "value_full_excludes": [
@@ -542,6 +567,7 @@ def main() -> None:
             "scd2_apply",
             "ann_index_build",
             "ann_index_query",
+            "ann_index_batch8",
         ],
         "calibration": {
             "start": calib_start,
@@ -585,7 +611,10 @@ def main() -> None:
             "r9 ADDED the ann_index phase (ann_index_build trains "
             "and persists IVF+PQ once; ann_index_query serves from "
             "the persisted tables — their ratio is the FAISS "
-            "build/serve split's value) and the calibration block "
+            "build/serve split's value; r10 adds ann_index_batch8 — "
+            "EIGHT queries served in one batched plan, its ratio to "
+            "8x ann_index_query is the serving-tier amortization win) "
+            "and the calibration block "
             "(fixed CPU microbenchmarks at start+end of the run, "
             "for normalizing cross-round environmental drift); "
             "r10 ADDED value_normalized/value_full_normalized: raw "
