@@ -429,6 +429,107 @@ def query_ann_index_batch(
     )
 
 
+def query_ann_index_batch_where(
+    spark: SparkSession,
+    index_dir: str,
+    queries_q: DataFrame,
+    allowed: DataFrame,
+    k: int = ANN_TOPK,
+    exclude_self: bool = False,
+) -> DataFrame:
+    """Predicate + top-k for a QUERY BATCH — the composition of
+    :func:`query_ann_index_batch` (amortize one plan over the batch) and
+    :func:`query_ann_index_where` (widen probes until k filtered
+    survivors; post-filtering under-returns). Per query the result is
+    IDENTICAL to the single filtered serve (pytest-pinned).
+
+    Shape: instead of per-query widening loops (one pruned count per
+    step — right for ONE selective query, |batch|·steps jobs for a
+    batch), the batch path pays ONE narrow counting scan: codes
+    semi-joined to ``allowed``, grouped by cell — a 2-column read whose
+    K-row result lets the driver walk every query's cell order and pick
+    its prefix without further I/O. Batch amortization is the point:
+    one count scan + one pruned score read serve the whole batch. The
+    driver-side state is K cell counts + |batch|·K ranking rows +
+    ≤|batch| own-cell rows — all bounded by batch size and cell count,
+    never by corpus size."""
+    from ..sources.snapshots import read_snapshot
+
+    cents = read_snapshot(spark, f"{index_dir}/ivf_centroids")
+    carr = cents.agg(
+        F.array_sort(F.collect_list(F.struct("cluster", "c"))).alias("cents")
+    )
+    cent_dist = F.aggregate(
+        F.zip_with(
+            F.col("q"),
+            F.col("cent.c"),
+            lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    ranking_rows = (
+        queries_q.crossJoin(F.broadcast(carr))
+        .select("qid", F.explode("cents").alias("cent"), "q")
+        .select("qid", F.col("cent.cluster").alias("cell"), cent_dist.alias("cdist"))
+        .orderBy("qid", "cdist", "cell")
+        .collect()
+    )  # |batch|·K rows — driver-bounded by batch size × cell count
+    order: dict[int, list[int]] = {}
+    for r in ranking_rows:
+        order.setdefault(int(r["qid"]), []).append(int(r["cell"]))
+    sem = allowed.select("vec_id")
+    filtered = read_snapshot(spark, f"{index_dir}/codes").join(
+        F.broadcast(sem), "vec_id", "left_semi"
+    )
+    counts = {
+        int(r["cell"]): int(r["n"])
+        for r in filtered.groupBy("cell").agg(F.count(F.lit(1)).alias("n")).collect()
+    }  # ≤K rows
+    own_cell: dict[int, int] = {}
+    if exclude_self:
+        qids = sorted(order)
+        own_cell = {
+            int(r["vec_id"]): int(r["cell"])
+            for r in filtered.filter(F.col("vec_id").isin(qids))
+            .select("vec_id", "cell")
+            .collect()
+        }  # ≤|batch| rows
+    used: dict[int, int] = {}
+    for qid, cells in order.items():
+        surv, m = 0, 0
+        for m, cell in enumerate(cells, start=1):
+            surv += counts.get(cell, 0)
+            if exclude_self and own_cell.get(qid) == cell:
+                surv -= 1
+            if m >= IVF_PROBES and surv >= k:
+                break
+        used[qid] = m
+    probe_pairs = spark.createDataFrame(
+        [(qid, c) for qid, cells in order.items() for c in cells[: used[qid]]],
+        "qid long, cell int",
+    ).join(
+        queries_q.select("qid", F.col("q").alias("qq")), "qid"
+    )
+    cell_union = sorted({c for qid, cells in order.items() for c in cells[: used[qid]]})
+    codes = read_snapshot(
+        spark, f"{index_dir}/codes", partition_where={"cell": cell_union}
+    ).join(F.broadcast(sem), "vec_id", "left_semi")
+    cand = codes.join(F.broadcast(probe_pairs), "cell")
+    if exclude_self:
+        cand = cand.filter(F.col("vec_id") != F.col("qid"))
+    scored = cand.crossJoin(F.broadcast(_books_arr(spark, index_dir))).select(
+        "qid", "vec_id", F.round(_adc_cos(), 4).alias("cos_sim")
+    )
+    w_k = Window.partitionBy("qid").orderBy(F.col("cos_sim").desc(), "vec_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w_k))
+        .filter(F.col("rk") <= k)
+        .select("qid", "vec_id", "cos_sim")
+        .orderBy("qid", F.col("cos_sim").desc(), "vec_id")
+    )
+
+
 def query_ann_index_where(
     spark: SparkSession,
     index_dir: str,

@@ -291,3 +291,42 @@ def test_batch_serve_matches_single_query_serve(spark, tmp_path):
     # rank limits (WindowGroupLimit), never a global sort of candidates
     phys = got._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in phys, phys
+
+
+def test_batch_where_matches_single_filtered_serve(spark, tmp_path):
+    """query_ann_index_batch_where: per query, identical to the single
+    filtered serve (including widening when the first probed cells hold
+    fewer than k predicate survivors and the exclude-self adjustment);
+    scoring reads only the union of the chosen prefixes."""
+    from customer_activity_lakehouse_spark.plans.ann_index import (
+        query_ann_index_batch_where,
+        query_ann_index_where,
+    )
+
+    idx = str(tmp_path / "idx")
+    build_ann_index(spark, _corpus(spark, 0, 300), idx)
+    # selective predicate -> widening beyond IVF_PROBES for most queries
+    allowed_ids = sorted(range(0, 300, 11))  # ~27 survivors over 8 cells
+    allowed = spark.createDataFrame([(i,) for i in allowed_ids], "vec_id long")
+    qids = [0, 44, 143, 297]
+    batch = _quantize(_corpus(spark, 0, 300).filter(F.col("vec_id").isin(qids)))
+    batch = batch.withColumnRenamed("vec_id", "qid")
+    got = query_ann_index_batch_where(
+        spark, idx, batch, allowed, k=10, exclude_self=True
+    )
+    by_q = {}
+    for r in got.collect():
+        by_q.setdefault(r.qid, []).append((r.vec_id, r.cos_sim))
+    assert set(by_q) == set(qids)
+    for qid in qids:
+        single = query_ann_index_where(
+            spark,
+            idx,
+            _quantize(_corpus(spark, qid, qid + 1)),
+            allowed,
+            k=10,
+            exclude_id=qid,
+        ).collect()
+        assert by_q[qid] == [(r.vec_id, r.cos_sim) for r in single], qid
+        assert len(by_q[qid]) == 10
+        assert all(v in set(allowed_ids) and v != qid for v, _ in by_q[qid])
