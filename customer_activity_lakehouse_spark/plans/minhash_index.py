@@ -212,6 +212,41 @@ def maintain_minhash_index(
     return pairs, latest
 
 
+def probe_minhash_index(
+    spark: SparkSession, index_dir: str, docs: DataFrame
+) -> DataFrame:
+    """READ-ONLY dedup lookup (r10): which corpus documents are LSH
+    candidates for these ad-hoc ``(doc_id, text)`` docs — the
+    pre-ingest question ("is this a dup?") asked WITHOUT mutating the
+    index or consuming any feed. Same bloom-pruned ``point_where`` probe
+    as maintenance, same O(probe bands) cost; returns (query_doc,
+    dup_of) pairs against the committed corpus postings only (the
+    caller's batch is not self-joined — it isn't being ingested)."""
+    from ..sources.snapshots import read_snapshot
+
+    bands_dir = f"{index_dir}/bands"
+    probe = minhash_band_keys(docs).filter(F.col("band_val").isNotNull())
+    vals = [
+        r["band_val"] for r in probe.select("band_val").distinct().collect()
+    ]  # O(batch) driver list — the bloom pruning keys
+    if not vals:
+        return spark.createDataFrame([], "query_doc long, dup_of long")
+    idx = read_snapshot(spark, bands_dir, point_where={"band_val": vals})
+    return (
+        idx.alias("o")
+        .join(
+            F.broadcast(probe.alias("n")),
+            (F.col("o.band_idx") == F.col("n.band_idx"))
+            & (F.col("o.band_val") == F.col("n.band_val")),
+        )
+        .select(
+            F.col("n.doc_id").alias("query_doc"),
+            F.col("o.doc_id").alias("dup_of"),
+        )
+        .distinct()
+    )
+
+
 # --------------------------------------------------------------- catalog
 
 _SCRATCH: dict[str, str] = {}

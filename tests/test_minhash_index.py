@@ -262,3 +262,30 @@ def test_maintain_is_noop_after_corpus_optimize(spark, tmp_path):
     pairs, v = maintain_minhash_index(spark, idx, src)
     assert v == _list_versions(spark, src)[-1]
     assert (100, 1) in {(r.new_doc, r.dup_of) for r in pairs.collect()}
+
+
+def test_probe_is_read_only_lookup(spark, tmp_path):
+    """probe_minhash_index (r10): the pre-ingest dedup question — a
+    near-copy probe finds its corpus twin, a novel probe finds nothing,
+    and NEITHER call commits anything (index and corpus versions are
+    untouched; the next maintenance still consumes from the same stamp)."""
+    from customer_activity_lakehouse_spark.plans.minhash_index import (
+        probe_minhash_index,
+    )
+
+    src = str(tmp_path / "corpus")
+    idx = str(tmp_path / "idx")
+    commit_append(spark, src, _docs(spark, _BASE))
+    build_minhash_index(spark, read_snapshot(spark, src), idx, consumed_version=1)
+    v_before = _list_versions(spark, f"{idx}/bands")[-1]
+    probe = _docs(spark, [
+        (900, "the quick brown fox jumps over the lazy dog again and again?"),
+        (901, "utterly novel content resembling no corpus document whatsoever"),
+    ])
+    got = {(r.query_doc, r.dup_of) for r in probe_minhash_index(spark, idx, probe).collect()}
+    assert got == {(900, 1)}
+    # short/unshingleable probes return an EMPTY frame, not an error
+    assert probe_minhash_index(spark, idx, _docs(spark, [(902, "x")])).count() == 0
+    # read-only: no commit on the index, and maintenance state unchanged
+    assert _list_versions(spark, f"{idx}/bands")[-1] == v_before
+    assert maintain_minhash_index(spark, idx, src) == (None, None)
