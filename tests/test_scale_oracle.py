@@ -160,6 +160,12 @@ HEAVY = [
     # RRF: fuses two sf-dependent pools — membership of either pool
     # reshuffles the fused ordering
     "hybrid_search_rrf",
+    # r10: the bounded SemDeDup (the cell-cap QUALIFY is live in both
+    # engines at sf0.1 where cells ~250), its over-cap audit, and the
+    # filtered persisted-index serve (widening rule at scale)
+    "dedup_semantic_cells",
+    "semantic_cell_audit",
+    "ann_index_query_where",
 ]
 
 
