@@ -533,3 +533,44 @@ def test_index_sql_misparse_fails_loudly(spark, tmp_path):
         run_table_sql(
             spark, f"REFRESH HNSW INDEX snapshot.`{t}` FROM snapshot.`{t}`"
         )
+
+
+def test_describe_index_via_sql(spark, tmp_path):
+    """DESCRIBE VECTOR|MINHASH INDEX: the scheduler-facing observability
+    row — counts, structure size, and the consumed-version cursor."""
+    from pyspark.sql import functions as F
+
+    emb = F.transform(
+        F.sequence(F.lit(1), F.lit(64)),
+        lambda i: (
+            F.pmod(F.col("id") * 31 + i.cast("long") * 7, F.lit(97)) / 97.0
+        ).cast("float"),
+    )
+    corpus = str(tmp_path / "vcorpus")
+    vidx = str(tmp_path / "vidx")
+    commit_append(
+        spark, corpus,
+        spark.range(0, 80).select(F.col("id").alias("vec_id"), emb.alias("embedding")),
+    )
+    run_table_sql(spark, f"CREATE VECTOR INDEX snapshot.`{vidx}` ON snapshot.`{corpus}`")
+    row = run_table_sql(
+        spark, f"DESCRIBE VECTOR INDEX snapshot.`{vidx}`"
+    ).collect()[0]
+    assert (row.index_kind, row.n_vectors, row.consumed_version) == ("vector", 80, 1)
+    assert 1 <= row.n_cells <= row.n_centroids <= 8
+    dcorpus = str(tmp_path / "dcorpus")
+    midx = str(tmp_path / "midx")
+    commit_append(
+        spark, dcorpus,
+        spark.createDataFrame(
+            [(1, "the quick brown fox jumps over the lazy dog again and again")],
+            "doc_id long, text string",
+        ),
+    )
+    run_table_sql(spark, f"CREATE MINHASH INDEX snapshot.`{midx}` ON snapshot.`{dcorpus}`")
+    row = run_table_sql(
+        spark, f"DESCRIBE MINHASH INDEX snapshot.`{midx}`"
+    ).collect()[0]
+    assert (row.index_kind, row.n_docs, row.n_postings, row.consumed_version) == (
+        "minhash", 1, 4, 1,
+    )
