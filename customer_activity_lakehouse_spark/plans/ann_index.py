@@ -145,11 +145,10 @@ def maintain_ann_index(
     between the delete and the stamped append replays safely; a
     retraction-only feed leaves the stamp alone (empty-append
     precedent)."""
-    from ..sources.incremental import net_change_feed, stamped_version
+    from ..sources.incremental import dv_retract, net_change_feed, stamped_version
     from ..sources.snapshots import (
         _list_versions,
         commit_append,
-        delete_snapshot,
         read_snapshot,
         snapshot_change_feed,
     )
@@ -172,13 +171,7 @@ def maintain_ann_index(
     retract, final_rows = net_change_feed(feed, "vec_id")
     victims = [int(r["vec_id"]) for r in retract.collect()]  # O(changes)
     if victims:
-        delete_snapshot(
-            spark,
-            codes_dir,
-            f"vec_id IN ({', '.join(str(v) for v in victims)})",
-            prune_where=("vec_id", min(victims), max(victims)),
-            mode="dv",
-        )
+        dv_retract(spark, codes_dir, "vec_id", victims)
     new = final_rows.select("vec_id", "embedding")
     if not new.limit(1).collect():
         # nothing to (re)encode: data_change=false commits only, or a

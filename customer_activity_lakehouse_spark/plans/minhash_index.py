@@ -119,11 +119,10 @@ def maintain_minhash_index(
     replays safely; a retraction-only feed leaves the stamp alone and
     the next run re-walks the range, the empty-append precedent).
     Returns (pairs, consumed_version), or (None, None) when current."""
-    from ..sources.incremental import net_change_feed, stamped_version
+    from ..sources.incremental import dv_retract, net_change_feed, stamped_version
     from ..sources.snapshots import (
         _list_versions,
         commit_append,
-        delete_snapshot,
         read_snapshot,
         snapshot_change_feed,
     )
@@ -145,13 +144,7 @@ def maintain_minhash_index(
     retract, final_rows = net_change_feed(feed, "doc_id")
     victims = [int(r["doc_id"]) for r in retract.collect()]  # O(changes)
     if victims:
-        delete_snapshot(
-            spark,
-            bands_dir,
-            f"doc_id IN ({', '.join(str(v) for v in victims)})",
-            prune_where=("doc_id", min(victims), max(victims)),
-            mode="dv",
-        )
+        dv_retract(spark, bands_dir, "doc_id", victims)
     if not final_rows.select("doc_id").limit(1).collect():
         # nothing to (re)index: data_change=false commits, or a
         # retraction-only feed (already applied above); no stamp (an

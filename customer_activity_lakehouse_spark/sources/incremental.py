@@ -120,6 +120,34 @@ def net_change_feed(
     return retract, final_rows
 
 
+RETRACT_CHUNK = 10_000  # max IN-list size per DV-delete commit
+
+
+def dv_retract(
+    spark: SparkSession, table_dir: str, key_col: str, victims: list[int]
+) -> None:
+    """DV-mask ``victims``' rows out of an index table by integer key —
+    the retraction half of index maintenance. Victims are sorted and
+    CHUNKED (``RETRACT_CHUNK`` per delete commit): a single
+    million-element ``IN (...)`` string would strain Catalyst's parser,
+    while sorted chunks keep each commit's ``prune_where`` interval
+    tight against the key stats. Idempotent at every boundary —
+    re-deleting already-absent keys is a no-op, so a crash between
+    chunks replays safely."""
+    from .snapshots import delete_snapshot
+
+    vs = sorted(set(victims))
+    for i in range(0, len(vs), RETRACT_CHUNK):
+        part = vs[i : i + RETRACT_CHUNK]
+        delete_snapshot(
+            spark,
+            table_dir,
+            f"{key_col} IN ({', '.join(str(v) for v in part)})",
+            prune_where=(key_col, part[0], part[-1]),
+            mode="dv",
+        )
+
+
 def _reject_null_keys(touched: DataFrame, keys: list[str], op: str) -> None:
     """MERGE key semantics are SQL's: NULL never matches NULL (Delta
     MERGE behaves identically), so a null-keyed aggregate row is

@@ -289,3 +289,27 @@ def test_probe_is_read_only_lookup(spark, tmp_path):
     # read-only: no commit on the index, and maintenance state unchanged
     assert _list_versions(spark, f"{idx}/bands")[-1] == v_before
     assert maintain_minhash_index(spark, idx, src) == (None, None)
+
+
+def test_retraction_chunks_large_victim_lists(spark, tmp_path, monkeypatch):
+    """dv_retract bounds each delete commit's IN-list (a million-element
+    predicate would strain Catalyst): with the chunk size forced to 2, a
+    5-victim retraction lands as 3 idempotent DV commits and the index
+    still nets to exactly the survivors."""
+    from customer_activity_lakehouse_spark.sources import incremental
+
+    monkeypatch.setattr(incremental, "RETRACT_CHUNK", 2)
+    src = str(tmp_path / "corpus")
+    idx = str(tmp_path / "idx")
+    rows = [
+        (i, f"document {i} body with enough shingleable content to band {i}")
+        for i in range(7)
+    ]
+    commit_append(spark, src, _docs(spark, rows))
+    build_minhash_index(spark, read_snapshot(spark, src), idx, consumed_version=1)
+    v_before = _list_versions(spark, f"{idx}/bands")[-1]
+    delete_snapshot(spark, src, "doc_id IN (0, 2, 3, 5, 6)")
+    assert maintain_minhash_index(spark, idx, src) == (None, None)
+    assert _list_versions(spark, f"{idx}/bands")[-1] == v_before + 3  # 3 chunks
+    bands = read_snapshot(spark, f"{idx}/bands")
+    assert {r.doc_id for r in bands.select("doc_id").distinct().collect()} == {1, 4}
