@@ -15,7 +15,6 @@ Contract under test:
 
 from __future__ import annotations
 
-import pytest
 from pyspark.sql import functions as F
 
 from customer_activity_lakehouse_spark.plans.ann_index import (

@@ -6,7 +6,6 @@ within-batch pairs, exactly-once stamping, and delete/update retraction
 
 from __future__ import annotations
 
-import pytest
 from pyspark.sql import functions as F
 
 from customer_activity_lakehouse_spark.plans.minhash_index import (
