@@ -148,7 +148,7 @@ def maintain_ann_index(
     from ..sources.incremental import dv_retract, net_change_feed, stamped_version
     from ..sources.snapshots import (
         _list_versions,
-        commit_append,
+        merge_snapshot,
         read_snapshot,
         snapshot_change_feed,
     )
@@ -186,10 +186,16 @@ def maintain_ann_index(
         "vec_id", F.col("cluster").cast("int").alias("cell")
     )
     codes = _encode(embq, books).join(cells, "vec_id")
-    commit_append(
+    # keyed MERGE, not append (r10): double-application of the same feed
+    # (stale stamp read / crash replay) CONVERGES — the second pass
+    # matches every vec_id and rewrites identical rows, so the serve can
+    # never list a neighbor twice; a truly concurrent maintainer aborts
+    # on rewrite-vs-rewrite conflict detection and its retry no-ops.
+    merge_snapshot(
         spark,
         codes_dir,
         codes.select("vec_id", "cell", "code"),
+        keys=["vec_id"],
         stats_cols=["vec_id"],
         extra={"ann_consumed_version": latest},
     )

@@ -114,15 +114,21 @@ def maintain_minhash_index(
     reported as ``dup_of`` immediately.
 
     The new postings land in ONE commit stamping the consumed source
-    version (exactly-once: the retraction is idempotent — re-deleting
-    absent doc_ids is a no-op — so a crash between the two commits
-    replays safely; a retraction-only feed leaves the stamp alone and
-    the next run re-walks the range, the empty-append precedent).
+    version — a keyed MERGE on (doc_id, band_idx), not an append (r10):
+    double-application of the same feed (a stale stamp read, or a crash
+    replay racing its own ghost) CONVERGES instead of duplicating
+    postings, because the second application matches every key and
+    rewrites identical rows. Exactly-once holds at every boundary: the
+    retraction is idempotent (re-deleting absent doc_ids is a no-op), a
+    truly CONCURRENT maintainer aborts loudly on the merge's
+    rewrite-vs-rewrite conflict detection (retry re-reads the stamp and
+    no-ops), and a retraction-only feed leaves the stamp alone (the next
+    run re-walks the range — the empty-append precedent).
     Returns (pairs, consumed_version), or (None, None) when current."""
     from ..sources.incremental import dv_retract, net_change_feed, stamped_version
     from ..sources.snapshots import (
         _list_versions,
-        commit_append,
+        merge_snapshot,
         read_snapshot,
         snapshot_change_feed,
     )
@@ -175,7 +181,11 @@ def maintain_minhash_index(
         .join(
             F.broadcast(nb),
             (F.col("o.band_idx") == F.col("n.band_idx"))
-            & (F.col("o.band_val") == F.col("n.band_val")),
+            & (F.col("o.band_val") == F.col("n.band_val"))
+            # a doc is never its own duplicate: on a re-applied feed
+            # (stale stamp read) the index already holds the batch's own
+            # postings and would otherwise self-match
+            & (F.col("o.doc_id") != F.col("n.doc_id")),
         )
         .select(
             F.col("n.doc_id").alias("new_doc"),
@@ -195,10 +205,11 @@ def maintain_minhash_index(
         )
     )
     pairs = pairs_corpus.unionByName(pairs_within).distinct()
-    commit_append(
+    merge_snapshot(
         spark,
         bands_dir,
         new_bands,
+        keys=["doc_id", "band_idx"],
         stats_cols=["doc_id"],
         extra={"mh_consumed_version": latest},
     )

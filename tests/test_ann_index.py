@@ -329,3 +329,33 @@ def test_batch_where_matches_single_filtered_serve(spark, tmp_path):
         assert by_q[qid] == [(r.vec_id, r.cos_sim) for r in single], qid
         assert len(by_q[qid]) == 10
         assert all(v in set(allowed_ids) and v != qid for v, _ in by_q[qid])
+
+
+def test_double_application_converges(spark, tmp_path, monkeypatch):
+    """Maintenance commits are keyed MERGEs (r10): re-applying an
+    already-consumed feed must converge — one code row per vec_id, so the
+    serve can never list a neighbor twice."""
+    from customer_activity_lakehouse_spark.sources import incremental
+
+    src = str(tmp_path / "corpus")
+    idx = str(tmp_path / "idx")
+    commit_append(spark, src, _corpus(spark, 0, 150))
+    build_ann_index(
+        spark, read_snapshot(spark, src), idx,
+        consumed_version=_list_versions(spark, src)[-1],
+    )
+    commit_append(spark, src, _corpus(spark, 150, 180))
+    v1 = maintain_ann_index(spark, idx, src)
+    assert v1 == 2
+    real = incremental.stamped_version
+    monkeypatch.setattr(
+        incremental, "stamped_version",
+        lambda spark_, d, k: 1 if k == "ann_consumed_version" else real(spark_, d, k),
+    )
+    assert maintain_ann_index(spark, idx, src) == v1
+    codes = read_snapshot(spark, f"{idx}/codes")
+    assert codes.count() == 180
+    assert codes.groupBy("vec_id").count().filter("count > 1").count() == 0
+    qnew = _quantize(_corpus(spark, 160, 161))
+    served = query_ann_index(spark, idx, qnew, k=5).collect()
+    assert len({r.vec_id for r in served}) == 5  # no duplicate neighbors

@@ -312,3 +312,35 @@ def test_retraction_chunks_large_victim_lists(spark, tmp_path, monkeypatch):
     assert _list_versions(spark, f"{idx}/bands")[-1] == v_before + 3  # 3 chunks
     bands = read_snapshot(spark, f"{idx}/bands")
     assert {r.doc_id for r in bands.select("doc_id").distinct().collect()} == {1, 4}
+
+
+def test_double_application_converges(spark, tmp_path, monkeypatch):
+    """Maintenance commits are keyed MERGEs (r10): re-applying an
+    already-consumed feed (a stale stamp read — the concurrent-maintainer
+    /crash-replay failure shape) must CONVERGE — identical pairs, no
+    duplicated postings — never double the index."""
+    from customer_activity_lakehouse_spark.sources import incremental
+
+    src = str(tmp_path / "corpus")
+    idx = str(tmp_path / "idx")
+    commit_append(spark, src, _docs(spark, _BASE))
+    build_minhash_index(spark, read_snapshot(spark, src), idx, consumed_version=1)
+    commit_append(
+        spark, src,
+        _docs(spark, [(10, "the quick brown fox jumps over the lazy dog again and again!")]),
+    )
+    pairs1, v1 = maintain_minhash_index(spark, idx, src)
+    got1 = {(r.new_doc, r.dup_of) for r in pairs1.collect()}
+    n_postings = read_snapshot(spark, f"{idx}/bands").count()
+    # force a stale stamp read: the maintainer believes v1 was never consumed
+    real = incremental.stamped_version
+    monkeypatch.setattr(
+        incremental, "stamped_version",
+        lambda spark_, d, k: 1 if k == "mh_consumed_version" else real(spark_, d, k),
+    )
+    pairs2, v2 = maintain_minhash_index(spark, idx, src)
+    assert v2 == v1
+    assert {(r.new_doc, r.dup_of) for r in pairs2.collect()} == got1
+    bands = read_snapshot(spark, f"{idx}/bands")
+    assert bands.count() == n_postings  # no duplicated postings
+    assert bands.groupBy("doc_id", "band_idx").count().filter("count > 1").count() == 0
