@@ -93,7 +93,10 @@ def build_minhash_index(
 
 
 def maintain_minhash_index(
-    spark: SparkSession, index_dir: str, source_table_dir: str
+    spark: SparkSession,
+    index_dir: str,
+    source_table_dir: str,
+    pairs_dir: str | None = None,
 ) -> tuple[DataFrame | None, int | None]:
     """Fold the corpus change feed into the band index and return the
     batch's candidate duplicate pairs as ``(new_doc, dup_of)``:
@@ -124,6 +127,18 @@ def maintain_minhash_index(
     rewrite-vs-rewrite conflict detection (retry re-reads the stamp and
     no-ops), and a retraction-only feed leaves the stamp alone (the next
     run re-walks the range — the empty-append precedent).
+
+    ``pairs_dir`` (r10): persist the batch's pairs as a snapshot table
+    too — the JOINT-STAMP design the composed streaming sink needs. The
+    pairs land as a keyed MERGE on (new_doc, dup_of) BEFORE the stamping
+    bands merge, so every crash boundary replays to convergence: a crash
+    before the pairs merge is a plain replay; a crash between the two
+    merges leaves the stamp stale, the rerun recomputes the IDENTICAL
+    pairs (the bands merge hadn't landed, so the probe sees the same
+    pre-batch index) and the keyed merge rewrites identical rows; after
+    both, the stamp ends the replay. The returned pairs frame is the
+    in-memory plan either way — callers wanting the committed table read
+    ``pairs_dir`` themselves.
     Returns (pairs, consumed_version), or (None, None) when current."""
     from ..sources.incremental import dv_retract, net_change_feed, stamped_version
     from ..sources.snapshots import (
@@ -146,9 +161,17 @@ def maintain_minhash_index(
     latest = src_versions[-1]
     if latest <= consumed:
         return None, None
-    feed = snapshot_change_feed(spark, source_table_dir, consumed, latest)
-    retract, final_rows = net_change_feed(feed, "doc_id")
-    victims = [int(r["doc_id"]) for r in retract.collect()]  # O(changes)
+    if consumed == 0:
+        # never consumed (an index bootstrapped EMPTY, e.g. by the
+        # streaming sink): the feed is the whole current snapshot as
+        # inserts — the Delta CDF startingVersion=0 contract, same as
+        # incremental.py's MV bootstrap branch
+        victims: list[int] = []
+        final_rows = read_snapshot(spark, source_table_dir)
+    else:
+        feed = snapshot_change_feed(spark, source_table_dir, consumed, latest)
+        retract, final_rows = net_change_feed(feed, "doc_id")
+        victims = [int(r["doc_id"]) for r in retract.collect()]  # O(changes)
     if victims:
         dv_retract(spark, bands_dir, "doc_id", victims)
     if not final_rows.select("doc_id").limit(1).collect():
@@ -176,16 +199,27 @@ def maintain_minhash_index(
         else read_snapshot(spark, bands_dir).limit(0)
     )
     nb = new_bands.alias("n")
+    # the corpus probe must see ONLY pre-batch postings: on a re-applied
+    # feed (stale stamp read) the index already holds the batch's own
+    # postings, and a mere self-match exclusion (o.doc_id != n.doc_id)
+    # would still emit within-batch pairs in BOTH orientations — the
+    # first application reported (b, a) with a < b from the batch-local
+    # join, the replay would add (a, b) from the probe, and the keyed
+    # pairs merge would insert it as a NEW row instead of converging.
+    # Anti-joining the batch's doc_ids out (broadcast — O(batch) ids)
+    # leaves within-batch pairs to pairs_within alone, which recomputes
+    # identically from the feed on every application.
+    idx_ex = idx.join(
+        F.broadcast(new_bands.select("doc_id").distinct()),
+        "doc_id",
+        "left_anti",
+    )
     pairs_corpus = (
-        idx.alias("o")
+        idx_ex.alias("o")
         .join(
             F.broadcast(nb),
             (F.col("o.band_idx") == F.col("n.band_idx"))
-            & (F.col("o.band_val") == F.col("n.band_val"))
-            # a doc is never its own duplicate: on a re-applied feed
-            # (stale stamp read) the index already holds the batch's own
-            # postings and would otherwise self-match
-            & (F.col("o.doc_id") != F.col("n.doc_id")),
+            & (F.col("o.band_val") == F.col("n.band_val")),
         )
         .select(
             F.col("n.doc_id").alias("new_doc"),
@@ -205,6 +239,12 @@ def maintain_minhash_index(
         )
     )
     pairs = pairs_corpus.unionByName(pairs_within).distinct()
+    if pairs_dir is not None and pairs.limit(1).count():
+        # BEFORE the stamping bands merge — see the docstring's crash
+        # analysis; keyed on the pair itself so replays rewrite, never
+        # duplicate. An empty batch persists nothing (a replay recomputes
+        # the same nothing).
+        merge_snapshot(spark, pairs_dir, pairs, keys=["new_doc", "dup_of"])
     merge_snapshot(
         spark,
         bands_dir,

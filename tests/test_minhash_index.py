@@ -344,3 +344,88 @@ def test_double_application_converges(spark, tmp_path, monkeypatch):
     bands = read_snapshot(spark, f"{idx}/bands")
     assert bands.count() == n_postings  # no duplicated postings
     assert bands.groupBy("doc_id", "band_idx").count().filter("count > 1").count() == 0
+
+
+def test_double_application_converges_multi_doc_batch(spark, tmp_path, monkeypatch):
+    """Re-applying a feed whose batch contains MUTUAL dups must not emit
+    the within-batch pair in both orientations: on the replay the index
+    already holds the batch's own postings, so the corpus probe must
+    anti-join the batch's doc_ids out entirely — a mere self-match
+    exclusion left (a, b) AND (b, a) in the probe and the keyed pairs
+    merge would have inserted the reversed row as new."""
+    from customer_activity_lakehouse_spark.sources import incremental
+
+    src = str(tmp_path / "corpus")
+    idx = str(tmp_path / "idx")
+    commit_append(spark, src, _docs(spark, _BASE))
+    build_minhash_index(spark, read_snapshot(spark, src), idx, consumed_version=1)
+    batch = [
+        (10, "the quick brown fox jumps over the lazy dog again and again!"),
+        (11, "snapshot logs give exactly once ingest semantics for free text"),
+        (12, "snapshot logs give exactly once ingest semantics for free text"),
+    ]
+    commit_append(spark, src, _docs(spark, batch))
+    pairs1, v1 = maintain_minhash_index(spark, idx, src)
+    got1 = {(r.new_doc, r.dup_of) for r in pairs1.collect()}
+    assert (12, 11) in got1 and (11, 12) not in got1
+    n_postings = read_snapshot(spark, f"{idx}/bands").count()
+    real = incremental.stamped_version
+    monkeypatch.setattr(
+        incremental, "stamped_version",
+        lambda spark_, d, k: 1 if k == "mh_consumed_version" else real(spark_, d, k),
+    )
+    pairs2, v2 = maintain_minhash_index(spark, idx, src)
+    assert v2 == v1
+    assert {(r.new_doc, r.dup_of) for r in pairs2.collect()} == got1
+    assert read_snapshot(spark, f"{idx}/bands").count() == n_postings
+
+
+def test_maintain_pairs_dir_joint_stamp_crash_replay(spark, tmp_path, monkeypatch):
+    """pairs_dir persists the batch's pairs as a keyed MERGE that lands
+    BEFORE the stamping bands merge: a crash between the two merges
+    replays to convergence — the rerun recomputes identical pairs against
+    the unmerged index, rewrites them, and only then stamps."""
+    from customer_activity_lakehouse_spark.sources import snapshots as snap
+
+    src = str(tmp_path / "corpus")
+    idx = str(tmp_path / "idx")
+    pdir = str(tmp_path / "pairs")
+    commit_append(spark, src, _docs(spark, _BASE))
+    build_minhash_index(spark, read_snapshot(spark, src), idx, consumed_version=1)
+    batch = [
+        (10, "the quick brown fox jumps over the lazy dog again and again!"),
+        (11, "snapshot logs give exactly once ingest semantics for free text"),
+        (12, "snapshot logs give exactly once ingest semantics for free text"),
+    ]
+    commit_append(spark, src, _docs(spark, batch))
+
+    # crash AFTER the pairs merge, BEFORE the bands merge
+    real_merge = snap.merge_snapshot
+
+    def crashing_merge(spark_, table_dir, *a, **kw):
+        if kw.get("keys") == ["doc_id", "band_idx"] or (
+            len(a) >= 2 and a[1] == ["doc_id", "band_idx"]
+        ):
+            raise RuntimeError("simulated crash between the two merges")
+        return real_merge(spark_, table_dir, *a, **kw)
+
+    monkeypatch.setattr(snap, "merge_snapshot", crashing_merge)
+    try:
+        maintain_minhash_index(spark, idx, src, pairs_dir=pdir)
+        raise AssertionError("expected the simulated crash")
+    except RuntimeError as e:
+        assert "simulated crash" in str(e)
+    monkeypatch.setattr(snap, "merge_snapshot", real_merge)
+
+    # pairs landed, stamp did NOT advance — the replay window is open
+    persisted_mid = {(r.new_doc, r.dup_of) for r in read_snapshot(spark, pdir).collect()}
+    assert persisted_mid  # the pre-crash merge committed
+    pairs, v = maintain_minhash_index(spark, idx, src, pairs_dir=pdir)
+    assert v == 2
+    got = {(r.new_doc, r.dup_of) for r in pairs.collect()}
+    assert (10, 1) in got and (12, 11) in got
+    persisted = read_snapshot(spark, pdir)
+    assert {(r.new_doc, r.dup_of) for r in persisted.collect()} == got
+    assert persisted.groupBy("new_doc", "dup_of").count().filter("count > 1").count() == 0
+    # converged: a further run is a no-op on the stamp
+    assert maintain_minhash_index(spark, idx, src, pairs_dir=pdir) == (None, None)

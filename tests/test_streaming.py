@@ -950,3 +950,77 @@ def test_stream_txn_dedup_is_app_scoped_and_dml_proof(spark, tmp_path):
     # and a genuinely new batch still applies
     fnA(spark.createDataFrame([(4, 40)], "id long, v long"), 1)
     assert {r.id for r in read_snapshot(spark, t).collect()} == {1, 2, 3, 4}
+
+
+def test_stream_ingest_dedup_composed_sink(spark, tmp_path):
+    """The composed ingest+dedup sink (write_stream_ingest_dedup): a
+    document stream lands in a versioned corpus, the MinHash band index
+    follows through the change feed, and every micro-batch's candidate
+    dup pairs persist to a pairs table — exactly-once across a full
+    checkpoint-wiped replay (same app_id ⇒ corpus appends skip on the
+    (app, batch) stamp, maintenance no-ops on the consumed stamp)."""
+    import json
+
+    from customer_activity_lakehouse_spark.sources.snapshots import (
+        _list_versions,
+        read_snapshot,
+    )
+    from customer_activity_lakehouse_spark.streaming import write_stream_ingest_dedup
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    root = str(tmp_path)
+    text_a = "the quick brown fox jumps over the lazy dog again and again"
+    text_b = "a completely different document about distributed query engines"
+    text_c = "snapshot logs give exactly once ingest semantics for free text"
+    files = [
+        [(1, text_a), (2, text_b)],
+        [(3, text_a), (4, text_c)],
+        [(5, text_c), (6, text_c)],
+    ]
+    for i, rows in enumerate(files):
+        with open(landing / f"f{i}.json", "w") as f:
+            for doc_id, text in rows:
+                f.write(json.dumps({"doc_id": doc_id, "text": text}) + "\n")
+
+    def run():
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .json(str(landing))
+        )
+        q = write_stream_ingest_dedup(
+            stream, f"{root}/corpus", f"{root}/idx", f"{root}/pairs",
+            f"{root}/ckpt_ingest_dedup",
+        )
+        q.awaitTermination(180)
+        assert not q.isActive
+
+    run()
+    assert read_snapshot(spark, f"{root}/corpus").count() == 6
+    # exact-copy groups {1,3} and {4,5,6}: the reported orientation is
+    # (larger id, smaller id) whether the pair lands cross-batch or
+    # within-batch, so the expected set is batching-invariant
+    want = {(3, 1), (5, 4), (6, 4), (6, 5)}
+    got = {
+        (r.new_doc, r.dup_of)
+        for r in read_snapshot(spark, f"{root}/pairs").collect()
+    }
+    assert got == want
+    bands = read_snapshot(spark, f"{root}/idx/bands")
+    assert {r.doc_id for r in bands.select("doc_id").distinct().collect()} == set(range(1, 7))
+    corpus_versions = _list_versions(spark, f"{root}/corpus")
+    pairs_versions = _list_versions(spark, f"{root}/pairs")
+
+    # full replay: wipe the checkpoint, same path (= same app_id) — every
+    # micro-batch re-fires and every commit class must dedupe itself
+    import shutil
+
+    shutil.rmtree(f"{root}/ckpt_ingest_dedup")
+    run()
+    assert _list_versions(spark, f"{root}/corpus") == corpus_versions
+    assert _list_versions(spark, f"{root}/pairs") == pairs_versions
+    assert {
+        (r.new_doc, r.dup_of)
+        for r in read_snapshot(spark, f"{root}/pairs").collect()
+    } == want
