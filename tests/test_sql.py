@@ -574,3 +574,66 @@ def test_describe_index_via_sql(spark, tmp_path):
     assert (row.index_kind, row.n_docs, row.n_postings, row.consumed_version) == (
         "minhash", 1, 4, 1,
     )
+
+
+def test_drop_index_via_sql(spark, tmp_path):
+    """DROP VECTOR|MINHASH INDEX completes the SQL lifecycle: the index's
+    subtables are physically removed (a re-CREATE starts from scratch),
+    a non-index path is refused before anything is deleted, and data a
+    caller nested under the index root survives the drop."""
+    import os
+
+    corpus = str(tmp_path / "corpus")
+    idx = str(tmp_path / "idx")
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog again and again"),
+            (2, "a completely different document about distributed query engines"),
+        ],
+        "doc_id long, text string",
+    )
+    commit_append(spark, corpus, docs)
+    run_table_sql(spark, f"CREATE MINHASH INDEX snapshot.`{idx}` ON snapshot.`{corpus}`")
+    # a stowaway file under the index root must survive the drop
+    with open(f"{idx}/notes.txt", "w") as f:
+        f.write("not index data")
+    assert run_table_sql(spark, f"DROP MINHASH INDEX snapshot.`{idx}`") == 1
+    assert not os.path.exists(f"{idx}/bands")
+    assert os.path.exists(f"{idx}/notes.txt")
+    # dropping again: nothing there → loud refusal
+    with pytest.raises(FileNotFoundError):
+        run_table_sql(spark, f"DROP MINHASH INDEX snapshot.`{idx}`")
+    # kind mismatch is refused BEFORE deletion: a minhash index is not a
+    # vector index (and vice versa)
+    idx2 = str(tmp_path / "idx2")
+    run_table_sql(spark, f"CREATE MINHASH INDEX snapshot.`{idx2}` ON snapshot.`{corpus}`")
+    with pytest.raises(FileNotFoundError):
+        run_table_sql(spark, f"DROP VECTOR INDEX snapshot.`{idx2}`")
+    assert os.path.exists(f"{idx2}/bands")
+    # an arbitrary snapshot table masquerading as an index: schema guard
+    fake = str(tmp_path / "fake")
+    commit_append(
+        spark, f"{fake}/bands",
+        spark.createDataFrame([(1, 2)], "a long, b long"),
+    )
+    with pytest.raises(ValueError):
+        run_table_sql(spark, f"DROP MINHASH INDEX snapshot.`{fake}`")
+    assert os.path.exists(f"{fake}/bands")
+    # vector drop removes all three subtables and reports the count
+    from pyspark.sql import functions as F
+
+    emb = F.transform(
+        F.sequence(F.lit(1), F.lit(64)),
+        lambda i: (
+            F.pmod(F.col("id") * 31 + i.cast("long") * 7, F.lit(97)) / 97.0
+        ).cast("float"),
+    )
+    vcorpus = str(tmp_path / "vcorpus")
+    vidx = str(tmp_path / "vidx")
+    commit_append(
+        spark, vcorpus,
+        spark.range(0, 120).select(F.col("id").alias("vec_id"), emb.alias("embedding")),
+    )
+    run_table_sql(spark, f"CREATE VECTOR INDEX snapshot.`{vidx}` ON snapshot.`{vcorpus}`")
+    assert run_table_sql(spark, f"DROP VECTOR INDEX snapshot.`{vidx}`") == 3
+    assert not os.path.exists(vidx)  # emptied root is removed too
