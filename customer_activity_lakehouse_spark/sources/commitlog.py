@@ -135,6 +135,9 @@ WRITER_FEATURES = READER_FEATURES | {
     "identity-columns",  # watermark-allocated on append (snapshots.py)
     "unique-keys",  # collision-probed on append/overwrite
     "row-tracking",  # base-row-id allocation on every file add (snapshots.py)
+    "refs",  # named tags/branches carried per commit; tagged versions
+    # pin vacuum retention (refs.py) — a writer that dropped them would
+    # silently expire audit bookmarks
 }
 
 _FEATURE_KEYS = (
@@ -146,6 +149,7 @@ _FEATURE_KEYS = (
     ("identity", "identity-columns", False),
     ("unique_keys", "unique-keys", False),
     ("row_tracking", "row-tracking", False),
+    ("refs", "refs", False),
 )
 
 

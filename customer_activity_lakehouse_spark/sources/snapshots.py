@@ -1444,9 +1444,10 @@ def commit_overwrite(
         # bloom indexing is a table property — it survives the rewrite
         # (file_blooms skips spec columns absent from the new layout)
         manifest["bloom"] = prev_m["bloom"]
-    # generated rules, unique keys, clustering, and identity specs survive
-    # an overwrite (Delta keeps table metadata across mode=overwrite)
-    for k in ("generated", "unique_keys", "clustering"):
+    # generated rules, unique keys, clustering, identity specs, and named
+    # refs survive an overwrite (Delta keeps table metadata across
+    # mode=overwrite; tags point at VERSIONS, which outlive the rewrite)
+    for k in ("generated", "unique_keys", "clustering", "refs"):
         if prev_m and prev_m.get(k):
             manifest[k] = prev_m[k]
     ident = prev_m.get("identity", {}) if prev_m else {}
@@ -1646,7 +1647,7 @@ def commit_replace_where(
 
 _TABLE_PROPS = (
     "constraints", "table_stats", "generated", "partition_by", "bloom", "identity",
-    "unique_keys", "row_tracking", "clustering",
+    "unique_keys", "row_tracking", "clustering", "refs",
 )
 
 
@@ -2952,6 +2953,21 @@ def vacuum(
             ts = _read_commit(spark, table_dir, v).get("committed_at")
             if ts is not None and _dt.datetime.fromisoformat(ts) >= cutoff:
                 keep.add(v)
+    # Named refs pin versions (Iceberg's tag/branch retention): a TAGGED
+    # version never expires while the tag lives, and a live BRANCH pins
+    # its base version at the parent — the branch's inherited files must
+    # stay readable for audit and publish. Lazy import (refs.py imports
+    # this module).
+    from . import refs as _refs
+
+    for tv in _refs.tags_of(
+        _read_manifest(spark, table_dir, versions[-1])
+    ).values():
+        if tv in versions:
+            keep.add(tv)
+    for info in _refs.list_branches(spark, table_dir).values():
+        if info["base_version"] in versions:
+            keep.add(info["base_version"])
     # Liveness comparison is SCHEME-NORMALIZED: the JVM writer records
     # file:/x paths, the pure-Python DataSource writer records bare /x —
     # comparing them verbatim deleted LIVE DataSource-written files as

@@ -1,0 +1,247 @@
+"""Named refs: tags (immutable version pointers, vacuum-pinned) and
+branches (isolated forks with atomic fast-forward publish) — the
+Iceberg refs / write-audit-publish pattern on the snapshot log."""
+
+from __future__ import annotations
+
+import pytest
+
+from customer_activity_lakehouse_spark.sources.refs import (
+    branch_dir,
+    create_branch,
+    drop_branch,
+    drop_tag,
+    list_branches,
+    publish_branch,
+    read_tag,
+    set_tag,
+    tag_version,
+)
+from customer_activity_lakehouse_spark.sources.snapshots import (
+    commit_append,
+    commit_overwrite,
+    delete_snapshot,
+    enable_row_tracking,
+    read_snapshot,
+    snapshot_history,
+    vacuum,
+)
+
+
+def _df(spark, lo, hi):
+    return spark.range(lo, hi).selectExpr("id", "id * 2 AS v")
+
+
+# ------------------------------------------------------------------- tags
+
+
+def test_tag_resolves_and_reads_pinned_version(spark, tmp_path):
+    t = str(tmp_path / "t")
+    commit_append(spark, t, _df(spark, 0, 10))
+    commit_append(spark, t, _df(spark, 10, 30))
+    set_tag(spark, t, "audited", version=1)
+    assert tag_version(spark, t, "audited") == 1
+    assert read_tag(spark, t, "audited").count() == 10
+    # latest unaffected; the tag commit is metadata-only
+    assert read_snapshot(spark, t).count() == 30
+
+
+def test_tag_defaults_to_latest_and_survives_commits(spark, tmp_path):
+    t = str(tmp_path / "t")
+    commit_append(spark, t, _df(spark, 0, 5))
+    set_tag(spark, t, "v1-mark")
+    commit_append(spark, t, _df(spark, 5, 9))
+    commit_overwrite(spark, t, _df(spark, 100, 103))
+    # carried through append AND overwrite
+    assert tag_version(spark, t, "v1-mark") == 1
+    assert read_tag(spark, t, "v1-mark").count() == 5
+
+
+def test_tag_is_immutable_and_validated(spark, tmp_path):
+    t = str(tmp_path / "t")
+    commit_append(spark, t, _df(spark, 0, 5))
+    commit_append(spark, t, _df(spark, 5, 9))
+    set_tag(spark, t, "rel", version=1)
+    with pytest.raises(FileExistsError):
+        set_tag(spark, t, "rel", version=2)  # re-point refused
+    set_tag(spark, t, "rel", version=1)  # same target: idempotent no-op path
+    with pytest.raises(FileNotFoundError):
+        set_tag(spark, t, "ghost", version=99)
+    with pytest.raises(KeyError):
+        tag_version(spark, t, "absent")
+    with pytest.raises(ValueError):
+        set_tag(spark, t, "bad name!")
+
+
+def test_drop_tag_then_unknown_raises(spark, tmp_path):
+    t = str(tmp_path / "t")
+    commit_append(spark, t, _df(spark, 0, 5))
+    set_tag(spark, t, "gone")
+    drop_tag(spark, t, "gone")
+    with pytest.raises(KeyError):
+        tag_version(spark, t, "gone")
+    with pytest.raises(KeyError):
+        drop_tag(spark, t, "gone")
+
+
+def test_tagged_version_pinned_against_vacuum(spark, tmp_path):
+    t = str(tmp_path / "t")
+    commit_append(spark, t, _df(spark, 0, 10))
+    set_tag(spark, t, "keepme", version=1)
+    commit_overwrite(spark, t, _df(spark, 100, 103))
+    commit_overwrite(spark, t, _df(spark, 200, 204))
+    vacuum(spark, t, keep_last=1)
+    # v1 stays readable through the tag; the untagged v2 expired
+    assert read_tag(spark, t, "keepme").count() == 10
+    with pytest.raises(FileNotFoundError):
+        read_snapshot(spark, t, version=2)
+    # dropping the tag releases the pin
+    drop_tag(spark, t, "keepme")
+    vacuum(spark, t, keep_last=1)
+    with pytest.raises(FileNotFoundError):
+        read_snapshot(spark, t, version=1)
+
+
+# --------------------------------------------------------------- branches
+
+
+def test_branch_isolated_writes_then_publish(spark, tmp_path):
+    t = str(tmp_path / "t")
+    commit_append(spark, t, _df(spark, 0, 10))
+    bdir = create_branch(spark, t, "wip")
+    assert bdir == branch_dir(t, "wip")
+    # write on the branch: append + a DV delete of inherited rows
+    commit_append(spark, bdir, _df(spark, 10, 15))
+    delete_snapshot(spark, bdir, "id < 3")
+    assert read_snapshot(spark, bdir).count() == 12
+    # parent untouched during the audit window
+    assert read_snapshot(spark, t).count() == 10
+    v = publish_branch(spark, t, "wip")
+    assert v == 2
+    got = sorted(r.id for r in read_snapshot(spark, t).collect())
+    assert got == list(range(3, 15))
+    # branch consumed; old parent version still time-travelable
+    assert list_branches(spark, t) == {}
+    assert read_snapshot(spark, t, version=1).count() == 10
+
+
+def test_publish_copies_only_branch_files_and_survives_vacuum(spark, tmp_path):
+    t = str(tmp_path / "t")
+    commit_append(spark, t, _df(spark, 0, 10))
+    parent_files = set(read_snapshot(spark, t).inputFiles())
+    create_branch(spark, t, "wip")
+    commit_append(spark, branch_dir(t, "wip"), _df(spark, 10, 12))
+    publish_branch(spark, t, "wip")
+    after = set(read_snapshot(spark, t).inputFiles())
+    # inherited files referenced IN PLACE (no copies of parent data)
+    assert parent_files <= after
+    # the branch's own files were copied under the parent's data dir
+    new = after - parent_files
+    assert new and all("/_branches/" not in f for f in new)
+    assert all(f"{t}/data/" in f or "/data/publish-" in f for f in new)
+    # vacuum keeps everything the published head references
+    vacuum(spark, t, keep_last=1)
+    assert read_snapshot(spark, t).count() == 12
+
+
+def test_branch_dv_deletes_stay_deleted_after_publish(spark, tmp_path):
+    """Branch deletes rows from a file the BRANCH itself wrote — the DV
+    references the branch path, so publish must rewrite it through the
+    copy remap or the rows resurrect."""
+    t = str(tmp_path / "t")
+    commit_append(spark, t, _df(spark, 0, 5))
+    create_branch(spark, t, "wip")
+    bdir = branch_dir(t, "wip")
+    commit_append(spark, bdir, _df(spark, 5, 10))
+    delete_snapshot(spark, bdir, "id >= 8")  # rows in the branch-written file
+    assert read_snapshot(spark, bdir).count() == 8
+    publish_branch(spark, t, "wip")
+    got = sorted(r.id for r in read_snapshot(spark, t).collect())
+    assert got == list(range(8))
+
+
+def test_publish_refuses_on_parent_data_commit(spark, tmp_path):
+    t = str(tmp_path / "t")
+    commit_append(spark, t, _df(spark, 0, 5))
+    create_branch(spark, t, "wip")
+    commit_append(spark, branch_dir(t, "wip"), _df(spark, 5, 7))
+    commit_append(spark, t, _df(spark, 100, 102))  # parent advanced
+    with pytest.raises(RuntimeError, match="fast-forward"):
+        publish_branch(spark, t, "wip")
+    # the refused publish changed nothing
+    assert read_snapshot(spark, t).count() == 7
+    assert list_branches(spark, t)["wip"]["base_version"] == 1
+
+
+def test_publish_fast_forwards_over_audit_tags(spark, tmp_path):
+    """Tagging the parent during the audit window is the normal WAP flow —
+    publish rebases over refs-only commits and the tag survives."""
+    t = str(tmp_path / "t")
+    commit_append(spark, t, _df(spark, 0, 5))
+    create_branch(spark, t, "wip")
+    commit_append(spark, branch_dir(t, "wip"), _df(spark, 5, 8))
+    set_tag(spark, t, "pre-publish")  # parent metadata commit
+    v = publish_branch(spark, t, "wip")
+    assert read_snapshot(spark, t).count() == 8
+    assert tag_version(spark, t, "pre-publish") == 1
+    hist = {r.version: r.op for r in snapshot_history(spark, t).collect()}
+    assert hist[v] == "publish_branch"
+
+
+def test_branch_base_pinned_against_parent_vacuum(spark, tmp_path):
+    t = str(tmp_path / "t")
+    commit_append(spark, t, _df(spark, 0, 10))
+    create_branch(spark, t, "wip")  # base = v1
+    commit_overwrite(spark, t, _df(spark, 100, 103))
+    commit_overwrite(spark, t, _df(spark, 200, 204))
+    vacuum(spark, t, keep_last=1)
+    # the branch still reads its inherited files
+    assert read_snapshot(spark, branch_dir(t, "wip")).count() == 10
+    drop_branch(spark, t, "wip")
+    vacuum(spark, t, keep_last=1)
+    with pytest.raises(FileNotFoundError):
+        read_snapshot(spark, t, version=1)
+
+
+def test_drop_branch_protects_unpublished_work(spark, tmp_path):
+    t = str(tmp_path / "t")
+    commit_append(spark, t, _df(spark, 0, 5))
+    create_branch(spark, t, "wip")
+    commit_append(spark, branch_dir(t, "wip"), _df(spark, 5, 7))
+    with pytest.raises(RuntimeError, match="unpublished"):
+        drop_branch(spark, t, "wip")
+    drop_branch(spark, t, "wip", force=True)
+    assert list_branches(spark, t) == {}
+    with pytest.raises(FileNotFoundError):
+        drop_branch(spark, t, "wip")
+
+
+def test_create_branch_name_collision_and_at_version(spark, tmp_path):
+    t = str(tmp_path / "t")
+    commit_append(spark, t, _df(spark, 0, 5))
+    commit_append(spark, t, _df(spark, 5, 9))
+    create_branch(spark, t, "wip", version=1)
+    assert read_snapshot(spark, branch_dir(t, "wip")).count() == 5
+    assert list_branches(spark, t)["wip"] == {
+        "base_version": 1,
+        "head_version": 1,
+    }
+    with pytest.raises(FileExistsError):
+        create_branch(spark, t, "wip")
+
+
+def test_publish_keeps_row_tracking_watermark_monotonic(spark, tmp_path):
+    t = str(tmp_path / "t")
+    commit_append(spark, t, _df(spark, 0, 5))
+    enable_row_tracking(spark, t)
+    create_branch(spark, t, "wip")
+    commit_append(spark, branch_dir(t, "wip"), _df(spark, 5, 9))
+    publish_branch(spark, t, "wip")
+    got = read_snapshot(spark, t, with_row_ids=True)
+    ids = [r._row_id for r in got.collect()]
+    assert len(ids) == 9 and len(set(ids)) == 9  # unique ids across publish
+    # a post-publish append keeps minting above the branch's watermark
+    commit_append(spark, t, _df(spark, 9, 12))
+    got2 = read_snapshot(spark, t, with_row_ids=True)
+    ids2 = [r._row_id for r in got2.collect()]
+    assert len(ids2) == 12 and len(set(ids2)) == 12

@@ -637,3 +637,59 @@ def test_drop_index_via_sql(spark, tmp_path):
     run_table_sql(spark, f"CREATE VECTOR INDEX snapshot.`{vidx}` ON snapshot.`{vcorpus}`")
     assert run_table_sql(spark, f"DROP VECTOR INDEX snapshot.`{vidx}`") == 3
     assert not os.path.exists(vidx)  # emptied root is removed too
+
+
+def test_refs_sql_lifecycle(spark, tmp_path):
+    """CREATE TAG / TAG AS OF / DESCRIBE REFS / branch verbs / @branch
+    refs — the write-audit-publish flow driven entirely through SQL."""
+    t = str(tmp_path / "t")
+    commit_append(spark, t, spark.range(0, 10).selectExpr("id", "id * 2 AS v"))
+    commit_append(spark, t, spark.range(10, 30).selectExpr("id", "id * 2 AS v"))
+    assert run_table_sql(spark, f"ALTER TABLE snapshot.`{t}` CREATE TAG rel AS OF VERSION 1") == 3
+    got = run_table_sql(
+        spark, f"SELECT count(*) AS n FROM snapshot.`{t}` TAG AS OF 'rel'"
+    ).collect()
+    assert got[0].n == 10
+    # branch: fork, audit-write through the @branch ref, publish
+    assert run_table_sql(spark, f"ALTER TABLE snapshot.`{t}` CREATE BRANCH wip") == 1
+    run_table_sql(
+        spark,
+        f"INSERT INTO snapshot.`{t}@wip` SELECT id, id * 2 AS v FROM range(30, 35)",
+    )
+    run_table_sql(spark, f"DELETE FROM snapshot.`{t}@wip` WHERE id < 5")
+    n_branch = run_table_sql(
+        spark, f"SELECT count(*) AS n FROM snapshot.`{t}@wip`"
+    ).collect()[0].n
+    assert n_branch == 30
+    # parent still pristine mid-audit
+    assert run_table_sql(
+        spark, f"SELECT count(*) AS n FROM snapshot.`{t}`"
+    ).collect()[0].n == 30 + 0  # 30 original rows, no branch writes
+    refs = {
+        (r.kind, r.name): (r.version, r.head_version)
+        for r in run_table_sql(spark, f"DESCRIBE REFS snapshot.`{t}`").collect()
+    }
+    assert refs[("tag", "rel")] == (1, None)
+    assert refs[("branch", "wip")][0] == 3  # base = tagged head (v3)
+    v = run_table_sql(spark, f"ALTER TABLE snapshot.`{t}` PUBLISH BRANCH wip")
+    assert v == 4
+    rows = sorted(
+        r.id for r in run_table_sql(spark, f"SELECT id FROM snapshot.`{t}`").collect()
+    )
+    assert rows == list(range(5, 35))
+    # branch consumed; the tag still resolves
+    assert [r.kind for r in run_table_sql(spark, f"DESCRIBE REFS snapshot.`{t}`").collect()] == ["tag"]
+    run_table_sql(spark, f"ALTER TABLE snapshot.`{t}` DROP TAG rel")
+
+
+def test_drop_branch_sql_force(spark, tmp_path):
+    t = str(tmp_path / "t")
+    commit_append(spark, t, spark.range(0, 5).selectExpr("id"))
+    run_table_sql(spark, f"ALTER TABLE snapshot.`{t}` CREATE BRANCH wip")
+    run_table_sql(spark, f"INSERT INTO snapshot.`{t}@wip` SELECT id FROM range(5, 8)")
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="unpublished"):
+        run_table_sql(spark, f"ALTER TABLE snapshot.`{t}` DROP BRANCH wip")
+    assert run_table_sql(spark, f"ALTER TABLE snapshot.`{t}` DROP BRANCH wip FORCE") is None
+    assert run_table_sql(spark, f"DESCRIBE REFS snapshot.`{t}`").count() == 0
