@@ -13,7 +13,8 @@ package's functions:
   end). Deletion vectors are applied per-file from the partition's own
   (tiny) deleted-row-index list; column mapping aliases physical file
   columns back to the logical schema; ``option("version", n)`` is time
-  travel.
+  travel (``option("timestampAsOf", ts)`` / ``option("tag", name)``
+  resolve through the commit stamps / the refs table property).
 - STREAMING: the log becomes a real Structured Streaming SOURCE with
   exactly-once offset tracking — offsets are manifest versions (the same
   integers ``consume_appends`` checkpoints), ``partitions(start, end)``
@@ -391,8 +392,28 @@ class SnapshotLogDataSource(DataSource):
     def _resolve_version(self) -> int | None:
         v = self.options.get("version")
         ts = self.options.get("timestampasof") or self.options.get("timestampAsOf")
-        if v is not None and ts is not None:
-            raise ValueError("snapshot_log: pass version OR timestampAsOf, not both")
+        tag = self.options.get("tag")
+        if sum(x is not None for x in (v, ts, tag)) > 1:
+            raise ValueError(
+                "snapshot_log: pass ONE of version / timestampAsOf / tag"
+            )
+        if tag is not None:
+            # tags ride the refs table property, carried verbatim in every
+            # raw commit record (refs.py) — resolvable without the JVM
+            table_dir = self._dir()
+            versions = _py_versions(table_dir)
+            if not versions:
+                raise FileNotFoundError(f"no snapshots at {table_dir}")
+            tags = (
+                (_py_commit(table_dir, versions[-1]).get("refs") or {}).get("tags")
+                or {}
+            )
+            if tag not in tags:
+                raise KeyError(
+                    f"snapshot_log: no tag {tag!r} at {table_dir} "
+                    f"(have {sorted(tags)})"
+                )
+            return int(tags[tag])
         if ts is not None:
             return _py_version_at(self._dir(), ts)
         return int(v) if v is not None else None

@@ -2976,10 +2976,9 @@ def vacuum(
         return re.sub(r"^[a-zA-Z0-9+.-]+:/+", "/", p)
 
     live: set[str] = set()
-    oldest_kept: dict | None = None
+    resolved_keep: dict[int, dict] = {}
     for v, m in _iter_resolved(spark, table_dir, sorted(keep)):
-        if oldest_kept is None:
-            oldest_kept = m
+        resolved_keep[v] = m
         live.update(_np(f) for f in m["files"])
         # change files (CDF) of retained versions stay readable through
         # snapshot_change_feed; expiring a version expires its feed too,
@@ -3036,28 +3035,39 @@ def vacuum(
                     fs.delete(f.getPath(), False)
                     deleted += 1
     # Expiring commit records must not strand retained DELTA records
-    # without a base: materialize a checkpoint AT the oldest retained
-    # version first (its resolved view is already in hand), so every
-    # retained version resolves from it after the chain below is gone.
+    # without a base. The kept set is NOT always a contiguous tail —
+    # tag/branch pinning (refs.py) keeps isolated old versions — so walk
+    # the kept versions ascending and materialize a checkpoint at every
+    # one whose chain down to the PREVIOUS kept version crosses an
+    # expired record (a kept version contiguous with its kept
+    # predecessor resolves from it by induction; v1 is self-contained).
     min_keep = min(keep)
     expired = [v for v in versions if v not in keep]
+    expired_set = set(expired)
     has_ckpt, _rd = _ckpt_io(spark, table_dir)
-    if expired and oldest_kept is not None and not has_ckpt(min_keep):
+
+    def _write_ckpt_at(v: int, m: dict) -> None:
         if commitlog.is_local(table_dir):
             commitlog.write_ckpt_local(
-                os.path.join(commitlog.localize(table_dir), _SNAP_DIR),
-                min_keep,
-                oldest_kept,
+                os.path.join(commitlog.localize(table_dir), _SNAP_DIR), v, m
             )
-        else:
-            _, jck = _hadoop_fs(
-                spark, f"{table_dir}/{_SNAP_DIR}/{commitlog.ckpt_name(min_keep)}"
-            )
-            out = fs.create(jck, False)
-            try:
-                out.write(bytearray(commitlog.encode_ckpt(oldest_kept)))
-            finally:
-                out.close()
+            return
+        _, jck = _hadoop_fs(
+            spark, f"{table_dir}/{_SNAP_DIR}/{commitlog.ckpt_name(v)}"
+        )
+        out = fs.create(jck, False)
+        try:
+            out.write(bytearray(commitlog.encode_ckpt(m)))
+        finally:
+            out.close()
+
+    if expired:
+        lower = 0
+        for v in sorted(keep):
+            chain_broken = any(e in expired_set for e in range(lower + 1, v))
+            if chain_broken and not has_ckpt(v) and v in resolved_keep:
+                _write_ckpt_at(v, resolved_keep[v])
+            lower = v
     for v in expired:
         _, jm = _hadoop_fs(
             spark, f"{table_dir}/{_SNAP_DIR}/{commitlog.commit_name(v)}"

@@ -307,3 +307,26 @@ def test_lakehouse_loop_log_to_log_streaming(registered, tmp_path):
     got = {r.k: r["count"] for r in out.collect()}
     assert got == {0: 10, 1: 10, 2: 10, 3: 10}
     assert snapshot_history(spark, b).count() >= 1
+
+
+def test_batch_read_tag_option(registered, tmp_path):
+    """option('tag', name) resolves through the refs prop carried in the
+    raw commit record — pure-Python time travel by name (refs.py)."""
+    from customer_activity_lakehouse_spark.sources.refs import set_tag
+
+    spark = registered
+    t = str(tmp_path / "t")
+    commit_append(spark, t, spark.range(0, 6).selectExpr("id", "id * 2 AS v"))
+    set_tag(spark, t, "pinned")
+    commit_append(spark, t, spark.range(6, 20).selectExpr("id", "id * 2 AS v"))
+    got = (
+        spark.read.format("snapshot_log")
+        .option("path", t)
+        .option("tag", "pinned")
+        .load()
+    )
+    assert got.count() == 6
+    with pytest.raises(Exception, match="no tag"):
+        spark.read.format("snapshot_log").option("path", t).option(
+            "tag", "ghost"
+        ).load().collect()

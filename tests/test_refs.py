@@ -245,3 +245,75 @@ def test_publish_keeps_row_tracking_watermark_monotonic(spark, tmp_path):
     got2 = read_snapshot(spark, t, with_row_ids=True)
     ids2 = [r._row_id for r in got2.collect()]
     assert len(ids2) == 12 and len(set(ids2)) == 12
+
+
+def test_tag_survives_checkpoint_boundary_and_pins_vacuum(spark, tmp_path):
+    """Tags ride the refs prop through parquet checkpoints (CKPT_EVERY
+    commits) — resolution, reads, and the vacuum pin all still work on a
+    checkpoint-backed table."""
+    t = str(tmp_path / "t")
+    commit_append(spark, t, _df(spark, 0, 4))
+    set_tag(spark, t, "early", version=1)
+    for i in range(12):  # cross the CKPT_EVERY=10 boundary
+        commit_append(spark, t, _df(spark, 4 + i, 5 + i))
+    assert tag_version(spark, t, "early") == 1
+    assert read_tag(spark, t, "early").count() == 4
+    vacuum(spark, t, keep_last=1)
+    assert read_tag(spark, t, "early").count() == 4
+
+
+def test_publish_carries_branch_schema_evolution(spark, tmp_path):
+    """Rename a column ON THE BRANCH (name-mode column mapping), publish —
+    the parent reads the new logical schema over the unmoved files."""
+    from customer_activity_lakehouse_spark.sources.snapshots import (
+        rename_snapshot_column,
+    )
+
+    t = str(tmp_path / "t")
+    commit_append(spark, t, _df(spark, 0, 5))
+    create_branch(spark, t, "wip")
+    bdir = branch_dir(t, "wip")
+    rename_snapshot_column(spark, bdir, "v", "doubled")
+    commit_append(
+        spark, bdir, spark.range(5, 8).selectExpr("id", "id * 2 AS doubled")
+    )
+    publish_branch(spark, t, "wip")
+    got = read_snapshot(spark, t)
+    assert set(got.columns) == {"id", "doubled"}
+    assert got.count() == 8
+    # pre-publish versions keep the old name (per-version mapping)
+    assert set(read_snapshot(spark, t, version=1).columns) == {"id", "v"}
+
+
+def test_compacted_branch_publishes_correctly(spark, tmp_path):
+    """OPTIMIZE on the branch rewrites inherited files into branch-local
+    copies — publish then copies the compacted layout; contents exact."""
+    from customer_activity_lakehouse_spark.sources.snapshots import (
+        compact_snapshot,
+    )
+
+    t = str(tmp_path / "t")
+    commit_append(spark, t, _df(spark, 0, 5))
+    create_branch(spark, t, "wip")
+    bdir = branch_dir(t, "wip")
+    commit_append(spark, bdir, _df(spark, 5, 9))
+    compact_snapshot(spark, bdir)  # may rewrite inherited + branch files
+    publish_branch(spark, t, "wip")
+    assert sorted(r.id for r in read_snapshot(spark, t).collect()) == list(range(9))
+    # nothing the parent now references lives under a (deleted) branch dir
+    assert all("/_branches/" not in f for f in read_snapshot(spark, t).inputFiles())
+
+
+def test_racing_publishes_one_wins(spark, tmp_path):
+    """Two branches from the same base: the first publish lands, the
+    second refuses (the parent advanced past its branch point)."""
+    t = str(tmp_path / "t")
+    commit_append(spark, t, _df(spark, 0, 5))
+    create_branch(spark, t, "a")
+    create_branch(spark, t, "b")
+    commit_append(spark, branch_dir(t, "a"), _df(spark, 5, 7))
+    commit_append(spark, branch_dir(t, "b"), _df(spark, 7, 9))
+    publish_branch(spark, t, "a")
+    with pytest.raises(RuntimeError, match="fast-forward"):
+        publish_branch(spark, t, "b")
+    assert sorted(r.id for r in read_snapshot(spark, t).collect()) == list(range(7))
