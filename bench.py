@@ -160,6 +160,56 @@ def _make_snapshot_dml_tasks(spark, sf_dir: str, work_dir: str, n_passes: int):
     return tasks
 
 
+WAP_PUBLISH_RUNS = 3
+
+
+def _make_wap_publish_tasks(spark, sf_dir: str, work_dir: str, n_passes: int):
+    """Write-audit-publish cost (r10, refs.py). Per pass: a pre-built
+    parent gets a branch carrying the audit workload — a ~1% append plus
+    a ranged DV delete (UNTIMED setup; the audit is user work) — and the
+    timed callable is ``publish_branch`` alone. Publish must track the
+    BRANCH-WRITTEN data (one appended batch + one DV rewrite), never the
+    table size: that ratio is the number that says WAP is O(changes).
+    Branch creation (one shallow-clone manifest write, size-independent)
+    is timed separately as ``wap_branch_create``."""
+    from pyspark.sql import functions as F
+
+    from customer_activity_lakehouse_spark.sources import refs as refsmod
+    from customer_activity_lakehouse_spark.sources import snapshots as snap
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"
+    )
+    lo, hi = li.agg(F.min("l_orderkey"), F.max("l_orderkey")).collect()[0]
+    span = max(1, hi - lo)
+    batch = li.filter(F.col("l_orderkey") <= lo + span // 100).withColumn(
+        "l_orderkey", F.col("l_orderkey") + F.lit(hi + 1)
+    )
+    del_lo, del_hi = lo + span // 2, lo + span // 2 + span // 200
+    base = li.repartitionByRange(8, "l_orderkey")
+    create_times: list[float] = []
+    tasks = []
+    for i in range(n_passes):
+        tdir = f"{work_dir}/wap_{i}"
+        snap.commit_append(spark, tdir, base, stats_cols=["l_orderkey"])
+        t0 = time.perf_counter()
+        bdir = refsmod.create_branch(spark, tdir, "ingest")
+        create_times.append(time.perf_counter() - t0)
+        snap.commit_append(spark, bdir, batch, stats_cols=["l_orderkey"])
+        snap.delete_snapshot(
+            spark,
+            bdir,
+            f"l_orderkey BETWEEN {del_lo} AND {del_hi}",
+            prune_where=("l_orderkey", del_lo, del_hi),
+        )
+
+        def run(tdir=tdir):
+            refsmod.publish_branch(spark, tdir, "ingest")
+
+        tasks.append(run)
+    return create_times, tasks
+
+
 MV_MAINTAIN_RUNS = 3
 
 
@@ -525,6 +575,24 @@ def main() -> None:
                 bts.append(dt)
         samples["ann_index_batch8"] = bts
 
+        # WAP phase (r10): branch create (one shallow-clone manifest
+        # write, size-independent) and publish (copy branch-written files
+        # + DV rewrite + one commit, O(branch delta)). Compare
+        # wap_publish to snapshot_dml, which mutates the same base in
+        # place. Excluded from totals.
+        wap_creates, wap_tasks = _make_wap_publish_tasks(
+            spark, sf_dir, work_dir, WAP_PUBLISH_RUNS + 1
+        )
+        samples["wap_branch_create"] = wap_creates[1:]  # pass 0 is warm-up
+        wts: list[float] = []
+        for i, run_wap in enumerate(wap_tasks):  # pass 0 is warm-up
+            t0 = time.perf_counter()
+            run_wap()
+            dt = time.perf_counter() - t0
+            if i > 0:
+                wts.append(dt)
+        samples["wap_publish"] = wts
+
         timings = {n: round(statistics.median(samples[n]), 4) for n in samples}
     finally:
         shutil.rmtree(work_dir, ignore_errors=True)
@@ -556,6 +624,8 @@ def main() -> None:
             "ann_index_build",
             "ann_index_query",
             "ann_index_batch8",
+            "wap_branch_create",
+            "wap_publish",
         ]
         + sorted(n for n in headline if n not in legacy),
         "value_full_excludes": [
@@ -568,6 +638,8 @@ def main() -> None:
             "ann_index_build",
             "ann_index_query",
             "ann_index_batch8",
+            "wap_branch_create",
+            "wap_publish",
         ],
         "calibration": {
             "start": calib_start,

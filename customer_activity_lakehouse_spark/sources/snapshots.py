@@ -918,6 +918,30 @@ def _assign_physical(
     return colmap, used
 
 
+def _latest_txn(spark: SparkSession, table_dir: str, app_id: str):
+    """(commit_version, txn_version) of ``app_id``'s newest stamped write,
+    or None. Newest-first raw-record walk, stopping at the first stamp —
+    O(commits since the app last wrote), metadata-only. Stamps are
+    monotone per app by construction (non-greater versions are skipped at
+    commit), so the first hit IS the app's latest."""
+    for v in _list_versions(spark, table_dir)[::-1]:
+        r = _read_commit(spark, table_dir, v)
+        if r.get("txn_app_id") == app_id:
+            return v, int(r["txn_version"])
+    return None
+
+
+def latest_txn_version(
+    spark: SparkSession, table_dir: str, app_id: str
+) -> int | None:
+    """Delta ``txnVersion(appId)`` parity: the highest ``txn_version`` a
+    committed write stamped for ``app_id`` (None if the app never wrote).
+    A scheduler resuming a failed job reads this to decide where its
+    idempotent write sequence left off."""
+    hit = _latest_txn(spark, table_dir, app_id)
+    return None if hit is None else hit[1]
+
+
 def _commit_append_files(
     spark: SparkSession,
     table_dir: str,
@@ -933,6 +957,7 @@ def _commit_append_files(
     identity_update: dict | None = None,
     staged_path: str | None = None,
     unique_check: tuple | None = None,
+    txn: tuple | None = None,
 ) -> int:
     """The append-commit retry loop shared by :func:`commit_append` and the
     streaming snapshot sink: chain ``new_files`` onto whatever manifest is
@@ -960,6 +985,14 @@ def _commit_append_files(
     for _ in range(_MAX_COMMIT_RETRIES):
         versions = _list_versions(spark, table_dir)
         version = (versions[-1] if versions else 0) + 1
+        if txn is not None:
+            # idempotent-writer probe INSIDE the retry loop: a concurrent
+            # duplicate (same app retrying the same logical write) that
+            # won the version race is found here on OUR retry — the
+            # staged files become vacuum debris, never duplicate rows
+            hit = _latest_txn(spark, table_dir, txn[0])
+            if hit is not None and hit[1] >= int(txn[1]):
+                return hit[0]
         if versions:
             prev_m = _read_manifest(spark, table_dir, versions[-1])
             prev_files = prev_m["files"]
@@ -1111,6 +1144,9 @@ def _commit_append_files(
             manifest["stats"] = {**prev_stats, **new_stats}
         if extra:
             manifest.update(extra)
+        if txn is not None:
+            # the stamp rides the same atomic commit as the file list
+            manifest["txn_app_id"], manifest["txn_version"] = txn[0], int(txn[1])
         # belt-and-braces: any table property the hand-built section above
         # didn't own still carries (setdefault — explicit sets win). The
         # hand-picked list silently dropped `clustering` when it joined
@@ -1141,10 +1177,23 @@ def commit_append(
     stats_cols: list[str] | None = None,
     partition_by: list[str] | None = None,
     extra: dict | None = None,
+    txn: tuple | None = None,
 ) -> int:
     """Append ``df`` as a new snapshot: new files = previous snapshot's
     files + this batch's. Retries on version races (append order does not
     depend on what the writer read, so retrying is always safe).
+
+    ``txn=(app_id, txn_version)`` makes the append IDEMPOTENT — Delta's
+    ``txnAppId``/``txnVersion`` writer contract for batch jobs that may be
+    retried by a scheduler: the stamp commits atomically with the file
+    list, and a write whose version is ≤ the app's latest committed stamp
+    is SKIPPED (returns the stamped commit's version). The probe runs
+    before staging (cheap skip) AND inside the commit retry loop (a
+    concurrent duplicate that wins the version race is caught on retry —
+    its rival's staged files become vacuum debris, never duplicate rows).
+    Distinct app_ids never dedupe each other. Read the cursor back with
+    :func:`latest_txn_version`. The streaming sink's (stream_app_id,
+    stream_batch_id) stamps are a separate exact-match contract.
 
     IDENTITY columns (``set_identity_column``): an append that OMITS a
     declared identity column gets values minted here — unique, ≥ start,
@@ -1174,11 +1223,18 @@ def commit_append(
     stats and before Spark lists a single file. The reference's own layout
     contract (flows.py:314 partitions by transaction_date) applied to the
     snapshot log."""
+    if txn is not None:
+        # pre-staging probe: an already-applied (app_id, txn_version)
+        # skips the whole write — nothing staged, nothing to vacuum. The
+        # race-proof re-probe lives inside the commit retry loop.
+        hit = _latest_txn(spark, table_dir, txn[0])
+        if hit is not None and hit[1] >= int(txn[1]):
+            return hit[0]
     for _ in range(_MAX_IDENTITY_RETRIES):
         try:
             return _commit_append_once(
                 spark, table_dir, df, allow_schema_evolution, stats_cols,
-                partition_by, extra,
+                partition_by, extra, txn,
             )
         except IdentityConflictError as e:
             if e.staged_path:
@@ -1204,6 +1260,7 @@ def _commit_append_once(
     stats_cols: list[str] | None,
     partition_by: list[str] | None,
     extra: dict | None,
+    txn: tuple | None = None,
 ) -> int:
     versions = _list_versions(spark, table_dir)
     sig = _schema_sig(df)
@@ -1377,6 +1434,7 @@ def _commit_append_once(
         identity_update=identity_new,
         staged_path=data_path,
         unique_check=(uniq, entry_files),
+        txn=txn,
     )
 
 

@@ -2675,3 +2675,47 @@ def test_fsck_reports_and_repairs_missing_files(spark, tmp_path):
     assert rep3["missing_dv_files"] == [m2["dv_files"][0]]
     with pytest.raises(RuntimeError, match="RESURRECT"):
         S.fsck_snapshot(spark, t, repair=True)
+
+
+def test_txn_idempotent_append_skips_replay(spark, tmp_path):
+    """Delta txnAppId/txnVersion parity: a retried batch write with the
+    same (app_id, txn_version) is skipped; higher versions apply; distinct
+    apps never dedupe each other."""
+    from customer_activity_lakehouse_spark.sources.snapshots import (
+        latest_txn_version,
+    )
+
+    t = str(tmp_path / "tbl")
+    v1 = commit_append(spark, t, _df(spark, 0, 10), txn=("etl-a", 1))
+    assert v1 == 1 and read_snapshot(spark, t).count() == 10
+    # scheduler retry: same logical write replayed → skipped, no new rows
+    assert commit_append(spark, t, _df(spark, 0, 10), txn=("etl-a", 1)) == 1
+    assert read_snapshot(spark, t).count() == 10
+    # a LOWER version is also skipped (stamps are monotone per app)
+    assert commit_append(spark, t, _df(spark, 90, 95), txn=("etl-a", 0)) == 1
+    assert read_snapshot(spark, t).count() == 10
+    # the next version applies; a different app's same number applies too
+    v2 = commit_append(spark, t, _df(spark, 10, 15), txn=("etl-a", 2))
+    assert v2 == 2 and read_snapshot(spark, t).count() == 15
+    v3 = commit_append(spark, t, _df(spark, 15, 18), txn=("etl-b", 1))
+    assert v3 == 3 and read_snapshot(spark, t).count() == 18
+    assert latest_txn_version(spark, t, "etl-a") == 2
+    assert latest_txn_version(spark, t, "etl-b") == 1
+    assert latest_txn_version(spark, t, "etl-c") is None
+
+
+def test_txn_stamp_survives_interleaved_commits(spark, tmp_path):
+    """The probe walks raw records — an interleaved non-stamping commit
+    (plain append, metadata op) must not hide the app's cursor."""
+    from customer_activity_lakehouse_spark.sources.snapshots import (
+        latest_txn_version,
+        set_check_constraint,
+    )
+
+    t = str(tmp_path / "tbl")
+    commit_append(spark, t, _df(spark, 0, 5), txn=("job", 7))
+    commit_append(spark, t, _df(spark, 5, 9))  # unstamped writer
+    set_check_constraint(spark, t, "pos", "id >= 0")  # metadata commit
+    assert latest_txn_version(spark, t, "job") == 7
+    assert commit_append(spark, t, _df(spark, 0, 5), txn=("job", 7)) == 1
+    assert read_snapshot(spark, t).count() == 9

@@ -693,3 +693,16 @@ def test_drop_branch_sql_force(spark, tmp_path):
         run_table_sql(spark, f"ALTER TABLE snapshot.`{t}` DROP BRANCH wip")
     assert run_table_sql(spark, f"ALTER TABLE snapshot.`{t}` DROP BRANCH wip FORCE") is None
     assert run_table_sql(spark, f"DESCRIBE REFS snapshot.`{t}`").count() == 0
+
+
+def test_restore_to_tag_sql(spark, tmp_path):
+    from customer_activity_lakehouse_spark.sources.refs import set_tag
+
+    t = str(tmp_path / "t")
+    commit_append(spark, t, spark.range(0, 7).selectExpr("id"))
+    set_tag(spark, t, "good")
+    run_table_sql(spark, f"INSERT OVERWRITE snapshot.`{t}` SELECT id FROM range(100, 103)")
+    assert run_table_sql(spark, f"SELECT count(*) AS n FROM snapshot.`{t}`").collect()[0].n == 3
+    v = run_table_sql(spark, f"RESTORE snapshot.`{t}` TO TAG AS OF 'good'")
+    assert v == 4
+    assert run_table_sql(spark, f"SELECT count(*) AS n FROM snapshot.`{t}`").collect()[0].n == 7

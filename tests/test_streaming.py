@@ -1024,3 +1024,40 @@ def test_stream_ingest_dedup_composed_sink(spark, tmp_path):
         (r.new_doc, r.dup_of)
         for r in read_snapshot(spark, f"{root}/pairs").collect()
     } == want
+
+
+def test_streaming_wap_into_branch_then_publish(spark, sf_smoke, events_dir):
+    """Write-audit-publish for a STREAM: micro-batches land on a branch
+    (parent readers never see partial ingest), audit the branch, publish
+    atomically — refs.py composed with the exactly-once snapshot sink."""
+    from customer_activity_lakehouse_spark.sources.refs import (
+        branch_dir,
+        create_branch,
+        publish_branch,
+    )
+    from customer_activity_lakehouse_spark.sources.snapshots import (
+        commit_append,
+        read_snapshot,
+    )
+    from customer_activity_lakehouse_spark.streaming import (
+        write_stream_snapshot_append,
+    )
+
+    landing, root = events_dir
+    batch = events_table(spark, sf_smoke)
+    seed = batch.limit(0)  # schema-only parent: ingest lands via WAP
+    t = f"{root}/wap_parent"
+    commit_append(spark, t, seed)
+    create_branch(spark, t, "ingest")
+    stream = read_events_stream(spark, landing, max_files_per_trigger=2)
+    q = write_stream_snapshot_append(
+        stream, branch_dir(t, "ingest"), f"{root}/ckpt_wap"
+    )
+    q.awaitTermination(120)
+    assert not q.isActive
+    # parent saw NOTHING during ingest; branch holds the full stream
+    assert read_snapshot(spark, t).count() == 0
+    want = batch.count()
+    assert read_snapshot(spark, branch_dir(t, "ingest")).count() == want
+    publish_branch(spark, t, "ingest")
+    assert read_snapshot(spark, t).count() == want
