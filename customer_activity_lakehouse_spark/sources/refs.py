@@ -53,11 +53,15 @@ from . import commitlog
 from .snapshots import (
     _carry_mapping,
     _carry_props,
+    _commit_rebase_appends,
     _data_files,
     _list_versions,
+    _mapping_of,
     _read_commit,
     _read_manifest,
+    _read_with_dvs,
     _try_commit,
+    _validate_constraints,
     _write_data,
     read_snapshot,
 )
@@ -68,10 +72,10 @@ _MARKER = "_branch.json"
 _NAME_RE = re.compile(r"^[A-Za-z0-9_][A-Za-z0-9_.-]*$")
 _SCHEME_RE = re.compile(r"^[a-zA-Z0-9+.-]+:/+")
 
-# Ops a publish may fast-forward over: refs-only metadata commits (tagging
-# the parent during audit is the NORMAL WAP flow).  Anything else that
-# landed after the branch point means the branch no longer descends from
-# the parent head — publish refuses rather than silently dropping it.
+# Ops a publish may fast-forward over unconditionally: refs-only metadata
+# commits (tagging the parent during audit is the NORMAL WAP flow).  Pure
+# appends rebase under the WriteSerializable rule (see publish_branch);
+# anything else refuses rather than silently dropping it.
 _FF_SAFE_OPS = frozenset({"set_tag", "drop_tag"})
 
 
@@ -337,10 +341,17 @@ def publish_branch(
 ) -> int:
     """Fast-forward the parent to the branch head — ONE atomic commit.
 
-    Preconditions: every parent commit since the branch point must be a
-    refs-only metadata op (tagging during audit is fine; any data or
-    schema change means the branch no longer descends from the head —
-    publish refuses with the conflicting op named, re-branch and replay).
+    Preconditions: every parent commit since the branch point must be
+    refs-only metadata (tagging during audit) or a PURE APPEND — appends
+    commute with the branch under WriteSerializable and REBASE into the
+    published manifest verbatim (their files join the branch's, row-id
+    watermarks merge, and any constraint the branch added during the
+    audit is validated against just those rows). Identity-column and
+    unique-key tables refuse the append rebase (identity values are baked
+    in files from the same watermark; unique keys were never probed
+    across the two write sets). Any other interleaved commit (DML,
+    overwrite, schema/property change) refuses with the op named —
+    re-branch from the current head and replay.
 
     Mechanics (all O(branch-written data), never O(table)):
 
@@ -369,14 +380,54 @@ def publish_branch(
     bm = _read_manifest(spark, bdir, bvs[-1])
     versions = _list_versions(spark, table_dir)
     head_v = versions[-1]
+    # Interleaved parent commits: refs-only ops fast-forward freely; PURE
+    # APPENDS (add-only delta, unchanged schema — the _commit_rebase_appends
+    # rule) rebase under WriteSerializable: their files join the published
+    # manifest verbatim. Anything else conflicts.
+    appended: list[str] = []
+    appended_stats: dict = {}
+    interleaved_rt: dict | None = None
     for v in range(base_v + 1, head_v + 1):
-        op = _read_commit(spark, table_dir, v).get("op")
-        if op not in _FF_SAFE_OPS:
-            raise RuntimeError(
-                f"publish_branch: parent advanced past the branch point "
-                f"(v{v} op={op!r} is not refs-only) — cannot fast-forward; "
-                f"re-branch from the current head and replay"
-            )
+        r = _read_commit(spark, table_dir, v)
+        if r.get("op") in _FF_SAFE_OPS:
+            continue
+        d = r.get("delta")
+        if (
+            r.get("op") == "append"
+            and d is not None
+            and not d.get("truncate")
+            and not d.get("remove")
+            and not d.get("dv_add")
+            and not d.get("dv_remove")
+            and not d.get("stats_drop")
+            and r.get("schema") == bm.get("schema")
+        ):
+            appended += d.get("add", [])
+            appended_stats.update(d.get("stats_add", {}))
+            interleaved_rt = r.get("row_tracking") or interleaved_rt
+            continue
+        raise RuntimeError(
+            f"publish_branch: parent advanced past the branch point "
+            f"(v{v} op={r.get('op')!r} is neither refs-only nor a pure "
+            f"append) — cannot fast-forward; re-branch from the current "
+            f"head and replay"
+        )
+    if appended and bm.get("identity"):
+        # identity values are BAKED into parquet on both sides, minted
+        # from the same pre-branch watermark — collisions are physical
+        # and irreparable here; the user must re-branch and re-stage
+        raise RuntimeError(
+            f"publish_branch: parent appended concurrently and {table_dir} "
+            "declares identity columns (values are baked in files and may "
+            "collide) — re-branch from the current head and replay"
+        )
+    if appended and bm.get("unique_keys"):
+        raise RuntimeError(
+            f"publish_branch: parent appended concurrently and {table_dir} "
+            "declares ENFORCED unique keys — the branch batch was never "
+            "probed against those rows; re-branch from the current head "
+            "and replay"
+        )
     head_m = _read_manifest(spark, table_dir, head_v)
 
     bnorm = _norm(bdir).rstrip("/") + "/"
@@ -442,10 +493,29 @@ def publish_branch(
         elif f in inherited:
             new_stats[f] = st
 
+    if appended:
+        # the interleaved rows were never validated against constraints
+        # the BRANCH added during the audit — enforce them here (bounded
+        # by the interleave, never the table)
+        base_m = _read_manifest(spark, table_dir, base_v)
+        new_cons = {
+            k: v
+            for k, v in (bm.get("constraints") or {}).items()
+            if (base_m.get("constraints") or {}).get(k) != v
+        }
+        if new_cons:
+            colmap, _ = _mapping_of(bm)
+            _validate_constraints(
+                _read_with_dvs(spark, appended, bm.get("schema"), [], colmap=colmap),
+                new_cons,
+                "publish_branch",
+            )
+        new_stats.update({f: s for f, s in appended_stats.items() if f in set(appended)})
+
     manifest: dict = {
         "version": head_v + 1,
         "op": "publish_branch",
-        "files": [remap.get(f, f) for f in bm["files"]],
+        "files": [remap.get(f, f) for f in bm["files"]] + appended,
         "schema": bm.get("schema"),
         "published_from": {
             "branch": name,
@@ -453,6 +523,8 @@ def publish_branch(
             "base_version": base_v,
         },
     }
+    if appended:
+        manifest["rebased_over"] = list(range(base_v + 1, head_v + 1))
     if new_stats:
         manifest["stats"] = new_stats
     if dv_final:
@@ -465,15 +537,74 @@ def publish_branch(
         manifest["refs"] = head_m["refs"]
     rt_b = bm.get("row_tracking") or {}
     rt_m = head_m.get("row_tracking") or {}
+    rt_i = interleaved_rt or {}
+    rt_alloc: list[list] = []
     if rt_b or rt_m:
-        manifest["row_tracking"] = {
-            "next": max(int(rt_b.get("next", 0)), int(rt_m.get("next", 0)))
-        }
-    if not _try_commit(spark, table_dir, head_v + 1, manifest):
-        raise RuntimeError(
-            f"publish_branch: version {head_v + 1} was committed concurrently "
-            f"at {table_dir}; re-read and retry"
+        nxt = max(
+            int(rt_b.get("next", 0)),
+            int(rt_m.get("next", 0)),
+            int(rt_i.get("next", 0)),
         )
+        # Branch-new files minted metadata bases from the PRE-BRANCH
+        # watermark; interleaved (or racing) parent appends minted from
+        # the same one. With a pre-head interleave the copies' bases are
+        # re-allocated above the merged watermark HERE (metadata-only;
+        # the branch is consumed, so its old ids die with it — Delta's
+        # non-preserving-operation rule); either way the copies join
+        # ``_rt_alloc`` so the rebase funnel re-allocates them again if a
+        # RACING append claims our slot. Files the branch MATERIALIZED
+        # (_row_id baked by OPTIMIZE/REORG) can't re-base: refuse on an
+        # interleave (racing appends are excluded via can_rebase below).
+        stats = dict(manifest.get("stats") or {})
+        for old, newf in sorted(remap.items()):
+            st = stats.get(newf) or {}
+            if st.get("__row_ids") == "materialized":
+                if appended:
+                    raise RuntimeError(
+                        "publish_branch: parent appended concurrently and "
+                        f"the branch materialized row ids in {newf} — "
+                        "re-branch from the current head and replay"
+                    )
+                continue
+            if "__base_row_id" in st:
+                n = int(st["__rows"])
+                if appended:
+                    stats[newf] = {**st, "__base_row_id": nxt}
+                    nxt += n
+                rt_alloc.append([newf, n])
+        if appended:
+            manifest["stats"] = stats
+        manifest["row_tracking"] = {"next": nxt}
+        if rt_alloc:
+            manifest["_rt_alloc"] = rt_alloc
+
+    # Racing commits between our head read and the commit: rebase over
+    # pure appends via the shared funnel when that is provably safe
+    # (no identity/unique-key/fresh-constraint semantics to re-check and
+    # every copied file's row ids re-allocable); otherwise abort on any
+    # race, exactly the overwrite-class rule.
+    can_rebase = (
+        not bm.get("identity")
+        and not bm.get("unique_keys")
+        and (bm.get("constraints") or {})
+        == ((_read_manifest(spark, table_dir, base_v).get("constraints")) or {})
+        and not any(
+            (bm.get("stats") or {}).get(old, {}).get("__row_ids") == "materialized"
+            for old in remap
+        )
+    )
+    if can_rebase:
+        new_v = _commit_rebase_appends(
+            spark, table_dir, head_v + 1, manifest,
+            "publish_branch", debris="published copies",
+        )
+    else:
+        if not _try_commit(spark, table_dir, head_v + 1, manifest):
+            raise RuntimeError(
+                f"publish_branch: version {head_v + 1} was committed "
+                f"concurrently at {table_dir}; re-read and retry"
+            )
+        new_v = head_v + 1
     if drop:
         _rm_tree(spark, bdir)
-    return head_v + 1
+    return new_v

@@ -160,17 +160,95 @@ def test_branch_dv_deletes_stay_deleted_after_publish(spark, tmp_path):
     assert got == list(range(8))
 
 
-def test_publish_refuses_on_parent_data_commit(spark, tmp_path):
+def test_publish_refuses_on_parent_rewrite_commit(spark, tmp_path):
+    """A REWRITE on the parent (DV delete) conflicts — only refs-only and
+    pure-append interleaves fast-forward (r8 rebase doctrine)."""
     t = str(tmp_path / "t")
     commit_append(spark, t, _df(spark, 0, 5))
     create_branch(spark, t, "wip")
     commit_append(spark, branch_dir(t, "wip"), _df(spark, 5, 7))
-    commit_append(spark, t, _df(spark, 100, 102))  # parent advanced
+    delete_snapshot(spark, t, "id = 0")  # parent rewrite
     with pytest.raises(RuntimeError, match="fast-forward"):
         publish_branch(spark, t, "wip")
     # the refused publish changed nothing
-    assert read_snapshot(spark, t).count() == 7
+    assert read_snapshot(spark, t).count() == 4
     assert list_branches(spark, t)["wip"]["base_version"] == 1
+
+
+def test_publish_rebases_over_parent_appends(spark, tmp_path):
+    """Pure parent appends commute with the branch (WriteSerializable):
+    publish folds their files in verbatim — neither write set is lost."""
+    t = str(tmp_path / "t")
+    commit_append(spark, t, _df(spark, 0, 5))
+    create_branch(spark, t, "wip")
+    commit_append(spark, branch_dir(t, "wip"), _df(spark, 5, 8))
+    commit_append(spark, t, _df(spark, 100, 103))  # concurrent ingest
+    commit_append(spark, t, _df(spark, 103, 105))
+    v = publish_branch(spark, t, "wip")
+    got = sorted(r.id for r in read_snapshot(spark, t).collect())
+    assert got == list(range(0, 8)) + list(range(100, 105))
+    from customer_activity_lakehouse_spark.sources.snapshots import (
+        _read_manifest,
+    )
+
+    assert _read_manifest(spark, t, v)["rebased_over"] == [2, 3]
+
+
+def test_publish_append_rebase_validates_branch_constraints(spark, tmp_path):
+    """Rows appended to the parent mid-audit were never checked against a
+    constraint the BRANCH added — publish enforces it on exactly those
+    rows and refuses when they violate."""
+    from customer_activity_lakehouse_spark.sources.snapshots import (
+        set_check_constraint,
+    )
+
+    t = str(tmp_path / "t")
+    commit_append(spark, t, _df(spark, 0, 5))
+    create_branch(spark, t, "wip")
+    set_check_constraint(spark, t + "/_branches/wip", "small", "id < 1000")
+    commit_append(spark, t, _df(spark, 5000, 5002))  # violates the new rule
+    with pytest.raises(ValueError, match="small"):
+        publish_branch(spark, t, "wip")
+    # a clean parent interleave passes and the constraint lands published
+    t2 = str(tmp_path / "t2")
+    commit_append(spark, t2, _df(spark, 0, 5))
+    create_branch(spark, t2, "wip")
+    set_check_constraint(spark, t2 + "/_branches/wip", "small", "id < 1000")
+    commit_append(spark, t2, _df(spark, 5, 8))
+    publish_branch(spark, t2, "wip")
+    with pytest.raises(ValueError, match="small"):
+        commit_append(spark, t2, _df(spark, 9000, 9001))
+
+
+def test_publish_append_rebase_refuses_identity_tables(spark, tmp_path):
+    from customer_activity_lakehouse_spark.sources.snapshots import (
+        set_identity_column,
+    )
+
+    t = str(tmp_path / "t")
+    commit_append(spark, t, _df(spark, 0, 5))
+    set_identity_column(spark, t, "id", start=100, step=1, mode="default")
+    create_branch(spark, t, "wip")
+    commit_append(spark, branch_dir(t, "wip"), _df(spark, 5, 7))
+    commit_append(spark, t, _df(spark, 7, 9))
+    with pytest.raises(RuntimeError, match="identity"):
+        publish_branch(spark, t, "wip")
+
+
+def test_publish_append_rebase_keeps_row_ids_unique(spark, tmp_path):
+    """Branch and parent both minted row-id bases from the pre-branch
+    watermark — publish re-allocates the branch copies' bases, so every
+    row keeps a UNIQUE id across the merged result."""
+    t = str(tmp_path / "t")
+    commit_append(spark, t, _df(spark, 0, 5))
+    enable_row_tracking(spark, t)
+    create_branch(spark, t, "wip")
+    commit_append(spark, branch_dir(t, "wip"), _df(spark, 5, 9))
+    commit_append(spark, t, _df(spark, 100, 104))  # same watermark range
+    publish_branch(spark, t, "wip")
+    rows = read_snapshot(spark, t, with_row_ids=True).collect()
+    ids = [r._row_id for r in rows]
+    assert len(ids) == 13 and len(set(ids)) == 13
 
 
 def test_publish_fast_forwards_over_audit_tags(spark, tmp_path):
