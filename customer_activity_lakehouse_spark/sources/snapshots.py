@@ -2911,7 +2911,10 @@ def clone_snapshot(
         # DVs are part of the cloned version's read path (dropping them
         # would resurrect deleted rows at the clone)
         manifest["dv_files"] = src["dv_files"]
-    _carry_props(src, manifest)  # the clone inherits CHECK constraints
+    # the clone inherits CHECK constraints — but NOT named refs: tags are
+    # version pointers into the SOURCE's history, and the clone's history
+    # restarts at v1 (a carried tag would resolve to the wrong manifest)
+    _carry_props(src, manifest, exclude=("refs",))
     _carry_mapping(src, manifest)  # … and the column mapping (it references
     # the source's physical files, so it must read them the source's way)
     if not _try_commit(spark, dst_dir, 1, manifest):

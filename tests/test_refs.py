@@ -395,3 +395,19 @@ def test_racing_publishes_one_wins(spark, tmp_path):
     with pytest.raises(RuntimeError, match="fast-forward"):
         publish_branch(spark, t, "b")
     assert sorted(r.id for r in read_snapshot(spark, t).collect()) == list(range(7))
+
+
+def test_clone_and_branch_do_not_inherit_tags(spark, tmp_path):
+    """Tags are version pointers into the SOURCE's history — a clone (and
+    therefore a branch) restarts at v1, so carrying them would resolve to
+    the wrong manifest. They must be stripped at fork time."""
+    t = str(tmp_path / "t")
+    commit_append(spark, t, _df(spark, 0, 5))
+    commit_append(spark, t, _df(spark, 5, 9))
+    set_tag(spark, t, "rel", version=2)
+    bdir = create_branch(spark, t, "wip")
+    with pytest.raises(KeyError):
+        tag_version(spark, bdir, "rel")
+    # publishing the untouched branch keeps the PARENT's tag intact
+    publish_branch(spark, t, "wip")
+    assert tag_version(spark, t, "rel") == 2
