@@ -706,8 +706,12 @@ def main() -> None:
     # The driver archives only the last ~2000 chars of stdout, which has
     # truncated the headline totals three rounds running (ADVICE r7) —
     # persist the full JSON beside the repo so the artifact is always
-    # parseable, then print the contract's single stdout line.
-    (REPO / "BENCH_FULL.json").write_text(line + "\n")
+    # parseable, then print the contract's single stdout line. The board
+    # of record is the sf0.1 run ONLY: an sf0.01 smoke run overwriting it
+    # (and getting swept into a commit) is exactly what happened in r10 —
+    # other scales persist to a scale-suffixed sidecar instead.
+    board = "BENCH_FULL.json" if sf == 0.1 else f"BENCH_FULL_sf{sf}.json"
+    (REPO / board).write_text(line + "\n")
     print(line)
 
 
