@@ -602,3 +602,53 @@ def test_net_change_feed_matches_python_replay(spark, ops):
     assert {r.k for r in retract.collect()} == touched
     got = {r.k: r.payload for r in final_rows.collect()}
     assert got == state  # survivors carry their LAST payload, nothing else
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    ops=st.lists(st.integers(0, 3), min_size=2, max_size=7),
+)
+def test_tag_retention_invariant_under_random_ops(spark, tmp_path_factory, ops):
+    """Refs invariant (refs.py × vacuum): after ANY interleaving of
+    appends, overwrites, tagging, and keep_last=1 vacuums, every LIVE tag
+    still resolves and reads its exact pinned row count — vacuum may
+    expire anything else, never a tagged version."""
+    import uuid as _uuid
+
+    from customer_activity_lakehouse_spark.sources.refs import (
+        read_tag,
+        set_tag,
+        tags_of,
+    )
+    from customer_activity_lakehouse_spark.sources.snapshots import (
+        _list_versions,
+        _read_manifest,
+        commit_append,
+        commit_overwrite,
+        read_snapshot,
+        vacuum,
+    )
+
+    t = str(tmp_path_factory.mktemp("refs_prop") / f"t{_uuid.uuid4().hex[:6]}")
+    commit_append(spark, t, spark.range(0, 3).selectExpr("id"))
+    expected = {}  # tag name -> pinned row count
+    total = 3
+    for i, op in enumerate(ops):
+        if op == 0:  # append
+            commit_append(spark, t, spark.range(100 * i, 100 * i + 2).selectExpr("id"))
+            total += 2
+        elif op == 1:  # overwrite (replaces contents)
+            commit_overwrite(spark, t, spark.range(0, 4 + i).selectExpr("id"))
+            total = 4 + i
+        elif op == 2:  # tag the current head
+            name = f"tag{i}"
+            set_tag(spark, t, name)
+            expected[name] = total
+        else:  # vacuum aggressively
+            vacuum(spark, t, keep_last=1)
+        # invariant holds after EVERY step, not just at the end
+        head = _read_manifest(spark, t, _list_versions(spark, t)[-1])
+        assert set(tags_of(head)) == set(expected)
+        for name, n in expected.items():
+            assert read_tag(spark, t, name).count() == n
+    assert read_snapshot(spark, t).count() == total
