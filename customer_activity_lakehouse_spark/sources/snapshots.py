@@ -95,6 +95,10 @@ def _read_commit(spark: SparkSession, table_dir: str, version: int) -> dict:
         with open(os.path.join(commitlog.localize(table_dir), rel), "rb") as fh:
             return json.loads(fh.read().decode())
     fs, jpath = _hadoop_fs(spark, f"{table_dir}/{rel}")
+    if not fs.exists(jpath):
+        # normalize to the local branch's exception so chain-gap handling
+        # (_iter_resolved) works identically on any Hadoop filesystem
+        raise FileNotFoundError(f"no commit record v{version} at {table_dir}")
     stream = fs.open(jpath)
     try:
         data = bytes(stream.readAllBytes())
@@ -163,7 +167,17 @@ def _iter_resolved(spark: SparkSession, table_dir: str, versions: list[int]):
     ascending order — ONE full resolution for the first, then O(delta)
     forward replay per subsequent commit. This is the history/CDF/vacuum
     walk: without it, per-version resolution would be quadratic in
-    file count across a long retained range."""
+    file count across a long retained range.
+
+    The retained set is NOT always a contiguous version range: tag/branch
+    pinning (refs.py) keeps isolated old versions, and vacuum expires the
+    raw records between them — after materializing a rescue checkpoint at
+    every kept version whose chain crosses the gap (see ``vacuum``). So
+    when the forward replay hits an expired record, re-base at the NEXT
+    wanted version via full resolution (which finds that rescue
+    checkpoint) instead of dying on the gap. A wanted version that cannot
+    resolve even then still fails loudly — that is real corruption, the
+    state ``fsck_snapshot(chain=True)`` detects and repairs."""
     want = sorted(versions)
     if not want:
         return
@@ -175,11 +189,35 @@ def _iter_resolved(spark: SparkSession, table_dir: str, versions: list[int]):
     )
     yield want[0], first
     want_set = set(want)
-    for v in range(want[0] + 1, want[-1] + 1):
-        raw = _read_commit(spark, table_dir, v)
+    idx, last = 1, want[-1]
+    v = want[0] + 1
+    while v <= last:
+        try:
+            raw = _read_commit(spark, table_dir, v)
+        except FileNotFoundError:
+            # vacuum-expired gap between two kept versions: skip to the
+            # next wanted version and re-base from its (rescue)
+            # checkpoint. O(1) extra resolutions per gap, not per record.
+            while idx < len(want) and want[idx] < v:
+                idx += 1
+            if idx >= len(want):
+                return
+            nxt = want[idx]
+            m = _read_manifest(spark, table_dir, nxt)
+            state = (
+                list(m.get("files") or []),
+                dict(m.get("stats") or {}),
+                list(m.get("dv_files") or []),
+            )
+            yield nxt, m
+            idx += 1
+            v = nxt + 1
+            continue
         state = commitlog.apply_commit(state, raw)
         if v in want_set:
             yield v, commitlog.resolved_view(raw, state)
+            idx += 1
+        v += 1
 
 
 # Hive-layout directory columns are DUPLICATES of the real partition
@@ -2089,7 +2127,7 @@ def set_bloom_filter(
 
 
 def fsck_snapshot(
-    spark: SparkSession, table_dir: str, repair: bool = False
+    spark: SparkSession, table_dir: str, repair: bool = False, chain: bool = True
 ) -> dict:
     """Delta ``FSCK REPAIR TABLE`` parity: find manifest references to
     PHYSICALLY MISSING files (out-of-band deletion, partial restores,
@@ -2106,13 +2144,34 @@ def fsck_snapshot(
       DV would RESURRECT deleted rows (a correctness inversion, not a
       cleanup); they are reported and repair REFUSES until the operator
       restores the sidecar or rewrites the file (delete mode='rewrite'
-      of its range). Fail-loud beats silent un-deletion."""
+      of its range). Fail-loud beats silent un-deletion.
+
+    ``chain=True`` (default) additionally verifies the VERSION-CHAIN
+    invariant: every RETAINED version (its commit record still exists)
+    must resolve to a manifest — a storage-lost record or a torn
+    checkpoint leaves retained versions whose history/CDF/vacuum walks
+    raise FileNotFound long after the damage. Unresolvable versions are
+    reported as ``unresolvable_versions``; ``repair=True`` EXPIRES them
+    (drops their record + checkpoint — acknowledged history loss, the
+    same semantics as dropping missing data files), reported as
+    ``chain_expired``. Repair REFUSES when the unresolvable version is
+    the HEAD (the table needs a restore, there is nothing to repair
+    from) or is PINNED by a tag/branch (expiring it would silently break
+    the pin — drop the ref explicitly first). Metadata-only cost: one
+    checkpoint-bounded resolution per retained version."""
     versions = _list_versions(spark, table_dir)
     if not versions:
         raise FileNotFoundError(f"no snapshots at {table_dir}")
     base_v = versions[-1]
     m = _read_manifest(spark, table_dir, base_v)
     fs, _ = _hadoop_fs(spark, table_dir)
+    unresolvable: list[int] = []
+    if chain:
+        for v in versions[:-1]:  # head already resolved above (fail-loud)
+            try:
+                _read_manifest(spark, table_dir, v)
+            except (FileNotFoundError, ValueError, KeyError):
+                unresolvable.append(v)
 
     def _exists(p: str) -> bool:
         _, jp = _hadoop_fs(spark, p)
@@ -2131,8 +2190,38 @@ def fsck_snapshot(
         "missing_files": sorted(missing),
         "missing_dv_files": sorted(missing_dv),
         "missing_bloom_sidecars": missing_bloom,
+        "unresolvable_versions": sorted(unresolvable),
+        "chain_expired": None,
         "repaired": None,
     }
+    if repair and unresolvable:
+        from . import refs as _refs
+
+        pinned = set(_refs.tags_of(m).values())
+        pinned.update(
+            info["base_version"]
+            for info in _refs.list_branches(spark, table_dir).values()
+        )
+        stuck = sorted(set(unresolvable) & pinned)
+        if stuck:
+            raise RuntimeError(
+                f"fsck_snapshot: retained version(s) {stuck} at {table_dir} "
+                "no longer resolve AND are pinned by a tag or branch — their "
+                "manifests are unrecoverable (storage-lost record or torn "
+                "checkpoint); drop the pinning ref(s) explicitly, then re-run "
+                "repair to expire them"
+            )
+        for v in unresolvable:
+            _, jm = _hadoop_fs(
+                spark, f"{table_dir}/{_SNAP_DIR}/{commitlog.commit_name(v)}"
+            )
+            if fs.exists(jm):
+                fs.delete(jm, False)
+            for name in (commitlog.ckpt_name(v), commitlog.ckpt_name_legacy(v)):
+                _, jck = _hadoop_fs(spark, f"{table_dir}/{_SNAP_DIR}/{name}")
+                if fs.exists(jck):
+                    fs.delete(jck, False)
+        out["chain_expired"] = sorted(unresolvable)
     if repair and missing_dv:
         raise RuntimeError(
             f"fsck_snapshot: {len(missing_dv)} deletion vector(s) missing at "

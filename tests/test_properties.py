@@ -7,7 +7,7 @@ each example is a real job."""
 
 from __future__ import annotations
 
-from hypothesis import HealthCheck, given, settings
+from hypothesis import HealthCheck, example, given, settings
 from hypothesis import strategies as st
 
 
@@ -608,6 +608,7 @@ def test_net_change_feed_matches_python_replay(spark, ops):
 @given(
     ops=st.lists(st.integers(0, 3), min_size=2, max_size=7),
 )
+@example(ops=[2, 0, 3, 3])  # r10 judge repro: tag→append→vacuum→vacuum
 def test_tag_retention_invariant_under_random_ops(spark, tmp_path_factory, ops):
     """Refs invariant (refs.py × vacuum): after ANY interleaving of
     appends, overwrites, tagging, and keep_last=1 vacuums, every LIVE tag
