@@ -776,6 +776,17 @@ class _SnapshotWriterDriver(_SnapshotArrowWriter):
                     "enabled; the pure-Python writer does not allocate base "
                     "row ids — write through commit_append/commit_overwrite"
                 )
+            if prev and prev.get("unique_keys"):
+                # same fail-loud contract: this writer has no engine to
+                # probe the batch against the table (or itself), so
+                # committing under an ENFORCED unique key would silently
+                # break the declaration
+                raise RuntimeError(
+                    f"snapshot_log writer: {self._dir} declares unique key(s) "
+                    f"{sorted(prev['unique_keys'])}; the pure-Python writer "
+                    "cannot enforce them — write through commit_append/"
+                    "commit_overwrite"
+                )
             manifest = {
                 "version": version,
                 "op": "overwrite",
@@ -790,8 +801,11 @@ class _SnapshotWriterDriver(_SnapshotArrowWriter):
                 manifest["stats"] = new_stats
             # table-level properties survive an overwrite (Delta keeps
             # metadata across mode=overwrite); without the carry a
-            # DataSource overwrite would silently un-declare them
-            for k in ("generated", "bloom", "table_stats"):
+            # DataSource overwrite would silently un-declare them —
+            # dropping 'refs' is the worst case: every tag vanishes and
+            # the next vacuum expires the tagged versions' files
+            for k in ("generated", "bloom", "table_stats", "refs",
+                      "clustering", "txns"):
                 if prev and prev.get(k):
                     manifest.setdefault(k, prev[k])
             if not _py_try_commit(self._dir, version, manifest, prev=prev):
@@ -857,6 +871,16 @@ class _SnapshotWriterDriver(_SnapshotArrowWriter):
                     "enabled; the pure-Python writer does not allocate base "
                     "row ids — append through commit_append"
                 )
+            if prev and prev.get("unique_keys"):
+                # no engine here to probe the batch against the table —
+                # committing under an ENFORCED unique key would silently
+                # break the declaration (commit_append validates both the
+                # batch and the stats-narrowed table range)
+                raise RuntimeError(
+                    f"snapshot_log writer: {self._dir} declares unique key(s) "
+                    f"{sorted(prev['unique_keys'])}; the pure-Python writer "
+                    "cannot enforce them — append through commit_append"
+                )
             manifest = {
                 "version": version,
                 "op": "append",
@@ -872,7 +896,11 @@ class _SnapshotWriterDriver(_SnapshotArrowWriter):
                 manifest["constraints"] = prev_cons
             if prev and prev.get("dv_files"):
                 manifest["dv_files"] = prev["dv_files"]
-            for k in ("generated", "bloom", "table_stats"):
+            # refs MUST travel or tags silently vanish (and the next
+            # vacuum expires the tagged versions); txns carries the
+            # idempotence stamps through this writer's commits
+            for k in ("generated", "bloom", "table_stats", "refs",
+                      "clustering", "txns"):
                 if prev and prev.get(k):
                     manifest.setdefault(k, prev[k])
             prev_stats = prev.get("stats", {}) if prev else {}

@@ -243,10 +243,17 @@ def create_branch(
     version against the PARENT's vacuum while the branch lives."""
     _check_name(name, "create_branch")
     bdir = branch_dir(table_dir, name)
-    if _path_exists(spark, _marker_path(table_dir, name)) or _list_versions(
-        spark, bdir
-    ):
+    if _path_exists(spark, _marker_path(table_dir, name)):
         raise FileExistsError(f"branch {name!r} already exists at {bdir}")
+    if _list_versions(spark, bdir):
+        # versions WITHOUT a marker = debris from a crash between
+        # clone_snapshot and _write_marker (the marker is written last so
+        # a live marker always points at a complete clone). Only
+        # create_branch writes under _branches/<name>, so the dir is
+        # reclaimable — without this, the name was permanently stuck:
+        # create raised here, drop_branch raised no-such-branch, and
+        # list_branches hid it (ADVICE r10).
+        _rm_tree(spark, bdir)
     versions = _list_versions(spark, table_dir)
     if not versions:
         raise FileNotFoundError(f"no snapshots at {table_dir}")
@@ -310,6 +317,12 @@ def drop_branch(
     same protect-the-work rule as dropping a dirty worktree."""
     bdir = branch_dir(table_dir, name)
     if not _path_exists(spark, _marker_path(table_dir, name)):
+        if _list_versions(spark, bdir):
+            # marker-less branch dir = half-created debris (crash between
+            # clone and marker write) — by definition droppable; leaving
+            # it raised no-such-branch while create_branch saw versions
+            _rm_tree(spark, bdir)
+            return
         raise FileNotFoundError(f"no branch {name!r} at {table_dir}")
     bvs = _list_versions(spark, bdir)
     if not force and bvs and bvs[-1] > 1:
@@ -388,7 +401,19 @@ def publish_branch(
     appended_stats: dict = {}
     interleaved_rt: dict | None = None
     for v in range(base_v + 1, head_v + 1):
-        r = _read_commit(spark, table_dir, v)
+        try:
+            r = _read_commit(spark, table_dir, v)
+        except FileNotFoundError:
+            # vacuum pins (base, head] of the parent for live branches,
+            # so this only happens on pre-pinning tables or out-of-band
+            # record loss — name the exit instead of an opaque
+            # FileNotFoundError (ADVICE r10)
+            raise RuntimeError(
+                f"publish_branch: parent commit record v{v} expired "
+                f"mid-audit at {table_dir} — the interleaved history "
+                "needed to validate the fast-forward is gone; re-branch "
+                "from the current head and replay"
+            ) from None
         if r.get("op") in _FF_SAFE_OPS:
             continue
         d = r.get("delta")

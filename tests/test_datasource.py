@@ -330,3 +330,52 @@ def test_batch_read_tag_option(registered, tmp_path):
         spark.read.format("snapshot_log").option("path", t).option(
             "tag", "ghost"
         ).load().collect()
+
+
+def test_writer_carries_refs_and_refuses_unique_keys(registered, tmp_path):
+    """ADVICE r10: the pure-Python writer must CARRY the 'refs' property
+    (a DataSource append/overwrite that drops it makes every tag vanish
+    and lets the next vacuum expire the tagged versions' files) and must
+    FAIL-LOUD on unique-key tables (it has no engine to probe the batch
+    against the table)."""
+    from customer_activity_lakehouse_spark.sources.refs import (
+        read_tag,
+        set_tag,
+        tag_version,
+    )
+    from customer_activity_lakehouse_spark.sources.snapshots import (
+        set_unique_key,
+        vacuum,
+    )
+
+    spark = registered
+    t = str(tmp_path / "tagged")
+    commit_append(spark, t, spark.range(0, 6).selectExpr("id", "id*2 AS v"))
+    set_tag(spark, t, "audit")  # pins v1
+    # python-writer append must keep the tag alive...
+    spark.range(6, 9).selectExpr("id", "id*2 AS v").write.format(
+        "snapshot_log"
+    ).option("path", t).mode("append").save()
+    assert tag_version(spark, t, "audit") == 1
+    # ...and so must a python-writer overwrite (Delta keeps metadata
+    # across mode=overwrite)
+    spark.range(0, 4).selectExpr("id", "id*2 AS v").write.format(
+        "snapshot_log"
+    ).option("path", t).mode("overwrite").save()
+    assert tag_version(spark, t, "audit") == 1
+    # the tagged version survives an aggressive vacuum and reads exactly
+    vacuum(spark, t, keep_last=1)
+    assert read_tag(spark, t, "audit").count() == 6
+
+    t2 = str(tmp_path / "uniq")
+    commit_append(spark, t2, spark.range(0, 5).selectExpr("id", "id*2 AS v"))
+    set_unique_key(spark, t2, ["id"], name="pk")
+    with pytest.raises(Exception, match="unique key"):
+        spark.range(5, 8).selectExpr("id", "id*2 AS v").write.format(
+            "snapshot_log"
+        ).option("path", t2).mode("append").save()
+    with pytest.raises(Exception, match="unique key"):
+        spark.range(0, 3).selectExpr("id", "id*2 AS v").write.format(
+            "snapshot_log"
+        ).option("path", t2).mode("overwrite").save()
+    assert read_snapshot(spark, t2).count() == 5  # nothing landed
