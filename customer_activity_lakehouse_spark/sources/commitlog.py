@@ -138,6 +138,9 @@ WRITER_FEATURES = READER_FEATURES | {
     "refs",  # named tags/branches carried per commit; tagged versions
     # pin vacuum retention (refs.py) — a writer that dropped them would
     # silently expire audit bookmarks
+    "txn-cursors",  # per-app idempotence stamps carried per commit
+    # (snapshots._latest_txn) — a writer that dropped them would let a
+    # scheduler retry re-apply an already-committed batch
 }
 
 _FEATURE_KEYS = (
@@ -150,6 +153,7 @@ _FEATURE_KEYS = (
     ("unique_keys", "unique-keys", False),
     ("row_tracking", "row-tracking", False),
     ("refs", "refs", False),
+    ("txns", "txn-cursors", False),
 )
 
 

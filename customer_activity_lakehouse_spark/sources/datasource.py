@@ -303,7 +303,17 @@ class _SnapshotStreamReader(DataSourceStreamReader):
                 if "files" in m:
                     prev_files = set(m["files"])
                 continue
-            if m["op"] == "append":
+            if m["op"] == "append" or (
+                m.get("op") == "publish_branch"
+                and "files" not in m
+                and not m["delta"].get("remove")
+                and not m["delta"].get("truncate")
+                and not m["delta"].get("dv_add")
+                and not m["delta"].get("dv_remove")
+            ):
+                # an ADD-ONLY publish (WAP audit merged, no branch-side
+                # deletes) is inserts to a downstream consumer — streams
+                # reading a WAP table must survive the publish commit
                 if "files" not in m:
                     added = list(m["delta"].get("add", []))
                 else:

@@ -554,12 +554,25 @@ def publish_branch(
         manifest["stats"] = new_stats
     if dv_final:
         manifest["dv_files"] = dv_final
-    _carry_props(bm, manifest, exclude=("refs", "row_tracking"))
+    _carry_props(bm, manifest, exclude=("refs", "row_tracking", "txns"))
     _carry_mapping(bm, manifest)
     if head_m.get("refs"):
         # the PARENT's refs are authoritative — tags created during the
         # audit window survive the publish
         manifest["refs"] = head_m["refs"]
+    if bm.get("txns") or head_m.get("txns"):
+        # txn idempotence cursors merge per-app MAX: the audit may have
+        # stamped writes on the branch while interleaved parent appends
+        # stamped others — dropping either side would let a scheduler
+        # retry re-apply a committed batch. A cursor the BRANCH advanced
+        # records a branch-space commit version, meaningless at the
+        # parent — rewrite it to the publish commit, the version its rows
+        # become visible here.
+        merged = dict(head_m.get("txns") or {})
+        for app, cur in (bm.get("txns") or {}).items():
+            if app not in merged or int(cur[1]) > int(merged[app][1]):
+                merged[app] = [head_v + 1, int(cur[1])]
+        manifest["txns"] = merged
     rt_b = bm.get("row_tracking") or {}
     rt_m = head_m.get("row_tracking") or {}
     rt_i = interleaved_rt or {}

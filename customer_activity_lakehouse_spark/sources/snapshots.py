@@ -958,11 +958,22 @@ def _assign_physical(
 
 def _latest_txn(spark: SparkSession, table_dir: str, app_id: str):
     """(commit_version, txn_version) of ``app_id``'s newest stamped write,
-    or None. Newest-first raw-record walk, stopping at the first stamp —
-    O(commits since the app last wrote), metadata-only. Stamps are
-    monotone per app by construction (non-greater versions are skipped at
-    commit), so the first hit IS the app's latest."""
-    for v in _list_versions(spark, table_dir)[::-1]:
+    or None. Fast path: the ``txns`` TABLE PROPERTY carries every app's
+    latest cursor forward with each commit (Delta retains setTransaction
+    actions in snapshot state the same way), so the probe is ONE raw read
+    of the newest record — and, critically, the cursor SURVIVES vacuum
+    expiring the stamped commit's record. Fallback for tables stamped
+    before the property existed: newest-first raw-record walk (stamps are
+    monotone per app, so the first hit is the latest) — that path loses
+    stamps to vacuum, which is exactly why the property superseded it."""
+    versions = _list_versions(spark, table_dir)
+    if not versions:
+        return None
+    head = _read_commit(spark, table_dir, versions[-1])
+    hit = (head.get("txns") or {}).get(app_id)
+    if hit is not None:
+        return int(hit[0]), int(hit[1])
+    for v in versions[::-1]:
         r = _read_commit(spark, table_dir, v)
         if r.get("txn_app_id") == app_id:
             return v, int(r["txn_version"])
@@ -1183,8 +1194,17 @@ def _commit_append_files(
         if extra:
             manifest.update(extra)
         if txn is not None:
-            # the stamp rides the same atomic commit as the file list
+            # the stamp rides the same atomic commit as the file list;
+            # the per-app cursor ALSO lands in the 'txns' table property
+            # (Delta retains setTransaction actions in snapshot state) so
+            # vacuum expiring this raw record cannot lose it — a
+            # scheduler retry after vacuum would otherwise re-apply the
+            # batch, the exact duplicate the stamp exists to prevent
             manifest["txn_app_id"], manifest["txn_version"] = txn[0], int(txn[1])
+            prev_txns = (prev_m.get("txns") if versions else None) or {}
+            manifest["txns"] = {
+                **prev_txns, txn[0]: [version, int(txn[1])]
+            }
         # belt-and-braces: any table property the hand-built section above
         # didn't own still carries (setdefault — explicit sets win). The
         # hand-picked list silently dropped `clustering` when it joined
@@ -1540,10 +1560,12 @@ def commit_overwrite(
         # bloom indexing is a table property — it survives the rewrite
         # (file_blooms skips spec columns absent from the new layout)
         manifest["bloom"] = prev_m["bloom"]
-    # generated rules, unique keys, clustering, identity specs, and named
-    # refs survive an overwrite (Delta keeps table metadata across
-    # mode=overwrite; tags point at VERSIONS, which outlive the rewrite)
-    for k in ("generated", "unique_keys", "clustering", "refs"):
+    # generated rules, unique keys, clustering, identity specs, named
+    # refs, and txn idempotence cursors survive an overwrite (Delta keeps
+    # table metadata across mode=overwrite; tags point at VERSIONS, which
+    # outlive the rewrite; a stamp dropped here would let a scheduler
+    # retry re-apply its batch)
+    for k in ("generated", "unique_keys", "clustering", "refs", "txns"):
         if prev_m and prev_m.get(k):
             manifest[k] = prev_m[k]
     ident = prev_m.get("identity", {}) if prev_m else {}
@@ -1743,7 +1765,7 @@ def commit_replace_where(
 
 _TABLE_PROPS = (
     "constraints", "table_stats", "generated", "partition_by", "bloom", "identity",
-    "unique_keys", "row_tracking", "clustering", "refs",
+    "unique_keys", "row_tracking", "clustering", "refs", "txns",
 )
 
 
@@ -3003,7 +3025,16 @@ def clone_snapshot(
     # the clone inherits CHECK constraints — but NOT named refs: tags are
     # version pointers into the SOURCE's history, and the clone's history
     # restarts at v1 (a carried tag would resolve to the wrong manifest)
-    _carry_props(src, manifest, exclude=("refs",))
+    _carry_props(src, manifest, exclude=("refs", "txns"))
+    if src.get("txns"):
+        # txn cursors carry (a WAP branch is the parent's continuation —
+        # an idempotent writer must keep skipping batches the parent
+        # already applied) but their recorded commit versions are in the
+        # SOURCE's version space; the clone's history restarts at v1, so
+        # re-base every cursor to the clone commit
+        manifest["txns"] = {
+            app: [1, int(cur[1])] for app, cur in src["txns"].items()
+        }
     _carry_mapping(src, manifest)  # … and the column mapping (it references
     # the source's physical files, so it must read them the source's way)
     if not _try_commit(spark, dst_dir, 1, manifest):
@@ -3041,10 +3072,21 @@ def restore_snapshot(spark: SparkSession, table_dir: str, version: int) -> int:
     if target.get("dv_files"):
         # restoring to a DV-bearing version restores its deletions too
         manifest["dv_files"] = target["dv_files"]
-    _carry_props(target, manifest)  # restore returns to that version's
-    # constraints (consistent with restoring its schema)
+    _carry_props(target, manifest, exclude=("refs", "txns"))
+    # restore returns to that version's constraints (consistent with
+    # restoring its schema) — but NOT its refs or txn cursors: tags are
+    # TABLE-level pointers into history (all still-valid versions), so
+    # the CURRENT head's set is the truth — carrying the target's would
+    # silently drop every tag set after it, and the next vacuum would
+    # expire those tagged versions' files; txn stamps are monotonic
+    # idempotence cursors (same rule as the row-id watermark below) —
+    # rolling them back would let a scheduler retry re-apply its batch.
+    latest_m = _read_manifest(spark, table_dir, versions[-1])
+    for k in ("refs", "txns"):
+        if latest_m.get(k):
+            manifest[k] = latest_m[k]
     _carry_mapping(target, manifest)  # and its column mapping
-    rt_t, rt_l = _rt_of(target), _rt_of(_read_manifest(spark, table_dir, versions[-1]))
+    rt_t, rt_l = _rt_of(target), _rt_of(latest_m)
     if rt_t or rt_l:
         # the row-id watermark is MONOTONIC across a restore (Delta's
         # rule): ids minted by the rolled-back versions stay reserved, so
@@ -3116,8 +3158,15 @@ def vacuum(
         if tv in versions:
             keep.add(tv)
     for info in _refs.list_branches(spark, table_dir).values():
-        if info["base_version"] in versions:
-            keep.add(info["base_version"])
+        # a live branch pins its base AND every parent version after it
+        # (Iceberg keeps branch-reachable snapshots): publish_branch must
+        # read each interleaved record to prove the fast-forward is valid
+        # (refs-only / pure-append), so expiring any of (base, head]
+        # during a long audit would leave the branch permanently
+        # unpublishable. Bounded by commits since the OLDEST live branch
+        # forked — the WAP audit window, not table history.
+        base = info["base_version"]
+        keep.update(v for v in versions if v >= base)
     # Liveness comparison is SCHEME-NORMALIZED: the JVM writer records
     # file:/x paths, the pure-Python DataSource writer records bare /x —
     # comparing them verbatim deleted LIVE DataSource-written files as
@@ -4506,6 +4555,7 @@ def snapshot_change_feed(
     in_range = [v for v in versions if v_from < v <= v_to]
     feed_resolved = dict(_iter_resolved(spark, table_dir, [v_from] + in_range))
     prev_files = set(feed_resolved[v_from]["files"])
+    prev_dvs = set(feed_resolved[v_from].get("dv_files") or [])
     pieces: list[DataFrame] = []
     last_sig = None
     for v in in_range:
@@ -4513,6 +4563,7 @@ def snapshot_change_feed(
         last_sig = m.get("schema") or last_sig
         if m.get("data_change") is False:
             prev_files = set(m["files"])
+            prev_dvs = set(m.get("dv_files") or [])
             continue
         sig = m.get("schema")
         colmap_v, _ = _mapping_of(m)
@@ -4524,7 +4575,17 @@ def snapshot_change_feed(
             if colmap_v and sig
             else None
         )
-        if m["op"] == "append":
+        if m["op"] == "append" or (
+            m.get("op") == "publish_branch"
+            and not (prev_files - set(m["files"]))
+            and set(m.get("dv_files") or []) == prev_dvs
+        ):
+            # publish_branch is feed-visible when it is ADD-ONLY (no file
+            # removed, no new deletion vector): the published audit's rows
+            # are plain inserts downstream — the WAP flow's index REFRESH
+            # / MV maintenance / replica apply all keep working across a
+            # publish. A publish carrying branch-side deletes (DV change)
+            # still falls through to the keyed-diff fallback below.
             added = [f for f in m["files"] if f not in prev_files]
             if added:
                 base = (
@@ -4558,6 +4619,7 @@ def snapshot_change_feed(
                 "no change files; use snapshot_changes(key_cols=...) across it"
             )
         prev_files = set(m["files"])
+        prev_dvs = set(m.get("dv_files") or [])
     if not pieces:
         if last_sig is None:
             last_sig = _read_commit(spark, table_dir, v_to).get("schema") or []

@@ -379,3 +379,39 @@ def test_writer_carries_refs_and_refuses_unique_keys(registered, tmp_path):
             "snapshot_log"
         ).option("path", t2).mode("overwrite").save()
     assert read_snapshot(spark, t2).count() == 5  # nothing landed
+
+
+def test_stream_source_survives_addonly_publish(registered, tmp_path):
+    """A Structured Streaming consumer of a WAP table must not die when
+    the audit publishes: an add-only publish_branch commit streams as
+    inserts (its copied files), exactly like an append. A publish
+    carrying branch-side deletes still refuses (append-only contract)."""
+    from customer_activity_lakehouse_spark.sources.refs import (
+        branch_dir,
+        create_branch,
+        publish_branch,
+    )
+
+    spark = registered
+    t = str(tmp_path / "tbl")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    commit_append(spark, t, spark.range(0, 4).selectExpr("id", "id*2 AS v"))
+    create_branch(spark, t, "wip")
+    commit_append(
+        spark, branch_dir(t, "wip"),
+        spark.range(4, 7).selectExpr("id", "id*2 AS v"),
+    )
+    commit_append(spark, t, spark.range(7, 9).selectExpr("id", "id*2 AS v"))
+    publish_branch(spark, t, "wip")
+    sdf = spark.readStream.format("snapshot_log").option("path", t).load()
+    q = (
+        sdf.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(r.id for r in spark.read.parquet(out).collect())
+    assert got == list(range(9))  # base + parent append + published audit

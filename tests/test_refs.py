@@ -493,3 +493,98 @@ def test_half_created_branch_is_reclaimable(spark, tmp_path):
     commit_append(spark, branch_dir(t, "wip"), _df(spark, 5, 7))
     publish_branch(spark, t, "wip")
     assert read_snapshot(spark, t).count() == 7
+
+
+def test_publish_survives_vacuum_during_audit(spark, tmp_path):
+    """ADVICE r10: vacuum pins (base, head] of the parent for live
+    branches — publish_branch reads every interleaved record to prove the
+    fast-forward, so a mid-audit vacuum must not expire them. Interleaved
+    pure appends still rebase after the vacuum."""
+    t = str(tmp_path / "t")
+    commit_append(spark, t, _df(spark, 0, 5))           # v1
+    commit_append(spark, t, _df(spark, 5, 8))           # v2
+    create_branch(spark, t, "wip")                      # base = v2
+    commit_append(spark, branch_dir(t, "wip"), _df(spark, 100, 103))
+    commit_append(spark, t, _df(spark, 8, 10))          # v3: pure append
+    commit_append(spark, t, _df(spark, 10, 11))         # v4: pure append
+    # aggressive vacuum during the audit window — before the fix this
+    # expired v3's record and publish died with FileNotFoundError
+    vacuum(spark, t, keep_last=1)
+    publish_branch(spark, t, "wip")
+    # branch rows + both rebased interleaved appends all present
+    assert sorted(r.id for r in read_snapshot(spark, t).collect()) == (
+        list(range(11)) + [100, 101, 102]
+    )
+
+
+def test_change_feed_sees_addonly_publish_as_inserts(spark, tmp_path):
+    """An add-only PUBLISH (no branch-side deletes) is feed-visible as
+    plain inserts — downstream index REFRESH / MV maintenance / replica
+    apply keep working across the WAP merge. A publish carrying a branch
+    DV still refuses (keyed-diff fallback territory)."""
+    from customer_activity_lakehouse_spark.sources.snapshots import (
+        delete_snapshot,
+        snapshot_change_feed,
+    )
+
+    t = str(tmp_path / "t")
+    commit_append(spark, t, _df(spark, 0, 5))               # v1
+    create_branch(spark, t, "wip")
+    commit_append(spark, branch_dir(t, "wip"), _df(spark, 5, 9))
+    commit_append(spark, t, _df(spark, 9, 11))              # v2: parent append
+    publish_branch(spark, t, "wip")                         # v3: add-only
+    feed = snapshot_change_feed(spark, t, 1).collect()
+    assert {r.change_type for r in feed} == {"insert"}
+    by_v = {}
+    for r in feed:
+        by_v.setdefault(r._commit_version, set()).add(r.id)
+    assert by_v[2] == {9, 10}           # the interleaved parent append
+    assert by_v[3] == {5, 6, 7, 8}      # the published audit rows
+    # publish carrying a branch DELETE (DV over an inherited file) is NOT
+    # insert-shaped — the feed refuses across it, as for any DML-opaque op
+    t2 = str(tmp_path / "t2")
+    commit_append(spark, t2, _df(spark, 0, 6))
+    create_branch(spark, t2, "wip")
+    delete_snapshot(spark, branch_dir(t2, "wip"), "id = 2", mode="dv")
+    publish_branch(spark, t2, "wip")
+    with pytest.raises(ValueError, match="no change files"):
+        snapshot_change_feed(spark, t2, 1).collect()
+    # but the published deletion IS applied at the parent
+    assert sorted(r.id for r in read_snapshot(spark, t2).collect()) == [0, 1, 3, 4, 5]
+
+
+def test_txn_cursors_flow_through_branch_and_publish(spark, tmp_path):
+    """Idempotence across WAP: a branch is the parent's continuation, so
+    batches the parent already applied must keep skipping on the branch
+    (cursor carried, re-based to the clone's version space), and batches
+    the AUDIT applied must keep skipping at the parent after publish
+    (per-app max merge, re-based to the publish commit)."""
+    from customer_activity_lakehouse_spark.sources.snapshots import (
+        latest_txn_version,
+    )
+
+    t = str(tmp_path / "t")
+    commit_append(spark, t, _df(spark, 0, 4), txn=("etl", 5))
+    create_branch(spark, t, "wip")
+    b = branch_dir(t, "wip")
+    # parent-applied batch retried against the branch: skipped
+    commit_append(spark, b, _df(spark, 0, 4), txn=("etl", 5))
+    assert read_snapshot(spark, b).count() == 4
+    # the audit advances the cursor on the branch
+    commit_append(spark, b, _df(spark, 4, 7), txn=("etl", 6))
+    assert latest_txn_version(spark, b, "etl") == 6
+    publish_branch(spark, t, "wip")
+    # audit-applied batch retried against the parent: skipped
+    n = read_snapshot(spark, t).count()
+    assert n == 7
+    commit_append(spark, t, _df(spark, 4, 7), txn=("etl", 6))
+    assert read_snapshot(spark, t).count() == n
+    assert latest_txn_version(spark, t, "etl") == 6
+    # and the cursor's recorded commit version resolves AT THE PARENT
+    from customer_activity_lakehouse_spark.sources.snapshots import (
+        _latest_txn,
+        read_snapshot as _rs,
+    )
+
+    v, _ = _latest_txn(spark, t, "etl")
+    assert _rs(spark, t, version=v).count() == 7  # valid parent version

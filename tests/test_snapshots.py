@@ -2779,3 +2779,76 @@ def test_fsck_chain_repair_refuses_pinned_unresolvable(spark, tmp_path):
     rep2 = S.fsck_snapshot(spark, t, repair=True)
     assert 5 in rep2["chain_expired"]
     assert S.fsck_snapshot(spark, t)["unresolvable_versions"] == []
+
+
+def test_txn_stamp_survives_vacuum(spark, tmp_path):
+    """ADVICE r10: the idempotence cursor rides the 'txns' TABLE PROPERTY
+    (carried with every commit), so vacuum expiring the stamped commit's
+    raw record cannot lose it — a scheduler retry with the same
+    (app_id, txn_version) after an aggressive vacuum must still skip."""
+    from customer_activity_lakehouse_spark.sources.snapshots import (
+        latest_txn_version,
+    )
+
+    t = str(tmp_path / "t")
+    df = spark.range(0, 5).selectExpr("id", "id*2 AS v")
+    commit_append(spark, t, df, txn=("etl", 7))
+    commit_append(spark, t, spark.range(5, 8).selectExpr("id", "id*2 AS v"))
+    commit_append(spark, t, spark.range(8, 9).selectExpr("id", "id*2 AS v"))
+    S = __import__(
+        "customer_activity_lakehouse_spark.sources.snapshots",
+        fromlist=["vacuum"],
+    )
+    S.vacuum(spark, t, keep_last=1)  # expires the stamped record (v1)
+    assert latest_txn_version(spark, t, "etl") == 7  # cursor survived
+    # the replayed batch is SKIPPED — before the fix it re-applied
+    n = read_snapshot(spark, t).count()
+    commit_append(spark, t, df, txn=("etl", 7))
+    assert read_snapshot(spark, t).count() == n
+    # a HIGHER txn_version still applies, and the cursor advances
+    commit_append(spark, t, spark.range(9, 11).selectExpr("id", "id*2 AS v"),
+                  txn=("etl", 8))
+    assert read_snapshot(spark, t).count() == n + 2
+    assert latest_txn_version(spark, t, "etl") == 8
+    # distinct apps never dedupe each other, vacuum or not
+    commit_append(spark, t, spark.range(11, 12).selectExpr("id", "id*2 AS v"),
+                  txn=("other", 1))
+    assert read_snapshot(spark, t).count() == n + 3
+
+
+def test_restore_preserves_tags_and_txn_cursors(spark, tmp_path):
+    """Tags are TABLE-level refs (Iceberg: rollback does not touch refs)
+    and txn stamps are monotonic cursors — a RESTORE to a version that
+    predates them must carry the HEAD's set, not the target's. Before the
+    fix, restore-to-v1 after set_tag silently erased the tag (and the
+    next vacuum expired the tagged version's files)."""
+    from customer_activity_lakehouse_spark.sources.refs import (
+        read_tag,
+        tag_version,
+    )
+    from customer_activity_lakehouse_spark.sources.snapshots import (
+        latest_txn_version,
+        restore_snapshot,
+    )
+
+    import customer_activity_lakehouse_spark.sources.snapshots as S
+
+    t = str(tmp_path / "t")
+    commit_append(spark, t, spark.range(0, 3).selectExpr("id"))          # v1
+    commit_append(spark, t, spark.range(3, 5).selectExpr("id"),
+                  txn=("etl", 4))                                        # v2
+    from customer_activity_lakehouse_spark.sources.refs import set_tag
+
+    set_tag(spark, t, "late")                                            # v3, tags v2
+    restore_snapshot(spark, t, 1)                                        # v4
+    assert tag_version(spark, t, "late") == 2
+    assert read_tag(spark, t, "late").count() == 5
+    assert latest_txn_version(spark, t, "etl") == 4  # cursor not rolled back
+    assert read_snapshot(spark, t).count() == 3
+    # the tag keeps pinning through an aggressive vacuum after restore
+    S.vacuum(spark, t, keep_last=1)
+    assert read_tag(spark, t, "late").count() == 5
+    # and a replay of the pre-restore batch still skips
+    n = read_snapshot(spark, t).count()
+    commit_append(spark, t, spark.range(3, 5).selectExpr("id"), txn=("etl", 4))
+    assert read_snapshot(spark, t).count() == n
