@@ -649,57 +649,14 @@ def main() -> None:
         },
         "runs": RUNS,
         "note": (
-            "interleaved shuffled passes, median of 5; ETL timed in "
-            "its own phase (2 warm-ups + median of 7 — BENCH_r06's "
-            "etl_pipeline=6.98 s was a cold-page-cache artifact of a "
-            "fresh driver VM; the judge re-measured 4.11/4.32 s on "
-            "unchanged code, and the widened warm-up makes a single "
-            "cold pass unable to move the median). value sums the "
-            "FROZEN legacy 18-query set benched since r01 "
-            "(cross-round comparable); value_full sums ALL benched "
-            "queries and is the SUCCESSOR headline — cross-round "
-            "anchors: BENCH_r05 value_full = 13.21 s over the r5 "
-            "25-query set; r6 ADDED SIX benched queries "
-            "(embedding_kmeans, dedup_setsim_capped, doc_bpe_pairs, "
-            "nation_trade_flows, priority_drift_revenue, "
-            "part_market_basket; the r6 note miscounted them as 5), "
-            "25->31; r7 ADDED the snapshot_dml phase plus TWO "
-            "benched queries (shipment_concurrency, "
-            "lineitem_key_skew_profile), 31->34 entries in "
-            "queries{}; r8 ADDED the snapshot_bloom phase "
-            "(snapshot_bloom_lookup vs snapshot_full_lookup: the same "
-            "point lookups with and without the bloom index — their "
-            "RATIO is the feature's measured value; 34->37 queries{} "
-            "entries) plus THREE benched queries (doc_unigram_logprob, "
-            "ann_sq_topk, ann_pq_topk), 37->40, then THREE more "
-            "(doc_token_heavy_hitters, doc_bigram_logprob, "
-            "ann_ivfpq_topk), 40->43, then the mv_maintain phase "
-            "(one incremental MV maintenance run over a pre-applied "
-            "MERGE+DELETE change batch; fresh table pair per pass) "
-            "and THREE dml-chain catalog queries (not benched); "
-            "late-r8 ADDED the scd2_apply phase (one SCD Type 2 "
-            "change batch onto a pre-inserted dimension; fresh table "
-            "per pass) and kept new catalog queries un-benched; "
-            "r9 ADDED the ann_index phase (ann_index_build trains "
-            "and persists IVF+PQ once; ann_index_query serves from "
-            "the persisted tables — their ratio is the FAISS "
-            "build/serve split's value; r10 adds ann_index_batch8 — "
-            "EIGHT queries served in one batched plan, its ratio to "
-            "8x ann_index_query is the serving-tier amortization win) "
-            "and the calibration block "
-            "(fixed CPU microbenchmarks at start+end of the run, "
-            "for normalizing cross-round environmental drift); "
-            "r10 ADDED value_normalized/value_full_normalized: raw "
-            "totals divided by calibration.ratio_vs_reference (this "
-            "run's mean CPU microbenchmark over the recorded r9 "
-            "reference constants) — compare NORMALIZED value_full "
-            "across rounds on the shared subset, no human divider. "
-            "etl_pipeline is reported separately in queries. "
-            "Events NTZ-cast cost (~0.1 s/query at sf0.1, required "
-            "for UTC oracle parity): moved only with whole-set "
-            "environmental shifts through r6 — accepted, not "
-            "chased; if it ever creeps RELATIVE to the set, "
-            "materialize the casted events projection once per pass"
+            "interleaved shuffled passes, median of 5; ETL in its own "
+            "phase (2 warm-ups + median of 7). value = frozen legacy "
+            "18-query set (cross-round comparable since r01); "
+            "value_full = ALL benched queries (successor headline); "
+            "*_normalized = divided by calibration.ratio_vs_reference. "
+            "Full methodology + cross-round history: BENCH_NOTES.md "
+            "(moved out of this JSON in r11 so the driver's BENCH_r*.json "
+            "capture stays parseable)"
         ),
         }
     )
