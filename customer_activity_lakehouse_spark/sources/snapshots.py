@@ -3331,16 +3331,34 @@ def snapshot_changes(
     # are accumulated per-commit from appends only; a compacted-away file
     # still exists on disk until vacuumed, so reading it stays valid (the
     # same vacuum-vs-CDF retention caveat as Delta).
-    if all(
-        m["op"] == "append" or m.get("data_change") is False
-        for m in manifests.values()
-    ):
+    # (add-only publish_branch commits — WAP merges with no branch-side
+    # deletes — qualify too: their copied files are plain inserts, the
+    # same classification snapshot_change_feed and the stream source use)
+    prev_set = set(resolved[v_from]["files"])
+    prev_dv = set(resolved[v_from].get("dv_files") or [])
+    eligible, insert_like = True, {}
+    for v in in_range:
+        m = manifests[v]
+        if m.get("data_change") is False:
+            insert_like[v] = False
+        elif m["op"] == "append" or (
+            m.get("op") == "publish_branch"
+            and not (prev_set - set(m["files"]))
+            and set(m.get("dv_files") or []) == prev_dv
+        ):
+            insert_like[v] = True
+        else:
+            eligible = False
+            break
+        prev_set = set(m["files"])
+        prev_dv = set(m.get("dv_files") or [])
+    if eligible:
         prev_set = set(resolved[v_from]["files"])
         new_files: list[str] = []
         for v in in_range:
             m = manifests[v]
             cur = m["files"]
-            if m["op"] == "append":
+            if insert_like[v]:
                 new_files.extend(f for f in cur if f not in prev_set)
             prev_set = set(cur)
         if not new_files:

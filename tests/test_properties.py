@@ -761,3 +761,112 @@ def test_refs_surface_invariant_under_random_ops(spark, tmp_path_factory, ops):
         for name, n in tags.items():
             assert read_tag(spark, t, name).count() == n, (i, op, name)
         assert read_snapshot(spark, t).count() == total, (i, op)
+    # chain invariant: no interleaving may leave a RETAINED version that
+    # no longer resolves (the r10 hole fsck was blind to) — the full walk
+    # and the per-version fsck chain check both come back clean
+    from customer_activity_lakehouse_spark.sources.snapshots import (
+        fsck_snapshot,
+        snapshot_history,
+    )
+
+    rep = fsck_snapshot(spark, t)
+    assert rep["unresolvable_versions"] == []
+    assert rep["missing_files"] == []
+    assert snapshot_history(spark, t).count() == len(_list_versions(spark, t))
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(ops=st.lists(st.integers(0, 7), min_size=3, max_size=8))
+@example(ops=[1, 4, 5, 6])        # dv-delete, compact, vacuum, restore
+@example(ops=[3, 6, 5, 1, 6])     # merge, restore, vacuum, delete, restore
+@example(ops=[2, 5, 6, 5])        # update, vacuum, restore, vacuum
+def test_dml_surface_invariant_under_random_ops(spark, tmp_path_factory, ops):
+    """The refs adversary generalized to the DML surface: random
+    interleavings of append / DV-delete / rewrite-delete / update / merge
+    / compact / vacuum / restore, with a driver-side model dict as the
+    oracle. After EVERY op: the table reads exactly the model, the
+    history walk completes over all retained versions, and the fsck chain
+    check is clean — no interleaving may strand an unresolvable retained
+    version (the r10 failure class)."""
+    import uuid as _uuid
+
+    from customer_activity_lakehouse_spark.sources.snapshots import (
+        _list_versions,
+        commit_append,
+        compact_snapshot,
+        delete_snapshot,
+        fsck_snapshot,
+        merge_snapshot,
+        read_snapshot,
+        restore_snapshot,
+        snapshot_history,
+        update_snapshot,
+        vacuum,
+    )
+
+    t = str(tmp_path_factory.mktemp("dml_prop") / f"t{_uuid.uuid4().hex[:6]}")
+
+    def df_of(pairs):
+        return spark.createDataFrame(list(pairs), "id long, v long")
+
+    commit_append(spark, t, df_of([(0, 0), (1, 10), (2, 20)]))
+    model = {0: 0, 1: 10, 2: 20}
+    # model snapshot per committed version, for restore's oracle
+    states = {_list_versions(spark, t)[-1]: dict(model)}
+    nxt_id = 3
+    for i, op in enumerate(ops):
+        if op == 0:  # append two fresh keys
+            commit_append(spark, t, df_of([(nxt_id, nxt_id * 10),
+                                           (nxt_id + 1, (nxt_id + 1) * 10)]))
+            model[nxt_id] = nxt_id * 10
+            model[nxt_id + 1] = (nxt_id + 1) * 10
+            nxt_id += 2
+        elif op == 1 and model:  # merge-on-read delete of the smallest key
+            k = min(model)
+            delete_snapshot(spark, t, f"id = {k}", mode="dv")
+            del model[k]
+        elif op == 2 and model:  # update the largest key
+            k = max(model)
+            update_snapshot(spark, t, f"id = {k}", {"v": "v + 100"})
+            model[k] += 100
+        elif op == 3:  # merge upsert: one changed, one new
+            rows = []
+            if model:
+                k = max(model)
+                rows.append((k, model[k] + 7))
+                model[k] += 7
+            rows.append((nxt_id, nxt_id * 10))
+            model[nxt_id] = nxt_id * 10
+            nxt_id += 1
+            merge_snapshot(spark, t, df_of(rows), keys=["id"])
+        elif op == 4:  # compact (data_change=false; may be a no-op)
+            compact_snapshot(spark, t, target_file_mb=1)
+        elif op == 5:  # aggressive vacuum
+            vacuum(spark, t, keep_last=1)
+        elif op == 6:  # restore to the OLDEST retained data version
+            versions = _list_versions(spark, t)
+            candidates = [v for v in versions[:-1] if v in states]
+            if candidates:
+                target = candidates[0]
+                restore_snapshot(spark, t, target)
+                model = dict(states[target])
+        elif op == 7 and model:  # rewrite-mode delete of the largest key
+            k = max(model)
+            delete_snapshot(spark, t, f"id = {k}", mode="rewrite")
+            del model[k]
+        # record the model at the new head (data-bearing commits only;
+        # compaction/no-ops keep the mapping for their unchanged head)
+        head_v = _list_versions(spark, t)[-1]
+        states[head_v] = dict(model)
+        # ---- invariants after EVERY step ----
+        got = {r.id: r.v for r in read_snapshot(spark, t).collect()}
+        assert got == model, (i, op)
+        versions = _list_versions(spark, t)
+        assert snapshot_history(spark, t).count() == len(versions), (i, op)
+        rep = fsck_snapshot(spark, t)
+        assert rep["unresolvable_versions"] == [], (i, op)
+        assert rep["missing_files"] == [], (i, op)

@@ -551,6 +551,19 @@ def test_change_feed_sees_addonly_publish_as_inserts(spark, tmp_path):
         snapshot_change_feed(spark, t2, 1).collect()
     # but the published deletion IS applied at the parent
     assert sorted(r.id for r in read_snapshot(spark, t2).collect()) == [0, 1, 3, 4, 5]
+    # snapshot_changes agrees on both sides: fast path (insert-only) over
+    # the add-only publish, keyed diff required across the DV-carrying one
+    from customer_activity_lakehouse_spark.sources.snapshots import (
+        snapshot_changes,
+    )
+
+    ch = snapshot_changes(spark, t, 1).collect()
+    assert {r.change_type for r in ch} == {"insert"}
+    assert {r.id for r in ch} == set(range(5, 11))
+    with pytest.raises(ValueError, match="key_cols"):
+        snapshot_changes(spark, t2, 1).collect()
+    ch2 = snapshot_changes(spark, t2, 1, key_cols=["id"]).collect()
+    assert {(r.id, r.change_type) for r in ch2} == {(2, "delete")}
 
 
 def test_txn_cursors_flow_through_branch_and_publish(spark, tmp_path):
