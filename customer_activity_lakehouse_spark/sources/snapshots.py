@@ -2220,10 +2220,12 @@ def fsck_snapshot(
         from . import refs as _refs
 
         pinned = set(_refs.tags_of(m).values())
-        pinned.update(
-            info["base_version"]
-            for info in _refs.list_branches(spark, table_dir).values()
-        )
+        for info in _refs.list_branches(spark, table_dir).values():
+            # same range rule as vacuum: a live branch needs every parent
+            # RECORD in [base, head] for publish's fast-forward check —
+            # expiring one (even an unresolvable one, whose raw record
+            # still reads fine) would break the publish
+            pinned.update(v for v in versions if v >= info["base_version"])
         stuck = sorted(set(unresolvable) & pinned)
         if stuck:
             raise RuntimeError(

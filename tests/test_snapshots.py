@@ -2852,3 +2852,33 @@ def test_restore_preserves_tags_and_txn_cursors(spark, tmp_path):
     n = read_snapshot(spark, t).count()
     commit_append(spark, t, spark.range(3, 5).selectExpr("id"), txn=("etl", 4))
     assert read_snapshot(spark, t).count() == n
+
+
+def test_fsck_chain_repair_respects_branch_audit_range(spark, tmp_path):
+    """fsck chain repair must pin the SAME range vacuum does for live
+    branches: a version inside (base, head] whose resolution chain broke
+    still has a readable raw record that publish_branch needs — expiring
+    it would break the audit. Dropping the branch unblocks the repair."""
+    import os as _os
+
+    import customer_activity_lakehouse_spark.sources.snapshots as S
+    from customer_activity_lakehouse_spark.sources.refs import (
+        create_branch,
+        drop_branch,
+    )
+
+    t = str(tmp_path / "t")
+    for lo in range(0, 120, 10):
+        commit_append(
+            spark, t, spark.range(lo, lo + 10).selectExpr("id", "id*2 AS v")
+        )
+    create_branch(spark, t, "wip", version=4)  # audit range pins v >= 4
+    _os.unlink(_os.path.join(t, "_snapshots", "v00003.json"))
+    rep = S.fsck_snapshot(spark, t)
+    assert rep["unresolvable_versions"] == [4, 5, 6, 7, 8, 9]
+    with pytest.raises(RuntimeError, match="pinned"):
+        S.fsck_snapshot(spark, t, repair=True)
+    drop_branch(spark, t, "wip", force=True)
+    rep2 = S.fsck_snapshot(spark, t, repair=True)
+    assert rep2["chain_expired"] == [4, 5, 6, 7, 8, 9]
+    assert S.fsck_snapshot(spark, t)["unresolvable_versions"] == []
