@@ -20,11 +20,12 @@ from .minhash_index import QUERIES as MH_IDX_QUERIES
 from .ml_ops import QUERIES as ML_QUERIES
 from .registry import Query
 from .stats_ops import QUERIES as STATS_QUERIES
+from .text_index import QUERIES as TXT_IDX_QUERIES
 from .timeseries import QUERIES as TS_QUERIES
 
 _MERGED: dict[str, Query] = {
     **CORE_QUERIES, **LLM_QUERIES, **TS_QUERIES, **ML_QUERIES, **DML_QUERIES,
-    **ANN_IDX_QUERIES, **MH_IDX_QUERIES, **STATS_QUERIES,
+    **ANN_IDX_QUERIES, **MH_IDX_QUERIES, **TXT_IDX_QUERIES, **STATS_QUERIES,
 }
 
 COVERAGE: dict[str, int] = load_coverage()

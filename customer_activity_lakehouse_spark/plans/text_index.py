@@ -1,0 +1,364 @@
+"""Persisted BM25 text index: build / incremental maintain / pruned serve.
+
+Third member of the persisted index tier beside the ANN (IVF-PQ,
+ann_index.py) and MinHash band (minhash_index.py) indexes — the lexical
+retrieval half of hybrid search, served WITHOUT re-tokenizing the corpus:
+
+- ``build_text_index``  — one tokenize pass over (doc_id, text) commits
+  two snapshot tables under ``index_dir``: ``postings`` (term, doc_id,
+  tf) laid out ``repartitionByRange(term)`` + sorted, so every data file
+  carries a TIGHT [min, max] term range and a per-term serve prunes to
+  ~one file through ordinary ``skip_where`` stats — an inverted index
+  recovered from manifest-level data skipping, no bespoke file format;
+  and ``doclen`` (doc_id, dl) for the BM25 length normalization.
+- ``maintain_text_index`` — folds the source table's change feed in
+  O(changes): net the feed per doc (insert-then-delete nets to nothing),
+  DV-retract touched docs' postings/lengths, keyed-MERGE the new docs'
+  rows (replays converge), stamp the consumed version on the postings
+  commit (exactly-once without side state — the incremental.py doctrine
+  shared with the other two indexes).
+- ``query_text_index`` — BM25 top-k for a term list: per-term pruned
+  posting reads, corpus constants (N, Σdl, df_t) recomputed from the
+  index tables in-plan (never stored, so they are NEVER stale), and the
+  EXACT score expression of ``llm_ops._bm25_scores`` (same cast points,
+  same fixed-order sum, same 4dp round) — the index is lossless, so the
+  serve must be bit-identical to the full-corpus scan, and the catalog
+  oracle IS the existing brute-force BM25 SQL.
+
+Scale shape: the postings build is one shuffle (groupBy term,doc);
+serving reads O(query terms) pruned files + one 2-column agg over
+``doclen``; maintenance touches only changed docs. At 100 TB the corpus
+is tokenized once, never re-scanned per query.
+"""
+
+from __future__ import annotations
+
+import atexit
+import shutil
+import tempfile
+import threading
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .llm_ops import _SQL_TOKENS, BM25_B, BM25_K1, BM25_QUERY, BM25_TOPK, _tokens
+from .registry import Query, table
+
+# range partitions for the postings layout — the scale knob: one tight
+# term range per output file, sized so a partition fits executor memory
+TEXT_INDEX_PARTS = 8
+
+
+def _postings_of(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(postings, doclen) frames for a (doc_id, text) batch — exact
+    integer tf/dl, the same whitespace tokenizer as every catalog text
+    query (llm_ops._tokens)."""
+    base = docs.select("doc_id", _tokens(F.col("text")).alias("tk"))
+    doclen = base.select("doc_id", F.size("tk").cast("long").alias("dl"))
+    postings = (
+        base.select("doc_id", F.explode("tk").alias("term"))
+        .groupBy("term", "doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    return postings, doclen
+
+
+def build_text_index(
+    spark: SparkSession,
+    docs: DataFrame,
+    index_dir: str,
+    consumed_version: int | None = None,
+) -> None:
+    """Tokenize ``docs`` (doc_id, text) once and persist the inverted
+    index. ``consumed_version`` stamps the source snapshot version the
+    build consumed (maintenance resumes from it)."""
+    from ..sources.snapshots import commit_append
+
+    postings, doclen = _postings_of(docs)
+    extra = (
+        None
+        if consumed_version is None
+        else {"txt_consumed_version": int(consumed_version)}
+    )
+    commit_append(
+        spark,
+        f"{index_dir}/postings",
+        postings.repartitionByRange(TEXT_INDEX_PARTS, "term").sortWithinPartitions(
+            "term", "doc_id"
+        ),
+        stats_cols=["term"],
+        extra=extra,
+    )
+    commit_append(
+        spark, f"{index_dir}/doclen", doclen, stats_cols=["doc_id"]
+    )
+
+
+def maintain_text_index(
+    spark: SparkSession, index_dir: str, source_table_dir: str
+) -> int | None:
+    """Fold the source table's change feed into the index — O(changes).
+
+    DELETE/UPDATE feeds RETRACT: touched docs' posting and length rows
+    are DV-masked out (physical retirement at the next OPTIMIZE), and an
+    updated doc re-tokenizes as retract-then-reinsert, so terms its new
+    text lost cannot linger. New rows land as keyed MERGEs ((term,
+    doc_id) / doc_id), so a crash-replayed batch converges instead of
+    duplicating; the consumed-version stamp rides the LAST commit
+    (postings), so a crash between the two merges replays safely —
+    every earlier step is idempotent. Returns the consumed source
+    version, or None when there was nothing to fold."""
+    from ..sources.incremental import (
+        dv_retract,
+        net_change_feed,
+        stamped_version,
+    )
+    from ..sources.snapshots import (
+        _list_versions,
+        merge_snapshot,
+        snapshot_change_feed,
+    )
+
+    postings_dir = f"{index_dir}/postings"
+    if not _list_versions(spark, postings_dir):
+        raise FileNotFoundError(f"no text index at {index_dir} — build first")
+    consumed = stamped_version(spark, postings_dir, "txt_consumed_version")
+    src_versions = _list_versions(spark, source_table_dir)
+    if not src_versions:
+        raise FileNotFoundError(f"no snapshots at {source_table_dir}")
+    latest = src_versions[-1]
+    if latest <= consumed:
+        return None
+    feed = snapshot_change_feed(spark, source_table_dir, consumed, latest)
+    retract, final_rows = net_change_feed(feed, "doc_id")
+    victims = [int(r["doc_id"]) for r in retract.collect()]  # O(changes)
+    if victims:
+        dv_retract(spark, postings_dir, "doc_id", victims)
+        dv_retract(spark, f"{index_dir}/doclen", "doc_id", victims)
+    new = final_rows.select("doc_id", "text")
+    if not new.limit(1).collect():
+        # retraction-only feed (already applied above): don't stamp — a
+        # stamp needs a commit; the next maintenance re-walks the same
+        # range (cheap, idempotent)
+        return None
+    postings, doclen = _postings_of(new)
+    merge_snapshot(
+        spark, f"{index_dir}/doclen", doclen, keys=["doc_id"],
+        stats_cols=["doc_id"],
+    )
+    merge_snapshot(
+        spark,
+        postings_dir,
+        postings,
+        keys=["term", "doc_id"],
+        stats_cols=["term"],
+        extra={"txt_consumed_version": latest},
+    )
+    return latest
+
+
+def query_text_index(
+    spark: SparkSession,
+    index_dir: str,
+    terms: tuple[str, ...] = BM25_QUERY,
+    k: int = BM25_TOPK,
+) -> DataFrame:
+    """BM25 top-``k`` (doc_id, bm25) for ``terms`` from the PERSISTED
+    index — no tokenization, no corpus scan:
+
+    1. one pruned posting read per query term (``skip_where`` on the
+       range-laid term stats: ~one file per term);
+    2. corpus constants in-plan: N and Σdl from ``doclen`` (a 2-column
+       agg), df_t as exact row counts of the pruned postings — never
+       stored, never stale;
+    3. the EXACT arithmetic of ``llm_ops._bm25_scores`` (fixed-order
+       per-term sum of double expressions over exact integers, 4dp
+       round, ties by doc_id) — bit-identical to the full scan, which is
+       what lets the oracle be the brute-force SQL."""
+    from ..sources.snapshots import read_snapshot
+
+    post = None
+    for q in terms:
+        piece = read_snapshot(
+            spark, f"{index_dir}/postings", skip_where=("term", q, q)
+        ).filter(F.col("term") == q)
+        post = piece if post is None else post.unionByName(piece)
+    per_doc = post.groupBy("doc_id").agg(
+        *[
+            F.coalesce(
+                F.max(F.when(F.col("term") == q, F.col("tf"))), F.lit(0)
+            )
+            .cast("long")
+            .alias(f"tf{i}")
+            for i, q in enumerate(terms)
+        ]
+    )
+    dl = read_snapshot(spark, f"{index_dir}/doclen")
+    stats = dl.agg(F.count(F.lit(1)).alias("n"), F.sum("dl").alias("sdl"))
+    dfs = post.agg(
+        *[
+            F.sum((F.col("term") == q).cast("long")).alias(f"df{i}")
+            for i, q in enumerate(terms)
+        ]
+    )
+    j = (
+        per_doc.join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .crossJoin(F.broadcast(dfs))
+    )
+    avgdl = F.col("sdl").cast("double") / F.col("n").cast("double")
+    norm = 1.0 - BM25_B + BM25_B * F.col("dl").cast("double") / avgdl
+
+    def term_score(i: int):
+        tf = F.col(f"tf{i}").cast("double")
+        df = F.col(f"df{i}").cast("double")
+        idf = F.log(
+            (F.col("n").cast("double") - df + 0.5) / (df + 0.5) + 1.0
+        )
+        return idf * tf * (BM25_K1 + 1.0) / (tf + BM25_K1 * norm)
+
+    score = term_score(0)
+    for i in range(1, len(terms)):
+        score = score + term_score(i)
+    return (
+        j.select("doc_id", F.round(score, 4).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(k)
+    )
+
+
+# --------------------------------------------------------------- catalog
+#
+# Memoized scratch per sf_dir (the dml.py pattern shared by the other two
+# index tiers): an incremental CHAIN — build on a corpus prefix, append
+# the rest, maintain, delete a slice, maintain — whose served result must
+# equal brute-force BM25 over exactly the surviving corpus. Convergence
+# of incremental maintenance to the batch answer IS the oracle.
+
+_IDX: dict[str, str] = {}
+_IDX_LOCK = threading.Lock()
+
+# deterministic chain parameters (mirrored in the oracle SQL)
+_BATCH_PRED = "doc_id % 5 = 0"   # second ingest batch
+_DEL_PRED = "doc_id % 97 = 3"    # later deletion slice
+
+
+def _chain_dir(spark: SparkSession, sf_dir: str) -> str:
+    with _IDX_LOCK:
+        if sf_dir in _IDX:
+            return _IDX[sf_dir]
+        from ..sources.snapshots import commit_append, delete_snapshot
+
+        base = tempfile.mkdtemp(prefix="calh-txtidx-")
+        atexit.register(shutil.rmtree, base, ignore_errors=True)
+        docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+        src = f"{base}/src"
+        commit_append(
+            spark, src, docs.filter(f"NOT ({_BATCH_PRED})"),
+            stats_cols=["doc_id"],
+        )
+        build_text_index(spark, docs.filter(f"NOT ({_BATCH_PRED})"),
+                         f"{base}/idx", consumed_version=1)
+        commit_append(spark, src, docs.filter(_BATCH_PRED),
+                      stats_cols=["doc_id"])
+        maintain_text_index(spark, f"{base}/idx", src)
+        delete_snapshot(spark, src, _DEL_PRED, mode="dv")
+        maintain_text_index(spark, f"{base}/idx", src)
+        _IDX[sf_dir] = base
+        return base
+
+
+def q_text_index_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Serve the fixed 3-term BM25 top-20 from the persisted index after
+    the build→append→maintain→delete→maintain chain. Must equal
+    brute-force BM25 over the SURVIVING corpus (documents minus the
+    deleted slice) — tokenization parity, retraction correctness, and
+    never-stale corpus constants all checked by one oracle."""
+    base = _chain_dir(spark, sf)
+    return query_text_index(spark, f"{base}/idx")
+
+
+def q_text_index_doclen(spark: SparkSession, sf: str) -> DataFrame:
+    """Index-health gauge read back from the COMMITTED tables: corpus
+    size, total/avg document length, and distinct indexed terms after
+    the maintenance chain — the stats a planner would consult, and a
+    direct oracle on what maintenance left on disk."""
+    from ..sources.snapshots import read_snapshot
+
+    base = _chain_dir(spark, sf)
+    dl = read_snapshot(spark, f"{base}/idx/doclen")
+    post = read_snapshot(spark, f"{base}/idx/postings")
+    a = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("total_tokens"),
+    )
+    b = post.agg(
+        F.countDistinct("term").alias("n_terms"),
+        F.sum("tf").alias("postings_tokens"),
+    )
+    return a.crossJoin(b).select(
+        "n_docs", "total_tokens", "n_terms", "postings_tokens"
+    )
+
+
+def _bm25_sql(corpus_pred: str) -> str:
+    """Brute-force BM25 over ``documents WHERE corpus_pred`` — the exact
+    expression text of llm_ops._bm25_sql_parts with a corpus filter (the
+    maintenance chain's surviving rows)."""
+    tf_cols = ", ".join(
+        f"len(list_filter(tk, t -> t = '{q}'))::BIGINT AS tf{i}"
+        for i, q in enumerate(BM25_QUERY)
+    )
+    df_cols = ", ".join(
+        f"sum(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END)::BIGINT AS df{i}"
+        for i in range(len(BM25_QUERY))
+    )
+    terms = " + ".join(
+        f"(ln((n::DOUBLE - df{i}::DOUBLE + 0.5) / (df{i}::DOUBLE + 0.5) + 1.0)"
+        f" * tf{i}::DOUBLE * ({BM25_K1} + 1.0)"
+        f" / (tf{i}::DOUBLE + {BM25_K1} * (1.0 - {BM25_B}"
+        f" + {BM25_B} * dl::DOUBLE / (sdl::DOUBLE / n::DOUBLE))))"
+        for i in range(len(BM25_QUERY))
+    )
+    return f"""WITH per AS (
+  SELECT doc_id, len(tk)::BIGINT AS dl, {tf_cols}
+  FROM (SELECT doc_id, {_SQL_TOKENS} AS tk FROM documents
+        WHERE {corpus_pred})
+),
+tot AS (SELECT count(*)::BIGINT AS n, sum(dl)::BIGINT AS sdl, {df_cols} FROM per)
+SELECT doc_id, round({terms}, 4) AS bm25 FROM per, tot
+WHERE tf0 + tf1 + tf2 > 0
+ORDER BY bm25 DESC, doc_id
+LIMIT {BM25_TOPK}"""
+
+
+ORACLE_TEXT_INDEX_TOPK = _bm25_sql(f"NOT ({_DEL_PRED})")
+
+ORACLE_TEXT_INDEX_DOCLEN = f"""
+WITH per AS (
+  SELECT doc_id, len({_SQL_TOKENS})::BIGINT AS dl
+  FROM documents WHERE NOT ({_DEL_PRED})
+),
+terms AS (
+  SELECT unnest({_SQL_TOKENS}) AS term
+  FROM documents WHERE NOT ({_DEL_PRED})
+)
+SELECT (SELECT count(*) FROM per)::BIGINT AS n_docs,
+       (SELECT sum(dl) FROM per)::BIGINT AS total_tokens,
+       (SELECT count(DISTINCT term) FROM terms)::BIGINT AS n_terms,
+       (SELECT count(*) FROM terms)::BIGINT AS postings_tokens
+"""
+
+
+QUERIES: dict[str, Query] = {
+    "text_index_topk": Query(
+        q_text_index_topk,
+        ORACLE_TEXT_INDEX_TOPK,
+        ("retrieval", "bm25", "incremental", "index"),
+    ),
+    "text_index_doclen": Query(
+        q_text_index_doclen,
+        ORACLE_TEXT_INDEX_DOCLEN,
+        ("retrieval", "bm25", "index"),
+    ),
+}

@@ -68,11 +68,18 @@ a mis-parsed DML that silently no-ops is a data-loss bug):
 - REFRESH MINHASH INDEX snapshot.`idx` FROM snapshot.`corpus`
   (same, for the band index; returns the batch's candidate duplicate
   pairs as a DataFrame, or None when current)
-- DESCRIBE VECTOR|MINHASH INDEX snapshot.`idx`
+- CREATE TEXT INDEX snapshot.`idx` ON snapshot.`corpus`
+  (persisted BM25 inverted index over (doc_id, text) —
+  plans/text_index.build_text_index: range-laid postings pruned per
+  query term through skip_where stats, plus a doc-length table)
+- REFRESH TEXT INDEX snapshot.`idx` FROM snapshot.`corpus`
+  (fold the corpus change feed into postings/doclen — exactly-once,
+  retraction on deletes/updates; returns the version consumed or None)
+- DESCRIBE VECTOR|MINHASH|TEXT INDEX snapshot.`idx`
   (one observability row: entry counts, structure size, and the
   consumed source version — the exactly-once cursor a scheduler reads
   between REFRESH runs)
-- DROP VECTOR|MINHASH INDEX snapshot.`idx`
+- DROP VECTOR|MINHASH|TEXT INDEX snapshot.`idx`
   (physically removes the index's subtables after verifying the path
   really holds an index of the declared kind; returns the number of
   subtables deleted)
@@ -197,7 +204,7 @@ def run_table_sql(spark: SparkSession, stmt: str) -> DataFrame | int | None:
         return S.restore_snapshot(spark, m.group(1), v)
     if head == "DESCRIBE":
         im = re.fullmatch(
-            rf"DESCRIBE\s+(VECTOR|MINHASH)\s+INDEX\s+{_REF}", s, re.I
+            rf"DESCRIBE\s+(VECTOR|MINHASH|TEXT)\s+INDEX\s+{_REF}", s, re.I
         )
         if im:
             return _describe_index(spark, im.group(1).upper(), im.group(2))
@@ -227,7 +234,7 @@ def run_table_sql(spark: SparkSession, stmt: str) -> DataFrame | int | None:
         return _apply_changes(spark, s)
     if head == "REFRESH":
         m = re.fullmatch(
-            rf"REFRESH\s+(VECTOR|MINHASH)\s+INDEX\s+{_REF}\s+FROM\s+{_REF}",
+            rf"REFRESH\s+(VECTOR|MINHASH|TEXT)\s+INDEX\s+{_REF}\s+FROM\s+{_REF}",
             s,
             re.I,
         )
@@ -237,6 +244,10 @@ def run_table_sql(spark: SparkSession, stmt: str) -> DataFrame | int | None:
                 from ..plans.ann_index import maintain_ann_index
 
                 return maintain_ann_index(spark, idx, corpus)
+            if kind == "TEXT":
+                from ..plans.text_index import maintain_text_index
+
+                return maintain_text_index(spark, idx, corpus)
             from ..plans.minhash_index import maintain_minhash_index
 
             pairs, _v = maintain_minhash_index(spark, idx, corpus)
@@ -245,7 +256,7 @@ def run_table_sql(spark: SparkSession, stmt: str) -> DataFrame | int | None:
     if head == "CREATE":
         # CREATE VECTOR|MINHASH INDEX snapshot.`idx` ON snapshot.`corpus`
         m = re.fullmatch(
-            rf"CREATE\s+(VECTOR|MINHASH)\s+INDEX\s+{_REF}\s+ON\s+{_REF}",
+            rf"CREATE\s+(VECTOR|MINHASH|TEXT)\s+INDEX\s+{_REF}\s+ON\s+{_REF}",
             s,
             re.I,
         )
@@ -262,6 +273,15 @@ def run_table_sql(spark: SparkSession, stmt: str) -> DataFrame | int | None:
                 build_ann_index(
                     spark,
                     src.select("vec_id", "embedding"),
+                    idx,
+                    consumed_version=consumed,
+                )
+            elif kind == "TEXT":
+                from ..plans.text_index import build_text_index
+
+                build_text_index(
+                    spark,
+                    src.select("doc_id", "text"),
                     idx,
                     consumed_version=consumed,
                 )
@@ -298,7 +318,7 @@ def run_table_sql(spark: SparkSession, stmt: str) -> DataFrame | int | None:
             return S.commit_append(spark, path, df)
         raise ValueError(f"cannot parse CREATE statement: {stmt!r}")
     if head == "DROP":
-        m = re.fullmatch(rf"DROP\s+(VECTOR|MINHASH)\s+INDEX\s+{_REF}", s, re.I)
+        m = re.fullmatch(rf"DROP\s+(VECTOR|MINHASH|TEXT)\s+INDEX\s+{_REF}", s, re.I)
         if not m:
             raise ValueError(f"cannot parse DROP statement: {stmt!r}")
         return _drop_index(spark, m.group(1).upper(), m.group(2))
@@ -341,7 +361,7 @@ def _drop_index(spark: SparkSession, kind: str, idx: str) -> int:
     subs = (
         ["codes", "ivf_centroids", "pq_codebooks"]
         if kind == "VECTOR"
-        else ["bands"]
+        else ["postings", "doclen"] if kind == "TEXT" else ["bands"]
     )
     anchor = f"{idx}/{subs[0]}"
     if not S._list_versions(spark, anchor):
@@ -352,6 +372,7 @@ def _drop_index(spark: SparkSession, kind: str, idx: str) -> int:
     want = (
         {"vec_id", "cell", "code"}
         if kind == "VECTOR"
+        else {"term", "doc_id", "tf"} if kind == "TEXT"
         else {"doc_id", "band_idx", "band_val"}
     )
     if not want <= cols:
@@ -393,6 +414,22 @@ def _describe_index(spark: SparkSession, kind: str, idx: str) -> DataFrame:
             "n_vectors",
             "n_cells",
             F.lit(cents.count()).alias("n_centroids"),
+            F.lit(consumed).cast("long").alias("consumed_version"),
+        )
+    if kind == "TEXT":
+        post = S.read_snapshot(spark, f"{idx}/postings")
+        consumed = stamped_version(
+            spark, f"{idx}/postings", "txt_consumed_version"
+        )
+        return post.agg(
+            F.count(F.lit(1)).alias("n_postings"),
+            F.countDistinct("term").alias("n_terms"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        ).select(
+            F.lit("text").alias("index_kind"),
+            "n_docs",
+            "n_terms",
+            "n_postings",
             F.lit(consumed).cast("long").alias("consumed_version"),
         )
     bands = S.read_snapshot(spark, f"{idx}/bands")

@@ -1,0 +1,207 @@
+"""Persisted BM25 text index (plans/text_index.py): build/serve parity
+with the brute-force scan, incremental maintenance with retraction,
+pruned serving, and the SQL lifecycle."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from customer_activity_lakehouse_spark.plans.text_index import (
+    build_text_index,
+    maintain_text_index,
+    query_text_index,
+)
+from customer_activity_lakehouse_spark.sources.snapshots import (
+    commit_append,
+    delete_snapshot,
+    read_snapshot,
+    update_snapshot,
+)
+
+DOCS = [
+    (0, "spark query engine"),
+    (1, "the table of contents"),
+    (2, "query the table with spark"),
+    (3, "unrelated words only here"),
+    (4, "table table table"),
+    (5, ""),
+    (6, "spark spark query"),
+]
+
+
+def _docs_df(spark, rows=None):
+    return spark.createDataFrame(rows or DOCS, "doc_id long, text string")
+
+
+def _brute(spark, docs_df, terms=("table", "query", "spark"), k=20):
+    """Reference BM25 over the frame itself — llm_ops arithmetic."""
+    from customer_activity_lakehouse_spark.plans.llm_ops import (
+        BM25_B,
+        BM25_K1,
+        _tokens,
+    )
+
+    toks = _tokens(F.col("text"))
+
+    def _eq(q):
+        return lambda t: t == F.lit(q)
+
+    per = docs_df.select(
+        "doc_id",
+        F.size(toks).alias("dl"),
+        *[F.size(F.filter(toks, _eq(q))).alias(f"tf{i}") for i, q in enumerate(terms)],
+    )
+    totals = per.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("dl").alias("sdl"),
+        *[F.sum((F.col(f"tf{i}") > 0).cast("long")).alias(f"df{i}")
+          for i in range(len(terms))],
+    )
+    j = per.crossJoin(F.broadcast(totals))
+    avgdl = F.col("sdl").cast("double") / F.col("n").cast("double")
+    norm = 1.0 - BM25_B + BM25_B * F.col("dl").cast("double") / avgdl
+
+    def term(i):
+        tf = F.col(f"tf{i}").cast("double")
+        df = F.col(f"df{i}").cast("double")
+        idf = F.log((F.col("n").cast("double") - df + 0.5) / (df + 0.5) + 1.0)
+        return idf * tf * (BM25_K1 + 1.0) / (tf + BM25_K1 * norm)
+
+    score = term(0) + term(1) + term(2)
+    return (
+        j.filter(F.col("tf0") + F.col("tf1") + F.col("tf2") > 0)
+        .select("doc_id", F.round(score, 4).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(k)
+    )
+
+
+def test_build_and_serve_matches_brute_force(spark, tmp_path):
+    idx = str(tmp_path / "idx")
+    build_text_index(spark, _docs_df(spark), idx)
+    got = query_text_index(spark, idx, ("table", "query", "spark"))
+    want = _brute(spark, _docs_df(spark))
+    assert [tuple(r) for r in got.collect()] == [tuple(r) for r in want.collect()]
+    # empty doc indexed with dl=0, no postings
+    dl = {r.doc_id: r.dl for r in read_snapshot(spark, f"{idx}/doclen").collect()}
+    assert dl[5] == 0
+    assert (
+        read_snapshot(spark, f"{idx}/postings").filter("doc_id = 5").count() == 0
+    )
+
+
+def test_maintenance_folds_appends_updates_and_deletes(spark, tmp_path):
+    src = str(tmp_path / "src")
+    idx = str(tmp_path / "idx")
+    commit_append(spark, src, _docs_df(spark, DOCS[:4]), stats_cols=["doc_id"])
+    build_text_index(
+        spark, read_snapshot(spark, src), idx, consumed_version=1
+    )
+    # append the rest; fold
+    commit_append(spark, src, _docs_df(spark, DOCS[4:]), stats_cols=["doc_id"])
+    assert maintain_text_index(spark, idx, src) == 2
+    assert maintain_text_index(spark, idx, src) is None  # current → no-op
+    got = query_text_index(spark, idx)
+    want = _brute(spark, _docs_df(spark))
+    assert [tuple(r) for r in got.collect()] == [tuple(r) for r in want.collect()]
+    # UPDATE retracts-then-reinserts: doc 4 loses 'table' entirely
+    update_snapshot(spark, src, "doc_id = 4", {"text": "'nothing relevant'"})
+    assert maintain_text_index(spark, idx, src) == 3
+    assert (
+        read_snapshot(spark, f"{idx}/postings")
+        .filter("doc_id = 4 AND term = 'table'")
+        .count()
+        == 0
+    )
+    # DELETE retracts doc 2 from postings AND doclen. A retraction-only
+    # feed applies but does NOT stamp (a stamp needs a commit; the next
+    # run re-walks the range idempotently) — the ANN maintainer's rule
+    delete_snapshot(spark, src, "doc_id = 2", mode="dv")
+    assert maintain_text_index(spark, idx, src) is None
+    survivors = [r for r in DOCS if r[0] not in (2, 4)] + [(4, "nothing relevant")]
+    got = query_text_index(spark, idx)
+    want = _brute(spark, _docs_df(spark, sorted(survivors)))
+    assert [tuple(r) for r in got.collect()] == [tuple(r) for r in want.collect()]
+    dl_ids = {r.doc_id for r in read_snapshot(spark, f"{idx}/doclen").collect()}
+    assert 2 not in dl_ids and 4 in dl_ids
+
+
+def test_maintenance_replay_converges(spark, tmp_path):
+    """A crash-replayed batch (stale stamp read) must CONVERGE — keyed
+    merges rewrite identical rows, never duplicate postings."""
+    import customer_activity_lakehouse_spark.sources.incremental as incr
+
+    src = str(tmp_path / "src")
+    idx = str(tmp_path / "idx")
+    commit_append(spark, src, _docs_df(spark, DOCS[:4]), stats_cols=["doc_id"])
+    build_text_index(spark, read_snapshot(spark, src), idx, consumed_version=1)
+    commit_append(spark, src, _docs_df(spark, DOCS[4:]), stats_cols=["doc_id"])
+    assert maintain_text_index(spark, idx, src) == 2
+    before = sorted(
+        tuple(r) for r in read_snapshot(spark, f"{idx}/postings").collect()
+    )
+    # simulate the replay: stamp read returns the PRE-fold version
+    real = incr.stamped_version
+    try:
+        incr.stamped_version = lambda *a, **k: 1
+        maintain_text_index(spark, idx, src)
+    finally:
+        incr.stamped_version = real
+    after = sorted(
+        tuple(r) for r in read_snapshot(spark, f"{idx}/postings").collect()
+    )
+    assert after == before  # identical, not duplicated
+    # per-key uniqueness holds
+    post = read_snapshot(spark, f"{idx}/postings")
+    assert post.count() == post.select("term", "doc_id").distinct().count()
+
+
+def test_serve_prunes_posting_files(spark, tmp_path):
+    """The range-laid postings give each file a tight [min,max] term
+    range — a 3-term serve must NOT read every postings file."""
+    rows = [(i, f"w{i % 50:02d} common w{(i * 7) % 50:02d}") for i in range(400)]
+    idx = str(tmp_path / "idx")
+    build_text_index(spark, _docs_df(spark, rows), idx)
+    post_files = {
+        f
+        for f in read_snapshot(spark, f"{idx}/postings").inputFiles()
+        if "-dv-" not in f
+    }
+    assert len(post_files) > 2  # layout actually split by term range
+    served = query_text_index(spark, idx, ("w01", "w02", "w03"))
+    read_files = {
+        f for f in served.inputFiles() if "postings" in f and "-dv-" not in f
+    }
+    assert read_files and len(read_files) < len(post_files)
+
+
+def test_sql_text_index_lifecycle(spark, tmp_path):
+    from customer_activity_lakehouse_spark.sources.sql import run_table_sql
+
+    corpus = str(tmp_path / "corpus")
+    idx = str(tmp_path / "idx")
+    commit_append(spark, corpus, _docs_df(spark), stats_cols=["doc_id"])
+    assert run_table_sql(
+        spark, f"CREATE TEXT INDEX snapshot.`{idx}` ON snapshot.`{corpus}`"
+    ) == 1
+    assert run_table_sql(
+        spark, f"REFRESH TEXT INDEX snapshot.`{idx}` FROM snapshot.`{corpus}`"
+    ) is None  # current
+    commit_append(
+        spark, corpus,
+        _docs_df(spark, [(100, "brand new spark table text")]),
+        stats_cols=["doc_id"],
+    )
+    assert run_table_sql(
+        spark, f"REFRESH TEXT INDEX snapshot.`{idx}` FROM snapshot.`{corpus}`"
+    ) == 2
+    desc = run_table_sql(
+        spark, f"DESCRIBE TEXT INDEX snapshot.`{idx}`"
+    ).collect()[0]
+    assert desc.index_kind == "text"
+    assert desc.consumed_version == 2
+    assert desc.n_docs == 7  # 6 docs with tokens + the new one (doc 5 empty)
+    assert run_table_sql(spark, f"DROP TEXT INDEX snapshot.`{idx}`") == 2
+    with pytest.raises(FileNotFoundError):
+        run_table_sql(spark, f"DESCRIBE TEXT INDEX snapshot.`{idx}`")
