@@ -870,3 +870,92 @@ def test_dml_surface_invariant_under_random_ops(spark, tmp_path_factory, ops):
         rep = fsck_snapshot(spark, t)
         assert rep["unresolvable_versions"] == [], (i, op)
         assert rep["missing_files"] == [], (i, op)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(ops=st.lists(st.integers(0, 3), min_size=2, max_size=6))
+@example(ops=[0, 3, 1, 3, 2, 3])  # append/update/delete each folded
+@example(ops=[1, 2, 0, 3])        # batched mixed feed in one maintain
+def test_text_index_converges_under_random_dml(spark, tmp_path_factory, ops):
+    """Index-maintenance adversary: random append/update/delete on the
+    source with maintenance folded at random points — after a FINAL
+    maintain, the served BM25 top-k must equal the brute-force scorer
+    over the current corpus EXACTLY (the index is lossless), and the
+    doclen/postings tables must contain precisely the live docs."""
+    import uuid as _uuid
+
+    from customer_activity_lakehouse_spark.plans.text_index import (
+        build_text_index,
+        maintain_text_index,
+        query_text_index,
+    )
+    from customer_activity_lakehouse_spark.sources.snapshots import (
+        commit_append,
+        delete_snapshot,
+        read_snapshot,
+        update_snapshot,
+    )
+
+    t = str(tmp_path_factory.mktemp("txt_prop") / f"t{_uuid.uuid4().hex[:6]}")
+    words = ["table", "query", "spark", "rows", "data", "plan"]
+
+    def text_of(doc_id: int, salt: int) -> str:
+        # deterministic pseudo-text with varying term mix and length
+        n = 2 + (doc_id * 7 + salt) % 5
+        return " ".join(words[(doc_id + salt + j) % len(words)] for j in range(n))
+
+    corpus = {i: text_of(i, 0) for i in range(6)}
+    nxt = 6
+    commit_append(
+        spark, t,
+        spark.createDataFrame(sorted(corpus.items()), "doc_id long, text string"),
+        stats_cols=["doc_id"],
+    )
+    idx = str(tmp_path_factory.mktemp("txt_prop_idx") / "idx")
+    build_text_index(
+        spark,
+        spark.createDataFrame(sorted(corpus.items()), "doc_id long, text string"),
+        idx,
+        consumed_version=1,
+    )
+    for i, op in enumerate(ops):
+        if op == 0:  # append two docs
+            rows = [(nxt, text_of(nxt, i)), (nxt + 1, text_of(nxt + 1, i))]
+            commit_append(
+                spark, t,
+                spark.createDataFrame(rows, "doc_id long, text string"),
+                stats_cols=["doc_id"],
+            )
+            corpus.update(dict(rows))
+            nxt += 2
+        elif op == 1 and corpus:  # delete the smallest doc
+            k = min(corpus)
+            delete_snapshot(spark, t, f"doc_id = {k}", mode="dv")
+            del corpus[k]
+        elif op == 2 and corpus:  # rewrite the largest doc's text
+            k = max(corpus)
+            new_text = text_of(k, 100 + i)
+            update_snapshot(spark, t, f"doc_id = {k}", {"text": f"'{new_text}'"})
+            corpus[k] = new_text
+        else:  # fold everything outstanding
+            maintain_text_index(spark, idx, t)
+    maintain_text_index(spark, idx, t)  # final fold
+    # the index contains exactly the live docs
+    dl_ids = {r.doc_id for r in read_snapshot(spark, f"{idx}/doclen").collect()}
+    assert dl_ids == set(corpus)
+    post = read_snapshot(spark, f"{idx}/postings")
+    assert {r.doc_id for r in post.select("doc_id").distinct().collect()} <= set(corpus)
+    assert post.count() == post.select("term", "doc_id").distinct().count()
+    # served scores equal the brute-force scorer over the live corpus
+    got = [tuple(r) for r in query_text_index(spark, idx).collect()]
+    ref_df = spark.createDataFrame(
+        sorted(corpus.items()), "doc_id long, text string"
+    )
+    from tests.test_text_index import _brute
+
+    want = [tuple(r) for r in _brute(spark, ref_df).collect()]
+    assert got == want, (ops,)
