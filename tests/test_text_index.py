@@ -205,3 +205,41 @@ def test_sql_text_index_lifecycle(spark, tmp_path):
     assert run_table_sql(spark, f"DROP TEXT INDEX snapshot.`{idx}`") == 2
     with pytest.raises(FileNotFoundError):
         run_table_sql(spark, f"DESCRIBE TEXT INDEX snapshot.`{idx}`")
+
+
+def test_text_index_lifecycle_through_branches(spark, tmp_path):
+    """WAP parity with the vector index: CREATE TEXT INDEX against a
+    branch-qualified corpus ref indexes the audit's rows in isolation;
+    after PUBLISH, one incremental REFRESH folds the published docs into
+    the parent index (the add-only publish commit streams as inserts)."""
+    from customer_activity_lakehouse_spark.sources.refs import branch_dir
+    from customer_activity_lakehouse_spark.sources.sql import run_table_sql
+
+    corpus = str(tmp_path / "corpus")
+    pidx = str(tmp_path / "pidx")
+    bidx = str(tmp_path / "bidx")
+    commit_append(spark, corpus, _docs_df(spark), stats_cols=["doc_id"])
+    run_table_sql(
+        spark, f"CREATE TEXT INDEX snapshot.`{pidx}` ON snapshot.`{corpus}`"
+    )
+    run_table_sql(spark, f"ALTER TABLE snapshot.`{corpus}` CREATE BRANCH wip")
+    commit_append(
+        spark, branch_dir(corpus, "wip"),
+        _docs_df(spark, [(50, "spark spark spark audit")]),
+        stats_cols=["doc_id"],
+    )
+    run_table_sql(
+        spark, f"CREATE TEXT INDEX snapshot.`{bidx}` ON snapshot.`{corpus}@wip`"
+    )
+    # branch index sees the audit doc; parent index does not (isolation)
+    assert read_snapshot(spark, f"{bidx}/postings").filter("doc_id = 50").count() > 0
+    assert read_snapshot(spark, f"{pidx}/postings").filter("doc_id = 50").count() == 0
+    run_table_sql(spark, f"ALTER TABLE snapshot.`{corpus}` PUBLISH BRANCH wip")
+    assert run_table_sql(
+        spark, f"REFRESH TEXT INDEX snapshot.`{pidx}` FROM snapshot.`{corpus}`"
+    ) is not None
+    assert read_snapshot(spark, f"{pidx}/postings").filter("doc_id = 50").count() > 0
+    # and the folded parent serve equals brute force over the merged corpus
+    got = query_text_index(spark, f"{pidx}")
+    want = _brute(spark, _docs_df(spark, DOCS + [(50, "spark spark spark audit")]))
+    assert [tuple(r) for r in got.collect()] == [tuple(r) for r in want.collect()]
