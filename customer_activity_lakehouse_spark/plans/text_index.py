@@ -350,7 +350,127 @@ SELECT (SELECT count(*) FROM per)::BIGINT AS n_docs,
 """
 
 
+
+
+# ------------------------------------------------- hybrid index serving
+#
+# RRF fusion (Cormack et al. 2009) of the TWO persisted indexes — the
+# serving-tier twin of llm_ops.q_hybrid_search_rrf, which recomputes
+# both rankers per query. Lexical ranks come from the full-corpus text
+# index, semantic ranks from the persisted IVF-PQ index (ann_index's
+# memoized build — PQ-approximate cosine, so the oracle's vector pool is
+# the deterministic IVF-PQ SQL chain, not exact cosine). Rank fusion
+# needs no score calibration, which is exactly why a serving tier can
+# fuse an exact lexical ranker with an approximate vector ranker.
+
+_FULL: dict[str, str] = {}
+
+
+def _full_idx_dir(spark: SparkSession, sf_dir: str) -> str:
+    with _IDX_LOCK:
+        if sf_dir in _FULL:
+            return _FULL[sf_dir]
+        base = tempfile.mkdtemp(prefix="calh-txtfull-")
+        atexit.register(shutil.rmtree, base, ignore_errors=True)
+        docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+        build_text_index(spark, docs, base)
+        _FULL[sf_dir] = base
+        return base
+
+
+def q_hybrid_index_rrf(spark: SparkSession, sf: str) -> DataFrame:
+    """Hybrid retrieval SERVED from the persisted indexes: fuse the text
+    index's BM25 top-RRF_POOL with the ANN index's PQ top-RRF_POOL as
+    sum of 1/(RRF_K + rank). Same output shape and fusion arithmetic as
+    `hybrid_search_rrf`; the rankers are index serves instead of corpus
+    scans — ~O(query terms + probed cells) I/O instead of two full
+    passes."""
+    from pyspark.sql import Window
+
+    from .ann_index import _index_dir, query_ann_index
+    from .llm_ops import RRF_K, RRF_POOL, RRF_TOPK
+    from .ml_ops import _km_quantized
+
+    lex = (
+        query_text_index(spark, _full_idx_dir(spark, sf), k=RRF_POOL)
+        .select(
+            "doc_id",
+            F.row_number()
+            .over(Window.orderBy(F.col("bm25").desc(), "doc_id"))
+            .cast("long")
+            .alias("r_lex"),
+        )
+    )
+    q0 = _km_quantized(spark, sf).filter(F.col("vec_id") == 0)
+    vec = (
+        query_ann_index(
+            spark, _index_dir(spark, sf), q0, k=RRF_POOL, exclude_id=0
+        )
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.row_number()
+            .over(Window.orderBy(F.col("cos_sim").desc(), "vec_id"))
+            .cast("long")
+            .alias("r_vec"),
+        )
+    )
+    fused = lex.join(vec, "doc_id", "full_outer").select(
+        "doc_id",
+        "r_lex",
+        "r_vec",
+        F.round(
+            F.coalesce(1.0 / (RRF_K + F.col("r_lex")), F.lit(0.0))
+            + F.coalesce(1.0 / (RRF_K + F.col("r_vec")), F.lit(0.0)),
+            6,
+        ).alias("rrf"),
+    )
+    return fused.orderBy(F.col("rrf").desc(), "doc_id").limit(RRF_TOPK)
+
+
+def _hybrid_index_sql() -> str:
+    """lex pool = brute BM25 over the full corpus (the text index is
+    lossless); vec pool = the deterministic IVF-PQ chain (what the
+    persisted ANN index provably serves — ann_index_query's oracle),
+    re-limited to the RRF pool depth; fusion verbatim from the
+    hybrid_search_rrf oracle."""
+    from .llm_ops import RRF_K, RRF_POOL, RRF_TOPK, _bm25_sql_parts
+    from .ml_ops import _ivfpq_sql_chain
+
+    vec_parts, vec_final = _ivfpq_sql_chain()
+    tail = "LIMIT 10"
+    assert vec_final.endswith(tail), vec_final[-40:]
+    vec_pool = vec_final[: -len(tail)] + f"LIMIT {RRF_POOL}"
+    bm_parts, bm_scored = _bm25_sql_parts()
+    vec_with = ",\n".join(vec_parts)
+    return f"""{vec_with},
+{bm_parts},
+lex AS (
+  SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS r_lex
+  FROM ({bm_scored} ORDER BY bm25 DESC, doc_id LIMIT {RRF_POOL})
+),
+vecpool AS ({vec_pool}),
+vec AS (
+  SELECT vec_id AS doc_id,
+         row_number() OVER (ORDER BY cos_sim DESC, vec_id) AS r_vec
+  FROM vecpool
+)
+SELECT coalesce(lex.doc_id, vec.doc_id) AS doc_id, r_lex, r_vec,
+       round(coalesce(1.0 / ({RRF_K} + r_lex), 0.0)
+             + coalesce(1.0 / ({RRF_K} + r_vec), 0.0), 6) AS rrf
+FROM lex FULL OUTER JOIN vec ON lex.doc_id = vec.doc_id
+ORDER BY rrf DESC, doc_id
+LIMIT {RRF_TOPK}"""
+
+
+ORACLE_HYBRID_INDEX_RRF = _hybrid_index_sql()
+
+
 QUERIES: dict[str, Query] = {
+    "hybrid_index_rrf": Query(
+        q_hybrid_index_rrf,
+        ORACLE_HYBRID_INDEX_RRF,
+        ("retrieval", "hybrid", "rrf", "index"),
+    ),
     "text_index_topk": Query(
         q_text_index_topk,
         ORACLE_TEXT_INDEX_TOPK,

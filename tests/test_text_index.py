@@ -243,3 +243,23 @@ def test_text_index_lifecycle_through_branches(spark, tmp_path):
     got = query_text_index(spark, f"{pidx}")
     want = _brute(spark, _docs_df(spark, DOCS + [(50, "spark spark spark audit")]))
     assert [tuple(r) for r in got.collect()] == [tuple(r) for r in want.collect()]
+
+
+def test_hybrid_index_rrf_fuses_both_rankers(spark):
+    """Smoke the served hybrid at sf0.001: both rankers contribute ranks
+    (the full-outer fusion isn't degenerate) and the fused ordering is
+    (rrf desc, doc_id) with ranks inside the pool depth."""
+    from customer_activity_lakehouse_spark.plans.llm_ops import RRF_POOL, RRF_TOPK
+    from customer_activity_lakehouse_spark.plans.text_index import (
+        q_hybrid_index_rrf,
+    )
+
+    rows = q_hybrid_index_rrf(spark, "/root/testdata/sf0.001").collect()
+    assert 0 < len(rows) <= RRF_TOPK
+    assert any(r.r_lex is not None for r in rows)
+    assert any(r.r_vec is not None for r in rows)
+    for r in rows:
+        for rank in (r.r_lex, r.r_vec):
+            assert rank is None or 1 <= rank <= RRF_POOL
+    scores = [(r.rrf, r.doc_id) for r in rows]
+    assert scores == sorted(scores, key=lambda t: (-t[0], t[1]))
