@@ -3683,6 +3683,7 @@ def reorg_snapshot(spark: SparkSession, table_dir: str) -> int | None:
             footer_cols = set(_pq.read_schema(_local(f)).names)
             if footer_cols - cur_phys:
                 needs.append(f)
+    dv_paths: set[str] = set()
     if dv_files:
         dv_paths = {
             _local(r["file_path"])
@@ -3692,6 +3693,28 @@ def reorg_snapshot(spark: SparkSession, table_dir: str) -> int | None:
             f for f in files if _local(f) in dv_paths and f not in set(needs)
         )
     if not needs:
+        if dv_files and not (dv_paths & {_local(f) for f in files}):
+            # every DV entry points at a file a later rewrite already
+            # removed (MERGE materializes DVs for the files it touches
+            # but carries the pointer list verbatim): the entries are
+            # inert, yet every read still pays the anti-join against
+            # them. Drop the pointers in a metadata-only commit — the
+            # dv files themselves become vacuum debris.
+            manifest = {
+                "version": base_v + 1,
+                "op": "reorg",
+                "data_change": False,
+                "files": files,
+                "schema": sig,
+                "files_rewritten": 0,
+            }
+            if m.get("stats"):
+                manifest["stats"] = m["stats"]
+            _carry_props(m, manifest)
+            _carry_mapping(m, manifest)
+            return _commit_rebase_appends(
+                spark, table_dir, base_v + 1, manifest, op="reorg_snapshot"
+            )
         return None
     keep = [f for f in files if f not in set(needs)]
     # the logical read drops orphaned physical columns and applies DVs;
@@ -3702,6 +3725,21 @@ def reorg_snapshot(spark: SparkSession, table_dir: str) -> int | None:
     rewritten = _read_with_dvs(
         spark, needs, sig, dv_files, colmap=colmap, row_bases=rt_bases
     )
+    # declared LIQUID CLUSTERING survives the purge: same doctrine as the
+    # MERGE write path — a rewrite that's happening anyway comes out
+    # range-laid on the cluster columns instead of hash-scattered, count
+    # preserved but split past ~128 MB/file
+    clus_cols = [
+        c
+        for c in (m.get("clustering") or {}).get("cols", [])
+        if c in rewritten.columns
+    ]
+    if clus_cols:
+        needs_bytes = sum(_file_sizes(spark, needs).values())
+        n_out = max(1, len(needs), -(-needs_bytes // (128 * 1024 * 1024)))
+        rewritten = rewritten.repartitionByRange(
+            n_out, *clus_cols
+        ).sortWithinPartitions(*clus_cols)
     data_path = _write_data(
         _to_physical(rewritten, colmap),
         table_dir,
@@ -3711,6 +3749,8 @@ def reorg_snapshot(spark: SparkSession, table_dir: str) -> int | None:
     new_files = _data_files(spark, data_path)
     cols = _stats_cols_of(m)
     cols = sorted(set(cols) | set(_part_keys(m)))
+    if clus_cols:
+        cols = sorted(set(cols) | {_phys(colmap, c) for c in clus_cols})
     new_stats = _file_stats(spark, new_files, cols) if cols and new_files else {}
     new_stats = _attach_blooms(spark, table_dir, m, new_files, new_stats)
     kept_stats = {f: s for f, s in m.get("stats", {}).items() if f in set(keep)}
@@ -3722,8 +3762,10 @@ def reorg_snapshot(spark: SparkSession, table_dir: str) -> int | None:
         "schema": sig,
         "files_rewritten": len(needs),
     }
-    if dv_files and keep:
+    if dv_files and dv_paths & {_local(f) for f in keep}:
         manifest["dv_files"] = dv_files  # kept files still need theirs
+    # (no kept file referenced -> every live DV materialized -> the
+    # pointer list drops, so reads stop paying the inert anti-join)
     if kept_stats or new_stats:
         manifest["stats"] = {**kept_stats, **new_stats}
     _carry_props(m, manifest)
@@ -3871,6 +3913,12 @@ def merge_snapshot(
 
     Bootstraps an empty table as a plain first append of the (deduped)
     updates. Returns the committed version.
+
+    Tables with declared LIQUID CLUSTERING (``set_cluster_columns``) get
+    their merge output laid out range-sorted on the cluster columns with
+    those columns' stats recorded — MERGE maintenance preserves the
+    prunable layout instead of hash-scattering it (see the write-path
+    comment below).
     """
     from pyspark.sql import Window
     from pyspark.sql import functions as F
@@ -4120,6 +4168,36 @@ def merge_snapshot(
     else:
         merged = updates
         changes = updates.withColumn("change_type", F.lit("insert"))
+    # LIQUID CLUSTERING on the MERGE write path: the merged frame comes
+    # out of key-join shuffles, so without intervention the rewritten +
+    # inserted files carry near-full cluster-key ranges and every later
+    # ``skip_where`` probe on the cluster key reads ALL of them (the r11
+    # finding: ONE text-index maintenance fold degraded a per-term serve
+    # from ~1 posting file to every file). When the table declares
+    # clustering (set_cluster_columns), the merge output is laid out
+    # range-sorted on the cluster columns — a shuffle was being paid
+    # anyway, this picks RANGE over round-robin — into ~one file per
+    # rewritten file, and the cluster columns join the recorded stats so
+    # the new files prune again. Z-order tables linearize here
+    # (major-to-minor); OPTIMIZE restores the full Morton layout.
+    clus_cols = [
+        c
+        for c in (m.get("clustering") or {}).get("cols", [])
+        if c in merged.columns
+    ]
+    if clus_cols:
+        # output file count: preserve the rewritten-file count (a fold
+        # must not collapse a range-laid table into one file), but split
+        # once the rewrite volume outgrows ~128 MB/file — repeated folds
+        # GROW a clustered table in place, and a count-preserving rewrite
+        # would otherwise inflate per-file size forever. Inserts aren't
+        # in the estimate (batch size unknown without an action); the
+        # next fold's rewrite sees their bytes.
+        touched_bytes = sum(_file_sizes(spark, touched).values()) if touched else 0
+        n_out = max(1, len(touched), -(-touched_bytes // (128 * 1024 * 1024)))
+        merged = merged.repartitionByRange(
+            n_out, *clus_cols
+        ).sortWithinPartitions(*clus_cols)
     data_path = _write_data(
         _to_physical(merged, colmap),
         table_dir,
@@ -4139,6 +4217,8 @@ def merge_snapshot(
         else _stats_cols_of(m)
     )
     cols = sorted(set(cols) | set(_part_keys(m)))
+    if clus_cols:
+        cols = sorted(set(cols) | {_phys(colmap, c) for c in clus_cols})
     new_stats = _file_stats(spark, new_files, cols) if cols else {}
     new_stats = _attach_blooms(spark, table_dir, m, new_files, new_stats)
     kept_stats = {f: s for f, s in stats.items() if f in set(untouched)}

@@ -117,6 +117,31 @@ def test_maintain_probe_prunes_index_files_via_bloom(spark, tmp_path):
     scanned = {f for f in pairs.inputFiles() if "/bands/" in f and "-dv-" not in f}
     assert len(scanned) < n_files
     assert pairs.count() == 0
+    # layout regression (r12, VERDICT r11 next-round #4): bloom skipping
+    # must survive a RETRACTION fold too — delete a slice (DV retraction
+    # commit), fold it, then probe again: the no-match batch still scans
+    # a strict subset of the band files (merged/kept files kept or
+    # re-attached their blooms)
+    from customer_activity_lakehouse_spark.sources.snapshots import (
+        delete_snapshot,
+    )
+
+    delete_snapshot(spark, src, "doc_id % 8 = 2", mode="dv")
+    commit_append(
+        spark, src,
+        _docs(spark, [(101, "yet another unmatched probe sentence nothing shares")]),
+    )
+    pairs2, _ = maintain_minhash_index(spark, idx, src)
+    n_files2 = len(
+        _read_manifest(
+            spark, f"{idx}/bands", _list_versions(spark, f"{idx}/bands")[-1]
+        )["files"]
+    )
+    scanned2 = {
+        f for f in pairs2.inputFiles() if "/bands/" in f and "-dv-" not in f
+    }
+    assert len(scanned2) < n_files2
+    assert pairs2.count() == 0
 
 
 def test_maintain_retracts_deleted_docs(spark, tmp_path):

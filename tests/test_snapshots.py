@@ -2620,6 +2620,45 @@ def test_liquid_clustering_incremental_compaction(spark, tmp_path):
     assert "clustering" not in _read_manifest_latest(spark, t)
 
 
+def test_liquid_clustering_merge_layout(spark, tmp_path):
+    """A MERGE into a clustered table re-lays its rewrites range-sorted
+    on the cluster columns with fresh per-file stats — maintenance
+    preserves the prunable layout instead of hash-scattering it (the r11
+    text-index finding, fixed at the snapshot layer so EVERY clustered
+    table keeps pruning through MERGE, not just the postings table)."""
+    import customer_activity_lakehouse_spark.sources.snapshots as S
+
+    t = str(tmp_path / "tbl")
+    base = spark.range(0, 4000).selectExpr("id AS k", "id * 2 AS v")
+    commit_append(
+        spark, t,
+        base.repartitionByRange(4, "k").sortWithinPartitions("k"),
+        stats_cols=["k"],
+    )
+    S.set_cluster_columns(spark, t, ["k"])
+    # updates span the WHOLE key range — every file is touched, exactly
+    # the case that used to hash-scatter the rewrite
+    ups = (
+        spark.range(0, 4000, 7).selectExpr("id AS k", "id * 3 AS v")
+        .unionByName(spark.range(4000, 4100).selectExpr("id AS k", "id AS v"))
+    )
+    S.merge_snapshot(spark, t, ups, keys=["k"], stats_cols=["k"])
+    m = _read_manifest_latest(spark, t)
+    assert m["files_rewritten"] == 4
+    new_files = [f for f in m["files"] if "-merge-" in f]
+    assert len(new_files) >= 2
+    # rewritten files carry DISJOINT cluster-key ranges
+    spans = sorted(tuple(m["stats"][f]["k"]) for f in new_files)
+    for (_lo1, hi1), (lo2, _hi2) in zip(spans, spans[1:]):
+        assert hi1 <= lo2, spans
+    # so skip_where on the cluster key prunes to ~1 of the merge files
+    probe = read_snapshot(spark, t, skip_where=("k", 10, 20))
+    assert 0 < len(set(probe.inputFiles())) < len(new_files)
+    # and the relayout changed layout only, not rows
+    assert read_snapshot(spark, t).count() == 4100
+    assert read_snapshot(spark, t).filter("k = 14").collect()[0]["v"] == 42
+
+
 def _read_manifest_latest(spark, t):
     import customer_activity_lakehouse_spark.sources.snapshots as S
 
