@@ -387,7 +387,52 @@ def _make_ann_index_tasks(spark, sf_dir: str, work_dir: str):
             spark, f"{work_dir}/ann_idx_timed", batch, exclude_self=True
         ).write.format("noop").mode("overwrite").save()
 
-    return build, query, query_batch8
+    # MAINTAINED serve (r12, VERDICT r11 missing #3): the fresh-build
+    # serve above is the best case — this one serves from an index that
+    # went through build-on-prefix → append → maintain → delete →
+    # maintain, so the board carries the steady-state number too. The
+    # chain is set up lazily on the warm-up pass (setup excluded from
+    # the timed passes).
+    chain_dir = f"{work_dir}/ann_idx_chain"
+
+    def _chain_init():
+        from customer_activity_lakehouse_spark.plans.ann_index import (
+            maintain_ann_index,
+        )
+        from customer_activity_lakehouse_spark.sources.snapshots import (
+            _list_versions,
+            commit_append,
+            delete_snapshot,
+            reorg_snapshot,
+        )
+
+        src = f"{work_dir}/ann_chain_src"
+        if _list_versions(spark, src):
+            return
+        commit_append(
+            spark, src, emb.filter("vec_id % 5 != 0"), stats_cols=["vec_id"]
+        )
+        build_ann_index(
+            spark, emb.filter("vec_id % 5 != 0"), chain_dir, consumed_version=1
+        )
+        commit_append(
+            spark, src, emb.filter("vec_id % 5 = 0"), stats_cols=["vec_id"]
+        )
+        maintain_ann_index(spark, chain_dir, src)
+        delete_snapshot(spark, src, "vec_id % 97 = 3", mode="dv")
+        maintain_ann_index(spark, chain_dir, src)
+        # nightly housekeeping: purge the retraction's deletion vectors
+        # so the steady-state serve is maintenance + OPTIMIZE, the state
+        # a production index actually serves from
+        reorg_snapshot(spark, f"{chain_dir}/codes")
+
+    def query_maintained():
+        _chain_init()
+        query_ann_index(spark, chain_dir, q0).write.format("noop").mode(
+            "overwrite"
+        ).save()
+
+    return build, query, query_batch8, query_maintained
 
 
 def _make_text_index_tasks(spark, sf_dir: str, work_dir: str):
@@ -424,7 +469,22 @@ def _make_text_index_tasks(spark, sf_dir: str, work_dir: str):
             "overwrite"
         ).save()
 
-    return build, query, full_scan
+    def query_maintained():
+        # steady-state serve: the catalog's memoized maintenance chain
+        # (build on a prefix → append → maintain → delete → maintain) —
+        # the index the correctness oracle checks. Built lazily on the
+        # warm-up pass; with term declared a cluster column the number
+        # should match the fresh serve (pre-r12 the layout decayed here).
+        from customer_activity_lakehouse_spark.plans.text_index import (
+            _chain_dir,
+        )
+
+        base = _chain_dir(spark, sf_dir)
+        query_text_index(spark, f"{base}/idx").write.format("noop").mode(
+            "overwrite"
+        ).save()
+
+    return build, query, full_scan, query_maintained
 
 
 def _calibration() -> dict:
@@ -588,7 +648,7 @@ def main() -> None:
         # is the number that says the FAISS split paid off. r10 adds
         # ann_index_batch8 — EIGHT queries in one batched plan; its ratio
         # to 8x ann_index_query is the serving-tier amortization win.
-        idx_build, idx_query, idx_batch8 = _make_ann_index_tasks(
+        idx_build, idx_query, idx_batch8, idx_query_maint = _make_ann_index_tasks(
             spark, sf_dir, work_dir
         )
         idx_build("warmup")
@@ -611,6 +671,14 @@ def main() -> None:
             if i > 0:
                 bts.append(dt)
         samples["ann_index_batch8"] = bts
+        mts: list[float] = []
+        for i in range(ANN_INDEX_QUERY_RUNS + 1):  # pass 0 warms + builds chain
+            t0 = time.perf_counter()
+            idx_query_maint()
+            dt = time.perf_counter() - t0
+            if i > 0:
+                mts.append(dt)
+        samples["ann_index_query_maintained"] = mts
 
         # WAP phase (r10): branch create (one shallow-clone manifest
         # write, size-independent) and publish (copy branch-written files
@@ -634,7 +702,7 @@ def main() -> None:
         # serve the fixed 3-term BM25 top-20 from the persisted postings.
         # Excluded from totals; text_index_query : text_full_scan is
         # the inverted index's win over the full-corpus scorer.
-        txt_build, txt_query, txt_scan = _make_text_index_tasks(
+        txt_build, txt_query, txt_scan, txt_query_maint = _make_text_index_tasks(
             spark, sf_dir, work_dir
         )
         txt_build("warmup")
@@ -657,6 +725,14 @@ def main() -> None:
             if i > 0:
                 fts.append(dt)
         samples["text_full_scan"] = fts
+        yts: list[float] = []
+        for i in range(ANN_INDEX_QUERY_RUNS + 1):  # pass 0 warms + builds chain
+            t0 = time.perf_counter()
+            txt_query_maint()
+            dt = time.perf_counter() - t0
+            if i > 0:
+                yts.append(dt)
+        samples["text_index_query_maintained"] = yts
 
         timings = {n: round(statistics.median(samples[n]), 4) for n in samples}
     finally:
@@ -689,10 +765,12 @@ def main() -> None:
             "ann_index_build",
             "ann_index_query",
             "ann_index_batch8",
+            "ann_index_query_maintained",
             "wap_branch_create",
             "wap_publish",
             "text_index_build",
             "text_index_query",
+            "text_index_query_maintained",
             "text_full_scan",
         ]
         + sorted(n for n in headline if n not in legacy),
@@ -706,10 +784,12 @@ def main() -> None:
             "ann_index_build",
             "ann_index_query",
             "ann_index_batch8",
+            "ann_index_query_maintained",
             "wap_branch_create",
             "wap_publish",
             "text_index_build",
             "text_index_query",
+            "text_index_query_maintained",
             "text_full_scan",
         ],
         "calibration": {
@@ -731,16 +811,40 @@ def main() -> None:
         ),
         }
     )
-    # The driver archives only the last ~2000 chars of stdout, which has
-    # truncated the headline totals three rounds running (ADVICE r7) —
-    # persist the full JSON beside the repo so the artifact is always
-    # parseable, then print the contract's single stdout line. The board
-    # of record is the sf0.1 run ONLY: an sf0.01 smoke run overwriting it
-    # (and getting swept into a commit) is exactly what happened in r10 —
-    # other scales persist to a scale-suffixed sidecar instead.
+    # The driver archives only the last ~2000 chars of stdout, which left
+    # BENCH_r{7..11}.json parsed:null because the full board line is
+    # ~3.4 KB (VERDICT r11 missing #1) — so stdout gets a COMPACT line
+    # (totals + normalized + calibration ratio + the frozen legacy-18
+    # per-query dict + a pointer), guaranteed under the capture, while
+    # the full per-query board with excludes, calibration blocks and the
+    # methodology note persists ONLY to the board file. The board of
+    # record is the sf0.1 run; other scales persist to a scale-suffixed
+    # sidecar (the r10 overwrite incident).
     board = "BENCH_FULL.json" if sf == 0.1 else f"BENCH_FULL_sf{sf}.json"
     (REPO / board).write_text(line + "\n")
-    print(line)
+    compact = json.dumps(
+        {
+            "metric": "headline_queries_total_median_sec",
+            "value": total,
+            "value_full": total_full,
+            "value_normalized": round(total / ratio, 4),
+            "value_full_normalized": round(total_full / ratio, 4),
+            "unit": "sec",
+            "queries": {n: timings[n] for n in LEGACY_VALUE_SET},
+            "sf": sf,
+            "calibration_ratio_vs_reference": ratio,
+            "runs": RUNS,
+            "board": board,
+            "note": "value = frozen legacy 18-query set; full per-query "
+            f"board + excludes + calibration in {board}; methodology in "
+            "BENCH_NOTES.md",
+        }
+    )
+    assert len(compact) <= 1900, (
+        f"compact stdout line is {len(compact)} chars — the driver "
+        "captures ~2000; trim it"
+    )
+    print(compact)
 
 
 if __name__ == "__main__":

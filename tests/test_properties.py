@@ -780,18 +780,25 @@ def test_refs_surface_invariant_under_random_ops(spark, tmp_path_factory, ops):
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
-@given(ops=st.lists(st.integers(0, 7), min_size=3, max_size=8))
+@given(ops=st.lists(st.integers(0, 9), min_size=3, max_size=8))
 @example(ops=[1, 4, 5, 6])        # dv-delete, compact, vacuum, restore
 @example(ops=[3, 6, 5, 1, 6])     # merge, restore, vacuum, delete, restore
 @example(ops=[2, 5, 6, 5])        # update, vacuum, restore, vacuum
+@example(ops=[8, 1, 3, 9, 1, 9])  # cluster, dv-delete, merge (materializes
+                                  # the DVs), reorg (drops inert pointers),
+                                  # dv-delete again, reorg purge — the r12
+                                  # inert-DV-drop path must not resurrect
+@example(ops=[8, 3, 4, 9, 8])     # clustered merge, liquid compact, reorg,
+                                  # clustering toggle off
 def test_dml_surface_invariant_under_random_ops(spark, tmp_path_factory, ops):
     """The refs adversary generalized to the DML surface: random
     interleavings of append / DV-delete / rewrite-delete / update / merge
-    / compact / vacuum / restore, with a driver-side model dict as the
-    oracle. After EVERY op: the table reads exactly the model, the
-    history walk completes over all retained versions, and the fsck chain
-    check is clean — no interleaving may strand an unresolvable retained
-    version (the r10 failure class)."""
+    / compact / vacuum / restore / clustering-toggle / reorg-purge, with
+    a driver-side model dict as the oracle. After EVERY op: the table
+    reads exactly the model, the history walk completes over all retained
+    versions, and the fsck chain check is clean — no interleaving may
+    strand an unresolvable retained version (the r10 failure class), and
+    no REORG may resurrect DV-deleted rows (the r12 inert-pointer drop)."""
     import uuid as _uuid
 
     from customer_activity_lakehouse_spark.sources.snapshots import (
@@ -858,6 +865,24 @@ def test_dml_surface_invariant_under_random_ops(spark, tmp_path_factory, ops):
             k = max(model)
             delete_snapshot(spark, t, f"id = {k}", mode="rewrite")
             del model[k]
+        elif op == 8:  # toggle liquid clustering on id
+            from customer_activity_lakehouse_spark.sources.snapshots import (
+                _list_versions as _lv,
+                _read_manifest as _rm,
+                drop_cluster_columns,
+                set_cluster_columns,
+            )
+
+            if _rm(spark, t, _lv(spark, t)[-1]).get("clustering"):
+                drop_cluster_columns(spark, t)
+            else:
+                set_cluster_columns(spark, t, ["id"])
+        elif op == 9:  # REORG APPLY PURGE (data_change=false; may no-op)
+            from customer_activity_lakehouse_spark.sources.snapshots import (
+                reorg_snapshot,
+            )
+
+            reorg_snapshot(spark, t)
         # record the model at the new head (data-bearing commits only;
         # compaction/no-ops keep the mapping for their unchanged head)
         head_v = _list_versions(spark, t)[-1]
