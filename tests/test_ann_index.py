@@ -382,6 +382,35 @@ def test_batch_where_matches_single_filtered_serve(spark, tmp_path):
         assert all(v in set(allowed_ids) and v != qid for v, _ in by_q[qid])
 
 
+def test_streamed_corpus_feeds_ann_index_maintenance(spark, tmp_path):
+    """Composition parity with the MinHash/text indexes: vectors arrive
+    via the STREAMING snapshot sink; one maintenance call afterwards
+    encodes exactly the streamed vectors against the frozen codebooks."""
+    from customer_activity_lakehouse_spark.streaming.streams import (
+        write_stream_snapshot_append,
+    )
+
+    src = str(tmp_path / "corpus")
+    idx = str(tmp_path / "idx")
+    commit_append(spark, src, _corpus(spark, 0, 200))
+    build_ann_index(spark, read_snapshot(spark, src), idx, consumed_version=1)
+    landing = str(tmp_path / "landing")
+    _corpus(spark, 200, 210).coalesce(1).write.parquet(landing)
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<float>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+    )
+    q = write_stream_snapshot_append(stream, src, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+    assert not q.isActive
+    v = maintain_ann_index(spark, idx, src)
+    assert v == _list_versions(spark, src)[-1]
+    codes = read_snapshot(spark, f"{idx}/codes")
+    assert codes.count() == 210
+    assert codes.filter("vec_id >= 200").count() == 10
+
+
 def test_double_application_converges(spark, tmp_path, monkeypatch):
     """Maintenance commits are keyed MERGEs (r10): re-applying an
     already-consumed feed must converge — one code row per vec_id, so the

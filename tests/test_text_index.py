@@ -331,6 +331,54 @@ def test_text_index_lifecycle_through_branches(spark, tmp_path):
     assert [tuple(r) for r in got.collect()] == [tuple(r) for r in want.collect()]
 
 
+def test_streamed_corpus_feeds_text_index_maintenance(spark, tmp_path):
+    """Composition parity with the MinHash index: documents arrive via
+    the STREAMING snapshot sink (micro-batch appends with replay-dedup
+    stamps), and one maintenance call afterwards folds exactly the
+    streamed docs into the text index — the served BM25 equals the
+    brute-force scorer over the full (base + streamed) corpus."""
+    from customer_activity_lakehouse_spark.sources.snapshots import (
+        _list_versions,
+    )
+    from customer_activity_lakehouse_spark.streaming.streams import (
+        write_stream_snapshot_append,
+    )
+
+    src = str(tmp_path / "corpus")
+    idx = str(tmp_path / "idx")
+    commit_append(spark, src, _docs_df(spark), stats_cols=["doc_id"])
+    build_text_index(
+        spark, _docs_df(spark), idx,
+        consumed_version=_list_versions(spark, src)[-1],
+    )
+    landing = str(tmp_path / "landing")
+    streamed = [
+        (30, "spark table spark table"),
+        (31, "a streamed document resembling no other"),
+    ]
+    spark.createDataFrame(streamed, "doc_id long, text string").coalesce(
+        1
+    ).write.parquet(landing)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+    )
+    q = write_stream_snapshot_append(stream, src, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+    assert not q.isActive
+    v = maintain_text_index(spark, idx, src)
+    assert v == _list_versions(spark, src)[-1]
+    # streamed docs are indexed and the serve equals brute force over
+    # the merged corpus
+    assert read_snapshot(spark, f"{idx}/doclen").filter(
+        "doc_id >= 30"
+    ).count() == 2
+    got = query_text_index(spark, idx)
+    want = _brute(spark, _docs_df(spark, DOCS + streamed))
+    assert [tuple(r) for r in got.collect()] == [tuple(r) for r in want.collect()]
+
+
 def test_hybrid_index_rrf_fuses_both_rankers(spark):
     """Smoke the served hybrid at sf0.001: both rankers contribute ranks
     (the full-outer fusion isn't degenerate) and the fused ordering is
