@@ -2659,6 +2659,96 @@ def test_liquid_clustering_merge_layout(spark, tmp_path):
     assert read_snapshot(spark, t).filter("k = 14").collect()[0]["v"] == 42
 
 
+def test_liquid_clustering_merge_with_hive_partitioning(spark, tmp_path):
+    """Clustered MERGE composes with hive dir-partitioning (the
+    date-partitioned + key-clustered production shape): merge output is
+    range-laid on the cluster key WITHIN each partition dir, partition
+    dirs survive, and both pruning axes still work afterwards."""
+    import customer_activity_lakehouse_spark.sources.snapshots as S
+
+    t = str(tmp_path / "tbl")
+    base = spark.range(0, 2000).selectExpr(
+        "id % 2 AS p", "id AS k", "id AS v"
+    )
+    commit_append(
+        spark, t,
+        base.repartitionByRange(4, "k").sortWithinPartitions("k"),
+        stats_cols=["k"], partition_by=["p"],
+    )
+    S.set_cluster_columns(spark, t, ["k"])
+    ups = spark.range(0, 2000, 3).selectExpr("id % 2 AS p", "id AS k", "id * 5 AS v")
+    S.merge_snapshot(spark, t, ups, keys=["k"], stats_cols=["k"])
+    m = _read_manifest_latest(spark, t)
+    new_files = [f for f in m["files"] if "-merge-" in f]
+    assert new_files and all("p=" in f for f in new_files)  # dirs survive
+    # within each partition dir the merge files carry disjoint k ranges
+    for p in ("p=0", "p=1"):
+        spans = sorted(
+            tuple(m["stats"][f]["k"]) for f in new_files if p in f
+        )
+        assert len(spans) >= 2
+        for (_l1, h1), (l2, _h2) in zip(spans, spans[1:]):
+            assert h1 <= l2, (p, spans)
+    # both pruning axes: partition dir + cluster-key stats
+    probe = read_snapshot(
+        spark, t, partition_where={"p": [0]}, skip_where=("k", 100, 120)
+    )
+    assert 0 < len(set(probe.inputFiles())) < len(m["files"])
+    got = {r.k: r.v for r in read_snapshot(spark, t).collect()}
+    assert got == {k: (k * 5 if k % 3 == 0 else k) for k in range(2000)}
+
+
+def test_reorg_drops_inert_dv_pointers_then_vacuum_reclaims(spark, tmp_path):
+    """r12: a MERGE materializes the DVs of every file it rewrites but
+    carries the pointer list verbatim (entries become inert), so every
+    later read still paid the anti-join. REORG now detects the all-inert
+    case and drops the pointers in a METADATA-ONLY commit; once vacuum
+    expires the pre-reorg versions, the DV parquet files are physically
+    reclaimed — and reads are identical throughout."""
+    import glob
+
+    import customer_activity_lakehouse_spark.sources.snapshots as S
+
+    t = str(tmp_path / "tbl")
+    # two files with disjoint key ranges; DVs reference file A only
+    commit_append(
+        spark, t,
+        spark.range(0, 50).selectExpr("id AS k", "id AS v").coalesce(1),
+        stats_cols=["k"],
+    )
+    commit_append(
+        spark, t,
+        spark.range(50, 100).selectExpr("id AS k", "id AS v").coalesce(1),
+        stats_cols=["k"],
+    )
+    S.delete_snapshot(spark, t, "k % 10 = 3 AND k < 50", mode="dv")
+    # merge touches exactly file A (batch keys 0..49): its DVs are
+    # materialized by the rewrite; file B carries untouched, so the
+    # pointer list rides along — now 100% inert
+    S.merge_snapshot(
+        spark, t,
+        spark.range(0, 50).selectExpr("id AS k", "id * 2 AS v"),
+        keys=["k"], stats_cols=["k"],
+    )
+    m = _read_manifest_latest(spark, t)
+    assert m.get("dv_files")  # inert but still carried
+    v = S.reorg_snapshot(spark, t)
+    assert v is not None
+    m2 = _read_manifest_latest(spark, t)
+    assert not m2.get("dv_files")
+    assert m2["files_rewritten"] == 0  # metadata-only drop, no data I/O
+    assert glob.glob(f"{t}/data/v*-dv-*/*.parquet")  # bytes still on disk
+    S.vacuum(spark, t, keep_last=1)
+    assert not glob.glob(f"{t}/data/v*-dv-*/*.parquet")  # reclaimed
+    # merge re-inserted every A key (unmatched keys insert) doubled;
+    # B untouched
+    got = {r.k: r.v for r in read_snapshot(spark, t).collect()}
+    assert got == {**{k: k * 2 for k in range(50)},
+                   **{k: k for k in range(50, 100)}}
+    # a second reorg has nothing to do
+    assert S.reorg_snapshot(spark, t) is None
+
+
 def _read_manifest_latest(spark, t):
     import customer_activity_lakehouse_spark.sources.snapshots as S
 
