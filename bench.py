@@ -422,9 +422,16 @@ def _make_ann_index_tasks(spark, sf_dir: str, work_dir: str):
         delete_snapshot(spark, src, "vec_id % 97 = 3", mode="dv")
         maintain_ann_index(spark, chain_dir, src)
         # nightly housekeeping: purge the retraction's deletion vectors
-        # so the steady-state serve is maintenance + OPTIMIZE, the state
-        # a production index actually serves from
+        # and bin-pack each cell dir's fold debris (every maintenance
+        # merge adds ~a file per touched cell) — the steady-state serve
+        # is maintenance + OPTIMIZE, the state a production index
+        # actually serves from
+        from customer_activity_lakehouse_spark.sources.snapshots import (
+            compact_snapshot,
+        )
+
         reorg_snapshot(spark, f"{chain_dir}/codes")
+        compact_snapshot(spark, f"{chain_dir}/codes", target_file_mb=64)
 
     def query_maintained():
         _chain_init()
