@@ -75,6 +75,15 @@ a mis-parsed DML that silently no-ops is a data-loss bug):
 - REFRESH TEXT INDEX snapshot.`idx` FROM snapshot.`corpus`
   (fold the corpus change feed into postings/doclen — exactly-once,
   retraction on deletes/updates; returns the version consumed or None)
+- SEARCH TEXT INDEX snapshot.`idx` FOR 'free text query' [TOP k]
+  (BM25 top-k served from the PERSISTED index — the query string splits
+  with the corpus tokenizer (whitespace over trimmed text, llm_ops.
+  _tokens parity) and each term costs one stats-pruned posting read;
+  returns (doc_id, bm25))
+- SEARCH MINHASH INDEX snapshot.`idx` FOR 'document text ...'
+  (read-only pre-ingest dedup probe: LSH candidates for the given text
+  against the committed corpus — plans/minhash_index.
+  probe_minhash_index; returns (query_doc, dup_of) with query_doc=0)
 - DESCRIBE VECTOR|MINHASH|TEXT INDEX snapshot.`idx`
   (one observability row: entry counts, structure size, and the
   consumed source version — the exactly-once cursor a scheduler reads
@@ -228,6 +237,39 @@ def run_table_sql(spark: SparkSession, stmt: str) -> DataFrame | int | None:
         if not m:
             raise ValueError(f"cannot parse FSCK statement: {stmt!r}")
         return S.fsck_snapshot(spark, m.group(1), repair=m.group(2) is None)
+    if head == "SEARCH":
+        m = re.fullmatch(
+            rf"SEARCH\s+(TEXT|MINHASH)\s+INDEX\s+{_REF}\s+FOR\s+'([^']*)'"
+            r"(?:\s+TOP\s+(\d+))?",
+            s,
+            re.I,
+        )
+        if not m:
+            raise ValueError(f"cannot parse SEARCH statement: {stmt!r}")
+        kind, idx, text, k = (
+            m.group(1).upper(), m.group(2), m.group(3), m.group(4),
+        )
+        if kind == "TEXT":
+            from ..plans.llm_ops import BM25_TOPK
+            from ..plans.text_index import query_text_index
+
+            # the corpus tokenizer's exact Python twin (llm_ops._tokens:
+            # whitespace split of the trimmed text, no case folding) —
+            # serve-side tokenization must match index-side
+            terms = tuple(re.split(r"\s+", text.strip())) if text.strip() else ()
+            if not terms:
+                raise ValueError("SEARCH TEXT INDEX: empty query string")
+            return query_text_index(
+                spark, idx, terms, k=int(k) if k else BM25_TOPK
+            )
+        if k is not None:
+            raise ValueError("SEARCH MINHASH INDEX takes no TOP clause")
+        from ..plans.minhash_index import probe_minhash_index
+
+        probe_doc = spark.createDataFrame(
+            [(0, text)], "doc_id long, text string"
+        )
+        return probe_minhash_index(spark, idx, probe_doc)
     if head == "COPY":
         return _copy_into(spark, s)
     if head == "APPLY":

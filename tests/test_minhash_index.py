@@ -315,6 +315,42 @@ def test_probe_is_read_only_lookup(spark, tmp_path):
     assert maintain_minhash_index(spark, idx, src) == (None, None)
 
 
+def test_sql_search_minhash_index(spark, tmp_path):
+    """SEARCH MINHASH INDEX ... FOR '<text>': the read-only pre-ingest
+    probe from SQL — a near-copy finds its corpus twin, a novel text
+    finds nothing, no version moves, and TOP is rejected (it has no
+    ranking to cut)."""
+    import pytest
+
+    from customer_activity_lakehouse_spark.sources.sql import run_table_sql
+
+    src = str(tmp_path / "corpus")
+    idx = str(tmp_path / "idx")
+    commit_append(spark, src, _docs(spark, _BASE))
+    build_minhash_index(
+        spark, read_snapshot(spark, src), idx,
+        consumed_version=_list_versions(spark, src)[-1],
+    )
+    v_before = _list_versions(spark, f"{idx}/bands")[-1]
+    got = run_table_sql(
+        spark,
+        f"SEARCH MINHASH INDEX snapshot.`{idx}` FOR "
+        f"'the quick brown fox jumps over the lazy dog again and again'",
+    )
+    assert {(r.query_doc, r.dup_of) for r in got.collect()} == {(0, 1)}
+    novel = run_table_sql(
+        spark,
+        f"SEARCH MINHASH INDEX snapshot.`{idx}` FOR "
+        f"'an entirely novel sentence matching no corpus shingles at all'",
+    )
+    assert novel.count() == 0
+    assert _list_versions(spark, f"{idx}/bands")[-1] == v_before  # read-only
+    with pytest.raises(ValueError, match="no TOP clause"):
+        run_table_sql(
+            spark, f"SEARCH MINHASH INDEX snapshot.`{idx}` FOR 'x y z' TOP 3"
+        )
+
+
 def test_retraction_chunks_large_victim_lists(spark, tmp_path, monkeypatch):
     """dv_retract bounds each delete commit's IN-list (a million-element
     predicate would strain Catalyst): with the chunk size forced to 2, a

@@ -293,6 +293,35 @@ def test_sql_text_index_lifecycle(spark, tmp_path):
         run_table_sql(spark, f"DESCRIBE TEXT INDEX snapshot.`{idx}`")
 
 
+def test_sql_search_text_index(spark, tmp_path):
+    """SEARCH TEXT INDEX ... FOR '...' [TOP k]: the SQL serve tokenizes
+    the query string exactly like the corpus tokenizer and returns the
+    same frame as query_text_index — and the empty query fails loudly."""
+    from customer_activity_lakehouse_spark.sources.sql import run_table_sql
+
+    corpus = str(tmp_path / "corpus")
+    idx = str(tmp_path / "idx")
+    commit_append(spark, corpus, _docs_df(spark), stats_cols=["doc_id"])
+    run_table_sql(
+        spark, f"CREATE TEXT INDEX snapshot.`{idx}` ON snapshot.`{corpus}`"
+    )
+    got = run_table_sql(
+        spark, f"SEARCH TEXT INDEX snapshot.`{idx}` FOR 'table query spark' TOP 5"
+    )
+    want = query_text_index(spark, idx, ("table", "query", "spark"), k=5)
+    assert [tuple(r) for r in got.collect()] == [tuple(r) for r in want.collect()]
+    assert len(got.collect()) == 5
+    # leading/trailing/multiple whitespace tokenizes like the corpus side
+    got2 = run_table_sql(
+        spark, f"SEARCH TEXT INDEX snapshot.`{idx}` FOR '  table   query spark '"
+    )
+    assert [tuple(r) for r in got2.collect()][:5] == [
+        tuple(r) for r in want.collect()
+    ]
+    with pytest.raises(ValueError, match="empty query"):
+        run_table_sql(spark, f"SEARCH TEXT INDEX snapshot.`{idx}` FOR '  '")
+
+
 def test_text_index_lifecycle_through_branches(spark, tmp_path):
     """WAP parity with the vector index: CREATE TEXT INDEX against a
     branch-qualified corpus ref indexes the audit's rows in isolation;
