@@ -75,6 +75,11 @@ a mis-parsed DML that silently no-ops is a data-loss bug):
 - REFRESH TEXT INDEX snapshot.`idx` FROM snapshot.`corpus`
   (fold the corpus change feed into postings/doclen — exactly-once,
   retraction on deletes/updates; returns the version consumed or None)
+- SEARCH VECTOR INDEX snapshot.`idx` NEAREST TO snapshot.`corpus` ID n
+  [TOP k]
+  (neighbors-of-a-corpus-member served from the PERSISTED IVF-PQ index:
+  reads vec n's embedding, probes the nearest cells, excludes n itself;
+  returns (vec_id, cos_sim))
 - SEARCH TEXT INDEX snapshot.`idx` FOR 'free text query' [TOP k]
   (BM25 top-k served from the PERSISTED index — the query string splits
   with the corpus tokenizer (whitespace over trimmed text, llm_ops.
@@ -238,6 +243,31 @@ def run_table_sql(spark: SparkSession, stmt: str) -> DataFrame | int | None:
             raise ValueError(f"cannot parse FSCK statement: {stmt!r}")
         return S.fsck_snapshot(spark, m.group(1), repair=m.group(2) is None)
     if head == "SEARCH":
+        vm = re.fullmatch(
+            rf"SEARCH\s+VECTOR\s+INDEX\s+{_REF}\s+NEAREST\s+TO\s+{_REF}"
+            r"\s+ID\s+(\d+)(?:\s+TOP\s+(\d+))?",
+            s,
+            re.I,
+        )
+        if vm:
+            from pyspark.sql import functions as F
+
+            from ..plans.ann_index import ANN_TOPK, _quantize, query_ann_index
+
+            idx, corpus, qid, k = (
+                vm.group(1), vm.group(2), int(vm.group(3)), vm.group(4),
+            )
+            q = S.read_snapshot(spark, corpus).filter(
+                F.col("vec_id") == qid
+            ).select("vec_id", "embedding")
+            if not q.limit(1).collect():
+                raise KeyError(
+                    f"SEARCH VECTOR INDEX: no vec_id {qid} in {corpus}"
+                )
+            return query_ann_index(
+                spark, idx, _quantize(q),
+                k=int(k) if k else ANN_TOPK, exclude_id=qid,
+            )
         m = re.fullmatch(
             rf"SEARCH\s+(TEXT|MINHASH)\s+INDEX\s+{_REF}\s+FOR\s+'([^']*)'"
             r"(?:\s+TOP\s+(\d+))?",

@@ -382,6 +382,35 @@ def test_batch_where_matches_single_filtered_serve(spark, tmp_path):
         assert all(v in set(allowed_ids) and v != qid for v, _ in by_q[qid])
 
 
+def test_sql_search_vector_index(spark, tmp_path):
+    """SEARCH VECTOR INDEX ... NEAREST TO <corpus> ID n [TOP k]: the SQL
+    serve equals query_ann_index with the member's quantized embedding
+    and self-exclusion; a missing id fails loudly."""
+    import pytest
+
+    from customer_activity_lakehouse_spark.sources.sql import run_table_sql
+
+    src = str(tmp_path / "corpus")
+    idx = str(tmp_path / "idx")
+    commit_append(spark, src, _corpus(spark, 0, 300))
+    build_ann_index(spark, read_snapshot(spark, src), idx, consumed_version=1)
+    got = run_table_sql(
+        spark,
+        f"SEARCH VECTOR INDEX snapshot.`{idx}` NEAREST TO snapshot.`{src}` "
+        f"ID 7 TOP 5",
+    )
+    q7 = _quantize(_corpus(spark, 7, 8))
+    want = query_ann_index(spark, idx, q7, k=5, exclude_id=7)
+    assert [tuple(r) for r in got.collect()] == [tuple(r) for r in want.collect()]
+    assert 7 not in {r.vec_id for r in got.collect()}
+    with pytest.raises(KeyError, match="no vec_id 9999"):
+        run_table_sql(
+            spark,
+            f"SEARCH VECTOR INDEX snapshot.`{idx}` NEAREST TO "
+            f"snapshot.`{src}` ID 9999",
+        )
+
+
 def test_streamed_corpus_feeds_ann_index_maintenance(spark, tmp_path):
     """Composition parity with the MinHash/text indexes: vectors arrive
     via the STREAMING snapshot sink; one maintenance call afterwards

@@ -320,6 +320,12 @@ def test_sql_search_text_index(spark, tmp_path):
     ]
     with pytest.raises(ValueError, match="empty query"):
         run_table_sql(spark, f"SEARCH TEXT INDEX snapshot.`{idx}` FOR '  '")
+    # terms absent from the index score nothing (no crash on a read the
+    # stats prune to zero files)
+    none = run_table_sql(
+        spark, f"SEARCH TEXT INDEX snapshot.`{idx}` FOR 'zzzz qqqq'"
+    )
+    assert none.count() == 0
 
 
 def test_text_index_lifecycle_through_branches(spark, tmp_path):
