@@ -3628,6 +3628,59 @@ def compact_snapshot(
     )
 
 
+def drop_inert_dv_pointers(spark: SparkSession, table_dir: str) -> int | None:
+    """Metadata-only housekeeping (r12): drop the manifest's ``dv_files``
+    pointer list when NO live data file is referenced by any DV entry.
+
+    MERGE/OPTIMIZE materialize the deletion vectors of every file they
+    rewrite but carry the pointer list verbatim (entries for removed
+    files are inert by design) — after enough rewrites the whole list is
+    inert, yet every read still pays the anti-join against DV rows that
+    match nothing. The drop is pure metadata (no data I/O; data_change=
+    false); the DV parquet files become vacuum debris once the pre-drop
+    versions expire. Returns the committed version, or None when there is
+    nothing to drop (no DVs, or some DV still masks a live file — those
+    need a real ``reorg_snapshot`` PURGE, which rewrites data)."""
+    import re as _re
+
+    versions = _list_versions(spark, table_dir)
+    if not versions:
+        raise FileNotFoundError(f"no snapshots at {table_dir}")
+    base_v = versions[-1]
+    m = _read_manifest(spark, table_dir, base_v)
+    dv_files = m.get("dv_files", [])
+    if not dv_files:
+        return None
+
+    def _local(p: str) -> str:
+        return _re.sub(r"^[a-zA-Z0-9+.-]+:/+", "/", p)
+
+    dv_paths = {
+        _local(r["file_path"])
+        for r in spark.read.parquet(*dv_files)
+        .select("file_path")
+        .distinct()
+        .collect()
+    }
+    if dv_paths & {_local(f) for f in m["files"]}:
+        return None  # some DV still masks a live file: purge territory
+    manifest = {
+        "version": base_v + 1,
+        "op": "reorg",
+        "data_change": False,
+        "files": m["files"],
+        "schema": m.get("schema"),
+        "files_rewritten": 0,
+    }
+    if m.get("stats"):
+        manifest["stats"] = m["stats"]
+    _carry_props(m, manifest)
+    _carry_mapping(m, manifest)
+    return _commit_rebase_appends(
+        spark, table_dir, base_v + 1, manifest, op="drop_inert_dv_pointers"
+    )
+
+
 def reorg_snapshot(spark: SparkSession, table_dir: str) -> int | None:
     """Delta's ``REORG TABLE ... APPLY (PURGE)``: physically rewrite
     exactly the files still carrying SOFT-DELETED data, so vacuum can
@@ -3693,29 +3746,10 @@ def reorg_snapshot(spark: SparkSession, table_dir: str) -> int | None:
             f for f in files if _local(f) in dv_paths and f not in set(needs)
         )
     if not needs:
-        if dv_files and not (dv_paths & {_local(f) for f in files}):
-            # every DV entry points at a file a later rewrite already
-            # removed (MERGE materializes DVs for the files it touches
-            # but carries the pointer list verbatim): the entries are
-            # inert, yet every read still pays the anti-join against
-            # them. Drop the pointers in a metadata-only commit — the
-            # dv files themselves become vacuum debris.
-            manifest = {
-                "version": base_v + 1,
-                "op": "reorg",
-                "data_change": False,
-                "files": files,
-                "schema": sig,
-                "files_rewritten": 0,
-            }
-            if m.get("stats"):
-                manifest["stats"] = m["stats"]
-            _carry_props(m, manifest)
-            _carry_mapping(m, manifest)
-            return _commit_rebase_appends(
-                spark, table_dir, base_v + 1, manifest, op="reorg_snapshot"
-            )
-        return None
+        # nothing to rewrite — but a fully-inert pointer list (every DV
+        # entry targets an already-rewritten file) still taxes reads;
+        # drop it in a metadata-only commit.
+        return drop_inert_dv_pointers(spark, table_dir)
     keep = [f for f in files if f not in set(needs)]
     # the logical read drops orphaned physical columns and applies DVs;
     # writing it back under physical names is precisely the purge.
@@ -5282,18 +5316,26 @@ def maintain_snapshot(
 
     1. OPTIMIZE when more than ``max_small_files`` files sit under the
        target size (decided from FS metadata, no data read);
-    2. BLOOM BACKFILL: on bloom-spec'd tables, index any uncovered files
+    2. INERT DV-POINTER DROP (r12): compaction/merges materialize the
+       DVs of the files they rewrite; once no live file is referenced
+       the carried pointer list is pure read-tax —
+       :func:`drop_inert_dv_pointers` removes it in a metadata-only
+       commit. (Physical PURGE of still-live DVs remains an explicit
+       ``reorg_snapshot`` decision — it rewrites data.)
+    3. BLOOM BACKFILL: on bloom-spec'd tables, index any uncovered files
        (pre-spec or DataSource-written) in one metadata-class commit —
        blooms are sidecars, so coverage needs no data rewrite;
-    3. VACUUM down to ``keep_versions`` retained versions.
+    4. VACUUM down to ``keep_versions`` retained versions.
 
-    Returns ``{"compacted": version|None, "bloom_backfilled":
-    version|None, "vacuumed": n_files}``. Order matters: compacting
-    first makes the superseded small files eligible for this same call's
-    vacuum once their versions expire (and the compaction's own rewrites
-    arrive bloom-covered, shrinking the backfill). Conflict behavior is
-    inherited (a racing writer aborts the compaction; rerun next tick —
-    maintenance must never win over data)."""
+    Returns ``{"compacted": version|None, "dv_pointers_dropped":
+    version|None, "bloom_backfilled": version|None, "vacuumed":
+    n_files}``. Order matters: compacting first makes the superseded
+    small files eligible for this same call's vacuum once their versions
+    expire (and the compaction's own rewrites arrive bloom-covered,
+    shrinking the backfill), and may render the DV list fully inert for
+    step 2. Conflict behavior is inherited (a racing writer aborts the
+    compaction; rerun next tick — maintenance must never win over
+    data)."""
     versions = _list_versions(spark, table_dir)
     if not versions:
         raise FileNotFoundError(f"no snapshots at {table_dir}")
@@ -5303,10 +5345,12 @@ def maintain_snapshot(
     compacted = None
     if len(small) > max_small_files:
         compacted = compact_snapshot(spark, table_dir, target_file_mb)
+    dv_dropped = drop_inert_dv_pointers(spark, table_dir)
     backfilled = backfill_bloom_filters(spark, table_dir)
     deleted = vacuum(spark, table_dir, keep_last=keep_versions)
     return {
         "compacted": compacted,
+        "dv_pointers_dropped": dv_dropped,
         "bloom_backfilled": backfilled,
         "vacuumed": deleted,
     }

@@ -2749,6 +2749,51 @@ def test_reorg_drops_inert_dv_pointers_then_vacuum_reclaims(spark, tmp_path):
     assert S.reorg_snapshot(spark, t) is None
 
 
+def test_maintain_snapshot_drops_inert_dv_pointers(spark, tmp_path):
+    """The nightly loop productizes the inert-pointer drop: a DV delete
+    followed by maintenance (whose compaction materializes the DVs of
+    every small file it rewrites) leaves no dv_files in the manifest —
+    and the deleted rows STAY deleted through the rewrite."""
+    import customer_activity_lakehouse_spark.sources.snapshots as S
+
+    t = str(tmp_path / "tbl")
+    # one ABOVE-target file (kept verbatim by compaction — it's what
+    # carries the pointer list along) plus two small DV'd files
+    commit_append(
+        spark, t,
+        spark.range(0, 300_000).selectExpr(
+            "id AS k", "md5(cast(id AS string)) AS v"
+        ).coalesce(1),
+        stats_cols=["k"],
+    )
+    for lo in (300_000, 300_050):
+        commit_append(
+            spark, t,
+            spark.range(lo, lo + 50).selectExpr(
+                "id AS k", "md5(cast(id AS string)) AS v"
+            ).coalesce(1),
+            stats_cols=["k"],
+        )
+    S.delete_snapshot(spark, t, "k % 10 = 3 AND k >= 300000", mode="dv")
+    out = S.maintain_snapshot(
+        spark, t, target_file_mb=1, max_small_files=1, keep_versions=99
+    )
+    # compaction rewrote the small files (materializing their DVs) and
+    # kept the big one, carrying the now-inert pointer list — which the
+    # drop step then removes
+    assert out["compacted"] is not None
+    assert out["dv_pointers_dropped"] is not None
+    assert not _read_manifest_latest(spark, t).get("dv_files")
+    got = {r.k for r in read_snapshot(spark, t).filter("k >= 300000").collect()}
+    assert got == {k for k in range(300_000, 300_100) if k % 10 != 3}
+    assert read_snapshot(spark, t).count() == 300_000 + 90
+    # idempotent: a second loop has nothing to drop
+    out2 = S.maintain_snapshot(
+        spark, t, target_file_mb=1, max_small_files=1, keep_versions=99
+    )
+    assert out2["dv_pointers_dropped"] is None
+
+
 def _read_manifest_latest(spark, t):
     import customer_activity_lakehouse_spark.sources.snapshots as S
 
