@@ -39,6 +39,10 @@ a mis-parsed DML that silently no-ops is a data-loss bug):
     [ZORDER BY (a[, b...])]
   (FULL = whole-layout recluster on the declared CLUSTER BY columns)
 - REORG TABLE snapshot.`p` APPLY (PURGE)
+- MAINTAIN TABLE snapshot.`p` [TARGET <n> MB] [KEEP <m> VERSIONS]
+  (the nightly loop — OPTIMIZE by small-file policy, inert DV-pointer
+  drop, bloom backfill, VACUUM — as one verb; returns a 1-row frame of
+  the four step outcomes)
 - VACUUM snapshot.`p` [RETAIN <n> HOURS] [DRY RUN]
 - FSCK REPAIR TABLE snapshot.`p` [DRY RUN]
 - RESTORE snapshot.`p` TO VERSION AS OF <n> | TO TIMESTAMP AS OF '<ts>'
@@ -242,6 +246,31 @@ def run_table_sql(spark: SparkSession, stmt: str) -> DataFrame | int | None:
         if not m:
             raise ValueError(f"cannot parse FSCK statement: {stmt!r}")
         return S.fsck_snapshot(spark, m.group(1), repair=m.group(2) is None)
+    if head == "MAINTAIN":
+        m = re.fullmatch(
+            rf"MAINTAIN\s+TABLE\s+{_REF}(?:\s+TARGET\s+(\d+)\s*MB)?"
+            r"(?:\s+KEEP\s+(\d+)\s+VERSIONS?)?",
+            s,
+            re.I,
+        )
+        if not m:
+            raise ValueError(f"cannot parse MAINTAIN statement: {stmt!r}")
+        kwargs: dict = {}
+        if m.group(2) is not None:
+            kwargs["target_file_mb"] = int(m.group(2))
+        if m.group(3) is not None:
+            kwargs["keep_versions"] = int(m.group(3))
+        out = S.maintain_snapshot(spark, m.group(1), **kwargs)
+        return spark.createDataFrame(
+            [(
+                out["compacted"],
+                out["dv_pointers_dropped"],
+                out["bloom_backfilled"],
+                out["vacuumed"],
+            )],
+            "compacted long, dv_pointers_dropped long, "
+            "bloom_backfilled long, vacuumed long",
+        )
     if head == "SEARCH":
         vm = re.fullmatch(
             rf"SEARCH\s+VECTOR\s+INDEX\s+{_REF}\s+NEAREST\s+TO\s+{_REF}"

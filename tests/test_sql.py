@@ -373,6 +373,37 @@ def test_cluster_by_and_optimize_full_sql_routes(spark, tmp_path):
         run_table_sql(spark, f"OPTIMIZE snapshot.`{t}` FULL")
 
 
+def test_maintain_table_sql_route(spark, tmp_path):
+    """MAINTAIN TABLE ... [TARGET n MB] [KEEP m VERSIONS] runs the
+    nightly loop and reports the four step outcomes as one row."""
+    from customer_activity_lakehouse_spark.sources.snapshots import (
+        _list_versions,
+        delete_snapshot,
+    )
+
+    t = str(tmp_path / "tbl")
+    for lo in range(0, 100, 10):  # 10 small files > max_small_files=8
+        commit_append(
+            spark, t,
+            spark.range(lo, lo + 10).selectExpr("id", "id * 2 AS v").coalesce(1),
+            stats_cols=["id"],
+        )
+    delete_snapshot(spark, t, "id = 5", mode="dv")
+    row = run_table_sql(
+        spark, f"MAINTAIN TABLE snapshot.`{t}` TARGET 1 MB KEEP 1 VERSIONS"
+    ).collect()[0]
+    # the small files compacted (materializing the DV); the pointer list
+    # is shed by the compaction or the drop step — either way the
+    # manifest ends clean
+    assert row.compacted is not None
+    assert row.vacuumed > 0
+    m = _read_manifest(spark, t, _list_versions(spark, t)[-1])
+    assert not m.get("dv_files")
+    assert read_snapshot(spark, t).count() == 99
+    with pytest.raises(ValueError, match="cannot parse MAINTAIN"):
+        run_table_sql(spark, f"MAINTAIN snapshot.`{t}`")
+
+
 def test_set_partitioning_sql_route(spark, tmp_path):
     import customer_activity_lakehouse_spark.sources.snapshots as S
 
