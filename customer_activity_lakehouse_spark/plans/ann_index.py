@@ -8,16 +8,31 @@ query a user ever runs hits the retrain). This module splits them:
 
 - :func:`build_ann_index` trains ONCE and commits three snapshot tables
   under one index root — exactly what `faiss.write_index` persists:
-    ``ivf_centroids``  (cluster, c[64])      — the coarse quantizer
+    ``ivf_centroids``  (cluster, c[64])      — the coarse quantizer,
+                       CORPUS-SIZED: nlist = max(8, ceil(sqrt(N)))
+                       (`ml_ops._ivf_cells` — the FAISS sizing rule and
+                       the `_build_parts` doctrine of text_index.py)
     ``pq_codebooks``   (m, cluster, c[8])    — PQ_M × PQ_K codebook rows
     ``codes``          (vec_id, cell, code[PQ_M]) — 4-byte codes,
                        PARTITIONED BY cell, so a probe is partition
                        pruning on the index table itself
-- :func:`query_ann_index` serves top-k with ZERO training: a 16-row
-  centroid probe, a partition-pruned read of the probed cells' codes,
-  and in-row ADC against the broadcast codebooks. At 100 TB the serving
-  read touches |corpus|·probes/K code rows (4 bytes/vector of payload),
-  never an embedding.
+- :func:`query_ann_index` serves top-k with ZERO training: a
+  cells-row centroid probe, a partition-pruned read of the probed
+  cells' codes, and in-row ADC against the broadcast codebooks. The
+  probe count is ceil(sqrt(nlist)) (`ml_ops._serve_probes`, derived
+  from the persisted centroid table — never stored), so the serving
+  read touches |corpus|·probes/nlist ≈ |corpus|·N^-1/4 code rows:
+  the probed FRACTION shrinks as the corpus grows (1e9 vectors →
+  ~31.6k cells, ~178 probes, 0.56 % of code rows; the r12 fixed
+  K=8/probe-2 design read a constant 25 % at any size).
+
+PQ_K (16 centroids/subspace) and PQ_M (8 subspaces) are NOT scan-
+fraction knobs and stay fixed: they set the recall/compression trade
+(4-byte codes = 16× vs float32; more centroids or subspaces = better
+reconstruction, bigger codes). Resizing them is a REBUILD — codes
+encoded under one codebook geometry are meaningless under another —
+surfaced by `ann_index_recall`, exactly like FAISS, where nlist can be
+retrained cheaply but a PQ change re-encodes the corpus.
 - :func:`maintain_ann_index` keeps ``codes`` current from a snapshot
   corpus's CHANGE FEED: new vectors are encoded against the FROZEN
   centroids/codebooks (faiss `add()` — training data drift is a rebuild,
@@ -49,21 +64,56 @@ from pyspark.sql import functions as F
 
 from .ml_ops import (
     IVF_PROBES,
+    KM_ITERS,
     KM_SCALE,
     PQ_M,
     PQ_SUB,
+    _ivf_cells,
+    _ivfpq_sql_chain,
     _km_assign,
-    _km_fit_frame,
     _km_quantized,
+    _km_update,
     _km_sql_parts,
     _pq_assign,
     _pq_fit_frame,
     _pq_subrows,
-    ORACLE_ANN_IVFPQ_TOPK,
+    _serve_probes,
+    _sql_serve_probes,
 )
 from .registry import Query, table
 
 ANN_TOPK = 10
+
+
+def _seed_centroids_scaled(embq: DataFrame, k: int) -> DataFrame:
+    """Deterministic hash-bucket seeding for a CORPUS-SIZED cell count:
+    bucket = 8-hex-digit md5 value of vec_id mod k (the legacy one-digit
+    `_km_seed_centroids` idiom caps K at 16 buckets), seed = the bucket's
+    minimum vec_id. Same shape as the fixed-K seeding — one partial-agg
+    pass to ≤k rows + a broadcast join back; the DuckDB twin is
+    `ml_ops._SQL_HEX8 % k` (verified bit-identical)."""
+    hex8 = F.substring(F.md5(F.col("vec_id").cast("string").cast("binary")), 1, 8)
+    bucket = F.conv(hex8, 16, 10).cast("long") % k
+    seeds = (
+        embq.select(bucket.cast("int").alias("cluster"), "vec_id")
+        .groupBy("cluster")
+        .agg(F.min("vec_id").alias("vec_id"))
+    )
+    return embq.join(F.broadcast(seeds), "vec_id").select(
+        "cluster", F.transform("q", lambda x: x.cast("double")).alias("c")
+    )
+
+
+def _km_fit_scaled(embq: DataFrame, k: int) -> tuple[DataFrame, DataFrame]:
+    """Lloyd's with a corpus-sized cell count — `ml_ops._km_fit_frame`
+    with the scaled seeding; assign/update are K-agnostic and shared."""
+    centroids = _seed_centroids_scaled(embq, k)
+    assigned = cents_used = None
+    for _ in range(KM_ITERS):
+        cents_used = centroids
+        assigned = _km_assign(embq, cents_used)
+        centroids = _km_update(assigned)
+    return assigned, cents_used
 
 
 def _quantize(emb: DataFrame) -> DataFrame:
@@ -93,15 +143,21 @@ def build_ann_index(
     emb: DataFrame,
     index_dir: str,
     consumed_version: int | None = None,
+    cells: int | None = None,
 ) -> None:
     """Train IVF + PQ over ``emb`` (vec_id, embedding) and persist the
-    index as three snapshot tables under ``index_dir``. Training is the
-    only stage that shuffles (K-row / (m, cluster)-keyed partial aggs);
-    codes assign in-row and land partitioned by cell."""
+    index as three snapshot tables under ``index_dir``. The coarse cell
+    count is derived from the corpus size (``_ivf_cells``: nlist ≈
+    sqrt(N), one metadata-cheap count — a one-time build can afford it,
+    the `_build_parts` precedent); ``cells`` overrides it. Training is
+    the only stage that shuffles (nlist-row / (m, cluster)-keyed partial
+    aggs); codes assign in-row and land partitioned by cell."""
     from ..sources.snapshots import commit_append
 
+    if cells is None:
+        cells = _ivf_cells(emb.count())
     embq = _quantize(emb)
-    assigned, cents_used = _km_fit_frame(embq)
+    assigned, cents_used = _km_fit_scaled(embq, cells)
     books = _pq_fit_frame(embq)
     cells = assigned.select("vec_id", F.col("cluster").cast("int").alias("cell"))
     codes = _encode(embq, books).join(cells, "vec_id")
@@ -212,9 +268,10 @@ def query_ann_index(
     """Serve top-``k`` for ``query_q`` (one row: quantized ``q``) from the
     persisted index — NO training in this plan:
 
-    1. probe: squared distance of q against the 16-row centroid table,
-       take the IVF_PROBES nearest (a driver-bounded IVF_PROBES-row
-       collect — the list feeds partition pruning);
+    1. probe: squared distance of q against the nlist-row centroid
+       table, take the ceil(sqrt(nlist)) nearest (`_serve_probes` of the
+       persisted cell count — a driver-bounded ≤nlist-row collect; the
+       prefix feeds partition pruning);
     2. candidates: ``partition_where={'cell': probes}`` on the codes
        table — manifest-level partition pruning, so only the probed
        cells' files are ever listed;
@@ -233,7 +290,8 @@ def query_ann_index(
     the exact query, rounded to 4dp, ties broken by vec_id."""
     from ..sources.snapshots import read_snapshot
 
-    probes = _ordered_cells(spark, index_dir, query_q)[:IVF_PROBES]
+    order = _ordered_cells(spark, index_dir, query_q)
+    probes = order[: _serve_probes(len(order))]
     codes = read_snapshot(
         spark, f"{index_dir}/codes", partition_where={"cell": probes}
     )
@@ -364,8 +422,8 @@ def query_ann_index_batch(
 
     1. per-query probes DISTRIBUTIVELY: each (qid, q) row folds over the
        broadcast centroid array and a row_number window PARTITIONED BY
-       qid (bounded: ≤K cells per query, WindowGroupLimit) keeps its
-       IVF_PROBES nearest cells — no driver work per query;
+       qid (bounded: ≤nlist cells per query, WindowGroupLimit) keeps its
+       `_serve_probes(nlist)` nearest cells — no driver work per query;
     2. ONE partition-pruned read of the UNION of probed cells (the only
        driver-bounded collect: ≤K distinct cell ids, independent of
        batch size);
@@ -386,6 +444,7 @@ def query_ann_index_batch(
     from ..sources.snapshots import read_snapshot
 
     cents = read_snapshot(spark, f"{index_dir}/ivf_centroids")
+    n_probe = _serve_probes(cents.count())  # one nlist-row count
     carr = cents.agg(
         F.array_sort(F.collect_list(F.struct("cluster", "c"))).alias("cents")
     )
@@ -404,7 +463,7 @@ def query_ann_index_batch(
         .select("qid", "q", F.explode("cents").alias("cent"))
         .select("qid", "q", F.col("cent.cluster").alias("cluster"), cent_dist.alias("cdist"))
         .withColumn("pr", F.row_number().over(w_probe))
-        .filter(F.col("pr") <= IVF_PROBES)
+        .filter(F.col("pr") <= n_probe)
         .select("qid", F.col("q").alias("qq"), F.col("cluster").alias("cell"))
     )
     cell_union = sorted(
@@ -496,12 +555,13 @@ def query_ann_index_batch_where(
         }  # ≤|batch| rows
     used: dict[int, int] = {}
     for qid, cells in order.items():
+        n_probe = _serve_probes(len(cells))
         surv, m = 0, 0
         for m, cell in enumerate(cells, start=1):
             surv += counts.get(cell, 0)
             if exclude_self and own_cell.get(qid) == cell:
                 surv -= 1
-            if m >= IVF_PROBES and surv >= k:
+            if m >= n_probe and surv >= k:
                 break
         used[qid] = m
     probe_pairs = spark.createDataFrame(
@@ -552,7 +612,8 @@ def query_ann_index_where(
     Widening rule (deterministic, oracle-expressible): cells are ordered
     by squared centroid distance (ties to the smaller cluster id); the
     served prefix is the SMALLEST whole-cell prefix of length ≥
-    IVF_PROBES whose filtered-survivor count reaches ``k``. Each widening
+    `_serve_probes(nlist)` whose filtered-survivor count reaches ``k``.
+    Each widening
     step reads ONLY the newly added cell (partition pruning), so total
     data touched is the final prefix — a selective predicate costs probes
     proportional to its selectivity, never a full-corpus scan. The loop
@@ -571,7 +632,7 @@ def query_ann_index_where(
             c = c.filter(F.col("vec_id") != exclude_id)
         return c.join(F.broadcast(sem), "vec_id", "left_semi")
 
-    used = min(IVF_PROBES, len(order))
+    used = min(_serve_probes(len(order)), len(order))
     survivors = _cells_codes(order[:used]).count()
     while survivors < k and used < len(order):
         survivors += _cells_codes(order[used : used + 1]).count()
@@ -584,8 +645,9 @@ def query_ann_index_where(
 # The catalog entries exercise the lifecycle over the sf fixture: one
 # memoized build per sf_dir (the dml.py scratch pattern), then queries
 # that only READ the persisted tables. `ann_index_query`'s oracle is the
-# EXISTING IVF-PQ chain verbatim — DuckDB re-derives the deterministic
-# training and must match what the persisted index serves.
+# SCALED IVF-PQ chain (corpus-sized nlist, sqrt(nlist) probes) — DuckDB
+# re-derives the deterministic training and must match what the
+# persisted index serves.
 
 _IDX: dict[str, str] = {}
 _IDX_LOCK = threading.Lock()
@@ -631,7 +693,7 @@ def q_ann_index_build(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _ann_build_sql() -> str:
-    parts, final_a, probe_c = _km_sql_parts()
+    parts, final_a, probe_c = _km_sql_parts(scaled=True)
     return (
         ",\n".join(parts)
         + f""",
@@ -649,12 +711,22 @@ ORACLE_ANN_INDEX_BUILD = _ann_build_sql()
 def q_ann_index_query(spark: SparkSession, sf: str) -> DataFrame:
     """Serve the vec_id=0 top-10 from the PERSISTED index (building it
     first if this sf_dir hasn't yet — memoized, so the bench and the
-    driver pay training once, not per query). Must equal
-    `ann_ivfpq_topk` exactly: same cells, same codes, same fold order —
-    the oracle IS that query's chain."""
+    driver pay training once, not per query). The oracle is the SCALED
+    IVF-PQ chain (`_ivfpq_sql_chain(scaled=True)`): DuckDB re-derives
+    the corpus-sized cell count, the trained cells, and the
+    sqrt(nlist)-probe prefix deterministically and must land on the
+    same top-10 the persisted index serves."""
     idx = _index_dir(spark, sf)
     q0 = _km_quantized(spark, sf).filter(F.col("vec_id") == 0)
     return query_ann_index(spark, idx, q0, k=ANN_TOPK, exclude_id=0)
+
+
+def _ann_index_query_sql() -> str:
+    parts, final = _ivfpq_sql_chain(scaled=True)
+    return ",\n".join(parts) + "\n" + final
+
+
+ORACLE_ANN_INDEX_QUERY = _ann_index_query_sql()
 
 
 def q_ann_index_recall(spark: SparkSession, sf: str) -> DataFrame:
@@ -680,9 +752,8 @@ def q_ann_index_recall(spark: SparkSession, sf: str) -> DataFrame:
 
 def _ann_index_recall_sql() -> str:
     from .llm_ops import _SQL_DOT, _SQL_NORM_A, _SQL_NORM_Q
-    from .ml_ops import _ivfpq_sql_chain
 
-    parts, final = _ivfpq_sql_chain()
+    parts, final = _ivfpq_sql_chain(scaled=True)
     return (
         ",\n".join(
             parts
@@ -707,8 +778,9 @@ ORACLE_ANN_INDEX_RECALL = _ann_index_recall_sql()
 
 
 # Catalog predicate for the filtered serve: chosen so the sf0.01 fixture
-# EXERCISES the widening branch (≈30 survivors spread over 8 cells — the
-# first IVF_PROBES cells hold fewer than k, so the serve must widen).
+# EXERCISES the widening branch (≈30 survivors spread over the corpus-
+# sized cell count — the first `_serve_probes(nlist)` cells hold fewer
+# than k, so the serve must widen).
 ANN_WHERE_LABEL = 3
 ANN_WHERE_SQL = f"label = {ANN_WHERE_LABEL} AND vec_id % 2 = 0"
 
@@ -735,14 +807,15 @@ def q_ann_index_query_where(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _ann_where_sql() -> str:
-    """Oracle for the filtered serve: the IVF-PQ chain with the widening
-    rule stated in SQL — cells ordered by centroid distance; the served
-    prefix is the smallest whole-cell prefix of length ≥ IVF_PROBES whose
-    filtered-survivor running count reaches k (all cells if it never
-    does); candidates are the prefix's survivors, ADC-scored."""
-    from .ml_ops import KM_DIM, _km_sql_parts, _pq_sql_parts
+    """Oracle for the filtered serve: the SCALED IVF-PQ chain with the
+    widening rule stated in SQL — cells ordered by centroid distance; the
+    served prefix is the smallest whole-cell prefix of length ≥
+    `_serve_probes(nlist)` whose filtered-survivor running count reaches
+    k (all cells if it never does); candidates are the prefix's
+    survivors, ADC-scored."""
+    from .ml_ops import KM_DIM, _pq_sql_parts
 
-    km_parts, final_a, probe_c = _km_sql_parts()
+    km_parts, final_a, probe_c = _km_sql_parts(scaled=True)
     km_parts = [
         km_parts[0].replace("WITH emb AS (", "WITH emb AS MATERIALIZED (", 1)
     ] + km_parts[1:]
@@ -763,7 +836,8 @@ def _ann_where_sql() -> str:
 )""",
         f"""used AS (
   SELECT coalesce(
-           min(CASE WHEN rn >= {IVF_PROBES} AND cum_n >= {ANN_TOPK}
+           min(CASE WHEN rn >= {_sql_serve_probes("cellorder")}
+                     AND cum_n >= {ANN_TOPK}
                     THEN rn END),
            (SELECT max(rn) FROM cellorder)) AS used
   FROM (
@@ -791,7 +865,7 @@ QUERIES: dict[str, Query] = {
     ),
     "ann_index_query": Query(
         q_ann_index_query,
-        ORACLE_ANN_IVFPQ_TOPK,
+        ORACLE_ANN_INDEX_QUERY,
         ("ann", "index", "similarity"),
     ),
     "ann_index_recall": Query(

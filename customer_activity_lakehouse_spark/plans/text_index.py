@@ -426,21 +426,30 @@ def _full_idx_dir(spark: SparkSession, sf_dir: str) -> str:
         return base
 
 
-def q_hybrid_index_rrf(spark: SparkSession, sf: str) -> DataFrame:
-    """Hybrid retrieval SERVED from the persisted indexes: fuse the text
-    index's BM25 top-RRF_POOL with the ANN index's PQ top-RRF_POOL as
-    sum of 1/(RRF_K + rank). Same output shape and fusion arithmetic as
+def serve_hybrid_rrf(
+    spark: SparkSession,
+    text_index_dir: str,
+    ann_index_dir: str,
+    terms,
+    query_q: DataFrame,
+    k: int | None = None,
+    exclude_id: int | None = None,
+) -> DataFrame:
+    """Hybrid retrieval SERVED from two persisted indexes: fuse the text
+    index's BM25 top-RRF_POOL for ``terms`` with the ANN index's PQ
+    top-RRF_POOL for ``query_q`` (one quantized query row) as sum of
+    1/(RRF_K + rank). Same output shape and fusion arithmetic as
     `hybrid_search_rrf`; the rankers are index serves instead of corpus
     scans — ~O(query terms + probed cells) I/O instead of two full
-    passes."""
+    passes. Shared by the catalog entry and the SEARCH HYBRID INDEX
+    SQL verb (sources/sql.py)."""
     from pyspark.sql import Window
 
-    from .ann_index import _index_dir, query_ann_index
+    from .ann_index import query_ann_index
     from .llm_ops import RRF_K, RRF_POOL, RRF_TOPK
-    from .ml_ops import _km_quantized
 
     lex = (
-        query_text_index(spark, _full_idx_dir(spark, sf), k=RRF_POOL)
+        query_text_index(spark, text_index_dir, terms, k=RRF_POOL)
         .select(
             "doc_id",
             F.row_number()
@@ -449,10 +458,9 @@ def q_hybrid_index_rrf(spark: SparkSession, sf: str) -> DataFrame:
             .alias("r_lex"),
         )
     )
-    q0 = _km_quantized(spark, sf).filter(F.col("vec_id") == 0)
     vec = (
         query_ann_index(
-            spark, _index_dir(spark, sf), q0, k=RRF_POOL, exclude_id=0
+            spark, ann_index_dir, query_q, k=RRF_POOL, exclude_id=exclude_id
         )
         .select(
             F.col("vec_id").alias("doc_id"),
@@ -472,19 +480,39 @@ def q_hybrid_index_rrf(spark: SparkSession, sf: str) -> DataFrame:
             6,
         ).alias("rrf"),
     )
-    return fused.orderBy(F.col("rrf").desc(), "doc_id").limit(RRF_TOPK)
+    return fused.orderBy(F.col("rrf").desc(), "doc_id").limit(
+        k if k is not None else RRF_TOPK
+    )
+
+
+def q_hybrid_index_rrf(spark: SparkSession, sf: str) -> DataFrame:
+    """The catalog's hybrid serve: BM25_QUERY terms over the memoized
+    full-corpus text index fused with vec_id 0's neighbors from the
+    memoized ANN index (`serve_hybrid_rrf`)."""
+    from .ann_index import _index_dir
+    from .ml_ops import _km_quantized
+
+    q0 = _km_quantized(spark, sf).filter(F.col("vec_id") == 0)
+    return serve_hybrid_rrf(
+        spark,
+        _full_idx_dir(spark, sf),
+        _index_dir(spark, sf),
+        BM25_QUERY,
+        q0,
+        exclude_id=0,
+    )
 
 
 def _hybrid_index_sql() -> str:
     """lex pool = brute BM25 over the full corpus (the text index is
-    lossless); vec pool = the deterministic IVF-PQ chain (what the
-    persisted ANN index provably serves — ann_index_query's oracle),
-    re-limited to the RRF pool depth; fusion verbatim from the
-    hybrid_search_rrf oracle."""
+    lossless); vec pool = the deterministic SCALED IVF-PQ chain (what
+    the persisted ANN index provably serves — ann_index_query's oracle:
+    corpus-sized nlist, sqrt(nlist) probes), re-limited to the RRF pool
+    depth; fusion verbatim from the hybrid_search_rrf oracle."""
     from .llm_ops import RRF_K, RRF_POOL, RRF_TOPK, _bm25_sql_parts
     from .ml_ops import _ivfpq_sql_chain
 
-    vec_parts, vec_final = _ivfpq_sql_chain()
+    vec_parts, vec_final = _ivfpq_sql_chain(scaled=True)
     tail = "LIMIT 10"
     assert vec_final.endswith(tail), vec_final[-40:]
     vec_pool = vec_final[: -len(tail)] + f"LIMIT {RRF_POOL}"

@@ -827,7 +827,7 @@ def test_ann_index_query_serves_without_training(spark, sf_correctness):
     assert hash_keys <= {"m"}, f"serving plan must not shuffle: {hash_keys}\n{plan}"
     assert plan.count("Exchange hashpartitioning(") == 1, plan
     # partition pruning on the index table: the codes scan touches fewer
-    # files than the table holds (IVF_PROBES=2 of up to 8 cells probed)
+    # files than the table holds (ceil(sqrt(nlist)) of nlist cells probed)
     from customer_activity_lakehouse_spark.plans.ann_index import _index_dir
     from customer_activity_lakehouse_spark.sources.snapshots import read_snapshot
 

@@ -587,8 +587,12 @@ def test_describe_index_via_sql(spark, tmp_path):
     row = run_table_sql(
         spark, f"DESCRIBE VECTOR INDEX snapshot.`{vidx}`"
     ).collect()[0]
+    from customer_activity_lakehouse_spark.plans.ml_ops import _ivf_cells
+
     assert (row.index_kind, row.n_vectors, row.consumed_version) == ("vector", 80, 1)
-    assert 1 <= row.n_cells <= row.n_centroids <= 8
+    # corpus-sized quantizer: nlist = max(8, ceil(sqrt(80))) = 9 targets,
+    # minus any empty seed buckets / Lloyd-emptied cells
+    assert 1 <= row.n_cells <= row.n_centroids <= _ivf_cells(80)
     dcorpus = str(tmp_path / "dcorpus")
     midx = str(tmp_path / "midx")
     commit_append(
