@@ -53,6 +53,11 @@ _MAX_COMMIT_RETRIES = 64
 # allocating from the SAME watermark in the same instant.
 _MAX_IDENTITY_RETRIES = 5
 
+# target bytes/file when a clustered rewrite (MERGE fold, REORG purge)
+# re-lays data range-sorted on the cluster columns — the OPTIMIZE
+# bin-packing target applied to in-place rewrites
+_CLUSTER_FILE_BYTES = 128 * 1024 * 1024
+
 
 class IdentityConflictError(RuntimeError):
     """A concurrent commit moved an identity column's high watermark (or
@@ -3770,7 +3775,7 @@ def reorg_snapshot(spark: SparkSession, table_dir: str) -> int | None:
     ]
     if clus_cols:
         needs_bytes = sum(_file_sizes(spark, needs).values())
-        n_out = max(1, len(needs), -(-needs_bytes // (128 * 1024 * 1024)))
+        n_out = max(1, len(needs), -(-needs_bytes // _CLUSTER_FILE_BYTES))
         rewritten = rewritten.repartitionByRange(
             n_out, *clus_cols
         ).sortWithinPartitions(*clus_cols)
@@ -4224,11 +4229,27 @@ def merge_snapshot(
         # must not collapse a range-laid table into one file), but split
         # once the rewrite volume outgrows ~128 MB/file — repeated folds
         # GROW a clustered table in place, and a count-preserving rewrite
-        # would otherwise inflate per-file size forever. Inserts aren't
-        # in the estimate (batch size unknown without an action); the
-        # next fold's rewrite sees their bytes.
+        # would otherwise inflate per-file size forever. Insert volume
+        # can't be sized exactly without an action, but the optimizer's
+        # sizeInBytes estimate is free and accurate for the common
+        # file-backed/local frames (ADVICE r12: without it, a pure-insert
+        # merge landed ANY batch in one file); opaque plans degrade to
+        # Long.MaxValue, so anything implausible for one fold is treated
+        # as unknown — the next fold's rewrite sees the real bytes.
         touched_bytes = sum(_file_sizes(spark, touched).values()) if touched else 0
-        n_out = max(1, len(touched), -(-touched_bytes // (128 * 1024 * 1024)))
+        try:
+            est_insert = int(
+                updates._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+            )
+        except Exception:  # plan exposes no stats — size unknown
+            est_insert = 0
+        if est_insert > (1 << 40):  # >1 TiB/fold: degenerate estimate
+            est_insert = 0
+        n_out = max(
+            1,
+            len(touched),
+            -(-(touched_bytes + est_insert) // _CLUSTER_FILE_BYTES),
+        )
         merged = merged.repartitionByRange(
             n_out, *clus_cols
         ).sortWithinPartitions(*clus_cols)

@@ -2659,6 +2659,40 @@ def test_liquid_clustering_merge_layout(spark, tmp_path):
     assert read_snapshot(spark, t).filter("k = 14").collect()[0]["v"] == 42
 
 
+def test_liquid_clustering_pure_insert_merge_splits_by_volume(
+    spark, tmp_path, monkeypatch
+):
+    """ADVICE r12: a pure-insert MERGE into a clustered table rewrote no
+    files, so n_out collapsed to 1 and an arbitrarily large insert batch
+    landed range-sorted in a SINGLE file. The fold now sizes its output
+    from the optimizer's free sizeInBytes estimate of the insert frame
+    (file-backed and local frames report real bytes), so a large insert
+    splits into ~128 MB range-disjoint files like any other rewrite."""
+    import customer_activity_lakehouse_spark.sources.snapshots as S
+
+    t = str(tmp_path / "tbl")
+    commit_append(
+        spark,
+        t,
+        spark.range(0, 100).selectExpr("id AS k", "id * 2 AS v"),
+        stats_cols=["k"],
+    )
+    S.set_cluster_columns(spark, t, ["k"])
+    # shrink the per-file target so a modest insert exceeds it
+    monkeypatch.setattr(S, "_CLUSTER_FILE_BYTES", 4096)
+    ups = spark.range(1000, 6000).selectExpr("id AS k", "id * 3 AS v")
+    S.merge_snapshot(spark, t, ups, keys=["k"], stats_cols=["k"])
+    m = _read_manifest_latest(spark, t)
+    assert m["files_rewritten"] == 0  # pure insert: no key overlap
+    new_files = [f for f in m["files"] if "-merge-" in f]
+    assert len(new_files) >= 2, new_files
+    # and the split is still range-laid: disjoint cluster-key spans
+    spans = sorted(tuple(m["stats"][f]["k"]) for f in new_files)
+    for (_lo1, hi1), (lo2, _hi2) in zip(spans, spans[1:]):
+        assert hi1 <= lo2, spans
+    assert read_snapshot(spark, t).count() == 5100
+
+
 def test_liquid_clustering_merge_with_hive_partitioning(spark, tmp_path):
     """Clustered MERGE composes with hive dir-partitioning (the
     date-partitioned + key-clustered production shape): merge output is
