@@ -983,7 +983,9 @@ def q_events_distinct_users_sketch(spark: SparkSession, sf: str) -> DataFrame:
     state (relativeSD 0.02 ≈ 1.5 KB/group) that never re-shuffles raw rows —
     THE way to count uniques at scale. No DuckDB oracle on purpose: HLL
     estimates are engine-specific, so the driver records the honest
-    rows-only check; the error bound (|approx-exact| ≤ 5%) and determinism
+    rows-only check; the error bound (|approx-exact| ≤ 5%), determinism,
+    AND exact value equality against an independent pure-Python HLL++
+    twin (XxHash64 + registers + linear counting over DuckDB-read rows)
     are pinned by tests/test_sketches.py instead."""
     ev = table(spark, sf, "events")
     return ev.groupBy("event_type").agg(
@@ -998,8 +1000,9 @@ def q_order_value_sketch_quantiles(spark: SparkSession, sf: str) -> DataFrame:
     sort (or percentile_disc's per-group buffering of every value); the GK
     sketch keeps bounded state per partition and merges — the 100 TB path
     for latency/size distributions. Engine-specific estimates → rows-only
-    driver check; accuracy (each approx within the 1%-rank neighborhood of
-    exact) is pinned by tests/test_sketches.py."""
+    driver check; accuracy (each approx within the 1%-rank neighborhood
+    of exact) AND exact value equality against an independent pure-Python
+    QuantileSummaries twin are pinned by tests/test_sketches.py."""
     orders = table(spark, sf, "orders")
     exact = F.expr(
         "percentile_disc(array(0.5, 0.9, 0.99)) WITHIN GROUP (ORDER BY o_totalprice)"
