@@ -154,32 +154,56 @@ def build_ann_index(
     aggs); codes assign in-row and land partitioned by cell."""
     from ..sources.snapshots import commit_append
 
-    if cells is None:
-        cells = _ivf_cells(emb.count())
+    n_cells = cells if cells is not None else _ivf_cells(emb.count())
     embq = _quantize(emb)
-    assigned, cents_used = _km_fit_scaled(embq, cells)
-    books = _pq_fit_frame(embq)
-    cells = assigned.select("vec_id", F.col("cluster").cast("int").alias("cell"))
-    codes = _encode(embq, books).join(cells, "vec_id")
-    commit_append(
-        spark,
-        f"{index_dir}/ivf_centroids",
-        cents_used.select(F.col("cluster").cast("int").alias("cluster"), "c"),
+    # Train ONCE, pin the (tiny) trained state, then derive everything
+    # downstream from the pinned frames: each commit is its own action,
+    # and without the persist the centroid commit, codebook commit, and
+    # codes commit would each re-execute the full Lloyd lineage (the
+    # unpersisted build retrained ~3x — measured ~2/3 of build time at
+    # sf0.1). The cached frames are nlist rows + PQ_M*PQ_K rows — driver-
+    # trivial at any corpus size; the corpus itself is never cached.
+    _, cents_used = _km_fit_scaled(embq, n_cells)
+    cents = cents_used.select(
+        F.col("cluster").cast("int").alias("cluster"), "c"
+    ).persist()
+    cents.count()
+    books = _pq_fit_frame(embq).persist()
+    books.count()
+    # re-derive assignments against the PINNED centroids: one map-side
+    # scan, bit-identical to the training pass's final assignment (same
+    # argmin against the same doubles)
+    cellsf = _km_assign(embq, cents).select(
+        "vec_id", F.col("cluster").cast("int").alias("cell")
     )
+    codes = _encode(embq, books).join(cellsf, "vec_id")
+    commit_append(spark, f"{index_dir}/ivf_centroids", cents)
     commit_append(spark, f"{index_dir}/pq_codebooks", books.orderBy("m", "cluster"))
     extra = (
         None
         if consumed_version is None
         else {"ann_consumed_version": int(consumed_version)}
     )
+    # co-locate each cell before the hive-partitioned write: the encode
+    # leaves rows partitioned by vec_id, so writing partitioned-by-cell
+    # from there emits one file per (task, cell) — tasks x nlist files of
+    # a few rows each (the corpus-sized nlist made this visible: 45-cell
+    # sf0.1 builds committed ~360 files and the commit's per-file stats
+    # dominated build time). Hash-repartitioning on cell puts each cell
+    # in exactly one task -> one file per cell, which is also the 100 TB
+    # shape: a cell is ~N/nlist ≈ sqrt(N) 4-byte codes, well under one
+    # parquet file.
+    n_parts = max(1, min(int(n_cells), spark.sparkContext.defaultParallelism))
     commit_append(
         spark,
         f"{index_dir}/codes",
-        codes.select("vec_id", "cell", "code"),
+        codes.select("vec_id", "cell", "code").repartition(n_parts, "cell"),
         stats_cols=["vec_id"],
         partition_by=["cell"],
         extra=extra,
     )
+    cents.unpersist()
+    books.unpersist()
 
 
 def maintain_ann_index(
