@@ -4237,14 +4237,20 @@ def merge_snapshot(
         # Long.MaxValue, so anything implausible for one fold is treated
         # as unknown — the next fold's rewrite sees the real bytes.
         touched_bytes = sum(_file_sizes(spark, touched).values()) if touched else 0
-        try:
-            est_insert = int(
-                updates._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
-            )
-        except Exception:  # plan exposes no stats — size unknown
-            est_insert = 0
-        if est_insert > (1 << 40):  # >1 TiB/fold: degenerate estimate
-            est_insert = 0
+        est_insert = 0
+        if not touched:
+            # pure-insert only: forcing the optimizer on the updates plan
+            # costs real driver time (it re-optimizes a plan the write
+            # then re-plans anyway), so rewriting merges keep the
+            # rewrite-derived count and the next fold sees insert bytes
+            try:
+                est_insert = int(
+                    updates._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+                )
+            except Exception:  # plan exposes no stats — size unknown
+                est_insert = 0
+            if est_insert > (1 << 40):  # >1 TiB/fold: degenerate estimate
+                est_insert = 0
         n_out = max(
             1,
             len(touched),
