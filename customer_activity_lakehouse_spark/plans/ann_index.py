@@ -79,6 +79,7 @@ from .ml_ops import (
     _pq_subrows,
     _serve_probes,
     _sql_serve_probes,
+    _train_divisor,
 )
 from .registry import Query, table
 
@@ -104,15 +105,34 @@ def _seed_centroids_scaled(embq: DataFrame, k: int) -> DataFrame:
     )
 
 
-def _km_fit_scaled(embq: DataFrame, k: int) -> tuple[DataFrame, DataFrame]:
+def _km_fit_scaled(
+    embq: DataFrame, k: int, divisor: int = 1
+) -> tuple[DataFrame, DataFrame]:
     """Lloyd's with a corpus-sized cell count — `ml_ops._km_fit_frame`
-    with the scaled seeding; assign/update are K-agnostic and shared."""
-    centroids = _seed_centroids_scaled(embq, k)
+    with the scaled seeding; assign/update are K-agnostic and shared.
+
+    ``divisor`` > 1 trains on the deterministic md5 sample (8-hex-digit
+    value % divisor == 0 — `ml_ops._train_divisor`, the FAISS
+    max_points_per_centroid doctrine): the update-feeding assignments
+    scan ~KM_TRAIN_PER_CELL·k rows instead of the corpus, turning
+    training from O(N^1.5·dim) to O(N·dim); only the FINAL assignment
+    (the one the committed cells come from) runs over the whole
+    corpus. divisor=1 (every fixture scale) is byte-identical to
+    full-corpus training."""
+    train = embq
+    if divisor > 1:
+        hex8 = F.substring(
+            F.md5(F.col("vec_id").cast("string").cast("binary")), 1, 8
+        )
+        train = embq.filter(F.conv(hex8, 16, 10).cast("long") % divisor == 0)
+    centroids = _seed_centroids_scaled(train, k)
     assigned = cents_used = None
-    for _ in range(KM_ITERS):
+    for it in range(KM_ITERS):
         cents_used = centroids
-        assigned = _km_assign(embq, cents_used)
-        centroids = _km_update(assigned)
+        src = train if it < KM_ITERS - 1 else embq
+        assigned = _km_assign(src, cents_used)
+        if it < KM_ITERS - 1:
+            centroids = _km_update(assigned)
     return assigned, cents_used
 
 
@@ -149,12 +169,20 @@ def build_ann_index(
     index as three snapshot tables under ``index_dir``. The coarse cell
     count is derived from the corpus size (``_ivf_cells``: nlist ≈
     sqrt(N), one metadata-cheap count — a one-time build can afford it,
-    the `_build_parts` precedent); ``cells`` overrides it. Training is
-    the only stage that shuffles (nlist-row / (m, cluster)-keyed partial
-    aggs); codes assign in-row and land partitioned by cell."""
+    the `_build_parts` precedent); ``cells`` overrides it. Lloyd trains
+    on a deterministic md5 sample of ~KM_TRAIN_PER_CELL vectors per
+    centroid (``_train_divisor`` — full corpus below ~65k vectors), so
+    training is O(N·dim) instead of O(N^1.5·dim); the final cell
+    assignment and the PQ encode are each ONE full-corpus map-side pass
+    (per-row cost nlist·dim — at extreme nlist FAISS accelerates this
+    with an index over the centroids; that is the upgrade path, not
+    silently approximated). Training is the only stage that shuffles
+    (nlist-row / (m, cluster)-keyed partial aggs); codes assign in-row
+    and land partitioned by cell, one file per cell."""
     from ..sources.snapshots import commit_append
 
-    n_cells = cells if cells is not None else _ivf_cells(emb.count())
+    n = emb.count()  # one metadata-cheap single-column scan
+    n_cells = cells if cells is not None else _ivf_cells(n)
     embq = _quantize(emb)
     # Train ONCE, pin the (tiny) trained state, then derive everything
     # downstream from the pinned frames: each commit is its own action,
@@ -163,7 +191,7 @@ def build_ann_index(
     # unpersisted build retrained ~3x — measured ~2/3 of build time at
     # sf0.1). The cached frames are nlist rows + PQ_M*PQ_K rows — driver-
     # trivial at any corpus size; the corpus itself is never cached.
-    _, cents_used = _km_fit_scaled(embq, n_cells)
+    _, cents_used = _km_fit_scaled(embq, n_cells, _train_divisor(n, n_cells))
     cents = cents_used.select(
         F.col("cluster").cast("int").alias("cluster"), "c"
     ).persist()

@@ -201,11 +201,14 @@ def _km_sql_parts(scaled: bool = False) -> tuple[list[str], str, str]:
 
     ``scaled=True`` is the persisted-index variant (ann_index.py): the
     cell count is derived from the corpus row count inside the SQL
-    (nk CTE = greatest(KM_K, ceil(sqrt(count(*))))), and seeding buckets
-    by the 8-hex-digit md5 value mod k — exactly what
-    `ann_index._km_fit_scaled` computes, so the oracle re-derives the
-    trained cells identically at ANY corpus size. The default keeps the
-    legacy fixed-K chain byte-stable for the in-plan anchors
+    (nk CTE = greatest(KM_K, ceil(sqrt(count(*))))), seeding buckets by
+    the 8-hex-digit md5 value mod k, and Lloyd trains over a
+    deterministic md5 SAMPLE of ~KM_TRAIN_PER_CELL vectors per centroid
+    (`_train_divisor` — degenerate full-corpus below ~65k vectors) with
+    only the FINAL assignment running over the whole corpus — exactly
+    what `ann_index._km_fit_scaled` computes, so the oracle re-derives
+    the trained cells identically at ANY corpus size. The default keeps
+    the legacy fixed-K chain byte-stable for the in-plan anchors
     (`embedding_kmeans`, `ann_ivf_kmeans_topk`, `ann_pq_topk`,
     `ann_ivfpq_topk`)."""
     dist = (
@@ -219,19 +222,25 @@ def _km_sql_parts(scaled: bool = False) -> tuple[list[str], str, str]:
         "SELECT vec_id, q, cluster, dist FROM ("
         " SELECT e.vec_id, e.q, c.cluster, {dist} AS dist,"
         "        row_number() OVER (PARTITION BY e.vec_id ORDER BY {dist}, c.cluster) AS rn"
-        " FROM emb e CROSS JOIN {cents} c) WHERE rn = 1"
+        " FROM {src} e CROSS JOIN {cents} c) WHERE rn = 1"
     )
     update = "SELECT cluster, [{u}] AS c FROM {assigned} GROUP BY cluster".format(
         u=upd_list, assigned="{assigned}"
     )
     if scaled:
+        train = "train"
         seed_parts = [
             f"nk AS (SELECT greatest({KM_K}, ceil(sqrt(count(*)))::BIGINT) AS k"
             " FROM emb)",
+            "nd AS (SELECT greatest(1,"
+            f" count(*) // ({KM_TRAIN_PER_CELL} * (SELECT k FROM nk)))::BIGINT AS d"
+            " FROM emb)",
+            f"train AS (SELECT * FROM emb WHERE {_SQL_HEX8} % (SELECT d FROM nd) = 0)",
             f"seeds AS (SELECT ({_SQL_HEX8} % (SELECT k FROM nk))::INT AS cluster,"
-            " min(vec_id) AS vec_id FROM emb GROUP BY 1)",
+            " min(vec_id) AS vec_id FROM train GROUP BY 1)",
         ]
     else:
+        train = "emb"
         seed_parts = [
             "seeds AS (SELECT ((strpos('" + _HEX + "', substr(md5(vec_id::VARCHAR), 1, 1)) - 1)"
             f" % {KM_K})::INT AS cluster, min(vec_id) AS vec_id"
@@ -242,12 +251,15 @@ def _km_sql_parts(scaled: bool = False) -> tuple[list[str], str, str]:
         f" list_transform(embedding, x -> floor(x::DOUBLE * {KM_SCALE})::BIGINT) AS q"
         " FROM embeddings)",
         *seed_parts,
-        "c0 AS (SELECT s.cluster, list_transform(e.q, x -> x::DOUBLE) AS c"
-        " FROM seeds s JOIN emb e USING (vec_id))",
+        f"c0 AS (SELECT s.cluster, list_transform(e.q, x -> x::DOUBLE) AS c"
+        f" FROM seeds s JOIN {train} e USING (vec_id))",
     ]
     prev_c = "c0"
     for it in range(1, KM_ITERS + 1):
-        parts.append(f"a{it} AS ({assign.format(dist=dist, cents=prev_c)})")
+        # training iterations assign the SAMPLE; the final assignment
+        # (the one the committed cells come from) runs over the corpus
+        src = train if it < KM_ITERS else "emb"
+        parts.append(f"a{it} AS ({assign.format(dist=dist, cents=prev_c, src=src)})")
         if it < KM_ITERS:
             parts.append(f"c{it} AS ({update.format(assigned=f'a{it}')})")
             prev_c = f"c{it}"
@@ -285,6 +297,22 @@ def _ivf_cells(n_vectors: int) -> int:
     their fixed K=8 — they exist to bench the retrain anti-pattern, not
     to serve)."""
     return max(KM_K, math.ceil(math.sqrt(max(int(n_vectors), 1))))
+
+
+KM_TRAIN_PER_CELL = 256  # FAISS max_points_per_centroid: Lloyd trains on
+#                          ~256 sampled vectors per centroid, not the corpus
+
+
+def _train_divisor(n_vectors: int, n_cells: int) -> int:
+    """Deterministic training-sample divisor: train the coarse quantizer
+    on vec_ids whose 8-hex-digit md5 value % divisor == 0 — ~256 vectors
+    per centroid (the FAISS max_points_per_centroid doctrine). Full-
+    corpus Lloyd over sqrt(N) centroids is O(N^1.5 · dim); sampling
+    256·nlist ≈ 256·sqrt(N) rows makes training O(N · dim). Degenerates
+    to 1 (train on everything) below ~65k vectors — every test fixture —
+    so the oracle chain is byte-stable at small scale and the sample
+    only engages where it matters."""
+    return max(1, int(n_vectors) // (KM_TRAIN_PER_CELL * max(int(n_cells), 1)))
 
 
 def _serve_probes(n_cells: int) -> int:

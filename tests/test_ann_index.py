@@ -513,3 +513,41 @@ def test_probed_fraction_shrinks_as_corpus_grows(spark, tmp_path):
     assert frac[1500] < frac[300], (frac, n_cells)
     # and both sit far below the old constant 25 % at the larger size
     assert frac[1500] < 0.25, frac
+
+
+def test_sampled_training_deterministic_and_covering(spark):
+    """Corpus-sized training cost (FAISS max_points_per_centroid): above
+    ~65k vectors the Lloyd updates train on a deterministic md5 sample
+    (~KM_TRAIN_PER_CELL per centroid) while the FINAL assignment covers
+    the whole corpus. Forced-divisor checks at test scale: the sample
+    really shrinks the training set, training stays deterministic, and
+    every corpus vector still gets a cell from the sample-trained
+    centroids. At every fixture scale the divisor is 1 (byte-identical
+    to full-corpus training — the oracle-parity suite pins that side)."""
+    from customer_activity_lakehouse_spark.plans.ann_index import (
+        _km_fit_scaled,
+    )
+    from customer_activity_lakehouse_spark.plans.ml_ops import (
+        KM_TRAIN_PER_CELL,
+        _train_divisor,
+    )
+
+    # the divisor rule: engages only past ~KM_TRAIN_PER_CELL * nlist rows
+    assert _train_divisor(500, 23) == 1
+    assert _train_divisor(2000, 45) == 1
+    assert _train_divisor(1_000_000, 1000) == 1_000_000 // (KM_TRAIN_PER_CELL * 1000)
+    assert _train_divisor(10**9, 31623) >= 100
+
+    embq = _quantize(_corpus(spark, 0, 400))
+    a1, c1 = _km_fit_scaled(embq, 12, divisor=3)
+    a2, c2 = _km_fit_scaled(embq, 12, divisor=3)
+    assert c1.collect() == c2.collect()  # deterministic training
+    rows = a1.select("vec_id", "cluster").collect()
+    assert len(rows) == 400  # final assignment covers the FULL corpus
+    assert len({r.vec_id for r in rows}) == 400
+    cells_used = {r.cluster for r in rows}
+    assert cells_used <= {int(r.cluster) for r in c1.collect()}
+    # the sample-trained centroids differ from full-corpus training's
+    # (different update statistics) but the cell count is comparable
+    _, c_full = _km_fit_scaled(embq, 12, divisor=1)
+    assert 1 <= c1.count() <= 12 and 1 <= c_full.count() <= 12
