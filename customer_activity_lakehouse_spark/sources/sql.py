@@ -43,6 +43,11 @@ a mis-parsed DML that silently no-ops is a data-loss bug):
   (the nightly loop — OPTIMIZE by small-file policy, inert DV-pointer
   drop, bloom backfill, VACUUM — as one verb; returns a 1-row frame of
   the four step outcomes)
+- MAINTAIN VECTOR|MINHASH|TEXT INDEX snapshot.`idx` [TARGET <n> MB]
+    [KEEP <m> VERSIONS]
+  (the same loop over EVERY subtable of a persisted index — REFRESH
+  folds leave small-file debris that compaction re-lays honoring the
+  declared clustering / hive cell partitioning; one row per subtable)
 - VACUUM snapshot.`p` [RETAIN <n> HOURS] [DRY RUN]
 - FSCK REPAIR TABLE snapshot.`p` [DRY RUN]
 - RESTORE snapshot.`p` TO VERSION AS OF <n> | TO TIMESTAMP AS OF '<ts>'
@@ -274,6 +279,41 @@ def run_table_sql(spark: SparkSession, stmt: str) -> DataFrame | int | None:
             raise ValueError(f"cannot parse FSCK statement: {stmt!r}")
         return S.fsck_snapshot(spark, m.group(1), repair=m.group(2) is None)
     if head == "MAINTAIN":
+        im = re.fullmatch(
+            rf"MAINTAIN\s+(VECTOR|MINHASH|TEXT)\s+INDEX\s+{_REF}"
+            r"(?:\s+TARGET\s+(\d+)\s*MB)?(?:\s+KEEP\s+(\d+)\s+VERSIONS?)?",
+            s,
+            re.I,
+        )
+        if im:
+            # the nightly policy loop over EVERY subtable of a persisted
+            # index: REFRESH folds leave small-file debris (the bench
+            # census shape — extra doclen/codes files per fold) that
+            # compaction re-lays honoring the declared clustering/hive
+            # partitioning, so serving prune-paths stay tight without a
+            # per-subtable cron. One row per subtable.
+            kind = im.group(1).upper()
+            idx = im.group(2)
+            kwargs = {}
+            if im.group(3) is not None:
+                kwargs["target_file_mb"] = int(im.group(3))
+            if im.group(4) is not None:
+                kwargs["keep_versions"] = int(im.group(4))
+            rows = []
+            for sub in _verify_index(spark, kind, idx):
+                out = S.maintain_snapshot(spark, f"{idx}/{sub}", **kwargs)
+                rows.append((
+                    sub,
+                    out["compacted"],
+                    out["dv_pointers_dropped"],
+                    out["bloom_backfilled"],
+                    out["vacuumed"],
+                ))
+            return spark.createDataFrame(
+                rows,
+                "subtable string, compacted long, dv_pointers_dropped long, "
+                "bloom_backfilled long, vacuumed long",
+            )
         m = re.fullmatch(
             rf"MAINTAIN\s+TABLE\s+{_REF}(?:\s+TARGET\s+(\d+)\s*MB)?"
             r"(?:\s+KEEP\s+(\d+)\s+VERSIONS?)?",
@@ -497,18 +537,12 @@ def _describe_refs(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
-def _drop_index(spark: SparkSession, kind: str, idx: str) -> int:
-    """DROP VECTOR|MINHASH INDEX — physically removes the index's
-    snapshot subtables, completing the lifecycle CREATE/REFRESH/DESCRIBE
-    started. Guarded twice before anything is deleted: the anchor
-    subtable must exist as a snapshot table AND carry the declared
-    kind's columns — refusal beats recursively deleting whatever a
-    typo'd path happens to name. The index root itself is removed only
-    non-recursively (it must be empty by then), so an index dir that a
-    caller nested other data under survives with that data intact.
-    Returns the number of subtables deleted."""
-    from .tables import _hadoop_fs
-
+def _verify_index(spark: SparkSession, kind: str, idx: str) -> list[str]:
+    """Subtable names of a ``kind`` index at ``idx``, after verifying the
+    anchor subtable exists as a snapshot table AND carries the declared
+    kind's columns — the guard every destructive/bulk index verb
+    (DROP, MAINTAIN) runs before touching anything: refusal beats
+    operating on whatever a typo'd path happens to name."""
     subs = (
         ["codes", "ivf_centroids", "pq_codebooks"]
         if kind == "VECTOR"
@@ -531,6 +565,19 @@ def _drop_index(spark: SparkSession, kind: str, idx: str) -> int:
             f"{anchor} does not look like a {kind} index "
             f"(has columns {sorted(cols)}, expected {sorted(want)})"
         )
+    return subs
+
+
+def _drop_index(spark: SparkSession, kind: str, idx: str) -> int:
+    """DROP VECTOR|MINHASH INDEX — physically removes the index's
+    snapshot subtables, completing the lifecycle CREATE/REFRESH/DESCRIBE
+    started (guards: `_verify_index`). The index root itself is removed
+    only non-recursively (it must be empty by then), so an index dir
+    that a caller nested other data under survives with that data
+    intact. Returns the number of subtables deleted."""
+    from .tables import _hadoop_fs
+
+    subs = _verify_index(spark, kind, idx)
     n = 0
     for sub in subs:
         fs, jp = _hadoop_fs(spark, f"{idx}/{sub}")

@@ -404,6 +404,75 @@ def test_maintain_table_sql_route(spark, tmp_path):
         run_table_sql(spark, f"MAINTAIN snapshot.`{t}`")
 
 
+def test_maintain_index_sql_route(spark, tmp_path):
+    """MAINTAIN TEXT|VECTOR INDEX runs the nightly policy loop over every
+    index subtable: maintenance folds leave small-file debris (extra
+    doclen/postings commits per REFRESH), MAINTAIN compacts it down and
+    vacuums old versions WITHOUT breaking the serve — the fixed 3-term
+    query still prunes and answers exactly after. A non-index path
+    fails loudly instead of compacting whatever it names."""
+    import re as _re
+
+    from customer_activity_lakehouse_spark.plans.text_index import (
+        query_text_index,
+    )
+
+    corpus = str(tmp_path / "corpus")
+    idx = str(tmp_path / "idx")
+    docs = [(i, f"spark table query row{i} filler words here") for i in range(40)]
+    commit_append(
+        spark,
+        corpus,
+        spark.createDataFrame(docs, "doc_id long, text string"),
+        stats_cols=["doc_id"],
+    )
+    run_table_sql(
+        spark, f"CREATE TEXT INDEX snapshot.`{idx}` ON snapshot.`{corpus}`"
+    )
+    # three maintenance folds -> per-fold doclen/postings debris
+    for lo in (40, 80, 120):
+        commit_append(
+            spark,
+            corpus,
+            spark.createDataFrame(
+                [(i, f"spark query extra batch{lo} doc{i}") for i in range(lo, lo + 40)],
+                "doc_id long, text string",
+            ),
+            stats_cols=["doc_id"],
+        )
+        run_table_sql(
+            spark, f"REFRESH TEXT INDEX snapshot.`{idx}` FROM snapshot.`{corpus}`"
+        )
+    before = query_text_index(spark, idx, ("spark", "query")).collect()
+    dl_files_before = len(
+        {f for f in read_snapshot(spark, f"{idx}/doclen").inputFiles() if "-dv-" not in f}
+    )
+    assert dl_files_before >= 3  # the debris MAINTAIN exists to shed
+    rows = run_table_sql(
+        spark,
+        f"MAINTAIN TEXT INDEX snapshot.`{idx}` TARGET 1 MB KEEP 1 VERSIONS",
+    ).collect()
+    assert {r.subtable for r in rows} == {"postings", "doclen"}
+    by_sub = {r.subtable: r for r in rows}
+    assert by_sub["doclen"].compacted is not None
+    assert sum(r.vacuumed for r in rows) > 0
+    dl_files_after = len(
+        {f for f in read_snapshot(spark, f"{idx}/doclen").inputFiles() if "-dv-" not in f}
+    )
+    assert dl_files_after < dl_files_before
+    # the serve is unchanged and still prunes per term
+    after_df = query_text_index(spark, idx, ("spark", "query"))
+    assert after_df.collect() == before
+    post_files = {
+        f for f in read_snapshot(spark, f"{idx}/postings").inputFiles() if "-dv-" not in f
+    }
+    pruned = {f for f in after_df.inputFiles() if "/postings/" in f and "-dv-" not in f}
+    assert len(pruned) <= len(post_files)
+    # guard: a plain table is not an index
+    with pytest.raises(FileNotFoundError, match=_re.escape("no VECTOR index")):
+        run_table_sql(spark, f"MAINTAIN VECTOR INDEX snapshot.`{corpus}`")
+
+
 def test_set_partitioning_sql_route(spark, tmp_path):
     import customer_activity_lakehouse_spark.sources.snapshots as S
 
