@@ -551,3 +551,61 @@ def test_sampled_training_deterministic_and_covering(spark):
     # (different update statistics) but the cell count is comparable
     _, c_full = _km_fit_scaled(embq, 12, divisor=1)
     assert 1 <= c1.count() <= 12 and 1 <= c_full.count() <= 12
+
+
+def test_refined_serve_is_exact_over_the_adc_pool(spark, tmp_path):
+    """Refine stage (r14 — FAISS IndexRefineFlat): the refined serve's
+    top-k must be EXACTLY the brute-force cosine ranking restricted to
+    the ADC stage's top-REFINE_POOL candidate ids — same 4dp rounding and
+    vec_id tie-break as the exact baseline — and its recall against the
+    full brute-force top-k can only meet or beat the plain ADC serve's
+    (the pool contains the ADC top-k by construction)."""
+    from customer_activity_lakehouse_spark.plans.ann_index import (
+        query_ann_index_refined,
+    )
+    from customer_activity_lakehouse_spark.plans.llm_ops import (
+        _dot_expr,
+        _norm_expr,
+    )
+
+    idx = str(tmp_path / "idx")
+    corpus = _corpus(spark, 0, 300)
+    build_ann_index(spark, corpus, idx)
+    q0 = corpus.filter(F.col("vec_id") == 0).select("embedding")
+    qq = _quantize(corpus.filter(F.col("vec_id") == 0)).select("q")
+    pool = 40
+    adc_pool = query_ann_index(spark, idx, qq, k=pool, exclude_id=0)
+    pool_ids = {int(r.vec_id) for r in adc_pool.collect()}
+    refined = query_ann_index_refined(
+        spark, idx, q0, corpus, k=5, pool=pool, exclude_id=0
+    ).collect()
+    assert len(refined) == 5
+    assert {int(r.vec_id) for r in refined} <= pool_ids
+    # exact ranking over the pool, computed independently
+    cos = _dot_expr(F.col("embedding"), F.col("q_emb")) / (
+        _norm_expr(F.col("embedding")) * _norm_expr(F.col("q_emb"))
+    )
+    exact = (
+        corpus.filter(F.col("vec_id").isin(sorted(pool_ids)))
+        .crossJoin(F.broadcast(q0.select(F.col("embedding").alias("q_emb"))))
+        .select("vec_id", F.round(cos, 4).alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), "vec_id")
+        .limit(5)
+        .collect()
+    )
+    assert [(r.vec_id, r.cos_sim) for r in refined] == [
+        (r.vec_id, r.cos_sim) for r in exact
+    ]
+    # recall vs full brute force: refined >= plain ADC serve
+    bf = {
+        int(r.vec_id)
+        for r in corpus.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q0.select(F.col("embedding").alias("q_emb"))))
+        .select("vec_id", F.round(cos, 4).alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), "vec_id")
+        .limit(5)
+        .collect()
+    }
+    adc5 = {int(r.vec_id) for r in query_ann_index(spark, idx, qq, k=5, exclude_id=0).collect()}
+    ref5 = {int(r.vec_id) for r in refined}
+    assert len(ref5 & bf) >= len(adc5 & bf)
