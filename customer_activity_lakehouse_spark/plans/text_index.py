@@ -541,11 +541,155 @@ LIMIT {RRF_TOPK}"""
 ORACLE_HYBRID_INDEX_RRF = _hybrid_index_sql()
 
 
+# ---------------------------------------------------- free-text hybrid
+#
+# VERDICT r13 next-round #4b: SEARCH HYBRID INDEX previously required a
+# corpus member for the vector side (NEAREST TO <corpus> ID n). Free
+# text needs a query EMBEDDING for arbitrary terms; with no embedding
+# model in the environment, the public feature-hashing trick
+# (Weinberger et al. 2009, "Feature Hashing for Large Scale Multitask
+# Learning") gives a deterministic one: each distinct term hashes to a
+# KM_DIM bucket (8-hex-digit md5 value mod dim — the `_SQL_HEX8` fold)
+# with a ±1 sign from the 9th hex digit's parity, summed per bucket.
+# Both engines re-derive the projection from the same md5 hex string,
+# so the oracle chain mirrors it exactly; quantization is free (integer
+# counts × KM_SCALE). It is a retrieval PRIOR, not a learned embedding
+# — terms sharing corpus co-occurrence don't land near each other — but
+# it makes every hybrid serve addressable by text alone, and a learned
+# query encoder drops in by replacing this one function.
+
+FREETEXT_QUERY = "spark table query"  # fixed catalog query text
+
+
+def hashed_query_q(spark: SparkSession, terms) -> DataFrame:
+    """ONE quantized query row (q array<long>) from the deterministic
+    feature-hash projection of ``terms`` (deduped, order-free: the
+    projection is a sum over distinct terms). Driver-side md5 over ≤ a
+    few query terms — no Spark job."""
+    import hashlib
+
+    from .ml_ops import KM_DIM, KM_SCALE
+
+    vec = [0] * KM_DIM
+    for t in dict.fromkeys(terms):
+        h = hashlib.md5(t.encode()).hexdigest()
+        vec[int(h[:8], 16) % KM_DIM] += 1 if int(h[8], 16) % 2 == 0 else -1
+    if not any(vec):
+        raise ValueError(f"feature-hash projection of {terms!r} is the zero vector")
+    return spark.createDataFrame(
+        [([v * KM_SCALE for v in vec],)], "q array<long>"
+    )
+
+
+def q_hybrid_search_freetext(spark: SparkSession, sf: str) -> DataFrame:
+    """Hybrid serve for FREE TEXT — no corpus vec_id anywhere: BM25 over
+    the persisted text index for the query terms, fused (RRF) with the
+    persisted ANN index's neighbors of the feature-hashed query
+    embedding, served as an EXTERNAL vector (no self-exclusion — every
+    corpus row is retrievable)."""
+    from .ann_index import _index_dir
+
+    terms = tuple(dict.fromkeys(FREETEXT_QUERY.split()))
+    return serve_hybrid_rrf(
+        spark,
+        _full_idx_dir(spark, sf),
+        _index_dir(spark, sf),
+        terms,
+        hashed_query_q(spark, terms),
+        exclude_id=None,
+    )
+
+
+def _freetext_vec_chain(terms) -> tuple[str, str]:
+    """(with_chain, vec_final) — the SCALED IVF-PQ oracle chain with the
+    corpus-member query (vec_id = 0) swapped for the feature-hashed
+    projection of ``terms`` and the self-exclusion dropped. Tail-replace
+    with asserted match counts (the r11 hybrid-oracle precedent): if the
+    underlying chain text changes shape, the asserts fire and THIS
+    builder gets fixed — never the chain."""
+    from .ml_ops import _HEX, KM_DIM, KM_SCALE, _ivfpq_sql_chain
+
+    hex8_t = (
+        "list_sum(list_transform(range(1, 9), i ->"
+        f" (strpos('{_HEX}', substr(md5(t), i, 1)) - 1)"
+        " * (16 ** (8 - i))))::BIGINT"
+    )
+    sign_t = (
+        f"CASE WHEN (strpos('{_HEX}', substr(md5(t), 9, 1)) - 1) % 2 = 0"
+        " THEN 1 ELSE -1 END"
+    )
+    term_list = ", ".join("'" + t.replace("'", "''") + "'" for t in terms)
+    qparts = (
+        f"qterms AS (SELECT unnest([{term_list}]) AS t),\n"
+        f"qb AS (SELECT {hex8_t} % {KM_DIM} AS bucket, {sign_t} AS sign FROM qterms),\n"
+        "qcell AS (SELECT bucket, sum(sign)::BIGINT AS s FROM qb GROUP BY bucket),\n"
+        # subqueries can't live in DuckDB lambdas: densify 0..dim-1 by a
+        # LEFT JOIN and fold with an ordered list aggregate instead
+        "qvec AS (SELECT list(coalesce(s, 0) * "
+        f"{KM_SCALE} ORDER BY d) AS q"
+        f" FROM range(0, {KM_DIM}) t(d) LEFT JOIN qcell ON bucket = d)"
+    )
+    parts, final = _ivfpq_sql_chain(scaled=True)
+    chain = ",\n".join(parts)
+    swaps = [
+        ("(SELECT * FROM emb WHERE vec_id = 0) e", "(SELECT q FROM qvec) e"),
+        ("pq0 AS (SELECT q FROM emb WHERE vec_id = 0)", "pq0 AS (SELECT q FROM qvec)"),
+        (" AND vec_id != 0", ""),  # cand CTE: external query, keep all rows
+        ("WHERE a.vec_id != 0 AND ", "WHERE "),  # ADC scoring likewise
+    ]
+    for old, new in swaps:
+        assert chain.count(old) == 1, f"chain text changed shape near {old!r}"
+        chain = chain.replace(old, new)
+    assert chain.startswith("WITH ")
+    return "WITH " + qparts + ",\n" + chain[len("WITH "):], final
+
+
+def _hybrid_freetext_sql() -> str:
+    """lex = brute BM25 (the text index is lossless); vec = the scaled
+    IVF-PQ chain on the hashed projection, re-limited to the RRF pool;
+    fusion verbatim from the hybrid oracles."""
+    from .llm_ops import RRF_K, RRF_POOL, RRF_TOPK, _bm25_sql_parts
+
+    chain, vec_final = _freetext_vec_chain(
+        tuple(dict.fromkeys(FREETEXT_QUERY.split()))
+    )
+    tail = "LIMIT 10"
+    assert vec_final.endswith(tail), vec_final[-40:]
+    vec_pool = vec_final[: -len(tail)] + f"LIMIT {RRF_POOL}"
+    bm_parts, bm_scored = _bm25_sql_parts()
+    return f"""{chain},
+{bm_parts},
+lex AS (
+  SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS r_lex
+  FROM ({bm_scored} ORDER BY bm25 DESC, doc_id LIMIT {RRF_POOL})
+),
+vecpool AS ({vec_pool}),
+vec AS (
+  SELECT vec_id AS doc_id,
+         row_number() OVER (ORDER BY cos_sim DESC, vec_id) AS r_vec
+  FROM vecpool
+)
+SELECT coalesce(lex.doc_id, vec.doc_id) AS doc_id, r_lex, r_vec,
+       round(coalesce(1.0 / ({RRF_K} + r_lex), 0.0)
+             + coalesce(1.0 / ({RRF_K} + r_vec), 0.0), 6) AS rrf
+FROM lex FULL OUTER JOIN vec ON lex.doc_id = vec.doc_id
+ORDER BY rrf DESC, doc_id
+LIMIT {RRF_TOPK}"""
+
+
+ORACLE_HYBRID_SEARCH_FREETEXT = _hybrid_freetext_sql()
+
+
 QUERIES: dict[str, Query] = {
     "hybrid_index_rrf": Query(
         q_hybrid_index_rrf,
         ORACLE_HYBRID_INDEX_RRF,
         ("retrieval", "hybrid", "rrf", "index"),
+    ),
+    "hybrid_search_freetext": Query(
+        q_hybrid_search_freetext,
+        ORACLE_HYBRID_SEARCH_FREETEXT,
+        ("retrieval", "hybrid", "rrf", "index", "freetext"),
     ),
     "text_index_topk": Query(
         q_text_index_topk,

@@ -341,7 +341,7 @@ def run_table_sql(spark: SparkSession, stmt: str) -> DataFrame | int | None:
     if head == "SEARCH":
         hm = re.fullmatch(
             rf"SEARCH\s+HYBRID\s+INDEX\s+{_REF}\s*,\s*{_REF}\s+FOR\s+'([^']*)'"
-            rf"\s+NEAREST\s+TO\s+{_REF}\s+ID\s+(\d+)(?:\s+TOP\s+(\d+))?",
+            rf"(?:\s+NEAREST\s+TO\s+{_REF}\s+ID\s+(\d+))?(?:\s+TOP\s+(\d+))?",
             s,
             re.I,
         )
@@ -349,13 +349,22 @@ def run_table_sql(spark: SparkSession, stmt: str) -> DataFrame | int | None:
             from pyspark.sql import functions as F
 
             from ..plans.ann_index import _quantize
-            from ..plans.text_index import serve_hybrid_rrf
+            from ..plans.text_index import hashed_query_q, serve_hybrid_rrf
 
             tidx, vidx, text, corpus, qid, k = (
                 hm.group(1), hm.group(2), hm.group(3), hm.group(4),
-                int(hm.group(5)), hm.group(6),
+                hm.group(5), hm.group(6),
             )
             terms = _query_terms(text, "SEARCH HYBRID INDEX")
+            if corpus is None:
+                # free-text form (r14): no corpus member anywhere — the
+                # vector side serves the feature-hashed projection of the
+                # query terms as an external vector (no self-exclusion)
+                return serve_hybrid_rrf(
+                    spark, tidx, vidx, terms, hashed_query_q(spark, terms),
+                    k=int(k) if k else None, exclude_id=None,
+                )
+            qid = int(qid)
             q = S.read_snapshot(spark, corpus).filter(
                 F.col("vec_id") == qid
             ).select("vec_id", "embedding")

@@ -519,3 +519,56 @@ def test_hybrid_index_rrf_fuses_both_rankers(spark):
             assert rank is None or 1 <= rank <= RRF_POOL
     scores = [(r.rrf, r.doc_id) for r in rows]
     assert scores == sorted(scores, key=lambda t: (-t[0], t[1]))
+
+
+def test_sql_search_hybrid_freetext_no_corpus_member(spark, tmp_path):
+    """SEARCH HYBRID INDEX t, v FOR '<text>' [TOP k] with NO NEAREST TO
+    clause (r14, VERDICT r13 next-round #4b): the vector side serves the
+    deterministic feature-hashed projection of the query terms as an
+    EXTERNAL vector — equals serve_hybrid_rrf with hashed_query_q and no
+    self-exclusion, and the projection itself is deterministic, term-
+    order-free, and non-zero for distinct terms."""
+    from customer_activity_lakehouse_spark.plans.ann_index import (
+        build_ann_index,
+    )
+    from customer_activity_lakehouse_spark.plans.text_index import (
+        hashed_query_q,
+        serve_hybrid_rrf,
+    )
+    from customer_activity_lakehouse_spark.sources.sql import run_table_sql
+
+    tidx = str(tmp_path / "tidx")
+    build_text_index(spark, _docs_df(spark), tidx)
+    emb = F.transform(
+        F.sequence(F.lit(1), F.lit(64)),
+        lambda i: (
+            F.pmod(F.col("id") * 31 + i.cast("long") * 7, F.lit(97)) / 97.0
+        ).cast("float"),
+    )
+    vidx = str(tmp_path / "vidx")
+    build_ann_index(
+        spark,
+        spark.range(0, 50).select(F.col("id").alias("vec_id"), emb.alias("embedding")),
+        vidx,
+    )
+    got = run_table_sql(
+        spark,
+        f"SEARCH HYBRID INDEX snapshot.`{tidx}`, snapshot.`{vidx}` "
+        f"FOR 'table\tquery spark spark' TOP 7",
+    )
+    want = serve_hybrid_rrf(
+        spark, tidx, vidx, ("table", "query", "spark"),
+        hashed_query_q(spark, ("table", "query", "spark")), k=7,
+        exclude_id=None,
+    )
+    got_rows = got.collect()
+    assert [tuple(r) for r in got_rows] == [tuple(r) for r in want.collect()]
+    assert len(got_rows) == 7
+    assert set(got.columns) == {"doc_id", "r_lex", "r_vec", "rrf"}
+    assert any(r.r_lex is not None for r in got_rows)
+    assert any(r.r_vec is not None for r in got_rows)
+    # the projection is order-free over the deduped term set
+    a = hashed_query_q(spark, ("spark", "table", "query")).collect()[0].q
+    b = hashed_query_q(spark, ("table", "query", "spark", "spark")).collect()[0].q
+    assert a == b
+    assert any(v != 0 for v in a)
