@@ -680,6 +680,94 @@ LIMIT {RRF_TOPK}"""
 ORACLE_HYBRID_SEARCH_FREETEXT = _hybrid_freetext_sql()
 
 
+# --------------------------------------------- maintenance observability
+
+
+def q_index_maintenance_census(spark: SparkSession, sf: str) -> DataFrame:
+    """The nightly MAINTAIN loop's observability report (r14, VERDICT
+    r13 next-round #4c): one row per persisted-index subtable with its
+    LIVE row count and the source version its maintenance has consumed
+    — the query an operator runs after `MAINTAIN VECTOR|MINHASH|TEXT
+    INDEX` to confirm every index tracks its corpus. Row counts are
+    read from the COMMITTED tables (DV-masked rows excluded), stamps
+    via the raw-commit walk (`incremental.stamped_version`); the oracle
+    re-derives each count from the fixture corpus and pins the stamps
+    to the chains' known feed depths (text = 2: the append fold stamps
+    v2, and the later DV-delete fold is RETRACTION-ONLY, which by
+    design leaves the stamp alone — retraction is idempotent, so the
+    next maintenance re-walks the range instead of committing an empty
+    stamped append; minhash through its append = 2; the ANN catalog
+    index is a fresh build that has consumed nothing = 0). A maintenance run
+    that silently skipped a fold shows up as either a stale stamp or a
+    row-count drift."""
+    from ..sources.incremental import stamped_version
+    from ..sources.snapshots import read_snapshot
+    from .ann_index import _index_dir
+    from .minhash_index import _incremental_chain
+
+    ann = _index_dir(spark, sf)
+    mh = _incremental_chain(spark, sf)
+    txt = f"{_chain_dir(spark, sf)}/idx"
+
+    # the text stamp lives on the postings subtable's log; doclen is
+    # maintained in the same fold, so it reports the same cursor
+    txt_stamp = stamped_version(spark, f"{txt}/postings", "txt_consumed_version")
+
+    def _row(name: str, table_dir: str, stamp: int) -> DataFrame:
+        return (
+            read_snapshot(spark, table_dir)
+            .agg(F.count(F.lit(1)).alias("live_rows"))
+            .select(
+                F.lit(name).alias("subtable"),
+                "live_rows",
+                F.lit(stamp).cast("long").alias("consumed_version"),
+            )
+        )
+
+    return (
+        _row(
+            "ann.codes",
+            f"{ann}/codes",
+            stamped_version(spark, f"{ann}/codes", "ann_consumed_version"),
+        )
+        .unionByName(
+            _row(
+                "minhash.bands",
+                f"{mh}/bands",
+                stamped_version(spark, f"{mh}/bands", "mh_consumed_version"),
+            )
+        )
+        .unionByName(_row("text.doclen", f"{txt}/doclen", txt_stamp))
+        .unionByName(_row("text.postings", f"{txt}/postings", txt_stamp))
+        .orderBy("subtable")
+    )
+
+
+def _census_sql() -> str:
+    from .llm_ops import _SQL_BANDS, _SQL_LONG_BANDS
+
+    return f"""WITH surv AS (
+  SELECT doc_id, {_SQL_TOKENS} AS tk FROM documents WHERE NOT ({_DEL_PRED})
+),
+post AS (
+  SELECT count(*)::BIGINT AS n
+  FROM (SELECT DISTINCT doc_id, unnest(tk) AS term FROM surv)
+),
+bands AS ({_SQL_BANDS}),
+lb AS ({_SQL_LONG_BANDS}),
+nn AS (SELECT count(*)::BIGINT AS n FROM lb WHERE band_val IS NOT NULL)
+SELECT * FROM (VALUES
+  ('ann.codes', (SELECT count(*) FROM embeddings)::BIGINT, 0::BIGINT),
+  ('minhash.bands', (SELECT n FROM nn), 2::BIGINT),
+  ('text.doclen', (SELECT count(*) FROM surv)::BIGINT, 2::BIGINT),
+  ('text.postings', (SELECT n FROM post), 2::BIGINT)
+) AS t(subtable, live_rows, consumed_version)
+ORDER BY subtable"""
+
+
+ORACLE_INDEX_MAINTENANCE_CENSUS = _census_sql()
+
+
 QUERIES: dict[str, Query] = {
     "hybrid_index_rrf": Query(
         q_hybrid_index_rrf,
@@ -690,6 +778,11 @@ QUERIES: dict[str, Query] = {
         q_hybrid_search_freetext,
         ORACLE_HYBRID_SEARCH_FREETEXT,
         ("retrieval", "hybrid", "rrf", "index", "freetext"),
+    ),
+    "index_maintenance_census": Query(
+        q_index_maintenance_census,
+        ORACLE_INDEX_MAINTENANCE_CENSUS,
+        ("index", "maintenance", "audit", "observability"),
     ),
     "text_index_topk": Query(
         q_text_index_topk,
