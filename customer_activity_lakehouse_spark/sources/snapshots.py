@@ -3431,6 +3431,19 @@ def _stats_cols_of(manifest: dict) -> list[str]:
     )
 
 
+def _est_plan_bytes(df: DataFrame) -> int:
+    """Catalyst's free sizeInBytes estimate for a frame, 0 when the plan
+    exposes no stats. Accurate for file-backed/local frames; computed
+    frames (joins/aggregates) can be off by orders of magnitude in both
+    directions, so callers must treat it as a HINT and bound whatever
+    they derive from it (the merge path caps its estimate-derived output
+    file count — ADVICE r12/r13)."""
+    try:
+        return int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:  # plan exposes no stats — size unknown
+        return 0
+
+
 def _file_sizes(spark: SparkSession, files: list[str]) -> dict[str, int]:
     """Per-file byte sizes from FileSystem metadata — |files| driver-side
     status calls, the same manifest-level cost class as reading the log
@@ -4243,12 +4256,7 @@ def merge_snapshot(
             # costs real driver time (it re-optimizes a plan the write
             # then re-plans anyway), so rewriting merges keep the
             # rewrite-derived count and the next fold sees insert bytes
-            try:
-                est_insert = int(
-                    updates._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
-                )
-            except Exception:  # plan exposes no stats — size unknown
-                est_insert = 0
+            est_insert = _est_plan_bytes(updates)
             if est_insert > (1 << 40):  # >1 TiB/fold: degenerate estimate
                 est_insert = 0
         n_out = max(
@@ -4256,6 +4264,18 @@ def merge_snapshot(
             len(touched),
             -(-(touched_bytes + est_insert) // _CLUSTER_FILE_BYTES),
         )
+        if not touched and est_insert:
+            # ADVICE r13: Catalyst sizeInBytes for COMPUTED insert frames
+            # (joins/aggregates fall back to row-products or padded
+            # widths) can overestimate by orders of magnitude, and the
+            # 1 TiB gate alone would still let a wrong-by-1000x estimate
+            # split a small insert into thousands of near-empty
+            # range-sorted files — the opposite failure mode of the r12
+            # single-file bug. One fold cannot usefully emit more files
+            # than the cluster has write lanes: cap the estimate-derived
+            # count at 4x defaultParallelism (layout-only — the next
+            # fold's rewrite sees the real bytes and resizes).
+            n_out = min(n_out, 4 * spark.sparkContext.defaultParallelism)
         merged = merged.repartitionByRange(
             n_out, *clus_cols
         ).sortWithinPartitions(*clus_cols)

@@ -913,3 +913,33 @@ def test_mmr_single_corpus_scan_then_tiny_frames(spark, sf_correctness):
     assert "SortMergeJoin" not in plan, plan
     assert "TakeOrderedAndProject" in plan, plan
     assert "BatchEvalPython" not in plan, plan
+
+
+def test_refined_serve_pool_fetch_is_pushed_id_lookup(spark, sf_correctness):
+    """The r14 refine stage's full-vector fetch must reach the corpus
+    scan as a pushed-down In(vec_id, ...) filter over the pool's ids
+    with a 2-column ReadSchema — a stats-prunable point lookup, not a
+    corpus scan feeding a join. Asserted on the REAL serve path: the
+    frame query_ann_index_refined returns over the catalog's persisted
+    index."""
+    from pyspark.sql import functions as F
+
+    from customer_activity_lakehouse_spark.plans.ann_index import (
+        _index_dir,
+        query_ann_index_refined,
+    )
+    from customer_activity_lakehouse_spark.plans.registry import table
+
+    emb = table(spark, sf_correctness, "embeddings")
+    refined = query_ann_index_refined(
+        spark,
+        _index_dir(spark, sf_correctness),
+        emb.filter(F.col("vec_id") == 0).select("embedding"),
+        emb.select("vec_id", "embedding"),
+        exclude_id=0,
+    )
+    plan = explain_str(refined)
+    assert "In(vec_id" in plan, plan
+    assert "ReadSchema: struct<vec_id:bigint,embedding" in plan, plan
+    # the exact-cosine re-rank stays JVM-side: no Python eval of any kind
+    assert "BatchEvalPython" not in plan

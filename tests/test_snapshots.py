@@ -2693,6 +2693,43 @@ def test_liquid_clustering_pure_insert_merge_splits_by_volume(
     assert read_snapshot(spark, t).count() == 5100
 
 
+def test_liquid_clustering_insert_estimate_capped_by_parallelism(
+    spark, tmp_path, monkeypatch
+):
+    """ADVICE r13 — the opposite failure mode of the r12 single-file bug:
+    Catalyst sizeInBytes for COMPUTED insert frames (joins/aggregates
+    default to row-products or padded widths) can overestimate by orders
+    of magnitude, and below the 1 TiB degenerate-estimate gate that
+    would split a small insert into thousands of near-empty range-sorted
+    files. The estimate-derived output count is now capped at 4x
+    defaultParallelism; layout stays range-disjoint and the next fold's
+    rewrite sees real bytes."""
+    import customer_activity_lakehouse_spark.sources.snapshots as S
+
+    t = str(tmp_path / "tbl")
+    commit_append(
+        spark,
+        t,
+        spark.range(0, 100).selectExpr("id AS k", "id * 2 AS v"),
+        stats_cols=["k"],
+    )
+    S.set_cluster_columns(spark, t, ["k"])
+    # a wildly inflated (but sub-TiB) estimate for a tiny insert batch
+    monkeypatch.setattr(S, "_est_plan_bytes", lambda df: 512 << 30)
+    ups = spark.range(1000, 1200).selectExpr("id AS k", "id * 3 AS v")
+    S.merge_snapshot(spark, t, ups, keys=["k"], stats_cols=["k"])
+    m = _read_manifest_latest(spark, t)
+    assert m["files_rewritten"] == 0  # pure insert: no key overlap
+    new_files = [f for f in m["files"] if "-merge-" in f]
+    cap = 4 * spark.sparkContext.defaultParallelism
+    assert 1 <= len(new_files) <= cap, len(new_files)
+    # still range-laid: disjoint cluster-key spans
+    spans = sorted(tuple(m["stats"][f]["k"]) for f in new_files)
+    for (_lo1, hi1), (lo2, _hi2) in zip(spans, spans[1:]):
+        assert hi1 <= lo2, spans
+    assert read_snapshot(spark, t).count() == 300
+
+
 def test_liquid_clustering_merge_with_hive_partitioning(spark, tmp_path):
     """Clustered MERGE composes with hive dir-partitioning (the
     date-partitioned + key-clustered production shape): merge output is
