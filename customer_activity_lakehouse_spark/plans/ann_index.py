@@ -59,6 +59,8 @@ import shutil
 import tempfile
 import threading
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -68,15 +70,16 @@ from .ml_ops import (
     KM_SCALE,
     PQ_M,
     PQ_SUB,
+    _centroid_rows,
+    _codebook_rows,
     _ivf_cells,
     _ivfpq_sql_chain,
     _km_assign,
     _km_quantized,
     _km_update,
     _km_sql_parts,
-    _pq_assign,
+    _np_chunk_rows,
     _pq_fit_frame,
-    _pq_subrows,
     _serve_probes,
     _sql_serve_probes,
     _train_divisor,
@@ -112,35 +115,65 @@ def _seed_centroids_scaled(embq: DataFrame, k: int) -> DataFrame:
     )
 
 
-def _km_fit_scaled(
-    embq: DataFrame, k: int, divisor: int = 1
-) -> tuple[DataFrame, DataFrame]:
+_CENTS_SCHEMA = "cluster int, c array<double>"
+
+
+def _local_cents(spark: SparkSession, rows) -> DataFrame:
+    """Rebuild a centroid frame from collected (cluster, c) rows as a
+    LocalRelation — doubles round-trip exactly through the driver, and
+    downstream consumers (commits, the encode kernel's collect) see a
+    lineage-free K-row frame instead of re-executing a Lloyd pass."""
+    return spark.createDataFrame(
+        [(int(cl), list(c)) for cl, c in rows], _CENTS_SCHEMA
+    )
+
+
+_BOOKS_SCHEMA = "m int, cluster int, c array<double>"
+
+
+def _local_books(spark: SparkSession, book: dict) -> DataFrame:
+    """Rebuild a PQ codebook frame from `_codebook_rows` output as a
+    LocalRelation (same exactness/lineage contract as `_local_cents`)."""
+    return spark.createDataFrame(
+        [
+            (int(m), int(cl), list(c))
+            for m in sorted(book)
+            for cl, c in book[m]
+        ],
+        _BOOKS_SCHEMA,
+    )
+
+
+def _km_fit_scaled(embq: DataFrame, k: int, divisor: int = 1) -> DataFrame:
     """Lloyd's with a corpus-sized cell count — `ml_ops._km_fit_frame`
     with the scaled seeding; assign/update are K-agnostic and shared.
+    Returns the TRAINED CENTROIDS as a lineage-free local K-row frame
+    (r14): each update's ≤k rows are collected once per iteration —
+    the same driver-bounded job the pre-r14 broadcast exchange ran, minus
+    the re-execution the old lazy chain paid when the caller pinned or
+    re-read the final frame. The final full-corpus assignment is NOT run
+    here — the build folds it into the single encode pass
+    (`_encode_cells`), so the corpus is scanned once per training
+    iteration plus once to encode, and nothing twice.
 
     ``divisor`` > 1 trains on the deterministic md5 sample (8-hex-digit
     value % divisor == 0 — `ml_ops._train_divisor`, the FAISS
     max_points_per_centroid doctrine): the update-feeding assignments
     scan ~KM_TRAIN_PER_CELL·k rows instead of the corpus, turning
-    training from O(N^1.5·dim) to O(N·dim); only the FINAL assignment
-    (the one the committed cells come from) runs over the whole
-    corpus. divisor=1 (every fixture scale) is byte-identical to
-    full-corpus training."""
+    training from O(N^1.5·dim) to O(N·dim). divisor=1 (every fixture
+    scale) is byte-identical to full-corpus training."""
+    spark = embq.sparkSession
     train = embq
     if divisor > 1:
         hex8 = F.substring(
             F.md5(F.col("vec_id").cast("string").cast("binary")), 1, 8
         )
         train = embq.filter(F.conv(hex8, 16, 10).cast("long") % divisor == 0)
-    centroids = _seed_centroids_scaled(train, k)
-    assigned = cents_used = None
-    for it in range(KM_ITERS):
-        cents_used = centroids
-        src = train if it < KM_ITERS - 1 else embq
-        assigned = _km_assign(src, cents_used)
-        if it < KM_ITERS - 1:
-            centroids = _km_update(assigned)
-    return assigned, cents_used
+    cents = _local_cents(spark, _centroid_rows(_seed_centroids_scaled(train, k)))
+    for _ in range(KM_ITERS - 1):
+        assigned = _km_assign(train, cents)
+        cents = _local_cents(spark, _centroid_rows(_km_update(assigned)))
+    return cents
 
 
 def _quantize(emb: DataFrame) -> DataFrame:
@@ -151,17 +184,72 @@ def _quantize(emb: DataFrame) -> DataFrame:
     return emb.select("vec_id", q.alias("q"))
 
 
-def _encode(embq: DataFrame, books: DataFrame) -> DataFrame:
-    """(vec_id, code[PQ_M]): each vector's per-subspace argmin against the
-    codebooks — in-row against the 128-row broadcast, ordered by m."""
-    codes_m = _pq_assign(_pq_subrows(embq), books)
-    return (
-        codes_m.groupBy("vec_id")
-        .agg(F.array_sort(F.collect_list(F.struct("m", "cluster"))).alias("mc"))
-        .select(
-            "vec_id",
-            F.transform("mc", lambda s: s["cluster"].cast("int")).alias("code"),
+def _encode_cells(
+    embq: DataFrame, cents: DataFrame, books: DataFrame
+) -> DataFrame:
+    """(vec_id, cell, code[PQ_M]): the coarse-cell argmin AND the per-
+    subspace PQ codes computed in ONE zero-shuffle pass through an
+    Arrow-vectorized NumPy kernel (guide §4.2, §2.4). Replaces the
+    pre-r14 three-stage chain — per-(vec, m) explode → argmin →
+    groupBy(vec_id) collect_list → join back to the cell assignment —
+    which shuffled the 8×-exploded corpus twice (measured 2.3 s of the
+    sf0.1 build) for per-row arithmetic the scan task can do in place.
+
+    Numeric parity: the kernel is the `_km_assign` / `_pq_assign` cumsum
+    + first-argmin contract per stage (pinned in tests/test_np_kernels.py);
+    code order is ascending m, exactly the retired array_sort(collect_list)
+    layout. The centroid/codebook collects are nlist + 128 rows —
+    driver-bounded (the `_ordered_cells` class)."""
+    crows = _centroid_rows(cents)
+    book = _codebook_rows(books)
+    sc = embq.sparkSession.sparkContext
+    bc = sc.broadcast(
+        (
+            np.array([c for _, c in crows], dtype=np.float64),
+            np.array([cl for cl, _ in crows], dtype=np.int64),
+            {
+                m: (
+                    np.array([c for _, c in rows], dtype=np.float64),
+                    np.array([cl for cl, _ in rows], dtype=np.int64),
+                )
+                for m, rows in book.items()
+            },
         )
+    )
+
+    n_cells, dim = len(crows), len(crows[0][1]) if crows else 1
+    chunk = _np_chunk_rows(n_cells, dim)
+
+    @F.pandas_udf("struct<cell:int,code:array<int>>")
+    def enc(q: pd.Series) -> pd.DataFrame:
+        cents_np, clusters_np, books = bc.value
+        if len(q) == 0:
+            return pd.DataFrame({"cell": pd.Series([], dtype="int32"), "code": []})
+        qm = np.stack([np.asarray(v, dtype=np.float64) for v in q.values])
+        n = qm.shape[0]
+        cell = np.empty(n, dtype=np.int64)
+        for lo in range(0, n, chunk):  # bound the (rows×cells×dim) temp
+            part = qm[lo : lo + chunk]
+            d = part[:, None, :] - cents_np[None, :, :]
+            d *= d
+            cell[lo : lo + len(part)] = clusters_np[
+                np.argmin(np.cumsum(d, axis=2)[:, :, -1], axis=1)
+            ]
+        codes = np.empty((n, PQ_M), dtype=np.int32)
+        for m in range(PQ_M):
+            cents_m, cl_m = books[m]
+            sub = qm[:, m * PQ_SUB : (m + 1) * PQ_SUB]
+            dm = sub[:, None, :] - cents_m[None, :, :]
+            dm *= dm
+            codes[:, m] = cl_m[np.argmin(np.cumsum(dm, axis=2)[:, :, -1], axis=1)]
+        return pd.DataFrame(
+            {"cell": cell.astype("int32"), "code": list(codes)}
+        )
+
+    return embq.select("vec_id", enc("q").alias("__e")).select(
+        "vec_id",
+        F.col("__e.cell").alias("cell"),
+        F.col("__e.code").alias("code"),
     )
 
 
@@ -191,27 +279,20 @@ def build_ann_index(
     n = emb.count()  # one metadata-cheap single-column scan
     n_cells = cells if cells is not None else _ivf_cells(n)
     embq = _quantize(emb)
-    # Train ONCE, pin the (tiny) trained state, then derive everything
-    # downstream from the pinned frames: each commit is its own action,
-    # and without the persist the centroid commit, codebook commit, and
-    # codes commit would each re-execute the full Lloyd lineage (the
-    # unpersisted build retrained ~3x — measured ~2/3 of build time at
-    # sf0.1). The cached frames are nlist rows + PQ_M*PQ_K rows — driver-
-    # trivial at any corpus size; the corpus itself is never cached.
-    _, cents_used = _km_fit_scaled(embq, n_cells, _train_divisor(n, n_cells))
-    cents = cents_used.select(
-        F.col("cluster").cast("int").alias("cluster"), "c"
-    ).persist()
-    cents.count()
-    books = _pq_fit_frame(embq).persist()
-    books.count()
-    # re-derive assignments against the PINNED centroids: one map-side
-    # scan, bit-identical to the training pass's final assignment (same
-    # argmin against the same doubles)
-    cellsf = _km_assign(embq, cents).select(
-        "vec_id", F.col("cluster").cast("int").alias("cell")
-    )
-    codes = _encode(embq, books).join(cellsf, "vec_id")
+    # Train ONCE into lineage-free LOCAL frames (r14; replaces the r13
+    # persist-and-pin): the trained state is nlist + PQ_M*PQ_K rows —
+    # collecting it once per training iteration is the same driver-bounded
+    # job the broadcast exchanges ran, and every downstream consumer (the
+    # three commits, the encode kernel) reads the local rows instead of
+    # re-executing any Lloyd lineage. The corpus itself never caches,
+    # collects, or shuffles.
+    cents = _km_fit_scaled(embq, n_cells, _train_divisor(n, n_cells))
+    books = _local_books(spark, _codebook_rows(_pq_fit_frame(embq)))
+    # assign cells AND encode PQ codes in ONE zero-shuffle corpus pass
+    # (r14, guide §2.4 / §4.2): bit-identical to the training path's
+    # final assignment (same argmin against the same doubles); the
+    # pre-r14 explode→regroup→join chain's two corpus shuffles are gone
+    codes = _encode_cells(embq, cents, books)
     extra = (
         None
         if consumed_version is None
@@ -227,25 +308,18 @@ def build_ann_index(
     # shape: a cell is ~N/nlist ≈ sqrt(N) 4-byte codes, well under one
     # parquet file.
     n_parts = max(1, min(int(n_cells), spark.sparkContext.defaultParallelism))
-    try:
-        commit_append(spark, f"{index_dir}/ivf_centroids", cents)
-        commit_append(
-            spark, f"{index_dir}/pq_codebooks", books.orderBy("m", "cluster")
-        )
-        commit_append(
-            spark,
-            f"{index_dir}/codes",
-            codes.select("vec_id", "cell", "code").repartition(n_parts, "cell"),
-            stats_cols=["vec_id"],
-            partition_by=["cell"],
-            extra=extra,
-        )
-    finally:
-        # unpersist on every exit path (ADVICE r13): a commit_append that
-        # raises (e.g. a version race) must not leak the pinned trained
-        # state for the session lifetime
-        cents.unpersist()
-        books.unpersist()
+    commit_append(spark, f"{index_dir}/ivf_centroids", cents)
+    commit_append(
+        spark, f"{index_dir}/pq_codebooks", books.orderBy("m", "cluster")
+    )
+    commit_append(
+        spark,
+        f"{index_dir}/codes",
+        codes.select("vec_id", "cell", "code").repartition(n_parts, "cell"),
+        stats_cols=["vec_id"],
+        partition_by=["cell"],
+        extra=extra,
+    )
 
 
 def maintain_ann_index(
@@ -304,10 +378,9 @@ def maintain_ann_index(
     embq = _quantize(new)
     cents = read_snapshot(spark, f"{index_dir}/ivf_centroids")
     books = read_snapshot(spark, f"{index_dir}/pq_codebooks")
-    cells = _km_assign(embq, cents).select(
-        "vec_id", F.col("cluster").cast("int").alias("cell")
-    )
-    codes = _encode(embq, books).join(cells, "vec_id")
+    # assign + encode in one zero-shuffle pass against the FROZEN trained
+    # state (r14 — same kernel as the build path)
+    codes = _encode_cells(embq, cents, books)
     # keyed MERGE, not append (r10): double-application of the same feed
     # (stale stamp read / crash replay) CONVERGES — the second pass
     # matches every vec_id and rewrites identical rows, so the serve can
@@ -508,6 +581,79 @@ def _books_arr(spark: SparkSession, index_dir: str) -> DataFrame:
     )
 
 
+def _adc_code_cos_udf(spark: SparkSession, book, qq_fixed: np.ndarray | None):
+    """Arrow kernel for the SERVE path: ADC cosine of stored PQ ``code``
+    rows against a query — codeword lookup by cluster id, then the exact
+    `_adc_cos` fold order (per-m dot/sq partials from the reconstructed
+    codeword, folded ascending-m; qnorm an exact integer fold). With
+    ``qq_fixed`` the query is a kernel constant (single-query serve: no
+    crossJoin machinery at all); without it the kernel reads a per-row
+    ``qq`` column (the batch serve, where each candidate row carries its
+    own query). Pinned equal to the `_adc_cos` expression twin in
+    tests/test_np_kernels.py."""
+    luts = {}
+    for m, rows in book.items():
+        hi = max(cl for cl, _ in rows)
+        lut = np.zeros((hi + 1, len(rows[0][1])), dtype=np.float64)
+        for cl, c in rows:
+            lut[cl] = c
+        luts[m] = lut
+    bc = spark.sparkContext.broadcast(luts)
+
+    def _norms(qm: np.ndarray) -> np.ndarray:
+        # exact integer fold: int64 element squares/sums never round
+        return np.sqrt((qm.astype(np.int64) ** 2).sum(axis=1).astype(np.float64))
+
+    if qq_fixed is not None:
+        q_acc = 0
+        for x in qq_fixed.tolist():  # sequential long fold, as the JVM expr
+            q_acc += x * x
+        qnorm = float(np.sqrt(float(q_acc)))
+        qv = qq_fixed.astype(np.float64)
+
+        @F.pandas_udf("double")
+        def adc(code: pd.Series) -> pd.Series:
+            tabs = bc.value
+            if len(code) == 0:
+                return pd.Series([], dtype="float64")
+            cm = np.stack([np.asarray(v, dtype=np.int64) for v in code.values])
+            n = cm.shape[0]
+            dot_parts = np.empty((n, PQ_M), dtype=np.float64)
+            sq_parts = np.empty((n, PQ_M), dtype=np.float64)
+            for m in range(PQ_M):
+                c = tabs[m][cm[:, m]]
+                qsub = qv[m * PQ_SUB : (m + 1) * PQ_SUB]
+                dot_parts[:, m] = np.cumsum(c * qsub, axis=1)[:, -1]
+                sq_parts[:, m] = np.cumsum(c * c, axis=1)[:, -1]
+            dots = np.cumsum(dot_parts, axis=1)[:, -1]
+            sqs = np.cumsum(sq_parts, axis=1)[:, -1]
+            return pd.Series(dots / (np.sqrt(sqs) * qnorm))
+
+        return adc
+
+    @F.pandas_udf("double")
+    def adc_batch(code: pd.Series, qq: pd.Series) -> pd.Series:
+        tabs = bc.value
+        if len(code) == 0:
+            return pd.Series([], dtype="float64")
+        cm = np.stack([np.asarray(v, dtype=np.int64) for v in code.values])
+        qm = np.stack([np.asarray(v, dtype=np.int64) for v in qq.values])
+        qmf = qm.astype(np.float64)
+        n = cm.shape[0]
+        dot_parts = np.empty((n, PQ_M), dtype=np.float64)
+        sq_parts = np.empty((n, PQ_M), dtype=np.float64)
+        for m in range(PQ_M):
+            c = tabs[m][cm[:, m]]
+            qsub = qmf[:, m * PQ_SUB : (m + 1) * PQ_SUB]
+            dot_parts[:, m] = np.cumsum(c * qsub, axis=1)[:, -1]
+            sq_parts[:, m] = np.cumsum(c * c, axis=1)[:, -1]
+        dots = np.cumsum(dot_parts, axis=1)[:, -1]
+        sqs = np.cumsum(sq_parts, axis=1)[:, -1]
+        return pd.Series(dots / (np.sqrt(sqs) * _norms(qm)))
+
+    return adc_batch
+
+
 def _adc_topk(
     spark: SparkSession,
     index_dir: str,
@@ -517,13 +663,18 @@ def _adc_topk(
 ) -> DataFrame:
     """ADC-score a candidate codes frame against the persisted codebooks
     and take top-k — the shared tail of the filtered and unfiltered serve
-    paths (same fixed m-order folds as `ml_ops._pq_adc_topk`, so the
-    doubles are bit-identical to the retraining oracle)."""
-    scored = codes.crossJoin(F.broadcast(_books_arr(spark, index_dir))).crossJoin(
-        F.broadcast(query_q.select(F.col("q").alias("qq")))
-    )
+    paths. r14: the scoring runs in the Arrow kernel above (guide §4.2)
+    instead of the interpreted `_adc_cos` HOF expression — same fixed
+    m-order folds, so the doubles stay bit-identical to the retraining
+    oracle; the two broadcast cross joins the expression needed are gone
+    (the 128-row codebook and the 1-row query are kernel constants)."""
+    from ..sources.snapshots import read_snapshot
+
+    book = _codebook_rows(read_snapshot(spark, f"{index_dir}/pq_codebooks"))
+    qq = np.asarray(query_q.select("q").head()[0], dtype=np.int64)
+    adc = _adc_code_cos_udf(spark, book, qq)
     return (
-        scored.select("vec_id", F.round(_adc_cos(), 4).alias("cos_sim"))
+        codes.select("vec_id", F.round(adc("code"), 4).alias("cos_sim"))
         .orderBy(F.col("cos_sim").desc(), "vec_id")
         .limit(k)
     )
@@ -595,8 +746,10 @@ def query_ann_index_batch(
     cand = codes.join(F.broadcast(probes), "cell")
     if exclude_self:
         cand = cand.filter(F.col("vec_id") != F.col("qid"))
-    scored = cand.crossJoin(F.broadcast(_books_arr(spark, index_dir))).select(
-        "qid", "vec_id", F.round(_adc_cos(), 4).alias("cos_sim")
+    book = _codebook_rows(read_snapshot(spark, f"{index_dir}/pq_codebooks"))
+    adc = _adc_code_cos_udf(spark, book, None)  # per-row qq (batch serve)
+    scored = cand.select(
+        "qid", "vec_id", F.round(adc("code", "qq"), 4).alias("cos_sim")
     )
     w_k = Window.partitionBy("qid").orderBy(F.col("cos_sim").desc(), "vec_id")
     return (
@@ -697,8 +850,10 @@ def query_ann_index_batch_where(
     cand = codes.join(F.broadcast(probe_pairs), "cell")
     if exclude_self:
         cand = cand.filter(F.col("vec_id") != F.col("qid"))
-    scored = cand.crossJoin(F.broadcast(_books_arr(spark, index_dir))).select(
-        "qid", "vec_id", F.round(_adc_cos(), 4).alias("cos_sim")
+    book = _codebook_rows(read_snapshot(spark, f"{index_dir}/pq_codebooks"))
+    adc = _adc_code_cos_udf(spark, book, None)  # per-row qq (batch serve)
+    scored = cand.select(
+        "qid", "vec_id", F.round(adc("code", "qq"), 4).alias("cos_sim")
     )
     w_k = Window.partitionBy("qid").orderBy(F.col("cos_sim").desc(), "vec_id")
     return (

@@ -37,6 +37,8 @@ from __future__ import annotations
 
 import math
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -102,12 +104,18 @@ def _km_seed_centroids(embq: DataFrame) -> DataFrame:
     )
 
 
-def _km_assign(embq: DataFrame, centroids: DataFrame) -> DataFrame:
-    """Map-side argmin: centroids collapse to ONE broadcast row holding a
-    sorted array<struct<cluster,c>>; each vector folds over it computing
-    squared distances and takes array_min of (dist, cluster) structs —
-    ties break toward the smaller cluster id in both engines. Vectors
-    never shuffle."""
+def _km_assign_expr(embq: DataFrame, centroids: DataFrame) -> DataFrame:
+    """Map-side argmin, pure-JVM expression form: centroids collapse to ONE
+    broadcast row holding a sorted array<struct<cluster,c>>; each vector
+    folds over it computing squared distances and takes array_min of
+    (dist, cluster) structs — ties break toward the smaller cluster id in
+    both engines. Vectors never shuffle.
+
+    Kept as the reference twin of the Arrow kernel below (pinned equal in
+    tests/test_np_kernels.py): interpreted HOF lambdas cost ~1.7 s per
+    assignment pass at sf0.1 (2000 rows x 45 cells x 64 dims — measured
+    r14), which the NumPy batch path does in ~0.05 s with bit-identical
+    doubles."""
     carr = centroids.agg(
         F.array_sort(F.collect_list(F.struct("cluster", "c"))).alias("cents")
     )
@@ -127,6 +135,80 @@ def _km_assign(embq: DataFrame, centroids: DataFrame) -> DataFrame:
     best = F.array_min(dist_structs)
     return embq.crossJoin(F.broadcast(carr)).select(
         "vec_id", "q", best["cluster"].alias("cluster"), best["dist"].alias("dist")
+    )
+
+
+# Row-chunk budget for the (rows x cells x dim) distance temp inside the
+# Arrow kernels: 32 MiB of float64 per chunk, so a corpus-sized cell count
+# (nlist = sqrt(N), e.g. 31.6k cells at 1e9 vectors) never materializes a
+# multi-GB intermediate inside one Python worker batch.
+_NP_CHUNK_BYTES = 32 * 1024 * 1024
+
+
+def _np_chunk_rows(n_cells: int, dim: int) -> int:
+    return max(1, _NP_CHUNK_BYTES // (8 * max(1, n_cells) * max(1, dim)))
+
+
+def _centroid_rows(centroids: DataFrame) -> list[tuple[int, list[float]]]:
+    """Driver-bounded collect of a ≤nlist-row centroid frame, sorted by
+    cluster id (the argmin tie order) — the same bounded-collect class as
+    the serve-path probe ordering (ann_index._ordered_cells)."""
+    return sorted((int(r["cluster"]), list(r["c"])) for r in centroids.collect())
+
+
+def _km_assign(embq: DataFrame, centroids: DataFrame) -> DataFrame:
+    """Map-side argmin via an Arrow-vectorized NumPy kernel (guide §4.2):
+    the ≤nlist-row centroid frame is collected once (driver-bounded, the
+    `_ordered_cells` precedent), shipped as a Spark broadcast, and each
+    Arrow batch computes every vector's squared distance to every centroid
+    in one vectorized pass. Vectors never shuffle and never cross a join —
+    the old BroadcastNestedLoop cross join disappears from the plan.
+
+    Numeric parity (the q_ann_topk_pandas doctrine): per-(vector,
+    centroid) distances reduce with ``np.cumsum(..., axis=-1)`` taking the
+    last column — a LEFT-TO-RIGHT sequential scan, the exact float-op
+    order of the JVM ``aggregate`` fold and the DuckDB list_sum twin
+    (a BLAS matmul would reassociate the additions and break the oracle
+    hash); ``np.argmin`` returns the FIRST minimum, which over the
+    cluster-sorted matrix is exactly array_min's (dist, cluster) tie
+    order. Pinned equal to `_km_assign_expr` in tests/test_np_kernels.py."""
+    rows = _centroid_rows(centroids)
+    if not rows:  # degenerate empty-centroid frame: keep the legacy shape
+        return _km_assign_expr(embq, centroids)
+    sc = embq.sparkSession.sparkContext
+    bc = sc.broadcast(
+        (
+            np.array([c for _, c in rows], dtype=np.float64),
+            np.array([cl for cl, _ in rows], dtype=np.int64),
+        )
+    )
+    dim = len(rows[0][1])
+    chunk = _np_chunk_rows(len(rows), dim)
+
+    @F.pandas_udf("struct<cluster:int,dist:double>")
+    def assign(q: pd.Series) -> pd.DataFrame:
+        cents, clusters = bc.value
+        out_cl = np.empty(len(q), dtype=np.int64)
+        out_d = np.empty(len(q), dtype=np.float64)
+        vals = q.values
+        for lo in range(0, len(q), chunk):
+            part = vals[lo : lo + chunk]
+            qm = np.stack([np.asarray(v, dtype=np.float64) for v in part])
+            d = qm[:, None, :] - cents[None, :, :]
+            d *= d
+            dist = np.cumsum(d, axis=2)[:, :, -1]
+            idx = np.argmin(dist, axis=1)
+            out_cl[lo : lo + len(part)] = clusters[idx]
+            out_d[lo : lo + len(part)] = dist[np.arange(len(part)), idx]
+        return pd.DataFrame(
+            {"cluster": out_cl.astype("int32"), "dist": out_d}
+        )
+
+    return embq.select("vec_id", "q", assign("q").alias("__r")).select(
+        "vec_id",
+        "q",
+        F.col("__r.cluster").alias("cluster"),
+        F.col("__r.dist").alias("dist"),
     )
 
 
@@ -2756,9 +2838,11 @@ def _pq_cents_by_m(cents: DataFrame):
     )
 
 
-def _pq_assign(sub_rows: DataFrame, cents: DataFrame) -> DataFrame:
-    """Per-(vec, subspace) argmin — map-side against the broadcast
-    codebook row; ties break toward the smaller cluster id."""
+def _pq_assign_expr(sub_rows: DataFrame, cents: DataFrame) -> DataFrame:
+    """Per-(vec, subspace) argmin, pure-JVM expression form — map-side
+    against the broadcast codebook row; ties break toward the smaller
+    cluster id. Reference twin of the Arrow kernel below (pinned equal in
+    tests/test_np_kernels.py)."""
     carr = _pq_cents_by_m(cents)
     my_cents = F.element_at(F.col("cents"), (F.col("m") + 1).cast("int"))
     dist_structs = F.transform(
@@ -2778,6 +2862,59 @@ def _pq_assign(sub_rows: DataFrame, cents: DataFrame) -> DataFrame:
     best = F.array_min(dist_structs)
     return sub_rows.crossJoin(F.broadcast(carr)).select(
         "vec_id", "m", "sq", best["cluster"].alias("cluster")
+    )
+
+
+def _codebook_rows(cents: DataFrame) -> dict[int, list[tuple[int, list[float]]]]:
+    """Driver-bounded collect of a PQ codebook frame (≤PQ_M·PQ_K = 128
+    rows): {m: [(cluster, c), ...] sorted by cluster} — the argmin tie
+    order per subspace."""
+    by_m: dict[int, list[tuple[int, list[float]]]] = {}
+    for r in cents.collect():
+        by_m.setdefault(int(r["m"]), []).append((int(r["cluster"]), list(r["c"])))
+    return {m: sorted(v) for m, v in by_m.items()}
+
+
+def _pq_assign(sub_rows: DataFrame, cents: DataFrame) -> DataFrame:
+    """Per-(vec, subspace) argmin via an Arrow-vectorized NumPy kernel
+    (guide §4.2): the ≤128-row codebook is collected once and broadcast;
+    each Arrow batch groups its rows by subspace and computes every
+    subvector's distance to that subspace's centroids in one vectorized
+    pass. Same cumsum/first-argmin numeric-parity contract as
+    `_km_assign`; pinned equal to `_pq_assign_expr` in
+    tests/test_np_kernels.py."""
+    book = _codebook_rows(cents)
+    if not book:
+        return _pq_assign_expr(sub_rows, cents)
+    sc = sub_rows.sparkSession.sparkContext
+    bc = sc.broadcast(
+        {
+            m: (
+                np.array([c for _, c in rows], dtype=np.float64),
+                np.array([cl for cl, _ in rows], dtype=np.int64),
+            )
+            for m, rows in book.items()
+        }
+    )
+
+    @F.pandas_udf("int")
+    def passign(m: pd.Series, sq: pd.Series) -> pd.Series:
+        books = bc.value
+        ms = m.values.astype(np.int64)
+        out = np.empty(len(ms), dtype=np.int64)
+        sqv = sq.values
+        for mm in np.unique(ms):
+            mask = np.nonzero(ms == mm)[0]
+            sub = np.stack([np.asarray(sqv[i], dtype=np.float64) for i in mask])
+            cents_m, clusters_m = books[int(mm)]
+            d = sub[:, None, :] - cents_m[None, :, :]
+            d *= d
+            dist = np.cumsum(d, axis=2)[:, :, -1]
+            out[mask] = clusters_m[np.argmin(dist, axis=1)]
+        return pd.Series(out).astype("int32")
+
+    return sub_rows.select(
+        "vec_id", "m", "sq", passign("m", "sq").alias("cluster")
     )
 
 
@@ -2824,65 +2961,77 @@ def q_ann_pq_topk(spark: SparkSession, sf: str) -> DataFrame:
 
 def _pq_adc_topk(spark: SparkSession, sf: str, corpus: DataFrame) -> DataFrame:
     """ADC top-10 over ``corpus`` (a (vec_id, q) frame): train the PQ
-    codebook, broadcast it + the query, score codes in-row, TakeOrdered.
-    Shared by whole-corpus PQ and IVF-PQ (which passes the probed-cell
-    candidates only)."""
+    codebook, then score every candidate against the query through an
+    Arrow-vectorized NumPy kernel (guide §4.2) and TakeOrdered. Shared by
+    whole-corpus PQ and IVF-PQ (which passes the probed-cell candidates
+    only).
+
+    The kernel replicates the JVM expression fold op-for-op (cumsum =
+    sequential left fold; first-argmin over the cluster-sorted codebook =
+    array_min's (dist, cluster) tie order; per-subspace partials folded in
+    fixed m order; qnorm an exact integer sum) — pinned equal to the
+    retired expression form by the unchanged DuckDB oracle and
+    tests/test_np_kernels.py. The codebook collect is ≤PQ_M·PQ_K = 128
+    rows; the query collect is one row — both driver-bounded."""
     embq = _km_quantized(spark, sf)
-    cents = _pq_fit(spark, sf)
-    carr = _pq_cents_by_m(cents)
-    q0 = embq.filter(F.col("vec_id") == 0).select(F.col("q").alias("qq"))
-    scored = corpus.crossJoin(F.broadcast(carr)).crossJoin(F.broadcast(q0))
-
-    def _subvec(arr, m):
-        return F.transform(
-            F.sequence(F.lit(1), F.lit(PQ_SUB)),
-            lambda i: F.element_at(arr, (m * PQ_SUB + i).cast("int")),
-        )
-
-    def _fold(arr):
-        return F.aggregate(arr, F.lit(0.0), lambda acc, v: acc + v)
-
-    def _per_m(m):
-        sv = _subvec(F.col("q"), m)
-        qv = _subvec(F.col("qq"), m)
-        my_cents = F.element_at(F.col("cents"), (m + 1).cast("int"))
-        best = F.array_min(
-            F.transform(
-                my_cents,
-                lambda s: F.struct(
-                    _fold(
-                        F.zip_with(
-                            sv, s["c"],
-                            lambda a, b: (a.cast("double") - b)
-                            * (a.cast("double") - b),
-                        )
-                    ).alias("dist"),
-                    s["cluster"].alias("cluster"),
-                    s["c"].alias("c"),
-                ),
-            )
-        )
-        c = best["c"]
-        return F.struct(
-            _fold(F.zip_with(c, qv, lambda a, b: a * b.cast("double"))).alias("dot"),
-            _fold(F.transform(c, lambda x: x * x)).alias("sq"),
-        )
-
-    per_m = F.transform(F.sequence(F.lit(0), F.lit(PQ_M - 1)), _per_m)
-    dots = _fold(F.transform(per_m, lambda s: s["dot"]))
-    sqs = _fold(F.transform(per_m, lambda s: s["sq"]))
-    qnorm = F.sqrt(
-        F.aggregate(
-            F.transform(F.col("qq"), lambda x: x * x), F.lit(0).cast("long"),
-            lambda acc, v: acc + v,
-        ).cast("double")
+    book = _codebook_rows(_pq_fit(spark, sf))
+    qq = np.asarray(
+        embq.filter(F.col("vec_id") == 0).select("q").head()[0], dtype=np.int64
     )
-    cos = dots / (F.sqrt(sqs) * qnorm)
+    adc = _adc_cos_udf(spark, book, qq)
     return (
-        scored.select("vec_id", F.round(cos, 4).alias("cos_sim"))
+        corpus.select("vec_id", F.round(adc(F.col("q")), 4).alias("cos_sim"))
         .orderBy(F.col("cos_sim").desc(), "vec_id")
         .limit(10)
     )
+
+
+def _adc_cos_udf(spark: SparkSession, book, qq: np.ndarray):
+    """Arrow kernel: ADC cosine of each row's quantized vector ``q``
+    against the fixed quantized query ``qq`` under PQ codebook ``book``
+    ({m: [(cluster, c), ...] cluster-sorted}). Per subspace the candidate
+    subvector picks its nearest codeword (sequential-fold distances,
+    first-min ties) and contributes dot/sq partials from the RECONSTRUCTED
+    codeword; partials fold in fixed m order. Bit-identical to the JVM
+    `_per_m` expression chain it replaces."""
+    cents_by_m = {
+        m: (
+            np.array([c for _, c in rows], dtype=np.float64),
+            np.array([cl for cl, _ in rows], dtype=np.int64),
+        )
+        for m, rows in book.items()
+    }
+    bc = spark.sparkContext.broadcast(cents_by_m)
+    q_acc = 0
+    for x in qq.tolist():  # exact integer norm fold, matching the JVM long fold
+        q_acc += x * x
+    qnorm = float(np.sqrt(float(q_acc)))
+    qv = qq.astype(np.float64)
+
+    @F.pandas_udf("double")
+    def adc(q: pd.Series) -> pd.Series:
+        books = bc.value
+        if len(q) == 0:
+            return pd.Series([], dtype="float64")
+        qm = np.stack([np.asarray(v, dtype=np.float64) for v in q.values])
+        n = qm.shape[0]
+        dot_parts = np.empty((n, PQ_M), dtype=np.float64)
+        sq_parts = np.empty((n, PQ_M), dtype=np.float64)
+        for m in range(PQ_M):
+            cents_m, _ = books[m]
+            sub = qm[:, m * PQ_SUB : (m + 1) * PQ_SUB]
+            d = sub[:, None, :] - cents_m[None, :, :]
+            d *= d
+            idx = np.argmin(np.cumsum(d, axis=2)[:, :, -1], axis=1)
+            c = cents_m[idx]
+            qsub = qv[m * PQ_SUB : (m + 1) * PQ_SUB]
+            dot_parts[:, m] = np.cumsum(c * qsub, axis=1)[:, -1]
+            sq_parts[:, m] = np.cumsum(c * c, axis=1)[:, -1]
+        dots = np.cumsum(dot_parts, axis=1)[:, -1]
+        sqs = np.cumsum(sq_parts, axis=1)[:, -1]
+        return pd.Series(dots / (np.sqrt(sqs) * qnorm))
+
+    return adc
 
 
 def _pq_sql_parts(

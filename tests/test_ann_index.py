@@ -538,18 +538,22 @@ def test_sampled_training_deterministic_and_covering(spark):
     assert _train_divisor(1_000_000, 1000) == 1_000_000 // (KM_TRAIN_PER_CELL * 1000)
     assert _train_divisor(10**9, 31623) >= 100
 
+    from customer_activity_lakehouse_spark.plans.ml_ops import _km_assign
+
     embq = _quantize(_corpus(spark, 0, 400))
-    a1, c1 = _km_fit_scaled(embq, 12, divisor=3)
-    a2, c2 = _km_fit_scaled(embq, 12, divisor=3)
+    c1 = _km_fit_scaled(embq, 12, divisor=3)
+    c2 = _km_fit_scaled(embq, 12, divisor=3)
     assert c1.collect() == c2.collect()  # deterministic training
-    rows = a1.select("vec_id", "cluster").collect()
+    # the fit returns centroids only (r14); the full-corpus assignment is
+    # the caller's single encode pass — run it explicitly here
+    rows = _km_assign(embq, c1).select("vec_id", "cluster").collect()
     assert len(rows) == 400  # final assignment covers the FULL corpus
     assert len({r.vec_id for r in rows}) == 400
     cells_used = {r.cluster for r in rows}
     assert cells_used <= {int(r.cluster) for r in c1.collect()}
     # the sample-trained centroids differ from full-corpus training's
     # (different update statistics) but the cell count is comparable
-    _, c_full = _km_fit_scaled(embq, 12, divisor=1)
+    c_full = _km_fit_scaled(embq, 12, divisor=1)
     assert 1 <= c1.count() <= 12 and 1 <= c_full.count() <= 12
 
 

@@ -216,8 +216,13 @@ def test_kmeans_never_shuffles_vectors(spark, sf_correctness):
 
     plan = explain_str(QUERIES["embedding_kmeans"].fn(spark, sf_correctness), "simple")
     hash_keys = re.findall(r"Exchange hashpartitioning\((\w+)#", plan)
-    assert hash_keys, plan
-    assert set(hash_keys) == {"cluster"}, f"non-cluster exchanges: {hash_keys}"
+    # r14 (Arrow assign kernel): the update aggregations run in their own
+    # per-iteration jobs (each a cluster-keyed K-row partial agg), so the
+    # RETURNED final-assignment plan is scan → in-row argmin with no
+    # exchange at all; any hash exchange that does appear must still be
+    # cluster-keyed, and a vec_id-keyed one means vectors started moving.
+    assert set(hash_keys) <= {"cluster"}, f"non-cluster exchanges: {hash_keys}"
+    assert "ArrowEvalPython" in plan, plan
     assert "Exchange rangepartitioning" not in plan
     assert "SortMergeJoin" not in plan
 
@@ -819,13 +824,12 @@ def test_ann_index_query_serves_without_training(spark, sf_correctness):
     plan = explain_str(df, "simple")
     assert "TakeOrderedAndProject" in plan, plan
     assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan, plan
-    # the ONLY permitted hash exchange is the 128-ROW codebook collapse
-    # (groupBy m -> collect_list) feeding a broadcast; the codes/corpus
-    # side must not shuffle, and no (m, cluster) TRAINING agg may appear
-    # (training keys both columns — its presence would mean a retrain)
-    hash_keys = set(re.findall(r"Exchange hashpartitioning\((\w+)#", plan))
-    assert hash_keys <= {"m"}, f"serving plan must not shuffle: {hash_keys}\n{plan}"
-    assert plan.count("Exchange hashpartitioning(") == 1, plan
+    # r14 (Arrow ADC kernel): the serve shuffles NOTHING — the codebook
+    # is a 128-row driver collect baked into the kernel, so the plan is
+    # scan → in-row scoring → TakeOrdered with zero hash exchanges (the
+    # pre-r14 plan carried exactly one, the groupBy-m codebook collapse;
+    # any (m, cluster) TRAINING agg appearing here would mean a retrain)
+    assert plan.count("Exchange hashpartitioning(") == 0, plan
     # partition pruning on the index table: the codes scan touches fewer
     # files than the table holds (ceil(sqrt(nlist)) of nlist cells probed)
     from customer_activity_lakehouse_spark.plans.ann_index import _index_dir
