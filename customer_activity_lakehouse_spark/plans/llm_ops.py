@@ -50,7 +50,7 @@ from ..functions.text import (
     language_scores,
 )
 from ..operators.joins import dim_join
-from .registry import Query, table
+from .registry import Query, materialize, table
 
 # Default per-bucket row cap for the LSH band self-joins. A band bucket of n
 # rows produces O(n²) candidate pairs; a pathological cluster (millions of
@@ -749,8 +749,17 @@ def q_doc_tfidf_terms(spark: SparkSession, sf: str) -> DataFrame:
     terms = docs.select(
         "doc_id", F.explode_outer(_tokens(F.lower(F.col("text")))).alias("term")
     ).filter(F.col("term").isNotNull())
-    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    df_t = terms.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    # materialized so the single tokenize+explode pass feeds both consumers
+    # below (r14, guide §5) — the TF table every TF-IDF pipeline persists
+    tf = materialize(
+        terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    )
+    # df(term) = |{doc: tf(doc,term) > 0}| = the tf frame's row count per
+    # term (r14, guide §2.3): tf already holds exactly one row per
+    # (doc_id, term), so deriving df from it replaces a second full
+    # tokenize+explode pass (and a corpus-stream countDistinct shuffle)
+    # with a |tf|-sized rollup. Integer-exact — values unchanged.
+    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (
         tf.join(df_t, "term")
@@ -1115,8 +1124,17 @@ def q_doc_curation_funnel(spark: SparkSession, sf: str) -> DataFrame:
     non-increasing — the attrition report a pipeline dashboard shows."""
     docs = table(spark, sf, "documents")
     is_bench = F.substring(_md5s(F.col("doc_id").cast("string")), 1, 1) < DECON_HEX_BOUND
-    toksdf = docs.select(
-        "doc_id", "source", is_bench.alias("is_bench"), _tokens(F.col("text")).alias("tk")
+    # one tokenize pass (r14, guide §5): the token frame feeds the length/
+    # dup stats, the bigram explode, AND both decontamination gram sides —
+    # four re-tokenizations of the corpus before (4 scans in the executed
+    # sf0.1 plan, zero exchange reuse)
+    toksdf = materialize(
+        docs.select(
+            "doc_id",
+            "source",
+            is_bench.alias("is_bench"),
+            _tokens(F.col("text")).alias("tk"),
+        )
     )
     corpus = toksdf.filter(~F.col("is_bench"))
     per = corpus.select(
@@ -1406,7 +1424,13 @@ def minhash_lsh_pairs(docs: DataFrame, bucket_cap: int | None = LSH_BUCKET_CAP) 
     shingles → 8 salted minhashes → 4 bands of 2 → same-band self-join →
     distinct (a < b) pairs. Buckets larger than ``bucket_cap`` are dropped
     before the join (see :func:`_cap_buckets`)."""
-    bands = _cap_buckets(minhash_band_keys(docs), bucket_cap)
+    # materialize the capped band keys ONCE (r14, guide §5): the self-join
+    # consumes the frame twice and, despite the identical subtrees, AQE
+    # recorded ZERO exchange reuse in the executed sf0.1 plan — the
+    # shingle → 8-minhash signature pipeline (the expensive stage) ran for
+    # each side. The band frame is 4 short rows per doc — trivially
+    # storable at any corpus size, unlike the corpus it derives from.
+    bands = materialize(_cap_buckets(minhash_band_keys(docs), bucket_cap))
     a = bands.alias("a")
     b = bands.alias("b")
     return (
@@ -3111,7 +3135,12 @@ def q_doc_unigram_logprob(spark: SparkSession, sf: str) -> DataFrame:
     tok = docs.select(
         "doc_id", "source", F.explode(_tokens(F.col("text"))).alias("token")
     )
-    counts = tok.groupBy("token").agg(F.count(F.lit(1)).alias("n_tok"))
+    # materialized: `counts` feeds both the corpus total and the surprisal
+    # map — without it each consumer re-ran the tokenize+count pass (r14,
+    # guide §5; the frame is |vocab| rows, trivially storable)
+    counts = materialize(
+        tok.groupBy("token").agg(F.count(F.lit(1)).alias("n_tok"))
+    )
     total = counts.agg(F.sum("n_tok").alias("total_tok"))
     surprisal = counts.crossJoin(F.broadcast(total)).select(
         "token",
@@ -3770,8 +3799,15 @@ def q_doc_bigram_logprob(spark: SparkSession, sf: str) -> DataFrame:
             )
         ).alias("bg"),
     ).select("doc_id", "source", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    # one tokenize+explode pass feeds BOTH model counts and the scoring
+    # join (r14, guide §5 — three corpus passes before)
+    big = materialize(big)
     c12 = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n12"))
-    c1 = big.groupBy("w1").agg(F.count(F.lit(1)).alias("n1"))
+    # c(w1,·) = Σ_w2 c(w1,w2): derive the unigram-context counts from the
+    # bigram rollup instead of a second corpus-sized aggregation — the
+    # second shuffle now carries |bigram vocab| rows, not the bigram
+    # stream (r14, guide §2.3). Integer-exact, so values are unchanged.
+    c1 = c12.groupBy("w1").agg(F.sum("n12").cast("long").alias("n1"))
     model = c12.join(c1, "w1").select(
         "w1",
         "w2",

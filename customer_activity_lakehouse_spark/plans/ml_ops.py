@@ -44,7 +44,7 @@ from pyspark.sql import functions as F
 
 from ..operators.joins import dim_join
 from .core import MONEY, SQL_REV, revenue
-from .registry import Query, table
+from .registry import Query, materialize, table
 
 
 def _ml_tokens(c):
@@ -1425,7 +1425,12 @@ def q_dedup_setsim_capped(spark: SparkSession, sf: str) -> DataFrame:
         F.count(F.lit(1)).alias("members"),
         F.first("toks").alias("toks"),
     )
-    reps = fams.select("rep_id", "members", "toks")
+    # materialize the family collapse ONCE (r14, guide §5): reps feeds the
+    # posting build, BOTH verify sides, and the member rollups — five
+    # re-derivations of tokenize+groupBy without it (17 corpus scans / 51
+    # exchanges in the executed sf0.1 plan, zero AQE exchange reuse); the
+    # family frame is the dedup working set a real pipeline persists anyway
+    reps = materialize(fams.select("rep_id", "members", "toks"))
     tok = reps.select("rep_id", F.explode("toks").alias("token"))
     dfc = tok.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     ordered = (
@@ -1441,7 +1446,9 @@ def q_dedup_setsim_capped(spark: SparkSession, sf: str) -> DataFrame:
     pfx_expr = f"slice(ord, 1, n_tok - {_SETSIM_CEIL} + 1)"
     pfx = ordered.select("rep_id", F.explode(F.expr(pfx_expr)).alias("token"))
     wtok = Window.partitionBy("token").orderBy("rep_id")
-    ranked = pfx.withColumn("pos", F.row_number().over(wtok))
+    # ranked feeds the kept postings (both self-join sides) AND the pruned
+    # audit — materialize so the df-order + prefix window runs once
+    ranked = materialize(pfx.withColumn("pos", F.row_number().over(wtok)))
     kept = ranked.filter(F.col("pos") <= SETSIM_POSTING_CAP).select("rep_id", "token")
     pruned = (
         ranked.filter(F.col("pos") > SETSIM_POSTING_CAP)

@@ -27,6 +27,22 @@ class Query:
     bench: bool = False
 
 
+def materialize(df: DataFrame) -> DataFrame:
+    """Cut a diamond-shaped plan at a reused stage (guide §5): compute the
+    frame ONCE and hand every consumer the materialized blocks, instead of
+    letting each downstream reference re-execute the whole upstream
+    lineage (Spark shares no common subexpressions across a DAG — a frame
+    referenced k times runs k times; dedup_setsim_capped re-tokenized the
+    corpus 17× at sf0.1 this way). Reliable checkpoint when the session
+    has a checkpoint dir (survives executor loss on a cluster), else
+    localCheckpoint — the connected_components / pagerank idiom. Values
+    are unchanged; blocks are freed when the frame is garbage-collected."""
+    spark = df.sparkSession
+    if spark.sparkContext.getCheckpointDir() is not None:
+        return df.checkpoint(eager=True)
+    return df.localCheckpoint(eager=True)
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         return events_table(spark, sf_dir)
