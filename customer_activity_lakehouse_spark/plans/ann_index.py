@@ -202,6 +202,13 @@ def _encode_cells(
     driver-bounded (the `_ordered_cells` class)."""
     crows = _centroid_rows(cents)
     book = _codebook_rows(books)
+    if not crows or not book:
+        # fail at the driver with a diagnosable message instead of an
+        # opaque executor-side broadcasting ValueError inside the kernel
+        raise ValueError(
+            f"_encode_cells: empty centroid ({len(crows)}) or codebook "
+            f"({len(book)}) frame — the index training input has no rows"
+        )
     sc = embq.sparkSession.sparkContext
     bc = sc.broadcast(
         (
@@ -671,7 +678,12 @@ def _adc_topk(
     from ..sources.snapshots import read_snapshot
 
     book = _codebook_rows(read_snapshot(spark, f"{index_dir}/pq_codebooks"))
-    qq = np.asarray(query_q.select("q").head()[0], dtype=np.int64)
+    qrow = query_q.select("q").head()
+    if qrow is None:
+        raise ValueError(
+            "_adc_topk: empty query frame — exactly one query row required"
+        )
+    qq = np.asarray(qrow[0], dtype=np.int64)
     adc = _adc_code_cos_udf(spark, book, qq)
     return (
         codes.select("vec_id", F.round(adc("code"), 4).alias("cos_sim"))

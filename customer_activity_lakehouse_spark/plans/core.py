@@ -29,7 +29,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators.joins import dim_join, salted_join
-from .registry import Query, table
+from .registry import Query, materialize, table
 
 # ---------------------------------------------------------------------------
 # Decimal-exact aggregate helpers (see module docstring). SQL twins inline.
@@ -2209,13 +2209,24 @@ def q_part_market_basket(spark: SparkSession, sf: str) -> DataFrame:
     min-support kills the tail before the broadcastable support joins.
     Top-k compiles to TakeOrderedAndProject."""
     li = table(spark, sf, "lineitem")
-    baskets = li.groupBy("l_orderkey").agg(
-        F.sort_array(F.collect_set("l_partkey")).alias("parts")
+    # materialize the basket frame ONCE (r15, guide §5): n_orders, the
+    # item supports (consumed twice, as n_a and n_b) and the pair fan-out
+    # each re-executed the lineitem scan + collect_set shuffle — 4 fact
+    # scans / 22 exchanges in the executed sf0.1 plan, zero AQE reuse.
+    # One row per order (TPC-H baskets ≤7 parts) — far smaller than the
+    # lineitem it derives from. The item rollup is materialized too:
+    # |parts| rows, consumed by both sides of the support join.
+    baskets = materialize(
+        li.groupBy("l_orderkey").agg(
+            F.sort_array(F.collect_set("l_partkey")).alias("parts")
+        )
     )
     n_orders = baskets.agg(F.count(F.lit(1)).alias("n_orders"))
-    item = baskets.select(F.explode("parts").alias("l_partkey")).groupBy(
-        "l_partkey"
-    ).agg(F.count(F.lit(1)).alias("n_item"))
+    item = materialize(
+        baskets.select(F.explode("parts").alias("l_partkey"))
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("n_item"))
+    )
     # all (pa < pb) pairs of one basket, generated in-expression: element i
     # pairs with every element after it (parts is sorted distinct)
     pair_expr = F.expr(

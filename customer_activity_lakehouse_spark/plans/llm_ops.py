@@ -1406,11 +1406,8 @@ _SQL_BANDS = (
 )
 
 
-def minhash_band_keys(docs: DataFrame) -> DataFrame:
-    """(doc_id, band_idx, band_val) long form of the minhash signature —
-    the LSH blocking key table both the self-join and the hot-bucket audit
-    operate on."""
-    sig = signature_from_docs(docs)
+def _band_keys_from_sig(sig: DataFrame) -> DataFrame:
+    """(doc_id, band_idx, band_val) long form of a signature frame."""
     return sig.select(
         "doc_id",
         F.explode(
@@ -1419,18 +1416,30 @@ def minhash_band_keys(docs: DataFrame) -> DataFrame:
     ).select("doc_id", F.col("bk.band_idx").alias("band_idx"), F.col("bk.band_val").alias("band_val"))
 
 
+def minhash_band_keys(docs: DataFrame) -> DataFrame:
+    """(doc_id, band_idx, band_val) long form of the minhash signature —
+    the LSH blocking key table both the self-join and the hot-bucket audit
+    operate on."""
+    return _band_keys_from_sig(signature_from_docs(docs))
+
+
 def minhash_lsh_pairs(docs: DataFrame, bucket_cap: int | None = LSH_BUCKET_CAP) -> DataFrame:
     """MinHash-LSH candidate pairs over any (doc_id, text) frame: char-8-gram
     shingles → 8 salted minhashes → 4 bands of 2 → same-band self-join →
     distinct (a < b) pairs. Buckets larger than ``bucket_cap`` are dropped
     before the join (see :func:`_cap_buckets`)."""
-    # materialize the capped band keys ONCE (r14, guide §5): the self-join
-    # consumes the frame twice and, despite the identical subtrees, AQE
-    # recorded ZERO exchange reuse in the executed sf0.1 plan — the
-    # shingle → 8-minhash signature pipeline (the expensive stage) ran for
-    # each side. The band frame is 4 short rows per doc — trivially
-    # storable at any corpus size, unlike the corpus it derives from.
-    bands = materialize(_cap_buckets(minhash_band_keys(docs), bucket_cap))
+    # materialize the SIGNATURE frame ONCE (r15; r14 materialized the
+    # capped band keys, which hid the `lsh_bucket_cap_*` observed drop
+    # metric behind a Scan ExistingRDD — listeners went blind and
+    # tests/test_scale_guards.py::test_minhash_capped_plan_carries_named_
+    # metric failed): the self-join consumes the band frame twice and,
+    # despite the identical subtrees, AQE recorded ZERO exchange reuse in
+    # the executed sf0.1 plan — the shingle → 8-minhash signature pipeline
+    # (the expensive stage) ran for each side. The signature frame is one
+    # short row per doc — trivially storable at any corpus size, unlike
+    # the corpus it derives from — and keeps the cheap band explode, the
+    # cap window AND its observe node in the live plan.
+    bands = _cap_buckets(_band_keys_from_sig(materialize(signature_from_docs(docs))), bucket_cap)
     a = bands.alias("a")
     b = bands.alias("b")
     return (
@@ -1650,13 +1659,12 @@ def connected_components(
     edges = edges.union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).distinct()
-    reliable = pairs.sparkSession.sparkContext.getCheckpointDir() is not None
     # Materialize the edge set ONCE before iterating: every iteration's join
     # re-evaluates `edges`, and its lineage is the whole upstream pair
     # pipeline (for minhash dedup: shingle → signature → band join → exact
     # verify) — without this the most expensive stage of the algorithm
     # reruns per iteration (measured 45s -> ~7s at sf0.1).
-    edges = edges.checkpoint(eager=True) if reliable else edges.localCheckpoint(eager=True)
+    edges = materialize(edges)
     labels = (
         edges.select(F.col("src").alias("node")).distinct().withColumn("label", F.col("node"))
     )
@@ -1668,11 +1676,7 @@ def connected_components(
         new_labels = (
             labels.union(neigh).groupBy("node").agg(F.min("label").alias("label"))
         )
-        new_labels = (
-            new_labels.checkpoint(eager=True)
-            if reliable
-            else new_labels.localCheckpoint(eager=True)
-        )
+        new_labels = materialize(new_labels)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "node")

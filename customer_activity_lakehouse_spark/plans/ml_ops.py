@@ -175,6 +175,15 @@ def _km_assign(embq: DataFrame, centroids: DataFrame) -> DataFrame:
     rows = _centroid_rows(centroids)
     if not rows:  # degenerate empty-centroid frame: keep the legacy shape
         return _km_assign_expr(embq, centroids)
+    return _km_assign_rows(embq, rows)
+
+
+def _km_assign_rows(embq: DataFrame, rows: list[tuple[int, list[float]]]) -> DataFrame:
+    """`_km_assign`'s kernel over PRE-COLLECTED centroid rows (r15): the
+    training loop and the probe both need the collected rows, so collect
+    once and share. Preserves every input column (the serve paths carry
+    the raw embedding through the assignment, killing their vec_id
+    join-back)."""
     sc = embq.sparkSession.sparkContext
     bc = sc.broadcast(
         (
@@ -204,9 +213,8 @@ def _km_assign(embq: DataFrame, centroids: DataFrame) -> DataFrame:
             {"cluster": out_cl.astype("int32"), "dist": out_d}
         )
 
-    return embq.select("vec_id", "q", assign("q").alias("__r")).select(
-        "vec_id",
-        "q",
+    return embq.withColumn("__r", assign("q")).select(
+        *[F.col(c) for c in embq.columns],
         F.col("__r.cluster").alias("cluster"),
         F.col("__r.dist").alias("dist"),
     )
@@ -230,22 +238,37 @@ def _km_update(assigned: DataFrame) -> DataFrame:
     return assigned.groupBy("cluster").agg(F.expr(sums_sql)).selectExpr("cluster", arr_sql)
 
 
-def _km_fit_frame(embq: DataFrame) -> tuple[DataFrame, DataFrame]:
+def _km_fit_frame(
+    embq: DataFrame,
+) -> tuple[DataFrame, DataFrame, list[tuple[int, list[float]]] | None]:
     """Frame-based Lloyd core (shared with the persisted ANN index, which
-    trains over snapshot-table corpora rather than the sf fixture)."""
+    trains over snapshot-table corpora rather than the sf fixture).
+    Returns (final assignments, the centroid frame those assignments used,
+    the COLLECTED rows of that frame). The assignment kernel collects the
+    centroids every iteration anyway (r14); keeping the last collect lets
+    the IVF probe rank cells on the driver instead of re-executing the
+    centroid lineage (a full corpus pass) inside the serve plan (r15)."""
     centroids = _km_seed_centroids(embq)
-    assigned = cents_used = None
+    assigned = cents_used = rows_used = None
     for _ in range(KM_ITERS):
         cents_used = centroids
-        assigned = _km_assign(embq, cents_used)
+        rows_used = _centroid_rows(centroids) or None
+        assigned = (
+            _km_assign_rows(embq, rows_used)
+            if rows_used
+            else _km_assign_expr(embq, centroids)
+        )
         centroids = _km_update(assigned)
-    return assigned, cents_used
+    return assigned, cents_used, rows_used
 
 
-def _km_fit(spark: SparkSession, sf: str) -> tuple[DataFrame, DataFrame]:
+def _km_fit(
+    spark: SparkSession, sf: str
+) -> tuple[DataFrame, DataFrame, list[tuple[int, list[float]]] | None]:
     """Run KM_ITERS Lloyd iterations; returns (final assignments, the
-    centroids those assignments were computed against) — the latter is
-    what an IVF probe must use to stay consistent with the cells."""
+    centroids those assignments were computed against, the collected rows
+    of those centroids) — the probe must use them to stay consistent with
+    the cells."""
     return _km_fit_frame(_km_quantized(spark, sf))
 
 
@@ -259,7 +282,7 @@ def q_embedding_kmeans(spark: SparkSession, sf: str) -> DataFrame:
     partial-agg groupBy to K rows. The vectors are scanned KM_ITERS times
     but NEVER shuffled; total shuffle volume is O(K · dim · partitions)
     per iteration — the canonical distributed k-means."""
-    assigned, _ = _km_fit(spark, sf)
+    assigned, _, _ = _km_fit(spark, sf)
     return assigned.select("vec_id", "cluster", F.round("dist", 4).alias("dist"))
 
 
@@ -408,34 +431,59 @@ def _serve_probes(n_cells: int) -> int:
     return max(IVF_PROBES, math.ceil(math.sqrt(max(int(n_cells), 1))))
 
 
-def _ivf_cand(spark: SparkSession, sf: str) -> DataFrame:
-    """IVF candidate vec_ids: the query's IVF_PROBES nearest k-means cells
-    (by the same quantized distance that trained them), then every
-    non-query vector assigned to those cells — a broadcast semi-join of
-    the K-row probe table against the assignment frame. Shared by the
-    exact-rerank IVF and the IVF-PQ composition."""
-    assigned, cents = _km_fit(spark, sf)
-    carr = cents.agg(F.array_sort(F.collect_list(F.struct("cluster", "c"))).alias("cents"))
+def _ivf_probe_clusters(
+    rows: list[tuple[int, list[float]]], qq: np.ndarray, n_probes: int = IVF_PROBES
+) -> list[int]:
+    """The query's ``n_probes`` nearest cells, ranked ON THE DRIVER over
+    the already-collected centroid rows (r15): K rows × dim doubles of
+    arithmetic — the old in-plan probe (crossJoin the K-row centroid agg,
+    orderBy, limit) re-executed the centroid lineage, a full corpus pass,
+    inside every serve plan. Float-op parity with the retired JVM fold:
+    np.cumsum over the squared per-dim deltas is the same left-to-right
+    sequential double fold, and the (dist, cluster) tuple sort is exactly
+    orderBy(cdist, cluster). Pinned against the expression twin in
+    tests/test_np_kernels.py."""
+    qv = qq.astype(np.float64)
+    scored = []
+    for cl, c in rows:
+        d = qv - np.asarray(c, dtype=np.float64)
+        d *= d
+        scored.append((float(np.cumsum(d)[-1]), cl))
+    scored.sort()
+    return [cl for _, cl in scored[:n_probes]]
+
+
+def _ivf_cand_assigned(
+    spark: SparkSession, sf: str, base: DataFrame | None = None
+) -> DataFrame:
+    """IVF candidate ROWS: k-means-train the coarse quantizer, rank the
+    query's IVF_PROBES nearest cells on the driver (`_ivf_probe_clusters`),
+    and return the final assignment pass filtered to those cells — ONE
+    corpus scan with a map-side cluster filter, zero joins, zero shuffles
+    (r15; the r14 shape broadcast-joined a probe frame whose lineage was a
+    full corpus pass, then the callers joined the candidates back to the
+    corpus by vec_id — a second full scan plus a fact-sized shuffle join).
+    ``base`` carries extra columns (e.g. the raw embedding) through the
+    assignment kernel so callers never join back. Returns every `embq`
+    column (or ``base``'s) plus (cluster, dist)."""
     embq = _km_quantized(spark, sf)
-    q0 = embq.filter(F.col("vec_id") == 0)
-    cent_dist = F.aggregate(
-        F.zip_with(F.col("q"), F.col("cent.c"), lambda a, b: (a.cast("double") - b) * (a.cast("double") - b)),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
-    probe = (
-        q0.crossJoin(F.broadcast(carr))
-        .select(F.explode("cents").alias("cent"), "q")
-        .select(F.col("cent.cluster").alias("cluster"), cent_dist.alias("cdist"))
-        .orderBy("cdist", "cluster")
-        .limit(IVF_PROBES)
-        .select("cluster")
-    )
-    return (
-        assigned.join(F.broadcast(probe), "cluster")
-        .filter(F.col("vec_id") != 0)
-        .select("vec_id")
-    )
+    assigned, cents, rows = _km_fit_frame(embq)
+    if not rows:  # degenerate empty corpus: nothing to probe or score
+        out = assigned if base is None else _km_assign_expr(base, cents)
+        return out.filter(F.col("vec_id") != 0).limit(0)
+    qrow = embq.filter(F.col("vec_id") == 0).select("q").head()
+    if qrow is None:  # no query vector: the legacy plan returned no rows
+        out = assigned if base is None else _km_assign_rows(base, rows)
+        return out.filter(F.col("vec_id") != 0).limit(0)
+    probes = _ivf_probe_clusters(rows, np.asarray(qrow[0], dtype=np.int64))
+    out = assigned if base is None else _km_assign_rows(base, rows)
+    return out.filter(F.col("cluster").isin(probes) & (F.col("vec_id") != 0))
+
+
+def _ivf_cand(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF candidate vec_ids (the r13-shaped API, kept for the SQL-twin
+    docs): `_ivf_cand_assigned` projected to the id column."""
+    return _ivf_cand_assigned(spark, sf).select("vec_id")
 
 
 def q_ann_ivf_kmeans_topk(spark: SparkSession, sf: str) -> DataFrame:
@@ -447,22 +495,29 @@ def q_ann_ivf_kmeans_topk(spark: SparkSession, sf: str) -> DataFrame:
     from those cells only.
 
     Scale shape: training is the kmeans pipeline (vectors never shuffle);
-    the probe is a K-row broadcast argsort; candidate selection is a
-    broadcast semi-join of the probe cells against the assignment frame —
-    at 100 TB the table is written partitioned by cell so a probe reads
-    IVF_PROBES partitions. Exact cosine + TakeOrdered top-k on candidates
-    only."""
+    the probe is a driver-side argsort over the K collected centroids;
+    candidate selection is a map-side cluster filter on the assignment
+    pass, which carries the raw embedding through the kernel — at 100 TB
+    the table is written partitioned by cell so a probe reads IVF_PROBES
+    partitions. Exact cosine + TakeOrdered top-k on candidates only; the
+    serve plan is one corpus scan, zero shuffles (r15 — the r13 shape
+    joined the candidate ids back to the corpus by vec_id, a fact-sized
+    shuffle join plus a second scan)."""
     from .llm_ops import _dot_expr, _norm_expr
 
-    cand = _ivf_cand(spark, sf)
     emb = table(spark, sf, "embeddings")
+    base = emb.select(
+        "vec_id",
+        "embedding",
+        F.transform("embedding", lambda x: F.floor(x.cast("double") * KM_SCALE)).alias("q"),
+    )
+    cand = _ivf_cand_assigned(spark, sf, base=base)
     qv = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q_emb"))
     cos = _dot_expr(F.col("embedding"), F.col("q_emb")) / (
         _norm_expr(F.col("embedding")) * _norm_expr(F.col("q_emb"))
     )
     return (
-        emb.join(cand, "vec_id")
-        .crossJoin(F.broadcast(qv))
+        cand.crossJoin(F.broadcast(qv))
         .select("vec_id", F.round(cos, 4).alias("cos_sim"))
         .orderBy(F.col("cos_sim").desc(), "vec_id")
         .limit(IVF_TOPK)
@@ -1182,7 +1237,7 @@ def q_dedup_semantic_cells(spark: SparkSession, sf: str) -> DataFrame:
     compiles to WindowGroupLimit). Similarity is cosine over the same
     integer-quantized vectors the clustering uses, so both engines are
     bit-exact; distances compare after the same 4dp rounding both emit."""
-    assigned, _ = _km_fit(spark, sf)
+    assigned, _, _ = _km_fit(spark, sf)
     return _capped_cell_pairs(assigned, SEMDEDUP_CELL_CAP, SEMDEDUP_COS)
 
 
@@ -1228,7 +1283,7 @@ def q_semantic_cell_audit(spark: SparkSession, sf: str) -> DataFrame:
     production audits pass ``SEMDEDUP_CELL_CAP``. An operator watching
     this row stream resizes K (see :func:`semantic_dedup_pairs`) when
     cells outgrow the cap."""
-    assigned, _ = _km_fit(spark, sf)
+    assigned, _, _ = _km_fit(spark, sf)
     return (
         assigned.groupBy("cluster")
         .agg(F.count(F.lit(1)).alias("n_members"))
@@ -1444,11 +1499,20 @@ def q_dedup_setsim_capped(spark: SparkSession, sf: str) -> DataFrame:
         )
     )
     pfx_expr = f"slice(ord, 1, n_tok - {_SETSIM_CEIL} + 1)"
-    pfx = ordered.select("rep_id", F.explode(F.expr(pfx_expr)).alias("token"))
+    # materialize the SHARED prefix-token stage, not the ranked window
+    # (r15): three consumers re-derive pfx (both self-join sides + the
+    # pruned audit), so the df-order chain runs once — but the rank-limit
+    # stays IN the live plan, where Catalyst rewrites filter(pos<=CAP)
+    # over row_number into WindowGroupLimit (per-partition top-CAP BEFORE
+    # the token shuffle). Materializing the window itself (r14) hid it
+    # behind a Scan ExistingRDD: every posting row shuffled un-truncated
+    # and the plan gate (test_plan_quality.py::
+    # test_setsim_capped_bounded_candidates_shape) went red.
+    pfx = materialize(
+        ordered.select("rep_id", F.explode(F.expr(pfx_expr)).alias("token"))
+    )
     wtok = Window.partitionBy("token").orderBy("rep_id")
-    # ranked feeds the kept postings (both self-join sides) AND the pruned
-    # audit — materialize so the df-order + prefix window runs once
-    ranked = materialize(pfx.withColumn("pos", F.row_number().over(wtok)))
+    ranked = pfx.withColumn("pos", F.row_number().over(wtok))
     kept = ranked.filter(F.col("pos") <= SETSIM_POSTING_CAP).select("rep_id", "token")
     pruned = (
         ranked.filter(F.col("pos") > SETSIM_POSTING_CAP)
@@ -1806,8 +1870,7 @@ def q_nation_pagerank(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.col("n") * F.col("npairs") > F.col("tot"))
         .select("src", "dst")
     )
-    reliable = spark.sparkContext.getCheckpointDir() is not None
-    edges = edges.checkpoint(eager=True) if reliable else edges.localCheckpoint(eager=True)
+    edges = materialize(edges)
     outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     n_row = nation.agg(F.count(F.lit(1)).alias("n_nations"))
     nodes = nation.select(F.col("n_nationkey").alias("node"), "n_name").crossJoin(
@@ -1936,8 +1999,7 @@ def q_nation_trade_paths(spark: SparkSession, sf: str) -> DataFrame:
         .cast("long")
         .alias("w"),
     )
-    reliable = spark.sparkContext.getCheckpointDir() is not None
-    edges = edges.checkpoint(eager=True) if reliable else edges.localCheckpoint(eager=True)
+    edges = materialize(edges)
     dist = nation.select(
         F.col("n_nationkey").alias("node"),
         "n_name",
@@ -3135,16 +3197,18 @@ def q_ann_ivfpq_topk(spark: SparkSession, sf: str) -> DataFrame:
     would need a codebook trained per probe layout and is noted as the
     upgrade path, not silently approximated.
 
-    Scale shape — why THIS is the 100 TB ANN plan: the probe is a K-row
-    broadcast argsort; candidates arrive via broadcast semi-join (at
-    scale: partition the table by cell and the probe reads IVF_PROBES
-    partitions); scoring touches 4-byte codes, in-row, zero-shuffle, for
-    ~|corpus|·probes/K vectors instead of the whole corpus. Training pays
-    the only shuffles — (m, cluster)-keyed partial aggs."""
-    embq = _km_quantized(spark, sf)
-    cand = _ivf_cand(spark, sf)
-    corpus = embq.join(cand, "vec_id")
-    return _pq_adc_topk(spark, sf, corpus)
+    Scale shape — why THIS is the 100 TB ANN plan: the probe is a
+    driver-side argsort over the K collected centroids; candidates are a
+    map-side cluster filter on the assignment pass (at scale: partition
+    the table by cell and the probe reads IVF_PROBES partitions); scoring
+    touches 4-byte codes, in-row, zero-shuffle, for ~|corpus|·probes/K
+    vectors instead of the whole corpus. Training pays the only shuffles
+    — (m, cluster)-keyed partial aggs. The whole serve plan is ONE corpus
+    scan (r15 — the r14 shape re-joined the candidate ids to the corpus
+    by vec_id, a fact-sized shuffle join, and re-executed the centroid
+    lineage inside the probe)."""
+    cand = _ivf_cand_assigned(spark, sf)
+    return _pq_adc_topk(spark, sf, cand.select("vec_id", "q"))
 
 
 def _sql_serve_probes(probe_c: str) -> str:

@@ -34,12 +34,23 @@ def materialize(df: DataFrame) -> DataFrame:
     lineage (Spark shares no common subexpressions across a DAG — a frame
     referenced k times runs k times; dedup_setsim_capped re-tokenized the
     corpus 17× at sf0.1 this way). Reliable checkpoint when the session
-    has a checkpoint dir (survives executor loss on a cluster), else
-    localCheckpoint — the connected_components / pagerank idiom. Values
-    are unchanged; blocks are freed when the frame is garbage-collected."""
+    has a checkpoint dir (``session.get_spark`` sets one since r15, so the
+    blocks survive executor loss on a cluster — a localCheckpoint'ed
+    corpus frame is non-recomputable and kills the job when any holding
+    executor dies, guide §5); else localCheckpoint. The frame is persisted
+    around a reliable checkpoint because ``RDD.checkpoint`` runs a SECOND
+    job to write the files — without the cache the whole upstream lineage
+    executes twice. Values are unchanged; the cache is dropped once the
+    checkpoint files exist, and the files themselves are removed by the
+    ContextCleaner when the frame is garbage-collected
+    (``spark.cleaner.referenceTracking.cleanCheckpoints=true``)."""
     spark = df.sparkSession
     if spark.sparkContext.getCheckpointDir() is not None:
-        return df.checkpoint(eager=True)
+        df = df.persist()
+        try:
+            return df.checkpoint(eager=True)
+        finally:
+            df.unpersist()
     return df.localCheckpoint(eager=True)
 
 

@@ -99,6 +99,27 @@ def get_spark(
                 str(s3.path_style_access).lower(),
             )
         )
+    builder = builder.config(
+        # Drop a GC'd frame's reliable-checkpoint files (the materialize()
+        # contract: blocks/files live only while the frame is referenced).
+        "spark.cleaner.referenceTracking.cleanCheckpoints",
+        "true",
+    )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    # Checkpoint dir (r15): with one set, materialize()/the iterative
+    # dedup loops take the RELIABLE checkpoint branch — recomputable-free
+    # blocks on the checkpoint FS instead of executor-memory
+    # localCheckpoints that die with any executor (guide §5). Local temp
+    # is correct for local[n] (no executor loss, same disks); a cluster
+    # deploy MUST point SPARK_GRAFT_CHECKPOINT_DIR at shared storage
+    # (HDFS/S3A) — per-node file:/tmp is not a reliable checkpoint there.
+    if spark.sparkContext.getCheckpointDir() is None:
+        ckpt = os.environ.get("SPARK_GRAFT_CHECKPOINT_DIR")
+        if not ckpt:
+            import tempfile
+
+            ckpt = tempfile.mkdtemp(prefix="spark-graft-ckpt-")
+        spark.sparkContext.setCheckpointDir(ckpt)
+    return spark

@@ -112,6 +112,45 @@ def test_adc_kernel_matches_expression(spark, tmp_path):
     assert got_row == want
 
 
+def test_ivf_probe_driver_ranking_matches_expression(spark):
+    """`_ivf_probe_clusters` (r15 driver-side probe) == the retired in-plan
+    probe: fold the query over the broadcast centroid array with the JVM
+    aggregate expression, orderBy(cdist, cluster), limit — exact doubles,
+    exact (dist, cluster) tie order, for several probe widths."""
+    from customer_activity_lakehouse_spark.plans.ml_ops import (
+        _centroid_rows,
+        _ivf_probe_clusters,
+    )
+
+    embq = _quantize(_corpus(spark, 0, 300))
+    for k in (8, 17):
+        cents = _km_update(_km_assign(embq, _seed_centroids_scaled(embq, k)))
+        rows = _centroid_rows(cents)
+        q0 = embq.filter(F.col("vec_id") == 0)
+        carr = cents.agg(
+            F.array_sort(F.collect_list(F.struct("cluster", "c"))).alias("cents")
+        )
+        cent_dist = F.aggregate(
+            F.zip_with(
+                F.col("q"),
+                F.col("cent.c"),
+                lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        ranked = (
+            q0.crossJoin(F.broadcast(carr))
+            .select(F.explode("cents").alias("cent"), "q")
+            .select(F.col("cent.cluster").alias("cluster"), cent_dist.alias("cdist"))
+            .orderBy("cdist", "cluster")
+        )
+        qq = np.asarray(q0.select("q").head()[0], dtype=np.int64)
+        for n_probes in (1, 2, 5, k):
+            want = [r["cluster"] for r in ranked.limit(n_probes).collect()]
+            assert _ivf_probe_clusters(rows, qq, n_probes) == want
+
+
 def test_encode_cells_matches_staged_chain(spark):
     """The fused build kernel (cell argmin + PQ codes in one pass) equals
     the retired staged chain: expression assign for the cell, expression

@@ -698,20 +698,21 @@ def test_cdc_chunks_windows_per_doc_no_join(spark, sf_correctness):
 
 
 def test_ann_ivfpq_cells_broadcast_codes_in_row(spark, sf_correctness):
-    """IVF-PQ composition contract: probe cells and the candidate set ride
-    broadcasts, ADC scoring stays in-row (TakeOrdered finish), and the
-    only hash exchanges are the TRAINING aggregates of the two stages —
-    k-means (cluster / vec_id assignment replays) and PQ codebook
-    ((m, cluster)). No SortMergeJoin anywhere: candidate selection and
-    scoring must never shuffle corpus vectors."""
+    """IVF-PQ composition contract (tightened r15): the SERVE plan is one
+    corpus scan — cell assignment (Arrow kernel over the collected
+    centroids) → map-side probe-cell filter → in-row ADC scoring →
+    TakeOrdered. The probe is ranked on the driver from the K centroid
+    rows training already collected, so the plan has NO join and NO
+    exchange of any kind (r14 still broadcast-joined a probe frame whose
+    lineage re-ran a corpus pass, then joined candidates back by vec_id)."""
     import re
 
     plan = explain_str(QUERIES["ann_ivfpq_topk"].fn(spark, sf_correctness), "simple")
     assert "TakeOrderedAndProject" in plan, plan
-    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan, plan
-    assert "BroadcastHashJoin" in plan, plan
+    assert "Join" not in plan and "CartesianProduct" not in plan, plan
     hash_keys = set(re.findall(r"Exchange hashpartitioning\((\w+)#", plan))
-    assert hash_keys <= {"m", "cluster", "vec_id"}, f"unexpected exchanges: {hash_keys}"
+    assert not hash_keys, f"serve plan should be exchange-free: {hash_keys}"
+    assert plan.count("ArrowEvalPython") >= 1, plan
 
 
 def test_containment_prefix_postings_no_nested_loop(spark, sf_correctness):
