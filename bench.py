@@ -592,16 +592,30 @@ def _calibration() -> dict:
 
     # hashlib releases the GIL for large buffers, so threads scale to
     # the host's REAL deliverable parallelism. Single-task reference =
-    # min of 3 (noise floor); pool built before timing.
+    # min of 3 (noise floor); pool built before timing. r15: the parallel
+    # walls are ALSO min-of-3 — the r14 single-sample axis recorded an
+    # 8.18 end spike on a measured-quiet host (scheduling jitter of a
+    # 32-thread burst on SMT silicon), which is exactly the transient the
+    # min floor exists to exclude; and a half-width sample is recorded
+    # beside the full-width one so an SMT host (32 hyperthreads on 16
+    # cores: par32 ≈ 1.7-2.0 at its BEST) is distinguishable from a
+    # genuinely degraded window (r14 observed 2.5-4.6).
     single = min(_timed_once(_burn) for _ in range(3))
-    with concurrent.futures.ThreadPoolExecutor(max_workers=PAR_NWAY) as ex:
-        t0 = time.perf_counter()
-        list(ex.map(_burn, range(PAR_NWAY)))
-        par_wall = time.perf_counter() - t0
+
+    def _par_ratio(nway: int) -> float:
+        walls = []
+        for _ in range(3):
+            with concurrent.futures.ThreadPoolExecutor(max_workers=nway) as ex:
+                t0 = time.perf_counter()
+                list(ex.map(_burn, range(nway)))
+                walls.append(time.perf_counter() - t0)
+        return min(walls) / single
+
     return {
         "sha256_256mib_sec": round(sha, 4),
         "pyloop_2m_sec": round(loop, 4),
-        "par32_scaling": round(par_wall / single, 4),
+        "par32_scaling": round(_par_ratio(PAR_NWAY), 4),
+        "par16_scaling": round(_par_ratio(PAR_NWAY // 2), 4),
     }
 
 
@@ -614,19 +628,35 @@ def _timed_once(fn) -> float:
     return time.perf_counter() - t0
 
 
-# par32 gate thresholds (VERDICT r13 missing #1): if the start/end
-# parallel-capacity samples disagree by >15 % or either exceeds 1.4x,
-# the board is stamped "parallel_degraded" and scan-shaped entries must
-# not anchor any cross-round regression call.
-PAR_DISAGREE = 1.15
-PAR_DEGRADED = 1.4
+# par32 gate thresholds (VERDICT r13 missing #1; recalibrated r15): the
+# board is stamped "parallel_degraded" — scan-shaped entries must not
+# anchor any cross-round regression call — when the start/end
+# parallel-capacity samples disagree by >25 %, or when the burn's
+# EFFECTIVE parallelism (PAR_NWAY / par32_scaling) falls below half the
+# advertised CPU count. The r14 rule ("either sample exceeds 1.4x")
+# assumed PAR_NWAY physical cores; this host class is 16 physical cores
+# exposing 32 SMT threads, where a 32-way burn measures 1.7-2.0x on a
+# PROVABLY quiet box (r15 measured 1.69/1.72/1.77/1.85/1.96/1.99 across
+# six idle-host trials) — the absolute 1.4 stamped every board degraded
+# unconditionally and the axis carried no signal. eff >= cpus/2 is the
+# SMT-aware floor (hyperthreads add throughput but never double it);
+# the r14 genuinely-degraded windows (par32 2.5-4.6 => eff 7-13) still
+# trip it. Disagreement widened 1.15 -> 1.25 to match the min-of-3
+# sampling noise measured on the quiet host (1.69 vs 1.99 = 18 % is
+# idle-box jitter, not capacity variation; real degradation measured
+# 2-3x between samples).
+PAR_DISAGREE = 1.25
+PAR_EFF_FLOOR = 0.5
 
 
 def _parallel_degraded(start: dict, end: dict) -> bool:
     a, b = start.get("par32_scaling"), end.get("par32_scaling")
     if a is None or b is None:
         return True  # can't tell — treat as degraded, never as clean
-    return max(a, b) / min(a, b) > PAR_DISAGREE or max(a, b) > PAR_DEGRADED
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or PAR_NWAY))
+    eff = PAR_NWAY / max(a, b)
+    floor = PAR_EFF_FLOOR * min(cpus, PAR_NWAY)
+    return max(a, b) / min(a, b) > PAR_DISAGREE or eff < floor
 
 
 # Reference calibration for cross-round normalization (VERDICT r9 missing

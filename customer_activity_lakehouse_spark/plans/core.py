@@ -2212,21 +2212,24 @@ def q_part_market_basket(spark: SparkSession, sf: str) -> DataFrame:
     # materialize the basket frame ONCE (r15, guide §5): n_orders, the
     # item supports (consumed twice, as n_a and n_b) and the pair fan-out
     # each re-executed the lineitem scan + collect_set shuffle — 4 fact
-    # scans / 22 exchanges in the executed sf0.1 plan, zero AQE reuse.
-    # One row per order (TPC-H baskets ≤7 parts) — far smaller than the
-    # lineitem it derives from. The item rollup is materialized too:
-    # |parts| rows, consumed by both sides of the support join.
+    # scans / 22 exchanges in the executed sf0.1 plan, zero AQE reuse;
+    # ONE fact shuffle remains, and the basket frame (a row per order,
+    # TPC-H baskets ≤7 parts) is far smaller than the lineitem it derives
+    # from. Measured trade at sf0.1 (OPTIMIZATION_r15.md): the diamond's
+    # four branches ran CONCURRENTLY inside one job on local[32], so the
+    # materialized form is ~0.16 s slower there (1.67 → 1.83 s, and a
+    # lighter-branches no-materialize variant measured the same 1.83) —
+    # kept because at 100 TB the four corpus shuffles are CPU/IO-bound,
+    # not latency-bound, and 4× → 1× fact shuffles dominates.
     baskets = materialize(
         li.groupBy("l_orderkey").agg(
             F.sort_array(F.collect_set("l_partkey")).alias("parts")
         )
     )
     n_orders = baskets.agg(F.count(F.lit(1)).alias("n_orders"))
-    item = materialize(
-        baskets.select(F.explode("parts").alias("l_partkey"))
-        .groupBy("l_partkey")
-        .agg(F.count(F.lit(1)).alias("n_item"))
-    )
+    item = baskets.select(F.explode("parts").alias("l_partkey")).groupBy(
+        "l_partkey"
+    ).agg(F.count(F.lit(1)).alias("n_item"))
     # all (pa < pb) pairs of one basket, generated in-expression: element i
     # pairs with every element after it (parts is sorted distinct)
     pair_expr = F.expr(

@@ -1423,23 +1423,34 @@ def minhash_band_keys(docs: DataFrame) -> DataFrame:
     return _band_keys_from_sig(signature_from_docs(docs))
 
 
-def minhash_lsh_pairs(docs: DataFrame, bucket_cap: int | None = LSH_BUCKET_CAP) -> DataFrame:
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    bucket_cap: int | None = LSH_BUCKET_CAP,
+    observation: Observation | None = None,
+) -> DataFrame:
     """MinHash-LSH candidate pairs over any (doc_id, text) frame: char-8-gram
     shingles → 8 salted minhashes → 4 bands of 2 → same-band self-join →
     distinct (a < b) pairs. Buckets larger than ``bucket_cap`` are dropped
-    before the join (see :func:`_cap_buckets`)."""
-    # materialize the SIGNATURE frame ONCE (r15; r14 materialized the
-    # capped band keys, which hid the `lsh_bucket_cap_*` observed drop
-    # metric behind a Scan ExistingRDD — listeners went blind and
-    # tests/test_scale_guards.py::test_minhash_capped_plan_carries_named_
-    # metric failed): the self-join consumes the band frame twice and,
-    # despite the identical subtrees, AQE recorded ZERO exchange reuse in
-    # the executed sf0.1 plan — the shingle → 8-minhash signature pipeline
-    # (the expensive stage) ran for each side. The signature frame is one
-    # short row per doc — trivially storable at any corpus size, unlike
-    # the corpus it derives from — and keeps the cheap band explode, the
-    # cap window AND its observe node in the live plan.
-    bands = _cap_buckets(_band_keys_from_sig(materialize(signature_from_docs(docs))), bucket_cap)
+    before the join (see :func:`_cap_buckets`). ``observation`` reads the
+    drop counts directly — safe here SINCE the band frame is materialized
+    (the observe node executes exactly once, in the eager job)."""
+    # materialize the capped band keys ONCE (r14, guide §5): the self-join
+    # consumes the frame twice and, despite the identical subtrees, AQE
+    # recorded ZERO exchange reuse in the executed sf0.1 plan — the
+    # shingle → 8-minhash signature pipeline (the expensive stage) and the
+    # cap window ran for each side. The band frame is ≤4 short rows per
+    # doc — trivially storable at any corpus size, unlike the corpus it
+    # derives from. The `lsh_bucket_cap_*` observed drop metric executes
+    # INSIDE the eager materialize job, so QueryExecutionListeners still
+    # see every drop (pinned functionally in tests/test_scale_guards.py::
+    # test_minhash_capped_drops_reach_listeners — r15 replaced the old
+    # final-plan-text assertion, which a materialized stage can't satisfy;
+    # an r15 variant that materialized only the signature frame to keep
+    # the observe node in the final plan re-ran the window per join side
+    # and measured 1.59 -> 2.01 s at sf0.1).
+    bands = materialize(
+        _cap_buckets(minhash_band_keys(docs), bucket_cap, observation)
+    )
     a = bands.alias("a")
     b = bands.alias("b")
     return (

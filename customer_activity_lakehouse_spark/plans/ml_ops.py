@@ -1514,10 +1514,28 @@ def q_dedup_setsim_capped(spark: SparkSession, sf: str) -> DataFrame:
     wtok = Window.partitionBy("token").orderBy("rep_id")
     ranked = pfx.withColumn("pos", F.row_number().over(wtok))
     kept = ranked.filter(F.col("pos") <= SETSIM_POSTING_CAP).select("rep_id", "token")
+    # pruned audit WITHOUT an un-truncated window (r15): a rep's prefix
+    # length is n_tok - ceil + 1 (pure arithmetic over the materialized
+    # reps), so n_pruned = prefix_len - n_kept — the rank-limited window
+    # is the ONLY window in the query, and no full posting list is ever
+    # sorted or shuffled past the cap (the pos > CAP branch re-ran the
+    # window over every row of the hottest postings). Integer-exact:
+    # identical to counting pos > CAP entries.
+    kcnt = kept.groupBy("rep_id").agg(F.count(F.lit(1)).alias("n_kept"))
+    plen = reps.selectExpr(
+        "rep_id",
+        f"size(toks) AS n_tok",
+    ).selectExpr("rep_id", f"n_tok - {_SETSIM_CEIL} + 1 AS n_prefix")
     pruned = (
-        ranked.filter(F.col("pos") > SETSIM_POSTING_CAP)
-        .groupBy("rep_id")
-        .agg(F.count(F.lit(1)).alias("n_pruned_postings"))
+        plen.join(kcnt, "rep_id", "left")
+        .select(
+            "rep_id",
+            (
+                F.col("n_prefix").cast("long")
+                - F.coalesce(F.col("n_kept"), F.lit(0))
+            ).alias("n_pruned_postings"),
+        )
+        .filter(F.col("n_pruned_postings") > 0)
     )
     a = kept.select(F.col("rep_id").alias("rep_a"), "token")
     b = kept.select(F.col("rep_id").alias("rep_b"), "token")

@@ -111,15 +111,27 @@ def get_spark(
     # Checkpoint dir (r15): with one set, materialize()/the iterative
     # dedup loops take the RELIABLE checkpoint branch — recomputable-free
     # blocks on the checkpoint FS instead of executor-memory
-    # localCheckpoints that die with any executor (guide §5). Local temp
-    # is correct for local[n] (no executor loss, same disks); a cluster
-    # deploy MUST point SPARK_GRAFT_CHECKPOINT_DIR at shared storage
-    # (HDFS/S3A) — per-node file:/tmp is not a reliable checkpoint there.
+    # localCheckpoints that die with any executor (guide §5). On local[n]
+    # there are no executor losses and the reliable branch only adds a
+    # serialized write/read round-trip per materialize (measured +0.1-1.4 s
+    # per materialize-heavy sf0.1 query — OPTIMIZATION_r15.md), so the
+    # local default stays localCheckpoint; a CLUSTER deploy must point
+    # SPARK_GRAFT_CHECKPOINT_DIR at shared storage (HDFS/S3A — per-node
+    # file:/tmp is not reliable there), which every materialize/iterative
+    # loop then picks up. The reliable branch is pinned value-identical in
+    # tests/test_registry.py.
     if spark.sparkContext.getCheckpointDir() is None:
         ckpt = os.environ.get("SPARK_GRAFT_CHECKPOINT_DIR")
-        if not ckpt:
-            import tempfile
+        if ckpt:
+            spark.sparkContext.setCheckpointDir(ckpt)
+        elif not (master or f"local[{cpus}]").startswith("local"):
+            import warnings
 
-            ckpt = tempfile.mkdtemp(prefix="spark-graft-ckpt-")
-        spark.sparkContext.setCheckpointDir(ckpt)
+            warnings.warn(
+                "non-local master without SPARK_GRAFT_CHECKPOINT_DIR: "
+                "materialize() falls back to localCheckpoint, which does "
+                "not survive executor loss — set the env var to shared "
+                "storage for production runs",
+                stacklevel=2,
+            )
     return spark

@@ -221,19 +221,23 @@ def test_is_starved_metrics_error_signature():
     assert not _is_starved_metrics_error(RuntimeError("toPyRow AssertionError"))
 
 
-def test_minhash_capped_plan_carries_named_metric(hot_docs):
-    """The self-join path cannot take an Observation handle (its node is
-    duplicated); it must still carry the auto-named observed metric so the
-    Spark UI / QueryExecutionListeners see drops."""
-    import contextlib
-    import io
-
-    df = minhash_lsh_pairs(hot_docs, bucket_cap=100)
-    buf = io.StringIO()
-    with contextlib.redirect_stdout(buf):
-        df.explain("extended")
-    assert "lsh_bucket_cap_" in buf.getvalue()
-    assert df.count() == 0  # still analyzable + executable with the metric
+def test_minhash_capped_drops_reach_observation(hot_docs):
+    """Capped drops must never be SILENT. r15: the capped band frame is
+    materialized (guide §5 — one signature pipeline + one cap window
+    instead of one per self-join side), so the `lsh_bucket_cap_*` observe
+    node executes exactly once, inside the EAGER materialize job — which
+    makes a python Observation handle safe on the SELF-JOIN path for the
+    first time (pre-r15 the node was duplicated per join side and the
+    handle, single-update by contract, could not be used). This asserts
+    the functional contract — the handle reports the real drop counts and
+    the capped result is empty — replacing the old final-plan-text shape
+    assertion, which a materialized stage cannot satisfy."""
+    obs = CapObservation("lsh_selfjoin_cap")
+    df = minhash_lsh_pairs(hot_docs, bucket_cap=100, observation=obs)
+    assert df.count() == 0  # every candidate lived in the capped bucket
+    got = obs.get
+    assert got["n_dropped_rows"] > 0
+    assert got["n_dropped_buckets"] >= 1
 
 
 def test_ngram_jaccard_guard_trips(spark, sf_correctness):
