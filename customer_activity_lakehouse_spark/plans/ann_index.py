@@ -292,9 +292,27 @@ def build_ann_index(
     # job the broadcast exchanges ran, and every downstream consumer (the
     # three commits, the encode kernel) reads the local rows instead of
     # re-executing any Lloyd lineage. The corpus itself never caches,
-    # collects, or shuffles.
-    cents = _km_fit_scaled(embq, n_cells, _train_divisor(n, n_cells))
-    books = _local_books(spark, _codebook_rows(_pq_fit_frame(embq)))
+    # collects, or shuffles. r15 (guide §2.6): the coarse-quantizer and
+    # PQ-codebook chains are independent short series of driver-bounded
+    # collect jobs — run them from two driver threads so one chain's
+    # collect latency back-fills the other's (the build was ~10 strictly
+    # sequential jobs; the two training chains are the longest stretch).
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark import inheritable_thread_target
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_cents = pool.submit(
+            inheritable_thread_target(spark)(
+                lambda: _km_fit_scaled(embq, n_cells, _train_divisor(n, n_cells))
+            )
+        )
+        f_books = pool.submit(
+            inheritable_thread_target(spark)(
+                lambda: _local_books(spark, _codebook_rows(_pq_fit_frame(embq)))
+            )
+        )
+        cents, books = f_cents.result(), f_books.result()
     # assign cells AND encode PQ codes in ONE zero-shuffle corpus pass
     # (r14, guide §2.4 / §4.2): bit-identical to the training path's
     # final assignment (same argmin against the same doubles); the
@@ -315,18 +333,40 @@ def build_ann_index(
     # shape: a cell is ~N/nlist ≈ sqrt(N) 4-byte codes, well under one
     # parquet file.
     n_parts = max(1, min(int(n_cells), spark.sparkContext.defaultParallelism))
-    commit_append(spark, f"{index_dir}/ivf_centroids", cents)
-    commit_append(
-        spark, f"{index_dir}/pq_codebooks", books.orderBy("m", "cluster")
-    )
-    commit_append(
-        spark,
-        f"{index_dir}/codes",
-        codes.select("vec_id", "cell", "code").repartition(n_parts, "cell"),
-        stats_cols=["vec_id"],
-        partition_by=["cell"],
-        extra=extra,
-    )
+    # the three commits target three independent tables: overlap them
+    # (guide §2.6) — the two K-row metadata commits ride along while the
+    # corpus-scale codes encode+write runs
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        jobs = [
+            pool.submit(
+                inheritable_thread_target(spark)(
+                    lambda: commit_append(spark, f"{index_dir}/ivf_centroids", cents)
+                )
+            ),
+            pool.submit(
+                inheritable_thread_target(spark)(
+                    lambda: commit_append(
+                        spark, f"{index_dir}/pq_codebooks", books.orderBy("m", "cluster")
+                    )
+                )
+            ),
+            pool.submit(
+                inheritable_thread_target(spark)(
+                    lambda: commit_append(
+                        spark,
+                        f"{index_dir}/codes",
+                        codes.select("vec_id", "cell", "code").repartition(
+                            n_parts, "cell"
+                        ),
+                        stats_cols=["vec_id"],
+                        partition_by=["cell"],
+                        extra=extra,
+                    )
+                )
+            ),
+        ]
+        for j in jobs:
+            j.result()
 
 
 def maintain_ann_index(

@@ -453,8 +453,19 @@ def _ivf_probe_clusters(
     return [cl for _, cl in scored[:n_probes]]
 
 
+def _fetch_qq(spark: SparkSession, sf: str) -> np.ndarray | None:
+    """The quantized query vector (vec_id = 0) as a driver array, or None
+    when the corpus has no query row — one pushdown-pruned 1-row job,
+    shared by the probe and the ADC scorer."""
+    qrow = _km_quantized(spark, sf).filter(F.col("vec_id") == 0).select("q").head()
+    return None if qrow is None else np.asarray(qrow[0], dtype=np.int64)
+
+
 def _ivf_cand_assigned(
-    spark: SparkSession, sf: str, base: DataFrame | None = None
+    spark: SparkSession,
+    sf: str,
+    base: DataFrame | None = None,
+    qq: np.ndarray | None = None,
 ) -> DataFrame:
     """IVF candidate ROWS: k-means-train the coarse quantizer, rank the
     query's IVF_PROBES nearest cells on the driver (`_ivf_probe_clusters`),
@@ -471,11 +482,12 @@ def _ivf_cand_assigned(
     if not rows:  # degenerate empty corpus: nothing to probe or score
         out = assigned if base is None else _km_assign_expr(base, cents)
         return out.filter(F.col("vec_id") != 0).limit(0)
-    qrow = embq.filter(F.col("vec_id") == 0).select("q").head()
-    if qrow is None:  # no query vector: the legacy plan returned no rows
+    if qq is None:
+        qq = _fetch_qq(spark, sf)
+    if qq is None:  # no query vector: the legacy plan returned no rows
         out = assigned if base is None else _km_assign_rows(base, rows)
         return out.filter(F.col("vec_id") != 0).limit(0)
-    probes = _ivf_probe_clusters(rows, np.asarray(qrow[0], dtype=np.int64))
+    probes = _ivf_probe_clusters(rows, qq)
     out = assigned if base is None else _km_assign_rows(base, rows)
     return out.filter(F.col("cluster").isin(probes) & (F.col("vec_id") != 0))
 
@@ -3041,12 +3053,34 @@ def q_ann_pq_topk(spark: SparkSession, sf: str) -> DataFrame:
     never shuffle; only (m, cluster)-keyed training aggregates do.
 
     Output: top-10 (vec_id, cos_sim) for the vec_id=0 query, cosine of
-    the PQ-reconstructed vector vs the exact query, rounded to 4dp."""
+    the PQ-reconstructed vector vs the exact query, rounded to 4dp.
+    The 1-row query fetch overlaps the codebook training from a second
+    driver thread (guide §2.6)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark import inheritable_thread_target
+
     embq = _km_quantized(spark, sf)
-    return _pq_adc_topk(spark, sf, embq.filter(F.col("vec_id") != 0))
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_qq = pool.submit(inheritable_thread_target(spark)(lambda: _fetch_qq(spark, sf)))
+        f_book = pool.submit(
+            inheritable_thread_target(spark)(lambda: _codebook_rows(_pq_fit(spark, sf)))
+        )
+        qq, book = f_qq.result(), f_book.result()
+    if qq is None:
+        raise ValueError("q_ann_pq_topk: no query vector (vec_id = 0)")
+    return _pq_adc_topk(
+        spark, sf, embq.filter(F.col("vec_id") != 0), book=book, qq=qq
+    )
 
 
-def _pq_adc_topk(spark: SparkSession, sf: str, corpus: DataFrame) -> DataFrame:
+def _pq_adc_topk(
+    spark: SparkSession,
+    sf: str,
+    corpus: DataFrame,
+    book=None,
+    qq: np.ndarray | None = None,
+) -> DataFrame:
     """ADC top-10 over ``corpus`` (a (vec_id, q) frame): train the PQ
     codebook, then score every candidate against the query through an
     Arrow-vectorized NumPy kernel (guide §4.2) and TakeOrdered. Shared by
@@ -3059,12 +3093,18 @@ def _pq_adc_topk(spark: SparkSession, sf: str, corpus: DataFrame) -> DataFrame:
     fixed m order; qnorm an exact integer sum) — pinned equal to the
     retired expression form by the unchanged DuckDB oracle and
     tests/test_np_kernels.py. The codebook collect is ≤PQ_M·PQ_K = 128
-    rows; the query collect is one row — both driver-bounded."""
-    embq = _km_quantized(spark, sf)
-    book = _codebook_rows(_pq_fit(spark, sf))
-    qq = np.asarray(
-        embq.filter(F.col("vec_id") == 0).select("q").head()[0], dtype=np.int64
-    )
+    rows; the query collect is one row — both driver-bounded.
+    ``book`` lets a caller that already trained (or trained concurrently
+    — q_ann_ivfpq_topk overlaps the IVF and PQ chains, guide §2.6) pass
+    the collected codebook in."""
+    if book is None:
+        book = _codebook_rows(_pq_fit(spark, sf))
+    if qq is None:
+        qq = _fetch_qq(spark, sf)
+        if qq is None:
+            raise ValueError(
+                "_pq_adc_topk: no query vector (vec_id = 0) in the corpus"
+            )
     adc = _adc_cos_udf(spark, book, qq)
     return (
         corpus.select("vec_id", F.round(adc(F.col("q")), 4).alias("cos_sim"))
@@ -3224,9 +3264,29 @@ def q_ann_ivfpq_topk(spark: SparkSession, sf: str) -> DataFrame:
     — (m, cluster)-keyed partial aggs. The whole serve plan is ONE corpus
     scan (r15 — the r14 shape re-joined the candidate ids to the corpus
     by vec_id, a fact-sized shuffle join, and re-executed the centroid
-    lineage inside the probe)."""
-    cand = _ivf_cand_assigned(spark, sf)
-    return _pq_adc_topk(spark, sf, cand.select("vec_id", "q"))
+    lineage inside the probe). The IVF and PQ training chains are
+    INDEPENDENT (coarse cells vs per-subspace codebooks over the same
+    quantized corpus), and each is a short series of driver-bounded
+    collect jobs — so they run CONCURRENTLY from two driver threads
+    (guide §2.6: overlap independent jobs; the retrain-per-serve shape
+    is this entry's whole point, so the training latency IS the measured
+    cost — measured ~7 sequential jobs before, max(3, 3) + serve after)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark import inheritable_thread_target
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        f_qq = pool.submit(inheritable_thread_target(spark)(lambda: _fetch_qq(spark, sf)))
+        f_cand = pool.submit(
+            inheritable_thread_target(spark)(
+                lambda: _ivf_cand_assigned(spark, sf, qq=f_qq.result())
+            )
+        )
+        f_book = pool.submit(
+            inheritable_thread_target(spark)(lambda: _codebook_rows(_pq_fit(spark, sf)))
+        )
+        cand, book, qq = f_cand.result(), f_book.result(), f_qq.result()
+    return _pq_adc_topk(spark, sf, cand.select("vec_id", "q"), book=book, qq=qq)
 
 
 def _sql_serve_probes(probe_c: str) -> str:
